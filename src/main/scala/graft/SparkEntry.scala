@@ -15,7 +15,14 @@ object SparkEntry {
 
   private def packs: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (operators.Relational.queries, operators.Relational.oracle))
+      (operators.Relational.queries, operators.Relational.oracle),
+      (operators.Joins.queries, operators.Joins.oracle),
+      (operators.Aggregates.queries, operators.Aggregates.oracle),
+      (operators.Windows.queries, operators.Windows.oracle),
+      (operators.SetOps.queries, operators.SetOps.oracle),
+      (operators.Scalars.queries, operators.Scalars.oracle),
+      (operators.TimeWindows.queries, operators.TimeWindows.oracle),
+      (operators.AsOfJoin.queries, operators.AsOfJoin.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

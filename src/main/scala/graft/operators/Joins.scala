@@ -1,0 +1,157 @@
+package graft.operators
+
+import graft.{Ora, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join surface: semi / anti / outer / full-outer / theta(band) / cross
+  * (SURVEY.md §2-B "joins"; reference analogues: key-overlap check
+  * server.go:385-389 == semi join, multi-key delete server.go:536-538 == anti
+  * join).
+  *
+  * Scale notes: semi/anti joins shuffle only the join key + needed columns
+  * (Catalyst prunes); the band join broadcasts a literal 3-row bounds table so
+  * it's a BroadcastNestedLoopJoin with a 3-row inner — O(n) not O(n^2); the
+  * cross join is dimension x 3-row distinct, never fact x fact.
+  */
+object Joins {
+  import Ora._
+
+  /** EXISTS: orders having at least one high-quantity lineitem. */
+  def semi(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ord = Tables.orders(s, d)
+    val li  = Tables.lineitem(s, d).filter($"l_quantity" >= 45.0)
+    ord.join(li, ord("o_orderkey") === li("l_orderkey"), "left_semi")
+      .select($"o_orderkey", $"o_totalprice", $"o_orderstatus")
+      .orderBy($"o_orderkey")
+  }
+
+  val semiSql: String =
+    """SELECT o_orderkey, o_totalprice, o_orderstatus
+      |FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_quantity >= 45.0)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** NOT EXISTS: customers that never placed an order. */
+  def anti(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, d)
+    val ord  = Tables.orders(s, d)
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+      .orderBy($"c_custkey")
+  }
+
+  val antiSql: String =
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** LEFT OUTER + aggregate: per-customer order count/total incl. zero-order
+    * customers.
+    */
+  def leftOuter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cust = Tables.customer(s, d)
+    val ord  = Tables.orders(s, d)
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left")
+      .groupBy($"c_custkey", $"c_name")
+      .agg(
+        count($"o_orderkey").as("n_orders"),
+        dsum(coalesce($"o_totalprice", lit(0.0))).as("total_spent"))
+      .orderBy($"c_custkey")
+  }
+
+  val leftOuterSql: String =
+    s"""SELECT c_custkey, c_name,
+       | COUNT(o_orderkey) AS n_orders,
+       | ${sqlSum("COALESCE(o_totalprice, 0.0)")} AS total_spent
+       |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+       |GROUP BY c_custkey, c_name
+       |ORDER BY c_custkey""".stripMargin
+
+  /** FULL OUTER of two aggregates: customer count vs supplier count per
+    * nation key.
+    */
+  def fullOuter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cn = Tables.customer(s, d)
+      .groupBy($"c_nationkey".as("cnk")).agg(count(lit(1)).as("n_cust"))
+    val sn = Tables.supplier(s, d)
+      .groupBy($"s_nationkey".as("snk")).agg(count(lit(1)).as("n_supp"))
+    cn.join(sn, $"cnk" === $"snk", "full")
+      .select(
+        coalesce($"cnk", $"snk").as("nationkey"),
+        coalesce($"n_cust", lit(0L)).as("n_cust"),
+        coalesce($"n_supp", lit(0L)).as("n_supp"))
+      .orderBy($"nationkey")
+  }
+
+  val fullOuterSql: String =
+    """SELECT COALESCE(cnk, snk) AS nationkey,
+      | COALESCE(n_cust, 0) AS n_cust,
+      | COALESCE(n_supp, 0) AS n_supp
+      |FROM (SELECT c_nationkey AS cnk, COUNT(*) AS n_cust
+      |      FROM customer GROUP BY c_nationkey) c
+      |FULL OUTER JOIN
+      |     (SELECT s_nationkey AS snk, COUNT(*) AS n_supp
+      |      FROM supplier GROUP BY s_nationkey) s
+      |ON cnk = snk
+      |ORDER BY nationkey""".stripMargin
+
+  /** Theta/band join: parts bucketed into literal price bands (non-equi
+    * condition). The 3-row band table is broadcast — no shuffle of `part`.
+    */
+  def theta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bands = Seq((0, 900.0, 940.0), (1, 940.0, 970.0), (2, 970.0, 1000.0))
+      .toDF("band_id", "lo", "hi")
+    Tables.part(s, d)
+      .join(broadcast(bands), $"p_retailprice" >= $"lo" && $"p_retailprice" < $"hi")
+      .groupBy($"band_id")
+      .agg(count(lit(1)).as("n_parts"), davg($"p_retailprice").as("avg_price"))
+      .orderBy($"band_id")
+  }
+
+  val thetaSql: String =
+    s"""SELECT band_id, COUNT(*) AS n_parts, ${sqlAvg("p_retailprice")} AS avg_price
+       |FROM part
+       |JOIN (VALUES (0, 900.0, 940.0), (1, 940.0, 970.0), (2, 970.0, 1000.0))
+       |     AS b(band_id, lo, hi)
+       |  ON p_retailprice >= lo AND p_retailprice < hi
+       |GROUP BY band_id
+       |ORDER BY band_id""".stripMargin
+
+  /** CROSS join: every region x every distinct order status. */
+  def cross(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val statuses = Tables.orders(s, d).select($"o_orderstatus").distinct()
+    Tables.region(s, d).crossJoin(statuses)
+      .select($"r_name", $"o_orderstatus")
+      .orderBy($"r_name", $"o_orderstatus")
+  }
+
+  val crossSql: String =
+    """SELECT r_name, o_orderstatus
+      |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) o
+      |ORDER BY r_name, o_orderstatus""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q4_join_semi"       -> (semi _),
+    "q5_join_anti"       -> (anti _),
+    "q6_join_left_outer" -> (leftOuter _),
+    "q7_join_full_outer" -> (fullOuter _),
+    "q8_join_theta_band" -> (theta _),
+    "q9_join_cross"      -> (cross _))
+
+  val oracle: Map[String, String] = Map(
+    "q4_join_semi"       -> semiSql,
+    "q5_join_anti"       -> antiSql,
+    "q6_join_left_outer" -> leftOuterSql,
+    "q7_join_full_outer" -> fullOuterSql,
+    "q8_join_theta_band" -> thetaSql,
+    "q9_join_cross"      -> crossSql)
+}

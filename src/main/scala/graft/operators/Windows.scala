@@ -1,0 +1,171 @@
+package graft.operators
+
+import graft.{Ora, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Window-function surface: ranking, running frames, range frames, lag/lead,
+  * top-k per group (SURVEY.md §2-B "windows", "sort/limit").
+  *
+  * Every window partitions by a real key so the single shuffle distributes by
+  * partition key — no global single-partition window anywhere (the classic
+  * scale killer). Running sums go through exact decimal so frame-evaluation
+  * order (Spark incremental vs DuckDB segment-tree) can't change the double
+  * result.
+  */
+object Windows {
+  import Ora._
+  private val Dec = DecimalType(38, 6)
+
+  /** row_number / rank / dense_rank over customers per market segment. */
+  def ranking(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val total = Window.partitionBy($"c_mktsegment")
+      .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+    val byBal = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal".desc)
+    Tables.customer(s, d)
+      .select(
+        $"c_mktsegment", $"c_custkey", $"c_acctbal",
+        row_number().over(total).as("rn"),
+        rank().over(byBal).as("rnk"),
+        dense_rank().over(byBal).as("drnk"))
+      .orderBy($"c_mktsegment", $"c_custkey")
+  }
+
+  val rankingSql: String =
+    """SELECT c_mktsegment, c_custkey, c_acctbal,
+      | CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+      |                    ORDER BY c_acctbal DESC, c_custkey ASC) AS INTEGER) AS rn,
+      | CAST(RANK()       OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS INTEGER) AS rnk,
+      | CAST(DENSE_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS INTEGER) AS drnk
+      |FROM customer
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin
+
+  /** Running sum + running count per customer over order history (ROWS
+    * unbounded-preceding frame, exact decimal accumulation).
+    */
+  def runningSum(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, d)
+      .select(
+        $"o_custkey", $"o_orderkey", $"o_totalprice",
+        sum($"o_totalprice".cast(Dec)).over(w).cast("double").as("running_total"),
+        count(lit(1)).over(w).as("running_n"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  val runningSumSql: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+      |   PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total,
+      | COUNT(*) OVER (
+      |   PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_n
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** RANGE frame on a numeric order key: how many orders fall within 5000 of
+    * this order's price (per status).
+    */
+  def rangeFrame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_orderstatus").orderBy($"o_totalprice")
+      .rangeBetween(-5000L, 0L)
+    Tables.orders(s, d)
+      .select(
+        $"o_orderkey", $"o_orderstatus", $"o_totalprice",
+        count(lit(1)).over(w).as("n_within_5k_below"))
+      .orderBy($"o_orderkey")
+  }
+
+  val rangeFrameSql: String =
+    """SELECT o_orderkey, o_orderstatus, o_totalprice,
+      | COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+      |   RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW) AS n_within_5k_below
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** lag/lead over per-user event sequences. */
+  def lagLead(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+    Tables.events(s, d)
+      .select(
+        $"user_id", $"event_id", $"value",
+        lag($"value", 1).over(w).as("prev_value"),
+        lead($"value", 1).over(w).as("next_value"),
+        ($"value" - coalesce(lag($"value", 1).over(w), lit(0.0))).as("delta"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val lagLeadSql: String =
+    """SELECT user_id, event_id, value,
+      | LAG(value, 1)  OVER (PARTITION BY user_id ORDER BY event_id) AS prev_value,
+      | LEAD(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS next_value,
+      | value - COALESCE(LAG(value, 1) OVER (PARTITION BY user_id ORDER BY event_id), 0.0) AS delta
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** Top-3 customers by balance per market segment (window + filter — the
+    * scalable top-k-per-group idiom: no global sort, one shuffle by group).
+    */
+  def topKPerGroup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+    Tables.customer(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"c_mktsegment", $"rn", $"c_custkey", $"c_acctbal")
+      .orderBy($"c_mktsegment", $"rn")
+  }
+
+  val topKSql: String =
+    """SELECT c_mktsegment, rn, c_custkey, c_acctbal
+      |FROM (SELECT c_mktsegment, c_custkey, c_acctbal,
+      |        CAST(ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+      |                           ORDER BY c_acctbal DESC, c_custkey ASC) AS INTEGER) AS rn
+      |      FROM customer) t
+      |WHERE rn <= 3
+      |ORDER BY c_mktsegment, rn""".stripMargin
+
+  /** Global ORDER BY + LIMIT with total tie-break order (sort/limit pack).
+    * Spark executes this as TakeOrderedAndProject — per-partition top-k then
+    * a k-row merge on the driver, no global sort even at 100 TB.
+    */
+  def orderByLimit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      .limit(25)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+  }
+
+  val orderByLimitSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey ASC
+      |LIMIT 25""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_window_rank"    -> (ranking _),
+    "q17_window_running" -> (runningSum _),
+    "q18_window_range"   -> (rangeFrame _),
+    "q19_window_laglead" -> (lagLead _),
+    "q20_topk_per_group" -> (topKPerGroup _),
+    "q21_orderby_limit"  -> (orderByLimit _))
+
+  val oracle: Map[String, String] = Map(
+    "q16_window_rank"    -> rankingSql,
+    "q17_window_running" -> runningSumSql,
+    "q18_window_range"   -> rangeFrameSql,
+    "q19_window_laglead" -> lagLeadSql,
+    "q20_topk_per_group" -> topKSql,
+    "q21_orderby_limit"  -> orderByLimitSql)
+}
