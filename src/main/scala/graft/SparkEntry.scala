@@ -22,7 +22,8 @@ object SparkEntry {
       (operators.SetOps.queries, operators.SetOps.oracle),
       (operators.Scalars.queries, operators.Scalars.oracle),
       (operators.TimeWindows.queries, operators.TimeWindows.oracle),
-      (operators.AsOfJoin.queries, operators.AsOfJoin.oracle))
+      (operators.AsOfJoin.queries, operators.AsOfJoin.oracle),
+      (operators.Kv.queries, operators.Kv.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

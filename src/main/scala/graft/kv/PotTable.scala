@@ -1,0 +1,188 @@
+package graft.kv
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pot-parity table layer: the reference's whole semantics re-expressed as
+  * Spark dataflow over versioned parquet directories.
+  *
+  * Reference model (SURVEY.md §1): a "path" holds one JSON map `key -> doc`,
+  * every write is a whole-object read-modify-write under a CAS lock, and the
+  * GCS object generation is the version handle clients replay to prove
+  * ownership (reference server.go:212-214, 272-407, 670-702).
+  *
+  * Spark re-expression:
+  *   - a pot path == a directory `<root>/<path>/` of versioned parquet
+  *     snapshots `v=<N>/`, each holding rows `(key string, payload...,
+  *     _modified timestamp)`;
+  *   - the current version is the highest N with a commit marker under
+  *     `_commits/<N>` — markers are created with `FileSystem.create(...,
+  *     overwrite=false)`, an atomic create-new that is exactly pot's
+  *     `.potlock` DoesNotExist precondition (server.go:676);
+  *   - upsert == last-writer-wins union-by-key (server.go:385-393), delete ==
+  *     left-anti join (server.go:536-538), no-rewrite == conflict semi-join
+  *     gated by lease expiry / generation ownership (server.go:365-393);
+  *   - losing a commit race throws [[CommitConflict]] — pot's 412/423.
+  *
+  * Scale: the fixture tables are single files, but every operation here is a
+  * full DataFrame pipeline — at 100 TB a version is a directory of many
+  * parquet files, upsert shuffles by key once (or uses bucketed layout to
+  * avoid even that), and the commit protocol is unchanged because only the
+  * marker create must be atomic, never the data files. Whole-version rewrite
+  * (pot's own write amplification, server.go:396-400) would become partition-
+  * scoped rewrite: only files containing updated keys are replaced, which the
+  * key->file pruning of a bucketed layout gives for free.
+  */
+final class PotTable(spark: SparkSession, root: String, path: String) {
+  import spark.implicits._
+
+  private def dir = s"$root/$path"
+  private def fs: FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Current committed generation, 0 if the pot doesn't exist yet
+    * (reference returns an empty map for absent paths, server.go:316-331).
+    */
+  def generation: Long = {
+    val commits = new Path(s"$dir/_commits")
+    if (!fs.exists(commits)) 0L
+    else fs.listStatus(commits).map(_.getPath.getName.toLong).foldLeft(0L)(math.max)
+  }
+
+  /** Get == full-path scan; absent path -> empty DataFrame with no schema
+    * commitment (caller supplies schema on first upsert).
+    */
+  def get(): DataFrame = {
+    val gen = generation
+    if (gen == 0L) spark.emptyDataFrame
+    else spark.read.parquet(s"$dir/v=$gen")
+  }
+
+  /** Error analogous to pot's ErrNoRewriteViolated / 412 Precondition Failed
+    * (server.go:27-34; readme.md:128).
+    */
+  final class CommitConflict(msg: String) extends RuntimeException(msg)
+
+  /** Atomically publish `df` as the next generation iff `expectedGen` is
+    * still current. Returns the new generation.
+    */
+  private def commit(df: DataFrame, expectedGen: Long): Long = {
+    val next = expectedGen + 1
+    df.write.mode("overwrite").parquet(s"$dir/v=$next")
+    val marker = new Path(s"$dir/_commits/$next")
+    fs.mkdirs(marker.getParent)
+    try {
+      val out = fs.create(marker, false) // atomic create-new == CAS
+      out.close()
+      next
+    } catch {
+      case _: java.io.IOException =>
+        throw new CommitConflict(
+          s"pot $path: generation $next already committed by another writer")
+    }
+  }
+
+  /** Upsert (Create/batch-Create, server.go:272-423): last-writer-wins merge
+    * of `docs` into the current map by `key`. One shuffle by key; new rows
+    * win over old via source-priority window dedup.
+    */
+  def upsert(docs: DataFrame): Long = {
+    val gen = generation
+    val stamped = docs
+      .withColumn("_modified", current_timestamp())
+      .withColumn("_src", lit(1))
+    val merged =
+      if (gen == 0L) stamped.drop("_src")
+      else {
+        val old = get().withColumn("_src", lit(0))
+        val w = Window.partitionBy($"key").orderBy($"_src".desc)
+        stamped.unionByName(old)
+          .withColumn("_rn", row_number().over(w))
+          .filter($"_rn" === 1)
+          .drop("_rn", "_src")
+      }
+    commit(merged, gen)
+  }
+
+  /** Conditional write (WithNoRewrite + WithRewriteGeneration,
+    * server.go:236-264, 365-393): reject the WHOLE batch if any incoming key
+    * already exists, unless the caller owns the current generation or the
+    * key's lease (`leaseMs` since `_modified`) has expired. All-or-nothing,
+    * exactly like the reference (server.go:385-389).
+    */
+  def conditionalUpsert(
+      docs: DataFrame,
+      leaseMs: Long,
+      callerGeneration: Long = -1L): Long = {
+    val gen = generation
+    if (gen != 0L && callerGeneration != gen) {
+      val nowMs = System.currentTimeMillis()
+      val conflicts = get()
+        .join(docs.select($"key"), Seq("key"), "left_semi")
+        .filter(unix_millis($"_modified") + leaseMs > nowMs)
+        .limit(1).count()
+      if (conflicts > 0)
+        throw new CommitConflict(
+          s"pot $path: no-rewrite violated (live lease, caller gen " +
+            s"$callerGeneration != current $gen)")
+    }
+    upsertAt(docs, gen)
+  }
+
+  private def upsertAt(docs: DataFrame, gen: Long): Long = {
+    val stamped = docs.withColumn("_modified", current_timestamp())
+      .withColumn("_src", lit(1))
+    val merged =
+      if (gen == 0L) stamped.drop("_src")
+      else {
+        val old = get().withColumn("_src", lit(0))
+        val w = Window.partitionBy($"key").orderBy($"_src".desc)
+        stamped.unionByName(old)
+          .withColumn("_rn", row_number().over(w))
+          .filter($"_rn" === 1)
+          .drop("_rn", "_src")
+      }
+    commit(merged, gen)
+  }
+
+  /** Remove (multi-key delete, server.go:494-548): left-anti join; deleting
+    * absent keys is a no-op, like the reference's `delete(content, key)`.
+    */
+  def remove(keys: Seq[String]): Long = {
+    val gen = generation
+    if (gen == 0L) return 0L
+    val keysDf = keys.toDF("key")
+    commit(get().join(broadcast(keysDf), Seq("key"), "left_anti"), gen)
+  }
+
+  /** Snapshot/export (Zip, server.go:550-614): materialize the current
+    * version to an export directory. Returns the manifest.
+    */
+  def snapshot(outDir: String): DataFrame = {
+    val gen = generation
+    if (gen > 0L) get().write.mode("overwrite").parquet(s"$outDir/$path")
+    Seq((path, gen)).toDF("path", "generation")
+  }
+}
+
+object PotTable {
+  def apply(spark: SparkSession, root: String, path: String): PotTable =
+    new PotTable(spark, root, path)
+
+  /** ListPaths (server.go:425-466): enumerate pots under a root — here,
+    * directories holding a `_commits` child (the `data.json`-suffix filter
+    * analogue), internal dirs excluded like `.potlock`s are.
+    */
+  def listPaths(spark: SparkSession, root: String): Seq[String] = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return Seq.empty
+    fs.listStatus(rootPath)
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => fs.exists(new Path(s"$root/$n/_commits")))
+      .sorted.toSeq
+  }
+}

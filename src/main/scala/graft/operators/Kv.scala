@@ -1,0 +1,172 @@
+package graft.operators
+
+import graft.Tables
+import graft.kv.PotTable
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Pot-parity operations as oracle-checkable dataflow (SURVEY.md §2-A
+  * A1-A7). The stateful commit protocol lives in [[graft.kv.PotTable]] (tested
+  * in KvSpec); these entries express each operation's data semantics over the
+  * read-only fixtures so the driver's DuckDB oracle can replay them.
+  */
+object Kv {
+
+  /** A2/A3 upsert: last-writer-wins union-by-key (server.go:385-393). New
+    * docs = every 10th customer with a bumped balance; merged map = new wins,
+    * others unchanged. The window-dedup form shuffles once by key and is the
+    * scalable MERGE shape (vs. pot's whole-object rewrite).
+    */
+  def upsertMerge(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.customer(s, d)
+    val updates = base.filter($"c_custkey" % 10 === 0)
+      .withColumn("c_acctbal", $"c_acctbal" + 1000.0)
+      .withColumn("c_mktsegment", lit("UPDATED"))
+    val w = Window.partitionBy($"c_custkey").orderBy($"_src".desc)
+    updates.withColumn("_src", lit(1))
+      .unionByName(base.withColumn("_src", lit(0)))
+      .withColumn("_rn", row_number().over(w))
+      .filter($"_rn" === 1)
+      .drop("_rn", "_src")
+      .orderBy($"c_custkey")
+  }
+
+  val upsertMergeSql: String =
+    """WITH updates AS (
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 1000.0 AS c_acctbal,
+      |         'UPDATED' AS c_mktsegment
+      |  FROM customer WHERE c_custkey % 10 = 0)
+      |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM updates
+      |UNION ALL
+      |SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer
+      |WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** A5 remove: multi-key delete as left-anti join (server.go:536-538);
+    * absent keys are a no-op by construction.
+    */
+  def deleteAnti(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.customer(s, d)
+    val delKeys = base.filter($"c_custkey" % 7 === 0)
+      .select($"c_custkey".as("key"))
+    base.join(delKeys, base("c_custkey") === delKeys("key"), "left_anti")
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+      .orderBy($"c_custkey")
+  }
+
+  val deleteAntiSql: String =
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM customer
+      |WHERE c_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 7 = 0)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** A2 key derivation: document key = `id` overriding `name`
+    * (server.go:347-354 — id wins when both present). Synthesized id/name
+    * columns: every 3rd part has no id -> falls back to name.
+    */
+  def keyDerivation(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, d)
+      .withColumn("id",
+        when($"p_partkey" % 3 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("id-"), $"p_partkey")))
+      .withColumn("name", $"p_name")
+      .select(
+        $"p_partkey",
+        coalesce($"id", $"name").as("key"),
+        ($"id".isNotNull).as("from_id"))
+      .orderBy($"p_partkey")
+  }
+
+  val keyDerivationSql: String =
+    """SELECT p_partkey,
+      | COALESCE(CASE WHEN p_partkey % 3 = 0 THEN NULL
+      |               ELSE 'id-' || CAST(p_partkey AS VARCHAR) END,
+      |          p_name) AS key,
+      | (CASE WHEN p_partkey % 3 = 0 THEN NULL
+      |       ELSE 'id-' || CAST(p_partkey AS VARCHAR) END) IS NOT NULL AS from_id
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin
+
+  /** A4 no-rewrite conflict set: incoming keys semi-joined against existing
+    * docs whose lease is still live at a fixed evaluation time
+    * (server.go:365-393: `lastModification + dur < now` permits rewrite).
+    * o_orderdate plays `_modified`; lease = 90 days; "now" = 2001-01-01.
+    */
+  def conflictDetect(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val existing = Tables.orders(s, d)
+    val incoming = existing.filter($"o_orderkey" % 100 === 0)
+      .select($"o_orderkey".as("key"))
+    existing
+      .join(incoming, existing("o_orderkey") === incoming("key"), "left_semi")
+      .filter($"o_orderdate" + expr("INTERVAL 90 DAYS") >
+        lit("2001-01-01").cast("timestamp"))
+      .select($"o_orderkey", $"o_orderdate")
+      .orderBy($"o_orderkey")
+  }
+
+  val conflictDetectSql: String =
+    """SELECT o_orderkey, o_orderdate
+      |FROM orders
+      |WHERE o_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderkey % 100 = 0)
+      |  AND o_orderdate + INTERVAL 90 DAY > TIMESTAMP '2001-01-01 00:00:00'
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** A6 ListPaths: catalog listing of the warehouse root — names of parquet
+    * tables, internal files excluded (server.go:425-466 lists the data.json
+    * objects under a prefix and drops `.potlock`s).
+    */
+  def listTables(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rootPath = new Path(d)
+    val fs = rootPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(rootPath)
+      .map(_.getPath.getName)
+      .filter(_.endsWith(".parquet"))
+      .filterNot(_.startsWith("."))
+      .map(_.stripSuffix(".parquet"))
+      .sorted.toSeq
+    names.toDF("path")
+  }
+
+  val listTablesSql: String =
+    """SELECT path FROM (VALUES ('customer'),('documents'),('embeddings'),
+      | ('events'),('lineitem'),('nation'),('orders'),('part'),('region'),
+      | ('supplier')) AS t(path)
+      |ORDER BY path""".stripMargin
+
+  /** A7 snapshot: exercise the real PotTable layer end-to-end (build a pot
+    * from `nation`, upsert, snapshot, report manifest). Side-effecting ->
+    * rows-only check (no oracle), like the driver contract's escape hatch.
+    */
+  def snapshotOp(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-pot").toString
+    val pot = PotTable(s, root, "nation_pot")
+    val docs = Tables.nation(s, d)
+      .select($"n_nationkey".cast("string").as("key"), $"n_name", $"n_regionkey")
+    pot.upsert(docs)
+    pot.snapshot(s"$root/_export")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kv1_upsert_merge"    -> (upsertMerge _),
+    "kv2_delete_anti"     -> (deleteAnti _),
+    "kv3_key_derivation"  -> (keyDerivation _),
+    "kv4_conflict_detect" -> (conflictDetect _),
+    "kv5_list_tables"     -> (listTables _),
+    "kv6_snapshot"        -> (snapshotOp _))
+
+  val oracle: Map[String, String] = Map(
+    "kv1_upsert_merge"    -> upsertMergeSql,
+    "kv2_delete_anti"     -> deleteAntiSql,
+    "kv3_key_derivation"  -> keyDerivationSql,
+    "kv4_conflict_detect" -> conflictDetectSql,
+    "kv5_list_tables"     -> listTablesSql)
+}
