@@ -23,7 +23,11 @@ object SparkEntry {
       (operators.Scalars.queries, operators.Scalars.oracle),
       (operators.TimeWindows.queries, operators.TimeWindows.oracle),
       (operators.AsOfJoin.queries, operators.AsOfJoin.oracle),
-      (operators.Kv.queries, operators.Kv.oracle))
+      (operators.Kv.queries, operators.Kv.oracle),
+      (operators.Dedup.queries, operators.Dedup.oracle),
+      (operators.Similarity.queries, operators.Similarity.oracle),
+      (operators.TextAnalysis.queries, operators.TextAnalysis.oracle),
+      (multimodal.Multimodal.queries, multimodal.Multimodal.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

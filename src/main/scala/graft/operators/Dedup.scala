@@ -1,0 +1,229 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over the `documents` / `embeddings` corpora —
+  * the LLM-training-data pipeline surface (BASELINE.json north_star): exact,
+  * MinHash+LSH banding, n-gram Jaccard, SimHash, embedding-cosine near-dup.
+  *
+  * Hashing is md5-based end-to-end so the DuckDB oracle replays every
+  * operator bit-for-bit (both engines emit identical lowercase-hex md5).
+  *
+  * Scale shapes (the part that matters at 100 TB):
+  *   - shingling/minhashing is a narrow map + partial-aggregate per (doc,
+  *     seed) — no shuffle grows beyond O(docs x seeds);
+  *   - LSH banding turns near-dup search from O(n^2) into a self-join on
+  *     (band, signature) — the shuffle key is the bucket, so only colliding
+  *     docs ever meet; skewed buckets (boilerplate text) can be salted or
+  *     capped without changing semantics;
+  *   - the brute-force cosine pair scan is deliberately the BASELINE variant;
+  *     the bucketed variant lives in Similarity.annLsh.
+  */
+object Dedup {
+
+  /** Tokenized, lowercased word arrays. */
+  private[operators] def words(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", split(lower($"text"), " ").as("w"))
+  }
+
+  /** Distinct word-3-gram shingles per doc. */
+  private[operators] def shingles(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    words(s, d)
+      .filter(size($"w") >= 3)
+      .select($"doc_id", explode(
+        expr("transform(sequence(0, size(w)-3), i -> concat_ws(' ', slice(w, i+1, 3)))"))
+        .as("sh"))
+      .distinct()
+  }
+
+  /** Shared oracle CTE: identical shingling in DuckDB (window-lead form). */
+  private val shinglesCte: String =
+    """words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |tok AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i
+      |        FROM words WHERE len(w) >= 3),
+      |sh3 AS (SELECT doc_id,
+      |          word || ' ' || LEAD(word,1) OVER (PARTITION BY doc_id ORDER BY i)
+      |               || ' ' || LEAD(word,2) OVER (PARTITION BY doc_id ORDER BY i) AS sh
+      |        FROM tok),
+      |sh AS (SELECT DISTINCT doc_id, sh FROM sh3 WHERE sh IS NOT NULL)""".stripMargin
+
+  /** Exact dedup: md5 fingerprint groups with representative doc (min id) and
+    * copy count — `dropDuplicates` semantics made deterministic.
+    */
+  def exactFingerprint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .groupBy(md5($"text").as("fp"))
+      .agg(min($"doc_id").as("rep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy($"fp")
+  }
+
+  val exactFingerprintSql: String =
+    """SELECT md5(text) AS fp, MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_copies
+      |FROM documents
+      |GROUP BY md5(text)
+      |ORDER BY fp""".stripMargin
+
+  /** MinHash (8 seeds) + LSH banding (4 bands x 2 rows): candidate near-dup
+    * pairs = docs agreeing on any band signature.
+    */
+  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val mh = shingles(s, d)
+      .select($"doc_id", explode(sequence(lit(0), lit(7))).as("seed"), $"sh")
+      .select($"doc_id", $"seed",
+        md5(concat($"seed".cast("string"), lit(":"), $"sh")).as("h"))
+      .groupBy($"doc_id", $"seed").agg(min($"h").as("h"))
+    val bands = mh
+      .withColumn("band", expr("seed div 2"))
+      .groupBy($"doc_id", $"band")
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(seed, h))), x -> x.h)"), "")
+        .as("sig"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val minhashLshSql: String =
+    """WITH __SH__,
+       |mh AS (SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS h
+       |       FROM sh CROSS JOIN generate_series(0, 7) AS t(seed)
+       |       GROUP BY doc_id, seed),
+       |bands AS (SELECT doc_id, seed // 2 AS band,
+       |            string_agg(h, '' ORDER BY seed) AS sig
+       |          FROM mh GROUP BY doc_id, seed // 2)
+       |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |ORDER BY doc_a, doc_b""".stripMargin
+      .replace("__SH__", shinglesCte)
+
+  /** n-gram Jaccard: true shingle-set similarity >= 0.8 via shingle
+    * co-occurrence join. Exact-integer jaccard (c / (na+nb-c)) so the double
+    * division is engine-identical.
+    */
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = shingles(s, d)
+    val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val common = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    common
+      .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select($"doc_a", $"doc_b",
+        ($"c".cast("double") / (col("ca.n") + col("cb.n") - $"c")).as("jaccard"))
+      .filter($"jaccard" >= 0.8)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val ngramJaccardSql: String =
+    """WITH __SH__,
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+       |           FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  CAST(c AS DOUBLE) / (ca.n + cb.n - c) AS jaccard
+       |FROM common
+       |JOIN cnt ca ON ca.doc_id = doc_a
+       |JOIN cnt cb ON cb.doc_id = doc_b
+       |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+      .replace("__SH__", shinglesCte)
+
+  /** SimHash: 32-bit signature per doc from token md5 bit-votes. Near-dups
+    * share band prefixes (candidates via minhashLsh-style banding on the
+    * signature; the signature itself is the oracle-checked artifact).
+    */
+  def simhash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = words(s, d)
+      .select($"doc_id", explode(array_distinct($"w")).as("tok"))
+      .select($"doc_id", md5($"tok").as("h"))
+    val bits = toks
+      .select($"doc_id", explode(sequence(lit(0), lit(31))).as("j"), $"h")
+      .select($"doc_id", $"j",
+        expr("(shiftright(CAST(conv(substring(h, CAST(j / 4 AS INT) + 1, 1), 16, 10) AS INT), 3 - CAST(j % 4 AS INT)) & 1)")
+          .as("bit"))
+    bits
+      .groupBy($"doc_id", $"j")
+      .agg(sum($"bit" * 2 - 1).as("sw"))
+      .withColumn("sb", when($"sw" > 0, lit("1")).otherwise(lit("0")))
+      .groupBy($"doc_id")
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(j, sb))), x -> x.sb)"), "")
+        .as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  val simhashSql: String =
+    """WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      |             FROM documents),
+      |h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+      |bits AS (SELECT doc_id, j,
+      |           ((strpos('0123456789abcdef', substr(h, j // 4 + 1, 1)) - 1)
+      |             >> (3 - j % 4)) & 1 AS bit
+      |         FROM h CROSS JOIN generate_series(0, 31) AS g(j)),
+      |sums AS (SELECT doc_id, j, SUM(bit * 2 - 1) AS sw FROM bits GROUP BY doc_id, j)
+      |SELECT doc_id,
+      |  string_agg(CASE WHEN sw > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS simhash
+      |FROM sums
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** Embedding-cosine near-dup pairs (brute-force baseline; vectors are
+    * unit-norm so dot == cosine). The scale path is Similarity.annLsh.
+    */
+  def embedNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    e.as("a")
+      .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        VectorFunctions.dot(col("a.embedding"), col("b.embedding")).as("cos"))
+      .filter($"cos" >= 0.45)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  val embedNearDupSql: String =
+    """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list_transform(range(1, len(a.embedding) + 1),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+      |    (acc, x) -> acc + x) AS cos
+      |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list_transform(range(1, len(a.embedding) + 1),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+      |    (acc, x) -> acc + x) >= 0.45
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_fingerprint" -> (exactFingerprint _),
+    "d2_minhash_lsh"       -> (minhashLsh _),
+    "d3_ngram_jaccard"     -> (ngramJaccard _),
+    "d4_simhash"           -> (simhash _),
+    "d5_embed_neardup"     -> (embedNearDup _))
+
+  val oracle: Map[String, String] = Map(
+    "d1_exact_fingerprint" -> exactFingerprintSql,
+    "d2_minhash_lsh"       -> minhashLshSql,
+    "d3_ngram_jaccard"     -> ngramJaccardSql,
+    "d4_simhash"           -> simhashSql,
+    "d5_embed_neardup"     -> embedNearDupSql)
+}

@@ -1,0 +1,121 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (BASELINE.json north_star):
+  * brute-force cosine top-k as the correctness baseline, and a
+  * random-hyperplane LSH bucketed variant as the scale path (bucket the 100 TB
+  * corpus once, then each query only scans its bucket).
+  *
+  * Hyperplanes are derived deterministically from md5 so Spark and the DuckDB
+  * oracle use the exact same planes: component j of plane p is +-1 by the top
+  * bit of the first hex digit of md5("p:j").
+  */
+object Similarity {
+
+  val NumPlanes = 8
+  val Dim = 64
+
+  /** +-1.0 hyperplane components, identical to the SQL derivation below. */
+  private[operators] lazy val planes: Array[Array[Double]] = {
+    val mdt = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(NumPlanes, Dim) { (p, j) =>
+      val hex = mdt.digest(s"$p:$j".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val digit = Integer.parseInt(hex.substring(0, 1), 16)
+      if (((digit >> 3) & 1) == 1) 1.0 else -1.0
+    }
+  }
+
+  /** LSH signature column: NumPlanes chars of '0'/'1' — sign of the dot with
+    * each plane, accumulated left-to-right like everything else.
+    */
+  private def sigCol(emb: Column): Column = {
+    val bits = planes.map { plane =>
+      val s = aggregate(
+        zip_with(emb.cast("array<double>"), typedLit(plane.toSeq), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(s > 0.0, lit("1")).otherwise(lit("0"))
+    }
+    concat(bits: _*)
+  }
+
+  /** SQL fragment mirroring [[sigCol]] for DuckDB. */
+  private def sigSql(embExpr: String): String =
+    planes.map { plane =>
+      val lst = plane.map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"""(CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |   list_transform(range(1, ${Dim + 1}),
+         |     i -> CAST($embExpr[i] AS DOUBLE) * ($lst)[i])),
+         |   (acc, x) -> acc + x) > 0.0 THEN '1' ELSE '0' END)""".stripMargin
+    }.mkString(" || ")
+
+  private val dotSql =
+    """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list_transform(range(1, len(e.embedding) + 1),
+      |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))),
+      |    (acc, x) -> acc + x)""".stripMargin
+
+  /** Brute-force cosine top-20 for query vector vec_id=0 (unit vectors: dot
+    * == cosine). TakeOrderedAndProject: per-partition top-k, k-row merge —
+    * no global sort at any scale.
+    */
+  def bruteForceTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    e.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= 0)
+      .select($"vec_id", $"label",
+        VectorFunctions.dot($"embedding", $"qv").as("score"))
+      .orderBy($"score".desc, $"vec_id".asc)
+      .limit(20)
+  }
+
+  val bruteForceTopKSql: String =
+    s"""SELECT e.vec_id, e.label, $dotSql AS score
+       |FROM embeddings e
+       |CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+       |WHERE e.vec_id <> 0
+       |ORDER BY score DESC, e.vec_id ASC
+       |LIMIT 20""".stripMargin
+
+  /** ANN via random-hyperplane LSH: vectors bucketed by 8-bit signature; the
+    * query scans only its own bucket. At 100 TB the signature is computed
+    * once at ingest and the table is partitioned/bucketed by it, so a query
+    * touches 1/2^8 of the data (tunable via NumPlanes / multi-probe).
+    */
+  def annLsh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d).withColumn("sig", sigCol($"embedding"))
+    val q = e.filter($"vec_id" === 0)
+      .select($"embedding".as("qv"), $"sig".as("qsig"))
+    e.join(broadcast(q), $"sig" === $"qsig" && $"vec_id" =!= 0)
+      .select($"vec_id", $"label", $"sig",
+        VectorFunctions.dot($"embedding", $"qv").as("score"))
+      .orderBy($"score".desc, $"vec_id".asc)
+      .limit(10)
+  }
+
+  val annLshSql: String =
+    s"""WITH sigs AS (
+       |  SELECT vec_id, label, embedding, ${sigSql("embedding")} AS sig
+       |  FROM embeddings),
+       |q AS (SELECT embedding AS qv, sig AS qsig FROM sigs WHERE vec_id = 0)
+       |SELECT e.vec_id, e.label, e.sig, $dotSql AS score
+       |FROM sigs e CROSS JOIN q
+       |WHERE e.sig = q.qsig AND e.vec_id <> 0
+       |ORDER BY score DESC, e.vec_id ASC
+       |LIMIT 10""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_cosine_topk" -> (bruteForceTopK _),
+    "s2_ann_lsh"     -> (annLsh _))
+
+  val oracle: Map[String, String] = Map(
+    "s1_cosine_topk" -> bruteForceTopKSql,
+    "s2_ann_lsh"     -> annLshSql)
+}

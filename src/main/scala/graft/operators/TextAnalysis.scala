@@ -1,0 +1,211 @@
+package graft.operators
+
+import graft.{Ora, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Text analysis over `documents` (BASELINE.json north_star): language ID
+  * (marker-word heuristic), quality scoring, token counting (whitespace +
+  * regex-class "BPE-ish"), document fingerprinting, corpus term statistics.
+  *
+  * All per-doc metrics are narrow map-side work (no shuffle at all until the
+  * corpus-level aggregations), which is the right shape for a 100 TB corpus:
+  * quality/langid/fingerprint run as a single scan-project pipeline inside
+  * whole-stage codegen.
+  */
+object TextAnalysis {
+  import Ora._
+  private val Dec = DecimalType(38, 6)
+
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "is"),
+    "es" -> Seq("el", "la", "de", "los", "que", "y"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "les", "et", "un", "est"))
+
+  /** Language ID: score each language by marker-token hits, pick the max
+    * with a fixed preference order on ties (en > es > de > fr).
+    */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.documents(s, d)
+      .withColumn("w", split(lower($"text"), " "))
+    val scored = markers.foldLeft(base) { case (df, (lang, ms)) =>
+      df.withColumn(s"${lang}_score",
+        size(filter($"w", x => x.isin(ms: _*))))
+    }
+    scored.select(
+      $"doc_id", $"lang".as("labeled_lang"),
+      $"en_score", $"es_score", $"de_score", $"fr_score",
+      when($"en_score" >= $"es_score" && $"en_score" >= $"de_score" && $"en_score" >= $"fr_score", "en")
+        .when($"es_score" >= $"de_score" && $"es_score" >= $"fr_score", "es")
+        .when($"de_score" >= $"fr_score", "de")
+        .otherwise("fr").as("predicted_lang"))
+      .orderBy($"doc_id")
+  }
+
+  val langIdSql: String = {
+    val scoreExprs = markers.map { case (lang, ms) =>
+      val lst = ms.map(m => s"'$m'").mkString("[", ",", "]")
+      s"CAST(len(list_filter(string_split(lower(text), ' '), x -> list_contains($lst, x))) AS INTEGER) AS ${lang}_score"
+    }.mkString(",\n  ")
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang AS labeled_lang,
+       |  $scoreExprs
+       |  FROM documents)
+       |SELECT doc_id, labeled_lang, en_score, es_score, de_score, fr_score,
+       |  CASE WHEN en_score >= es_score AND en_score >= de_score AND en_score >= fr_score THEN 'en'
+       |       WHEN es_score >= de_score AND es_score >= fr_score THEN 'es'
+       |       WHEN de_score >= fr_score THEN 'de'
+       |       ELSE 'fr' END AS predicted_lang
+       |FROM scored
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** Quality scoring: length/token/stopword/punctuation signals + a banded
+    * 0-3 score. Ratios are exact-int divisions (engine-identical doubles).
+    */
+  def quality(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stop = Seq("the", "a", "of", "and", "to", "is", "in", "it")
+    Tables.documents(s, d)
+      .withColumn("w", split(lower($"text"), " "))
+      .withColumn("len_chars", length($"text").cast("int"))
+      .withColumn("n_tokens", size($"w"))
+      .withColumn("n_stop", size(filter($"w", x => x.isin(stop: _*))))
+      .withColumn("n_punct",
+        size(regexp_extract_all($"text", lit("[.,!?;:]"), lit(0))).cast("int"))
+      .select(
+        $"doc_id", $"len_chars", $"n_tokens",
+        ($"len_chars".cast("double") / $"n_tokens").as("chars_per_token"),
+        ($"n_stop".cast("double") / $"n_tokens").as("stopword_ratio"),
+        $"n_punct",
+        (when($"len_chars" >= 100, 1).otherwise(0) +
+          when($"n_stop" * 50 >= $"n_tokens", 1).otherwise(0) +
+          when($"n_tokens" >= 10 && $"n_tokens" <= 10000, 1).otherwise(0))
+          .as("quality_score"))
+      .orderBy($"doc_id")
+  }
+
+  val qualitySql: String =
+    """SELECT doc_id,
+      | CAST(LENGTH(text) AS INTEGER) AS len_chars,
+      | CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tokens,
+      | CAST(LENGTH(text) AS DOUBLE) / len(string_split(lower(text), ' ')) AS chars_per_token,
+      | CAST(len(list_filter(string_split(lower(text), ' '),
+      |   x -> list_contains(['the','a','of','and','to','is','in','it'], x))) AS DOUBLE)
+      |   / len(string_split(lower(text), ' ')) AS stopword_ratio,
+      | CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS INTEGER) AS n_punct,
+      | CAST((CASE WHEN LENGTH(text) >= 100 THEN 1 ELSE 0 END)
+      |  + (CASE WHEN len(list_filter(string_split(lower(text), ' '),
+      |       x -> list_contains(['the','a','of','and','to','is','in','it'], x))) * 50
+      |       >= len(string_split(lower(text), ' ')) THEN 1 ELSE 0 END)
+      |  + (CASE WHEN len(string_split(lower(text), ' ')) BETWEEN 10 AND 10000 THEN 1 ELSE 0 END)
+      |  AS INTEGER) AS quality_score
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Token counting: whitespace tokens vs a BPE-ish regex lexer
+    * (letter-runs | digit-runs | single punctuation).
+    */
+  def tokenCounts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(
+        $"doc_id",
+        size(split($"text", " ")).as("ws_tokens"),
+        size(regexp_extract_all(lower($"text"),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).as("regex_tokens"),
+        length(regexp_replace($"text", "[^A-Za-z]", "")).cast("int").as("n_letters"),
+        length(regexp_replace($"text", "[^0-9]", "")).cast("int").as("n_digits"))
+      .orderBy($"doc_id")
+  }
+
+  val tokenCountsSql: String =
+    """SELECT doc_id,
+      | CAST(len(string_split(text, ' ')) AS INTEGER) AS ws_tokens,
+      | CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INTEGER) AS regex_tokens,
+      | CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS INTEGER) AS n_letters,
+      | CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS INTEGER) AS n_digits
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprinting: exact md5, whitespace-normalized md5, and a
+    * 1-min MinHash over word-5-gram shingles (winnowing-style content
+    * fingerprint robust to reordering at the margins).
+    */
+  def fingerprint(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val norm = regexp_replace(trim(lower($"text")), "\\s+", " ")
+    val five = Tables.documents(s, d)
+      .withColumn("w", split(lower($"text"), " "))
+      .filter(size($"w") >= 5)
+      .select($"doc_id", explode(
+        expr("transform(sequence(0, size(w)-5), i -> concat_ws(' ', slice(w, i+1, 5)))"))
+        .as("sh"))
+      .groupBy($"doc_id").agg(min(md5($"sh")).as("min_shingle_fp"))
+    Tables.documents(s, d)
+      .select($"doc_id", md5($"text").as("fp"), md5(norm).as("fp_norm"))
+      .join(five, Seq("doc_id"), "left")
+      .orderBy($"doc_id")
+  }
+
+  val fingerprintSql: String =
+    """WITH words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |tok AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i
+      |        FROM words WHERE len(w) >= 5),
+      |sh5 AS (SELECT doc_id,
+      |          word || ' ' || LEAD(word,1) OVER win || ' ' || LEAD(word,2) OVER win
+      |               || ' ' || LEAD(word,3) OVER win || ' ' || LEAD(word,4) OVER win AS sh
+      |        FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+      |five AS (SELECT doc_id, min(md5(sh)) AS min_shingle_fp
+      |         FROM sh5 WHERE sh IS NOT NULL GROUP BY doc_id)
+      |SELECT d.doc_id, md5(d.text) AS fp,
+      |  md5(regexp_replace(trim(lower(d.text)), '\s+', ' ', 'g')) AS fp_norm,
+      |  five.min_shingle_fp
+      |FROM documents d LEFT JOIN five ON d.doc_id = five.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** Corpus term statistics: document frequency + idf for the 30 most common
+    * words (tf-idf building block).
+    */
+  def termStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    docs
+      .select($"doc_id", explode(array_distinct(split(lower($"text"), " "))).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .select($"word", $"df", $"n_docs",
+        log($"n_docs".cast("double") / $"df").cast(Dec).cast("double").as("idf"))
+      .orderBy($"df".desc, $"word".asc)
+      .limit(30)
+  }
+
+  val termStatsSql: String =
+    """WITH tok AS (SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS word
+      |             FROM documents),
+      |df AS (SELECT word, COUNT(*) AS df FROM tok GROUP BY word),
+      |n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      |SELECT word, df, n_docs,
+      |  CAST(CAST(LN(CAST(n_docs AS DOUBLE) / df) AS DECIMAL(38,6)) AS DOUBLE) AS idf
+      |FROM df CROSS JOIN n
+      |ORDER BY df DESC, word ASC
+      |LIMIT 30""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_langid"       -> (langId _),
+    "t2_quality"      -> (quality _),
+    "t3_token_counts" -> (tokenCounts _),
+    "t4_fingerprint"  -> (fingerprint _),
+    "t5_term_stats"   -> (termStats _))
+
+  val oracle: Map[String, String] = Map(
+    "t1_langid"       -> langIdSql,
+    "t2_quality"      -> qualitySql,
+    "t3_token_counts" -> tokenCountsSql,
+    "t4_fingerprint"  -> fingerprintSql,
+    "t5_term_stats"   -> termStatsSql)
+}
