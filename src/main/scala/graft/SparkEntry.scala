@@ -27,7 +27,8 @@ object SparkEntry {
       (operators.Dedup.queries, operators.Dedup.oracle),
       (operators.Similarity.queries, operators.Similarity.oracle),
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracle),
-      (multimodal.Multimodal.queries, multimodal.Multimodal.oracle))
+      (multimodal.Multimodal.queries, multimodal.Multimodal.oracle),
+      (operators.Extensibility.queries, operators.Extensibility.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

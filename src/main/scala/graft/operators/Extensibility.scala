@@ -1,0 +1,145 @@
+package graft.operators
+
+import graft.{Ora, Tables}
+import graft.functions.Udfs
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Extensibility surface (SURVEY.md §2-B "UDF/UDAF" + typed Dataset + join
+  * hints): registered scalar UDF, typed Aggregator as a DataFrame UDAF,
+  * per-dimension vector centroids, an explicit sort-merge-join hint, and the
+  * typed Dataset[T] API.
+  */
+object Extensibility {
+  import Ora._
+
+  /** Registered scalar UDF: pot key derivation (id overrides name). UDFs are
+    * the last-resort extension point (not codegen'd); this one exists to
+    * cover the registration surface — kv3 does the same job with built-in
+    * coalesce, which is the preferred form.
+    */
+  def udfKeyDerivation(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val potKeyUdf = s.udf.register("pot_key", Udfs.potKey)
+    Tables.part(s, d)
+      .withColumn("id",
+        when($"p_partkey" % 3 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("id-"), $"p_partkey")))
+      .select($"p_partkey", potKeyUdf($"id", $"p_name").as("key"))
+      .orderBy($"p_partkey")
+  }
+
+  val udfKeyDerivationSql: String =
+    """SELECT p_partkey,
+      | COALESCE(CASE WHEN p_partkey % 3 = 0 THEN NULL
+      |               ELSE 'id-' || CAST(p_partkey AS VARCHAR) END,
+      |          p_name) AS key
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin
+
+  /** Typed Aggregator used as a DataFrame UDAF: quantity-weighted average
+    * price per return flag, exact-decimal accumulation (order-independent).
+    */
+  def typedAggWeightedAvg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wavg = udaf(new Udfs.WeightedAvg())
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(
+        wavg($"l_extendedprice", $"l_quantity").as("weighted_avg_price"),
+        count(lit(1)).as("n"))
+      .orderBy($"l_returnflag")
+  }
+
+  val typedAggWeightedAvgSql: String =
+    """SELECT l_returnflag,
+      | CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+      |   / CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS weighted_avg_price,
+      | COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** Per-label embedding centroids via posexplode + exact decimal mean —
+    * the scalable "vector UDAF" shape: no per-group state object, just
+    * partial-aggregated (label, dim) cells. Output long-form (label, dim,
+    * centroid) for engine-exact comparison.
+    */
+  def vectorCentroid(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .select($"label", posexplode($"embedding").as(Seq("dim", "x")))
+      .groupBy($"label", $"dim")
+      .agg(davg($"x".cast("double")).as("centroid"), count(lit(1)).as("n_vecs"))
+      .orderBy($"label", $"dim")
+  }
+
+  val vectorCentroidSql: String =
+    s"""SELECT label, CAST(i - 1 AS INTEGER) AS dim,
+       | ${sqlAvg("CAST(x AS DOUBLE)")} AS centroid,
+       | COUNT(*) AS n_vecs
+       |FROM (SELECT label, unnest(embedding) AS x,
+       |        generate_subscripts(embedding, 1) AS i
+       |      FROM embeddings) t
+       |GROUP BY label, i - 1
+       |ORDER BY label, dim""".stripMargin
+
+  /** Explicit sort-merge join (merge hint): the strategy for fact-fact joins
+    * where neither side broadcasts; with both sides bucketed by the key the
+    * shuffle disappears entirely.
+    */
+  def mergeHintJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d).hint("merge")
+    Tables.orders(s, d)
+      .join(li, $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), dsum($"l_quantity").as("sum_qty"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val mergeHintJoinSql: String =
+    s"""SELECT o_orderpriority, COUNT(*) AS n_items, ${sqlSum("l_quantity")} AS sum_qty
+       |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |GROUP BY o_orderpriority
+       |ORDER BY o_orderpriority""".stripMargin
+
+  /** Typed Dataset[T] surface: case-class Encoder + groupByKey. */
+  final case class OrderRow(
+      o_orderkey: Long, o_custkey: Long, o_orderstatus: String,
+      o_totalprice: Double, o_orderpriority: String)
+
+  def typedDataset(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, d)
+      .select($"o_orderkey", $"o_custkey", $"o_orderstatus", $"o_totalprice",
+        $"o_orderpriority")
+      .as[OrderRow]
+      .filter(_.o_totalprice > 300000.0)
+      .groupByKey(_.o_orderstatus)
+      .count()
+      .toDF("o_orderstatus", "n_big")
+      .orderBy($"o_orderstatus")
+  }
+
+  val typedDatasetSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_big
+      |FROM orders
+      |WHERE o_totalprice > 300000.0
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u1_udf_keyderiv"   -> (udfKeyDerivation _),
+    "u2_typed_agg_wavg" -> (typedAggWeightedAvg _),
+    "u3_vector_centroid" -> (vectorCentroid _),
+    "u4_join_mergehint" -> (mergeHintJoin _),
+    "u5_typed_dataset"  -> (typedDataset _))
+
+  val oracle: Map[String, String] = Map(
+    "u1_udf_keyderiv"   -> udfKeyDerivationSql,
+    "u2_typed_agg_wavg" -> typedAggWeightedAvgSql,
+    "u3_vector_centroid" -> vectorCentroidSql,
+    "u4_join_mergehint" -> mergeHintJoinSql,
+    "u5_typed_dataset"  -> typedDatasetSql)
+}

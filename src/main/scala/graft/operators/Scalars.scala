@@ -166,13 +166,14 @@ object Scalars {
   def jsonFns(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     Tables.events(s, d)
+      .withColumn("m", from_json($"props", org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.StringType)))
       .select(
         $"event_id",
-        get_json_object($"props", "$.k").cast("int").as("k_int"),
-        from_json($"props", org.apache.spark.sql.types.MapType(
-          org.apache.spark.sql.types.StringType,
-          org.apache.spark.sql.types.StringType)).getItem("k").as("k_str"),
-        element_at(json_object_keys($"props"), 1).as("first_key"))
+        element_at($"m", "k").cast("int").as("k_int"),
+        element_at($"m", "k").as("k_str"),
+        element_at(map_keys($"m"), 1).as("first_key"))
       .orderBy($"event_id")
   }
 

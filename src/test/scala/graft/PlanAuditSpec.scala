@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the scale-critical physical-plan properties: filter pushdown to
+  * parquet, broadcast of dimension tables, no cartesian products where a
+  * broadcast-hash or sort-merge join is expected.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q2 filter/project pushes predicates into the parquet scan") {
+    val p = plan("q2_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull"), p)
+    assert(p.contains("In(o_orderstatus"), p)
+  }
+
+  test("q3 join revenue broadcasts the dimension tables") {
+    val p = plan("q3_join_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q1 aggregation uses partial (map-side) hash aggregation") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_"), p)
+  }
+
+  test("q21 order-by-limit compiles to TakeOrderedAndProject (no global sort)") {
+    val p = plan("q21_orderby_limit")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("u4 merge hint produces a sort-merge join") {
+    val p = plan("u4_join_mergehint")
+    assert(p.contains("SortMergeJoin"), p)
+  }
+
+  test("s1 brute-force top-k broadcasts the query vector") {
+    val p = plan("s1_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("kv2 delete is a broadcast left-anti join") {
+    val p = plan("kv2_delete_anti")
+    assert(p.contains("LeftAnti"), p)
+  }
+}
