@@ -75,22 +75,32 @@ object Dedup {
     */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val mh = shingles(s, d)
-      .select($"doc_id", explode(sequence(lit(0), lit(7))).as("seed"), $"sh")
-      .select($"doc_id", $"seed",
-        md5(concat($"seed".cast("string"), lit(":"), $"sh")).as("h"))
-      .groupBy($"doc_id", $"seed").agg(min($"h").as("h"))
-    val bands = mh
-      .withColumn("band", expr("seed div 2"))
-      .groupBy($"doc_id", $"band")
-      .agg(array_join(
-        expr("transform(array_sort(collect_list(struct(seed, h))), x -> x.h)"), "")
-        .as("sig"))
-    bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // Fully map-side signatures: shingle array + 8 x array_min(transform)
+    // per doc row — no explode, no aggregation shuffle at all. min over a
+    // lexicographic md5 set is duplicate-insensitive, so no distinct needed.
+    // Only the band self-join below ever shuffles, keyed by (band, sig).
+    val minhashes = (0 to 7).map(i =>
+      expr(s"array_min(transform(shs, x -> md5(concat('$i:', x))))").as(s"h$i"))
+    val sigs = words(s, d)
+      .filter(size($"w") >= 3)
+      .withColumn("shs",
+        expr("transform(sequence(0, size(w)-3), i -> concat_ws(' ', slice(w, i+1, 3)))"))
+      .select($"doc_id" +: minhashes: _*)
+    val bands = sigs.select($"doc_id", expr(
+      """stack(4, 0, concat(h0, h1), 1, concat(h2, h3),
+        |         2, concat(h4, h5), 3, concat(h6, h7)) AS (band, sig)""".stripMargin))
+    // Bucket-local pair generation (one shuffle keyed by the bucket, one pass
+    // over the signatures) instead of a self-join, which would re-execute the
+    // whole map-side pipeline for each side. Oversized buckets are the skew
+    // knob: cap or salt `ids` here without touching semantics.
+    bands
+      .groupBy($"band", $"sig")
+      .agg(collect_list($"doc_id").as("ids"))
+      .filter(size($"ids") >= 2)
+      .select(explode(expr(
+        "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))), p -> p.a < p.b)"))
+        .as("p"))
+      .select($"p.a".as("doc_a"), $"p.b".as("doc_b"))
       .distinct()
       .orderBy($"doc_a", $"doc_b")
   }
@@ -151,23 +161,20 @@ object Dedup {
     */
   def simhash(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // One md5 per token row, all 32 bit-vote sums partial-aggregated in a
+    // single groupBy — one shuffle of O(docs) x 32 longs, no bit explosion.
     val toks = words(s, d)
       .select($"doc_id", explode(array_distinct($"w")).as("tok"))
-      .select($"doc_id", md5($"tok").as("h"))
-    val bits = toks
-      .select($"doc_id", explode(sequence(lit(0), lit(31))).as("j"), $"h")
-      .select($"doc_id", $"j",
-        expr("(shiftright(CAST(conv(substring(h, CAST(j / 4 AS INT) + 1, 1), 16, 10) AS INT), 3 - CAST(j % 4 AS INT)) & 1)")
-          .as("bit"))
-    bits
-      .groupBy($"doc_id", $"j")
-      .agg(sum($"bit" * 2 - 1).as("sw"))
-      .withColumn("sb", when($"sw" > 0, lit("1")).otherwise(lit("0")))
-      .groupBy($"doc_id")
-      .agg(array_join(
-        expr("transform(array_sort(collect_list(struct(j, sb))), x -> x.sb)"), "")
-        .as("simhash"))
-      .orderBy($"doc_id")
+      .withColumn("h", md5($"tok"))
+    val votes = (0 until 32).map { j =>
+      sum(expr(
+        s"(shiftright(CAST(conv(substring(h, ${j / 4 + 1}, 1), 16, 10) AS INT), ${3 - j % 4}) & 1) * 2 - 1"))
+        .as(s"s$j")
+    }
+    val sums = toks.groupBy($"doc_id").agg(votes.head, votes.tail: _*)
+    val sig = concat((0 until 32).map(j =>
+      when(col(s"s$j") > 0, lit("1")).otherwise(lit("0"))): _*)
+    sums.select($"doc_id", sig.as("simhash")).orderBy($"doc_id")
   }
 
   val simhashSql: String =
