@@ -1,0 +1,94 @@
+package graft
+
+import graft.kv.BucketedPotTable
+import org.scalatest.funsuite.AnyFunSuite
+
+class BucketedPotSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def tmpRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft-bkv").toString
+
+  test("upsert rewrites only the buckets containing incoming keys") {
+    val root = tmpRoot()
+    val pot = BucketedPotTable(spark, root, "t", nBuckets = 16)
+    val gen1 = pot.upsert(
+      (1 to 200).map(i => (s"k$i", i)).toDF("key", "v"))
+    assert(pot.bucketsWrittenAt(gen1).size === 16) // initial load hits all
+
+    // single-key update must touch exactly one bucket
+    val gen2 = pot.upsert(Seq(("k1", 999)).toDF("key", "v"))
+    assert(pot.bucketsWrittenAt(gen2).size === 1,
+      s"single-key upsert rewrote ${pot.bucketsWrittenAt(gen2).size} buckets")
+
+    val state = pot.get().select("key", "v").as[(String, Int)].collect().toMap
+    assert(state.size === 200)
+    assert(state("k1") === 999)
+    assert(state("k2") === 2)
+  }
+
+  test("remove rewrites only touched buckets; absent keys are no-ops") {
+    val root = tmpRoot()
+    val pot = BucketedPotTable(spark, root, "t", nBuckets = 8)
+    pot.upsert((1 to 50).map(i => (s"k$i", i)).toDF("key", "v"))
+    val gen = pot.remove(Seq("k7", "nope"))
+    assert(pot.bucketsWrittenAt(gen).nonEmpty)
+    assert(pot.bucketsWrittenAt(gen).size <= 2)
+    val keys = pot.get().select("key").as[String].collect().toSet
+    assert(!keys.contains("k7") && keys.size === 49)
+  }
+
+  test("compact collapses bucket version history and preserves state") {
+    val root = tmpRoot()
+    val pot = BucketedPotTable(spark, root, "t", nBuckets = 4)
+    pot.upsert((1 to 40).map(i => (s"k$i", i)).toDF("key", "v"))
+    pot.upsert(Seq(("k1", -1), ("k2", -2)).toDF("key", "v"))
+    pot.remove(Seq("k3"))
+    val before = pot.get().select("key", "v").as[(String, Int)].collect().toMap
+    val gen = pot.compact()
+    val after = pot.get().select("key", "v").as[(String, Int)].collect().toMap
+    assert(after === before)
+    assert(pot.bucketsWrittenAt(gen).size === 4)
+  }
+
+  test("concurrent committers: second writer at same generation loses (CAS)") {
+    val root = tmpRoot()
+    val a = BucketedPotTable(spark, root, "t", nBuckets = 4)
+    val b = BucketedPotTable(spark, root, "t", nBuckets = 4)
+    a.upsert(Seq(("k", 1)).toDF("key", "v"))
+    // both observe gen=1; the slower commit must fail, not corrupt
+    val winner = a.upsert(Seq(("k", 2)).toDF("key", "v"))
+    intercept[Throwable] {
+      // force b to attempt the same generation by replaying marker creation
+      val m = new org.apache.hadoop.fs.Path(s"$root/t/_commits/$winner")
+      val fs = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.create(m, false).close()
+    }
+  }
+
+  test("property: random op sequence matches a Map model") {
+    val rnd = new scala.util.Random(42)
+    val root = tmpRoot()
+    val pot = BucketedPotTable(spark, root, "t", nBuckets = 8)
+    var model = Map.empty[String, Int]
+    (1 to 6).foreach { _ =>
+      if (rnd.nextBoolean() || model.isEmpty) {
+        val batch = (1 to (1 + rnd.nextInt(20)))
+          .map(_ => (s"k${rnd.nextInt(40)}", rnd.nextInt(1000)))
+        // LWW within a batch: later duplicates in the SEQ are arbitrary in the
+        // DataFrame; dedupe driver-side like a client would (reference client
+        // builds a map first, client.go:98-102)
+        val asMap = batch.toMap
+        pot.upsert(asMap.toSeq.toDF("key", "v"))
+        model = model ++ asMap
+      } else {
+        val dels = (1 to (1 + rnd.nextInt(10))).map(_ => s"k${rnd.nextInt(40)}")
+        pot.remove(dels)
+        model = model -- dels
+      }
+    }
+    val state = pot.get().select("key", "v").as[(String, Int)].collect().toMap
+    assert(state === model)
+  }
+}
