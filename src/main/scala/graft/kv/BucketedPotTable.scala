@@ -93,6 +93,7 @@ final class BucketedPotTable(
       .withColumn("_b", bucketCol)
     // which buckets does this batch touch?
     val touched = stamped.select($"_b").distinct().as[Int].collect().sorted
+    if (touched.isEmpty) return gen // empty batch: no-op, don't burn a generation
     val w = Window.partitionBy($"key").orderBy($"_src".desc)
     touched.foreach { b =>
       val incoming = stamped.filter($"_b" === b).drop("_b").withColumn("_src", lit(1))

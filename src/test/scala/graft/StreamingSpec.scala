@@ -71,6 +71,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming writes to a real parquet file sink with checkpointing") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val mem = MemoryStream[Event]
+    mem.addData(
+      Event(1, ts(1), 10, "click", 1.0),
+      Event(2, ts(2), 11, "view", 2.0))
+    val q = EventStreams.dedupeEvents(mem.toDF())
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.read.parquet(s"$base/out").count() === 2L)
+    } finally q.stop()
+  }
+
   test("session windows close after the gap (streaming)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
