@@ -1,0 +1,62 @@
+package graft
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck-generated property tests (SURVEY.md §5: "ScalaTest + ScalaCheck
+  * property tests") — deterministic seeds so failures reproduce.
+  */
+class PropertySpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val params = Gen.Parameters.default
+
+  private def samples[T](g: Gen[T], n: Int, seed0: Long): Seq[T] = {
+    var seed = Seed(seed0)
+    (1 to n).map { _ =>
+      val v = g.pureApply(params, seed)
+      seed = seed.next
+      v
+    }
+  }
+
+  private val vecGen: Gen[Array[Float]] =
+    Gen.listOfN(16, Gen.chooseNum(-2.0f, 2.0f)).map(_.toArray)
+
+  test("property: FloatDot equals strict left-to-right reference for arbitrary vectors") {
+    import spark.implicits._
+    val pairs = samples(Gen.zip(vecGen, vecGen), 20, 42L)
+    val df = pairs.map { case (a, b) => (a.toSeq, b.toSeq) }.toDF("a", "b")
+      .select(VectorFunctions.dot(
+        col("a").cast("array<float>"), col("b").cast("array<float>")).as("d"))
+    val got = df.collect().map(_.getDouble(0))
+    pairs.zip(got).foreach { case ((a, b), g) =>
+      var acc = 0.0
+      var i = 0
+      while (i < math.min(a.length, b.length)) {
+        acc += a(i).toDouble * b(i).toDouble; i += 1
+      }
+      assert(java.lang.Double.doubleToLongBits(g) ===
+        java.lang.Double.doubleToLongBits(acc))
+    }
+  }
+
+  test("property: salted join equals plain join for arbitrary key distributions") {
+    import spark.implicits._
+    val rowsGen = Gen.listOfN(60,
+      Gen.zip(Gen.oneOf("a", "b", "HOT", "c"), Gen.chooseNum(0L, 1000L)))
+    samples(rowsGen, 5, 7L).foreach { rows =>
+      val big = rows.zipWithIndex
+        .map { case ((k, v), i) => (k, v, i.toLong) }
+        .toDF("key", "v", "id")
+      val small = Seq(("HOT", 1), ("a", 2)).toDF("key", "w")
+      val plain = big.join(small, "key").select("key", "v", "id", "w")
+      val salted = operators.Scale
+        .saltedJoin(big, small, "key", 4, "id").select("key", "v", "id", "w")
+      assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    }
+  }
+}
