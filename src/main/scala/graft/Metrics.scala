@@ -24,8 +24,10 @@ final class Metrics extends QueryExecutionListener {
   val totalNanos = new LongAdder
 
   private def record(qe: QueryExecution, durationNs: Long): Unit = {
-    val isWrite = qe.analyzed.getClass.getSimpleName.toLowerCase
-      .contains("command")
+    // Command covers both V1 (InsertInto..., CreateTable...) and V2 write
+    // plans (AppendData, OverwriteByExpression extend V2WriteCommand)
+    val isWrite = qe.analyzed
+      .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Command]
     if (isWrite) writes.increment() else reads.increment()
     totalNanos.add(durationNs)
   }

@@ -55,33 +55,43 @@ case class FloatDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // nullable even for non-null children: length mismatch yields null (the
+  // codegen assigns ev.isNull, which must exist as a variable)
+  override def nullable: Boolean = true
 
+  // Length mismatch => null (a ragged embedding is a data error; a partial
+  // dot would be a plausible-looking wrong score, and the DuckDB oracle's
+  // out-of-range list index also yields NULL — consistent).
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData].toFloatArray()
     val y = b.asInstanceOf[ArrayData].toFloatArray()
-    val n = math.min(x.length, y.length)
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      acc += x(i).toDouble * y(i).toDouble
-      i += 1
+    if (x.length != y.length) null
+    else {
+      var acc = 0.0
+      var i = 0
+      while (i < x.length) {
+        acc += x(i).toDouble * y(i).toDouble
+        i += 1
+      }
+      acc
     }
-    acc
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
-      val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       s"""
          |float[] $x = $a.toFloatArray();
          |float[] $y = $b.toFloatArray();
-         |int $n = java.lang.Math.min($x.length, $y.length);
-         |${ev.value} = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  ${ev.value} += ((double) $x[$i]) * ((double) $y[$i]);
+         |if ($x.length != $y.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = 0.0;
+         |  for (int $i = 0; $i < $x.length; $i++) {
+         |    ${ev.value} += ((double) $x[$i]) * ((double) $y[$i]);
+         |  }
          |}
        """.stripMargin
     })

@@ -1,5 +1,7 @@
 package graft.kv
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -13,30 +15,30 @@ import org.apache.spark.sql.functions._
   * GCS object generation is the version handle clients replay to prove
   * ownership (reference server.go:212-214, 272-407, 670-702).
   *
-  * Spark re-expression:
-  *   - a pot path == a directory `<root>/<path>/` of versioned parquet
-  *     snapshots `v=<N>/`, each holding rows `(key string, payload...,
-  *     _modified timestamp)`;
-  *   - the current version is the highest N with a commit marker under
-  *     `_commits/<N>` — markers are created with `FileSystem.create(...,
-  *     overwrite=false)`, an atomic create-new that is exactly pot's
-  *     `.potlock` DoesNotExist precondition (server.go:676);
-  *   - upsert == last-writer-wins union-by-key (server.go:385-393), delete ==
-  *     left-anti join (server.go:536-538), no-rewrite == conflict semi-join
-  *     gated by lease expiry / generation ownership (server.go:365-393);
-  *   - losing a commit race throws [[CommitConflict]] — pot's 412/423.
+  * Commit protocol (stage-then-publish — the order matters):
+  *   1. the writer stages the new table state at a WRITER-UNIQUE path
+  *      `data/g<N>_<uuid>/` (no two writers ever touch the same files);
+  *   2. it then attempts `FileSystem.create(_commits/<N>, overwrite=false)` —
+  *      an atomic create-new, exactly pot's `.potlock` DoesNotExist
+  *      precondition (server.go:676) — writing the staged path as the
+  *      marker's content;
+  *   3. marker exists => its staged data is complete (written before), so
+  *      readers resolve generation N by reading the marker. A LOSING writer
+  *      only ever deletes its own staged directory — it can never clobber
+  *      the winner's published data.
+  *
+  * Losing a commit race throws [[PotTable.CommitConflict]] — pot's 412/423.
   *
   * Scale: the fixture tables are single files, but every operation here is a
   * full DataFrame pipeline — at 100 TB a version is a directory of many
-  * parquet files, upsert shuffles by key once (or uses bucketed layout to
-  * avoid even that), and the commit protocol is unchanged because only the
-  * marker create must be atomic, never the data files. Whole-version rewrite
-  * (pot's own write amplification, server.go:396-400) would become partition-
-  * scoped rewrite: only files containing updated keys are replaced, which the
-  * key->file pruning of a bucketed layout gives for free.
+  * parquet files, upsert shuffles by key once, and the protocol is unchanged
+  * because only the marker create must be atomic, never the data files.
+  * Whole-version rewrite (pot's own write amplification, server.go:396-400)
+  * becomes partition-scoped rewrite in [[BucketedPotTable]].
   */
 final class PotTable(spark: SparkSession, root: String, path: String) {
   import spark.implicits._
+  import PotTable.CommitConflict
 
   private def dir = s"$root/$path"
   private def fs: FileSystem =
@@ -48,48 +50,51 @@ final class PotTable(spark: SparkSession, root: String, path: String) {
   def generation: Long = {
     val commits = new Path(s"$dir/_commits")
     if (!fs.exists(commits)) 0L
-    else fs.listStatus(commits).map(_.getPath.getName.toLong).foldLeft(0L)(math.max)
+    else fs.listStatus(commits).map(_.getPath.getName.toLong)
+      .foldLeft(0L)(math.max)
   }
 
-  /** Get == full-path scan; absent path -> empty DataFrame with no schema
-    * commitment (caller supplies schema on first upsert).
-    */
+  private def markerPath(gen: Long) = new Path(s"$dir/_commits/$gen")
+
+  private def readMarker(gen: Long): String = {
+    val in = fs.open(markerPath(gen))
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    finally in.close()
+  }
+
+  /** Get == full-path scan of the current generation's staged data. */
   def get(): DataFrame = {
     val gen = generation
     if (gen == 0L) spark.emptyDataFrame
-    else spark.read.parquet(s"$dir/v=$gen")
+    else spark.read.parquet(readMarker(gen))
   }
 
-  /** Error analogous to pot's ErrNoRewriteViolated / 412 Precondition Failed
-    * (server.go:27-34; readme.md:128).
-    */
-  final class CommitConflict(msg: String) extends RuntimeException(msg)
-
-  /** Atomically publish `df` as the next generation iff `expectedGen` is
-    * still current. Returns the new generation.
+  /** Stage `df` under a unique path, then atomically publish it as
+    * generation `expectedGen`+1 iff no other writer got there first.
     */
   private def commit(df: DataFrame, expectedGen: Long): Long = {
     val next = expectedGen + 1
-    df.write.mode("overwrite").parquet(s"$dir/v=$next")
-    val marker = new Path(s"$dir/_commits/$next")
-    fs.mkdirs(marker.getParent)
+    val staged = s"$dir/data/g${next}_${java.util.UUID.randomUUID()}"
+    df.write.mode("errorifexists").parquet(staged)
+    fs.mkdirs(markerPath(next).getParent)
     try {
-      val out = fs.create(marker, false) // atomic create-new == CAS
+      val out = fs.create(markerPath(next), false) // atomic create-new == CAS
+      out.write(staged.getBytes(StandardCharsets.UTF_8))
       out.close()
       next
     } catch {
       case _: java.io.IOException =>
+        fs.delete(new Path(staged), true) // only our own staging, never published data
         throw new CommitConflict(
           s"pot $path: generation $next already committed by another writer")
     }
   }
 
-  /** Upsert (Create/batch-Create, server.go:272-423): last-writer-wins merge
-    * of `docs` into the current map by `key`. One shuffle by key; new rows
+  /** Last-writer-wins merge of `docs` into the current map by `key` at the
+    * given base generation (server.go:385-393). One shuffle by key; new rows
     * win over old via source-priority window dedup.
     */
-  def upsert(docs: DataFrame): Long = {
-    val gen = generation
+  private def upsertAt(docs: DataFrame, gen: Long): Long = {
     val stamped = docs
       .withColumn("_modified", current_timestamp())
       .withColumn("_src", lit(1))
@@ -105,6 +110,9 @@ final class PotTable(spark: SparkSession, root: String, path: String) {
       }
     commit(merged, gen)
   }
+
+  /** Upsert (Create/batch-Create, server.go:272-423). */
+  def upsert(docs: DataFrame): Long = upsertAt(docs, generation)
 
   /** Conditional write (WithNoRewrite + WithRewriteGeneration,
     * server.go:236-264, 365-393): reject the WHOLE batch if any incoming key
@@ -131,22 +139,6 @@ final class PotTable(spark: SparkSession, root: String, path: String) {
     upsertAt(docs, gen)
   }
 
-  private def upsertAt(docs: DataFrame, gen: Long): Long = {
-    val stamped = docs.withColumn("_modified", current_timestamp())
-      .withColumn("_src", lit(1))
-    val merged =
-      if (gen == 0L) stamped.drop("_src")
-      else {
-        val old = get().withColumn("_src", lit(0))
-        val w = Window.partitionBy($"key").orderBy($"_src".desc)
-        stamped.unionByName(old)
-          .withColumn("_rn", row_number().over(w))
-          .filter($"_rn" === 1)
-          .drop("_rn", "_src")
-      }
-    commit(merged, gen)
-  }
-
   /** Remove (multi-key delete, server.go:494-548): left-anti join; deleting
     * absent keys is a no-op, like the reference's `delete(content, key)`.
     */
@@ -165,14 +157,38 @@ final class PotTable(spark: SparkSession, root: String, path: String) {
     if (gen > 0L) get().write.mode("overwrite").parquet(s"$outDir/$path")
     Seq((path, gen)).toDF("path", "generation")
   }
+
+  /** Delete staged data directories no marker references (lost races,
+    * superseded generations older than `retainGenerations`). Readers pin a
+    * generation at scan start, so retention gives in-flight reads a grace
+    * window instead of deleting under them.
+    */
+  def vacuum(retainGenerations: Int = 1): Unit = {
+    val gen = generation
+    val dataRoot = new Path(s"$dir/data")
+    if (!fs.exists(dataRoot)) return
+    // compare by the uuid-unique staged dir NAME to sidestep scheme/prefix
+    // differences between marker content and FileStatus paths
+    val keep = ((math.max(1L, gen - retainGenerations)) to gen)
+      .filter(g => fs.exists(markerPath(g)))
+      .map(g => new Path(readMarker(g)).getName).toSet
+    fs.listStatus(dataRoot).foreach { st =>
+      if (!keep.contains(st.getPath.getName)) fs.delete(st.getPath, true)
+    }
+  }
 }
 
 object PotTable {
+  /** Error analogous to pot's ErrNoRewriteViolated / 412 Precondition Failed
+    * (server.go:27-34; readme.md:128).
+    */
+  final class CommitConflict(msg: String) extends RuntimeException(msg)
+
   def apply(spark: SparkSession, root: String, path: String): PotTable =
     new PotTable(spark, root, path)
 
   /** ListPaths (server.go:425-466): enumerate pots under a root — here,
-    * directories holding a `_commits` child (the `data.json`-suffix filter
+    * directories holding a `_commits` child (the data.json-suffix filter
     * analogue), internal dirs excluded like `.potlock`s are.
     */
   def listPaths(spark: SparkSession, root: String): Seq[String] = {

@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** As-of join: for each left row, the most recent right row with
-  * `right.ts <= / < left.ts` within the same key — an operator Spark lacks
+  * `right.ts <= left.ts` (at-or-before, ties included) within the same key — an operator Spark lacks
   * natively (SURVEY.md §2-B "joins": as-of).
   *
   * Implemented by composition (preference order (a) from the build contract):
@@ -20,8 +20,9 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** Generic as-of: returns `left` plus `asof_<valueCol>` = the right row's
-    * value column from the latest right row strictly before the left row's
-    * time (per key).
+    * value column from the latest right row at-or-before the left row's
+    * time (per key); a right row at the exact same timestamp matches, like
+    * most as-of implementations' backward-inclusive default.
     *
     * @param leftTimeCol / rightTimeCol  event-time columns (same type)
     * @param keyCols                     equi-key column names present on both sides
@@ -42,8 +43,9 @@ object AsOfJoin {
           col(valueCol).as("_v") :+ col(tieBreakCol).as(tieBreakCol + "_r"): _*)
       .withColumn("_side", lit(0))
     val unioned = l.unionByName(r, allowMissingColumns = true)
-    // _side asc puts right rows before left rows at equal _t => "strictly
-    // before" is rowsBetween(unboundedPreceding, -1) ordered (_t, _side).
+    // _side asc puts right rows BEFORE left rows at equal _t, so the
+    // (unboundedPreceding, -1) frame includes same-timestamp right rows =>
+    // at-or-before (inclusive) semantics; the oracle orders identically.
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(col("_t"), col("_side"), col(tieBreakCol + "_r").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, -1)

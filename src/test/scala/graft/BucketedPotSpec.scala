@@ -50,6 +50,10 @@ class BucketedPotSpec extends AnyFunSuite {
     val after = pot.get().select("key", "v").as[(String, Int)].collect().toMap
     assert(after === before)
     assert(pot.bucketsWrittenAt(gen).size === 4)
+    // vacuum drops superseded staged dirs but preserves the current view
+    pot.vacuum(retainGenerations = 0)
+    val postVacuum = pot.get().select("key", "v").as[(String, Int)].collect().toMap
+    assert(postVacuum === before)
   }
 
   test("concurrent committers: second writer at same generation loses (CAS)") {
@@ -65,6 +69,30 @@ class BucketedPotSpec extends AnyFunSuite {
       val fs = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
       fs.create(m, false).close()
     }
+  }
+
+  test("racing writers never clobber committed data (stage-then-publish)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.util.Try
+    val root = tmpRoot()
+    val seed = BucketedPotTable(spark, root, "t", nBuckets = 4)
+    seed.upsert((1 to 20).map(i => (s"base$i", i)).toDF("key", "v"))
+    // two writers with disjoint key sets race from the same base generation
+    val fa = Future(Try(BucketedPotTable(spark, root, "t", 4)
+      .upsert(Seq(("alpha", 1000)).toDF("key", "v"))))
+    val fb = Future(Try(BucketedPotTable(spark, root, "t", 4)
+      .upsert(Seq(("beta", 2000)).toDF("key", "v"))))
+    val (ra, rb) = (Await.result(fa, 120.seconds), Await.result(fb, 120.seconds))
+    assert(ra.isSuccess || rb.isSuccess) // at least one commits
+    val state = BucketedPotTable(spark, root, "t", 4).get()
+      .select("key", "v").as[(String, Int)].collect().toMap
+    // every base row survives regardless of who lost
+    (1 to 20).foreach(i => assert(state(s"base$i") === i))
+    // a writer's key is present iff its commit succeeded
+    assert(state.contains("alpha") === ra.isSuccess)
+    assert(state.contains("beta") === rb.isSuccess)
   }
 
   test("property: random op sequence matches a Map model") {
