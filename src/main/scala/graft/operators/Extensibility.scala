@@ -129,7 +129,31 @@ object Extensibility {
       |GROUP BY o_orderstatus
       |ORDER BY o_orderstatus""".stripMargin
 
+  /** Skew-salted join, oracle-checked: row-identical to the plain join, so
+    * the DuckDB oracle runs the unsalted SQL. Salting spreads any hot
+    * p_partkey across 8 reducers (see Scale.saltedJoin for the mechanism).
+    */
+  def saltedJoinAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+      .select($"l_partkey".as("partkey"), $"l_orderkey", $"l_linenumber", $"l_quantity")
+      .withColumn("rowid",
+        concat($"l_orderkey", lit("-"), $"l_linenumber"))
+    val pt = Tables.part(s, d).select($"p_partkey".as("partkey"), $"p_brand")
+    Scale.saltedJoin(li, pt, "partkey", saltFactor = 8, bigUniqueCol = "rowid")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n_items"), dsum($"l_quantity").as("sum_qty"))
+      .orderBy($"p_brand")
+  }
+
+  val saltedJoinAggSql: String =
+    s"""SELECT p_brand, COUNT(*) AS n_items, ${sqlSum("l_quantity")} AS sum_qty
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY p_brand
+       |ORDER BY p_brand""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u6_salted_join"    -> (saltedJoinAgg _),
     "u1_udf_keyderiv"   -> (udfKeyDerivation _),
     "u2_typed_agg_wavg" -> (typedAggWeightedAvg _),
     "u3_vector_centroid" -> (vectorCentroid _),
@@ -137,6 +161,7 @@ object Extensibility {
     "u5_typed_dataset"  -> (typedDataset _))
 
   val oracle: Map[String, String] = Map(
+    "u6_salted_join"    -> saltedJoinAggSql,
     "u1_udf_keyderiv"   -> udfKeyDerivationSql,
     "u2_typed_agg_wavg" -> typedAggWeightedAvgSql,
     "u3_vector_centroid" -> vectorCentroidSql,
