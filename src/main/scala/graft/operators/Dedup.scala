@@ -127,6 +127,9 @@ object Dedup {
     import s.implicits._
     val sh = shingles(s, d)
     val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    // Self-join on the shingle key: with a frequent-shingle corpus the
+    // streaming sort-merge join beats bucket-local pair materialization
+    // (collect_list + quadratic in-bucket expansion) — measured both.
     val common = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
