@@ -72,6 +72,14 @@ object Windows {
 
   /** RANGE frame on a numeric order key: how many orders fall within 5000 of
     * this order's price (per status).
+    *
+    * Scale note: a per-status global range frame serializes each status into
+    * one window partition (parallelism = #statuses). The 100 TB formulation
+    * range-partitions each status by the order column with a +-5000 halo of
+    * replicated boundary rows per split, turning it into an embarrassingly
+    * parallel local window; kept in the simple form here because the
+    * fixture's 3 statuses fit comfortably and the oracle semantics stay
+    * obvious.
     */
   def rangeFrame(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
