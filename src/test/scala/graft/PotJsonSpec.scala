@@ -1,0 +1,78 @@
+package graft
+
+import graft.sources.PotJson
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ingestion of the reference's native data.json format, using the exact
+  * fixture shapes from the reference's own docs/tests (FIXTURES.md A1/A3).
+  */
+class PotJsonSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def writePot(dir: java.nio.file.Path, name: String, json: String): Unit = {
+    val d = dir.resolve(name)
+    java.nio.file.Files.createDirectories(d)
+    java.nio.file.Files.writeString(d.resolve("data.json"), json)
+  }
+
+  // landmarks example, reference docs/howto_opa.md:67-86
+  private val landmarks =
+    """{"sagrada-familia": {"id": "sagrada-familia", "age": 141},
+      | "eiffel-tower": {"id": "eiffel-tower", "age": 136}}""".stripMargin
+
+  // nested testStruct, reference client_test.go:18-29
+  private val nested =
+    """{"test": {"id": "test", "age": 10, "path": ["a", "b"],
+      | "NiceThings": [{"name": "n1"}, {"name": "n2"}]}}""".stripMargin
+
+  test("reads a pot data.json map into (key, doc) rows") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("potjson")
+    writePot(dir, "landmarks", landmarks)
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("age", IntegerType)))
+    val df = PotJson.read(spark, s"$dir/landmarks/data.json", schema)
+    val rows = df.select("key", "id", "age")
+      .as[(String, String, Int)].collect().toSet
+    assert(rows === Set(
+      ("sagrada-familia", "sagrada-familia", 141),
+      ("eiffel-tower", "eiffel-tower", 136)))
+  }
+
+  test("parses nested documents (arrays + array-of-struct)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("potjson")
+    writePot(dir, "t", nested)
+    val schema = StructType(Seq(
+      StructField("id", StringType),
+      StructField("age", IntegerType),
+      StructField("path", ArrayType(StringType)),
+      StructField("NiceThings", ArrayType(StructType(Seq(
+        StructField("name", StringType)))))))
+    val row = PotJson.read(spark, s"$dir/t/data.json", schema).collect().head
+    assert(row.getAs[String]("key") === "test")
+    assert(row.getAs[Seq[String]]("path") === Seq("a", "b"))
+    assert(row.getAs[Seq[org.apache.spark.sql.Row]]("NiceThings")
+      .map(_.getString(0)) === Seq("n1", "n2"))
+  }
+
+  test("glob ingestion reads many pots in parallel and migrate() lands in PotTable") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("potjson")
+    writePot(dir, "p1", """{"a": {"id": "a", "age": 1}}""")
+    writePot(dir, "p2", """{"b": {"id": "b", "age": 2}}""")
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("age", IntegerType)))
+    val all = PotJson.read(spark, s"$dir/*/data.json", schema)
+    assert(all.count() === 2)
+    assert(all.select("pot_file").distinct().count() === 2)
+
+    val root = java.nio.file.Files.createTempDirectory("potjson-out").toString
+    val withKeyCol = s"$dir/*/data.json"
+    val gen = PotJson.migrate(spark, withKeyCol, schema, root, "merged")
+    assert(gen === 1L)
+    val merged = graft.kv.PotTable(spark, root, "merged").get()
+    assert(merged.select("key").as[String].collect().toSet === Set("a", "b"))
+  }
+}
