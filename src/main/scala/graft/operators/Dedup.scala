@@ -75,17 +75,18 @@ object Dedup {
     */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // Fully map-side signatures: shingle array + 8 x array_min(transform)
-    // per doc row — no explode, no aggregation shuffle at all. min over a
-    // lexicographic md5 set is duplicate-insensitive, so no distinct needed.
-    // Only the band self-join below ever shuffles, keyed by (band, sig).
-    val minhashes = (0 to 7).map(i =>
-      expr(s"array_min(transform(shs, x -> md5(concat('$i:', x))))").as(s"h$i"))
+    // Fully map-side signatures via the native MinHashSignatures expression
+    // (one digest pass, seed-suffix state sharing — see its scaladoc): no
+    // explode, no aggregation shuffle; only the band bucketing below ever
+    // shuffles, keyed by (band, sig). min over a lexicographic md5 set is
+    // duplicate-insensitive, so no distinct needed.
     val sigs = words(s, d)
       .filter(size($"w") >= 3)
       .withColumn("shs",
         expr("transform(sequence(0, size(w)-3), i -> concat_ws(' ', slice(w, i+1, 3)))"))
-      .select($"doc_id" +: minhashes: _*)
+      .withColumn("mh",
+        graft.functions.MinHashSignatures.minhashes($"shs", 8))
+      .select($"doc_id" +: (0 to 7).map(i => element_at($"mh", i + 1).as(s"h$i")): _*)
     val bands = sigs.select($"doc_id", expr(
       """stack(4, 0, concat(h0, h1), 1, concat(h2, h3),
         |         2, concat(h4, h5), 3, concat(h6, h7)) AS (band, sig)""".stripMargin))
@@ -107,7 +108,7 @@ object Dedup {
 
   val minhashLshSql: String =
     """WITH __SH__,
-       |mh AS (SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || sh)) AS h
+       |mh AS (SELECT doc_id, seed, min(md5(sh || ':' || CAST(seed AS VARCHAR))) AS h
        |       FROM sh CROSS JOIN generate_series(0, 7) AS t(seed)
        |       GROUP BY doc_id, seed),
        |bands AS (SELECT doc_id, seed // 2 AS band,
