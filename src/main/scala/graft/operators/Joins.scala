@@ -139,7 +139,53 @@ object Joins {
       |FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) o
       |ORDER BY r_name, o_orderstatus""".stripMargin
 
+  /** RIGHT OUTER: all orders kept even when the (filtered) customer side has
+    * no match — the mirror of leftOuter for §2-B's join list.
+    */
+  def rightOuter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bigCust = Tables.customer(s, d).filter($"c_acctbal" > 7500.0)
+    val ord = Tables.orders(s, d)
+    bigCust.join(ord, bigCust("c_custkey") === ord("o_custkey"), "right")
+      .select($"o_orderkey", $"o_custkey", $"c_name", $"c_acctbal")
+      .orderBy($"o_orderkey")
+  }
+
+  val rightOuterSql: String =
+    """SELECT o_orderkey, o_custkey, c_name, c_acctbal
+      |FROM (SELECT * FROM customer WHERE c_acctbal > 7500.0) c
+      |RIGHT JOIN orders ON c_custkey = o_custkey
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Null-safe equality (<=> / IS NOT DISTINCT FROM): join-style comparison
+    * where NULL matches NULL — pot's key-existence check semantics when keys
+    * may be absent.
+    */
+  def nullSafeEq(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val withNullableSeg = Tables.customer(s, d)
+      .withColumn("seg",
+        when($"c_custkey" % 5 === 0, lit(null).cast("string"))
+          .otherwise($"c_mktsegment"))
+    withNullableSeg
+      .filter($"seg" <=> lit(null).cast("string") || $"seg" <=> "BUILDING")
+      .select($"c_custkey", $"seg",
+        ($"seg" <=> lit(null).cast("string")).as("is_null_match"))
+      .orderBy($"c_custkey")
+  }
+
+  val nullSafeEqSql: String =
+    """SELECT c_custkey, seg,
+      | seg IS NOT DISTINCT FROM NULL AS is_null_match
+      |FROM (SELECT c_custkey,
+      |        CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_mktsegment END AS seg
+      |      FROM customer) t
+      |WHERE seg IS NOT DISTINCT FROM NULL OR seg IS NOT DISTINCT FROM 'BUILDING'
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q36_join_right_outer" -> (rightOuter _),
+    "q37_null_safe_eq"     -> (nullSafeEq _),
     "q4_join_semi"       -> (semi _),
     "q5_join_anti"       -> (anti _),
     "q6_join_left_outer" -> (leftOuter _),
@@ -148,6 +194,8 @@ object Joins {
     "q9_join_cross"      -> (cross _))
 
   val oracle: Map[String, String] = Map(
+    "q36_join_right_outer" -> rightOuterSql,
+    "q37_null_safe_eq"     -> nullSafeEqSql,
     "q4_join_semi"       -> semiSql,
     "q5_join_anti"       -> antiSql,
     "q6_join_left_outer" -> leftOuterSql,
