@@ -73,22 +73,40 @@ object Windows {
   /** RANGE frame on a numeric order key: how many orders fall within 5000 of
     * this order's price (per status).
     *
-    * Scale note: a per-status global range frame serializes each status into
-    * one window partition (parallelism = #statuses). The 100 TB formulation
-    * range-partitions each status by the order column with a +-5000 halo of
-    * replicated boundary rows per split, turning it into an embarrassingly
-    * parallel local window; kept in the simple form here because the
-    * fixture's 3 statuses fit comfortably and the oracle semantics stay
-    * obvious.
+    * Scale shape: a naive per-status range frame serializes each status into
+    * ONE window partition (parallelism = #statuses — the classic range-frame
+    * scale killer). Here each status is range-split on `o_totalprice` into
+    * width-`SplitW` splits, and every row in the top 5000 band of a split is
+    * REPLICATED into the next split as a frame-only "halo" row. The window
+    * then runs per (status, split) — embarrassingly parallel, parallelism
+    * scales with the price domain — and halo copies are dropped afterwards.
+    * Row-identical to the single-partition form because every frame
+    * [x-5000, x] lies entirely within x's split plus its halo (SplitW >=
+    * frame depth), and each original row appears exactly once per partition
+    * that can need it. The halo predicate carries 1.0 of slack so a
+    * floor(price/SplitW) double-rounding tie can never drop a boundary row;
+    * extra halo rows are frame-members only, never emitted, and a range
+    * frame ignores out-of-range rows — results are unaffected.
     */
   def rangeFrame(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val w = Window.partitionBy($"o_orderstatus").orderBy($"o_totalprice")
+    val SplitW = 20000L // split width; must exceed the 5000 frame depth
+    val o = Tables.orders(s, d)
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice")
+      .withColumn("_split", floor($"o_totalprice" / SplitW))
+    val halo = o
+      .filter($"o_totalprice" >= ($"_split" + 1) * SplitW - 5001L)
+      .withColumn("_split", $"_split" + 1)
+      .withColumn("_halo", lit(true))
+    val w = Window.partitionBy($"o_orderstatus", $"_split")
+      .orderBy($"o_totalprice")
       .rangeBetween(-5000L, 0L)
-    Tables.orders(s, d)
-      .select(
-        $"o_orderkey", $"o_orderstatus", $"o_totalprice",
-        count(lit(1)).over(w).as("n_within_5k_below"))
+    o.withColumn("_halo", lit(false))
+      .unionByName(halo)
+      .withColumn("n_within_5k_below", count(lit(1)).over(w))
+      .filter(!$"_halo")
+      .select($"o_orderkey", $"o_orderstatus", $"o_totalprice",
+        $"n_within_5k_below")
       .orderBy($"o_orderkey")
   }
 

@@ -49,4 +49,25 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("kv2_delete_anti")
     assert(p.contains("LeftAnti"), p)
   }
+
+  test("d5 near-dup pairs via equi-join, popcount prefilter before exact dot") {
+    val p = plan("d5_embed_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val joinLine = p.linesIterator
+      .find(l => l.contains("MergeJoin") || l.contains("ShuffledHashJoin"))
+      .getOrElse(fail(s"no shuffled equi-join in d5 plan:\n$p"))
+    // cheap conjuncts must short-circuit ahead of the full-precision dot
+    assert(joinLine.indexOf("bit_count") >= 0 &&
+      joinLine.indexOf("floatdot") > joinLine.indexOf("bit_count"),
+      s"dot not behind the popcount prefilter: $joinLine")
+  }
+
+  test("q18 range frame windows per (status, split), not per status alone") {
+    val p = plan("q18_window_range")
+    assert("windowspecdefinition\\(o_orderstatus#\\d+, _split".r
+      .findFirstIn(p).isDefined, p)
+    assert("hashpartitioning\\(o_orderstatus#\\d+, _split".r
+      .findFirstIn(p).isDefined, p)
+  }
 }

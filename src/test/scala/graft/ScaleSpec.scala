@@ -1,12 +1,94 @@
 package graft
 
-import graft.operators.Scale
+import graft.operators.{Dedup, Scale}
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class ScaleSpec extends AnyFunSuite {
   import TestSpark._
+
+  /** Write a synthetic documents table and return its dir (so the capped
+    * dedup operators can be driven through their real Tables entry point).
+    */
+  private def syntheticDocsDir(): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-scale").toString
+    val boiler = (100 to 249).map(i =>
+      (i.toLong, "all rights reserved template legal notice", "en", "synth", 41L))
+    val trio = (1 to 3).map(i =>
+      (i.toLong, "unique special document content words here", "en", "synth", 42L))
+    val pair = (4 to 5).map(i =>
+      (i.toLong, "alpha beta gamma delta epsilon zeta eta theta", "en", "synth", 46L))
+    val noise = (10 to 19).map(i => // fully disjoint word sets: no shared shingles
+      (i.toLong, s"filler$i text$i number$i with$i distinct$i words$i", "en", "synth", 40L))
+    (boiler ++ trio ++ pair ++ noise)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("d3 df cap drops boilerplate-identical docs, keeps genuine near-dups") {
+    // 150 byte-identical boilerplate docs would contribute C(150,2)=11175
+    // quadratic join rows on every one of their shingles; the df cap (50)
+    // removes those shingles entirely (exact duplicates are d1's job), so
+    // the join stays bounded and only genuine near-dup pairs survive.
+    val dir = syntheticDocsDir()
+    val rows = Dedup.ngramJaccard(spark, dir)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L))
+    assert(rows.toSet === expected,
+      s"expected only the genuine near-dup pairs, got ${rows.toSet}")
+  }
+
+  test("d2 LSH bucket cap drops degenerate buckets, keeps genuine near-dups") {
+    // the 150 identical docs share every band signature -> bucket size 150
+    // > cap 100 -> dropped (quadratic in-bucket pair expansion); the size-3
+    // and size-2 buckets stay.
+    val dir = syntheticDocsDir()
+    val rows = Dedup.minhashLsh(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L))
+    assert(rows.toSet === expected,
+      s"expected only the genuine near-dup pairs, got ${rows.toSet}")
+  }
+
+  test("d5 sketch prefilter: full recall on fixture, <12% of pairs reach the dot") {
+    import spark.implicits._
+    val rows = Tables.embeddings(spark, sf)
+      .select($"vec_id",
+        graft.functions.BitSketch.sketch($"embedding", Dedup.SketchPlanes).as("sk"),
+        $"embedding".cast("array<double>").as("emb"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getSeq[Double](2).toArray))
+      .sortBy(_._1)
+    var candidates = 0L
+    var pairs = 0L
+    var missed = 0L
+    var brute = Set.empty[(Long, Long)]
+    for (i <- rows.indices; j <- (i + 1) until rows.length) {
+      val (ia, ska, ea) = rows(i)
+      val (ib, skb, eb) = rows(j)
+      val ham = ska.zip(skb).map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+      var dot = 0.0
+      var k = 0
+      while (k < ea.length) { dot += ea(k) * eb(k); k += 1 }
+      pairs += 1
+      if (ham <= Dedup.SketchHammingMax) candidates += 1
+      if (dot >= 0.45) {
+        brute += ((ia min ib, ia max ib))
+        if (ham > Dedup.SketchHammingMax) missed += 1
+      }
+    }
+    assert(missed === 0, s"prefilter dropped $missed true pairs")
+    assert(candidates.toDouble / pairs < 0.12,
+      s"prefilter too weak: $candidates/$pairs pairs survive")
+    // and the operator's output is exactly the brute-force result
+    val got = Dedup.embedNearDup(spark, sf)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === brute, s"operator != brute force: got ${got.size}, want ${brute.size}")
+  }
 
   test("salted join is row-identical to the plain join under heavy skew") {
     import spark.implicits._
