@@ -1,7 +1,5 @@
 package graft.kv
 
-import java.nio.charset.StandardCharsets
-
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -11,26 +9,30 @@ import org.apache.spark.sql.functions._
   *
   * The reference rewrites the ENTIRE path object on every document write
   * (server.go:396-400) — write amplification proportional to table size. This
-  * variant hash-buckets rows by key into `nBuckets` bucket files and rewrites
+  * variant hash-buckets rows by key into `nBuckets` buckets and rewrites
   * ONLY the buckets containing updated keys: an upsert of k keys touches at
   * most k buckets regardless of table size.
   *
-  * Commit protocol (stage-then-publish, same CAS as PotTable):
-  *   - each touched bucket's new content is staged at a writer-unique dir
-  *     `data/b<i>_g<N>_<uuid>/`;
-  *   - the commit marker `_commits/<N>` (atomic create-new == pot's
-  *     `.potlock` DoesNotExist precondition) contains the manifest
-  *     `bucket:stagedPath` per line;
+  * Commit protocol (stage-then-publish, same CAS as PotTable — the
+  * marker mechanics, husk recovery included, live in [[CommitMarker]]):
+  *   - ONE Spark job stages every touched bucket's new content under a
+  *     writer-unique root `data/g<N>_<uuid>/` via a `partitionBy("_b")`
+  *     write (one `_b=<i>/` child per touched bucket) — a batch touching
+  *     all buckets of a large table still costs one job launch, not
+  *     |buckets| serial jobs;
+  *   - the commit marker `_commits/<N>` contains the manifest
+  *     `bucket:stagedPath` per line; a bucket emptied by a remove gets a
+  *     TOMBSTONE line `bucket:` so the overlay drops it;
   *   - readers resolve bucket i at generation G by overlaying manifests
-  *     1..G in order — the latest entry per bucket wins. Marker exists =>
-  *     its staged dirs are complete; a losing writer deletes only its own
-  *     staging and can never clobber published data.
+  *     1..G in order — the latest entry per bucket wins. Marker committed
+  *     (non-empty) => its staged dirs are complete; a losing writer deletes
+  *     only its own staging and can never clobber published data.
   *
   * `compact()` rewrites every live bucket at one generation (the
   * Spark-for-compaction role the north star assigns); `vacuum()` deletes
-  * staged dirs that no current manifest references, with a generation-grace
-  * window so concurrent readers that pinned an older generation keep their
-  * files.
+  * staged roots that no retained manifest references, skipping roots whose
+  * encoded generation is ahead of the committed one (a concurrent writer's
+  * in-flight staging — deleting those would publish dangling pointers).
   */
 final class BucketedPotTable(
     spark: SparkSession, root: String, path: String, nBuckets: Int) {
@@ -43,159 +45,178 @@ final class BucketedPotTable(
 
   private def bucketCol = pmod(xxhash64($"key"), lit(nBuckets.toLong)).cast("int")
 
-  def generation: Long = {
-    val commits = new Path(s"$dir/_commits")
-    if (!fs.exists(commits)) 0L
-    else fs.listStatus(commits).map(_.getPath.getName.toLong)
+  def generation: Long =
+    CommitMarker.committedGenerations(fs, new Path(s"$dir/_commits"))
       .foldLeft(0L)(math.max)
-  }
 
   private def markerPath(gen: Long) = new Path(s"$dir/_commits/$gen")
 
-  private def readManifest(gen: Long): Map[Int, String] = {
-    val in = fs.open(markerPath(gen))
-    val text =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    text.split("\n").filter(_.nonEmpty).map { line =>
-      val i = line.indexOf(':')
-      line.take(i).toInt -> line.drop(i + 1)
-    }.toMap
-  }
+  private def isCommitted(gen: Long): Boolean =
+    fs.exists(markerPath(gen)) && fs.getFileStatus(markerPath(gen)).getLen > 0
 
-  /** bucket -> staged path as of `gen` (manifest overlay, oldest first). */
+  /** Manifest lines `bucket:stagedPath`; an empty path is a tombstone. */
+  private def readManifest(gen: Long): Map[Int, String] =
+    CommitMarker.read(fs, markerPath(gen))
+      .split("\n").filter(_.nonEmpty).map { line =>
+        val i = line.indexOf(':')
+        line.take(i).toInt -> line.drop(i + 1)
+      }.toMap
+
+  /** bucket -> staged path as of `gen` (manifest overlay, oldest first;
+    * tombstoned buckets dropped after the overlay so a later tombstone
+    * shadows an earlier write).
+    */
   private def resolve(gen: Long): Map[Int, String] =
     (1L to gen).foldLeft(Map.empty[Int, String]) { (acc, g) =>
-      if (fs.exists(markerPath(g))) acc ++ readManifest(g) else acc
-    }
+      if (isCommitted(g)) acc ++ readManifest(g) else acc
+    }.filter(_._2.nonEmpty)
 
-  /** Full snapshot read at the current generation. At scale each bucket is a
-    * separately-pruned directory; the union is read-parallel and never
-    * widens a shuffle.
+  /** Full snapshot read at the current generation: one multi-path parquet
+    * scan over every live bucket dir — read-parallel, no union overhead.
     */
   def get(): DataFrame = {
     val m = resolve(generation)
     if (m.isEmpty) spark.emptyDataFrame
-    else m.values.toSeq.sorted.map(spark.read.parquet(_)).reduce(_ unionByName _)
+    else spark.read.parquet(m.values.toSeq.sorted: _*)
   }
 
-  private def readBucket(m: Map[Int, String], b: Int): Option[DataFrame] =
-    m.get(b).map(spark.read.parquet(_))
+  private def stageRoot(gen: Long): String =
+    s"$dir/data/g${gen}_${java.util.UUID.randomUUID()}"
 
-  /** Stage per-bucket data, then CAS-publish the manifest as `expected`+1. */
-  private def commitBuckets(
-      staged: Map[Int, String], expectedGen: Long): Long = {
+  /** Publish `stagedRoot`'s `_b=<i>` children as generation `expected`+1:
+    * manifest entries for every touched bucket, tombstones for touched
+    * buckets the staging job emptied (partitionBy writes no dir for them).
+    */
+  private def commitStaged(
+      stagedRoot: String, touched: Seq[Int], expectedGen: Long): Long = {
     val next = expectedGen + 1
+    val written = fs.listStatus(new Path(stagedRoot)).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("_b="))
+      .map(_.stripPrefix("_b=").toInt).toSet
+    val body = touched.sorted
+      .map(b => if (written(b)) s"$b:$stagedRoot/_b=$b" else s"$b:")
+      .mkString("\n")
     fs.mkdirs(markerPath(next).getParent)
     try {
-      val out = fs.create(markerPath(next), false) // atomic create-new == CAS
-      val body = staged.toSeq.sortBy(_._1)
-        .map { case (b, p) => s"$b:$p" }.mkString("\n")
-      out.write(body.getBytes(StandardCharsets.UTF_8))
-      out.close()
+      CommitMarker.publish(fs, markerPath(next), body)
       next
     } catch {
-      case _: java.io.IOException =>
-        staged.values.foreach(p => fs.delete(new Path(p), true)) // own staging only
-        throw new CommitConflict(
-          s"pot $path: generation $next already committed by another writer")
+      case e: CommitConflict =>
+        fs.delete(new Path(stagedRoot), true) // own staging only
+        throw e
     }
   }
 
-  private def stagePath(b: Int, gen: Long): String =
-    s"$dir/data/b${b}_g${gen}_${java.util.UUID.randomUUID()}"
+  /** Read the current content of `buckets`, `_b` recomputed from the key
+    * (deterministic), as one multi-path scan.
+    */
+  private def readBuckets(current: Map[Int, String], buckets: Seq[Int]): DataFrame =
+    spark.read.parquet(buckets.flatMap(current.get): _*)
+      .withColumn("_b", bucketCol)
 
   /** Partition-scoped upsert: last-writer-wins merge, but ONLY the buckets
-    * containing incoming keys are staged and republished. Returns the new
-    * generation (unchanged generation for an empty batch).
+    * containing incoming keys are staged (one job) and republished. Returns
+    * the new generation (unchanged generation for an empty batch).
     */
   def upsert(docs: DataFrame): Long = {
     val gen = generation
-    val next = gen + 1
     val current = resolve(gen)
     val stamped = docs
       .withColumn("_modified", current_timestamp())
       .withColumn("_b", bucketCol)
-    val touched = stamped.select($"_b").distinct().as[Int].collect().sorted
+    // bucket IDs only — bounded by nBuckets, not by data size
+    val touched = stamped.select($"_b").distinct().as[Int].collect().sorted.toSeq
     if (touched.isEmpty) return gen // empty batch: no-op, don't burn a generation
-    val w = Window.partitionBy($"key").orderBy($"_src".desc)
-    val staged = touched.map { b =>
-      val incoming = stamped.filter($"_b" === b).drop("_b").withColumn("_src", lit(1))
-      val merged = readBucket(current, b) match {
-        case None => incoming.drop("_src")
-        case Some(old) =>
-          incoming.unionByName(old.withColumn("_src", lit(0)))
-            .withColumn("_rn", row_number().over(w))
-            .filter($"_rn" === 1)
-            .drop("_rn", "_src")
+    val incoming = stamped.withColumn("_src", lit(1))
+    val existing = touched.filter(current.contains)
+    val merged =
+      if (existing.isEmpty) incoming.drop("_src")
+      else {
+        val old = readBuckets(current, existing).withColumn("_src", lit(0))
+        val w = Window.partitionBy($"key").orderBy($"_src".desc)
+        incoming.unionByName(old)
+          .withColumn("_rn", row_number().over(w))
+          .filter($"_rn" === 1)
+          .drop("_rn", "_src")
       }
-      val p = stagePath(b, next)
-      merged.write.mode("errorifexists").parquet(p)
-      b -> p
-    }.toMap
-    commitBuckets(staged, gen)
+    val staged = stageRoot(gen + 1)
+    merged.repartition(touched.length, $"_b")
+      .write.partitionBy("_b").mode("errorifexists").parquet(staged)
+    commitStaged(staged, touched, gen)
   }
 
-  /** Multi-key delete — again only touched, existing buckets restage. */
+  /** Multi-key delete — again only touched, existing buckets restage (one
+    * job); a bucket whose last row is deleted becomes a manifest tombstone.
+    */
   def remove(keys: Seq[String]): Long = {
     val gen = generation
     if (gen == 0L) return 0L
-    val next = gen + 1
     val current = resolve(gen)
     val keysDf = keys.toDF("key").withColumn("_b", bucketCol)
     val touched = keysDf.select($"_b").distinct().as[Int].collect().sorted
-      .filter(current.contains)
+      .filter(current.contains).toSeq
     if (touched.isEmpty) return gen // nothing to delete: no-op
-    val staged = touched.map { b =>
-      val p = stagePath(b, next)
-      readBucket(current, b).get
-        .join(broadcast(keysDf.filter($"_b" === b).select($"key")),
-          Seq("key"), "left_anti")
-        .write.mode("errorifexists").parquet(p)
-      b -> p
-    }.toMap
-    commitBuckets(staged, gen)
+    val remaining = readBuckets(current, touched)
+      .join(broadcast(keysDf.select($"key")), Seq("key"), "left_anti")
+    val staged = stageRoot(gen + 1)
+    remaining.repartition(touched.length, $"_b")
+      .write.partitionBy("_b").mode("errorifexists").parquet(staged)
+    commitStaged(staged, touched, gen)
   }
 
-  /** Compaction: restage every live bucket at one generation, collapsing the
-    * manifest overlay a reader must walk. Old staged dirs stay on disk until
-    * [[vacuum]] — concurrent readers keep their pinned files.
+  /** Compaction: restage every live bucket at one generation (one job),
+    * collapsing the manifest overlay a reader must walk. Old staged dirs
+    * stay on disk until [[vacuum]] — concurrent readers keep their pinned
+    * files.
     */
   def compact(): Long = {
     val gen = generation
     if (gen == 0L) return 0L
-    val next = gen + 1
     val current = resolve(gen)
-    val staged = current.keys.toSeq.sorted.map { b =>
-      val p = stagePath(b, next)
-      readBucket(current, b).get.coalesce(1)
-        .write.mode("errorifexists").parquet(p)
-      b -> p
-    }.toMap
-    commitBuckets(staged, gen)
+    if (current.isEmpty) return gen // fully-emptied table: nothing to compact
+    val live = current.keys.toSeq.sorted
+    val staged = stageRoot(gen + 1)
+    readBuckets(current, live)
+      .repartition(live.length, $"_b")
+      .write.partitionBy("_b").mode("errorifexists").parquet(staged)
+    commitStaged(staged, live, gen)
   }
 
-  /** Delete staged dirs unreferenced by the manifests of the last
+  /** Delete staged roots unreferenced by the manifests of the last
     * `retainGenerations` generations' views (lost races and superseded
-    * buckets older than the grace window).
+    * buckets older than the grace window). Roots whose encoded generation
+    * is ahead of the committed one are a concurrent writer's in-flight
+    * staging and are always kept — see the class note.
     */
   def vacuum(retainGenerations: Int = 1): Unit = {
     val gen = generation
     val dataRoot = new Path(s"$dir/data")
     if (!fs.exists(dataRoot)) return
+    // a manifest value is `<root>/_b=<i>`; keep the top dir under data/
+    def topSegment(p: String): String = {
+      val hp = new Path(p)
+      if (hp.getName.startsWith("_b=")) hp.getParent.getName else hp.getName
+    }
     val keep = (math.max(0L, gen - retainGenerations) to gen)
       .flatMap(g => resolve(g).values)
-      .map(p => new Path(p).getName).toSet
+      .map(topSegment).toSet
+    val StagedGen = "^g(\\d+)_.*".r
     fs.listStatus(dataRoot).foreach { st =>
-      if (!keep.contains(st.getPath.getName)) fs.delete(st.getPath, true)
+      val name = st.getPath.getName
+      val inFlight = name match {
+        case StagedGen(g) => g.toLong > gen
+        case _            => false
+      }
+      if (!inFlight && !keep.contains(name)) fs.delete(st.getPath, true)
     }
   }
 
-  /** Buckets republished by generation `gen`'s commit — test hook for
-    * asserting partition-scoped (not whole-table) rewrite.
+  /** Buckets republished (or tombstoned) by generation `gen`'s commit —
+    * test hook for asserting partition-scoped (not whole-table) rewrite.
     */
   def bucketsWrittenAt(gen: Long): Seq[Int] =
-    if (fs.exists(markerPath(gen))) readManifest(gen).keys.toSeq.sorted
+    if (isCommitted(gen)) readManifest(gen).keys.toSeq.sorted
     else Seq.empty
 }
 

@@ -1,0 +1,85 @@
+package graft.kv
+
+import java.io.{FileNotFoundException, IOException}
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Commit-marker protocol shared by [[PotTable]] and [[BucketedPotTable]].
+  *
+  * The reference's GCS writer commits existence AND content atomically at
+  * Close under a DoesNotExist precondition (reference server.go:670-689).
+  * A plain `FileSystem.create(marker, overwrite=false)` re-expression keeps
+  * the atomic create but NOT the atomic content: a writer that dies between
+  * create and close leaves a zero-length marker that would wedge the table
+  * forever (every later writer sees the generation taken, no reader can
+  * resolve it). This object closes that gap:
+  *
+  *   - a marker is a COMMIT only when non-empty; zero-length markers are
+  *     crash husks, invisible to [[committedGenerations]] and readers;
+  *   - a writer that finds a husk at its target generation reclaims it:
+  *     exactly one contender wins a second exclusive create of
+  *     `<gen>.reclaim` (at most one reclaim per generation, ever), re-checks
+  *     the husk is still empty, deletes it, and retries its own create;
+  *   - success is reported ONLY after a read-back confirms the durable
+  *     marker holds this writer's body (bodies embed a writer-unique staged
+  *     path, so they never collide). Any interleaving that loses our
+  *     content — including the microsecond husk-vs-live-writer window where
+  *     a reclaimer deletes a marker whose creator is between create and
+  *     close — surfaces as [[PotTable.CommitConflict]], never as a false
+  *     success.
+  */
+private[kv] object CommitMarker {
+  import PotTable.CommitConflict
+
+  /** Generations with a durable commit under `commits`: numeric marker
+    * names only (reclaim files excluded), zero-length husks excluded.
+    */
+  def committedGenerations(fs: FileSystem, commits: Path): Seq[Long] =
+    if (!fs.exists(commits)) Seq.empty
+    else fs.listStatus(commits).toSeq
+      .filter(st => st.getPath.getName.nonEmpty &&
+        st.getPath.getName.forall(_.isDigit) && st.getLen > 0)
+      .map(_.getPath.getName.toLong)
+
+  def read(fs: FileSystem, marker: Path): String = {
+    val in = fs.open(marker)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  private def markerLen(fs: FileSystem, marker: Path): Long =
+    try fs.getFileStatus(marker).getLen
+    catch { case _: FileNotFoundException => -1L }
+
+  private def tryCreate(fs: FileSystem, marker: Path, body: Array[Byte]): Boolean =
+    try {
+      val out = fs.create(marker, false) // atomic create-new == CAS
+      try out.write(body) finally out.close()
+      true
+    } catch { case _: IOException => false }
+
+  /** CAS-publish `body` as `marker`; throws [[PotTable.CommitConflict]] if
+    * another writer owns the generation. See the protocol note above.
+    */
+  def publish(fs: FileSystem, marker: Path, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    require(bytes.nonEmpty, "empty marker bodies are reserved for crash husks")
+    var created = tryCreate(fs, marker, bytes)
+    if (!created && markerLen(fs, marker) == 0L) {
+      // crash husk: arbitrate via one exclusive reclaim file per generation
+      val reclaim = new Path(marker.getParent, marker.getName + ".reclaim")
+      val wonReclaim =
+        try { fs.create(reclaim, false).close(); true }
+        catch { case _: IOException => false }
+      if (wonReclaim) {
+        if (markerLen(fs, marker) == 0L) fs.delete(marker, false)
+        created = tryCreate(fs, marker, bytes)
+      }
+    }
+    val durable = try read(fs, marker) catch { case _: IOException => "" }
+    if (!created || durable != body)
+      throw new CommitConflict(
+        s"marker $marker already committed by another writer")
+  }
+}

@@ -1,7 +1,5 @@
 package graft.kv
 
-import java.nio.charset.StandardCharsets
-
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -46,21 +44,16 @@ final class PotTable(spark: SparkSession, root: String, path: String) {
 
   /** Current committed generation, 0 if the pot doesn't exist yet
     * (reference returns an empty map for absent paths, server.go:316-331).
+    * Zero-length crash husks are not commits — see [[CommitMarker]].
     */
-  def generation: Long = {
-    val commits = new Path(s"$dir/_commits")
-    if (!fs.exists(commits)) 0L
-    else fs.listStatus(commits).map(_.getPath.getName.toLong)
+  def generation: Long =
+    CommitMarker.committedGenerations(fs, new Path(s"$dir/_commits"))
       .foldLeft(0L)(math.max)
-  }
 
   private def markerPath(gen: Long) = new Path(s"$dir/_commits/$gen")
 
-  private def readMarker(gen: Long): String = {
-    val in = fs.open(markerPath(gen))
-    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-    finally in.close()
-  }
+  private def readMarker(gen: Long): String =
+    CommitMarker.read(fs, markerPath(gen)).trim
 
   /** Get == full-path scan of the current generation's staged data. */
   def get(): DataFrame = {
@@ -78,15 +71,12 @@ final class PotTable(spark: SparkSession, root: String, path: String) {
     df.write.mode("errorifexists").parquet(staged)
     fs.mkdirs(markerPath(next).getParent)
     try {
-      val out = fs.create(markerPath(next), false) // atomic create-new == CAS
-      out.write(staged.getBytes(StandardCharsets.UTF_8))
-      out.close()
+      CommitMarker.publish(fs, markerPath(next), staged)
       next
     } catch {
-      case _: java.io.IOException =>
+      case e: CommitConflict =>
         fs.delete(new Path(staged), true) // only our own staging, never published data
-        throw new CommitConflict(
-          s"pot $path: generation $next already committed by another writer")
+        throw e
     }
   }
 
@@ -161,7 +151,11 @@ final class PotTable(spark: SparkSession, root: String, path: String) {
   /** Delete staged data directories no marker references (lost races,
     * superseded generations older than `retainGenerations`). Readers pin a
     * generation at scan start, so retention gives in-flight reads a grace
-    * window instead of deleting under them.
+    * window instead of deleting under them. Staged names encode their
+    * TARGET generation (`g<N>_<uuid>`): a dir with N > the committed
+    * generation belongs to a concurrent writer that staged but has not yet
+    * won the CAS — deleting it would let that writer publish pointers to
+    * missing files, so vacuum always skips it.
     */
   def vacuum(retainGenerations: Int = 1): Unit = {
     val gen = generation
@@ -172,8 +166,14 @@ final class PotTable(spark: SparkSession, root: String, path: String) {
     val keep = ((math.max(1L, gen - retainGenerations)) to gen)
       .filter(g => fs.exists(markerPath(g)))
       .map(g => new Path(readMarker(g)).getName).toSet
+    val StagedGen = "^g(\\d+)_.*".r
     fs.listStatus(dataRoot).foreach { st =>
-      if (!keep.contains(st.getPath.getName)) fs.delete(st.getPath, true)
+      val name = st.getPath.getName
+      val inFlight = name match {
+        case StagedGen(g) => g.toLong > gen
+        case _            => false
+      }
+      if (!inFlight && !keep.contains(name)) fs.delete(st.getPath, true)
     }
   }
 }
@@ -186,6 +186,28 @@ object PotTable {
 
   def apply(spark: SparkSession, root: String, path: String): PotTable =
     new PotTable(spark, root, path)
+
+  /** Whole-warehouse snapshot (A7 parity — reference Zip archives the whole
+    * bucket, server.go:550-614, re-triggered per write,
+    * server_routes.go:160-166): every pot under `root` exported at its
+    * CURRENT generation to `outDir/<path>`, plus a manifest DataFrame
+    * (path, generation) persisted at `outDir/_manifest`. Internal state —
+    * commit markers, reclaim files, staged-but-unpublished dirs — is
+    * excluded the same way the reference zip skips `.potlock`s: the export
+    * goes through each pot's committed view, never its raw directory.
+    */
+  def snapshotAll(spark: SparkSession, root: String, outDir: String): DataFrame = {
+    import spark.implicits._
+    val rows = listPaths(spark, root).map { p =>
+      val t = PotTable(spark, root, p)
+      val gen = t.generation
+      if (gen > 0L) t.get().write.mode("overwrite").parquet(s"$outDir/$p")
+      (p, gen)
+    }
+    val manifest = rows.toDF("path", "generation")
+    manifest.coalesce(1).write.mode("overwrite").parquet(s"$outDir/_manifest")
+    manifest
+  }
 
   /** ListPaths (server.go:425-466): enumerate pots under a root — here,
     * directories holding a `_commits` child (the data.json-suffix filter

@@ -95,6 +95,58 @@ class BucketedPotSpec extends AnyFunSuite {
     assert(state.contains("beta") === rb.isSuccess)
   }
 
+  test("upsert stages all touched buckets under ONE writer-unique root") {
+    val root = tmpRoot()
+    val pot = BucketedPotTable(spark, root, "t", nBuckets = 16)
+    pot.upsert((1 to 200).map(i => (s"k$i", i)).toDF("key", "v"))
+    // 16 touched buckets, ONE staged root (one Spark write job), not 16
+    val dataDirs = new java.io.File(s"$root/t/data").list().toSeq
+    assert(dataDirs.count(_.startsWith("g1_")) === 1,
+      s"expected a single g1_* staged root, got $dataDirs")
+    assert(pot.bucketsWrittenAt(1L).size === 16)
+  }
+
+  test("removing a bucket's last key tombstones it; the bucket revives on upsert") {
+    val root = tmpRoot()
+    val pot = BucketedPotTable(spark, root, "t", nBuckets = 4)
+    pot.upsert(Seq(("solo", 1)).toDF("key", "v"))
+    pot.remove(Seq("solo"))
+    assert(pot.get().isEmpty, "tombstoned bucket still visible")
+    pot.upsert(Seq(("next", 2)).toDF("key", "v"))
+    assert(pot.get().select("key", "v").as[(String, Int)].collect().toMap
+      === Map("next" -> 2))
+    // compact after full wipe is also a no-op, not a crash
+    pot.remove(Seq("next"))
+    assert(pot.compact() === pot.generation)
+  }
+
+  test("crash husk: bucketed reader ignores it, next writer reclaims") {
+    val root = tmpRoot()
+    val pot = BucketedPotTable(spark, root, "t", nBuckets = 4)
+    pot.upsert(Seq(("a", 1)).toDF("key", "v"))
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(s"$root/t/_commits/2"), false).close()
+    assert(pot.generation === 1L)
+    pot.upsert(Seq(("b", 2)).toDF("key", "v"))
+    assert(pot.generation === 2L)
+    assert(pot.get().select("key", "v").as[(String, Int)].collect().toMap
+      === Map("a" -> 1, "b" -> 2))
+  }
+
+  test("vacuum keeps an in-flight writer's staged root") {
+    val root = tmpRoot()
+    val pot = BucketedPotTable(spark, root, "t", nBuckets = 4)
+    pot.upsert(Seq(("a", 1)).toDF("key", "v"))
+    val inFlight = new java.io.File(s"$root/t/data/g2_feedface")
+    inFlight.mkdirs()
+    java.nio.file.Files.writeString(inFlight.toPath.resolve("part-0"), "x")
+    pot.vacuum(retainGenerations = 0)
+    assert(inFlight.exists(), "vacuum deleted a not-yet-committed staging root")
+    assert(pot.get().select("key", "v").as[(String, Int)].collect().toMap
+      === Map("a" -> 1))
+  }
+
   test("property: random op sequence matches a Map model") {
     val rnd = new scala.util.Random(42)
     val root = tmpRoot()

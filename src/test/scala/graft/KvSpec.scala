@@ -89,6 +89,47 @@ class KvSpec extends AnyFunSuite {
     assert(PotTable.listPaths(spark, root) === Seq("alpha", "beta"))
   }
 
+  test("crash husk between marker create and close: ignored, then reclaimed") {
+    val root = tmpRoot()
+    val pot = PotTable(spark, root, "t")
+    pot.upsert(Seq(("a", 1)).toDF("key", "v"))
+    // simulate a writer that died between fs.create(marker) and close():
+    // a zero-length husk at the next generation
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(s"$root/t/_commits/2"), false).close()
+
+    // the husk is not a commit: readers and generation() ignore it
+    assert(pot.generation === 1L)
+    assert(pot.get().select("key", "v").as[(String, Int)].collect().toMap
+      === Map("a" -> 1))
+
+    // the next writer reclaims the husk instead of being wedged forever
+    pot.upsert(Seq(("b", 2)).toDF("key", "v"))
+    assert(pot.generation === 2L)
+    assert(pot.get().select("key", "v").as[(String, Int)].collect().toMap
+      === Map("a" -> 1, "b" -> 2))
+  }
+
+  test("vacuum keeps an in-flight writer's staged dir, drops lost races") {
+    val root = tmpRoot()
+    val pot = PotTable(spark, root, "t")
+    pot.upsert(Seq(("a", 1)).toDF("key", "v"))
+    // a concurrent writer has staged generation-2 data but not yet won the
+    // CAS; a lost race left an unreferenced dir at the current generation
+    val inFlight = new java.io.File(s"$root/t/data/g2_feedface")
+    val lostRace = new java.io.File(s"$root/t/data/g1_deadbeef")
+    Seq(inFlight, lostRace).foreach { d =>
+      d.mkdirs()
+      java.nio.file.Files.writeString(d.toPath.resolve("part-0"), "x")
+    }
+    pot.vacuum(retainGenerations = 0)
+    assert(inFlight.exists(), "vacuum deleted a not-yet-committed staging dir")
+    assert(!lostRace.exists(), "vacuum kept an unreferenced lost-race dir")
+    assert(pot.get().select("key", "v").as[(String, Int)].collect().toMap
+      === Map("a" -> 1))
+  }
+
   test("snapshot exports current version and reports manifest (A7)") {
     val root = tmpRoot()
     val pot = PotTable(spark, root, "t")
@@ -97,5 +138,50 @@ class KvSpec extends AnyFunSuite {
     assert(manifest.select("generation").as[Long].collect().head === 1L)
     val exported = spark.read.parquet(s"$root/_export/t")
     assert(exported.count() === 2L)
+  }
+
+  test("snapshotAll bundles every pot at its current generation (A7 Zip)") {
+    val root = tmpRoot()
+    PotTable(spark, root, "alpha").upsert(Seq(("a", 1)).toDF("key", "v"))
+    val beta = PotTable(spark, root, "beta")
+    beta.upsert(Seq(("b", 1)).toDF("key", "v"))
+    beta.upsert(Seq(("b", 2), ("c", 3)).toDF("key", "v")) // gen 2
+    new java.io.File(s"$root/not-a-pot").mkdirs() // internal noise: excluded
+    val out = s"$root/_bundle"
+    val manifest = PotTable.snapshotAll(spark, root, out)
+      .as[(String, Long)].collect().toMap
+    assert(manifest === Map("alpha" -> 1L, "beta" -> 2L))
+    assert(spark.read.parquet(s"$out/alpha").count() === 1L)
+    assert(spark.read.parquet(s"$out/beta").select("key").as[String]
+      .collect().toSet === Set("b", "c"))
+    // persisted manifest matches the returned one
+    assert(spark.read.parquet(s"$out/_manifest").as[(String, Long)]
+      .collect().toMap === manifest)
+  }
+
+  test("client generation cache: immediate self-rewrites ok, others locked out (TestNoRewriteDuration)") {
+    import graft.kv.PotClient
+    val root = tmpRoot()
+    val c1 = PotClient(spark, root, leaseMs = 60000L)
+    // three immediate no-rewrite creates from the same client, well inside
+    // the lease window — succeed via transparent generation replay
+    c1.create("locks/job", Seq(("leader", "c1-a")).toDF("key", "owner"))
+    c1.create("locks/job", Seq(("leader", "c1-b")).toDF("key", "owner"))
+    val gen3 = c1.create("locks/job", Seq(("leader", "c1-c")).toDF("key", "owner"))
+    assert(gen3 === 3L)
+    assert(c1.ownedGeneration("locks/job") === Some(3L))
+
+    // a second client holds no generation: locked out while the lease lives
+    val c2 = PotClient(spark, root, leaseMs = 60000L)
+    intercept[PotTable.CommitConflict] {
+      c2.create("locks/job", Seq(("leader", "c2")).toDF("key", "owner"))
+    }
+    assert(c1.get("locks/job").select("owner").as[String].collect().head === "c1-c")
+
+    // reads never grant ownership (cache is fed by writes only)
+    c2.get("locks/job")
+    intercept[PotTable.CommitConflict] {
+      c2.create("locks/job", Seq(("leader", "c2")).toDF("key", "owner"))
+    }
   }
 }
