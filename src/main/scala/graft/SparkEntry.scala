@@ -28,6 +28,7 @@ object SparkEntry {
       (operators.Similarity.queries, operators.Similarity.oracle),
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracle),
       (multimodal.Multimodal.queries, multimodal.Multimodal.oracle),
+      (streaming.StreamingQueries.queries, streaming.StreamingQueries.oracle),
       (operators.Extensibility.queries, operators.Extensibility.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */

@@ -18,14 +18,27 @@ object Tables {
   // Catalog-metadata cache: file listing + schema inference happen once per
   // (session, path) instead of once per query — the fixtures are immutable,
   // and a real engine caches its catalog the same way. The DataFrame itself
-  // is lazy; no data is pinned.
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
+  // is lazy; no data is pinned. The outer map is WEAK and keyed by session
+  // IDENTITY: a dead session's entries are GC-collectable (no unbounded
+  // pinning), and — unlike a raw identityHashCode key — a hash collision
+  // with a collected session can never hand a new session a DataFrame bound
+  // to a dead one.
+  private val cache = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[
+      SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]())
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.getOrElseUpdate(
-      (System.identityHashCode(spark), s"$dir/$name.parquet"),
-      spark.read.parquet(s"$dir/$name.parquet"))
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = cache.synchronized {
+      var m = cache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        cache.put(spark, m)
+      }
+      m
+    }
+    perSession.getOrElseUpdate(
+      s"$dir/$name.parquet", spark.read.parquet(s"$dir/$name.parquet"))
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")

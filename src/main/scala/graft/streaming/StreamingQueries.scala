@@ -1,0 +1,107 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked streaming entries — each runs a REAL Structured Streaming
+  * query (file source over the events fixture → transform → sink, driven to
+  * completion with processAllAvailable) and returns a DataFrame whose
+  * content is deterministic and batch-equivalent, so the DuckDB oracle can
+  * replay it. This closes the only §2-B group that previously had no
+  * correctness row (streaming was lib-tested only).
+  *
+  * Determinism rules: st1 emits only its dedup KEY columns, so the
+  * (arrival-order-dependent) survivor row can never leak into the result;
+  * st2 runs in complete mode, which by definition equals the batch
+  * aggregation once the bounded input is exhausted; both sort with a total
+  * ORDER BY. Counts only — no double accumulation crosses the engines.
+  */
+object StreamingQueries {
+
+  /** The file-stream source requires a DIRECTORY (it pins basePath to the
+    * source path); the fixture is a single file. Stage a temp dir holding a
+    * symlink to it, once per fixture dir — no data copy.
+    */
+  private val streamDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def eventsDir(d: String): String =
+    streamDirs.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft-events-stream")
+      java.nio.file.Files.createSymbolicLink(
+        dir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$d/events.parquet"))
+      dir.toString
+    })
+
+  /** Raw-schema streaming read of the events fixture. `events.ts` is
+    * nanosecond parquet: like Tables.events, read it as raw longs (legacy
+    * conf) and surface the same ns→us truncation DuckDB applies.
+    */
+  private def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = Tables.load(s, d, "events").schema
+    s.readStream.schema(raw).parquet(eventsDir(d))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** st1: streaming exact-dedup on (user_id, event_type) within the
+    * watermark horizon (state expires instead of growing forever), emitted
+    * through an append-mode parquet sink — the scale path: distributed
+    * write, nothing driver-side.
+    */
+  def streamDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft-st1").toString
+    val q = eventsStream(s, d)
+      .withWatermark("ts", "30 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .select($"user_id", $"event_type")
+      .writeStream
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/chk")
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s.read.parquet(s"$out/data").orderBy($"user_id", $"event_type")
+  }
+
+  val streamDedupSql: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /** st2: [[EventStreams.tumblingCounts]] run AS A STREAM in complete mode;
+    * window starts emitted as epoch-second BIGINT like the batch
+    * TimeWindows pack.
+    */
+  def streamTumbling(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val table = "st2_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = EventStreams.tumblingCounts(eventsStream(s, d))
+      .select(unix_timestamp($"w_start").as("w_start"), $"event_type", $"n")
+      .writeStream.format("memory").queryName(table)
+      .outputMode("complete")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(table).orderBy($"w_start", $"event_type")
+  }
+
+  val streamTumblingSql: String =
+    """SELECT (CAST(FLOOR(EPOCH(ts) / 900) AS BIGINT) * 900) AS w_start,
+      | event_type, COUNT(*) AS n
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY w_start, event_type""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st1_stream_dedup"    -> (streamDedup _),
+    "st2_stream_tumbling" -> (streamTumbling _))
+
+  val oracle: Map[String, String] = Map(
+    "st1_stream_dedup"    -> streamDedupSql,
+    "st2_stream_tumbling" -> streamTumblingSql)
+}

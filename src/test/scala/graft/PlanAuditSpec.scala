@@ -63,6 +63,12 @@ class PlanAuditSpec extends AnyFunSuite {
       s"dot not behind the popcount prefilter: $joinLine")
   }
 
+  test("s2 ANN lookup prunes to its signature bucket at the partition level") {
+    val p = plan("s2_ann_lsh")
+    assert("PartitionFilters: \\[[^\\]]*sigp".r.findFirstIn(p).isDefined,
+      s"no sigp partition filter in scan:\n$p")
+  }
+
   test("q18 range frame windows per (status, split), not per status alone") {
     val p = plan("q18_window_range")
     assert("windowspecdefinition\\(o_orderstatus#\\d+, _split".r
