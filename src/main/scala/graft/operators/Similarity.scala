@@ -118,11 +118,45 @@ object Similarity {
        |ORDER BY score DESC, e.vec_id ASC
        |LIMIT 10""".stripMargin
 
+  /** Multi-probe ANN: widen the [[annLsh]] lookup to every bucket within
+    * hamming distance 1 of the query signature (9 of the 2^8 partitions) —
+    * the standard sign-LSH recall knob: ~9x the scan of s2, still 1/28 of
+    * the corpus, and the probe list is STILL a literal partition filter
+    * (an IN over sigp values — pruned at file listing, nothing else opened).
+    */
+  def annMultiProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val idx = AnnIndex.read(s, d)
+    val q = idx.filter($"vec_id" === 0).select($"embedding", $"sig").head()
+    val qv = q.getSeq[Float](0).toArray
+    val qsig = q.getString(1)
+    val probes = qsig +: (0 until NumPlanes).map(i =>
+      qsig.updated(i, if (qsig(i) == '0') '1' else '0'))
+    idx.filter($"sigp".isin(probes.map("s" + _): _*) && $"vec_id" =!= 0)
+      .select($"vec_id", $"label", $"sig",
+        VectorFunctions.dot($"embedding", typedlit(qv)).as("score"))
+      .orderBy($"score".desc, $"vec_id".asc)
+      .limit(10)
+  }
+
+  val annMultiProbeSql: String =
+    s"""WITH sigs AS (
+       |  SELECT vec_id, label, embedding, ${sigSql("embedding")} AS sig
+       |  FROM embeddings),
+       |q AS (SELECT embedding AS qv, sig AS qsig FROM sigs WHERE vec_id = 0)
+       |SELECT e.vec_id, e.label, e.sig, $dotSql AS score
+       |FROM sigs e CROSS JOIN q
+       |WHERE hamming(e.sig, q.qsig) <= 1 AND e.vec_id <> 0
+       |ORDER BY score DESC, e.vec_id ASC
+       |LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "s1_cosine_topk" -> (bruteForceTopK _),
-    "s2_ann_lsh"     -> (annLsh _))
+    "s1_cosine_topk"     -> (bruteForceTopK _),
+    "s2_ann_lsh"         -> (annLsh _),
+    "s3_ann_multiprobe"  -> (annMultiProbe _))
 
   val oracle: Map[String, String] = Map(
-    "s1_cosine_topk" -> bruteForceTopKSql,
-    "s2_ann_lsh"     -> annLshSql)
+    "s1_cosine_topk"     -> bruteForceTopKSql,
+    "s2_ann_lsh"         -> annLshSql,
+    "s3_ann_multiprobe"  -> annMultiProbeSql)
 }

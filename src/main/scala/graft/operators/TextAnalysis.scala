@@ -138,16 +138,19 @@ object TextAnalysis {
   def fingerprint(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val norm = regexp_replace(trim(lower($"text")), "\\s+", " ")
-    val five = Tables.documents(s, d)
-      .withColumn("w", split(lower($"text"), " "))
-      .filter(size($"w") >= 5)
-      .select($"doc_id", explode(
-        expr("transform(sequence(0, size(w)-5), i -> concat_ws(' ', slice(w, i+1, 5)))"))
-        .as("sh"))
-      .groupBy($"doc_id").agg(min(md5($"sh")).as("min_shingle_fp"))
+    // All three fingerprints in ONE narrow projection: the 5-gram min-hash
+    // is array_min over the transformed shingle array — map-side, no
+    // explode, no aggregation shuffle, no rejoin. Same value as the grouped
+    // min(md5(sh)) (array_min on hex strings is the same byte ordering);
+    // docs under 5 words go null exactly like the oracle's left join.
     Tables.documents(s, d)
-      .select($"doc_id", md5($"text").as("fp"), md5(norm).as("fp_norm"))
-      .join(five, Seq("doc_id"), "left")
+      .withColumn("w", split(lower($"text"), " "))
+      .select($"doc_id", md5($"text").as("fp"), md5(norm).as("fp_norm"),
+        when(size($"w") >= 5,
+          array_min(expr(
+            """transform(transform(sequence(0, size(w)-5),
+              |  i -> concat_ws(' ', slice(w, i+1, 5))), x -> md5(x))""".stripMargin)))
+          .as("min_shingle_fp"))
       .orderBy($"doc_id")
   }
 
