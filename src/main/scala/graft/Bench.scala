@@ -39,6 +39,7 @@ object Bench {
     SparkEntry.queries.get("q1_pricing_summary")
       .foreach(fn => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
     operators.AnnIndex.locate(spark, sfDir)
+    operators.AnnIndex.locateIvf(spark, sfDir)
 
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

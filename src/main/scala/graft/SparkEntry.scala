@@ -25,6 +25,7 @@ object SparkEntry {
       (operators.AsOfJoin.queries, operators.AsOfJoin.oracle),
       (operators.Kv.queries, operators.Kv.oracle),
       (operators.Dedup.queries, operators.Dedup.oracle),
+      (operators.Pipeline.queries, operators.Pipeline.oracle),
       (operators.Similarity.queries, operators.Similarity.oracle),
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracle),
       (multimodal.Multimodal.queries, multimodal.Multimodal.oracle),

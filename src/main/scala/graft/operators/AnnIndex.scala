@@ -62,4 +62,59 @@ object AnnIndex {
     */
   def read(s: SparkSession, d: String): DataFrame =
     s.read.parquet(locate(s, d))
+
+  // ---------------------------------------------------------------- IVF --
+
+  /** Number of IVF centroids: the first `IvfCentroids` corpus vectors, by
+    * vec_id — deterministic (no trained kmeans state to ship), mirrorable
+    * in SQL, and at 100 TB replaced by real trained centroids without
+    * changing the operator shape.
+    */
+  val IvfCentroids = 16
+
+  /** Build the IVF index: each vector assigned to the centroid maximizing
+    * the exact dot (ties to the lowest centroid id), written partitioned by
+    * cell — a query then opens only its probed cells' files.
+    */
+  def buildIvf(s: SparkSession, d: String, out: String): Unit = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val cents = e.filter($"vec_id" < IvfCentroids)
+      .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"vec_id").orderBy($"cdot".desc, $"cid".asc)
+    e.crossJoin(broadcast(cents))
+      .withColumn("cdot",
+        graft.functions.VectorFunctions.dot($"embedding", $"cvec"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"vec_id", $"label", $"embedding",
+        concat(lit("c"), $"cid").as("cellp"))
+      .repartition($"cellp")
+      .write.partitionBy("cellp").mode("overwrite").parquet(out)
+  }
+
+  /** IVF index location for fixture dir `d` (same build-once discipline as
+    * [[locate]]).
+    */
+  def locateIvf(s: SparkSession, d: String): String = {
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val root = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft-ivf-$key-v1")
+    val done = new java.io.File(root, "_SUCCESS")
+    if (!done.exists()) {
+      val staging = new java.io.File(
+        root.getParent, s"${root.getName}.stage-${java.util.UUID.randomUUID()}")
+      buildIvf(s, d, staging.toString)
+      val fs = new Path(root.toString)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.rename(new Path(staging.toString), new Path(root.toString)))
+        fs.delete(new Path(staging.toString), true)
+    }
+    root.toString
+  }
+
+  def readIvf(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(locateIvf(s, d))
 }

@@ -150,13 +150,84 @@ object Similarity {
        |ORDER BY score DESC, e.vec_id ASC
        |LIMIT 10""".stripMargin
 
+  /** IVF ANN over the persisted [[AnnIndex.readIvf]] index: the query's
+    * top-2 centroids (exact dots computed with the same left-to-right
+    * double loop as FloatDot — the centroid set is tiny and driver-side by
+    * design, like the query vector itself) select the cells to probe; the
+    * scan opens only those cells' files (literal partition IN-filter). The
+    * complementary index family to sign-LSH: cells adapt to the data
+    * distribution, probes trade recall for scan like s3.
+    */
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val idx = AnnIndex.readIvf(s, d)
+    def dotExact(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val cents = Tables.embeddings(s, d)
+      .filter($"vec_id" < AnnIndex.IvfCentroids)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qv = Tables.embeddings(s, d).filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0).toArray
+    val probes = cents
+      .map { case (cid, cvec) => (cid, dotExact(qv, cvec)) }
+      .sortBy { case (cid, dp) => (-dp, cid) }
+      .take(2).map { case (cid, _) => s"c$cid" }
+    idx.filter($"cellp".isin(probes.toSeq: _*) && $"vec_id" =!= 0)
+      .select($"vec_id", $"label",
+        VectorFunctions.dot($"embedding", typedlit(qv)).as("score"))
+      .orderBy($"score".desc, $"vec_id".asc)
+      .limit(10)
+  }
+
+  private val centDotSql =
+    """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list_transform(range(1, len(q.qv) + 1),
+      |      i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))),
+      |    (acc, x) -> acc + x)""".stripMargin
+
+  val annIvfSql: String =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+       |  WHERE vec_id < ${AnnIndex.IvfCentroids}),
+       |adots AS (
+       |  SELECT e.vec_id, e.label, e.embedding, c.cid,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, len(e.embedding) + 1),
+       |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))),
+       |      (acc, x) -> acc + x) AS cdot
+       |  FROM embeddings e CROSS JOIN cents c),
+       |assign AS (
+       |  SELECT vec_id, label, embedding, cid AS cell,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |                       ORDER BY cdot DESC, cid ASC) AS rn
+       |  FROM adots),
+       |cellof AS (SELECT vec_id, label, embedding, cell FROM assign WHERE rn = 1),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |qcells AS (
+       |  SELECT cid AS cell FROM (
+       |    SELECT c.cid, ROW_NUMBER() OVER (ORDER BY $centDotSql DESC, c.cid ASC) AS rn
+       |    FROM cents c CROSS JOIN q) t
+       |  WHERE rn <= 2)
+       |SELECT e.vec_id, e.label, $dotSql AS score
+       |FROM cellof e JOIN qcells ON e.cell = qcells.cell CROSS JOIN q
+       |WHERE e.vec_id <> 0
+       |ORDER BY score DESC, e.vec_id ASC
+       |LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk"     -> (bruteForceTopK _),
     "s2_ann_lsh"         -> (annLsh _),
-    "s3_ann_multiprobe"  -> (annMultiProbe _))
+    "s3_ann_multiprobe"  -> (annMultiProbe _),
+    "s4_ann_ivf"         -> (annIvf _))
 
   val oracle: Map[String, String] = Map(
     "s1_cosine_topk"     -> bruteForceTopKSql,
     "s2_ann_lsh"         -> annLshSql,
-    "s3_ann_multiprobe"  -> annMultiProbeSql)
+    "s3_ann_multiprobe"  -> annMultiProbeSql,
+    "s4_ann_ivf"         -> annIvfSql)
 }

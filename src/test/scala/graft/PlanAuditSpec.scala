@@ -69,6 +69,12 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no sigp partition filter in scan:\n$p")
   }
 
+  test("s4 IVF lookup prunes to its probed cells at the partition level") {
+    val p = plan("s4_ann_ivf")
+    assert("PartitionFilters: \\[[^\\]]*cellp".r.findFirstIn(p).isDefined,
+      s"no cellp partition filter in scan:\n$p")
+  }
+
   test("q18 range frame windows per (status, split), not per status alone") {
     val p = plan("q18_window_range")
     assert("windowspecdefinition\\(o_orderstatus#\\d+, _split".r
