@@ -353,17 +353,81 @@ object Dedup {
       |    (acc, x) -> acc + x) >= 0.45
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** Near-dup CLUSTERS: connected components over the [[minhashLsh]] pair
+    * graph, each doc labeled with its component's minimum doc_id — the
+    * canonical-representative assignment that turns candidate pairs into an
+    * actionable dedup (keep the representative, drop the rest).
+    *
+    * Deterministic min-label propagation: every round each node takes the
+    * min of its own label and its neighbors' labels; converges in
+    * O(component diameter) rounds (dup groups are near-cliques, so 2-4
+    * rounds in practice). Each round is one join + one aggregation —
+    * the Pregel shape without per-node state; lineage is truncated per
+    * round (localCheckpoint) so the loop composes at any scale. Throws
+    * after 50 rounds rather than returning an unconverged (wrong) answer.
+    */
+  def neardupClusters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = minhashLsh(s, d).select($"doc_a", $"doc_b")
+    val edges = pairs
+      .unionByName(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+      .select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .localCheckpoint(true)
+    var labels = edges.select($"src".as("doc_id")).distinct()
+      .withColumn("cluster_id", $"doc_id")
+      .localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged) {
+      rounds += 1
+      if (rounds > 50)
+        throw new IllegalStateException("label propagation did not converge")
+      val prop = edges
+        .join(labels, edges("src") === labels("doc_id"))
+        .select($"dst".as("doc_id"), $"cluster_id")
+      val next = labels.unionByName(prop)
+        .groupBy($"doc_id").agg(min($"cluster_id").as("cluster_id"))
+        .localCheckpoint(true)
+      val changed = next.as("n")
+        .join(labels.as("o"), "doc_id")
+        .filter(col("n.cluster_id") =!= col("o.cluster_id"))
+        .limit(1).count()
+      converged = changed == 0L
+      labels = next
+    }
+    labels.orderBy($"doc_id")
+  }
+
+  /** Oracle: transitive closure via recursive CTE (UNION dedups, so cycles
+    * terminate), cluster = min reachable node including self.
+    */
+  val neardupClustersSql: String =
+    """WITH RECURSIVE pairs AS (__PAIRS__),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |          UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      |SELECT src AS doc_id, MIN(dst) AS cluster_id
+      |FROM reach
+      |GROUP BY src
+      |ORDER BY doc_id""".stripMargin
+      .replace("__PAIRS__", minhashLshSql)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_fingerprint" -> (exactFingerprint _),
     "d2_minhash_lsh"       -> (minhashLsh _),
     "d3_ngram_jaccard"     -> (ngramJaccard _),
     "d4_simhash"           -> (simhash _),
-    "d5_embed_neardup"     -> (embedNearDup _))
+    "d5_embed_neardup"     -> (embedNearDup _),
+    "d6_neardup_clusters"  -> (neardupClusters _))
 
   val oracle: Map[String, String] = Map(
     "d1_exact_fingerprint" -> exactFingerprintSql,
     "d2_minhash_lsh"       -> minhashLshSql,
     "d3_ngram_jaccard"     -> ngramJaccardSql,
     "d4_simhash"           -> simhashSql,
-    "d5_embed_neardup"     -> embedNearDupSql)
+    "d5_embed_neardup"     -> embedNearDupSql,
+    "d6_neardup_clusters"  -> neardupClustersSql)
 }

@@ -54,6 +54,14 @@ class ScaleSpec extends AnyFunSuite {
       s"expected only the genuine near-dup pairs, got ${rows.toSet}")
   }
 
+  test("d6 clusters assign each near-dup component its min doc_id") {
+    val dir = syntheticDocsDir()
+    val rows = Dedup.neardupClusters(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L),
+      s"unexpected clusters: $rows")
+  }
+
   test("d5 sketch prefilter: full recall on fixture, <12% of pairs reach the dot") {
     import spark.implicits._
     val rows = Tables.embeddings(spark, sf)
