@@ -44,7 +44,7 @@ object Dedup {
   }
 
   /** Shared oracle CTE: identical shingling in DuckDB (window-lead form). */
-  private val shinglesCte: String =
+  private[operators] val shinglesCte: String =
     """words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
       |tok AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i
       |        FROM words WHERE len(w) >= 3),
@@ -81,13 +81,15 @@ object Dedup {
     * pairs = docs agreeing on any band signature whose bucket is within
     * [[LshBucketCap]].
     */
-  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+  /** Per-doc LSH band signatures (doc_id, band, sig): fully map-side via
+    * the native MinHashSignatures expression (one digest pass, seed-suffix
+    * state sharing — see its scaladoc): no explode, no aggregation shuffle.
+    * min over a lexicographic md5 set is duplicate-insensitive, so no
+    * distinct needed. Shared by [[minhashLsh]] and the incremental-dedup
+    * pipeline composite.
+    */
+  private[operators] def bandSigs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // Fully map-side signatures via the native MinHashSignatures expression
-    // (one digest pass, seed-suffix state sharing — see its scaladoc): no
-    // explode, no aggregation shuffle; only the band bucketing below ever
-    // shuffles, keyed by (band, sig). min over a lexicographic md5 set is
-    // duplicate-insensitive, so no distinct needed.
     val sigs = words(s, d)
       .filter(size($"w") >= 3)
       .withColumn("shs",
@@ -95,9 +97,23 @@ object Dedup {
       .withColumn("mh",
         graft.functions.MinHashSignatures.minhashes($"shs", 8))
       .select($"doc_id" +: (0 to 7).map(i => element_at($"mh", i + 1).as(s"h$i")): _*)
-    val bands = sigs.select($"doc_id", expr(
+    sigs.select($"doc_id", expr(
       """stack(4, 0, concat(h0, h1), 1, concat(h2, h3),
         |         2, concat(h4, h5), 3, concat(h6, h7)) AS (band, sig)""".stripMargin))
+  }
+
+  /** Shared oracle CTE for [[bandSigs]] (builds `bands` on top of `sh`). */
+  private[operators] val bandsCte: String =
+    """mh AS (SELECT doc_id, seed, min(md5(sh || ':' || CAST(seed AS VARCHAR))) AS h
+      |       FROM sh CROSS JOIN generate_series(0, 7) AS t(seed)
+      |       GROUP BY doc_id, seed),
+      |bands AS (SELECT doc_id, seed // 2 AS band,
+      |            string_agg(h, '' ORDER BY seed) AS sig
+      |          FROM mh GROUP BY doc_id, seed // 2)""".stripMargin
+
+  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val bands = bandSigs(s, d)
     // Bucket-local pair generation (one shuffle keyed by the bucket, one pass
     // over the signatures) instead of a self-join, which would re-execute the
     // whole map-side pipeline for each side. Oversized buckets (a band
@@ -119,12 +135,7 @@ object Dedup {
 
   val minhashLshSql: String =
     """WITH __SH__,
-       |mh AS (SELECT doc_id, seed, min(md5(sh || ':' || CAST(seed AS VARCHAR))) AS h
-       |       FROM sh CROSS JOIN generate_series(0, 7) AS t(seed)
-       |       GROUP BY doc_id, seed),
-       |bands AS (SELECT doc_id, seed // 2 AS band,
-       |            string_agg(h, '' ORDER BY seed) AS sig
-       |          FROM mh GROUP BY doc_id, seed // 2),
+       |__BANDS__,
        |ok AS (SELECT band, sig FROM bands
        |       GROUP BY band, sig HAVING COUNT(*) BETWEEN 2 AND 100)
        |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -133,6 +144,7 @@ object Dedup {
        |JOIN ok ON ok.band = a.band AND ok.sig = a.sig
        |ORDER BY doc_a, doc_b""".stripMargin
       .replace("__SH__", shinglesCte)
+      .replace("__BANDS__", bandsCte)
 
   /** Document-frequency cap for the Jaccard shingle join: a shingle shared
     * by k docs contributes k^2 rows to ONE shuffle partition of the

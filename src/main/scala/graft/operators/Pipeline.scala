@@ -115,13 +115,72 @@ object Pipeline {
       |GROUP BY 1, 2
       |ORDER BY lang, bin""".stripMargin
 
+  /** p4: incremental dedup — the daily-ingest shape: a NEW batch (source
+    * 'src0') checked against the EXISTING corpus (every other source) for
+    * exact (md5) and near (shared LSH band bucket, reusing
+    * [[Dedup.bandSigs]]) duplication. Emits per new doc: exact_dup,
+    * near_dup, keep. At 100 TB the corpus side is the persisted fingerprint
+    * / band-signature index the ingest job maintains — here derived inline
+    * from the same table; the join shapes (two semi-joins keyed by fp /
+    * (band, sig)) are identical either way.
+    */
+  def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val newB = docs.filter($"source" === "src0")
+      .select($"doc_id", md5($"text").as("fp"))
+    val corp = docs.filter($"source" =!= "src0")
+      .select($"doc_id".as("c_id"), md5($"text").as("c_fp"))
+    val allBands = Dedup.bandSigs(s, d)
+    val newBands = allBands
+      .join(docs.filter($"source" === "src0").select($"doc_id"), Seq("doc_id"))
+    val corpBands = allBands
+      .join(docs.filter($"source" =!= "src0").select($"doc_id"), Seq("doc_id"))
+      .select($"band", $"sig")
+    val exacts = newB.join(corp, newB("fp") === corp("c_fp"), "left_semi")
+      .select($"doc_id").distinct().withColumn("e", lit(true))
+    val nears = newBands.join(corpBands, Seq("band", "sig"), "left_semi")
+      .select($"doc_id").distinct().withColumn("n", lit(true))
+    newB.select($"doc_id")
+      .join(exacts, Seq("doc_id"), "left")
+      .join(nears, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"e", lit(false)).as("exact_dup"),
+        coalesce($"n", lit(false)).as("near_dup"))
+      .withColumn("keep", !$"exact_dup" && !$"near_dup")
+      .orderBy($"doc_id")
+  }
+
+  val incrementalDedupSql: String =
+    """WITH __SH__,
+      |__BANDS__,
+      |newb AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE source = 'src0'),
+      |corp AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE source <> 'src0'),
+      |exacts AS (SELECT DISTINCT n.doc_id FROM newb n JOIN corp c ON n.fp = c.fp),
+      |nears AS (SELECT DISTINCT nb.doc_id
+      |  FROM bands nb
+      |  JOIN documents dn ON dn.doc_id = nb.doc_id AND dn.source = 'src0'
+      |  JOIN bands cb ON nb.band = cb.band AND nb.sig = cb.sig
+      |  JOIN documents dc ON dc.doc_id = cb.doc_id AND dc.source <> 'src0')
+      |SELECT n.doc_id,
+      |  n.doc_id IN (SELECT doc_id FROM exacts) AS exact_dup,
+      |  n.doc_id IN (SELECT doc_id FROM nears) AS near_dup,
+      |  n.doc_id NOT IN (SELECT doc_id FROM exacts)
+      |    AND n.doc_id NOT IN (SELECT doc_id FROM nears) AS keep
+      |FROM newb n
+      |ORDER BY doc_id""".stripMargin
+      .replace("__SH__", Dedup.shinglesCte)
+      .replace("__BANDS__", Dedup.bandsCte)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_corpus_filter"     -> (corpusFilter _),
     "p2_stratified_sample" -> (stratifiedSample _),
-    "p3_token_pack"        -> (tokenPack _))
+    "p3_token_pack"        -> (tokenPack _),
+    "p4_incremental_dedup" -> (incrementalDedup _))
 
   val oracle: Map[String, String] = Map(
     "p1_corpus_filter"     -> corpusFilterSql,
     "p2_stratified_sample" -> stratifiedSampleSql,
-    "p3_token_pack"        -> tokenPackSql)
+    "p3_token_pack"        -> tokenPackSql,
+    "p4_incremental_dedup" -> incrementalDedupSql)
 }
