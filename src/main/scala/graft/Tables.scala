@@ -18,17 +18,21 @@ object Tables {
   // Catalog-metadata cache: file listing + schema inference happen once per
   // (session, path) instead of once per query — the fixtures are immutable,
   // and a real engine caches its catalog the same way. The DataFrame itself
-  // is lazy; no data is pinned. The outer map is WEAK and keyed by session
-  // IDENTITY: a dead session's entries are GC-collectable (no unbounded
-  // pinning), and — unlike a raw identityHashCode key — a hash collision
-  // with a collected session can never hand a new session a DataFrame bound
-  // to a dead one.
+  // is lazy; no data is pinned. Keyed by session IDENTITY (unlike a raw
+  // identityHashCode key, a collision with a dead session can never hand a
+  // new session a DataFrame bound to it). Entries are NOT GC-collectable —
+  // a cached DataFrame strongly references its SparkSession through its
+  // QueryExecution, so weak keys would not help — hence the explicit size
+  // cap: past MaxSessions sessions the whole cache resets (it is purely
+  // advisory; a fresh read just re-caches).
+  private val MaxSessions = 16
   private val cache = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[
+    new java.util.IdentityHashMap[
       SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]())
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val perSession = cache.synchronized {
+      if (cache.size > MaxSessions) cache.clear()
       var m = cache.get(spark)
       if (m == null) {
         m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]

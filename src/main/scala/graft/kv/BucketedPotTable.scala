@@ -212,6 +212,10 @@ final class BucketedPotTable(
     }
   }
 
+  /** Admin recovery for a wedged generation — see [[PotTable.repair]]. */
+  def repair(): Seq[Long] =
+    CommitMarker.repair(fs, new Path(s"$dir/_commits"))
+
   /** Buckets republished (or tombstoned) by generation `gen`'s commit —
     * test hook for asserting partition-scoped (not whole-table) rewrite.
     */

@@ -61,11 +61,25 @@ private[kv] object CommitMarker {
 
   /** CAS-publish `body` as `marker`; throws [[PotTable.CommitConflict]] if
     * another writer owns the generation. See the protocol note above.
+    *
+    * Failure-mode trade, made deliberately: the reclaim file is
+    * one-per-generation FOREVER, so a reclaimer that itself crashes between
+    * winning the reclaim and re-creating the marker leaves the generation
+    * un-commitable ("wedged"). The alternative — letting later writers
+    * re-arbitrate by deleting stale reclaim files or husks — reintroduces a
+    * check-then-delete race in which a committed marker can be deleted
+    * after its writer reported success (a lost update). We choose the
+    * availability loss over the safety loss: the wedge needs TWO
+    * independent crashes in microsecond windows, is loudly diagnosable
+    * (every commit throws the reclaim-in-progress conflict below), and is
+    * recoverable by [[repair]] once no writer is live — the lease-recovery
+    * pattern, admin-invoked.
     */
   def publish(fs: FileSystem, marker: Path, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     require(bytes.nonEmpty, "empty marker bodies are reserved for crash husks")
     var created = tryCreate(fs, marker, bytes)
+    var reclaimWedge = false
     if (!created && markerLen(fs, marker) == 0L) {
       // crash husk: arbitrate via one exclusive reclaim file per generation
       val reclaim = new Path(marker.getParent, marker.getName + ".reclaim")
@@ -75,11 +89,36 @@ private[kv] object CommitMarker {
       if (wonReclaim) {
         if (markerLen(fs, marker) == 0L) fs.delete(marker, false)
         created = tryCreate(fs, marker, bytes)
+      } else {
+        // reclaim already taken: either that reclaimer is about to commit
+        // (normal conflict) or it crashed too (wedge — repair() territory)
+        reclaimWedge = markerLen(fs, marker) == 0L
       }
     }
     val durable = try read(fs, marker) catch { case _: IOException => "" }
     if (!created || durable != body)
       throw new CommitConflict(
-        s"marker $marker already committed by another writer")
+        if (reclaimWedge)
+          s"marker $marker: crashed writer's husk has a crashed reclaimer; " +
+            "run repair() once no writer is live"
+        else s"marker $marker already committed by another writer")
+  }
+
+  /** Admin recovery for the double-crash wedge (see [[publish]]): delete
+    * every zero-length marker husk and its reclaim file under `commits`.
+    * PRECONDITION (caller-enforced, like any fsck): no writer is live —
+    * deleting a husk whose creator is still between create and close would
+    * resurrect the arbitration race repair exists to clean up after.
+    * Returns the generations repaired.
+    */
+  def repair(fs: FileSystem, commits: Path): Seq[Long] = {
+    if (!fs.exists(commits)) return Seq.empty
+    val husks = fs.listStatus(commits).toSeq
+      .filter(st => st.getPath.getName.forall(_.isDigit) && st.getLen == 0L)
+    husks.map { st =>
+      fs.delete(st.getPath, false)
+      fs.delete(new Path(commits, st.getPath.getName + ".reclaim"), false)
+      st.getPath.getName.toLong
+    }.sorted
   }
 }

@@ -139,6 +139,13 @@ final class PotTable(spark: SparkSession, root: String, path: String) {
     commit(get().join(broadcast(keysDf), Seq("key"), "left_anti"), gen)
   }
 
+  /** Admin recovery for a generation wedged by a crashed writer AND a
+    * crashed reclaimer (see [[CommitMarker.publish]]'s failure-mode note).
+    * Caller guarantees no writer is live. Returns repaired generations.
+    */
+  def repair(): Seq[Long] =
+    CommitMarker.repair(fs, new Path(s"$dir/_commits"))
+
   /** Snapshot/export (Zip, server.go:550-614): materialize the current
     * version to an export directory. Returns the manifest.
     */
@@ -209,18 +216,23 @@ object PotTable {
     manifest
   }
 
-  /** ListPaths (server.go:425-466): enumerate pots under a root — here,
-    * directories holding a `_commits` child (the data.json-suffix filter
-    * analogue), internal dirs excluded like `.potlock`s are.
+  /** ListPaths (server.go:425-466): enumerate pots under a root — like the
+    * reference's prefix listing, paths may be NESTED ("locks/job"), so this
+    * walks directories recursively; a pot = any dir holding a `_commits`
+    * child. Pot-internal dirs (`data/`, `_commits/`) are not descended
+    * into, the way `.potlock`s are excluded from the reference's listings.
     */
   def listPaths(spark: SparkSession, root: String): Seq[String] = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(rootPath)) return Seq.empty
-    fs.listStatus(rootPath)
-      .filter(_.isDirectory)
-      .map(_.getPath.getName)
-      .filter(n => fs.exists(new Path(s"$root/$n/_commits")))
-      .sorted.toSeq
+    def walk(dir: Path, rel: String): Seq[String] =
+      fs.listStatus(dir).toSeq.filter(_.isDirectory).flatMap { st =>
+        val name = st.getPath.getName
+        val path = if (rel.isEmpty) name else s"$rel/$name"
+        if (fs.exists(new Path(st.getPath, "_commits"))) Seq(path)
+        else walk(st.getPath, path)
+      }
+    walk(rootPath, "").sorted
   }
 }

@@ -80,13 +80,37 @@ class KvSpec extends AnyFunSuite {
     assert(pot.get().select("owner").as[String].collect().head === "secondary")
   }
 
-  test("listPaths finds committed pots only (TestListPaths)") {
+  test("listPaths finds committed pots only, including nested paths (TestListPaths)") {
     val root = tmpRoot()
     assert(PotTable.listPaths(spark, root) === Seq.empty)
     PotTable(spark, root, "alpha").upsert(Seq(("k", 1)).toDF("key", "v"))
     PotTable(spark, root, "beta").upsert(Seq(("k", 2)).toDF("key", "v"))
+    PotTable(spark, root, "locks/job").upsert(Seq(("k", 3)).toDF("key", "v"))
     new java.io.File(s"$root/not-a-pot").mkdirs()
-    assert(PotTable.listPaths(spark, root) === Seq("alpha", "beta"))
+    assert(PotTable.listPaths(spark, root) === Seq("alpha", "beta", "locks/job"))
+  }
+
+  test("double-crash wedge is diagnosable and repairable (repair)") {
+    val root = tmpRoot()
+    val pot = PotTable(spark, root, "t")
+    pot.upsert(Seq(("a", 1)).toDF("key", "v"))
+    // writer crashed between create and close (husk at gen 2), AND the
+    // reclaimer that found it crashed after winning the reclaim file
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.create(new org.apache.hadoop.fs.Path(s"$root/t/_commits/2"), false).close()
+    fs.create(new org.apache.hadoop.fs.Path(s"$root/t/_commits/2.reclaim"), false).close()
+
+    val e = intercept[PotTable.CommitConflict] {
+      pot.upsert(Seq(("b", 2)).toDF("key", "v"))
+    }
+    assert(e.getMessage.contains("repair"), e.getMessage)
+
+    assert(pot.repair() === Seq(2L))
+    pot.upsert(Seq(("b", 2)).toDF("key", "v"))
+    assert(pot.generation === 2L)
+    assert(pot.get().select("key", "v").as[(String, Int)].collect().toMap
+      === Map("a" -> 1, "b" -> 2))
   }
 
   test("crash husk between marker create and close: ignored, then reclaimed") {
@@ -146,11 +170,13 @@ class KvSpec extends AnyFunSuite {
     val beta = PotTable(spark, root, "beta")
     beta.upsert(Seq(("b", 1)).toDF("key", "v"))
     beta.upsert(Seq(("b", 2), ("c", 3)).toDF("key", "v")) // gen 2
+    PotTable(spark, root, "nested/inner").upsert(Seq(("n", 9)).toDF("key", "v"))
     new java.io.File(s"$root/not-a-pot").mkdirs() // internal noise: excluded
     val out = s"$root/_bundle"
     val manifest = PotTable.snapshotAll(spark, root, out)
       .as[(String, Long)].collect().toMap
-    assert(manifest === Map("alpha" -> 1L, "beta" -> 2L))
+    assert(manifest === Map("alpha" -> 1L, "beta" -> 2L, "nested/inner" -> 1L))
+    assert(spark.read.parquet(s"$out/nested/inner").count() === 1L)
     assert(spark.read.parquet(s"$out/alpha").count() === 1L)
     assert(spark.read.parquet(s"$out/beta").select("key").as[String]
       .collect().toSet === Set("b", "c"))
