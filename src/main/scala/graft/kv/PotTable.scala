@@ -62,6 +62,45 @@ final class PotTable(spark: SparkSession, root: String, path: String) {
     else spark.read.parquet(readMarker(gen))
   }
 
+  /** Read a SPECIFIC committed generation (time travel). Works for any
+    * generation whose staged data a vacuum retention window still holds
+    * (the reference exposes the same handle as the GCS object generation;
+    * here every committed marker is a readable version pointer).
+    */
+  def getAt(gen: Long): DataFrame =
+    if (gen == 0L) spark.emptyDataFrame
+    else spark.read.parquet(readMarker(gen))
+
+  /** Change feed between two committed generations (CDC): one row per key
+    * whose document was added, removed, or changed from `fromGen` to
+    * `toGen` — unchanged keys are not emitted. `change` is one of
+    * 'added'/'removed'/'changed'. Payload identity = md5 of the canonical
+    * JSON of all non-internal columns (sorted by name; `_modified` is a
+    * write timestamp, not document content, so it never flags a change by
+    * itself). One full-outer join keyed by `key` — the same single-shuffle
+    * shape as upsert, so a 100 TB diff is one co-partitioned merge.
+    */
+  def diff(fromGen: Long, toGen: Long): DataFrame = {
+    def keyed(g: Long): DataFrame = {
+      val df = getAt(g)
+      if (!df.columns.contains("key"))
+        return Seq.empty[(String, String)].toDF("key", "h")
+      val payload = df.columns.filter(c => c != "key" && c != "_modified").sorted
+      df.select($"key",
+        md5(to_json(struct(payload.map(col).toSeq: _*))).as("h"))
+    }
+    val a = keyed(fromGen).withColumnRenamed("h", "h_from")
+    val b = keyed(toGen).withColumnRenamed("h", "h_to")
+    a.join(b, Seq("key"), "full_outer")
+      .withColumn("change",
+        when($"h_from".isNull, lit("added"))
+          .when($"h_to".isNull, lit("removed"))
+          .when($"h_from" =!= $"h_to", lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter($"change" =!= "unchanged")
+      .select($"key", $"change")
+  }
+
   /** Stage `df` under a unique path, then atomically publish it as
     * generation `expectedGen`+1 iff no other writer got there first.
     */

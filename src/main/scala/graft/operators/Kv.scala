@@ -155,18 +155,88 @@ object Kv {
     pot.snapshot(s"$root/_export")
   }
 
+  /** Generation diff / change feed (CDC — the data semantics of
+    * [[PotTable.diff]], replayed over fixtures so the oracle can check it):
+    * BEFORE = customer; AFTER = kv1's upsert (every 10th: balance+1000, seg
+    * UPDATED) + kv2's delete (every 7th) + an insert batch (every 13th
+    * re-keyed +1000000). One full-outer join by key classifies every key as
+    * added/removed/changed; unchanged keys are suppressed — the single-
+    * shuffle merge shape that makes a 100 TB diff one co-partitioned pass.
+    */
+  def generationDiff(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val before = Tables.customer(s, d)
+      .select($"c_custkey".as("key"), $"c_acctbal", $"c_mktsegment")
+    val updated = before
+      .withColumn("c_acctbal",
+        when($"key" % 10 === 0, $"c_acctbal" + 1000.0).otherwise($"c_acctbal"))
+      .withColumn("c_mktsegment",
+        when($"key" % 10 === 0, lit("UPDATED")).otherwise($"c_mktsegment"))
+    val inserts = before.filter($"key" % 13 === 0)
+      .select(($"key" + 1000000L).as("key"), $"c_acctbal", $"c_mktsegment")
+    val after = updated.filter($"key" % 7 =!= 0).unionByName(inserts)
+    val a = before.select($"key",
+      $"c_acctbal".as("bal_before"), $"c_mktsegment".as("seg_before"))
+    val b = after.select($"key",
+      $"c_acctbal".as("bal_after"), $"c_mktsegment".as("seg_after"))
+    a.join(b, Seq("key"), "full_outer")
+      .withColumn("change",
+        when($"bal_before".isNull, lit("added"))
+          .when($"bal_after".isNull, lit("removed"))
+          .when($"bal_before" =!= $"bal_after" ||
+            $"seg_before" =!= $"seg_after", lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter($"change" =!= "unchanged")
+      .select($"key", $"change", $"bal_before", $"bal_after")
+      .orderBy($"key")
+  }
+
+  val generationDiffSql: String =
+    """WITH before_t AS (
+      |  SELECT c_custkey AS key, c_acctbal, c_mktsegment FROM customer),
+      |updated AS (
+      |  SELECT key,
+      |    CASE WHEN key % 10 = 0 THEN c_acctbal + 1000.0 ELSE c_acctbal END AS c_acctbal,
+      |    CASE WHEN key % 10 = 0 THEN 'UPDATED' ELSE c_mktsegment END AS c_mktsegment
+      |  FROM before_t),
+      |inserts AS (
+      |  SELECT key + 1000000 AS key, c_acctbal, c_mktsegment
+      |  FROM before_t WHERE key % 13 = 0),
+      |after_t AS (
+      |  SELECT * FROM updated WHERE key % 7 <> 0
+      |  UNION ALL SELECT * FROM inserts),
+      |joined AS (
+      |  SELECT COALESCE(a.key, b.key) AS key,
+      |    a.c_acctbal AS bal_before, a.c_mktsegment AS seg_before,
+      |    b.c_acctbal AS bal_after, b.c_mktsegment AS seg_after
+      |  FROM before_t a FULL OUTER JOIN after_t b ON a.key = b.key)
+      |SELECT key,
+      |  CASE WHEN bal_before IS NULL THEN 'added'
+      |       WHEN bal_after IS NULL THEN 'removed'
+      |       WHEN bal_before <> bal_after OR seg_before <> seg_after THEN 'changed'
+      |       ELSE 'unchanged' END AS change,
+      |  bal_before, bal_after
+      |FROM joined
+      |WHERE CASE WHEN bal_before IS NULL THEN 'added'
+      |           WHEN bal_after IS NULL THEN 'removed'
+      |           WHEN bal_before <> bal_after OR seg_before <> seg_after THEN 'changed'
+      |           ELSE 'unchanged' END <> 'unchanged'
+      |ORDER BY key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "kv1_upsert_merge"    -> (upsertMerge _),
     "kv2_delete_anti"     -> (deleteAnti _),
     "kv3_key_derivation"  -> (keyDerivation _),
     "kv4_conflict_detect" -> (conflictDetect _),
     "kv5_list_tables"     -> (listTables _),
-    "kv6_snapshot"        -> (snapshotOp _))
+    "kv6_snapshot"        -> (snapshotOp _),
+    "kv7_generation_diff" -> (generationDiff _))
 
   val oracle: Map[String, String] = Map(
     "kv1_upsert_merge"    -> upsertMergeSql,
     "kv2_delete_anti"     -> deleteAntiSql,
     "kv3_key_derivation"  -> keyDerivationSql,
     "kv4_conflict_detect" -> conflictDetectSql,
-    "kv5_list_tables"     -> listTablesSql)
+    "kv5_list_tables"     -> listTablesSql,
+    "kv7_generation_diff" -> generationDiffSql)
 }

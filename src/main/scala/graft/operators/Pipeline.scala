@@ -172,15 +172,69 @@ object Pipeline {
       .replace("__SH__", Dedup.shinglesCte)
       .replace("__BANDS__", Dedup.bandsCte)
 
+  /** p5: benchmark decontamination — the eval-leakage check every training
+    * corpus needs: flag eval-set docs (source 'src19' plays the benchmark)
+    * sharing any word-4-gram with the training split. Shapes: distinct
+    * 4-gram sets per side (map + partial-agg), train side collapsed to a
+    * DISTINCT shingle set BEFORE the join (so a boilerplate 4-gram
+    * contributes one row, not df rows — the same hot-key discipline as
+    * d3's df cap), then one equi-join keyed by the shingle and a per-doc
+    * count. Eval is the small side — at 100 TB train the join broadcasts
+    * the eval shingle set and the train scan stays shuffle-free.
+    */
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val EvalSrc = "src19"
+    val sh = Tables.documents(s, d)
+      .select($"doc_id", $"source", split(lower($"text"), " ").as("w"))
+      .filter(size($"w") >= 4)
+      .select($"doc_id", $"source", explode(expr(
+        "transform(sequence(0, size(w)-4), i -> concat_ws(' ', slice(w, i+1, 4)))"))
+        .as("sh"))
+      .distinct()
+    val train = sh.filter($"source" =!= EvalSrc).select($"sh").distinct()
+    val ev = sh.filter($"source" === EvalSrc)
+    val totals = ev.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
+    val hits = ev.join(train, Seq("sh"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("h"))
+    totals.join(hits, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_shingles",
+        coalesce($"h", lit(0L)).as("hits"),
+        (coalesce($"h", lit(0L)) > 0).as("contaminated"))
+      .orderBy($"doc_id")
+  }
+
+  val decontaminateSql: String =
+    """WITH words AS (
+      |  SELECT doc_id, source, string_split(lower(text), ' ') AS w FROM documents),
+      |tok AS (SELECT doc_id, source, unnest(w) AS word, generate_subscripts(w, 1) AS i
+      |        FROM words WHERE len(w) >= 4),
+      |sh4 AS (SELECT doc_id, source,
+      |          word || ' ' || LEAD(word,1) OVER win || ' ' || LEAD(word,2) OVER win
+      |               || ' ' || LEAD(word,3) OVER win AS sh
+      |        FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+      |shc AS (SELECT DISTINCT doc_id, source, sh FROM sh4 WHERE sh IS NOT NULL),
+      |train AS (SELECT DISTINCT sh FROM shc WHERE source <> 'src19'),
+      |ev AS (SELECT doc_id, sh FROM shc WHERE source = 'src19'),
+      |agg AS (
+      |  SELECT doc_id, COUNT(*) AS n_shingles,
+      |    COUNT(*) FILTER (WHERE sh IN (SELECT sh FROM train)) AS hits
+      |  FROM ev GROUP BY doc_id)
+      |SELECT doc_id, n_shingles, hits, hits > 0 AS contaminated
+      |FROM agg
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_corpus_filter"     -> (corpusFilter _),
     "p2_stratified_sample" -> (stratifiedSample _),
     "p3_token_pack"        -> (tokenPack _),
-    "p4_incremental_dedup" -> (incrementalDedup _))
+    "p4_incremental_dedup" -> (incrementalDedup _),
+    "p5_decontaminate"     -> (decontaminate _))
 
   val oracle: Map[String, String] = Map(
     "p1_corpus_filter"     -> corpusFilterSql,
     "p2_stratified_sample" -> stratifiedSampleSql,
     "p3_token_pack"        -> tokenPackSql,
-    "p4_incremental_dedup" -> incrementalDedupSql)
+    "p4_incremental_dedup" -> incrementalDedupSql,
+    "p5_decontaminate"     -> decontaminateSql)
 }

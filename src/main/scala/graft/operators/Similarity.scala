@@ -219,15 +219,69 @@ object Similarity {
        |ORDER BY score DESC, e.vec_id ASC
        |LIMIT 10""".stripMargin
 
+  /** s5: int8-quantized search — the memory-bound trick every
+    * billion-vector deployment uses: store 4x smaller symmetric int8
+    * codes (per-vector scale = 127/max|x|), rank by the INTEGER dot
+    * (SIMD-friendly, exact integer arithmetic => bit-identical on any
+    * engine), return the top-20 by quantized score. Quantization uses
+    * floor (not round) because the two engines' rounding modes differ at
+    * .5 boundaries while floor is unambiguous; every step from the float
+    * load to the int sum is the same IEEE op sequence on both sides, so
+    * the codes — not just the ranking — hash-match. Scale shape: a narrow
+    * map to codes (at 100 TB the codes are what you PERSIST — 64 B/vec),
+    * broadcast query code, TakeOrderedAndProject.
+    */
+  def quantizedTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qcode = expr(
+      """transform(embedding, x ->
+        |  CAST(floor(CAST(x AS DOUBLE) *
+        |    (127.0 / aggregate(embedding, CAST(0.0 AS DOUBLE),
+        |       (m, v) -> greatest(m, abs(CAST(v AS DOUBLE)))))) AS INT))"""
+        .stripMargin)
+    val e = Tables.embeddings(s, d).withColumn("code", qcode)
+    val q = e.filter($"vec_id" === 0).select($"code".as("qc"))
+    e.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= 0)
+      .select($"vec_id", $"label",
+        expr("""aggregate(zip_with(code, qc, (x, y) -> CAST(x AS BIGINT) * y),
+                |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin)
+          .as("qdot"))
+      .orderBy($"qdot".desc, $"vec_id".asc)
+      .limit(20)
+  }
+
+  val quantizedTopKSql: String =
+    s"""WITH codes AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x ->
+       |      CAST(floor(CAST(x AS DOUBLE) *
+       |        (127.0 / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))),
+       |           (m, v) -> greatest(m, v)))) AS INTEGER)) AS code
+       |  FROM embeddings),
+       |q AS (SELECT code AS qc FROM codes WHERE vec_id = 0)
+       |SELECT e.vec_id, e.label,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(range(1, len(e.code) + 1),
+       |      i -> CAST(e.code[i] AS BIGINT) * q.qc[i])),
+       |    (acc, v) -> acc + v) AS qdot
+       |FROM codes e CROSS JOIN q
+       |WHERE e.vec_id <> 0
+       |ORDER BY qdot DESC, e.vec_id ASC
+       |LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk"     -> (bruteForceTopK _),
     "s2_ann_lsh"         -> (annLsh _),
     "s3_ann_multiprobe"  -> (annMultiProbe _),
-    "s4_ann_ivf"         -> (annIvf _))
+    "s4_ann_ivf"         -> (annIvf _),
+    "s5_quantized_topk"  -> (quantizedTopK _))
 
   val oracle: Map[String, String] = Map(
     "s1_cosine_topk"     -> bruteForceTopKSql,
     "s2_ann_lsh"         -> annLshSql,
     "s3_ann_multiprobe"  -> annMultiProbeSql,
-    "s4_ann_ivf"         -> annIvfSql)
+    "s4_ann_ivf"         -> annIvfSql,
+    "s5_quantized_topk"  -> quantizedTopKSql)
 }

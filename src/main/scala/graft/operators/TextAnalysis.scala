@@ -198,17 +198,71 @@ object TextAnalysis {
       |ORDER BY df DESC, word ASC
       |LIMIT 30""".stripMargin
 
+  /** t6: PII scrubbing — the redaction pass a training corpus runs before
+    * anything else: emails -> <EMAIL>, phone-shaped digits -> <PHONE>,
+    * leftover digit runs -> #. The contact blob is synthesized from
+    * customer integer keys (deterministic on both engines — no
+    * double->string formatting), the scrub itself is the real operator:
+    * ordered regexp_replace passes + pre-redaction match counts, all
+    * map-side inside whole-stage codegen (the 100 TB shape: a narrow
+    * projection, no shuffle until the final sort the driver compare needs).
+    */
+  def piiScrub(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "[0-9]{3}-[0-9]{4}"
+    val blob = concat(
+      $"c_name", lit(" ph "),
+      lpad(($"c_custkey" % 1000).cast("string"), 3, "0"), lit("-"),
+      lpad(($"c_custkey" % 10000).cast("string"), 4, "0"),
+      lit(" mail user"), $"c_custkey".cast("string"), lit("@example.com"),
+      lit(" seg "), $"c_mktsegment")
+    Tables.customer(s, d)
+      .withColumn("contact", blob)
+      .select(
+        $"c_custkey",
+        size(regexp_extract_all($"contact", lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all($"contact", lit(phoneRe), lit(0))).as("n_phones"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace($"contact", emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>"),
+          "[0-9]+", "#").as("scrubbed"))
+      .orderBy($"c_custkey")
+  }
+
+  val piiScrubSql: String =
+    """WITH blob AS (
+      |  SELECT c_custkey,
+      |    c_name || ' ph ' || lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0')
+      |      || '-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+      |      || ' mail user' || CAST(c_custkey AS VARCHAR) || '@example.com'
+      |      || ' seg ' || c_mktsegment AS contact
+      |  FROM customer)
+      |SELECT c_custkey,
+      |  CAST(len(regexp_extract_all(contact, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_emails,
+      |  CAST(len(regexp_extract_all(contact, '[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phones,
+      |  regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(contact, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |      '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+      |    '[0-9]+', '#', 'g') AS scrubbed
+      |FROM blob
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_langid"       -> (langId _),
     "t2_quality"      -> (quality _),
     "t3_token_counts" -> (tokenCounts _),
     "t4_fingerprint"  -> (fingerprint _),
-    "t5_term_stats"   -> (termStats _))
+    "t5_term_stats"   -> (termStats _),
+    "t6_pii_scrub"    -> (piiScrub _))
 
   val oracle: Map[String, String] = Map(
     "t1_langid"       -> langIdSql,
     "t2_quality"      -> qualitySql,
     "t3_token_counts" -> tokenCountsSql,
     "t4_fingerprint"  -> fingerprintSql,
-    "t5_term_stats"   -> termStatsSql)
+    "t5_term_stats"   -> termStatsSql,
+    "t6_pii_scrub"    -> piiScrubSql)
 }
