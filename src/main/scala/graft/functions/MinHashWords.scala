@@ -15,7 +15,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * md5(concat_ws(' ', w[i..i+k-1]) ++ ":" ++ s) as lowercase hex — value-
   * identical to [[MinHashSignatures]] over
   * `transform(sequence(0, size(w)-k), i -> concat_ws(' ', slice(w, i+1, k)))`
-  * (MinHashWordsSpec proves the equivalence), and byte-identical to the
+  * for inputs with size(w) >= k — the composed form THROWS on shorter arrays
+  * (descending `sequence`), where this expression returns null
+  * (MinHashWordsSpec proves the equivalence on the guarded domain), and
+  * byte-identical to the
   * DuckDB oracle's `min(md5(sh || ':' || s))` over the same shingling.
   *
   * Why fuse shingling into the expression instead of composing Catalyst

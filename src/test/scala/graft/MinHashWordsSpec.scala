@@ -14,9 +14,16 @@ class MinHashWordsSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
 
+  // The composed form is only defined for size(w) >= k: sequence(0, size-k)
+  // with size < k produces a DESCENDING sequence and slice(w, 0, k) throws.
+  // Production callers (Dedup.scala) filter size(w) >= k before shingling;
+  // MinHashWords itself returns null for shorter inputs, so the guard here
+  // makes the composed reference agree on the same rows.
   private def composed(k: Int, seeds: Int) =
     MinHashSignatures.minhashes(
-      expr(s"transform(sequence(0, size(w)-$k), i -> concat_ws(' ', slice(w, i+1, $k)))"),
+      expr(s"if(size(w) >= $k, " +
+        s"transform(sequence(0, size(w)-$k), i -> concat_ws(' ', slice(w, i+1, $k))), " +
+        "null)"),
       seeds)
 
   test("matches the composed transform+minhashes form on random word arrays") {
