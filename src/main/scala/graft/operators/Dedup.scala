@@ -162,26 +162,40 @@ object Dedup {
     */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // ONE shuffle keyed by shingle does all three jobs at once:
-    // collect_set dedups (doc, shingle) — subsuming the separate distinct
-    // shuffle — its size IS the document frequency — subsuming the df-cap
-    // count-window — and the kept buckets are the co-occurrence sets the
-    // pair join needs. The round-3 window+self-join shape paid three
-    // shingle-keyed shuffles of the full shingle strings; this pays one.
-    // In-bucket pair expansion is bounded at cap^2 per bucket (the same
-    // bound the join had), and the hot shingle still costs O(k): partial
-    // collect_set caps nothing here, but the size filter drops it before
-    // any pair is materialized.
-    val buckets = words(s, d)
+    // Map side: hash the shingle INSIDE the transform. Variadic xxhash64
+    // chains over the three words directly — no slice/concat_ws string is
+    // ever materialized, and 8 bytes cross the shuffle instead of
+    // arbitrary-length strings. (A 64-bit collision merges two shingles'
+    // doc sets: odds ~1e-8 at fixture scale, immaterial jaccard noise at
+    // corpus scale.) array_distinct dedups within-doc repeats BEFORE the
+    // explode; doc_id is unique in `documents`, so (doc_id, h) is globally
+    // distinct with NO distinct shuffle at all.
+    // The explicit repartition pins ONE physical h-keyed exchange that both
+    // consumers below (df-count and semi-join probe) share via
+    // ReuseExchange — without it each branch re-runs scan+explode+md5.
+    // After it, count, semi-join, and collect_set are all h-co-partitioned:
+    // one shuffle of docSh total, shingling computed exactly once.
+    val docSh = words(s, d)
       .filter(size($"w") >= 3)
-      .select($"doc_id", explode(
-        expr("transform(sequence(0, size(w)-3), i -> concat_ws(' ', slice(w, i+1, 3)))"))
-        .as("sh"))
-      .groupBy($"sh").agg(collect_set($"doc_id").as("ids"))
-      .filter(size($"ids") <= ShingleDfCap)
-    val cnt = buckets.select(explode($"ids").as("doc_id"))
-      .groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    val common = buckets
+      .select($"doc_id", explode(expr(
+        """array_distinct(transform(sequence(0, size(w)-3),
+          |  i -> xxhash64(w[i], w[i+1], w[i+2])))""".stripMargin))
+        .as("h"))
+      .repartition($"h")
+    // Df-cap FIRST via a count aggregate — partial aggregation keeps each
+    // task's state at (hash, long), so a boilerplate shingle with df = 10^8
+    // costs a counter, never a materialized doc list. Only shingles under
+    // the cap reach collect_set, whose per-key buffer is then bounded at
+    // ShingleDfCap doc ids. (The previous shape collect_set-ed the full
+    // doc list and size-filtered AFTER — O(df) memory in one reducer.)
+    val ok = docSh.groupBy($"h").agg(count(lit(1)).as("df"))
+      .filter($"df" <= ShingleDfCap)
+    // ScaleSpec pins the shape: collect_set consumes the LeftSemi, so no
+    // reducer ever buffers an uncapped doc list.
+    val kept = docSh.join(ok.select($"h"), Seq("h"), "left_semi")
+    val cnt = kept.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val common = kept
+      .groupBy($"h").agg(collect_set($"doc_id").as("ids"))
       .filter(size($"ids") >= 2)
       .select(explode(expr(
         "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))), p -> p.a < p.b)"))

@@ -42,6 +42,24 @@ class ScaleSpec extends AnyFunSuite {
       s"expected only the genuine near-dup pairs, got ${rows.toSet}")
   }
 
+  test("d3 df cap is a count-agg prefilter: no reducer holds an uncapped doc list") {
+    // The boilerplate shingle (df=150) must be dropped by the cheap
+    // groupBy(h).count() aggregate + LeftSemi join BEFORE collect_set runs,
+    // so the only aggregation buffers holding doc-id lists are df-capped.
+    // Guard the plan shape: a LeftSemi join feeds the collect_set, and the
+    // two h-keyed shuffles of docSh collapse into one ReusedExchange.
+    val dir = syntheticDocsDir()
+    val plan = Dedup.ngramJaccard(spark, dir).queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"df-cap semi-join missing from plan:\n$plan")
+    assert(plan.contains("collect_set"), s"bucket build missing from plan:\n$plan")
+    // Printed tree is consumer-first: every collect_set aggregate must sit
+    // ABOVE (consume) a LeftSemi — i.e. the df filter ran before any doc
+    // list is buffered. (Locally the small `ok` side broadcasts, so the
+    // probe never shuffles at all; at scale it degrades to a shuffle join.)
+    assert(plan.indexOf("collect_set") < plan.indexOf("LeftSemi"),
+      s"collect_set must consume the df-capped semi-join, plan:\n$plan")
+  }
+
   test("d2 LSH bucket cap drops degenerate buckets, keeps genuine near-dups") {
     // the 150 identical docs share every band signature -> bucket size 150
     // > cap 100 -> dropped (quadratic in-bucket pair expansion); the size-3
