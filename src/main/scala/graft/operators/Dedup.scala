@@ -9,8 +9,12 @@ import org.apache.spark.sql.functions._
   * the LLM-training-data pipeline surface (BASELINE.json north_star): exact,
   * MinHash+LSH banding, n-gram Jaccard, SimHash, embedding-cosine near-dup.
   *
-  * Hashing is md5-based end-to-end so the DuckDB oracle replays every
-  * operator bit-for-bit (both engines emit identical lowercase-hex md5).
+  * Hashing is md5-based wherever the hash VALUE is part of the result
+  * (d1/d2/d4 — both engines emit identical lowercase-hex md5). d3 is the
+  * one exception: its shingle keys are Spark xxhash64 values used only as
+  * join/grouping keys (never emitted), while the oracle joins on the exact
+  * shingle strings — equality holds modulo 64-bit collisions (see
+  * [[ngramJaccard]] for the quantified, accepted collision bound).
   *
   * Scale shapes (the part that matters at 100 TB):
   *   - shingling/minhashing is a narrow map + partial-aggregate per (doc,
@@ -31,18 +35,12 @@ object Dedup {
       .select($"doc_id", split(lower($"text"), " ").as("w"))
   }
 
-  /** Distinct word-3-gram shingles per doc. */
-  private[operators] def shingles(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    words(s, d)
-      .filter(size($"w") >= 3)
-      .select($"doc_id", explode(
-        expr("transform(sequence(0, size(w)-3), i -> concat_ws(' ', slice(w, i+1, 3)))"))
-        .as("sh"))
-      .distinct()
-  }
-
-  /** Shared oracle CTE: identical shingling in DuckDB (window-lead form). */
+  /** Shared oracle CTE: distinct word-3-gram shingles per doc in DuckDB
+    * (window-lead form) — the string-domain shingling that the fused
+    * Spark-side forms mirror (MinHashWords' digest loop for d2, hashed
+    * shingle keys for d3). There is deliberately no Spark-side string
+    * materialization of this set anymore.
+    */
   private[operators] val shinglesCte: String =
     """words AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
       |tok AS (SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i
@@ -154,11 +152,18 @@ object Dedup {
     */
   val ShingleDfCap = 50
 
-  /** n-gram Jaccard: true shingle-set similarity >= 0.8 via shingle
-    * co-occurrence join. Exact-integer jaccard (c / (na+nb-c)) so the double
-    * division is engine-identical. Jaccard is over the df-capped shingle
-    * sets — see [[ShingleDfCap]]; the cap is applied before BOTH the
-    * per-doc counts and the co-occurrence join, mirrored in the oracle CTE.
+  /** n-gram Jaccard: shingle-set similarity >= 0.8 via shingle
+    * co-occurrence join, computed over the xxhash64-HASHED shingle domain
+    * (the oracle joins exact strings): a 64-bit collision merges two
+    * shingles' doc sets, so engine equality is modulo that collision —
+    * birthday bound ~3 expected collisions at 10^10 distinct shingles,
+    * ~1e-8 at fixture scale, immaterial jaccard noise either way, accepted
+    * deliberately for the 8-byte shuffle key. Re-verify d3 after any
+    * fixture/vocab change. Exact-integer jaccard (c / (na+nb-c)) so the
+    * double division is engine-identical. Jaccard is over the df-capped
+    * shingle sets — see [[ShingleDfCap]]; the cap is applied before BOTH
+    * the per-doc counts and the co-occurrence join, mirrored in the oracle
+    * CTE.
     */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

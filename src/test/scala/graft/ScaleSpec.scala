@@ -49,15 +49,27 @@ class ScaleSpec extends AnyFunSuite {
     // Guard the plan shape: a LeftSemi join feeds the collect_set, and the
     // two h-keyed shuffles of docSh collapse into one ReusedExchange.
     val dir = syntheticDocsDir()
-    val plan = Dedup.ngramJaccard(spark, dir).queryExecution.executedPlan.toString
-    assert(plan.contains("LeftSemi"), s"df-cap semi-join missing from plan:\n$plan")
-    assert(plan.contains("collect_set"), s"bucket build missing from plan:\n$plan")
-    // Printed tree is consumer-first: every collect_set aggregate must sit
-    // ABOVE (consume) a LeftSemi — i.e. the df filter ran before any doc
-    // list is buffered. (Locally the small `ok` side broadcasts, so the
-    // probe never shuffles at all; at scale it degrades to a shuffle join.)
-    assert(plan.indexOf("collect_set") < plan.indexOf("LeftSemi"),
-      s"collect_set must consume the df-capped semi-join, plan:\n$plan")
+    // Structural (not string-order) check on the optimized logical plan:
+    // the aggregate that builds doc-id lists (collect_set) must have the
+    // df-cap LeftSemi join in its SUBTREE — i.e. the cheap count filter ran
+    // before any doc list is buffered. (Locally the small `ok` side
+    // broadcasts, so the probe never shuffles; at scale it degrades to a
+    // shuffle join — either way the logical shape below is what guarantees
+    // bounded reducer memory.)
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val optimized = Dedup.ngramJaccard(spark, dir).queryExecution.optimizedPlan
+    val collectSetAggs = optimized.collect {
+      case a: Aggregate if a.aggregateExpressions.exists(
+        _.exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.aggregate.CollectSet])) => a
+    }
+    assert(collectSetAggs.nonEmpty, s"bucket build missing from plan:\n$optimized")
+    collectSetAggs.foreach { agg =>
+      val semis = agg.child.collect { case j: Join if j.joinType == LeftSemi => j }
+      assert(semis.nonEmpty,
+        s"collect_set aggregate is not fed by the df-cap LeftSemi join:\n$agg")
+    }
   }
 
   test("d2 LSH bucket cap drops degenerate buckets, keeps genuine near-dups") {
