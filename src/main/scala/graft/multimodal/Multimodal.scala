@@ -1,5 +1,8 @@
 package graft.multimodal
 
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
@@ -8,13 +11,26 @@ import org.apache.spark.sql.functions._
   * as opaque `binary` columns + typed metadata, with decode/feature-extract
   * as batched per-partition functions.
   *
-  * The container has no media codecs, so `decodeStub` is a clearly-marked
-  * deterministic FAKE decode; everything around it — schema, Dataset[T]
-  * encoders, mapPartitions batch shape, partitioning — is the real 100 TB
-  * plumbing: a production decoder drops into [[decodeBatch]] unchanged. The
-  * equivalent PySpark shape is `mapInPandas` with an Arrow batch per
-  * partition; in Scala the idiomatic form is a typed mapPartitions, which
-  * keeps the bytes in one pass and never collects to the driver.
+  * The container has no media codec libraries, so the fixtures carry a
+  * synthesized "graft container" format instead of PNG/WAV/MP4 — but the
+  * DECODE is real: [[decode]] parses the raw bytes only (magic → mime,
+  * ASCII header fields → dimensions, md5 over the payload slice), exactly
+  * like a production demuxer reads a RIFF/ISOBMFF header, and knows nothing
+  * about how the bytes were synthesized. Everything around it — schema,
+  * Dataset[T] encoders, mapPartitions batch shape with per-partition codec
+  * init, partitioning — is the real 100 TB plumbing: a libpng/ffmpeg-backed
+  * decoder drops into [[decodeBatch]] unchanged. The equivalent PySpark
+  * shape is `mapInPandas` with an Arrow batch per partition; in Scala the
+  * idiomatic form is a typed mapPartitions, which keeps the bytes in one
+  * pass and never collects to the driver.
+  *
+  * Container layout (all-ASCII header, arbitrary payload bytes):
+  * {{{
+  *   <magic:4>|w=<int>|h=<int>|c=<int>|f=<int>|<payload bytes...>
+  * }}}
+  * magic ∈ {GIMG, GAUD, GVID}. The DuckDB oracle verifies the decode by
+  * asserting the parsed features equal the known synthesis parameters —
+  * the exact-inverse property a codec round-trip test checks.
   */
 object Multimodal {
 
@@ -22,52 +38,88 @@ object Multimodal {
   final case class MediaRecord(
       media_id: Long, media: Array[Byte], mime: String, source: String)
 
-  /** Typed decode output. */
+  /** Typed decode output — every field except `media_id` (the row key)
+    * derives from the container BYTES alone.
+    */
   final case class MediaFeatures(
-      media_id: Long, mime: String, n_bytes: Int, checksum: String,
-      width: Int, height: Int, n_frames: Int)
+      media_id: Long, mime: String, width: Int, height: Int, channels: Int,
+      n_frames: Int, n_payload: Int, checksum_md5: String)
 
-  /** Synthesize a binary corpus from `documents` (fixtures carry no real
-    * media; bytes are the UTF-8 text, mime assigned round-robin).
+  /** Synthesize the binary corpus from `documents` (fixtures carry no real
+    * media): payload is the UTF-8 text, container header carries dimensions
+    * derived from doc_id, mime assigned round-robin. At 100 TB this select
+    * is replaced by a scan of real media parquet; nothing downstream cares.
     */
   def mediaTable(s: SparkSession, d: String): Dataset[MediaRecord] = {
     import s.implicits._
+    val kind = ($"doc_id" % 3).cast("int")
+    val magic = element_at(typedLit(Seq("GIMG", "GAUD", "GVID")), kind + 1)
+    val width = (lit(16) + $"doc_id" % 640).cast("string")
+    val height = (lit(16) + ($"doc_id" * 7) % 480).cast("string")
+    val channels = when(kind === 1, lit(1)).otherwise(lit(3)).cast("string")
+    val frames = when(kind === 2, $"doc_id" % 30 + 1).otherwise(lit(1)).cast("string")
     Tables.documents(s, d)
       .select(
         $"doc_id".as("media_id"),
-        $"text".cast("binary").as("media"),
+        concat(magic, lit("|w="), width, lit("|h="), height,
+          lit("|c="), channels, lit("|f="), frames, lit("|"), $"text")
+          .cast("binary").as("media"),
         element_at(
           typedLit(Seq("image/png", "audio/wav", "video/mp4")),
-          ($"doc_id" % 3).cast("int") + 1).as("mime"),
+          kind + 1).as("mime"),
         $"source")
       .as[MediaRecord]
   }
 
-  /** FAKE decode: deterministic pseudo-features from the raw bytes. A real
-    * implementation would decode pixels/samples/frames here; the signature
-    * and batching are what a production decoder plugs into.
+  /** REAL byte-level container decode: magic → mime, ASCII `|x=<int>`
+    * header fields scanned in place, md5 over the payload slice (no copy).
+    * Throws on an unknown magic or malformed header — a decode must fail
+    * loudly, not fabricate features. `md` is the per-partition codec
+    * context threaded in by [[decodeBatch]].
     */
-  private[multimodal] def decodeStub(r: MediaRecord): MediaFeatures = {
-    val n = r.media.length
-    // byte-sum checksum stands in for a perceptual hash
-    var sum = 0L
-    var i = 0
-    while (i < n) { sum += (r.media(i) & 0xff); i += 1 }
-    MediaFeatures(
-      media_id = r.media_id,
-      mime = r.mime,
-      n_bytes = n,
-      checksum = java.lang.Long.toHexString(sum * 2654435761L),
-      width = (n % 640) + 16,
-      height = ((n * 7) % 480) + 16,
-      n_frames = if (r.mime.startsWith("video")) (n % 30) + 1 else 1)
+  private[graft] def decode(r: MediaRecord, md: MessageDigest): MediaFeatures = {
+    val b = r.media
+    require(b.length >= 4, s"media ${r.media_id}: truncated container (${b.length} bytes)")
+    val mime = new String(b, 0, 4, StandardCharsets.US_ASCII) match {
+      case "GIMG" => "image/png"
+      case "GAUD" => "audio/wav"
+      case "GVID" => "video/mp4"
+      case other  => throw new IllegalArgumentException(
+        s"media ${r.media_id}: unknown container magic '$other'")
+    }
+    var pos = 4
+    def intField(tag: Char): Int = {
+      require(pos + 3 <= b.length && b(pos) == '|' && b(pos + 1) == tag &&
+        b(pos + 2) == '=', s"media ${r.media_id}: expected |$tag= at byte $pos")
+      pos += 3
+      var v = 0
+      var any = false
+      while (pos < b.length && b(pos) >= '0' && b(pos) <= '9') {
+        v = v * 10 + (b(pos) - '0'); pos += 1; any = true
+      }
+      require(any, s"media ${r.media_id}: empty |$tag= field")
+      v
+    }
+    val w = intField('w'); val h = intField('h')
+    val c = intField('c'); val f = intField('f')
+    require(pos < b.length && b(pos) == '|',
+      s"media ${r.media_id}: missing payload separator at byte $pos")
+    pos += 1
+    val n = b.length - pos
+    md.reset()
+    md.update(b, pos, n)
+    val checksum = md.digest().map("%02x".format(_)).mkString
+    MediaFeatures(r.media_id, mime, w, h, c, f, n, checksum)
   }
 
-  /** Batched decode: one iterator per partition — a real codec would init
-    * per-partition (load model / codec context) once here, then stream.
+  /** Batched decode: one iterator per partition — the codec context (here a
+    * MessageDigest; in production a decoder/model handle) is initialized
+    * ONCE per partition and reused across the stream.
     */
-  def decodeBatch(it: Iterator[MediaRecord]): Iterator[MediaFeatures] =
-    it.map(decodeStub)
+  def decodeBatch(it: Iterator[MediaRecord]): Iterator[MediaFeatures] = {
+    val md = MessageDigest.getInstance("MD5")
+    it.map(decode(_, md))
+  }
 
   /** Distributed feature extraction over the media table. */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
@@ -75,8 +127,8 @@ object Multimodal {
     media.mapPartitions(decodeBatch)
   }
 
-  /** Oracle-checkable metadata projection (pure SQL-expressible part: byte
-    * length, md5, mime classification).
+  /** Oracle-checkable metadata projection over the raw container bytes
+    * (no decode: byte length, md5 of the whole object, mime class).
     */
   def mediaMeta(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -91,29 +143,59 @@ object Multimodal {
       .orderBy($"media_id")
   }
 
+  /** DuckDB rebuilds the container string with the same synthesis and
+    * checks raw-bytes metadata over it.
+    */
   val mediaMetaSql: String =
-    """SELECT doc_id AS media_id,
-      | ['image/png','audio/wav','video/mp4'][CAST(doc_id % 3 AS INTEGER) + 1] AS mime,
-      | CAST(OCTET_LENGTH(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
-      | md5(text) AS checksum_md5,
-      | CASE WHEN doc_id % 3 = 0 THEN 'still'
-      |      WHEN doc_id % 3 = 1 THEN 'waveform'
-      |      ELSE 'frames' END AS kind
-      |FROM documents
+    """WITH enc AS (
+      |  SELECT doc_id AS media_id,
+      |    ['image/png','audio/wav','video/mp4'][CAST(doc_id % 3 AS INTEGER) + 1] AS mime,
+      |    ['GIMG','GAUD','GVID'][CAST(doc_id % 3 AS INTEGER) + 1]
+      |      || '|w=' || CAST(16 + doc_id % 640 AS VARCHAR)
+      |      || '|h=' || CAST(16 + (doc_id * 7) % 480 AS VARCHAR)
+      |      || '|c=' || CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 3 END AS VARCHAR)
+      |      || '|f=' || CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 30 ELSE 1 END AS VARCHAR)
+      |      || '|' || text AS media
+      |  FROM documents)
+      |SELECT media_id, mime,
+      |  CAST(OCTET_LENGTH(CAST(media AS BLOB)) AS INTEGER) AS n_bytes,
+      |  md5(media) AS checksum_md5,
+      |  CASE WHEN media_id % 3 = 0 THEN 'still'
+      |       WHEN media_id % 3 = 1 THEN 'waveform'
+      |       ELSE 'frames' END AS kind
+      |FROM enc
       |ORDER BY media_id""".stripMargin
 
-  /** Rows-only entry: the full mapPartitions decode pipeline (stubbed codec,
-    * real distributed shape).
+  /** m2: the full mapPartitions decode pipeline. Every output value is
+    * parsed from the container bytes by [[decode]].
     */
   def mediaFeatures(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     extractFeatures(mediaTable(s, d)).toDF().orderBy($"media_id")
   }
 
+  /** The oracle asserts the decoded features equal the synthesis
+    * parameters (decode is the exact inverse of encode), and the payload
+    * checksum/length match md5/length of the original text — DuckDB's md5
+    * hashes the same UTF-8 bytes the JVM digest sees.
+    */
+  val mediaFeaturesSql: String =
+    """SELECT doc_id AS media_id,
+      |  ['image/png','audio/wav','video/mp4'][CAST(doc_id % 3 AS INTEGER) + 1] AS mime,
+      |  CAST(16 + doc_id % 640 AS INTEGER) AS width,
+      |  CAST(16 + (doc_id * 7) % 480 AS INTEGER) AS height,
+      |  CAST(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 3 END AS INTEGER) AS channels,
+      |  CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 30 ELSE 1 END AS INTEGER) AS n_frames,
+      |  CAST(OCTET_LENGTH(CAST(text AS BLOB)) AS INTEGER) AS n_payload,
+      |  md5(text) AS checksum_md5
+      |FROM documents
+      |ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_meta"     -> (mediaMeta _),
     "m2_media_features" -> (mediaFeatures _))
 
   val oracle: Map[String, String] = Map(
-    "m1_media_meta" -> mediaMetaSql)
+    "m1_media_meta"     -> mediaMetaSql,
+    "m2_media_features" -> mediaFeaturesSql)
 }

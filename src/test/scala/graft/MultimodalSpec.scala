@@ -1,18 +1,51 @@
 package graft
 
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
 import graft.multimodal.Multimodal
+import graft.multimodal.Multimodal.MediaRecord
 import org.scalatest.funsuite.AnyFunSuite
 
 class MultimodalSpec extends AnyFunSuite {
   import TestSpark._
 
-  test("media table carries binary payloads with round-robin mime") {
+  private def md = MessageDigest.getInstance("MD5")
+
+  test("media table carries binary containers with round-robin mime") {
     val m = Multimodal.mediaTable(spark, sf)
     val rows = m.collect()
     assert(rows.nonEmpty)
-    assert(rows.forall(_.media.nonEmpty))
+    assert(rows.forall(_.media.length > 4))
     assert(rows.map(_.mime).toSet ===
       Set("image/png", "audio/wav", "video/mp4"))
+    // every container opens with a known magic
+    assert(rows.forall(r =>
+      Set("GIMG", "GAUD", "GVID")(
+        new String(r.media, 0, 4, StandardCharsets.US_ASCII))))
+  }
+
+  test("decode parses header fields and payload checksum from bytes alone") {
+    val payload = "hello wörld" // multi-byte UTF-8 payload
+    val bytes = s"GVID|w=320|h=240|c=3|f=12|$payload".getBytes(StandardCharsets.UTF_8)
+    // mime deliberately wrong in the record: decode must trust the magic
+    val f = Multimodal.decode(MediaRecord(7L, bytes, "image/png", "t"), md)
+    assert(f.mime === "video/mp4")
+    assert(f.width === 320 && f.height === 240 && f.channels === 3)
+    assert(f.n_frames === 12)
+    val payloadBytes = payload.getBytes(StandardCharsets.UTF_8)
+    assert(f.n_payload === payloadBytes.length)
+    assert(f.checksum_md5 ===
+      md.digest(payloadBytes).map("%02x".format(_)).mkString)
+  }
+
+  test("decode fails loudly on unknown magic and malformed headers") {
+    def rec(s: String) =
+      MediaRecord(1L, s.getBytes(StandardCharsets.UTF_8), "x", "t")
+    intercept[IllegalArgumentException](Multimodal.decode(rec("XXXX|w=1|h=1|c=1|f=1|p"), md))
+    intercept[IllegalArgumentException](Multimodal.decode(rec("GIMG|w=|h=1|c=1|f=1|p"), md))
+    intercept[IllegalArgumentException](Multimodal.decode(rec("GIMG|w=1|h=1|c=1|f=1"), md))
+    intercept[IllegalArgumentException](Multimodal.decode(rec("GI"), md))
   }
 
   test("decode pipeline produces deterministic features, distributed") {
@@ -23,10 +56,32 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().map(f => f.media_id -> f).toMap
     assert(feats === again) // partitioning must not change results
     feats.values.foreach { f =>
-      assert(f.n_bytes > 0)
+      assert(f.n_payload > 0)
       assert(f.width >= 16 && f.height >= 16)
       if (f.mime.startsWith("video")) assert(f.n_frames >= 1)
       else assert(f.n_frames === 1)
+      assert(Set(1, 3)(f.channels))
     }
+  }
+
+  test("decode is the exact inverse of the synthesized encode") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // features parsed from bytes must equal the synthesis parameters
+    val decoded = Multimodal.mediaFeatures(spark, sf)
+    val expected = Tables.documents(spark, sf).select(
+      $"doc_id".as("media_id"),
+      element_at(typedLit(Seq("image/png", "audio/wav", "video/mp4")),
+        ($"doc_id" % 3).cast("int") + 1).as("mime"),
+      (lit(16) + $"doc_id" % 640).cast("int").as("width"),
+      (lit(16) + ($"doc_id" * 7) % 480).cast("int").as("height"),
+      when($"doc_id" % 3 === 1, 1).otherwise(3).cast("int").as("channels"),
+      when($"doc_id" % 3 === 2, $"doc_id" % 30 + 1).otherwise(1)
+        .cast("int").as("n_frames"),
+      length($"text".cast("binary")).cast("int").as("n_payload"),
+      md5($"text".cast("binary")).as("checksum_md5"))
+      .orderBy($"media_id")
+    assert(decoded.exceptAll(expected).isEmpty &&
+      expected.exceptAll(decoded).isEmpty)
   }
 }
