@@ -271,17 +271,78 @@ object Similarity {
        |ORDER BY qdot DESC, e.vec_id ASC
        |LIMIT 20""".stripMargin
 
+  /** s6: oracle-checked recall@10 of every ANN variant against the exact
+    * top-10 — the first question a similarity-search user asks of an
+    * approximate index, and the honest price tag on the s2/s3/s4 partition
+    * pruning (s2's single bucket legitimately answers 0 rows on a small
+    * fixture; this entry MEASURES that instead of hiding it). hits and
+    * recall_pct stay in exact integer arithmetic (k = 10, so pct = hits *
+    * 10) — no double division to drift between engines.
+    */
+  def annRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val exact = e.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= 0)
+      .select($"vec_id", VectorFunctions.dot($"embedding", $"qv").as("score"))
+      .orderBy($"score".desc, $"vec_id".asc)
+      .limit(10)
+      .select($"vec_id")
+    def recallOf(name: String, ann: DataFrame): DataFrame =
+      ann.select("vec_id").join(exact, "vec_id")
+        .agg(count(lit(1)).cast("int").as("hits"))
+        .select(lit(name).as("method"), $"hits")
+    Seq(
+      recallOf("s2_ann_lsh", annLsh(s, d)),
+      recallOf("s3_ann_multiprobe", annMultiProbe(s, d)),
+      recallOf("s4_ann_ivf", annIvf(s, d)))
+      .reduce(_ unionByName _)
+      .withColumn("recall_pct", ($"hits" * 10).cast("int"))
+      .orderBy($"method")
+  }
+
+  val annRecallSql: String =
+    s"""WITH exact AS (
+       |  SELECT vec_id FROM (
+       |    SELECT e.vec_id, $dotSql AS score
+       |    FROM embeddings e
+       |    CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+       |    WHERE e.vec_id <> 0
+       |    ORDER BY score DESC, e.vec_id ASC
+       |    LIMIT 10) t),
+       |a2 AS (SELECT vec_id FROM (__S2__) t),
+       |a3 AS (SELECT vec_id FROM (__S3__) t),
+       |a4 AS (SELECT vec_id FROM (__S4__) t),
+       |r AS (
+       |  SELECT 's2_ann_lsh' AS method, CAST(COUNT(*) AS INTEGER) AS hits
+       |  FROM a2 JOIN exact USING (vec_id)
+       |  UNION ALL
+       |  SELECT 's3_ann_multiprobe', CAST(COUNT(*) AS INTEGER)
+       |  FROM a3 JOIN exact USING (vec_id)
+       |  UNION ALL
+       |  SELECT 's4_ann_ivf', CAST(COUNT(*) AS INTEGER)
+       |  FROM a4 JOIN exact USING (vec_id))
+       |SELECT method, hits, hits * 10 AS recall_pct
+       |FROM r
+       |ORDER BY method""".stripMargin
+      .replace("__S2__", annLshSql)
+      .replace("__S3__", annMultiProbeSql)
+      .replace("__S4__", annIvfSql)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk"     -> (bruteForceTopK _),
     "s2_ann_lsh"         -> (annLsh _),
     "s3_ann_multiprobe"  -> (annMultiProbe _),
     "s4_ann_ivf"         -> (annIvf _),
-    "s5_quantized_topk"  -> (quantizedTopK _))
+    "s5_quantized_topk"  -> (quantizedTopK _),
+    "s6_ann_recall"      -> (annRecall _))
 
   val oracle: Map[String, String] = Map(
     "s1_cosine_topk"     -> bruteForceTopKSql,
     "s2_ann_lsh"         -> annLshSql,
     "s3_ann_multiprobe"  -> annMultiProbeSql,
     "s4_ann_ivf"         -> annIvfSql,
-    "s5_quantized_topk"  -> quantizedTopKSql)
+    "s5_quantized_topk"  -> quantizedTopKSql,
+    "s6_ann_recall"      -> annRecallSql)
 }
