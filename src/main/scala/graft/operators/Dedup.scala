@@ -349,16 +349,14 @@ object Dedup {
       .orderBy($"vec_a", $"vec_b")
   }
 
-  /** Oracle mirror: the hamming prefilter is semantic (a candidate pair must
-    * agree on >= 146 of the 256 md5-derived hyperplane signs), so the oracle
-    * derives the identical bit string per vector and applies the identical
-    * hamming(sig_a, sig_b) <= 110 predicate; the block split is pure
-    * physical layout (every pair maps to exactly one cell) and needs no
-    * mirror. Plane signs are built once as ordered lists so the per-plane
-    * dot is the same left-to-right double accumulation as BitSketch.
+  /** Shared oracle CTE chain deriving the 256-bit sketch of every vector as
+    * a '0'/'1' string (char p+1 = plane p — the same md5 plane derivation
+    * and left-to-right double accumulation as [[graft.functions.BitSketch]];
+    * bit p of BitSketch word p/64 sits at position p%64). Shared by the d5
+    * hamming prefilter and the d7 band derivation.
     */
-  val embedNearDupSql: String =
-    """WITH planes AS (
+  private[operators] val sketchSigsCte: String =
+    """planes AS (
       |  SELECT p, j,
       |    CASE WHEN (((strpos('0123456789abcdef',
       |        substr(md5(CAST(p AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 1)) - 1)
@@ -376,7 +374,17 @@ object Dedup {
       |sigs AS (
       |  SELECT vec_id,
       |    string_agg(CASE WHEN dotp > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS sig
-      |  FROM dots GROUP BY vec_id)
+      |  FROM dots GROUP BY vec_id)""".stripMargin
+
+  /** Oracle mirror: the hamming prefilter is semantic (a candidate pair must
+    * agree on >= 146 of the 256 md5-derived hyperplane signs), so the oracle
+    * derives the identical bit string per vector and applies the identical
+    * hamming(sig_a, sig_b) <= 110 predicate; the block split is pure
+    * physical layout (every pair maps to exactly one cell) and needs no
+    * mirror.
+    */
+  val embedNearDupSql: String =
+    """WITH __SIGS__
       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
       |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
       |    list_transform(range(1, len(a.embedding) + 1),
@@ -391,6 +399,107 @@ object Dedup {
       |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
       |    (acc, x) -> acc + x) >= 0.45
       |ORDER BY vec_a, vec_b""".stripMargin
+      .replace("__SIGS__", sketchSigsCte)
+
+  /** Band width (bits) for d7's banded candidate generation on the fixture.
+    * The sub-quadraticity/recall trade is governed by band width vs target
+    * threshold (per-bit agreement p = 1 - theta/pi):
+    *
+    *   - cos >= 0.95 (the true near-duplicate-embedding regime, p ~ 0.90):
+    *     16-bit bands x 16 -> ~96% recall with ~2^-16 background collision
+    *     per band — genuinely sub-quadratic candidates. ScaleSpec proves
+    *     this shape at 10x fixture scale with planted near-dups.
+    *   - the FIXTURE's true pairs sit at cos 0.45-0.60 (no pair reaches
+    *     0.8 at sf0.01 or sf0.1 — measured), where 16-bit bands find
+    *     nothing; 8-bit bands x 32 catch 10/14 (sf0.01) and 100/144
+    *     (sf0.1) of d5's exact pairs — so the d7-vs-d5 row counts ARE the
+    *     measured banding recall, the honest price tag on skipping the
+    *     all-pairs scan (d5 enumerates every block-join pair; d7 only
+    *     bucket collisions).
+    */
+  val BandBits = 8
+
+  /** Candidate pairs whose [[graft.functions.BitSketch]] agrees on at least
+    * one `bandBits`-wide band — d2's bucket machinery over sketch bands:
+    * one narrow map (sketch + band split), one bucket-keyed shuffle,
+    * cap-bounded in-bucket pair expansion, distinct. `e` must carry
+    * (vec_id, sk).
+    */
+  private[graft] def sketchBandPairs(
+      e: DataFrame, bandBits: Int, cap: Int): DataFrame = {
+    import e.sparkSession.implicits._
+    val numBands = SketchPlanes / bandBits
+    val mask = (1L << bandBits) - 1
+    val bands = (0 until numBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(element_at($"sk", b * bandBits / 64 + 1), (b * bandBits) % 64)
+          .bitwiseAND(lit(mask)).as("sig"))
+    }
+    e.select($"vec_id", explode(array(bands: _*)).as("bs"))
+      .select($"vec_id", $"bs.band".as("band"), $"bs.sig".as("sig"))
+      .groupBy($"band", $"sig")
+      .agg(collect_list($"vec_id").as("ids"))
+      .filter(size($"ids") >= 2 && size($"ids") <= cap)
+      .select(explode(expr(
+        "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))), p -> p.a < p.b)"))
+        .as("p"))
+      .select($"p.a".as("vec_a"), $"p.b".as("vec_b"))
+      .distinct()
+  }
+
+  /** d7: banded embedding near-dup — the sub-quadratic companion to the
+    * exact [[embedNearDup]]: instead of enumerating every (block, block)
+    * pair, only vectors COLLIDING on a sketch band ever meet (the d2 LSH
+    * shape lifted onto [[graft.functions.BitSketch]] bands), then the
+    * exact dot verifies survivors. Same 0.45 threshold as d5 so the two
+    * results are directly comparable: rows(d7)/rows(d5) is the banding
+    * recall. See [[BandBits]] for the band-width/threshold trade at scale.
+    */
+  def bandedEmbedNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d).select($"vec_id", $"embedding")
+    val sk = emb.select($"vec_id",
+      graft.functions.BitSketch.sketch($"embedding", SketchPlanes).as("sk"))
+    sketchBandPairs(sk, BandBits, LshBucketCap)
+      .join(emb.select($"vec_id".as("vec_a"), $"embedding".as("emb_a")), "vec_a")
+      .join(emb.select($"vec_id".as("vec_b"), $"embedding".as("emb_b")), "vec_b")
+      .select($"vec_a", $"vec_b",
+        VectorFunctions.dot($"emb_a", $"emb_b").as("cos"))
+      .filter($"cos" >= 0.45)
+      .orderBy($"vec_a", $"vec_b")
+  }
+
+  /** Oracle: bands are 8-char substrings of the shared sketch-sig string
+    * (substr position b*8+1 = planes 8b..8b+7, exactly the bit range of
+    * Spark's word/shift extraction), bucket cap mirrored literally, same
+    * exact-dot threshold.
+    */
+  val bandedEmbedNearDupSql: String =
+    """WITH __SIGS__,
+      |bands AS (
+      |  SELECT s.vec_id, t.b, substr(s.sig, t.b * 8 + 1, 8) AS bsig
+      |  FROM sigs s CROSS JOIN generate_series(0, 31) t(b)),
+      |ok AS (SELECT b, bsig FROM bands
+      |       GROUP BY b, bsig HAVING COUNT(*) BETWEEN 2 AND 100),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS vec_a, b2.vec_id AS vec_b
+      |  FROM bands a
+      |  JOIN bands b2 ON a.b = b2.b AND a.bsig = b2.bsig AND a.vec_id < b2.vec_id
+      |  JOIN ok ON ok.b = a.b AND ok.bsig = a.bsig)
+      |SELECT c.vec_a, c.vec_b,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list_transform(range(1, len(a.embedding) + 1),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+      |    (acc, x) -> acc + x) AS cos
+      |FROM cand c
+      |JOIN embeddings a ON a.vec_id = c.vec_a
+      |JOIN embeddings b ON b.vec_id = c.vec_b
+      |WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list_transform(range(1, len(a.embedding) + 1),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+      |    (acc, x) -> acc + x) >= 0.45
+      |ORDER BY vec_a, vec_b""".stripMargin
+      .replace("__SIGS__", sketchSigsCte)
 
   /** Near-dup CLUSTERS: connected components over the [[minhashLsh]] pair
     * graph, each doc labeled with its component's minimum doc_id — the
@@ -460,7 +569,8 @@ object Dedup {
     "d3_ngram_jaccard"     -> (ngramJaccard _),
     "d4_simhash"           -> (simhash _),
     "d5_embed_neardup"     -> (embedNearDup _),
-    "d6_neardup_clusters"  -> (neardupClusters _))
+    "d6_neardup_clusters"  -> (neardupClusters _),
+    "d7_embed_banded"      -> (bandedEmbedNearDup _))
 
   val oracle: Map[String, String] = Map(
     "d1_exact_fingerprint" -> exactFingerprintSql,
@@ -468,5 +578,6 @@ object Dedup {
     "d3_ngram_jaccard"     -> ngramJaccardSql,
     "d4_simhash"           -> simhashSql,
     "d5_embed_neardup"     -> embedNearDupSql,
-    "d6_neardup_clusters"  -> neardupClustersSql)
+    "d6_neardup_clusters"  -> neardupClustersSql,
+    "d7_embed_banded"      -> bandedEmbedNearDupSql)
 }

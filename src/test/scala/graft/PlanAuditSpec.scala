@@ -75,6 +75,12 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no cellp partition filter in scan:\n$p")
   }
 
+  test("d7 banded near-dup has no nested-loop or cartesian join") {
+    val p = plan("d7_embed_banded")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q18 range frame windows per (status, split), not per status alone") {
     val p = plan("q18_window_range")
     assert("windowspecdefinition\\(o_orderstatus#\\d+, _split".r

@@ -128,6 +128,41 @@ class ScaleSpec extends AnyFunSuite {
     assert(got === brute, s"operator != brute force: got ${got.size}, want ${brute.size}")
   }
 
+  test("d7 16-bit bands at 10x: full recall on planted near-dups, sub-quadratic candidates") {
+    import spark.implicits._
+    // 10x the sf0.1 embeddings corpus: 20k seeded random unit vectors, with
+    // 50 planted near-dup pairs (copy + small noise -> cos ~ 0.999, the
+    // true near-duplicate-embedding regime). 16-bit bands must (a) surface
+    // every planted pair and (b) generate candidates orders of magnitude
+    // below all-pairs — the claim that makes banding the 100 TB path.
+    val rnd = new scala.util.Random(20260812L)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat)
+    }
+    val base = Array.fill(20000)(unit())
+    val planted = (0 until 50).map { i =>
+      val src = base(i * 17)
+      val noisy = src.map(x => x + (rnd.nextGaussian() * 0.02).toFloat)
+      val n = math.sqrt(noisy.map(x => x.toDouble * x).sum)
+      (20000L + i, noisy.map(x => (x / n).toFloat), i * 17L)
+    }
+    val all = base.zipWithIndex.map { case (v, i) => (i.toLong, v) } ++
+      planted.map { case (id, v, _) => (id, v) }
+    val e = all.toSeq.toDF("vec_id", "embedding")
+      .select($"vec_id",
+        graft.functions.BitSketch.sketch($"embedding", Dedup.SketchPlanes).as("sk"))
+    val cands = Dedup.sketchBandPairs(e, bandBits = 16, cap = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = planted.map { case (id, _, srcId) => (srcId, id) }.toSet
+    val missed = expected -- cands
+    assert(missed.isEmpty, s"banding missed ${missed.size} planted near-dup pairs")
+    val allPairs = 20050L * 20049 / 2
+    assert(cands.size < allPairs / 100,
+      s"candidate set not sub-quadratic: ${cands.size} of $allPairs pairs")
+  }
+
   test("salted join is row-identical to the plain join under heavy skew") {
     import spark.implicits._
     // 90% of fact rows share one hot key
