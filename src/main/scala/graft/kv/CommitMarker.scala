@@ -29,7 +29,7 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *     close — surfaces as [[PotTable.CommitConflict]], never as a false
   *     success.
   */
-private[kv] object CommitMarker {
+private[graft] object CommitMarker {
   import PotTable.CommitConflict
 
   /** Generations with a durable commit under `commits`: numeric marker

@@ -20,14 +20,20 @@ import org.apache.spark.sql.functions._
   *   - the true `sig` string stays a DATA column so query output is
   *     byte-identical to the unindexed form (same oracle);
   *   - indexes are content-addressed by source dir under java.io.tmpdir
-  *     and built at most once. Publication protocol: one builder wins an
-  *     atomic create-new `.claim` file (cross-process safe), builds into a
-  *     unique staging dir, and renames it to the final root — losers wait
-  *     for the root to appear. The rename is the only publish, so a root
-  *     directory exists iff it is complete. (A plain rename race would NOT
-  *     work: local-FS rename into an existing directory nests the source
-  *     inside it instead of failing.) The fixtures are immutable
-  *     (TESTDATA.md), so no invalidation is needed.
+  *     and built at most once. Publication reuses the repo's own
+  *     stage-then-publish commit protocol ([[graft.kv.CommitMarker]], the
+  *     analogue of the reference's GCS DoesNotExist-precondition lock,
+  *     server.go:670-702): every builder writes into a writer-UNIQUE data
+  *     dir (never renamed — safe on object stores, where rename is a
+  *     copy), then CAS-creates a commit marker whose CONTENT names the
+  *     winning data dir. Losers' publish throws, they delete their orphan
+  *     build and adopt the marker's pointer. A builder that crashes
+  *     mid-create leaves a zero-length husk that the NEXT builder reclaims
+  *     through the marker protocol — no wedge, no manual delete (the old
+  *     `.claim` + rename scheme wedged all readers for 120 s when a
+  *     claimant crashed, and rename is not atomic on object stores). The
+  *     fixtures are immutable (TESTDATA.md), so one generation suffices
+  *     and no invalidation is needed.
   */
 object AnnIndex {
 
@@ -70,37 +76,58 @@ object AnnIndex {
       .write.partitionBy("cellp").mode("overwrite").parquet(out)
   }
 
-  /** Build-once, claim-arbitrated index location (see the class note). */
-  private def locateIndex(
+  /** Build-once, marker-arbitrated index location (see the class note).
+    * Optimistic: concurrent cold-start builders may each build once; the
+    * marker CAS picks one winner, losers delete their orphan and adopt the
+    * winner's pointer — the duplicate work is bounded to the cold-start
+    * race, and no reader ever waits on a crashed builder.
+    */
+  private[graft] def locateIndex(
       s: SparkSession, d: String, prefix: String)(
       build: (SparkSession, String, String) => Unit): String = {
+    import org.apache.hadoop.fs.Path
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-    val root = new java.io.File(
-      System.getProperty("java.io.tmpdir"), s"$prefix-$key-v1")
-    if (root.isDirectory) return root.toString
-    val claim = new java.io.File(root.getParent, s"${root.getName}.claim")
-    if (claim.createNewFile()) { // atomic create-new: sole builder
-      val staging = new java.io.File(
-        root.getParent, s"${root.getName}.stage-${java.util.UUID.randomUUID()}")
+    val base = new Path(
+      new java.io.File(System.getProperty("java.io.tmpdir")).toURI.toString,
+      s"$prefix-$key-v2")
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val marker = new Path(base, "commits/1")
+    def committed: Option[String] =
+      try {
+        if (fs.getFileStatus(marker).getLen > 0)
+          Some(graft.kv.CommitMarker.read(fs, marker))
+        else None // zero-length husk: a crashed publisher, not a commit
+      } catch { case _: java.io.FileNotFoundException => None }
+    committed.getOrElse {
+      val staging = new Path(base, s"data-${java.util.UUID.randomUUID()}")
       build(s, d, staging.toString)
-      if (!staging.renameTo(root)) {
-        scala.reflect.io.Directory(staging).deleteRecursively()
-        throw new IllegalStateException(
-          s"could not publish index at $root (staging: $staging)")
-      }
-    } else {
-      // lost the build race: wait for the winner's rename to land
+      var result: String = null
       val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
-      while (!root.isDirectory) {
-        if (System.nanoTime() > deadline)
-          throw new IllegalStateException(
-            s"index build claimed but never published — if the builder " +
-              s"crashed, delete $claim and retry")
-        Thread.sleep(200L)
+      while (result == null) {
+        try {
+          graft.kv.CommitMarker.publish(fs, marker, staging.toString)
+          result = staging.toString
+        } catch {
+          case _: graft.kv.PotTable.CommitConflict =>
+            committed match {
+              case Some(winner) => // adopt; our build is an orphan
+                fs.delete(staging, true)
+                result = winner
+              case None =>
+                // husk whose reclaim is in flight (or double-crash wedge,
+                // which publish() keeps diagnosing until repair())
+                if (System.nanoTime() > deadline)
+                  throw new IllegalStateException(
+                    s"index marker $marker never committed; " +
+                      "run CommitMarker.repair on its commits dir if a " +
+                      "reclaimer crashed")
+                Thread.sleep(100L)
+            }
+        }
       }
+      result
     }
-    root.toString
   }
 
   /** Sign-LSH index location for fixture dir `d`, building on first use. */

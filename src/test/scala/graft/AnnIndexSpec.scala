@@ -1,0 +1,89 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.operators.AnnIndex
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The ANN index publish protocol: stage-then-publish over
+  * [[graft.kv.CommitMarker]] — one CAS winner, losers adopt the winner's
+  * pointer, crash husks are reclaimed instead of wedging readers.
+  */
+class AnnIndexSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def fsFor(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeTinyIndex(out: String): Unit = {
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b")).toDF("vec_id", "label")
+      .write.mode("overwrite").parquet(out)
+  }
+
+  test("two concurrent cold-start builders: one marker winner, both adopt the same root") {
+    val d = s"race-${java.util.UUID.randomUUID()}"
+    val builds = new AtomicInteger(0)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    def build(s: org.apache.spark.sql.SparkSession, src: String, out: String): Unit = {
+      barrier.await() // both builders committed to building before either publishes
+      builds.incrementAndGet()
+      writeTinyIndex(out)
+    }
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = (1 to 2).map { _ =>
+      new Thread(() => results.add(
+        AnnIndex.locateIndex(spark, d, "graft-annidx-test")(build)))
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join(60000))
+    assert(results.size === 2)
+    assert(builds.get() === 2, "both cold-start builders should have built")
+    val Seq(r1, r2) = results.toArray(Array.empty[String]).toSeq
+    assert(r1 === r2, s"builders disagree on the published root: $r1 vs $r2")
+    // the adopted root is complete and readable
+    assert(spark.read.parquet(r1).count() === 2)
+    // the marker content names exactly that root
+    val marker = new Path(new Path(r1).getParent, "commits/1")
+    assert(graft.kv.CommitMarker.read(fsFor(marker), marker) === r1)
+    // exactly one data dir survives: the loser's orphan was deleted
+    val dataDirs = fsFor(marker).listStatus(new Path(r1).getParent)
+      .filter(_.getPath.getName.startsWith("data-"))
+    assert(dataDirs.length === 1, s"orphan staging dir not cleaned: ${dataDirs.toSeq}")
+  }
+
+  test("a crashed publisher's zero-length husk is reclaimed, not a 120s wedge") {
+    val d = s"husk-${java.util.UUID.randomUUID()}"
+    // plant the husk where the marker will go
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val base = new Path(
+      new java.io.File(System.getProperty("java.io.tmpdir")).toURI.toString,
+      s"graft-annidx-test-$key-v2")
+    val marker = new Path(base, "commits/1")
+    val fs = fsFor(marker)
+    fs.create(marker, false).close() // zero-length: crash husk
+    val t0 = System.nanoTime()
+    val root = AnnIndex.locateIndex(spark, d, "graft-annidx-test") {
+      (_, _, out) => writeTinyIndex(out)
+    }
+    val elapsedMs = (System.nanoTime() - t0) / 1000000
+    assert(spark.read.parquet(root).count() === 2)
+    assert(graft.kv.CommitMarker.read(fs, marker) === root)
+    assert(elapsedMs < 60000, s"husk reclaim took ${elapsedMs}ms — wedged?")
+  }
+
+  test("second locate call reads the marker, builds nothing") {
+    val d = s"cache-${java.util.UUID.randomUUID()}"
+    val builds = new AtomicInteger(0)
+    def build(s: org.apache.spark.sql.SparkSession, src: String, out: String): Unit = {
+      builds.incrementAndGet()
+      writeTinyIndex(out)
+    }
+    val first = AnnIndex.locateIndex(spark, d, "graft-annidx-test")(build)
+    val second = AnnIndex.locateIndex(spark, d, "graft-annidx-test")(build)
+    assert(first === second)
+    assert(builds.get() === 1)
+  }
+}
