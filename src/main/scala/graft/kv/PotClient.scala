@@ -15,11 +15,33 @@ import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
   * never grant ownership), and a stale entry simply fails the replay — the
   * server-side lease check in [[PotTable.conditionalUpsert]] remains the
   * source of truth.
+  *
+  * A7 per-write trigger parity: when `autoSnapshotDir` is set, every
+  * successful write (create/upsert/remove) re-exports the WHOLE warehouse
+  * — the reference re-zips the entire bucket after each write when `-zip`
+  * is on (server_routes.go:121-125,160-166, server.go:550-614). Each
+  * trigger lands in its own `snap-<n>` subdir (the object-store-friendly
+  * form of the reference's overwrite-in-place bundle.tar.gz: immutable,
+  * so a reader mid-download never sees a torn bundle), with the manifest
+  * at `snap-<n>/_manifest`. Like the reference's synchronous triggerZip,
+  * the export cost is per-write by design — the knob exists for
+  * OPA-bundle-style consumers, not the hot path.
   */
-final class PotClient(spark: SparkSession, root: String, leaseMs: Long) {
+final class PotClient(spark: SparkSession, root: String, leaseMs: Long,
+    autoSnapshotDir: Option[String] = None) {
 
   private val ownedPathGenerations =
     scala.collection.concurrent.TrieMap.empty[String, Long]
+
+  private val snapSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Number of auto-snapshots taken so far — test/debug hook. */
+  def snapshotCount: Long = snapSeq.get()
+
+  private def triggerSnapshot(): Unit = autoSnapshotDir.foreach { dir =>
+    val n = snapSeq.incrementAndGet()
+    PotTable.snapshotAll(spark, root, s"$dir/snap-$n")
+  }
 
   private def table(path: String): PotTable = PotTable(spark, root, path)
 
@@ -34,6 +56,7 @@ final class PotClient(spark: SparkSession, root: String, leaseMs: Long) {
     val gen = table(path).conditionalUpsert(docs.toDF(), leaseMs,
       ownedPathGenerations.getOrElse(path, -1L))
     ownedPathGenerations(path) = gen
+    triggerSnapshot()
     gen
   }
 
@@ -43,6 +66,7 @@ final class PotClient(spark: SparkSession, root: String, leaseMs: Long) {
   def upsert(path: String, docs: Dataset[_]): Long = {
     val gen = table(path).upsert(docs.toDF())
     ownedPathGenerations(path) = gen
+    triggerSnapshot()
     gen
   }
 
@@ -50,7 +74,11 @@ final class PotClient(spark: SparkSession, root: String, leaseMs: Long) {
     * (no generation in the response) — a later no-rewrite create replays a
     * stale generation and falls back to the lease check.
     */
-  def remove(path: String, keys: Seq[String]): Long = table(path).remove(keys)
+  def remove(path: String, keys: Seq[String]): Long = {
+    val gen = table(path).remove(keys)
+    triggerSnapshot()
+    gen
+  }
 
   def get(path: String): DataFrame = table(path).get()
 
@@ -61,4 +89,9 @@ final class PotClient(spark: SparkSession, root: String, leaseMs: Long) {
 object PotClient {
   def apply(spark: SparkSession, root: String, leaseMs: Long): PotClient =
     new PotClient(spark, root, leaseMs)
+
+  /** Client with the per-write whole-warehouse snapshot trigger enabled. */
+  def withAutoSnapshot(spark: SparkSession, root: String, leaseMs: Long,
+      snapshotDir: String): PotClient =
+    new PotClient(spark, root, leaseMs, Some(snapshotDir))
 }

@@ -185,6 +185,35 @@ class KvSpec extends AnyFunSuite {
       .collect().toMap === manifest)
   }
 
+  test("auto-snapshot client re-exports the warehouse after every write (A7 trigger)") {
+    import graft.kv.PotClient
+    val root = tmpRoot()
+    val snaps = s"$root/_snaps"
+    val c = PotClient.withAutoSnapshot(spark, root, leaseMs = 60000L, snaps)
+    c.upsert("alpha", Seq(("a", 1)).toDF("key", "v"))
+    c.upsert("beta", Seq(("b", 1)).toDF("key", "v"))
+    c.remove("alpha", Seq("a"))
+    assert(c.snapshotCount === 3L)
+    // N writes -> N immutable snapshot dirs, each with a manifest
+    val dirs = new java.io.File(snaps).listFiles()
+      .filter(_.getName.startsWith("snap-")).map(_.getName).toSet
+    assert(dirs === Set("snap-1", "snap-2", "snap-3"))
+    (1 to 3).foreach { n =>
+      assert(new java.io.File(s"$snaps/snap-$n/_manifest").exists(),
+        s"snap-$n has no manifest")
+    }
+    // each snapshot captured the state at its trigger point
+    val m1 = spark.read.parquet(s"$snaps/snap-1/_manifest")
+      .as[(String, Long)].collect().toMap
+    assert(m1 === Map("alpha" -> 1L))
+    val m3 = spark.read.parquet(s"$snaps/snap-3/_manifest")
+      .as[(String, Long)].collect().toMap
+    assert(m3 === Map("alpha" -> 2L, "beta" -> 1L))
+    // reads never trigger
+    c.get("beta").count()
+    assert(c.snapshotCount === 3L)
+  }
+
   test("client generation cache: immediate self-rewrites ok, others locked out (TestNoRewriteDuration)") {
     import graft.kv.PotClient
     val root = tmpRoot()
