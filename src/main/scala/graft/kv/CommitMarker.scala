@@ -52,15 +52,35 @@ private[graft] object CommitMarker {
     try fs.getFileStatus(marker).getLen
     catch { case _: FileNotFoundException => -1L }
 
-  private def tryCreate(fs: FileSystem, marker: Path, body: Array[Byte]): Boolean =
-    try {
-      val out = fs.create(marker, false) // atomic create-new == CAS
-      try out.write(body) finally out.close()
-      true
-    } catch { case _: IOException => false }
+  /** CAS-create `marker` with `body`. Returns false iff the CREATE itself
+    * failed (the generation is foreign-owned or husked — arbitration
+    * territory). A failure AFTER our create succeeded is a different
+    * animal: the marker file is OURS, nobody else committed it, and
+    * leaving it partially written would read as a foreign commit (or, if
+    * zero-length, trigger a pointless reclaim) — so delete our own husk
+    * best-effort and throw the retryable [[PotTable.CommitIncomplete]]
+    * instead of misreporting foreign ownership.
+    */
+  private def tryCreate(fs: FileSystem, marker: Path, body: Array[Byte]): Boolean = {
+    val out =
+      try fs.create(marker, false) // atomic create-new == CAS
+      catch { case _: IOException => return false }
+    try { out.write(body); out.close(); true }
+    catch {
+      case e: IOException =>
+        try out.close() catch { case _: IOException => () }
+        try fs.delete(marker, false) catch { case _: IOException => () }
+        throw new PotTable.CommitIncomplete(
+          s"marker $marker: create succeeded but body write/close failed; " +
+            "own husk removed — retry the commit", e)
+    }
+  }
 
   /** CAS-publish `body` as `marker`; throws [[PotTable.CommitConflict]] if
-    * another writer owns the generation. See the protocol note above.
+    * another writer owns the generation, or the retryable
+    * [[PotTable.CommitIncomplete]] if OUR create won the CAS but the body
+    * write/close failed (own husk, cleaned up — not foreign ownership).
+    * See the protocol note above.
     *
     * Failure-mode trade, made deliberately: the reclaim file is
     * one-per-generation FOREVER, so a reclaimer that itself crashes between

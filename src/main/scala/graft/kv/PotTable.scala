@@ -230,6 +230,14 @@ object PotTable {
     */
   final class CommitConflict(msg: String) extends RuntimeException(msg)
 
+  /** Our marker create won the CAS but writing/closing the body failed:
+    * the commit is NOT durable and NOT foreign-owned — retry the commit
+    * (the failed attempt's husk was already cleaned up). Distinct from
+    * [[CommitConflict]], which means another writer owns the generation.
+    */
+  final class CommitIncomplete(msg: String, cause: Throwable)
+      extends java.io.IOException(msg, cause)
+
   def apply(spark: SparkSession, root: String, path: String): PotTable =
     new PotTable(spark, root, path)
 

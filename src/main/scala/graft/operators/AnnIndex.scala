@@ -109,6 +109,11 @@ object AnnIndex {
           graft.kv.CommitMarker.publish(fs, marker, staging.toString)
           result = staging.toString
         } catch {
+          case _: graft.kv.PotTable.CommitIncomplete =>
+            // our own write/close failed and the husk was cleaned: retry
+            if (System.nanoTime() > deadline)
+              throw new IllegalStateException(
+                s"index marker $marker: repeated incomplete commits")
           case _: graft.kv.PotTable.CommitConflict =>
             committed match {
               case Some(winner) => // adopt; our build is an orphan

@@ -185,6 +185,42 @@ class KvSpec extends AnyFunSuite {
       .collect().toMap === manifest)
   }
 
+  test("publish reports own write/close failure as retryable CommitIncomplete, not foreign conflict") {
+    import org.apache.hadoop.fs.{FSDataOutputStream, FileSystem, Path, RawLocalFileSystem}
+    val root = tmpRoot()
+    val marker = new Path(s"file:$root/commits/1")
+    // a RawLocalFileSystem whose next create() returns a stream that fails
+    // at close — the injected "writer dies between create and close"
+    val fs = new RawLocalFileSystem() {
+      var failNextClose = true
+      override def create(f: Path, overwrite: Boolean): FSDataOutputStream = {
+        val real = super.create(f, overwrite)
+        if (!failNextClose) real
+        else {
+          failNextClose = false
+          new FSDataOutputStream(new java.io.FilterOutputStream(real) {
+            override def close(): Unit = {
+              real.close()
+              throw new java.io.IOException("injected close failure")
+            }
+          }, null)
+        }
+      }
+    }
+    fs.initialize(new java.net.URI("file:///"),
+      spark.sparkContext.hadoopConfiguration)
+    // no other writer exists, so this failure is OURS: the old code
+    // reported "already committed by another writer" here
+    val e = intercept[PotTable.CommitIncomplete](
+      graft.kv.CommitMarker.publish(fs, marker, "body-of-writer-1"))
+    assert(e.getMessage.contains("retry"))
+    // the failed attempt's husk was cleaned: no zero-length marker remains
+    assert(!fs.exists(marker), "failed-commit husk left behind")
+    // and a straight retry succeeds with a durable read-back
+    graft.kv.CommitMarker.publish(fs, marker, "body-of-writer-1")
+    assert(graft.kv.CommitMarker.read(fs, marker) === "body-of-writer-1")
+  }
+
   test("auto-snapshot client re-exports the warehouse after every write (A7 trigger)") {
     import graft.kv.PotClient
     val root = tmpRoot()
