@@ -66,7 +66,14 @@ object StreamingQueries {
       .start()
     q.processAllAvailable()
     q.stop()
-    s.read.parquet(s"$out/data").orderBy($"user_id", $"event_type")
+    // Materialize off the sink (distributed blocks, lineage cut), then
+    // delete the run's sink + checkpoint dirs: repeated invocations must
+    // not grow tmpdir. Production keeps both, of course — the temp dirs
+    // exist only because this entry drives a bounded stream to completion.
+    val result = s.read.parquet(s"$out/data")
+      .orderBy($"user_id", $"event_type").localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(out)).deleteRecursively()
+    result
   }
 
   val streamDedupSql: String =
@@ -87,7 +94,12 @@ object StreamingQueries {
       .start()
     q.processAllAvailable()
     q.stop()
-    s.table(table).orderBy($"w_start", $"event_type")
+    // Materialize off the memory sink, then drop its temp view so repeated
+    // invocations don't accumulate sink state in the driver.
+    val result = s.table(table)
+      .orderBy($"w_start", $"event_type").localCheckpoint(true)
+    s.catalog.dropTempView(table)
+    result
   }
 
   val streamTumblingSql: String =

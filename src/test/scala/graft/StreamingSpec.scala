@@ -90,6 +90,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st1/st2 leave no temp state behind across repeated invocations") {
+    import graft.streaming.StreamingQueries
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    def st1Dirs = tmp.listFiles().count(_.getName.startsWith("graft-st1"))
+    def st2Views = spark.catalog.listTables().collect()
+      .count(_.name.startsWith("st2_"))
+    // delta-based: stale dirs from earlier (pre-fix) sessions may exist
+    val dirs0 = st1Dirs
+    val views0 = st2Views
+    val r1 = StreamingQueries.streamDedup(spark, sf).count()
+    val r2 = StreamingQueries.streamDedup(spark, sf).count()
+    assert(r1 === r2)
+    assert(st1Dirs === dirs0, "st1 sink/checkpoint temp dirs not cleaned up")
+    val t1 = StreamingQueries.streamTumbling(spark, sf).count()
+    val t2 = StreamingQueries.streamTumbling(spark, sf).count()
+    assert(t1 === t2)
+    assert(st2Views === views0, "st2 memory-sink temp views not dropped")
+  }
+
   test("session windows close after the gap (streaming)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
