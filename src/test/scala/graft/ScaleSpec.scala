@@ -163,6 +163,25 @@ class ScaleSpec extends AnyFunSuite {
       s"candidate set not sub-quadratic: ${cands.size} of $allPairs pairs")
   }
 
+  test("s4 IVF first-16 centroids: balanced cells and full recall@10 at sf0.1") {
+    import graft.operators.{AnnIndex, Similarity}
+    val d = "/root/testdata/sf0.1"
+    // cell balance: untrained first-16 centroids must not produce a hot
+    // cell (a skewed cell defeats the partition pruning that IS the index)
+    val counts = AnnIndex.readIvf(spark, d)
+      .groupBy("cellp").count().collect().map(_.getLong(1))
+    assert(counts.length === AnnIndex.IvfCentroids)
+    val mean = counts.sum.toDouble / counts.length
+    assert(counts.max <= 2 * mean,
+      s"hot IVF cell: max ${counts.max} vs mean $mean")
+    // recall: the same joins s6 oracle-checks — IVF top-2-cell probing
+    // must not lose any of the exact top-10 on this corpus
+    val rec = Similarity.annRecall(spark, d).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(rec("s4_ann_ivf") === 10,
+      s"s4 recall@10 dropped: ${rec("s4_ann_ivf")}/10")
+  }
+
   test("salted join is row-identical to the plain join under heavy skew") {
     import spark.implicits._
     // 90% of fact rows share one hot key
