@@ -164,28 +164,33 @@ object Dedup {
     * shingle sets — see [[ShingleDfCap]]; the cap is applied before BOTH
     * the per-doc counts and the co-occurrence join, mirrored in the oracle
     * CTE.
+    *
+    * Performance, accepted (round 6): the scale-correct plan — fused
+    * [[graft.functions.ShingleHashes]] map side, one pinned h-keyed
+    * exchange, count-agg df-cap before any doc list buffers — runs ~2.2 s
+    * at sf0.1/local[32] (was 2.9 s before the fused expression) vs
+    * DuckDB's 0.58 s. The residual is Spark's per-stage floor across the
+    * 4-stage pipeline (exchange + 3 aggregations/joins) on a dataset small
+    * enough that DuckDB finishes in-cache; the gap amortizes with data
+    * volume and no further constant-factor work is planned here.
     */
   def ngramJaccard(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // Map side: hash the shingle INSIDE the transform. Variadic xxhash64
-    // chains over the three words directly — no slice/concat_ws string is
-    // ever materialized, and 8 bytes cross the shuffle instead of
-    // arbitrary-length strings. (A 64-bit collision merges two shingles'
-    // doc sets: odds ~1e-8 at fixture scale, immaterial jaccard noise at
-    // corpus scale.) array_distinct dedups within-doc repeats BEFORE the
-    // explode; doc_id is unique in `documents`, so (doc_id, h) is globally
-    // distinct with NO distinct shuffle at all.
+    // Map side: the fused ShingleHashes expression tokenizes, hashes every
+    // 3-gram with variadic-xxhash64 seed chaining, and dedups within-doc
+    // repeats in ONE pass over the raw text bytes (no split allocation, no
+    // transform closure, no array_distinct pass — bit-identical values,
+    // ShingleHashesSpec). 8-byte hashes cross the shuffle instead of
+    // arbitrary-length strings. doc_id is unique in `documents`, so
+    // (doc_id, h) is globally distinct with NO distinct shuffle at all.
     // The explicit repartition pins ONE physical h-keyed exchange that both
     // consumers below (df-count and semi-join probe) share via
-    // ReuseExchange — without it each branch re-runs scan+explode+md5.
+    // ReuseExchange — without it each branch re-runs scan+shingle+hash.
     // After it, count, semi-join, and collect_set are all h-co-partitioned:
     // one shuffle of docSh total, shingling computed exactly once.
-    val docSh = words(s, d)
-      .filter(size($"w") >= 3)
-      .select($"doc_id", explode(expr(
-        """array_distinct(transform(sequence(0, size(w)-3),
-          |  i -> xxhash64(w[i], w[i+1], w[i+2])))""".stripMargin))
-        .as("h"))
+    val docSh = Tables.documents(s, d)
+      .select($"doc_id", explode(
+        graft.functions.ShingleHashes.shingleHashes(lower($"text"), 3)).as("h"))
       .repartition($"h")
     // Df-cap FIRST via a count aggregate — partial aggregation keeps each
     // task's state at (hash, long), so a boilerplate shingle with df = 10^8
