@@ -191,11 +191,46 @@ object Multimodal {
       |FROM documents
       |ORDER BY media_id""".stripMargin
 
+  /** Frames sampled per video: every `FrameStride`-th frame — the standard
+    * preprocessing step before per-frame decode/captioning/embedding.
+    */
+  val FrameStride = 5
+
+  /** m3: frame sampling driven by the DECODED container (n_frames is
+    * parsed from the bytes by [[decode]], not read from a column): video
+    * rows explode into their sampled frame indices. The explode is narrow
+    * (no shuffle) and the per-frame work downstream reuses the same
+    * mapPartitions batch shape as [[decodeBatch]] — at 100 TB the frame
+    * table is what feeds the per-frame feature extractors.
+    */
+  def frameSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    extractFeatures(mediaTable(s, d)).toDF()
+      .filter($"mime" === "video/mp4")
+      .select($"media_id", $"n_frames",
+        explode(expr(s"sequence(0, n_frames - 1, $FrameStride)")).as("frame_idx"))
+      .orderBy($"media_id", $"frame_idx")
+  }
+
+  /** Oracle: videos are the doc_id % 3 = 2 rows, n_frames their synthesis
+    * parameter (asserting the decode again), sampled indices mirrored by
+    * range() with the same stride.
+    */
+  val frameSampleSql: String =
+    s"""SELECT doc_id AS media_id,
+       |  CAST(1 + doc_id % 30 AS INTEGER) AS n_frames,
+       |  CAST(unnest(range(0, 1 + doc_id % 30, $FrameStride)) AS INTEGER) AS frame_idx
+       |FROM documents
+       |WHERE doc_id % 3 = 2
+       |ORDER BY media_id, frame_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_meta"     -> (mediaMeta _),
-    "m2_media_features" -> (mediaFeatures _))
+    "m2_media_features" -> (mediaFeatures _),
+    "m3_frame_sample"   -> (frameSample _))
 
   val oracle: Map[String, String] = Map(
     "m1_media_meta"     -> mediaMetaSql,
-    "m2_media_features" -> mediaFeaturesSql)
+    "m2_media_features" -> mediaFeaturesSql,
+    "m3_frame_sample"   -> frameSampleSql)
 }

@@ -506,6 +506,35 @@ object Dedup {
       |ORDER BY vec_a, vec_b""".stripMargin
       .replace("__SIGS__", sketchSigsCte)
 
+  /** d8: embedding near-dup CLUSTERS — connected components over the d7
+    * banded pair graph, each vector labeled with its component's minimum
+    * vec_id: the canonical-representative assignment that turns banded
+    * candidate pairs into an actionable embedding dedup (keep the
+    * representative, drop the rest), completing the embedding story the
+    * same way [[neardupClusters]] completes the text-LSH story.
+    */
+  def embedClusters(s: SparkSession, d: String): DataFrame =
+    minLabelClusters(
+      bandedEmbedNearDup(s, d).select(col("vec_a"), col("vec_b")),
+      "vec_a", "vec_b", "vec_id")
+
+  /** Oracle: recursive-CTE transitive closure over the d7 pair statement
+    * (same shape as [[neardupClustersSql]]).
+    */
+  val embedClustersSql: String =
+    """WITH RECURSIVE pairs AS (__PAIRS__),
+      |edges AS (SELECT vec_a AS src, vec_b AS dst FROM pairs
+      |          UNION SELECT vec_b, vec_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+      |SELECT src AS vec_id, MIN(dst) AS cluster_id
+      |FROM reach
+      |GROUP BY src
+      |ORDER BY vec_id""".stripMargin
+      .replace("__PAIRS__", bandedEmbedNearDupSql)
+
   /** Near-dup CLUSTERS: connected components over the [[minhashLsh]] pair
     * graph, each doc labeled with its component's minimum doc_id — the
     * canonical-representative assignment that turns candidate pairs into an
@@ -519,15 +548,22 @@ object Dedup {
     * round (localCheckpoint) so the loop composes at any scale. Throws
     * after 50 rounds rather than returning an unconverged (wrong) answer.
     */
-  def neardupClusters(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val pairs = minhashLsh(s, d).select($"doc_a", $"doc_b")
+  /** Deterministic min-label propagation over an undirected pair graph:
+    * every node ends up labeled with its connected component's minimum id.
+    * `pairs` carries (aCol, bCol); the result is (idCol, cluster_id),
+    * sorted. Shared by the d6 (LSH pair graph) and d8 (banded embedding
+    * pair graph) cluster operators — see [[neardupClusters]] for the
+    * convergence/scale notes.
+    */
+  private[operators] def minLabelClusters(
+      pairs: DataFrame, aCol: String, bCol: String, idCol: String): DataFrame = {
+    import pairs.sparkSession.implicits._
     val edges = pairs
-      .unionByName(pairs.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
-      .select($"doc_a".as("src"), $"doc_b".as("dst"))
+      .unionByName(pairs.select(col(bCol).as(aCol), col(aCol).as(bCol)))
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
       .localCheckpoint(true)
-    var labels = edges.select($"src".as("doc_id")).distinct()
-      .withColumn("cluster_id", $"doc_id")
+    var labels = edges.select($"src".as(idCol)).distinct()
+      .withColumn("cluster_id", col(idCol))
       .localCheckpoint(true)
     var converged = false
     var rounds = 0
@@ -536,19 +572,25 @@ object Dedup {
       if (rounds > 50)
         throw new IllegalStateException("label propagation did not converge")
       val prop = edges
-        .join(labels, edges("src") === labels("doc_id"))
-        .select($"dst".as("doc_id"), $"cluster_id")
+        .join(labels, edges("src") === labels(idCol))
+        .select($"dst".as(idCol), $"cluster_id")
       val next = labels.unionByName(prop)
-        .groupBy($"doc_id").agg(min($"cluster_id").as("cluster_id"))
+        .groupBy(col(idCol)).agg(min($"cluster_id").as("cluster_id"))
         .localCheckpoint(true)
       val changed = next.as("n")
-        .join(labels.as("o"), "doc_id")
+        .join(labels.as("o"), idCol)
         .filter(col("n.cluster_id") =!= col("o.cluster_id"))
         .limit(1).count()
       converged = changed == 0L
       labels = next
     }
-    labels.orderBy($"doc_id")
+    labels.orderBy(col(idCol))
+  }
+
+  def neardupClusters(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    minLabelClusters(
+      minhashLsh(s, d).select($"doc_a", $"doc_b"), "doc_a", "doc_b", "doc_id")
   }
 
   /** Oracle: transitive closure via recursive CTE (UNION dedups, so cycles
@@ -575,7 +617,8 @@ object Dedup {
     "d4_simhash"           -> (simhash _),
     "d5_embed_neardup"     -> (embedNearDup _),
     "d6_neardup_clusters"  -> (neardupClusters _),
-    "d7_embed_banded"      -> (bandedEmbedNearDup _))
+    "d7_embed_banded"      -> (bandedEmbedNearDup _),
+    "d8_embed_clusters"    -> (embedClusters _))
 
   val oracle: Map[String, String] = Map(
     "d1_exact_fingerprint" -> exactFingerprintSql,
@@ -584,5 +627,6 @@ object Dedup {
     "d4_simhash"           -> simhashSql,
     "d5_embed_neardup"     -> embedNearDupSql,
     "d6_neardup_clusters"  -> neardupClustersSql,
-    "d7_embed_banded"      -> bandedEmbedNearDupSql)
+    "d7_embed_banded"      -> bandedEmbedNearDupSql,
+    "d8_embed_clusters"    -> embedClustersSql)
 }
