@@ -224,17 +224,63 @@ object Pipeline {
       |FROM agg
       |ORDER BY doc_id""".stripMargin
 
+  /** Docs kept per source by [[quotaSample]]. */
+  val QuotaPerSource = 10
+
+  /** p6: deterministic QUOTA sampling — exactly [[QuotaPerSource]] docs per
+    * source, chosen by md5-coin order (tie-break doc_id): the domain-mixing
+    * primitive that needs exact per-stratum counts, where p2's hash-
+    * bernoulli only hits rates in expectation. No RNG state: the same docs
+    * win on any cluster layout, any partitioning, any engine — the coin is
+    * a pure function of doc_id and lowercase-hex compares lexically ==
+    * numerically in both engines.
+    *
+    * Scale shape: one shuffle keyed by source + a per-stratum rank window.
+    * A hot stratum sorts only its own partition; for quotas small relative
+    * to stratum size the per-partition-top-K + merge refinement applies,
+    * but the operator shape (rank ≤ K over (source) by coin) is unchanged.
+    */
+  def quotaSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"source")
+      .orderBy($"coin".asc, $"doc_id".asc)
+    Tables.documents(s, d)
+      .select($"doc_id", $"source",
+        substring(md5($"doc_id".cast("string")), 1, 8).as("coin"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= QuotaPerSource)
+      .select($"doc_id", $"source", $"coin", $"rk")
+      .orderBy($"doc_id")
+  }
+
+  val quotaSampleSql: String =
+    s"""WITH coins AS (
+       |  SELECT doc_id, source,
+       |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS coin
+       |  FROM documents),
+       |ranked AS (
+       |  SELECT doc_id, source, coin,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY coin ASC, doc_id ASC) AS INTEGER) AS rk
+       |  FROM coins)
+       |SELECT doc_id, source, coin, rk
+       |FROM ranked
+       |WHERE rk <= $QuotaPerSource
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p1_corpus_filter"     -> (corpusFilter _),
     "p2_stratified_sample" -> (stratifiedSample _),
     "p3_token_pack"        -> (tokenPack _),
     "p4_incremental_dedup" -> (incrementalDedup _),
-    "p5_decontaminate"     -> (decontaminate _))
+    "p5_decontaminate"     -> (decontaminate _),
+    "p6_quota_sample"      -> (quotaSample _))
 
   val oracle: Map[String, String] = Map(
     "p1_corpus_filter"     -> corpusFilterSql,
     "p2_stratified_sample" -> stratifiedSampleSql,
     "p3_token_pack"        -> tokenPackSql,
     "p4_incremental_dedup" -> incrementalDedupSql,
-    "p5_decontaminate"     -> decontaminateSql)
+    "p5_decontaminate"     -> decontaminateSql,
+    "p6_quota_sample"      -> quotaSampleSql)
 }

@@ -109,11 +109,46 @@ object StreamingQueries {
       |GROUP BY 1, 2
       |ORDER BY w_start, event_type""".stripMargin
 
+  /** st3: STREAM-STATIC join — the enrichment shape every event pipeline
+    * runs (stream joined per micro-batch against a static dimension, no
+    * state, no watermark needed on the join itself): events enriched with
+    * the customer's market segment, then complete-mode per-(segment, type)
+    * counts. The static side is broadcast — at scale the stream never
+    * shuffles for the join.
+    */
+  def streamEnriched(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val cust = graft.Tables.customer(s, d)
+      .select($"c_custkey", $"c_mktsegment")
+    val table = "st3_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = eventsStream(s, d)
+      .join(broadcast(cust), $"user_id" === $"c_custkey")
+      .groupBy($"c_mktsegment", $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(table)
+      .outputMode("complete")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val result = s.table(table)
+      .orderBy($"c_mktsegment", $"event_type").localCheckpoint(true)
+    s.catalog.dropTempView(table)
+    result
+  }
+
+  val streamEnrichedSql: String =
+    """SELECT c_mktsegment, event_type, COUNT(*) AS n
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |GROUP BY 1, 2
+      |ORDER BY c_mktsegment, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_stream_dedup"    -> (streamDedup _),
-    "st2_stream_tumbling" -> (streamTumbling _))
+    "st2_stream_tumbling" -> (streamTumbling _),
+    "st3_stream_enriched" -> (streamEnriched _))
 
   val oracle: Map[String, String] = Map(
     "st1_stream_dedup"    -> streamDedupSql,
-    "st2_stream_tumbling" -> streamTumblingSql)
+    "st2_stream_tumbling" -> streamTumblingSql,
+    "st3_stream_enriched" -> streamEnrichedSql)
 }

@@ -95,7 +95,7 @@ class StreamingSpec extends AnyFunSuite {
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     def st1Dirs = tmp.listFiles().count(_.getName.startsWith("graft-st1"))
     def st2Views = spark.catalog.listTables().collect()
-      .count(_.name.startsWith("st2_"))
+      .count(t => t.name.startsWith("st2_") || t.name.startsWith("st3_"))
     // delta-based: stale dirs from earlier (pre-fix) sessions may exist
     val dirs0 = st1Dirs
     val views0 = st2Views
@@ -106,7 +106,8 @@ class StreamingSpec extends AnyFunSuite {
     val t1 = StreamingQueries.streamTumbling(spark, sf).count()
     val t2 = StreamingQueries.streamTumbling(spark, sf).count()
     assert(t1 === t2)
-    assert(st2Views === views0, "st2 memory-sink temp views not dropped")
+    StreamingQueries.streamEnriched(spark, sf).count()
+    assert(st2Views === views0, "st2/st3 memory-sink temp views not dropped")
   }
 
   test("session windows close after the gap (streaming)") {
