@@ -119,18 +119,124 @@ object Aggregates {
       .orderBy($"l_returnflag")
   }
 
+  /** q43: a DETERMINISTIC HyperLogLog, oracle-checked bit-for-bit — the
+    * exactness answer to q15's rows-only caveat. The whole sketch derives
+    * from md5 so both engines build identical registers:
+    *
+    *   - value hash h = md5(key); bucket = first byte mod 64 (m = 64);
+    *   - rank rho = position of the first 1-bit in the next 60 bits
+    *     (hex chars 3..17), 61 if all zero — so rho ∈ [1, 61];
+    *   - register M_b = max rho per bucket: EXACT integers, associative
+    *     max — merges across 1000 executors like any HLL;
+    *   - the harmonic denominator sum(2^-M_b) is kept EXACT by scaling to
+    *     the common denominator 2^61: S = sum(1 << (61 - M_b)) over
+    *     present buckets + (64 - n_present) * 2^61, accumulated as
+    *     DECIMAL(38,0) (max 2^67, order-independent integer addition);
+    *   - the estimate alpha_64 * m^2 * 2^61 / S is the ONLY floating
+    *     step: same literal constant, a power-of-two scale (exact), one
+    *     decimal→double conversion and one division — a fixed op sequence
+    *     that is bit-identical on both engines, then FLOOR to BIGINT.
+    *
+    * Emitted next to the exact distinct count, so the result also
+    * hash-checks the sketch's error (m = 64 → ~13% standard error).
+    */
+  def hllDeterministic(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashed = Tables.lineitem(s, d)
+      .select($"l_returnflag", $"l_orderkey",
+        md5($"l_orderkey".cast("string")).as("h"))
+      .select($"l_returnflag", $"l_orderkey",
+        expr("CAST(conv(substring(h, 1, 2), 16, 10) AS INT) % 64").as("b"),
+        expr("length(regexp_extract(substring(h, 3, 15), '^(0*)', 1))").as("z"),
+        $"h")
+      .select($"l_returnflag", $"l_orderkey", $"b",
+        expr(
+          """CASE WHEN z = 15 THEN 61
+            |     ELSE z * 4 + (CASE
+            |       WHEN CAST(conv(substring(h, 3 + z, 1), 16, 10) AS INT) >= 8 THEN 0
+            |       WHEN CAST(conv(substring(h, 3 + z, 1), 16, 10) AS INT) >= 4 THEN 1
+            |       WHEN CAST(conv(substring(h, 3 + z, 1), 16, 10) AS INT) >= 2 THEN 2
+            |       ELSE 3 END) + 1 END""".stripMargin).as("rho"))
+    val regs = hashed.groupBy($"l_returnflag", $"b")
+      .agg(max($"rho").as("mj"))
+    val sketch = regs.groupBy($"l_returnflag")
+      .agg(
+        sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 61 - mj) AS DECIMAL(38,0))"))
+          .as("s_present"),
+        count(lit(1)).as("nb"))
+      .select($"l_returnflag",
+        expr("""CAST(s_present
+                |  + CAST(64 - nb AS DECIMAL(38,0))
+                |    * CAST(2305843009213693952 AS DECIMAL(38,0))
+                |  AS DECIMAL(38,0))""".stripMargin).as("hll_s"))
+      .select($"l_returnflag", $"hll_s",
+        expr("""CAST(FLOOR(CAST(0.709 AS DOUBLE) * 4096
+                |  * CAST(2305843009213693952 AS DOUBLE)
+                |  / CAST(hll_s AS DOUBLE)) AS BIGINT)""".stripMargin)
+          .as("hll_estimate"))
+    val exact = Tables.lineitem(s, d).groupBy($"l_returnflag")
+      .agg(countDistinct($"l_orderkey").as("exact_distinct"))
+    sketch.join(exact, "l_returnflag")
+      .select($"l_returnflag", $"hll_s", $"hll_estimate", $"exact_distinct")
+      .orderBy($"l_returnflag")
+  }
+
+  val hllDeterministicSql: String =
+    """WITH hashed AS (
+      |  SELECT l_returnflag, l_orderkey,
+      |    md5(CAST(l_orderkey AS VARCHAR)) AS h
+      |  FROM lineitem),
+      |zed AS (
+      |  SELECT l_returnflag, l_orderkey,
+      |    ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+      |      + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 64 AS b,
+      |    length(regexp_extract(substr(h, 3, 15), '^(0*)', 1)) AS z,
+      |    h
+      |  FROM hashed),
+      |rhos AS (
+      |  SELECT l_returnflag, l_orderkey, b,
+      |    CASE WHEN z = 15 THEN 61
+      |         ELSE z * 4 + (CASE
+      |           WHEN strpos('0123456789abcdef', substr(h, 3 + z, 1)) - 1 >= 8 THEN 0
+      |           WHEN strpos('0123456789abcdef', substr(h, 3 + z, 1)) - 1 >= 4 THEN 1
+      |           WHEN strpos('0123456789abcdef', substr(h, 3 + z, 1)) - 1 >= 2 THEN 2
+      |           ELSE 3 END) + 1 END AS rho
+      |  FROM zed),
+      |regs AS (
+      |  SELECT l_returnflag, b, MAX(rho) AS mj
+      |  FROM rhos GROUP BY 1, 2),
+      |sk AS (
+      |  SELECT l_returnflag,
+      |    CAST(SUM(CAST(CAST(1 AS BIGINT) << (61 - mj) AS DECIMAL(38,0)))
+      |      + CAST(64 - COUNT(*) AS DECIMAL(38,0))
+      |        * CAST(2305843009213693952 AS DECIMAL(38,0))
+      |      AS DECIMAL(38,0)) AS hll_s
+      |  FROM regs GROUP BY 1),
+      |ex AS (
+      |  SELECT l_returnflag, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct
+      |  FROM lineitem GROUP BY 1)
+      |SELECT sk.l_returnflag, sk.hll_s,
+      |  CAST(FLOOR(CAST(0.709 AS DOUBLE) * 4096
+      |    * CAST(2305843009213693952 AS DOUBLE)
+      |    / CAST(hll_s AS DOUBLE)) AS BIGINT) AS hll_estimate,
+      |  ex.exact_distinct
+      |FROM sk JOIN ex USING (l_returnflag)
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q10_agg_distinct"    -> (aggDistinct _),
     "q11_agg_having"      -> (having _),
     "q12_agg_rollup"      -> (rollupAgg _),
     "q13_agg_cube"        -> (cubeAgg _),
     "q14_agg_gsets"       -> (groupingSets _),
-    "q15_agg_approx_hll"  -> (approxDistinct _))
+    "q15_agg_approx_hll"  -> (approxDistinct _),
+    "q43_hll_deterministic" -> (hllDeterministic _))
 
   val oracle: Map[String, String] = Map(
     "q10_agg_distinct" -> aggDistinctSql,
     "q11_agg_having"   -> havingSql,
     "q12_agg_rollup"   -> rollupSql,
     "q13_agg_cube"     -> cubeSql,
-    "q14_agg_gsets"    -> groupingSetsSql)
+    "q14_agg_gsets"    -> groupingSetsSql,
+    "q43_hll_deterministic" -> hllDeterministicSql)
 }
