@@ -330,13 +330,59 @@ object Similarity {
       .replace("__S3__", annMultiProbeSql)
       .replace("__S4__", annIvfSql)
 
+  /** s7: BATCHED ANN — the production lookup shape: a whole table of query
+    * vectors answered in ONE job instead of a per-query loop. Each query
+    * joins only its own signature bucket (equi-join on the partition
+    * column), per-query top-5 via a rank window. The query side is tiny
+    * and broadcast, and because the join key IS the partition column,
+    * Spark's dynamic partition pruning turns the broadcast side into a
+    * runtime PartitionFilter on the index scan — the batch equivalent of
+    * s2's literal pruning (PlanAuditSpec pins the dynamicpruning
+    * expression). No driver-side loop, no collect of query vectors.
+    */
+  def annBatch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val idx = AnnIndex.read(s, d)
+    val qs = Tables.embeddings(s, d).filter($"vec_id" < 8)
+      .select($"vec_id".as("q_id"), $"embedding".as("qv"),
+        concat(lit("s"), sigCol($"embedding")).as("qsigp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"score".desc, $"vec_id".asc)
+    idx.join(broadcast(qs), $"sigp" === $"qsigp" && $"vec_id" =!= $"q_id")
+      .select($"q_id", $"vec_id",
+        VectorFunctions.dot($"embedding", $"qv").as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .orderBy($"q_id", $"vec_id")
+  }
+
+  val annBatchSql: String =
+    s"""WITH sigs AS (
+       |  SELECT vec_id, label, embedding, ${sigSql("embedding")} AS sig
+       |  FROM embeddings),
+       |qs AS (SELECT vec_id AS q_id, embedding AS qv, sig AS qsig
+       |       FROM sigs WHERE vec_id < 8),
+       |cand AS (
+       |  SELECT q.q_id, e.vec_id, $dotSql AS score
+       |  FROM sigs e JOIN qs q ON e.sig = q.qsig AND e.vec_id <> q.q_id),
+       |ranked AS (
+       |  SELECT q_id, vec_id, score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rk
+       |  FROM cand)
+       |SELECT q_id, vec_id, score, rk
+       |FROM ranked
+       |WHERE rk <= 5
+       |ORDER BY q_id, vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk"     -> (bruteForceTopK _),
     "s2_ann_lsh"         -> (annLsh _),
     "s3_ann_multiprobe"  -> (annMultiProbe _),
     "s4_ann_ivf"         -> (annIvf _),
     "s5_quantized_topk"  -> (quantizedTopK _),
-    "s6_ann_recall"      -> (annRecall _))
+    "s6_ann_recall"      -> (annRecall _),
+    "s7_ann_batch"       -> (annBatch _))
 
   val oracle: Map[String, String] = Map(
     "s1_cosine_topk"     -> bruteForceTopKSql,
@@ -344,5 +390,6 @@ object Similarity {
     "s3_ann_multiprobe"  -> annMultiProbeSql,
     "s4_ann_ivf"         -> annIvfSql,
     "s5_quantized_topk"  -> quantizedTopKSql,
-    "s6_ann_recall"      -> annRecallSql)
+    "s6_ann_recall"      -> annRecallSql,
+    "s7_ann_batch"       -> annBatchSql)
 }

@@ -75,6 +75,12 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no cellp partition filter in scan:\n$p")
   }
 
+  test("s7 batched ANN prunes index partitions dynamically from the query batch") {
+    val p = plan("s7_ann_batch")
+    assert("PartitionFilters: \\[[^\\]]*dynamicpruning".r.findFirstIn(p).isDefined,
+      s"no dynamic partition pruning on the index scan:\n${p.take(3000)}")
+  }
+
   test("d7 banded near-dup has no nested-loop or cartesian join") {
     val p = plan("d7_embed_banded")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
