@@ -182,16 +182,35 @@ object Pipeline {
     * count. Eval is the small side — at 100 TB train the join broadcasts
     * the eval shingle set and the train scan stays shuffle-free.
     */
-  def decontaminate(s: SparkSession, d: String): DataFrame = {
+  private val EvalSrc = "src19"
+
+  /** Distinct word-4-gram shingles per (doc, source) — shared by p5/p7. */
+  private def shingles4(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val EvalSrc = "src19"
-    val sh = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select($"doc_id", $"source", split(lower($"text"), " ").as("w"))
       .filter(size($"w") >= 4)
       .select($"doc_id", $"source", explode(expr(
         "transform(sequence(0, size(w)-4), i -> concat_ws(' ', slice(w, i+1, 4)))"))
         .as("sh"))
       .distinct()
+  }
+
+  /** Shared oracle CTE: the same 4-gram shingling in DuckDB. */
+  private val shingles4Cte: String =
+    """words AS (
+      |  SELECT doc_id, source, string_split(lower(text), ' ') AS w FROM documents),
+      |tok AS (SELECT doc_id, source, unnest(w) AS word, generate_subscripts(w, 1) AS i
+      |        FROM words WHERE len(w) >= 4),
+      |sh4 AS (SELECT doc_id, source,
+      |          word || ' ' || LEAD(word,1) OVER win || ' ' || LEAD(word,2) OVER win
+      |               || ' ' || LEAD(word,3) OVER win AS sh
+      |        FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+      |shc AS (SELECT DISTINCT doc_id, source, sh FROM sh4 WHERE sh IS NOT NULL)""".stripMargin
+
+  def decontaminate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = shingles4(s, d)
     val train = sh.filter($"source" =!= EvalSrc).select($"sh").distinct()
     val ev = sh.filter($"source" === EvalSrc)
     val totals = ev.groupBy($"doc_id").agg(count(lit(1)).as("n_shingles"))
@@ -205,15 +224,7 @@ object Pipeline {
   }
 
   val decontaminateSql: String =
-    """WITH words AS (
-      |  SELECT doc_id, source, string_split(lower(text), ' ') AS w FROM documents),
-      |tok AS (SELECT doc_id, source, unnest(w) AS word, generate_subscripts(w, 1) AS i
-      |        FROM words WHERE len(w) >= 4),
-      |sh4 AS (SELECT doc_id, source,
-      |          word || ' ' || LEAD(word,1) OVER win || ' ' || LEAD(word,2) OVER win
-      |               || ' ' || LEAD(word,3) OVER win AS sh
-      |        FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
-      |shc AS (SELECT DISTINCT doc_id, source, sh FROM sh4 WHERE sh IS NOT NULL),
+    """WITH __SH4__,
       |train AS (SELECT DISTINCT sh FROM shc WHERE source <> 'src19'),
       |ev AS (SELECT doc_id, sh FROM shc WHERE source = 'src19'),
       |agg AS (
@@ -223,6 +234,86 @@ object Pipeline {
       |SELECT doc_id, n_shingles, hits, hits > 0 AS contaminated
       |FROM agg
       |ORDER BY doc_id""".stripMargin
+      .replace("__SH4__", shingles4Cte)
+
+  /** Bloom filter size (bits) and hash count for p7. At the fixture's
+    * 202k train shingles (sf0.1), m = 2^21, k = 4 gives a measured FP rate
+    * of ~1%; at sf0.01 (23k shingles) the filter is nearly clean. Both
+    * mirrored literally in the oracle.
+    */
+  val BloomBits = 2097152L
+  val BloomHashes = 4
+
+  /** p7: DETERMINISTIC Bloom-filter decontamination — the shape the exact
+    * p5 semi-join takes at 100 TB: the train side collapses to a bit-set
+    * (here a distinct-position relation; ~m/8 bytes as a real bitmap) that
+    * BROADCASTS, so the eval scan never shuffles against the train corpus.
+    * Every bit position derives from md5 (position j = hex chars
+    * 8j+1..8j+8 of md5(shingle), mod m), so both engines build the
+    * identical filter and the result hash-checks the measured
+    * false-positive count per eval doc (bloom_hits - exact_hits) — the
+    * number every Bloom deployment needs to know and almost none measure.
+    * Spark's built-in bloom_filter_agg is the opaque fast path; this is
+    * the oracle-checkable twin with the same plan shape.
+    */
+  def bloomDecontaminate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = shingles4(s, d)
+    val posCols = (0 until BloomHashes).map { j =>
+      expr(s"CAST(conv(substring(md5(sh), ${j * 8 + 1}, 8), 16, 10) AS BIGINT) % $BloomBits")
+    }
+    val withPos = sh
+      .select($"doc_id", $"source", $"sh", explode(array(posCols: _*)).as("pos"))
+      .distinct() // two of a shingle's own hashes may collide
+    val bits = withPos.filter($"source" =!= EvalSrc).select($"pos").distinct()
+    val evPos = withPos.filter($"source" === EvalSrc)
+    val perShingle = evPos
+      .join(bits.withColumn("hit", lit(1)), Seq("pos"), "left")
+      .groupBy($"doc_id", $"sh")
+      .agg(count(lit(1)).as("npos"), count($"hit").as("nhit"))
+    val train = sh.filter($"source" =!= EvalSrc).select($"sh").distinct()
+      .withColumn("in_train", lit(1))
+    perShingle
+      .join(train, Seq("sh"), "left")
+      .groupBy($"doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when($"nhit" === $"npos", 1L).otherwise(0L)).as("bloom_hits"),
+        sum(when($"in_train".isNotNull, 1L).otherwise(0L)).as("exact_hits"))
+      .select($"doc_id", $"n_shingles", $"bloom_hits", $"exact_hits",
+        ($"bloom_hits" - $"exact_hits").as("false_pos"))
+      .orderBy($"doc_id")
+  }
+
+  val bloomDecontaminateSql: String =
+    s"""WITH __SH4__,
+       |spos AS (
+       |  SELECT DISTINCT doc_id, source, sh,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, 9),
+       |        i -> CAST(strpos('0123456789abcdef',
+       |               substr(md5(sh), j * 8 + i, 1)) - 1 AS BIGINT))),
+       |      (acc, v) -> acc * 16 + v) % $BloomBits AS pos
+       |  FROM shc CROSS JOIN generate_series(0, ${BloomHashes - 1}) g(j)),
+       |bits AS (SELECT DISTINCT pos FROM spos WHERE source <> 'src19'),
+       |evp AS (SELECT doc_id, sh, pos FROM spos WHERE source = 'src19'),
+       |per_sh AS (
+       |  SELECT doc_id, sh, COUNT(*) AS npos,
+       |    COUNT(*) FILTER (WHERE pos IN (SELECT pos FROM bits)) AS nhit
+       |  FROM evp GROUP BY 1, 2),
+       |train AS (SELECT DISTINCT sh FROM shc WHERE source <> 'src19')
+       |SELECT doc_id,
+       |  COUNT(*) AS n_shingles,
+       |  CAST(COUNT(*) FILTER (WHERE nhit = npos) AS BIGINT) AS bloom_hits,
+       |  CAST(COUNT(*) FILTER (WHERE sh IN (SELECT sh FROM train)) AS BIGINT)
+       |    AS exact_hits,
+       |  CAST(COUNT(*) FILTER (WHERE nhit = npos) AS BIGINT)
+       |    - CAST(COUNT(*) FILTER (WHERE sh IN (SELECT sh FROM train)) AS BIGINT)
+       |    AS false_pos
+       |FROM per_sh
+       |GROUP BY doc_id
+       |ORDER BY doc_id""".stripMargin
+      .replace("__SH4__", shingles4Cte)
 
   /** Docs kept per source by [[quotaSample]]. */
   val QuotaPerSource = 10
@@ -274,7 +365,8 @@ object Pipeline {
     "p3_token_pack"        -> (tokenPack _),
     "p4_incremental_dedup" -> (incrementalDedup _),
     "p5_decontaminate"     -> (decontaminate _),
-    "p6_quota_sample"      -> (quotaSample _))
+    "p6_quota_sample"      -> (quotaSample _),
+    "p7_bloom_decontaminate" -> (bloomDecontaminate _))
 
   val oracle: Map[String, String] = Map(
     "p1_corpus_filter"     -> corpusFilterSql,
@@ -282,5 +374,6 @@ object Pipeline {
     "p3_token_pack"        -> tokenPackSql,
     "p4_incremental_dedup" -> incrementalDedupSql,
     "p5_decontaminate"     -> decontaminateSql,
-    "p6_quota_sample"      -> quotaSampleSql)
+    "p6_quota_sample"      -> quotaSampleSql,
+    "p7_bloom_decontaminate" -> bloomDecontaminateSql)
 }
