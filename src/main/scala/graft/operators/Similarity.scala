@@ -375,6 +375,50 @@ object Similarity {
        |WHERE rk <= 5
        |ORDER BY q_id, vec_id""".stripMargin
 
+  /** s8: hard-negative mining — for each anchor vector, the top-5 most
+    * similar vectors with a DIFFERENT label: the batch that contrastive /
+    * embedding training loops consume (negatives close enough to the
+    * anchor to carry gradient). Same one-job batch shape as [[annBatch]]
+    * (broadcast anchors, per-anchor rank window, no driver loop); the
+    * label inequality is the only semantic difference from plain top-k,
+    * and at 100 TB the candidate side is the ANN index rather than the
+    * full corpus — the operator shape is unchanged.
+    */
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val anchors = e.filter($"vec_id" < 4)
+      .select($"vec_id".as("q_id"), $"label".as("q_label"),
+        $"embedding".as("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"score".desc, $"vec_id".asc)
+    e.crossJoin(broadcast(anchors))
+      .filter($"vec_id" =!= $"q_id" && $"label" =!= $"q_label")
+      .select($"q_id", $"vec_id", $"label",
+        VectorFunctions.dot($"embedding", $"qv").as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 5)
+      .orderBy($"q_id", $"vec_id")
+  }
+
+  val hardNegativesSql: String =
+    s"""WITH anchors AS (
+       |  SELECT vec_id AS q_id, label AS q_label, embedding AS qv
+       |  FROM embeddings WHERE vec_id < 4),
+       |cand AS (
+       |  SELECT q.q_id, e.vec_id, e.label, $dotSql AS score
+       |  FROM embeddings e CROSS JOIN anchors q
+       |  WHERE e.vec_id <> q.q_id AND e.label <> q.q_label),
+       |ranked AS (
+       |  SELECT q_id, vec_id, label, score,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+       |      ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rk
+       |  FROM cand)
+       |SELECT q_id, vec_id, label, score, rk
+       |FROM ranked
+       |WHERE rk <= 5
+       |ORDER BY q_id, vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk"     -> (bruteForceTopK _),
     "s2_ann_lsh"         -> (annLsh _),
@@ -382,7 +426,8 @@ object Similarity {
     "s4_ann_ivf"         -> (annIvf _),
     "s5_quantized_topk"  -> (quantizedTopK _),
     "s6_ann_recall"      -> (annRecall _),
-    "s7_ann_batch"       -> (annBatch _))
+    "s7_ann_batch"       -> (annBatch _),
+    "s8_hard_negatives"  -> (hardNegatives _))
 
   val oracle: Map[String, String] = Map(
     "s1_cosine_topk"     -> bruteForceTopKSql,
@@ -391,5 +436,6 @@ object Similarity {
     "s4_ann_ivf"         -> annIvfSql,
     "s5_quantized_topk"  -> quantizedTopKSql,
     "s6_ann_recall"      -> annRecallSql,
-    "s7_ann_batch"       -> annBatchSql)
+    "s7_ann_batch"       -> annBatchSql,
+    "s8_hard_negatives"  -> hardNegativesSql)
 }

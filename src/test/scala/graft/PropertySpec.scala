@@ -44,6 +44,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: ShingleHashes equals the composed xxhash64 pipeline for arbitrary texts") {
+    import spark.implicits._
+    // words of letters/digits/unicode joined by RUNS of spaces (1-3), plus
+    // optional leading/trailing spaces — the token-boundary shapes that
+    // would break a tokenizer that diverges from split(text, ' ')
+    val wordGen = Gen.oneOf(
+      Gen.stringOfN(3, Gen.alphaNumChar),
+      Gen.oneOf("wörd", "ünïcode", "日本語", "", "x"),
+      Gen.stringOfN(1, Gen.alphaChar))
+    val textGen = for {
+      words <- Gen.listOfN(8, wordGen)
+      seps <- Gen.listOfN(7, Gen.chooseNum(1, 3).map(" " * _))
+      lead <- Gen.oneOf("", " ")
+      trail <- Gen.oneOf("", " ", "  ")
+    } yield lead + words.zipAll(seps, "", "").map { case (w, s) => w + s }.mkString + trail
+    val texts = samples(textGen, 40, 20260812L)
+    val rows = texts.toDF("text")
+      .select(
+        expr("""array_sort(array_distinct(transform(
+          |  sequence(0, size(split(text, ' ')) - 3),
+          |  i -> xxhash64(split(text, ' ')[i], split(text, ' ')[i+1],
+          |               split(text, ' ')[i+2]))))""".stripMargin).as("want"),
+        graft.functions.ShingleHashes.shingleHashes(col("text"), 3).as("got"))
+      .collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1),
+        s"fused hashes diverge on ${t.map(c => if (c == ' ') '_' else c)}")
+    }
+  }
+
   test("property: salted join equals plain join for arbitrary key distributions") {
     import spark.implicits._
     val rowsGen = Gen.listOfN(60,
