@@ -224,13 +224,57 @@ object Multimodal {
        |WHERE doc_id % 3 = 2
        |ORDER BY media_id, frame_idx""".stripMargin
 
+  /** Target box for [[resizePlan]] (the usual vision-model input side). */
+  val ResizeBox = 224
+
+  /** m4: resize planning over the DECODED dimensions — aspect-preserving
+    * fit into a [[ResizeBox]]² box in exact integer math (out_w = w*224
+    * div max(w,h)), so the plan is engine-identical. The pixel resample
+    * itself would run where the codec runs (a [[decodeBatch]]-shaped
+    * per-partition pass over the bytes — the plumbing m2 already proves);
+    * the PLAN — which image gets which output geometry, and whether it
+    * upscales — is the relational part a 100 TB pipeline computes first
+    * to bucket work by output size.
+    */
+  def resizePlan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    extractFeatures(mediaTable(s, d)).toDF()
+      .filter($"mime" === "image/png")
+      .select($"media_id", $"width", $"height",
+        expr(s"CAST(width * $ResizeBox div greatest(width, height) AS INT)")
+          .as("out_w"),
+        expr(s"CAST(height * $ResizeBox div greatest(width, height) AS INT)")
+          .as("out_h"),
+        (greatest($"width", $"height") < ResizeBox).as("upscaled"))
+      .orderBy($"media_id")
+  }
+
+  /** Oracle re-derives dimensions from the synthesis parameters (checking
+    * the decode again) and mirrors the integer division.
+    */
+  val resizePlanSql: String =
+    s"""WITH dims AS (
+       |  SELECT doc_id AS media_id,
+       |    CAST(16 + doc_id % 640 AS INTEGER) AS width,
+       |    CAST(16 + (doc_id * 7) % 480 AS INTEGER) AS height
+       |  FROM documents
+       |  WHERE doc_id % 3 = 0)
+       |SELECT media_id, width, height,
+       |  CAST(width * $ResizeBox // greatest(width, height) AS INTEGER) AS out_w,
+       |  CAST(height * $ResizeBox // greatest(width, height) AS INTEGER) AS out_h,
+       |  greatest(width, height) < $ResizeBox AS upscaled
+       |FROM dims
+       |ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_meta"     -> (mediaMeta _),
     "m2_media_features" -> (mediaFeatures _),
-    "m3_frame_sample"   -> (frameSample _))
+    "m3_frame_sample"   -> (frameSample _),
+    "m4_resize_plan"    -> (resizePlan _))
 
   val oracle: Map[String, String] = Map(
     "m1_media_meta"     -> mediaMetaSql,
     "m2_media_features" -> mediaFeaturesSql,
-    "m3_frame_sample"   -> frameSampleSql)
+    "m3_frame_sample"   -> frameSampleSql,
+    "m4_resize_plan"    -> resizePlanSql)
 }
