@@ -262,6 +262,9 @@ object Pipeline {
     val posCols = (0 until BloomHashes).map { j =>
       expr(s"CAST(conv(substring(md5(sh), ${j * 8 + 1}, 8), 16, 10) AS BIGINT) % $BloomBits")
     }
+    // Every consumer below derives from THIS one deduplicated relation, so
+    // its exchange is computed once and shared via ReuseExchange — the
+    // scan + 4-gram explode never re-runs per branch.
     val withPos = sh
       .select($"doc_id", $"source", $"sh", explode(array(posCols: _*)).as("pos"))
       .distinct() // two of a shingle's own hashes may collide
@@ -271,7 +274,7 @@ object Pipeline {
       .join(bits.withColumn("hit", lit(1)), Seq("pos"), "left")
       .groupBy($"doc_id", $"sh")
       .agg(count(lit(1)).as("npos"), count($"hit").as("nhit"))
-    val train = sh.filter($"source" =!= EvalSrc).select($"sh").distinct()
+    val train = withPos.filter($"source" =!= EvalSrc).select($"sh").distinct()
       .withColumn("in_train", lit(1))
     perShingle
       .join(train, Seq("sh"), "left")
