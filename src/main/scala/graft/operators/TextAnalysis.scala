@@ -250,7 +250,58 @@ object TextAnalysis {
       |FROM blob
       |ORDER BY c_custkey""".stripMargin
 
+  /** t7: unigram surprisal — the language-model quality signal (average
+    * -ln p(word) under the corpus unigram distribution; high surprisal =
+    * text unlike the corpus, the classic perplexity-style filter, here
+    * with the corpus itself as the LM). Exactness: each token's ln is
+    * truncated to DECIMAL(38,6) (the t5 idf trick — quantizing away the
+    * engines' last-ulp libm differences), the per-doc SUM is then exact
+    * decimal arithmetic, and the final negate-and-divide is one
+    * deterministic double op sequence. Shapes: token explode → one
+    * word-keyed shuffle join against the unigram counts (at 100 TB the
+    * vocab side is the smaller relation), one doc-keyed aggregation.
+    */
+  def surprisal(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("word"))
+    val wc = toks.groupBy($"word").agg(count(lit(1)).as("cnt"))
+    val tot = wc.agg(sum($"cnt").as("total"))
+    toks
+      .join(wc, "word")
+      .crossJoin(broadcast(tot))
+      .select($"doc_id",
+        log($"cnt".cast("double") / $"total".cast("double"))
+          .cast(Dec).as("lnp"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum($"lnp").as("slnp"))
+      .select($"doc_id", $"n_tokens",
+        (-($"slnp".cast("double") / $"n_tokens")).as("avg_surprisal"))
+      .orderBy($"doc_id")
+  }
+
+  val surprisalSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+      |  FROM documents),
+      |wc AS (SELECT word, COUNT(*) AS cnt FROM toks GROUP BY word),
+      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM wc),
+      |lnp AS (
+      |  SELECT doc_id,
+      |    CAST(LN(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+      |      AS DECIMAL(38,6)) AS lnp
+      |  FROM toks JOIN wc USING (word) CROSS JOIN tot),
+      |agg AS (
+      |  SELECT doc_id, COUNT(*) AS n_tokens,
+      |    CAST(SUM(lnp) AS DECIMAL(38,6)) AS slnp
+      |  FROM lnp GROUP BY doc_id)
+      |SELECT doc_id, n_tokens,
+      |  -(CAST(slnp AS DOUBLE) / n_tokens) AS avg_surprisal
+      |FROM agg
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t7_surprisal"    -> (surprisal _),
     "t1_langid"       -> (langId _),
     "t2_quality"      -> (quality _),
     "t3_token_counts" -> (tokenCounts _),
@@ -259,6 +310,7 @@ object TextAnalysis {
     "t6_pii_scrub"    -> (piiScrub _))
 
   val oracle: Map[String, String] = Map(
+    "t7_surprisal"    -> surprisalSql,
     "t1_langid"       -> langIdSql,
     "t2_quality"      -> qualitySql,
     "t3_token_counts" -> tokenCountsSql,
