@@ -262,12 +262,13 @@ object Pipeline {
     val posCols = (0 until BloomHashes).map { j =>
       expr(s"CAST(conv(substring(md5(sh), ${j * 8 + 1}, 8), 16, 10) AS BIGINT) % $BloomBits")
     }
-    // Every consumer below derives from THIS one deduplicated relation, so
-    // its exchange is computed once and shared via ReuseExchange — the
-    // scan + 4-gram explode never re-runs per branch.
+    // (doc_id, sh) is already distinct from shingles4 (whose exchange all
+    // branches share via ReuseExchange), so the only duplicate risk is a
+    // shingle's own k hashes colliding — dedup those LOCALLY with
+    // array_distinct instead of a second full-width distinct exchange.
     val withPos = sh
-      .select($"doc_id", $"source", $"sh", explode(array(posCols: _*)).as("pos"))
-      .distinct() // two of a shingle's own hashes may collide
+      .select($"doc_id", $"source", $"sh",
+        explode(array_distinct(array(posCols: _*))).as("pos"))
     val bits = withPos.filter($"source" =!= EvalSrc).select($"pos").distinct()
     val evPos = withPos.filter($"source" === EvalSrc)
     val perShingle = evPos
