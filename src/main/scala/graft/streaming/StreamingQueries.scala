@@ -142,13 +142,63 @@ object StreamingQueries {
       |GROUP BY 1, 2
       |ORDER BY c_mktsegment, event_type""".stripMargin
 
+  /** st4: STREAM-STREAM interval join — click→purchase attribution (every
+    * purchase within 1 hour of a click by the same user), the last major
+    * Structured Streaming form the suite lacked. Both sides carry a
+    * watermark and the join condition bounds event-time distance, so Spark
+    * can EXPIRE join state: a click older than watermark+1h can never match
+    * a future purchase and is dropped — state is O(events per horizon), not
+    * O(stream). Inner-join matches are emitted as soon as both rows have
+    * arrived (append mode), so the result set is the exact batch join and
+    * deterministic under any micro-batch split. Emits only key columns
+    * (event ids), mirroring st1's determinism rule.
+    */
+  def streamClickAttribution(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = eventsStream(s, d)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id".as("c_user"), $"ts".as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_user"), $"ts".as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val out = java.nio.file.Files.createTempDirectory("graft-st4").toString
+    val q = clicks.join(purchases,
+        $"c_user" === $"p_user" &&
+        $"p_ts" >= $"c_ts" &&
+        $"p_ts" <= $"c_ts" + expr("INTERVAL 1 HOUR"))
+      .select($"click_id", $"purchase_id")
+      .writeStream
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/chk")
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val result = s.read.parquet(s"$out/data")
+      .orderBy($"click_id", $"purchase_id").localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(out)).deleteRecursively()
+    result
+  }
+
+  val streamClickAttributionSql: String =
+    """SELECT c.event_id AS click_id, p.event_id AS purchase_id
+      |FROM events c JOIN events p
+      |  ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      |ORDER BY click_id, purchase_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st1_stream_dedup"    -> (streamDedup _),
     "st2_stream_tumbling" -> (streamTumbling _),
-    "st3_stream_enriched" -> (streamEnriched _))
+    "st3_stream_enriched" -> (streamEnriched _),
+    "st4_stream_attribution" -> (streamClickAttribution _))
 
   val oracle: Map[String, String] = Map(
     "st1_stream_dedup"    -> streamDedupSql,
     "st2_stream_tumbling" -> streamTumblingSql,
-    "st3_stream_enriched" -> streamEnrichedSql)
+    "st3_stream_enriched" -> streamEnrichedSql,
+    "st4_stream_attribution" -> streamClickAttributionSql)
 }
