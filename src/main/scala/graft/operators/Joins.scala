@@ -183,7 +183,77 @@ object Joins {
       |WHERE seg IS NOT DISTINCT FROM NULL OR seg IS NOT DISTINCT FROM 'BUILDING'
       |ORDER BY c_custkey""".stripMargin
 
+  /** q44: RANGE (interval-containment) join, executed as a bucketed
+    * EQUI-join — the scale path for the classic "event inside maintenance
+    * window" shape that a naive formulation turns into an O(n·m) nested
+    * loop.
+    *
+    * A 200-row dimension of irregular, overlapping time slots is
+    * synthesized deterministically (start jitter and duration from md5
+    * bytes, so the DuckDB oracle rebuilds it bit-for-bit). Instead of
+    * `e.ts BETWEEN slot.start AND slot.end` (which Spark can only plan as
+    * BroadcastNestedLoopJoin — fine at 200 slots, quadratic death at 200k),
+    * each slot EXPLODES into the 1-hour buckets it overlaps (≤3 here) and
+    * each event maps to exactly one bucket; the join becomes a hash
+    * equi-join on the bucket with the exact containment predicate as a
+    * post-filter. Events are never replicated, slots are replicated only
+    * per overlapped bucket, and the plan shuffles/broadcasts on the bucket
+    * key like any equi-join — it survives both sides growing 1000×.
+    * PlanAuditSpec pins the no-BNLJ shape.
+    */
+  private[graft] val RangeJoinBucketSec = 3600L
+
+  def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val B = RangeJoinBucketSec
+    val slots = s.range(200).select($"id".as("slot_id"),
+        md5($"id".cast("string")).as("h"))
+      .select($"slot_id",
+        (lit(1704067200L) + $"slot_id" * 12960L +
+          conv(substring($"h", 1, 2), 16, 10).cast("long") * 28L).as("start_s"),
+        (lit(900L) +
+          conv(substring($"h", 3, 2), 16, 10).cast("long") * 21L).as("dur_s"))
+      .withColumn("end_s", $"start_s" + $"dur_s")
+      .withColumn("bkt", explode(sequence(
+        expr(s"start_s div $B"), expr(s"(end_s - 1) div $B"))))
+    val ev = Tables.events(s, d)
+      .select(unix_timestamp($"ts").as("se"))
+      .withColumn("bkt", expr(s"se div $B"))
+    ev.join(slots, "bkt")
+      .where($"se" >= $"start_s" && $"se" < $"end_s")
+      .groupBy($"slot_id").agg(count(lit(1)).as("n"))
+      .orderBy($"slot_id")
+  }
+
+  /** Oracle: the naive containment join — DuckDB is welcome to nested-loop
+    * a 200-row dimension. md5-byte arithmetic mirrors the Spark synthesis
+    * via strpos nibble math (DuckDB has no conv()).
+    */
+  val rangeJoinSql: String = {
+    def byte(i: Int): String =
+      s"((strpos('0123456789abcdef', substr(h, $i, 1)) - 1) * 16 + " +
+        s"(strpos('0123456789abcdef', substr(h, ${i + 1}, 1)) - 1))"
+    """WITH hs AS (
+      |  SELECT range AS slot_id, md5(CAST(range AS VARCHAR)) AS h
+      |  FROM range(200)
+      |), slots AS (
+      |  SELECT slot_id,
+      |    CAST(1704067200 + slot_id * 12960 + __B1__ * 28 AS BIGINT) AS start_s,
+      |    CAST(900 + __B2__ * 21 AS BIGINT) AS dur_s
+      |  FROM hs
+      |)
+      |SELECT s.slot_id, COUNT(*) AS n
+      |FROM events e JOIN slots s
+      |  ON CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) >= s.start_s
+      | AND CAST(FLOOR(EPOCH(e.ts)) AS BIGINT) < s.start_s + s.dur_s
+      |GROUP BY 1
+      |ORDER BY slot_id""".stripMargin
+      .replace("__B1__", byte(1))
+      .replace("__B2__", byte(3))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_range_join"       -> (rangeJoin _),
     "q36_join_right_outer" -> (rightOuter _),
     "q37_null_safe_eq"     -> (nullSafeEq _),
     "q4_join_semi"       -> (semi _),
@@ -194,6 +264,7 @@ object Joins {
     "q9_join_cross"      -> (cross _))
 
   val oracle: Map[String, String] = Map(
+    "q44_range_join"       -> rangeJoinSql,
     "q36_join_right_outer" -> rightOuterSql,
     "q37_null_safe_eq"     -> nullSafeEqSql,
     "q4_join_semi"       -> semiSql,

@@ -163,19 +163,40 @@ object StreamingQueries {
       .select($"event_id".as("purchase_id"), $"user_id".as("p_user"), $"ts".as("p_ts"))
       .withWatermark("p_ts", "2 hours")
     val out = java.nio.file.Files.createTempDirectory("graft-st4").toString
-    val q = clicks.join(purchases,
-        $"c_user" === $"p_user" &&
-        $"p_ts" >= $"c_ts" &&
-        $"p_ts" <= $"c_ts" + expr("INTERVAL 1 HOUR"))
-      .select($"click_id", $"purchase_id")
-      .writeStream
-      .format("parquet")
-      .option("path", s"$out/data")
-      .option("checkpointLocation", s"$out/chk")
-      .outputMode("append")
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    // State-store cost dominates this bounded run: every micro-batch commits
+    // one HDFS-backed store PER shuffle partition PER join side. Size the
+    // state partitioning to the data (the same advice as any shuffle), and
+    // skip no-data micro-batches — inner-join matches emit eagerly, so the
+    // extra watermark-advance batch would only re-commit 4x stores for zero
+    // output rows. Both settings are per-run and restored after.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = s.conf.getOption(
+      "spark.sql.streaming.noDataMicroBatches.enabled")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try {
+      val q = clicks.join(purchases,
+          $"c_user" === $"p_user" &&
+          $"p_ts" >= $"c_ts" &&
+          $"p_ts" <= $"c_ts" + expr("INTERVAL 1 HOUR"))
+        .select($"click_id", $"purchase_id")
+        .writeStream
+        .format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/chk")
+        .outputMode("append")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevNoData match {
+        case Some(v) =>
+          s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None =>
+          s.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
     val result = s.read.parquet(s"$out/data")
       .orderBy($"click_id", $"purchase_id").localCheckpoint(true)
     new scala.reflect.io.Directory(new java.io.File(out)).deleteRecursively()

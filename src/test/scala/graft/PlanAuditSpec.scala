@@ -81,6 +81,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no dynamic partition pruning on the index scan:\n${p.take(3000)}")
   }
 
+  test("q44 range join runs as a bucket equi-join, not a nested loop") {
+    // The interval-containment predicate must ride on a hash equi-join over
+    // the bucket key (the scale path); a BNLJ/cartesian here means the
+    // bucketing rewrite regressed to the naive O(n*m) form.
+    val p = plan("q44_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), p)
+  }
+
   test("d7 banded near-dup has no nested-loop or cartesian join") {
     val p = plan("d7_embed_banded")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
