@@ -77,7 +77,14 @@ object Multimodal {
     * loudly, not fabricate features. `md` is the per-partition codec
     * context threaded in by [[decodeBatch]].
     */
-  private[graft] def decode(r: MediaRecord, md: MessageDigest): MediaFeatures = {
+  /** Parsed container header: everything [[decode]] needs plus the payload
+    * span, so byte-level consumers (frame slicing) share one parse.
+    */
+  private[graft] final case class Header(
+      mime: String, width: Int, height: Int, channels: Int, nFrames: Int,
+      payloadPos: Int, payloadLen: Int)
+
+  private[graft] def parseHeader(r: MediaRecord): Header = {
     val b = r.media
     require(b.length >= 4, s"media ${r.media_id}: truncated container (${b.length} bytes)")
     val mime = new String(b, 0, 4, StandardCharsets.US_ASCII) match {
@@ -105,11 +112,16 @@ object Multimodal {
     require(pos < b.length && b(pos) == '|',
       s"media ${r.media_id}: missing payload separator at byte $pos")
     pos += 1
-    val n = b.length - pos
+    Header(mime, w, h, c, f, pos, b.length - pos)
+  }
+
+  private[graft] def decode(r: MediaRecord, md: MessageDigest): MediaFeatures = {
+    val hd = parseHeader(r)
     md.reset()
-    md.update(b, pos, n)
+    md.update(r.media, hd.payloadPos, hd.payloadLen)
     val checksum = md.digest().map("%02x".format(_)).mkString
-    MediaFeatures(r.media_id, mime, w, h, c, f, n, checksum)
+    MediaFeatures(r.media_id, hd.mime, hd.width, hd.height, hd.channels,
+      hd.nFrames, hd.payloadLen, checksum)
   }
 
   /** Batched decode: one iterator per partition — the codec context (here a
@@ -266,15 +278,90 @@ object Multimodal {
        |FROM dims
        |ORDER BY media_id""".stripMargin
 
+  /** One content fingerprint per decoded video frame. */
+  final case class FrameHash(media_id: Long, frame_idx: Int, frame_md5: String)
+
+  /** Per-frame content fingerprints: each video's payload is sliced into
+    * its `n_frames` byte ranges (frame i = payload[i·len/f, (i+1)·len/f))
+    * and md5-hashed IN PLACE — one narrow byte pass per partition, digest
+    * context reused, no copies, no shuffle. This is the per-frame half of
+    * perceptual-hash dedup: swap the md5 for a pHash over decoded pixels
+    * and nothing around it changes.
+    */
+  def frameHashes(media: Dataset[MediaRecord]): Dataset[FrameHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val md = MessageDigest.getInstance("MD5")
+      it.flatMap { r =>
+        val hd = parseHeader(r)
+        if (hd.mime != "video/mp4") Iterator.empty
+        else (0 until hd.nFrames).iterator.map { i =>
+          val from = hd.payloadPos + i * hd.payloadLen / hd.nFrames
+          val until = hd.payloadPos + (i + 1) * hd.payloadLen / hd.nFrames
+          md.reset()
+          md.update(r.media, from, until - from)
+          FrameHash(r.media_id, i, md.digest().map("%02x".format(_)).mkString)
+        }
+      }
+    }
+  }
+
+  /** m5: cross-video duplicate-frame detection — fingerprints shared by
+    * more than one video (the frame-level dedup a video corpus runs before
+    * captioning/training; repeated intros, black frames, logo cards). The
+    * only shuffle is the groupBy on the fingerprint — exactly as wide as
+    * exact dedup, no matter how many frames a video has.
+    */
+  def frameDupes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    frameHashes(mediaTable(s, d)).toDF()
+      .groupBy($"frame_md5")
+      .agg(
+        count(lit(1)).as("n_frames"),
+        countDistinct($"media_id").as("n_videos"),
+        min($"media_id").as("first_media"))
+      .filter($"n_videos" > 1)
+      .orderBy($"frame_md5")
+  }
+
+  /** Oracle: rebuilds the frame slicing arithmetic over the synthesized
+    * payload (text is ASCII, so DuckDB's character substr sees the same
+    * bytes the JVM slices) and replays the dedup aggregation.
+    */
+  val frameDupesSql: String =
+    """WITH vids AS (
+      |  SELECT doc_id AS media_id, text,
+      |    CAST(1 + doc_id % 30 AS INTEGER) AS f,
+      |    length(text) AS len
+      |  FROM documents WHERE doc_id % 3 = 2
+      |), frames AS (
+      |  SELECT media_id,
+      |    md5(substr(text, CAST(i * len // f AS INTEGER) + 1,
+      |      CAST((i + 1) * len // f AS INTEGER) - CAST(i * len // f AS INTEGER)))
+      |      AS frame_md5
+      |  FROM vids, (SELECT unnest(range(30)) AS i) ix
+      |  WHERE i < f
+      |)
+      |SELECT frame_md5,
+      |  CAST(COUNT(*) AS BIGINT) AS n_frames,
+      |  CAST(COUNT(DISTINCT media_id) AS BIGINT) AS n_videos,
+      |  MIN(media_id) AS first_media
+      |FROM frames
+      |GROUP BY frame_md5
+      |HAVING COUNT(DISTINCT media_id) > 1
+      |ORDER BY frame_md5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_media_meta"     -> (mediaMeta _),
     "m2_media_features" -> (mediaFeatures _),
     "m3_frame_sample"   -> (frameSample _),
-    "m4_resize_plan"    -> (resizePlan _))
+    "m4_resize_plan"    -> (resizePlan _),
+    "m5_frame_dedup"    -> (frameDupes _))
 
   val oracle: Map[String, String] = Map(
     "m1_media_meta"     -> mediaMetaSql,
     "m2_media_features" -> mediaFeaturesSql,
     "m3_frame_sample"   -> frameSampleSql,
-    "m4_resize_plan"    -> resizePlanSql)
+    "m4_resize_plan"    -> resizePlanSql,
+    "m5_frame_dedup"    -> frameDupesSql)
 }

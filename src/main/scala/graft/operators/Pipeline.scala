@@ -363,7 +363,54 @@ object Pipeline {
        |WHERE rk <= $QuotaPerSource
        |ORDER BY doc_id""".stripMargin
 
+  /** Shard fan-out for [[stratifiedShard]]. */
+  val NShards = 8
+
+  /** p8: stratified hash-sharding — the step that splits a cleaned corpus
+    * into training shards. Each doc's shard is a deterministic md5 coin
+    * (first byte mod [[NShards]]): embarrassingly parallel, no global sort
+    * or row numbering (a rank-striped assignment would serialize the whole
+    * corpus through one ordering — the classic 100 TB anti-pattern), and
+    * balanced in expectation WITHIN every token-length band, so each shard
+    * sees the same length mixture. The output is the balance report per
+    * (band, shard) — doc counts and token sums — which is both the audit a
+    * sharding job emits and the hash-check that the assignment is
+    * engine-identical.
+    */
+  def stratifiedShard(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .withColumn("n_tok", size(split($"text", " ")).cast("long"))
+      .withColumn("band", least(expr("n_tok div 16"), lit(7L)))
+      .withColumn("shard",
+        (conv(substring(md5($"doc_id".cast("string")), 1, 2), 16, 10)
+          .cast("long") % NShards).cast("int"))
+      .groupBy($"band", $"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("sum_tokens"))
+      .orderBy($"band", $"shard")
+  }
+
+  val stratifiedShardSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    md5(CAST(doc_id AS VARCHAR)) AS h
+       |  FROM documents),
+       |assigned AS (
+       |  SELECT least(n_tok // 16, 7) AS band,
+       |    CAST(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16 +
+       |          (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % $NShards
+       |      AS INTEGER) AS shard,
+       |    n_tok
+       |  FROM toks)
+       |SELECT band, shard, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+       |FROM assigned
+       |GROUP BY 1, 2
+       |ORDER BY band, shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p8_stratified_shard"  -> (stratifiedShard _),
     "p1_corpus_filter"     -> (corpusFilter _),
     "p2_stratified_sample" -> (stratifiedSample _),
     "p3_token_pack"        -> (tokenPack _),
@@ -373,6 +420,7 @@ object Pipeline {
     "p7_bloom_decontaminate" -> (bloomDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "p8_stratified_shard"  -> stratifiedShardSql,
     "p1_corpus_filter"     -> corpusFilterSql,
     "p2_stratified_sample" -> stratifiedSampleSql,
     "p3_token_pack"        -> tokenPackSql,

@@ -39,6 +39,28 @@ class MultimodalSpec extends AnyFunSuite {
       md.digest(payloadBytes).map("%02x".format(_)).mkString)
   }
 
+  test("frame hashes partition the payload: n_frames slices, exact cover") {
+    import spark.implicits._
+    val payload = "0123456789abcdefghij" // 20 bytes into 7 frames
+    val bytes = s"GVID|w=8|h=8|c=3|f=7|$payload".getBytes(StandardCharsets.UTF_8)
+    val ds = Seq(MediaRecord(3L, bytes, "video/mp4", "t")).toDS()
+    val hashes = Multimodal.frameHashes(ds).collect().sortBy(_.frame_idx)
+    assert(hashes.length === 7)
+    assert(hashes.map(_.frame_idx).toSeq === (0 until 7))
+    // each hash is the md5 of the contiguous slice [i*len/f, (i+1)*len/f)
+    val expected = (0 until 7).map { i =>
+      val from = i * payload.length / 7
+      val until = (i + 1) * payload.length / 7
+      md.digest(payload.substring(from, until)
+        .getBytes(StandardCharsets.UTF_8)).map("%02x".format(_)).mkString
+    }
+    assert(hashes.map(_.frame_md5).toSeq === expected)
+    // non-video containers contribute no frames
+    val still = s"GIMG|w=8|h=8|c=3|f=1|$payload".getBytes(StandardCharsets.UTF_8)
+    assert(Multimodal.frameHashes(
+      Seq(MediaRecord(4L, still, "image/png", "t")).toDS()).count() === 0L)
+  }
+
   test("decode fails loudly on unknown magic and malformed headers") {
     def rec(s: String) =
       MediaRecord(1L, s.getBytes(StandardCharsets.UTF_8), "x", "t")
