@@ -245,8 +245,8 @@ object Pipeline {
   val BloomHashes = 4
 
   /** p7: DETERMINISTIC Bloom-filter decontamination — the shape the exact
-    * p5 semi-join takes at 100 TB: the train side collapses to a bit-set
-    * (here a distinct-position relation; ~m/8 bytes as a real bitmap) that
+    * p5 semi-join takes at 100 TB: the train side collapses to a real
+    * m/8-byte bitmap (treeAggregate of per-partition OR-folds) that
     * BROADCASTS, so the eval scan never shuffles against the train corpus.
     * Every bit position derives from md5 (position j = hex chars
     * 8j+1..8j+8 of md5(shingle), mod m), so both engines build the
@@ -258,31 +258,43 @@ object Pipeline {
     */
   def bloomDecontaminate(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sh = shingles4(s, d)
     val posCols = (0 until BloomHashes).map { j =>
       expr(s"CAST(conv(substring(md5(sh), ${j * 8 + 1}, 8), 16, 10) AS BIGINT) % $BloomBits")
     }
-    // (doc_id, sh) is already distinct from shingles4 (whose exchange all
-    // branches share via ReuseExchange), so the only duplicate risk is a
-    // shingle's own k hashes colliding — dedup those LOCALLY with
-    // array_distinct instead of a second full-width distinct exchange.
-    val withPos = sh
-      .select($"doc_id", $"source", $"sh",
-        explode(array_distinct(array(posCols: _*))).as("pos"))
-    val bits = withPos.filter($"source" =!= EvalSrc).select($"pos").distinct()
-    val evPos = withPos.filter($"source" === EvalSrc)
-    val perShingle = evPos
-      .join(bits.withColumn("hit", lit(1)), Seq("pos"), "left")
-      .groupBy($"doc_id", $"sh")
-      .agg(count(lit(1)).as("npos"), count($"hit").as("nhit"))
-    val train = withPos.filter($"source" =!= EvalSrc).select($"sh").distinct()
+    // Two actions consume the shingle relation (the bitmap fold, then the
+    // query proper) — materialize it ONCE, with the k bit positions already
+    // computed, instead of re-shingling and re-hashing the corpus per
+    // action. At cluster scale this is the same persist any multi-pass
+    // sketch build does over its input.
+    val sh = shingles4(s, d)
+      .withColumn("positions", array(posCols: _*))
+      .localCheckpoint()
+    // Build the filter as an ACTUAL bitmap (m/64 longs = 256 KB), folded
+    // per-partition and OR-merged up a tree — no distinct (OR dedups for
+    // free), no shuffle of positions, and the broadcast ships 256 KB
+    // however many billions of train shingles fed it. This is the literal
+    // 100 TB shape the scaladoc promises; the previous form joined the
+    // eval positions against a distinct-position RELATION, paying two
+    // exchanges for what one bit-test per position answers.
+    val words = (BloomBits / 64).toInt
+    val bitmap = sh.filter($"source" =!= EvalSrc)
+      .select(explode($"positions").as("pos")).as[Long]
+      .rdd.treeAggregate(new Array[Long](words))(
+        (arr, p) => { arr((p >>> 6).toInt) |= 1L << (p & 63); arr },
+        (a, b) => { var i = 0; while (i < words) { a(i) |= b(i); i += 1 }; a })
+    val bc = s.sparkContext.broadcast(bitmap)
+    val bloomHit = udf { ps: Seq[Long] =>
+      ps.forall(p => (bc.value((p >>> 6).toInt) & (1L << (p & 63))) != 0L)
+    }
+    val train = sh.filter($"source" =!= EvalSrc).select($"sh").distinct()
       .withColumn("in_train", lit(1))
-    perShingle
+    sh.filter($"source" === EvalSrc)
+      .select($"doc_id", $"sh", bloomHit($"positions").as("bloom_hit"))
       .join(train, Seq("sh"), "left")
       .groupBy($"doc_id")
       .agg(
         count(lit(1)).as("n_shingles"),
-        sum(when($"nhit" === $"npos", 1L).otherwise(0L)).as("bloom_hits"),
+        sum(when($"bloom_hit", 1L).otherwise(0L)).as("bloom_hits"),
         sum(when($"in_train".isNotNull, 1L).otherwise(0L)).as("exact_hits"))
       .select($"doc_id", $"n_shingles", $"bloom_hits", $"exact_hits",
         ($"bloom_hits" - $"exact_hits").as("false_pos"))
