@@ -300,7 +300,53 @@ object TextAnalysis {
       |FROM agg
       |ORDER BY doc_id""".stripMargin
 
+  /** Docs whose duplicate-trigram share exceeds this are flagged. */
+  val RepetitionMaxPct = 20L
+
+  /** t8: within-document repetition ratio — the duplicate-n-gram quality
+    * filter (boilerplate, keyword stuffing, degenerate generations show up
+    * as repeated trigrams). Entirely map-side: the trigram list, its
+    * distinct count, and the integer percentage are computed per row with
+    * array ops — no explode, no shuffle, nothing leaves the partition until
+    * the final sort. dup_pct is exact integer math, so the keep flag is
+    * engine-identical.
+    */
+  def repetition(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select($"doc_id", split(lower($"text"), " ").as("w"))
+      .filter(size($"w") >= 3)
+      .withColumn("grams", expr(
+        "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', slice(w, i + 1, 3)))"))
+      .select($"doc_id",
+        size($"grams").cast("long").as("n_grams"),
+        size(array_distinct($"grams")).cast("long").as("n_uniq"))
+      .withColumn("dup_pct",
+        expr("(n_grams - n_uniq) * 100 div n_grams"))
+      .withColumn("keep", $"dup_pct" < RepetitionMaxPct)
+      .orderBy($"doc_id")
+  }
+
+  val repetitionSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS w
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, list_transform(range(1, len(w) - 1),
+       |    i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]) AS grams
+       |  FROM w WHERE len(w) >= 3)
+       |SELECT doc_id,
+       |  CAST(len(grams) AS BIGINT) AS n_grams,
+       |  CAST(len(list_distinct(grams)) AS BIGINT) AS n_uniq,
+       |  CAST((len(grams) - len(list_distinct(grams))) * 100 // len(grams)
+       |    AS BIGINT) AS dup_pct,
+       |  (len(grams) - len(list_distinct(grams))) * 100 // len(grams)
+       |    < $RepetitionMaxPct AS keep
+       |FROM g
+       |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t8_repetition"   -> (repetition _),
     "t7_surprisal"    -> (surprisal _),
     "t1_langid"       -> (langId _),
     "t2_quality"      -> (quality _),
@@ -310,6 +356,7 @@ object TextAnalysis {
     "t6_pii_scrub"    -> (piiScrub _))
 
   val oracle: Map[String, String] = Map(
+    "t8_repetition"   -> repetitionSql,
     "t7_surprisal"    -> surprisalSql,
     "t1_langid"       -> langIdSql,
     "t2_quality"      -> qualitySql,
