@@ -28,6 +28,7 @@ object SparkEntry {
       (operators.Dedup.queries, operators.Dedup.oracle),
       (operators.Pipeline.queries, operators.Pipeline.oracle),
       (operators.Similarity.queries, operators.Similarity.oracle),
+      (operators.KMeans.queries, operators.KMeans.oracle),
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracle),
       (multimodal.Multimodal.queries, multimodal.Multimodal.oracle),
       (streaming.StreamingQueries.queries, streaming.StreamingQueries.oracle),
