@@ -535,6 +535,94 @@ object Dedup {
       |ORDER BY vec_id""".stripMargin
       .replace("__PAIRS__", bandedEmbedNearDupSql)
 
+  /** d9: SEMANTIC dedup — the SemDeDup shape (Abbas et al. 2023,
+    * arXiv:2303.09540): partition the embedding space with k-means, then
+    * look for near-duplicates ONLY within each cluster, keeping the
+    * lowest-id member of every within-cluster similarity group. The
+    * cluster scope is what makes embedding dedup tractable at corpus
+    * scale: with K chosen so clusters are bounded (K ~ n / target cluster
+    * size; the fixture's [[KMeans.K]] = 4 demonstrates the shape), the
+    * quadratic term is per-cluster, not per-corpus — this is the published
+    * recipe SemDeDup used to dedup LAION-scale corpora, and it composes
+    * two pieces this repo already trusts: the bit-exact one-round Lloyd
+    * assignment ([[KMeans.assignments]] — broadcast centroids, one
+    * tree-aggregated pass, no shuffle) and d5's coarse-then-fine pair
+    * verification (block equi-join, 256-bit sketch hamming prefilter,
+    * exact dot on survivors).
+    *
+    * Semantics: vector v is DROPPED iff some lower-id vector in the same
+    * k-means cluster has cos >= 0.45 (same threshold as d5/d7 so the
+    * three embedding-dedup paths are directly comparable on the fixture);
+    * else v is kept. Output is one row per vector: (vec_id, cluster,
+    * kept). Pair enumeration joins on (cluster, block-cell): the cluster
+    * equality scopes candidates semantically, the K^2 block cells keep the
+    * within-cluster expansion evenly spread over the shuffle — no BNLJ,
+    * no hot partition even if one cluster dominates.
+    *
+    * The hamming<=110 prefilter is d5's: its zero-miss margin was measured
+    * on ALL fixture pairs, and d9's within-cluster pairs are a subset.
+    */
+  def semanticDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val K = BlockK
+    val asg = KMeans.assignments(s, d).select($"vec_id", $"cluster")
+    val e = Tables.embeddings(s, d).select(
+        $"vec_id", $"embedding",
+        graft.functions.BitSketch.sketch($"embedding", SketchPlanes).as("sk"),
+        pmod($"vec_id", lit(K.toLong)).as("blk"))
+      .join(asg, "vec_id")
+    val cells = s.range(K.toLong * K)
+      .select(expr(s"id div $K").as("ba"), expr(s"id % $K").as("bb"))
+    val a = e.select($"vec_id".as("vid_a"), $"embedding".as("emb_a"),
+        $"sk".as("sk_a"), $"cluster".as("cl_a"), $"blk".as("ba"))
+      .join(broadcast(cells), "ba")
+    val b = e.select($"vec_id".as("vid_b"), $"embedding".as("emb_b"),
+        $"sk".as("sk_b"), $"cluster".as("cl_b"), $"blk".as("bb"))
+      .join(broadcast(cells), "bb")
+    val ham = (0 until SketchPlanes / 64).map { w =>
+      bit_count(element_at($"sk_a", w + 1)
+        .bitwiseXOR(element_at($"sk_b", w + 1)))
+    }.reduce(_ + _)
+    // Same conjunct-order discipline as d5: cheap equi keys, id order,
+    // popcount, and only then the exact dot (see embedNearDup's note on
+    // why the threshold must live IN the join condition).
+    val dropped = a.join(b,
+        a("cl_a") === b("cl_b") && a("ba") === b("ba") && a("bb") === b("bb") &&
+          $"vid_a" < $"vid_b" && ham <= SketchHammingMax &&
+          VectorFunctions.dot($"emb_a", $"emb_b") >= 0.45)
+      .select($"vid_b".as("vec_id")).distinct()
+    asg.join(dropped.withColumn("hit", lit(1)), Seq("vec_id"), "left_outer")
+      .select($"vec_id", $"cluster", $"hit".isNull.as("kept"))
+      .orderBy($"vec_id")
+  }
+
+  /** Oracle: the s9 assignment statement verbatim as the cluster scope
+    * (nested WITH inside a derived table — DuckDB composes it), the shared
+    * sketch-sig CTE for the identical hamming(sig_a, sig_b) <= 110
+    * prefilter, and the exact left-to-right dot — a vector is kept iff no
+    * lower-id cluster-mate clears the 0.45 threshold.
+    */
+  val semanticDedupSql: String =
+    """WITH asg AS (SELECT vec_id, cluster FROM (__KMEANS__) t),
+      |__SIGS__,
+      |dropped AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      |  JOIN asg ca ON ca.vec_id = a.vec_id
+      |  JOIN asg cb ON cb.vec_id = b.vec_id AND cb.cluster = ca.cluster
+      |  JOIN sigs sa ON sa.vec_id = a.vec_id
+      |  JOIN sigs sb ON sb.vec_id = b.vec_id
+      |  WHERE hamming(sa.sig, sb.sig) <= 110
+      |    AND list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(range(1, len(a.embedding) + 1),
+      |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+      |      (acc, x) -> acc + x) >= 0.45)
+      |SELECT c.vec_id, c.cluster, (d.vec_id IS NULL) AS kept
+      |FROM asg c LEFT JOIN dropped d ON d.vec_id = c.vec_id
+      |ORDER BY c.vec_id""".stripMargin
+      .replace("__SIGS__", sketchSigsCte)
+      .replace("__KMEANS__", KMeans.kmeansAssignSql)
+
   /** Near-dup CLUSTERS: connected components over the [[minhashLsh]] pair
     * graph, each doc labeled with its component's minimum doc_id — the
     * canonical-representative assignment that turns candidate pairs into an
@@ -618,7 +706,8 @@ object Dedup {
     "d5_embed_neardup"     -> (embedNearDup _),
     "d6_neardup_clusters"  -> (neardupClusters _),
     "d7_embed_banded"      -> (bandedEmbedNearDup _),
-    "d8_embed_clusters"    -> (embedClusters _))
+    "d8_embed_clusters"    -> (embedClusters _),
+    "d9_semantic_dedup"    -> (semanticDedup _))
 
   val oracle: Map[String, String] = Map(
     "d1_exact_fingerprint" -> exactFingerprintSql,
@@ -628,5 +717,6 @@ object Dedup {
     "d5_embed_neardup"     -> embedNearDupSql,
     "d6_neardup_clusters"  -> neardupClustersSql,
     "d7_embed_banded"      -> bandedEmbedNearDupSql,
-    "d8_embed_clusters"    -> embedClustersSql)
+    "d8_embed_clusters"    -> embedClustersSql,
+    "d9_semantic_dedup"    -> semanticDedupSql)
 }

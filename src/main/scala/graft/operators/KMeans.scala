@@ -67,6 +67,16 @@ object KMeans {
 
   def kmeansAssign(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    assignments(s, d).orderBy($"vec_id")
+  }
+
+  /** One-Lloyd-round cluster assignment, unsorted — the reusable half of
+    * [[kmeansAssign]]: d9's semantic dedup consumes this mid-plan (cluster
+    * membership as the pair-enumeration scope) without paying the total
+    * sort s9's query contract needs.
+    */
+  private[graft] def assignments(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val q = Tables.embeddings(s, d)
       .select($"vec_id", expr(
         s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $QScale.0) AS BIGINT))")
@@ -111,7 +121,7 @@ object KMeans {
     q.map { case (id, v) =>
       val (cid, dist) = assign(v, bc2.value)
       (id, cid, dist)
-    }.toDF("vec_id", "cluster", "dist").orderBy($"vec_id")
+    }.toDF("vec_id", "cluster", "dist")
   }
 
   /** Oracle: the identical two-pass Lloyd round in SQL — quantize, assign

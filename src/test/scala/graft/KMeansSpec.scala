@@ -24,6 +24,30 @@ class KMeansSpec extends AnyFunSuite {
     assert(KMeans.assign(v, cents.sortBy(_._1))._2 === 1L)
   }
 
+  test("d9 semantic dedup: dropped iff a lower-id cluster-mate clears cos 0.45") {
+    val out = graft.operators.Dedup.semanticDedup(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+    assert(out.nonEmpty)
+    val embs = graft.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    assert(out.length === embs.size, "one row per vector")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val cluster = out.map(t => t._1 -> t._2).toMap
+    out.foreach { case (id, cl, kept) =>
+      // ground truth ignores the hamming prefilter on purpose: the spec is
+      // the end-to-end semantic claim, so a prefilter miss would fail here
+      val hasLowerMate = embs.keys.exists(o =>
+        o < id && cluster(o) == cl && cos(embs(o), embs(id)) >= 0.45)
+      assert(kept === !hasLowerMate,
+        s"vec $id in cluster $cl: kept=$kept but lower-mate=$hasLowerMate")
+    }
+  }
+
   test("s9 assignment is deterministic and covers all K initial clusters") {
     val a = KMeans.kmeansAssign(spark, sf).collect()
     val b = KMeans.kmeansAssign(spark, sf).collect()
