@@ -132,10 +132,12 @@ object Aggregates {
     *     the common denominator 2^61: S = sum(1 << (61 - M_b)) over
     *     present buckets + (64 - n_present) * 2^61, accumulated as
     *     DECIMAL(38,0) (max 2^67, order-independent integer addition);
-    *   - the estimate alpha_64 * m^2 * 2^61 / S is the ONLY floating
-    *     step: same literal constant, a power-of-two scale (exact), one
-    *     decimal→double conversion and one division — a fixed op sequence
-    *     that is bit-identical on both engines, then FLOOR to BIGINT.
+    *   - the estimate floor(alpha_64 * m^2 * 2^61 / S) is computed in
+    *     EXACT integer arithmetic: alpha_64 = 0.709 = 709/1000, so the
+    *     estimate is (709 * 4096 * 2^61) div (1000 * S) — a constant
+    *     38-digit numerator integer-divided by a decimal; no floating
+    *     point anywhere in the query (a decimal→double cast of S needs
+    *     ~60 mantissa bits, and engines differ in >53-bit rounding).
     *
     * Emitted next to the exact distinct count, so the result also
     * hash-checks the sketch's error (m = 64 → ~13% standard error).
@@ -170,9 +172,8 @@ object Aggregates {
                 |    * CAST(2305843009213693952 AS DECIMAL(38,0))
                 |  AS DECIMAL(38,0))""".stripMargin).as("hll_s"))
       .select($"l_returnflag", $"hll_s",
-        expr("""CAST(FLOOR(CAST(0.709 AS DOUBLE) * 4096
-                |  * CAST(2305843009213693952 AS DOUBLE)
-                |  / CAST(hll_s AS DOUBLE)) AS BIGINT)""".stripMargin)
+        expr("""CAST(6696315672709156913020928 AS DECIMAL(38,0))
+                |  div (CAST(1000 AS DECIMAL(38,0)) * hll_s)""".stripMargin)
           .as("hll_estimate"))
     val exact = Tables.lineitem(s, d).groupBy($"l_returnflag")
       .agg(countDistinct($"l_orderkey").as("exact_distinct"))
@@ -216,9 +217,9 @@ object Aggregates {
       |  SELECT l_returnflag, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct
       |  FROM lineitem GROUP BY 1)
       |SELECT sk.l_returnflag, sk.hll_s,
-      |  CAST(FLOOR(CAST(0.709 AS DOUBLE) * 4096
-      |    * CAST(2305843009213693952 AS DOUBLE)
-      |    / CAST(hll_s AS DOUBLE)) AS BIGINT) AS hll_estimate,
+      |  CAST(CAST('6696315672709156913020928' AS HUGEINT)
+      |    // (CAST(1000 AS HUGEINT) * CAST(hll_s AS HUGEINT))
+      |    AS BIGINT) AS hll_estimate,
       |  ex.exact_distinct
       |FROM sk JOIN ex USING (l_returnflag)
       |ORDER BY l_returnflag""".stripMargin
