@@ -47,41 +47,44 @@ object AnnIndex {
       .write.partitionBy("sigp").mode("overwrite").parquet(out)
   }
 
-  /** Number of IVF centroids: the first `IvfCentroids` corpus vectors, by
-    * vec_id — deterministic (no trained kmeans state to ship), mirrorable
-    * in SQL, and at 100 TB replaced by real trained centroids without
-    * changing the operator shape.
-    *
-    * Deliberately NOT Lloyd-trained: a kmeans mean is a sum of doubles
-    * whose accumulation order Spark does not define, so trained centroids
-    * cannot be replayed bit-exact by the DuckDB oracle — they would demote
-    * s4/s6 to rows-only checks. First-16 keeps the oracle exact and is
-    * MEASURED healthy on the fixtures (ScaleSpec at sf0.1: max cell ≤ 2x
-    * mean — observed 1.18x — and s4 recall@10 = 10/10 via the same
-    * machinery s6 oracle-checks).
-    */
+  /** Number of IVF centroids (k of the trained k-means). */
   val IvfCentroids = 16
 
-  /** Build the IVF index: each vector assigned to the centroid maximizing
-    * the exact dot (ties to the lowest centroid id), written partitioned by
-    * cell.
+  /** Build the IVF index with TRAINED centroids: one integer-quantized
+    * Lloyd round ([[KMeans.train]] — broadcast centroids, one
+    * tree-aggregated pass, no shuffle) initialised from the first-k
+    * vectors. The integer formulation is what makes training
+    * oracle-replayable: a float k-means mean depends on double reduction
+    * order, but floor-divided integer sums are order-free, so the DuckDB
+    * oracle re-derives the exact centroids ([[KMeans.lloydCtes]]) and
+    * s4/s6 stay bit-exact hash checks. Each vector is then assigned to its
+    * nearest trained centroid by exact integer squared-L2 (ties to the
+    * lowest cid) and the corpus is written partitioned by cell; the
+    * centroids themselves are persisted under `_centroids` inside the
+    * index (the `_` prefix hides them from the data scan, like
+    * `_spark_metadata`), so lookups read 16 rows instead of retraining.
     */
   def buildIvf(s: SparkSession, d: String, out: String): Unit = {
     import s.implicits._
+    val cents = KMeans.train(s, KMeans.quantized(s, d), IvfCentroids)
+    val centsDf = cents.toSeq
+      .map { case (cid, cq) => (cid, cq.toSeq) }.toDF("cid", "cq")
     val e = Tables.embeddings(s, d)
-    val cents = e.filter($"vec_id" < IvfCentroids)
-      .select($"vec_id".as("cid"), $"embedding".as("cvec"))
+      .withColumn("q", expr(
+        s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${KMeans.QScale}.0) AS BIGINT))"))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy($"vec_id").orderBy($"cdot".desc, $"cid".asc)
-    e.crossJoin(broadcast(cents))
-      .withColumn("cdot",
-        graft.functions.VectorFunctions.dot($"embedding", $"cvec"))
+      .partitionBy($"vec_id").orderBy($"cdist".asc, $"cid".asc)
+    e.crossJoin(broadcast(centsDf))
+      .withColumn("cdist", expr(
+        """aggregate(zip_with(q, cq, (x, y) -> (x - y) * (x - y)),
+          |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
       .select($"vec_id", $"label", $"embedding",
         concat(lit("c"), $"cid").as("cellp"))
       .repartition($"cellp")
       .write.partitionBy("cellp").mode("overwrite").parquet(out)
+    centsDf.coalesce(1).write.mode("overwrite").parquet(s"$out/_centroids")
   }
 
   /** Build-once, marker-arbitrated index location (see the class note).
@@ -147,9 +150,13 @@ object AnnIndex {
   def locate(s: SparkSession, d: String): String =
     locateIndex(s, d, "graft-ann")(build)
 
-  /** IVF index location for fixture dir `d`, building on first use. */
+  /** IVF index location for fixture dir `d`, building on first use. The
+    * prefix names the index FORMAT (trained centroids + `_centroids`
+    * sidecar) — bumped from `graft-ivf` so a cached first-16 index from an
+    * older build is never adopted for the new semantics.
+    */
   def locateIvf(s: SparkSession, d: String): String =
-    locateIndex(s, d, "graft-ivf")(buildIvf)
+    locateIndex(s, d, "graft-ivft")(buildIvf)
 
   /** Read the (possibly just-built) sign-LSH index: embeddings + `sig`
     * data column + `sigp` partition column.

@@ -70,12 +70,11 @@ object KMeans {
     assignments(s, d).orderBy($"vec_id")
   }
 
-  /** One-Lloyd-round cluster assignment, unsorted — the reusable half of
-    * [[kmeansAssign]]: d9's semantic dedup consumes this mid-plan (cluster
-    * membership as the pair-enumeration scope) without paying the total
-    * sort s9's query contract needs.
+  /** Quantized corpus RDD (persisted: training makes 3 passes over it;
+    * ContextCleaner frees it when the last reference drops).
     */
-  private[graft] def assignments(s: SparkSession, d: String): DataFrame = {
+  private[graft] def quantized(
+      s: SparkSession, d: String): org.apache.spark.rdd.RDD[(Long, Array[Long])] = {
     import s.implicits._
     val q = Tables.embeddings(s, d)
       .select($"vec_id", expr(
@@ -83,16 +82,26 @@ object KMeans {
         .as("q"))
       .as[(Long, Seq[Long])]
       .rdd.map { case (id, v) => (id, v.toArray) }
-      .persist(StorageLevel.MEMORY_AND_DISK) // 3 passes; ContextCleaner frees it
+      .persist(StorageLevel.MEMORY_AND_DISK)
     require(q.first()._2.length == Dim, s"expected $Dim-dim embeddings")
+    q
+  }
 
-    var cents: Array[(Int, Array[Long])] = q.filter(_._1 < K).collect()
+  /** First-k init + ONE Lloyd round over the quantized corpus — the
+    * reusable trainer: s9 consumes it at K=4, [[AnnIndex.buildIvf]] at 16
+    * (trained IVF cells). Returns the updated integer centroids, empty
+    * cells dropped; exact replay = [[lloydCtes]].
+    */
+  private[graft] def train(
+      s: SparkSession, q: org.apache.spark.rdd.RDD[(Long, Array[Long])],
+      k: Int): Array[(Int, Array[Long])] = {
+    val init: Array[(Int, Array[Long])] = q.filter(_._1 < k).collect()
       .sortBy(_._1).map { case (id, v) => (id.toInt, v) }
 
     // One Lloyd round: assign + fold per-cluster (count, component sums)
     // in a single tree-aggregated pass.
-    val bc = s.sparkContext.broadcast(cents)
-    val zero = (new Array[Long](K), Array.fill(K)(new Array[Long](Dim)))
+    val bc = s.sparkContext.broadcast(init)
+    val zero = (new Array[Long](k), Array.fill(k)(new Array[Long](Dim)))
     val (counts, sums) = q.treeAggregate(zero)(
       { case ((cnt, sm), (_, v)) =>
         val cid = assign(v, bc.value)._1
@@ -104,7 +113,7 @@ object KMeans {
       },
       { case ((c1, s1), (c2, s2)) =>
         var c = 0
-        while (c < K) {
+        while (c < k) {
           c1(c) += c2(c)
           var i = 0
           while (i < Dim) { s1(c)(i) += s2(c)(i); i += 1 }
@@ -112,9 +121,20 @@ object KMeans {
         }
         (c1, s1)
       })
-    cents = (0 until K).filter(counts(_) > 0L).map { c =>
+    (0 until k).filter(counts(_) > 0L).map { c =>
       (c, sums(c).map(fld(_, counts(c))))
     }.toArray
+  }
+
+  /** One-Lloyd-round cluster assignment, unsorted — the reusable half of
+    * [[kmeansAssign]]: d9's semantic dedup consumes this mid-plan (cluster
+    * membership as the pair-enumeration scope) without paying the total
+    * sort s9's query contract needs.
+    */
+  private[graft] def assignments(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = quantized(s, d)
+    val cents = train(s, q, K)
 
     // Final assignment with the updated centroids.
     val bc2 = s.sparkContext.broadcast(cents)
@@ -124,17 +144,18 @@ object KMeans {
     }.toDF("vec_id", "cluster", "dist")
   }
 
-  /** Oracle: the identical two-pass Lloyd round in SQL — quantize, assign
-    * against the first-K centroids, recompute centroids with the same
-    * pmod floor-division, re-assign. All-integer end to end.
+  /** The trained-centroid CTE chain (exact SQL replay of [[train]]):
+    * `q` (quantized corpus), `c0` (first-k init), `a1` (round-1
+    * assignment), `c1` (cid, trained integer centroid list). Shared by the
+    * s9 oracle (k=4) and the s4 trained-IVF oracle (k=16).
     */
-  val kmeansAssignSql: String =
-    s"""WITH q AS (
+  private[graft] def lloydCtes(k: Int): String =
+    s"""q AS (
        |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(floor(CAST(x AS DOUBLE) * $QScale.0) AS BIGINT)) AS q
        |  FROM embeddings),
        |c0 AS (
-       |  SELECT CAST(vec_id AS INTEGER) AS cid, q AS c FROM q WHERE vec_id < $K),
+       |  SELECT CAST(vec_id AS INTEGER) AS cid, q AS c FROM q WHERE vec_id < $k),
        |d1 AS (
        |  SELECT v.vec_id, c.cid,
        |    CAST(list_sum(list_transform(range(1, ${Dim + 1}),
@@ -153,7 +174,14 @@ object KMeans {
        |  GROUP BY a.cid, t.i),
        |c1 AS (
        |  SELECT cid, list((s - ((s % n + n) % n)) // n ORDER BY i) AS c
-       |  FROM comp1 GROUP BY cid),
+       |  FROM comp1 GROUP BY cid)""".stripMargin
+
+  /** Oracle: the identical two-pass Lloyd round in SQL — quantize, assign
+    * against the first-K centroids, recompute centroids with the same
+    * pmod floor-division, re-assign. All-integer end to end.
+    */
+  val kmeansAssignSql: String =
+    s"""WITH __LLOYD__,
        |d2 AS (
        |  SELECT v.vec_id, c.cid,
        |    CAST(list_sum(list_transform(range(1, ${Dim + 1}),
@@ -164,6 +192,7 @@ object KMeans {
        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
        |  FROM d2) WHERE rn = 1
        |ORDER BY vec_id""".stripMargin
+      .replace("__LLOYD__", lloydCtes(K))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s9_kmeans" -> (kmeansAssign _))

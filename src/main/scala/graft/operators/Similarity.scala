@@ -150,32 +150,34 @@ object Similarity {
        |ORDER BY score DESC, e.vec_id ASC
        |LIMIT 10""".stripMargin
 
-  /** IVF ANN over the persisted [[AnnIndex.readIvf]] index: the query's
-    * top-2 centroids (exact dots computed with the same left-to-right
-    * double loop as FloatDot — the centroid set is tiny and driver-side by
-    * design, like the query vector itself) select the cells to probe; the
-    * scan opens only those cells' files (literal partition IN-filter). The
-    * complementary index family to sign-LSH: cells adapt to the data
-    * distribution, probes trade recall for scan like s3.
+  /** IVF ANN over the persisted [[AnnIndex.readIvf]] index, with TRAINED
+    * centroids (one integer-quantized Lloyd round at build time — see
+    * [[AnnIndex.buildIvf]]): the query's 2 nearest centroids by exact
+    * integer squared-L2 (the centroid set is 16 rows read from the index's
+    * `_centroids` sidecar — driver-side by design, like the query vector
+    * itself) select the cells to probe; the scan opens only those cells'
+    * files (literal partition IN-filter). The complementary index family
+    * to sign-LSH: cells adapt to the data distribution, probes trade
+    * recall for scan like s3.
     */
   def annIvf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val idx = AnnIndex.readIvf(s, d)
-    def dotExact(a: Array[Float], b: Array[Float]): Double = {
-      var acc = 0.0
-      var i = 0
-      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
-      acc
-    }
-    val cents = Tables.embeddings(s, d)
-      .filter($"vec_id" < AnnIndex.IvfCentroids)
-      .select($"vec_id", $"embedding").collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val loc = AnnIndex.locateIvf(s, d)
+    val idx = s.read.parquet(loc)
+    val cents = s.read.parquet(s"$loc/_centroids")
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
     val qv = Tables.embeddings(s, d).filter($"vec_id" === 0)
       .select($"embedding").head().getSeq[Float](0).toArray
+    val qq = qv.map(x => math.floor(x.toDouble * KMeans.QScale).toLong)
+    def l2(a: Array[Long], b: Array[Long]): Long = {
+      var acc = 0L
+      var i = 0
+      while (i < a.length) { val t = a(i) - b(i); acc += t * t; i += 1 }
+      acc
+    }
     val probes = cents
-      .map { case (cid, cvec) => (cid, dotExact(qv, cvec)) }
-      .sortBy { case (cid, dp) => (-dp, cid) }
+      .map { case (cid, cq) => (cid, l2(qq, cq)) }
+      .sortBy { case (cid, dist) => (dist, cid) }
       .take(2).map { case (cid, _) => s"c$cid" }
     idx.filter($"cellp".isin(probes.toSeq: _*) && $"vec_id" =!= 0)
       .select($"vec_id", $"label",
@@ -184,40 +186,39 @@ object Similarity {
       .limit(10)
   }
 
-  private val centDotSql =
-    """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-      |    list_transform(range(1, len(q.qv) + 1),
-      |      i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))),
-      |    (acc, x) -> acc + x)""".stripMargin
-
+  /** Oracle replays the whole IVF pipeline: centroid training
+    * ([[KMeans.lloydCtes]] at k=16 — all-integer, so the trained centroids
+    * are bit-identical), corpus cell assignment, query 2-cell probe
+    * selection (integer squared-L2, ties to lowest cid), then the same
+    * float dot ranking as s1 within the probed cells.
+    */
   val annIvfSql: String =
-    s"""WITH cents AS (
-       |  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-       |  WHERE vec_id < ${AnnIndex.IvfCentroids}),
-       |adots AS (
-       |  SELECT e.vec_id, e.label, e.embedding, c.cid,
-       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-       |      list_transform(range(1, len(e.embedding) + 1),
-       |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cvec[i] AS DOUBLE))),
-       |      (acc, x) -> acc + x) AS cdot
-       |  FROM embeddings e CROSS JOIN cents c),
-       |assign AS (
-       |  SELECT vec_id, label, embedding, cid AS cell,
-       |    ROW_NUMBER() OVER (PARTITION BY vec_id
-       |                       ORDER BY cdot DESC, cid ASC) AS rn
-       |  FROM adots),
-       |cellof AS (SELECT vec_id, label, embedding, cell FROM assign WHERE rn = 1),
-       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    s"""WITH __LLOYD__,
+       |cdist AS (
+       |  SELECT v.vec_id, c.cid,
+       |    CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+       |      i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i]))) AS BIGINT) AS dist
+       |  FROM q v CROSS JOIN c1 c),
+       |cellof AS (
+       |  SELECT e.vec_id, e.label, e.embedding, a.cell
+       |  FROM embeddings e JOIN (
+       |    SELECT vec_id, cid AS cell FROM (
+       |      SELECT vec_id, cid,
+       |        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |      FROM cdist) t WHERE rn = 1) a USING (vec_id)),
        |qcells AS (
-       |  SELECT cid AS cell FROM (
-       |    SELECT c.cid, ROW_NUMBER() OVER (ORDER BY $centDotSql DESC, c.cid ASC) AS rn
-       |    FROM cents c CROSS JOIN q) t
-       |  WHERE rn <= 2)
+       |  SELECT cell FROM (
+       |    SELECT cid AS cell,
+       |      ROW_NUMBER() OVER (ORDER BY dist, cid) AS rn
+       |    FROM cdist WHERE vec_id = 0) t
+       |  WHERE rn <= 2),
+       |qv0 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
        |SELECT e.vec_id, e.label, $dotSql AS score
-       |FROM cellof e JOIN qcells ON e.cell = qcells.cell CROSS JOIN q
+       |FROM cellof e JOIN qcells USING (cell) CROSS JOIN qv0 q
        |WHERE e.vec_id <> 0
        |ORDER BY score DESC, e.vec_id ASC
        |LIMIT 10""".stripMargin
+      .replace("__LLOYD__", KMeans.lloydCtes(AnnIndex.IvfCentroids))
 
   /** s5: int8-quantized search — the memory-bound trick every
     * billion-vector deployment uses: store 4x smaller symmetric int8

@@ -163,11 +163,12 @@ class ScaleSpec extends AnyFunSuite {
       s"candidate set not sub-quadratic: ${cands.size} of $allPairs pairs")
   }
 
-  test("s4 IVF first-16 centroids: balanced cells and full recall@10 at sf0.1") {
+  test("s4 IVF trained centroids: balanced cells and full recall@10 at sf0.1") {
     import graft.operators.{AnnIndex, Similarity}
     val d = "/root/testdata/sf0.1"
-    // cell balance: untrained first-16 centroids must not produce a hot
-    // cell (a skewed cell defeats the partition pruning that IS the index)
+    // cell balance: the one-round-Lloyd-trained cells must not produce a
+    // hot cell (a skewed cell defeats the partition pruning that IS the
+    // index)
     val counts = AnnIndex.readIvf(spark, d)
       .groupBy("cellp").count().collect().map(_.getLong(1))
     assert(counts.length === AnnIndex.IvfCentroids)
