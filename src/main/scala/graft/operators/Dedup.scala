@@ -698,7 +698,91 @@ object Dedup {
       |ORDER BY doc_id""".stripMargin
       .replace("__PAIRS__", minhashLshSql)
 
+  /** Span width for [[repeatedSpans]] (tokens per window), mirrored
+    * literally in the oracle's LEAD chain. 10 on the fixture (docs are
+    * 10-99 words); the published substring-dedup recipes run 50 at corpus
+    * scale — a constant change on both sides.
+    */
+  val SpanWidth = 10
+
+  /** d10: cross-corpus repeated-span coverage — the token-level
+    * "exact substring" dedup signal (the suffix-array ExactSubstr recipe
+    * of Lee et al., arXiv:2107.06499, §4.1, recast as a rolling window
+    * over the hashed-shingle domain): for every document, how many of its
+    * distinct [[SpanWidth]]-token windows also occur in ANOTHER document,
+    * and the integer percentage of the document that coverage represents.
+    * d1 catches whole-doc copies and d2/d3 whole-doc near-dups; this
+    * catches partial copies — quoted paragraphs, syndicated boilerplate,
+    * template prefixes — that doc-level similarity misses. Downstream,
+    * `dup_pct >= 20` is the usual drop/trim gate.
+    *
+    * Same hashed-domain semantics as d3 (xxhash64 spans cross the shuffle
+    * as 8-byte keys; the oracle joins exact strings — equality is modulo
+    * 64-bit collisions, immaterial at any realistic scale). Scale shape:
+    * the fused [[graft.functions.ShingleHashes]] pass emits per-doc
+    * DISTINCT span hashes map-side, so (doc_id, h) needs NO distinct
+    * shuffle; one pinned h-keyed exchange feeds both the duplicated-span
+    * count-aggregate and the semi-join (ReuseExchange, d3's pattern); no
+    * operator ever buffers a per-span doc list, so a boilerplate span
+    * shared by 10^8 docs costs a counter, never memory.
+    */
+  def repeatedSpans(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = graft.functions.ShingleHashes
+      .shingleHashes(lower($"text"), SpanWidth)
+    val spans = Tables.documents(s, d)
+      .select($"doc_id", explode(sh).as("h"))
+      .repartition($"h")
+    // (doc_id, h) is distinct, so the per-span row count IS the distinct
+    // doc count; partial aggregation keeps hot-span state at (hash, long).
+    val dup = spans.groupBy($"h").agg(count(lit(1)).as("nd"))
+      .filter($"nd" >= 2)
+    val dupPerDoc = spans.join(dup.select($"h"), Seq("h"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("dup_spans"))
+    Tables.documents(s, d)
+      .select($"doc_id", size(sh).as("n_spans"))
+      .filter($"n_spans" > 0)
+      .join(dupPerDoc, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_spans",
+        coalesce($"dup_spans", lit(0L)).as("dup_spans"))
+      .withColumn("dup_pct",
+        expr("(dup_spans * 100) div CAST(n_spans AS BIGINT)"))
+      .orderBy($"doc_id")
+  }
+
+  val repeatedSpansSql: String = {
+    val leads = (1 until SpanWidth).map(j =>
+      s"|| ' ' || LEAD(word,$j) OVER (PARTITION BY doc_id ORDER BY i)")
+      .mkString("\n         ")
+    s"""WITH words AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+       |tok AS (
+       |  SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i
+       |  FROM words WHERE len(w) >= $SpanWidth),
+       |sp0 AS (
+       |  SELECT doc_id, word __LEADS__ AS sp
+       |  FROM tok),
+       |sp AS (SELECT DISTINCT doc_id, sp FROM sp0 WHERE sp IS NOT NULL),
+       |dup AS (
+       |  SELECT sp FROM (SELECT sp, COUNT(*) AS nd FROM sp GROUP BY sp) t
+       |  WHERE nd >= 2),
+       |dpd AS (
+       |  SELECT s.doc_id, COUNT(*) AS dup_spans
+       |  FROM sp s JOIN dup USING (sp) GROUP BY s.doc_id),
+       |ns AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_spans
+       |  FROM sp GROUP BY doc_id)
+       |SELECT ns.doc_id, ns.n_spans,
+       |  CAST(COALESCE(d.dup_spans, 0) AS BIGINT) AS dup_spans,
+       |  (CAST(COALESCE(d.dup_spans, 0) AS BIGINT) * 100)
+       |    // CAST(ns.n_spans AS BIGINT) AS dup_pct
+       |FROM ns LEFT JOIN dpd d USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+      .replace("__LEADS__", leads)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d10_repeated_spans"   -> (repeatedSpans _),
     "d1_exact_fingerprint" -> (exactFingerprint _),
     "d2_minhash_lsh"       -> (minhashLsh _),
     "d3_ngram_jaccard"     -> (ngramJaccard _),
@@ -710,6 +794,7 @@ object Dedup {
     "d9_semantic_dedup"    -> (semanticDedup _))
 
   val oracle: Map[String, String] = Map(
+    "d10_repeated_spans"   -> repeatedSpansSql,
     "d1_exact_fingerprint" -> exactFingerprintSql,
     "d2_minhash_lsh"       -> minhashLshSql,
     "d3_ngram_jaccard"     -> ngramJaccardSql,

@@ -42,6 +42,30 @@ class ScaleSpec extends AnyFunSuite {
       s"expected only the genuine near-dup pairs, got ${rows.toSet}")
   }
 
+  test("d10 repeated spans: exact-duplicate docs show 100% span duplication") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.1" // sf0.01 has no byte-identical doc pair
+    val out = Dedup.repeatedSpans(spark, d)
+      .select($"doc_id", $"n_spans", $"dup_spans", $"dup_pct").collect()
+    // invariants on every row
+    out.foreach { r =>
+      assert(r.getLong(2) <= r.getInt(1).toLong, s"dup_spans > n_spans: $r")
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 100, s"dup_pct range: $r")
+    }
+    // a byte-identical copy shares EVERY span with its twin: any doc whose
+    // exact md5 fingerprint occurs >= 2 times (and that is long enough to
+    // have spans) must report dup_pct = 100
+    val dupDocs = Tables.documents(spark, d)
+      .groupBy(md5($"text").as("fp")).agg(collect_list($"doc_id").as("ids"))
+      .filter(size($"ids") >= 2)
+      .select(explode($"ids").as("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val pctOf = out.map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val bad = dupDocs.filter(id => pctOf.get(id).exists(_ != 100L))
+    assert(bad.isEmpty, s"exact-dup docs without full span coverage: $bad")
+    assert(dupDocs.exists(pctOf.contains), "fixture has no exact-dup docs with spans")
+  }
+
   test("d3 df cap is a count-agg prefilter: no reducer holds an uncapped doc list") {
     // The boilerplate shingle (df=150) must be dropped by the cheap
     // groupBy(h).count() aggregate + LeftSemi join BEFORE collect_set runs,
