@@ -3,6 +3,15 @@ package graft.streaming
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** st5 custom-state types (top-level for implicit Encoders). Timestamps
+  * travel as epoch-MICROSECOND longs (the events fixture is exact to the
+  * microsecond), so all session arithmetic is integer.
+  */
+case class SessEvent(user_id: Long, ts: java.sql.Timestamp, ts_us: Long)
+case class SessState(start_us: Long, last_us: Long, n: Long)
+case class SessionOut(user_id: Long, sess_start: Long, n_events: Long)
 
 /** Oracle-checked streaming entries — each runs a REAL Structured Streaming
   * query (file source over the events fixture → transform → sink, driven to
@@ -211,13 +220,136 @@ object StreamingQueries {
       | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
       |ORDER BY click_id, purchase_id""".stripMargin
 
+  /** The st5 session-gap (30 min), in microseconds and milliseconds. */
+  private[graft] val GapUs = 30L * 60 * 1000000
+  private[graft] val GapMs = 30L * 60 * 1000
+
+  /** The custom-state core of [[streamSessions]], exposed for the spec's
+    * boundary test: sessionize an arbitrary streaming Dataset of
+    * [[SessEvent]]s with [[GroupStateTimeout.EventTimeTimeout]]. Sessions
+    * CLOSED by a later event emit immediately; the per-user trailing
+    * session emits when the event-time watermark passes its end + gap
+    * (Spark fires the timeout on watermark STRICTLY GREATER than the set
+    * timestamp — StreamingSpec pins that boundary); a trailing session
+    * whose timeout never fires before the stream ends is deliberately NOT
+    * emitted (it is still open — exactly the semantics a production
+    * pipeline wants from a session feed).
+    */
+  private[graft] def sessionize(
+      ev: org.apache.spark.sql.Dataset[SessEvent]): org.apache.spark.sql.Dataset[SessionOut] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, events: Iterator[SessEvent], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            Iterator.single(SessionOut(uid, st.start_us / 1000000, st.n))
+          } else {
+            // Micro-batches deliver a group's rows unordered: sort by event
+            // time before the gap scan (bounded per user per batch).
+            val sorted = events.toArray.sortBy(_.ts_us)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(c) if e.ts_us < c.last_us + GapUs =>
+                  cur = Some(SessState(c.start_us, e.ts_us, c.n + 1))
+                case Some(c) =>
+                  closed ::= SessionOut(uid, c.start_us / 1000000, c.n)
+                  cur = Some(SessState(e.ts_us, e.ts_us, 1))
+                case None =>
+                  cur = Some(SessState(e.ts_us, e.ts_us, 1))
+              }
+            }
+            cur.foreach { c =>
+              state.update(c)
+              state.setTimeoutTimestamp(c.last_us / 1000 + GapMs)
+            }
+            closed.reverse.iterator
+          }
+      }
+  }
+
+  /** st5: streaming SESSIONIZATION with custom state — the
+    * flatMapGroupsWithState form of q34's `session_window`, and the one
+    * Structured Streaming state API the oracle-checked entries didn't yet
+    * exercise (st1-st4 cover dedup, windowed agg, stream-static and
+    * stream-stream joins). Same 30-minute half-open gap rule as q34.
+    * Zero-delay watermark: after the single data micro-batch the watermark
+    * advances to the max event time, firing timeouts for every session that
+    * ended more than the gap before it; each user's genuinely-trailing open
+    * session stays in state and is not emitted — the oracle mirrors that
+    * closed-sessions-only contract (`sid < mxsid OR end+gap < watermark`
+    * in exact ms integer arithmetic).
+    */
+  def streamSessions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // The watermarked `ts` attribute must SURVIVE the projection feeding
+    // the stateful operator (projecting it away silently drops the
+    // watermark and event-time timeouts refuse to run), so SessEvent
+    // carries it alongside the integer micros the session math uses.
+    val ev = eventsStream(s, d)
+      .withWatermark("ts", "0 seconds")
+      .select($"user_id", $"ts", unix_micros($"ts").as("ts_us")).as[SessEvent]
+    val out = java.nio.file.Files.createTempDirectory("graft-st5").toString
+    val q = sessionize(ev)
+      .writeStream
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/chk")
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val result = s.read.parquet(s"$out/data")
+      .orderBy($"user_id", $"sess_start").localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(out)).deleteRecursively()
+    result
+  }
+
+  /** Oracle: q34's gaps-and-islands sessionization, restricted to CLOSED
+    * sessions — a later session of the same user exists, or the session's
+    * end + gap is strictly before the final watermark (max event time) in
+    * millisecond integer arithmetic (Spark tracks watermarks and event-time
+    * timeouts in ms: micros are floor-divided, mirrored by epoch_ms).
+    */
+  val streamSessionsSql: String =
+    """WITH flagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN EPOCH(ts) - EPOCH(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) >= 1800
+      |           OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |         THEN 1 ELSE 0 END AS new_sess
+      |  FROM events),
+      |numbered AS (
+      |  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+      |  FROM flagged),
+      |sess AS (
+      |  SELECT user_id, sess_id,
+      |    CAST(FLOOR(EPOCH(MIN(ts))) AS BIGINT) AS sess_start,
+      |    epoch_ms(MAX(ts)) AS end_ms,
+      |    COUNT(*) AS n_events
+      |  FROM numbered
+      |  GROUP BY user_id, sess_id),
+      |wm AS (SELECT epoch_ms(MAX(ts)) AS wm_ms FROM events)
+      |SELECT s.user_id, s.sess_start, s.n_events
+      |FROM sess s CROSS JOIN wm
+      |WHERE s.sess_id < (SELECT MAX(sess_id) FROM sess x
+      |                   WHERE x.user_id = s.user_id)
+      |   OR s.end_ms + 1800000 < wm.wm_ms
+      |ORDER BY user_id, sess_start""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st5_stream_sessions" -> (streamSessions _),
     "st1_stream_dedup"    -> (streamDedup _),
     "st2_stream_tumbling" -> (streamTumbling _),
     "st3_stream_enriched" -> (streamEnriched _),
     "st4_stream_attribution" -> (streamClickAttribution _))
 
   val oracle: Map[String, String] = Map(
+    "st5_stream_sessions" -> streamSessionsSql,
     "st1_stream_dedup"    -> streamDedupSql,
     "st2_stream_tumbling" -> streamTumblingSql,
     "st3_stream_enriched" -> streamEnrichedSql,

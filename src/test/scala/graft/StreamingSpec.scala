@@ -110,6 +110,66 @@ class StreamingSpec extends AnyFunSuite {
     assert(st2Views === views0, "st2/st3 memory-sink temp views not dropped")
   }
 
+  test("st5 sessionize emits an in-batch-closed session immediately") {
+    import spark.implicits._
+    import graft.streaming.{SessEvent, SessionOut, StreamingQueries}
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L // 2024-01-01T00:00:00Z in epoch ms
+    val mem = MemoryStream[Event]
+    // user 3: two events 40 min apart — the second closes the first
+    // session in the SAME batch; the trailing session's timeout
+    // (40min+30min) is past the final watermark (40min), so it stays open
+    mem.addData(
+      Event(1, new java.sql.Timestamp(base), 3, "click", 1.0),
+      Event(2, new java.sql.Timestamp(base + 40 * 60000L), 3, "click", 1.0))
+    val ev = mem.toDF().withWatermark("ts", "0 seconds")
+      .select($"user_id", $"ts",
+        org.apache.spark.sql.functions.unix_micros($"ts").as("ts_us"))
+      .as[SessEvent]
+    val q = StreamingQueries.sessionize(ev)
+      .writeStream.format("memory").queryName("st5_inbatch")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("st5_inbatch").as[SessionOut].collect().toSeq
+      assert(rows === Seq(SessionOut(3, base / 1000, 1)))
+    } finally { q.stop(); spark.catalog.dropTempView("st5_inbatch") }
+  }
+
+  test("st5 event-time timeout fires on watermark STRICTLY past end+gap") {
+    import spark.implicits._
+    import graft.streaming.{SessEvent, SessionOut, StreamingQueries}
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1704067200000L
+    val gapMs = 30 * 60000L
+    val mem = MemoryStream[Event]
+    // batch 1: user 1 at t=base (timeout base+gap), user 2 at t=base-1ms
+    // (timeout base+gap-1) — the 1 ms probe brackets the boundary
+    mem.addData(
+      Event(1, new java.sql.Timestamp(base), 1, "click", 1.0),
+      Event(2, new java.sql.Timestamp(base - 1), 2, "click", 1.0))
+    val ev = mem.toDF().withWatermark("ts", "0 seconds")
+      .select($"user_id", $"ts",
+        org.apache.spark.sql.functions.unix_micros($"ts").as("ts_us"))
+      .as[SessEvent]
+    val q = StreamingQueries.sessionize(ev)
+      .writeStream.format("memory").queryName("st5_boundary")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      q.processAllAvailable()
+      // batch 2: watermark driver at exactly base+gap — afterwards the
+      // watermark EQUALS user 1's timeout and exceeds user 2's by 1 ms
+      mem.addData(
+        Event(3, new java.sql.Timestamp(base + gapMs), 9, "flush", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("st5_boundary").as[SessionOut].collect().toSeq
+      // user 2 fires (timeout < watermark); user 1 does NOT (equal) — the
+      // strict comparison the st5 oracle mirrors with `end+gap < wm`
+      assert(rows === Seq(SessionOut(2, (base - 1) / 1000, 1)),
+        s"boundary semantics changed: $rows")
+    } finally { q.stop(); spark.catalog.dropTempView("st5_boundary") }
+  }
+
   test("session windows close after the gap (streaming)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
