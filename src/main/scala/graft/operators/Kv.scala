@@ -223,7 +223,55 @@ object Kv {
       |           ELSE 'unchanged' END <> 'unchanged'
       |ORDER BY key""".stripMargin
 
+  /** A1'/A11 time-travel read (kv8): the REAL [[PotTable]] versioned store
+    * end-to-end — commit generation 1 (full customer projection), commit
+    * generation 2 (every 10th balance bumped, segment UPDATED — the kv1
+    * merge), then read generation 1 back via [[PotTable.getAt]] and join it
+    * against the current generation. The output (changed keys with their
+    * before/after balances) is fully fixture-derived, so the oracle replays
+    * it without seeing the store — what it checks is that the committed
+    * history is immutable and addressable: a reader handed generation 1
+    * gets EXACTLY the pre-update rows back after generation 2 landed
+    * (client.go:115-120's generation handle as a query surface).
+    */
+  def timeTravel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-pot-tt").toString
+    val pot = PotTable(s, root, "cust_pot")
+    val base = Tables.customer(s, d)
+      .select($"c_custkey".cast("string").as("key"),
+        $"c_acctbal", $"c_mktsegment")
+    pot.upsert(base) // generation 1
+    val updates = base.filter($"key".cast("bigint") % 10 === 0)
+      .withColumn("c_acctbal", $"c_acctbal" + 1000.0)
+      .withColumn("c_mktsegment", lit("UPDATED"))
+    pot.upsert(updates) // generation 2 (LWW merge)
+    val g1 = pot.getAt(1L)
+      .select($"key", $"c_acctbal".as("bal_g1"))
+    val cur = pot.get()
+      .select($"key", $"c_acctbal".as("bal_g2"), $"c_mktsegment".as("seg_g2"))
+    // Materialize (lineage cut) before deleting the run's temp store:
+    // repeated invocations must not grow tmpdir (st1's pattern).
+    val result = g1.join(cur, Seq("key"))
+      .filter($"bal_g1" =!= $"bal_g2")
+      .select($"key".cast("bigint").as("key"),
+        $"bal_g1", $"bal_g2", $"seg_g2")
+      .orderBy($"key")
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    result
+  }
+
+  val timeTravelSql: String =
+    """SELECT c_custkey AS key, c_acctbal AS bal_g1,
+      |  c_acctbal + 1000.0 AS bal_g2, 'UPDATED' AS seg_g2
+      |FROM customer
+      |WHERE c_custkey % 10 = 0
+      |ORDER BY key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kv8_time_travel"     -> (timeTravel _),
     "kv1_upsert_merge"    -> (upsertMerge _),
     "kv2_delete_anti"     -> (deleteAnti _),
     "kv3_key_derivation"  -> (keyDerivation _),
@@ -238,5 +286,6 @@ object Kv {
     "kv3_key_derivation"  -> keyDerivationSql,
     "kv4_conflict_detect" -> conflictDetectSql,
     "kv5_list_tables"     -> listTablesSql,
-    "kv7_generation_diff" -> generationDiffSql)
+    "kv7_generation_diff" -> generationDiffSql,
+    "kv8_time_travel"     -> timeTravelSql)
 }
