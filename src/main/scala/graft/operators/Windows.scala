@@ -179,7 +179,40 @@ object Windows {
       |ORDER BY o_totalprice DESC, o_orderkey ASC
       |LIMIT 25""".stripMargin
 
+  /** q45: the distribution window family — ntile / percent_rank /
+    * cume_dist — completing the ranking group (q16 covers
+    * row_number/rank/dense_rank). Exactness notes: ntile is
+    * ROW-order-dependent, so its window carries the unique
+    * (acctbal, custkey) tie-break; percent_rank = (rank-1)/(N-1) and
+    * cume_dist = peers/N are single IEEE divisions of exactly-represented
+    * small integers — the same dividend and divisor on both engines, hence
+    * bit-identical doubles (no accumulation, nothing to drift).
+    */
+  def distributionWindows(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val total = Window.partitionBy($"c_mktsegment")
+      .orderBy($"c_acctbal".desc, $"c_custkey".asc)
+    val byBal = Window.partitionBy($"c_mktsegment").orderBy($"c_acctbal".desc)
+    Tables.customer(s, d)
+      .select(
+        $"c_mktsegment", $"c_custkey", $"c_acctbal",
+        ntile(4).over(total).as("quartile"),
+        percent_rank().over(byBal).as("pct_rank"),
+        cume_dist().over(byBal).as("cume"))
+      .orderBy($"c_mktsegment", $"c_custkey")
+  }
+
+  val distributionWindowsSql: String =
+    """SELECT c_mktsegment, c_custkey, c_acctbal,
+      | CAST(NTILE(4) OVER (PARTITION BY c_mktsegment
+      |                     ORDER BY c_acctbal DESC, c_custkey ASC) AS INTEGER) AS quartile,
+      | PERCENT_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS pct_rank,
+      | CUME_DIST()    OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS cume
+      |FROM customer
+      |ORDER BY c_mktsegment, c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_distribution_windows" -> (distributionWindows _),
     "q16_window_rank"    -> (ranking _),
     "q17_window_running" -> (runningSum _),
     "q18_window_range"   -> (rangeFrame _),
@@ -193,5 +226,6 @@ object Windows {
     "q18_window_range"   -> rangeFrameSql,
     "q19_window_laglead" -> lagLeadSql,
     "q20_topk_per_group" -> topKSql,
-    "q21_orderby_limit"  -> orderByLimitSql)
+    "q21_orderby_limit"  -> orderByLimitSql,
+    "q45_distribution_windows" -> distributionWindowsSql)
 }
