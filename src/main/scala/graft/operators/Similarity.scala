@@ -420,7 +420,112 @@ object Similarity {
        |WHERE rk <= 5
        |ORDER BY q_id, vec_id""".stripMargin
 
+  /** s10: MMR (maximal marginal relevance) diversified re-ranking — the
+    * retrieval shape RAG/search stacks run after ANN: fetch a candidate
+    * pool by relevance, then greedily pick k results trading relevance
+    * against redundancy: argmax over remaining candidates of
+    * `0.5*rel(d) - 0.5*max_{s in picked} sim(d, s)` (Carbonell & Goldstein
+    * 1998). The pool (top-20 by exact cosine, s1's TakeOrderedAndProject
+    * shape) is computed DISTRIBUTED; the greedy loop runs driver-side over
+    * the collected 20-row pool — bounded by design, like the query vector:
+    * re-ranking is a per-query O(k·pool) step, not a data-scale one.
+    *
+    * Exactness: lambda = 0.5 makes both terms power-of-two multiplies
+    * (exact); max-similarity is a selection, not accumulation; the final
+    * subtraction is one IEEE op on identical operands — so the mmr DOUBLES
+    * hash-match, not just the picked ids. Ties break to the lowest vec_id,
+    * mirrored by the oracle's ORDER BY.
+    */
+  def mmrRerank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val pool = e.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= 0)
+      .select($"vec_id", $"embedding",
+        VectorFunctions.dot($"embedding", $"qv").as("rel"))
+      .orderBy($"rel".desc, $"vec_id".asc)
+      .limit(20)
+      .collect() // the bounded per-query re-rank pool
+    val ids = pool.map(_.getLong(0))
+    val embs = pool.map(_.getSeq[Float](1).toArray)
+    val rels = pool.map(_.getDouble(2))
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val picked = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+    for (pick <- 1 to 5) {
+      var best = -1
+      var bestMmr = Double.NegativeInfinity
+      for (i <- ids.indices if !picked.contains(i)) {
+        val mmr =
+          if (picked.isEmpty) 0.5 * rels(i)
+          else 0.5 * rels(i) -
+            0.5 * picked.map(j => dot(embs(i), embs(j))).max
+        if (mmr > bestMmr || (mmr == bestMmr && best >= 0 && ids(i) < ids(best))) {
+          best = i; bestMmr = mmr
+        }
+      }
+      picked += best
+      out += ((pick, ids(best), rels(best), bestMmr))
+    }
+    s.createDataFrame(out.toSeq).toDF("pick", "vec_id", "rel", "mmr")
+      .orderBy($"pick")
+  }
+
+  /** Oracle: the 5 greedy picks unrolled as CTEs — each selects the
+    * argmax of `0.5*rel - 0.5*max(sim to already-picked)` over the
+    * remaining pool, ties to lowest vec_id.
+    */
+  val mmrRerankSql: String = {
+    val pairDot =
+      """list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, len(a.embedding) + 1),
+        |        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+        |      (acc, x) -> acc + x)""".stripMargin
+    val sels = (2 to 5).map { n =>
+      val prev = (1 until n).map(i => s"SELECT vec_id FROM sel$i")
+        .mkString(" UNION ALL ")
+      s"""sel$n AS (
+         |  SELECT c.vec_id, c.rel,
+         |    0.5 * c.rel - 0.5 * (SELECT MAX(p.sim) FROM pair p
+         |      WHERE p.ia = c.vec_id AND p.ib IN ($prev)) AS mmr
+         |  FROM cands c
+         |  WHERE c.vec_id NOT IN ($prev)
+         |  ORDER BY mmr DESC, c.vec_id ASC LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val finals = (2 to 5).map(n =>
+      s"SELECT CAST($n AS INTEGER) AS pick, vec_id, rel, mmr FROM sel$n")
+      .mkString("\nUNION ALL ")
+    s"""WITH cands AS (
+       |  SELECT e.vec_id, e.embedding, $dotSql AS rel
+       |  FROM embeddings e
+       |  CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+       |  WHERE e.vec_id <> 0
+       |  ORDER BY rel DESC, e.vec_id ASC
+       |  LIMIT 20),
+       |pair AS (
+       |  SELECT a.vec_id AS ia, b.vec_id AS ib, __PAIRDOT__ AS sim
+       |  FROM cands a JOIN cands b ON a.vec_id <> b.vec_id),
+       |sel1 AS (
+       |  SELECT vec_id, rel, 0.5 * rel AS mmr FROM cands
+       |  ORDER BY rel DESC, vec_id ASC LIMIT 1),
+       |__SELS__
+       |SELECT * FROM (
+       |  SELECT CAST(1 AS INTEGER) AS pick, vec_id, rel, mmr FROM sel1
+       |  UNION ALL __FINALS__) t
+       |ORDER BY pick""".stripMargin
+      .replace("__PAIRDOT__", pairDot)
+      .replace("__SELS__", sels)
+      .replace("__FINALS__", finals)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s10_mmr_rerank"     -> (mmrRerank _),
     "s1_cosine_topk"     -> (bruteForceTopK _),
     "s2_ann_lsh"         -> (annLsh _),
     "s3_ann_multiprobe"  -> (annMultiProbe _),
@@ -431,6 +536,7 @@ object Similarity {
     "s8_hard_negatives"  -> (hardNegatives _))
 
   val oracle: Map[String, String] = Map(
+    "s10_mmr_rerank"     -> mmrRerankSql,
     "s1_cosine_topk"     -> bruteForceTopKSql,
     "s2_ann_lsh"         -> annLshSql,
     "s3_ann_multiprobe"  -> annMultiProbeSql,
