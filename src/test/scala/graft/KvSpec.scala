@@ -57,16 +57,18 @@ class KvSpec extends AnyFunSuite {
   test("re-election: owner renews via generation; lease expiry allows takeover (TestReElection)") {
     val root = tmpRoot()
     val pot = PotTable(spark, root, "leader")
+    // long lease here: the lockout check below must not race Spark job latency
     val gen1 = pot.conditionalUpsert(
-      Seq(("leader", "primary")).toDF("key", "owner"), leaseMs = 500L)
+      Seq(("leader", "primary")).toDF("key", "owner"), leaseMs = 60000L)
 
     // secondary is locked out while the lease is live
     intercept[Throwable] {
       pot.conditionalUpsert(
-        Seq(("leader", "secondary")).toDF("key", "owner"), leaseMs = 500L)
+        Seq(("leader", "secondary")).toDF("key", "owner"), leaseMs = 60000L)
     }
 
-    // primary renews instantly through generation ownership (TestNoRewriteDuration)
+    // primary renews instantly through generation ownership (TestNoRewriteDuration);
+    // the renewal shortens the lease so the expiry phase stays fast
     val gen2 = pot.conditionalUpsert(
       Seq(("leader", "primary")).toDF("key", "owner"), leaseMs = 500L,
       callerGeneration = gen1)
