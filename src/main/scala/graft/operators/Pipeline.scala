@@ -421,7 +421,75 @@ object Pipeline {
        |GROUP BY 1, 2
        |ORDER BY band, shard""".stripMargin
 
+  /** p9: temperature-weighted domain mixing — the multilingual/multi-source
+    * re-weighting step every LLM data recipe runs (sample source j with
+    * probability proportional to N_j^alpha, alpha = 0.5 here): big sources
+    * are down-sampled toward the small ones so the mixture flattens, while
+    * every source keeps at least its share. Keep rule for a doc with coin
+    * c in [0, 16^7): keep iff c^2 * N_j < 16^14 * N_min — algebraically
+    * P(keep) = sqrt(N_min / N_j), but evaluated in EXACT integer arithmetic
+    * (DECIMAL(38,0) both engines; c^2 ~ 7e16 times counts overflows BIGINT,
+    * never 38 digits), so no engine ever computes a square root and the
+    * kept set is bit-identical on any cluster layout.
+    *
+    * Scale shape: the per-source totals are a tiny broadcast (one row per
+    * source), the keep decision is a narrow map over the scan, and the
+    * only shuffle is the per-source report aggregation. At 100 TB the
+    * totals come from the catalog or a first pass — the operator shape is
+    * unchanged.
+    */
+  def temperatureMix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", $"source",
+        conv(substring(md5($"doc_id".cast("string")), 1, 7), 16, 10)
+          .cast("long").as("c"))
+    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    val nmin = counts.agg(min($"n_docs").as("n_min"))
+    docs.join(broadcast(counts), Seq("source"))
+      .crossJoin(broadcast(nmin))
+      .withColumn("keep",
+        $"c".cast(dec) * $"c".cast(dec) * $"n_docs".cast(dec) <
+          lit("72057594037927936").cast(dec) * $"n_min".cast(dec))
+      .groupBy($"source")
+      .agg(
+        max($"n_docs").as("n_docs"),
+        sum(when($"keep", 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("kept_bps", expr("(n_kept * 10000) div n_docs"))
+      .orderBy($"source")
+  }
+
+  val temperatureMixSql: String =
+    """WITH counts AS (
+      |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+      |nm AS (SELECT MIN(n_docs) AS n_min FROM counts),
+      |coins AS (
+      |  SELECT d.source, c.n_docs, nm.n_min,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, 8),
+      |        i -> CAST(strpos('0123456789abcdef',
+      |               substr(md5(CAST(d.doc_id AS VARCHAR)), i, 1)) - 1
+      |             AS BIGINT))),
+      |      (acc, v) -> acc * 16 + v) AS c
+      |  FROM documents d
+      |  JOIN counts c ON c.source = d.source
+      |  CROSS JOIN nm),
+      |kept AS (
+      |  SELECT source, n_docs,
+      |    CAST(c AS HUGEINT) * CAST(c AS HUGEINT) * n_docs
+      |      < CAST(72057594037927936 AS HUGEINT) * n_min AS keep
+      |  FROM coins)
+      |SELECT source, n_docs,
+      |  CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+      |  CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) * 10000 // n_docs
+      |    AS kept_bps
+      |FROM kept
+      |GROUP BY source, n_docs
+      |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p9_temperature_mix"   -> (temperatureMix _),
     "p8_stratified_shard"  -> (stratifiedShard _),
     "p1_corpus_filter"     -> (corpusFilter _),
     "p2_stratified_sample" -> (stratifiedSample _),
@@ -432,6 +500,7 @@ object Pipeline {
     "p7_bloom_decontaminate" -> (bloomDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "p9_temperature_mix"   -> temperatureMixSql,
     "p8_stratified_shard"  -> stratifiedShardSql,
     "p1_corpus_filter"     -> corpusFilterSql,
     "p2_stratified_sample" -> stratifiedSampleSql,
