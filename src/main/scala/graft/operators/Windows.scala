@@ -211,7 +211,52 @@ object Windows {
       |FROM customer
       |ORDER BY c_mktsegment, c_custkey""".stripMargin
 
+  /** q46: the value window family — first_value / last_value / nth_value —
+    * completing the window surface (q16 ranks, q17 running frames, q19
+    * lag/lead, q45 distributions). Frames are EXPLICIT on both engines:
+    * first_value over the growing frame (unbounded preceding..current row,
+    * the default, spelled out anyway), last_value and nth_value over the
+    * whole partition (unbounded..unbounded — the default frame would make
+    * last_value degenerate to the current row). The window order carries
+    * the unique (o_orderdate, o_orderkey) tie-break, and the propagated
+    * values are BIGINT keys — no float arithmetic anywhere.
+    *
+    * Scale: one exchange keyed by o_custkey; partitions are per-customer
+    * order histories (bounded), so the unbounded-following frame never
+    * buffers more than one customer's rows.
+    */
+  def valueWindows(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ord = Window.partitionBy($"o_custkey")
+      .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+    val grow = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = ord.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .select(
+        $"o_custkey", $"o_orderkey", $"o_orderdate",
+        first($"o_orderkey").over(grow).as("first_key"),
+        last($"o_orderkey").over(full).as("last_key"),
+        nth_value($"o_orderkey", 2).over(full).as("second_key"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  val valueWindowsSql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      | FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+      |   ORDER BY o_orderdate ASC, o_orderkey ASC
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_key,
+      | LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+      |   ORDER BY o_orderdate ASC, o_orderkey ASC
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key,
+      | NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_custkey
+      |   ORDER BY o_orderdate ASC, o_orderkey ASC
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_value_windows" -> (valueWindows _),
     "q45_distribution_windows" -> (distributionWindows _),
     "q16_window_rank"    -> (ranking _),
     "q17_window_running" -> (runningSum _),
@@ -227,5 +272,6 @@ object Windows {
     "q19_window_laglead" -> lagLeadSql,
     "q20_topk_per_group" -> topKSql,
     "q21_orderby_limit"  -> orderByLimitSql,
-    "q45_distribution_windows" -> distributionWindowsSql)
+    "q45_distribution_windows" -> distributionWindowsSql,
+    "q46_value_windows" -> valueWindowsSql)
 }
