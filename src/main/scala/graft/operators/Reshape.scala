@@ -181,7 +181,43 @@ object Reshape {
       |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
       |ORDER BY o_orderkey""".stripMargin
 
+  /** q47: correlated LATERAL subquery — for every nation, its top-2
+    * suppliers by account balance, written as the SQL-standard lateral
+    * derived table (the "top-N per outer row" idiom ORMs and hand-written
+    * analytics both produce). Catalyst decorrelates the limited correlated
+    * subquery into a ranked window over one equi-join — same physical shape
+    * as q20's top-k — so no nested-loop per-nation execution survives at
+    * scale. acctbal is carried, never computed on; unique (balance, key)
+    * tie-break inside the lateral ORDER BY.
+    */
+  def lateralTopK(s: SparkSession, d: String): DataFrame = {
+    Tables.nation(s, d).createOrReplaceTempView("g_nation")
+    Tables.supplier(s, d).createOrReplaceTempView("g_supplier")
+    s.sql(
+      """SELECT n.n_name, t.s_suppkey, t.s_acctbal
+        |FROM g_nation n,
+        |LATERAL (
+        |  SELECT s_suppkey, s_acctbal
+        |  FROM g_supplier s
+        |  WHERE s.s_nationkey = n.n_nationkey
+        |  ORDER BY s_acctbal DESC, s_suppkey ASC
+        |  LIMIT 2) t
+        |ORDER BY n_name, s_suppkey""".stripMargin)
+  }
+
+  val lateralTopKSql: String =
+    """SELECT n.n_name, t.s_suppkey, t.s_acctbal
+      |FROM nation n,
+      |LATERAL (
+      |  SELECT s_suppkey, s_acctbal
+      |  FROM supplier s
+      |  WHERE s.s_nationkey = n.n_nationkey
+      |  ORDER BY s_acctbal DESC, s_suppkey ASC
+      |  LIMIT 2) t
+      |ORDER BY n_name, s_suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q47_lateral_topk"      -> (lateralTopK _),
     "q38_pivot"             -> (pivotOrders _),
     "q39_unpivot"           -> (unpivotPart _),
     "q40_percentiles"       -> (percentiles _),
@@ -193,5 +229,6 @@ object Reshape {
     "q39_unpivot"           -> unpivotPartSql,
     "q40_percentiles"       -> percentilesSql,
     "q41_correlated_exists" -> correlatedExistsSql,
-    "q42_correlated_scalar" -> correlatedScalarSql)
+    "q42_correlated_scalar" -> correlatedScalarSql,
+    "q47_lateral_topk"      -> lateralTopKSql)
 }
