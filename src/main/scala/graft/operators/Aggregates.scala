@@ -224,7 +224,84 @@ object Aggregates {
       |FROM sk JOIN ex USING (l_returnflag)
       |ORDER BY l_returnflag""".stripMargin
 
+  /** Count-Min geometry for q48: d hash rows × w counters. Mirrored
+    * literally in the oracle SQL — change both or neither. */
+  val CmDepth = 4
+  val CmWidth = 256
+
+  /** q48: a DETERMINISTIC Count-Min sketch, oracle-checked bit-for-bit —
+    * the heavy-hitters companion to q43's HLL. Every row of lineitem
+    * increments [[CmDepth]] counters (row j's position = hex chars
+    * 4j+1..4j+4 of md5(partkey) mod [[CmWidth]]); a key's estimate is the
+    * MIN of its d counters, always >= the true count. Emitted beside the
+    * exact count for the top-25 estimated keys, so the sketch's
+    * overcount — the number a production sketch deployment needs to
+    * know — is itself hash-checked. All-integer arithmetic.
+    *
+    * Scale shape: the sketch build is a map-side explode into a bounded
+    * d×w = 1024-cell aggregation (partial aggregation collapses each
+    * partition to <=1024 rows before the one tiny shuffle — this is why
+    * sketches exist); the estimate pass joins per-key positions against
+    * the BROADCAST counter table, so the big side never shuffles. The
+    * counter table merges across 1000 executors by plain addition,
+    * exactly like the production sketch would.
+    */
+  def countMin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val src = Tables.lineitem(s, d)
+      .select($"l_partkey".cast("string").as("k"))
+    val posCols = (0 until CmDepth).map { j =>
+      struct(lit(j).as("j"),
+        expr(s"CAST(conv(substring(md5(k), ${j * 4 + 1}, 4), 16, 10) AS BIGINT)" +
+          s" % $CmWidth").as("pos"))
+    }
+    val counters = src
+      .select(explode(array(posCols: _*)).as("jp"))
+      .groupBy($"jp.j".as("j"), $"jp.pos".as("pos"))
+      .agg(count(lit(1)).as("c"))
+    val keys = src.groupBy($"k").agg(count(lit(1)).as("exact_n"))
+    keys
+      .select($"k", $"exact_n", explode(array(posCols: _*)).as("jp"))
+      .select($"k", $"exact_n", $"jp.j".as("j"), $"jp.pos".as("pos"))
+      .join(broadcast(counters), Seq("j", "pos"))
+      .groupBy($"k", $"exact_n")
+      .agg(min($"c").as("cm_est"))
+      .withColumn("overcount", $"cm_est" - $"exact_n")
+      .orderBy($"cm_est".desc, $"k".asc)
+      .limit(25)
+  }
+
+  val countMinSql: String =
+    s"""WITH src AS (SELECT CAST(l_partkey AS VARCHAR) AS k FROM lineitem),
+       |pos AS (
+       |  SELECT k, j,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, 5),
+       |        i -> CAST(strpos('0123456789abcdef',
+       |               substr(md5(k), j * 4 + i, 1)) - 1 AS BIGINT))),
+       |      (acc, v) -> acc * 16 + v) % $CmWidth AS p
+       |  FROM src CROSS JOIN generate_series(0, ${CmDepth - 1}) g(j)),
+       |counters AS (SELECT j, p, COUNT(*) AS c FROM pos GROUP BY 1, 2),
+       |keys AS (SELECT k, COUNT(*) AS exact_n FROM src GROUP BY k),
+       |kpos AS (
+       |  SELECT kk.k, kk.exact_n, g.j,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, 5),
+       |        i -> CAST(strpos('0123456789abcdef',
+       |               substr(md5(kk.k), g.j * 4 + i, 1)) - 1 AS BIGINT))),
+       |      (acc, v) -> acc * 16 + v) % $CmWidth AS p
+       |  FROM keys kk CROSS JOIN generate_series(0, ${CmDepth - 1}) g(j)),
+       |est AS (
+       |  SELECT kp.k, kp.exact_n, MIN(c.c) AS cm_est
+       |  FROM kpos kp JOIN counters c ON c.j = kp.j AND c.p = kp.p
+       |  GROUP BY 1, 2)
+       |SELECT k, exact_n, cm_est, cm_est - exact_n AS overcount
+       |FROM est
+       |ORDER BY cm_est DESC, k ASC
+       |LIMIT 25""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_countmin_sketch" -> (countMin _),
     "q10_agg_distinct"    -> (aggDistinct _),
     "q11_agg_having"      -> (having _),
     "q12_agg_rollup"      -> (rollupAgg _),
@@ -239,5 +316,6 @@ object Aggregates {
     "q12_agg_rollup"   -> rollupSql,
     "q13_agg_cube"     -> cubeSql,
     "q14_agg_gsets"    -> groupingSetsSql,
-    "q43_hll_deterministic" -> hllDeterministicSql)
+    "q43_hll_deterministic" -> hllDeterministicSql,
+    "q48_countmin_sketch"   -> countMinSql)
 }
