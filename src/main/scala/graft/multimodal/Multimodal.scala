@@ -351,7 +351,87 @@ object Multimodal {
       |HAVING COUNT(DISTINCT media_id) > 1
       |ORDER BY frame_md5""".stripMargin
 
+  /** Samples per analysis window for [[audioEnergy]]. */
+  val AudioWinSize = 256
+
+  /** One analysis window of a decoded audio stream. */
+  final case class AudioWindow(
+      media_id: Long, win_idx: Int, n_samples: Int, energy: Long, peak: Int)
+
+  /** m6: windowed audio energy — the silence/level analysis an audio corpus
+    * runs before segmentation (VAD, loudness filtering, clipping checks).
+    * The payload is treated as 8-bit PCM: per [[AudioWinSize]]-sample
+    * window, energy = Σ(s−96)² and peak = max|s−96| (96 ≈ the ASCII
+    * fixture's center; a real WAV decoder centers at 0 and drops into the
+    * same slot). One narrow byte pass per partition — digest-free sibling
+    * of [[frameHashes]], same per-partition batch shape, no copies, no
+    * shuffle; windows of one object never cross partitions because the
+    * slicing happens inside the row's own iteration. All-integer output.
+    */
+  def audioWindows(media: Dataset[MediaRecord]): Dataset[AudioWindow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val hd = parseHeader(r)
+        if (hd.mime != "audio/wav") Iterator.empty
+        else {
+          val nWins = (hd.payloadLen + AudioWinSize - 1) / AudioWinSize
+          (0 until nWins).iterator.map { i =>
+            val from = hd.payloadPos + i * AudioWinSize
+            val until = math.min(hd.payloadPos + (i + 1) * AudioWinSize,
+              hd.payloadPos + hd.payloadLen)
+            var j = from
+            var energy = 0L
+            var peak = 0
+            while (j < until) {
+              val centered = (r.media(j) & 0xff) - 96
+              energy += centered.toLong * centered
+              val a = math.abs(centered)
+              if (a > peak) peak = a
+              j += 1
+            }
+            AudioWindow(r.media_id, i, until - from, energy, peak)
+          }
+        }
+      }
+    }
+  }
+
+  def audioEnergy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    audioWindows(mediaTable(s, d)).toDF()
+      .orderBy($"media_id", $"win_idx")
+  }
+
+  /** Oracle: audio objects are the doc_id % 3 = 1 rows with the raw text
+    * as payload; the text is ASCII so ord(char) == the byte the JVM reads,
+    * and the window arithmetic mirrors exactly.
+    */
+  val audioEnergySql: String =
+    s"""WITH auds AS (
+       |  SELECT doc_id AS media_id, text, length(text) AS len
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |wins AS (
+       |  SELECT media_id, CAST(i AS INTEGER) AS win_idx,
+       |    substr(text, CAST(i * $AudioWinSize AS INTEGER) + 1, $AudioWinSize)
+       |      AS chunk
+       |  FROM auds, (SELECT unnest(range(64)) AS i) ix
+       |  WHERE i * $AudioWinSize < len),
+       |samples AS (
+       |  SELECT media_id, win_idx,
+       |    ord(substr(chunk, CAST(j AS INTEGER) + 1, 1)) - 96 AS s
+       |  FROM wins, (SELECT unnest(range($AudioWinSize)) AS j) jx
+       |  WHERE j < length(chunk))
+       |SELECT media_id, win_idx,
+       |  CAST(COUNT(*) AS INTEGER) AS n_samples,
+       |  CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS energy,
+       |  CAST(MAX(abs(s)) AS INTEGER) AS peak
+       |FROM samples
+       |GROUP BY media_id, win_idx
+       |ORDER BY media_id, win_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m6_audio_energy"   -> (audioEnergy _),
     "m1_media_meta"     -> (mediaMeta _),
     "m2_media_features" -> (mediaFeatures _),
     "m3_frame_sample"   -> (frameSample _),
@@ -363,5 +443,6 @@ object Multimodal {
     "m2_media_features" -> mediaFeaturesSql,
     "m3_frame_sample"   -> frameSampleSql,
     "m4_resize_plan"    -> resizePlanSql,
-    "m5_frame_dedup"    -> frameDupesSql)
+    "m5_frame_dedup"    -> frameDupesSql,
+    "m6_audio_energy"   -> audioEnergySql)
 }
