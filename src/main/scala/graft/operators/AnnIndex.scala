@@ -38,9 +38,20 @@ import org.apache.spark.sql.functions._
 object AnnIndex {
 
   /** Build the sign-LSH index for `d`'s embeddings table at `out`. */
-  def build(s: SparkSession, d: String, out: String): Unit = {
+  def build(s: SparkSession, d: String, out: String): Unit =
+    buildFiltered(s, d, out, lit(true))
+
+  /** Sign-LSH index build over a predicate-selected slice of the corpus —
+    * the shared path for the full build and the incremental delta
+    * ([[locateIncremental]]): same signature scheme, same layout, so a
+    * reader unions generations without caring which build wrote them.
+    */
+  def buildFiltered(
+      s: SparkSession, d: String, out: String,
+      pred: org.apache.spark.sql.Column): Unit = {
     import s.implicits._
     Tables.embeddings(s, d)
+      .filter(pred)
       .withColumn("sig", Similarity.sigCol($"embedding"))
       .withColumn("sigp", concat(lit("s"), $"sig"))
       .repartition($"sigp")
@@ -93,17 +104,33 @@ object AnnIndex {
     * winner's pointer — the duplicate work is bounded to the cold-start
     * race, and no reader ever waits on a crashed builder.
     */
-  private[graft] def locateIndex(
-      s: SparkSession, d: String, prefix: String)(
-      build: (SparkSession, String, String) => Unit): String = {
-    import org.apache.hadoop.fs.Path
+  /** Content-addressed index root under java.io.tmpdir for fixture `d`. */
+  private def indexBase(prefix: String, d: String): org.apache.hadoop.fs.Path = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-    val base = new Path(
+    new org.apache.hadoop.fs.Path(
       new java.io.File(System.getProperty("java.io.tmpdir")).toURI.toString,
       s"$prefix-$key-v2")
+  }
+
+  private[graft] def locateIndex(
+      s: SparkSession, d: String, prefix: String)(
+      build: (SparkSession, String, String) => Unit): String =
+    ensureGeneration(s, indexBase(prefix, d), 1L)(out => build(s, d, out))
+
+  /** Commit-or-adopt one index GENERATION under `base` — the core of the
+    * stage-then-publish protocol, shared by the build-once indexes
+    * (generation 1 only) and the incrementally-maintained one
+    * ([[locateIncremental]], where each appended delta is the next
+    * generation's marker). Returns the committed data dir for `gen`,
+    * building (and racing to publish) if absent.
+    */
+  private[graft] def ensureGeneration(
+      s: SparkSession, base: org.apache.hadoop.fs.Path, gen: Long)(
+      build: String => Unit): String = {
+    import org.apache.hadoop.fs.Path
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val marker = new Path(base, "commits/1")
+    val marker = new Path(base, s"commits/$gen")
     def committed: Option[String] =
       try {
         if (fs.getFileStatus(marker).getLen > 0)
@@ -112,7 +139,7 @@ object AnnIndex {
       } catch { case _: java.io.FileNotFoundException => None }
     committed.getOrElse {
       val staging = new Path(base, s"data-${java.util.UUID.randomUUID()}")
-      build(s, d, staging.toString)
+      build(staging.toString)
       var result: String = null
       val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
       while (result == null) {
@@ -166,4 +193,45 @@ object AnnIndex {
 
   def readIvf(s: SparkSession, d: String): DataFrame =
     s.read.parquet(locateIvf(s, d))
+
+  /** The incremental-maintenance split for [[locateIncremental]]: the
+    * fixture plays a corpus whose `vec_id % 5 == 3` rows arrived AFTER the
+    * base index was built (the daily embedding-ingest shape). Mirrored in
+    * the s11 oracle's `gen` derivation.
+    */
+  private[graft] val IncrDeltaMod = 5L
+  private[graft] val IncrDeltaRem = 3L
+
+  /** s11 backing store: a sign-LSH index maintained INCREMENTALLY — the
+    * 100 TB operational answer to "new embeddings arrived; don't rebuild
+    * the index". Generation 1 is the base corpus; each appended batch is
+    * staged as its own partitioned data dir and published as the NEXT
+    * commit marker (same [[graft.kv.CommitMarker]] CAS as the build-once
+    * indexes, so appends are object-store-atomic, race-safe and
+    * husk-reclaiming; a crashed appender never wedges readers). Readers
+    * union every committed generation — each generation is itself
+    * partitioned by `sigp`, so partition pruning holds per generation and
+    * a lookup still opens only the probed buckets' files in EVERY
+    * generation. Compaction (folding deltas back into a fat generation) is
+    * the same stage-then-publish move with a bigger build.
+    */
+  def locateIncremental(s: SparkSession, d: String): Seq[(Int, String)] = {
+    import s.implicits._
+    val base = indexBase("graft-annincr", d)
+    val g1 = ensureGeneration(s, base, 1L)(out =>
+      buildFiltered(s, d, out, $"vec_id" % IncrDeltaMod =!= IncrDeltaRem))
+    val g2 = ensureGeneration(s, base, 2L)(out =>
+      buildFiltered(s, d, out, $"vec_id" % IncrDeltaMod === IncrDeltaRem))
+    Seq((1, g1), (2, g2))
+  }
+
+  /** Read the union of all committed generations, tagging each row with
+    * the generation that brought it — the provenance a production lookup
+    * reports ("hit came from yesterday's delta").
+    */
+  def readIncremental(s: SparkSession, d: String): DataFrame =
+    locateIncremental(s, d)
+      .map { case (g, dir) =>
+        s.read.parquet(dir).withColumn("gen", lit(g)) }
+      .reduce(_ unionByName _)
 }

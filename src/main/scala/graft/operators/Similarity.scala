@@ -524,7 +524,48 @@ object Similarity {
       .replace("__FINALS__", finals)
   }
 
+  /** s11: lookup over the INCREMENTALLY-maintained index
+    * ([[AnnIndex.locateIncremental]]): the base index plus an appended
+    * delta generation, unioned at read time — proving append-then-read
+    * answers exactly what a full rebuild would (the oracle computes the
+    * bucket over the whole corpus in one pass and derives each hit's
+    * generation arithmetically). The `gen` column is the provenance a
+    * production lookup reports; partition pruning to the query's bucket
+    * holds independently in every generation, so an appended index costs
+    * one extra file-listing per delta, not a rescan. Probes the s3
+    * multi-probe bucket set (hamming <= 1) so the answer is non-empty at
+    * fixture scale and hits from BOTH generations appear.
+    */
+  def annIncremental(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val idx = AnnIndex.readIncremental(s, d)
+    val q = idx.filter($"vec_id" === 0).select($"embedding", $"sig").head()
+    val qv = q.getSeq[Float](0).toArray
+    val qsig = q.getString(1)
+    val probes = qsig +: (0 until NumPlanes).map(i =>
+      qsig.updated(i, if (qsig(i) == '0') '1' else '0'))
+    idx.filter($"sigp".isin(probes.map("s" + _): _*) && $"vec_id" =!= 0)
+      .select($"vec_id", $"label", $"sig", $"gen",
+        VectorFunctions.dot($"embedding", typedlit(qv)).as("score"))
+      .orderBy($"score".desc, $"vec_id".asc)
+      .limit(10)
+  }
+
+  val annIncrementalSql: String =
+    s"""WITH sigs AS (
+       |  SELECT vec_id, label, embedding, ${sigSql("embedding")} AS sig
+       |  FROM embeddings),
+       |q AS (SELECT embedding AS qv, sig AS qsig FROM sigs WHERE vec_id = 0)
+       |SELECT e.vec_id, e.label, e.sig,
+       |  CAST(CASE WHEN e.vec_id % 5 = 3 THEN 2 ELSE 1 END AS INTEGER) AS gen,
+       |  $dotSql AS score
+       |FROM sigs e CROSS JOIN q
+       |WHERE hamming(e.sig, q.qsig) <= 1 AND e.vec_id <> 0
+       |ORDER BY score DESC, e.vec_id ASC
+       |LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s11_ann_incremental" -> (annIncremental _),
     "s10_mmr_rerank"     -> (mmrRerank _),
     "s1_cosine_topk"     -> (bruteForceTopK _),
     "s2_ann_lsh"         -> (annLsh _),
@@ -544,5 +585,6 @@ object Similarity {
     "s5_quantized_topk"  -> quantizedTopKSql,
     "s6_ann_recall"      -> annRecallSql,
     "s7_ann_batch"       -> annBatchSql,
-    "s8_hard_negatives"  -> hardNegativesSql)
+    "s8_hard_negatives"  -> hardNegativesSql,
+    "s11_ann_incremental" -> annIncrementalSql)
 }

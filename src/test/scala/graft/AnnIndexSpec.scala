@@ -74,6 +74,34 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(elapsedMs < 60000, s"husk reclaim took ${elapsedMs}ms — wedged?")
   }
 
+  test("incremental generations: append commits gen 2, reads union, no rebuild") {
+    val d = s"incr-${java.util.UUID.randomUUID()}"
+    val base = new Path(
+      new java.io.File(System.getProperty("java.io.tmpdir")).toURI.toString,
+      s"graft-incrtest-$d-v2")
+    val builds = new AtomicInteger(0)
+    def gen(g: Long, rows: Seq[(Long, String)]): String =
+      AnnIndex.ensureGeneration(spark, base, g) { out =>
+        import spark.implicits._
+        builds.incrementAndGet()
+        rows.toDF("vec_id", "label").write.mode("overwrite").parquet(out)
+      }
+    val g1 = gen(1L, Seq((1L, "a"), (2L, "b")))
+    val g2 = gen(2L, Seq((3L, "c")))
+    assert(g1 !== g2)
+    assert(builds.get() === 2)
+    // union of committed generations sees base + delta
+    assert(spark.read.parquet(g1, g2).count() === 3)
+    // re-locating either generation adopts its marker, builds nothing
+    assert(gen(1L, Seq.empty) === g1)
+    assert(gen(2L, Seq.empty) === g2)
+    assert(builds.get() === 2)
+    // each generation's marker names exactly its data dir
+    val fs = fsFor(base)
+    assert(graft.kv.CommitMarker.read(fs, new Path(base, "commits/1")) === g1)
+    assert(graft.kv.CommitMarker.read(fs, new Path(base, "commits/2")) === g2)
+  }
+
   test("second locate call reads the marker, builds nothing") {
     val d = s"cache-${java.util.UUID.randomUUID()}"
     val builds = new AtomicInteger(0)
