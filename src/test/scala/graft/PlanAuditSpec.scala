@@ -98,6 +98,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q47 lateral top-k decorrelates to a ranked window join, no nested loop") {
+    val p = plan("q47_lateral_topk")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("Window"), s"no window rewrite of the lateral limit:\n$p")
+  }
+
+  test("q48 count-min estimate joins the BROADCAST counter table") {
+    val p = plan("q48_countmin_sketch")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("s11 incremental lookup prunes partitions in every generation") {
+    val p = plan("s11_ann_incremental")
+    val prunedScans = "PartitionFilters: \\[[^\\]]*sigp".r.findAllIn(p).size
+    assert(prunedScans >= 2,
+      s"expected sigp partition filters on both generation scans:\n$p")
+  }
+
   test("q18 range frame windows per (status, split), not per status alone") {
     val p = plan("q18_window_range")
     assert("windowspecdefinition\\(o_orderstatus#\\d+, _split".r
