@@ -85,7 +85,7 @@ object Dedup {
     * lexicographic md5 set is duplicate-insensitive, so no distinct needed.
     * Shared by [[minhashLsh]] and the incremental-dedup pipeline composite.
     */
-  private[operators] def bandSigs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def bandSigs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val sigs = words(s, d)
       .filter(size($"w") >= 3)

@@ -35,14 +35,16 @@ object StreamingQueries {
   private val streamDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
-  private def eventsDir(d: String): String =
-    streamDirs.getOrElseUpdate(d, {
-      val dir = java.nio.file.Files.createTempDirectory("graft-events-stream")
+  private def fixtureStreamDir(d: String, table: String): String =
+    streamDirs.getOrElseUpdate(s"$d#$table", {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-$table-stream")
       java.nio.file.Files.createSymbolicLink(
-        dir.resolve("events.parquet"),
-        java.nio.file.Paths.get(s"$d/events.parquet"))
+        dir.resolve(s"$table.parquet"),
+        java.nio.file.Paths.get(s"$d/$table.parquet"))
       dir.toString
     })
+
+  private def eventsDir(d: String): String = fixtureStreamDir(d, "events")
 
   /** Raw-schema streaming read of the events fixture. `events.ts` is
     * nanosecond parquet: like Tables.events, read it as raw longs (legacy
@@ -341,7 +343,72 @@ object StreamingQueries {
       |   OR s.end_ms + 1800000 < wm.wm_ms
       |ORDER BY user_id, sess_start""".stripMargin
 
+  /** st6: STREAMING incremental dedup — p4's daily-ingest gate run as the
+    * ingest stream it really is: new docs (source 'src0') arrive on a file
+    * stream and each is flagged against the EXISTING corpus (exact md5
+    * fingerprint + shared MinHash LSH band bucket) the moment it lands.
+    * The corpus side collapses to DISTINCT fingerprint / per-band
+    * signature sets and BROADCASTS, so every decision is a stateless
+    * per-micro-batch broadcast join: no watermark, no streaming
+    * aggregation state, nothing grows with the stream — which is exactly
+    * the 100 TB shape (the corpus sets are the persisted dedup index the
+    * ingest job maintains). The band match is expressed as four COLUMN
+    * joins (one per band, distinct static side) rather than an
+    * explode+distinct, keeping append mode legal and each stream row a
+    * single row end-to-end. Per-doc flags depend only on the static
+    * corpus, so the result is deterministic under any micro-batch split —
+    * the oracle is p4's batch SQL verbatim.
+    */
+  def streamIncrementalDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.Tables.documents(s, d)
+    val corp = docs.filter($"source" =!= "src0")
+    val corpFp = corp.select(md5($"text").as("c_fp")).distinct()
+      .withColumn("e", lit(true))
+    val corpBands = graft.operators.Dedup.bandSigs(s, d)
+      .join(corp.select($"doc_id"), Seq("doc_id"))
+    val bandSets = (0 to 3).map { b =>
+      corpBands.filter($"band" === b).select($"sig".as(s"csig$b")).distinct()
+        .withColumn(s"m$b", lit(true))
+    }
+    val stream = s.readStream.schema(docs.schema)
+      .parquet(fixtureStreamDir(d, "documents"))
+      .filter($"source" === "src0")
+      .withColumn("fp", md5($"text"))
+      .withColumn("w", split(lower($"text"), " "))
+      .withColumn("mh", when(size($"w") >= 3,
+        graft.functions.MinHashWords.minhashWords($"w", 3, 8)))
+    val withSigs = (0 to 3).foldLeft(stream) { (df, b) =>
+      df.withColumn(s"sig$b",
+        concat(element_at($"mh", 2 * b + 1), element_at($"mh", 2 * b + 2)))
+    }
+    val flagged = bandSets.zipWithIndex.foldLeft(
+      withSigs.join(broadcast(corpFp), $"fp" === $"c_fp", "left")) {
+      case (df, (bs, b)) =>
+        df.join(broadcast(bs), col(s"sig$b") === col(s"csig$b"), "left")
+    }
+    val out = java.nio.file.Files.createTempDirectory("graft-st6").toString
+    val q = flagged
+      .select($"doc_id",
+        coalesce($"e", lit(false)).as("exact_dup"),
+        coalesce($"m0" || $"m1" || $"m2" || $"m3", lit(false)).as("near_dup"))
+      .withColumn("keep", !$"exact_dup" && !$"near_dup")
+      .writeStream
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/chk")
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val result = s.read.parquet(s"$out/data")
+      .orderBy($"doc_id").localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(out)).deleteRecursively()
+    result
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st6_stream_ingest_dedup" -> (streamIncrementalDedup _),
     "st5_stream_sessions" -> (streamSessions _),
     "st1_stream_dedup"    -> (streamDedup _),
     "st2_stream_tumbling" -> (streamTumbling _),
@@ -349,6 +416,7 @@ object StreamingQueries {
     "st4_stream_attribution" -> (streamClickAttribution _))
 
   val oracle: Map[String, String] = Map(
+    "st6_stream_ingest_dedup" -> graft.operators.Pipeline.incrementalDedupSql,
     "st5_stream_sessions" -> streamSessionsSql,
     "st1_stream_dedup"    -> streamDedupSql,
     "st2_stream_tumbling" -> streamTumblingSql,
