@@ -781,7 +781,89 @@ object Dedup {
       .replace("__LEADS__", leads)
   }
 
+  /** d11: the MinHash estimator's MEASURED error — for every d2 candidate
+    * pair, the signature-agreement estimate (matching seeds / 8, in exact
+    * basis points: hits × 1250) next to the true shingle-set Jaccard
+    * (exact integer bps over the hashed-shingle domain, d3's documented
+    * approximation) and their signed difference. The honest-price-tag
+    * family member for d2, like s6 for ANN pruning and q48 for Count-Min:
+    * an 8-seed signature is a coarse estimator, and this entry hash-checks
+    * HOW coarse instead of asserting it. Scale shape: the exact side runs
+    * only over candidate docs (left-semi on the pair membership — at
+    * 100 TB that is the tiny output of the LSH pass, not the corpus), and
+    * the signature side is the same map-side MinHashWords pass d2 runs.
+    */
+  def minhashError(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = minhashLsh(s, d).select($"doc_a", $"doc_b")
+    val sigs = words(s, d)
+      .filter(size($"w") >= 3)
+      .select($"doc_id",
+        graft.functions.MinHashWords.minhashWords($"w", 3, 8).as("mh"))
+    val cand = pairs
+      .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
+    val docSh = Tables.documents(s, d)
+      .join(broadcast(cand), Seq("doc_id"), "left_semi")
+      .select($"doc_id", explode(
+        graft.functions.ShingleHashes.shingleHashes(lower($"text"), 3)).as("h"))
+    val cnt = docSh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val co = docSh.as("x").join(docSh.as("y"),
+        col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"))
+    pairs
+      .join(sigs.as("sa"), $"doc_a" === col("sa.doc_id"))
+      .join(sigs.as("sb"), $"doc_b" === col("sb.doc_id"))
+      .withColumn("hits", expr(
+        "size(filter(zip_with(sa.mh, sb.mh, (x, y) -> x = y), b -> b))"))
+      .join(co, Seq("doc_a", "doc_b"), "left")
+      .join(cnt.as("ca"), $"doc_a" === col("ca.doc_id"))
+      .join(cnt.as("cb"), $"doc_b" === col("cb.doc_id"))
+      .select($"doc_a", $"doc_b", $"hits",
+        (expr("CAST(hits AS BIGINT)") * 1250).as("est_bps"),
+        expr("CAST(coalesce(c, 0) * 10000 div (ca.n + cb.n - coalesce(c, 0)) AS BIGINT)")
+          .as("true_bps"))
+      .withColumn("err_bps", $"est_bps" - $"true_bps")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val minhashErrorSql: String =
+    """WITH __SH__,
+      |__BANDS__,
+      |ok AS (SELECT band, sig FROM bands
+      |       GROUP BY band, sig HAVING COUNT(*) BETWEEN 2 AND 100),
+      |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+      |  JOIN ok ON ok.band = a.band AND ok.sig = a.sig),
+      |hitc AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS hits
+      |  FROM pairs p
+      |  JOIN mh a ON a.doc_id = p.doc_a
+      |  JOIN mh b ON b.doc_id = p.doc_b AND b.seed = a.seed AND b.h = a.h
+      |  GROUP BY 1, 2),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |co AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+      |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT p.doc_a, p.doc_b,
+      |  CAST(h.hits AS INTEGER) AS hits,
+      |  CAST(h.hits * 1250 AS BIGINT) AS est_bps,
+      |  CAST(COALESCE(co.c, 0) * 10000 // (ca.n + cb.n - COALESCE(co.c, 0))
+      |    AS BIGINT) AS true_bps,
+      |  CAST(h.hits * 1250
+      |    - COALESCE(co.c, 0) * 10000 // (ca.n + cb.n - COALESCE(co.c, 0))
+      |    AS BIGINT) AS err_bps
+      |FROM pairs p
+      |JOIN hitc h ON h.doc_a = p.doc_a AND h.doc_b = p.doc_b
+      |LEFT JOIN co ON co.doc_a = p.doc_a AND co.doc_b = p.doc_b
+      |JOIN cnt ca ON ca.doc_id = p.doc_a
+      |JOIN cnt cb ON cb.doc_id = p.doc_b
+      |ORDER BY p.doc_a, p.doc_b""".stripMargin
+      .replace("__SH__", shinglesCte)
+      .replace("__BANDS__", bandsCte)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d11_minhash_error"  -> (minhashError _),
     "d10_repeated_spans"   -> (repeatedSpans _),
     "d1_exact_fingerprint" -> (exactFingerprint _),
     "d2_minhash_lsh"       -> (minhashLsh _),
@@ -803,5 +885,6 @@ object Dedup {
     "d6_neardup_clusters"  -> neardupClustersSql,
     "d7_embed_banded"      -> bandedEmbedNearDupSql,
     "d8_embed_clusters"    -> embedClustersSql,
-    "d9_semantic_dedup"    -> semanticDedupSql)
+    "d9_semantic_dedup"    -> semanticDedupSql,
+    "d11_minhash_error"    -> minhashErrorSql)
 }
