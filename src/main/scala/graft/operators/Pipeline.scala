@@ -442,30 +442,30 @@ object Pipeline {
     import s.implicits._
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     val docs = Tables.documents(s, d)
-      .select($"doc_id", $"source",
+      .select($"doc_id", $"lang",
         conv(substring(md5($"doc_id".cast("string")), 1, 7), 16, 10)
           .cast("long").as("c"))
-    val counts = docs.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+    val counts = docs.groupBy($"lang").agg(count(lit(1)).as("n_docs"))
     val nmin = counts.agg(min($"n_docs").as("n_min"))
-    docs.join(broadcast(counts), Seq("source"))
+    docs.join(broadcast(counts), Seq("lang"))
       .crossJoin(broadcast(nmin))
       .withColumn("keep",
         $"c".cast(dec) * $"c".cast(dec) * $"n_docs".cast(dec) <
           lit("72057594037927936").cast(dec) * $"n_min".cast(dec))
-      .groupBy($"source")
+      .groupBy($"lang")
       .agg(
         max($"n_docs").as("n_docs"),
         sum(when($"keep", 1L).otherwise(0L)).as("n_kept"))
       .withColumn("kept_bps", expr("(n_kept * 10000) div n_docs"))
-      .orderBy($"source")
+      .orderBy($"lang")
   }
 
   val temperatureMixSql: String =
     """WITH counts AS (
-      |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+      |  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
       |nm AS (SELECT MIN(n_docs) AS n_min FROM counts),
       |coins AS (
-      |  SELECT d.source, c.n_docs, nm.n_min,
+      |  SELECT d.lang, c.n_docs, nm.n_min,
       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
       |      list_transform(range(1, 8),
       |        i -> CAST(strpos('0123456789abcdef',
@@ -473,22 +473,71 @@ object Pipeline {
       |             AS BIGINT))),
       |      (acc, v) -> acc * 16 + v) AS c
       |  FROM documents d
-      |  JOIN counts c ON c.source = d.source
+      |  JOIN counts c ON c.lang = d.lang
       |  CROSS JOIN nm),
       |kept AS (
-      |  SELECT source, n_docs,
+      |  SELECT lang, n_docs,
       |    CAST(c AS HUGEINT) * CAST(c AS HUGEINT) * n_docs
       |      < CAST(72057594037927936 AS HUGEINT) * n_min AS keep
       |  FROM coins)
-      |SELECT source, n_docs,
+      |SELECT lang, n_docs,
       |  CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
       |  CAST(COUNT(*) FILTER (WHERE keep) AS BIGINT) * 10000 // n_docs
       |    AS kept_bps
       |FROM kept
-      |GROUP BY source, n_docs
-      |ORDER BY source""".stripMargin
+      |GROUP BY lang, n_docs
+      |ORDER BY lang""".stripMargin
+
+  /** Epoch cap for [[epochRepeat]] — no source repeats more than this many
+    * times, however small it is (the standard guard against memorizing a
+    * tiny source). Mirrored literally in the oracle.
+    */
+  val MaxEpochs = 4L
+
+  /** p10: epoch repetition planning — [[temperatureMix]]'s complement: p9
+    * DOWN-samples big sources, this UP-weights small ones by materializing
+    * each source's docs `min(MaxEpochs, N_max div N_src)` times (the
+    * "repeat high-quality under-represented data for multiple epochs" step
+    * of LLM data recipes). Output is the virtual-epoch doc list the packer
+    * consumes: (doc_id, source, epoch), all-integer repeat factors — no
+    * proportional float weights to drift between engines.
+    *
+    * Scale shape: per-source totals broadcast (one row per source), the
+    * explode is narrow (each doc expands to its own <= MaxEpochs copies in
+    * place), and no shuffle happens at all until a downstream consumer
+    * keys by something — the repeat factor rides the scan.
+    */
+  def epochRepeat(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id", $"lang")
+    val counts = docs.groupBy($"lang").agg(count(lit(1)).as("n"))
+    val nmax = counts.agg(max($"n").as("nmax"))
+    val rep = counts.crossJoin(broadcast(nmax))
+      .select($"lang",
+        least(lit(MaxEpochs), greatest(lit(1L), expr("nmax div n")))
+          .as("repeats"))
+    docs.join(broadcast(rep), Seq("lang"))
+      .select($"doc_id", $"lang",
+        explode(expr("sequence(CAST(1 AS BIGINT), repeats)")).as("epoch"))
+      .orderBy($"doc_id", $"epoch")
+  }
+
+  val epochRepeatSql: String =
+    s"""WITH counts AS (
+       |  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+       |mx AS (SELECT MAX(n) AS nmax FROM counts),
+       |rep AS (
+       |  SELECT lang, LEAST($MaxEpochs, GREATEST(1, nmax // n)) AS repeats
+       |  FROM counts CROSS JOIN mx)
+       |SELECT d.doc_id, d.lang, CAST(g.e AS BIGINT) AS epoch
+       |FROM documents d
+       |JOIN rep r USING (lang)
+       |CROSS JOIN generate_series(1, $MaxEpochs) g(e)
+       |WHERE g.e <= r.repeats
+       |ORDER BY d.doc_id, epoch""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p10_epoch_repeat"     -> (epochRepeat _),
     "p9_temperature_mix"   -> (temperatureMix _),
     "p8_stratified_shard"  -> (stratifiedShard _),
     "p1_corpus_filter"     -> (corpusFilter _),
@@ -500,6 +549,7 @@ object Pipeline {
     "p7_bloom_decontaminate" -> (bloomDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "p10_epoch_repeat"     -> epochRepeatSql,
     "p9_temperature_mix"   -> temperatureMixSql,
     "p8_stratified_shard"  -> stratifiedShardSql,
     "p1_corpus_filter"     -> corpusFilterSql,
