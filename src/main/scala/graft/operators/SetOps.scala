@@ -74,7 +74,48 @@ object SetOps {
       |SELECT s_nationkey FROM supplier
       |ORDER BY nationkey""".stripMargin
 
+  /** q49: the bag-semantics set ops — INTERSECT ALL / EXCEPT ALL — closing
+    * the set surface (q22–q25 cover the distinct forms). Multiplicity
+    * matters: a nation with 3 customer rows and 2 supplier rows
+    * intersects-all to 2 rows and excepts-all to 1 — so the result is
+    * aggregated to (nationkey, n) to keep a total ORDER BY. Both engines
+    * implement bag semantics identically (min / difference of
+    * multiplicities); the
+    * shuffle carries only the projected key, like the distinct forms.
+    */
+  def bagOps(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ia = custNations(s, d).intersectAll(suppNations(s, d))
+      .groupBy($"nationkey").agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("intersect_all"))
+    val ea = custNations(s, d).exceptAll(suppNations(s, d))
+      .groupBy($"nationkey").agg(count(lit(1)).as("n"))
+      .withColumn("op", lit("except_all"))
+    ia.unionByName(ea)
+      .select($"op", $"nationkey", $"n")
+      .orderBy($"op", $"nationkey")
+  }
+
+  val bagOpsSql: String =
+    """WITH ia AS (
+      |  SELECT nationkey, COUNT(*) AS n FROM (
+      |    SELECT c_nationkey AS nationkey FROM customer
+      |    INTERSECT ALL
+      |    SELECT s_nationkey FROM supplier) t
+      |  GROUP BY nationkey),
+      |ea AS (
+      |  SELECT nationkey, COUNT(*) AS n FROM (
+      |    SELECT c_nationkey AS nationkey FROM customer
+      |    EXCEPT ALL
+      |    SELECT s_nationkey FROM supplier) t
+      |  GROUP BY nationkey)
+      |SELECT 'intersect_all' AS op, nationkey, n FROM ia
+      |UNION ALL
+      |SELECT 'except_all', nationkey, n FROM ea
+      |ORDER BY op, nationkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_bag_setops" -> (bagOps _),
     "q22_union_all"      -> (unionAll _),
     "q23_union_distinct" -> (unionDistinct _),
     "q24_intersect"      -> (intersectOp _),
@@ -84,5 +125,6 @@ object SetOps {
     "q22_union_all"      -> unionAllSql,
     "q23_union_distinct" -> unionDistinctSql,
     "q24_intersect"      -> intersectSql,
-    "q25_except"         -> exceptSql)
+    "q25_except"         -> exceptSql,
+    "q49_bag_setops"     -> bagOpsSql)
 }
