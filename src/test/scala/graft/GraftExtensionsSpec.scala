@@ -24,6 +24,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
           "array(cast(3.0 as float), cast(4.0 as float))) AS d")
         .collect().head.getDouble(0)
       assert(r === 11.0)
+      // the whole native-expression family is SQL-callable
+      val sh = s.sql(
+        "SELECT shingle_hashes('a b c d', 3) AS h").collect().head.getSeq[Long](0)
+      assert(sh.length === 2) // 'a b c' and 'b c d'
+      val mh = s.sql(
+        "SELECT minhash_words(array('a','b','c','d'), 3, 8) AS m")
+        .collect().head.getSeq[String](0)
+      assert(mh.length === 8 && mh.forall(_.length == 32))
+      val bs = s.sql(
+        s"SELECT bit_sketch(array(${Seq.fill(64)("cast(0.5 as float)").mkString(",")}), 256, 64) AS b")
+        .collect().head.getSeq[Long](0)
+      assert(bs.length === 4) // 256 bits packed into 4 longs
+      // non-literal geometry arguments are rejected loudly
+      val err = intercept[Exception] {
+        s.sql("SELECT shingle_hashes('a b c', cast(3 as int) + 0)").collect()
+      }
+      assert(err.getMessage.contains("INTEGER literal"))
     } finally {
       prevDefault.foreach(SparkSession.setDefaultSession)
       prevActive.foreach(SparkSession.setActiveSession)
