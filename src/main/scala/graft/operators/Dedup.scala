@@ -795,17 +795,25 @@ object Dedup {
     */
   def minhashError(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val pairs = minhashLsh(s, d).select($"doc_a", $"doc_b")
+    // The pair list is consumed twice (candidate-doc derivation + final
+    // join); materialize the tiny LSH output once instead of re-running
+    // the whole d2 pipeline per consumer — the same persist any multi-pass
+    // consumer of a mining stage does.
+    val pairs = minhashLsh(s, d).select($"doc_a", $"doc_b").localCheckpoint()
     val sigs = words(s, d)
       .filter(size($"w") >= 3)
       .select($"doc_id",
         graft.functions.MinHashWords.minhashWords($"w", 3, 8).as("mh"))
     val cand = pairs
       .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
+    // Also bounded (candidate docs only) and consumed twice (counts +
+    // co-occurrence self-join, whose two sides would otherwise re-shingle
+    // the corpus scan twice more).
     val docSh = Tables.documents(s, d)
       .join(broadcast(cand), Seq("doc_id"), "left_semi")
       .select($"doc_id", explode(
         graft.functions.ShingleHashes.shingleHashes(lower($"text"), 3)).as("h"))
+      .localCheckpoint()
     val cnt = docSh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
     val co = docSh.as("x").join(docSh.as("y"),
         col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id"))
