@@ -152,7 +152,37 @@ object Extensibility {
        |GROUP BY p_brand
        |ORDER BY p_brand""".stripMargin
 
+  /** u7: the SQL FRONT DOOR to the native-expression family — s1's exact
+    * cosine top-k restated as pure SQL over a temp view, with the ranking
+    * dot computed by the `float_dot` Catalyst expression registered through
+    * [[graft.GraftExtensions]]'s builder (injected here into the session's
+    * own registry, since the driver builds its session without
+    * `withExtensions`). Hash-matching s1's oracle proves the SQL-registered
+    * expression is bit-identical to the Column API path — the guarantee a
+    * SQL-only user needs before trusting the extension.
+    */
+  def sqlNativeDot(s: SparkSession, d: String): DataFrame = {
+    s.sessionState.functionRegistry.registerFunction(
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("float_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.FloatDot].getName, "float_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.FloatDot(exprs(0), exprs(1)))
+    Tables.embeddings(s, d).createOrReplaceTempView("g_embeddings")
+    s.sql(
+      """SELECT e.vec_id, e.label, float_dot(e.embedding, q.qv) AS score
+        |FROM g_embeddings e
+        |CROSS JOIN (SELECT embedding AS qv FROM g_embeddings WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0
+        |ORDER BY score DESC, e.vec_id ASC
+        |LIMIT 20""".stripMargin)
+  }
+
+  /** Oracle: s1's brute-force SQL verbatim (same result set, same order). */
+  val sqlNativeDotSql: String = Similarity.bruteForceTopKSql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u7_sql_native_dot" -> (sqlNativeDot _),
     "u6_salted_join"    -> (saltedJoinAgg _),
     "u1_udf_keyderiv"   -> (udfKeyDerivation _),
     "u2_typed_agg_wavg" -> (typedAggWeightedAvg _),
@@ -161,6 +191,7 @@ object Extensibility {
     "u5_typed_dataset"  -> (typedDataset _))
 
   val oracle: Map[String, String] = Map(
+    "u7_sql_native_dot" -> sqlNativeDotSql,
     "u6_salted_join"    -> saltedJoinAggSql,
     "u1_udf_keyderiv"   -> udfKeyDerivationSql,
     "u2_typed_agg_wavg" -> typedAggWeightedAvgSql,
