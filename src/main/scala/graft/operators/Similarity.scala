@@ -564,7 +564,46 @@ object Similarity {
        |ORDER BY score DESC, e.vec_id ASC
        |LIMIT 10""".stripMargin
 
+  /** s12: FILTERED ANN — the hybrid "metadata predicate + vector search"
+    * every production vector store serves (search only label ∈ {1,2,3}).
+    * PRE-filter semantics: the predicate applies before the top-k, so the
+    * answer always holds k matching rows if they exist (post-filtering a
+    * top-k pool silently under-fills — the classic hybrid-search bug).
+    * On the persisted index both prunings compose: the probe list stays a
+    * PartitionFilter (file listing) and the label predicate pushes into
+    * the parquet scan (PushedFilters) — PlanAuditSpec pins both — so the
+    * executor reads only matching row groups of the probed buckets.
+    */
+  def annFiltered(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val idx = AnnIndex.read(s, d)
+    val q = idx.filter($"vec_id" === 0).select($"embedding", $"sig").head()
+    val qv = q.getSeq[Float](0).toArray
+    val qsig = q.getString(1)
+    val probes = qsig +: (0 until NumPlanes).map(i =>
+      qsig.updated(i, if (qsig(i) == '0') '1' else '0'))
+    idx.filter($"sigp".isin(probes.map("s" + _): _*) &&
+        $"label".isin(1, 2, 3) && $"vec_id" =!= 0)
+      .select($"vec_id", $"label", $"sig",
+        VectorFunctions.dot($"embedding", typedlit(qv)).as("score"))
+      .orderBy($"score".desc, $"vec_id".asc)
+      .limit(5)
+  }
+
+  val annFilteredSql: String =
+    s"""WITH sigs AS (
+       |  SELECT vec_id, label, embedding, ${sigSql("embedding")} AS sig
+       |  FROM embeddings),
+       |q AS (SELECT embedding AS qv, sig AS qsig FROM sigs WHERE vec_id = 0)
+       |SELECT e.vec_id, e.label, e.sig, $dotSql AS score
+       |FROM sigs e CROSS JOIN q
+       |WHERE hamming(e.sig, q.qsig) <= 1 AND e.label IN (1, 2, 3)
+       |  AND e.vec_id <> 0
+       |ORDER BY score DESC, e.vec_id ASC
+       |LIMIT 5""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s12_ann_filtered"   -> (annFiltered _),
     "s11_ann_incremental" -> (annIncremental _),
     "s10_mmr_rerank"     -> (mmrRerank _),
     "s1_cosine_topk"     -> (bruteForceTopK _),
@@ -586,5 +625,6 @@ object Similarity {
     "s6_ann_recall"      -> annRecallSql,
     "s7_ann_batch"       -> annBatchSql,
     "s8_hard_negatives"  -> hardNegativesSql,
-    "s11_ann_incremental" -> annIncrementalSql)
+    "s11_ann_incremental" -> annIncrementalSql,
+    "s12_ann_filtered"   -> annFilteredSql)
 }

@@ -117,6 +117,14 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected sigp partition filters on both generation scans:\n$p")
   }
 
+  test("s12 filtered ANN composes partition pruning with label pushdown") {
+    val p = plan("s12_ann_filtered")
+    assert("PartitionFilters: \\[[^\\]]*sigp".r.findFirstIn(p).isDefined,
+      s"no sigp partition filter in scan:\n$p")
+    assert("PushedFilters: \\[[^\\]]*In\\(label".r.findFirstIn(p).isDefined,
+      s"label predicate not pushed to parquet:\n$p")
+  }
+
   test("q18 range frame windows per (status, split), not per status alone") {
     val p = plan("q18_window_range")
     assert("windowspecdefinition\\(o_orderstatus#\\d+, _split".r
