@@ -49,4 +49,29 @@ object PotJson {
     val docs = read(spark, jsonPath, docSchema).drop("pot_file")
     PotTable(spark, root, potPath).upsert(docs)
   }
+
+  /** The inverse migration: EXPORT a pot's current generation back to the
+    * reference's native `data.json` shape — one JSON object mapping key →
+    * document (server.go:212-214). Internal columns (underscore-prefixed,
+    * e.g. `_modified`) are graft bookkeeping and stay out of the exported
+    * documents. A pot is by definition ONE storage object in the reference
+    * (the whole map is PUT atomically), so the single-string materialization
+    * here is the format's own scale contract, not a Spark limitation —
+    * unbounded tables belong in [[graft.kv.BucketedPotTable]], not a JSON
+    * pot. Round-trip property: `migrate(export(pot))` reproduces the pot's
+    * (key, doc) contents (PotJsonSpec).
+    */
+  def export(
+      spark: SparkSession, root: String, potPath: String,
+      outFile: String): Unit = {
+    val df = PotTable(spark, root, potPath).get()
+    val docCols = df.columns.filterNot(c => c == "key" || c.startsWith("_"))
+    val json = df
+      .agg(to_json(map_from_entries(collect_list(
+        struct(col("key"), struct(docCols.map(col): _*))))).as("j"))
+      .collect().head.getString(0)
+    val out = java.nio.file.Paths.get(outFile)
+    if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.writeString(out, json)
+  }
 }

@@ -75,4 +75,28 @@ class PotJsonSpec extends AnyFunSuite {
     val merged = graft.kv.PotTable(spark, root, "merged").get()
     assert(merged.select("key").as[String].collect().toSet === Set("a", "b"))
   }
+
+  test("export writes data.json and migrate(export(pot)) round-trips") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("potjson-rt").toString
+    val pot = graft.kv.PotTable(spark, root, "src")
+    pot.upsert(Seq(("a", "id-a", 1), ("b", "id-b", 2))
+      .toDF("key", "id", "age"))
+    val out = java.nio.file.Files.createTempDirectory("potjson-exp")
+      .resolve("t/data.json").toString
+    PotJson.export(spark, root, "src", out)
+    // the exported object is the reference's native shape: key -> doc map,
+    // with no underscore-prefixed internal columns leaking
+    val raw = PotJson.readRaw(spark, out)
+    assert(raw.select("key").as[String].collect().toSet === Set("a", "b"))
+    assert(!raw.select("doc_json").as[String].collect()
+      .exists(_.contains("_modified")))
+    // migrate the export into a fresh pot: contents reproduce exactly
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("age", IntegerType)))
+    PotJson.migrate(spark, out, schema, root, "dst")
+    val back = graft.kv.PotTable(spark, root, "dst").get()
+      .select($"key", $"id", $"age").as[(String, String, Int)].collect().toSet
+    assert(back === Set(("a", "id-a", 1), ("b", "id-b", 2)))
+  }
 }
