@@ -360,7 +360,7 @@ object Dedup {
     * bit p of BitSketch word p/64 sits at position p%64). Shared by the d5
     * hamming prefilter and the d7 band derivation.
     */
-  private[operators] val sketchSigsCte: String =
+  private[graft] val sketchSigsCte: String =
     """planes AS (
       |  SELECT p, j,
       |    CASE WHEN (((strpos('0123456789abcdef',

@@ -407,7 +407,96 @@ object StreamingQueries {
     result
   }
 
+  /** st7: STREAMING semantic matching — new embeddings (the `vec_id % 5 ==
+    * 3` ingest split, same as the s11 delta) arrive on a file stream and
+    * are matched against the static corpus the way d7 does it at rest:
+    * 256-bit BitSketch split into 32 8-bit bands, candidates = band
+    * collisions, exact FloatDot >= 0.45 verifies. The corpus side is the
+    * per-band signature relation (bucket-capped like d7, so one
+    * boilerplate bucket can't multiply stream rows) and BROADCASTS; the
+    * stream side is a narrow sketch + band explode — stateless
+    * per-micro-batch equi-join, append-legal, nothing grows with the
+    * stream. Emits one row per MATCHING BAND (q_id, m_id, band, cos) —
+    * per-band provenance instead of a distinct that would need
+    * aggregation state; the oracle replays the same bands at rest.
+    */
+  def streamAnnMatch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.operators.Dedup
+    val planes = Dedup.SketchPlanes
+    val bandBits = 8
+    val mask = (1L << bandBits) - 1
+    def bandCols = (0 until planes / bandBits).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(element_at($"sk", b * bandBits / 64 + 1), (b * bandBits) % 64)
+          .bitwiseAND(lit(mask)).as("sig"))
+    }
+    val emb = graft.Tables.embeddings(s, d)
+    val corpBands = emb.filter($"vec_id" % 5 =!= 3)
+      .select($"vec_id".as("m_id"), $"embedding".as("m_emb"),
+        graft.functions.BitSketch.sketch($"embedding", planes).as("sk"))
+      .select($"m_id", $"m_emb", explode(array(bandCols: _*)).as("bs"))
+      .select($"m_id", $"m_emb", $"bs.band".as("band"), $"bs.sig".as("sig"))
+    val capped = corpBands.join(
+      corpBands.groupBy($"band", $"sig").agg(count(lit(1)).as("bn"))
+        .filter($"bn" <= Dedup.LshBucketCap).select($"band", $"sig"),
+      Seq("band", "sig"), "left_semi")
+    val stream = s.readStream.schema(emb.schema)
+      .parquet(fixtureStreamDir(d, "embeddings"))
+      .filter($"vec_id" % 5 === 3)
+      .withColumn("sk", graft.functions.BitSketch.sketch($"embedding", planes))
+      .select($"vec_id".as("q_id"), $"embedding", explode(array(bandCols: _*)).as("bs"))
+      .select($"q_id", $"embedding", $"bs.band".as("band"), $"bs.sig".as("sig"))
+    val out = java.nio.file.Files.createTempDirectory("graft-st7").toString
+    val q = stream.join(broadcast(capped), Seq("band", "sig"))
+      .select($"q_id", $"m_id", $"band",
+        graft.functions.VectorFunctions.dot($"embedding", $"m_emb").as("cos"))
+      .filter($"cos" >= 0.45)
+      .writeStream
+      .format("parquet")
+      .option("path", s"$out/data")
+      .option("checkpointLocation", s"$out/chk")
+      .outputMode("append")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val result = s.read.parquet(s"$out/data")
+      .orderBy($"q_id", $"m_id", $"band").localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(out)).deleteRecursively()
+    result
+  }
+
+  /** Oracle: d7's band derivation at rest, restricted to stream×corpus
+    * (q = vec_id % 5 = 3 side), bucket cap on the corpus side only, one
+    * row per matching band.
+    */
+  val streamAnnMatchSql: String =
+    """WITH __SIGS__,
+      |bands AS (
+      |  SELECT s.vec_id, t.b, substr(s.sig, t.b * 8 + 1, 8) AS bsig
+      |  FROM sigs s CROSS JOIN generate_series(0, 31) t(b)),
+      |corp AS (SELECT * FROM bands WHERE vec_id % 5 <> 3),
+      |strm AS (SELECT * FROM bands WHERE vec_id % 5 = 3),
+      |ok AS (SELECT b, bsig FROM corp GROUP BY b, bsig HAVING COUNT(*) <= 100)
+      |SELECT q.vec_id AS q_id, c.vec_id AS m_id, CAST(q.b AS INTEGER) AS band,
+      |  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list_transform(range(1, len(a.embedding) + 1),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b2.embedding[i] AS DOUBLE))),
+      |    (acc, x) -> acc + x) AS cos
+      |FROM strm q
+      |JOIN corp c ON c.b = q.b AND c.bsig = q.bsig
+      |JOIN ok ON ok.b = q.b AND ok.bsig = q.bsig
+      |JOIN embeddings a ON a.vec_id = q.vec_id
+      |JOIN embeddings b2 ON b2.vec_id = c.vec_id
+      |WHERE list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list_transform(range(1, len(a.embedding) + 1),
+      |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b2.embedding[i] AS DOUBLE))),
+      |    (acc, x) -> acc + x) >= 0.45
+      |ORDER BY q_id, m_id, band""".stripMargin
+      .replace("__SIGS__", graft.operators.Dedup.sketchSigsCte)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st7_stream_ann_match" -> (streamAnnMatch _),
     "st6_stream_ingest_dedup" -> (streamIncrementalDedup _),
     "st5_stream_sessions" -> (streamSessions _),
     "st1_stream_dedup"    -> (streamDedup _),
@@ -416,6 +505,7 @@ object StreamingQueries {
     "st4_stream_attribution" -> (streamClickAttribution _))
 
   val oracle: Map[String, String] = Map(
+    "st7_stream_ann_match" -> streamAnnMatchSql,
     "st6_stream_ingest_dedup" -> graft.operators.Pipeline.incrementalDedupSql,
     "st5_stream_sessions" -> streamSessionsSql,
     "st1_stream_dedup"    -> streamDedupSql,
