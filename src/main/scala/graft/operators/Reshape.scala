@@ -216,7 +216,47 @@ object Reshape {
       |  LIMIT 2) t
       |ORDER BY n_name, s_suppkey""".stripMargin
 
+  /** q50: RECURSIVE CTE — hierarchy traversal through Spark's UnionLoop
+    * execution (the SQL-standard iterative form; DuckDB mirrors with the
+    * identical statement). The hierarchy is the implicit binary tree over
+    * customer keys (parent = key div 2, root = 1): each row carries its
+    * depth and the MAX acctbal seen along its root path — max is a
+    * selection, not accumulation, so the double is bit-identical on both
+    * engines. Spark executes the recursion as repeated equi-joins against
+    * the previous iteration (O(depth) rounds = O(log N) here), the same
+    * shape as d6's hand-rolled label propagation — this entry pins the SQL
+    * front door for it.
+    */
+  def recursiveCte(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("g_customer")
+    s.sql(
+      """WITH RECURSIVE chain(c_custkey, depth, path_max_bal) AS (
+        |  SELECT c_custkey, 0, c_acctbal FROM g_customer WHERE c_custkey = 1
+        |  UNION ALL
+        |  SELECT c.c_custkey, ch.depth + 1,
+        |         greatest(ch.path_max_bal, c.c_acctbal)
+        |  FROM g_customer c JOIN chain ch ON c.c_custkey div 2 = ch.c_custkey
+        |  WHERE c.c_custkey > 1)
+        |SELECT c_custkey, depth, path_max_bal
+        |FROM chain
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val recursiveCteSql: String =
+    """WITH RECURSIVE chain(c_custkey, depth, path_max_bal) AS (
+      |  SELECT c_custkey, CAST(0 AS INTEGER), c_acctbal
+      |  FROM customer WHERE c_custkey = 1
+      |  UNION ALL
+      |  SELECT c.c_custkey, CAST(ch.depth + 1 AS INTEGER),
+      |         greatest(ch.path_max_bal, c.c_acctbal)
+      |  FROM customer c JOIN chain ch ON c.c_custkey // 2 = ch.c_custkey
+      |  WHERE c.c_custkey > 1)
+      |SELECT c_custkey, depth, path_max_bal
+      |FROM chain
+      |ORDER BY c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_recursive_cte"     -> (recursiveCte _),
     "q47_lateral_topk"      -> (lateralTopK _),
     "q38_pivot"             -> (pivotOrders _),
     "q39_unpivot"           -> (unpivotPart _),
@@ -230,5 +270,6 @@ object Reshape {
     "q40_percentiles"       -> percentilesSql,
     "q41_correlated_exists" -> correlatedExistsSql,
     "q42_correlated_scalar" -> correlatedScalarSql,
-    "q47_lateral_topk"      -> lateralTopKSql)
+    "q47_lateral_topk"      -> lateralTopKSql,
+    "q50_recursive_cte"     -> recursiveCteSql)
 }
