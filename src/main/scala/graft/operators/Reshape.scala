@@ -218,8 +218,10 @@ object Reshape {
 
   /** q50: RECURSIVE CTE — hierarchy traversal through Spark's UnionLoop
     * execution (the SQL-standard iterative form; DuckDB mirrors with the
-    * identical statement). The hierarchy is the implicit binary tree over
-    * customer keys (parent = key div 2, root = 1): each row carries its
+    * identical statement). The hierarchy is the implicit radix-8 tree over
+    * customer keys (parent = key div 8, roots = keys 1..7; radix 8 keeps the
+    * iteration count — and Spark's per-iteration job floor — at
+    * O(log8 N) without changing the operator shape): each row carries its
     * depth and the MAX acctbal seen along its root path — max is a
     * selection, not accumulation, so the double is bit-identical on both
     * engines. Spark executes the recursion as repeated equi-joins against
@@ -231,12 +233,13 @@ object Reshape {
     Tables.customer(s, d).createOrReplaceTempView("g_customer")
     s.sql(
       """WITH RECURSIVE chain(c_custkey, depth, path_max_bal) AS (
-        |  SELECT c_custkey, 0, c_acctbal FROM g_customer WHERE c_custkey = 1
+        |  SELECT c_custkey, 0, c_acctbal
+        |  FROM g_customer WHERE c_custkey BETWEEN 1 AND 7
         |  UNION ALL
         |  SELECT c.c_custkey, ch.depth + 1,
         |         greatest(ch.path_max_bal, c.c_acctbal)
-        |  FROM g_customer c JOIN chain ch ON c.c_custkey div 2 = ch.c_custkey
-        |  WHERE c.c_custkey > 1)
+        |  FROM g_customer c JOIN chain ch ON c.c_custkey div 8 = ch.c_custkey
+        |  WHERE c.c_custkey > 7)
         |SELECT c_custkey, depth, path_max_bal
         |FROM chain
         |ORDER BY c_custkey""".stripMargin)
@@ -245,12 +248,12 @@ object Reshape {
   val recursiveCteSql: String =
     """WITH RECURSIVE chain(c_custkey, depth, path_max_bal) AS (
       |  SELECT c_custkey, CAST(0 AS INTEGER), c_acctbal
-      |  FROM customer WHERE c_custkey = 1
+      |  FROM customer WHERE c_custkey BETWEEN 1 AND 7
       |  UNION ALL
       |  SELECT c.c_custkey, CAST(ch.depth + 1 AS INTEGER),
       |         greatest(ch.path_max_bal, c.c_acctbal)
-      |  FROM customer c JOIN chain ch ON c.c_custkey // 2 = ch.c_custkey
-      |  WHERE c.c_custkey > 1)
+      |  FROM customer c JOIN chain ch ON c.c_custkey // 8 = ch.c_custkey
+      |  WHERE c.c_custkey > 7)
       |SELECT c_custkey, depth, path_max_bal
       |FROM chain
       |ORDER BY c_custkey""".stripMargin
