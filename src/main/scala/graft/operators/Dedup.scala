@@ -792,6 +792,12 @@ object Dedup {
     * only over candidate docs (left-semi on the pair membership — at
     * 100 TB that is the tiny output of the LSH pass, not the corpus), and
     * the signature side is the same map-side MinHashWords pass d2 runs.
+    *
+    * Performance, accepted (round 7): ~3 s at sf0.1 vs the oracle's ~1 s —
+    * the query contains a full d2 run plus two checkpoint barriers and the
+    * candidate-scoped exact pass (~4 sequential job floors). The shape is
+    * the scale-correct one (nothing quadratic, nothing corpus-wide beyond
+    * d2 itself); don't re-profile for the fixture's constant factor.
     */
   def minhashError(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

@@ -420,32 +420,55 @@ object StreamingQueries {
     * per-band provenance instead of a distinct that would need
     * aggregation state; the oracle replays the same bands at rest.
     */
-  def streamAnnMatch(s: SparkSession, d: String): DataFrame = {
+  /** 8-bit band split of a BitSketch column `sk` (see
+    * [[graft.operators.Dedup.sketchBandPairs]] for the at-rest twin).
+    */
+  private def bandCols(s: SparkSession) = {
     import s.implicits._
-    import graft.operators.Dedup
-    val planes = Dedup.SketchPlanes
-    val bandBits = 8
-    val mask = (1L << bandBits) - 1
-    def bandCols = (0 until planes / bandBits).map { b =>
+    val planes = graft.operators.Dedup.SketchPlanes
+    val mask = (1L << 8) - 1
+    (0 until planes / 8).map { b =>
       struct(lit(b).as("band"),
-        shiftright(element_at($"sk", b * bandBits / 64 + 1), (b * bandBits) % 64)
+        shiftright(element_at($"sk", b * 8 / 64 + 1), (b * 8) % 64)
           .bitwiseAND(lit(mask)).as("sig"))
     }
-    val emb = graft.Tables.embeddings(s, d)
-    val corpBands = emb.filter($"vec_id" % 5 =!= 3)
+  }
+
+  /** The st7 corpus side: per-band sketch signatures of `emb` rows, with
+    * oversized buckets dropped (> [[graft.operators.Dedup.LshBucketCap]]).
+    * The cap is the stream-safety property: a viral embedding shared by
+    * millions of corpus rows would otherwise multiply EVERY colliding
+    * stream row by the bucket size at join time. Factored out so
+    * StreamingSpec can prove the bound on a synthetic hot bucket.
+    */
+  private[graft] def cappedCorpusBands(
+      emb: DataFrame): DataFrame = {
+    val s = emb.sparkSession
+    import s.implicits._
+    val corpBands = emb
       .select($"vec_id".as("m_id"), $"embedding".as("m_emb"),
-        graft.functions.BitSketch.sketch($"embedding", planes).as("sk"))
-      .select($"m_id", $"m_emb", explode(array(bandCols: _*)).as("bs"))
+        graft.functions.BitSketch.sketch(
+          $"embedding", graft.operators.Dedup.SketchPlanes).as("sk"))
+      .select($"m_id", $"m_emb", explode(array(bandCols(s): _*)).as("bs"))
       .select($"m_id", $"m_emb", $"bs.band".as("band"), $"bs.sig".as("sig"))
-    val capped = corpBands.join(
+    corpBands.join(
       corpBands.groupBy($"band", $"sig").agg(count(lit(1)).as("bn"))
-        .filter($"bn" <= Dedup.LshBucketCap).select($"band", $"sig"),
+        .filter($"bn" <= graft.operators.Dedup.LshBucketCap)
+        .select($"band", $"sig"),
       Seq("band", "sig"), "left_semi")
+  }
+
+  def streamAnnMatch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = graft.Tables.embeddings(s, d)
+    val capped = cappedCorpusBands(emb.filter($"vec_id" % 5 =!= 3))
     val stream = s.readStream.schema(emb.schema)
       .parquet(fixtureStreamDir(d, "embeddings"))
       .filter($"vec_id" % 5 === 3)
-      .withColumn("sk", graft.functions.BitSketch.sketch($"embedding", planes))
-      .select($"vec_id".as("q_id"), $"embedding", explode(array(bandCols: _*)).as("bs"))
+      .withColumn("sk", graft.functions.BitSketch.sketch(
+        $"embedding", graft.operators.Dedup.SketchPlanes))
+      .select($"vec_id".as("q_id"), $"embedding",
+        explode(array(bandCols(s): _*)).as("bs"))
       .select($"q_id", $"embedding", $"bs.band".as("band"), $"bs.sig".as("sig"))
     val out = java.nio.file.Files.createTempDirectory("graft-st7").toString
     val q = stream.join(broadcast(capped), Seq("band", "sig"))

@@ -170,6 +170,25 @@ class StreamingSpec extends AnyFunSuite {
     } finally { q.stop(); spark.catalog.dropTempView("st5_boundary") }
   }
 
+  test("st7 corpus bucket cap drops a viral bucket, keeps small ones") {
+    import spark.implicits._
+    // 150 identical embeddings (> LshBucketCap 100) collide in EVERY band
+    // bucket — without the cap each colliding stream row would fan out x150
+    // at join time. 3 copies of a different vector stay under the cap.
+    val hot = Array.fill(64)(0.5f)
+    val cold = Array.tabulate(64)(i => if (i % 2 == 0) 0.5f else -0.5f)
+    val emb = ((1L to 150L).map(id => (id, hot.toSeq)) ++
+      (200L to 202L).map(id => (id, cold.toSeq)))
+      .toDF("vec_id", "embedding")
+      .withColumn("embedding", $"embedding".cast("array<float>"))
+    val capped = graft.streaming.StreamingQueries.cappedCorpusBands(emb)
+      .select($"m_id").distinct().as[Long].collect().toSet
+    assert(!capped.exists(_ <= 150L),
+      s"viral bucket members survived the cap: $capped")
+    assert(capped === Set(200L, 201L, 202L),
+      s"small bucket should be fully retained: $capped")
+  }
+
   test("session windows close after the gap (streaming)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
