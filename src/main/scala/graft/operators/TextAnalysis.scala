@@ -345,7 +345,44 @@ object TextAnalysis {
        |FROM g
        |ORDER BY doc_id""".stripMargin
 
+  /** t9: BPE pair statistics — the counting kernel of byte-pair-encoding
+    * tokenizer training (Sennrich et al. 2016): global frequencies of
+    * adjacent character pairs within words, whose argmax IS the next BPE
+    * merge. A tokenizer trained on a 100 TB corpus runs exactly this
+    * distributed count per merge iteration: narrow double explode
+    * (words → in-word pairs, no cross-row state) into one partial-agg
+    * count shuffle, top-30 by (count desc, pair asc). All integers and
+    * 2-char strings.
+    */
+  def bpePairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(explode(split(lower($"text"), " ")).as("w"))
+      .filter(length($"w") >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+        .as("pair"))
+      .groupBy($"pair")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"pair".asc)
+      .limit(30)
+  }
+
+  val bpePairsSql: String =
+    """WITH words AS (
+      |  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents),
+      |pairs AS (
+      |  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair
+      |  FROM words, (SELECT unnest(range(1, 64)) AS i) ix
+      |  WHERE length(w) >= 2 AND i <= length(w) - 1)
+      |SELECT pair, COUNT(*) AS n
+      |FROM pairs
+      |GROUP BY pair
+      |ORDER BY n DESC, pair ASC
+      |LIMIT 30""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t9_bpe_pairs"    -> (bpePairs _),
     "t8_repetition"   -> (repetition _),
     "t7_surprisal"    -> (surprisal _),
     "t1_langid"       -> (langId _),
@@ -363,5 +400,6 @@ object TextAnalysis {
     "t3_token_counts" -> tokenCountsSql,
     "t4_fingerprint"  -> fingerprintSql,
     "t5_term_stats"   -> termStatsSql,
-    "t6_pii_scrub"    -> piiScrubSql)
+    "t6_pii_scrub"    -> piiScrubSql,
+    "t9_bpe_pairs"    -> bpePairsSql)
 }
