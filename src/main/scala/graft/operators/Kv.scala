@@ -270,7 +270,56 @@ object Kv {
       |WHERE c_custkey % 10 = 0
       |ORDER BY key""".stripMargin
 
+  /** A2' bucketed store end-to-end (kv9): the SCALE path of the KV layer
+    * driven through the hash gate, not just specs — a real
+    * [[graft.kv.BucketedPotTable]] takes a base load, an LWW upsert wave,
+    * a multi-key delete, and a compaction, and the queried survivor state
+    * must equal the oracle's relational replay of those four operations.
+    * Each write staged only its touched buckets (one `partitionBy("_b")`
+    * job per batch); compact() folds the version chain to one generation.
+    * Integer-only output (segment survivor counts + nation-key sums).
+    * Temp store deleted after materialization (kv8's lifecycle pattern).
+    */
+  def bucketedScan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bpot-q").toString
+    val t = new graft.kv.BucketedPotTable(s, root, "cust_bpot", 16)
+    val base = Tables.customer(s, d)
+      .filter($"c_custkey" <= 300)
+      .select($"c_custkey".cast("string").as("key"),
+        $"c_mktsegment", $"c_nationkey")
+    t.upsert(base) // gen 1: base load
+    t.upsert(base.filter($"key".cast("bigint") % 7 === 0)
+      .withColumn("c_mktsegment", lit("UPDATED"))) // gen 2: LWW wave
+    t.remove((0 to 300).filter(_ % 13 == 0).map(_.toString)) // gen 3
+    t.compact() // gen 4: fold the chain
+    val result = t.get()
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_keys"),
+        sum($"c_nationkey".cast("bigint")).as("sum_nation"))
+      .orderBy($"c_mktsegment")
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    result
+  }
+
+  val bucketedScanSql: String =
+    """WITH survivors AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 7 = 0 THEN 'UPDATED' ELSE c_mktsegment END
+      |      AS c_mktsegment,
+      |    c_nationkey
+      |  FROM customer
+      |  WHERE c_custkey <= 300 AND c_custkey % 13 <> 0)
+      |SELECT c_mktsegment, COUNT(*) AS n_keys,
+      |  CAST(SUM(c_nationkey) AS BIGINT) AS sum_nation
+      |FROM survivors
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kv9_bucketed_scan"   -> (bucketedScan _),
     "kv8_time_travel"     -> (timeTravel _),
     "kv1_upsert_merge"    -> (upsertMerge _),
     "kv2_delete_anti"     -> (deleteAnti _),
@@ -287,5 +336,6 @@ object Kv {
     "kv4_conflict_detect" -> conflictDetectSql,
     "kv5_list_tables"     -> listTablesSql,
     "kv7_generation_diff" -> generationDiffSql,
-    "kv8_time_travel"     -> timeTravelSql)
+    "kv8_time_travel"     -> timeTravelSql,
+    "kv9_bucketed_scan"   -> bucketedScanSql)
 }
