@@ -602,7 +602,57 @@ object Similarity {
        |ORDER BY score DESC, e.vec_id ASC
        |LIMIT 5""".stripMargin
 
+  /** s13: int8 quantization error, MEASURED — the price tag on s5's 4x
+    * memory saving, same family as s6 (ANN recall) / d11 (MinHash error) /
+    * q48 (Count-Min overcount): overlap@20 between the float top-20 (s1)
+    * and the int8-ranked top-20 (s5), plus how many of the top-5 float
+    * ranks the quantized ranking preserves exactly. All-integer outputs
+    * (hits, pct as hits*5), derived by joining the two result sets — at
+    * 100 TB this runs on the (k-row) outputs, not the corpus.
+    */
+  def quantizationError(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"score".desc, $"vec_id".asc)
+    val exact = bruteForceTopK(s, d)
+      .select($"vec_id", row_number().over(w).as("f_rank"))
+    val wq = org.apache.spark.sql.expressions.Window
+      .orderBy($"qdot".desc, $"vec_id".asc)
+    val quant = quantizedTopK(s, d)
+      .select($"vec_id", row_number().over(wq).as("q_rank"))
+    val joined = exact.join(quant, Seq("vec_id"))
+    joined.agg(
+      count(lit(1)).cast("int").as("overlap20"),
+      sum(when($"f_rank" === $"q_rank" && $"f_rank" <= 5, 1).otherwise(0))
+        .cast("int").as("top5_exact"))
+      .select(
+        $"overlap20", ($"overlap20" * 5).as("overlap_pct"),
+        $"top5_exact", ($"top5_exact" * 20).as("top5_pct"))
+  }
+
+  val quantizationErrorSql: String =
+    s"""WITH exact AS (
+       |  SELECT vec_id,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, vec_id ASC) AS INTEGER)
+       |      AS f_rank
+       |  FROM (__S1__) t),
+       |quant AS (
+       |  SELECT vec_id,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY qdot DESC, vec_id ASC) AS INTEGER)
+       |      AS q_rank
+       |  FROM (__S5__) t)
+       |SELECT CAST(COUNT(*) AS INTEGER) AS overlap20,
+       |  CAST(COUNT(*) * 5 AS INTEGER) AS overlap_pct,
+       |  CAST(COUNT(*) FILTER (WHERE f_rank = q_rank AND f_rank <= 5)
+       |    AS INTEGER) AS top5_exact,
+       |  CAST(COUNT(*) FILTER (WHERE f_rank = q_rank AND f_rank <= 5) * 20
+       |    AS INTEGER) AS top5_pct
+       |FROM exact JOIN quant USING (vec_id)""".stripMargin
+      .replace("__S1__", bruteForceTopKSql)
+      .replace("__S5__", quantizedTopKSql)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s13_quant_error"    -> (quantizationError _),
     "s12_ann_filtered"   -> (annFiltered _),
     "s11_ann_incremental" -> (annIncremental _),
     "s10_mmr_rerank"     -> (mmrRerank _),
@@ -626,5 +676,6 @@ object Similarity {
     "s7_ann_batch"       -> annBatchSql,
     "s8_hard_negatives"  -> hardNegativesSql,
     "s11_ann_incremental" -> annIncrementalSql,
-    "s12_ann_filtered"   -> annFilteredSql)
+    "s12_ann_filtered"   -> annFilteredSql,
+    "s13_quant_error"    -> quantizationErrorSql)
 }
