@@ -518,7 +518,54 @@ object StreamingQueries {
       |ORDER BY q_id, m_id, band""".stripMargin
       .replace("__SIGS__", graft.operators.Dedup.sketchSigsCte)
 
+  /** st8: streaming CDC MATERIALIZATION — the KV-on-streams bridge: treat
+    * the event stream as a changelog and maintain the latest-per-key view
+    * (the compacted table a CDC consumer reads), as a complete-mode
+    * streaming aggregation whose state is one struct per key. The "latest"
+    * winner is max(struct(ts_us, event_id, type)) — a SELECTION over a
+    * unique total order (event_id is unique), so the view is deterministic
+    * under any micro-batch split and equals the batch answer by complete-
+    * mode semantics. Timestamps compare in TRUNCATED microseconds on both
+    * engines (the ns fixture read through the us contract), with event_id
+    * breaking any sub-microsecond ties identically.
+    */
+  def streamLatest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val table = "st8_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = eventsStream(s, d)
+      .select($"user_id",
+        struct(unix_micros($"ts").as("ts_us"), $"event_id", $"event_type")
+          .as("rec"))
+      .groupBy($"user_id")
+      .agg(max($"rec").as("m"))
+      .select($"user_id", $"m.ts_us".as("last_ts_us"),
+        $"m.event_id".as("last_event_id"), $"m.event_type".as("last_type"))
+      .writeStream.format("memory").queryName(table)
+      .outputMode("complete")
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val result = s.table(table)
+      .orderBy($"user_id").localCheckpoint(true)
+    s.catalog.dropTempView(table)
+    result
+  }
+
+  val streamLatestSql: String =
+    """WITH ranked AS (
+      |  SELECT user_id,
+      |    CAST(epoch_us(ts) AS BIGINT) AS last_ts_us,
+      |    event_id AS last_event_id, event_type AS last_type,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY CAST(epoch_us(ts) AS BIGINT) DESC, event_id DESC,
+      |               event_type DESC) AS rn
+      |  FROM events)
+      |SELECT user_id, last_ts_us, last_event_id, last_type
+      |FROM ranked WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st8_stream_latest"    -> (streamLatest _),
     "st7_stream_ann_match" -> (streamAnnMatch _),
     "st6_stream_ingest_dedup" -> (streamIncrementalDedup _),
     "st5_stream_sessions" -> (streamSessions _),
@@ -528,6 +575,7 @@ object StreamingQueries {
     "st4_stream_attribution" -> (streamClickAttribution _))
 
   val oracle: Map[String, String] = Map(
+    "st8_stream_latest"    -> streamLatestSql,
     "st7_stream_ann_match" -> streamAnnMatchSql,
     "st6_stream_ingest_dedup" -> graft.operators.Pipeline.incrementalDedupSql,
     "st5_stream_sessions" -> streamSessionsSql,
