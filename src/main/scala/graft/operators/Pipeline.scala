@@ -536,7 +536,72 @@ object Pipeline {
        |WHERE g.e <= r.repeats
        |ORDER BY d.doc_id, epoch""".stripMargin
 
+  /** p11: the END-TO-END corpus-prep run — p1's quality gate + exact dedup,
+    * p2's per-language hash-bernoulli sampling, and p3's token-budget
+    * packing COMPOSED into one declarative plan, reported per (lang, bin).
+    * Each stage is individually oracle-checked (p1/p2/p3); this entry
+    * checks their composition — and because it is one DataFrame chain,
+    * Catalyst plans the whole run together (the gate's predicates push into
+    * the scan, the dedup window and the packing window share the lang/fp
+    * partitioning work, nothing materializes between stages). This is the
+    * shape a real 100 TB prep job has: one plan, not three jobs with
+    * parquet handoffs.
+    */
+  def corpusPrep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dedup = Window.partitionBy($"fp").orderBy($"doc_id".asc)
+    val packW = Window.partitionBy($"lang").orderBy($"doc_id".asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val coin = substring(md5($"doc_id".cast("string")), 1, 4)
+    val threshold = when($"lang" === "en", lit("8000"))
+      .when($"lang" === "es", lit("c000"))
+      .otherwise(lit("zzzz"))
+    Tables.documents(s, d)
+      .withColumn("n_tok", size(split($"text", " ")).cast("long"))
+      .withColumn("fp", md5($"text"))
+      .filter($"n_tok".between(30, 4000) &&
+        length(trim($"text")) > 0 && $"text".rlike("[A-Za-z]"))
+      .withColumn("rn", row_number().over(dedup))
+      .filter($"rn" === 1)
+      .filter(coin < threshold)
+      .withColumn("cum", sum($"n_tok").over(packW))
+      .withColumn("bin", expr("(cum - n_tok) div 2048"))
+      .groupBy($"lang", $"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("sum_tokens"))
+      .orderBy($"lang", $"bin")
+  }
+
+  val corpusPrepSql: String =
+    """WITH gated AS (
+      |  SELECT doc_id, lang, md5(text) AS fp,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents
+      |  WHERE len(string_split(text, ' ')) BETWEEN 30 AND 4000
+      |    AND length(trim(text)) > 0 AND regexp_matches(text, '[A-Za-z]')),
+      |deduped AS (
+      |  SELECT * FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id ASC)
+      |      AS rn
+      |    FROM gated) t WHERE rn = 1),
+      |sampled AS (
+      |  SELECT * FROM deduped
+      |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+      |    CASE WHEN lang = 'en' THEN '8000'
+      |         WHEN lang = 'es' THEN 'c000'
+      |         ELSE 'zzzz' END),
+      |cums AS (
+      |  SELECT lang, n_tok,
+      |    SUM(n_tok) OVER (PARTITION BY lang ORDER BY doc_id ASC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM sampled)
+      |SELECT lang, CAST((cum - n_tok) // 2048 AS BIGINT) AS bin,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+      |FROM cums
+      |GROUP BY 1, 2
+      |ORDER BY lang, bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p11_corpus_prep"      -> (corpusPrep _),
     "p10_epoch_repeat"     -> (epochRepeat _),
     "p9_temperature_mix"   -> (temperatureMix _),
     "p8_stratified_shard"  -> (stratifiedShard _),
@@ -549,6 +614,7 @@ object Pipeline {
     "p7_bloom_decontaminate" -> (bloomDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "p11_corpus_prep"      -> corpusPrepSql,
     "p10_epoch_repeat"     -> epochRepeatSql,
     "p9_temperature_mix"   -> temperatureMixSql,
     "p8_stratified_shard"  -> stratifiedShardSql,
