@@ -541,11 +541,12 @@ object Pipeline {
     * packing COMPOSED into one declarative plan, reported per (lang, bin).
     * Each stage is individually oracle-checked (p1/p2/p3); this entry
     * checks their composition — and because it is one DataFrame chain,
-    * Catalyst plans the whole run together (the gate's predicates push into
-    * the scan, the dedup window and the packing window share the lang/fp
-    * partitioning work, nothing materializes between stages). This is the
-    * shape a real 100 TB prep job has: one plan, not three jobs with
-    * parquet handoffs.
+    * Catalyst plans the whole run together: the corpus is scanned ONCE
+    * (PlanAuditSpec pins the single scan), the gate filter evaluates
+    * scan-side before any exchange (its predicates are computed columns,
+    * so they can't reach parquet, but they do run before data moves), and
+    * nothing materializes between stages. This is the shape a real 100 TB
+    * prep job has: one plan, not three jobs with parquet handoffs.
     */
   def corpusPrep(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

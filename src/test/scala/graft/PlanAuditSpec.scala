@@ -125,6 +125,13 @@ class PlanAuditSpec extends AnyFunSuite {
       s"label predicate not pushed to parquet:\n$p")
   }
 
+  test("p11 composed corpus prep scans the corpus exactly once") {
+    val p = plan("p11_corpus_prep")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 1, s"expected one documents scan, got $scans:\n$p")
+    assert(p.contains("Filter"), s"gate filter missing from the plan:\n$p")
+  }
+
   test("q18 range frame windows per (status, split), not per status alone") {
     val p = plan("q18_window_range")
     assert("windowspecdefinition\\(o_orderstatus#\\d+, _split".r
