@@ -10,7 +10,9 @@ exactly. Dev-only tool — NOT part of the shipped Scala library.
 """
 import glob
 import json
+import math
 import sys
+from decimal import Decimal
 
 import duckdb
 import numpy as np
@@ -18,6 +20,51 @@ import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+
+def cell_lint(v) -> str:
+    """Driver-hash-safety lint for a single cell.
+
+    The driver md5-hashes rendered cells; a DECIMAL wider than 18 digits or
+    a float past the 2^53 exact-integer range renders differently between
+    Spark's parquet decimals and DuckDB's pandas conversion (this is how
+    q43 shipped red in rounds 6-8 while this script said green). Returns an
+    error string, or "".
+    """
+    if isinstance(v, Decimal):
+        if len(v.as_tuple().digits) > 18:
+            return f"decimal wider than 18 digits: {v}"
+        if not float_exact(v):
+            # DuckDB's .df() renders DECIMAL via float64; a value that does
+            # not round-trip float64 exactly renders differently there than
+            # Spark's parquet Decimal does (q43's failure mode: 6.3e17 is
+            # 18 digits — BIGINT-safe — but past the 2^53 exact range).
+            return f"decimal past float64-exact range: {v}"
+    elif isinstance(v, float):
+        if not math.isnan(v) and abs(v) >= 2.0 ** 53:
+            return f"float past exact-integer range: {v!r}"
+    elif isinstance(v, (int, np.integer)):
+        if abs(int(v)) >= 2 ** 63:
+            return f"integer past BIGINT range: {v}"
+    return ""
+
+
+def float_exact(v) -> bool:
+    """True iff v survives a round-trip through float64 unchanged — the
+    precondition for comparing a non-float column against a float column
+    (DuckDB's .df() renders DECIMAL as float64)."""
+    if v is None:
+        return True
+    if isinstance(v, float):
+        return True
+    if isinstance(v, Decimal):
+        try:
+            return Decimal(repr(float(v))) == v
+        except (ValueError, OverflowError):
+            return False
+    if isinstance(v, (int, np.integer)):
+        return abs(int(v)) < 2 ** 53
+    return False
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -65,14 +112,46 @@ def main() -> int:
         bad = []
         for c in got.columns:
             g, e = got[c], exp[c]
-            if g.dtype.kind == "f" or e.dtype.kind == "f":
-                ga = g.astype(float).to_numpy()
-                ea = e.astype(float).to_numpy()
+            # Hash-safety lint first: values the driver's canonicalization
+            # can render divergently fail even if they compare equal here.
+            for side, s in (("spark", g), ("duck", e)):
+                for i, v in enumerate(s):
+                    err = cell_lint(v)
+                    if err:
+                        bad.append(f"{c}[row{i}] {side} LINT: {err}")
+                        break
+            gf, ef = g.dtype.kind == "f", e.dtype.kind == "f"
+            if gf and ef:
+                ga = g.to_numpy(dtype=float)
+                ea = e.to_numpy(dtype=float)
                 eq = (ga == ea) | (np.isnan(ga) & np.isnan(ea))
                 if not eq.all():
                     i = int(np.argmin(eq))
                     bad.append(f"{c}[row{i}]: spark={ga[i]!r} duck={ea[i]!r} "
                                f"diff={abs(ga[i]-ea[i]):.3e}")
+            elif gf or ef:
+                # Mixed kinds (e.g. Spark parquet Decimal vs DuckDB float64
+                # from DECIMAL): the driver hashes each side's own rendering,
+                # so equality additionally requires every value to be exactly
+                # float64-representable. Coercing both to float here is what
+                # hid q43 for three rounds.
+                for i, (gv, ev) in enumerate(zip(g, e)):
+                    gn = gv is None or (isinstance(gv, float) and math.isnan(gv))
+                    en = ev is None or (isinstance(ev, float) and math.isnan(ev))
+                    if gn or en:
+                        if gn != en:
+                            bad.append(f"{c}[row{i}]: spark={gv!r} duck={ev!r}")
+                            break
+                        continue
+                    if not (float_exact(gv) and float_exact(ev)):
+                        bad.append(
+                            f"{c}[row{i}]: mixed dtype ({g.dtype} vs {e.dtype}) "
+                            f"with non-float64-exact value spark={gv!r} "
+                            f"duck={ev!r} — driver hash would diverge")
+                        break
+                    if float(gv) != float(ev):
+                        bad.append(f"{c}[row{i}]: spark={gv!r} duck={ev!r}")
+                        break
             else:
                 ge = g.astype(str).to_numpy()
                 ee = e.astype(str).to_numpy()

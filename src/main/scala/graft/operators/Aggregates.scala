@@ -171,14 +171,21 @@ object Aggregates {
                 |  + CAST(64 - nb AS DECIMAL(38,0))
                 |    * CAST(2305843009213693952 AS DECIMAL(38,0))
                 |  AS DECIMAL(38,0))""".stripMargin).as("hll_s"))
-      .select($"l_returnflag", $"hll_s",
+      .select($"l_returnflag",
+        // The raw 2^61-scaled sum S reaches ~2^67 — past BIGINT and past
+        // float64-exact range — and DECIMAL(38,0) renders differently across
+        // engines' hash canonicalizations. Emit S as two BIGINT halves
+        // (base 2^34) instead: hi = S div 2^34 (< 2^33), lo = S mod 2^34.
+        expr("CAST(hll_s div 17179869184 AS BIGINT)").as("hll_s_hi"),
+        expr("CAST(hll_s % 17179869184 AS BIGINT)").as("hll_s_lo"),
         expr("""CAST(6696315672709156913020928 AS DECIMAL(38,0))
                 |  div (CAST(1000 AS DECIMAL(38,0)) * hll_s)""".stripMargin)
           .as("hll_estimate"))
     val exact = Tables.lineitem(s, d).groupBy($"l_returnflag")
       .agg(countDistinct($"l_orderkey").as("exact_distinct"))
     sketch.join(exact, "l_returnflag")
-      .select($"l_returnflag", $"hll_s", $"hll_estimate", $"exact_distinct")
+      .select($"l_returnflag", $"hll_s_hi", $"hll_s_lo", $"hll_estimate",
+        $"exact_distinct")
       .orderBy($"l_returnflag")
   }
 
@@ -216,7 +223,9 @@ object Aggregates {
       |ex AS (
       |  SELECT l_returnflag, CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_distinct
       |  FROM lineitem GROUP BY 1)
-      |SELECT sk.l_returnflag, sk.hll_s,
+      |SELECT sk.l_returnflag,
+      |  CAST(CAST(hll_s AS HUGEINT) // 17179869184 AS BIGINT) AS hll_s_hi,
+      |  CAST(CAST(hll_s AS HUGEINT) % 17179869184 AS BIGINT) AS hll_s_lo,
       |  CAST(CAST('6696315672709156913020928' AS HUGEINT)
       |    // (CAST(1000 AS HUGEINT) * CAST(hll_s AS HUGEINT))
       |    AS BIGINT) AS hll_estimate,

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared local session for all suites. */
@@ -29,9 +30,24 @@ class QueriesSpec extends AnyFunSuite {
   // Queries that legitimately may return 0 rows at sf0.001.
   private val mayBeEmpty = Set("q5_join_anti", "q25_except")
 
+  // DECIMAL wider than 18 digits exceeds BIGINT/float64-exact range and
+  // renders differently across the driver's Spark-vs-DuckDB hash
+  // canonicalization (how q43 shipped red for rounds 6-8). Hard lint:
+  // declared outputs must stay within 18-digit decimals.
+  private def wideDecimals(dt: DataType): Seq[String] = dt match {
+    case d: DecimalType if d.precision > 18 => Seq(d.toString)
+    case s: StructType => s.fields.toSeq.flatMap(f => wideDecimals(f.dataType))
+    case a: ArrayType => wideDecimals(a.elementType)
+    case m: MapType => wideDecimals(m.keyType) ++ wideDecimals(m.valueType)
+    case _ => Nil
+  }
+
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs and returns rows") {
       val df = fn(spark, sf)
+      val wide = wideDecimals(df.schema)
+      assert(wide.isEmpty,
+        s"$name emits driver-hash-unsafe wide decimal(s): ${wide.mkString(", ")}")
       val n = df.count()
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
     }
