@@ -59,6 +59,25 @@ object Similarity {
       |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))),
       |    (acc, x) -> acc + x)""".stripMargin
 
+  /** Query-vector point lookup for the persisted-index ANN queries: read
+    * the vector from the BASE embeddings table with a pushed `vec_id`
+    * predicate (one row group of one file) and recompute its signature
+    * with the ingest expression ([[sigCol]] — bit-identical by
+    * construction). Never fetch it from the index itself: an unpruned
+    * filter over the partitioned index lists every bucket's files per
+    * lookup, an index-wide listing at corpus scale.
+    */
+  private[graft] def queryPointDf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.embeddings(s, d).filter($"vec_id" === 0)
+      .select($"embedding", sigCol($"embedding").as("sig"))
+  }
+
+  private def queryPoint(s: SparkSession, d: String): (Array[Float], String) = {
+    val q = queryPointDf(s, d).head()
+    (q.getSeq[Float](0).toArray, q.getString(1))
+  }
+
   /** Brute-force cosine top-20 for query vector vec_id=0 (unit vectors: dot
     * == cosine). TakeOrderedAndProject: per-partition top-k, k-row merge —
     * no global sort at any scale.
@@ -88,18 +107,16 @@ object Similarity {
     * is parquet-partitioned by them, so the lookup below reaches the scan
     * as a literal PartitionFilter — only the query's own bucket's files are
     * listed, let alone read (1/2^8 of the corpus; tunable via NumPlanes /
-    * multi-probe). The one-row head() is the point lookup of the query
-    * vector itself — in production the query vector arrives as a parameter;
-    * reading it from the corpus here keeps the fixture self-contained.
-    * Results are byte-identical to the query-time-signature form (same
-    * oracle).
+    * multi-probe). The query vector comes from [[queryPoint]] — a pushed
+    * point read of the BASE table (in production it arrives as a
+    * parameter; reading it from the corpus keeps the fixture
+    * self-contained). Results are byte-identical to the
+    * query-time-signature form (same oracle).
     */
   def annLsh(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val idx = AnnIndex.read(s, d)
-    val q = idx.filter($"vec_id" === 0).select($"embedding", $"sig").head()
-    val qv = q.getSeq[Float](0).toArray
-    val qsig = q.getString(1)
+    val (qv, qsig) = queryPoint(s, d)
     idx.filter($"sigp" === s"s$qsig" && $"vec_id" =!= 0)
       .select($"vec_id", $"label", $"sig",
         VectorFunctions.dot($"embedding", typedlit(qv)).as("score"))
@@ -127,9 +144,7 @@ object Similarity {
   def annMultiProbe(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val idx = AnnIndex.read(s, d)
-    val q = idx.filter($"vec_id" === 0).select($"embedding", $"sig").head()
-    val qv = q.getSeq[Float](0).toArray
-    val qsig = q.getString(1)
+    val (qv, qsig) = queryPoint(s, d)
     val probes = qsig +: (0 until NumPlanes).map(i =>
       qsig.updated(i, if (qsig(i) == '0') '1' else '0'))
     idx.filter($"sigp".isin(probes.map("s" + _): _*) && $"vec_id" =!= 0)
@@ -539,9 +554,7 @@ object Similarity {
   def annIncremental(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val idx = AnnIndex.readIncremental(s, d)
-    val q = idx.filter($"vec_id" === 0).select($"embedding", $"sig").head()
-    val qv = q.getSeq[Float](0).toArray
-    val qsig = q.getString(1)
+    val (qv, qsig) = queryPoint(s, d)
     val probes = qsig +: (0 until NumPlanes).map(i =>
       qsig.updated(i, if (qsig(i) == '0') '1' else '0'))
     idx.filter($"sigp".isin(probes.map("s" + _): _*) && $"vec_id" =!= 0)
@@ -577,9 +590,7 @@ object Similarity {
   def annFiltered(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val idx = AnnIndex.read(s, d)
-    val q = idx.filter($"vec_id" === 0).select($"embedding", $"sig").head()
-    val qv = q.getSeq[Float](0).toArray
-    val qsig = q.getString(1)
+    val (qv, qsig) = queryPoint(s, d)
     val probes = qsig +: (0 until NumPlanes).map(i =>
       qsig.updated(i, if (qsig(i) == '0') '1' else '0'))
     idx.filter($"sigp".isin(probes.map("s" + _): _*) &&

@@ -117,6 +117,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected sigp partition filters on both generation scans:\n$p")
   }
 
+  test("ANN query-vector point lookup reads the BASE table with a pushed vec_id filter") {
+    // The s2/s3/s11/s12 lookups fetch the query vector via queryPoint —
+    // never by filtering the partitioned index, which would list every
+    // bucket's files per lookup at corpus scale.
+    val p = graft.operators.Similarity.queryPointDf(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[[^\\]]*EqualTo\\(vec_id,0\\)".r.findFirstIn(p).isDefined,
+      s"vec_id point predicate not pushed to parquet:\n$p")
+    assert(p.contains("embeddings.parquet"),
+      s"query vector not read from the base embeddings table:\n$p")
+  }
+
   test("s12 filtered ANN composes partition pruning with label pushdown") {
     val p = plan("s12_ann_filtered")
     assert("PartitionFilters: \\[[^\\]]*sigp".r.findFirstIn(p).isDefined,
