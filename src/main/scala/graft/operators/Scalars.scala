@@ -3,7 +3,7 @@ package graft.operators
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, MapType, StringType}
 
 /** Scalar-function surface: string / date / math / array / json functions
   * (SURVEY.md §2-B "scalar fns"). All built-in `functions._` — codegen'd, no
@@ -185,13 +185,71 @@ object Scalars {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
+  /** Real MapType column surface (SURVEY §2-B map fns): parse events.props
+    * into a map<string,string>, then exercise construction (map,
+    * map_concat), introspection (map_keys / map_values / map_entries /
+    * size), lookup (element_at on a present key, try_element_at on a
+    * missing one — NULL, not error), and the higher-order map lambdas
+    * (map_filter, transform_values). Map iteration order is not defined,
+    * so every multi-valued emission is array_sort'ed before joining —
+    * the oracle mirrors with list_sort.
+    */
+  def mapFns(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .withColumn("pm", from_json($"props", MapType(StringType, StringType)))
+      .withColumn("m2", map_concat($"pm",
+        map(lit("t"), $"event_type", lit("u"), $"user_id".cast("string"))))
+      .filter($"event_id" % 11 === 0)
+      .select(
+        $"event_id",
+        element_at($"pm", "k").as("k_val"),
+        size($"m2").as("n_keys"),
+        array_join(array_sort(map_keys($"m2")), ",").as("keys_csv"),
+        array_join(array_sort(map_values($"m2")), ",").as("vals_csv"),
+        array_join(array_sort(transform(map_entries($"m2"),
+          e => concat(e.getField("key"), lit("="), e.getField("value")))), ",")
+          .as("entries_csv"),
+        try_element_at($"m2", lit("missing")).as("miss_val"),
+        array_join(array_sort(map_keys(
+          map_filter($"m2", (k, _) => k =!= "u"))), ",").as("filtered_keys"),
+        element_at(transform_values($"m2",
+          (k, v) => concat(k, lit(":"), v)), "t").as("t_tagged"))
+      .orderBy($"event_id")
+  }
+
+  val mapFnsSql: String =
+    """WITH m AS (
+      |  SELECT event_id,
+      |    MAP {'k': JSON_EXTRACT_STRING(props, '$.k'),
+      |         't': event_type,
+      |         'u': CAST(user_id AS VARCHAR)} AS m2,
+      |    JSON_EXTRACT_STRING(props, '$.k') AS kv,
+      |    event_type AS tv
+      |  FROM events
+      |  WHERE event_id % 11 = 0)
+      |SELECT event_id,
+      |  kv AS k_val,
+      |  CAST(CARDINALITY(m2) AS INTEGER) AS n_keys,
+      |  ARRAY_TO_STRING(LIST_SORT(MAP_KEYS(m2)), ',') AS keys_csv,
+      |  ARRAY_TO_STRING(LIST_SORT(MAP_VALUES(m2)), ',') AS vals_csv,
+      |  ARRAY_TO_STRING(LIST_SORT(LIST_TRANSFORM(MAP_ENTRIES(m2),
+      |    e -> e.key || '=' || e.value)), ',') AS entries_csv,
+      |  LIST_EXTRACT(MAP_EXTRACT(m2, 'missing'), 1) AS miss_val,
+      |  ARRAY_TO_STRING(LIST_SORT(LIST_FILTER(MAP_KEYS(m2),
+      |    x -> x <> 'u')), ',') AS filtered_keys,
+      |  't:' || tv AS t_tagged
+      |FROM m
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q26_string_fns"    -> (stringFns _),
     "q27_date_fns"      -> (dateFns _),
     "q28_math_fns"      -> (mathFns _),
     "q29_array_fns"     -> (arrayFns _),
     "q30_explode_words" -> (explodeWords _),
-    "q31_json_fns"      -> (jsonFns _))
+    "q31_json_fns"      -> (jsonFns _),
+    "q51_map_fns"       -> (mapFns _))
 
   val oracle: Map[String, String] = Map(
     "q26_string_fns"    -> stringFnsSql,
@@ -199,5 +257,6 @@ object Scalars {
     "q28_math_fns"      -> mathFnsSql,
     "q29_array_fns"     -> arrayFnsSql,
     "q30_explode_words" -> explodeWordsSql,
-    "q31_json_fns"      -> jsonFnsSql)
+    "q31_json_fns"      -> jsonFnsSql,
+    "q51_map_fns"       -> mapFnsSql)
 }
