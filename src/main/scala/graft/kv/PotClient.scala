@@ -90,6 +90,33 @@ object PotClient {
   def apply(spark: SparkSession, root: String, leaseMs: Long): PotClient =
     new PotClient(spark, root, leaseMs)
 
+  /** Client configured with a Go-style no-rewrite duration STRING — the
+    * HTTP surface's option-parsing semantics ([[parseNoRewriteMs]]).
+    */
+  def apply(spark: SparkSession, root: String, lease: String): PotClient =
+    new PotClient(spark, root, parseNoRewriteMs(lease))
+
+  private val DurTok = "([0-9]*\\.?[0-9]+)(ns|us|µs|ms|s|m|h)".r
+
+  /** Parse a Go `time.ParseDuration`-style string ("300ms", "10s",
+    * "1m30s", "1.5h") to milliseconds, with the reference HTTP surface's
+    * fallback semantics (server_routes.go:86-93): an UNPARSABLE duration
+    * silently becomes 0 — no error, the write proceeds with no no-rewrite
+    * window — rather than rejecting the request. Deliberate parity with
+    * that deviation-prone behavior; asserted in KvSpec.
+    */
+  def parseNoRewriteMs(s: String): Long = {
+    val body = s.stripPrefix("+").stripPrefix("-")
+    if (body == "0") return 0L
+    val toks = DurTok.findAllMatchIn(body).toSeq
+    if (toks.isEmpty || toks.map(_.matched).mkString != body) return 0L
+    val unitMs = Map("ns" -> 1e-6, "us" -> 1e-3, "µs" -> 1e-3,
+      "ms" -> 1.0, "s" -> 1000.0, "m" -> 60000.0, "h" -> 3600000.0)
+    val total = toks.map(m => m.group(1).toDouble * unitMs(m.group(2))).sum
+    val signed = if (s.startsWith("-")) -total else total
+    signed.toLong
+  }
+
   /** Client with the per-write whole-warehouse snapshot trigger enabled. */
   def withAutoSnapshot(spark: SparkSession, root: String, leaseMs: Long,
       snapshotDir: String): PotClient =

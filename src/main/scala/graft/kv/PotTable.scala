@@ -260,7 +260,48 @@ object PotTable {
     }
     val manifest = rows.toDF("path", "generation")
     manifest.coalesce(1).write.mode("overwrite").parquet(s"$outDir/_manifest")
+    bundle(spark, outDir)
     manifest
+  }
+
+  /** Archive the export tree into `<outDir>/bundle.tar.gz` — the
+    * reference's bundle format (Zip, server.go:550-614: tar + gzip of
+    * every object, skipping entries under the bundle's own location and
+    * `.potlock` files; the single-artifact form downstream consumers pull,
+    * docs/howto_opa.md:137-143). Entry names are outDir-relative, like the
+    * reference's bucket-relative object names, and sorted so the archive
+    * is deterministic. A tar.gz is one serial stream by construction (the
+    * reference's is too), so this runs driver-side over the already-
+    * materialized export; the parallel-scale artifact remains the parquet
+    * tree it archives.
+    */
+  def bundle(spark: SparkSession, outDir: String): Unit = {
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
+    val fs = new Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.makeQualified(new Path(outDir))
+    def files(p: Path): Seq[Path] =
+      fs.listStatus(p).toSeq.sortBy(_.getPath.getName).flatMap { st =>
+        if (st.isDirectory) files(st.getPath) else Seq(st.getPath)
+      }
+    val entries = files(out)
+      .map(p => (p.toString.stripPrefix(out.toString).stripPrefix("/"), p))
+      .filterNot { case (r, _) =>
+        r == "bundle.tar.gz" || r.endsWith(".potlock")
+      }
+      .sortBy(_._1)
+    val os = new TarArchiveOutputStream(new java.util.zip.GZIPOutputStream(
+      fs.create(new Path(out, "bundle.tar.gz"), true)))
+    os.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
+    try entries.foreach { case (r, p) =>
+      val e = new TarArchiveEntry(r)
+      e.setSize(fs.getFileStatus(p).getLen)
+      os.putArchiveEntry(e)
+      val in = fs.open(p)
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, os, 65536, false)
+      finally in.close()
+      os.closeArchiveEntry()
+    } finally os.close()
   }
 
   /** ListPaths (server.go:425-466): enumerate pots under a root — like the

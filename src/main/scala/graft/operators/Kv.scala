@@ -64,20 +64,37 @@ object Kv {
       |WHERE c_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 7 = 0)
       |ORDER BY c_custkey""".stripMargin
 
-  /** A2 key derivation: document key = `id` overriding `name`
-    * (server.go:347-354 — id wins when both present). Synthesized id/name
-    * columns: every 3rd part has no id -> falls back to name.
+  /** A2 key derivation applied to a document batch: key = `id` overriding
+    * `name` (server.go:347-354 — id wins when both present). Two
+    * DELIBERATE parity deviations, documented in SURVEY 7.4 and asserted
+    * in KvSpec: the reference PANICS on a non-string `id`/`name` (the bare
+    * `.(string)` assertions, server.go:349-353) — here any type casts to
+    * its string form; and the reference keeps a doc with neither field
+    * under key `""` — here such docs are dropped (an empty key cannot
+    * address the row back).
+    */
+  def deriveKeys(df: DataFrame): DataFrame = {
+    val cols = df.columns.toSet
+    def strCol(c: String) =
+      if (cols(c)) col(c).cast("string") else lit(null).cast("string")
+    df.withColumn("key", coalesce(strCol("id"), strCol("name")))
+      .filter(col("key").isNotNull)
+  }
+
+  /** A2 key derivation as a declared query: [[deriveKeys]] over synthesized
+    * id/name columns — every 3rd part has no id -> falls back to name.
     */
   def keyDerivation(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    Tables.part(s, d)
+    val docs = Tables.part(s, d)
       .withColumn("id",
         when($"p_partkey" % 3 === 0, lit(null).cast("string"))
           .otherwise(concat(lit("id-"), $"p_partkey")))
       .withColumn("name", $"p_name")
+    deriveKeys(docs)
       .select(
         $"p_partkey",
-        coalesce($"id", $"name").as("key"),
+        $"key",
         ($"id".isNotNull).as("from_id"))
       .orderBy($"p_partkey")
   }

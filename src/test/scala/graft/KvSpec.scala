@@ -187,6 +187,91 @@ class KvSpec extends AnyFunSuite {
       .collect().toMap === manifest)
   }
 
+  test("snapshotAll writes the reference bundle.tar.gz (A7 Zip format, server.go:550-614)") {
+    import org.apache.commons.compress.archivers.tar.TarArchiveInputStream
+    val root = tmpRoot()
+    PotTable(spark, root, "alpha").upsert(Seq(("a", 1)).toDF("key", "v"))
+    PotTable(spark, root, "nested/inner").upsert(Seq(("n", 9)).toDF("key", "v"))
+    val out = s"$root/_bundle"
+    // a stray lock file in the export dir is excluded, like the reference
+    // zip skips `.potlock` objects
+    new java.io.File(out).mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "stray.potlock"), "lock".getBytes)
+    PotTable.snapshotAll(spark, root, out)
+
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val expected = walk(new java.io.File(out))
+      .map(f => new java.io.File(out).toPath.relativize(f.toPath).toString -> f)
+      .filterNot { case (r, f) =>
+        // .crc sidecars are Hadoop LocalFileSystem checksum artifacts the
+        // FileSystem API hides (no analogue on an object store) — the raw
+        // java.io walk sees them, the bundle correctly does not
+        r == "bundle.tar.gz" || r.endsWith(".potlock") ||
+          f.getName.startsWith(".")
+      }.toMap
+    assert(expected.keySet.exists(_.startsWith("alpha/")))
+    assert(expected.keySet.exists(_.startsWith("nested/inner/")))
+    assert(expected.keySet.exists(_.startsWith("_manifest/")))
+
+    val tin = new TarArchiveInputStream(new java.util.zip.GZIPInputStream(
+      new java.io.FileInputStream(s"$out/bundle.tar.gz")))
+    val got = Iterator.continually(tin.getNextEntry).takeWhile(_ != null)
+      .map(e => e.getName -> tin.readAllBytes()).toMap
+    tin.close()
+    // every exported file is in the bundle, byte-identical; nothing extra
+    assert(got.keySet === expected.keySet,
+      s"extra=${got.keySet -- expected.keySet} missing=${expected.keySet -- got.keySet}")
+    got.foreach { case (name, bytes) =>
+      val disk = java.nio.file.Files.readAllBytes(expected(name).toPath)
+      assert(java.util.Arrays.equals(bytes, disk), s"bundle entry $name differs from disk")
+    }
+  }
+
+  test("key derivation casts non-string id/name where the reference panics (server.go:349-353)") {
+    import graft.operators.Kv
+    // Numeric id: the reference's bare `.(string)` assertion panics here;
+    // graft's documented deviation (SURVEY 7.4) casts to the string form.
+    val numeric = Kv.deriveKeys(Seq((7, "seven"), (8, "eight")).toDF("id", "name"))
+    assert(numeric.select("key").as[String].collect().toSet === Set("7", "8"))
+    // id wins over name when both present (server.go:347-354)
+    val both = Kv.deriveKeys(Seq(("i1", "n1")).toDF("id", "name"))
+    assert(both.select("key").as[String].collect().toSeq === Seq("i1"))
+    // name-only falls back; null id behaves as absent
+    val fallback = Kv.deriveKeys(
+      Seq((null: String, "n2")).toDF("id", "name"))
+    assert(fallback.select("key").as[String].collect().toSeq === Seq("n2"))
+    // Neither field: the reference files the doc under key "" — graft's
+    // second documented deviation drops it (empty key can't be addressed).
+    val keyless = Kv.deriveKeys(Seq(Tuple1("payload")).toDF("other"))
+    assert(keyless.count() === 0L)
+  }
+
+  test("norewrite duration parse falls back silently to 0 on a bad value (server_routes.go:86-93)") {
+    import graft.kv.PotClient
+    // the reference's time.ParseDuration forms
+    assert(PotClient.parseNoRewriteMs("10s") === 10000L)
+    assert(PotClient.parseNoRewriteMs("300ms") === 300L)
+    assert(PotClient.parseNoRewriteMs("1m30s") === 90000L)
+    assert(PotClient.parseNoRewriteMs("1.5h") === 5400000L)
+    assert(PotClient.parseNoRewriteMs("0") === 0L)
+    // unparsable -> 0, silently (the reference's err != nil branch)
+    assert(PotClient.parseNoRewriteMs("garbage") === 0L)
+    assert(PotClient.parseNoRewriteMs("10 seconds") === 0L)
+    assert(PotClient.parseNoRewriteMs("") === 0L)
+    assert(PotClient.parseNoRewriteMs("12") === 0L) // bare number: no unit
+    // behavioral consequence: a client built with a bad duration has NO
+    // no-rewrite window, so a second client can immediately take the path
+    val root = tmpRoot()
+    val c1 = PotClient(spark, root, "garbage")
+    c1.create("locks/job", Seq(("leader", "c1")).toDF("key", "owner"))
+    val c2 = PotClient(spark, root, "garbage")
+    c2.create("locks/job", Seq(("leader", "c2")).toDF("key", "owner"))
+    assert(c2.get("locks/job").select("owner").as[String]
+      .collect().toSeq === Seq("c2"))
+  }
+
   test("publish reports own write/close failure as retryable CommitIncomplete, not foreign conflict") {
     import org.apache.hadoop.fs.{FSDataOutputStream, FileSystem, Path, RawLocalFileSystem}
     val root = tmpRoot()
