@@ -61,15 +61,31 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // Box-contention probe: this is a shared machine and two rounds of
+    // driver records (211 s, 167-179 s vs ~90-98 s clean) tracked box load,
+    // not code. Emitting loadavg around each pass plus the raw per-pass
+    // per-query times makes a poisoned record self-diagnosing: high load
+    // fields or a huge pass1/pass2 split on one query = contention, not a
+    // regression.
+    def loadavg(): String =
+      try {
+        val parts = scala.io.Source.fromFile("/proc/loadavg").mkString
+          .trim.split(" ").take(3)
+        parts.mkString("[", ",", "]")
+      } catch { case _: Throwable => "[]" }
+    def qjson(xs: Seq[(String, Double)]): String =
+      xs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val load0 = loadavg()
     val pass1 = onePass()
+    val load1 = loadavg()
     val pass2 = onePass()
+    val load2 = loadavg()
     val results = pass1.zip(pass2).map { case ((n, a), (_, b)) => n -> math.min(a, b) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val qs = qjson(results)
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val (t1, t2) = (pass1.map(_._2).sum, pass2.map(_._2).sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"pass_totals":[$t1,$t2],"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fj,"pass_totals":[$t1,$t2],"loadavg":{"start":$load0,"mid":$load1,"end":$load2},"passes":[${qjson(pass1)},${qjson(pass2)}],"sf":"$sfDir"}""")
     spark.stop()
   }
 }
