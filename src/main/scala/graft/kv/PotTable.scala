@@ -226,7 +226,12 @@ final class PotTable(spark: SparkSession, root: String, path: String) {
 
 object PotTable {
   /** Error analogous to pot's ErrNoRewriteViolated / 412 Precondition Failed
-    * (server.go:27-34; readme.md:128).
+    * (server.go:27-34; readme.md:128). On the HTTP surface the reference
+    * maps this error — and only this error — to 423 Locked
+    * (server_routes.go:110-119, errors.Is(err, ErrNoRewriteViolated));
+    * everything else is a 500. Catching CommitConflict distinctly from
+    * [[CommitIncomplete]]/IOException is this library's form of that
+    * mapping (asserted in KvSpec's lockout cases).
     */
   final class CommitConflict(msg: String) extends RuntimeException(msg)
 
