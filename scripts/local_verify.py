@@ -44,9 +44,20 @@ def cell_lint(v) -> str:
         if not math.isnan(v) and abs(v) >= 2.0 ** 53:
             return f"float past exact-integer range: {v!r}"
     elif isinstance(v, (int, np.integer)):
-        if abs(int(v)) >= 2 ** 63:
+        if not (-2 ** 63 <= int(v) < 2 ** 63):
             return f"integer past BIGINT range: {v}"
     return ""
+
+
+def render(v) -> str:
+    """Canonical per-engine cell rendering for cross-kind compares — the
+    model of the driver's md5-over-rendered-cells: each side renders with
+    its own type's natural form (float64 repr vs Decimal/int str), so
+    Decimal('0.10') vs float 0.1 ('0.10' vs '0.1') and int 3 vs float 3.0
+    ('3' vs '3.0') are DIVERGENT even though numerically equal."""
+    if isinstance(v, float):
+        return repr(v)
+    return str(v)
 
 
 def float_exact(v) -> bool:
@@ -132,9 +143,10 @@ def main() -> int:
             elif gf or ef:
                 # Mixed kinds (e.g. Spark parquet Decimal vs DuckDB float64
                 # from DECIMAL): the driver hashes each side's own rendering,
-                # so equality additionally requires every value to be exactly
-                # float64-representable. Coercing both to float here is what
-                # hid q43 for three rounds.
+                # so require RENDERING equality, not numeric equality —
+                # coercing both to float here is what hid q43 for three
+                # rounds, and numeric Decimal equality would still hide
+                # scale divergence like '0.10' vs '0.1'.
                 for i, (gv, ev) in enumerate(zip(g, e)):
                     gn = gv is None or (isinstance(gv, float) and math.isnan(gv))
                     en = ev is None or (isinstance(ev, float) and math.isnan(ev))
@@ -143,14 +155,11 @@ def main() -> int:
                             bad.append(f"{c}[row{i}]: spark={gv!r} duck={ev!r}")
                             break
                         continue
-                    if not (float_exact(gv) and float_exact(ev)):
+                    if render(gv) != render(ev):
                         bad.append(
                             f"{c}[row{i}]: mixed dtype ({g.dtype} vs {e.dtype}) "
-                            f"with non-float64-exact value spark={gv!r} "
-                            f"duck={ev!r} — driver hash would diverge")
-                        break
-                    if float(gv) != float(ev):
-                        bad.append(f"{c}[row{i}]: spark={gv!r} duck={ev!r}")
+                            f"renders divergently: spark={render(gv)!r} "
+                            f"duck={render(ev)!r} — driver hash would diverge")
                         break
             else:
                 ge = g.astype(str).to_numpy()

@@ -96,24 +96,33 @@ object PotClient {
   def apply(spark: SparkSession, root: String, lease: String): PotClient =
     new PotClient(spark, root, parseNoRewriteMs(lease))
 
-  private val DurTok = "([0-9]*\\.?[0-9]+)(ns|us|µs|ms|s|m|h)".r
+  private val DurTok = "([0-9]*\\.?[0-9]+)(ns|us|µs|μs|ms|s|m|h)".r
 
   /** Parse a Go `time.ParseDuration`-style string ("300ms", "10s",
     * "1m30s", "1.5h") to milliseconds, with the reference HTTP surface's
     * fallback semantics (server_routes.go:86-93): an UNPARSABLE duration
     * silently becomes 0 — no error, the write proceeds with no no-rewrite
-    * window — rather than rejecting the request. Deliberate parity with
-    * that deviation-prone behavior; asserted in KvSpec.
+    * window — rather than rejecting the request. Go details mirrored: at
+    * most ONE leading sign, both micro signs (U+00B5 and U+03BC) accepted,
+    * and an int64-nanosecond overflow is a parse ERROR — which here means
+    * the same silent 0. Deliberate parity with that deviation-prone
+    * behavior; asserted in KvSpec.
     */
   def parseNoRewriteMs(s: String): Long = {
-    val body = s.stripPrefix("+").stripPrefix("-")
+    val (neg, body) =
+      if (s.startsWith("-")) (true, s.substring(1))
+      else if (s.startsWith("+")) (false, s.substring(1))
+      else (false, s)
     if (body == "0") return 0L
     val toks = DurTok.findAllMatchIn(body).toSeq
     if (toks.isEmpty || toks.map(_.matched).mkString != body) return 0L
-    val unitMs = Map("ns" -> 1e-6, "us" -> 1e-3, "µs" -> 1e-3,
+    val unitMs = Map("ns" -> 1e-6, "us" -> 1e-3, "µs" -> 1e-3, "μs" -> 1e-3,
       "ms" -> 1.0, "s" -> 1000.0, "m" -> 60000.0, "h" -> 3600000.0)
     val total = toks.map(m => m.group(1).toDouble * unitMs(m.group(2))).sum
-    val signed = if (s.startsWith("-")) -total else total
+    // Go errors when the duration overflows int64 nanoseconds; the HTTP
+    // surface's err-branch turns that into the same fallback 0.
+    if (total * 1e6 > Long.MaxValue.toDouble) return 0L
+    val signed = if (neg) -total else total
     signed.toLong
   }
 

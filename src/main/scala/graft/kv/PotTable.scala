@@ -301,6 +301,9 @@ object PotTable {
     try entries.foreach { case (r, p) =>
       val e = new TarArchiveEntry(r)
       e.setSize(fs.getFileStatus(p).getLen)
+      // pin mtime: TarArchiveEntry defaults to wall-clock now, which would
+      // make byte-identical trees produce byte-different bundles
+      e.setModTime(0L)
       os.putArchiveEntry(e)
       val in = fs.open(p)
       try org.apache.hadoop.io.IOUtils.copyBytes(in, os, 65536, false)

@@ -203,7 +203,9 @@ object Scalars {
       .filter($"event_id" % 11 === 0)
       .select(
         $"event_id",
-        element_at($"pm", "k").as("k_val"),
+        // try_element_at: NULL rather than ANSI MAP_KEY_DOES_NOT_EXIST if
+        // a fixture row ever lacks 'k' (props shape invariant: CLAUDE.md)
+        try_element_at($"pm", lit("k")).as("k_val"),
         size($"m2").as("n_keys"),
         array_join(array_sort(map_keys($"m2")), ",").as("keys_csv"),
         array_join(array_sort(map_values($"m2")), ",").as("vals_csv"),

@@ -218,7 +218,12 @@ class KvSpec extends AnyFunSuite {
     val tin = new TarArchiveInputStream(new java.util.zip.GZIPInputStream(
       new java.io.FileInputStream(s"$out/bundle.tar.gz")))
     val got = Iterator.continually(tin.getNextEntry).takeWhile(_ != null)
-      .map(e => e.getName -> tin.readAllBytes()).toMap
+      .map { e =>
+        // mtimes pinned to epoch: identical trees => identical bundles
+        assert(e.getLastModifiedDate.getTime === 0L,
+          s"non-deterministic mtime on ${e.getName}")
+        e.getName -> tin.readAllBytes()
+      }.toMap
     tin.close()
     // every exported file is in the bundle, byte-identical; nothing extra
     assert(got.keySet === expected.keySet,
@@ -256,11 +261,15 @@ class KvSpec extends AnyFunSuite {
     assert(PotClient.parseNoRewriteMs("1m30s") === 90000L)
     assert(PotClient.parseNoRewriteMs("1.5h") === 5400000L)
     assert(PotClient.parseNoRewriteMs("0") === 0L)
+    assert(PotClient.parseNoRewriteMs("1500μs") === 1L) // Greek mu, Go-valid
     // unparsable -> 0, silently (the reference's err != nil branch)
     assert(PotClient.parseNoRewriteMs("garbage") === 0L)
     assert(PotClient.parseNoRewriteMs("10 seconds") === 0L)
     assert(PotClient.parseNoRewriteMs("") === 0L)
     assert(PotClient.parseNoRewriteMs("12") === 0L) // bare number: no unit
+    assert(PotClient.parseNoRewriteMs("+-10s") === 0L) // one sign max, like Go
+    // int64-ns overflow is a Go parse error -> same fallback 0
+    assert(PotClient.parseNoRewriteMs("99999999999999999h") === 0L)
     // behavioral consequence: a client built with a bad duration has NO
     // no-rewrite window, so a second client can immediately take the path
     val root = tmpRoot()
