@@ -142,9 +142,12 @@ object Aggregates {
     * Emitted next to the exact distinct count, so the result also
     * hash-checks the sketch's error (m = 64 → ~13% standard error).
     */
-  def hllDeterministic(s: SparkSession, d: String): DataFrame = {
+  /** Shared rho stream for q43/q52: one row per (l_returnflag, l_orderkey)
+    * with its HLL bucket `b` and rank `rho`, fully md5-deterministic.
+    */
+  private def hllRhos(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val hashed = Tables.lineitem(s, d)
+    Tables.lineitem(s, d)
       .select($"l_returnflag", $"l_orderkey",
         md5($"l_orderkey".cast("string")).as("h"))
       .select($"l_returnflag", $"l_orderkey",
@@ -159,7 +162,28 @@ object Aggregates {
             |       WHEN CAST(conv(substring(h, 3 + z, 1), 16, 10) AS INT) >= 4 THEN 1
             |       WHEN CAST(conv(substring(h, 3 + z, 1), 16, 10) AS INT) >= 2 THEN 2
             |       ELSE 3 END) + 1 END""".stripMargin).as("rho"))
-    val regs = hashed.groupBy($"l_returnflag", $"b")
+  }
+
+  /** Estimate (BIGINT) from a register frame (`b`, `mj`) — q43's exact
+    * integer arithmetic with the DECIMAL(38,0) denominator kept INTERNAL
+    * (never emitted; the driver-hash-unsafe width stays inside the plan).
+    */
+  private def hllEstimate(regs: DataFrame, name: String): DataFrame =
+    regs.agg(
+      sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 61 - mj) AS DECIMAL(38,0))"))
+        .as("s_present"),
+      count(lit(1)).as("nb"))
+      .selectExpr(
+        s"""CAST(6696315672709156913020928 AS DECIMAL(38,0))
+           |  div (CAST(1000 AS DECIMAL(38,0))
+           |    * CAST(s_present
+           |        + CAST(64 - nb AS DECIMAL(38,0))
+           |          * CAST(2305843009213693952 AS DECIMAL(38,0))
+           |      AS DECIMAL(38,0))) AS $name""".stripMargin)
+
+  def hllDeterministic(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val regs = hllRhos(s, d).groupBy($"l_returnflag", $"b")
       .agg(max($"rho").as("mj"))
     val sketch = regs.groupBy($"l_returnflag")
       .agg(
@@ -232,6 +256,76 @@ object Aggregates {
       |  ex.exact_distinct
       |FROM sk JOIN ex USING (l_returnflag)
       |ORDER BY l_returnflag""".stripMargin
+
+  /** q52: HLL sketch MERGE — the property that makes q43's sketch a
+    * 1000-executor aggregate rather than a single-pass trick. Per-group
+    * (l_returnflag) registers merge by per-bucket max (associative,
+    * commutative — any tree of partial merges lands on the same
+    * registers), and the claim checked bit-for-bit here is that the
+    * MERGED global sketch equals the sketch built DIRECTLY over the whole
+    * table: identical registers, hence identical estimate. Emits both
+    * estimates plus the equality flag; the DECIMAL(38,0) harmonic sum
+    * stays internal ([[hllEstimate]]) — only BIGINT-safe values surface.
+    */
+  def hllMerge(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rhos = hllRhos(s, d)
+    // partial sketches per group, then merged: max-of-max per bucket
+    val merged = rhos.groupBy($"l_returnflag", $"b").agg(max($"rho").as("mj"))
+      .groupBy($"b").agg(max($"mj").as("mj"))
+    // direct whole-table sketch
+    val direct = rhos.groupBy($"b").agg(max($"rho").as("mj"))
+    hllEstimate(merged, "merged_estimate")
+      .crossJoin(hllEstimate(direct, "direct_estimate"))
+      .select($"merged_estimate", $"direct_estimate",
+        ($"merged_estimate" === $"direct_estimate").as("consistent"))
+  }
+
+  val hllMergeSql: String =
+    """WITH hashed AS (
+      |  SELECT l_returnflag, l_orderkey,
+      |    md5(CAST(l_orderkey AS VARCHAR)) AS h
+      |  FROM lineitem),
+      |zed AS (
+      |  SELECT l_returnflag, l_orderkey,
+      |    ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+      |      + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 64 AS b,
+      |    length(regexp_extract(substr(h, 3, 15), '^(0*)', 1)) AS z,
+      |    h
+      |  FROM hashed),
+      |rhos AS (
+      |  SELECT l_returnflag, l_orderkey, b,
+      |    CASE WHEN z = 15 THEN 61
+      |         ELSE z * 4 + (CASE
+      |           WHEN strpos('0123456789abcdef', substr(h, 3 + z, 1)) - 1 >= 8 THEN 0
+      |           WHEN strpos('0123456789abcdef', substr(h, 3 + z, 1)) - 1 >= 4 THEN 1
+      |           WHEN strpos('0123456789abcdef', substr(h, 3 + z, 1)) - 1 >= 2 THEN 2
+      |           ELSE 3 END) + 1 END AS rho
+      |  FROM zed),
+      |mreg AS (
+      |  SELECT b, MAX(mj) AS mj FROM (
+      |    SELECT l_returnflag, b, MAX(rho) AS mj FROM rhos GROUP BY 1, 2) g
+      |  GROUP BY b),
+      |dreg AS (SELECT b, MAX(rho) AS mj FROM rhos GROUP BY b),
+      |mest AS (
+      |  SELECT CAST(CAST('6696315672709156913020928' AS HUGEINT)
+      |    // (CAST(1000 AS HUGEINT)
+      |       * (SUM(CAST(CAST(1 AS BIGINT) << (61 - mj) AS HUGEINT))
+      |          + CAST(64 - COUNT(*) AS HUGEINT)
+      |            * CAST(2305843009213693952 AS HUGEINT)))
+      |    AS BIGINT) AS merged_estimate
+      |  FROM mreg),
+      |dest AS (
+      |  SELECT CAST(CAST('6696315672709156913020928' AS HUGEINT)
+      |    // (CAST(1000 AS HUGEINT)
+      |       * (SUM(CAST(CAST(1 AS BIGINT) << (61 - mj) AS HUGEINT))
+      |          + CAST(64 - COUNT(*) AS HUGEINT)
+      |            * CAST(2305843009213693952 AS HUGEINT)))
+      |    AS BIGINT) AS direct_estimate
+      |  FROM dreg)
+      |SELECT merged_estimate, direct_estimate,
+      |  merged_estimate = direct_estimate AS consistent
+      |FROM mest, dest""".stripMargin
 
   /** Count-Min geometry for q48: d hash rows × w counters. Mirrored
     * literally in the oracle SQL — change both or neither. */
@@ -317,7 +411,8 @@ object Aggregates {
     "q13_agg_cube"        -> (cubeAgg _),
     "q14_agg_gsets"       -> (groupingSets _),
     "q15_agg_approx_hll"  -> (approxDistinct _),
-    "q43_hll_deterministic" -> (hllDeterministic _))
+    "q43_hll_deterministic" -> (hllDeterministic _),
+    "q52_hll_merge"         -> (hllMerge _))
 
   val oracle: Map[String, String] = Map(
     "q10_agg_distinct" -> aggDistinctSql,
@@ -326,5 +421,6 @@ object Aggregates {
     "q13_agg_cube"     -> cubeSql,
     "q14_agg_gsets"    -> groupingSetsSql,
     "q43_hll_deterministic" -> hllDeterministicSql,
+    "q52_hll_merge"         -> hllMergeSql,
     "q48_countmin_sketch"   -> countMinSql)
 }
