@@ -119,29 +119,6 @@ object Aggregates {
       .orderBy($"l_returnflag")
   }
 
-  /** q43: a DETERMINISTIC HyperLogLog, oracle-checked bit-for-bit — the
-    * exactness answer to q15's rows-only caveat. The whole sketch derives
-    * from md5 so both engines build identical registers:
-    *
-    *   - value hash h = md5(key); bucket = first byte mod 64 (m = 64);
-    *   - rank rho = position of the first 1-bit in the next 60 bits
-    *     (hex chars 3..17), 61 if all zero — so rho ∈ [1, 61];
-    *   - register M_b = max rho per bucket: EXACT integers, associative
-    *     max — merges across 1000 executors like any HLL;
-    *   - the harmonic denominator sum(2^-M_b) is kept EXACT by scaling to
-    *     the common denominator 2^61: S = sum(1 << (61 - M_b)) over
-    *     present buckets + (64 - n_present) * 2^61, accumulated as
-    *     DECIMAL(38,0) (max 2^67, order-independent integer addition);
-    *   - the estimate floor(alpha_64 * m^2 * 2^61 / S) is computed in
-    *     EXACT integer arithmetic: alpha_64 = 0.709 = 709/1000, so the
-    *     estimate is (709 * 4096 * 2^61) div (1000 * S) — a constant
-    *     38-digit numerator integer-divided by a decimal; no floating
-    *     point anywhere in the query (a decimal→double cast of S needs
-    *     ~60 mantissa bits, and engines differ in >53-bit rounding).
-    *
-    * Emitted next to the exact distinct count, so the result also
-    * hash-checks the sketch's error (m = 64 → ~13% standard error).
-    */
   /** Shared rho stream for q43/q52: one row per (l_returnflag, l_orderkey)
     * with its HLL bucket `b` and rank `rho`, fully md5-deterministic.
     */
@@ -181,6 +158,33 @@ object Aggregates {
            |          * CAST(2305843009213693952 AS DECIMAL(38,0))
            |      AS DECIMAL(38,0))) AS $name""".stripMargin)
 
+  /** q43: a DETERMINISTIC HyperLogLog, oracle-checked bit-for-bit — the
+    * exactness answer to q15's rows-only caveat. The whole sketch derives
+    * from md5 so both engines build identical registers:
+    *
+    *   - value hash h = md5(key); bucket = first byte mod 64 (m = 64);
+    *   - rank rho = position of the first 1-bit in the next 60 bits
+    *     (hex chars 3..17), 61 if all zero — so rho ∈ [1, 61];
+    *   - register M_b = max rho per bucket: EXACT integers, associative
+    *     max — merges across 1000 executors like any HLL (q52 checks the
+    *     merge property itself);
+    *   - the harmonic denominator sum(2^-M_b) is kept EXACT by scaling to
+    *     the common denominator 2^61: S = sum(1 << (61 - M_b)) over
+    *     present buckets + (64 - n_present) * 2^61, accumulated as
+    *     DECIMAL(38,0) (max 2^67, order-independent integer addition);
+    *   - the estimate floor(alpha_64 * m^2 * 2^61 / S) is computed in
+    *     EXACT integer arithmetic: alpha_64 = 0.709 = 709/1000, so the
+    *     estimate is (709 * 4096 * 2^61) div (1000 * S) — a constant
+    *     38-digit numerator integer-divided by a decimal; no floating
+    *     point anywhere in the query (a decimal→double cast of S needs
+    *     ~60 mantissa bits, and engines differ in >53-bit rounding).
+    *
+    * Emitted next to the exact distinct count, so the result also
+    * hash-checks the sketch's error (m = 64 → ~13% standard error). The
+    * 2^61-scaled S itself surfaces as two BIGINT halves (base 2^34):
+    * raw DECIMAL(38,0) is past float64-exact range and renders
+    * divergently across the driver's hash canonicalization.
+    */
   def hllDeterministic(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val regs = hllRhos(s, d).groupBy($"l_returnflag", $"b")
@@ -213,8 +217,12 @@ object Aggregates {
       .orderBy($"l_returnflag")
   }
 
-  val hllDeterministicSql: String =
-    """WITH hashed AS (
+  /** Oracle CTE prefix shared by q43/q52 — the SQL mirror of [[hllRhos]].
+    * Spliced via `.replace("__RHOS__", ...)` (stripMargin-first rule);
+    * change it and [[hllRhos]] together or neither.
+    */
+  private val hllRhosCte: String =
+    """hashed AS (
       |  SELECT l_returnflag, l_orderkey,
       |    md5(CAST(l_orderkey AS VARCHAR)) AS h
       |  FROM lineitem),
@@ -233,7 +241,22 @@ object Aggregates {
       |           WHEN strpos('0123456789abcdef', substr(h, 3 + z, 1)) - 1 >= 4 THEN 1
       |           WHEN strpos('0123456789abcdef', substr(h, 3 + z, 1)) - 1 >= 2 THEN 2
       |           ELSE 3 END) + 1 END AS rho
-      |  FROM zed),
+      |  FROM zed)""".stripMargin
+
+  /** Oracle estimate subquery over a register CTE (`b`, `mj`) — the SQL
+    * mirror of [[hllEstimate]]. */
+  private def hllEstimateSql(regsCte: String, alias: String): String =
+    """SELECT CAST(CAST('6696315672709156913020928' AS HUGEINT)
+      |    // (CAST(1000 AS HUGEINT)
+      |       * (SUM(CAST(CAST(1 AS BIGINT) << (61 - mj) AS HUGEINT))
+      |          + CAST(64 - COUNT(*) AS HUGEINT)
+      |            * CAST(2305843009213693952 AS HUGEINT)))
+      |    AS BIGINT) AS __ALIAS__
+      |  FROM __REGS__""".stripMargin
+      .replace("__ALIAS__", alias).replace("__REGS__", regsCte)
+
+  val hllDeterministicSql: String =
+    """WITH __RHOS__,
       |regs AS (
       |  SELECT l_returnflag, b, MAX(rho) AS mj
       |  FROM rhos GROUP BY 1, 2),
@@ -256,6 +279,7 @@ object Aggregates {
       |  ex.exact_distinct
       |FROM sk JOIN ex USING (l_returnflag)
       |ORDER BY l_returnflag""".stripMargin
+      .replace("__RHOS__", hllRhosCte)
 
   /** q52: HLL sketch MERGE — the property that makes q43's sketch a
     * 1000-executor aggregate rather than a single-pass trick. Per-group
@@ -269,6 +293,11 @@ object Aggregates {
     */
   def hllMerge(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // The two branches each scan lineitem once (column-pruned to 2 cols).
+    // Deliberately NOT persisted/checkpointed: the rho stream is O(n), so
+    // at corpus scale materializing it costs more than the second pruned
+    // scan — the opposite trade from d11, which checkpoints a small pair
+    // set.
     val rhos = hllRhos(s, d)
     // partial sketches per group, then merged: max-of-max per bucket
     val merged = rhos.groupBy($"l_returnflag", $"b").agg(max($"rho").as("mj"))
@@ -279,53 +308,25 @@ object Aggregates {
       .crossJoin(hllEstimate(direct, "direct_estimate"))
       .select($"merged_estimate", $"direct_estimate",
         ($"merged_estimate" === $"direct_estimate").as("consistent"))
+      .orderBy($"merged_estimate") // single row; total order per hard rule
   }
 
   val hllMergeSql: String =
-    """WITH hashed AS (
-      |  SELECT l_returnflag, l_orderkey,
-      |    md5(CAST(l_orderkey AS VARCHAR)) AS h
-      |  FROM lineitem),
-      |zed AS (
-      |  SELECT l_returnflag, l_orderkey,
-      |    ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
-      |      + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 64 AS b,
-      |    length(regexp_extract(substr(h, 3, 15), '^(0*)', 1)) AS z,
-      |    h
-      |  FROM hashed),
-      |rhos AS (
-      |  SELECT l_returnflag, l_orderkey, b,
-      |    CASE WHEN z = 15 THEN 61
-      |         ELSE z * 4 + (CASE
-      |           WHEN strpos('0123456789abcdef', substr(h, 3 + z, 1)) - 1 >= 8 THEN 0
-      |           WHEN strpos('0123456789abcdef', substr(h, 3 + z, 1)) - 1 >= 4 THEN 1
-      |           WHEN strpos('0123456789abcdef', substr(h, 3 + z, 1)) - 1 >= 2 THEN 2
-      |           ELSE 3 END) + 1 END AS rho
-      |  FROM zed),
+    """WITH __RHOS__,
       |mreg AS (
       |  SELECT b, MAX(mj) AS mj FROM (
       |    SELECT l_returnflag, b, MAX(rho) AS mj FROM rhos GROUP BY 1, 2) g
       |  GROUP BY b),
       |dreg AS (SELECT b, MAX(rho) AS mj FROM rhos GROUP BY b),
-      |mest AS (
-      |  SELECT CAST(CAST('6696315672709156913020928' AS HUGEINT)
-      |    // (CAST(1000 AS HUGEINT)
-      |       * (SUM(CAST(CAST(1 AS BIGINT) << (61 - mj) AS HUGEINT))
-      |          + CAST(64 - COUNT(*) AS HUGEINT)
-      |            * CAST(2305843009213693952 AS HUGEINT)))
-      |    AS BIGINT) AS merged_estimate
-      |  FROM mreg),
-      |dest AS (
-      |  SELECT CAST(CAST('6696315672709156913020928' AS HUGEINT)
-      |    // (CAST(1000 AS HUGEINT)
-      |       * (SUM(CAST(CAST(1 AS BIGINT) << (61 - mj) AS HUGEINT))
-      |          + CAST(64 - COUNT(*) AS HUGEINT)
-      |            * CAST(2305843009213693952 AS HUGEINT)))
-      |    AS BIGINT) AS direct_estimate
-      |  FROM dreg)
+      |mest AS (__MEST__),
+      |dest AS (__DEST__)
       |SELECT merged_estimate, direct_estimate,
       |  merged_estimate = direct_estimate AS consistent
-      |FROM mest, dest""".stripMargin
+      |FROM mest, dest
+      |ORDER BY merged_estimate""".stripMargin
+      .replace("__RHOS__", hllRhosCte)
+      .replace("__MEST__", hllEstimateSql("mreg", "merged_estimate"))
+      .replace("__DEST__", hllEstimateSql("dreg", "direct_estimate"))
 
   /** Count-Min geometry for q48: d hash rows × w counters. Mirrored
     * literally in the oracle SQL — change both or neither. */
