@@ -117,6 +117,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected sigp partition filters on both generation scans:\n$p")
   }
 
+  test("q52 builds sketches from map-side partial maxes over column-pruned scans") {
+    val p = plan("q52_hll_merge")
+    // registers combine via partial_max before any exchange (the merge is
+    // map-side associative — the property the query exists to prove)
+    assert(p.contains("partial_max"), p)
+    // the direct branch needs only the key column; the grouped branch two
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint>"), p)
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_returnflag:string>"), p)
+  }
+
   test("ANN query-vector point lookup reads the BASE table with a pushed vec_id filter") {
     // The s2/s3/s11/s12 lookups fetch the query vector via queryPoint —
     // never by filtering the partitioned index, which would list every
