@@ -109,6 +109,20 @@ def main() -> int:
             print(f"FAIL {name}: oracle sql error: {e}")
             n_fail += 1
             continue
+        # Schema-level decimal ban, checked on the RAW parquet schema: both
+        # compare sides below go through DuckDB .df(), which converts every
+        # DECIMAL to float64 before the cell lints can see it — a Spark
+        # decimal output would be invisible here yet render divergently in
+        # the driver's canonicalizer (the q43 failure class). The repo
+        # convention is decimals never surface (doubles via Ora.dsum/davg).
+        import pyarrow.parquet as pq
+        dec_cols = [f.name for f in pq.read_schema(files[0])
+                    if "decimal" in str(f.type)]
+        if dec_cols:
+            print(f"FAIL {name}: LINT decimal output column(s) {dec_cols} — "
+                  f"driver hash renders Spark decimals vs DuckDB divergently")
+            n_fail += 1
+            continue
         got = canon(duckdb.sql(
             f"SELECT * FROM read_parquet({files!r})").df())
         if list(got.columns) != list(exp.columns):

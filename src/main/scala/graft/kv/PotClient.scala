@@ -96,7 +96,9 @@ object PotClient {
   def apply(spark: SparkSession, root: String, lease: String): PotClient =
     new PotClient(spark, root, parseNoRewriteMs(lease))
 
-  private val DurTok = "([0-9]*\\.?[0-9]+)(ns|us|µs|μs|ms|s|m|h)".r
+  // Go number forms: "1", "1.", ".5", "1.5" — at least one digit somewhere
+  private val DurTok =
+    "([0-9]+\\.[0-9]*|\\.[0-9]+|[0-9]+)(ns|us|µs|μs|ms|s|m|h)".r
 
   /** Parse a Go `time.ParseDuration`-style string ("300ms", "10s",
     * "1m30s", "1.5h") to milliseconds, with the reference HTTP surface's

@@ -285,12 +285,16 @@ object PotTable {
     val fs = new Path(outDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.makeQualified(new Path(outDir))
-    def files(p: Path): Seq[Path] =
+    // carry the FileStatus from listStatus: one metadata call per file,
+    // not two (the per-write auto-snapshot trigger bundles a whole
+    // warehouse — on an object store every extra stat is a round-trip)
+    def files(p: Path): Seq[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(p).toSeq.sortBy(_.getPath.getName).flatMap { st =>
-        if (st.isDirectory) files(st.getPath) else Seq(st.getPath)
+        if (st.isDirectory) files(st.getPath) else Seq(st)
       }
     val entries = files(out)
-      .map(p => (p.toString.stripPrefix(out.toString).stripPrefix("/"), p))
+      .map(st =>
+        (st.getPath.toString.stripPrefix(out.toString).stripPrefix("/"), st))
       .filterNot { case (r, _) =>
         r == "bundle.tar.gz" || r.endsWith(".potlock")
       }
@@ -298,9 +302,10 @@ object PotTable {
     val os = new TarArchiveOutputStream(new java.util.zip.GZIPOutputStream(
       fs.create(new Path(out, "bundle.tar.gz"), true)))
     os.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
-    try entries.foreach { case (r, p) =>
+    try entries.foreach { case (r, st) =>
+      val p = st.getPath
       val e = new TarArchiveEntry(r)
-      e.setSize(fs.getFileStatus(p).getLen)
+      e.setSize(st.getLen)
       // pin mtime: TarArchiveEntry defaults to wall-clock now, which would
       // make byte-identical trees produce byte-different bundles
       e.setModTime(0L)

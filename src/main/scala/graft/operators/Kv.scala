@@ -78,7 +78,10 @@ object Kv {
     def strCol(c: String) =
       if (cols(c)) col(c).cast("string") else lit(null).cast("string")
     df.withColumn("key", coalesce(strCol("id"), strCol("name")))
-      .filter(col("key").isNotNull)
+      // empty-string keys are as unaddressable as missing ones (the
+      // reference would file id="" under key "" just like the
+      // neither-field case) — both fall under the documented drop
+      .filter(col("key").isNotNull && col("key") =!= "")
   }
 
   /** A2 key derivation as a declared query: [[deriveKeys]] over synthesized

@@ -251,6 +251,9 @@ class KvSpec extends AnyFunSuite {
     // second documented deviation drops it (empty key can't be addressed).
     val keyless = Kv.deriveKeys(Seq(Tuple1("payload")).toDF("other"))
     assert(keyless.count() === 0L)
+    // explicit empty-string id is equally unaddressable: same drop
+    val emptyId = Kv.deriveKeys(Seq(("", "")).toDF("id", "name"))
+    assert(emptyId.count() === 0L)
   }
 
   test("norewrite duration parse falls back silently to 0 on a bad value (server_routes.go:86-93)") {
@@ -262,6 +265,8 @@ class KvSpec extends AnyFunSuite {
     assert(PotClient.parseNoRewriteMs("1.5h") === 5400000L)
     assert(PotClient.parseNoRewriteMs("0") === 0L)
     assert(PotClient.parseNoRewriteMs("1500μs") === 1L) // Greek mu, Go-valid
+    assert(PotClient.parseNoRewriteMs("1.h") === 3600000L) // bare dot, Go-valid
+    assert(PotClient.parseNoRewriteMs(".5s") === 500L)
     // unparsable -> 0, silently (the reference's err != nil branch)
     assert(PotClient.parseNoRewriteMs("garbage") === 0L)
     assert(PotClient.parseNoRewriteMs("10 seconds") === 0L)
