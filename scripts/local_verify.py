@@ -104,7 +104,22 @@ def main() -> int:
             n_fail += 1
             continue
         try:
-            exp = canon(con.execute(sql).df())
+            rel = con.sql(sql)
+            # Oracle-side decimal ban, checked on the RELATION types before
+            # .df(): DuckDB's .df() converts every DECIMAL to float64, so a
+            # fractional oracle DECIMAL (e.g. DECIMAL(20,10)) would silently
+            # take the float-float path below — the same rendering-divergence
+            # class that masked q43, just on the oracle side. The driver
+            # hashes DuckDB's own DECIMAL rendering, not float64's.
+            odec = [c for c, t in zip(rel.columns, rel.types)
+                    if "DECIMAL" in str(t).upper()]
+            if odec:
+                print(f"FAIL {name}: LINT oracle DECIMAL column(s) {odec} — "
+                      f"cast to DOUBLE/BIGINT in oracleSql (driver hashes "
+                      f"DuckDB's decimal rendering, .df() hides it as float64)")
+                n_fail += 1
+                continue
+            exp = canon(rel.df())
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
             n_fail += 1

@@ -122,8 +122,13 @@ object PotClient {
       "ms" -> 1.0, "s" -> 1000.0, "m" -> 60000.0, "h" -> 3600000.0)
     val total = toks.map(m => m.group(1).toDouble * unitMs(m.group(2))).sum
     // Go errors when the duration overflows int64 nanoseconds; the HTTP
-    // surface's err-branch turns that into the same fallback 0.
-    if (total * 1e6 > Long.MaxValue.toDouble) return 0L
+    // surface's err-branch turns that into the same fallback 0. The check is
+    // `>=` against 2^63 because Long.MaxValue.toDouble rounds UP to exactly
+    // 2^63: with `>` the first overflowing value ("9223372036854775808ns")
+    // would slip through. Double accumulation is a one-ulp approximation of
+    // Go's exact integer parse near the boundary (magnitudes within ~512 ns
+    // of 2^63 can land on either side); documented + asserted in KvSpec.
+    if (total * 1e6 >= Long.MaxValue.toDouble) return 0L
     val signed = if (neg) -total else total
     signed.toLong
   }

@@ -279,6 +279,13 @@ object PotTable {
     * reference's is too), so this runs driver-side over the already-
     * materialized export; the parallel-scale artifact remains the parquet
     * tree it archives.
+    *
+    * The input tree must be IMMUTABLE for the duration of the call (the
+    * reference holds `localLock` across its Zip for the same reason,
+    * server.go:550-560): each tar header pins the size from the initial
+    * listing, and a file mutated between stat and copy fails the size
+    * check below rather than producing a silently short/long entry.
+    * `snapshotAll` satisfies this by bundling its own just-written export.
     */
   def bundle(spark: SparkSession, outDir: String): Unit = {
     import org.apache.commons.compress.archivers.tar.{TarArchiveEntry, TarArchiveOutputStream}
@@ -310,9 +317,27 @@ object PotTable {
       // make byte-identical trees produce byte-different bundles
       e.setModTime(0L)
       os.putArchiveEntry(e)
+      // Copy EXACTLY the pinned size and fail fast on mismatch: a file that
+      // grew or shrank since listStatus means the immutability contract was
+      // violated — surface that, never emit a corrupt entry. (Tar itself
+      // also enforces written == header size, but with a less actionable
+      // message and only after a short read has already gone through.)
       val in = fs.open(p)
-      try org.apache.hadoop.io.IOUtils.copyBytes(in, os, 65536, false)
-      finally in.close()
+      try {
+        val buf = new Array[Byte](65536)
+        var remaining = st.getLen
+        while (remaining > 0) {
+          val n = in.read(buf, 0, math.min(buf.length.toLong, remaining).toInt)
+          if (n < 0) throw new java.io.IOException(
+            s"bundle: $p shrank below its listed ${st.getLen} bytes mid-archive "
+              + "(input tree mutated during bundle(); see scaladoc)")
+          os.write(buf, 0, n)
+          remaining -= n
+        }
+        if (in.read() != -1) throw new java.io.IOException(
+          s"bundle: $p grew past its listed ${st.getLen} bytes mid-archive "
+            + "(input tree mutated during bundle(); see scaladoc)")
+      } finally in.close()
       os.closeArchiveEntry()
     } finally os.close()
   }

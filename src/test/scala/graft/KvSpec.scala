@@ -275,6 +275,12 @@ class KvSpec extends AnyFunSuite {
     assert(PotClient.parseNoRewriteMs("+-10s") === 0L) // one sign max, like Go
     // int64-ns overflow is a Go parse error -> same fallback 0
     assert(PotClient.parseNoRewriteMs("99999999999999999h") === 0L)
+    // exact boundary: 2^63 ns is the FIRST overflowing value. Double
+    // accumulation rounds it to exactly Long.MaxValue.toDouble, so the
+    // overflow check must be >= (with > it returned a nonzero window).
+    assert(PotClient.parseNoRewriteMs("9223372036854775808ns") === 0L)
+    // one ulp below stays a valid parse (Go: 9223372036854775807ns is MaxInt64)
+    assert(PotClient.parseNoRewriteMs("9223372036854775000ns") === 9223372036854L)
     // behavioral consequence: a client built with a bad duration has NO
     // no-rewrite window, so a second client can immediately take the path
     val root = tmpRoot()
