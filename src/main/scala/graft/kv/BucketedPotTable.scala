@@ -98,6 +98,8 @@ final class BucketedPotTable(
       .map(b => if (written(b)) s"$b:$stagedRoot/_b=$b" else s"$b:")
       .mkString("\n")
     fs.mkdirs(markerPath(next).getParent)
+    // A12: time the publish CAS like PotTable.commit (lock-hold analogue)
+    val t0 = System.nanoTime()
     try {
       CommitMarker.publish(fs, markerPath(next), body)
       next
@@ -105,7 +107,8 @@ final class BucketedPotTable(
       case e: CommitConflict =>
         fs.delete(new Path(stagedRoot), true) // own staging only
         throw e
-    }
+    } finally graft.Metrics.of(spark)
+      .foreach(_.recordLockMs((System.nanoTime() - t0) / 1000000L))
   }
 
   /** Read the current content of `buckets`, `_b` recomputed from the key
@@ -150,6 +153,7 @@ final class BucketedPotTable(
     * job); a bucket whose last row is deleted becomes a manifest tombstone.
     */
   def remove(keys: Seq[String]): Long = {
+    graft.Metrics.of(spark).foreach(_.recordRemove()) // A12 op counter
     val gen = generation
     if (gen == 0L) return 0L
     val current = resolve(gen)

@@ -109,6 +109,10 @@ final class PotTable(spark: SparkSession, root: String, path: String) {
     val staged = s"$dir/data/g${next}_${java.util.UUID.randomUUID()}"
     df.write.mode("errorifexists").parquet(staged)
     fs.mkdirs(markerPath(next).getParent)
+    // A12: the publish CAS is our write-side mutual exclusion — time it as
+    // the analogue of the reference's localLock hold (server.go:616-626
+    // records elapsed ms unconditionally via defer, conflict or not)
+    val t0 = System.nanoTime()
     try {
       CommitMarker.publish(fs, markerPath(next), staged)
       next
@@ -116,7 +120,8 @@ final class PotTable(spark: SparkSession, root: String, path: String) {
       case e: CommitConflict =>
         fs.delete(new Path(staged), true) // only our own staging, never published data
         throw e
-    }
+    } finally graft.Metrics.of(spark)
+      .foreach(_.recordLockMs((System.nanoTime() - t0) / 1000000L))
   }
 
   /** Last-writer-wins merge of `docs` into the current map by `key` at the
@@ -172,6 +177,9 @@ final class PotTable(spark: SparkSession, root: String, path: String) {
     * absent keys is a no-op, like the reference's `delete(content, key)`.
     */
   def remove(keys: Seq[String]): Long = {
+    // A12: the operation-level counter (server_routes.go:155-157); the
+    // anti-join rewrite below still counts as an engine write — see Metrics
+    graft.Metrics.of(spark).foreach(_.recordRemove())
     val gen = generation
     if (gen == 0L) return 0L
     val keysDf = keys.toDF("key")
@@ -349,6 +357,10 @@ object PotTable {
     * into, the way `.potlock`s are excluded from the reference's listings.
     */
   def listPaths(spark: SparkSession, root: String): Seq[String] = {
+    // A12: list is pure FS metadata — no Spark query runs, so the engine
+    // listener can never see it; count at the call site like the reference's
+    // :list route (server_routes.go:66-68)
+    graft.Metrics.of(spark).foreach(_.recordList())
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(rootPath)) return Seq.empty
