@@ -35,6 +35,22 @@ object StreamingQueries {
   private val streamDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Run-scoped scratch dir for a bounded streaming run's sink + checkpoint,
+    * RAM-backed (/dev/shm) when available: these dirs are deleted as soon as
+    * the run's result is materialized, so durability buys nothing, and the
+    * checkpoint WAL + state-store commit + sink-manifest fsync traffic is a
+    * measurable slice of the per-query floor on disk-backed /tmp. A
+    * PRODUCTION stream's checkpoint must of course live on durable shared
+    * storage — this choice is scoped to delete-after-run verification
+    * streams the same way the temp dirs themselves are.
+    */
+  private def runScratchDir(prefix: String): String = {
+    val shm = new java.io.File("/dev/shm")
+    if (shm.isDirectory && shm.canWrite)
+      java.nio.file.Files.createTempDirectory(shm.toPath, prefix).toString
+    else java.nio.file.Files.createTempDirectory(prefix).toString
+  }
+
   private def fixtureStreamDir(d: String, table: String): String =
     streamDirs.getOrElseUpdate(s"$d#$table", {
       val dir = java.nio.file.Files.createTempDirectory(s"graft-$table-stream")
@@ -45,6 +61,39 @@ object StreamingQueries {
     })
 
   private def eventsDir(d: String): String = fixtureStreamDir(d, "events")
+
+  /** Per-run streaming conf, restored after: a bounded micro-batch run's
+    * dominant fixed cost is state-store commits — each micro-batch commits
+    * one HDFS-backed store per SHUFFLE PARTITION (per join side for
+    * stream-stream) — plus the watermark-advance no-data batch that
+    * re-commits every store for zero output rows. So (a) size the state
+    * partitioning to the run, the same advice as any shuffle (production
+    * sets it to the cluster, these fixtures to a handful), and (b) skip
+    * no-data micro-batches wherever results don't depend on one: stateless
+    * entries, complete-mode aggs (re-emit the same table), and append-mode
+    * dedup/joins (rows emit eagerly; the extra batch only evicts state we
+    * are about to stop anyway). st5 is the exception — its event-time
+    * TIMEOUTS fire in the batch AFTER the watermark advances, so it keeps
+    * no-data batches on (`skipNoData = false`).
+    */
+  private def withStreamRunConf[T](
+      s: SparkSession, parts: Int = 4, skipNoData: Boolean = true)(body: => T): T = {
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData = s.conf.getOption(
+      "spark.sql.streaming.noDataMicroBatches.enabled")
+    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    if (skipNoData)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try body finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevNoData match {
+        case Some(v) =>
+          s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None =>
+          s.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
+  }
 
   /** Raw-schema streaming read of the events fixture. `events.ts` is
     * nanosecond parquet: like Tables.events, read it as raw longs (legacy
@@ -64,19 +113,21 @@ object StreamingQueries {
     */
   def streamDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val out = java.nio.file.Files.createTempDirectory("graft-st1").toString
-    val q = eventsStream(s, d)
-      .withWatermark("ts", "30 minutes")
-      .dropDuplicatesWithinWatermark("user_id", "event_type")
-      .select($"user_id", $"event_type")
-      .writeStream
-      .format("parquet")
-      .option("path", s"$out/data")
-      .option("checkpointLocation", s"$out/chk")
-      .outputMode("append")
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    val out = runScratchDir("graft-st1")
+    withStreamRunConf(s) {
+      val q = eventsStream(s, d)
+        .withWatermark("ts", "30 minutes")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select($"user_id", $"event_type")
+        .writeStream
+        .format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/chk")
+        .outputMode("append")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
     // Materialize off the sink (distributed blocks, lineage cut), then
     // delete the run's sink + checkpoint dirs: repeated invocations must
     // not grow tmpdir. Production keeps both, of course — the temp dirs
@@ -98,13 +149,18 @@ object StreamingQueries {
   def streamTumbling(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val table = "st2_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = EventStreams.tumblingCounts(eventsStream(s, d))
-      .select(unix_timestamp($"w_start").as("w_start"), $"event_type", $"n")
-      .writeStream.format("memory").queryName(table)
-      .outputMode("complete")
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    val chk = runScratchDir("graft-st2")
+    withStreamRunConf(s) {
+      val q = EventStreams.tumblingCounts(eventsStream(s, d))
+        .select(unix_timestamp($"w_start").as("w_start"), $"event_type", $"n")
+        .writeStream.format("memory").queryName(table)
+        .option("checkpointLocation", s"$chk/chk")
+        .outputMode("complete")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    new scala.reflect.io.Directory(new java.io.File(chk)).deleteRecursively()
     // Materialize off the memory sink, then drop its temp view so repeated
     // invocations don't accumulate sink state in the driver.
     val result = s.table(table)
@@ -132,15 +188,20 @@ object StreamingQueries {
     val cust = graft.Tables.customer(s, d)
       .select($"c_custkey", $"c_mktsegment")
     val table = "st3_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = eventsStream(s, d)
-      .join(broadcast(cust), $"user_id" === $"c_custkey")
-      .groupBy($"c_mktsegment", $"event_type")
-      .agg(count(lit(1)).as("n"))
-      .writeStream.format("memory").queryName(table)
-      .outputMode("complete")
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    val chk = runScratchDir("graft-st3")
+    withStreamRunConf(s) {
+      val q = eventsStream(s, d)
+        .join(broadcast(cust), $"user_id" === $"c_custkey")
+        .groupBy($"c_mktsegment", $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(table)
+        .option("checkpointLocation", s"$chk/chk")
+        .outputMode("complete")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    new scala.reflect.io.Directory(new java.io.File(chk)).deleteRecursively()
     val result = s.table(table)
       .orderBy($"c_mktsegment", $"event_type").localCheckpoint(true)
     s.catalog.dropTempView(table)
@@ -173,19 +234,11 @@ object StreamingQueries {
     val purchases = ev.filter($"event_type" === "purchase")
       .select($"event_id".as("purchase_id"), $"user_id".as("p_user"), $"ts".as("p_ts"))
       .withWatermark("p_ts", "2 hours")
-    val out = java.nio.file.Files.createTempDirectory("graft-st4").toString
-    // State-store cost dominates this bounded run: every micro-batch commits
-    // one HDFS-backed store PER shuffle partition PER join side. Size the
-    // state partitioning to the data (the same advice as any shuffle), and
-    // skip no-data micro-batches — inner-join matches emit eagerly, so the
-    // extra watermark-advance batch would only re-commit 4x stores for zero
-    // output rows. Both settings are per-run and restored after.
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    val prevNoData = s.conf.getOption(
-      "spark.sql.streaming.noDataMicroBatches.enabled")
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    try {
+    val out = runScratchDir("graft-st4")
+    // Stream-stream join state cost is per partition PER JOIN SIDE (4x
+    // stores per batch); inner-join matches emit eagerly, so the no-data
+    // watermark-advance batch would only re-commit them for zero rows.
+    withStreamRunConf(s) {
       val q = clicks.join(purchases,
           $"c_user" === $"p_user" &&
           $"p_ts" >= $"c_ts" &&
@@ -199,14 +252,6 @@ object StreamingQueries {
         .start()
       q.processAllAvailable()
       q.stop()
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      prevNoData match {
-        case Some(v) =>
-          s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
-        case None =>
-          s.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
-      }
     }
     val result = s.read.parquet(s"$out/data")
       .orderBy($"click_id", $"purchase_id").localCheckpoint(true)
@@ -295,16 +340,21 @@ object StreamingQueries {
     val ev = eventsStream(s, d)
       .withWatermark("ts", "0 seconds")
       .select($"user_id", $"ts", unix_micros($"ts").as("ts_us")).as[SessEvent]
-    val out = java.nio.file.Files.createTempDirectory("graft-st5").toString
-    val q = sessionize(ev)
-      .writeStream
-      .format("parquet")
-      .option("path", s"$out/data")
-      .option("checkpointLocation", s"$out/chk")
-      .outputMode("append")
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    val out = runScratchDir("graft-st5")
+    // skipNoData = false: the trailing sessions' event-time timeouts fire
+    // in the (no-data) batch AFTER the watermark advances — disabling it
+    // would silently drop every timeout-closed session
+    withStreamRunConf(s, skipNoData = false) {
+      val q = sessionize(ev)
+        .writeStream
+        .format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/chk")
+        .outputMode("append")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
     val result = s.read.parquet(s"$out/data")
       .orderBy($"user_id", $"sess_start").localCheckpoint(true)
     new scala.reflect.io.Directory(new java.io.File(out)).deleteRecursively()
@@ -362,13 +412,15 @@ object StreamingQueries {
   def streamIncrementalDedup(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = graft.Tables.documents(s, d)
-    val corp = docs.filter($"source" =!= "src0")
-    val corpFp = corp.select(md5($"text").as("c_fp")).distinct()
-      .withColumn("e", lit(true))
-    val corpBands = graft.operators.Dedup.bandSigs(s, d)
-      .join(corp.select($"doc_id"), Seq("doc_id"))
+    // The corpus sets come from the PERSISTED dedup index ([[DedupIndex]] —
+    // built once per corpus at ingest, CommitMarker-published): the static
+    // side of a stream-static join re-executes per micro-batch, and a
+    // production ingest stream reads its corpus index, it does not
+    // recompute corpus MinHash inside every batch.
+    val corpFp = DedupIndex.fingerprints(s, d).withColumn("e", lit(true))
+    val corpBands = DedupIndex.bands(s, d)
     val bandSets = (0 to 3).map { b =>
-      corpBands.filter($"band" === b).select($"sig".as(s"csig$b")).distinct()
+      corpBands.filter($"band" === b).select($"sig".as(s"csig$b"))
         .withColumn(s"m$b", lit(true))
     }
     val stream = s.readStream.schema(docs.schema)
@@ -387,20 +439,22 @@ object StreamingQueries {
       case (df, (bs, b)) =>
         df.join(broadcast(bs), col(s"sig$b") === col(s"csig$b"), "left")
     }
-    val out = java.nio.file.Files.createTempDirectory("graft-st6").toString
-    val q = flagged
-      .select($"doc_id",
-        coalesce($"e", lit(false)).as("exact_dup"),
-        coalesce($"m0" || $"m1" || $"m2" || $"m3", lit(false)).as("near_dup"))
-      .withColumn("keep", !$"exact_dup" && !$"near_dup")
-      .writeStream
-      .format("parquet")
-      .option("path", s"$out/data")
-      .option("checkpointLocation", s"$out/chk")
-      .outputMode("append")
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    val out = runScratchDir("graft-st6")
+    withStreamRunConf(s) {
+      val q = flagged
+        .select($"doc_id",
+          coalesce($"e", lit(false)).as("exact_dup"),
+          coalesce($"m0" || $"m1" || $"m2" || $"m3", lit(false)).as("near_dup"))
+        .withColumn("keep", !$"exact_dup" && !$"near_dup")
+        .writeStream
+        .format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/chk")
+        .outputMode("append")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
     val result = s.read.parquet(s"$out/data")
       .orderBy($"doc_id").localCheckpoint(true)
     new scala.reflect.io.Directory(new java.io.File(out)).deleteRecursively()
@@ -461,7 +515,8 @@ object StreamingQueries {
   def streamAnnMatch(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val emb = graft.Tables.embeddings(s, d)
-    val capped = cappedCorpusBands(emb.filter($"vec_id" % 5 =!= 3))
+    // persisted index, not per-batch corpus recompute — see DedupIndex
+    val capped = DedupIndex.embBands(s, d)
     val stream = s.readStream.schema(emb.schema)
       .parquet(fixtureStreamDir(d, "embeddings"))
       .filter($"vec_id" % 5 === 3)
@@ -470,19 +525,21 @@ object StreamingQueries {
       .select($"vec_id".as("q_id"), $"embedding",
         explode(array(bandCols(s): _*)).as("bs"))
       .select($"q_id", $"embedding", $"bs.band".as("band"), $"bs.sig".as("sig"))
-    val out = java.nio.file.Files.createTempDirectory("graft-st7").toString
-    val q = stream.join(broadcast(capped), Seq("band", "sig"))
-      .select($"q_id", $"m_id", $"band",
-        graft.functions.VectorFunctions.dot($"embedding", $"m_emb").as("cos"))
-      .filter($"cos" >= 0.45)
-      .writeStream
-      .format("parquet")
-      .option("path", s"$out/data")
-      .option("checkpointLocation", s"$out/chk")
-      .outputMode("append")
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    val out = runScratchDir("graft-st7")
+    withStreamRunConf(s) {
+      val q = stream.join(broadcast(capped), Seq("band", "sig"))
+        .select($"q_id", $"m_id", $"band",
+          graft.functions.VectorFunctions.dot($"embedding", $"m_emb").as("cos"))
+        .filter($"cos" >= 0.45)
+        .writeStream
+        .format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/chk")
+        .outputMode("append")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
     val result = s.read.parquet(s"$out/data")
       .orderBy($"q_id", $"m_id", $"band").localCheckpoint(true)
     new scala.reflect.io.Directory(new java.io.File(out)).deleteRecursively()
@@ -532,19 +589,24 @@ object StreamingQueries {
   def streamLatest(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val table = "st8_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = eventsStream(s, d)
-      .select($"user_id",
-        struct(unix_micros($"ts").as("ts_us"), $"event_id", $"event_type")
-          .as("rec"))
-      .groupBy($"user_id")
-      .agg(max($"rec").as("m"))
-      .select($"user_id", $"m.ts_us".as("last_ts_us"),
-        $"m.event_id".as("last_event_id"), $"m.event_type".as("last_type"))
-      .writeStream.format("memory").queryName(table)
-      .outputMode("complete")
-      .start()
-    q.processAllAvailable()
-    q.stop()
+    val chk = runScratchDir("graft-st8")
+    withStreamRunConf(s) {
+      val q = eventsStream(s, d)
+        .select($"user_id",
+          struct(unix_micros($"ts").as("ts_us"), $"event_id", $"event_type")
+            .as("rec"))
+        .groupBy($"user_id")
+        .agg(max($"rec").as("m"))
+        .select($"user_id", $"m.ts_us".as("last_ts_us"),
+          $"m.event_id".as("last_event_id"), $"m.event_type".as("last_type"))
+        .writeStream.format("memory").queryName(table)
+        .option("checkpointLocation", s"$chk/chk")
+        .outputMode("complete")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    new scala.reflect.io.Directory(new java.io.File(chk)).deleteRecursively()
     val result = s.table(table)
       .orderBy($"user_id").localCheckpoint(true)
     s.catalog.dropTempView(table)
