@@ -1,16 +1,68 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** One-off measured scale smoke (test scope, run by hand):
-  * `sbt "Test/runMain graft.ScaleSmoke"` — replicates the sf0.1 embeddings
-  * 10x (20k vectors, ~200M candidate pairs) and times the sketch-prefilter
-  * d5 against the round-1 brute-force shape on identical data. Numbers land
-  * in SURVEY.md §7.4b.
+/** Measured scale-up smoke (test scope, run by hand):
+  * `sbt "Test/runMain graft.ScaleSmoke [factor] [name-filter]"` — replicates
+  * the sf0.1 fixture tables `factor`x (default 10) with disjoint id spaces
+  * and times the heavy driver queries at 1x vs the replica, printing the
+  * wall-time ratio per query. Numbers land in SURVEY.md §7.4 (round 3: the
+  * d5 sketch-vs-brute table in §7.4b; round 10: the heavy-entry table in
+  * §7.4e).
+  *
+  * Replication shape: ids (orders, docs, vectors, users) are offset per
+  * replica so distinct-key cardinality scales with the factor — the honest
+  * "10x more data" scenario for HLL/joins — while text and embedding
+  * payloads stay identical, so every document/vector becomes a planted
+  * factor-way duplicate group: deliberately dedup-hostile (LSH buckets,
+  * k-means cells, and span groups all swell by the factor).
   */
 object ScaleSmoke {
+
+  private val IdOffset = 1000000000L
+
+  private def replicate(
+      s: SparkSession, src: String, out: String, factor: Int): Unit = {
+    def rep(name: String, df: DataFrame, idCols: Seq[String]): Unit =
+      (0 until factor).map { k =>
+        idCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(k * IdOffset)))
+      }.reduce(_ unionByName _).write.parquet(s"$out/$name.parquet")
+    rep("lineitem", Tables.lineitem(s, src), Seq("l_orderkey"))
+    rep("documents", Tables.documents(s, src), Seq("doc_id"))
+    rep("embeddings", Tables.embeddings(s, src), Seq("vec_id"))
+    // events.ts is ns parquet: replicate through the same raw-long read the
+    // engine uses (Tables.events), leaving ts untouched. Written as a single
+    // FILE like the fixture (the file-stream staging symlinks
+    // `$dir/events.parquet` and expects a file, not a directory).
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    rep("events__dir", s.read.parquet(s"$src/events.parquet").coalesce(1),
+      Seq("event_id", "user_id"))
+    val part = new java.io.File(s"$out/events__dir.parquet").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(s"$out/events.parquet"))
+  }
+
+  /** The round-7-9 heavy entries (VERDICT r9 #1), timed through the same
+    * public surface the driver runs.
+    */
+  private val Heavy = Seq(
+    "q48_countmin_sketch", "q52_hll_merge", "p11_corpus_prep",
+    "d9_semantic_dedup", "d10_repeated_spans", "d11_minhash_error",
+    "st4_stream_attribution")
+
+  private def time(body: => Unit): Double = {
+    val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+  }
+
+  private def runOnce(s: SparkSession, name: String, dir: String): Double =
+    time(SparkEntry.queries(name)(s, dir)
+      .write.format("noop").mode("overwrite").save())
+
   def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val filter = args.drop(1).headOption.getOrElse("")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -21,27 +73,40 @@ object ScaleSmoke {
     import spark.implicits._
     spark.sparkContext.setLogLevel("ERROR")
 
+    val base = "/root/testdata/sf0.1"
     val dir = java.nio.file.Files.createTempDirectory("graft-smoke").toString
-    val base = Tables.embeddings(spark, "/root/testdata/sf0.1")
-    (0 until 10).map(k => base.select(
-        ($"vec_id" + lit(k * 1000000L)).as("vec_id"), $"embedding", $"label"))
-      .reduce(_ unionByName _)
-      .write.parquet(s"$dir/embeddings.parquet")
-    val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
-    println(s"vectors: $n (${n * (n - 1) / 2} pairs)")
+    replicate(spark, base, dir, factor)
+    println(s"replicated sf0.1 x$factor at $dir")
 
-    val t0 = System.nanoTime()
-    val pairs = operators.Dedup.embedNearDup(spark, dir).count()
-    println(f"sketch-prefilter d5: $pairs pairs in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val entries = Heavy.filter(_.contains(filter))
+    if (entries.nonEmpty) {
+      // Warm pass at 1x (JIT + codegen + fixture-catalog cache), then the
+      // timed pair. min-of-two at each scale would be better but the smoke
+      // is hand-run; the ±25% box noise note from CLAUDE.md applies.
+      entries.foreach(runOnce(spark, _, base))
+      println(f"${"query"}%-24s ${s"t(1x)"}%8s ${s"t(${factor}x)"}%8s ratio")
+      entries.foreach { name =>
+        val t1 = runOnce(spark, name, base)
+        val tN = runOnce(spark, name, dir)
+        println(f"$name%-24s $t1%7.1fs $tN%7.1fs ${tN / t1}%5.1fx")
+      }
+    }
 
-    val e = spark.read.parquet(s"$dir/embeddings.parquet")
-    val t1 = System.nanoTime()
-    val brute = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .select(
-        graft.functions.VectorFunctions
-          .dot(col("a.embedding"), col("b.embedding")).as("cos"))
-      .filter($"cos" >= 0.45).count()
-    println(f"round-1 brute force:  $brute pairs in ${(System.nanoTime() - t1) / 1e9}%.1f s")
+    if (filter.isEmpty || "d5_embed_neardup".contains(filter)) {
+      // Round-3 comparison kept verbatim: sketch-prefilter d5 vs the
+      // round-1 brute-force shape on the replicated embeddings.
+      val t0 = System.nanoTime()
+      val pairs = operators.Dedup.embedNearDup(spark, dir).count()
+      println(f"sketch-prefilter d5: $pairs pairs in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val t1 = System.nanoTime()
+      val brute = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(
+          graft.functions.VectorFunctions
+            .dot(col("a.embedding"), col("b.embedding")).as("cos"))
+        .filter($"cos" >= 0.45).count()
+      println(f"round-1 brute force:  $brute pairs in ${(System.nanoTime() - t1) / 1e9}%.1f s")
+    }
     spark.stop()
   }
 }
