@@ -165,6 +165,81 @@ object Similarity {
        |ORDER BY score DESC, e.vec_id ASC
        |LIMIT 10""".stripMargin
 
+  /** All signatures at hamming distance exactly `r` from `qsig`. */
+  private def ringSigs(qsig: String, r: Int): Seq[String] =
+    (0 until NumPlanes).combinations(r).map { pos =>
+      pos.foldLeft(qsig)((s0, i) =>
+        s0.updated(i, if (s0(i) == '0') '1' else '0'))
+    }.toSeq
+
+  /** s14: ADAPTIVE multi-probe — expand the probe radius until the probed
+    * buckets hold at least k candidates, then rank those. The fix for the
+    * fixed-probe variants' silent under-fill (s6 measures s2 at 0 hits on
+    * a small fixture: one 8-bit bucket holds ~1/256 of the corpus, which
+    * under-fills whenever corpus/256 < k — a real user's first complaint
+    * about an ANN index). The radius loop is driver-side but bounded
+    * (≤ NumPlanes+1 rings) and each ring count is a partition-PRUNED scan
+    * of only that ring's buckets (the probe set stays a literal
+    * PartitionFilter, pinned in PlanAuditSpec) — cumulative scan cost when
+    * stopping at radius R equals one s3-style probe at radius R, which is
+    * the probe-until-k contract. Deterministic: rings expand in radius
+    * order, the stop rule is cumulative-count ≥ k, ties rank by (score
+    * DESC, vec_id ASC) like every ANN entry. `probe_radius` surfaces the
+    * chosen radius so callers see what the lookup cost.
+    */
+  def annProbeUntilK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 10
+    val idx = AnnIndex.read(s, d)
+    val (qv, qsig) = queryPoint(s, d)
+    val probed = scala.collection.mutable.ArrayBuffer.empty[String]
+    var radius = 0
+    var have = 0L
+    while (have < k && radius <= NumPlanes) {
+      val ring = ringSigs(qsig, radius)
+      have += idx
+        .filter($"sigp".isin(ring.map("s" + _): _*) && $"vec_id" =!= 0)
+        .count()
+      probed ++= ring
+      if (have < k) radius += 1
+    }
+    val r = math.min(radius, NumPlanes)
+    idx.filter($"sigp".isin(probed.map("s" + _).toSeq: _*) && $"vec_id" =!= 0)
+      .select($"vec_id", $"label", $"sig",
+        VectorFunctions.dot($"embedding", typedlit(qv)).as("score"),
+        lit(r).as("probe_radius"))
+      .orderBy($"score".desc, $"vec_id".asc)
+      .limit(k)
+  }
+
+  /** Oracle replay: per-row hamming distance to the query signature, the
+    * minimal radius whose cumulative candidate count reaches k (cumulative
+    * count is monotone and changes only at present distances, so MIN over
+    * present distances with cum ≥ k equals the Spark ring loop's stop
+    * radius), then the same ranked top-k within that radius. COALESCE
+    * covers the corpus-smaller-than-k edge (all rings probed).
+    */
+  val annProbeUntilKSql: String =
+    s"""WITH sigs AS (
+       |  SELECT vec_id, label, embedding, ${sigSql("embedding")} AS sig
+       |  FROM embeddings),
+       |q AS (SELECT embedding AS qv, sig AS qsig FROM sigs WHERE vec_id = 0),
+       |dist AS (
+       |  SELECT e.vec_id, e.label, e.sig, $dotSql AS score,
+       |    hamming(e.sig, q.qsig) AS hd
+       |  FROM sigs e CROSS JOIN q
+       |  WHERE e.vec_id <> 0),
+       |rad AS (
+       |  SELECT COALESCE(MIN(hd), $NumPlanes) AS r FROM (
+       |    SELECT hd, SUM(COUNT(*)) OVER (ORDER BY hd) AS cum
+       |    FROM dist GROUP BY hd) t
+       |  WHERE cum >= 10)
+       |SELECT vec_id, label, sig, score, CAST(r AS INTEGER) AS probe_radius
+       |FROM dist, rad
+       |WHERE hd <= r
+       |ORDER BY score DESC, vec_id ASC
+       |LIMIT 10""".stripMargin
+
   /** IVF ANN over the persisted [[AnnIndex.readIvf]] index, with TRAINED
     * centroids (one integer-quantized Lloyd round at build time — see
     * [[AnnIndex.buildIvf]]): the query's 2 nearest centroids by exact
@@ -312,7 +387,8 @@ object Similarity {
     Seq(
       recallOf("s2_ann_lsh", annLsh(s, d)),
       recallOf("s3_ann_multiprobe", annMultiProbe(s, d)),
-      recallOf("s4_ann_ivf", annIvf(s, d)))
+      recallOf("s4_ann_ivf", annIvf(s, d)),
+      recallOf("s14_ann_probe_adaptive", annProbeUntilK(s, d)))
       .reduce(_ unionByName _)
       .withColumn("recall_pct", ($"hits" * 10).cast("int"))
       .orderBy($"method")
@@ -330,6 +406,7 @@ object Similarity {
        |a2 AS (SELECT vec_id FROM (__S2__) t),
        |a3 AS (SELECT vec_id FROM (__S3__) t),
        |a4 AS (SELECT vec_id FROM (__S4__) t),
+       |a14 AS (SELECT vec_id FROM (__S14__) t),
        |r AS (
        |  SELECT 's2_ann_lsh' AS method, CAST(COUNT(*) AS INTEGER) AS hits
        |  FROM a2 JOIN exact USING (vec_id)
@@ -338,13 +415,17 @@ object Similarity {
        |  FROM a3 JOIN exact USING (vec_id)
        |  UNION ALL
        |  SELECT 's4_ann_ivf', CAST(COUNT(*) AS INTEGER)
-       |  FROM a4 JOIN exact USING (vec_id))
+       |  FROM a4 JOIN exact USING (vec_id)
+       |  UNION ALL
+       |  SELECT 's14_ann_probe_adaptive', CAST(COUNT(*) AS INTEGER)
+       |  FROM a14 JOIN exact USING (vec_id))
        |SELECT method, hits, hits * 10 AS recall_pct
        |FROM r
        |ORDER BY method""".stripMargin
       .replace("__S2__", annLshSql)
       .replace("__S3__", annMultiProbeSql)
       .replace("__S4__", annIvfSql)
+      .replace("__S14__", annProbeUntilKSql)
 
   /** s7: BATCHED ANN — the production lookup shape: a whole table of query
     * vectors answered in ONE job instead of a per-query loop. Each query
@@ -674,7 +755,8 @@ object Similarity {
     "s5_quantized_topk"  -> (quantizedTopK _),
     "s6_ann_recall"      -> (annRecall _),
     "s7_ann_batch"       -> (annBatch _),
-    "s8_hard_negatives"  -> (hardNegatives _))
+    "s8_hard_negatives"  -> (hardNegatives _),
+    "s14_ann_probe_adaptive" -> (annProbeUntilK _))
 
   val oracle: Map[String, String] = Map(
     "s10_mmr_rerank"     -> mmrRerankSql,
@@ -688,5 +770,6 @@ object Similarity {
     "s8_hard_negatives"  -> hardNegativesSql,
     "s11_ann_incremental" -> annIncrementalSql,
     "s12_ann_filtered"   -> annFilteredSql,
-    "s13_quant_error"    -> quantizationErrorSql)
+    "s13_quant_error"    -> quantizationErrorSql,
+    "s14_ann_probe_adaptive" -> annProbeUntilKSql)
 }

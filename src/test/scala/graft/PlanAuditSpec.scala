@@ -69,6 +69,12 @@ class PlanAuditSpec extends AnyFunSuite {
       s"no sigp partition filter in scan:\n$p")
   }
 
+  test("s14 adaptive probe keeps the final scan partition-pruned to its rings") {
+    val p = plan("s14_ann_probe_adaptive")
+    assert("PartitionFilters: \\[[^\\]]*sigp".r.findFirstIn(p).isDefined,
+      s"no sigp partition filter in scan:\n$p")
+  }
+
   test("s4 IVF lookup prunes to its probed cells at the partition level") {
     val p = plan("s4_ann_ivf")
     assert("PartitionFilters: \\[[^\\]]*cellp".r.findFirstIn(p).isDefined,
