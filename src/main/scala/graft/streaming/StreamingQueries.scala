@@ -626,7 +626,100 @@ object StreamingQueries {
       |FROM ranked WHERE rn = 1
       |ORDER BY user_id""".stripMargin
 
+  /** st9: TRANSACTIONAL streaming ingest — the round-9 foreachBatch-commit
+    * spec promoted to the hash gate. A bounded file stream delivers the
+    * events fixture in three deterministic waves (`event_id % 3`, staged
+    * one file per wave with wave-ordered mtimes; `maxFilesPerTrigger=1`
+    * makes each wave exactly one micro-batch), and every micro-batch
+    * upserts its per-user stats into a real [[graft.kv.PotTable]] — one
+    * CAS-committed generation per batch, so a reader at any moment sees a
+    * complete committed version, never a torn batch. The query is then
+    * kv8's time-travel surface on the STREAM-BUILT store: generation 1
+    * (the first wave) joined against the current LWW state. The oracle
+    * replays the wave split relationally without seeing the store — what
+    * the hash checks is that streaming commits are exactly as addressable
+    * and immutable as batch ones.
+    */
+  def streamPotIngest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // Stage the wave files: 3 bounded coalesced writes + renames (the
+    // same staging pattern as fixtureStreamDir, parameterized by wave).
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft-st9-src").toString
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = graft.Tables.load(s, d, "events").select($"event_id", $"user_id")
+    (0 to 2).foreach { k =>
+      val wdir = s"$stage/w$k"
+      ev.filter($"event_id" % 3 === k).coalesce(1).write.parquet(wdir)
+      val part = new java.io.File(wdir).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val f = new java.io.File(s"$stage/wave$k.parquet")
+      java.nio.file.Files.move(part.toPath, f.toPath)
+      f.setLastModified(10000L * (k + 1)) // wave order = source file order
+      new scala.reflect.io.Directory(new java.io.File(wdir)).deleteRecursively()
+    }
+    val potRoot = java.nio.file.Files
+      .createTempDirectory("graft-st9-pot").toString
+    val pot = graft.kv.PotTable(s, potRoot, "ingest")
+    val chk = runScratchDir("graft-st9")
+    withStreamRunConf(s) {
+      val q = s.readStream
+        .schema("event_id BIGINT, user_id BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .writeStream
+        .option("checkpointLocation", s"$chk/chk")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val stats = batch
+            .groupBy($"user_id".cast("string").as("key"))
+            .agg(count(lit(1)).as("n"), max($"event_id").as("last_id"))
+          // Guard against no-data batches: an empty upsert would burn a
+          // generation and shift the time-travel handle.
+          if (!stats.isEmpty) { pot.upsert(stats); () }
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    val g1 = pot.getAt(1L)
+      .select($"key", $"n".as("n_g1"), $"last_id".as("last_g1"))
+    val cur = pot.get()
+      .select($"key", $"n".as("n_cur"), $"last_id".as("last_cur"))
+    val result = g1.join(cur, Seq("key"))
+      .select($"key".cast("bigint").as("key"),
+        $"n_g1", $"last_g1", $"n_cur", $"last_cur")
+      .orderBy($"key")
+      .localCheckpoint(true)
+    Seq(stage, potRoot, chk).foreach(p =>
+      new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively())
+    result
+  }
+
+  /** Oracle replay: wave stats per (user, residue); current = the user's
+    * highest-residue wave (LWW over in-order upserts); generation 1 = the
+    * lowest non-empty wave (mirrors the empty-batch guard above).
+    */
+  val streamPotIngestSql: String =
+    """WITH stats AS (
+      |  SELECT user_id, event_id % 3 AS wv,
+      |    COUNT(*) AS n, MAX(event_id) AS last_id
+      |  FROM events GROUP BY 1, 2),
+      |cur AS (
+      |  SELECT user_id, n, last_id FROM (
+      |    SELECT user_id, n, last_id,
+      |      ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY wv DESC) AS rn
+      |    FROM stats) t
+      |  WHERE rn = 1),
+      |g1 AS (
+      |  SELECT user_id, n, last_id FROM stats
+      |  WHERE wv = (SELECT MIN(wv) FROM stats))
+      |SELECT g1.user_id AS key, g1.n AS n_g1, g1.last_id AS last_g1,
+      |  cur.n AS n_cur, cur.last_id AS last_cur
+      |FROM g1 JOIN cur ON g1.user_id = cur.user_id
+      |ORDER BY key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st9_stream_pot_ingest" -> (streamPotIngest _),
     "st8_stream_latest"    -> (streamLatest _),
     "st7_stream_ann_match" -> (streamAnnMatch _),
     "st6_stream_ingest_dedup" -> (streamIncrementalDedup _),
@@ -637,6 +730,7 @@ object StreamingQueries {
     "st4_stream_attribution" -> (streamClickAttribution _))
 
   val oracle: Map[String, String] = Map(
+    "st9_stream_pot_ingest" -> streamPotIngestSql,
     "st8_stream_latest"    -> streamLatestSql,
     "st7_stream_ann_match" -> streamAnnMatchSql,
     "st6_stream_ingest_dedup" -> graft.operators.Pipeline.incrementalDedupSql,
