@@ -125,18 +125,40 @@ object AnnIndex {
     * generation's marker). Returns the committed data dir for `gen`,
     * building (and racing to publish) if absent.
     */
+  /** Committed data dir for `gen`'s marker, None if absent or a husk. */
+  private def committedAt(
+      fs: org.apache.hadoop.fs.FileSystem,
+      base: org.apache.hadoop.fs.Path, gen: Long): Option[String] = {
+    val marker = new org.apache.hadoop.fs.Path(base, s"commits/$gen")
+    try {
+      if (fs.getFileStatus(marker).getLen > 0)
+        Some(graft.kv.CommitMarker.read(fs, marker))
+      else None // zero-length husk: a crashed publisher, not a commit
+    } catch { case _: java.io.FileNotFoundException => None }
+  }
+
+  /** All committed generations under `base`, ascending. Generations are
+    * dense from 1 (ensureGeneration publishes N+1 only after N exists), so
+    * the walk stops at the first gap.
+    */
+  private[graft] def committedGenerations(
+      s: SparkSession,
+      base: org.apache.hadoop.fs.Path): Seq[(Long, String)] = {
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    Iterator.from(1)
+      .map(g => (g.toLong, committedAt(fs, base, g.toLong)))
+      .takeWhile(_._2.isDefined)
+      .map { case (g, dir) => (g, dir.get) }
+      .toSeq
+  }
+
   private[graft] def ensureGeneration(
       s: SparkSession, base: org.apache.hadoop.fs.Path, gen: Long)(
       build: String => Unit): String = {
     import org.apache.hadoop.fs.Path
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
     val marker = new Path(base, s"commits/$gen")
-    def committed: Option[String] =
-      try {
-        if (fs.getFileStatus(marker).getLen > 0)
-          Some(graft.kv.CommitMarker.read(fs, marker))
-        else None // zero-length husk: a crashed publisher, not a commit
-      } catch { case _: java.io.FileNotFoundException => None }
+    def committed: Option[String] = committedAt(fs, base, gen)
     committed.getOrElse {
       val staging = new Path(base, s"data-${java.util.UUID.randomUUID()}")
       build(staging.toString)
@@ -234,4 +256,101 @@ object AnnIndex {
       .map { case (g, dir) =>
         s.read.parquet(dir).withColumn("gen", lit(g)) }
       .reduce(_ unionByName _)
+
+  /** Sidecar file marking a generation as a FOLD: its data dir contains
+    * the union of every generation visible when it was built, so readers
+    * start at the latest fold and union only what came after. The `_`
+    * prefix hides it from the parquet scan like `_centroids`.
+    */
+  private val FoldsSidecar = "_folds"
+
+  private def isFold(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(dir, FoldsSidecar))
+
+  /** The generations a reader must union: everything from the latest fold
+    * (inclusive) on — earlier generations are subsumed by the fold.
+    */
+  private def visibleGenerations(
+      fs: org.apache.hadoop.fs.FileSystem,
+      gens: Seq[(Long, String)]): Seq[(Long, String)] =
+    gens.filter { case (_, dir) => isFold(fs, dir) }
+      .map(_._1).maxOption match {
+      case Some(f) => gens.filter(_._1 >= f)
+      case None    => gens
+    }
+
+  /** Union read of the visible generations under an arbitrary index base
+    * (the generic form of [[readIncremental]], fold-aware; used by the
+    * compaction equivalence checks).
+    */
+  private[graft] def readCommitted(
+      s: SparkSession, base: org.apache.hadoop.fs.Path): DataFrame = {
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    visibleGenerations(fs, committedGenerations(s, base))
+      .map { case (_, dir) => s.read.parquet(dir) }
+      .reduce(_ unionByName _)
+  }
+
+  /** COMPACTION for the incrementally-maintained index: fold the visible
+    * generations into one partitioned data dir and publish the fold as the
+    * NEXT generation through the same [[graft.kv.CommitMarker]]
+    * stage-then-publish CAS as every other commit — the object-store
+    * hygiene a 100 TB index needs once daily deltas accumulate (each
+    * lookup otherwise pays one file-listing per generation per probed
+    * bucket forever). Properties:
+    *
+    *   - readers are never torn: the fold is invisible until its marker
+    *     commits, and every pre-fold generation stays intact underneath
+    *     (vacuum is a separate, explicitly-invoked step);
+    *   - lookup-equivalent: the fold's rows are exactly the union of what
+    *     it folded, partitioned by the same `sigp` scheme, so partition
+    *     pruning and results are unchanged (AnnIndexSpec asserts
+    *     row-identity before/after);
+    *   - race-safe: if a concurrent APPEND wins the next-generation CAS,
+    *     the staged fold is deleted and their delta is adopted — this
+    *     compact() run becomes a no-op (returns None) and the caller
+    *     retries later, which is the right loser behavior (folding is
+    *     maintenance; appends are data).
+    */
+  def compact(
+      s: SparkSession, base: org.apache.hadoop.fs.Path): Option[String] = {
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val gens = committedGenerations(s, base)
+    require(gens.nonEmpty, s"no committed generations under $base")
+    val top = gens.last._1
+    val visible = visibleGenerations(fs, gens)
+    if (visible.size <= 1) return None // single (or already-folded) gen
+    val dir = ensureGeneration(s, base, top + 1) { out =>
+      visible.map { case (_, d) => s.read.parquet(d) }
+        .reduce(_ unionByName _)
+        .repartition(col("sigp"))
+        .write.partitionBy("sigp").mode("overwrite").parquet(out)
+      val f = fs.create(
+        new org.apache.hadoop.fs.Path(out, FoldsSidecar), false)
+      try f.write(top.toString.getBytes("UTF-8")) finally f.close()
+    }
+    if (isFold(fs, dir)) Some(dir) else None // lost the CAS to an append
+  }
+
+  /** Delete the data dirs of generations subsumed by the latest fold
+    * (markers are retained — history stays addressable, the dirs just
+    * answer 404 like any vacuumed version). Same caveat as
+    * [[graft.kv.PotTable.vacuum]]: run it after in-flight readers of the
+    * old generations have drained.
+    */
+  def vacuumFolded(
+      s: SparkSession, base: org.apache.hadoop.fs.Path): Seq[Long] = {
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val gens = committedGenerations(s, base)
+    gens.filter { case (_, dir) => isFold(fs, dir) }
+      .map(_._1).maxOption match {
+      case None => Seq.empty
+      case Some(f) =>
+        gens.takeWhile(_._1 < f).map { case (g, dir) =>
+          fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+          g
+        }
+    }
+  }
 }

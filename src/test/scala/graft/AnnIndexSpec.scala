@@ -102,6 +102,41 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(graft.kv.CommitMarker.read(fs, new Path(base, "commits/2")) === g2)
   }
 
+  test("compact folds generations via the marker CAS; lookups identical; vacuum reclaims") {
+    import spark.implicits._
+    val base = new Path(
+      new java.io.File(System.getProperty("java.io.tmpdir")).toURI.toString,
+      s"graft-cmptest-${java.util.UUID.randomUUID()}-v2")
+    def writeGen(g: Long, rows: Seq[(Long, String, String)]): String =
+      AnnIndex.ensureGeneration(spark, base, g) { out =>
+        rows.toDF("vec_id", "label", "sigp")
+          .write.partitionBy("sigp").mode("overwrite").parquet(out)
+      }
+    val g1 = writeGen(1L, Seq((1L, "a", "s00"), (2L, "b", "s01"), (3L, "c", "s00")))
+    writeGen(2L, Seq((4L, "d", "s01"), (5L, "e", "s10")))
+    // the s2-shaped pruned lookup whose results must survive compaction
+    def lookup(): Seq[(Long, String)] =
+      AnnIndex.readCommitted(spark, base).filter($"sigp" === "s01")
+        .select($"vec_id", $"label").as[(Long, String)].collect().sorted.toSeq
+    val before = lookup()
+    assert(before === Seq((2L, "b"), (4L, "d")))
+    // fold commits as generation 3; pre-fold generations stay intact
+    assert(AnnIndex.compact(spark, base).isDefined)
+    assert(AnnIndex.committedGenerations(spark, base).map(_._1) === Seq(1L, 2L, 3L))
+    assert(lookup() === before)
+    assert(AnnIndex.readCommitted(spark, base).count() === 5)
+    // compacting an already-folded chain with no new deltas is a no-op
+    assert(AnnIndex.compact(spark, base) === None)
+    // appends continue as generations ON TOP of the fold
+    writeGen(4L, Seq((6L, "f", "s01")))
+    assert(lookup() === Seq((2L, "b"), (4L, "d"), (6L, "f")))
+    // vacuum deletes only subsumed data dirs; markers + results unaffected
+    assert(AnnIndex.vacuumFolded(spark, base) === Seq(1L, 2L))
+    assert(!fsFor(base).exists(new Path(g1)))
+    assert(graft.kv.CommitMarker.read(fsFor(base), new Path(base, "commits/1")) === g1)
+    assert(lookup() === Seq((2L, "b"), (4L, "d"), (6L, "f")))
+  }
+
   test("second locate call reads the marker, builds nothing") {
     val d = s"cache-${java.util.UUID.randomUUID()}"
     val builds = new AtomicInteger(0)
