@@ -640,24 +640,33 @@ object StreamingQueries {
     * the hash checks is that streaming commits are exactly as addressable
     * and immutable as batch ones.
     */
+  /** Wave staging for st9, once per fixture dir (fixtureStreamDir's
+    * pattern): the wave files are a pure function of the immutable
+    * fixture, so repeated runs re-stream them without re-writing them.
+    */
+  private def waveStageDir(s: SparkSession, d: String): String =
+    streamDirs.getOrElseUpdate(s"$d#st9waves", {
+      val stage = java.nio.file.Files
+        .createTempDirectory("graft-st9-src").toString
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      import s.implicits._
+      val ev = graft.Tables.load(s, d, "events").select($"event_id", $"user_id")
+      (0 to 2).foreach { k =>
+        val wdir = s"$stage/w$k"
+        ev.filter($"event_id" % 3 === k).coalesce(1).write.parquet(wdir)
+        val part = new java.io.File(wdir).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val f = new java.io.File(s"$stage/wave$k.parquet")
+        java.nio.file.Files.move(part.toPath, f.toPath)
+        f.setLastModified(10000L * (k + 1)) // wave order = source file order
+        new scala.reflect.io.Directory(new java.io.File(wdir)).deleteRecursively()
+      }
+      stage
+    })
+
   def streamPotIngest(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    // Stage the wave files: 3 bounded coalesced writes + renames (the
-    // same staging pattern as fixtureStreamDir, parameterized by wave).
-    val stage = java.nio.file.Files
-      .createTempDirectory("graft-st9-src").toString
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val ev = graft.Tables.load(s, d, "events").select($"event_id", $"user_id")
-    (0 to 2).foreach { k =>
-      val wdir = s"$stage/w$k"
-      ev.filter($"event_id" % 3 === k).coalesce(1).write.parquet(wdir)
-      val part = new java.io.File(wdir).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val f = new java.io.File(s"$stage/wave$k.parquet")
-      java.nio.file.Files.move(part.toPath, f.toPath)
-      f.setLastModified(10000L * (k + 1)) // wave order = source file order
-      new scala.reflect.io.Directory(new java.io.File(wdir)).deleteRecursively()
-    }
+    val stage = waveStageDir(s, d)
     val potRoot = java.nio.file.Files
       .createTempDirectory("graft-st9-pot").toString
     val pot = graft.kv.PotTable(s, potRoot, "ingest")
@@ -690,7 +699,8 @@ object StreamingQueries {
         $"n_g1", $"last_g1", $"n_cur", $"last_cur")
       .orderBy($"key")
       .localCheckpoint(true)
-    Seq(stage, potRoot, chk).foreach(p =>
+    // stage is cached per fixture (waveStageDir) and deliberately kept
+    Seq(potRoot, chk).foreach(p =>
       new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively())
     result
   }
