@@ -78,7 +78,10 @@ object ScaleSmoke {
     replicate(spark, base, dir, factor)
     println(s"replicated sf0.1 x$factor at $dir")
 
-    val entries = Heavy.filter(_.contains(filter))
+    // comma-separated substring filter: "q48,d11" runs just those
+    val parts = filter.split(",").filter(_.nonEmpty).toSeq
+    def matches(name: String) = parts.isEmpty || parts.exists(name.contains)
+    val entries = Heavy.filter(matches)
     if (entries.nonEmpty) {
       // Warm pass at 1x (JIT + codegen + fixture-catalog cache), then the
       // timed pair. min-of-two at each scale would be better but the smoke
@@ -92,7 +95,7 @@ object ScaleSmoke {
       }
     }
 
-    if (filter.isEmpty || "d5_embed_neardup".contains(filter)) {
+    if (matches("d5_embed_neardup")) {
       // Round-3 comparison kept verbatim: sketch-prefilter d5 vs the
       // round-1 brute-force shape on the replicated embeddings.
       val t0 = System.nanoTime()
