@@ -63,6 +63,9 @@ object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val filter = args.drop(1).headOption.getOrElse("")
+    // optional 3rd arg: reuse an existing replica dir (skip replication —
+    // re-measuring after a noisy first pass shouldn't pay the write again)
+    val reuse = args.drop(2).headOption
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -74,9 +77,12 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("ERROR")
 
     val base = "/root/testdata/sf0.1"
-    val dir = java.nio.file.Files.createTempDirectory("graft-smoke").toString
-    replicate(spark, base, dir, factor)
-    println(s"replicated sf0.1 x$factor at $dir")
+    val dir = reuse.getOrElse {
+      val d = java.nio.file.Files.createTempDirectory("graft-smoke").toString
+      replicate(spark, base, d, factor)
+      d
+    }
+    println(s"replica sf0.1 x$factor at $dir")
 
     // comma-separated substring filter: "q48,d11" runs just those
     val parts = filter.split(",").filter(_.nonEmpty).toSeq
