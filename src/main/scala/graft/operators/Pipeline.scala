@@ -601,7 +601,76 @@ object Pipeline {
       |GROUP BY 1, 2
       |ORDER BY lang, bin""".stripMargin
 
+  /** p12 seed domain: vectors labeled [[DomainSeedLabel]] define the target
+    * domain; [[DomainTau]] is the keep threshold on the centroid dot —
+    * fixture-empirical (≈ the 90th percentile of the score distribution at
+    * sf0.01, keeping ~10%), mirrored LITERALLY in the oracle SQL like d5's
+    * hamming cap.
+    */
+  val DomainSeedLabel = 0
+  val DomainTau = 0.02
+
+  /** p12: embedding-based domain filter — the classifier-free corpus
+    * curation shape (score every document's embedding against a small
+    * labeled seed set, keep what scores above a threshold). Two stages:
+    *
+    *   1. centroid of the seed vectors, per dimension, as an exact
+    *      DECIMAL(38,6) mean ([[graft.Ora.davg]] — order-independent, so
+    *      1000 executors of partial sums produce the identical vector);
+    *   2. one broadcast of the 1-row centroid and a MAP-SIDE dot + filter
+    *      over the whole corpus — no shuffle touches the big table, which
+    *      is what makes this the 100 TB shape (the seed agg is 64 rows
+    *      regardless of corpus size).
+    *
+    * The dot accumulates left-to-right like s1 so DuckDB's `list_reduce`
+    * reproduces it bit-for-bit.
+    */
+  def domainFilter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val cent = e.filter($"label" === DomainSeedLabel)
+      .select(posexplode($"embedding").as(Seq("dim", "x")))
+      .groupBy($"dim").agg(graft.Ora.davg($"x".cast("double")).as("c"))
+      .agg(sort_array(collect_list(struct($"dim", $"c"))).as("dc"))
+      .select(transform($"dc", p => p("c")).as("cv"))
+    e.crossJoin(broadcast(cent))
+      .filter($"label" =!= DomainSeedLabel)
+      .select($"vec_id", $"label",
+        aggregate(
+          zip_with($"embedding".cast("array<double>"), $"cv", (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x).as("score"))
+      .filter($"score" >= DomainTau)
+      .orderBy($"score".desc, $"vec_id".asc)
+  }
+
+  val domainFilterSql: String = {
+    val base =
+      """WITH cent AS (
+        |  SELECT list(c ORDER BY dim) AS cv FROM (
+        |    SELECT i - 1 AS dim, @AVG@ AS c
+        |    FROM (SELECT unnest(embedding) AS x,
+        |            generate_subscripts(embedding, 1) AS i
+        |          FROM embeddings WHERE label = @SEED@) t
+        |    GROUP BY i - 1) g),
+        |scored AS (
+        |  SELECT e.vec_id, e.label,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |      list_transform(range(1, len(e.embedding) + 1),
+        |        i -> CAST(e.embedding[i] AS DOUBLE) * cv[i])),
+        |      (acc, x) -> acc + x) AS score
+        |  FROM embeddings e CROSS JOIN cent
+        |  WHERE e.label <> @SEED@)
+        |SELECT vec_id, label, score FROM scored
+        |WHERE score >= @TAU@
+        |ORDER BY score DESC, vec_id ASC""".stripMargin
+    base
+      .replace("@AVG@", graft.Ora.sqlAvg("CAST(x AS DOUBLE)"))
+      .replace("@SEED@", DomainSeedLabel.toString)
+      .replace("@TAU@", DomainTau.toString)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p12_domain_filter"    -> (domainFilter _),
     "p11_corpus_prep"      -> (corpusPrep _),
     "p10_epoch_repeat"     -> (epochRepeat _),
     "p9_temperature_mix"   -> (temperatureMix _),
@@ -615,6 +684,7 @@ object Pipeline {
     "p7_bloom_decontaminate" -> (bloomDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "p12_domain_filter"    -> domainFilterSql,
     "p11_corpus_prep"      -> corpusPrepSql,
     "p10_epoch_repeat"     -> epochRepeatSql,
     "p9_temperature_mix"   -> temperatureMixSql,

@@ -116,6 +116,18 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("p12 domain filter broadcasts the centroid; corpus side stays map-side") {
+    val p = plan("p12_domain_filter")
+    // the 1-row centroid reaches the corpus via broadcast, never a shuffle
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly one exchange: the 64-row seed-dim aggregate. The corpus scan
+    // feeds the dot + threshold with no shuffle of its own.
+    val corpusSide = p.linesIterator.filterNot(_.contains("broadcast")).mkString("\n")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"corpus must not shuffle, found $exchanges exchanges:\n$corpusSide")
+  }
+
   test("s11 incremental lookup prunes partitions in every generation") {
     val p = plan("s11_ann_incremental")
     val prunedScans = "PartitionFilters: \\[[^\\]]*sigp".r.findAllIn(p).size

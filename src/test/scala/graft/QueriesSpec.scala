@@ -60,6 +60,15 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("p12 domain filter: seed label excluded, every kept score >= tau") {
+    import operators.Pipeline
+    val rows = Pipeline.domainFilter(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getInt(1) != Pipeline.DomainSeedLabel),
+      "a seed vector leaked into the filtered corpus")
+    assert(rows.forall(_.getDouble(2) >= Pipeline.DomainTau))
+  }
+
   test("every oracleSql key has a queries entry") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracleSql without queries: $missing")
