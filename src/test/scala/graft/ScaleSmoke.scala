@@ -101,6 +101,17 @@ object ScaleSmoke {
       }
     }
 
+    if (matches("s2_ann_lsh")) {
+      // ANN lookup vs corpus growth: build (ingest) both indexes in a warm
+      // pass, then time the LOOKUP alone at each scale. Partition pruning
+      // should hold the lookup ~flat while the corpus grows by the factor —
+      // the property that makes the persisted index the 100 TB path.
+      runOnce(spark, "s2_ann_lsh", base); runOnce(spark, "s2_ann_lsh", dir)
+      val t1 = runOnce(spark, "s2_ann_lsh", base)
+      val tN = runOnce(spark, "s2_ann_lsh", dir)
+      println(f"s2 lookup (index warm)   $t1%7.1fs $tN%7.1fs ${tN / t1}%5.1fx")
+    }
+
     if (matches("d5_embed_neardup")) {
       // Round-3 comparison kept verbatim: sketch-prefilter d5 vs the
       // round-1 brute-force shape on the replicated embeddings.
