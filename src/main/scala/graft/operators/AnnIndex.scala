@@ -195,6 +195,56 @@ object AnnIndex {
     }
   }
 
+  /** Publish a NON-REPRODUCIBLE delta as the next free generation — the
+    * production append protocol. [[ensureGeneration]]'s loser behavior
+    * (delete staging, adopt the winner) is only correct when the content
+    * is DETERMINISTIC for its generation number (cold-start index builds,
+    * the fixture's fixed base/delta split, a fold retried later): two
+    * racers there stage the same rows, so either's dir serves. An append's
+    * rows exist nowhere else — losing the marker CAS to a concurrent
+    * append or [[compact]] fold must never drop them. So: stage once,
+    * then CAS at successive generation numbers until one marker is won;
+    * the staged dir is never deleted on a lost race, only re-offered at
+    * the next number.
+    */
+  def append(
+      s: SparkSession, base: org.apache.hadoop.fs.Path)(
+      build: String => Unit): (Long, String) = {
+    import org.apache.hadoop.fs.Path
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val staging = new Path(base, s"data-${java.util.UUID.randomUUID()}")
+    // target generation read BEFORE the (long) build: any commit that
+    // lands while we build just costs one conflict-and-advance below
+    var gen = committedGenerations(s, base).lastOption.map(_._1).getOrElse(0L) + 1
+    build(staging.toString)
+    val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+    while (true) {
+      val marker = new Path(base, s"commits/$gen")
+      try {
+        graft.kv.CommitMarker.publish(fs, marker, staging.toString)
+        return (gen, staging.toString)
+      } catch {
+        case _: graft.kv.PotTable.CommitIncomplete =>
+          // our own write/close failed and the husk was cleaned: retry here
+          if (System.nanoTime() > deadline)
+            throw new IllegalStateException(
+              s"append marker $marker: repeated incomplete commits")
+        case _: graft.kv.PotTable.CommitConflict =>
+          committedAt(fs, base, gen) match {
+            case Some(_) => gen += 1 // someone else's commit; ours is next
+            case None =>             // husk whose reclaim is in flight
+              if (System.nanoTime() > deadline)
+                throw new IllegalStateException(
+                  s"append marker $marker never committed; " +
+                    "run CommitMarker.repair on its commits dir if a " +
+                    "reclaimer crashed")
+              Thread.sleep(100L)
+          }
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Sign-LSH index location for fixture dir `d`, building on first use. */
   def locate(s: SparkSession, d: String): String =
     locateIndex(s, d, "graft-ann")(build)
@@ -247,15 +297,18 @@ object AnnIndex {
     Seq((1, g1), (2, g2))
   }
 
-  /** Read the union of all committed generations, tagging each row with
-    * the generation that brought it — the provenance a production lookup
-    * reports ("hit came from yesterday's delta").
+  /** Read the union of the VISIBLE generations, tagging each row with the
+    * generation that brought it — the provenance a production lookup
+    * reports ("hit came from yesterday's delta"). Fold-aware: after a
+    * [[compact]]+[[vacuumFolded]] cycle the walk starts at the latest fold
+    * (whose rows carry their ORIGINAL `gen` as a data column, so
+    * provenance survives compaction) instead of hard-reading the vacuumed
+    * generation-1/2 dirs.
     */
-  def readIncremental(s: SparkSession, d: String): DataFrame =
-    locateIncremental(s, d)
-      .map { case (g, dir) =>
-        s.read.parquet(dir).withColumn("gen", lit(g)) }
-      .reduce(_ unionByName _)
+  def readIncremental(s: SparkSession, d: String): DataFrame = {
+    locateIncremental(s, d) // fixture contract: base + delta exist
+    readCommitted(s, indexBase("graft-annincr", d))
+  }
 
   /** Sidecar file marking a generation as a FOLD: its data dir contains
     * the union of every generation visible when it was built, so readers
@@ -280,15 +333,24 @@ object AnnIndex {
       case None    => gens
     }
 
+  /** A generation's rows with `gen` provenance: folds already carry the
+    * column (their rows keep the generation that ORIGINALLY ingested
+    * them); plain generations get their own number attached.
+    */
+  private def withGen(df: DataFrame, g: Long): DataFrame =
+    if (df.columns.contains("gen")) df
+    else df.withColumn("gen", lit(g.toInt))
+
   /** Union read of the visible generations under an arbitrary index base
     * (the generic form of [[readIncremental]], fold-aware; used by the
-    * compaction equivalence checks).
+    * compaction equivalence checks). Every row carries `gen` — its
+    * original ingest generation, preserved through folds.
     */
   private[graft] def readCommitted(
       s: SparkSession, base: org.apache.hadoop.fs.Path): DataFrame = {
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
     visibleGenerations(fs, committedGenerations(s, base))
-      .map { case (_, dir) => s.read.parquet(dir) }
+      .map { case (g, dir) => withGen(s.read.parquet(dir), g) }
       .reduce(_ unionByName _)
   }
 
@@ -307,11 +369,14 @@ object AnnIndex {
     *     it folded, partitioned by the same `sigp` scheme, so partition
     *     pruning and results are unchanged (AnnIndexSpec asserts
     *     row-identity before/after);
-    *   - race-safe: if a concurrent APPEND wins the next-generation CAS,
-    *     the staged fold is deleted and their delta is adopted — this
-    *     compact() run becomes a no-op (returns None) and the caller
-    *     retries later, which is the right loser behavior (folding is
-    *     maintenance; appends are data).
+    *   - race-safe BOTH ways: if a concurrent [[append]] wins the
+    *     next-generation CAS, the staged fold is deleted and their delta
+    *     is adopted — this compact() run becomes a no-op (returns None)
+    *     and the caller retries later, which is the right loser behavior
+    *     (folding is maintenance; appends are data). In the opposite
+    *     direction an [[append]] that loses this generation's CAS to the
+    *     fold re-offers its staged delta at the next number — appended
+    *     rows are never dropped (AnnIndexSpec pins the interleave).
     */
   def compact(
       s: SparkSession, base: org.apache.hadoop.fs.Path): Option[String] = {
@@ -322,7 +387,9 @@ object AnnIndex {
     val visible = visibleGenerations(fs, gens)
     if (visible.size <= 1) return None // single (or already-folded) gen
     val dir = ensureGeneration(s, base, top + 1) { out =>
-      visible.map { case (_, d) => s.read.parquet(d) }
+      // tag each folded row with its ORIGINAL generation (folds keep the
+      // column they already carry) so provenance survives compaction
+      visible.map { case (g, d) => withGen(s.read.parquet(d), g) }
         .reduce(_ unionByName _)
         .repartition(col("sigp"))
         .write.partitionBy("sigp").mode("overwrite").parquet(out)
@@ -347,9 +414,11 @@ object AnnIndex {
       .map(_._1).maxOption match {
       case None => Seq.empty
       case Some(f) =>
-        gens.takeWhile(_._1 < f).map { case (g, dir) =>
-          fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-          g
+        // report only what THIS cycle reclaimed: a dir already vacuumed
+        // by a previous cycle answers delete=false and is skipped
+        gens.takeWhile(_._1 < f).flatMap { case (g, dir) =>
+          if (fs.delete(new org.apache.hadoop.fs.Path(dir), true)) Some(g)
+          else None
         }
     }
   }

@@ -180,9 +180,15 @@ object Similarity {
     * about an ANN index). The radius loop is driver-side but bounded
     * (≤ NumPlanes+1 rings) and each ring count is a partition-PRUNED scan
     * of only that ring's buckets (the probe set stays a literal
-    * PartitionFilter, pinned in PlanAuditSpec) — cumulative scan cost when
-    * stopping at radius R equals one s3-style probe at radius R, which is
-    * the probe-until-k contract. Deterministic: rings expand in radius
+    * PartitionFilter, pinned in PlanAuditSpec). Cost when stopping at
+    * radius R: the heavy columns (embedding for the dot) are read ONCE,
+    * by the final ranking scan over rings 0..R — equal to one s3-style
+    * fixed probe at R — plus the ring-count pass, which re-lists the
+    * same pruned files but reads ONLY `vec_id` (8 B/row vs ~260 B/row:
+    * column pruning makes the counting pass ~3% of the bytes). Folding
+    * the counts into the ranking pass would need per-ring driver-side
+    * top-k merges — a worse trade than a second cheap column read.
+    * Deterministic: rings expand in radius
     * order, the stop rule is cumulative-count ≥ k, ties rank by (score
     * DESC, vec_id ASC) like every ANN entry. `probe_radius` surfaces the
     * chosen radius so callers see what the lookup cost.

@@ -26,9 +26,25 @@ import org.apache.spark.sql.functions._
   */
 object DedupIndex {
 
+  /** Index-format version — BUMP THIS whenever [[build]]'s baked-in
+    * signature semantics change: the shingle/minhash layout inside
+    * [[graft.operators.Dedup.bandSigs]] (currently 3-shingles, 8 hashes,
+    * 4 bands), the BitSketch planes behind `cappedCorpusBands`, or the
+    * corpus split predicates below. The persisted index is
+    * content-addressed by fixture dir and SURVIVES JVM restarts under
+    * java.io.tmpdir, so without a version in the location a semantics
+    * change would keep serving the stale relations while the oracle
+    * reflects the new code — hash-red with no local pointer to the cause
+    * (the same failure class AnnIndex's `graft-ivft` prefix bump closed).
+    * The bucket cap is referenced directly so cap tuning invalidates
+    * automatically.
+    */
+  private def prefix: String =
+    s"graft-dedupidx-f1c${graft.operators.Dedup.LshBucketCap}"
+
   /** Committed index dir for fixture `d`, building on first use. */
   def locate(s: SparkSession, d: String): String =
-    graft.operators.AnnIndex.locateIndex(s, d, "graft-dedupidx")(build)
+    graft.operators.AnnIndex.locateIndex(s, d, prefix)(build)
 
   private def build(s: SparkSession, d: String, out: String): Unit = {
     import s.implicits._

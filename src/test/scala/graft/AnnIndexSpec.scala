@@ -137,6 +137,62 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(lookup() === Seq((2L, "b"), (4L, "d"), (6L, "f")))
   }
 
+  test("fold preserves per-row gen provenance; readCommitted survives vacuum") {
+    import spark.implicits._
+    val base = new Path(
+      new java.io.File(System.getProperty("java.io.tmpdir")).toURI.toString,
+      s"graft-gentest-${java.util.UUID.randomUUID()}-v2")
+    def writeGen(g: Long, rows: Seq[(Long, String, String)]): String =
+      AnnIndex.ensureGeneration(spark, base, g) { out =>
+        rows.toDF("vec_id", "label", "sigp")
+          .write.partitionBy("sigp").mode("overwrite").parquet(out)
+      }
+    writeGen(1L, Seq((1L, "a", "s00"), (2L, "b", "s01")))
+    writeGen(2L, Seq((3L, "c", "s01")))
+    def provenance(): Seq[(Long, Int)] =
+      AnnIndex.readCommitted(spark, base)
+        .select($"vec_id", $"gen").as[(Long, Int)].collect().sorted.toSeq
+    val before = provenance()
+    assert(before === Seq((1L, 1), (2L, 1), (3L, 2)))
+    // after fold + vacuum the ORIGINAL generations are still reported —
+    // the fold carries gen as a data column, not its own number
+    assert(AnnIndex.compact(spark, base).isDefined)
+    assert(AnnIndex.vacuumFolded(spark, base) === Seq(1L, 2L))
+    assert(provenance() === before)
+    // a second vacuum cycle with nothing newly subsumed reports nothing
+    assert(AnnIndex.vacuumFolded(spark, base) === Seq.empty)
+  }
+
+  test("an append losing the generation CAS re-offers its delta; rows never drop") {
+    import spark.implicits._
+    val base = new Path(
+      new java.io.File(System.getProperty("java.io.tmpdir")).toURI.toString,
+      s"graft-apptest-${java.util.UUID.randomUUID()}-v2")
+    def writeGen(g: Long, rows: Seq[(Long, String, String)]): String =
+      AnnIndex.ensureGeneration(spark, base, g) { out =>
+        rows.toDF("vec_id", "label", "sigp")
+          .write.partitionBy("sigp").mode("overwrite").parquet(out)
+      }
+    writeGen(1L, Seq((1L, "a", "s00")))
+    writeGen(2L, Seq((2L, "b", "s01")))
+    // the append stages its delta, then a competing fold takes the next
+    // generation BEFORE our marker CAS — the deterministic interleave of
+    // the append-vs-compact race (the build hook runs pre-publish)
+    var folded: Option[String] = None
+    val (gen, dir) = AnnIndex.append(spark, base) { out =>
+      Seq((3L, "c", "s01")).toDF("vec_id", "label", "sigp")
+        .write.partitionBy("sigp").mode("overwrite").parquet(out)
+      folded = AnnIndex.compact(spark, base) // wins gen 3 first
+    }
+    assert(folded.isDefined, "competing fold should have won gen 3")
+    assert(gen === 4L, "append must land AFTER the fold it lost to")
+    assert(spark.read.parquet(dir).count() === 1)
+    // nothing lost: base rows via the fold + the appended delta
+    val rows = AnnIndex.readCommitted(spark, base)
+      .select($"vec_id").as[Long].collect().sorted.toSeq
+    assert(rows === Seq(1L, 2L, 3L))
+  }
+
   test("second locate call reads the marker, builds nothing") {
     val d = s"cache-${java.util.UUID.randomUUID()}"
     val builds = new AtomicInteger(0)

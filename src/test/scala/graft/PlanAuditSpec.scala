@@ -123,9 +123,8 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     // exactly one exchange: the 64-row seed-dim aggregate. The corpus scan
     // feeds the dot + threshold with no shuffle of its own.
-    val corpusSide = p.linesIterator.filterNot(_.contains("broadcast")).mkString("\n")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
-    assert(exchanges <= 1, s"corpus must not shuffle, found $exchanges exchanges:\n$corpusSide")
+    assert(exchanges <= 1, s"corpus must not shuffle, found $exchanges exchanges:\n$p")
   }
 
   test("s11 incremental lookup prunes partitions in every generation") {
