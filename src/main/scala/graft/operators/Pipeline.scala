@@ -625,9 +625,15 @@ object Pipeline {
     * The dot accumulates left-to-right like s1 so DuckDB's `list_reduce`
     * reproduces it bit-for-bit.
     */
-  def domainFilter(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val e = Tables.embeddings(s, d)
+  def domainFilter(s: SparkSession, d: String): DataFrame =
+    domainFilterOf(Tables.embeddings(s, d))
+
+  /** [[domainFilter]] over an arbitrary embeddings relation — the split
+    * lets PropertySpec drive the identical computation over adversarially
+    * repartitioned input to pin the layout-invariance claim.
+    */
+  private[graft] def domainFilterOf(e: DataFrame): DataFrame = {
+    import e.sparkSession.implicits._
     val cent = e.filter($"label" === DomainSeedLabel)
       .select(posexplode($"embedding").as(Seq("dim", "x")))
       .groupBy($"dim").agg(graft.Ora.davg($"x".cast("double")).as("c"))

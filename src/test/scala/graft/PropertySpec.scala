@@ -89,4 +89,26 @@ class PropertySpec extends AnyFunSuite {
       assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
     }
   }
+
+  test("property: p12 domain filter is invariant to corpus partitioning") {
+    // the claim behind the p12 scaladoc: the DECIMAL(38,6) centroid mean is
+    // order-independent, so ANY cluster layout (different partition counts,
+    // different row orders per partition) produces the identical filtered
+    // set — bit-for-bit scores included. Exercised by re-running the same
+    // shape over adversarially repartitioned input.
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    def run(mangle: DataFrame => DataFrame): Seq[(Long, Double)] =
+      operators.Pipeline.domainFilterOf(mangle(Tables.embeddings(spark, sf)))
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).sorted.toSeq
+    val layouts = Seq[DataFrame => DataFrame](
+      identity,
+      _.repartition(1),
+      _.repartition(17),
+      _.orderBy($"vec_id".desc).repartition(5))
+    val results = layouts.map(run)
+    assert(results.head.nonEmpty)
+    results.tail.foreach(r => assert(r === results.head,
+      "partition layout changed the filtered set or a score bit"))
+  }
 }
