@@ -381,7 +381,76 @@ object TextAnalysis {
       |ORDER BY n DESC, pair ASC
       |LIMIT 30""".stripMargin
 
+  /** t10: BM25 document ranking for a fixed 3-term query (Lucene idf
+    * variant, `ln(1 + (N-df+0.5)/(df+0.5))` — always positive; k1=1.2,
+    * b=0.75). The retrieval-scoring primitive a curation pipeline uses to
+    * pull topic-relevant documents out of a web corpus.
+    *
+    * Scale shape: two corpus scans — the BM25 minimum (pass 1 folds N,
+    * total token count AND per-term df into ONE 3-row partial-aggregated
+    * pass; pass 2 scores). The 3-row idf/stats table is broadcast; tf/dl
+    * are computed map-side per document inside whole-stage codegen (no
+    * shuffle until the final per-doc sum), and the top-100 lands in
+    * TakeOrderedAndProject.
+    * Exactness: idf and each per-(doc,term) score carry the t5 ln trick
+    * (one double expression mirrored token-for-token in the oracle,
+    * truncated to DECIMAL(38,6)); the per-doc sum over the 3 quantized
+    * term scores is exact decimal, so only correctly-rounded IEEE ops and
+    * one quantization separate the engines.
+    */
+  def bm25(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val terms = Seq("spark", "vector", "merge").toDF("term")
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", split(lower($"text"), " ").as("w"))
+      .withColumn("dl", size($"w"))
+    val dt = docs.crossJoin(broadcast(terms))
+      .select($"doc_id", $"dl", $"term",
+        expr("size(filter(w, x -> x = term))").as("tf"))
+    // every doc appears exactly once per term, so the per-term group also
+    // carries the corpus stats: n_docs = count, total_len = sum(dl)
+    val idf = dt.groupBy($"term")
+      .agg(count(lit(1)).as("n_docs"), sum($"dl").as("total_len"),
+        sum(when($"tf" > 0, 1L).otherwise(0L)).as("df"))
+      .select($"term", $"n_docs", $"total_len",
+        log((($"n_docs" - $"df").cast("double") + lit(0.5))
+            / ($"df".cast("double") + lit(0.5)) + lit(1.0))
+          .cast(Dec).as("idf"))
+    val scored = dt.join(broadcast(idf), "term")
+      .select($"doc_id",
+        ($"idf".cast("double") * ($"tf".cast("double") * lit(2.2))
+          / ($"tf".cast("double") + lit(1.2) * (lit(0.25) + lit(0.75)
+            * (($"dl".cast("double") * $"n_docs".cast("double"))
+               / $"total_len".cast("double")))))
+          .cast(Dec).as("ts"))
+    scored.groupBy($"doc_id").agg(sum($"ts").cast("double").as("bm25"))
+      .orderBy($"bm25".desc, $"doc_id".asc)
+      .limit(100)
+  }
+
+  val bm25Sql: String =
+    """WITH tok AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |d AS (SELECT doc_id, w, len(w) AS dl FROM tok),
+      |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM d),
+      |terms AS (SELECT unnest(['spark','vector','merge']) AS term),
+      |dt AS (SELECT doc_id, dl, term, len(list_filter(w, x -> x = term)) AS tf
+      |       FROM d CROSS JOIN terms),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM dt WHERE tf > 0 GROUP BY term),
+      |idf AS (SELECT term,
+      |    CAST(LN(((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5)) + 1.0)
+      |      AS DECIMAL(38,6)) AS idf
+      |  FROM dfreq CROSS JOIN stats),
+      |scored AS (SELECT dt.doc_id,
+      |    CAST(CAST(idf.idf AS DOUBLE) * (CAST(dt.tf AS DOUBLE) * 2.2)
+      |      / (CAST(dt.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * ((CAST(dt.dl AS DOUBLE) * CAST(stats.n_docs AS DOUBLE)) / CAST(stats.total_len AS DOUBLE))))
+      |      AS DECIMAL(38,6)) AS ts
+      |  FROM dt JOIN idf ON dt.term = idf.term CROSS JOIN stats)
+      |SELECT doc_id, CAST(SUM(ts) AS DOUBLE) AS bm25
+      |FROM scored GROUP BY doc_id
+      |ORDER BY bm25 DESC, doc_id LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t10_bm25"        -> (bm25 _),
     "t9_bpe_pairs"    -> (bpePairs _),
     "t8_repetition"   -> (repetition _),
     "t7_surprisal"    -> (surprisal _),
@@ -393,6 +462,7 @@ object TextAnalysis {
     "t6_pii_scrub"    -> (piiScrub _))
 
   val oracle: Map[String, String] = Map(
+    "t10_bm25"        -> bm25Sql,
     "t8_repetition"   -> repetitionSql,
     "t7_surprisal"    -> surprisalSql,
     "t1_langid"       -> langIdSql,

@@ -171,6 +171,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("Filter"), s"gate filter missing from the plan:\n$p")
   }
 
+  test("t10 BM25 scores in two corpus scans with a broadcast idf table") {
+    val p = plan("t10_bm25")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans === 2, s"expected two documents scans (stats+score), got $scans:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"idf join not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-100 not TakeOrdered:\n$p")
+  }
+
   test("q18 range frame windows per (status, split), not per status alone") {
     val p = plan("q18_window_range")
     assert("windowspecdefinition\\(o_orderstatus#\\d+, _split".r
