@@ -51,7 +51,8 @@ object ScaleSmoke {
     "q48_countmin_sketch", "q52_hll_merge", "p11_corpus_prep",
     "d9_semantic_dedup", "d10_repeated_spans", "d11_minhash_error",
     "st4_stream_attribution", "p12_domain_filter",
-    "d2_minhash_lsh", "d3_ngram_jaccard", "p7_bloom_decontaminate")
+    "d2_minhash_lsh", "d3_ngram_jaccard", "p7_bloom_decontaminate",
+    "t10_bm25")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
