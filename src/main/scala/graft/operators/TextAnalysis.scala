@@ -408,10 +408,16 @@ object TextAnalysis {
       .select($"doc_id", $"dl", $"term",
         expr("size(filter(w, x -> x = term))").as("tf"))
     // every doc appears exactly once per term, so the per-term group also
-    // carries the corpus stats: n_docs = count, total_len = sum(dl)
-    val idf = dt.groupBy($"term")
+    // carries the corpus stats: n_docs = count, total_len = sum(dl).
+    // exists() short-circuits where pass 2's tf must count; df > 0 mirrors
+    // the oracle's dfreq CTE dropping absent terms (else a term missing
+    // from the whole corpus would keep zero-score rows only on this side).
+    val idf = docs.crossJoin(broadcast(terms))
+      .select($"dl", $"term", expr("exists(w, x -> x = term)").as("hit"))
+      .groupBy($"term")
       .agg(count(lit(1)).as("n_docs"), sum($"dl").as("total_len"),
-        sum(when($"tf" > 0, 1L).otherwise(0L)).as("df"))
+        sum(when($"hit", 1L).otherwise(0L)).as("df"))
+      .filter($"df" > 0)
       .select($"term", $"n_docs", $"total_len",
         log((($"n_docs" - $"df").cast("double") + lit(0.5))
             / ($"df".cast("double") + lit(0.5)) + lit(1.0))

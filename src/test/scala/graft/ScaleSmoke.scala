@@ -44,8 +44,9 @@ object ScaleSmoke {
       java.nio.file.Paths.get(s"$out/events.parquet"))
   }
 
-  /** The round-7-9 heavy entries (VERDICT r9 #1), timed through the same
-    * public surface the driver runs.
+  /** The round-7-9 heavy entries (VERDICT r9 #1) plus the round-10
+    * additions (d2/d3/p7/t10), timed through the same public surface the
+    * driver runs.
     */
   private val Heavy = Seq(
     "q48_countmin_sketch", "q52_hll_merge", "p11_corpus_prep",
