@@ -328,22 +328,25 @@ object Similarity {
     * map to codes (at 100 TB the codes are what you PERSIST — 64 B/vec),
     * broadcast query code, TakeOrderedAndProject.
     */
+  /** Symmetric int8 quantization + integer dot, shared by s5 and s15. */
+  private def int8Code = expr(
+    """transform(embedding, x ->
+      |  CAST(floor(CAST(x AS DOUBLE) *
+      |    (127.0 / aggregate(embedding, CAST(0.0 AS DOUBLE),
+      |       (m, v) -> greatest(m, abs(CAST(v AS DOUBLE)))))) AS INT))"""
+      .stripMargin)
+
+  private def int8Dot = expr(
+    """aggregate(zip_with(code, qc, (x, y) -> CAST(x AS BIGINT) * y),
+      |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin)
+
   def quantizedTopK(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val qcode = expr(
-      """transform(embedding, x ->
-        |  CAST(floor(CAST(x AS DOUBLE) *
-        |    (127.0 / aggregate(embedding, CAST(0.0 AS DOUBLE),
-        |       (m, v) -> greatest(m, abs(CAST(v AS DOUBLE)))))) AS INT))"""
-        .stripMargin)
-    val e = Tables.embeddings(s, d).withColumn("code", qcode)
+    val e = Tables.embeddings(s, d).withColumn("code", int8Code)
     val q = e.filter($"vec_id" === 0).select($"code".as("qc"))
     e.crossJoin(broadcast(q))
       .filter($"vec_id" =!= 0)
-      .select($"vec_id", $"label",
-        expr("""aggregate(zip_with(code, qc, (x, y) -> CAST(x AS BIGINT) * y),
-                |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin)
-          .as("qdot"))
+      .select($"vec_id", $"label", int8Dot.as("qdot"))
       .orderBy($"qdot".desc, $"vec_id".asc)
       .limit(20)
   }
@@ -366,6 +369,66 @@ object Similarity {
        |FROM codes e CROSS JOIN q
        |WHERE e.vec_id <> 0
        |ORDER BY qdot DESC, e.vec_id ASC
+       |LIMIT 20""".stripMargin
+
+  /** s15: two-stage retrieval (retrieve-then-rerank) — the production
+    * serving pattern for billion-vector search: stage 1 ranks the WHOLE
+    * corpus by the int8 integer dot over s5's quantized codes (the
+    * 4x-smaller representation is ALL stage 1 reads — at 100 TB the codes
+    * are a separate ~64 B/vec dataset) and keeps the top-200 candidates;
+    * stage 2 fetches only those 200 full vectors back from the base table
+    * (200-row broadcast join on vec_id — never a second corpus pass over
+    * the floats) and re-ranks by the exact float dot. Both stages are
+    * deterministic (exact integer ranking; FloatDot's left-to-right
+    * accumulation mirrored by list_reduce), so the composition
+    * hash-checks end-to-end. Emitting qdot beside score makes the re-rank
+    * visible: rows where quantized and exact order disagree are the
+    * measured win of stage 2.
+    */
+  def twoStageRerank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d).withColumn("code", int8Code)
+    val q = e.filter($"vec_id" === 0).select($"code".as("qc"))
+    val cand = e.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= 0)
+      .select($"vec_id", int8Dot.as("qdot"))
+      .orderBy($"qdot".desc, $"vec_id".asc)
+      .limit(200)
+    val qv = Tables.embeddings(s, d).filter($"vec_id" === 0)
+      .select($"embedding".as("qv"))
+    Tables.embeddings(s, d)
+      .join(broadcast(cand), "vec_id")
+      .crossJoin(broadcast(qv))
+      .select($"vec_id", $"label", $"qdot",
+        VectorFunctions.dot($"embedding", $"qv").as("score"))
+      .orderBy($"score".desc, $"vec_id".asc)
+      .limit(20)
+  }
+
+  val twoStageRerankSql: String =
+    s"""WITH codes AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x ->
+       |      CAST(floor(CAST(x AS DOUBLE) *
+       |        (127.0 / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |           list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))),
+       |           (m, v) -> greatest(m, v)))) AS INTEGER)) AS code
+       |  FROM embeddings),
+       |qc AS (SELECT code AS qc FROM codes WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT e.vec_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, len(e.code) + 1),
+       |        i -> CAST(e.code[i] AS BIGINT) * q.qc[i])),
+       |      (acc, v) -> acc + v) AS qdot
+       |  FROM codes e CROSS JOIN qc q
+       |  WHERE e.vec_id <> 0
+       |  ORDER BY qdot DESC, e.vec_id ASC
+       |  LIMIT 200)
+       |SELECT e.vec_id, e.label, c.qdot, $dotSql AS score
+       |FROM embeddings e JOIN cand c ON e.vec_id = c.vec_id
+       |CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+       |ORDER BY score DESC, e.vec_id ASC
        |LIMIT 20""".stripMargin
 
   /** s6: oracle-checked recall@10 of every ANN variant against the exact
@@ -762,9 +825,11 @@ object Similarity {
     "s6_ann_recall"      -> (annRecall _),
     "s7_ann_batch"       -> (annBatch _),
     "s8_hard_negatives"  -> (hardNegatives _),
-    "s14_ann_probe_adaptive" -> (annProbeUntilK _))
+    "s14_ann_probe_adaptive" -> (annProbeUntilK _),
+    "s15_two_stage_rerank" -> (twoStageRerank _))
 
   val oracle: Map[String, String] = Map(
+    "s15_two_stage_rerank" -> twoStageRerankSql,
     "s10_mmr_rerank"     -> mmrRerankSql,
     "s1_cosine_topk"     -> bruteForceTopKSql,
     "s2_ann_lsh"         -> annLshSql,

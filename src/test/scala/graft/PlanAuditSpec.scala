@@ -179,6 +179,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), s"top-100 not TakeOrdered:\n$p")
   }
 
+  test("s15 two-stage rerank broadcasts the candidate set, both stages TakeOrdered") {
+    val p = plan("s15_two_stage_rerank")
+    assert(p.contains("BroadcastHashJoin"), s"candidate fetch not broadcast:\n$p")
+    val topk = "TakeOrderedAndProject".r.findAllIn(p).size
+    assert(topk >= 2, s"expected TakeOrdered in both stages, got $topk:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+  }
+
   test("q18 range frame windows per (status, split), not per status alone") {
     val p = plan("q18_window_range")
     assert("windowspecdefinition\\(o_orderstatus#\\d+, _split".r
