@@ -431,6 +431,67 @@ object Similarity {
        |ORDER BY score DESC, e.vec_id ASC
        |LIMIT 20""".stripMargin
 
+  /** s16: hybrid retrieval — reciprocal-rank fusion of the lexical leg
+    * (t10's BM25 top-100, reused verbatim) and the vector leg (s1's exact
+    * dot top-100 for the vec_id=0 query). RRF fuses each subsystem's
+    * PUBLISHED list by rank alone (`1/(60+rank)`, quantized to exact
+    * BIGINT as `1e12 div (60+rank)` so the hash check never touches a
+    * repeating decimal); docs retrieved by only one leg keep the other
+    * rank NULL and score on the single contribution — the standard
+    * union-fusion a production search stack runs over BM25 + ANN.
+    *
+    * Scale shape: each leg is an already-proven retrieval plan (t10's
+    * two-pass broadcast-stats BM25; s1's broadcast-query corpus scan);
+    * fusion itself only ever sees the two fixed 100-row lists — the
+    * rank windows are single-partition over ≤100 rows by construction
+    * (bounded, same class as s10's documented 20-row MMR pool), the
+    * full-outer merge joins 100×100 ids, and the output is a fixed
+    * top-20. At 100 TB the legs dominate; fusion stays O(k).
+    */
+  def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+    val lexr = TextAnalysis.bm25(s, d)
+      .select($"doc_id", row_number()
+        .over(w.orderBy($"bm25".desc, $"doc_id".asc)).as("r_lex"))
+    val q = Tables.embeddings(s, d).filter($"vec_id" === 0)
+      .select($"embedding".as("qv"))
+    val vecr = Tables.embeddings(s, d).crossJoin(broadcast(q))
+      .filter($"vec_id" =!= 0)
+      .select($"vec_id".as("doc_id"),
+        VectorFunctions.dot($"embedding", $"qv").as("vscore"))
+      .orderBy($"vscore".desc, $"doc_id".asc).limit(100)
+      .select($"doc_id", row_number()
+        .over(w.orderBy($"vscore".desc, $"doc_id".asc)).as("r_vec"))
+    lexr.join(vecr, Seq("doc_id"), "full_outer")
+      .select($"doc_id", $"r_lex", $"r_vec",
+        (coalesce(expr("1000000000000 div (60 + r_lex)"), lit(0L)) +
+         coalesce(expr("1000000000000 div (60 + r_vec)"), lit(0L))).as("rrf"))
+      .orderBy($"rrf".desc, $"doc_id".asc).limit(20)
+  }
+
+  val hybridRrfSql: String = {
+    val vecLeg =
+      s"""SELECT e.vec_id AS doc_id, $dotSql AS vscore
+         |  FROM embeddings e
+         |  CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+         |  WHERE e.vec_id <> 0
+         |  ORDER BY vscore DESC, doc_id ASC LIMIT 100""".stripMargin
+    """WITH lexr AS (
+      |  SELECT doc_id, CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INTEGER) AS r_lex
+      |  FROM (@LEX@) lex),
+      |vecr AS (
+      |  SELECT doc_id, CAST(row_number() OVER (ORDER BY vscore DESC, doc_id ASC) AS INTEGER) AS r_vec
+      |  FROM (@VEC@) vec)
+      |SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id, l.r_lex, v.r_vec,
+      |  COALESCE(1000000000000 // (60 + l.r_lex), 0) +
+      |  COALESCE(1000000000000 // (60 + v.r_vec), 0) AS rrf
+      |FROM lexr l FULL OUTER JOIN vecr v ON l.doc_id = v.doc_id
+      |ORDER BY rrf DESC, doc_id ASC LIMIT 20""".stripMargin
+      .replace("@LEX@", TextAnalysis.bm25Sql)
+      .replace("@VEC@", vecLeg)
+  }
+
   /** s6: oracle-checked recall@10 of every ANN variant against the exact
     * top-10 — the first question a similarity-search user asks of an
     * approximate index, and the honest price tag on the s2/s3/s4 partition
@@ -826,10 +887,12 @@ object Similarity {
     "s7_ann_batch"       -> (annBatch _),
     "s8_hard_negatives"  -> (hardNegatives _),
     "s14_ann_probe_adaptive" -> (annProbeUntilK _),
-    "s15_two_stage_rerank" -> (twoStageRerank _))
+    "s15_two_stage_rerank" -> (twoStageRerank _),
+    "s16_hybrid_rrf"     -> (hybridRrf _))
 
   val oracle: Map[String, String] = Map(
     "s15_two_stage_rerank" -> twoStageRerankSql,
+    "s16_hybrid_rrf"     -> hybridRrfSql,
     "s10_mmr_rerank"     -> mmrRerankSql,
     "s1_cosine_topk"     -> bruteForceTopKSql,
     "s2_ann_lsh"         -> annLshSql,
