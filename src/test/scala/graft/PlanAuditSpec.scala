@@ -187,6 +187,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
   }
 
+  test("s16 hybrid RRF bounds both legs before fusion, no cartesian") {
+    val p = plan("s16_hybrid_rrf")
+    // three TakeOrdered: bm25 top-100, vector top-100, fused top-20 —
+    // the full-outer fusion join never sees more than 100 rows per side
+    val topk = "TakeOrderedAndProject".r.findAllIn(p).size
+    assert(topk >= 3, s"expected 3 bounded TakeOrdered stages, got $topk:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in plan:\n$p")
+  }
+
   test("q18 range frame windows per (status, split), not per status alone") {
     val p = plan("q18_window_range")
     assert("windowspecdefinition\\(o_orderstatus#\\d+, _split".r
