@@ -601,6 +601,70 @@ object Pipeline {
       |GROUP BY 1, 2
       |ORDER BY lang, bin""".stripMargin
 
+  /** p13: deterministic train/val/test split — the reproducibility
+    * primitive every training pipeline needs: membership is a pure
+    * function of the doc id (bucket = first md5 byte, 0-255: <230 train
+    * ≈90%, <243 val ≈5%, else test ≈5%), so re-running the pipeline on a
+    * re-partitioned, re-ordered, or incrementally-grown corpus never
+    * moves an existing document across splits (no sampling state, no
+    * ordering dependence — the property `sample()`/`randomSplit()` lack).
+    * Report is per (lang, split): doc/token counts, the exact split share
+    * in bps, and an id-sum membership checksum so the ASSIGNMENT itself
+    * hash-checks, not just the sizes.
+    *
+    * Scale shape: one narrow map over the scan (md5 of the key), one
+    * partial-agg shuffle on (lang, split), a broadcast join to the
+    * per-lang totals — same class as p8's shard assignment; nothing here
+    * depends on corpus size.
+    */
+  /** Per-doc assignment — a pure function of `doc_id` (PropertySpec pins
+    * that membership never moves when the corpus grows or re-orders).
+    */
+  def splitAssignOf(in: DataFrame): DataFrame =
+    in.select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+          .cast("long").as("b"))
+      .withColumn("split",
+        when(col("b") < 230, "train").when(col("b") < 243, "val")
+          .otherwise("test"))
+
+  def trainValTestSplit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = splitAssignOf(Tables.documents(s, d))
+    val tot = docs.groupBy($"lang").agg(count(lit(1)).as("n_lang"))
+    docs.groupBy($"lang", $"split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tok").as("sum_tokens"),
+        sum($"doc_id").as("id_sum"))
+      .join(broadcast(tot), Seq("lang"))
+      .select($"lang", $"split", $"n_docs", $"sum_tokens", $"id_sum",
+        expr("(n_docs * 10000) div n_lang").as("share_bps"))
+      .orderBy($"lang", $"split")
+  }
+
+  val trainValTestSplitSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+      |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+      |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS b
+      |  FROM documents),
+      |a AS (
+      |  SELECT lang,
+      |    CASE WHEN b < 230 THEN 'train' WHEN b < 243 THEN 'val' ELSE 'test' END AS split,
+      |    n_tok, doc_id FROM d),
+      |tot AS (SELECT lang, COUNT(*) AS n_lang FROM a GROUP BY lang),
+      |agg AS (
+      |  SELECT lang, split, COUNT(*) AS n_docs,
+      |    CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+      |    CAST(SUM(doc_id) AS BIGINT) AS id_sum
+      |  FROM a GROUP BY 1, 2)
+      |SELECT agg.lang, agg.split, n_docs, sum_tokens, id_sum,
+      |  (n_docs * 10000) // n_lang AS share_bps
+      |FROM agg JOIN tot USING (lang)
+      |ORDER BY lang, split""".stripMargin
+
   /** p12 seed domain: vectors labeled [[DomainSeedLabel]] define the target
     * domain; [[DomainTau]] is the keep threshold on the centroid dot —
     * fixture-empirical (≈ the 90th percentile of the score distribution at
@@ -676,6 +740,7 @@ object Pipeline {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p13_train_val_test"   -> (trainValTestSplit _),
     "p12_domain_filter"    -> (domainFilter _),
     "p11_corpus_prep"      -> (corpusPrep _),
     "p10_epoch_repeat"     -> (epochRepeat _),
@@ -690,6 +755,7 @@ object Pipeline {
     "p7_bloom_decontaminate" -> (bloomDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "p13_train_val_test"   -> trainValTestSplitSql,
     "p12_domain_filter"    -> domainFilterSql,
     "p11_corpus_prep"      -> corpusPrepSql,
     "p10_epoch_repeat"     -> epochRepeatSql,

@@ -90,6 +90,26 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: p13 split assignment is stable under corpus growth and reorder") {
+    // the claim behind the p13 scaladoc: membership is a pure function of
+    // doc_id, so a document's split never changes when the corpus is
+    // subset (incremental build), grown, or adversarially re-ordered —
+    // the reproducibility property sample()/randomSplit() lack.
+    import spark.implicits._
+    def assign(df: org.apache.spark.sql.DataFrame): Map[Long, String] =
+      operators.Pipeline.splitAssignOf(df)
+        .select($"doc_id", $"split").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docs = Tables.documents(spark, sf)
+    val full = assign(docs)
+    assert(full.nonEmpty && full.values.toSet == Set("train", "val", "test"))
+    val subset = assign(docs.filter($"doc_id" % 2 === 0))
+    subset.foreach { case (id, sp) => assert(full(id) == sp,
+      s"doc $id moved from ${full(id)} to $sp when the corpus shrank") }
+    val reordered = assign(docs.orderBy($"doc_id".desc).repartition(17))
+    assert(reordered === full, "re-ordering the corpus moved a document")
+  }
+
   test("property: p12 domain filter is invariant to corpus partitioning") {
     // the claim behind the p12 scaladoc: the DECIMAL(38,6) centroid mean is
     // order-independent, so ANY cluster layout (different partition counts,
