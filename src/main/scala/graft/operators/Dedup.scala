@@ -705,6 +705,51 @@ object Dedup {
     */
   val SpanWidth = 10
 
+  /** d12: split-leakage audit — near-duplicate pairs that straddle the
+    * p13 train/val/test boundary. The eval-contamination failure mode
+    * hash-split pipelines actually hit: the test document itself never
+    * appears in train (p13 guarantees that), but a near-duplicate of it
+    * does, and the eval number is quietly inflated. Composition: d2's
+    * LSH candidate pairs (bucket-keyed, cap-bounded — reused verbatim)
+    * joined to p13's per-doc assignment on both endpoints, keeping pairs
+    * whose splits differ.
+    *
+    * Scale shape: the assignment is a narrow map over the corpus scan;
+    * both joins are plain equi-joins keyed on doc id (the pair side can
+    * reach millions of rows under heavy duplication — ScaleSmoke measured
+    * d2's output at ~3500× for 10× planted-dup data — so neither side is
+    * assumed broadcastable); the d2 leg keeps its own bucket caps. At
+    * 100 TB this is d2's cost plus two keyed shuffles of the pair list.
+    */
+  def splitLeakage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val assign = Pipeline.splitAssignOf(Tables.documents(s, d))
+      .select($"doc_id", $"split")
+    minhashLsh(s, d)
+      .join(assign.select($"doc_id".as("doc_a"), $"split".as("split_a")), "doc_a")
+      .join(assign.select($"doc_id".as("doc_b"), $"split".as("split_b")), "doc_b")
+      .filter($"split_a" =!= $"split_b")
+      .select($"doc_a", $"doc_b", $"split_a", $"split_b")
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val splitLeakageSql: String =
+    """WITH pairs AS (__PAIRS__),
+      |asg AS (
+      |  SELECT doc_id,
+      |    CASE WHEN b < 230 THEN 'train' WHEN b < 243 THEN 'val' ELSE 'test' END AS split
+      |  FROM (SELECT doc_id,
+      |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+      |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) AS b
+      |  FROM documents) t)
+      |SELECT p.doc_a, p.doc_b, a.split AS split_a, b.split AS split_b
+      |FROM pairs p
+      |JOIN asg a ON a.doc_id = p.doc_a
+      |JOIN asg b ON b.doc_id = p.doc_b
+      |WHERE a.split <> b.split
+      |ORDER BY doc_a, doc_b""".stripMargin
+      .replace("__PAIRS__", minhashLshSql)
+
   /** d10: cross-corpus repeated-span coverage — the token-level
     * "exact substring" dedup signal (the suffix-array ExactSubstr recipe
     * of Lee et al., arXiv:2107.06499, §4.1, recast as a rolling window
@@ -890,6 +935,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d11_minhash_error"  -> (minhashError _),
+    "d12_split_leakage"  -> (splitLeakage _),
     "d10_repeated_spans"   -> (repeatedSpans _),
     "d1_exact_fingerprint" -> (exactFingerprint _),
     "d2_minhash_lsh"       -> (minhashLsh _),
@@ -912,5 +958,6 @@ object Dedup {
     "d7_embed_banded"      -> bandedEmbedNearDupSql,
     "d8_embed_clusters"    -> embedClustersSql,
     "d9_semantic_dedup"    -> semanticDedupSql,
-    "d11_minhash_error"    -> minhashErrorSql)
+    "d11_minhash_error"    -> minhashErrorSql,
+    "d12_split_leakage"    -> splitLeakageSql)
 }
