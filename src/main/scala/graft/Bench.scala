@@ -40,6 +40,7 @@ object Bench {
       .foreach(fn => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
     operators.AnnIndex.locate(spark, sfDir)
     operators.AnnIndex.locateIvf(spark, sfDir)
+    operators.AnnIndex.locateWithDeletes(spark, sfDir)
     streaming.DedupIndex.locate(spark, sfDir)
 
     // Two full passes, min per query: a single timed pass lets one contended

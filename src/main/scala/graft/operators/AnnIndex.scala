@@ -321,6 +321,26 @@ object AnnIndex {
       fs: org.apache.hadoop.fs.FileSystem, dir: String): Boolean =
     fs.exists(new org.apache.hadoop.fs.Path(dir, FoldsSidecar))
 
+  /** Sidecar marking a generation as TOMBSTONES: its rows name DELETIONS
+    * (`vec_id`, `sigp`), not inserts — the takedown/right-to-erasure
+    * operation a production index must serve without rewriting 100 TB.
+    * Tombstones are partitioned by the SAME `sigp` bucket scheme as the
+    * data, so a pruned lookup also prunes the tombstone scan (the equi-join
+    * on `sigp` lets Catalyst infer the probe filter onto the tombstone
+    * side); deletions become PHYSICAL at the next [[compact]], which
+    * resolves them and writes only surviving rows.
+    */
+  private val TombstonesSidecar = "_tombstones"
+
+  private def isTombstone(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String): Boolean =
+    fs.exists(new org.apache.hadoop.fs.Path(dir, TombstonesSidecar))
+
+  /** Tombstone rows are schema-fixed; reading with an explicit schema keeps
+    * an empty tombstone dir (delete of absent ids) readable.
+    */
+  private val TombstoneSchema = "vec_id LONG, sigp STRING"
+
   /** The generations a reader must union: everything from the latest fold
     * (inclusive) on — earlier generations are subsumed by the fold.
     */
@@ -344,14 +364,51 @@ object AnnIndex {
   /** Union read of the visible generations under an arbitrary index base
     * (the generic form of [[readIncremental]], fold-aware; used by the
     * compaction equivalence checks). Every row carries `gen` — its
-    * original ingest generation, preserved through folds.
+    * original ingest generation, preserved through folds. Tombstone
+    * generations are RESOLVED, not unioned: a row is visible unless a
+    * tombstone for its (`vec_id`, `sigp`) exists at a LATER generation
+    * than the row's own — so a re-insert after a delete survives it.
     */
   private[graft] def readCommitted(
       s: SparkSession, base: org.apache.hadoop.fs.Path): DataFrame = {
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
-    visibleGenerations(fs, committedGenerations(s, base))
+    resolveVisible(s, fs, visibleGenerations(fs, committedGenerations(s, base)))
+  }
+
+  /** The survivors of `visible`: insert generations unioned with `gen`
+    * provenance, minus rows tombstoned at a later generation. The join is
+    * keyed on (`vec_id`, `sigp`): `vec_id` for identity, `sigp` so a
+    * reader's bucket-probe filter propagates to the tombstone scan
+    * through the equi-join constraint (pruned lookups read only the
+    * probed buckets' tombstones). One aggregation over the tombstone list
+    * (max generation per key) plus one keyed join — at 100 TB the cost
+    * scales with the tombstone count, not the corpus.
+    */
+  private def resolveVisible(
+      s: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      visible: Seq[(Long, String)]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, max}
+    val (tombs, inserts) =
+      visible.partition { case (_, dir) => isTombstone(fs, dir) }
+    require(inserts.nonEmpty, "no insert generations among the visible set")
+    val rows = inserts
       .map { case (g, dir) => withGen(s.read.parquet(dir), g) }
       .reduce(_ unionByName _)
+    if (tombs.isEmpty) rows
+    else {
+      val latest = tombs
+        .map { case (g, dir) =>
+          s.read.schema(TombstoneSchema).parquet(dir)
+            .select(col("vec_id"), col("sigp"),
+              org.apache.spark.sql.functions.lit(g).as("tgen"))
+        }
+        .reduce(_ union _)
+        .groupBy(col("vec_id"), col("sigp")).agg(max(col("tgen")).as("tgen"))
+      rows.join(latest, Seq("vec_id", "sigp"), "left")
+        .filter(col("tgen").isNull || col("gen") > col("tgen"))
+        .drop("tgen")
+    }
   }
 
   /** COMPACTION for the incrementally-maintained index: fold the visible
@@ -388,9 +445,10 @@ object AnnIndex {
     if (visible.size <= 1) return None // single (or already-folded) gen
     val dir = ensureGeneration(s, base, top + 1) { out =>
       // tag each folded row with its ORIGINAL generation (folds keep the
-      // column they already carry) so provenance survives compaction
-      visible.map { case (g, d) => withGen(s.read.parquet(d), g) }
-        .reduce(_ unionByName _)
+      // column they already carry) so provenance survives compaction;
+      // tombstoned rows are resolved away here — the fold is where a
+      // deletion stops being a read-time anti-join and becomes physical
+      resolveVisible(s, fs, visible)
         .repartition(col("sigp"))
         .write.partitionBy("sigp").mode("overwrite").parquet(out)
       val f = fs.create(
@@ -399,6 +457,69 @@ object AnnIndex {
     }
     if (isFold(fs, dir)) Some(dir) else None // lost the CAS to an append
   }
+
+  /** Publish a TOMBSTONE generation deleting `ids` (a `vec_id` column) —
+    * the arbitrary-id production path, built on [[append]] (a delete
+    * request exists nowhere else; losing a CAS race must re-offer it, not
+    * drop it). The tombstone rows pair each doomed id with its bucket
+    * (`sigp`, looked up from the current index) and are partitioned by
+    * that bucket, so pruned lookups also prune the tombstone scan. Readers
+    * see the delete as soon as the marker commits; the rows are physically
+    * removed by the next [[compact]].
+    */
+  def delete(
+      s: SparkSession, base: org.apache.hadoop.fs.Path,
+      ids: DataFrame): (Long, String) =
+    append(s, base) { out =>
+      writeTombstones(s,
+        readCommitted(s, base)
+          .join(ids, Seq("vec_id"), "leftsemi")
+          .select(col("vec_id"), col("sigp")).distinct(), out)
+    }
+
+  private def writeTombstones(
+      s: SparkSession, rows: DataFrame, out: String): Unit = {
+    rows.repartition(col("sigp"))
+      .write.partitionBy("sigp").mode("overwrite").parquet(out)
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val f = fs.create(
+      new org.apache.hadoop.fs.Path(out, TombstonesSidecar), false)
+    try f.write("tombstones".getBytes("UTF-8")) finally f.close()
+  }
+
+  /** The s17 fixture's deterministic delete set: every
+    * `vec_id % DelMod == DelRem` row (~14% of every bucket) — mirrored
+    * LITERALLY in the s17 oracle SQL (change both or neither, like the
+    * d5/d3 constants).
+    */
+  private[graft] val DelMod = 7L
+  private[graft] val DelRem = 2L
+
+  /** s17 backing store: the full sign-LSH index as generation 1 plus a
+    * tombstone generation 2 deleting the [[DelMod]] fixture set. Both
+    * generations' content is a pure function of the (immutable) fixture,
+    * so [[ensureGeneration]]'s adopt-on-loss is safe here; arbitrary
+    * production deletes go through [[delete]] instead.
+    */
+  def locateWithDeletes(
+      s: SparkSession, d: String): org.apache.hadoop.fs.Path = {
+    import s.implicits._
+    val base = indexBase("graft-anndel", d)
+    ensureGeneration(s, base, 1L)(out => build(s, d, out))
+    ensureGeneration(s, base, 2L) { out =>
+      writeTombstones(s,
+        Tables.embeddings(s, d)
+          .filter($"vec_id" % DelMod === DelRem)
+          .withColumn("sigp", concat(lit("s"), Similarity.sigCol($"embedding")))
+          .select($"vec_id", $"sigp"), out)
+    }
+    base
+  }
+
+  /** Read the s17 index with its deletions resolved. */
+  def readWithDeletes(s: SparkSession, d: String): DataFrame =
+    readCommitted(s, locateWithDeletes(s, d))
 
   /** Delete the data dirs of generations subsumed by the latest fold
     * (markers are retained — history stays addressable, the dirs just

@@ -788,6 +788,46 @@ object Similarity {
        |ORDER BY score DESC, e.vec_id ASC
        |LIMIT 10""".stripMargin
 
+  /** s17: lookup over an index with DELETIONS ([[AnnIndex.locateWithDeletes]]):
+    * generation 1 is the full corpus, generation 2 a tombstone generation
+    * deleting every `vec_id % 7 == 2` row — the takedown/right-to-erasure
+    * flow. The read resolves tombstones (bucket-partitioned like the data,
+    * so the probe filter prunes the tombstone scan through the `sigp`
+    * equi-join) and the top-k is computed over survivors only — proving a
+    * committed delete is invisible to search WITHOUT an index rebuild; the
+    * next [[AnnIndex.compact]] makes it physical (AnnIndexSpec pins
+    * lookup identity across delete → re-insert → fold → vacuum). Same s3
+    * multi-probe bucket set; oracle recomputes over the corpus minus the
+    * delete set.
+    */
+  def annWithDeletes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val idx = AnnIndex.readWithDeletes(s, d)
+    val (qv, qsig) = queryPoint(s, d)
+    val probes = qsig +: (0 until NumPlanes).map(i =>
+      qsig.updated(i, if (qsig(i) == '0') '1' else '0'))
+    idx.filter($"sigp".isin(probes.map("s" + _): _*) && $"vec_id" =!= 0)
+      .select($"vec_id", $"label", $"sig",
+        VectorFunctions.dot($"embedding", typedlit(qv)).as("score"))
+      .orderBy($"score".desc, $"vec_id".asc)
+      .limit(10)
+  }
+
+  /** `vec_id % 7 <> 2` mirrors [[AnnIndex.DelMod]]/[[AnnIndex.DelRem]]
+    * literally — change both or neither.
+    */
+  val annWithDeletesSql: String =
+    s"""WITH sigs AS (
+       |  SELECT vec_id, label, embedding, ${sigSql("embedding")} AS sig
+       |  FROM embeddings),
+       |q AS (SELECT embedding AS qv, sig AS qsig FROM sigs WHERE vec_id = 0)
+       |SELECT e.vec_id, e.label, e.sig, $dotSql AS score
+       |FROM sigs e CROSS JOIN q
+       |WHERE hamming(e.sig, q.qsig) <= 1 AND e.vec_id <> 0
+       |  AND e.vec_id % 7 <> 2
+       |ORDER BY score DESC, e.vec_id ASC
+       |LIMIT 10""".stripMargin
+
   /** s12: FILTERED ANN — the hybrid "metadata predicate + vector search"
     * every production vector store serves (search only label ∈ {1,2,3}).
     * PRE-filter semantics: the predicate applies before the top-k, so the
@@ -888,7 +928,8 @@ object Similarity {
     "s8_hard_negatives"  -> (hardNegatives _),
     "s14_ann_probe_adaptive" -> (annProbeUntilK _),
     "s15_two_stage_rerank" -> (twoStageRerank _),
-    "s16_hybrid_rrf"     -> (hybridRrf _))
+    "s16_hybrid_rrf"     -> (hybridRrf _),
+    "s17_ann_deletes"    -> (annWithDeletes _))
 
   val oracle: Map[String, String] = Map(
     "s15_two_stage_rerank" -> twoStageRerankSql,
@@ -905,5 +946,6 @@ object Similarity {
     "s11_ann_incremental" -> annIncrementalSql,
     "s12_ann_filtered"   -> annFilteredSql,
     "s13_quant_error"    -> quantizationErrorSql,
-    "s14_ann_probe_adaptive" -> annProbeUntilKSql)
+    "s14_ann_probe_adaptive" -> annProbeUntilKSql,
+    "s17_ann_deletes"    -> annWithDeletesSql)
 }

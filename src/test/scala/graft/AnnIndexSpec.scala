@@ -193,6 +193,47 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(rows === Seq(1L, 2L, 3L))
   }
 
+  test("tombstones: delete hides ids, re-insert survives, fold makes it physical") {
+    import spark.implicits._
+    val base = new Path(
+      new java.io.File(System.getProperty("java.io.tmpdir")).toURI.toString,
+      s"graft-deltest-${java.util.UUID.randomUUID()}-v2")
+    def writeGen(g: Long, rows: Seq[(Long, String, String)]): String =
+      AnnIndex.ensureGeneration(spark, base, g) { out =>
+        rows.toDF("vec_id", "label", "sigp")
+          .write.partitionBy("sigp").mode("overwrite").parquet(out)
+      }
+    writeGen(1L, Seq((1L, "a", "s00"), (2L, "b", "s01"), (3L, "c", "s00")))
+    def visible(): Seq[(Long, String, Int)] =
+      AnnIndex.readCommitted(spark, base)
+        .select($"vec_id", $"label", $"gen")
+        .as[(Long, String, Int)].collect().sorted.toSeq
+    // delete ids 1 and 3 (plus an absent id — a no-op, not an error)
+    val (dg, _) = AnnIndex.delete(spark, base,
+      Seq(1L, 3L, 99L).toDF("vec_id"))
+    assert(dg === 2L)
+    assert(visible() === Seq((2L, "b", 1)))
+    // re-insert vec_id 1 AFTER the delete: the later generation survives
+    // the earlier tombstone (max-tombstone-gen resolution)
+    AnnIndex.append(spark, base) { out =>
+      Seq((1L, "a2", "s00")).toDF("vec_id", "label", "sigp")
+        .write.partitionBy("sigp").mode("overwrite").parquet(out)
+    }
+    val afterReinsert = Seq((1L, "a2", 3), (2L, "b", 1))
+    assert(visible() === afterReinsert)
+    // the fold resolves tombstones physically: same answer, and the fold
+    // dir holds exactly the two survivors (no tombstone rows, no deleted
+    // rows) with provenance intact
+    assert(AnnIndex.compact(spark, base).isDefined)
+    assert(visible() === afterReinsert)
+    val foldDir = AnnIndex.committedGenerations(spark, base).last._2
+    assert(spark.read.parquet(foldDir).count() === 2)
+    // vacuum reclaims the pre-fold dirs (incl. the tombstone generation);
+    // the resolved answer is unchanged
+    assert(AnnIndex.vacuumFolded(spark, base) === Seq(1L, 2L, 3L))
+    assert(visible() === afterReinsert)
+  }
+
   test("second locate call reads the marker, builds nothing") {
     val d = s"cache-${java.util.UUID.randomUUID()}"
     val builds = new AtomicInteger(0)

@@ -134,6 +134,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected sigp partition filters on both generation scans:\n$p")
   }
 
+  test("s17 delete-resolving lookup prunes the data AND tombstone scans") {
+    val p = plan("s17_ann_deletes")
+    // the probe filter must reach the insert generation's scan directly and
+    // the tombstone generation's scan through the sigp equi-join constraint
+    // — otherwise every lookup lists every bucket's tombstone files
+    val prunedScans = "PartitionFilters: \\[[^\\]]*sigp".r.findAllIn(p).size
+    assert(prunedScans >= 2,
+      s"expected sigp partition filters on data and tombstone scans:\n$p")
+  }
+
   test("q52 builds sketches from map-side partial maxes over column-pruned scans") {
     val p = plan("q52_hll_merge")
     // registers combine via partial_max before any exchange (the merge is
