@@ -53,7 +53,8 @@ object ScaleSmoke {
     "d9_semantic_dedup", "d10_repeated_spans", "d11_minhash_error",
     "st4_stream_attribution", "p12_domain_filter",
     "d2_minhash_lsh", "d3_ngram_jaccard", "p7_bloom_decontaminate",
-    "t10_bm25", "s15_two_stage_rerank", "s16_hybrid_rrf")
+    "t10_bm25", "s15_two_stage_rerank", "s16_hybrid_rrf",
+    "s17_ann_deletes")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
