@@ -87,9 +87,12 @@ object Bench {
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val (t1, t2) = (pass1.map(_._2).sum, pass2.map(_._2).sum)
-    // totals/loadavg/failures FIRST: the driver tails the line at 2000 chars
-    // and the bulky queries/passes maps must not push the headline fields out
     println(s"""{"metric":"total","value":$total,"unit":"sec","pass_totals":[$t1,$t2],"loadavg":{"start":$load0,"mid":$load1,"end":$load2},"failed":$fj,"sf":"$sfDir","queries":$qs,"passes":[${qjson(pass1)},${qjson(pass2)}]}""")
+    // The driver keeps the TAIL of stdout (r10 verdict: leading fields were
+    // exactly what got truncated), so repeat the headline fields in a second
+    // compact line with no per-query maps — this one always survives the
+    // 2000-char tail and makes a poisoned record self-diagnosing.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","pass_totals":[$t1,$t2],"loadavg":{"start":$load0,"mid":$load1,"end":$load2},"failed":$fj,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -28,6 +28,12 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // Tombstone so a thrown query is visibly broken in the driver
+        // artifact instead of silently absent (r10: 14 failures read like
+        // "not declared" because nothing was written).
+        try Files.writeString(Paths.get(s"$outDir/$name._error"),
+          s"${e.getClass.getName}: ${e.getMessage}\n")
+        catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

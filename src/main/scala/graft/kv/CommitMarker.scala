@@ -60,19 +60,61 @@ private[graft] object CommitMarker {
     * zero-length, trigger a pointless reclaim) — so delete our own husk
     * best-effort and throw the retryable [[PotTable.CommitIncomplete]]
     * instead of misreporting foreign ownership.
+    *
+    * On a `file:` FileSystem the create is atomic in existence AND content:
+    * the body is written to a hidden writer-unique tmp and hard-linked into
+    * the marker name (link(2) fails EEXIST if the generation is taken). A
+    * live local writer therefore NEVER exposes a zero-length marker — which
+    * closes the lost-update race found in round 11: under the old
+    * create-then-write path, a reclaimer could observe the creator's
+    * in-flight husk, win the reclaim file, pass its emptiness re-check, and
+    * then delete the marker AFTER the creator's close+read-back had already
+    * reported success — both writers report success, one commit silently gone
+    * (the BucketedPotSpec "racing writers" flake). With link-publish the
+    * husk window does not exist locally; the reclaim path remains for
+    * genuinely dead husks (crashed non-local writers, forged test husks).
+    * Non-local FileSystems keep the create-then-write path (HDFS create is
+    * equally exclusive; object stores would use a precondition PUT).
     */
+  private def isLocalFs(fs: FileSystem): Boolean =
+    "file".equalsIgnoreCase(fs.getUri.getScheme)
+
   private def tryCreate(fs: FileSystem, marker: Path, body: Array[Byte]): Boolean = {
-    val out =
-      try fs.create(marker, false) // atomic create-new == CAS
-      catch { case _: IOException => return false }
-    try { out.write(body); out.close(); true }
-    catch {
-      case e: IOException =>
-        try out.close() catch { case _: IOException => () }
-        try fs.delete(marker, false) catch { case _: IOException => () }
-        throw new PotTable.CommitIncomplete(
-          s"marker $marker: create succeeded but body write/close failed; " +
-            "own husk removed — retry the commit", e)
+    if (isLocalFs(fs)) {
+      val dir = java.nio.file.Paths.get(
+        fs.makeQualified(marker).toUri.getPath).getParent
+      java.nio.file.Files.createDirectories(dir)
+      val tmp = dir.resolve(
+        s".${marker.getName}.${java.util.UUID.randomUUID()}.tmp")
+      try {
+        java.nio.file.Files.write(tmp, body)
+        try {
+          java.nio.file.Files.createLink(dir.resolve(marker.getName), tmp)
+          true
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      } catch {
+        case e: IOException => throw new PotTable.CommitIncomplete(
+          s"marker $marker: atomic link-publish failed before any marker " +
+            "became visible — retry the commit", e)
+      } finally {
+        try java.nio.file.Files.deleteIfExists(tmp)
+        catch { case _: IOException => () }
+      }
+    } else {
+      val out =
+        try fs.create(marker, false) // atomic create-new == CAS
+        catch { case _: IOException => return false }
+      try { out.write(body); out.close(); true }
+      catch {
+        case e: IOException =>
+          try out.close() catch { case _: IOException => () }
+          try fs.delete(marker, false) catch { case _: IOException => () }
+          throw new PotTable.CommitIncomplete(
+            s"marker $marker: create succeeded but body write/close failed; " +
+              "own husk removed — retry the commit", e)
+      }
     }
   }
 

@@ -95,15 +95,15 @@ object StreamingQueries {
     }
   }
 
-  /** Raw-schema streaming read of the events fixture. `events.ts` is
-    * nanosecond parquet: like Tables.events, read it as raw longs (legacy
-    * conf) and surface the same ns→us truncation DuckDB applies.
+  /** Raw-schema streaming read of the events fixture. The `ts` physical type
+    * has changed across fixture regenerations (ns-long vs us-timestamp); the
+    * batch loader's schema tells us which shape this fixture has, and
+    * [[graft.Tables.normalizeEventsTs]] applies the matching normalization.
     */
   private def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = Tables.load(s, d, "events").schema
-    s.readStream.schema(raw).parquet(eventsDir(d))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Tables.normalizeEventsTs(s.readStream.schema(raw).parquet(eventsDir(d)))
   }
 
   /** st1: streaming exact-dedup on (user_id, event_type) within the

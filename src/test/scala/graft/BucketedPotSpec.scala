@@ -95,6 +95,67 @@ class BucketedPotSpec extends AnyFunSuite {
     assert(state.contains("beta") === rb.isSuccess)
   }
 
+  test("publish is atomic in existence+content: no husk ever observable (r11 race fix)") {
+    // Root cause of the historic flake in the racing-writers test below:
+    // create-then-write exposed a zero-length marker between create and
+    // close, and a reclaimer that caught that window could pass its
+    // emptiness re-check, then delete the marker AFTER the creator's
+    // read-back had reported success — a lost update (both writers
+    // reporting success, one commit gone). The fix publishes local markers
+    // via tmp-write + hard-link, so a marker becomes visible fully written
+    // or not at all. This watcher would catch the old window within a few
+    // generations: it polls marker files as fast as it can while a
+    // publisher commits 60 generations, and must never see length 0.
+    val root = tmpRoot()
+    val commits = new org.apache.hadoop.fs.Path(s"$root/t/_commits")
+    val fs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(commits)
+    @volatile var huskSeen = false
+    @volatile var done = false
+    val watcher = new Thread(() => {
+      while (!done) {
+        val sts = try fs.listStatus(commits) catch { case _: Throwable => Array.empty[org.apache.hadoop.fs.FileStatus] }
+        if (sts.exists(st => st.getPath.getName.forall(_.isDigit) && st.getLen == 0L))
+          huskSeen = true
+      }
+    })
+    watcher.start()
+    (1 to 60).foreach { g =>
+      graft.kv.CommitMarker.publish(
+        fs, new org.apache.hadoop.fs.Path(commits, g.toString), s"body-$g")
+    }
+    done = true
+    watcher.join(10000)
+    assert(!huskSeen, "a zero-length marker was observable mid-publish — " +
+      "link-publish atomicity regressed (CommitMarker.tryCreate)")
+  }
+
+  test("N racing writers: reported outcome always matches visible state") {
+    // Regression stress for the r11 lost-update fix: every writer's key is
+    // present iff that writer's upsert reported success, across a pile of
+    // same-base races.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.util.Try
+    val root = tmpRoot()
+    BucketedPotTable(spark, root, "t", 4)
+      .upsert((1 to 8).map(i => (s"base$i", i)).toDF("key", "v"))
+    val writers = (1 to 6).map { w =>
+      w -> Future(Try(BucketedPotTable(spark, root, "t", 4)
+        .upsert(Seq((s"w$w", w * 100)).toDF("key", "v"))))
+    }
+    val results = writers.map { case (w, f) => w -> Await.result(f, 120.seconds) }
+    assert(results.exists(_._2.isSuccess)) // at least one commit lands
+    val state = BucketedPotTable(spark, root, "t", 4).get()
+      .select("key", "v").as[(String, Int)].collect().toMap
+    (1 to 8).foreach(i => assert(state(s"base$i") === i))
+    results.foreach { case (w, r) =>
+      assert(state.contains(s"w$w") === r.isSuccess,
+        s"writer $w reported ${r} but visible=${state.contains(s"w$w")}")
+    }
+  }
+
   test("upsert stages all touched buckets under ONE writer-unique root") {
     val root = tmpRoot()
     val pot = BucketedPotTable(spark, root, "t", nBuckets = 16)

@@ -295,10 +295,17 @@ class KvSpec extends AnyFunSuite {
   test("publish reports own write/close failure as retryable CommitIncomplete, not foreign conflict") {
     import org.apache.hadoop.fs.{FSDataOutputStream, FileSystem, Path, RawLocalFileSystem}
     val root = tmpRoot()
-    val marker = new Path(s"file:$root/commits/1")
+    // scheme-less path: resolvable by the mock-scheme FS below AND by the
+    // local-FS semantics underneath it
+    val marker = new Path(s"$root/commits/1")
     // a RawLocalFileSystem whose next create() returns a stream that fails
-    // at close — the injected "writer dies between create and close"
+    // at close — the injected "writer dies between create and close".
+    // Claims a non-file scheme so publish takes the create-then-write path
+    // (the REAL file: path link-publishes atomically since r11 and cannot
+    // hit this failure mode at all — that atomicity has its own spec in
+    // BucketedPotSpec).
     val fs = new RawLocalFileSystem() {
+      override def getUri: java.net.URI = new java.net.URI("mockdfs:///")
       var failNextClose = true
       override def create(f: Path, overwrite: Boolean): FSDataOutputStream = {
         val real = super.create(f, overwrite)
