@@ -36,12 +36,19 @@ object Bench {
     // index build is ingest cost, not query cost — warm it so s2 times the
     // partition-pruned lookup (on a warm machine it's a no-op: the index is
     // content-addressed on disk and reused across runs).
+    // Timed so a driver record with a slow query right after a fixture regen
+    // is self-diagnosing: a big warm_sec means the content-address changed
+    // and the indexes rebuilt here (ingest cost), NOT that lookups regressed
+    // (r10: s3 showed 11.6 s in the driver record, 0.85 s on a warm rerun).
+    val warmT0 = System.nanoTime()
     SparkEntry.queries.get("q1_pricing_summary")
       .foreach(fn => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
     operators.AnnIndex.locate(spark, sfDir)
     operators.AnnIndex.locateIvf(spark, sfDir)
+    operators.AnnIndex.locateIncremental(spark, sfDir)
     operators.AnnIndex.locateWithDeletes(spark, sfDir)
     streaming.DedupIndex.locate(spark, sfDir)
+    val warmSec = (System.nanoTime() - warmT0) / 1e9
 
     // Two full passes, min per query: a single timed pass lets one contended
     // window on a shared box poison the whole record (observed 5-13x blowups
@@ -87,12 +94,12 @@ object Bench {
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val (t1, t2) = (pass1.map(_._2).sum, pass2.map(_._2).sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","pass_totals":[$t1,$t2],"loadavg":{"start":$load0,"mid":$load1,"end":$load2},"failed":$fj,"sf":"$sfDir","queries":$qs,"passes":[${qjson(pass1)},${qjson(pass2)}]}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","pass_totals":[$t1,$t2],"warm_sec":$warmSec,"loadavg":{"start":$load0,"mid":$load1,"end":$load2},"failed":$fj,"sf":"$sfDir","queries":$qs,"passes":[${qjson(pass1)},${qjson(pass2)}]}""")
     // The driver keeps the TAIL of stdout (r10 verdict: leading fields were
     // exactly what got truncated), so repeat the headline fields in a second
     // compact line with no per-query maps — this one always survives the
     // 2000-char tail and makes a poisoned record self-diagnosing.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","pass_totals":[$t1,$t2],"loadavg":{"start":$load0,"mid":$load1,"end":$load2},"failed":$fj,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","pass_totals":[$t1,$t2],"warm_sec":$warmSec,"loadavg":{"start":$load0,"mid":$load1,"end":$load2},"failed":$fj,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

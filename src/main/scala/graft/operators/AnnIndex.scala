@@ -56,7 +56,34 @@ object AnnIndex {
       .withColumn("sigp", concat(lit("s"), $"sig"))
       .repartition($"sigp")
       .write.partitionBy("sigp").mode("overwrite").parquet(out)
+    writeIdMap(s, out)
   }
+
+  /** `vec_id -> sigp` reverse-lookup sidecar, written alongside every
+    * insert generation (r10 verdict #7): [[delete]] must find the doomed
+    * ids' buckets, and without a sidecar that is a full-index semi-join —
+    * corpus-proportional for a takedown batch of ten ids. The sidecar is
+    * the two narrow columns only, hash-partitioned by `vec_id` into
+    * [[IdMapBuckets]] dirs, so a delete reads just the buckets its ids
+    * hash into (literal partition filter) — cost scales with the delete
+    * set, not the corpus. The `_` prefix hides it from the data scan like
+    * `_centroids`.
+    */
+  private val IdMapSidecar = "_idmap"
+  private[graft] val IdMapBuckets = 64L
+
+  private def idMapBucket(c: org.apache.spark.sql.Column) =
+    pmod(xxhash64(c), lit(IdMapBuckets))
+
+  /** Derive the sidecar from the just-written data dir: a column-pruned
+    * scan of (`vec_id`, `sigp`) — no recompute of signatures.
+    */
+  private def writeIdMap(s: SparkSession, dataDir: String): Unit =
+    s.read.parquet(dataDir).select(col("vec_id"), col("sigp"))
+      .withColumn("idb", idMapBucket(col("vec_id")))
+      .repartition(col("idb"))
+      .write.partitionBy("idb").mode("overwrite")
+      .parquet(s"$dataDir/$IdMapSidecar")
 
   /** Number of IVF centroids (k of the trained k-means). */
   val IvfCentroids = 16
@@ -454,6 +481,7 @@ object AnnIndex {
       val f = fs.create(
         new org.apache.hadoop.fs.Path(out, FoldsSidecar), false)
       try f.write(top.toString.getBytes("UTF-8")) finally f.close()
+      writeIdMap(s, out) // the fold is an insert generation: keep it mapped
     }
     if (isFold(fs, dir)) Some(dir) else None // lost the CAS to an append
   }
@@ -462,20 +490,58 @@ object AnnIndex {
     * the arbitrary-id production path, built on [[append]] (a delete
     * request exists nowhere else; losing a CAS race must re-offer it, not
     * drop it). The tombstone rows pair each doomed id with its bucket
-    * (`sigp`, looked up from the current index) and are partitioned by
+    * (`sigp`, looked up from the `_idmap` sidecars) and are partitioned by
     * that bucket, so pruned lookups also prune the tombstone scan. Readers
     * see the delete as soon as the marker commits; the rows are physically
     * removed by the next [[compact]].
+    *
+    * Bucket resolution (r11): when every visible insert generation carries
+    * an `_idmap` sidecar, the lookup is a union of the sidecars pruned to
+    * the ≤[[IdMapBuckets]] hash buckets the delete ids fall in (literal
+    * partition filter — the bucket list is a bounded driver collect, like
+    * the IVF sidecar), semi-joined against the broadcast delete set. Cost
+    * scales with the delete set; the corpus is never scanned. Sidecar-less
+    * generations (pre-r11 indexes) fall back to the full-index semi-join.
+    * The sidecar route may also tombstone a pair that is ALREADY deleted —
+    * harmless: resolution compares row `gen` against the latest tombstone
+    * generation, so a dead pair stays dead and a re-insert after this
+    * delete still survives it.
     */
   def delete(
       s: SparkSession, base: org.apache.hadoop.fs.Path,
       ids: DataFrame): (Long, String) =
-    append(s, base) { out =>
-      writeTombstones(s,
-        readCommitted(s, base)
-          .join(ids, Seq("vec_id"), "leftsemi")
-          .select(col("vec_id"), col("sigp")).distinct(), out)
+    append(s, base)(out => writeTombstones(s, deletePairs(s, base, ids), out))
+
+  /** The (`vec_id`, `sigp`) pairs a delete of `ids` must tombstone —
+    * sidecar route when every visible insert generation is mapped,
+    * full-index fallback otherwise. Exposed for the spec's plan audit.
+    */
+  private[graft] def deletePairs(
+      s: SparkSession, base: org.apache.hadoop.fs.Path,
+      ids: DataFrame): DataFrame = {
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val inserts = visibleGenerations(fs, committedGenerations(s, base))
+      .filterNot { case (_, dir) => isTombstone(fs, dir) }
+    val allMapped = inserts.nonEmpty && inserts.forall { case (_, dir) =>
+      fs.exists(new org.apache.hadoop.fs.Path(dir, IdMapSidecar)) }
+    if (allMapped) {
+      val wanted = ids.select(col("vec_id")).distinct()
+      val buckets = wanted.select(idMapBucket(col("vec_id")).as("idb"))
+        .distinct().collect().map(_.getLong(0)) // bounded: <= IdMapBuckets
+      inserts
+        .map { case (_, dir) =>
+          s.read.parquet(s"$dir/$IdMapSidecar")
+            .select(col("vec_id"), col("sigp"), col("idb")) }
+        .reduce(_ unionByName _)
+        .filter(col("idb").isin(buckets: _*))
+        .join(broadcast(wanted), Seq("vec_id"), "leftsemi")
+        .select(col("vec_id"), col("sigp")).distinct()
+    } else {
+      readCommitted(s, base)
+        .join(ids, Seq("vec_id"), "leftsemi")
+        .select(col("vec_id"), col("sigp")).distinct()
     }
+  }
 
   private def writeTombstones(
       s: SparkSession, rows: DataFrame, out: String): Unit = {

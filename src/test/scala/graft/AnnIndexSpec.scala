@@ -4,6 +4,7 @@ import java.util.concurrent.atomic.AtomicInteger
 
 import graft.operators.AnnIndex
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions.{lit, pmod, xxhash64}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** The ANN index publish protocol: stage-then-publish over
@@ -232,6 +233,51 @@ class AnnIndexSpec extends AnyFunSuite {
     // the resolved answer is unchanged
     assert(AnnIndex.vacuumFolded(spark, base) === Seq(1L, 2L, 3L))
     assert(visible() === afterReinsert)
+  }
+
+  test("delete resolves buckets from _idmap sidecars, never scanning the index (r11)") {
+    import spark.implicits._
+    val base = new Path(
+      new java.io.File(System.getProperty("java.io.tmpdir")).toURI.toString,
+      s"graft-idmaptest-${java.util.UUID.randomUUID()}-v2")
+    // a generation written through buildFiltered's layout INCLUDING the
+    // sidecar: stage data, then idmap, exactly as the build path does
+    def writeMapped(g: Long, rows: Seq[(Long, String, String)]): String =
+      AnnIndex.ensureGeneration(spark, base, g) { out =>
+        rows.toDF("vec_id", "label", "sigp")
+          .write.partitionBy("sigp").mode("overwrite").parquet(out)
+        spark.read.parquet(out).select($"vec_id", $"sigp")
+          .withColumn("idb",
+            pmod(xxhash64($"vec_id"), lit(AnnIndex.IdMapBuckets)))
+          .repartition($"idb")
+          .write.partitionBy("idb").mode("overwrite").parquet(s"$out/_idmap")
+      }
+    writeMapped(1L, Seq((1L, "a", "s00"), (2L, "b", "s01"), (3L, "c", "s00")))
+    writeMapped(2L, Seq((4L, "d", "s01")))
+
+    // plan audit: the pair resolution reads ONLY _idmap files, prunes the
+    // idb partitions down to the delete ids' hash buckets, and never
+    // touches the generations' data files
+    val pairsDf = AnnIndex.deletePairs(spark, base, Seq(1L, 3L).toDF("vec_id"))
+    val plan = pairsDf.queryExecution.executedPlan.toString
+    // every FileScan is pruned by the delete ids' idb hash buckets...
+    assert("PartitionFilters: \\[idb#\\d+ IN \\(".r.findFirstIn(plan).isDefined,
+      s"no idb partition filter in plan:\n$plan")
+    // ...and reads only the two sidecar columns — a generation DATA scan
+    // would surface `embedding`/`label` in a ReadSchema
+    val readSchemas = "ReadSchema: struct<[^>]*>".r.findAllIn(plan).toSeq
+    assert(readSchemas.nonEmpty && readSchemas.forall(rs =>
+      !rs.contains("label") && !rs.contains("embedding")),
+      s"delete plan read generation data columns:\n$plan")
+    assert(pairsDf.as[(Long, String)].collect().sorted.toSeq
+      === Seq((1L, "s00"), (3L, "s00")))
+
+    // end-to-end through the sidecar route: same visible-state semantics
+    // as the fallback (hide, re-insert survives, fold physical)
+    val (dg, _) = AnnIndex.delete(spark, base, Seq(1L, 3L, 99L).toDF("vec_id"))
+    assert(dg === 3L)
+    assert(AnnIndex.readCommitted(spark, base)
+      .select($"vec_id").as[Long].collect().sorted.toSeq === Seq(2L, 4L))
   }
 
   test("second locate call reads the marker, builds nothing") {
