@@ -48,6 +48,7 @@ object Bench {
     operators.AnnIndex.locateIncremental(spark, sfDir)
     operators.AnnIndex.locateWithDeletes(spark, sfDir)
     streaming.DedupIndex.locate(spark, sfDir)
+    streaming.DedupIndex.locateGenerations(spark, sfDir)
     val warmSec = (System.nanoTime() - warmT0) / 1e9
 
     // Two full passes, min per query: a single timed pass lets one contended

@@ -131,8 +131,11 @@ object AnnIndex {
     * winner's pointer — the duplicate work is bounded to the cold-start
     * race, and no reader ever waits on a crashed builder.
     */
-  /** Content-addressed index root under java.io.tmpdir for fixture `d`. */
-  private def indexBase(prefix: String, d: String): org.apache.hadoop.fs.Path = {
+  /** Content-addressed index root under java.io.tmpdir for fixture `d`.
+    * `private[graft]`: [[graft.streaming.DedupIndex]] keys its appendable
+    * generations off the same scheme.
+    */
+  private[graft] def indexBase(prefix: String, d: String): org.apache.hadoop.fs.Path = {
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
     new org.apache.hadoop.fs.Path(

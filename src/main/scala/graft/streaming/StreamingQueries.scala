@@ -409,18 +409,39 @@ object StreamingQueries {
     * corpus, so the result is deterministic under any micro-batch split —
     * the oracle is p4's batch SQL verbatim.
     */
-  def streamIncrementalDedup(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val docs = graft.Tables.documents(s, d)
+  def streamIncrementalDedup(s: SparkSession, d: String): DataFrame =
     // The corpus sets come from the PERSISTED dedup index ([[DedupIndex]] —
     // built once per corpus at ingest, CommitMarker-published): the static
     // side of a stream-static join re-executes per micro-batch, and a
     // production ingest stream reads its corpus index, it does not
     // recompute corpus MinHash inside every batch.
-    val corpFp = DedupIndex.fingerprints(s, d).withColumn("e", lit(true))
-    val corpBands = DedupIndex.bands(s, d)
+    ingestDedupAgainst(s, d,
+      DedupIndex.fingerprints(s, d), DedupIndex.bands(s, d), "graft-st6")
+
+  /** st10: st6 re-run against the APPENDABLE index — the corpus arrived as
+    * a base batch plus a later CommitMarker-published append
+    * ([[DedupIndex.locateGenerations]]), and the stream reads the union of
+    * the committed generations. The oracle is p4's batch SQL over the FULL
+    * corpus — the equivalence this entry pins is exactly "append then
+    * stream == batch recompute" (base + append = corpus by construction).
+    */
+  def streamPostAppendDedup(s: SparkSession, d: String): DataFrame =
+    ingestDedupAgainst(s, d,
+      DedupIndex.fingerprintsAll(s, d), DedupIndex.bandsAll(s, d), "graft-st10")
+
+  /** The shared st6/st10 body: flag each streamed `src0` doc against the
+    * given corpus fingerprint/band relations (whatever index generations
+    * they came from) via broadcast per-band left joins — stateless,
+    * append-legal, nothing grows with the stream.
+    */
+  private def ingestDedupAgainst(
+      s: SparkSession, d: String,
+      fpRel: DataFrame, bandsRel: DataFrame, tag: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.Tables.documents(s, d)
+    val corpFp = fpRel.withColumn("e", lit(true))
     val bandSets = (0 to 3).map { b =>
-      corpBands.filter($"band" === b).select($"sig".as(s"csig$b"))
+      bandsRel.filter($"band" === b).select($"sig".as(s"csig$b"))
         .withColumn(s"m$b", lit(true))
     }
     val stream = s.readStream.schema(docs.schema)
@@ -439,7 +460,7 @@ object StreamingQueries {
       case (df, (bs, b)) =>
         df.join(broadcast(bs), col(s"sig$b") === col(s"csig$b"), "left")
     }
-    val out = runScratchDir("graft-st6")
+    val out = runScratchDir(tag)
     withStreamRunConf(s) {
       val q = flagged
         .select($"doc_id",
@@ -733,6 +754,7 @@ object StreamingQueries {
     "st8_stream_latest"    -> (streamLatest _),
     "st7_stream_ann_match" -> (streamAnnMatch _),
     "st6_stream_ingest_dedup" -> (streamIncrementalDedup _),
+    "st10_stream_dedup_postappend" -> (streamPostAppendDedup _),
     "st5_stream_sessions" -> (streamSessions _),
     "st1_stream_dedup"    -> (streamDedup _),
     "st2_stream_tumbling" -> (streamTumbling _),
@@ -744,6 +766,7 @@ object StreamingQueries {
     "st8_stream_latest"    -> streamLatestSql,
     "st7_stream_ann_match" -> streamAnnMatchSql,
     "st6_stream_ingest_dedup" -> graft.operators.Pipeline.incrementalDedupSql,
+    "st10_stream_dedup_postappend" -> graft.operators.Pipeline.incrementalDedupSql,
     "st5_stream_sessions" -> streamSessionsSql,
     "st1_stream_dedup"    -> streamDedupSql,
     "st2_stream_tumbling" -> streamTumblingSql,

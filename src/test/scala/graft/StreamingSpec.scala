@@ -90,6 +90,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("appendable dedup index: union of generations == full-corpus relations (st10)") {
+    import spark.implicits._
+    import graft.streaming.DedupIndex
+    // the union of the base + appended generations must equal the
+    // build-once full-corpus index relations — the at-rest core of st10's
+    // append-then-stream == batch-recompute equivalence
+    val full = DedupIndex.fingerprints(spark, sf)
+      .as[String].collect().sorted.toSeq
+    val unioned = DedupIndex.fingerprintsAll(spark, sf)
+      .as[String].collect().sorted.toSeq
+    assert(unioned === full)
+    val fullB = DedupIndex.bands(spark, sf)
+      .as[(Int, String)].collect().sorted.toSeq
+    val unionedB = DedupIndex.bandsAll(spark, sf)
+      .as[(Int, String)].collect().sorted.toSeq
+    assert(unionedB === fullB)
+    // multiplicity: the union readers are duplicate-free even where a
+    // (band, sig) lives in both batches — st10's per-band LEFT joins
+    // would otherwise multiply stream rows
+    assert(unionedB.distinct === unionedB)
+  }
+
+  test("appendable dedup index: concurrent cold-start locates agree (append race)") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import graft.streaming.DedupIndex
+    // two racers resolving base+append generations: the marker CAS hands
+    // both the SAME committed dirs (losers adopt), so readers can never
+    // see torn or double-built generations
+    val (a, b) = (
+      Future(DedupIndex.locateGenerations(spark, sf)),
+      Future(DedupIndex.locateGenerations(spark, sf)))
+    val (ra, rb) = (Await.result(a, 120.seconds), Await.result(b, 120.seconds))
+    assert(ra === rb)
+    assert(ra.map(_._1) === Seq(1L, 2L))
+  }
+
   test("st1/st2 leave no temp state behind across repeated invocations") {
     import graft.streaming.StreamingQueries
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
