@@ -29,6 +29,7 @@ object SparkEntry {
       (operators.Pipeline.queries, operators.Pipeline.oracle),
       (operators.Similarity.queries, operators.Similarity.oracle),
       (operators.KMeans.queries, operators.KMeans.oracle),
+      (operators.Pq.queries, operators.Pq.oracle),
       (operators.TextAnalysis.queries, operators.TextAnalysis.oracle),
       (multimodal.Multimodal.queries, multimodal.Multimodal.oracle),
       (streaming.StreamingQueries.queries, streaming.StreamingQueries.oracle),

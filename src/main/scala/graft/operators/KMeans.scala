@@ -89,26 +89,28 @@ object KMeans {
 
   /** First-k init + ONE Lloyd round over the quantized corpus — the
     * reusable trainer: s9 consumes it at K=4, [[AnnIndex.buildIvf]] at 16
-    * (trained IVF cells). Returns the updated integer centroids, empty
-    * cells dropped; exact replay = [[lloydCtes]].
+    * (trained IVF cells), [[Pq]] at 8 per SUBSPACE (hence the `dim`
+    * parameter — PQ trains on 16-component slices, not full vectors).
+    * Returns the updated integer centroids, empty cells dropped; exact
+    * replay = [[lloydCtes]].
     */
   private[graft] def train(
       s: SparkSession, q: org.apache.spark.rdd.RDD[(Long, Array[Long])],
-      k: Int): Array[(Int, Array[Long])] = {
+      k: Int, dim: Int = Dim): Array[(Int, Array[Long])] = {
     val init: Array[(Int, Array[Long])] = q.filter(_._1 < k).collect()
       .sortBy(_._1).map { case (id, v) => (id.toInt, v) }
 
     // One Lloyd round: assign + fold per-cluster (count, component sums)
     // in a single tree-aggregated pass.
     val bc = s.sparkContext.broadcast(init)
-    val zero = (new Array[Long](k), Array.fill(k)(new Array[Long](Dim)))
+    val zero = (new Array[Long](k), Array.fill(k)(new Array[Long](dim)))
     val (counts, sums) = q.treeAggregate(zero)(
       { case ((cnt, sm), (_, v)) =>
         val cid = assign(v, bc.value)._1
         cnt(cid) += 1
         val target = sm(cid)
         var i = 0
-        while (i < Dim) { target(i) += v(i); i += 1 }
+        while (i < dim) { target(i) += v(i); i += 1 }
         (cnt, sm)
       },
       { case ((c1, s1), (c2, s2)) =>
@@ -116,7 +118,7 @@ object KMeans {
         while (c < k) {
           c1(c) += c2(c)
           var i = 0
-          while (i < Dim) { s1(c)(i) += s2(c)(i); i += 1 }
+          while (i < dim) { s1(c)(i) += s2(c)(i); i += 1 }
           c += 1
         }
         (c1, s1)

@@ -1,0 +1,186 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** s18: product-quantization ANN (PQ/ADC — Jégou, Douze, Schmid, "Product
+  * Quantization for Nearest Neighbor Search", TPAMI 2011) — the standard
+  * memory-compression answer when even an IVF cell's vectors are too many
+  * bytes to scan: split each vector into [[M]] subspaces, train a tiny
+  * codebook per subspace, and store each vector as M small codes. A query
+  * then scans CODES, not floats: it precomputes one M×[[Kc]] lookup table
+  * of exact subspace distances (asymmetric distance computation) and
+  * approximates every corpus distance as a sum of M table entries — here
+  * 4 bytes of codes instead of 256 bytes of floats per vector, with an
+  * exact rerank of the short candidate list restoring precision.
+  *
+  * Everything runs in the integer domain of [[KMeans]] (q = floor(e·2^20))
+  * so the DuckDB oracle replays training, encoding, ADC and rerank
+  * bit-exactly: per-subspace codebooks are [[KMeans.train]] on the
+  * 16-component slices (first-[[Kc]] init, one Lloyd round, floor-divided
+  * integer centroids), distances are order-free integer sums.
+  *
+  * Scale shape (the 100 TB story): codebooks are M×Kc integer vectors — a
+  * few KB broadcast however large the corpus; encoding is one map-side
+  * pass (at ingest this is the persisted PQ index: a narrow codes table,
+  * 64× smaller than the embeddings); the query's ADC pass reads codes and
+  * adds M table entries per row (no floats, no shuffle), TopK candidates
+  * via TakeOrderedAndProject; the exact rerank touches only the
+  * [[RerankN]] survivors through a broadcast id join — never a second
+  * corpus pass (s15's discipline).
+  */
+object Pq {
+  /** Subspaces (codes per vector). */
+  val M = 4
+  /** Components per subspace. */
+  val SubDim: Int = KMeans.Dim / M
+  /** Codebook size per subspace; init = first-Kc vectors' slices. */
+  val Kc = 8
+  /** ADC candidates kept for the exact rerank. */
+  val RerankN = 50
+  val TopK = 10
+
+  def pqSearch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = KMeans.quantized(s, d)
+
+    // Per-subspace codebooks: KMeans.train on the slice RDDs. Bounded
+    // driver state: M × Kc × SubDim longs (4 KB).
+    val books: Array[Array[(Int, Array[Long])]] = (0 until M).toArray.map { m =>
+      val sub = q.map { case (id, v) =>
+        (id, java.util.Arrays.copyOfRange(v, m * SubDim, (m + 1) * SubDim)) }
+      KMeans.train(s, sub, Kc, SubDim)
+    }
+    // Query = vec_id 0 (the fixture's probe convention, s2/s3/s15), and
+    // its ADC lookup table: exact integer L2 from each probe slice to each
+    // subspace centroid — M × Kc entries, computed once on the driver.
+    val probe: Array[Long] = q.filter(_._1 == 0L).first()._2
+    val luts: Array[Map[Int, Long]] = (0 until M).toArray.map { m =>
+      val ps = java.util.Arrays.copyOfRange(probe, m * SubDim, (m + 1) * SubDim)
+      books(m).map { case (cid, c) =>
+        var acc = 0L
+        var i = 0
+        while (i < SubDim) { val t = ps(i) - c(i); acc += t * t; i += 1 }
+        cid -> acc
+      }.toMap
+    }
+
+    // Encode + ADC in one map pass (at ingest the codes would persist as
+    // the PQ index; the fixture derives them in-flight like s9 trains
+    // in-flight). Strict-< assign ties to the lowest cid — oracle mirrors
+    // with ORDER BY dist, cid.
+    val bcBooks = s.sparkContext.broadcast(books)
+    val bcLuts = s.sparkContext.broadcast(luts)
+    val adcDf = q.filter(_._1 != 0L).map { case (id, v) =>
+      var adc = 0L
+      var m = 0
+      while (m < M) {
+        val slice = java.util.Arrays.copyOfRange(v, m * SubDim, (m + 1) * SubDim)
+        adc += bcLuts.value(m)(KMeans.assign(slice, bcBooks.value(m))._1)
+        m += 1
+      }
+      (id, adc)
+    }.toDF("vec_id", "adc")
+
+    // Candidate short-list (TakeOrderedAndProject), then exact integer L2
+    // over ONLY the survivors: corpus side is pruned by a broadcast join
+    // on RerankN ids, never re-scanned.
+    val cand = adcDf.orderBy($"adc".asc, $"vec_id".asc).limit(RerankN)
+    val qDf = q.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "q")
+    val probeLit = typedlit(probe.toSeq)
+    val rer = qDf.join(broadcast(cand), Seq("vec_id"))
+      .withColumn("dist",
+        aggregate(zip_with($"q", probeLit, (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v))
+    Tables.embeddings(s, d).select($"vec_id", $"label")
+      .join(broadcast(rer.select($"vec_id", $"adc", $"dist")), Seq("vec_id"))
+      .select($"vec_id", $"label", $"adc", $"dist")
+      .orderBy($"dist".asc, $"vec_id".asc)
+      .limit(TopK)
+  }
+
+  /** One subspace's oracle block: slice, first-Kc init, one Lloyd round
+    * (trained codebook c{m}1), encode every vector (a{m}2 = codes), and
+    * the probe's lookup-table row set (lut{m} = its d{m}2 distances).
+    * Same shapes as [[KMeans.lloydCtes]], on list_slice windows.
+    */
+  private def subspaceCtes(m: Int): String = {
+    val lo = m * SubDim + 1
+    val hi = (m + 1) * SubDim
+    s"""q$m AS (
+       |  SELECT vec_id, list_slice(q, $lo, $hi) AS q FROM qf),
+       |c${m}0 AS (
+       |  SELECT CAST(vec_id AS INTEGER) AS cid, q AS c FROM q$m WHERE vec_id < $Kc),
+       |d${m}1 AS (
+       |  SELECT v.vec_id, c.cid,
+       |    CAST(list_sum(list_transform(range(1, ${SubDim + 1}),
+       |      i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i]))) AS BIGINT) AS dist
+       |  FROM q$m v CROSS JOIN c${m}0 c),
+       |a${m}1 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM d${m}1) WHERE rn = 1),
+       |comp${m}1 AS (
+       |  SELECT a.cid, t.i, CAST(SUM(v.q[t.i]) AS BIGINT) AS s, COUNT(*) AS n
+       |  FROM a${m}1 a JOIN q$m v USING (vec_id)
+       |  CROSS JOIN range(1, ${SubDim + 1}) t(i)
+       |  GROUP BY a.cid, t.i),
+       |c${m}1 AS (
+       |  SELECT cid, list((s - ((s % n + n) % n)) // n ORDER BY i) AS c
+       |  FROM comp${m}1 GROUP BY cid),
+       |d${m}2 AS (
+       |  SELECT v.vec_id, c.cid,
+       |    CAST(list_sum(list_transform(range(1, ${SubDim + 1}),
+       |      i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i]))) AS BIGINT) AS dist
+       |  FROM q$m v CROSS JOIN c${m}1 c),
+       |a${m}2 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM d${m}2) WHERE rn = 1),
+       |lut$m AS (
+       |  SELECT cid, dist FROM d${m}2 WHERE vec_id = 0)""".stripMargin
+  }
+
+  val pqSearchSql: String = {
+    val head =
+      s"""WITH qf AS (
+         |  SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * ${KMeans.QScale}.0) AS BIGINT)) AS q
+         |  FROM embeddings)""".stripMargin
+    val subs = (0 until M).map(subspaceCtes)
+    val tail =
+      s"""adc AS (
+         |  SELECT a0.vec_id, l0.dist + l1.dist + l2.dist + l3.dist AS adc
+         |  FROM a02 a0
+         |  JOIN a12 a1 USING (vec_id)
+         |  JOIN a22 a2 USING (vec_id)
+         |  JOIN a32 a3 USING (vec_id)
+         |  JOIN lut0 l0 ON a0.cid = l0.cid
+         |  JOIN lut1 l1 ON a1.cid = l1.cid
+         |  JOIN lut2 l2 ON a2.cid = l2.cid
+         |  JOIN lut3 l3 ON a3.cid = l3.cid),
+         |cand AS (
+         |  SELECT vec_id, adc FROM adc WHERE vec_id <> 0
+         |  ORDER BY adc, vec_id LIMIT $RerankN),
+         |rer AS (
+         |  SELECT c.vec_id, c.adc,
+         |    CAST(list_sum(list_transform(range(1, ${KMeans.Dim + 1}),
+         |      i -> (v.q[i] - p.q[i]) * (v.q[i] - p.q[i]))) AS BIGINT) AS dist
+         |  FROM cand c
+         |  JOIN qf v USING (vec_id)
+         |  CROSS JOIN (SELECT q FROM qf WHERE vec_id = 0) p(q))
+         |SELECT r.vec_id, e.label, r.adc, r.dist
+         |FROM rer r JOIN embeddings e USING (vec_id)
+         |ORDER BY dist, vec_id LIMIT $TopK""".stripMargin
+    (head +: subs :+ tail).mkString(",\n")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s18_pq_adc" -> (pqSearch _))
+
+  val oracle: Map[String, String] = Map(
+    "s18_pq_adc" -> pqSearchSql)
+}
