@@ -24,29 +24,41 @@ object ScaleSmoke {
 
   private def replicate(
       s: SparkSession, src: String, out: String, factor: Int): Unit = {
-    def rep(name: String, df: DataFrame, idCols: Seq[String]): Unit =
-      (0 until factor).map { k =>
+    def rep(name: String, df: DataFrame, idCols: Seq[String],
+        one: Boolean = false): Unit = {
+      val u = (0 until factor).map { k =>
         idCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(k * IdOffset)))
-      }.reduce(_ unionByName _).write.parquet(s"$out/$name.parquet")
+      }.reduce(_ unionByName _)
+      (if (one) u.coalesce(1) else u).write.parquet(s"$out/$name.parquet")
+    }
+    // Tables streamed through fixtureStreamDir (events st1-st5/st8,
+    // documents st6/st10, embeddings st7) must be single FILES like the
+    // fixture: the file-stream staging symlinks `$dir/<t>.parquet` and a
+    // symlinked DIRECTORY yields an empty stream (no files listed at the
+    // top level), which surfaces as an empty-sink schema-inference error.
+    def asFile(name: String): Unit = {
+      val part = new java.io.File(s"$out/${name}__dir.parquet").listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$out/$name.parquet"))
+    }
     rep("lineitem", Tables.lineitem(s, src), Seq("l_orderkey"))
-    rep("documents", Tables.documents(s, src), Seq("doc_id"))
-    rep("embeddings", Tables.embeddings(s, src), Seq("vec_id"))
-    // events.ts is ns parquet: replicate through the same raw-long read the
-    // engine uses (Tables.events), leaving ts untouched. Written as a single
-    // FILE like the fixture (the file-stream staging symlinks
-    // `$dir/events.parquet` and expects a file, not a directory).
+    rep("documents__dir", Tables.documents(s, src), Seq("doc_id"), one = true)
+    asFile("documents")
+    rep("embeddings__dir", Tables.embeddings(s, src), Seq("vec_id"), one = true)
+    asFile("embeddings")
+    // events.ts physical type drifts across fixture regens: replicate
+    // through the raw read (nanosAsLong set for the ns-era shape), leaving
+    // ts untouched.
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    rep("events__dir", s.read.parquet(s"$src/events.parquet").coalesce(1),
-      Seq("event_id", "user_id"))
-    val part = new java.io.File(s"$out/events__dir.parquet").listFiles()
-      .find(_.getName.endsWith(".parquet")).get
-    java.nio.file.Files.move(part.toPath,
-      java.nio.file.Paths.get(s"$out/events.parquet"))
+    rep("events__dir", s.read.parquet(s"$src/events.parquet"),
+      Seq("event_id", "user_id"), one = true)
+    asFile("events")
   }
 
   /** The round-7-9 heavy entries (VERDICT r9 #1) plus the round-10
-    * additions (d2/d3/p7/t10), timed through the same public surface the
-    * driver runs.
+    * additions (d2/d3/p7/t10) and round-11's (PQ, post-append dedup),
+    * timed through the same public surface the driver runs.
     */
   private val Heavy = Seq(
     "q48_countmin_sketch", "q52_hll_merge", "p11_corpus_prep",
@@ -54,7 +66,7 @@ object ScaleSmoke {
     "st4_stream_attribution", "p12_domain_filter",
     "d2_minhash_lsh", "d3_ngram_jaccard", "p7_bloom_decontaminate",
     "t10_bm25", "s15_two_stage_rerank", "s16_hybrid_rrf",
-    "s17_ann_deletes")
+    "s17_ann_deletes", "s18_pq_adc", "st10_stream_dedup_postappend")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
