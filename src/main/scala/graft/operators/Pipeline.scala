@@ -507,6 +507,57 @@ object Pipeline {
     * place), and no shuffle happens at all until a downstream consumer
     * keys by something — the repeat factor rides the scan.
     */
+  /** p14: deterministic per-epoch shuffle ORDER — the reproducibility
+    * property a training run needs from its data loader: epoch N's global
+    * read order must be a pure function of (corpus, N), identical across
+    * restarts, resumptions and cluster sizes (what `orderBy(rand())`
+    * fundamentally cannot give, the ordering sibling of p13's
+    * hash-bucketed split). Each epoch is an independent permutation:
+    * position = rank of md5(epoch ':' doc_id) within the epoch.
+    *
+    * Scale shape — a global total order WITHOUT a one-partition window:
+    * bucket = the hash's first byte (a PREFIX of the sort key, so bucket
+    * order is consistent with hash order), rank within (epoch, bucket)
+    * windows ([[ShuffleEpochs]]×256 partitions, parallel), plus each
+    * bucket's cumulative offset from a tiny per-bucket count aggregate
+    * broadcast back — the standard distributed sort-rank construction.
+    * The oracle replays it as one flat ROW_NUMBER per epoch; equality
+    * holds exactly because the bucket is a prefix of the ordering key.
+    */
+  val ShuffleEpochs = 3L
+
+  def epochShuffle(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+    val x = Tables.documents(s, d).select($"doc_id")
+      .withColumn("epoch",
+        explode(expr(s"sequence(CAST(1 AS BIGINT), ${ShuffleEpochs}L)")))
+      .withColumn("h", md5(concat_ws(":", $"epoch", $"doc_id")))
+      .withColumn("b", substring($"h", 1, 2))
+    val offsets = x.groupBy($"epoch", $"b").agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(
+        sum($"bn").over(w.partitionBy($"epoch").orderBy($"b")
+          .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+      .select($"epoch", $"b", $"off")
+    x.withColumn("r", row_number().over(
+        w.partitionBy($"epoch", $"b").orderBy($"h", $"doc_id")))
+      .join(broadcast(offsets), Seq("epoch", "b"))
+      .select($"epoch", ($"off" + $"r").as("pos"), $"doc_id")
+      .orderBy($"epoch", $"pos")
+  }
+
+  val epochShuffleSql: String =
+    s"""WITH e AS (SELECT CAST(range AS BIGINT) AS epoch FROM range(1, ${ShuffleEpochs + 1})),
+       |x AS (
+       |  SELECT e.epoch, d.doc_id,
+       |    md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)) AS h
+       |  FROM documents d CROSS JOIN e)
+       |SELECT epoch,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY h, doc_id) AS BIGINT) AS pos,
+       |  doc_id
+       |FROM x
+       |ORDER BY epoch, pos""".stripMargin
+
   def epochRepeat(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d).select($"doc_id", $"lang")
@@ -741,6 +792,7 @@ object Pipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p13_train_val_test"   -> (trainValTestSplit _),
+    "p14_epoch_shuffle"    -> (epochShuffle _),
     "p12_domain_filter"    -> (domainFilter _),
     "p11_corpus_prep"      -> (corpusPrep _),
     "p10_epoch_repeat"     -> (epochRepeat _),
@@ -756,6 +808,7 @@ object Pipeline {
 
   val oracle: Map[String, String] = Map(
     "p13_train_val_test"   -> trainValTestSplitSql,
+    "p14_epoch_shuffle"    -> epochShuffleSql,
     "p12_domain_filter"    -> domainFilterSql,
     "p11_corpus_prep"      -> corpusPrepSql,
     "p10_epoch_repeat"     -> epochRepeatSql,

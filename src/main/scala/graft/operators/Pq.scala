@@ -41,7 +41,40 @@ object Pq {
   val RerankN = 50
   val TopK = 10
 
-  def pqSearch(s: SparkSession, d: String): DataFrame = {
+  def pqSearch(s: SparkSession, d: String): DataFrame =
+    searchParts(s, d)._1
+
+  /** s19: PQ's recall price tag — |PQ top-10 ∩ exact top-10| over the
+    * same integer-L2 ground truth (the per-variant measurement s6 gives
+    * the LSH/IVF family). One row: k, hits, recall_pct — the number a
+    * user consults before trading 64× memory for approximation. The
+    * exact side is a one-pass TakeOrderedAndProject over the quantized
+    * corpus; the intersection is a 10-row semi-join.
+    */
+  def pqRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (approx, qDf, probeLit) = searchParts(s, d)
+    val exact = qDf.filter($"vec_id" =!= 0L)
+      .withColumn("dist",
+        aggregate(zip_with($"q", probeLit, (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v))
+      .orderBy($"dist".asc, $"vec_id".asc)
+      .limit(TopK)
+      .select($"vec_id")
+    approx.select($"vec_id")
+      .join(exact, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+      .select(lit(TopK.toLong).as("k"), $"hits",
+        expr(s"(hits * 100) div ${TopK}L").as("recall_pct"))
+      .orderBy($"k")
+  }
+
+  /** The shared search pipeline: (top-k result, quantized-corpus frame,
+    * probe literal) — [[pqSearch]] returns the first, [[pqRecall]] reuses
+    * the rest for its exact ground truth.
+    */
+  private def searchParts(
+      s: SparkSession, d: String): (DataFrame, DataFrame, org.apache.spark.sql.Column) = {
     import s.implicits._
     val q = KMeans.quantized(s, d)
 
@@ -93,11 +126,12 @@ object Pq {
       .withColumn("dist",
         aggregate(zip_with($"q", probeLit, (x, y) => (x - y) * (x - y)),
           lit(0L), (acc, v) => acc + v))
-    Tables.embeddings(s, d).select($"vec_id", $"label")
+    val top = Tables.embeddings(s, d).select($"vec_id", $"label")
       .join(broadcast(rer.select($"vec_id", $"adc", $"dist")), Seq("vec_id"))
       .select($"vec_id", $"label", $"adc", $"dist")
       .orderBy($"dist".asc, $"vec_id".asc)
       .limit(TopK)
+    (top, qDf, probeLit)
   }
 
   /** One subspace's oracle block: slice, first-Kc init, one Lloyd round
@@ -144,7 +178,10 @@ object Pq {
        |  SELECT cid, dist FROM d${m}2 WHERE vec_id = 0)""".stripMargin
   }
 
-  val pqSearchSql: String = {
+  /** Shared oracle CTE chain: quantize, 4 subspace Lloyd/encode blocks,
+    * ADC assembly, candidate shortlist, exact rerank.
+    */
+  private val searchCtes: String = {
     val head =
       s"""WITH qf AS (
          |  SELECT vec_id, list_transform(embedding,
@@ -171,16 +208,40 @@ object Pq {
          |      i -> (v.q[i] - p.q[i]) * (v.q[i] - p.q[i]))) AS BIGINT) AS dist
          |  FROM cand c
          |  JOIN qf v USING (vec_id)
-         |  CROSS JOIN (SELECT q FROM qf WHERE vec_id = 0) p(q))
-         |SELECT r.vec_id, e.label, r.adc, r.dist
-         |FROM rer r JOIN embeddings e USING (vec_id)
-         |ORDER BY dist, vec_id LIMIT $TopK""".stripMargin
+         |  CROSS JOIN (SELECT q FROM qf WHERE vec_id = 0) p(q))""".stripMargin
     (head +: subs :+ tail).mkString(",\n")
   }
 
+  val pqSearchSql: String = searchCtes + "\n" +
+    s"""SELECT r.vec_id, e.label, r.adc, r.dist
+       |FROM rer r JOIN embeddings e USING (vec_id)
+       |ORDER BY dist, vec_id LIMIT $TopK""".stripMargin
+
+  val pqRecallSql: String = searchCtes + ",\n" +
+    s"""pqtop AS (
+       |  SELECT vec_id FROM (
+       |    SELECT vec_id, dist FROM rer
+       |    ORDER BY dist, vec_id LIMIT $TopK) t),
+       |exact AS (
+       |  SELECT vec_id FROM (
+       |    SELECT v.vec_id,
+       |      CAST(list_sum(list_transform(range(1, ${KMeans.Dim + 1}),
+       |        i -> (v.q[i] - p.q[i]) * (v.q[i] - p.q[i]))) AS BIGINT) AS dist
+       |    FROM qf v
+       |    CROSS JOIN (SELECT q FROM qf WHERE vec_id = 0) p(q)
+       |    WHERE v.vec_id <> 0
+       |    ORDER BY dist, vec_id LIMIT $TopK) t)
+       |SELECT CAST($TopK AS BIGINT) AS k,
+       |  CAST(COUNT(*) AS BIGINT) AS hits,
+       |  CAST((COUNT(*) * 100) // $TopK AS BIGINT) AS recall_pct
+       |FROM pqtop JOIN exact USING (vec_id)
+       |ORDER BY k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "s18_pq_adc" -> (pqSearch _))
+    "s18_pq_adc"    -> (pqSearch _),
+    "s19_pq_recall" -> (pqRecall _))
 
   val oracle: Map[String, String] = Map(
-    "s18_pq_adc" -> pqSearchSql)
+    "s18_pq_adc"    -> pqSearchSql,
+    "s19_pq_recall" -> pqRecallSql)
 }

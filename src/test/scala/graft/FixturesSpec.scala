@@ -64,6 +64,35 @@ class FixturesSpec extends AnyFunSuite {
         "ArrayData of floats")
   }
 
+  test("normalizeEventsTs yields identical instants for all three ts shapes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // One logical instant written three ways; the loader must surface the
+    // SAME session-UTC TimestampType value from each — the invariant that
+    // lets the oracle SQLs survive any future driver regen in either
+    // direction.
+    val base = java.nio.file.Files.createTempDirectory("graft-tsshapes")
+    val micros = Seq(0L, 1L, 1721649600000000L, -7L) // epoch, +1us, 2024, pre-epoch
+    micros.toDF("us").select(col("us") * 1000L)
+      .toDF("ts").write.parquet(s"$base/ns_long")      // ns as raw longs
+    micros.toDF("us").select(timestamp_micros(col("us")).cast(TimestampNTZType))
+      .toDF("ts").write.parquet(s"$base/ntz")          // us, NTZ
+    micros.toDF("us").select(timestamp_micros(col("us")))
+      .toDF("ts").write.parquet(s"$base/utc")          // us, instant
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    def loaded(sub: String): Seq[Long] =
+      Tables.normalizeEventsTs(spark.read.parquet(s"$base/$sub"))
+        .select(unix_micros(col("ts"))).as[Long].collect().sorted.toSeq
+    val fromLong = loaded("ns_long")
+    assert(fromLong === micros.sorted)
+    assert(loaded("ntz") === fromLong)
+    assert(loaded("utc") === fromLong)
+    // unknown shapes fail loud, not silently mis-typed
+    val weird = micros.toDF("ts")
+      .select(col("ts").cast("string").as("ts"))
+    intercept[IllegalStateException](Tables.normalizeEventsTs(weird))
+  }
+
   test("core table columns the packs depend on are present with pinned types") {
     def f(name: String) = raw(name).schema
     val li = f("lineitem")
