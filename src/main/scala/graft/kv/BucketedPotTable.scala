@@ -80,6 +80,38 @@ final class BucketedPotTable(
     else spark.read.parquet(m.values.toSeq.sorted: _*)
   }
 
+  /** Point read: resolve `key`'s bucket driver-side (same xxhash64/pmod
+    * as [[bucketCol]], evaluated without a job) and scan ONLY that
+    * bucket's current staged dir — the read-side payoff of bucketing.
+    * The reference serves a get by reading the whole path object
+    * (server.go:210-239); here a point lookup opens one bucket's files
+    * regardless of table size. An absent bucket yields an empty frame
+    * with the table's schema.
+    */
+  def get(key: String): DataFrame = {
+    import spark.implicits.StringToColumn
+    val m = resolve(generation)
+    if (m.isEmpty) return spark.emptyDataFrame
+    m.get(bucketOf(key)) match {
+      case Some(dir) =>
+        spark.read.parquet(dir).filter($"key" === key)
+      case None =>
+        spark.read.parquet(m.values.toSeq.sorted: _*)
+          .filter(org.apache.spark.sql.functions.lit(false))
+    }
+  }
+
+  /** Driver-side twin of [[bucketCol]]: xxhash64 (seed 42, Spark's
+    * default) pmod nBuckets on the UTF-8 key bytes.
+    */
+  private def bucketOf(key: String): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val h = new XxHash64(Seq(Literal(
+      org.apache.spark.unsafe.types.UTF8String.fromString(key),
+      org.apache.spark.sql.types.StringType))).eval(null).asInstanceOf[Long]
+    (((h % nBuckets) + nBuckets) % nBuckets).toInt
+  }
+
   private def stageRoot(gen: Long): String =
     s"$dir/data/g${gen}_${java.util.UUID.randomUUID()}"
 

@@ -338,7 +338,50 @@ object Kv {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** kv10: bucket-pruned POINT reads on the bucketed store — the read
+    * path that makes [[graft.kv.BucketedPotTable]] a KV store and not
+    * just a partition-scoped writer: `get(key)` resolves the key's
+    * bucket driver-side and scans ONLY that bucket's staged dir (one
+    * bucket's files regardless of table size, vs the reference reading
+    * the whole path object per get, server.go:210-239). Three point
+    * gets across the LWW overlay (one updated at gen 2, one untouched,
+    * one removed at gen 3 — the empty result proves the remove is
+    * visible to the pruned read too), unioned; the oracle replays the
+    * waves relationally.
+    */
+  def pointGet(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bpot-pg").toString
+    val t = new graft.kv.BucketedPotTable(s, root, "cust_pg", 16)
+    val base = Tables.customer(s, d)
+      .filter($"c_custkey" <= 300)
+      .select($"c_custkey".cast("string").as("key"),
+        $"c_mktsegment", $"c_nationkey")
+    t.upsert(base) // gen 1: base load
+    t.upsert(base.filter($"key".cast("bigint") % 7 === 0)
+      .withColumn("c_mktsegment", lit("UPDATED"))) // gen 2: LWW wave
+    t.remove(Seq("260")) // gen 3: one key gone
+    val result = Seq("42", "137", "260").map(t.get(_))
+      .reduce(_ unionByName _)
+      .select($"key", $"c_mktsegment", $"c_nationkey")
+      .orderBy($"key")
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    result
+  }
+
+  val pointGetSql: String =
+    """SELECT CAST(c_custkey AS VARCHAR) AS key,
+      |  CASE WHEN c_custkey % 7 = 0 THEN 'UPDATED' ELSE c_mktsegment END
+      |    AS c_mktsegment,
+      |  c_nationkey
+      |FROM customer
+      |WHERE c_custkey IN (42, 137) AND c_custkey <= 300
+      |ORDER BY key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kv10_point_get"      -> (pointGet _),
     "kv9_bucketed_scan"   -> (bucketedScan _),
     "kv8_time_travel"     -> (timeTravel _),
     "kv1_upsert_merge"    -> (upsertMerge _),
@@ -357,5 +400,6 @@ object Kv {
     "kv5_list_tables"     -> listTablesSql,
     "kv7_generation_diff" -> generationDiffSql,
     "kv8_time_travel"     -> timeTravelSql,
-    "kv9_bucketed_scan"   -> bucketedScanSql)
+    "kv9_bucketed_scan"   -> bucketedScanSql,
+    "kv10_point_get"      -> pointGetSql)
 }

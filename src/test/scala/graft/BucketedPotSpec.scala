@@ -156,6 +156,24 @@ class BucketedPotSpec extends AnyFunSuite {
     }
   }
 
+  test("point get reads exactly one bucket; removes and LWW visible; absent key empty") {
+    val root = tmpRoot()
+    val pot = BucketedPotTable(spark, root, "t", nBuckets = 16)
+    pot.upsert((1 to 200).map(i => (s"k$i", i)).toDF("key", "v"))
+    pot.upsert(Seq(("k7", 700)).toDF("key", "v"))
+    pot.remove(Seq("k9"))
+    // the pruned read must open files from exactly ONE bucket dir, while
+    // the full scan spans many
+    val files = pot.get("k7").inputFiles.map(_.replaceFirst("/[^/]*$", "")).distinct
+    assert(files.length === 1, s"point get scanned ${files.toSeq}")
+    assert(pot.get().inputFiles
+      .map(_.replaceFirst("/[^/]*$", "")).distinct.length > 1)
+    assert(pot.get("k7").select("key", "v").as[(String, Int)].collect()
+      === Array(("k7", 700)))           // LWW overlay through the pruned path
+    assert(pot.get("k9").isEmpty)       // removed key
+    assert(pot.get("absent").isEmpty)   // never-present key
+  }
+
   test("upsert stages all touched buckets under ONE writer-unique root") {
     val root = tmpRoot()
     val pot = BucketedPotTable(spark, root, "t", nBuckets = 16)
