@@ -278,6 +278,79 @@ object Multimodal {
        |FROM dims
        |ORDER BY media_id""".stripMargin
 
+  /** m7: multimodal TOKEN BUDGET — the sequence-length accounting a VLM
+    * training pipeline runs before packing (p3's budget, multimodal
+    * edition): each doc's context cost = text tokens + media tokens,
+    * where images/videos charge a ViT patch grid over the m4 resize
+    * geometry (ceil(out_w/14) x ceil(out_h/14) per frame, x n_frames)
+    * and audio charges one token per [[AudioBytesPerTok]] payload bytes
+    * (a fixed-rate codec frame proxy). `fits` gates on a 4096 context.
+    * All integer (ceil = (a+13) div 14), so the oracle re-derives every
+    * number from the synthesis parameters + text. Scale shape: one
+    * decode pass (the m2 mapPartitions plumbing) + a narrow doc_id join
+    * — both linear, no shuffle beyond the join.
+    */
+  val PatchPx = 14
+  val AudioBytesPerTok = 320L
+  val CtxBudget = 4096L
+
+  def tokenBudget(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id".as("media_id"),
+      size(split($"text", " ")).cast("long").as("text_tokens"))
+    val geom = extractFeatures(mediaTable(s, d)).toDF()
+      .withColumn("out_w", expr(
+        s"CAST(width * $ResizeBox div greatest(width, height) AS BIGINT)"))
+      .withColumn("out_h", expr(
+        s"CAST(height * $ResizeBox div greatest(width, height) AS BIGINT)"))
+    geom.join(docs, Seq("media_id"))
+      .select($"media_id", $"mime", $"text_tokens",
+        when($"mime" === "audio/wav",
+          expr(s"CAST(n_payload AS BIGINT) div $AudioBytesPerTok"))
+          .otherwise(expr(
+            s"((out_w + ${PatchPx - 1}) div $PatchPx) * " +
+              s"((out_h + ${PatchPx - 1}) div $PatchPx) * CAST(n_frames AS BIGINT)"))
+          .as("media_tokens"))
+      .withColumn("total_tokens", $"text_tokens" + $"media_tokens")
+      .withColumn("fits", $"total_tokens" <= CtxBudget)
+      .orderBy($"media_id")
+  }
+
+  /** Oracle: synthesis-parameter re-derivation (m4's dims pattern) +
+    * the same integer patch/byte arithmetic. n_payload == length(text)
+    * because documents.text is pure ASCII (the m6 contract).
+    */
+  val tokenBudgetSql: String =
+    s"""WITH dims AS (
+       |  SELECT doc_id AS media_id,
+       |    CASE CAST(doc_id % 3 AS INTEGER)
+       |      WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+       |      ELSE 'video/mp4' END AS mime,
+       |    CAST(16 + doc_id % 640 AS BIGINT) AS width,
+       |    CAST(16 + (doc_id * 7) % 480 AS BIGINT) AS height,
+       |    CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 30 + 1 ELSE 1 END
+       |      AS BIGINT) AS n_frames,
+       |    CAST(length(text) AS BIGINT) AS n_payload,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS text_tokens
+       |  FROM documents),
+       |geo AS (
+       |  SELECT *,
+       |    width * $ResizeBox // greatest(width, height) AS out_w,
+       |    height * $ResizeBox // greatest(width, height) AS out_h
+       |  FROM dims),
+       |budget AS (
+       |  SELECT media_id, mime, text_tokens,
+       |    CAST(CASE WHEN mime = 'audio/wav' THEN n_payload // $AudioBytesPerTok
+       |      ELSE ((out_w + ${PatchPx - 1}) // $PatchPx) *
+       |           ((out_h + ${PatchPx - 1}) // $PatchPx) * n_frames END
+       |      AS BIGINT) AS media_tokens
+       |  FROM geo)
+       |SELECT media_id, mime, text_tokens, media_tokens,
+       |  text_tokens + media_tokens AS total_tokens,
+       |  text_tokens + media_tokens <= $CtxBudget AS fits
+       |FROM budget
+       |ORDER BY media_id""".stripMargin
+
   /** One content fingerprint per decoded video frame. */
   final case class FrameHash(media_id: Long, frame_idx: Int, frame_md5: String)
 
@@ -431,6 +504,7 @@ object Multimodal {
        |ORDER BY media_id, win_idx""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m7_token_budget"   -> (tokenBudget _),
     "m6_audio_energy"   -> (audioEnergy _),
     "m1_media_meta"     -> (mediaMeta _),
     "m2_media_features" -> (mediaFeatures _),
@@ -439,6 +513,7 @@ object Multimodal {
     "m5_frame_dedup"    -> (frameDupes _))
 
   val oracle: Map[String, String] = Map(
+    "m7_token_budget"   -> tokenBudgetSql,
     "m1_media_meta"     -> mediaMetaSql,
     "m2_media_features" -> mediaFeaturesSql,
     "m3_frame_sample"   -> frameSampleSql,

@@ -89,13 +89,162 @@ object TimeWindows {
        |GROUP BY user_id, sess_id
        |ORDER BY user_id, sess_start""".stripMargin
 
+  /** q53: hourly gap-fill with last-observation-carried-forward — the
+    * time-series densification every metrics/feature pipeline needs (a
+    * model reads a value for EVERY hour, not just hours with events).
+    * Per sampled user: the hourly activity series over the user's own
+    * [first, last] hour span, absent hours carrying the last observed
+    * hourly count (`filled` marks them). Hour index = integer micros div
+    * 3.6e9 — exact on both engines, no float epoch. Scale shape: one
+    * narrow agg, a per-user spine explode (bounded by the span), one
+    * partitioned LOCF window — all keyed by user, no global sort until
+    * the output contract's ORDER BY.
+    */
+  def gapFill(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"hr")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val perHour = Tables.events(s, d)
+      .filter($"user_id" % 10 === 0)
+      .select($"user_id", expr("unix_micros(ts) div 3600000000").as("hr"))
+      .groupBy($"user_id", $"hr").agg(count(lit(1)).as("n"))
+    val spine = perHour.groupBy($"user_id")
+      .agg(min($"hr").as("h0"), max($"hr").as("h1"))
+      .select($"user_id", explode(expr("sequence(h0, h1)")).as("hr"))
+    spine.join(perHour, Seq("user_id", "hr"), "left")
+      .withColumn("filled", $"n".isNull)
+      .withColumn("n", last($"n", ignoreNulls = true).over(w))
+      .select($"user_id", ($"hr" * 3600L).as("hr_start"), $"n", $"filled")
+      .orderBy($"user_id", $"hr_start")
+  }
+
+  val gapFillSql: String =
+    """WITH ph AS (
+      |  SELECT user_id, epoch_us(ts) // 3600000000 AS hr, COUNT(*) AS n
+      |  FROM events WHERE user_id % 10 = 0 GROUP BY 1, 2),
+      |spans AS (SELECT user_id, MIN(hr) AS h0, MAX(hr) AS h1 FROM ph GROUP BY 1),
+      |spine AS (
+      |  SELECT s.user_id, CAST(g.g AS BIGINT) AS hr
+      |  FROM spans s CROSS JOIN LATERAL (
+      |    SELECT unnest(generate_series(s.h0, s.h1)) AS g) g)
+      |SELECT sp.user_id, sp.hr * 3600 AS hr_start,
+      |  last_value(ph.n IGNORE NULLS) OVER (
+      |    PARTITION BY sp.user_id ORDER BY sp.hr
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n,
+      |  ph.n IS NULL AS filled
+      |FROM spine sp LEFT JOIN ph ON sp.user_id = ph.user_id AND sp.hr = ph.hr
+      |ORDER BY sp.user_id, hr_start""".stripMargin
+
+  /** q54: ordered funnel — view → click → purchase per user, each stage
+    * the EARLIEST qualifying event after the previous stage, the whole
+    * funnel constrained to [[FunnelWindowUs]] after the first view (the
+    * product-analytics conversion query). Three keyed min-aggregates
+    * chained by per-user scalar joins — each stage is one shuffle on
+    * user_id, no window over the raw stream, no event explosion.
+    */
+  val FunnelWindowUs: Long = 7L * 24 * 3600 * 1000000L
+
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"user_id", $"event_type", expr("unix_micros(ts)").as("tus"))
+    val v = ev.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"tus").as("v_us"))
+    val c = ev.filter($"event_type" === "click")
+      .join(v, Seq("user_id"))
+      .filter($"tus" > $"v_us" && $"tus" <= $"v_us" + FunnelWindowUs)
+      .groupBy($"user_id").agg(min($"tus").as("c_us"))
+    val p = ev.filter($"event_type" === "purchase")
+      .join(v, Seq("user_id")).join(c, Seq("user_id"))
+      .filter($"tus" > $"c_us" && $"tus" <= $"v_us" + FunnelWindowUs)
+      .groupBy($"user_id").agg(min($"tus").as("p_us"))
+    v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select($"user_id",
+        expr("v_us div 1000000").as("view_s"),
+        expr("c_us div 1000000").as("click_s"),
+        expr("p_us div 1000000").as("purchase_s"),
+        (lit(1L) + when($"c_us".isNotNull, 1L).otherwise(0L)
+          + when($"p_us".isNotNull, 1L).otherwise(0L)).as("stages"))
+      .orderBy($"user_id")
+  }
+
+  val funnelSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+       |v AS (SELECT user_id, MIN(tus) AS v_us FROM ev
+       |  WHERE event_type = 'view' GROUP BY 1),
+       |c AS (SELECT e.user_id, MIN(e.tus) AS c_us
+       |  FROM ev e JOIN v USING (user_id)
+       |  WHERE e.event_type = 'click' AND e.tus > v.v_us
+       |    AND e.tus <= v.v_us + $FunnelWindowUs GROUP BY 1),
+       |p AS (SELECT e.user_id, MIN(e.tus) AS p_us
+       |  FROM ev e JOIN v USING (user_id) JOIN c USING (user_id)
+       |  WHERE e.event_type = 'purchase' AND e.tus > c.c_us
+       |    AND e.tus <= v.v_us + $FunnelWindowUs GROUP BY 1)
+       |SELECT v.user_id,
+       |  v_us // 1000000 AS view_s,
+       |  c_us // 1000000 AS click_s,
+       |  p_us // 1000000 AS purchase_s,
+       |  1 + CAST(c_us IS NOT NULL AS BIGINT)
+       |    + CAST(p_us IS NOT NULL AS BIGINT) AS stages
+       |FROM v
+       |LEFT JOIN c USING (user_id)
+       |LEFT JOIN p USING (user_id)
+       |ORDER BY user_id""".stripMargin
+
+  /** q55: retention cohorts — the weekly triangle every growth dashboard
+    * is built on: users grouped by signup week (their earliest 'signup'
+    * event), and for each later week, how many were active (any event).
+    * Week index = integer micros div a week's micros (exact both
+    * engines). Shapes: one min-agg for cohorts, one distinct activity
+    * projection, one keyed join + count-distinct — all user_id-keyed
+    * shuffles, count-distinct collapsed map-side by the (cohort, period,
+    * user) pre-distinct.
+    */
+  val WeekUs: Long = 7L * 24 * 3600 * 1000000L
+
+  def retention(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"user_id", $"event_type",
+        expr(s"unix_micros(ts) div ${WeekUs}L").as("wk"))
+    val cohorts = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"wk").as("cohort_wk"))
+    val active = ev.select($"user_id", $"wk").distinct()
+    cohorts.join(active, Seq("user_id"))
+      .filter($"wk" >= $"cohort_wk")
+      .groupBy($"cohort_wk", ($"wk" - $"cohort_wk").as("period"))
+      .agg(countDistinct($"user_id").as("n_users"))
+      .orderBy($"cohort_wk", $"period")
+  }
+
+  val retentionSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_type, epoch_us(ts) // $WeekUs AS wk FROM events),
+       |cohorts AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ev
+       |  WHERE event_type = 'signup' GROUP BY 1),
+       |active AS (SELECT DISTINCT user_id, wk FROM ev)
+       |SELECT c.cohort_wk, a.wk - c.cohort_wk AS period,
+       |  CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+       |FROM cohorts c JOIN active a USING (user_id)
+       |WHERE a.wk >= c.cohort_wk
+       |GROUP BY 1, 2
+       |ORDER BY cohort_wk, period""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q32_win_tumbling" -> (tumbling _),
     "q33_win_sliding"  -> (sliding _),
-    "q34_win_session"  -> (sessions _))
+    "q34_win_session"  -> (sessions _),
+    "q53_gap_fill"     -> (gapFill _),
+    "q54_funnel"       -> (funnel _),
+    "q55_retention"    -> (retention _))
 
   val oracle: Map[String, String] = Map(
     "q32_win_tumbling" -> tumblingSql,
     "q33_win_sliding"  -> slidingSql,
-    "q34_win_session"  -> sessionsSql)
+    "q34_win_session"  -> sessionsSql,
+    "q53_gap_fill"     -> gapFillSql,
+    "q54_funnel"       -> funnelSql,
+    "q55_retention"    -> retentionSql)
 }
