@@ -213,4 +213,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("hashpartitioning\\(o_orderstatus#\\d+, _split".r
       .findFirstIn(p).isDefined, p)
   }
+
+  test("p14 epoch shuffle ranks within (epoch, bucket) — never one window per epoch") {
+    val p = plan("p14_epoch_shuffle")
+    // the row_number window must be keyed by BOTH epoch and the hash
+    // prefix bucket (3x256 parallel partitions); an epoch-only window
+    // would serialize each epoch through one partition at 100 TB
+    assert("hashpartitioning\\(epoch#\\d+L?, b#\\d+".r.findFirstIn(p).isDefined,
+      s"rank window not partitioned by (epoch, b):\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket offsets not broadcast:\n$p")
+  }
+
+  test("kv10-style point get scans one bucket; full get scans many") {
+    // lib-level twin of the BucketedPotSpec assertion, kept here with the
+    // other plan audits: the pruned read's file set is a single bucket dir
+    val root = java.nio.file.Files.createTempDirectory("graft-pa-pg").toString
+    val t = graft.kv.BucketedPotTable(spark, root, "t", 16)
+    import spark.implicits._
+    t.upsert((1 to 100).map(i => (s"k$i", i)).toDF("key", "v"))
+    val pointDirs = t.get("k5").inputFiles
+      .map(_.replaceFirst("/[^/]*$", "")).distinct
+    assert(pointDirs.length === 1, pointDirs.mkString(","))
+    assert(t.get().inputFiles
+      .map(_.replaceFirst("/[^/]*$", "")).distinct.length > 1)
+  }
 }
