@@ -54,6 +54,14 @@ object ScaleSmoke {
     rep("events__dir", s.read.parquet(s"$src/events.parquet"),
       Seq("event_id", "user_id"), one = true)
     asFile("events")
+    // Dimension tables stay 1x (facts outgrow dims in any real corpus):
+    // symlink them so every SparkEntry query can run against the replica.
+    Seq("region", "nation", "customer", "supplier", "part", "orders")
+      .foreach { t =>
+        java.nio.file.Files.createSymbolicLink(
+          java.nio.file.Paths.get(s"$out/$t.parquet"),
+          java.nio.file.Paths.get(s"$src/$t.parquet"))
+      }
   }
 
   /** The round-7-9 heavy entries (VERDICT r9 #1) plus the round-10
@@ -66,7 +74,9 @@ object ScaleSmoke {
     "st4_stream_attribution", "p12_domain_filter",
     "d2_minhash_lsh", "d3_ngram_jaccard", "p7_bloom_decontaminate",
     "t10_bm25", "s15_two_stage_rerank", "s16_hybrid_rrf",
-    "s17_ann_deletes", "s18_pq_adc", "st10_stream_dedup_postappend")
+    "s17_ann_deletes", "s18_pq_adc", "st10_stream_dedup_postappend",
+    "s19_pq_recall", "p14_epoch_shuffle", "kv10_point_get",
+    "m7_token_budget", "q53_gap_fill", "q54_funnel", "q55_retention")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
