@@ -933,7 +933,58 @@ object Dedup {
       .replace("__SH__", shinglesCte)
       .replace("__BANDS__", bandsCte)
 
+  /** d13: EDIT-DISTANCE verification of the d2 LSH candidate pairs — the
+    * final fuzzy-dedup gate: MinHash bands propose, an exact character
+    * metric disposes. `verified` = Levenshtein within [[EditPctMax]]% of
+    * the longer text, decided by integer cross-multiply (no float ratio).
+    * The discipline is the candidate-verify shape every fuzzy matcher
+    * needs at 100 TB: the O(len²) distance runs ONLY on pairs the
+    * sub-quadratic candidate generation surfaced (bucket-capped, so the
+    * pair list is bounded), fetched through two id-keyed joins — never on
+    * the corpus cross product.
+    */
+  val EditPctMax = 20L
+
+  def editVerify(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    minhashLsh(s, d)
+      .join(docs.select($"doc_id".as("doc_a"), $"text".as("ta")), Seq("doc_a"))
+      .join(docs.select($"doc_id".as("doc_b"), $"text".as("tb")), Seq("doc_b"))
+      .select($"doc_a", $"doc_b",
+        levenshtein($"ta", $"tb").cast("long").as("lev"),
+        length($"ta").cast("long").as("len_a"),
+        length($"tb").cast("long").as("len_b"))
+      .withColumn("verified",
+        $"lev" * 100L <= lit(EditPctMax) * greatest($"len_a", $"len_b"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val editVerifySql: String =
+    s"""WITH __SH__,
+       |__BANDS__,
+       |ok AS (SELECT band, sig FROM bands
+       |       GROUP BY band, sig HAVING COUNT(*) BETWEEN 2 AND $LshBucketCap),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |  JOIN ok ON ok.band = a.band AND ok.sig = a.sig)
+       |SELECT p.doc_a, p.doc_b,
+       |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+       |  CAST(length(da.text) AS BIGINT) AS len_a,
+       |  CAST(length(db.text) AS BIGINT) AS len_b,
+       |  CAST(levenshtein(da.text, db.text) AS BIGINT) * 100
+       |    <= $EditPctMax * greatest(length(da.text), length(db.text)) AS verified
+       |FROM pairs p
+       |JOIN documents da ON da.doc_id = p.doc_a
+       |JOIN documents db ON db.doc_id = p.doc_b
+       |ORDER BY doc_a, doc_b""".stripMargin
+      .replace("__SH__", shinglesCte)
+      .replace("__BANDS__", bandsCte)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d13_edit_verify"    -> (editVerify _),
     "d11_minhash_error"  -> (minhashError _),
     "d12_split_leakage"  -> (splitLeakage _),
     "d10_repeated_spans"   -> (repeatedSpans _),
@@ -959,5 +1010,6 @@ object Dedup {
     "d8_embed_clusters"    -> embedClustersSql,
     "d9_semantic_dedup"    -> semanticDedupSql,
     "d11_minhash_error"    -> minhashErrorSql,
-    "d12_split_leakage"    -> splitLeakageSql)
+    "d12_split_leakage"    -> splitLeakageSql,
+    "d13_edit_verify"      -> editVerifySql)
 }
