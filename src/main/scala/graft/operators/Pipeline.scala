@@ -526,10 +526,18 @@ object Pipeline {
     */
   val ShuffleEpochs = 3L
 
-  def epochShuffle(s: SparkSession, d: String): DataFrame = {
+  def epochShuffle(s: SparkSession, d: String): DataFrame =
+    epochShuffleOf(Tables.documents(s, d))
+
+  /** The shuffle-order plan over an arbitrary documents frame — the
+    * PropertySpec seam (permutation / cross-epoch divergence / layout
+    * invariance are asserted against mangled inputs).
+    */
+  private[graft] def epochShuffleOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     val w = org.apache.spark.sql.expressions.Window
-    val x = Tables.documents(s, d).select($"doc_id")
+    val x = docs.select($"doc_id")
       .withColumn("epoch",
         explode(expr(s"sequence(CAST(1 AS BIGINT), ${ShuffleEpochs}L)")))
       .withColumn("h", md5(concat_ws(":", $"epoch", $"doc_id")))

@@ -131,4 +131,51 @@ class PropertySpec extends AnyFunSuite {
     results.tail.foreach(r => assert(r === results.head,
       "partition layout changed the filtered set or a score bit"))
   }
+
+  test("property: p14 epoch shuffle is a permutation per epoch, distinct across epochs, layout-invariant") {
+    // the claims behind the p14 scaladoc: (a) within an epoch, pos is
+    // exactly 1..N (a permutation — the bucketed rank construction never
+    // gaps or collides); (b) epochs are DIFFERENT permutations (the hash
+    // seeds by epoch); (c) the order is a pure function of (corpus,
+    // epoch) — adversarial repartition/reorder cannot move a document.
+    import spark.implicits._
+    def run(mangle: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+        : Map[Long, Seq[(Long, Long)]] = {
+      val base = mangle(Tables.documents(spark, sf))
+      // run the op's own plan over the mangled base via a temp-view swap
+      operators.Pipeline.epochShuffleOf(base)
+        .select($"epoch", $"pos", $"doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .groupBy(_._1)
+        .map { case (e, rows) => e -> rows.map(t => (t._2, t._3)).sorted.toSeq }
+    }
+    val full = run(identity)
+    assert(full.keySet === Set(1L, 2L, 3L))
+    val n = full(1L).size
+    full.values.foreach(rows => assert(rows.map(_._1) === (1L to n)))
+    // different epochs permute differently
+    val ord1 = full(1L).map(_._2)
+    val ord2 = full(2L).map(_._2)
+    assert(ord1 !== ord2, "epoch 1 and 2 produced the same order")
+    // layout invariance
+    val mangled = run(_.orderBy($"doc_id".desc).repartition(13))
+    assert(mangled === full, "repartitioning the corpus changed the order")
+  }
+
+  test("property: q54 funnel stages are consistent and windowed") {
+    import spark.implicits._
+    val rows = operators.TimeWindows.funnel(spark, sf)
+      .select($"user_id", $"view_s", $"click_s", $"purchase_s", $"stages")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (v, c, p, st) = (r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4))
+      assert(st == 1 + c.size + p.size)
+      if (p.isDefined) assert(c.isDefined, "purchase stage without click stage")
+      c.foreach { cs => assert(cs > v && cs <= v + 7 * 24 * 3600) }
+      p.foreach { ps => assert(c.exists(ps > _) && ps <= v + 7 * 24 * 3600) }
+    }
+  }
 }
