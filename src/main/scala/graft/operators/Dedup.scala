@@ -174,7 +174,13 @@ object Dedup {
     * enough that DuckDB finishes in-cache; the gap amortizes with data
     * volume and no further constant-factor work is planned here.
     */
-  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+  /** The d3/d14 shared relations: per-doc df-capped shingle counts (`cnt`:
+    * doc_id, n) and per-pair co-occurrence counts (`common`: doc_a, doc_b,
+    * c) over the hashed-shingle domain. Exactly d3's original body — d14
+    * reuses the same plan with a different final metric.
+    */
+  private def cappedShinglePairs(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import s.implicits._
     // Map side: the fused ShingleHashes expression tokenizes, hashes every
     // 3-gram with variadic-xxhash64 seed chaining, and dedups within-doc
@@ -212,6 +218,12 @@ object Dedup {
         .as("p"))
       .groupBy($"p.a".as("doc_a"), $"p.b".as("doc_b"))
       .agg(count(lit(1)).as("c"))
+    (cnt, common)
+  }
+
+  def ngramJaccard(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (cnt, common) = cappedShinglePairs(s, d)
     common
       .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
       .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
@@ -236,6 +248,60 @@ object Dedup {
        |JOIN cnt ca ON ca.doc_id = doc_a
        |JOIN cnt cb ON cb.doc_id = doc_b
        |WHERE CAST(c AS DOUBLE) / (ca.n + cb.n - c) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+      .replace("__SH__", shinglesCte)
+
+  /** d14 containment threshold (percent), mirrored literally in the oracle. */
+  val ContainmentMinPct = 90L
+
+  /** d14: ASYMMETRIC containment dedup — pairs where the smaller doc's
+    * shingle set is >= [[ContainmentMinPct]]% contained in the larger's
+    * (c / min(na, nb) — Broder's containment, vs d3's symmetric Jaccard
+    * c / (na + nb - c)). This is the subset-duplicate catch Jaccard
+    * misses: a document prepended to a 10x-larger one has containment 1.0
+    * but Jaccard ~0.1, so a Jaccard-thresholded dedup keeps both copies.
+    * The `subset_only` flag marks exactly those pairs (containment-high,
+    * Jaccard < d3's 0.8 bar); on this fixture every high-containment pair
+    * is a full duplicate (flag false — the fixture plants copies, not
+    * truncations), which the oracle verifies rather than assumes. All
+    * comparisons are integer cross-multiplications — no division anywhere.
+    *
+    * Scale: identical to d3 (same shared [[cappedShinglePairs]] relations,
+    * same single h-keyed exchange, ShingleDfCap bounds the pair fan-out at
+    * cap^2 per shingle); the final metric is a per-pair integer test.
+    */
+  def containment(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (cnt, common) = cappedShinglePairs(s, d)
+    common
+      .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
+      .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
+      .select($"doc_a", $"doc_b", $"c",
+        col("ca.n").as("na"), col("cb.n").as("nb"),
+        least(col("ca.n"), col("cb.n")).as("nmin"))
+      .filter($"c" * 100L >= lit(ContainmentMinPct) * $"nmin")
+      .select($"doc_a", $"doc_b", $"na", $"nb", $"c",
+        expr("(c * 100) div nmin").as("cont_pct"),
+        ($"c" * 5L < ($"na" + $"nb" - $"c") * 4L).as("subset_only"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val containmentSql: String =
+    s"""WITH __SH__,
+       |shc AS (SELECT s.doc_id, s.sh FROM sh s
+       |        JOIN (SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) <= $ShingleDfCap) ok
+       |          USING (sh)),
+       |cnt AS (SELECT doc_id, COUNT(*) AS n FROM shc GROUP BY doc_id),
+       |common AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+       |           FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, ca.n AS na, cb.n AS nb, c,
+       |  (c * 100) // LEAST(ca.n, cb.n) AS cont_pct,
+       |  c * 5 < (ca.n + cb.n - c) * 4 AS subset_only
+       |FROM common
+       |JOIN cnt ca ON ca.doc_id = doc_a
+       |JOIN cnt cb ON cb.doc_id = doc_b
+       |WHERE c * 100 >= $ContainmentMinPct * LEAST(ca.n, cb.n)
        |ORDER BY doc_a, doc_b""".stripMargin
       .replace("__SH__", shinglesCte)
 
@@ -985,6 +1051,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d13_edit_verify"    -> (editVerify _),
+    "d14_containment"    -> (containment _),
     "d11_minhash_error"  -> (minhashError _),
     "d12_split_leakage"  -> (splitLeakage _),
     "d10_repeated_spans"   -> (repeatedSpans _),
@@ -1011,5 +1078,6 @@ object Dedup {
     "d9_semantic_dedup"    -> semanticDedupSql,
     "d11_minhash_error"    -> minhashErrorSql,
     "d12_split_leakage"    -> splitLeakageSql,
-    "d13_edit_verify"      -> editVerifySql)
+    "d13_edit_verify"      -> editVerifySql,
+    "d14_containment"      -> containmentSql)
 }

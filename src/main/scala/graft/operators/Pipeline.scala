@@ -798,7 +798,82 @@ object Pipeline {
       .replace("@TAU@", DomainTau.toString)
   }
 
+  /** p15 soft-dedup exponent domain: keep-probability csize^(-1/2) realized
+    * as coin^2 < 2^48 div csize over a 24-bit md5 coin. 2^48 mirrored
+    * literally in the oracle.
+    */
+  val SoftDedupCoinSq = 281474976710656L // 2^48
+
+  /** p15: SOFT deduplication — downweight duplicate clusters instead of
+    * deleting them (the D4/SemDeDup-era recipe: full removal of near-dups
+    * measurably hurts when the "duplicates" carry distribution mass; keep
+    * each cluster's docs with probability csize^(-alpha) and/or reweight
+    * by 1/csize at training time). d6's LSH near-dup clusters supply
+    * csize; every doc gets its loss weight (`weight_ppm` = 1e6 div csize
+    * — exact integers, no float division) and a deterministic alpha=0.5
+    * keep decision: a 24-bit md5 coin c keeps the doc iff
+    * c^2 < 2^48 div csize, so P(keep) ~ csize^(-1/2) with NO pow(), no
+    * RNG state, and bit-identical outcomes on any cluster layout or
+    * engine (the division-first form keeps every term under 2^48 —
+    * overflow-safe however large a 100 TB cluster gets). Singletons
+    * (csize 1) always keep with weight 1e6.
+    *
+    * Scale: the cluster labels are d6's capped-LSH label propagation
+    * (O(diameter) rounds over banded pairs); sizing is one count per
+    * cluster; the decision is a map-side expression. The labels relation
+    * is near-dup docs ONLY (a small fraction of any deduped corpus), so
+    * the doc-side left join broadcasts it at scale.
+    */
+  def softDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val labels = Dedup.neardupClusters(s, d)
+    val docs = Tables.documents(s, d).select($"doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"cluster_id", $"doc_id").as("cluster_id"))
+    val sizes = docs.groupBy($"cluster_id").agg(count(lit(1)).as("csize"))
+    docs.join(sizes, Seq("cluster_id"))
+      .select($"doc_id", $"cluster_id", $"csize",
+        expr("1000000L div csize").as("weight_ppm"),
+        expr("CAST(conv(substring(md5(cast(doc_id AS string)), 1, 6), 16, 10) AS BIGINT)")
+          .as("coin"))
+      .withColumn("kept",
+        $"coin" * $"coin" < expr(s"${SoftDedupCoinSq}L div csize"))
+      .orderBy($"doc_id")
+  }
+
+  val softDedupSql: String =
+    s"""WITH RECURSIVE pairs AS (__PAIRS__),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(src, dst) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |labels AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+       |           FROM reach GROUP BY src),
+       |docs AS (SELECT d.doc_id,
+       |           COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+       |         FROM documents d LEFT JOIN labels l USING (doc_id)),
+       |sz AS (SELECT cluster_id, COUNT(*) AS csize FROM docs GROUP BY 1),
+       |coin AS (SELECT doc_id,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(range(1, 7),
+       |      i -> CAST(strpos('0123456789abcdef',
+       |             substr(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1 AS BIGINT))),
+       |    (acc, v) -> acc * 16 + v) AS coin
+       |  FROM docs)
+       |SELECT d.doc_id, d.cluster_id, s.csize,
+       |  1000000 // s.csize AS weight_ppm, c.coin,
+       |  (c.coin * c.coin) < ($SoftDedupCoinSq // s.csize) AS kept
+       |FROM docs d
+       |JOIN sz s USING (cluster_id)
+       |JOIN coin c USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+      .replace("__PAIRS__", Dedup.minhashLshSql)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p15_soft_dedup"       -> (softDedup _),
     "p13_train_val_test"   -> (trainValTestSplit _),
     "p14_epoch_shuffle"    -> (epochShuffle _),
     "p12_domain_filter"    -> (domainFilter _),
@@ -815,6 +890,7 @@ object Pipeline {
     "p7_bloom_decontaminate" -> (bloomDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "p15_soft_dedup"       -> softDedupSql,
     "p13_train_val_test"   -> trainValTestSplitSql,
     "p14_epoch_shuffle"    -> epochShuffleSql,
     "p12_domain_filter"    -> domainFilterSql,

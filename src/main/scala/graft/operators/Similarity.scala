@@ -371,6 +371,85 @@ object Similarity {
        |ORDER BY qdot DESC, e.vec_id ASC
        |LIMIT 20""".stripMargin
 
+  /** s20 late-interaction shape: token vectors per document and components
+    * per token ([[graft.operators.KMeans.Dim]] = tokens * subdim). Both
+    * mirrored literally in the oracle.
+    */
+  val MaxSimTokens = 4
+  val MaxSimSubDim: Int = KMeans.Dim / MaxSimTokens
+  private val MaxSimTopK = 10
+
+  /** s20: MaxSim LATE-INTERACTION retrieval (Khattab & Zaharia, "ColBERT",
+    * SIGIR'20) — multi-vector scoring where query and document each carry a
+    * BAG of token embeddings and score = sum over query tokens of the max
+    * dot against any document token: finer-grained than one pooled vector
+    * (a doc matching every query term in different places outscores one
+    * blob-similar doc). The fixture stores one 64-float vector per doc, so
+    * the 4 16-dim subspace slices stand in for token vectors — the real
+    * corpus shape is array<array<float>> per doc and the plumbing
+    * (slice → per-token dot → max → sum) is identical. Runs in the
+    * KMeans QScale integer domain (q = floor(e*2^20)): products <= 2^40,
+    * a token dot <= 2^44, the 4-token sum <= 2^46 — exact BIGINTs, so
+    * max/sum ordering is engine-identical with no float accumulation.
+    *
+    * Scale: ONE corpus scan with a broadcast 4-token query, the whole
+    * score a codegen'd nested higher-order expression per row, top-10 via
+    * TakeOrderedAndProject — no shuffle, no join. At billion-doc scale the
+    * production composition prunes candidates with s2's LSH index first
+    * and MaxSims only the candidate set (s15's two-stage discipline).
+    */
+  def maxSimTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val quant = expr(
+      s"""transform(embedding, x ->
+         |  CAST(floor(CAST(x AS DOUBLE) * ${KMeans.QScale}.0) AS BIGINT))"""
+        .stripMargin)
+    val toks = expr(
+      s"""transform(sequence(0, ${MaxSimTokens - 1}),
+         |  t -> slice(q, t * $MaxSimSubDim + 1, $MaxSimSubDim))""".stripMargin)
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", $"label", quant.as("q"))
+      .select($"vec_id", $"label", toks.as("dtoks"))
+    val qrow = e.filter($"vec_id" === 0).select($"dtoks".as("qtoks"))
+    e.filter($"vec_id" =!= 0)
+      .crossJoin(broadcast(qrow))
+      .select($"vec_id", $"label", expr(
+        """aggregate(
+          |  transform(qtoks, qt ->
+          |    array_max(transform(dtoks, dt ->
+          |      aggregate(zip_with(qt, dt, (x, y) -> x * y),
+          |        CAST(0 AS BIGINT), (a, v) -> a + v)))),
+          |  CAST(0 AS BIGINT), (a, v) -> a + v)""".stripMargin).as("maxsim"))
+      .orderBy($"maxsim".desc, $"vec_id".asc)
+      .limit(MaxSimTopK)
+  }
+
+  val maxSimTopKSql: String =
+    s"""WITH qv AS (SELECT vec_id, label,
+       |    list_transform(embedding, x ->
+       |      CAST(floor(CAST(x AS DOUBLE) * ${KMeans.QScale}.0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |toks AS (SELECT vec_id, label,
+       |    list_transform(range(0, $MaxSimTokens),
+       |      t -> list_slice(q, t * $MaxSimSubDim + 1, t * $MaxSimSubDim + $MaxSimSubDim)) AS dtoks
+       |  FROM qv),
+       |qt AS (SELECT dtoks AS qtoks FROM toks WHERE vec_id = 0)
+       |SELECT t.vec_id, t.label,
+       |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(q.qtoks, qtok ->
+       |      list_reduce(
+       |        list_transform(t.dtoks, dtok ->
+       |          list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |            list_transform(range(1, $MaxSimSubDim + 1),
+       |              i -> qtok[i] * dtok[i])),
+       |            (a, v) -> a + v)),
+       |        (a, v) -> greatest(a, v)))),
+       |    (a, v) -> a + v) AS maxsim
+       |FROM toks t CROSS JOIN qt q
+       |WHERE t.vec_id <> 0
+       |ORDER BY maxsim DESC, t.vec_id ASC
+       |LIMIT $MaxSimTopK""".stripMargin
+
   /** s15: two-stage retrieval (retrieve-then-rerank) — the production
     * serving pattern for billion-vector search: stage 1 ranks the WHOLE
     * corpus by the int8 integer dot over s5's quantized codes (the
@@ -923,6 +1002,7 @@ object Similarity {
     "s3_ann_multiprobe"  -> (annMultiProbe _),
     "s4_ann_ivf"         -> (annIvf _),
     "s5_quantized_topk"  -> (quantizedTopK _),
+    "s20_maxsim"         -> (maxSimTopK _),
     "s6_ann_recall"      -> (annRecall _),
     "s7_ann_batch"       -> (annBatch _),
     "s8_hard_negatives"  -> (hardNegatives _),
@@ -940,6 +1020,7 @@ object Similarity {
     "s3_ann_multiprobe"  -> annMultiProbeSql,
     "s4_ann_ivf"         -> annIvfSql,
     "s5_quantized_topk"  -> quantizedTopKSql,
+    "s20_maxsim"         -> maxSimTopKSql,
     "s6_ann_recall"      -> annRecallSql,
     "s7_ann_batch"       -> annBatchSql,
     "s8_hard_negatives"  -> hardNegativesSql,

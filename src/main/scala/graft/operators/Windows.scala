@@ -138,6 +138,68 @@ object Windows {
       |FROM events
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** q56 rolling-anomaly frame: statistics over the [[AnomFrame]] events
+    * BEFORE the current one (never including it — a spike must not dilute
+    * the baseline it is judged against), flagged only once [[AnomMinPrior]]
+    * priors exist. Both constants are mirrored literally in the oracle.
+    */
+  val AnomFrame = 24
+  val AnomMinPrior = 8
+
+  /** q56: rolling z-score anomaly detection over per-user event streams —
+    * the metrics-monitoring classic (flag events more than 3 sigma from the
+    * user's own trailing baseline). Everything runs in EXACT integer
+    * algebra: values scale to cents (the fixture's 2-decimal domain), and
+    * the 3-sigma test |x - mean| > 3*sigma is cross-multiplied to
+    * (n*x - s)^2 > 9*(n*q - s^2) over the frame's count/sum/sum-of-squares
+    * — no division, no sqrt, no float accumulation, so frame-evaluation
+    * order can't change a bit on either engine. Bounds: cents <= 56,021
+    * (value <= 560.21), frame n <= 24 -> every term < 2^44, far inside
+    * BIGINT even at 100x the value range.
+    *
+    * Scale: ONE window exchange keyed by user_id; all three frame
+    * aggregates share the same WindowSpec so Spark evaluates them in a
+    * single Window operator over per-user bounded frames — the same shape
+    * at 100 TB (a hot user costs its own event count, never a global sort).
+    */
+  def rollingAnomaly(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+      .rowsBetween(-AnomFrame, -1)
+    Tables.events(s, d)
+      .select($"user_id", $"event_id",
+        expr("CAST(round(value * 100) AS BIGINT)").as("v_cents"))
+      .select($"user_id", $"event_id", $"v_cents",
+        count(lit(1)).over(w).as("n_prior"),
+        sum($"v_cents").over(w).as("s"),
+        sum($"v_cents" * $"v_cents").over(w).as("q"))
+      .filter($"n_prior" >= AnomMinPrior)
+      .withColumn("dev", $"n_prior" * $"v_cents" - $"s")
+      .select($"user_id", $"event_id", $"v_cents", $"n_prior",
+        ($"dev" * $"dev").as("dev2"),
+        (lit(9L) * ($"n_prior" * $"q" - $"s" * $"s")).as("nvar9"),
+        ($"dev" * $"dev" > lit(9L) * ($"n_prior" * $"q" - $"s" * $"s"))
+          .as("is_anomaly"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  val rollingAnomalySql: String =
+    s"""WITH v AS (SELECT user_id, event_id,
+       |  CAST(round(value * 100) AS BIGINT) AS v_cents FROM events),
+       |w AS (SELECT user_id, event_id, v_cents,
+       |  COUNT(*) OVER win AS n_prior,
+       |  CAST(SUM(v_cents) OVER win AS BIGINT) AS s,
+       |  CAST(SUM(v_cents * v_cents) OVER win AS BIGINT) AS q
+       |  FROM v WINDOW win AS (PARTITION BY user_id ORDER BY event_id
+       |    ROWS BETWEEN $AnomFrame PRECEDING AND 1 PRECEDING))
+       |SELECT user_id, event_id, v_cents, n_prior,
+       |  (n_prior * v_cents - s) * (n_prior * v_cents - s) AS dev2,
+       |  9 * (n_prior * q - s * s) AS nvar9,
+       |  (n_prior * v_cents - s) * (n_prior * v_cents - s)
+       |    > 9 * (n_prior * q - s * s) AS is_anomaly
+       |FROM w WHERE n_prior >= $AnomMinPrior
+       |ORDER BY user_id, event_id""".stripMargin
+
   /** Top-3 customers by balance per market segment (window + filter — the
     * scalable top-k-per-group idiom: no global sort, one shuffle by group).
     */
@@ -262,6 +324,7 @@ object Windows {
     "q17_window_running" -> (runningSum _),
     "q18_window_range"   -> (rangeFrame _),
     "q19_window_laglead" -> (lagLead _),
+    "q56_rolling_anomaly" -> (rollingAnomaly _),
     "q20_topk_per_group" -> (topKPerGroup _),
     "q21_orderby_limit"  -> (orderByLimit _))
 
@@ -270,6 +333,7 @@ object Windows {
     "q17_window_running" -> runningSumSql,
     "q18_window_range"   -> rangeFrameSql,
     "q19_window_laglead" -> lagLeadSql,
+    "q56_rolling_anomaly" -> rollingAnomalySql,
     "q20_topk_per_group" -> topKSql,
     "q21_orderby_limit"  -> orderByLimitSql,
     "q45_distribution_windows" -> distributionWindowsSql,

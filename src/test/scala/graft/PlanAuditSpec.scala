@@ -225,6 +225,27 @@ class PlanAuditSpec extends AnyFunSuite {
       s"bucket offsets not broadcast:\n$p")
   }
 
+  test("q56 rolling anomaly: one user-keyed exchange, all three frame aggs in one Window") {
+    val p = plan("q56_rolling_anomaly")
+    assert("hashpartitioning\\(user_id#\\d+L?".r.findFirstIn(p).isDefined, p)
+    // count + both sums must share the single windowspecdefinition pass —
+    // three Window operators would sort the partition three times
+    assert(p.sliding("Window [".length).count(_ == "Window [") == 1,
+      s"expected exactly one Window operator:\n$p")
+    assert(p.contains("PushedFilters"), p)
+  }
+
+  test("s20 MaxSim is one corpus scan + broadcast query, no shuffle") {
+    val p = plan("s20_maxsim")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("ShuffleExchange") &&
+      !p.contains("Exchange hashpartitioning"),
+      s"MaxSim scan must not shuffle:\n$p")
+    assert(p.contains("Not(EqualTo(vec_id,0))"),
+      s"probe-exclusion filter not pushed to the scan:\n$p")
+  }
+
   test("kv10-style point get scans one bucket; full get scans many") {
     // lib-level twin of the BucketedPotSpec assertion, kept here with the
     // other plan audits: the pruned read's file set is a single bucket dir

@@ -162,6 +162,106 @@ class PropertySpec extends AnyFunSuite {
     assert(mangled === full, "repartitioning the corpus changed the order")
   }
 
+  test("property: q56 anomaly algebra is internally consistent") {
+    import spark.implicits._
+    val rows = operators.Windows.rollingAnomaly(spark, sf)
+      .select($"n_prior", $"dev2", $"nvar9", $"is_anomaly").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, dev2, nvar9, anom) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))
+      assert(n >= operators.Windows.AnomMinPrior &&
+        n <= operators.Windows.AnomFrame)
+      // n*q - s^2 >= 0 is Cauchy-Schwarz over the frame — a negative value
+      // would mean the integer algebra (or the frame) is wrong
+      assert(nvar9 >= 0L, "negative frame variance")
+      assert(dev2 >= 0L)
+      assert(anom === (dev2 > nvar9))
+    }
+  }
+
+  test("property: d14 containment pairs respect the threshold and d3 coherence") {
+    import spark.implicits._
+    val pairs = operators.Dedup.containment(spark, sf)
+      .select($"doc_a", $"doc_b", $"na", $"nb", $"c", $"cont_pct",
+        $"subset_only").collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { r =>
+      val (na, nb, c, pct, subset) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getBoolean(6))
+      assert(c <= math.min(na, nb), "intersection exceeds a set size")
+      assert(pct >= operators.Dedup.ContainmentMinPct && pct <= 100L)
+      assert(pct === c * 100 / math.min(na, nb))
+      // subset_only == (jaccard < 0.8), cross-multiplied like the op
+      assert(subset === (c * 5 < (na + nb - c) * 4))
+    }
+    // every full-duplicate d3 pair with containment >= 90 must be in d14
+    val d3 = operators.Dedup.ngramJaccard(spark, sf)
+      .select($"doc_a", $"doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d14 = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    d14.intersect(d3).foreach { p =>
+      val r = pairs.find(x => (x.getLong(0), x.getLong(1)) == p).get
+      assert(!r.getBoolean(6), "a d3 (jaccard>=0.8) pair flagged subset_only")
+    }
+  }
+
+  test("property: p15 soft-dedup weights and keep decisions are exact") {
+    import spark.implicits._
+    val rows = operators.Pipeline.softDedup(spark, sf)
+      .select($"doc_id", $"cluster_id", $"csize", $"weight_ppm", $"coin",
+        $"kept").collect()
+    assert(rows.nonEmpty)
+    val byCluster = rows.groupBy(_.getLong(1))
+    byCluster.foreach { case (_, members) =>
+      val sz = members.head.getLong(2)
+      assert(members.length.toLong === sz, "csize != actual member count")
+      members.foreach(m => assert(m.getLong(2) === sz))
+    }
+    rows.foreach { r =>
+      val (sz, ppm, coin, kept) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5))
+      assert(ppm === 1000000L / sz)
+      assert(coin >= 0L && coin < (1L << 24))
+      assert(kept === (coin * coin < operators.Pipeline.SoftDedupCoinSq / sz))
+      if (sz == 1L) assert(kept, "a singleton was dropped")
+    }
+    // soft dedup must not hard-delete whole clusters' mass in expectation:
+    // weights over a cluster sum to ~1e6 (csize * (1e6 div csize))
+    byCluster.foreach { case (_, members) =>
+      val total = members.map(_.getLong(3)).sum
+      val sz = members.head.getLong(2)
+      assert(total === sz * (1000000L / sz))
+    }
+  }
+
+  test("property: s20 MaxSim matches an exact in-driver replay") {
+    import spark.implicits._
+    val got = operators.Similarity.maxSimTopK(spark, sf)
+      .select($"vec_id", $"maxsim").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === 10)
+    assert(got.map(_._2).toSeq === got.map(_._2).sortBy(-_).toSeq)
+    // exact replay: quantize, slice into 4 tokens, sum-of-max integer dots
+    val vecs = Tables.embeddings(spark, sf)
+      .select($"vec_id", $"embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1048576.0).toLong).toArray))
+      .toMap
+    val qtoks = vecs(0L).grouped(16).toArray
+    def score(v: Array[Long]): Long = {
+      val dtoks = v.grouped(16).toArray
+      qtoks.map(qt => dtoks.map(dt =>
+        qt.zip(dt).map { case (a, b) => a * b }.sum).max).sum
+    }
+    val expect = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, score(v)) }
+      .sortBy { case (id, sc) => (-sc, id) }
+      .take(10)
+    assert(got.toSeq === expect)
+  }
+
   test("property: q54 funnel stages are consistent and windowed") {
     import spark.implicits._
     val rows = operators.TimeWindows.funnel(spark, sf)
