@@ -267,6 +267,77 @@ object StreamingQueries {
       | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
       |ORDER BY click_id, purchase_id""".stripMargin
 
+  /** st11: stream-stream LEFT OUTER interval join — st4 plus the unmatched
+    * side (clicks that never converted within the hour). The outer
+    * stream-stream join is the ONE join form whose output legitimately
+    * depends on the watermark: a null-extended row may only be emitted
+    * once the watermark proves no future purchase can match
+    * (click horizon closed), so clicks near the end of a bounded stream
+    * are withheld — that is correct streaming semantics, not data loss.
+    * The oracle replays exactly that visibility rule: batch-join matches,
+    * plus unmatched clicks whose `c_ts + 1h` lies strictly under the final
+    * global watermark (Spark's min-policy over the two sides' ms-floored
+    * max event times, minus the 2 h delay). Unlike every inner form this
+    * NEEDS the no-data watermark-advance batch (skipNoData = false) — with
+    * it suppressed, outer state never flushes and the unmatched rows are
+    * silently absent.
+    */
+  def streamAttributionOuter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = eventsStream(s, d)
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id".as("c_user"), $"ts".as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_user"), $"ts".as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val out = runScratchDir("graft-st11")
+    withStreamRunConf(s, skipNoData = false) {
+      val q = clicks.join(purchases,
+          $"c_user" === $"p_user" &&
+          $"p_ts" >= $"c_ts" &&
+          $"p_ts" <= $"c_ts" + expr("INTERVAL 1 HOUR"),
+          "left_outer")
+        .select($"click_id", $"purchase_id")
+        .writeStream
+        .format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/chk")
+        .outputMode("append")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    val result = s.read.parquet(s"$out/data")
+      .orderBy($"click_id".asc, $"purchase_id".asc_nulls_first)
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(out)).deleteRecursively()
+    result
+  }
+
+  val streamAttributionOuterSql: String =
+    """WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events
+      |           WHERE event_type = 'click'),
+      |p AS (SELECT event_id AS purchase_id, user_id, ts FROM events
+      |      WHERE event_type = 'purchase'),
+      |m AS (SELECT c.click_id, p.purchase_id
+      |      FROM c JOIN p ON c.user_id = p.user_id
+      |        AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR),
+      |wm AS (SELECT make_timestamp(
+      |         LEAST(epoch_us((SELECT max(ts) FROM c)),
+      |               epoch_us((SELECT max(ts) FROM p)))
+      |           // 1000 * 1000) - INTERVAL 2 HOUR AS w),
+      |unm AS (SELECT c.click_id, CAST(NULL AS BIGINT) AS purchase_id
+      |        FROM c, wm
+      |        WHERE NOT EXISTS (SELECT 1 FROM p
+      |          WHERE p.user_id = c.user_id
+      |            AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR)
+      |          AND c.ts + INTERVAL 1 HOUR < wm.w)
+      |SELECT click_id, purchase_id FROM m
+      |UNION ALL
+      |SELECT click_id, purchase_id FROM unm
+      |ORDER BY click_id ASC, purchase_id ASC NULLS FIRST""".stripMargin
+
   /** The st5 session-gap (30 min), in microseconds and milliseconds. */
   private[graft] val GapUs = 30L * 60 * 1000000
   private[graft] val GapMs = 30L * 60 * 1000
@@ -755,6 +826,7 @@ object StreamingQueries {
     "st7_stream_ann_match" -> (streamAnnMatch _),
     "st6_stream_ingest_dedup" -> (streamIncrementalDedup _),
     "st10_stream_dedup_postappend" -> (streamPostAppendDedup _),
+    "st11_stream_attribution_outer" -> (streamAttributionOuter _),
     "st5_stream_sessions" -> (streamSessions _),
     "st1_stream_dedup"    -> (streamDedup _),
     "st2_stream_tumbling" -> (streamTumbling _),
@@ -767,6 +839,7 @@ object StreamingQueries {
     "st7_stream_ann_match" -> streamAnnMatchSql,
     "st6_stream_ingest_dedup" -> graft.operators.Pipeline.incrementalDedupSql,
     "st10_stream_dedup_postappend" -> graft.operators.Pipeline.incrementalDedupSql,
+    "st11_stream_attribution_outer" -> streamAttributionOuterSql,
     "st5_stream_sessions" -> streamSessionsSql,
     "st1_stream_dedup"    -> streamDedupSql,
     "st2_stream_tumbling" -> streamTumblingSql,

@@ -250,6 +250,29 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st11 outer attribution: matches == st4, null rows only for truly unmatched clicks") {
+    import spark.implicits._
+    val outer = streaming.StreamingQueries.streamAttributionOuter(spark, sf)
+      .collect()
+    val matched = outer.filter(!_.isNullAt(1))
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unmatched = outer.filter(_.isNullAt(1)).map(_.getLong(0)).toSet
+    assert(matched.nonEmpty && unmatched.nonEmpty)
+    // the inner join's matches are exactly st4's result
+    val st4 = streaming.StreamingQueries.streamClickAttribution(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(matched === st4)
+    // a click with any match must never also emit a null-extended row
+    assert(unmatched.intersect(matched.map(_._1)).isEmpty)
+    // every click appears at most once across matched/unmatched; any
+    // shortfall vs the raw click count is the watermark-withheld tail
+    // (exact visibility semantics are the DuckDB oracle's job — 1 click
+    // withheld on the current sf0.001 fixture)
+    val nClicks = Tables.events(spark, sf)
+      .filter($"event_type" === "click").count()
+    assert(matched.map(_._1).size + unmatched.size <= nClicks)
+  }
+
   test("streaming ingest into a PotTable: foreachBatch upserts through the commit protocol") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
