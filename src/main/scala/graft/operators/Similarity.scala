@@ -392,11 +392,15 @@ object Similarity {
     * a token dot <= 2^44, the 4-token sum <= 2^46 — exact BIGINTs, so
     * max/sum ordering is engine-identical with no float accumulation.
     *
-    * Scale: ONE corpus scan with a broadcast 4-token query, the whole
-    * score a codegen'd nested higher-order expression per row, top-10 via
-    * TakeOrderedAndProject — no shuffle, no join. At billion-doc scale the
-    * production composition prunes candidates with s2's LSH index first
-    * and MaxSims only the candidate set (s15's two-stage discipline).
+    * Scale: ONE corpus scan with a broadcast query, the whole score a
+    * NATIVE codegen'd triple loop per row
+    * ([[graft.functions.MaxSimScore]] — the nested higher-order-function
+    * form is CodegenFallback and measured 16x wall at 10x data; the
+    * native expression is flat-array integer arithmetic inside
+    * whole-stage codegen), top-10 via TakeOrderedAndProject — no shuffle,
+    * no join. At billion-doc scale the production composition prunes
+    * candidates with s2's LSH index first and MaxSims only the candidate
+    * set (s15's two-stage discipline).
     */
   def maxSimTopK(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -404,22 +408,14 @@ object Similarity {
       s"""transform(embedding, x ->
          |  CAST(floor(CAST(x AS DOUBLE) * ${KMeans.QScale}.0) AS BIGINT))"""
         .stripMargin)
-    val toks = expr(
-      s"""transform(sequence(0, ${MaxSimTokens - 1}),
-         |  t -> slice(q, t * $MaxSimSubDim + 1, $MaxSimSubDim))""".stripMargin)
     val e = Tables.embeddings(s, d)
       .select($"vec_id", $"label", quant.as("q"))
-      .select($"vec_id", $"label", toks.as("dtoks"))
-    val qrow = e.filter($"vec_id" === 0).select($"dtoks".as("qtoks"))
+    val qrow = e.filter($"vec_id" === 0).select($"q".as("qq"))
     e.filter($"vec_id" =!= 0)
       .crossJoin(broadcast(qrow))
-      .select($"vec_id", $"label", expr(
-        """aggregate(
-          |  transform(qtoks, qt ->
-          |    array_max(transform(dtoks, dt ->
-          |      aggregate(zip_with(qt, dt, (x, y) -> x * y),
-          |        CAST(0 AS BIGINT), (a, v) -> a + v)))),
-          |  CAST(0 AS BIGINT), (a, v) -> a + v)""".stripMargin).as("maxsim"))
+      .select($"vec_id", $"label",
+        graft.functions.MaxSimScore.maxsim($"q", $"qq", MaxSimTokens)
+          .as("maxsim"))
       .orderBy($"maxsim".desc, $"vec_id".asc)
       .limit(MaxSimTopK)
   }

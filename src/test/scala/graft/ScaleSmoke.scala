@@ -76,7 +76,9 @@ object ScaleSmoke {
     "t10_bm25", "s15_two_stage_rerank", "s16_hybrid_rrf",
     "s17_ann_deletes", "s18_pq_adc", "st10_stream_dedup_postappend",
     "s19_pq_recall", "p14_epoch_shuffle", "kv10_point_get",
-    "m7_token_budget", "q53_gap_fill", "q54_funnel", "q55_retention")
+    "m7_token_budget", "q53_gap_fill", "q54_funnel", "q55_retention",
+    "q56_rolling_anomaly", "d14_containment", "p15_soft_dedup",
+    "s20_maxsim", "st11_stream_attribution_outer")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
