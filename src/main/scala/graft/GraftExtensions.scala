@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{BitSketch, FloatDot, MinHashWords, ShingleHashes}
+import graft.functions.{BitSketch, FloatDot, MaxSimScore, MinHashWords, ShingleHashes}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
@@ -20,7 +20,9 @@ import org.apache.spark.sql.types.IntegerType
   *   - `float_dot(a, b)` — exact float-array dot product;
   *   - `shingle_hashes(text, k)` — distinct xxhash64 word-k-gram hashes;
   *   - `minhash_words(words, k, seeds)` — md5 MinHash signature array;
-  *   - `bit_sketch(embedding, planes, dim)` — packed sign-LSH bit sketch.
+  *   - `bit_sketch(embedding, planes, dim)` — packed sign-LSH bit sketch;
+  *   - `maxsim(doc, query, tokens)` — late-interaction MaxSim score over
+  *     flat quantized BIGINT arrays split into `tokens` token vectors.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -52,5 +54,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     register(e, "bit_sketch", classOf[BitSketch], 3)(x =>
       BitSketch(x(0),
         litInt("bit_sketch", x(1)), litInt("bit_sketch", x(2))))
+    register(e, "maxsim", classOf[MaxSimScore], 3)(x =>
+      MaxSimScore(x(0), x(1), litInt("maxsim", x(2))))
   }
 }

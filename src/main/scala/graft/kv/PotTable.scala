@@ -350,6 +350,64 @@ object PotTable {
     } finally os.close()
   }
 
+  /** Restore a [[bundle]] archive into a FRESH warehouse root: extract the
+    * tar.gz, then re-ingest every manifest table through the normal commit
+    * protocol (one CAS generation per pot) — the restore analog of the
+    * reference's recovery path, which re-POSTs an exported data.json into
+    * a new bucket (readme.md:26-43; the bundle is its single-artifact
+    * form, server.go:550-614). Restored pots start at generation 1
+    * regardless of the source's generation history: a snapshot captures
+    * STATE, not history — time-travel handles don't survive a restore
+    * (same as the reference, whose zip holds current objects only).
+    * Returns the restored manifest (path, source generation at snapshot
+    * time, restored generation).
+    *
+    * Extraction is driver-side (a tar.gz is one serial stream by
+    * construction — symmetrical with [[bundle]]); the per-pot re-ingest
+    * runs through Spark, so the parallel-scale work stays distributed.
+    * Tar entry names are validated against path traversal before any
+    * write.
+    */
+  def restore(spark: SparkSession, bundlePath: String, newRoot: String): DataFrame = {
+    import org.apache.commons.compress.archivers.tar.TarArchiveInputStream
+    import spark.implicits._
+    val bp = new Path(bundlePath)
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-restore")
+    val in = new TarArchiveInputStream(
+      new java.util.zip.GZIPInputStream(fs.open(bp)))
+    try {
+      var e = in.getNextEntry
+      while (e != null) {
+        val name = e.getName
+        val target = tmp.resolve(name).normalize()
+        if (!target.startsWith(tmp))
+          throw new java.io.IOException(
+            s"restore: refusing traversal entry '$name' in $bundlePath")
+        if (e.isDirectory) java.nio.file.Files.createDirectories(target)
+        else {
+          java.nio.file.Files.createDirectories(target.getParent)
+          val os = java.nio.file.Files.newOutputStream(target)
+          try {
+            val buf = new Array[Byte](65536)
+            var n = in.read(buf)
+            while (n >= 0) { os.write(buf, 0, n); n = in.read(buf) }
+          } finally os.close()
+        }
+        e = in.getNextEntry
+      }
+    } finally in.close()
+    val manifest = spark.read.parquet(s"$tmp/_manifest")
+      .select($"path", $"generation").as[(String, Long)].collect().sorted
+    val rows = manifest.map { case (p, srcGen) =>
+      val t = PotTable(spark, newRoot, p)
+      if (srcGen > 0L) t.upsert(spark.read.parquet(s"$tmp/$p"))
+      (p, srcGen, t.generation)
+    }
+    new scala.reflect.io.Directory(tmp.toFile).deleteRecursively()
+    rows.toSeq.toDF("path", "source_generation", "restored_generation")
+  }
+
   /** ListPaths (server.go:425-466): enumerate pots under a root — like the
     * reference's prefix listing, paths may be NESTED ("locks/job"), so this
     * walks directories recursively; a pot = any dir holding a `_commits`

@@ -181,8 +181,48 @@ object Extensibility {
   /** Oracle: s1's brute-force SQL verbatim (same result set, same order). */
   val sqlNativeDotSql: String = Similarity.bruteForceTopKSql
 
+  /** u8: the s20 MaxSim surface through PURE SQL — `maxsim(...)` resolved
+    * from the function registry (the same injection [[graft.GraftExtensions]]
+    * performs via `spark.sql.extensions` on a cluster), proving SQL users
+    * get the identical codegen'd late-interaction scorer as the DataFrame
+    * API. Same plan as s20: one scan, broadcast query, TakeOrdered.
+    */
+  def sqlMaxSim(s: SparkSession, d: String): DataFrame = {
+    s.sessionState.functionRegistry.registerFunction(
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("maxsim"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.MaxSimScore].getName, "maxsim"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.MaxSimScore(exprs(0), exprs(1),
+          exprs(2) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(
+              v: Int, org.apache.spark.sql.types.IntegerType) => v
+            case other => throw new IllegalArgumentException(
+              s"maxsim: tokens must be an INTEGER literal, got $other")
+          }))
+    Tables.embeddings(s, d).createOrReplaceTempView("g_embeddings")
+    val sql =
+      """WITH qv AS (
+        |  SELECT vec_id, label,
+        |    transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * __SCALE__.0) AS BIGINT)) AS q
+        |  FROM g_embeddings)
+        |SELECT e.vec_id, e.label, maxsim(e.q, p.qq, __TOKENS__) AS maxsim
+        |FROM qv e
+        |CROSS JOIN (SELECT q AS qq FROM qv WHERE vec_id = 0) p
+        |WHERE e.vec_id <> 0
+        |ORDER BY maxsim DESC, e.vec_id ASC
+        |LIMIT 10""".stripMargin
+        .replace("__SCALE__", KMeans.QScale.toString)
+        .replace("__TOKENS__", Similarity.MaxSimTokens.toString)
+    s.sql(sql)
+  }
+
+  val sqlMaxSimSql: String = Similarity.maxSimTopKSql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "u7_sql_native_dot" -> (sqlNativeDot _),
+    "u8_sql_maxsim"     -> (sqlMaxSim _),
     "u6_salted_join"    -> (saltedJoinAgg _),
     "u1_udf_keyderiv"   -> (udfKeyDerivation _),
     "u2_typed_agg_wavg" -> (typedAggWeightedAvg _),
@@ -192,6 +232,7 @@ object Extensibility {
 
   val oracle: Map[String, String] = Map(
     "u7_sql_native_dot" -> sqlNativeDotSql,
+    "u8_sql_maxsim"     -> sqlMaxSimSql,
     "u6_salted_join"    -> saltedJoinAggSql,
     "u1_udf_keyderiv"   -> udfKeyDerivationSql,
     "u2_typed_agg_wavg" -> typedAggWeightedAvgSql,

@@ -175,6 +175,47 @@ object Kv {
     pot.snapshot(s"$root/_export")
   }
 
+  /** kv11: A7 ROUND-TRIP — snapshot/bundle then restore into a fresh
+    * warehouse, upgrading the snapshot surface from kv6's rows-only check
+    * to an oracle-verified equality: build a pot from `nation`, mutate it
+    * (so restore provably carries the LATEST generation, not the first),
+    * `snapshotAll` + `bundle`, `PotTable.restore` the tar.gz into a new
+    * root, and emit the RESTORED table's content — which must equal the
+    * mutated source relation the oracle recomputes from the fixture. The
+    * restored pot reads through the normal commit protocol (generation 1),
+    * proving the archive carries everything a cold warehouse needs.
+    */
+  def snapshotRestore(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-pot-sr").toString
+    val pot = PotTable(s, root, "nation_pot")
+    val docs = Tables.nation(s, d)
+      .select($"n_nationkey".cast("string").as("key"), $"n_name", $"n_regionkey")
+    pot.upsert(docs) // generation 1
+    val upd = docs.filter($"key".cast("int") % 5 === 0)
+      .withColumn("n_regionkey", $"n_regionkey" + 100)
+    pot.upsert(upd) // generation 2 — the state the snapshot must carry
+    PotTable.snapshotAll(s, root, s"$root/_export")
+    val root2 = java.nio.file.Files
+      .createTempDirectory("graft-pot-sr2").toString
+    PotTable.restore(s, s"$root/_export/bundle.tar.gz", root2)
+    val result = PotTable(s, root2, "nation_pot").get()
+      .select($"key".cast("int").as("key"), $"n_name", $"n_regionkey")
+      .orderBy($"key")
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    new scala.reflect.io.Directory(new java.io.File(root2)).deleteRecursively()
+    result
+  }
+
+  val snapshotRestoreSql: String =
+    """SELECT n_nationkey AS key, n_name,
+      |  CASE WHEN n_nationkey % 5 = 0 THEN n_regionkey + 100
+      |       ELSE n_regionkey END AS n_regionkey
+      |FROM nation
+      |ORDER BY key""".stripMargin
+
   /** Generation diff / change feed (CDC — the data semantics of
     * [[PotTable.diff]], replayed over fixtures so the oracle can check it):
     * BEFORE = customer; AFTER = kv1's upsert (every 10th: balance+1000, seg
@@ -390,6 +431,7 @@ object Kv {
     "kv4_conflict_detect" -> (conflictDetect _),
     "kv5_list_tables"     -> (listTables _),
     "kv6_snapshot"        -> (snapshotOp _),
+    "kv11_snapshot_restore" -> (snapshotRestore _),
     "kv7_generation_diff" -> (generationDiff _))
 
   val oracle: Map[String, String] = Map(
@@ -401,5 +443,6 @@ object Kv {
     "kv7_generation_diff" -> generationDiffSql,
     "kv8_time_travel"     -> timeTravelSql,
     "kv9_bucketed_scan"   -> bucketedScanSql,
-    "kv10_point_get"      -> pointGetSql)
+    "kv10_point_get"      -> pointGetSql,
+    "kv11_snapshot_restore" -> snapshotRestoreSql)
 }

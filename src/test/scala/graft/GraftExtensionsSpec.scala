@@ -36,6 +36,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
         s"SELECT bit_sketch(array(${Seq.fill(64)("cast(0.5 as float)").mkString(",")}), 256, 64) AS b")
         .collect().head.getSeq[Long](0)
       assert(bs.length === 4) // 256 bits packed into 4 longs
+      // maxsim: 2 tokens of 2 comps; query [1,2|3,4] doc [5,6|7,8]:
+      // qt1 max(dot([1,2],[5,6])=17, dot([1,2],[7,8])=23) = 23
+      // qt2 max(dot([3,4],[5,6])=39, dot([3,4],[7,8])=53) = 53 -> 76
+      val ms = s.sql(
+        "SELECT maxsim(array(5L,6L,7L,8L), array(1L,2L,3L,4L), 2) AS m")
+        .collect().head.getLong(0)
+      assert(ms === 76L)
       // non-literal geometry arguments are rejected loudly
       val err = intercept[Exception] {
         s.sql("SELECT shingle_hashes('a b c', cast(3 as int) + 0)").collect()

@@ -234,6 +234,31 @@ class KvSpec extends AnyFunSuite {
     }
   }
 
+  test("restore rebuilds a cold warehouse from the bundle; snapshot isolation holds") {
+    val root = tmpRoot()
+    val alpha = PotTable(spark, root, "alpha")
+    alpha.upsert(Seq(("a", 1), ("b", 2)).toDF("key", "v"))
+    alpha.upsert(Seq(("b", 20)).toDF("key", "v")) // gen 2: LWW state
+    PotTable(spark, root, "nested/inner").upsert(Seq(("n", 9)).toDF("key", "v"))
+    val out = s"$root/_bundle"
+    PotTable.snapshotAll(spark, root, out)
+    // mutate the SOURCE after the snapshot: the restore must not see it
+    alpha.upsert(Seq(("a", 999)).toDF("key", "v"))
+
+    val root2 = tmpRoot()
+    val manifest = PotTable.restore(spark, s"$out/bundle.tar.gz", root2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(manifest.keySet === Set("alpha", "nested/inner"))
+    assert(manifest("alpha") === ((2L, 1L))) // source gen 2 -> restored gen 1
+    // restored pots read through the normal commit protocol at gen 1
+    val ra = PotTable(spark, root2, "alpha")
+    assert(ra.generation === 1L)
+    assert(ra.get().select("key", "v").as[(String, Int)].collect().toMap
+      === Map("a" -> 1, "b" -> 20)) // snapshot-time state, not a=999
+    assert(PotTable(spark, root2, "nested/inner").get()
+      .select("key", "v").as[(String, Int)].collect().toMap === Map("n" -> 9))
+  }
+
   test("key derivation casts non-string id/name where the reference panics (server.go:349-353)") {
     import graft.operators.Kv
     // Numeric id: the reference's bare `.(string)` assertion panics here;
