@@ -328,6 +328,78 @@ object Aggregates {
       .replace("__MEST__", hllEstimateSql("mreg", "merged_estimate"))
       .replace("__DEST__", hllEstimateSql("dreg", "direct_estimate"))
 
+  /** q57: HLL INTERSECTION estimate via inclusion-exclusion — the
+    * audience-overlap question (|users in segment A ∩ segment B|) every
+    * analytics deployment answers with sketches because the exact
+    * distinct-intersection needs both key sets co-shuffled. Segments:
+    * orders seen with returnflag 'A' vs 'R' (an order's lineitems carry
+    * multiple flags, so the sets genuinely overlap). The union sketch is
+    * the per-bucket MAX of the two segment registers — the same
+    * associative merge q52 proves — and the intersection estimate is
+    * E(A) + E(B) − E(A∪B) in exact integer arithmetic (can go negative
+    * at sketch error; emitted as-is, both engines identical). The exact
+    * intersection rides along, so the result hash-checks the
+    * inclusion-exclusion error too.
+    *
+    * Scale: three register frames of 64 rows each from ONE rho stream
+    * (two column-pruned scans as in q52), estimates over 64-row
+    * aggregates, exact side one distinct-agg — nothing here grows with
+    * the table beyond the pruned scans.
+    */
+  def hllIntersect(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rhos = hllRhos(s, d).filter($"l_returnflag".isin("A", "R"))
+    def regsOf(flag: String) = rhos.filter($"l_returnflag" === flag)
+      .groupBy($"b").agg(max($"rho").as("mj"))
+    val regsA = regsOf("A")
+    val regsR = regsOf("R")
+    val regsU = regsA.unionByName(regsR)
+      .groupBy($"b").agg(max($"mj").as("mj"))
+    val exact = Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_returnflag")
+      .filter($"l_returnflag".isin("A", "R"))
+      .distinct()
+      .groupBy($"l_orderkey").agg(count(lit(1)).as("nf"))
+      .filter($"nf" === 2)
+      .agg(count(lit(1)).as("exact_intersect"))
+    hllEstimate(regsA, "est_a")
+      .crossJoin(hllEstimate(regsR, "est_r"))
+      .crossJoin(hllEstimate(regsU, "est_union"))
+      .crossJoin(exact)
+      .select($"est_a", $"est_r", $"est_union",
+        ($"est_a" + $"est_r" - $"est_union").as("est_intersect"),
+        $"exact_intersect")
+      .orderBy($"est_a") // single row; total order per hard rule
+  }
+
+  val hllIntersectSql: String =
+    """WITH __RHOS__,
+      |areg AS (SELECT b, MAX(rho) AS mj FROM rhos
+      |         WHERE l_returnflag = 'A' GROUP BY b),
+      |rreg AS (SELECT b, MAX(rho) AS mj FROM rhos
+      |         WHERE l_returnflag = 'R' GROUP BY b),
+      |ureg AS (SELECT b, MAX(mj) AS mj FROM (
+      |           SELECT b, mj FROM areg UNION ALL SELECT b, mj FROM rreg) u
+      |         GROUP BY b),
+      |aest AS (__AEST__),
+      |rest AS (__REST__),
+      |uest AS (__UEST__),
+      |ex AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersect FROM (
+      |    SELECT l_orderkey FROM (
+      |      SELECT DISTINCT l_orderkey, l_returnflag FROM lineitem
+      |      WHERE l_returnflag IN ('A', 'R')) d
+      |    GROUP BY l_orderkey HAVING COUNT(*) = 2) i)
+      |SELECT est_a, est_r, est_union,
+      |  est_a + est_r - est_union AS est_intersect,
+      |  exact_intersect
+      |FROM aest, rest, uest, ex
+      |ORDER BY est_a""".stripMargin
+      .replace("__RHOS__", hllRhosCte)
+      .replace("__AEST__", hllEstimateSql("areg", "est_a"))
+      .replace("__REST__", hllEstimateSql("rreg", "est_r"))
+      .replace("__UEST__", hllEstimateSql("ureg", "est_union"))
+
   /** Count-Min geometry for q48: d hash rows × w counters. Mirrored
     * literally in the oracle SQL — change both or neither. */
   val CmDepth = 4
@@ -413,6 +485,7 @@ object Aggregates {
     "q14_agg_gsets"       -> (groupingSets _),
     "q15_agg_approx_hll"  -> (approxDistinct _),
     "q43_hll_deterministic" -> (hllDeterministic _),
+    "q57_hll_intersect"     -> (hllIntersect _),
     "q52_hll_merge"         -> (hllMerge _))
 
   val oracle: Map[String, String] = Map(
@@ -422,6 +495,7 @@ object Aggregates {
     "q13_agg_cube"     -> cubeSql,
     "q14_agg_gsets"    -> groupingSetsSql,
     "q43_hll_deterministic" -> hllDeterministicSql,
+    "q57_hll_intersect"     -> hllIntersectSql,
     "q52_hll_merge"         -> hllMergeSql,
     "q48_countmin_sketch"   -> countMinSql)
 }
