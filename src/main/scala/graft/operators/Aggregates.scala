@@ -221,7 +221,7 @@ object Aggregates {
     * Spliced via `.replace("__RHOS__", ...)` (stripMargin-first rule);
     * change it and [[hllRhos]] together or neither.
     */
-  private val hllRhosCte: String =
+  private[operators] val hllRhosCte: String =
     """hashed AS (
       |  SELECT l_returnflag, l_orderkey,
       |    md5(CAST(l_orderkey AS VARCHAR)) AS h

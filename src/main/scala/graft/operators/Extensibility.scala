@@ -220,7 +220,51 @@ object Extensibility {
 
   val sqlMaxSimSql: String = Similarity.maxSimTopKSql
 
+  /** u9: q43's deterministic HLL through the NATIVE typed-imperative
+    * aggregate ([[graft.functions.HllSketchAgg]]) instead of the two-stage
+    * SQL register build — ONE aggregate exchange shipping 64-byte buffers
+    * (partial-merged map-side), the 1000-executor production form. Same
+    * oracle CTEs as q43 (minus the exact-distinct leg): hash-green here
+    * proves the native update/merge/eval path is bit-identical to the SQL
+    * register algebra, including the BigInteger estimate division.
+    */
+  def nativeHllAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.lineitem(s, d)
+      .groupBy($"l_returnflag")
+      .agg(graft.functions.HllSketchAgg.hllSketch(
+        $"l_orderkey".cast("string")).as("sk"))
+      .select($"l_returnflag",
+        $"sk.hll_s_hi".as("hll_s_hi"),
+        $"sk.hll_s_lo".as("hll_s_lo"),
+        $"sk.hll_estimate".as("hll_estimate"))
+      .orderBy($"l_returnflag")
+  }
+
+  val nativeHllAggSql: String =
+    """WITH __RHOS__,
+      |regs AS (
+      |  SELECT l_returnflag, b, MAX(rho) AS mj
+      |  FROM rhos GROUP BY 1, 2),
+      |sk AS (
+      |  SELECT l_returnflag,
+      |    CAST(SUM(CAST(CAST(1 AS BIGINT) << (61 - mj) AS DECIMAL(38,0)))
+      |      + CAST(64 - COUNT(*) AS DECIMAL(38,0))
+      |        * CAST(2305843009213693952 AS DECIMAL(38,0))
+      |      AS DECIMAL(38,0)) AS hll_s
+      |  FROM regs GROUP BY 1)
+      |SELECT l_returnflag,
+      |  CAST(CAST(hll_s AS HUGEINT) // 17179869184 AS BIGINT) AS hll_s_hi,
+      |  CAST(CAST(hll_s AS HUGEINT) % 17179869184 AS BIGINT) AS hll_s_lo,
+      |  CAST(CAST('6696315672709156913020928' AS HUGEINT)
+      |    // (CAST(1000 AS HUGEINT) * CAST(hll_s AS HUGEINT))
+      |    AS BIGINT) AS hll_estimate
+      |FROM sk
+      |ORDER BY l_returnflag""".stripMargin
+      .replace("__RHOS__", Aggregates.hllRhosCte)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u9_native_hll_agg" -> (nativeHllAgg _),
     "u7_sql_native_dot" -> (sqlNativeDot _),
     "u8_sql_maxsim"     -> (sqlMaxSim _),
     "u6_salted_join"    -> (saltedJoinAgg _),
@@ -231,6 +275,7 @@ object Extensibility {
     "u5_typed_dataset"  -> (typedDataset _))
 
   val oracle: Map[String, String] = Map(
+    "u9_native_hll_agg" -> nativeHllAggSql,
     "u7_sql_native_dot" -> sqlNativeDotSql,
     "u8_sql_maxsim"     -> sqlMaxSimSql,
     "u6_salted_join"    -> saltedJoinAggSql,
