@@ -24,6 +24,7 @@ object SparkEntry {
       (operators.TimeWindows.queries, operators.TimeWindows.oracle),
       (operators.AsOfJoin.queries, operators.AsOfJoin.oracle),
       (operators.Kv.queries, operators.Kv.oracle),
+      (operators.Graph.queries, operators.Graph.oracle),
       (operators.Reshape.queries, operators.Reshape.oracle),
       (operators.Dedup.queries, operators.Dedup.oracle),
       (operators.Pipeline.queries, operators.Pipeline.oracle),

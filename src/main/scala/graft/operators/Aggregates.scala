@@ -476,6 +476,95 @@ object Aggregates {
        |ORDER BY cm_est DESC, k ASC
        |LIMIT 25""".stripMargin
 
+  /** q58 basket-size cap: baskets with more distinct parts are dropped
+    * BEFORE pairing, bounding the self-join at cap^2 rows per basket —
+    * the guard that keeps frequent-pair mining from going quadratic on a
+    * mega-basket at 100 TB. Mirrored literally in the oracle; the sf
+    * fixtures' baskets are ~4 parts so nothing is actually dropped there
+    * (the cap exists for the pathological tail, not the median).
+    */
+  val BasketCap = 25
+  /** Minimum pair support surfaced (HAVING on the pair count). */
+  val MinSupport = 2
+
+  /** q58: frequent-pair mining (market-basket co-purchase) — parts that
+    * co-occur in the same order with support >= [[MinSupport]], plus a
+    * lift >= 1.5 test done in EXACT cross-multiplied integers
+    * (n_ab * n_orders * 10 >= 15 * n_a * n_b — no division, no floats).
+    *
+    * Scale shapes: one distinct per (order, part) [map-side combinable],
+    * basket-size cap before the self-join (see [[BasketCap]]), the pair
+    * build is a single equi-join keyed by l_orderkey (one co-partitioned
+    * shuffle — both sides are the SAME relation, so AQE reuses the
+    * exchange), the pair agg is keyed by (pa, pb), and the per-part
+    * marginals are a dimension-sized frame that broadcasts into the
+    * result join. Nothing enumerates the part x part space.
+    */
+  /** Capped-basket (order, part) relation shared by q58/q61. */
+  private[operators] def cappedBaskets(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val items = Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val capped = items.groupBy($"l_orderkey")
+      .agg(count(lit(1)).as("bsize"))
+      .filter($"bsize" <= BasketCap)
+      .select($"l_orderkey")
+    items.join(capped, Seq("l_orderkey"))
+  }
+
+  /** Support-filtered co-purchase pairs (pa < pb, n_ab >= MinSupport) —
+    * shared by q58 and the q61 graph build. */
+  private[operators] def basketPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val b = cappedBaskets(s, d)
+    b.select($"l_orderkey", $"l_partkey".as("pa"))
+      .join(b.select($"l_orderkey", $"l_partkey".as("pb")), Seq("l_orderkey"))
+      .filter($"pa" < $"pb")
+      .groupBy($"pa", $"pb").agg(count(lit(1)).as("n_ab"))
+      .filter($"n_ab" >= MinSupport)
+  }
+
+  /** Oracle CTE mirror of [[cappedBaskets]]/[[basketPairs]] (constants
+    * literal — change with BasketCap/MinSupport or neither). */
+  private[operators] val basketPairsCte: String =
+    """items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |capped AS (SELECT l_orderkey FROM items GROUP BY 1 HAVING COUNT(*) <= 25),
+      |b AS (SELECT i.l_orderkey, i.l_partkey
+      |      FROM items i JOIN capped USING (l_orderkey)),
+      |pairs AS (
+      |  SELECT a.l_partkey AS pa, c.l_partkey AS pb, COUNT(*) AS n_ab
+      |  FROM b a JOIN b c
+      |    ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)""".stripMargin
+
+  def copurchase(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val b = cappedBaskets(s, d)
+    val pairs = basketPairs(s, d)
+    val marg = b.groupBy($"l_partkey").agg(count(lit(1)).as("nx"))
+    val tot = b.agg(countDistinct($"l_orderkey").as("n_orders"))
+    pairs
+      .join(broadcast(marg.select($"l_partkey".as("pa"), $"nx".as("n_a"))), Seq("pa"))
+      .join(broadcast(marg.select($"l_partkey".as("pb"), $"nx".as("n_b"))), Seq("pb"))
+      .crossJoin(broadcast(tot))
+      .select($"pa", $"pb", $"n_ab", $"n_a", $"n_b", $"n_orders",
+        ($"n_ab" * $"n_orders" * 10 >= $"n_a" * $"n_b" * 15).as("lifted"))
+      .orderBy($"n_ab".desc, $"pa", $"pb")
+  }
+
+  val copurchaseSql: String =
+    """WITH __PAIRS__,
+      |marg AS (SELECT l_partkey, COUNT(*) AS nx FROM b GROUP BY 1),
+      |tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM b)
+      |SELECT pa, pb, n_ab, ma.nx AS n_a, mb.nx AS n_b, n_orders,
+      |  n_ab * n_orders * 10 >= ma.nx * mb.nx * 15 AS lifted
+      |FROM pairs
+      |JOIN marg ma ON pa = ma.l_partkey
+      |JOIN marg mb ON pb = mb.l_partkey
+      |CROSS JOIN tot
+      |ORDER BY n_ab DESC, pa, pb""".stripMargin
+      .replace("__PAIRS__", basketPairsCte)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q48_countmin_sketch" -> (countMin _),
     "q10_agg_distinct"    -> (aggDistinct _),
@@ -485,6 +574,7 @@ object Aggregates {
     "q14_agg_gsets"       -> (groupingSets _),
     "q15_agg_approx_hll"  -> (approxDistinct _),
     "q43_hll_deterministic" -> (hllDeterministic _),
+    "q58_copurchase"        -> (copurchase _),
     "q57_hll_intersect"     -> (hllIntersect _),
     "q52_hll_merge"         -> (hllMerge _))
 
@@ -495,6 +585,7 @@ object Aggregates {
     "q13_agg_cube"     -> cubeSql,
     "q14_agg_gsets"    -> groupingSetsSql,
     "q43_hll_deterministic" -> hllDeterministicSql,
+    "q58_copurchase"        -> copurchaseSql,
     "q57_hll_intersect"     -> hllIntersectSql,
     "q52_hll_merge"         -> hllMergeSql,
     "q48_countmin_sketch"   -> countMinSql)

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over relations (SURVEY.md §2-C): PageRank as iterated
+  * joins — the Pregel-style "superstep = shuffle" formulation that runs
+  * unchanged on 1000 executors (d6/d8's label propagation covers the
+  * connected-components family; this adds weighted centrality).
+  *
+  * Graph: the q58 co-purchase relation (parts co-ordered with support >=
+  * 2), symmetrized — every node therefore has degree >= 1 and the
+  * dangling-mass term vanishes. Ranks live in EXACT integer arithmetic
+  * (scale 10^12; damping 0.85 applied as (85 * x) div 100 with the
+  * teleport term the literal 15 * 10^12 div 100) so three unrolled
+  * iterations land on bit-identical BIGINTs in both engines — the
+  * suite's float-determinism discipline applied to an iterative
+  * algorithm.
+  *
+  * Scale shapes: each iteration is one join keyed by src (ranks are
+  * node-sized — broadcastable when the node set is small; keyed shuffle
+  * co-partitioned with the edge list when it is not) plus one agg keyed
+  * by dst. Iteration count is a constant 3 — the plan is a fixed DAG, no
+  * driver loop over data.
+  */
+object Graph {
+  /** Rank scale (10^12) — integer "fixed point" for PageRank mass. */
+  val PrScale = 1000000000000L
+
+  def pagerank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = Aggregates.basketPairs(s, d)
+    val edges = pairs.select($"pa".as("src"), $"pb".as("dst"))
+      .unionByName(pairs.select($"pb".as("src"), $"pa".as("dst")))
+    val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+    def step(ranks: DataFrame): DataFrame =
+      edges
+        .join(ranks.join(deg, Seq("src"))
+          .select($"src", expr("pr div deg").as("share")), Seq("src"))
+        .groupBy($"dst").agg(sum($"share").as("insum"))
+        .select($"dst".as("src"),
+          expr("150000000000L + (85L * insum) div 100L").as("pr"))
+    val r0 = deg.select($"src", lit(PrScale).as("pr"))
+    val r3 = step(step(step(r0)))
+    r3.join(deg, Seq("src"))
+      .select($"src".as("node"), $"deg", $"pr".as("pr3"))
+      .orderBy($"pr3".desc, $"node")
+  }
+
+  val pagerankSql: String =
+    """WITH __PAIRS__,
+      |edges AS (
+      |  SELECT pa AS src, pb AS dst FROM pairs
+      |  UNION ALL SELECT pb, pa FROM pairs),
+      |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+      |r0 AS (SELECT src, CAST(1000000000000 AS BIGINT) AS pr FROM deg),
+      |r1 AS (
+      |  SELECT e.dst AS src,
+      |    150000000000 + (85 * SUM(r.pr // g.deg)) // 100 AS pr
+      |  FROM edges e JOIN r0 r ON e.src = r.src JOIN deg g ON e.src = g.src
+      |  GROUP BY 1),
+      |r2 AS (
+      |  SELECT e.dst AS src,
+      |    150000000000 + (85 * SUM(r.pr // g.deg)) // 100 AS pr
+      |  FROM edges e JOIN r1 r ON e.src = r.src JOIN deg g ON e.src = g.src
+      |  GROUP BY 1),
+      |r3 AS (
+      |  SELECT e.dst AS src,
+      |    150000000000 + (85 * SUM(r.pr // g.deg)) // 100 AS pr
+      |  FROM edges e JOIN r2 r ON e.src = r.src JOIN deg g ON e.src = g.src
+      |  GROUP BY 1)
+      |SELECT r3.src AS node, deg.deg, CAST(r3.pr AS BIGINT) AS pr3
+      |FROM r3 JOIN deg ON r3.src = deg.src
+      |ORDER BY pr3 DESC, node""".stripMargin
+      .replace("__PAIRS__", Aggregates.basketPairsCte)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q61_pagerank" -> (pagerank _))
+
+  val oracle: Map[String, String] = Map(
+    "q61_pagerank" -> pagerankSql)
+}

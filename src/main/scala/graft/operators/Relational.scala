@@ -118,13 +118,89 @@ object Relational {
        |GROUP BY n_name
        |ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** q60: data-quality profile (the Deequ/Great-Expectations audit shape)
+    * — per-column completeness, distinctness, and rule conformance over
+    * orders, emitted long-form (one row per column). All metrics ride in
+    * ONE aggregate: Spark plans the six countDistincts as a single Expand
+    * (6x row fan-out, one scan, one exchange of six partial-agg cells) —
+    * the standard one-pass profile; per-column passes would re-scan the
+    * fact six times. Conformance rules (mirrored literally in the
+    * oracle): keys > 0, status in (O,F,P), price > 0, date in the TPC-H
+    * window, priority matching '^[1-5]-'. Counts only — no min/max on
+    * the double column, keeping the surface float-free.
+    */
+  def dqProfile(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+    val agg = o.agg(
+      count(lit(1)).as("n_rows"),
+      count($"o_orderkey").as("nn1"), countDistinct($"o_orderkey").as("nd1"),
+      count(when($"o_orderkey" > 0, 1)).as("nc1"),
+      count($"o_custkey").as("nn2"), countDistinct($"o_custkey").as("nd2"),
+      count(when($"o_custkey" > 0, 1)).as("nc2"),
+      count($"o_orderstatus").as("nn3"), countDistinct($"o_orderstatus").as("nd3"),
+      count(when($"o_orderstatus".isin("O", "F", "P"), 1)).as("nc3"),
+      count($"o_totalprice").as("nn4"), countDistinct($"o_totalprice").as("nd4"),
+      count(when($"o_totalprice" > 0.0, 1)).as("nc4"),
+      count($"o_orderdate").as("nn5"), countDistinct($"o_orderdate").as("nd5"),
+      count(when($"o_orderdate" >= lit("1992-01-01").cast("timestamp") &&
+        $"o_orderdate" < lit("1999-01-01").cast("timestamp"), 1)).as("nc5"),
+      count($"o_orderpriority").as("nn6"), countDistinct($"o_orderpriority").as("nd6"),
+      count(when($"o_orderpriority".rlike("^[1-5]-"), 1)).as("nc6"))
+    agg.selectExpr("n_rows",
+      """stack(6,
+        |  'o_orderkey', nn1, nd1, nc1,
+        |  'o_custkey', nn2, nd2, nc2,
+        |  'o_orderstatus', nn3, nd3, nc3,
+        |  'o_totalprice', nn4, nd4, nc4,
+        |  'o_orderdate', nn5, nd5, nc5,
+        |  'o_orderpriority', nn6, nd6, nc6)
+        |AS (col, n_nonnull, n_distinct, n_conforming)""".stripMargin)
+      .select($"col", $"n_rows", $"n_nonnull", $"n_distinct", $"n_conforming",
+        ($"n_nonnull" === $"n_rows").as("complete"),
+        ($"n_distinct" === $"n_rows").as("unique_key"))
+      .orderBy($"col")
+  }
+
+  val dqProfileSql: String =
+    """WITH m AS (
+      |  SELECT COUNT(*) AS n_rows,
+      |    COUNT(o_orderkey) AS nn1, COUNT(DISTINCT o_orderkey) AS nd1,
+      |    COUNT(*) FILTER (WHERE o_orderkey > 0) AS nc1,
+      |    COUNT(o_custkey) AS nn2, COUNT(DISTINCT o_custkey) AS nd2,
+      |    COUNT(*) FILTER (WHERE o_custkey > 0) AS nc2,
+      |    COUNT(o_orderstatus) AS nn3, COUNT(DISTINCT o_orderstatus) AS nd3,
+      |    COUNT(*) FILTER (WHERE o_orderstatus IN ('O','F','P')) AS nc3,
+      |    COUNT(o_totalprice) AS nn4, COUNT(DISTINCT o_totalprice) AS nd4,
+      |    COUNT(*) FILTER (WHERE o_totalprice > 0.0) AS nc4,
+      |    COUNT(o_orderdate) AS nn5, COUNT(DISTINCT o_orderdate) AS nd5,
+      |    COUNT(*) FILTER (WHERE o_orderdate >= TIMESTAMP '1992-01-01'
+      |                       AND o_orderdate < TIMESTAMP '1999-01-01') AS nc5,
+      |    COUNT(o_orderpriority) AS nn6, COUNT(DISTINCT o_orderpriority) AS nd6,
+      |    COUNT(*) FILTER (WHERE regexp_matches(o_orderpriority, '^[1-5]-')) AS nc6
+      |  FROM orders),
+      |long AS (
+      |  SELECT 'o_orderkey' AS col, n_rows, nn1 AS n_nonnull, nd1 AS n_distinct, nc1 AS n_conforming FROM m
+      |  UNION ALL SELECT 'o_custkey', n_rows, nn2, nd2, nc2 FROM m
+      |  UNION ALL SELECT 'o_orderstatus', n_rows, nn3, nd3, nc3 FROM m
+      |  UNION ALL SELECT 'o_totalprice', n_rows, nn4, nd4, nc4 FROM m
+      |  UNION ALL SELECT 'o_orderdate', n_rows, nn5, nd5, nc5 FROM m
+      |  UNION ALL SELECT 'o_orderpriority', n_rows, nn6, nd6, nc6 FROM m)
+      |SELECT col, n_rows, n_nonnull, n_distinct, n_conforming,
+      |  n_nonnull = n_rows AS complete,
+      |  n_distinct = n_rows AS unique_key
+      |FROM long
+      |ORDER BY col""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_filter_project"  -> (q2FilterProject _),
+    "q60_dq_profile"     -> (dqProfile _),
     "q3_join_revenue"    -> (q3JoinRevenue _))
 
   val oracle: Map[String, String] = Map(
     "q1_pricing_summary" -> q1Sql,
     "q2_filter_project"  -> q2Sql,
+    "q60_dq_profile"     -> dqProfileSql,
     "q3_join_revenue"    -> q3Sql)
 }

@@ -317,7 +317,58 @@ object Windows {
       |FROM orders
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** q59: SCD2 dimension build — collapse each user's event stream into
+    * slowly-changing-dimension rows (state = event_type; one row per
+    * consecutive run, [valid_from, valid_to) half-open, last run open).
+    * The classic gaps-and-islands construction: run id = difference of
+    * the two row_numbers (global vs per-state), both over the SAME
+    * (user_id) partitioning — ONE hash exchange feeds every window and
+    * the run aggregation (Spark chains the window operators without
+    * re-shuffling), then valid_to = lead(valid_from) over the collapsed
+    * runs (a frame that is #runs, not #events). Interval bounds surface
+    * as epoch-MICROSECOND BIGINTs (exact on both engines — no
+    * second-floor ambiguity), tie-broken by event_id so same-timestamp
+    * events order identically in both engines.
+    */
+  def scd2Build(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wAll = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wState = Window.partitionBy($"user_id", $"state").orderBy($"ts", $"event_id")
+    val runs = Tables.events(s, d)
+      .select($"user_id", $"event_type".as("state"), $"ts", $"event_id")
+      .withColumn("grp", row_number().over(wAll) - row_number().over(wState))
+      .groupBy($"user_id", $"state", $"grp")
+      .agg(min($"ts").as("vf"), count(lit(1)).as("n_events"),
+        min($"event_id").as("first_eid"))
+    val wRuns = Window.partitionBy($"user_id").orderBy($"vf", $"first_eid")
+    runs
+      .select($"user_id", $"state",
+        unix_micros($"vf").as("vf_us"),
+        unix_micros(lead($"vf", 1).over(wRuns)).as("vt_us"),
+        $"n_events", $"first_eid")
+      .orderBy($"user_id", $"vf_us", $"first_eid")
+  }
+
+  val scd2BuildSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_type AS state, ts, event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |                           ORDER BY ts, event_id) AS grp
+      |  FROM events),
+      |runs AS (
+      |  SELECT user_id, state, grp, MIN(ts) AS vf,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events, MIN(event_id) AS first_eid
+      |  FROM e GROUP BY 1, 2, 3)
+      |SELECT user_id, state, epoch_us(vf) AS vf_us,
+      |  epoch_us(LEAD(vf) OVER (PARTITION BY user_id
+      |                          ORDER BY vf, first_eid)) AS vt_us,
+      |  n_events, first_eid
+      |FROM runs
+      |ORDER BY user_id, vf_us, first_eid""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_scd2_build" -> (scd2Build _),
     "q46_value_windows" -> (valueWindows _),
     "q45_distribution_windows" -> (distributionWindows _),
     "q16_window_rank"    -> (ranking _),
@@ -329,6 +380,7 @@ object Windows {
     "q21_orderby_limit"  -> (orderByLimit _))
 
   val oracle: Map[String, String] = Map(
+    "q59_scd2_build" -> scd2BuildSql,
     "q16_window_rank"    -> rankingSql,
     "q17_window_running" -> runningSumSql,
     "q18_window_range"   -> rangeFrameSql,
