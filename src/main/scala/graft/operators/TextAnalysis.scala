@@ -381,6 +381,78 @@ object TextAnalysis {
       |ORDER BY n DESC, pair ASC
       |LIMIT 30""".stripMargin
 
+  /** t11: collocation detection — word bigrams that co-occur far more
+    * often than their unigram frequencies predict (the corpus-linguistics
+    * primitive behind phrase mining / tokenizer-vocab seeding). The usual
+    * statistic is PMI (a log); to stay float-free the test is the
+    * equivalent cross-multiplied LIFT inequality:
+    * lift = (n_bg / Nb) / ((n_w1 / N)(n_w2 / N)) >= 20, evaluated as
+    * n_bg * N^2 >= 20 * Nb * n_w1 * n_w2 in exact wide-integer arithmetic
+    * (DECIMAL(38,0) here, HUGEINT in the oracle — exact to 1e38, room
+    * for a ~1e14-token corpus). Tokenization keeps the d3 split(' ')
+    * semantics (empties preserved).
+    *
+    * Scale shapes: bigram explode is a narrow map (no cross-row state —
+    * adjacency comes from in-row array indexing, not a window); one
+    * count shuffle keyed by the bigram (min-support 5 prunes the long
+    * tail BEFORE the marginal joins); unigram marginals are vocab-keyed
+    * joins (NOT forced broadcast — vocab grows with the corpus); totals
+    * are 1-row broadcasts.
+    */
+  def collocations(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select($"doc_id", split(lower($"text"), " ").as("w"))
+    val tok = toks.select(explode($"w").as("word"))
+    val bg = toks.filter(size($"w") >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(w) - 1),
+          |  i -> named_struct('w1', element_at(w, i), 'w2', element_at(w, i + 1)))"""
+          .stripMargin)).as("p"))
+      .select($"p.w1".as("w1"), $"p.w2".as("w2"))
+    val nbg = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("n_bg"))
+      .filter($"n_bg" >= 5)
+    val marg = tok.groupBy($"word").agg(count(lit(1)).as("nw"))
+    val totals = tok.agg(count(lit(1)).as("n_tok"))
+      .crossJoin(bg.agg(count(lit(1)).as("nb_tot")))
+    nbg
+      .join(marg.select($"word".as("w1"), $"nw".as("n_w1")), Seq("w1"))
+      .join(marg.select($"word".as("w2"), $"nw".as("n_w2")), Seq("w2"))
+      .crossJoin(broadcast(totals))
+      .select($"w1", $"w2", $"n_bg", $"n_w1", $"n_w2",
+        (expr("CAST(n_bg AS DECIMAL(38,0)) * n_tok * n_tok") >=
+          expr("CAST(20 AS DECIMAL(38,0)) * nb_tot * n_w1 * n_w2"))
+          .as("is_colloc"))
+      .orderBy($"n_bg".desc, $"w1", $"w2")
+  }
+
+  val collocationsSql: String =
+    """WITH words AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |tok AS (
+      |  SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS i
+      |  FROM words),
+      |bg AS (
+      |  SELECT w1, w2 FROM (
+      |    SELECT word AS w1,
+      |      LEAD(word) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+      |    FROM tok) x
+      |  WHERE w2 IS NOT NULL),
+      |nbg AS (
+      |  SELECT w1, w2, COUNT(*) AS n_bg FROM bg GROUP BY 1, 2
+      |  HAVING COUNT(*) >= 5),
+      |marg AS (SELECT word, COUNT(*) AS nw FROM tok GROUP BY 1),
+      |tot AS (SELECT (SELECT COUNT(*) FROM tok) AS n_tok,
+      |               (SELECT COUNT(*) FROM bg) AS nb_tot)
+      |SELECT nbg.w1, nbg.w2, n_bg, m1.nw AS n_w1, m2.nw AS n_w2,
+      |  CAST(n_bg AS HUGEINT) * n_tok * n_tok
+      |    >= CAST(20 AS HUGEINT) * nb_tot * m1.nw * m2.nw AS is_colloc
+      |FROM nbg
+      |JOIN marg m1 ON nbg.w1 = m1.word
+      |JOIN marg m2 ON nbg.w2 = m2.word
+      |CROSS JOIN tot
+      |ORDER BY n_bg DESC, nbg.w1, nbg.w2""".stripMargin
+
   /** t10: BM25 document ranking for a fixed 3-term query (Lucene idf
     * variant, `ln(1 + (N-df+0.5)/(df+0.5))` — always positive; k1=1.2,
     * b=0.75). The retrieval-scoring primitive a curation pipeline uses to
@@ -458,6 +530,7 @@ object TextAnalysis {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t10_bm25"        -> (bm25 _),
     "t9_bpe_pairs"    -> (bpePairs _),
+    "t11_collocations" -> (collocations _),
     "t8_repetition"   -> (repetition _),
     "t7_surprisal"    -> (surprisal _),
     "t1_langid"       -> (langId _),
@@ -477,5 +550,6 @@ object TextAnalysis {
     "t4_fingerprint"  -> fingerprintSql,
     "t5_term_stats"   -> termStatsSql,
     "t6_pii_scrub"    -> piiScrubSql,
-    "t9_bpe_pairs"    -> bpePairsSql)
+    "t9_bpe_pairs"    -> bpePairsSql,
+    "t11_collocations" -> collocationsSql)
 }
