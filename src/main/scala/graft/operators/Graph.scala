@@ -30,8 +30,12 @@ object Graph {
   def pagerank(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val pairs = Aggregates.basketPairs(s, d)
+    // The edge list feeds all three supersteps — persist it (KMeans
+    // discipline: MEMORY_AND_DISK, unpersisted by the next action's GC)
+    // or every iteration re-runs the basket self-join from the scan.
     val edges = pairs.select($"pa".as("src"), $"pb".as("dst"))
       .unionByName(pairs.select($"pb".as("src"), $"pa".as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
     def step(ranks: DataFrame): DataFrame =
       edges

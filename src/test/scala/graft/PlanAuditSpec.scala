@@ -246,6 +246,43 @@ class PlanAuditSpec extends AnyFunSuite {
       s"probe-exclusion filter not pushed to the scan:\n$p")
   }
 
+  test("u9 native HLL is a single ObjectHashAggregate pair (one exchange)") {
+    val p = plan("u9_native_hll_agg")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_hll_sketch") || p.contains("partial_hllsketch") ||
+      p.contains("hll_sketch"), p)
+    // exactly one hash exchange (the group-by); the only other exchange is
+    // the output-order rangepartitioning
+    assert(p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning") == 1,
+      s"expected one hash exchange:\n$p")
+  }
+
+  test("q58 co-purchase: equi-join pair build, broadcast marginals, no cartesian on data") {
+    val p = plan("q58_copurchase")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q59 SCD2: both window layers + run agg ride ONE user-keyed exchange") {
+    val p = plan("q59_scd2_build")
+    // windows over (user_id) and (user_id, state) plus the run groupBy must
+    // not each re-shuffle: Spark plans them over a single hashpartitioning
+    // of user_id (the state/grp keys are subsumed by sorting, and the
+    // grp aggregation is partial over the same exchange)
+    val n = p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(n <= 2, s"expected <=2 hash exchanges, got $n:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q61 pagerank: persisted edge list reused across supersteps, no cartesian") {
+    val p = plan("q61_pagerank")
+    assert(p.contains("InMemoryTableScan"),
+      s"edges must come from the persisted relation:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("kv10-style point get scans one bucket; full get scans many") {
     // lib-level twin of the BucketedPotSpec assertion, kept here with the
     // other plan audits: the pruned read's file set is a single bucket dir

@@ -78,7 +78,11 @@ object ScaleSmoke {
     "s19_pq_recall", "p14_epoch_shuffle", "kv10_point_get",
     "m7_token_budget", "q53_gap_fill", "q54_funnel", "q55_retention",
     "q56_rolling_anomaly", "d14_containment", "p15_soft_dedup",
-    "s20_maxsim", "st11_stream_attribution_outer")
+    "s20_maxsim", "st11_stream_attribution_outer",
+    // round-11 second batch (q60 omitted: it reads only orders, which the
+    // replica keeps at 1x — the ratio would measure the symlink, not the op)
+    "u9_native_hll_agg", "q58_copurchase", "q59_scd2_build",
+    "q61_pagerank", "t11_collocations")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
