@@ -1,0 +1,119 @@
+package graft.kv
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Cross-pot ATOMIC batch commit — the multi-table transaction the
+  * reference cannot express (each pot path commits independently,
+  * server.go:272-423; a partial multi-path ingest is visible forever).
+  * The shape is a write-ahead intent log (transactional outbox) built
+  * from the SAME CommitMarker CAS primitive as single-pot commits:
+  *
+  *   1. STAGE every pot's delta batch under a txn-unique path
+  *      `_txns/stage/<id>/<pot>/` (no marker — invisible, crash = garbage);
+  *   2. COMMIT POINT: CAS one marker `_txns/_commits/<n>` whose body
+  *      names the txn id + participant pots. Before this marker exists
+  *      nothing is visible anywhere; after it exists the transaction is
+  *      durable and WILL complete (roll-forward only — there is no abort
+  *      after the commit point, so no tombstone/undo protocol is needed);
+  *   3. APPLY each staged batch through the pot's normal `upsert` CAS,
+  *      retrying on [[PotTable.CommitConflict]] (each retry re-reads the
+  *      pot head and re-merges — a lost race against a concurrent
+  *      single-pot writer REBASES the delta instead of clobbering, which
+  *      is well-defined because stage holds the DELTA, not a merged
+  *      snapshot); then CAS a per-pot applied marker
+  *      `_txns/applied/<n>/<pot>` so recovery can tell done from pending.
+  *
+  * Crash matrix: before 2 => nothing visible, staging garbage (vacuumed);
+  * between 2 and 3 (any prefix of pots applied) => [[recover]] replays the
+  * remaining pots — apply is at-least-once and LWW-idempotent (re-upsert
+  * of the same delta rewrites `_modified` but no user-visible values).
+  * Two recoverers racing is safe: both may upsert (idempotent), the
+  * applied marker CAS arbitrates who records completion.
+  *
+  * Consistency contract (stated, not oversold): atomic DURABILITY with
+  * roll-forward — not snapshot isolation. A reader scanning pots between
+  * steps 2 and 3 can observe the txn partially applied; what can never
+  * happen is a committed txn half-lost or an uncommitted txn half-seen
+  * after recovery. That is the Iceberg/Hive multi-table reality absent a
+  * shared catalog log, and exactly what a 100 TB multi-table ingest needs
+  * from its coordinator.
+  */
+final class PotTxn(spark: SparkSession, root: String) {
+
+  private def fs: FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def commitsDir = new Path(s"$root/_txns/_commits")
+  private def stageDir(id: String) = s"$root/_txns/stage/$id"
+  private def appliedMarker(n: Long, pot: String) =
+    new Path(s"$root/_txns/applied/$n/$pot")
+
+  /** Stage + commit-point only (no apply) — the crash-window half used by
+    * the recovery tests; production callers use [[commitAll]]. Returns
+    * the txn number.
+    */
+  def prepare(batches: Seq[(String, DataFrame)]): Long = {
+    require(batches.map(_._1).distinct.size == batches.size,
+      "one batch per pot")
+    val id = java.util.UUID.randomUUID().toString
+    batches.foreach { case (pot, df) =>
+      df.write.mode("errorifexists").parquet(s"${stageDir(id)}/$pot")
+    }
+    fs.mkdirs(commitsDir)
+    val pots = batches.map(_._1)
+    val body = (id +: pots).mkString("\n")
+    var n = CommitMarker.committedGenerations(fs, commitsDir)
+      .foldLeft(0L)(math.max) + 1
+    var committed = false
+    while (!committed) {
+      try { CommitMarker.publish(fs, new Path(commitsDir, n.toString), body)
+            committed = true }
+      catch { case _: PotTable.CommitConflict => n += 1 }
+    }
+    n
+  }
+
+  /** Atomic cross-pot commit: stage, commit-point, apply-all. */
+  def commitAll(batches: Seq[(String, DataFrame)]): Long = {
+    val n = prepare(batches)
+    applyTxn(n)
+    n
+  }
+
+  /** Roll forward one committed txn: apply every pot batch that has no
+    * applied marker yet. At-least-once; safe under racing recoverers.
+    */
+  private[graft] def applyTxn(n: Long): Unit = {
+    val body = CommitMarker.read(fs, new Path(commitsDir, n.toString))
+      .trim.split("\n").toSeq
+    val (id, pots) = (body.head, body.tail)
+    pots.foreach { pot =>
+      val done = appliedMarker(n, pot)
+      if (!fs.exists(done)) {
+        val batch = spark.read.parquet(s"${stageDir(id)}/$pot")
+        var applied = false
+        while (!applied) {
+          try { PotTable(spark, root, pot).upsert(batch); applied = true }
+          catch { case _: PotTable.CommitConflict => /* rebase: retry re-reads head */ }
+        }
+        fs.mkdirs(done.getParent)
+        try CommitMarker.publish(fs, done, "done")
+        catch { case _: PotTable.CommitConflict => /* another recoverer recorded it */ }
+      }
+    }
+  }
+
+  /** Replay every committed txn that is missing applied markers (crash
+    * recovery / startup hook). Returns the txn numbers rolled forward.
+    */
+  def recover(): Seq[Long] = {
+    val ns = CommitMarker.committedGenerations(fs, commitsDir).sorted
+    val pending = ns.filterNot { n =>
+      val body = CommitMarker.read(fs, new Path(commitsDir, n.toString))
+        .trim.split("\n").toSeq
+      body.tail.forall(pot => fs.exists(appliedMarker(n, pot)))
+    }
+    pending.foreach(applyTxn)
+    pending
+  }
+}

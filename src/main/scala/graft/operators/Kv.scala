@@ -432,6 +432,7 @@ object Kv {
     "kv5_list_tables"     -> (listTables _),
     "kv6_snapshot"        -> (snapshotOp _),
     "kv11_snapshot_restore" -> (snapshotRestore _),
+    "kv12_txn_commit"     -> (txnCommit _),
     "kv7_generation_diff" -> (generationDiff _))
 
   val oracle: Map[String, String] = Map(
@@ -444,5 +445,72 @@ object Kv {
     "kv8_time_travel"     -> timeTravelSql,
     "kv9_bucketed_scan"   -> bucketedScanSql,
     "kv10_point_get"      -> pointGetSql,
-    "kv11_snapshot_restore" -> snapshotRestoreSql)
+    "kv11_snapshot_restore" -> snapshotRestoreSql,
+    "kv12_txn_commit"     -> txnCommitSql)
+
+  /** kv12: CROSS-POT atomic commit ([[graft.kv.PotTxn]]) — the multi-table
+    * transaction the reference cannot express. The query drives the full
+    * protocol surface on two pots built from fixture dims and emits the
+    * final LWW state of BOTH pots, which the oracle recomputes from the
+    * fixture:
+    *   - txn1 `commitAll` seeds nation_pot + region_pot (atomic ingest);
+    *   - a DIRECT single-pot writer then bumps nation_pot (the competitor
+    *     a txn must rebase over, +100 on even keys);
+    *   - txn2 `commitAll` updates subsets of both pots (applies after the
+    *     head moved — exercising the conflict-retry rebase, +1000 on %3
+    *     keys / 'x'-prefix on region keys >= 3);
+    *   - txn3 is `prepare`d only (simulated crash between commit point and
+    *     apply) and completed by `recover()` ('recovered' at region key 0)
+    *     — proving a committed txn is never half-lost.
+    */
+  def txnCommit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-pot-txn").toString
+    val txn = new graft.kv.PotTxn(s, root)
+    val nat = Tables.nation(s, d)
+      .select($"n_nationkey".cast("string").as("key"), $"n_name", $"n_regionkey")
+    val reg = Tables.region(s, d)
+      .select($"r_regionkey".cast("string").as("key"), $"r_name")
+    txn.commitAll(Seq("nation_pot" -> nat, "region_pot" -> reg))
+    PotTable(s, root, "nation_pot").upsert(
+      nat.filter($"key".cast("int") % 2 === 0)
+        .withColumn("n_regionkey", $"n_regionkey" + 100))
+    txn.commitAll(Seq(
+      "nation_pot" -> nat.filter($"key".cast("int") % 3 === 0)
+        .withColumn("n_regionkey", $"n_regionkey" + 1000),
+      "region_pot" -> reg.filter($"key".cast("int") >= 3)
+        .withColumn("r_name", concat(lit("x"), $"r_name"))))
+    txn.prepare(Seq("region_pot" -> reg.filter($"key".cast("int") === 0)
+      .withColumn("r_name", lit("recovered"))))
+    txn.recover()
+    val natOut = PotTable(s, root, "nation_pot").get()
+      .select(lit("nation_pot").as("pot"), $"key".cast("int").as("key"),
+        concat($"n_name", lit(":"), $"n_regionkey".cast("string")).as("payload"))
+    val regOut = PotTable(s, root, "region_pot").get()
+      .select(lit("region_pot").as("pot"), $"key".cast("int").as("key"),
+        $"r_name".as("payload"))
+    val result = natOut.unionByName(regOut)
+      .orderBy($"pot", $"key")
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    result
+  }
+
+  // lazy: declared below the oracle map that references it
+  lazy val txnCommitSql: String =
+    """SELECT * FROM (
+      |  SELECT 'nation_pot' AS pot, CAST(n_nationkey AS INTEGER) AS key,
+      |    n_name || ':' || CAST(CASE
+      |      WHEN n_nationkey % 3 = 0 THEN n_regionkey + 1000
+      |      WHEN n_nationkey % 2 = 0 THEN n_regionkey + 100
+      |      ELSE n_regionkey END AS VARCHAR) AS payload
+      |  FROM nation
+      |  UNION ALL
+      |  SELECT 'region_pot', CAST(r_regionkey AS INTEGER),
+      |    CASE WHEN r_regionkey = 0 THEN 'recovered'
+      |         WHEN r_regionkey >= 3 THEN 'x' || r_name
+      |         ELSE r_name END
+      |  FROM region) t
+      |ORDER BY pot, key""".stripMargin
 }

@@ -414,4 +414,49 @@ class KvSpec extends AnyFunSuite {
       c2.create("locks/job", Seq(("leader", "c2")).toDF("key", "owner"))
     }
   }
+
+  test("PotTxn: prepare (crash before apply) leaves nothing visible; recover rolls forward atomically") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-txn1").toString
+    val txn = new graft.kv.PotTxn(spark, root)
+    val n = txn.prepare(Seq(
+      "pa" -> Seq(("k1", 1)).toDF("key", "v"),
+      "pb" -> Seq(("k2", 2)).toDF("key", "v")))
+    // commit point durable, apply never ran: both pots still empty
+    assert(PotTable(spark, root, "pa").generation === 0L)
+    assert(PotTable(spark, root, "pb").generation === 0L)
+    assert(txn.recover() === Seq(n))
+    assert(PotTable(spark, root, "pa").get().select("v").as[Int].collect().toSeq === Seq(1))
+    assert(PotTable(spark, root, "pb").get().select("v").as[Int].collect().toSeq === Seq(2))
+    // second recover: nothing pending
+    assert(txn.recover() === Seq.empty)
+  }
+
+  test("PotTxn: apply rebases over a concurrent single-pot commit instead of clobbering") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-txn2").toString
+    val txn = new graft.kv.PotTxn(spark, root)
+    txn.commitAll(Seq("px" -> Seq(("k1", 1)).toDF("key", "v")))
+    // a direct writer moves the head between commit point and apply
+    PotTable(spark, root, "px").upsert(Seq(("k2", 2)).toDF("key", "v"))
+    val n2 = txn.prepare(Seq("px" -> Seq(("k1", 10)).toDF("key", "v")))
+    txn.recover()
+    val state = PotTable(spark, root, "px").get()
+      .select("key", "v").as[(String, Int)].collect().toMap
+    assert(state === Map("k1" -> 10, "k2" -> 2), s"txn $n2 lost an update: $state")
+  }
+
+  test("PotTxn: applyTxn is at-least-once idempotent (racing recoverers safe)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-txn3").toString
+    val txn = new graft.kv.PotTxn(spark, root)
+    val n = txn.commitAll(Seq("pi" -> Seq(("k", 7)).toDF("key", "v")))
+    val before = PotTable(spark, root, "pi").get()
+      .select("key", "v").as[(String, Int)].collect().toSeq
+    txn.applyTxn(n) // replay the whole txn — applied markers short-circuit
+    val after = PotTable(spark, root, "pi").get()
+      .select("key", "v").as[(String, Int)].collect().toSeq
+    assert(after === before)
+    assert(PotTable(spark, root, "pi").generation === 1L)
+  }
 }
