@@ -503,7 +503,97 @@ object Multimodal {
        |GROUP BY media_id, win_idx
        |ORDER BY media_id, win_idx""".stripMargin
 
+  final case class PHash(
+      media_id: Long, width: Int, height: Int, hash_hi: Long, hash_lo: Long)
+
+  /** m8: perceptual image hash (aHash family) — a 64-bit mean-threshold
+    * signature over the decoded pixel stream: payload bytes are bucketed
+    * into 64 cells (cell = pos * 64 div len — the integer "downsample to
+    * 8x8"), bit c = 1 iff cell c's mean exceeds the global mean, tested
+    * CROSS-MULTIPLIED (cell_sum * len > total_sum * cell_count — no
+    * division, engine-exact). Unlike m5's exact frame md5, equal aHashes
+    * survive re-encodes that preserve brightness structure — the
+    * image-dedup analogue of SimHash. Emitted as two 32-bit halves in
+    * BIGINTs (the q43 discipline: no sign-bit ambiguity), plus the
+    * perceptual-duplicate group size per hash.
+    *
+    * Scale: decode+hash is one mapPartitions pass (the m-family byte
+    * codec — the one legitimate mapPartitions site), the dup-group count
+    * is one window over the 64-bit hash — at corpus scale that exchange
+    * is keyed by the hash exactly like d1's exact-dedup groupBy.
+    */
+  def perceptualHash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hashes = mediaTable(s, d).mapPartitions { it =>
+      it.filter(r => new String(r.media, 0, 4,
+          java.nio.charset.StandardCharsets.US_ASCII) == "GIMG")
+        .map { r =>
+          val hd = parseHeader(r)
+          val L = hd.payloadLen
+          val sums = new Array[Long](64)
+          val cnts = new Array[Long](64)
+          var total = 0L
+          var p = 0
+          while (p < L) {
+            val b = r.media(hd.payloadPos + p) & 0xff
+            val c = p * 64 / L
+            sums(c) += b; cnts(c) += 1; total += b
+            p += 1
+          }
+          var hi = 0L; var lo = 0L
+          var c = 0
+          while (c < 64) {
+            val bit = if (sums(c) * L > total * cnts(c)) 1L else 0L
+            if (c >= 32) hi |= bit << (c - 32) else lo |= bit << c
+            c += 1
+          }
+          PHash(r.media_id, hd.width, hd.height, hi, lo)
+        }
+    }.toDF()
+    hashes
+      .withColumn("n_same_hash",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"hash_hi", $"hash_lo")))
+      .orderBy($"media_id")
+  }
+
+  val perceptualHashSql: String =
+    """WITH imgs AS (
+      |  SELECT doc_id AS media_id, text, length(text) AS L
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |ch AS (
+      |  SELECT media_id, L,
+      |    ord(substr(text, CAST(p AS INTEGER) + 1, 1)) AS b,
+      |    CAST(p * 64 // L AS INTEGER) AS cell
+      |  FROM imgs, (SELECT unnest(range(1024)) AS p) px
+      |  WHERE p < L),
+      |cells AS (
+      |  SELECT media_id, L, cell, SUM(b) AS cs, COUNT(*) AS cc
+      |  FROM ch GROUP BY 1, 2, 3),
+      |tot AS (SELECT media_id, SUM(b) AS s FROM ch GROUP BY 1),
+      |bits AS (
+      |  SELECT c.media_id, c.cell,
+      |    CASE WHEN c.cs * c.L > t.s * c.cc THEN 1 ELSE 0 END AS bit
+      |  FROM cells c JOIN tot t USING (media_id)),
+      |hash AS (
+      |  SELECT media_id,
+      |    CAST(SUM(CASE WHEN cell >= 32
+      |      THEN bit * (CAST(1 AS BIGINT) << (cell - 32)) ELSE 0 END) AS BIGINT)
+      |      AS hash_hi,
+      |    CAST(SUM(CASE WHEN cell < 32
+      |      THEN bit * (CAST(1 AS BIGINT) << cell) ELSE 0 END) AS BIGINT)
+      |      AS hash_lo
+      |  FROM bits GROUP BY 1)
+      |SELECT h.media_id,
+      |  CAST(16 + h.media_id % 640 AS INTEGER) AS width,
+      |  CAST(16 + (h.media_id * 7) % 480 AS INTEGER) AS height,
+      |  h.hash_hi, h.hash_lo,
+      |  COUNT(*) OVER (PARTITION BY h.hash_hi, h.hash_lo) AS n_same_hash
+      |FROM hash h
+      |ORDER BY h.media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m8_perceptual_hash" -> (perceptualHash _),
     "m7_token_budget"   -> (tokenBudget _),
     "m6_audio_energy"   -> (audioEnergy _),
     "m1_media_meta"     -> (mediaMeta _),
@@ -513,6 +603,7 @@ object Multimodal {
     "m5_frame_dedup"    -> (frameDupes _))
 
   val oracle: Map[String, String] = Map(
+    "m8_perceptual_hash" -> perceptualHashSql,
     "m7_token_budget"   -> tokenBudgetSql,
     "m1_media_meta"     -> mediaMetaSql,
     "m2_media_features" -> mediaFeaturesSql,
