@@ -263,7 +263,49 @@ object Extensibility {
       |ORDER BY l_returnflag""".stripMargin
       .replace("__RHOS__", Aggregates.hllRhosCte)
 
+  /** u10: the DataSource V2 CONNECTOR path ([[graft.sources.PotV2Source]])
+    * — pot-format data.json objects read as a first-class V2 table (one
+    * InputPartition per pot object, Jackson in the PartitionReader, column
+    * pruning pushed to the reader). The query materializes the reference's
+    * native format from the nation fixture (two pot objects, split by key
+    * parity — proving the multi-file plan), reads it back through
+    * `spark.read.format(...)`, and emits the parsed documents, which must
+    * equal the relation the oracle recomputes from the fixture — the
+    * migration-correctness guarantee a pot user needs before switching.
+    */
+  def dsv2PotRead(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-potv2").toString
+    val rows = Tables.nation(s, d)
+      .select($"n_nationkey", $"n_name", $"n_regionkey")
+      .collect() // 25-row dimension: building the migration INPUT artifact
+    def potJson(parity: Int): String =
+      rows.filter(_.getInt(0) % 2 == parity)
+        .map(r => s""""n${r.getInt(0)}": {"id": "n${r.getInt(0)}", """ +
+          s""""name": "${r.getString(1)}", "region": ${r.getInt(2)}}""")
+        .mkString("{", ", ", "}")
+    Seq(0, 1).foreach { par =>
+      val pd = java.nio.file.Paths.get(dir, s"nation_$par")
+      java.nio.file.Files.createDirectories(pd)
+      java.nio.file.Files.writeString(pd.resolve("data.json"), potJson(par))
+    }
+    s.read.format(classOf[graft.sources.PotV2Source].getName)
+      .option("path", s"$dir/*/data.json")
+      .load()
+      .select($"key",
+        get_json_object($"doc_json", "$.name").as("name"),
+        get_json_object($"doc_json", "$.region").cast("int").as("region"))
+      .orderBy($"key")
+  }
+
+  val dsv2PotReadSql: String =
+    """SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS key,
+      |  n_name AS name, CAST(n_regionkey AS INTEGER) AS region
+      |FROM nation
+      |ORDER BY key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u10_dsv2_pot_read" -> (dsv2PotRead _),
     "u9_native_hll_agg" -> (nativeHllAgg _),
     "u7_sql_native_dot" -> (sqlNativeDot _),
     "u8_sql_maxsim"     -> (sqlMaxSim _),
@@ -275,6 +317,7 @@ object Extensibility {
     "u5_typed_dataset"  -> (typedDataset _))
 
   val oracle: Map[String, String] = Map(
+    "u10_dsv2_pot_read" -> dsv2PotReadSql,
     "u9_native_hll_agg" -> nativeHllAggSql,
     "u7_sql_native_dot" -> sqlNativeDotSql,
     "u8_sql_maxsim"     -> sqlMaxSimSql,

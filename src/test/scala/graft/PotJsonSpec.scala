@@ -99,4 +99,50 @@ class PotJsonSpec extends AnyFunSuite {
       .select($"key", $"id", $"age").as[(String, String, Int)].collect().toSet
     assert(back === Set(("a", "id-a", 1), ("b", "id-b", 2)))
   }
+
+  test("PotV2Source (DSv2) matches PotJson.readRaw field-for-field") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("potv2")
+    writePot(dir, "landmarks", landmarks)
+    writePot(dir, "t", nested)
+    def parsed(df: org.apache.spark.sql.DataFrame) = df
+      .select($"key",
+        org.apache.spark.sql.functions.get_json_object($"doc_json", "$.id").as("id"),
+        org.apache.spark.sql.functions.get_json_object($"doc_json", "$.age").as("age"))
+      .as[(String, String, String)].collect().toSet
+    val v2 = spark.read
+      .format(classOf[graft.sources.PotV2Source].getName)
+      .option("path", s"$dir/*/data.json").load()
+    val v1 = PotJson.readRaw(spark, s"$dir/*/data.json")
+    assert(parsed(v2) === parsed(v1))
+    assert(parsed(v2).map(_._1) === Set("sagrada-familia", "eiffel-tower", "test"))
+  }
+
+  test("PotV2Source plans one partition per pot object and prunes columns") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("potv2p")
+    (1 to 4).foreach(i => writePot(dir, s"p$i", s"""{"k$i": {"id": "k$i"}}"""))
+    val df = spark.read
+      .format(classOf[graft.sources.PotV2Source].getName)
+      .option("path", s"$dir/*/data.json").load()
+    assert(df.rdd.getNumPartitions === 4)
+    val keys = df.select("key")
+    assert(keys.columns === Array("key"))
+    assert(keys.as[String].collect().toSet === Set("k1", "k2", "k3", "k4"))
+    // pruning reached the scan: the physical BatchScan's output is key-only
+    val scanLine = keys.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("BatchScan")).getOrElse("")
+    assert(scanLine.contains("key") && !scanLine.contains("doc_json"), scanLine)
+  }
+
+  test("PotV2Source rejects a non-map pot object loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("potv2bad")
+    writePot(dir, "bad", """[1, 2, 3]""")
+    val df = spark.read
+      .format(classOf[graft.sources.PotV2Source].getName)
+      .option("path", s"$dir/*/data.json").load()
+    val e = intercept[org.apache.spark.SparkException] { df.collect() }
+    assert(e.getMessage.contains("top level must be a JSON map") ||
+      Option(e.getCause).exists(_.getMessage.contains("top level must be a JSON map")))
+  }
 }
