@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Ora, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Event-time windowing over the `events` table: tumbling, sliding, session
@@ -88,6 +89,52 @@ object TimeWindows {
        |FROM numbered
        |GROUP BY user_id, sess_id
        |ORDER BY user_id, sess_start""".stripMargin
+
+  /** q62: cumulative distinct users per day — the growth-dashboard
+    * metric whose naive form (COUNT(DISTINCT) OVER a growing frame) is
+    * QUADRATIC and unshardable. The scalable identity: a user's
+    * contribution to the cumulative curve happens exactly once, on their
+    * FIRST day — so cum_distinct(day) = running_sum(new_users), where
+    * new_users comes from one user-keyed min() aggregation. Shapes: one
+    * user-keyed agg + two day-keyed aggs + a running sum over the
+    * per-DAY frame (#days rows — the one single-partition window here is
+    * over the calendar, not the data). Daily active users ride along for
+    * the new-vs-returning read.
+    */
+  def cumulativeDistinct(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"user_id", date_trunc("day", $"ts").as("day"))
+    val newPerDay = ev.groupBy($"user_id").agg(min($"day").as("day"))
+      .groupBy($"day").agg(count(lit(1)).as("new_users"))
+    val active = ev.groupBy($"day")
+      .agg(countDistinct($"user_id").as("active_users"))
+    val w = Window.orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    active.join(newPerDay, Seq("day"), "left")
+      .withColumn("new_users", coalesce($"new_users", lit(0L)))
+      .select(unix_timestamp($"day").as("day_s"), $"active_users",
+        $"new_users", sum($"new_users").over(w).as("cum_distinct_users"))
+      .orderBy($"day_s")
+  }
+
+  val cumulativeDistinctSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, date_trunc('day', ts) AS day FROM events),
+      |nu AS (
+      |  SELECT day, CAST(COUNT(*) AS BIGINT) AS new_users
+      |  FROM (SELECT user_id, MIN(day) AS day FROM ev GROUP BY 1) f
+      |  GROUP BY 1),
+      |au AS (
+      |  SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+      |  FROM ev GROUP BY 1)
+      |SELECT CAST(FLOOR(EPOCH(au.day)) AS BIGINT) AS day_s, active_users,
+      |  COALESCE(nu.new_users, 0) AS new_users,
+      |  CAST(SUM(COALESCE(nu.new_users, 0)) OVER (ORDER BY au.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS cum_distinct_users
+      |FROM au LEFT JOIN nu USING (day)
+      |ORDER BY day_s""".stripMargin
 
   /** q53: hourly gap-fill with last-observation-carried-forward — the
     * time-series densification every metrics/feature pipeline needs (a
@@ -237,6 +284,7 @@ object TimeWindows {
     "q33_win_sliding"  -> (sliding _),
     "q34_win_session"  -> (sessions _),
     "q53_gap_fill"     -> (gapFill _),
+    "q62_cumulative_distinct" -> (cumulativeDistinct _),
     "q54_funnel"       -> (funnel _),
     "q55_retention"    -> (retention _))
 
@@ -245,6 +293,7 @@ object TimeWindows {
     "q33_win_sliding"  -> slidingSql,
     "q34_win_session"  -> sessionsSql,
     "q53_gap_fill"     -> gapFillSql,
+    "q62_cumulative_distinct" -> cumulativeDistinctSql,
     "q54_funnel"       -> funnelSql,
     "q55_retention"    -> retentionSql)
 }
