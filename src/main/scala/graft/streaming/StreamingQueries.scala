@@ -756,6 +756,82 @@ object StreamingQueries {
       stage
     })
 
+  /** st12: streaming ADDITIVE aggregation into a pot — the running-counter
+    * shape st9's LWW upsert cannot express (st9's `n` is the LAST batch's
+    * count; here `n` accumulates across every batch). Each micro-batch
+    * union+re-sums its delta into the pot map through the normal CAS
+    * (one generation per batch), and a BATCH-ID FENCE in a sibling meta
+    * pot makes the apply idempotent: foreachBatch replays (checkpoint
+    * recovery re-delivers the last batch) hit `id <= applied` and
+    * short-circuit — without the fence an additive merge double-counts,
+    * which is exactly why exactly-once counters need more than LWW. The
+    * query PROVES the fence by replaying the final wave after the stream
+    * drains: the emitted counts still hash-match the batch oracle.
+    */
+  def streamAdditiveCounts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stage = waveStageDir(s, d)
+    val potRoot = java.nio.file.Files
+      .createTempDirectory("graft-st12-pot").toString
+    val pot = graft.kv.PotTable(s, potRoot, "counts")
+    val meta = graft.kv.PotTable(s, potRoot, "counts_meta")
+    def appliedUpTo(): Long =
+      if (meta.generation == 0L) -1L
+      else meta.get().select(max($"batch_id")).as[Long].collect().head
+    def applyBatch(batch: DataFrame, id: Long): Unit = {
+      if (id <= appliedUpTo()) return // replay fence (idempotent apply)
+      val delta = batch.groupBy($"user_id".cast("string").as("key"))
+        .agg(count(lit(1)).as("n"))
+      if (delta.isEmpty) return
+      val merged =
+        if (pot.generation == 0L) delta
+        else pot.get().select($"key", $"n").unionByName(delta)
+          .groupBy($"key").agg(sum($"n").as("n"))
+      pot.upsert(merged)
+      meta.upsert(Seq(("applied", id)).toDF("key", "batch_id"))
+      ()
+    }
+    val chk = runScratchDir("graft-st12")
+    withStreamRunConf(s) {
+      val q = s.readStream
+        .schema("event_id BIGINT, user_id BIGINT")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+        .writeStream
+        .option("checkpointLocation", s"$chk/chk")
+        .foreachBatch(applyBatch _)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    // simulate a checkpoint-recovery redelivery of the final wave: the
+    // fence must swallow it or every wave-2 user double-counts
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    applyBatch(
+      s.read.schema("event_id BIGINT, user_id BIGINT")
+        .parquet(s"$stage/wave2.parquet"), appliedUpTo())
+    val result = pot.get()
+      .select($"key".cast("bigint").as("user_id"), $"n",
+        lit(pot.generation).as("n_generations"))
+      .orderBy($"user_id")
+      .localCheckpoint(true)
+    Seq(potRoot, chk).foreach(p =>
+      new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively())
+    result
+  }
+
+  /** Oracle: total per-user counts (what additive merge must land on —
+    * any double-count breaks the hash) with the 3-wave generation count
+    * literal (one CAS generation per wave, the fence swallowing the
+    * replayed fourth apply).
+    */
+  val streamAdditiveCountsSql: String =
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(3 AS BIGINT) AS n_generations
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   def streamPotIngest(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val stage = waveStageDir(s, d)
@@ -827,6 +903,7 @@ object StreamingQueries {
     "st6_stream_ingest_dedup" -> (streamIncrementalDedup _),
     "st10_stream_dedup_postappend" -> (streamPostAppendDedup _),
     "st11_stream_attribution_outer" -> (streamAttributionOuter _),
+    "st12_stream_additive_counts" -> (streamAdditiveCounts _),
     "st5_stream_sessions" -> (streamSessions _),
     "st1_stream_dedup"    -> (streamDedup _),
     "st2_stream_tumbling" -> (streamTumbling _),
@@ -840,6 +917,7 @@ object StreamingQueries {
     "st6_stream_ingest_dedup" -> graft.operators.Pipeline.incrementalDedupSql,
     "st10_stream_dedup_postappend" -> graft.operators.Pipeline.incrementalDedupSql,
     "st11_stream_attribution_outer" -> streamAttributionOuterSql,
+    "st12_stream_additive_counts" -> streamAdditiveCountsSql,
     "st5_stream_sessions" -> streamSessionsSql,
     "st1_stream_dedup"    -> streamDedupSql,
     "st2_stream_tumbling" -> streamTumblingSql,
