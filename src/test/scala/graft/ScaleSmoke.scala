@@ -82,7 +82,10 @@ object ScaleSmoke {
     // round-11 second batch (q60 omitted: it reads only orders, which the
     // replica keeps at 1x — the ratio would measure the symlink, not the op)
     "u9_native_hll_agg", "q58_copurchase", "q59_scd2_build",
-    "q61_pagerank", "t11_collocations")
+    "q61_pagerank", "t11_collocations",
+    // third batch (kv12/u10 omitted: dimension-only inputs stay 1x)
+    "m8_perceptual_hash", "q62_cumulative_distinct",
+    "st12_stream_additive_counts")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
