@@ -1011,6 +1011,16 @@ object Dedup {
     */
   val EditPctMax = 20L
 
+  /** d15 SNM constants (mirrored literally in the oracle): neighbor
+    * window w, block-key prefix length, near-dup edit-distance percent.
+    * Declared ABOVE the query/oracle maps — the maps force the d15 SQL
+    * at object init, and a later-declared val would still read 0 (the
+    * q43 lesson applied to initialization order).
+    */
+  val SnmWindow = 3
+  val SnmBlkLen = 4
+  val SnmEditPct = 5L
+
   def editVerify(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
@@ -1052,6 +1062,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d13_edit_verify"    -> (editVerify _),
     "d14_containment"    -> (containment _),
+    "d15_sorted_neighborhood" -> (sortedNeighborhood _),
     "d11_minhash_error"  -> (minhashError _),
     "d12_split_leakage"  -> (splitLeakage _),
     "d10_repeated_spans"   -> (repeatedSpans _),
@@ -1079,5 +1090,70 @@ object Dedup {
     "d11_minhash_error"    -> minhashErrorSql,
     "d12_split_leakage"    -> splitLeakageSql,
     "d13_edit_verify"      -> editVerifySql,
-    "d14_containment"      -> containmentSql)
+    "d14_containment"      -> containmentSql,
+    "d15_sorted_neighborhood" -> sortedNeighborhoodSql)
+
+  /** d15: SORTED-NEIGHBORHOOD dedup (Hernandez & Stolfo's merge/purge) —
+    * the third blocking family next to hash blocking (d2 LSH bands) and
+    * sketch blocking (d5 bit-sketch): sort the corpus by a normalized
+    * key and compare each record only to its w nearest neighbors in sort
+    * order. Candidates verified with exact edit distance (the d13
+    * discipline).
+    *
+    * Scale shapes: the sort IS the blocking — one exchange keyed by the
+    * 4-char block prefix, ONE Window operator computing all w leads
+    * (pairs = explode of an in-row neighbor array, no self-join at all),
+    * then levenshtein only on the <= w*N candidates. The block boundary
+    * truncates neighborhoods (a pair straddling two prefix blocks is
+    * missed) — the standard remedy is a second pass with a shifted key,
+    * which is this same query with a different SnmBlkLen slice; single
+    * pass kept here so the oracle mirrors one plan.
+    */
+  def sortedNeighborhood(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"blk").orderBy($"skey", $"doc_id")
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", $"text",
+        regexp_replace(lower($"text"), "[^a-z0-9]", "").as("skey"))
+      .withColumn("blk", substring($"skey", 1, SnmBlkLen))
+    val led = docs.select($"doc_id".as("doc_a"), $"text".as("ta"),
+      array((1 to SnmWindow).map(k => struct(
+        lead($"doc_id", k).over(w).as("doc_b"),
+        lead($"text", k).over(w).as("tb"))): _*).as("nb"))
+    led.select($"doc_a", $"ta", explode($"nb").as("p"))
+      .filter($"p.doc_b".isNotNull)
+      .select($"doc_a", $"p.doc_b".as("doc_b"),
+        levenshtein($"ta", $"p.tb").cast("long").as("lev"),
+        length($"ta").cast("long").as("len_a"),
+        length($"p.tb").cast("long").as("len_b"))
+      .withColumn("near_dup",
+        $"lev" * 100L <= lit(SnmEditPct) * greatest($"len_a", $"len_b"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  lazy val sortedNeighborhoodSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id, text,
+       |    regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS skey
+       |  FROM documents),
+       |b AS (SELECT doc_id, text, skey, substr(skey, 1, $SnmBlkLen) AS blk
+       |      FROM docs),
+       |led AS (
+       |  SELECT doc_id AS doc_a, text AS ta,
+       |    LEAD(doc_id, 1) OVER win AS b1, LEAD(text, 1) OVER win AS t1,
+       |    LEAD(doc_id, 2) OVER win AS b2, LEAD(text, 2) OVER win AS t2,
+       |    LEAD(doc_id, 3) OVER win AS b3, LEAD(text, 3) OVER win AS t3
+       |  FROM b WINDOW win AS (PARTITION BY blk ORDER BY skey, doc_id)),
+       |pairs AS (
+       |  SELECT doc_a, ta, b1 AS doc_b, t1 AS tb FROM led WHERE b1 IS NOT NULL
+       |  UNION ALL SELECT doc_a, ta, b2, t2 FROM led WHERE b2 IS NOT NULL
+       |  UNION ALL SELECT doc_a, ta, b3, t3 FROM led WHERE b3 IS NOT NULL)
+       |SELECT doc_a, doc_b, CAST(levenshtein(ta, tb) AS BIGINT) AS lev,
+       |  CAST(length(ta) AS BIGINT) AS len_a,
+       |  CAST(length(tb) AS BIGINT) AS len_b,
+       |  CAST(levenshtein(ta, tb) AS BIGINT) * 100
+       |    <= $SnmEditPct * greatest(length(ta), length(tb)) AS near_dup
+       |FROM pairs
+       |ORDER BY doc_a, doc_b""".stripMargin
 }
