@@ -592,7 +592,117 @@ object Multimodal {
       |FROM hash h
       |ORDER BY h.media_id""".stripMargin
 
+  /** Mean-brightness delta (whole units) above which consecutive frames
+    * start a new scene — cross-multiplied in the comparison, so change it
+    * here and in [[sceneDetectSql]] or neither. Empirical: the fixture's
+    * frame-to-frame deltas have median ~3.4, so 3 splits roughly half of
+    * adjacent pairs. */
+  val SceneThresh = 3L
+
+  /** One brightness stat per decoded video frame (m9 input). */
+  final case class FrameStat(
+      media_id: Long, frame_idx: Int, flen: Int, bsum: Long)
+
+  /** m9: scene-change detection — the video analogue of text
+    * sessionization. Each frame reduces to one integer (byte sum = total
+    * brightness, the cheapest pixel statistic a real decoder also has);
+    * a scene boundary fires where adjacent frames' MEAN brightness
+    * differs by more than [[SceneThresh]] units, compared
+    * cross-multiplied (`|bsum_i*len_prev - bsum_prev*len_i| >
+    * T*len_i*len_prev`) so no division ever happens; scene ids are the
+    * running count of boundaries (the lag-gap sessionization pattern from
+    * q34 applied to frames). Output is one row per scene with its frame
+    * span and byte size — what a sampling stage feeds on (sample one
+    * frame per scene, not per frame-count stride like m3).
+    *
+    * Scale: stats are the one-pass per-partition byte codec; the window
+    * is keyed by media_id (a video's frames are tens-to-thousands —
+    * bounded), and the groupBy reuses the same key, so the whole operator
+    * is one narrow pass + one keyed exchange.
+    */
+  def sceneDetect(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stats = mediaTable(s, d).mapPartitions { it =>
+      it.flatMap { r =>
+        val hd = parseHeader(r)
+        if (hd.mime != "video/mp4") Iterator.empty
+        else (0 until hd.nFrames).iterator.map { i =>
+          val from = hd.payloadPos + i * hd.payloadLen / hd.nFrames
+          val until = hd.payloadPos + (i + 1) * hd.payloadLen / hd.nFrames
+          var j = from
+          var bsum = 0L
+          while (j < until) { bsum += (r.media(j) & 0xff); j += 1 }
+          FrameStat(r.media_id, i, until - from, bsum)
+        }
+      }
+    }.toDF()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"media_id").orderBy($"frame_idx")
+    stats
+      // Zero-length frames (video shorter than its frame count) carry no
+      // pixels: drop them BEFORE the lag, mirroring the oracle where the
+      // per-char join naturally produces no row for an empty chunk.
+      .filter($"flen" > 0)
+      .withColumn("lp", lag($"flen", 1).over(w))
+      .withColumn("bp", lag($"bsum", 1).over(w))
+      .withColumn("boundary",
+        when($"lp".isNull, lit(0))
+          .when(abs($"bsum" * $"lp" - $"bp" * $"flen") >
+            lit(SceneThresh) * $"flen" * $"lp", lit(1))
+          .otherwise(lit(0)))
+      .withColumn("scene_id", sum($"boundary").over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy($"media_id", $"scene_id")
+      .agg(min($"frame_idx").as("start_frame"),
+        max($"frame_idx").as("end_frame"),
+        count(lit(1)).as("n_frames"),
+        sum($"flen".cast("long")).as("scene_bytes"))
+      .orderBy($"media_id", $"scene_id")
+  }
+
+  val sceneDetectSql: String =
+    s"""WITH vids AS (
+       |  SELECT doc_id AS media_id, text,
+       |    CAST(1 + doc_id % 30 AS INTEGER) AS f,
+       |    length(text) AS len
+       |  FROM documents WHERE doc_id % 3 = 2),
+       |frames AS (
+       |  SELECT media_id, CAST(i AS INTEGER) AS frame_idx,
+       |    substr(text, CAST(i * len // f AS INTEGER) + 1,
+       |      CAST((i+1) * len // f AS INTEGER) - CAST(i * len // f AS INTEGER))
+       |      AS chunk
+       |  FROM vids, (SELECT unnest(range(30)) AS i) ix
+       |  WHERE i < f),
+       |stats AS (
+       |  SELECT media_id, frame_idx,
+       |    CAST(length(chunk) AS INTEGER) AS flen,
+       |    CAST(SUM(ord(substr(chunk, CAST(j AS INTEGER) + 1, 1))) AS BIGINT)
+       |      AS bsum
+       |  FROM frames, (SELECT unnest(range(1024)) AS j) jx
+       |  WHERE j < length(chunk)
+       |  GROUP BY 1, 2, 3),
+       |flagged AS (
+       |  SELECT media_id, frame_idx, flen, bsum,
+       |    CASE WHEN lag(flen) OVER w IS NULL THEN 0
+       |         WHEN abs(bsum * lag(flen) OVER w - lag(bsum) OVER w * flen)
+       |              > $SceneThresh * flen * (lag(flen) OVER w) THEN 1
+       |         ELSE 0 END AS boundary
+       |  FROM stats WINDOW w AS (PARTITION BY media_id ORDER BY frame_idx)),
+       |scenes AS (
+       |  SELECT media_id, frame_idx, flen,
+       |    CAST(SUM(boundary) OVER (PARTITION BY media_id ORDER BY frame_idx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS scene_id
+       |  FROM flagged)
+       |SELECT media_id, scene_id,
+       |  MIN(frame_idx) AS start_frame, MAX(frame_idx) AS end_frame,
+       |  COUNT(*) AS n_frames, CAST(SUM(flen) AS BIGINT) AS scene_bytes
+       |FROM scenes
+       |GROUP BY media_id, scene_id
+       |ORDER BY media_id, scene_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m9_scene_detect" -> (sceneDetect _),
     "m8_perceptual_hash" -> (perceptualHash _),
     "m7_token_budget"   -> (tokenBudget _),
     "m6_audio_energy"   -> (audioEnergy _),
@@ -603,6 +713,7 @@ object Multimodal {
     "m5_frame_dedup"    -> (frameDupes _))
 
   val oracle: Map[String, String] = Map(
+    "m9_scene_detect" -> sceneDetectSql,
     "m8_perceptual_hash" -> perceptualHashSql,
     "m7_token_budget"   -> tokenBudgetSql,
     "m1_media_meta"     -> mediaMetaSql,

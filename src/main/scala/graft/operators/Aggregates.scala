@@ -514,7 +514,7 @@ object Aggregates {
 
   /** Support-filtered co-purchase pairs (pa < pb, n_ab >= MinSupport) —
     * shared by q58 and the q61 graph build. */
-  private[operators] def basketPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def basketPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val b = cappedBaskets(s, d)
     b.select($"l_orderkey", $"l_partkey".as("pa"))

@@ -872,7 +872,57 @@ object Pipeline {
        |ORDER BY d.doc_id""".stripMargin
       .replace("__PAIRS__", Dedup.minhashLshSql)
 
+  /** p16: length-bucketed batch formation with padding-waste accounting.
+    *
+    * Training dataloaders pad every sequence in a batch to the batch max;
+    * batching by length bucket is the standard fix, and the number every
+    * such deployment needs is the padding waste it still pays. Docs are
+    * bucketed by `tok div 64`, numbered within the bucket (deterministic
+    * doc_id order), grouped into batches of 16, and each batch reports
+    * `n_docs * max_tok - sum_tok` — the padded-token overhead.
+    *
+    * Scale: one shuffle keyed by bucket + a per-bucket sort (the
+    * row_number window). Buckets are value-bounded (tok range / 64), so
+    * at 100 TB the partition key becomes (bucket, hash(doc_id) % K) to
+    * bound any one sort — batch numbering stays within the finer key and
+    * the waste accounting is unchanged. All arithmetic is integer-exact.
+    */
+  def lengthBatching(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("tok"))
+      .withColumn("bucket", expr("tok div 64"))
+    val w = Window.partitionBy($"bucket").orderBy($"doc_id")
+    docs.withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("batch_id", expr("(rn - 1L) div 16"))
+      .groupBy($"bucket", $"batch_id")
+      .agg(count(lit(1)).as("n_docs"), max($"tok").as("max_tok"),
+        sum($"tok").as("sum_tok"))
+      .select($"bucket", $"batch_id", $"n_docs", $"max_tok", $"sum_tok",
+        ($"n_docs" * $"max_tok" - $"sum_tok").as("pad_waste"))
+      .orderBy($"bucket", $"batch_id")
+  }
+
+  val lengthBatchingSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+      |  FROM documents),
+      |b AS (SELECT doc_id, tok, tok // 64 AS bucket FROM docs),
+      |r AS (
+      |  SELECT doc_id, tok, bucket,
+      |    CAST(row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS BIGINT) AS rn
+      |  FROM b)
+      |SELECT bucket, (rn - 1) // 16 AS batch_id,
+      |  COUNT(*) AS n_docs, MAX(tok) AS max_tok,
+      |  CAST(SUM(tok) AS BIGINT) AS sum_tok,
+      |  CAST(COUNT(*) * MAX(tok) - SUM(tok) AS BIGINT) AS pad_waste
+      |FROM r
+      |GROUP BY bucket, (rn - 1) // 16
+      |ORDER BY bucket, batch_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p16_length_batching"  -> (lengthBatching _),
     "p15_soft_dedup"       -> (softDedup _),
     "p13_train_val_test"   -> (trainValTestSplit _),
     "p14_epoch_shuffle"    -> (epochShuffle _),
@@ -890,6 +940,7 @@ object Pipeline {
     "p7_bloom_decontaminate" -> (bloomDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "p16_length_batching"  -> lengthBatchingSql,
     "p15_soft_dedup"       -> softDedupSql,
     "p13_train_val_test"   -> trainValTestSplitSql,
     "p14_epoch_shuffle"    -> epochShuffleSql,

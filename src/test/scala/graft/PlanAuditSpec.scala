@@ -283,6 +283,33 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q63 triangles: persisted edges, keyed equi-joins only, semi-join close") {
+    val p = plan("q63_triangles")
+    assert(p.contains("InMemoryTableScan"),
+      s"edge list must come from the persisted relation:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftSemi"), s"closing edge must be a semi join:\n$p")
+  }
+
+  test("p16 length batching: window + batch agg ride one bucket-keyed exchange") {
+    val p = plan("p16_length_batching")
+    // the row_number window partitions by bucket; the (bucket, batch_id)
+    // aggregation is clustered by the same bucket key — one hash exchange
+    // total (the trailing rangepartitioning is the ORDER BY)
+    val n = p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(n <= 1, s"expected <=1 hash exchange, got $n:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("m9 scene detect: lag window + scene agg share the media_id exchange") {
+    val p = plan("m9_scene_detect")
+    val n = p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(n <= 1, s"expected <=1 hash exchange, got $n:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("kv10-style point get scans one bucket; full get scans many") {
     // lib-level twin of the BucketedPotSpec assertion, kept here with the
     // other plan audits: the pruned read's file set is a single bucket dir

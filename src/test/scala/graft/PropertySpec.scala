@@ -278,4 +278,64 @@ class PropertySpec extends AnyFunSuite {
       p.foreach { ps => assert(c.exists(ps > _) && ps <= v + 7 * 24 * 3600) }
     }
   }
+
+  test("property: q63 per-node triangle counts match a brute-force recount") {
+    import spark.implicits._
+    val edges = operators.Aggregates.basketPairs(spark, sf)
+      .select($"pa", $"pb").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    // brute force: for each oriented edge (a,b), walk b's successors
+    val cnt = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    edges.foreach { case (a, b) =>
+      adj.getOrElse(b, Set.empty).foreach { c =>
+        if (edges.contains((a, c))) {
+          cnt(a) += 1; cnt(b) += 1; cnt(c) += 1
+        }
+      }
+    }
+    val got = operators.Graph.triangles(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === cnt.toMap)
+    assert(got.values.sum % 3 === 0L)
+  }
+
+  test("property: p16 batches respect bucket bounds, size cap, exact waste") {
+    import spark.implicits._
+    val rows = operators.Pipeline.lengthBatching(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val totalDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum === totalDocs)
+    rows.foreach { r =>
+      val (bucket, n, mx, sm, waste) = (r.getLong(0), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(n >= 1 && n <= 16)
+      assert(mx >= bucket * 64 && mx < (bucket + 1) * 64,
+        s"max_tok $mx outside bucket $bucket")
+      assert(waste === n * mx - sm && waste >= 0)
+    }
+  }
+
+  test("property: m9 scenes tile each video's non-empty frames consecutively") {
+    import spark.implicits._
+    val rows = multimodal.Multimodal.sceneDetect(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (mediaId, scenes) =>
+      val sorted = scenes.sortBy(_.getLong(1))
+      // scene ids are consecutive from 0
+      assert(sorted.map(_.getLong(1)).toSeq === sorted.indices.map(_.toLong))
+      // spans are ordered and non-overlapping; frame count matches span
+      // (non-empty frames are contiguous in the fixture: len >= f)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getInt(3) < b.getInt(2))
+        case _ =>
+      }
+      sorted.foreach { sc =>
+        assert(sc.getLong(4) === (sc.getInt(3) - sc.getInt(2) + 1).toLong)
+        assert(sc.getLong(5) > 0L)
+      }
+      val f = 1 + mediaId % 30
+      assert(sorted.map(_.getLong(4)).sum === f)
+    }
+  }
 }
