@@ -421,7 +421,50 @@ object Kv {
       |WHERE c_custkey IN (42, 137) AND c_custkey <= 300
       |ORDER BY key""".stripMargin
 
+  /** kv13: secondary-index lifecycle on [[graft.kv.IndexedPot]] — the
+    * query-by-value surface the reference's key-only API cannot express.
+    * Base load (300 customers indexed on mktsegment), then a segment-move
+    * wave (keys % 7 → 'MOVED') that must drop movers from their OLD
+    * postings and add them to the new one, both landing through one
+    * PotTxn commit point. The result reads two values back THROUGH the
+    * index (posting point read → key fetch → re-check) and the oracle
+    * recomputes the expected membership from the fixture.
+    */
+  def secondaryIndex(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-ixpot").toString
+    val ip = new graft.kv.IndexedPot(s, root, "cust")
+    val base = Tables.customer(s, d)
+      .filter($"c_custkey" <= 300)
+      .select($"c_custkey".cast("string").as("key"),
+        $"c_mktsegment".as("fval"), $"c_nationkey")
+    ip.upsert(base)
+    ip.upsert(base.filter($"key".cast("bigint") % 7 === 0)
+      .withColumn("fval", lit("MOVED")))
+    val result = Seq("MOVED", "BUILDING").map(ip.lookup)
+      .reduce(_ unionByName _)
+      .select($"fval", $"key", $"c_nationkey")
+      .orderBy($"fval", $"key")
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    result
+  }
+
+  val secondaryIndexSql: String =
+    """WITH state AS (
+      |  SELECT CAST(c_custkey AS VARCHAR) AS key,
+      |    CASE WHEN c_custkey % 7 = 0 THEN 'MOVED' ELSE c_mktsegment END
+      |      AS fval,
+      |    c_nationkey
+      |  FROM customer WHERE c_custkey <= 300)
+      |SELECT fval, key, c_nationkey
+      |FROM state
+      |WHERE fval IN ('MOVED', 'BUILDING')
+      |ORDER BY fval, key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kv13_secondary_index" -> (secondaryIndex _),
     "kv10_point_get"      -> (pointGet _),
     "kv9_bucketed_scan"   -> (bucketedScan _),
     "kv8_time_travel"     -> (timeTravel _),
@@ -436,6 +479,7 @@ object Kv {
     "kv7_generation_diff" -> (generationDiff _))
 
   val oracle: Map[String, String] = Map(
+    "kv13_secondary_index" -> secondaryIndexSql,
     "kv1_upsert_merge"    -> upsertMergeSql,
     "kv2_delete_anti"     -> deleteAntiSql,
     "kv3_key_derivation"  -> keyDerivationSql,

@@ -527,7 +527,51 @@ object TextAnalysis {
       |FROM scored GROUP BY doc_id
       |ORDER BY bm25 DESC, doc_id LIMIT 100""".stripMargin
 
+  /** t12: lexical diversity — type-token ratio and hapax share per doc,
+    * the vocabulary-richness quality signal (boilerplate and spam have
+    * few types per token; natural prose has many hapax legomena) that
+    * t2's surface ratios don't capture. Ratios are exact integer ppm.
+    *
+    * Scale: explode → (doc_id, word) count → doc_id rollup; both aggs
+    * are keyed exchanges and the first is the same key family as d3's
+    * shingle relation — no per-doc data structure ever materializes, so
+    * a 100 GB document costs its token count, not its token count
+    * squared (the map-side `filter(w, ...)` alternative is O(len²)).
+    */
+  def lexicalDiversity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val wc = Tables.documents(s, d)
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("word"))
+      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("c"))
+    wc.groupBy($"doc_id").agg(
+        sum($"c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when($"c" === 1, 1L).otherwise(0L)).as("n_hapax"))
+      .select($"doc_id", $"n_tokens", $"n_types", $"n_hapax",
+        expr("n_types * 1000000L div n_tokens").as("ttr_ppm"),
+        expr("n_hapax * 1000000L div n_tokens").as("hapax_ppm"))
+      .orderBy($"doc_id")
+  }
+
+  val lexicalDiversitySql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+      |  FROM documents),
+      |wc AS (SELECT doc_id, word, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |    COUNT(*) AS n_types,
+      |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+      |  FROM wc GROUP BY 1)
+      |SELECT doc_id, n_tokens, n_types, n_hapax,
+      |  n_types * 1000000 // n_tokens AS ttr_ppm,
+      |  n_hapax * 1000000 // n_tokens AS hapax_ppm
+      |FROM agg
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t12_lexical_diversity" -> (lexicalDiversity _),
     "t10_bm25"        -> (bm25 _),
     "t9_bpe_pairs"    -> (bpePairs _),
     "t11_collocations" -> (collocations _),
@@ -541,6 +585,7 @@ object TextAnalysis {
     "t6_pii_scrub"    -> (piiScrub _))
 
   val oracle: Map[String, String] = Map(
+    "t12_lexical_diversity" -> lexicalDiversitySql,
     "t10_bm25"        -> bm25Sql,
     "t8_repetition"   -> repetitionSql,
     "t7_surprisal"    -> surprisalSql,

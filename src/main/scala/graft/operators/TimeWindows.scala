@@ -279,7 +279,54 @@ object TimeWindows {
        |GROUP BY 1, 2
        |ORDER BY cohort_wk, period""".stripMargin
 
+  /** q64: event-type transition matrix — the Markov view of user
+    * journeys (what q54's fixed view→click→purchase funnel generalizes
+    * to). Per user, events ordered by (ts, event_id) — the unique
+    * tie-break discipline — yield lag pairs (from_type → to_type);
+    * transition probability is exact integer ppm of the from-type's
+    * outgoing total.
+    *
+    * Scale: one user-keyed window (the per-user event list is the same
+    * exchange every session/funnel query here rides) and two small aggs
+    * on (from, to) — the output is |types|² rows regardless of input
+    * size, so the tail of the plan is constant-sized at any scale.
+    */
+  def markovTransitions(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val pairs = Tables.events(s, d)
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("to_type", lead($"event_type", 1).over(w))
+      .filter($"to_type".isNotNull)
+      .groupBy($"event_type".as("from_type"), $"to_type")
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy($"from_type")
+      .agg(sum($"n").as("from_total"))
+    pairs.join(totals, Seq("from_type"))
+      .select($"from_type", $"to_type", $"n", $"from_total",
+        expr("n * 1000000L div from_total").as("p_ppm"))
+      .orderBy($"from_type", $"to_type")
+  }
+
+  val markovTransitionsSql: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS to_type
+      |  FROM events),
+      |pairs AS (
+      |  SELECT event_type AS from_type, to_type, COUNT(*) AS n
+      |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT from_type, CAST(SUM(n) AS BIGINT) AS from_total
+      |  FROM pairs GROUP BY 1)
+      |SELECT p.from_type, p.to_type, p.n, t.from_total,
+      |  p.n * 1000000 // t.from_total AS p_ppm
+      |FROM pairs p JOIN tot t USING (from_type)
+      |ORDER BY p.from_type, p.to_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q64_markov_transitions" -> (markovTransitions _),
     "q32_win_tumbling" -> (tumbling _),
     "q33_win_sliding"  -> (sliding _),
     "q34_win_session"  -> (sessions _),
@@ -289,6 +336,7 @@ object TimeWindows {
     "q55_retention"    -> (retention _))
 
   val oracle: Map[String, String] = Map(
+    "q64_markov_transitions" -> markovTransitionsSql,
     "q32_win_tumbling" -> tumblingSql,
     "q33_win_sliding"  -> slidingSql,
     "q34_win_session"  -> sessionsSql,

@@ -896,7 +896,70 @@ object StreamingQueries {
       |FROM g1 JOIN cur ON g1.user_id = cur.user_id
       |ORDER BY key""".stripMargin
 
+  /** st13: CHAINED stateful window aggregations in one streaming query —
+    * the multi-stage rollup (fine window → coarse window) that pre-Spark-
+    * 3.4 pipelines had to split across two jobs with an intermediate
+    * topic/table. The 15-minute layer feeds the hourly layer through
+    * `window_time()` (the event-time column of a window aggregate), both
+    * layers governed by one watermark; append mode, so an hour emits only
+    * once the watermark proves it complete — the oracle mirrors that
+    * EXACTLY by keeping hours whose end ≤ max event time (0 s delay ⇒
+    * final watermark = max ts).
+    *
+    * Per-hour `n_subwindows` (non-empty 15-min windows) is the signal the
+    * chain is real: a single-layer hourly agg cannot produce it without a
+    * second pass. Scale: layer 1's state is 15-min × type groups, layer
+    * 2's is hourly × type — both watermark-bounded; the rollup adds no
+    * per-event state anywhere.
+    */
+  def streamRollup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val table = "st13_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val chk = runScratchDir("graft-st13")
+    // skipNoData = false: both layers emit in the no-data batch after the
+    // watermark jumps to the max event time (st5's timeout discipline).
+    withStreamRunConf(s, skipNoData = false) {
+      val sub = eventsStream(s, d)
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window($"ts", "15 minutes").as("w15"), $"event_type")
+        .agg(count(lit(1)).as("n15"))
+      val q = sub
+        .groupBy(window(window_time($"w15"), "1 hour").as("wh"), $"event_type")
+        .agg(sum($"n15").as("n_events"), count(lit(1)).as("n_subwindows"))
+        .select(unix_timestamp($"wh.start").as("hour_s"), $"event_type",
+          $"n_events", $"n_subwindows")
+        .writeStream.format("memory").queryName(table)
+        .option("checkpointLocation", s"$chk/chk")
+        .outputMode("append")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    new scala.reflect.io.Directory(new java.io.File(chk)).deleteRecursively()
+    val result = s.table(table)
+      .orderBy($"hour_s", $"event_type").localCheckpoint(true)
+    s.catalog.dropTempView(table)
+    result
+  }
+
+  val streamRollupSql: String =
+    """WITH mx AS (
+      |  SELECT CAST(FLOOR(EPOCH(MAX(ts))) AS BIGINT) AS m FROM events),
+      |sub AS (
+      |  SELECT (CAST(FLOOR(EPOCH(ts) / 900) AS BIGINT) * 900) AS w15,
+      |    event_type, COUNT(*) AS n15
+      |  FROM events GROUP BY 1, 2),
+      |hr AS (
+      |  SELECT (w15 // 3600) * 3600 AS hour_s, event_type,
+      |    CAST(SUM(n15) AS BIGINT) AS n_events, COUNT(*) AS n_subwindows
+      |  FROM sub GROUP BY 1, 2)
+      |SELECT hour_s, event_type, n_events, n_subwindows
+      |FROM hr, mx
+      |WHERE hour_s + 3600 <= mx.m
+      |ORDER BY hour_s, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st13_stream_rollup" -> (streamRollup _),
     "st9_stream_pot_ingest" -> (streamPotIngest _),
     "st8_stream_latest"    -> (streamLatest _),
     "st7_stream_ann_match" -> (streamAnnMatch _),
@@ -911,6 +974,7 @@ object StreamingQueries {
     "st4_stream_attribution" -> (streamClickAttribution _))
 
   val oracle: Map[String, String] = Map(
+    "st13_stream_rollup" -> streamRollupSql,
     "st9_stream_pot_ingest" -> streamPotIngestSql,
     "st8_stream_latest"    -> streamLatestSql,
     "st7_stream_ann_match" -> streamAnnMatchSql,

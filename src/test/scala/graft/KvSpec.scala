@@ -459,4 +459,40 @@ class KvSpec extends AnyFunSuite {
     assert(after === before)
     assert(PotTable(spark, root, "pi").generation === 1L)
   }
+
+  test("IndexedPot: postings track value moves; emptied values overwrite to []") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-ix1").toString
+    val ip = new graft.kv.IndexedPot(spark, root, "t")
+    ip.upsert(Seq(("a", "red", 1), ("b", "red", 2), ("c", "blue", 3))
+      .toDF("key", "fval", "v"))
+    assert(ip.lookup("red").select("key").as[String].collect().sorted
+      === Array("a", "b"))
+    // move every red key away: red's posting must overwrite to empty
+    ip.upsert(Seq(("a", "green", 1), ("b", "blue", 2)).toDF("key", "fval", "v"))
+    assert(ip.lookup("red").count() === 0L)
+    assert(ip.lookup("blue").select("key").as[String].collect().sorted
+      === Array("b", "c"))
+    assert(ip.lookup("green").select("key").as[String].collect() === Array("a"))
+    val redPosting = ip.idxPot.get().filter($"key" === "red")
+      .select("keys").as[Seq[String]].collect()
+    assert(redPosting === Array(Seq.empty[String]), "empty posting row expected")
+  }
+
+  test("IndexedPot: a committed txn interrupted before apply recovers index-consistent") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-ix2").toString
+    val ip = new graft.kv.IndexedPot(spark, root, "t")
+    ip.upsert(Seq(("a", "red", 1)).toDF("key", "fval", "v"))
+    // simulate the crash window: stage+commit-point a second batch but die
+    // before apply — IndexedPot's writes go through the same txn root
+    val txn = new graft.kv.PotTxn(spark, root)
+    txn.prepare(Seq(
+      "t-data" -> Seq(("b", "red", 2)).toDF("key", "fval", "v"),
+      "t-idx" -> Seq(("red", Seq("a", "b"))).toDF("key", "keys")))
+    assert(ip.lookup("red").count() === 1L, "crash window: txn not applied yet")
+    txn.recover()
+    assert(ip.lookup("red").select("key").as[String].collect().sorted
+      === Array("a", "b"), "roll-forward must land data AND index")
+  }
 }

@@ -85,7 +85,9 @@ object ScaleSmoke {
     "q61_pagerank", "t11_collocations",
     // third batch (kv12/u10 omitted: dimension-only inputs stay 1x)
     "m8_perceptual_hash", "q62_cumulative_distinct",
-    "st12_stream_additive_counts", "d15_sorted_neighborhood")
+    "st12_stream_additive_counts", "d15_sorted_neighborhood",
+    // fourth batch
+    "q63_triangles", "p16_length_batching", "m9_scene_detect")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
