@@ -73,14 +73,57 @@ private[sources] class PotV2Table(path: String) extends Table with SupportsRead 
 }
 
 private[sources] class PotV2ScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
   private var required: StructType = PotV2Source.Schema
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new PotV2Scan(path, required)
+
+  /** Pushable = exact predicates on the two addressing columns. A pushed
+    * `pot_file` predicate prunes WHOLE OBJECTS at planning (the pot
+    * analogue of partition pruning — a takedown or single-pot read over a
+    * 10k-object bucket opens the matching files only); a pushed `key`
+    * predicate skips entries inside the reader BEFORE the document body
+    * is stringified (the dominant per-entry cost). Both are exact, so no
+    * residual re-evaluation is handed back to Spark.
+    */
+  private def pushable(f: Filter): Boolean = f match {
+    case EqualTo(a, _: String) => a == "pot_file" || a == "key"
+    case In(a, vs) => (a == "pot_file" || a == "key") &&
+      vs.forall(_.isInstanceOf[String])
+    case StringStartsWith(a, _) => a == "pot_file" || a == "key"
+    case IsNotNull(a) => a == "pot_file" || a == "key"
+    case _ => false
+  }
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, rest) = filters.partition(pushable)
+    pushed = ok
+    rest
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new PotV2Scan(path, required, pushed)
 }
 
-private[sources] class PotV2Scan(path: String, required: StructType)
+private[sources] object PotV2Filters {
+  import org.apache.spark.sql.sources._
+
+  /** Evaluate the pushed predicates that address `column` against `value`
+    * (filters on other columns pass). All pushable shapes are exact. */
+  def accepts(filters: Array[Filter], column: String, value: String): Boolean =
+    filters.forall {
+      case EqualTo(a, v: String) if a == column => value == v
+      case In(a, vs) if a == column => vs.exists(_ == value)
+      case StringStartsWith(a, p) if a == column => value.startsWith(p)
+      case IsNotNull(a) if a == column => true // columns are non-null
+      case _ => true
+    }
+}
+
+private[sources] class PotV2Scan(
+    path: String, required: StructType,
+    pushed: Array[org.apache.spark.sql.sources.Filter])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -90,17 +133,24 @@ private[sources] class PotV2Scan(path: String, required: StructType)
     val fs = p.getFileSystem(new Configuration())
     val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
     matched.filter(_.isFile)
-      .map(st => PotFilePartition(st.getPath.toString): InputPartition)
+      .map(_.getPath.toString)
+      .filter(PotV2Filters.accepts(pushed, "pot_file", _))
+      .map(f => PotFilePartition(f): InputPartition)
       .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PotV2ReaderFactory(required.fieldNames)
+    new PotV2ReaderFactory(required.fieldNames, pushed)
+
+  override def description(): String =
+    s"PotV2Scan ${pushed.mkString("PushedFilters: [", ", ", "]")}"
 }
 
 private[sources] case class PotFilePartition(file: String) extends InputPartition
 
-private[sources] class PotV2ReaderFactory(columns: Array[String])
+private[sources] class PotV2ReaderFactory(
+    columns: Array[String],
+    pushed: Array[org.apache.spark.sql.sources.Filter])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[PotFilePartition].file
@@ -112,7 +162,11 @@ private[sources] class PotV2ReaderFactory(columns: Array[String])
         val root = try new ObjectMapper().readTree(in) finally in.close()
         require(root != null && root.isObject,
           s"pot object $file: top level must be a JSON map")
-        root.fields().asScala.map(e => (e.getKey, e.getValue.toString))
+        // key predicates filter BEFORE toString — a point read of one key
+        // in a 100k-entry pot never stringifies the other bodies
+        root.fields().asScala
+          .filter(e => PotV2Filters.accepts(pushed, "key", e.getKey))
+          .map(e => (e.getKey, e.getValue.toString))
       }
       private var row: InternalRow = _
       override def next(): Boolean = {

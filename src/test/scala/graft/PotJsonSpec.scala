@@ -135,6 +135,31 @@ class PotJsonSpec extends AnyFunSuite {
     assert(scanLine.contains("key") && !scanLine.contains("doc_json"), scanLine)
   }
 
+  test("PotV2Source pushes pot_file filters to planning and key filters to the reader") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("potv2f")
+    (1 to 4).foreach(i => writePot(dir, s"p$i",
+      s"""{"k$i": {"id": "k$i"}, "other$i": {"id": "o$i"}}"""))
+    val df = spark.read
+      .format(classOf[graft.sources.PotV2Source].getName)
+      .option("path", s"$dir/*/data.json").load()
+    // pot_file equality prunes partitions at planning: 1 of 4 objects read
+    val one = df.filter($"pot_file" === s"file:$dir/p2/data.json")
+    assert(one.rdd.getNumPartitions === 1, "pot_file filter must prune objects")
+    assert(one.select("key").as[String].collect().toSet === Set("k2", "other2"))
+    // key prefix filter is applied by the reader (and is exact)
+    val ks = df.filter($"key".startsWith("k")).select("key")
+    assert(ks.as[String].collect().toSet === Set("k1", "k2", "k3", "k4"))
+    // the pushed filters are visible in the scan node
+    val plan = ks.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("StringStartsWith"),
+      plan)
+    // non-pushable predicates still evaluate correctly post-scan
+    val res = df.filter(
+      org.apache.spark.sql.functions.length($"doc_json") > 0 && $"key" === "k3")
+    assert(res.select("key").as[String].collect().toSet === Set("k3"))
+  }
+
   test("PotV2Source rejects a non-map pot object loudly") {
     val dir = java.nio.file.Files.createTempDirectory("potv2bad")
     writePot(dir, "bad", """[1, 2, 3]""")

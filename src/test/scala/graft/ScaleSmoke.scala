@@ -86,8 +86,10 @@ object ScaleSmoke {
     // third batch (kv12/u10 omitted: dimension-only inputs stay 1x)
     "m8_perceptual_hash", "q62_cumulative_distinct",
     "st12_stream_additive_counts", "d15_sorted_neighborhood",
-    // fourth batch
-    "q63_triangles", "p16_length_batching", "m9_scene_detect")
+    // fourth batch (kv13 omitted: customer input stays 1x-symlinked)
+    "q63_triangles", "p16_length_batching", "m9_scene_detect",
+    "t12_lexical_diversity", "q64_markov_transitions",
+    "st13_stream_rollup")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
