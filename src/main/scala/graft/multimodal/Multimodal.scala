@@ -476,12 +476,15 @@ object Multimodal {
       .orderBy($"media_id", $"win_idx")
   }
 
-  /** Oracle: audio objects are the doc_id % 3 = 1 rows with the raw text
-    * as payload; the text is ASCII so ord(char) == the byte the JVM reads,
-    * and the window arithmetic mirrors exactly.
+  /** Oracle CTE chain replaying [[audioWindows]] from the documents text
+    * (audio objects are the doc_id % 3 = 1 rows with the raw text as
+    * payload; the text is ASCII so ord(char) == the byte the JVM reads, and
+    * the window arithmetic mirrors exactly). Ends in
+    * `winstats(media_id, win_idx, n_samples, energy, peak)` — shared by the
+    * m6 and m10 oracles so the replay can never diverge between them.
     */
-  val audioEnergySql: String =
-    s"""WITH auds AS (
+  private val audioWinCtes: String =
+    s"""auds AS (
        |  SELECT doc_id AS media_id, text, length(text) AS len
        |  FROM documents WHERE doc_id % 3 = 1),
        |wins AS (
@@ -494,14 +497,78 @@ object Multimodal {
        |  SELECT media_id, win_idx,
        |    ord(substr(chunk, CAST(j AS INTEGER) + 1, 1)) - 96 AS s
        |  FROM wins, (SELECT unnest(range($AudioWinSize)) AS j) jx
-       |  WHERE j < length(chunk))
-       |SELECT media_id, win_idx,
-       |  CAST(COUNT(*) AS INTEGER) AS n_samples,
-       |  CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS energy,
-       |  CAST(MAX(abs(s)) AS INTEGER) AS peak
-       |FROM samples
-       |GROUP BY media_id, win_idx
+       |  WHERE j < length(chunk)),
+       |winstats AS (
+       |  SELECT media_id, win_idx,
+       |    CAST(COUNT(*) AS INTEGER) AS n_samples,
+       |    CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS energy,
+       |    CAST(MAX(abs(s)) AS INTEGER) AS peak
+       |  FROM samples
+       |  GROUP BY media_id, win_idx)""".stripMargin
+
+  val audioEnergySql: String =
+    s"""WITH $audioWinCtes
+       |SELECT media_id, win_idx, n_samples, energy, peak
+       |FROM winstats
        |ORDER BY media_id, win_idx""".stripMargin
+
+  /** m10: voice-activity segmentation — the step after m6's level analysis:
+    * a window is ACTIVE iff its per-sample mean energy exceeds the whole
+    * stream's per-sample mean, tested cross-multiplied
+    * (energy·total_samples > total_energy·n_samples — no division, exact in
+    * both engines, m8's discipline), and consecutive active windows merge
+    * into segments via the islands trick (win_idx − row_number is constant
+    * within a run). Emits one row per segment with its bounds, window
+    * count, and energy mass — the unit a speech pipeline would hand to an
+    * ASR/diarization stage.
+    *
+    * Scale: the byte pass is [[audioWindows]]'s one mapPartitions scan, made
+    * ONCE — the per-media totals are unordered window sums over the same
+    * media_id partitioning the islands window needs, so the whole operator
+    * rides a single media_id exchange (PlanAuditSpec-pinned); a media's
+    * windows are bounded by the payload cap so no key skews.
+    */
+  def vadSegments(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wins = audioWindows(mediaTable(s, d)).toDF()
+    val w0 = Window.partitionBy($"media_id")
+    val act = wins
+      .withColumn("te", sum($"energy").over(w0))
+      .withColumn("tn", sum($"n_samples").over(w0))
+      .filter($"energy" * $"tn" > $"te" * $"n_samples")
+    val w = Window.partitionBy($"media_id").orderBy($"win_idx")
+    act.withColumn("grp", $"win_idx" - row_number().over(w))
+      .groupBy($"media_id", $"grp")
+      .agg(min($"win_idx").as("seg_start"), max($"win_idx").as("seg_end"),
+        count(lit(1)).as("n_wins"), sum($"energy").as("seg_energy"))
+      .select($"media_id", $"seg_start", $"seg_end", $"n_wins", $"seg_energy")
+      .orderBy($"media_id", $"seg_start")
+  }
+
+  val vadSegmentsSql: String =
+    s"""WITH $audioWinCtes,
+       |tot AS (
+       |  SELECT media_id, CAST(SUM(energy) AS BIGINT) AS te,
+       |    CAST(SUM(n_samples) AS BIGINT) AS tn
+       |  FROM winstats GROUP BY media_id),
+       |act AS (
+       |  SELECT w.media_id, w.win_idx, w.energy
+       |  FROM winstats w JOIN tot t USING (media_id)
+       |  WHERE w.energy * t.tn > t.te * w.n_samples),
+       |isl AS (
+       |  SELECT media_id, win_idx, energy,
+       |    win_idx - ROW_NUMBER() OVER (PARTITION BY media_id
+       |      ORDER BY win_idx) AS grp
+       |  FROM act)
+       |SELECT media_id,
+       |  CAST(MIN(win_idx) AS INTEGER) AS seg_start,
+       |  CAST(MAX(win_idx) AS INTEGER) AS seg_end,
+       |  CAST(COUNT(*) AS BIGINT) AS n_wins,
+       |  CAST(SUM(energy) AS BIGINT) AS seg_energy
+       |FROM isl
+       |GROUP BY media_id, grp
+       |ORDER BY media_id, seg_start""".stripMargin
 
   final case class PHash(
       media_id: Long, width: Int, height: Int, hash_hi: Long, hash_lo: Long)
@@ -702,6 +769,7 @@ object Multimodal {
        |ORDER BY media_id, scene_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m10_vad_segments" -> (vadSegments _),
     "m9_scene_detect" -> (sceneDetect _),
     "m8_perceptual_hash" -> (perceptualHash _),
     "m7_token_budget"   -> (tokenBudget _),
@@ -713,6 +781,7 @@ object Multimodal {
     "m5_frame_dedup"    -> (frameDupes _))
 
   val oracle: Map[String, String] = Map(
+    "m10_vad_segments" -> vadSegmentsSql,
     "m9_scene_detect" -> sceneDetectSql,
     "m8_perceptual_hash" -> perceptualHashSql,
     "m7_token_budget"   -> tokenBudgetSql,

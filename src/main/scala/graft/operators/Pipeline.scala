@@ -921,7 +921,60 @@ object Pipeline {
       |GROUP BY bucket, (rn - 1) // 16
       |ORDER BY bucket, batch_id""".stripMargin
 
+  /** p17: curriculum ordering — the staged training schedule easy→hard
+    * curricula need: difficulty = mean word length in milli-chars
+    * (n_chars·1000 div tokens — integer-exact; longer words ≈ rarer
+    * vocabulary), docs split into 4 difficulty stages by NTILE over the
+    * unique (score, doc_id) order, and WITHIN each stage the feed order is
+    * re-randomized by p14's md5-coin discipline (a curriculum that keeps
+    * ascending-score order inside a stage would correlate adjacent batches).
+    * Output is the full schedule: position → doc with its stage and score.
+    *
+    * Scale: the fixture-contract total order (NTILE + global row_number) is
+    * the driver's determinism requirement; at 100 TB the stage boundaries
+    * come from approx score quantiles (one small agg) and the position from
+    * repartitionByRange(stage, coin) + per-partition offsets — same
+    * schedule, no single-partition window. The md5 coin is pure
+    * column-function work, codegen'd, no RNG state.
+    */
+  def curriculum(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", $"n_chars",
+        size(split($"text", " ")).cast("long").as("tok"))
+      .withColumn("score", expr("(n_chars * 1000L) div tok"))
+      .withColumn("coin",
+        substring(md5(concat(lit("cur:"), $"doc_id".cast("string"))), 1, 8))
+    val staged = docs.withColumn("stage",
+      ntile(4).over(Window.orderBy($"score", $"doc_id")))
+    staged.withColumn("pos",
+        row_number().over(Window.orderBy($"stage", $"coin", $"doc_id")))
+      .select($"pos", $"doc_id", $"stage", $"score", $"coin")
+      .orderBy($"pos")
+  }
+
+  val curriculumSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+      |  FROM documents),
+      |scored AS (
+      |  SELECT doc_id, (n_chars * 1000) // tok AS score,
+      |    substr(md5('cur:' || CAST(doc_id AS VARCHAR)), 1, 8) AS coin
+      |  FROM docs),
+      |staged AS (
+      |  SELECT doc_id, score, coin,
+      |    CAST(NTILE(4) OVER (ORDER BY score, doc_id) AS INTEGER) AS stage
+      |  FROM scored)
+      |SELECT
+      |  CAST(ROW_NUMBER() OVER (ORDER BY stage, coin, doc_id) AS INTEGER) AS pos,
+      |  doc_id, stage, score, coin
+      |FROM staged
+      |ORDER BY pos""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p17_curriculum"       -> (curriculum _),
     "p16_length_batching"  -> (lengthBatching _),
     "p15_soft_dedup"       -> (softDedup _),
     "p13_train_val_test"   -> (trainValTestSplit _),
@@ -940,6 +993,7 @@ object Pipeline {
     "p7_bloom_decontaminate" -> (bloomDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "p17_curriculum"       -> curriculumSql,
     "p16_length_batching"  -> lengthBatchingSql,
     "p15_soft_dedup"       -> softDedupSql,
     "p13_train_val_test"   -> trainValTestSplitSql,

@@ -69,17 +69,14 @@ object Pq {
       .orderBy($"k")
   }
 
-  /** The shared search pipeline: (top-k result, quantized-corpus frame,
-    * probe literal) — [[pqSearch]] returns the first, [[pqRecall]] reuses
-    * the rest for its exact ground truth.
+  /** Per-subspace codebooks + the probe's ADC lookup tables — the trained
+    * state every PQ variant (s18 full-scan, s21 IVF-restricted) shares.
+    * Bounded driver state: M × Kc × SubDim longs (4 KB) + M × Kc LUT
+    * entries.
     */
-  private def searchParts(
-      s: SparkSession, d: String): (DataFrame, DataFrame, org.apache.spark.sql.Column) = {
-    import s.implicits._
-    val q = KMeans.quantized(s, d)
-
-    // Per-subspace codebooks: KMeans.train on the slice RDDs. Bounded
-    // driver state: M × Kc × SubDim longs (4 KB).
+  private def trainPq(
+      s: SparkSession, q: org.apache.spark.rdd.RDD[(Long, Array[Long])])
+      : (Array[Array[(Int, Array[Long])]], Array[Map[Int, Long]], Array[Long]) = {
     val books: Array[Array[(Int, Array[Long])]] = (0 until M).toArray.map { m =>
       val sub = q.map { case (id, v) =>
         (id, java.util.Arrays.copyOfRange(v, m * SubDim, (m + 1) * SubDim)) }
@@ -98,6 +95,18 @@ object Pq {
         cid -> acc
       }.toMap
     }
+    (books, luts, probe)
+  }
+
+  /** The shared search pipeline: (top-k result, quantized-corpus frame,
+    * probe literal) — [[pqSearch]] returns the first, [[pqRecall]] reuses
+    * the rest for its exact ground truth.
+    */
+  private def searchParts(
+      s: SparkSession, d: String): (DataFrame, DataFrame, org.apache.spark.sql.Column) = {
+    import s.implicits._
+    val q = KMeans.quantized(s, d)
+    val (books, luts, probe) = trainPq(s, q)
 
     // Encode + ADC in one map pass (at ingest the codes would persist as
     // the PQ index; the fixture derives them in-flight like s9 trains
@@ -178,15 +187,18 @@ object Pq {
        |  SELECT cid, dist FROM d${m}2 WHERE vec_id = 0)""".stripMargin
   }
 
+  /** Quantized-corpus head CTE (`qf`) every PQ oracle opens with. */
+  private val headCte: String =
+    s"""WITH qf AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * ${KMeans.QScale}.0) AS BIGINT)) AS q
+       |  FROM embeddings)""".stripMargin
+
   /** Shared oracle CTE chain: quantize, 4 subspace Lloyd/encode blocks,
     * ADC assembly, candidate shortlist, exact rerank.
     */
   private val searchCtes: String = {
-    val head =
-      s"""WITH qf AS (
-         |  SELECT vec_id, list_transform(embedding,
-         |    x -> CAST(floor(CAST(x AS DOUBLE) * ${KMeans.QScale}.0) AS BIGINT)) AS q
-         |  FROM embeddings)""".stripMargin
+    val head = headCte
     val subs = (0 until M).map(subspaceCtes)
     val tail =
       s"""adc AS (
@@ -237,11 +249,140 @@ object Pq {
        |FROM pqtop JOIN exact USING (vec_id)
        |ORDER BY k""".stripMargin
 
+  /** Coarse-quantizer cells for s21 (the IVF layer). */
+  val CoarseK = 8
+  /** Cells scanned per query. */
+  val NProbe = 2
+
+  /** s21: IVF-PQ — the composition production ANN systems actually deploy
+    * (FAISS `IVFx,PQy`): a coarse k-means quantizer ([[KMeans.train]] at
+    * [[CoarseK]], full-dim) partitions the corpus into cells, PQ codes
+    * compress the vectors inside each cell, and a query touches only its
+    * [[NProbe]] nearest cells' CODES — combining s4's partition pruning
+    * (scan 1/4 of the corpus) with s18's 64× memory compression, then
+    * restoring precision with the exact rerank over [[RerankN]] survivors.
+    * Codebooks are trained corpus-wide (no per-cell residual rotation — the
+    * "PQ on raw vectors" variant), so the s18 oracle algebra replays
+    * unchanged; only the scan set shrinks.
+    *
+    * Scale: the cell id is [[AnnIndex]]'s partition key — at 100 TB the
+    * probe's NProbe cells are a literal partition filter and the ADC pass
+    * reads NProbe/CoarseK of a codes table that is itself 64× smaller than
+    * the embeddings; everything after is TakeOrderedAndProject + a
+    * broadcast id join. The whole driver state is CoarseK full-dim + M×Kc
+    * subspace centroids (~40 KB).
+    */
+  def ivfPqSearch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = KMeans.quantized(s, d)
+    val cells = KMeans.train(s, q, CoarseK)
+    val (books, luts, probe) = trainPq(s, q)
+
+    // The probe's NProbe nearest trained cells, by (dist, cid) — the
+    // partition filter of the query.
+    val probeCells: Set[Int] = cells.map { case (cid, c) =>
+      var acc = 0L
+      var i = 0
+      while (i < KMeans.Dim) { val t = probe(i) - c(i); acc += t * t; i += 1 }
+      (acc, cid)
+    }.sorted.take(NProbe).map(_._2).toSet
+
+    val bcCells = s.sparkContext.broadcast(cells)
+    val bcProbeCells = s.sparkContext.broadcast(probeCells)
+    val bcBooks = s.sparkContext.broadcast(books)
+    val bcLuts = s.sparkContext.broadcast(luts)
+    // Coarse-assign + cell-prune + encode + ADC in ONE map pass. At ingest
+    // the first two run once and persist (cell = partition dir, codes =
+    // the stored column); only the LUT additions are per-query work.
+    val adcDf = q.filter(_._1 != 0L).flatMap { case (id, v) =>
+      val cell = KMeans.assign(v, bcCells.value)._1
+      if (!bcProbeCells.value.contains(cell)) Iterator.empty
+      else {
+        var adc = 0L
+        var m = 0
+        while (m < M) {
+          val slice = java.util.Arrays.copyOfRange(v, m * SubDim, (m + 1) * SubDim)
+          adc += bcLuts.value(m)(KMeans.assign(slice, bcBooks.value(m))._1)
+          m += 1
+        }
+        Iterator.single((id, cell, adc))
+      }
+    }.toDF("vec_id", "cell", "adc")
+
+    val cand = adcDf.orderBy($"adc".asc, $"vec_id".asc).limit(RerankN)
+    val qDf = q.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "q")
+    val probeLit = typedlit(probe.toSeq)
+    val rer = qDf.join(broadcast(cand), Seq("vec_id"))
+      .withColumn("dist",
+        aggregate(zip_with($"q", probeLit, (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v))
+    Tables.embeddings(s, d).select($"vec_id", $"label")
+      .join(broadcast(rer.select($"vec_id", $"cell", $"adc", $"dist")),
+        Seq("vec_id"))
+      .select($"vec_id", $"label", $"cell", $"adc", $"dist")
+      .orderBy($"dist".asc, $"vec_id".asc)
+      .limit(TopK)
+  }
+
+  /** Oracle: [[KMeans.lloydCtes]] at CoarseK (names q/c0/…/c1 — disjoint
+    * from the qf/subspace namespace) trains the coarse cells, d2c/a2c
+    * assign every vector, pcells picks the probe's NProbe cells, and the
+    * s18 ADC/rerank chain runs restricted to cell members.
+    */
+  val ivfPqSearchSql: String = {
+    val subs = (0 until M).map(subspaceCtes)
+    val coarse =
+      s"""d2c AS (
+         |  SELECT v.vec_id, c.cid,
+         |    CAST(list_sum(list_transform(range(1, ${KMeans.Dim + 1}),
+         |      i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i]))) AS BIGINT) AS dist
+         |  FROM q v CROSS JOIN c1 c),
+         |a2c AS (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid, dist,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d2c) WHERE rn = 1),
+         |pcells AS (
+         |  SELECT cid AS cell FROM d2c WHERE vec_id = 0
+         |  ORDER BY dist, cid LIMIT $NProbe),
+         |adc AS (
+         |  SELECT a0.vec_id, ac.cell,
+         |    l0.dist + l1.dist + l2.dist + l3.dist AS adc
+         |  FROM a02 a0
+         |  JOIN a12 a1 USING (vec_id)
+         |  JOIN a22 a2 USING (vec_id)
+         |  JOIN a32 a3 USING (vec_id)
+         |  JOIN a2c ac USING (vec_id)
+         |  JOIN pcells p ON ac.cell = p.cell
+         |  JOIN lut0 l0 ON a0.cid = l0.cid
+         |  JOIN lut1 l1 ON a1.cid = l1.cid
+         |  JOIN lut2 l2 ON a2.cid = l2.cid
+         |  JOIN lut3 l3 ON a3.cid = l3.cid),
+         |cand AS (
+         |  SELECT vec_id, cell, adc FROM adc WHERE vec_id <> 0
+         |  ORDER BY adc, vec_id LIMIT $RerankN),
+         |rer AS (
+         |  SELECT c.vec_id, c.cell, c.adc,
+         |    CAST(list_sum(list_transform(range(1, ${KMeans.Dim + 1}),
+         |      i -> (v.q[i] - p.q[i]) * (v.q[i] - p.q[i]))) AS BIGINT) AS dist
+         |  FROM cand c
+         |  JOIN qf v USING (vec_id)
+         |  CROSS JOIN (SELECT q FROM qf WHERE vec_id = 0) p(q))""".stripMargin
+    val tail =
+      s"""SELECT r.vec_id, e.label, r.cell, r.adc, r.dist
+         |FROM rer r JOIN embeddings e USING (vec_id)
+         |ORDER BY dist, vec_id LIMIT $TopK""".stripMargin
+    (Seq(headCte, KMeans.lloydCtes(CoarseK)) ++ subs :+ coarse)
+      .mkString(",\n") + "\n" + tail
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s18_pq_adc"    -> (pqSearch _),
-    "s19_pq_recall" -> (pqRecall _))
+    "s19_pq_recall" -> (pqRecall _),
+    "s21_ivfpq"     -> (ivfPqSearch _))
 
   val oracle: Map[String, String] = Map(
     "s18_pq_adc"    -> pqSearchSql,
-    "s19_pq_recall" -> pqRecallSql)
+    "s19_pq_recall" -> pqRecallSql,
+    "s21_ivfpq"     -> ivfPqSearchSql)
 }

@@ -325,7 +325,55 @@ object TimeWindows {
       |FROM pairs p JOIN tot t USING (from_type)
       |ORDER BY p.from_type, p.to_type""".stripMargin
 
+  /** Microseconds per day — q65's bucketing unit. */
+  val DayUs: Long = 24L * 3600 * 1000000L
+
+  /** q65: semi-additive measure rollup — the balance/inventory aggregation
+    * pattern where a measure is additive ACROSS users but not across time:
+    * treating `value` as each user's account level, the day's total is the
+    * sum of every active user's LAST reading that day (ROW_NUMBER desc over
+    * the (ts, event_id) unique order), never the sum of all readings. This
+    * is the one aggregation shape a plain groupBy cannot express — it needs
+    * the per-(user, day) closing row picked before the cross-user sum.
+    *
+    * Scale: one window keyed by (user_id, day) — high cardinality, so the
+    * exchange spreads evenly (no single-partition window) — then a day-keyed
+    * partial-aggregating sum; both shuffles are on real keys and AQE-safe.
+    * The double sum rides [[Ora.dsum]] so 1000-way partial aggregation is
+    * bit-identical to DuckDB's single-node scan.
+    */
+  def semiAdditive(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .select($"user_id", $"event_id", $"ts", $"value",
+        expr(s"unix_micros(ts) div ${DayUs}L").as("day"))
+    val w = Window.partitionBy($"user_id", $"day")
+      .orderBy($"ts".desc, $"event_id".desc)
+    ev.withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .groupBy($"day")
+      .agg(count(lit(1)).as("n_users"), dsum($"value").as("eod_total"))
+      .orderBy($"day")
+  }
+
+  val semiAdditiveSql: String =
+    s"""WITH ev AS (
+       |  SELECT user_id, event_id, ts, value,
+       |    epoch_us(ts) // $DayUs AS day
+       |  FROM events),
+       |eod AS (
+       |  SELECT day, user_id, value FROM (
+       |    SELECT day, user_id, value,
+       |      ROW_NUMBER() OVER (PARTITION BY user_id, day
+       |        ORDER BY ts DESC, event_id DESC) AS rn
+       |    FROM ev) WHERE rn = 1)
+       |SELECT day, COUNT(*) AS n_users, ${sqlSum("value")} AS eod_total
+       |FROM eod
+       |GROUP BY day
+       |ORDER BY day""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_semi_additive" -> (semiAdditive _),
     "q64_markov_transitions" -> (markovTransitions _),
     "q32_win_tumbling" -> (tumbling _),
     "q33_win_sliding"  -> (sliding _),
@@ -336,6 +384,7 @@ object TimeWindows {
     "q55_retention"    -> (retention _))
 
   val oracle: Map[String, String] = Map(
+    "q65_semi_additive" -> semiAdditiveSql,
     "q64_markov_transitions" -> markovTransitionsSql,
     "q32_win_tumbling" -> tumblingSql,
     "q33_win_sliding"  -> slidingSql,

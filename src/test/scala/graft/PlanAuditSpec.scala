@@ -310,6 +310,41 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q65 semi-additive: keyed windows only, no single-partition stage") {
+    val p = plan("q65_semi_additive")
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // (user_id, day) window + day agg: at most the two keyed exchanges
+    val n = p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(n <= 2, s"expected <=2 hash exchanges, got $n:\n$p")
+  }
+
+  test("m10 VAD: totals + islands windows share one media_id exchange") {
+    val p = plan("m10_vad_segments")
+    val n = p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(n <= 1, s"expected <=1 hash exchange, got $n:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("p17 curriculum: the two global windows ride one single-partition exchange") {
+    val p = plan("p17_curriculum")
+    // ntile + row_number are both global (driver-contract total order) —
+    // they must chain on ONE SinglePartition exchange, not two
+    val n = p.sliding("Exchange SinglePartition".length)
+      .count(_ == "Exchange SinglePartition")
+    assert(n <= 1, s"expected <=1 single-partition exchange, got $n:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("s21 IVF-PQ: shortlist is TakeOrdered, rerank joins broadcast") {
+    val p = plan("s21_ivfpq")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("kv10-style point get scans one bucket; full get scans many") {
     // lib-level twin of the BucketedPotSpec assertion, kept here with the
     // other plan audits: the pruned read's file set is a single bucket dir

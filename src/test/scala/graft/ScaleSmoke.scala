@@ -89,7 +89,10 @@ object ScaleSmoke {
     // fourth batch (kv13 omitted: customer input stays 1x-symlinked)
     "q63_triangles", "p16_length_batching", "m9_scene_detect",
     "t12_lexical_diversity", "q64_markov_transitions",
-    "st13_stream_rollup")
+    "st13_stream_rollup",
+    // fifth batch
+    "q65_semi_additive", "m10_vad_segments", "p17_curriculum",
+    "s21_ivfpq")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
