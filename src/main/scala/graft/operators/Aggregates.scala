@@ -565,7 +565,60 @@ object Aggregates {
       |ORDER BY n_ab DESC, pa, pb""".stripMargin
       .replace("__PAIRS__", basketPairsCte)
 
+  /** q66: histogram profile — the two bucketing families every column
+    * profiler/optimizer statistics job computes, side by side over
+    * `o_totalprice`: equi-WIDTH (fixed 1000-wide bins; floor of an IEEE
+    * double division is bit-identical across engines, so the bin id is
+    * exact without any decimal detour) and equi-DEPTH (NTILE(10) over the
+    * unique (price, orderkey) order — the quantile sketch every
+    * cost-based optimizer wants). Per bucket: row count + exact min/max
+    * (order-free double comparisons, no sums — the one double aggregate
+    * family that needs no [[graft.Ora]] decimal guard).
+    *
+    * Scale: equi-width is one partial-aggregating groupBy (bin count is
+    * value-bounded). The exact NTILE is the fixture-contract total order;
+    * at 100 TB depth boundaries come from approx_percentile (one small
+    * agg) and bucket assignment becomes a broadcast range lookup — same
+    * output contract, no single-partition window.
+    */
+  def histograms(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, d).select($"o_orderkey", $"o_totalprice")
+    def profile(df: org.apache.spark.sql.DataFrame, kind: String) = df
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n"),
+        min($"o_totalprice").as("lo"), max($"o_totalprice").as("hi"))
+      .select(lit(kind).as("kind"), $"bucket", $"n", $"lo", $"hi")
+    val width = profile(
+      o.withColumn("bucket", floor($"o_totalprice" / 1000.0)), "width")
+    val depth = profile(
+      o.withColumn("bucket", ntile(10)
+        .over(Window.orderBy($"o_totalprice", $"o_orderkey")).cast("long")),
+      "depth")
+    width.unionByName(depth).orderBy($"kind", $"bucket")
+  }
+
+  val histogramsSql: String =
+    """WITH w AS (
+      |  SELECT CAST(floor(o_totalprice / 1000.0) AS BIGINT) AS bucket,
+      |    COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+      |  FROM orders GROUP BY 1),
+      |dep AS (
+      |  SELECT CAST(NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey)
+      |    AS BIGINT) AS bucket, o_totalprice
+      |  FROM orders),
+      |dg AS (
+      |  SELECT bucket, COUNT(*) AS n, MIN(o_totalprice) AS lo,
+      |    MAX(o_totalprice) AS hi
+      |  FROM dep GROUP BY 1)
+      |SELECT 'width' AS kind, bucket, n, lo, hi FROM w
+      |UNION ALL
+      |SELECT 'depth' AS kind, bucket, n, lo, hi FROM dg
+      |ORDER BY kind, bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q66_histograms"      -> (histograms _),
     "q48_countmin_sketch" -> (countMin _),
     "q10_agg_distinct"    -> (aggDistinct _),
     "q11_agg_having"      -> (having _),
@@ -579,6 +632,7 @@ object Aggregates {
     "q52_hll_merge"         -> (hllMerge _))
 
   val oracle: Map[String, String] = Map(
+    "q66_histograms"   -> histogramsSql,
     "q10_agg_distinct" -> aggDistinctSql,
     "q11_agg_having"   -> havingSql,
     "q12_agg_rollup"   -> rollupSql,

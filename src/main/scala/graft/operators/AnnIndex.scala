@@ -76,9 +76,12 @@ object AnnIndex {
     pmod(xxhash64(c), lit(IdMapBuckets))
 
   /** Derive the sidecar from the just-written data dir: a column-pruned
-    * scan of (`vec_id`, `sigp`) — no recompute of signatures.
+    * scan of (`vec_id`, `sigp`) — no recompute of signatures. `private[graft]`
+    * so every OTHER site that creates an insert generation (st14's streaming
+    * ingest) writes it too — delete() depends on the sidecar existing for
+    * every generation.
     */
-  private def writeIdMap(s: SparkSession, dataDir: String): Unit =
+  private[graft] def writeIdMap(s: SparkSession, dataDir: String): Unit =
     s.read.parquet(dataDir).select(col("vec_id"), col("sigp"))
       .withColumn("idb", idMapBucket(col("vec_id")))
       .repartition(col("idb"))

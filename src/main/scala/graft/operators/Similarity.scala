@@ -78,6 +78,50 @@ object Similarity {
     (q.getSeq[Float](0).toArray, q.getString(1))
   }
 
+  /** st14 backing — ingest one micro-batch of embeddings as an APPENDED
+    * index generation at `base`: same sig derivation, same `sigp` layout and
+    * `_idmap` sidecar as the cold build, published through
+    * [[AnnIndex.append]]'s stage-once/CAS-at-next-gen protocol (a lost race
+    * re-offers the staged rows, never drops a batch — the property streaming
+    * ingest lives or dies by).
+    */
+  private[graft] def appendEmbeddingBatch(
+      s: SparkSession, base: org.apache.hadoop.fs.Path,
+      batch: DataFrame): Unit = {
+    val sigd = batch
+      .withColumn("sig", sigCol(col("embedding")))
+      .withColumn("sigp", concat(lit("s"), col("sig")))
+    val (_, dir) = AnnIndex.append(s, base) { staging =>
+      sigd.repartition(col("sigp"))
+        .write.partitionBy("sigp").mode("overwrite").parquet(staging)
+    }
+    AnnIndex.writeIdMap(s, dir)
+  }
+
+  /** st14 backing — the s3 multiprobe lookup over the UNION of `base`'s
+    * committed generations: each generation is independently `sigp`-pruned
+    * by the literal probe filter, so an N-batch ingest costs N file
+    * listings, never N rescans. Output is batch-split independent (no
+    * `gen` column): however the stream chopped the corpus, the lookup must
+    * equal the one-shot build's answer.
+    */
+  private[graft] def annLookupOverGenerations(
+      s: SparkSession, d: String,
+      base: org.apache.hadoop.fs.Path): DataFrame = {
+    import s.implicits._
+    val idx = AnnIndex.committedGenerations(s, base)
+      .map { case (_, dir) => s.read.parquet(dir) }
+      .reduce(_ unionByName _)
+    val (qv, qsig) = queryPoint(s, d)
+    val probes = qsig +: (0 until NumPlanes).map(i =>
+      qsig.updated(i, if (qsig(i) == '0') '1' else '0'))
+    idx.filter($"sigp".isin(probes.map("s" + _): _*) && $"vec_id" =!= 0)
+      .select($"vec_id", $"label", $"sig",
+        VectorFunctions.dot($"embedding", typedlit(qv)).as("score"))
+      .orderBy($"score".desc, $"vec_id".asc)
+      .limit(10)
+  }
+
   /** Brute-force cosine top-20 for query vector vec_id=0 (unit vectors: dot
     * == cosine). TakeOrderedAndProject: per-partition top-k, k-row merge —
     * no global sort at any scale.

@@ -570,7 +570,98 @@ object TextAnalysis {
       |FROM agg
       |ORDER BY doc_id""".stripMargin
 
+  /** t13's phrase delimiters (RAKE stopwords) — mirrored literally in the
+    * oracle's NOT IN list; change both or neither.
+    */
+  private val RakeStops = Seq("the", "a")
+
+  /** t13: RAKE keyphrase extraction (Rose et al. 2010) in the exact-integer
+    * domain: candidate phrases are maximal stopword-free word runs (the
+    * islands trick on token positions), each word carries its in-document
+    * frequency and degree (Σ of containing-phrase lengths — RAKE's
+    * co-occurrence degree), and a phrase scores
+    * `1e6·Σdeg div Σfreq` summed over word OCCURRENCES — the
+    * integer-ratio variant of RAKE's Σ deg/freq (per-word rational sums
+    * can't hash-check; the aggregate ratio ranks near-identically and is
+    * engine-exact). Top-3 phrases per doc, ties to the earliest phrase.
+    *
+    * Scale: everything is keyed by (doc_id[, word|grp]) — the explode is
+    * the corpus token relation every t-op rides, the windows are per-doc,
+    * the stats joins are (doc_id, word)-keyed equi-joins; nothing is
+    * corpus-global except the final doc-ordered emit.
+    */
+  def rakeKeyphrases(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val words = Tables.documents(s, d)
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("pos", "word")))
+    val ns = words.filter(!$"word".isin(RakeStops: _*))
+      .withColumn("grp",
+        $"pos" - row_number().over(
+          Window.partitionBy($"doc_id").orderBy($"pos")))
+    val ph = ns.groupBy($"doc_id", $"grp")
+      .agg(min($"pos").as("p0"), count(lit(1)).as("plen"),
+        array_join(
+          transform(array_sort(collect_list(struct($"pos", $"word"))),
+            x => x("word")), " ").as("phrase"))
+    val freq = ns.groupBy($"doc_id", $"word").agg(count(lit(1)).as("freq"))
+    val occ = ns.join(ph.select($"doc_id", $"grp", $"plen"), Seq("doc_id", "grp"))
+    val deg = occ.groupBy($"doc_id", $"word").agg(sum($"plen").as("deg"))
+    val sc = occ.join(deg, Seq("doc_id", "word"))
+      .join(freq, Seq("doc_id", "word"))
+      .groupBy($"doc_id", $"grp")
+      .agg(sum($"deg").as("num"), sum($"freq").as("den"))
+    ph.join(sc, Seq("doc_id", "grp"))
+      .withColumn("score_ppm", expr("num * 1000000L div den"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"score_ppm".desc, $"p0")))
+      .filter($"rank" <= 3)
+      .select($"doc_id", $"rank", $"phrase", $"plen".as("n_words"), $"score_ppm")
+      .orderBy($"doc_id", $"rank")
+  }
+
+  val rakeKeyphrasesSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |pos AS (
+      |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, w[CAST(i AS INTEGER)] AS word
+      |  FROM toks CROSS JOIN range(1, 8192) t(i) WHERE i <= len(w)),
+      |ns AS (
+      |  SELECT doc_id, pos, word,
+      |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM pos WHERE word NOT IN ('the', 'a')),
+      |ph AS (
+      |  SELECT doc_id, grp, MIN(pos) AS p0, CAST(COUNT(*) AS BIGINT) AS plen,
+      |    string_agg(word, ' ' ORDER BY pos) AS phrase
+      |  FROM ns GROUP BY 1, 2),
+      |freq AS (
+      |  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS freq
+      |  FROM ns GROUP BY 1, 2),
+      |occ AS (
+      |  SELECT n.doc_id, n.grp, n.word, p.plen
+      |  FROM ns n JOIN ph p USING (doc_id, grp)),
+      |deg AS (
+      |  SELECT doc_id, word, CAST(SUM(plen) AS BIGINT) AS deg
+      |  FROM occ GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT o.doc_id, o.grp,
+      |    CAST(SUM(d.deg) AS BIGINT) AS num, CAST(SUM(f.freq) AS BIGINT) AS den
+      |  FROM occ o
+      |  JOIN deg d ON o.doc_id = d.doc_id AND o.word = d.word
+      |  JOIN freq f ON o.doc_id = f.doc_id AND o.word = f.word
+      |  GROUP BY 1, 2)
+      |SELECT doc_id, CAST(rank AS INTEGER) AS rank, phrase, n_words, score_ppm
+      |FROM (
+      |  SELECT p.doc_id, p.phrase, p.plen AS n_words,
+      |    s.num * 1000000 // s.den AS score_ppm, p.p0,
+      |    ROW_NUMBER() OVER (PARTITION BY p.doc_id
+      |      ORDER BY s.num * 1000000 // s.den DESC, p.p0) AS rank
+      |  FROM ph p JOIN sc s ON p.doc_id = s.doc_id AND p.grp = s.grp)
+      |WHERE rank <= 3
+      |ORDER BY doc_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t13_rake_keyphrases" -> (rakeKeyphrases _),
     "t12_lexical_diversity" -> (lexicalDiversity _),
     "t10_bm25"        -> (bm25 _),
     "t9_bpe_pairs"    -> (bpePairs _),
@@ -585,6 +676,7 @@ object TextAnalysis {
     "t6_pii_scrub"    -> (piiScrub _))
 
   val oracle: Map[String, String] = Map(
+    "t13_rake_keyphrases" -> rakeKeyphrasesSql,
     "t12_lexical_diversity" -> lexicalDiversitySql,
     "t10_bm25"        -> bm25Sql,
     "t8_repetition"   -> repetitionSql,

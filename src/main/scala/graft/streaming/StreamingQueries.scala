@@ -958,7 +958,51 @@ object StreamingQueries {
       |WHERE hour_s + 3600 <= mx.m
       |ORDER BY hour_s, event_type""".stripMargin
 
+  /** st14: STREAMING VECTOR INGEST into the persisted ANN index — the
+    * arrival path of a production vector store: each micro-batch of new
+    * embeddings is signed, `sigp`-partitioned and published as the next
+    * CommitMarker generation through [[graft.operators.AnnIndex.append]]
+    * (stage-once, CAS-at-next-gen — a lost race re-offers the batch, so a
+    * concurrent appender can never drop vectors), `_idmap` sidecar
+    * included so takedown deletes keep working on stream-written
+    * generations. After the stream drains, the s3 multiprobe lookup over
+    * the UNION of committed generations must equal the one-shot batch
+    * build's answer — the oracle is s3's SQL verbatim, which is the point:
+    * HOW the corpus arrived (one build, N micro-batches, any batch split)
+    * must be invisible to the query. `maxFilesPerTrigger` is left unset —
+    * the invariant holds for whatever batching the source picks.
+    *
+    * Scale: per batch, one narrow map + one sigp-keyed exchange sized to
+    * the BATCH (not the corpus); the lookup lists only the probed buckets
+    * of each generation. Generation count is bounded by compaction
+    * ([[graft.operators.AnnIndex.compact]]) exactly as for batch appends.
+    */
+  def streamAnnIngest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val emb = graft.Tables.embeddings(s, d)
+    val root = runScratchDir("graft-st14")
+    val base = new org.apache.hadoop.fs.Path(s"$root/idx")
+    withStreamRunConf(s) {
+      val q = s.readStream.schema(emb.schema)
+        .parquet(fixtureStreamDir(d, "embeddings"))
+        .writeStream
+        .option("checkpointLocation", s"$root/chk")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty)
+            graft.operators.Similarity.appendEmbeddingBatch(s, base, batch)
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    val result = graft.operators.Similarity
+      .annLookupOverGenerations(s, d, base).localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    result
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st14_stream_ann_ingest" -> (streamAnnIngest _),
     "st13_stream_rollup" -> (streamRollup _),
     "st9_stream_pot_ingest" -> (streamPotIngest _),
     "st8_stream_latest"    -> (streamLatest _),
@@ -974,6 +1018,7 @@ object StreamingQueries {
     "st4_stream_attribution" -> (streamClickAttribution _))
 
   val oracle: Map[String, String] = Map(
+    "st14_stream_ann_ingest" -> graft.operators.Similarity.annMultiProbeSql,
     "st13_stream_rollup" -> streamRollupSql,
     "st9_stream_pot_ingest" -> streamPotIngestSql,
     "st8_stream_latest"    -> streamLatestSql,

@@ -345,6 +345,23 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q66 histograms: equi-width side has no single-partition exchange") {
+    val p = plan("q66_histograms")
+    // the NTILE leg is the contracted global order; the width leg must
+    // stay a plain partial-agg groupBy — exactly one SinglePartition
+    // exchange in the whole plan (the depth window), none for width
+    val n = p.sliding("Exchange SinglePartition".length)
+      .count(_ == "Exchange SinglePartition")
+    assert(n <= 1, s"expected <=1 single-partition exchange, got $n:\n$p")
+    assert(p.contains("partial_"), p)
+  }
+
+  test("t13 RAKE: token relation joins stay keyed, no cartesian") {
+    val p = plan("t13_rake_keyphrases")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("kv10-style point get scans one bucket; full get scans many") {
     // lib-level twin of the BucketedPotSpec assertion, kept here with the
     // other plan audits: the pruned read's file set is a single bucket dir

@@ -92,7 +92,9 @@ object ScaleSmoke {
     "st13_stream_rollup",
     // fifth batch
     "q65_semi_additive", "m10_vad_segments", "p17_curriculum",
-    "s21_ivfpq")
+    "s21_ivfpq",
+    // sixth batch (q66 omitted: orders stays 1x-symlinked)
+    "t13_rake_keyphrases", "st14_stream_ann_ingest")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9

@@ -273,6 +273,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(matched.map(_._1).size + unmatched.size <= nClicks)
   }
 
+  test("st14 ann ingest: any batch split yields the same lookup as one-shot build") {
+    import org.apache.spark.sql.functions.col
+    // the st14 invariant decoupled from the stream runtime: three
+    // deterministic "micro-batches" appended as generations must answer
+    // exactly what the one-shot index answers — batch boundaries invisible
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-st14-spec").toString
+    val base = new org.apache.hadoop.fs.Path(s"$root/idx")
+    val emb = Tables.embeddings(spark, sf)
+    (0 until 3).foreach { r =>
+      graft.operators.Similarity.appendEmbeddingBatch(
+        spark, base, emb.filter(col("vec_id") % 3 === r))
+    }
+    val streamed = graft.operators.Similarity
+      .annLookupOverGenerations(spark, sf, base).collect().toSeq
+    val oneShot = SparkEntry.queries("s3_ann_multiprobe")(spark, sf)
+      .collect().toSeq
+    assert(streamed === oneShot)
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+  }
+
   test("streaming ingest into a PotTable: foreachBatch upserts through the commit protocol") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
