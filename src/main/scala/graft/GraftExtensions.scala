@@ -45,6 +45,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       }))
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // Strength-reduce the naive HOF dot product to the native FloatDot
+    // (value-preserving; see the rule's scaladoc).
+    e.injectOptimizerRule(_ => graft.plans.DotStrengthReduction)
     register(e, "float_dot", classOf[FloatDot], 2)(x => FloatDot(x(0), x(1)))
     register(e, "shingle_hashes", classOf[ShingleHashes], 2)(x =>
       ShingleHashes(x(0), litInt("shingle_hashes", x(1))))

@@ -127,6 +127,13 @@ final class PotTable(spark: SparkSession, root: String, path: String) {
   /** Last-writer-wins merge of `docs` into the current map by `key` at the
     * given base generation (server.go:385-393). One shuffle by key; new rows
     * win over old via source-priority window dedup.
+    *
+    * SCHEMA EVOLVES across generations (`allowMissingColumns`): the
+    * reference's documents are schema-free JSON maps — a doc simply may or
+    * may not carry a field (server.go:347-354 only contracts the key) — so
+    * a batch introducing a new column widens the table (old rows read null
+    * there), and a batch missing a column leaves nulls for its OWN rows
+    * (LWW replaces the whole document, pot-style; it does not column-merge).
     */
   private def upsertAt(docs: DataFrame, gen: Long): Long = {
     val stamped = docs
@@ -137,7 +144,7 @@ final class PotTable(spark: SparkSession, root: String, path: String) {
       else {
         val old = get().withColumn("_src", lit(0))
         val w = Window.partitionBy($"key").orderBy($"_src".desc)
-        stamped.unionByName(old)
+        stamped.unionByName(old, allowMissingColumns = true)
           .withColumn("_rn", row_number().over(w))
           .filter($"_rn" === 1)
           .drop("_rn", "_src")

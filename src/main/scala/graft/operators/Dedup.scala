@@ -1059,7 +1059,66 @@ object Dedup {
       .replace("__SH__", shinglesCte)
       .replace("__BANDS__", bandsCte)
 
+  /** d16: canonical selection — the KEEP POLICY layer over d6's clusters:
+    * dedup pipelines that drop all-but-one doc per near-dup cluster must
+    * decide WHICH one survives, and "keep the longest" (quality proxy;
+    * ties to the lowest doc_id) beats p1's keep-first when duplicates are
+    * truncations or boilerplate-stripped copies of each other. Singleton
+    * docs are their own canonical. Emits the full decision table:
+    * (doc, its cluster, the cluster's canonical, keep?) — the relation a
+    * downstream filter joins against.
+    *
+    * Scale: the cluster relation covers only near-dup docs (pairs-bounded,
+    * tiny next to the corpus → the left join broadcasts it); the pick is
+    * one cluster-keyed window; the canonical backfill is a self-join on
+    * cluster_id of the rn=1 slice (also near-dup-bounded + singletons).
+    */
+  def canonicalPick(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val clusters = neardupClusters(s, d) // doc_id, cluster_id (near-dups only)
+    val lab = Tables.documents(s, d).select($"doc_id", $"n_chars")
+      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce($"cluster_id", $"doc_id"))
+    val w = Window.partitionBy($"cluster_id")
+      .orderBy($"n_chars".desc, $"doc_id".asc)
+    val ranked = lab.withColumn("rn", row_number().over(w))
+    ranked
+      .join(ranked.filter($"rn" === 1)
+        .select($"cluster_id", $"doc_id".as("canonical_id")), Seq("cluster_id"))
+      .select($"doc_id", $"cluster_id", $"canonical_id", ($"rn" === 1).as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  val canonicalPickSql: String =
+    """WITH RECURSIVE pairs AS (__PAIRS__),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |          UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |cl AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+      |       FROM reach GROUP BY src),
+      |lab AS (
+      |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+      |    d.n_chars
+      |  FROM documents d LEFT JOIN cl c USING (doc_id)),
+      |rk AS (
+      |  SELECT doc_id, cluster_id,
+      |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+      |      ORDER BY n_chars DESC, doc_id) AS rn
+      |  FROM lab)
+      |SELECT r.doc_id, r.cluster_id, c.doc_id AS canonical_id,
+      |  r.rn = 1 AS keep
+      |FROM rk r
+      |JOIN (SELECT cluster_id, doc_id FROM rk WHERE rn = 1) c
+      |  USING (cluster_id)
+      |ORDER BY r.doc_id""".stripMargin
+      .replace("__PAIRS__", minhashLshSql)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d16_canonical_pick" -> (canonicalPick _),
     "d13_edit_verify"    -> (editVerify _),
     "d14_containment"    -> (containment _),
     "d15_sorted_neighborhood" -> (sortedNeighborhood _),
@@ -1077,6 +1136,7 @@ object Dedup {
     "d9_semantic_dedup"    -> (semanticDedup _))
 
   val oracle: Map[String, String] = Map(
+    "d16_canonical_pick"   -> canonicalPickSql,
     "d10_repeated_spans"   -> repeatedSpansSql,
     "d1_exact_fingerprint" -> exactFingerprintSql,
     "d2_minhash_lsh"       -> minhashLshSql,

@@ -304,7 +304,40 @@ object Extensibility {
       |FROM nation
       |ORDER BY key""".stripMargin
 
+  /** u11: a CUSTOM OPTIMIZER RULE at work —
+    * [[graft.plans.DotStrengthReduction]] rewrites the naive
+    * higher-order-function dot product (what a user ports from SQL:
+    * aggregate ∘ zip_with with per-element lambdas) into the native
+    * [[graft.functions.FloatDot]] codegen expression. The query writes the
+    * HOF form on purpose; the rule (injected here via
+    * `experimental.extraOptimizations`, the live-session twin of
+    * `GraftExtensions.injectOptimizerRule`) must deliver s1's exact result
+    * through the fast path — GraftExtensionsSpec pins that the optimized
+    * plan really contains FloatDot and not the HOF chain, and s20's 10×
+    * measurement is the price the rule saves.
+    */
+  def hofDotRewrite(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    if (!s.experimental.extraOptimizations.contains(graft.plans.DotStrengthReduction))
+      s.experimental.extraOptimizations =
+        s.experimental.extraOptimizations :+ graft.plans.DotStrengthReduction
+    val e = Tables.embeddings(s, d)
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    e.crossJoin(broadcast(q))
+      .filter($"vec_id" =!= 0)
+      .select($"vec_id", $"label",
+        graft.functions.VectorFunctions.dotHof($"embedding", $"qv").as("score"))
+      .orderBy($"score".desc, $"vec_id".asc)
+      .limit(20)
+  }
+
+  /** Oracle: s1's brute-force SQL verbatim — the rewrite must be invisible
+    * in the values.
+    */
+  val hofDotRewriteSql: String = Similarity.bruteForceTopKSql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u11_rule_dot_rewrite" -> (hofDotRewrite _),
     "u10_dsv2_pot_read" -> (dsv2PotRead _),
     "u9_native_hll_agg" -> (nativeHllAgg _),
     "u7_sql_native_dot" -> (sqlNativeDot _),
@@ -317,6 +350,7 @@ object Extensibility {
     "u5_typed_dataset"  -> (typedDataset _))
 
   val oracle: Map[String, String] = Map(
+    "u11_rule_dot_rewrite" -> hofDotRewriteSql,
     "u10_dsv2_pot_read" -> dsv2PotReadSql,
     "u9_native_hll_agg" -> nativeHllAggSql,
     "u7_sql_native_dot" -> sqlNativeDotSql,

@@ -216,6 +216,47 @@ object Kv {
       |FROM nation
       |ORDER BY key""".stripMargin
 
+  /** kv14: SCHEMA EVOLUTION across generations — the document-store
+    * semantic the reference gets for free from JSON (a doc may or may not
+    * carry a field, server.go:347-354) expressed on the parquet-backed
+    * pot: gen 1 writes narrow docs (key, n_name); gen 2 upserts a batch
+    * that INTRODUCES `n_regionkey` (table widens, untouched rows read
+    * null); gen 3 re-upserts some widened keys with the OLD narrow shape —
+    * and because pot upserts replace the whole document (LWW, never a
+    * column-merge), their `n_regionkey` reverts to null. The final read
+    * proves all three: widening, null-backfill, and whole-doc replacement.
+    * Every generation still commits through the same CAS; readers at any
+    * generation see that generation's schema.
+    */
+  def schemaEvolution(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-pot-evo").toString
+    val pot = PotTable(s, root, "nation_evo")
+    val n = Tables.nation(s, d)
+    pot.upsert(n.select($"n_nationkey".cast("string").as("key"), $"n_name"))
+    pot.upsert(n.filter($"n_nationkey" % 3 === 0)
+      .select($"n_nationkey".cast("string").as("key"), $"n_name", $"n_regionkey"))
+    pot.upsert(n.filter($"n_nationkey" % 6 === 0)
+      .select($"n_nationkey".cast("string").as("key"),
+        concat($"n_name", lit("!")).as("n_name")))
+    val result = pot.get()
+      .select($"key".cast("int").as("key"), $"n_name", $"n_regionkey")
+      .orderBy($"key")
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    result
+  }
+
+  val schemaEvolutionSql: String =
+    """SELECT n_nationkey AS key,
+      |  CASE WHEN n_nationkey % 6 = 0 THEN n_name || '!' ELSE n_name END
+      |    AS n_name,
+      |  CASE WHEN n_nationkey % 3 = 0 AND n_nationkey % 6 <> 0
+      |       THEN n_regionkey ELSE NULL END AS n_regionkey
+      |FROM nation
+      |ORDER BY key""".stripMargin
+
   /** Generation diff / change feed (CDC — the data semantics of
     * [[PotTable.diff]], replayed over fixtures so the oracle can check it):
     * BEFORE = customer; AFTER = kv1's upsert (every 10th: balance+1000, seg
@@ -464,6 +505,7 @@ object Kv {
       |ORDER BY fval, key""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kv14_schema_evolution" -> (schemaEvolution _),
     "kv13_secondary_index" -> (secondaryIndex _),
     "kv10_point_get"      -> (pointGet _),
     "kv9_bucketed_scan"   -> (bucketedScan _),
@@ -479,6 +521,7 @@ object Kv {
     "kv7_generation_diff" -> (generationDiff _))
 
   val oracle: Map[String, String] = Map(
+    "kv14_schema_evolution" -> schemaEvolutionSql,
     "kv13_secondary_index" -> secondaryIndexSql,
     "kv1_upsert_merge"    -> upsertMergeSql,
     "kv2_delete_anti"     -> deleteAntiSql,

@@ -973,7 +973,58 @@ object Pipeline {
       |FROM staged
       |ORDER BY pos""".stripMargin
 
+  /** p18: dataset card — the per-(source, lang) datasheet every corpus
+    * release ships (Gebru et al.'s "Datasheets for Datasets" reduced to the
+    * numbers a pretraining run actually consumes): document count, char
+    * and whitespace-token volume, and the exact-duplicate exposure
+    * (share of docs whose md5 fingerprint occurs more than once
+    * CORPUS-WIDE — cross-source duplication must show up in every source's
+    * card, which is why the dup flag is computed before the grouping).
+    * `dup_ppm` is exact integer ppm.
+    *
+    * Scale: one fp-keyed window (d1's dedup exchange) then one
+    * (source, lang)-keyed partial agg — the group count is tiny, the
+    * heavy keys are real columns; no driver-side anything.
+    */
+  def datasetCard(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"source", $"lang", $"n_chars",
+        size(split($"text", " ")).cast("long").as("tok"),
+        md5($"text").as("fp"))
+    val w = Window.partitionBy($"fp")
+    docs.withColumn("dup", count(lit(1)).over(w) > 1)
+      .groupBy($"source", $"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("sum_chars"),
+        sum($"tok").as("sum_tokens"),
+        sum(when($"dup", 1L).otherwise(0L)).as("dup_docs"))
+      .withColumn("dup_ppm", expr("dup_docs * 1000000L div n_docs"))
+      .orderBy($"source", $"lang")
+  }
+
+  val datasetCardSql: String =
+    """WITH docs AS (
+      |  SELECT source, lang, n_chars,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+      |    md5(text) AS fp
+      |  FROM documents),
+      |flagged AS (
+      |  SELECT source, lang, n_chars, tok,
+      |    COUNT(*) OVER (PARTITION BY fp) > 1 AS dup
+      |  FROM docs)
+      |SELECT source, lang, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+      |  CAST(SUM(tok) AS BIGINT) AS sum_tokens,
+      |  CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+      |  CAST(SUM(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+      |    // COUNT(*) AS dup_ppm
+      |FROM flagged
+      |GROUP BY source, lang
+      |ORDER BY source, lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p18_dataset_card"     -> (datasetCard _),
     "p17_curriculum"       -> (curriculum _),
     "p16_length_batching"  -> (lengthBatching _),
     "p15_soft_dedup"       -> (softDedup _),
@@ -993,6 +1044,7 @@ object Pipeline {
     "p7_bloom_decontaminate" -> (bloomDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "p18_dataset_card"     -> datasetCardSql,
     "p17_curriculum"       -> curriculumSql,
     "p16_length_batching"  -> lengthBatchingSql,
     "p15_soft_dedup"       -> softDedupSql,

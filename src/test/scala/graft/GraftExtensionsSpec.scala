@@ -53,4 +53,37 @@ class GraftExtensionsSpec extends AnyFunSuite {
       prevActive.foreach(SparkSession.setActiveSession)
     }
   }
+
+  test("DotStrengthReduction rewrites the HOF dot to FloatDot, value-identical") {
+    import TestSpark._
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.DotStrengthReduction))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.DotStrengthReduction
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter($"vec_id" === 0).select($"embedding".as("qv"))
+    val hof = e.crossJoin(broadcast(q)).filter($"vec_id" =!= 0)
+      .select($"vec_id",
+        graft.functions.VectorFunctions.dotHof($"embedding", $"qv").as("score"))
+    val optimized = hof.queryExecution.optimizedPlan.toString
+    assert(optimized.toLowerCase.contains("floatdot"),
+      s"rule did not fire:\n$optimized")
+    assert(!optimized.contains("aggregate(zip_with"),
+      s"HOF chain survived:\n$optimized")
+    // values identical to the native path (and to the no-rule HOF: the
+    // parity dotHof == dot is pinned in VectorFunctionsSpec)
+    val native = e.crossJoin(broadcast(q)).filter($"vec_id" =!= 0)
+      .select($"vec_id",
+        graft.functions.VectorFunctions.dot($"embedding", $"qv").as("score"))
+    assert(hof.orderBy($"vec_id").collect().toSeq
+      === native.orderBy($"vec_id").collect().toSeq)
+    // a non-dot HOF aggregate is left untouched (different zero)
+    val other = e.select(aggregate(zip_with($"embedding".cast("array<double>"),
+      $"embedding".cast("array<double>"), (x, y) => x * y), lit(1.0),
+      (acc, x) => acc + x).as("s"))
+    assert(!other.queryExecution.optimizedPlan.toString
+      .toLowerCase.contains("floatdot"))
+  }
 }

@@ -495,4 +495,25 @@ class KvSpec extends AnyFunSuite {
     assert(ip.lookup("red").select("key").as[String].collect().sorted
       === Array("a", "b"), "roll-forward must land data AND index")
   }
+
+  test("upsert evolves schema: widen backfills null, narrow LWW drops the field, old gens keep their shape") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-evo").toString
+    val pot = graft.kv.PotTable(spark, root, "evo")
+    pot.upsert(Seq(("a", 1), ("b", 2)).toDF("key", "v"))
+    // gen 2 introduces column w — untouched row "b" must read null there
+    pot.upsert(Seq(("a", 10, "x")).toDF("key", "v", "w"))
+    val g2 = pot.get().select($"key", $"v", $"w").as[(String, Int, Option[String])]
+      .collect().map { case (k, v, w) => k -> ((v, w)) }.toMap
+    assert(g2 === Map("a" -> ((10, Some("x"))), "b" -> ((2, None))))
+    // gen 3 re-writes "a" with the narrow shape: whole-document LWW, so
+    // its w reverts to null (pot docs replace, never column-merge)
+    pot.upsert(Seq(("a", 100)).toDF("key", "v"))
+    val g3 = pot.get().select($"key", $"v", $"w").as[(String, Int, Option[String])]
+      .collect().map { case (k, v, w) => k -> ((v, w)) }.toMap
+    assert(g3 === Map("a" -> ((100, None)), "b" -> ((2, None))))
+    // time travel: generation 1 still has the narrow schema
+    assert(!pot.getAt(1L).schema.fieldNames.contains("w"))
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+  }
 }

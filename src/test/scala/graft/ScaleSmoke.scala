@@ -94,7 +94,9 @@ object ScaleSmoke {
     "q65_semi_additive", "m10_vad_segments", "p17_curriculum",
     "s21_ivfpq",
     // sixth batch (q66 omitted: orders stays 1x-symlinked)
-    "t13_rake_keyphrases", "st14_stream_ann_ingest")
+    "t13_rake_keyphrases", "st14_stream_ann_ingest",
+    // seventh batch (kv14 omitted: nation stays 1x-symlinked)
+    "p18_dataset_card", "d16_canonical_pick", "u11_rule_dot_rewrite")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
