@@ -617,7 +617,64 @@ object Aggregates {
       |SELECT 'depth' AS kind, bucket, n, lo, hi FROM dg
       |ORDER BY kind, bucket""".stripMargin
 
+  /** q67: revenue concentration (Pareto table) — how much of total
+    * revenue the top deciles of orders carry, the skew diagnostic behind
+    * "80/20" claims and the input to any revenue-weighted sampling. The
+    * monetary column goes through EXACT CENTS (2-decimal double →
+    * DECIMAL(38,2) → ×100 BIGINT — no float summation anywhere), so the
+    * shares are exact integer ppm and the cumulative column is a plain
+    * BIGINT running sum. Decile 1 = highest-value orders.
+    *
+    * Scale: p19's shape — contracted NTILE assignment, then a 10-row
+    * window; the only corpus-sized work is one partial-agg groupBy.
+    */
+  def revenueConcentration(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, d)
+      .select($"o_orderkey",
+        ($"o_totalprice".cast(org.apache.spark.sql.types.DecimalType(38, 2))
+          * 100).cast("long").as("cents"))
+    val deciled = o.withColumn("decile",
+      ntile(10).over(Window.orderBy($"cents".desc, $"o_orderkey")))
+    val per = deciled.groupBy($"decile")
+      .agg(count(lit(1)).as("n_orders"), sum($"cents").as("cents_decile"))
+    val w = Window.orderBy($"decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per
+      .withColumn("cents_cum", sum($"cents_decile").over(w))
+      .crossJoin(broadcast(o.agg(sum($"cents").as("cents_total"))))
+      .select($"decile", $"n_orders", $"cents_decile",
+        expr("cents_decile * 1000000L div cents_total").as("share_ppm"),
+        expr("cents_cum * 1000000L div cents_total").as("cum_share_ppm"))
+      .orderBy($"decile")
+  }
+
+  val revenueConcentrationSql: String =
+    """WITH o AS (
+      |  SELECT o_orderkey,
+      |    CAST(CAST(o_totalprice AS DECIMAL(38,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |deciled AS (
+      |  SELECT cents,
+      |    CAST(NTILE(10) OVER (ORDER BY cents DESC, o_orderkey) AS INTEGER)
+      |      AS decile
+      |  FROM o),
+      |per AS (
+      |  SELECT decile, COUNT(*) AS n_orders,
+      |    CAST(SUM(cents) AS BIGINT) AS cents_decile
+      |  FROM deciled GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS cents_total FROM o)
+      |SELECT decile, n_orders, cents_decile,
+      |  cents_decile * 1000000 // cents_total AS share_ppm,
+      |  CAST(SUM(cents_decile) OVER (ORDER BY decile
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    * 1000000 // cents_total AS cum_share_ppm
+      |FROM per CROSS JOIN tot
+      |ORDER BY decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q67_revenue_concentration" -> (revenueConcentration _),
     "q66_histograms"      -> (histograms _),
     "q48_countmin_sketch" -> (countMin _),
     "q10_agg_distinct"    -> (aggDistinct _),
@@ -632,6 +689,7 @@ object Aggregates {
     "q52_hll_merge"         -> (hllMerge _))
 
   val oracle: Map[String, String] = Map(
+    "q67_revenue_concentration" -> revenueConcentrationSql,
     "q66_histograms"   -> histogramsSql,
     "q10_agg_distinct" -> aggDistinctSql,
     "q11_agg_having"   -> havingSql,

@@ -1023,7 +1023,69 @@ object Pipeline {
       |GROUP BY source, lang
       |ORDER BY source, lang""".stripMargin
 
+  /** p19: quality-prune curve — the "what does a quality floor cost"
+    * table every curation decision consults before pruning: docs ranked
+    * into quality deciles (score = p17's milli-chars-per-token proxy,
+    * decile 1 = highest), each row reporting the decile's doc/token
+    * volume, the CUMULATIVE tokens retained if everything below it were
+    * pruned, and that retention as exact integer ppm of the corpus. The
+    * curve turns "prune at p30?" from a guess into a lookup.
+    *
+    * Scale: the decile assignment is the contracted NTILE total order
+    * (approx-quantile bounds at 100 TB, p17's note); the curve itself is
+    * a 10-row window — free at any corpus size.
+    */
+  def pruneCurve(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(s, d)
+      .select($"doc_id", $"n_chars",
+        size(split($"text", " ")).cast("long").as("tok"))
+      .withColumn("score", expr("(n_chars * 1000L) div tok"))
+    val deciled = scored.withColumn("decile",
+      ntile(10).over(Window.orderBy($"score".desc, $"doc_id")))
+    val per = deciled.groupBy($"decile")
+      .agg(count(lit(1)).as("n_docs"), sum($"tok").as("tok_decile"))
+    val w = Window.orderBy($"decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per
+      .withColumn("tok_retained", sum($"tok_decile").over(w))
+      .crossJoin(broadcast(scored.agg(sum($"tok").as("tok_total"))))
+      .withColumn("retained_ppm", expr("tok_retained * 1000000L div tok_total"))
+      .select($"decile", $"n_docs", $"tok_decile", $"tok_retained",
+        $"retained_ppm")
+      .orderBy($"decile")
+  }
+
+  val pruneCurveSql: String =
+    """WITH scored AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+      |    (n_chars * 1000) // CAST(len(string_split(text, ' ')) AS BIGINT)
+      |      AS score
+      |  FROM documents),
+      |deciled AS (
+      |  SELECT tok,
+      |    CAST(NTILE(10) OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+      |      AS decile
+      |  FROM scored),
+      |per AS (
+      |  SELECT decile, COUNT(*) AS n_docs,
+      |    CAST(SUM(tok) AS BIGINT) AS tok_decile
+      |  FROM deciled GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(tok) AS BIGINT) AS tok_total FROM scored)
+      |SELECT decile, n_docs, tok_decile,
+      |  CAST(SUM(tok_decile) OVER (ORDER BY decile
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS tok_retained,
+      |  CAST(SUM(tok_decile) OVER (ORDER BY decile
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    * 1000000 // tok_total AS retained_ppm
+      |FROM per CROSS JOIN tot
+      |ORDER BY decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p19_prune_curve"      -> (pruneCurve _),
     "p18_dataset_card"     -> (datasetCard _),
     "p17_curriculum"       -> (curriculum _),
     "p16_length_batching"  -> (lengthBatching _),
@@ -1044,6 +1106,7 @@ object Pipeline {
     "p7_bloom_decontaminate" -> (bloomDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "p19_prune_curve"      -> pruneCurveSql,
     "p18_dataset_card"     -> datasetCardSql,
     "p17_curriculum"       -> curriculumSql,
     "p16_length_batching"  -> lengthBatchingSql,

@@ -376,13 +376,119 @@ object Pq {
       .mkString(",\n") + "\n" + tail
   }
 
+  /** s22: the nprobe tuning table — for nprobe 1..4 over the s21 coarse
+    * cells, how many vectors the query scans (`n_scanned` — the cost) and
+    * what recall@10 it buys against the exact integer-L2 ground truth (the
+    * quality). This is the table an ANN deployment publishes to pick its
+    * latency/recall operating point; s6 measures variants, s19 one
+    * compression — s22 sweeps the one knob IVF actually exposes.
+    *
+    * Execution: ONE pass computes every vector's cell and exact probe
+    * distance; each sweep point is then a cell-filtered TakeOrdered + a
+    * 10-row semi-join — 4 bounded driver iterations (s14's discipline),
+    * each reusing the same assigned relation. At scale the assigned
+    * relation is the partitioned index itself and each point is a
+    * partition-pruned probe.
+    */
+  def nprobeSweep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = KMeans.quantized(s, d)
+    val cells = KMeans.train(s, q, CoarseK)
+    val probe = q.filter(_._1 == 0L).first()._2
+    val ranked: Seq[Int] = cells.map { case (cid, c) =>
+      var acc = 0L
+      var i = 0
+      while (i < KMeans.Dim) { val t = probe(i) - c(i); acc += t * t; i += 1 }
+      (acc, cid)
+    }.sorted.toSeq.map(_._2)
+    val bcCells = s.sparkContext.broadcast(cells)
+    val bcProbe = s.sparkContext.broadcast(probe)
+    val assigned = q.filter(_._1 != 0L).map { case (id, v) =>
+      var acc = 0L
+      var i = 0
+      while (i < v.length) {
+        val t = v(i) - bcProbe.value(i); acc += t * t; i += 1
+      }
+      (id, KMeans.assign(v, bcCells.value)._1, acc)
+    }.toDF("vec_id", "cell", "dist")
+    val exactTop = assigned.orderBy($"dist".asc, $"vec_id".asc).limit(10)
+      .select($"vec_id")
+    (1 to 4).map { np =>
+      val cand = assigned.filter($"cell".isin(ranked.take(np): _*))
+      val top = cand.orderBy($"dist".asc, $"vec_id".asc).limit(10)
+        .select($"vec_id")
+      top.join(exactTop, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_scanned")))
+        .select(lit(np).as("nprobe"), $"n_scanned", $"hits",
+          expr("hits * 100 div 10").as("recall_pct"))
+    }.reduce(_ unionByName _).orderBy($"nprobe")
+  }
+
+  /** Oracle: coarse Lloyd (lloydCtes at CoarseK), per-vector cell + exact
+    * probe distance, probe-ranked cells, and the 4 sweep points via a
+    * generated nprobe relation — one SQL replay of all four probes.
+    */
+  val nprobeSweepSql: String =
+    s"""WITH __LLOYD__,
+       |d2c AS (
+       |  SELECT v.vec_id, c.cid,
+       |    CAST(list_sum(list_transform(range(1, ${KMeans.Dim + 1}),
+       |      i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i]))) AS BIGINT) AS dist
+       |  FROM q v CROSS JOIN c1 c),
+       |a2c AS (
+       |  SELECT vec_id, cid AS cell FROM (
+       |    SELECT vec_id, cid, dist,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM d2c) WHERE rn = 1),
+       |pc AS (
+       |  SELECT cid AS cell,
+       |    ROW_NUMBER() OVER (ORDER BY dist, cid) AS pr
+       |  FROM d2c WHERE vec_id = 0),
+       |ex AS (
+       |  SELECT v.vec_id,
+       |    CAST(list_sum(list_transform(range(1, ${KMeans.Dim + 1}),
+       |      i -> (v.q[i] - p.q[i]) * (v.q[i] - p.q[i]))) AS BIGINT) AS dist
+       |  FROM q v
+       |  CROSS JOIN (SELECT q FROM q WHERE vec_id = 0) p(q)
+       |  WHERE v.vec_id <> 0),
+       |ext AS (SELECT vec_id FROM ex ORDER BY dist, vec_id LIMIT 10),
+       |ks AS (SELECT unnest([1, 2, 3, 4]) AS np),
+       |cand AS (
+       |  SELECT k.np, e.vec_id, e.dist
+       |  FROM ex e
+       |  JOIN a2c a USING (vec_id)
+       |  JOIN pc ON a.cell = pc.cell
+       |  CROSS JOIN ks k
+       |  WHERE pc.pr <= k.np),
+       |top AS (
+       |  SELECT np, vec_id FROM (
+       |    SELECT np, vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY np ORDER BY dist, vec_id) AS rn
+       |    FROM cand) WHERE rn <= 10),
+       |scanned AS (SELECT np, COUNT(*) AS n_scanned FROM cand GROUP BY 1),
+       |hits AS (
+       |  SELECT t.np, COUNT(*) AS hits
+       |  FROM top t JOIN ext USING (vec_id) GROUP BY 1)
+       |SELECT CAST(k.np AS INTEGER) AS nprobe,
+       |  CAST(COALESCE(s.n_scanned, 0) AS BIGINT) AS n_scanned,
+       |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+       |  CAST(COALESCE(h.hits, 0) * 100 // 10 AS BIGINT) AS recall_pct
+       |FROM ks k
+       |LEFT JOIN scanned s USING (np)
+       |LEFT JOIN hits h USING (np)
+       |ORDER BY nprobe""".stripMargin
+      .replace("__LLOYD__", KMeans.lloydCtes(CoarseK))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s18_pq_adc"    -> (pqSearch _),
     "s19_pq_recall" -> (pqRecall _),
-    "s21_ivfpq"     -> (ivfPqSearch _))
+    "s21_ivfpq"     -> (ivfPqSearch _),
+    "s22_nprobe_sweep" -> (nprobeSweep _))
 
   val oracle: Map[String, String] = Map(
     "s18_pq_adc"    -> pqSearchSql,
     "s19_pq_recall" -> pqRecallSql,
-    "s21_ivfpq"     -> ivfPqSearchSql)
+    "s21_ivfpq"     -> ivfPqSearchSql,
+    "s22_nprobe_sweep" -> nprobeSweepSql)
 }

@@ -660,7 +660,58 @@ object TextAnalysis {
       |WHERE rank <= 3
       |ORDER BY doc_id, rank""".stripMargin
 
+  /** t14: n-gram novelty — per document, the share of its distinct word
+    * 3-grams whose corpus-wide FIRST occurrence (min doc_id — the
+    * fixture's stand-in for arrival order) is the document itself. The
+    * freshness/staleness curve a crawl pipeline watches: re-crawls and
+    * boilerplate drift push novelty toward 0 long before exact dedup
+    * fires. Exact string shingles on both sides (no hash domain — unlike
+    * d3 there is no collision caveat to accept).
+    *
+    * Scale: the (doc, shingle) relation is d3's exchange; first-seen is
+    * one shingle-keyed min; the join back is shingle-keyed with no pair
+    * expansion (an aggregate per side, never doc×doc). A viral shingle
+    * costs one big min group, not a blow-up.
+    */
+  def ngramNovelty(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = Tables.documents(s, d)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .select($"doc_id", explode(expr(
+        """array_distinct(CASE WHEN size(w) >= 3
+          |  THEN transform(sequence(0, size(w) - 3),
+          |         i -> concat_ws(' ', w[i], w[i+1], w[i+2]))
+          |  ELSE array() END)""".stripMargin.replace("\n", " "))).as("sh"))
+    val firstSeen = sh.groupBy($"sh").agg(min($"doc_id").as("first_seen"))
+    sh.join(firstSeen, Seq("sh"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($"first_seen" === $"doc_id", 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_ppm", expr("n_novel * 1000000L div n_shingles"))
+      .orderBy($"doc_id")
+  }
+
+  val ngramNoveltySql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |shs AS (
+      |  SELECT DISTINCT doc_id,
+      |    w[CAST(i + 1 AS INTEGER)] || ' ' || w[CAST(i + 2 AS INTEGER)]
+      |      || ' ' || w[CAST(i + 3 AS INTEGER)] AS sh
+      |  FROM toks CROSS JOIN range(0, 8192) t(i)
+      |  WHERE i <= len(w) - 3),
+      |fs AS (SELECT sh, MIN(doc_id) AS first_seen FROM shs GROUP BY 1)
+      |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+      |  CAST(SUM(CASE WHEN f.first_seen = s.doc_id THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_novel,
+      |  CAST(SUM(CASE WHEN f.first_seen = s.doc_id THEN 1 ELSE 0 END)
+      |    AS BIGINT) * 1000000 // COUNT(*) AS novelty_ppm
+      |FROM shs s JOIN fs f USING (sh)
+      |GROUP BY s.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_ngram_novelty"   -> (ngramNovelty _),
     "t13_rake_keyphrases" -> (rakeKeyphrases _),
     "t12_lexical_diversity" -> (lexicalDiversity _),
     "t10_bm25"        -> (bm25 _),
@@ -676,6 +727,7 @@ object TextAnalysis {
     "t6_pii_scrub"    -> (piiScrub _))
 
   val oracle: Map[String, String] = Map(
+    "t14_ngram_novelty"   -> ngramNoveltySql,
     "t13_rake_keyphrases" -> rakeKeyphrasesSql,
     "t12_lexical_diversity" -> lexicalDiversitySql,
     "t10_bm25"        -> bm25Sql,

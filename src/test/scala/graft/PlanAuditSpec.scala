@@ -374,6 +374,29 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("partial_"), p)
   }
 
+  test("t14 novelty: shingle-keyed agg + join, no pair expansion joins") {
+    val p = plan("t14_ngram_novelty")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("s22 sweep: every point is TakeOrdered over the one assigned relation") {
+    val p = plan("s22_nprobe_sweep")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("p19/q67 decile curves: corpus work is one partial agg, curve windows are 10-row") {
+    for (name <- Seq("p19_prune_curve", "q67_revenue_concentration")) {
+      val p = plan(name)
+      // the NTILE assignment + the 10-row cumsum are the only global stages
+      val n = p.sliding("Exchange SinglePartition".length)
+        .count(_ == "Exchange SinglePartition")
+      assert(n <= 2, s"$name: expected <=2 single-partition exchanges, got $n:\n$p")
+      assert(p.contains("partial_"), p)
+    }
+  }
+
   test("kv10-style point get scans one bucket; full get scans many") {
     // lib-level twin of the BucketedPotSpec assertion, kept here with the
     // other plan audits: the pruned read's file set is a single bucket dir

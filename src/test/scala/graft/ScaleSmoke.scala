@@ -96,7 +96,9 @@ object ScaleSmoke {
     // sixth batch (q66 omitted: orders stays 1x-symlinked)
     "t13_rake_keyphrases", "st14_stream_ann_ingest",
     // seventh batch (kv14 omitted: nation stays 1x-symlinked)
-    "p18_dataset_card", "d16_canonical_pick", "u11_rule_dot_rewrite")
+    "p18_dataset_card", "d16_canonical_pick", "u11_rule_dot_rewrite",
+    // eighth batch (q67 omitted: orders stays 1x-symlinked)
+    "t14_ngram_novelty", "p19_prune_curve", "s22_nprobe_sweep")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
