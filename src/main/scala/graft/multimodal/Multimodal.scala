@@ -768,7 +768,43 @@ object Multimodal {
        |GROUP BY media_id, scene_id
        |ORDER BY media_id, scene_id""".stripMargin
 
+  /** m11: modality card — p18's datasheet for the binary corpus: per mime,
+    * object count, payload byte volume, and total pixel volume
+    * (width × height × frames from the DECODED headers — the number a GPU
+    * budget planner multiplies by bytes-per-pixel; audio rows contribute
+    * their header's nominal w×h grid, not meaningful pixels). One
+    * decode pass (the m-family mapPartitions) + one mime-keyed partial
+    * agg; the oracle re-derives every number from the synthesis formulas.
+    */
+  def modalityCard(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    extractFeatures(mediaTable(s, d)).toDF()
+      .groupBy($"mime")
+      .agg(count(lit(1)).as("n_objects"),
+        sum($"n_payload".cast("long")).as("payload_bytes"),
+        sum($"width".cast("long") * $"height" * $"n_frames").as("px_total"))
+      .orderBy($"mime")
+  }
+
+  val modalityCardSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    ['image/png','audio/wav','video/mp4'][CAST(doc_id % 3 AS INTEGER) + 1]
+      |      AS mime,
+      |    OCTET_LENGTH(CAST(text AS BLOB)) AS n_payload,
+      |    CAST(16 + doc_id % 640 AS BIGINT)
+      |      * (16 + (doc_id * 7) % 480)
+      |      * (CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 30 ELSE 1 END) AS px
+      |  FROM documents)
+      |SELECT mime, COUNT(*) AS n_objects,
+      |  CAST(SUM(n_payload) AS BIGINT) AS payload_bytes,
+      |  CAST(SUM(px) AS BIGINT) AS px_total
+      |FROM m
+      |GROUP BY mime
+      |ORDER BY mime""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m11_modality_card" -> (modalityCard _),
     "m10_vad_segments" -> (vadSegments _),
     "m9_scene_detect" -> (sceneDetect _),
     "m8_perceptual_hash" -> (perceptualHash _),
@@ -781,6 +817,7 @@ object Multimodal {
     "m5_frame_dedup"    -> (frameDupes _))
 
   val oracle: Map[String, String] = Map(
+    "m11_modality_card" -> modalityCardSql,
     "m10_vad_segments" -> vadSegmentsSql,
     "m9_scene_detect" -> sceneDetectSql,
     "m8_perceptual_hash" -> perceptualHashSql,

@@ -257,6 +257,123 @@ object Kv {
       |FROM nation
       |ORDER BY key""".stripMargin
 
+  /** q68: INCREMENTAL VIEW MAINTENANCE — the capability that makes a
+    * materialized aggregate survive 100 TB: when the base table changes,
+    * apply the CDC delta's ± contributions to the stored aggregate instead
+    * of rescanning. The base aggregate (per-segment customer count + exact
+    * cents balance) is merged with the delta aggregate derived from kv7's
+    * mutation set (update %10 → −old +new, delete %7 → −old, insert %13 →
+    * +new; a row changing segment moves between groups naturally as a minus
+    * in one and a plus in the other). The oracle recomputes the AFTER
+    * state directly — the maintained aggregate must be indistinguishable
+    * from a full rescan, which is the whole IVM contract. Exact cents
+    * (q67's DECIMAL(38,2)·100 BIGINT) keep the ± merge associative.
+    *
+    * Scale: the base side stands in for the stored aggregate (group-count
+    * sized); the delta side scales with the CHANGE SET, not the corpus —
+    * one partial agg over the delta + one tiny outer merge. Groups whose
+    * maintained count reaches 0 are retired.
+    */
+  def incrementalView(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val before = Tables.customer(s, d).select(
+      $"c_custkey".as("key"),
+      ($"c_acctbal".cast(org.apache.spark.sql.types.DecimalType(38, 2)) * 100)
+        .cast("long").as("cents"),
+      $"c_mktsegment".as("seg"))
+    val baseAgg = before.groupBy($"seg")
+      .agg(count(lit(1)).as("bn"), sum($"cents").as("bc"))
+    // CDC events: (sign, row) pairs per kv7's mutation rules
+    val minus = before.filter($"key" % 7 === 0 || $"key" % 10 === 0)
+      .withColumn("sign", lit(-1L))
+    val plusUpd = before.filter($"key" % 10 === 0 && $"key" % 7 =!= 0)
+      .withColumn("cents", $"cents" + 100000L)
+      .withColumn("seg", lit("UPDATED"))
+      .withColumn("sign", lit(1L))
+    val plusIns = before.filter($"key" % 13 === 0)
+      .withColumn("key", $"key" + 1000000L)
+      .withColumn("sign", lit(1L))
+    val deltaAgg = minus.unionByName(plusUpd).unionByName(plusIns)
+      .groupBy($"seg")
+      .agg(sum($"sign").as("dn"), sum($"sign" * $"cents").as("dc"))
+    baseAgg.join(deltaAgg, Seq("seg"), "full_outer")
+      .select($"seg",
+        (coalesce($"bn", lit(0L)) + coalesce($"dn", lit(0L))).as("n_customers"),
+        (coalesce($"bc", lit(0L)) + coalesce($"dc", lit(0L))).as("cents_total"))
+      .filter($"n_customers" > 0)
+      .orderBy($"seg")
+  }
+
+  /** Oracle: the full rescan of the mutated state — IVM must match it. */
+  val incrementalViewSql: String =
+    """WITH before AS (
+      |  SELECT c_custkey AS key,
+      |    CAST(CAST(c_acctbal AS DECIMAL(38,2)) * 100 AS BIGINT) AS cents,
+      |    c_mktsegment AS seg
+      |  FROM customer),
+      |after AS (
+      |  SELECT key,
+      |    CASE WHEN key % 10 = 0 THEN cents + 100000 ELSE cents END AS cents,
+      |    CASE WHEN key % 10 = 0 THEN 'UPDATED' ELSE seg END AS seg
+      |  FROM before WHERE key % 7 <> 0
+      |  UNION ALL
+      |  SELECT key + 1000000, cents, seg FROM before WHERE key % 13 = 0)
+      |SELECT seg, COUNT(*) AS n_customers,
+      |  CAST(SUM(cents) AS BIGINT) AS cents_total
+      |FROM after
+      |GROUP BY seg
+      |ORDER BY seg""".stripMargin
+
+  /** kv15: REPLICA CONVERGENCE (anti-entropy) — two replicas that applied
+    * the same two update batches in OPPOSITE orders must converge once
+    * merge is a deterministic version-max (LWW register on an explicit
+    * `ver` column with a key tie-break — never wall-clock). Replica A
+    * applies batch1 then batch2, replica B applies batch2 then batch1;
+    * the query asserts A ≡ B inside the plan (an EXCEPT-based divergence
+    * count that must be 0 — a nondeterministic merge would hash-fail the
+    * driver anyway, but the explicit check names the property) and emits
+    * the converged state. The reference's generation numbers are exactly
+    * this total version order (server.go:244-258).
+    *
+    * Scale: each apply is one key-keyed window (kv1's merge exchange); the
+    * divergence check is two aggregates over the same partitioning.
+    */
+  def replicaConvergence(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = Tables.nation(s, d)
+      .select($"n_nationkey".as("key"), $"n_name".as("v"), lit(0L).as("ver"))
+    val b1 = Tables.nation(s, d).filter($"n_nationkey" % 2 === 0)
+      .select($"n_nationkey".as("key"),
+        concat($"n_name", lit("-b1")).as("v"), lit(1L).as("ver"))
+    val b2 = Tables.nation(s, d).filter($"n_nationkey" % 3 === 0)
+      .select($"n_nationkey".as("key"),
+        concat($"n_name", lit("-b2")).as("v"), lit(2L).as("ver"))
+    def applyBatch(state: DataFrame, batch: DataFrame): DataFrame = {
+      val w = Window.partitionBy($"key").orderBy($"ver".desc)
+      state.unionByName(batch)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1).drop("rn")
+    }
+    val repA = applyBatch(applyBatch(base, b1), b2)
+    val repB = applyBatch(applyBatch(base, b2), b1)
+    val diverged = repA.exceptAll(repB).agg(count(lit(1)).as("nd"))
+    repA.crossJoin(broadcast(diverged))
+      .select($"key".cast("int").as("key"), $"v", $"ver", $"nd".as("divergence"))
+      .orderBy($"key")
+  }
+
+  val replicaConvergenceSql: String =
+    """SELECT n_nationkey AS key,
+      |  CASE WHEN n_nationkey % 3 = 0 THEN n_name || '-b2'
+      |       WHEN n_nationkey % 2 = 0 THEN n_name || '-b1'
+      |       ELSE n_name END AS v,
+      |  CAST(CASE WHEN n_nationkey % 3 = 0 THEN 2
+      |       WHEN n_nationkey % 2 = 0 THEN 1
+      |       ELSE 0 END AS BIGINT) AS ver,
+      |  CAST(0 AS BIGINT) AS divergence
+      |FROM nation
+      |ORDER BY key""".stripMargin
+
   /** Generation diff / change feed (CDC — the data semantics of
     * [[PotTable.diff]], replayed over fixtures so the oracle can check it):
     * BEFORE = customer; AFTER = kv1's upsert (every 10th: balance+1000, seg
@@ -505,6 +622,8 @@ object Kv {
       |ORDER BY fval, key""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q68_incremental_view" -> (incrementalView _),
+    "kv15_replica_convergence" -> (replicaConvergence _),
     "kv14_schema_evolution" -> (schemaEvolution _),
     "kv13_secondary_index" -> (secondaryIndex _),
     "kv10_point_get"      -> (pointGet _),
@@ -521,6 +640,8 @@ object Kv {
     "kv7_generation_diff" -> (generationDiff _))
 
   val oracle: Map[String, String] = Map(
+    "q68_incremental_view" -> incrementalViewSql,
+    "kv15_replica_convergence" -> replicaConvergenceSql,
     "kv14_schema_evolution" -> schemaEvolutionSql,
     "kv13_secondary_index" -> secondaryIndexSql,
     "kv1_upsert_merge"    -> upsertMergeSql,

@@ -397,6 +397,19 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q68 IVM: base + delta partial aggs merge, no single-partition stage") {
+    val p = plan("q68_incremental_view")
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("m11 modality card is one mime-keyed partial agg") {
+    val p = plan("m11_modality_card")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("kv10-style point get scans one bucket; full get scans many") {
     // lib-level twin of the BucketedPotSpec assertion, kept here with the
     // other plan audits: the pruned read's file set is a single bucket dir

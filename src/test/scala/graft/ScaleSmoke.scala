@@ -98,7 +98,9 @@ object ScaleSmoke {
     // seventh batch (kv14 omitted: nation stays 1x-symlinked)
     "p18_dataset_card", "d16_canonical_pick", "u11_rule_dot_rewrite",
     // eighth batch (q67 omitted: orders stays 1x-symlinked)
-    "t14_ngram_novelty", "p19_prune_curve", "s22_nprobe_sweep")
+    "t14_ngram_novelty", "p19_prune_curve", "s22_nprobe_sweep",
+    // ninth batch (q68/kv15 omitted: customer/nation stay 1x-symlinked)
+    "m11_modality_card")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
