@@ -258,6 +258,25 @@ final class BucketedPotTable(
   def bucketsWrittenAt(gen: Long): Seq[Int] =
     if (isCommitted(gen)) readManifest(gen).keys.toSeq.sorted
     else Seq.empty
+
+  /** Online reshard: rewrite the table's current state into a NEW bucketed
+    * table (same root, `path` = this table's path + the suffix) with a
+    * different bucket count. The bucket function (hash(key) mod n) is baked
+    * into every manifest, so a bucket-count change is necessarily a full
+    * rewrite — the point of doing it THROUGH Spark is that it is ONE
+    * distributed job (read overlay → shuffle by new bucket → stage →
+    * single CAS commit) while this table keeps serving reads untouched;
+    * cutover is the caller swapping its path pointer, and abandoning the
+    * new path aborts the reshard with no effect on the old. The new
+    * table's generation history starts at 1 (a reshard is a state copy,
+    * not a history copy — time travel stays with the old path, exactly
+    * like [[PotTable.restore]]'s snapshot semantics).
+    */
+  def reshardTo(newBuckets: Int, suffix: String = "_resharded"): BucketedPotTable = {
+    val out = new BucketedPotTable(spark, root, s"$path$suffix", newBuckets)
+    out.upsert(get())
+    out
+  }
 }
 
 object BucketedPotTable {

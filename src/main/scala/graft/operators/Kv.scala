@@ -374,6 +374,46 @@ object Kv {
       |FROM nation
       |ORDER BY key""".stripMargin
 
+  /** kv16: ONLINE RESHARD — the bucket-count change every bucketed store
+    * eventually needs (hot buckets, table growth): the 4-bucket table's
+    * LWW overlay state is rewritten into a 16-bucket twin in ONE
+    * distributed job ([[graft.kv.BucketedPotTable.reshardTo]]) while the
+    * old table keeps serving; cutover is a path-pointer swap, abandoning
+    * the new path aborts with no effect. The emitted state is the
+    * RESHARDED table's full scan — equal to the old table's overlay (the
+    * reshard contract); BucketedPotSpec pins that point gets on the new
+    * table prune to exactly one 16-bucket dir.
+    */
+  def reshard(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bpot-rs").toString
+    val t = new graft.kv.BucketedPotTable(s, root, "cust_rs", 4)
+    val base = Tables.customer(s, d)
+      .filter($"c_custkey" <= 300)
+      .select($"c_custkey".cast("string").as("key"),
+        $"c_mktsegment", $"c_nationkey")
+    t.upsert(base)
+    t.upsert(base.filter($"key".cast("bigint") % 7 === 0)
+      .withColumn("c_mktsegment", lit("UPDATED")))
+    val wide = t.reshardTo(16)
+    val result = wide.get()
+      .select($"key".cast("bigint").as("key"), $"c_mktsegment", $"c_nationkey")
+      .orderBy($"key")
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    result
+  }
+
+  val reshardSql: String =
+    """SELECT c_custkey AS key,
+      |  CASE WHEN c_custkey % 7 = 0 THEN 'UPDATED' ELSE c_mktsegment END
+      |    AS c_mktsegment,
+      |  c_nationkey
+      |FROM customer
+      |WHERE c_custkey <= 300
+      |ORDER BY key""".stripMargin
+
   /** Generation diff / change feed (CDC — the data semantics of
     * [[PotTable.diff]], replayed over fixtures so the oracle can check it):
     * BEFORE = customer; AFTER = kv1's upsert (every 10th: balance+1000, seg
@@ -622,6 +662,7 @@ object Kv {
       |ORDER BY fval, key""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kv16_reshard" -> (reshard _),
     "q68_incremental_view" -> (incrementalView _),
     "kv15_replica_convergence" -> (replicaConvergence _),
     "kv14_schema_evolution" -> (schemaEvolution _),
@@ -640,6 +681,7 @@ object Kv {
     "kv7_generation_diff" -> (generationDiff _))
 
   val oracle: Map[String, String] = Map(
+    "kv16_reshard" -> reshardSql,
     "q68_incremental_view" -> incrementalViewSql,
     "kv15_replica_convergence" -> replicaConvergenceSql,
     "kv14_schema_evolution" -> schemaEvolutionSql,

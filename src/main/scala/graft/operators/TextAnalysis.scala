@@ -710,7 +710,80 @@ object TextAnalysis {
       |GROUP BY s.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** t15: vocabulary growth (Heaps' law curve) — distinct-word count as a
+    * function of corpus size at 10 doc-count checkpoints (doc_id order =
+    * the fixture's arrival order). The curve a tokenizer-budget or
+    * vocab-size decision reads: if vocab still grows steeply at the last
+    * checkpoint, the corpus hasn't saturated its domain. Computed without
+    * any per-checkpoint rescan: each word carries its FIRST-seen doc
+    * (t14's min-agg, at word granularity), each checkpoint its doc_id
+    * cutoff, and vocab(k) = |{words: first_seen ≤ cutoff_k}| via one join
+    * of the word relation against the 10-row broadcast checkpoint table.
+    *
+    * Scale: one word-keyed min + one doc-keyed token agg + two
+    * broadcast-checkpoint joins; the expensive relation (words) is
+    * scanned once however many checkpoints the curve has.
+    */
+  def heapsLaw(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .withColumn("tok", size($"w").cast("long"))
+    val checkpoints = docs
+      .withColumn("decile", ntile(10).over(Window.orderBy($"doc_id")))
+      .groupBy($"decile")
+      .agg(max($"doc_id").as("cutoff"), count(lit(1)).as("nd"),
+        sum($"tok").as("nt"))
+      .withColumn("n_docs",
+        sum($"nd").over(Window.orderBy($"decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n_tokens",
+        sum($"nt").over(Window.orderBy($"decile")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select($"decile", $"cutoff", $"n_docs", $"n_tokens")
+    val firstSeen = docs.select($"doc_id", explode($"w").as("word"))
+      .groupBy($"word").agg(min($"doc_id").as("first_seen"))
+    firstSeen.join(broadcast(checkpoints), $"first_seen" <= $"cutoff")
+      .groupBy($"decile", $"cutoff", $"n_docs", $"n_tokens")
+      .agg(count(lit(1)).as("vocab"))
+      .orderBy($"decile")
+  }
+
+  val heapsLawSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+      |  FROM documents),
+      |deciled AS (
+      |  SELECT doc_id, tok,
+      |    CAST(NTILE(10) OVER (ORDER BY doc_id) AS INTEGER) AS decile
+      |  FROM docs),
+      |cp AS (
+      |  SELECT decile, MAX(doc_id) AS cutoff, COUNT(*) AS nd,
+      |    CAST(SUM(tok) AS BIGINT) AS nt
+      |  FROM deciled GROUP BY 1),
+      |cps AS (
+      |  SELECT decile, cutoff,
+      |    CAST(SUM(nd) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS n_docs,
+      |    CAST(SUM(nt) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS n_tokens
+      |  FROM cp),
+      |fs AS (
+      |  SELECT word, MIN(doc_id) AS first_seen FROM (
+      |    SELECT doc_id, unnest(w) AS word FROM docs)
+      |  GROUP BY 1)
+      |SELECT c.decile, c.cutoff, c.n_docs, c.n_tokens,
+      |  CAST(COUNT(*) AS BIGINT) AS vocab
+      |FROM fs f JOIN cps c ON f.first_seen <= c.cutoff
+      |GROUP BY c.decile, c.cutoff, c.n_docs, c.n_tokens
+      |ORDER BY decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t15_heaps_law"       -> (heapsLaw _),
     "t14_ngram_novelty"   -> (ngramNovelty _),
     "t13_rake_keyphrases" -> (rakeKeyphrases _),
     "t12_lexical_diversity" -> (lexicalDiversity _),
@@ -727,6 +800,7 @@ object TextAnalysis {
     "t6_pii_scrub"    -> (piiScrub _))
 
   val oracle: Map[String, String] = Map(
+    "t15_heaps_law"       -> heapsLawSql,
     "t14_ngram_novelty"   -> ngramNoveltySql,
     "t13_rake_keyphrases" -> rakeKeyphrasesSql,
     "t12_lexical_diversity" -> lexicalDiversitySql,

@@ -250,4 +250,28 @@ class BucketedPotSpec extends AnyFunSuite {
     val state = pot.get().select("key", "v").as[(String, Int)].collect().toMap
     assert(state === model)
   }
+
+  test("reshard preserves the overlay state, new table prunes on the new bucket count") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-bpot-rs-spec").toString
+    val t = new graft.kv.BucketedPotTable(spark, root, "t", 4)
+    t.upsert((1 to 60).map(i => (s"k$i", i)).toDF("key", "v"))
+    t.upsert(Seq(("k7", 700), ("k14", 1400)).toDF("key", "v")) // LWW wave
+    t.remove(Seq("k30"))
+    val wide = t.reshardTo(16)
+    // state equality across the bucket-count change
+    val oldState = t.get().select("key", "v").as[(String, Int)].collect().toMap
+    val newState = wide.get().select("key", "v").as[(String, Int)].collect().toMap
+    assert(newState === oldState)
+    assert(newState("k7") === 700 && !newState.contains("k30"))
+    // fresh history: the reshard is one generation on the new path
+    assert(wide.generation === 1L)
+    // point gets prune to ONE of the new 16 bucket dirs
+    val dirs = wide.get("k7").inputFiles
+      .map(_.replaceFirst("/[^/]*$", "")).distinct
+    assert(dirs.length === 1, dirs.mkString(","))
+    // old table untouched and still serving
+    assert(t.get("k7").select("v").as[Int].collect().toSeq === Seq(700))
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+  }
 }

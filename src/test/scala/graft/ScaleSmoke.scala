@@ -100,7 +100,9 @@ object ScaleSmoke {
     // eighth batch (q67 omitted: orders stays 1x-symlinked)
     "t14_ngram_novelty", "p19_prune_curve", "s22_nprobe_sweep",
     // ninth batch (q68/kv15 omitted: customer/nation stay 1x-symlinked)
-    "m11_modality_card")
+    "m11_modality_card",
+    // tenth batch (kv16 omitted: customer stays 1x-symlinked)
+    "t15_heaps_law")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
