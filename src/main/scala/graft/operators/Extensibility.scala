@@ -336,7 +336,55 @@ object Extensibility {
     */
   val hofDotRewriteSql: String = Similarity.bruteForceTopKSql
 
+  /** u12: DSv2 AGGREGATE PUSHDOWN on the pot connector — `COUNT(*) GROUP
+    * BY pot_file` pushes COMPLETELY into [[graft.sources.PotV2Source]]
+    * (one partition per pot object ⇒ groups never span partitions), so
+    * each reader counts its map's entries WITHOUT stringifying a single
+    * document body and Spark plans no aggregate at all; a pot-bucket
+    * inventory over 10k objects becomes a metadata-speed query. The same
+    * pot build as u10 (nation split by key parity into two pots); the
+    * emitted pot short-name is derived from the pushed `pot_file` AFTER
+    * the pushed aggregation. PotJsonSpec pins the plan marker and the
+    * partial (global-count) variant.
+    */
+  def dsv2AggPushdown(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-potv2agg").toString
+    val rows = Tables.nation(s, d)
+      .select($"n_nationkey", $"n_name", $"n_regionkey")
+      .collect()
+    def potJson(parity: Int): String =
+      rows.filter(_.getInt(0) % 2 == parity)
+        .map(r => s""""n${r.getInt(0)}": {"id": "n${r.getInt(0)}", """ +
+          s""""name": "${r.getString(1)}", "region": ${r.getInt(2)}}""")
+        .mkString("{", ", ", "}")
+    Seq(0, 1).foreach { par =>
+      val pd = java.nio.file.Paths.get(dir, s"nation_$par")
+      java.nio.file.Files.createDirectories(pd)
+      java.nio.file.Files.writeString(pd.resolve("data.json"), potJson(par))
+    }
+    val result = s.read.format(classOf[graft.sources.PotV2Source].getName)
+      .option("path", s"$dir/*/data.json")
+      .load()
+      .groupBy($"pot_file")
+      .agg(count(lit(1)).as("n_docs"))
+      .select(regexp_extract($"pot_file", "([^/]+)/data\\.json$", 1).as("pot"),
+        $"n_docs")
+      .orderBy($"pot")
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    result
+  }
+
+  val dsv2AggPushdownSql: String =
+    """SELECT 'nation_' || CAST(n_nationkey % 2 AS VARCHAR) AS pot,
+      |  COUNT(*) AS n_docs
+      |FROM nation
+      |GROUP BY 1
+      |ORDER BY pot""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u12_dsv2_agg_pushdown" -> (dsv2AggPushdown _),
     "u11_rule_dot_rewrite" -> (hofDotRewrite _),
     "u10_dsv2_pot_read" -> (dsv2PotRead _),
     "u9_native_hll_agg" -> (nativeHllAgg _),
@@ -350,6 +398,7 @@ object Extensibility {
     "u5_typed_dataset"  -> (typedDataset _))
 
   val oracle: Map[String, String] = Map(
+    "u12_dsv2_agg_pushdown" -> dsv2AggPushdownSql,
     "u11_rule_dot_rewrite" -> hofDotRewriteSql,
     "u10_dsv2_pot_read" -> dsv2PotReadSql,
     "u9_native_hll_agg" -> nativeHllAggSql,

@@ -74,12 +74,54 @@ private[sources] class PotV2Table(path: String) extends Table with SupportsRead 
 
 private[sources] class PotV2ScanBuilder(path: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters {
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
   import org.apache.spark.sql.sources._
   private var required: StructType = PotV2Source.Schema
   private var pushed: Array[Filter] = Array.empty
+  private var aggGroupedByFile: Option[Boolean] = None
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** Aggregate pushdown — the V2 surface that makes `COUNT(*)` over a pot
+    * bucket a METADATA-SPEED query: the reader counts map entries without
+    * ever stringifying a document body (the dominant per-entry cost).
+    * Supported shapes, chosen by partition alignment:
+    *   - `COUNT(*) GROUP BY pot_file` — COMPLETE pushdown: one partition
+    *     per pot object means a group never spans partitions, so each
+    *     reader emits its file's final (pot_file, count) row and Spark
+    *     plans no aggregate at all;
+    *   - global `COUNT(*)` — PARTIAL pushdown: each reader emits its own
+    *     count and Spark's final aggregation merges (a group spanning all
+    *     partitions can never be complete-pushed from a multi-file scan).
+    * Anything else (other aggregates, other group keys) is declined and
+    * computed by Spark over the normal row scan. Pushed key/pot_file
+    * filters still apply UNDER the count — COUNT of a filtered read
+    * counts surviving entries.
+    */
+  private def translateAgg(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[Boolean] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
+    if (agg.aggregateExpressions.length != 1 ||
+        !agg.aggregateExpressions()(0).isInstanceOf[CountStar]) None
+    else agg.groupByExpressions() match {
+      case Array() => Some(false)
+      case Array(r: NamedReference)
+          if r.fieldNames.sameElements(Array("pot_file")) => Some(true)
+      case _ => None
+    }
+  }
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = translateAgg(agg).contains(true)
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    translateAgg(agg) match {
+      case Some(g) => aggGroupedByFile = Some(g); true
+      case None => false
+    }
 
   /** Pushable = exact predicates on the two addressing columns. A pushed
     * `pot_file` predicate prunes WHOLE OBJECTS at planning (the pot
@@ -103,7 +145,8 @@ private[sources] class PotV2ScanBuilder(path: String)
     rest
   }
   override def pushedFilters(): Array[Filter] = pushed
-  override def build(): Scan = new PotV2Scan(path, required, pushed)
+  override def build(): Scan =
+    new PotV2Scan(path, required, pushed, aggGroupedByFile)
 }
 
 private[sources] object PotV2Filters {
@@ -123,9 +166,19 @@ private[sources] object PotV2Filters {
 
 private[sources] class PotV2Scan(
     path: String, required: StructType,
-    pushed: Array[org.apache.spark.sql.sources.Filter])
+    pushed: Array[org.apache.spark.sql.sources.Filter],
+    aggGroupedByFile: Option[Boolean] = None)
     extends Scan with Batch {
-  override def readSchema(): StructType = required
+  import org.apache.spark.sql.types.LongType
+
+  override def readSchema(): StructType = aggGroupedByFile match {
+    case Some(true) => StructType(Seq(
+      StructField("pot_file", StringType, nullable = false),
+      StructField("count(*)", LongType, nullable = false)))
+    case Some(false) => StructType(Seq(
+      StructField("count(*)", LongType, nullable = false)))
+    case None => required
+  }
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -140,20 +193,53 @@ private[sources] class PotV2Scan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PotV2ReaderFactory(required.fieldNames, pushed)
+    new PotV2ReaderFactory(required.fieldNames, pushed, aggGroupedByFile)
 
-  override def description(): String =
-    s"PotV2Scan ${pushed.mkString("PushedFilters: [", ", ", "]")}"
+  override def description(): String = {
+    val aggDesc = aggGroupedByFile match {
+      case Some(true)  => ", PushedAggregation: count group=[pot_file]"
+      case Some(false) => ", PushedAggregation: count group=[]"
+      case None => ""
+    }
+    s"PotV2Scan ${pushed.mkString("PushedFilters: [", ", ", "]")}$aggDesc"
+  }
 }
 
 private[sources] case class PotFilePartition(file: String) extends InputPartition
 
 private[sources] class PotV2ReaderFactory(
     columns: Array[String],
-    pushed: Array[org.apache.spark.sql.sources.Filter])
+    pushed: Array[org.apache.spark.sql.sources.Filter],
+    aggGroupedByFile: Option[Boolean] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[PotFilePartition].file
+    aggGroupedByFile match {
+      case Some(grouped) => return new PartitionReader[InternalRow] {
+        // Count path: parse the map, apply pushed key predicates, count —
+        // document bodies are never stringified. One output row per file.
+        private var emitted = false
+        private lazy val count: Long = {
+          val p = new Path(file)
+          val fs = p.getFileSystem(new Configuration())
+          val in = fs.open(p)
+          val root = try new ObjectMapper().readTree(in) finally in.close()
+          require(root != null && root.isObject,
+            s"pot object $file: top level must be a JSON map")
+          root.fieldNames().asScala
+            .count(PotV2Filters.accepts(pushed, "key", _))
+            .toLong
+        }
+        override def next(): Boolean =
+          if (emitted) false else { emitted = true; true }
+        override def get(): InternalRow =
+          if (grouped)
+            InternalRow(UTF8String.fromString(file), count)
+          else InternalRow(count)
+        override def close(): Unit = ()
+      }
+      case None => // fall through to the row reader below
+    }
     new PartitionReader[InternalRow] {
       private val entries: Iterator[(String, String)] = {
         val p = new Path(file)

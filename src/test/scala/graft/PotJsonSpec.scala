@@ -160,6 +160,38 @@ class PotJsonSpec extends AnyFunSuite {
     assert(res.select("key").as[String].collect().toSet === Set("k3"))
   }
 
+  test("PotV2Source pushes COUNT(*): complete when grouped by pot_file, partial globally") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count, lit}
+    val dir = java.nio.file.Files.createTempDirectory("potv2agg")
+    (1 to 3).foreach(i => writePot(dir, s"p$i",
+      (1 to i).map(j => s""""k${i}_$j": {"id": "k${i}_$j"}""")
+        .mkString("{", ", ", "}")))
+    val df = spark.read
+      .format(classOf[graft.sources.PotV2Source].getName)
+      .option("path", s"$dir/*/data.json").load()
+    // grouped by pot_file: COMPLETE pushdown — marker present, no Spark agg
+    val grouped = df.groupBy($"pot_file").agg(count(lit(1)).as("n"))
+    val gplan = grouped.queryExecution.executedPlan.toString
+    assert(gplan.contains("PushedAggregation: count group=[pot_file]"), gplan)
+    assert(!gplan.contains("HashAggregate"), s"complete pushdown must not re-aggregate:\n$gplan")
+    assert(grouped.select($"n").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 3L))
+    // global count: PARTIAL pushdown — marker present, Spark merges
+    val global = df.agg(count(lit(1)).as("n"))
+    val pplan = global.queryExecution.executedPlan.toString
+    assert(pplan.contains("PushedAggregation: count group=[]"), pplan)
+    assert(pplan.contains("HashAggregate"), s"partial pushdown needs the final merge:\n$pplan")
+    assert(global.as[Long].head() === 6L)
+    // pushed key filters apply UNDER the count
+    assert(df.filter($"key".startsWith("k3"))
+      .agg(count(lit(1))).as[Long].head() === 3L)
+    // unsupported shape (group by key) falls back to the row scan
+    val declined = df.groupBy($"key").agg(count(lit(1)))
+    assert(!declined.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"))
+    assert(declined.count() === 6L)
+  }
+
   test("PotV2Source rejects a non-map pot object loudly") {
     val dir = java.nio.file.Files.createTempDirectory("potv2bad")
     writePot(dir, "bad", """[1, 2, 3]""")
