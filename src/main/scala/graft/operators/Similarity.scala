@@ -1032,7 +1032,57 @@ object Similarity {
       .replace("__S1__", bruteForceTopKSql)
       .replace("__S5__", quantizedTopKSql)
 
+  /** s23's radius in the integer-quantized L2² domain (≈ cosine ≥ ~0.27 on
+    * unit vectors at QScale 2^20) — chosen so the fixture answer is a few
+    * dozen rows; mirrored literally in the oracle.
+    */
+  val RangeR = 1600000000000L
+
+  /** s23: RANGE search — "everything within distance r", the OTHER vector
+    * query shape (top-k asks for the best k however far; range asks for
+    * ALL matches however many — takedown sweeps, radius dedup, geo-style
+    * fences). Exact one-pass form: a codegen'd filter over the quantized
+    * corpus, no sort, result size bounded by the radius not by k. At
+    * corpus scale the same query runs approximately behind the s2/s3
+    * bucket prefilter + this exact verify (d5's prefilter-then-verify
+    * discipline); the exact pass here IS that verify stage.
+    */
+  def rangeSearch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = KMeans.quantized(s, d)
+    val probe: Array[Long] = q.filter(_._1 == 0L).first()._2
+    val bc = s.sparkContext.broadcast(probe)
+    val within = q.filter(_._1 != 0L).flatMap { case (id, v) =>
+      var acc = 0L
+      var i = 0
+      while (i < v.length) { val t = v(i) - bc.value(i); acc += t * t; i += 1 }
+      if (acc <= RangeR) Iterator.single((id, acc)) else Iterator.empty
+    }.toDF("vec_id", "dist")
+    Tables.embeddings(s, d).select($"vec_id", $"label")
+      .join(within, Seq("vec_id"))
+      .select($"vec_id", $"label", $"dist")
+      .orderBy($"dist", $"vec_id")
+  }
+
+  val rangeSearchSql: String =
+    s"""WITH qf AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * ${KMeans.QScale}.0) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |w AS (
+       |  SELECT v.vec_id,
+       |    CAST(list_sum(list_transform(range(1, ${KMeans.Dim + 1}),
+       |      i -> (v.q[i] - p.q[i]) * (v.q[i] - p.q[i]))) AS BIGINT) AS dist
+       |  FROM qf v
+       |  CROSS JOIN (SELECT q FROM qf WHERE vec_id = 0) p(q)
+       |  WHERE v.vec_id <> 0)
+       |SELECT w.vec_id, e.label, w.dist
+       |FROM w JOIN embeddings e USING (vec_id)
+       |WHERE w.dist <= $RangeR
+       |ORDER BY dist, vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s23_range_search"   -> (rangeSearch _),
     "s13_quant_error"    -> (quantizationError _),
     "s12_ann_filtered"   -> (annFiltered _),
     "s11_ann_incremental" -> (annIncremental _),
@@ -1052,6 +1102,7 @@ object Similarity {
     "s17_ann_deletes"    -> (annWithDeletes _))
 
   val oracle: Map[String, String] = Map(
+    "s23_range_search"   -> rangeSearchSql,
     "s15_two_stage_rerank" -> twoStageRerankSql,
     "s16_hybrid_rrf"     -> hybridRrfSql,
     "s10_mmr_rerank"     -> mmrRerankSql,

@@ -782,7 +782,42 @@ object TextAnalysis {
       |GROUP BY c.decile, c.cutoff, c.n_docs, c.n_tokens
       |ORDER BY decile""".stripMargin
 
+  /** t16: language-ID confusion matrix — t1's predictions aggregated
+    * against the labeled language, with per-label integer-ppm rates: the
+    * table that turns "we run langid" into "langid is trustworthy for
+    * routing" (off-diagonal mass = mislabeled training data or a weak
+    * classifier — either way the thing to look at before stratifying by
+    * predicted language). Pure reuse of t1's scoring: one extra keyed agg
+    * + a broadcast per-label total.
+    */
+  def langConfusion(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val per = langId(s, d)
+      .groupBy($"labeled_lang", $"predicted_lang")
+      .agg(count(lit(1)).as("n"))
+    val tot = per.groupBy($"labeled_lang").agg(sum($"n").as("label_total"))
+    per.join(broadcast(tot), Seq("labeled_lang"))
+      .withColumn("rate_ppm", expr("n * 1000000L div label_total"))
+      .select($"labeled_lang", $"predicted_lang", $"n", $"label_total",
+        $"rate_ppm")
+      .orderBy($"labeled_lang", $"predicted_lang")
+  }
+
+  val langConfusionSql: String =
+    s"""WITH li AS (${"\n"}$langIdSql${"\n"}),
+       |per AS (
+       |  SELECT labeled_lang, predicted_lang, COUNT(*) AS n
+       |  FROM li GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT labeled_lang, CAST(SUM(n) AS BIGINT) AS label_total
+       |  FROM per GROUP BY 1)
+       |SELECT p.labeled_lang, p.predicted_lang, p.n, t.label_total,
+       |  p.n * 1000000 // t.label_total AS rate_ppm
+       |FROM per p JOIN tot t USING (labeled_lang)
+       |ORDER BY labeled_lang, predicted_lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t16_lang_confusion"  -> (langConfusion _),
     "t15_heaps_law"       -> (heapsLaw _),
     "t14_ngram_novelty"   -> (ngramNovelty _),
     "t13_rake_keyphrases" -> (rakeKeyphrases _),
@@ -800,6 +835,7 @@ object TextAnalysis {
     "t6_pii_scrub"    -> (piiScrub _))
 
   val oracle: Map[String, String] = Map(
+    "t16_lang_confusion"  -> langConfusionSql,
     "t15_heaps_law"       -> heapsLawSql,
     "t14_ngram_novelty"   -> ngramNoveltySql,
     "t13_rake_keyphrases" -> rakeKeyphrasesSql,

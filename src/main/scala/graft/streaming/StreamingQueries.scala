@@ -1001,7 +1001,84 @@ object StreamingQueries {
     result
   }
 
+  /** st15: STREAMING QUALITY ROUTER with a dead-letter queue — the ingest
+    * front door every production corpus pipeline has: each micro-batch of
+    * documents is gated (p1's rules, first-failing-reason order: too_short
+    * → too_long → no_letters) and routed to an `accepted` pot or a
+    * `rejected` DLQ pot carrying the reason — and the TWO pot writes
+    * commit ATOMICALLY through kv12's [[graft.kv.PotTxn]] WAL (a crash
+    * between sinks can never leave a batch half-routed; recovery rolls the
+    * txn forward — the property a replayed micro-batch needs to stay
+    * exactly-once across BOTH sinks). The emitted summary is per
+    * (route, reason) counts read back from the pots, batch-split
+    * independent; the oracle replays the gates relationally.
+    *
+    * Scale: the gate is stateless map work; each txn stages both legs and
+    * CAS-commits once per micro-batch — the same one-generation-per-wave
+    * cost st9 pays for one sink.
+    */
+  def streamDlqRouter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = graft.Tables.documents(s, d)
+    val root = runScratchDir("graft-st15")
+    val txn = new graft.kv.PotTxn(s, s"$root/wh")
+    withStreamRunConf(s) {
+      val q = s.readStream.schema(docs.schema)
+        .parquet(fixtureStreamDir(d, "documents"))
+        .withColumn("n_words", size(split($"text", " ")))
+        .withColumn("reason",
+          when($"n_words" < 30, "too_short")
+            .when($"n_words" > 4000, "too_long")
+            .when(!$"text".rlike("[A-Za-z]"), "no_letters"))
+        .writeStream
+        .option("checkpointLocation", s"$root/chk")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val acc = batch.filter(col("reason").isNull)
+              .select(col("doc_id").cast("string").as("key"),
+                col("lang"), col("n_words"))
+            val rej = batch.filter(col("reason").isNotNull)
+              .select(col("doc_id").cast("string").as("key"), col("reason"))
+            txn.commitAll(Seq("accepted" -> acc, "rejected" -> rej))
+            ()
+          }
+        }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    val acc = graft.kv.PotTable(s, s"$root/wh", "accepted").get()
+      .agg(count(lit(1)).as("n"))
+      .select(lit("accepted").as("route"), lit("-").as("reason"), $"n")
+    val rej = graft.kv.PotTable(s, s"$root/wh", "rejected").get()
+      .groupBy($"reason").agg(count(lit(1)).as("n"))
+      .select(lit("rejected").as("route"), $"reason", $"n")
+    val result = acc.unionByName(rej)
+      .orderBy($"route", $"reason").localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    result
+  }
+
+  val streamDlqRouterSql: String =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nw, text
+      |  FROM documents),
+      |r AS (
+      |  SELECT CASE WHEN nw < 30 THEN 'too_short'
+      |              WHEN nw > 4000 THEN 'too_long'
+      |              WHEN NOT regexp_matches(text, '[A-Za-z]') THEN 'no_letters'
+      |              ELSE '-' END AS reason
+      |  FROM g)
+      |SELECT CASE WHEN reason = '-' THEN 'accepted' ELSE 'rejected' END
+      |    AS route,
+      |  reason, COUNT(*) AS n
+      |FROM r
+      |GROUP BY 1, 2
+      |ORDER BY route, reason""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st15_stream_dlq" -> (streamDlqRouter _),
     "st14_stream_ann_ingest" -> (streamAnnIngest _),
     "st13_stream_rollup" -> (streamRollup _),
     "st9_stream_pot_ingest" -> (streamPotIngest _),
@@ -1018,6 +1095,7 @@ object StreamingQueries {
     "st4_stream_attribution" -> (streamClickAttribution _))
 
   val oracle: Map[String, String] = Map(
+    "st15_stream_dlq" -> streamDlqRouterSql,
     "st14_stream_ann_ingest" -> graft.operators.Similarity.annMultiProbeSql,
     "st13_stream_rollup" -> streamRollupSql,
     "st9_stream_pot_ingest" -> streamPotIngestSql,

@@ -102,7 +102,9 @@ object ScaleSmoke {
     // ninth batch (q68/kv15 omitted: customer/nation stay 1x-symlinked)
     "m11_modality_card",
     // tenth batch (kv16 omitted: customer stays 1x-symlinked)
-    "t15_heaps_law")
+    "t15_heaps_law",
+    // twelfth batch
+    "st15_stream_dlq", "t16_lang_confusion", "s23_range_search")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
