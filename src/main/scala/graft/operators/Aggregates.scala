@@ -673,7 +673,109 @@ object Aggregates {
       |FROM per CROSS JOIN tot
       |ORDER BY decile""".stripMargin
 
+  /** q69: SLIDING-WINDOW distinct users via HLL pane merge — the sketch
+    * trick that makes sliding distinct-counts affordable: registers are
+    * built once per 15-minute PANE and every 1-hour window (slide 15 min)
+    * is the max-merge of its 4 panes — each event is hashed once and each
+    * pane aggregated once however many windows overlap it, vs the naive
+    * form re-scanning every event 4×. Same deterministic md5 register
+    * algebra as q43/q52 (associative max ⇒ identical on any partitioning);
+    * the exact sliding distinct rides along so the per-window sketch error
+    * hash-checks too.
+    *
+    * Scale: the rho stream is one narrow scan; pane registers are
+    * (panes × 64) rows — the pane→window explode is over REGISTERS, not
+    * events, which is the whole point at 100 TB/day.
+    */
+  def slidingHll(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val paneUs = 900L * 1000000L
+    val ev = Tables.events(s, d).select($"user_id",
+      expr(s"unix_micros(ts) div ${paneUs}L").as("pane"))
+    val rhos = ev
+      .withColumn("h", md5($"user_id".cast("string")))
+      .select($"pane",
+        expr("CAST(conv(substring(h, 1, 2), 16, 10) AS INT) % 64").as("b"),
+        expr("length(regexp_extract(substring(h, 3, 15), '^(0*)', 1))").as("z"),
+        $"h")
+      .select($"pane", $"b",
+        expr(
+          """CASE WHEN z = 15 THEN 61
+            |     ELSE z * 4 + (CASE
+            |       WHEN CAST(conv(substring(h, 3 + z, 1), 16, 10) AS INT) >= 8 THEN 0
+            |       WHEN CAST(conv(substring(h, 3 + z, 1), 16, 10) AS INT) >= 4 THEN 1
+            |       WHEN CAST(conv(substring(h, 3 + z, 1), 16, 10) AS INT) >= 2 THEN 2
+            |       ELSE 3 END) + 1 END""".stripMargin).as("rho"))
+    val panereg = rhos.groupBy($"pane", $"b").agg(max($"rho").as("mj"))
+    val offs = typedlit(Seq(0L, 1L, 2L, 3L))
+    val winreg = panereg.withColumn("off", explode(offs))
+      .select(($"pane" - $"off").as("w"), $"b", $"mj")
+      .groupBy($"w", $"b").agg(max($"mj").as("mj"))
+    val est = winreg.groupBy($"w").agg(
+        sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 61 - mj) AS DECIMAL(38,0))"))
+          .as("s_present"),
+        count(lit(1)).as("nb"))
+      .selectExpr("w",
+        s"""CAST(6696315672709156913020928 AS DECIMAL(38,0))
+           |  div (CAST(1000 AS DECIMAL(38,0))
+           |    * CAST(s_present
+           |        + CAST(64 - nb AS DECIMAL(38,0))
+           |          * CAST(2305843009213693952 AS DECIMAL(38,0))
+           |      AS DECIMAL(38,0))) AS est_users""".stripMargin)
+    val exact = ev.withColumn("off", explode(offs))
+      .select(($"pane" - $"off").as("w"), $"user_id").distinct()
+      .groupBy($"w").agg(count(lit(1)).as("exact_users"))
+    est.join(exact, Seq("w"))
+      .select(($"w" * 900L).as("w_start_s"), $"est_users", $"exact_users")
+      .orderBy($"w_start_s")
+  }
+
+  val slidingHllSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) // 900000000 AS pane FROM events),
+      |hashed AS (
+      |  SELECT pane, md5(CAST(user_id AS VARCHAR)) AS h FROM ev),
+      |zed AS (
+      |  SELECT pane,
+      |    ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+      |      + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1)) % 64 AS b,
+      |    length(regexp_extract(substr(h, 3, 15), '^(0*)', 1)) AS z,
+      |    h
+      |  FROM hashed),
+      |rhos AS (
+      |  SELECT pane, b,
+      |    CASE WHEN z = 15 THEN 61
+      |         ELSE z * 4 + (CASE
+      |           WHEN strpos('0123456789abcdef', substr(h, 3 + z, 1)) - 1 >= 8 THEN 0
+      |           WHEN strpos('0123456789abcdef', substr(h, 3 + z, 1)) - 1 >= 4 THEN 1
+      |           WHEN strpos('0123456789abcdef', substr(h, 3 + z, 1)) - 1 >= 2 THEN 2
+      |           ELSE 3 END) + 1 END AS rho
+      |  FROM zed),
+      |panereg AS (SELECT pane, b, MAX(rho) AS mj FROM rhos GROUP BY 1, 2),
+      |offs AS (SELECT unnest([0, 1, 2, 3]) AS off),
+      |winreg AS (
+      |  SELECT pane - off AS w, b, MAX(mj) AS mj
+      |  FROM panereg CROSS JOIN offs
+      |  GROUP BY 1, b),
+      |est AS (
+      |  SELECT w,
+      |    CAST(CAST('6696315672709156913020928' AS HUGEINT)
+      |      // (CAST(1000 AS HUGEINT)
+      |         * (SUM(CAST(CAST(1 AS BIGINT) << (61 - mj) AS HUGEINT))
+      |            + CAST(64 - COUNT(*) AS HUGEINT)
+      |              * CAST(2305843009213693952 AS HUGEINT)))
+      |      AS BIGINT) AS est_users
+      |  FROM winreg GROUP BY w),
+      |exact AS (
+      |  SELECT w, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+      |  FROM (SELECT pane - off AS w, user_id FROM ev CROSS JOIN offs)
+      |  GROUP BY w)
+      |SELECT w * 900 AS w_start_s, est_users, exact_users
+      |FROM est JOIN exact USING (w)
+      |ORDER BY w_start_s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q69_sliding_hll" -> (slidingHll _),
     "q67_revenue_concentration" -> (revenueConcentration _),
     "q66_histograms"      -> (histograms _),
     "q48_countmin_sketch" -> (countMin _),
@@ -689,6 +791,7 @@ object Aggregates {
     "q52_hll_merge"         -> (hllMerge _))
 
   val oracle: Map[String, String] = Map(
+    "q69_sliding_hll" -> slidingHllSql,
     "q67_revenue_concentration" -> revenueConcentrationSql,
     "q66_histograms"   -> histogramsSql,
     "q10_agg_distinct" -> aggDistinctSql,

@@ -414,6 +414,60 @@ object Kv {
       |WHERE c_custkey <= 300
       |ORDER BY key""".stripMargin
 
+  /** kv17: warehouse storage report — the `SHOW TABLES EXTENDED` of the
+    * pot warehouse (A6's listing upgraded with lifecycle facts): one row
+    * per pot with its committed generation count and live row count,
+    * produced from a mixed-lifecycle build (a 2-generation update pot, a
+    * write-once pot, and a 3-generation pot that survived a delete wave
+    * and an insert wave). The inventory an operator consults before
+    * vacuum/compaction — generation count ≈ reclaimable history.
+    */
+  def storageReport(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-pot-report").toString
+    val alpha = PotTable(s, root, "alpha")
+    alpha.upsert(Tables.nation(s, d)
+      .select($"n_nationkey".cast("string").as("key"), $"n_name"))
+    alpha.upsert(Tables.nation(s, d).filter($"n_nationkey" % 5 === 0)
+      .select($"n_nationkey".cast("string").as("key"),
+        concat($"n_name", lit("+")).as("n_name")))
+    val beta = PotTable(s, root, "beta")
+    beta.upsert(Tables.region(s, d)
+      .select($"r_regionkey".cast("string").as("key"), $"r_name"))
+    val gamma = PotTable(s, root, "gamma")
+    val cust = Tables.customer(s, d).filter($"c_custkey" <= 100)
+      .select($"c_custkey".cast("string").as("key"), $"c_mktsegment")
+    gamma.upsert(cust)
+    gamma.remove(cust.filter($"key".cast("bigint") % 9 === 0)
+      .select($"key").as[String].collect().toSeq)
+    gamma.upsert(cust.filter($"key".cast("bigint") % 50 === 0)
+      .select(concat(lit("x"), $"key").as("key"), $"c_mktsegment"))
+    val rows = Seq(("alpha", alpha), ("beta", beta), ("gamma", gamma))
+      .map { case (name, pot) =>
+        pot.get().agg(count(lit(1)).as("n_live"))
+          .select(lit(name).as("pot"),
+            lit(pot.generation).as("n_generations"), $"n_live")
+      }
+    val result = rows.reduce(_ unionByName _)
+      .orderBy($"pot").localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    result
+  }
+
+  val storageReportSql: String =
+    """SELECT 'alpha' AS pot, CAST(2 AS BIGINT) AS n_generations,
+      |  (SELECT COUNT(*) FROM nation) AS n_live
+      |UNION ALL
+      |SELECT 'beta', CAST(1 AS BIGINT), (SELECT COUNT(*) FROM region)
+      |UNION ALL
+      |SELECT 'gamma', CAST(3 AS BIGINT),
+      |  (SELECT COUNT(*) FROM customer
+      |   WHERE c_custkey <= 100 AND c_custkey % 9 <> 0)
+      |  + (SELECT COUNT(*) FROM customer
+      |     WHERE c_custkey <= 100 AND c_custkey % 50 = 0)
+      |ORDER BY pot""".stripMargin
+
   /** Generation diff / change feed (CDC — the data semantics of
     * [[PotTable.diff]], replayed over fixtures so the oracle can check it):
     * BEFORE = customer; AFTER = kv1's upsert (every 10th: balance+1000, seg
@@ -662,6 +716,7 @@ object Kv {
       |ORDER BY fval, key""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kv17_storage_report" -> (storageReport _),
     "kv16_reshard" -> (reshard _),
     "q68_incremental_view" -> (incrementalView _),
     "kv15_replica_convergence" -> (replicaConvergence _),
@@ -681,6 +736,7 @@ object Kv {
     "kv7_generation_diff" -> (generationDiff _))
 
   val oracle: Map[String, String] = Map(
+    "kv17_storage_report" -> storageReportSql,
     "kv16_reshard" -> reshardSql,
     "q68_incremental_view" -> incrementalViewSql,
     "kv15_replica_convergence" -> replicaConvergenceSql,

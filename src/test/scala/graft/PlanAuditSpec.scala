@@ -423,6 +423,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q69 sliding HLL: the pane->window explode runs over registers, not events") {
+    val p = plan("q69_sliding_hll")
+    assert(!p.contains("CartesianProduct"), p)
+    // the register path: rho agg (pane,b) -> explode -> (w,b) agg -> w agg
+    assert(p.contains("partial_"), p)
+    // Generate (the explode) must sit ABOVE a HashAggregate (pane
+    // registers), i.e. the est-branch explode consumes aggregated rows
+    val lines = p.linesIterator.toSeq
+    val genIdx = lines.indexWhere(_.contains("Generate explode"))
+    assert(genIdx >= 0, p)
+    assert(lines.drop(genIdx).exists(_.contains("HashAggregate")),
+      s"explode must consume the pane-register aggregate:\n$p")
+  }
+
   test("kv10-style point get scans one bucket; full get scans many") {
     // lib-level twin of the BucketedPotSpec assertion, kept here with the
     // other plan audits: the pruned read's file set is a single bucket dir

@@ -104,7 +104,9 @@ object ScaleSmoke {
     // tenth batch (kv16 omitted: customer stays 1x-symlinked)
     "t15_heaps_law",
     // twelfth batch
-    "st15_stream_dlq", "t16_lang_confusion", "s23_range_search")
+    "st15_stream_dlq", "t16_lang_confusion", "s23_range_search",
+    // thirteenth batch (kv17 omitted: dimension inputs stay 1x)
+    "q69_sliding_hll")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
