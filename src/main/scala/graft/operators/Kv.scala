@@ -293,15 +293,27 @@ object Kv {
     val plusIns = before.filter($"key" % 13 === 0)
       .withColumn("key", $"key" + 1000000L)
       .withColumn("sign", lit(1L))
-    val deltaAgg = minus.unionByName(plusUpd).unionByName(plusIns)
-      .groupBy($"seg")
+    maintainAgg(s, baseAgg,
+      minus.unionByName(plusUpd).unionByName(plusIns))
+      .orderBy($"seg")
+  }
+
+  /** The IVM merge algebra, factored for q68 and PropertySpec: a
+    * (seg, bn, bc) stored aggregate + (sign, cents, seg, ...) CDC events →
+    * the maintained (seg, n_customers, cents_total), zero-count groups
+    * retired. Pure column algebra — associative and replayable because
+    * every term is an exact BIGINT.
+    */
+  private[graft] def maintainAgg(
+      s: SparkSession, baseAgg: DataFrame, delta: DataFrame): DataFrame = {
+    import s.implicits._
+    val deltaAgg = delta.groupBy($"seg")
       .agg(sum($"sign").as("dn"), sum($"sign" * $"cents").as("dc"))
     baseAgg.join(deltaAgg, Seq("seg"), "full_outer")
       .select($"seg",
         (coalesce($"bn", lit(0L)) + coalesce($"dn", lit(0L))).as("n_customers"),
         (coalesce($"bc", lit(0L)) + coalesce($"dc", lit(0L))).as("cents_total"))
       .filter($"n_customers" > 0)
-      .orderBy($"seg")
   }
 
   /** Oracle: the full rescan of the mutated state — IVM must match it. */

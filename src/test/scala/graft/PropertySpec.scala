@@ -338,4 +338,61 @@ class PropertySpec extends AnyFunSuite {
       assert(sorted.map(_.getLong(4)).sum === f)
     }
   }
+
+  test("property: q68 IVM merge equals full recompute for arbitrary mutation sets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{coalesce, count, lit, sum}
+    val segs = Seq("A", "B", "C")
+    val baseGen = Gen.listOfN(40, for {
+      k <- Gen.chooseNum(1L, 60L)
+      c <- Gen.chooseNum(-5000L, 5000L)
+      s <- Gen.oneOf(segs)
+    } yield (k, c, s)).map(_.distinctBy(_._1))
+    samples(baseGen, 8, 0xC0FFEE).zipWithIndex.foreach { case (rows, i) =>
+      val before = rows.toDF("key", "cents", "seg")
+      // mutation set: delete k%7==i%7, update k%3==i%3 (new cents/seg),
+      // insert 3 fresh keys
+      val delMod = i % 7
+      val updMod = i % 3
+      val del = rows.filter(_._1 % 7 == delMod)
+      val upd = rows.filter(r => r._1 % 3 == updMod && r._1 % 7 != delMod)
+        .map { case (k, c, s) => (k, c + 111L, segs((s.head - 'A' + 1) % 3)) }
+      val ins = (1 to 3).map(j => (1000L + i * 10 + j, j * 7L, segs(j % 3)))
+      val minus = (del ++ rows.filter(r => r._1 % 3 == updMod && r._1 % 7 != delMod))
+        .map { case (k, c, s) => (-1L, c, s) }
+      val plus = (upd ++ ins).map { case (_, c, s) => (1L, c, s) }
+      val baseAgg = before.groupBy($"seg")
+        .agg(count(lit(1)).as("bn"), sum($"cents").as("bc"))
+      val maintained = graft.operators.Kv.maintainAgg(spark, baseAgg,
+          (minus ++ plus).toDF("sign", "cents", "seg"))
+        .orderBy($"seg").collect().toSeq
+      val after = rows.filter(r => r._1 % 7 != delMod)
+        .map { case (k, c, s) =>
+          if (k % 3 == updMod) (k, c + 111L, segs((s.head - 'A' + 1) % 3))
+          else (k, c, s) } ++ ins
+      val direct = after.toDF("key", "cents", "seg").groupBy($"seg")
+        .agg(count(lit(1)).as("n_customers"), sum($"cents").as("cents_total"))
+        .orderBy($"seg").collect().toSeq
+      assert(maintained === direct, s"sample $i")
+    }
+  }
+
+  test("property: d16 canonical pick keeps exactly the longest doc per cluster") {
+    import spark.implicits._
+    val rows = operators.Dedup.canonicalPick(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val lens = Tables.documents(spark, sf)
+      .select($"doc_id", $"n_chars").as[(Long, Long)].collect().toMap
+    rows.groupBy(_.getLong(1)).foreach { case (cluster, members) =>
+      val keeps = members.filter(_.getBoolean(3))
+      assert(keeps.length === 1, s"cluster $cluster must keep exactly one")
+      val keeper = keeps.head.getLong(0)
+      // every member names the keeper as canonical
+      assert(members.forall(_.getLong(2) == keeper))
+      // the keeper maximizes (n_chars, -doc_id)
+      val best = members.map(_.getLong(0))
+        .maxBy(id => (lens(id), -id))
+      assert(keeper === best, s"cluster $cluster")
+    }
+  }
 }
