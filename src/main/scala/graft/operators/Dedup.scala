@@ -1117,7 +1117,88 @@ object Dedup {
       |ORDER BY r.doc_id""".stripMargin
       .replace("__PAIRS__", minhashLshSql)
 
+  /** d17: TF-IDF cosine verification of LSH candidates — the THIRD verify
+    * metric beside d13's edit distance and d5's embedding dot: sparse
+    * lexical cosine weights shared RARE terms high and boilerplate low,
+    * catching pairs that share vocabulary but not wording (edit distance
+    * punishes reordering; tf-idf cosine doesn't). Runs ONLY on d2's
+    * bucket-capped candidate pairs (never a corpus pair scan); the dot is
+    * two (doc, word)-keyed fetch joins over the weighted term relation.
+    *
+    * Determinism: idf = ln(n/df) through the t5 DECIMAL(38,6) cast; every
+    * product (w·w for norms, wa·wb for dots) is cast to DECIMAL(38,6)
+    * BEFORE summation so the aggregation order can't move a ulp; the
+    * final sqrt/division run on identical doubles. `near` at cosine ≥ 0.5.
+    */
+  def tfidfVerify(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val Dec6 = "DECIMAL(38,6)"
+    val docs = Tables.documents(s, d)
+    val toks = docs
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("word"))
+      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+    // idf materialized per WORD (vocab-sized, broadcast) so the 1-row
+    // n_docs scalar join happens once, not once per use of `w`; at a
+    // vocabulary too large to broadcast this join falls back to keyed.
+    val dfIdf = toks.groupBy($"word").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(docs.agg(count(lit(1)).as("n_docs"))))
+      .select($"word", log($"n_docs".cast("double") / $"df")
+        .cast(org.apache.spark.sql.types.DecimalType(38, 6)).cast("double")
+        .as("idf"))
+    val w = toks.join(broadcast(dfIdf), Seq("word"))
+      .select($"doc_id", $"word", ($"tf" * $"idf").as("w"))
+    val norm = w.groupBy($"doc_id")
+      .agg(sqrt(sum(expr(s"CAST(w * w AS $Dec6)")).cast("double")).as("nrm"))
+    val pairs = minhashLsh(s, d).select($"doc_a", $"doc_b")
+    val dots = pairs
+      .join(w.select($"doc_id".as("doc_a"), $"word", $"w".as("wa")), Seq("doc_a"))
+      .join(w.select($"doc_id".as("doc_b"), $"word", $"w".as("wb")),
+        Seq("doc_b", "word"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(sum(expr(s"CAST(wa * wb AS $Dec6)")).cast("double").as("dot"))
+    dots
+      .join(norm.select($"doc_id".as("doc_a"), $"nrm".as("na")), Seq("doc_a"))
+      .join(norm.select($"doc_id".as("doc_b"), $"nrm".as("nb")), Seq("doc_b"))
+      .select($"doc_a", $"doc_b", ($"dot" / ($"na" * $"nb")).as("cos"))
+      .withColumn("near", $"cos" >= 0.5)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val tfidfVerifySql: String =
+    """WITH pairs AS (__PAIRS__),
+      |toks AS (
+      |  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf FROM (
+      |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+      |    FROM documents)
+      |  GROUP BY 1, 2),
+      |dfr AS (SELECT word, COUNT(*) AS df FROM toks GROUP BY 1),
+      |nn AS (SELECT COUNT(*) AS n_docs FROM documents),
+      |w AS (
+      |  SELECT t.doc_id, t.word,
+      |    t.tf * CAST(CAST(LN(CAST(n.n_docs AS DOUBLE) / d.df)
+      |      AS DECIMAL(38,6)) AS DOUBLE) AS w
+      |  FROM toks t JOIN dfr d USING (word) CROSS JOIN nn n),
+      |nrm AS (
+      |  SELECT doc_id,
+      |    sqrt(CAST(SUM(CAST(w * w AS DECIMAL(38,6))) AS DOUBLE)) AS nrm
+      |  FROM w GROUP BY 1),
+      |dots AS (
+      |  SELECT p.doc_a, p.doc_b,
+      |    CAST(SUM(CAST(a.w * b.w AS DECIMAL(38,6))) AS DOUBLE) AS dot
+      |  FROM pairs p
+      |  JOIN w a ON a.doc_id = p.doc_a
+      |  JOIN w b ON b.doc_id = p.doc_b AND b.word = a.word
+      |  GROUP BY 1, 2)
+      |SELECT d.doc_a, d.doc_b, d.dot / (na.nrm * nb.nrm) AS cos,
+      |  d.dot / (na.nrm * nb.nrm) >= 0.5 AS near
+      |FROM dots d
+      |JOIN nrm na ON na.doc_id = d.doc_a
+      |JOIN nrm nb ON nb.doc_id = d.doc_b
+      |ORDER BY doc_a, doc_b""".stripMargin
+      .replace("__PAIRS__", minhashLshSql)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d17_tfidf_verify"   -> (tfidfVerify _),
     "d16_canonical_pick" -> (canonicalPick _),
     "d13_edit_verify"    -> (editVerify _),
     "d14_containment"    -> (containment _),
@@ -1136,6 +1217,7 @@ object Dedup {
     "d9_semantic_dedup"    -> (semanticDedup _))
 
   val oracle: Map[String, String] = Map(
+    "d17_tfidf_verify"     -> tfidfVerifySql,
     "d16_canonical_pick"   -> canonicalPickSql,
     "d10_repeated_spans"   -> repeatedSpansSql,
     "d1_exact_fingerprint" -> exactFingerprintSql,

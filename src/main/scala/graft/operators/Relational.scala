@@ -192,13 +192,57 @@ object Relational {
       |FROM long
       |ORDER BY col""".stripMargin
 
+  /** q70: heterogeneous-format FEDERATION — the same relation split across
+    * CSV, JSON and ORC (the mixed estate every real lake has), read back
+    * through each format's Spark source with an EXPLICIT schema (never
+    * inference — schema drift is a silent killer at 100 TB), unioned, and
+    * aggregated. The oracle aggregates the parquet original directly: the
+    * format plumbing must be invisible in the values, which also proves
+    * the text formats round-trip doubles exactly (Spark writes
+    * shortest-round-trip representations).
+    *
+    * Scale: each leg is an independent parallel scan; the union is a
+    * plan-level concat (no shuffle); the one exchange is the final
+    * aggregation's.
+    */
+  def multiformatUnion(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-formats").toString
+    val li = Tables.lineitem(s, d)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_returnflag")
+    li.filter($"l_linenumber" % 3 === 0)
+      .write.option("header", "true").csv(s"$dir/csv")
+    li.filter($"l_linenumber" % 3 === 1).write.json(s"$dir/json")
+    li.filter($"l_linenumber" % 3 === 2).write.orc(s"$dir/orc")
+    val schema = li.schema
+    val back = s.read.option("header", "true").schema(schema).csv(s"$dir/csv")
+      .unionByName(s.read.schema(schema).json(s"$dir/json"))
+      .unionByName(s.read.schema(schema).orc(s"$dir/orc"))
+    val result = back.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), Ora.dsum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_returnflag")
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    result
+  }
+
+  val multiformatUnionSql: String =
+    s"""SELECT l_returnflag, COUNT(*) AS n,
+       |  ${Ora.sqlSum("l_quantity")} AS sum_qty
+       |FROM lineitem
+       |GROUP BY l_returnflag
+       |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q70_multiformat_union" -> (multiformatUnion _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q2_filter_project"  -> (q2FilterProject _),
     "q60_dq_profile"     -> (dqProfile _),
     "q3_join_revenue"    -> (q3JoinRevenue _))
 
   val oracle: Map[String, String] = Map(
+    "q70_multiformat_union" -> multiformatUnionSql,
     "q1_pricing_summary" -> q1Sql,
     "q2_filter_project"  -> q2Sql,
     "q60_dq_profile"     -> dqProfileSql,

@@ -437,6 +437,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"explode must consume the pane-register aggregate:\n$p")
   }
 
+  test("d17 tf-idf verify: fetch joins keyed, no corpus pair scan") {
+    val p = plan("d17_tfidf_verify")
+    assert(!p.contains("CartesianProduct"), p)
+    // nested loops may appear ONLY as the 1-row n_docs scalar cross join
+    // (replicated once per use of the weighted-term subtree); every
+    // BNLJ build side must be that single-row aggregate, never a table
+    p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .foreach(l => assert(l.contains("Cross"), s"non-scalar BNLJ:\n$l\n$p"))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p)
+  }
+
   test("kv10-style point get scans one bucket; full get scans many") {
     // lib-level twin of the BucketedPotSpec assertion, kept here with the
     // other plan audits: the pruned read's file set is a single bucket dir

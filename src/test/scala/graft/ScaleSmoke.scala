@@ -106,7 +106,10 @@ object ScaleSmoke {
     // twelfth batch
     "st15_stream_dlq", "t16_lang_confusion", "s23_range_search",
     // thirteenth batch (kv17 omitted: dimension inputs stay 1x)
-    "q69_sliding_hll")
+    "q69_sliding_hll",
+    // fourteenth batch (q70 omitted: lineitem replicas measure the
+    // format write, not the union read)
+    "d17_tfidf_verify")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
