@@ -383,7 +383,65 @@ object Extensibility {
       |GROUP BY 1
       |ORDER BY pot""".stripMargin
 
+  /** u13: a TABLE-VALUED FUNCTION — `graft_pot('<glob>')` in FROM position
+    * resolves to the PotV2 DSv2 relation, completing the SQL extension
+    * family (scalar expressions u7/u8, aggregate u9, optimizer rule u11,
+    * connector u10/u12 — and now relations): a SQL-only user queries pot
+    * buckets without ever seeing `spark.read.format(...)`. Registered via
+    * the table-function registry (the live-session twin of
+    * `SparkSessionExtensions.injectTableFunction`); the path argument must
+    * be a STRING literal (it parameterizes planning, not rows — same
+    * discipline as the expression family's geometry args). Pushdowns
+    * compose: the relation the TVF returns is the same scan u12 proved
+    * prunes, filters and aggregates.
+    */
+  def sqlTvf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.sessionState.tableFunctionRegistry.registerFunction(
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_pot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.sources.PotV2Source].getName, "graft_pot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        val path = exprs match {
+          case Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+            p: org.apache.spark.unsafe.types.UTF8String, _)) => p.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_pot: expected one STRING literal path, got $other")
+        }
+        org.apache.spark.sql.SparkSession.active
+          .read.format(classOf[graft.sources.PotV2Source].getName)
+          .option("path", path).load()
+          .queryExecution.analyzed
+      })
+    val dir = java.nio.file.Files.createTempDirectory("graft-potv2tvf").toString
+    val rows = Tables.nation(s, d)
+      .select($"n_nationkey", $"n_name", $"n_regionkey").collect()
+    def potJson(parity: Int): String =
+      rows.filter(_.getInt(0) % 2 == parity)
+        .map(r => s""""n${r.getInt(0)}": {"id": "n${r.getInt(0)}", """ +
+          s""""name": "${r.getString(1)}", "region": ${r.getInt(2)}}""")
+        .mkString("{", ", ", "}")
+    Seq(0, 1).foreach { par =>
+      val pd = java.nio.file.Paths.get(dir, s"nation_$par")
+      java.nio.file.Files.createDirectories(pd)
+      java.nio.file.Files.writeString(pd.resolve("data.json"), potJson(par))
+    }
+    val result = s.sql(
+      s"""SELECT key,
+         |  get_json_object(doc_json, '$$.name') AS name,
+         |  CAST(get_json_object(doc_json, '$$.region') AS INT) AS region
+         |FROM graft_pot('$dir/*/data.json')
+         |ORDER BY key""".stripMargin)
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    result
+  }
+
+  /** Oracle: u10's SQL verbatim — the TVF must be just syntax. */
+  val sqlTvfSql: String = dsv2PotReadSql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u13_sql_tvf" -> (sqlTvf _),
     "u12_dsv2_agg_pushdown" -> (dsv2AggPushdown _),
     "u11_rule_dot_rewrite" -> (hofDotRewrite _),
     "u10_dsv2_pot_read" -> (dsv2PotRead _),
@@ -398,6 +456,7 @@ object Extensibility {
     "u5_typed_dataset"  -> (typedDataset _))
 
   val oracle: Map[String, String] = Map(
+    "u13_sql_tvf" -> sqlTvfSql,
     "u12_dsv2_agg_pushdown" -> dsv2AggPushdownSql,
     "u11_rule_dot_rewrite" -> hofDotRewriteSql,
     "u10_dsv2_pot_read" -> dsv2PotReadSql,

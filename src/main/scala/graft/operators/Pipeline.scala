@@ -1084,7 +1084,79 @@ object Pipeline {
       |FROM per CROSS JOIN tot
       |ORDER BY decile""".stripMargin
 
+  /** p20: repeat-budget mixing (the data-constrained scaling recipe —
+    * Muennighoff et al. 2023: when tokens are scarce, repeat GOOD data
+    * rather than adding bad): p19's quality deciles are banded into
+    * tiers — top 3 deciles repeat ×4, middle 4 ×2, bottom 3 ×1 — and the
+    * policy table reports, per tier, the unique volume, the repeat
+    * factor, and the effective (expanded) token contribution with its
+    * exact-ppm share of the effective corpus. The table IS the
+    * deliverable: it is what a training-run config consumes.
+    *
+    * Scale: p19's decile machinery + a 3-row rollup; the expansion is
+    * arithmetic on aggregates, never a physical row multiplication (p10
+    * does the physical repeat; this op decides the budget).
+    */
+  def repeatBudget(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(s, d)
+      .select($"doc_id", $"n_chars",
+        size(split($"text", " ")).cast("long").as("tok"))
+      .withColumn("score", expr("(n_chars * 1000L) div tok"))
+    val deciled = scored.withColumn("decile",
+      ntile(10).over(Window.orderBy($"score".desc, $"doc_id")))
+    val tiered = deciled.withColumn("tier",
+      when($"decile" <= 3, "high")
+        .when($"decile" <= 7, "mid")
+        .otherwise("low"))
+      .withColumn("repeats",
+        when($"decile" <= 3, 4L).when($"decile" <= 7, 2L).otherwise(1L))
+    val per = tiered.groupBy($"tier", $"repeats")
+      .agg(count(lit(1)).as("n_docs"), sum($"tok").as("tok_unique"))
+      .withColumn("tok_effective", $"tok_unique" * $"repeats")
+    per.crossJoin(broadcast(
+        per.agg(sum($"tok_effective").as("tok_eff_total"))))
+      .withColumn("share_ppm",
+        expr("tok_effective * 1000000L div tok_eff_total"))
+      .select($"tier", $"repeats", $"n_docs", $"tok_unique",
+        $"tok_effective", $"share_ppm")
+      .orderBy($"tier")
+  }
+
+  val repeatBudgetSql: String =
+    """WITH scored AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok,
+      |    (n_chars * 1000) // CAST(len(string_split(text, ' ')) AS BIGINT)
+      |      AS score
+      |  FROM documents),
+      |deciled AS (
+      |  SELECT tok,
+      |    CAST(NTILE(10) OVER (ORDER BY score DESC, doc_id) AS INTEGER)
+      |      AS decile
+      |  FROM scored),
+      |tiered AS (
+      |  SELECT tok,
+      |    CASE WHEN decile <= 3 THEN 'high'
+      |         WHEN decile <= 7 THEN 'mid' ELSE 'low' END AS tier,
+      |    CAST(CASE WHEN decile <= 3 THEN 4
+      |         WHEN decile <= 7 THEN 2 ELSE 1 END AS BIGINT) AS repeats
+      |  FROM deciled),
+      |per AS (
+      |  SELECT tier, repeats, COUNT(*) AS n_docs,
+      |    CAST(SUM(tok) AS BIGINT) AS tok_unique,
+      |    CAST(SUM(tok) AS BIGINT) * repeats AS tok_effective
+      |  FROM tiered GROUP BY 1, 2),
+      |tot AS (SELECT CAST(SUM(tok_effective) AS BIGINT) AS tok_eff_total
+      |        FROM per)
+      |SELECT tier, repeats, n_docs, tok_unique, tok_effective,
+      |  tok_effective * 1000000 // tok_eff_total AS share_ppm
+      |FROM per CROSS JOIN tot
+      |ORDER BY tier""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p20_repeat_budget"    -> (repeatBudget _),
     "p19_prune_curve"      -> (pruneCurve _),
     "p18_dataset_card"     -> (datasetCard _),
     "p17_curriculum"       -> (curriculum _),
@@ -1106,6 +1178,7 @@ object Pipeline {
     "p7_bloom_decontaminate" -> (bloomDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "p20_repeat_budget"    -> repeatBudgetSql,
     "p19_prune_curve"      -> pruneCurveSql,
     "p18_dataset_card"     -> datasetCardSql,
     "p17_curriculum"       -> curriculumSql,

@@ -109,7 +109,9 @@ object ScaleSmoke {
     "q69_sliding_hll",
     // fourteenth batch (q70 omitted: lineitem replicas measure the
     // format write, not the union read)
-    "d17_tfidf_verify")
+    "d17_tfidf_verify",
+    // fifteenth batch (u13 omitted: nation stays 1x-symlinked)
+    "p20_repeat_budget")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
