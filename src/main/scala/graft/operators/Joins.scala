@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Ora, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join surface: semi / anti / outer / full-outer / theta(band) / cross
@@ -252,7 +253,65 @@ object Joins {
       .replace("__B2__", byte(3))
   }
 
+  /** q71: NEAREST-event join — for every purchase, the click by the same
+    * user closest in EITHER time direction within ±1 h (q35's as-of is
+    * backward-only; sensor/interpolation workloads want nearest). Same
+    * no-BNLJ discipline as q44: purchases explode to their hour bucket ±1
+    * (3 rows), clicks join on the (user, bucket) equi key, the band
+    * predicate filters, and one per-purchase window keeps the minimum
+    * |Δt| with an (abs diff, click id) unique tie-break. Purchases with
+    * no click in range drop (inner semantics — the outer form is st11's).
+    *
+    * Scale: the explode is ×3 on ONE side; the join is equi on
+    * (user, bucket) so it shuffles, never nest-loops; the window is keyed
+    * by purchase id.
+    */
+  def nearestEventJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val hourUs = 3600L * 1000000L
+    val ev = Tables.events(s, d)
+      .select($"event_id", $"user_id", $"event_type",
+        expr("unix_micros(ts)").as("us"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"user_id", $"us".as("p_us"),
+        expr(s"us div ${hourUs}L").as("b"))
+      .withColumn("bucket", explode(array($"b" - 1, $"b", $"b" + 1)))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("c_id"), $"user_id", $"us".as("c_us"),
+        expr(s"us div ${hourUs}L").as("bucket"))
+    val w = Window.partitionBy($"p_id")
+      .orderBy(abs($"p_us" - $"c_us").asc, $"c_id".asc)
+    purchases.join(clicks, Seq("user_id", "bucket"))
+      .filter(abs($"p_us" - $"c_us") <= hourUs)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"p_id", $"user_id", $"p_us", $"c_id", $"c_us",
+        ($"p_us" - $"c_us").as("delta_us"))
+      .orderBy($"p_id")
+  }
+
+  val nearestEventJoinSql: String =
+    """WITH ev AS (
+      |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+      |  FROM events),
+      |p AS (SELECT event_id AS p_id, user_id, us AS p_us FROM ev
+      |      WHERE event_type = 'purchase'),
+      |c AS (SELECT event_id AS c_id, user_id, us AS c_us FROM ev
+      |      WHERE event_type = 'click'),
+      |cand AS (
+      |  SELECT p.p_id, p.user_id, p.p_us, c.c_id, c.c_us
+      |  FROM p JOIN c USING (user_id)
+      |  WHERE abs(p.p_us - c.c_us) <= 3600000000)
+      |SELECT p_id, user_id, p_us, c_id, c_us, p_us - c_us AS delta_us
+      |FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY p_id
+      |    ORDER BY abs(p_us - c_us), c_id) AS rn
+      |  FROM cand)
+      |WHERE rn = 1
+      |ORDER BY p_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q71_nearest_event" -> (nearestEventJoin _),
     "q44_range_join"       -> (rangeJoin _),
     "q36_join_right_outer" -> (rightOuter _),
     "q37_null_safe_eq"     -> (nullSafeEq _),
@@ -264,6 +323,7 @@ object Joins {
     "q9_join_cross"      -> (cross _))
 
   val oracle: Map[String, String] = Map(
+    "q71_nearest_event"    -> nearestEventJoinSql,
     "q44_range_join"       -> rangeJoinSql,
     "q36_join_right_outer" -> rightOuterSql,
     "q37_null_safe_eq"     -> nullSafeEqSql,

@@ -1081,7 +1081,57 @@ object Similarity {
        |WHERE w.dist <= $RangeR
        |ORDER BY dist, vec_id""".stripMargin
 
+  /** s24: per-label centroid shift matrix — the embedding-drift /
+    * domain-separation diagnostic: each label's integer centroid
+    * (component-wise floor-divided mean in the [[KMeans.QScale]] domain —
+    * the same order-free arithmetic that makes s9 oracle-exact) and the
+    * pairwise squared-L2 distances between centroids. Far-apart labels
+    * separate cleanly for a classifier; a label pair that collapses
+    * toward 0 is the drift/mislabeling signal. The matrix is
+    * |labels|²/2 rows regardless of corpus size.
+    *
+    * Scale: one (label, component) partial agg over the exploded
+    * quantized corpus (the only corpus-sized stage), then a self-join of
+    * a |labels|×dim relation — broadcast-sized at any corpus.
+    */
+  def centroidShift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = Tables.embeddings(s, d)
+      .select($"label", posexplode(expr(
+        s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${KMeans.QScale}.0) AS BIGINT))"))
+        .as(Seq("i", "qv")))
+    val cents = q.groupBy($"label", $"i")
+      .agg(sum($"qv").as("sm"), count(lit(1)).as("n"))
+      .select($"label", $"i",
+        expr("(sm - pmod(sm, n)) div n").as("c"))
+    val dists = cents.select($"label".as("label_a"), $"i", $"c".as("ca"))
+      .join(cents.select($"label".as("label_b"), $"i", $"c".as("cb")), Seq("i"))
+      .filter($"label_a" < $"label_b")
+      .groupBy($"label_a", $"label_b")
+      .agg(sum(($"ca" - $"cb") * ($"ca" - $"cb")).as("dist"))
+    dists.orderBy($"label_a", $"label_b")
+  }
+
+  val centroidShiftSql: String =
+    s"""WITH q AS (
+       |  SELECT label, CAST(i AS INTEGER) - 1 AS i,
+       |    CAST(floor(CAST(embedding[CAST(i AS INTEGER)] AS DOUBLE)
+       |      * ${KMeans.QScale}.0) AS BIGINT) AS qv
+       |  FROM embeddings CROSS JOIN range(1, ${KMeans.Dim + 1}) t(i)),
+       |cents AS (
+       |  SELECT label, i,
+       |    (s - ((s % n + n) % n)) // n AS c
+       |  FROM (SELECT label, i, CAST(SUM(qv) AS BIGINT) AS s,
+       |          COUNT(*) AS n
+       |        FROM q GROUP BY 1, 2))
+       |SELECT a.label AS label_a, b.label AS label_b,
+       |  CAST(SUM((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS dist
+       |FROM cents a JOIN cents b ON a.i = b.i AND a.label < b.label
+       |GROUP BY 1, 2
+       |ORDER BY label_a, label_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s24_centroid_shift" -> (centroidShift _),
     "s23_range_search"   -> (rangeSearch _),
     "s13_quant_error"    -> (quantizationError _),
     "s12_ann_filtered"   -> (annFiltered _),
@@ -1102,6 +1152,7 @@ object Similarity {
     "s17_ann_deletes"    -> (annWithDeletes _))
 
   val oracle: Map[String, String] = Map(
+    "s24_centroid_shift" -> centroidShiftSql,
     "s23_range_search"   -> rangeSearchSql,
     "s15_two_stage_rerank" -> twoStageRerankSql,
     "s16_hybrid_rrf"     -> hybridRrfSql,

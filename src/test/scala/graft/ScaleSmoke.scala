@@ -111,7 +111,9 @@ object ScaleSmoke {
     // format write, not the union read)
     "d17_tfidf_verify",
     // fifteenth batch (u13 omitted: nation stays 1x-symlinked)
-    "p20_repeat_budget")
+    "p20_repeat_budget",
+    // sixteenth batch
+    "q71_nearest_event", "s24_centroid_shift")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
