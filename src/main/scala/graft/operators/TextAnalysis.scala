@@ -816,7 +816,55 @@ object TextAnalysis {
        |FROM per p JOIN tot t USING (labeled_lang)
        |ORDER BY labeled_lang, predicted_lang""".stripMargin
 
+  /** t17: term burstiness (Fano factor) — variance-to-mean ratio of a
+    * word's per-document counts over ALL documents (zeros included — they
+    * contribute nothing to the sums, so the word-grouped sums suffice):
+    * VMR = (N·Σx² − (Σx)²) / (N·Σx), exact integers end to end, emitted
+    * as ppm. Content words are bursty (VMR ≫ 1: absent mostly, repeated
+    * where topical); function words are Poisson-ish (VMR ≈ 1) — the
+    * signal that separates them without any stopword list, feeding
+    * keyword extraction and quality scoring. Top-20 by burstiness.
+    *
+    * Scale: one (doc, word) count + one word rollup; the top-20 is
+    * TakeOrderedAndProject.
+    */
+  def burstiness(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val perDoc = docs
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("word"))
+      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("x"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    perDoc.groupBy($"word")
+      .agg(count(lit(1)).as("df"), sum($"x").as("sx"),
+        sum($"x" * $"x").as("sxx"))
+      .crossJoin(broadcast(n))
+      .select($"word", $"df", $"sx",
+        expr("(n_docs * sxx - sx * sx) * 1000000L div (n_docs * sx)")
+          .as("fano_ppm"))
+      .orderBy($"fano_ppm".desc, $"word")
+      .limit(20)
+  }
+
+  val burstinessSql: String =
+    """WITH perdoc AS (
+      |  SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS x FROM (
+      |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+      |    FROM documents)
+      |  GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT word, COUNT(*) AS df, CAST(SUM(x) AS BIGINT) AS sx,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx
+      |  FROM perdoc GROUP BY 1),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
+      |SELECT word, df, sx,
+      |  (n_docs * sxx - sx * sx) * 1000000 // (n_docs * sx) AS fano_ppm
+      |FROM agg CROSS JOIN nn
+      |ORDER BY fano_ppm DESC, word
+      |LIMIT 20""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t17_burstiness"      -> (burstiness _),
     "t16_lang_confusion"  -> (langConfusion _),
     "t15_heaps_law"       -> (heapsLaw _),
     "t14_ngram_novelty"   -> (ngramNovelty _),
@@ -835,6 +883,7 @@ object TextAnalysis {
     "t6_pii_scrub"    -> (piiScrub _))
 
   val oracle: Map[String, String] = Map(
+    "t17_burstiness"      -> burstinessSql,
     "t16_lang_confusion"  -> langConfusionSql,
     "t15_heaps_law"       -> heapsLawSql,
     "t14_ngram_novelty"   -> ngramNoveltySql,

@@ -372,7 +372,74 @@ object TimeWindows {
        |GROUP BY day
        |ORDER BY day""".stripMargin
 
+  /** q72: interval COVERAGE — per user, the union length of overlapping
+    * activity intervals (each event opens [ts, ts+15 min)): the
+    * "effective time engaged" measure that double-counts nothing however
+    * events cluster, and the classic interval-union algorithm expressed
+    * relationally: order a user's intervals by start, carry the running
+    * max end over PRECEDING rows, and a new island begins exactly where
+    * start > that max (strictly — touching intervals merge). Emits per
+    * user the merged-interval count and total covered microseconds.
+    *
+    * Scale: one user-keyed window (the family's shared exchange) + one
+    * user agg; no self-join of intervals, no explode over time grids.
+    */
+  def intervalCoverage(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val spanUs = 15L * 60 * 1000000L
+    val iv = Tables.events(s, d)
+      .select($"user_id", $"event_id",
+        expr("unix_micros(ts)").as("st"),
+        (expr("unix_micros(ts)") + spanUs).as("en"))
+    val w = Window.partitionBy($"user_id").orderBy($"st", $"event_id")
+    val runMax = w.rowsBetween(Window.unboundedPreceding, -1)
+    val islanded = iv
+      .withColumn("prev_max_en", max($"en").over(runMax))
+      .withColumn("new_island",
+        when($"prev_max_en".isNull || $"st" > $"prev_max_en", 1L).otherwise(0L))
+      .withColumn("island", sum($"new_island").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    islanded.groupBy($"user_id", $"island")
+      .agg(min($"st").as("ist"), max($"en").as("ien"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum($"ien" - $"ist").as("covered_us"))
+      .orderBy($"user_id")
+  }
+
+  val intervalCoverageSql: String =
+    """WITH iv AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS st,
+      |    epoch_us(ts) + 900000000 AS en
+      |  FROM events),
+      |marked AS (
+      |  SELECT user_id, st, en,
+      |    CASE WHEN MAX(en) OVER (PARTITION BY user_id
+      |        ORDER BY st, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+      |      OR st > MAX(en) OVER (PARTITION BY user_id
+      |        ORDER BY st, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      THEN 1 ELSE 0 END AS new_island,
+      |    event_id
+      |  FROM iv),
+      |isl AS (
+      |  SELECT user_id, st, en,
+      |    SUM(new_island) OVER (PARTITION BY user_id
+      |      ORDER BY st, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM marked),
+      |merged AS (
+      |  SELECT user_id, island, MIN(st) AS ist, MAX(en) AS ien
+      |  FROM isl GROUP BY 1, 2)
+      |SELECT user_id, COUNT(*) AS n_intervals,
+      |  CAST(SUM(ien - ist) AS BIGINT) AS covered_us
+      |FROM merged
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_interval_coverage" -> (intervalCoverage _),
     "q65_semi_additive" -> (semiAdditive _),
     "q64_markov_transitions" -> (markovTransitions _),
     "q32_win_tumbling" -> (tumbling _),
@@ -384,6 +451,7 @@ object TimeWindows {
     "q55_retention"    -> (retention _))
 
   val oracle: Map[String, String] = Map(
+    "q72_interval_coverage" -> intervalCoverageSql,
     "q65_semi_additive" -> semiAdditiveSql,
     "q64_markov_transitions" -> markovTransitionsSql,
     "q32_win_tumbling" -> tumblingSql,

@@ -460,6 +460,20 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q72 interval coverage: both windows + aggs ride the user_id exchange") {
+    val p = plan("q72_interval_coverage")
+    val n = p.sliding("Exchange hashpartitioning".length)
+      .count(_ == "Exchange hashpartitioning")
+    assert(n <= 1, s"expected <=1 hash exchange, got $n:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t17 burstiness: keyed rollups, TakeOrdered top-20") {
+    val p = plan("t17_burstiness")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_"), p)
+  }
+
   test("kv10-style point get scans one bucket; full get scans many") {
     // lib-level twin of the BucketedPotSpec assertion, kept here with the
     // other plan audits: the pruned read's file set is a single bucket dir

@@ -113,7 +113,9 @@ object ScaleSmoke {
     // fifteenth batch (u13 omitted: nation stays 1x-symlinked)
     "p20_repeat_budget",
     // sixteenth batch
-    "q71_nearest_event", "s24_centroid_shift")
+    "q71_nearest_event", "s24_centroid_shift",
+    // seventeenth batch
+    "q72_interval_coverage", "t17_burstiness")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
