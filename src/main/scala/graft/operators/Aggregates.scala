@@ -576,14 +576,12 @@ object Aggregates {
     * family that needs no [[graft.Ora]] decimal guard).
     *
     * Scale: equi-width is one partial-aggregating groupBy (bin count is
-    * value-bounded). The exact NTILE is the fixture-contract total order;
-    * at 100 TB depth boundaries come from approx_percentile (one small
-    * agg) and bucket assignment becomes a broadcast range lookup — same
-    * output contract, no single-partition window.
+    * value-bounded). The exact NTILE goes through [[DistRank]]'s
+    * distributed rank (price-range buckets + broadcast offsets) — exact
+    * same values as a flat window, no single-partition stage.
     */
   def histograms(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val o = Tables.orders(s, d).select($"o_orderkey", $"o_totalprice")
     def profile(df: org.apache.spark.sql.DataFrame, kind: String) = df
       .groupBy($"bucket")
@@ -593,8 +591,9 @@ object Aggregates {
     val width = profile(
       o.withColumn("bucket", floor($"o_totalprice" / 1000.0)), "width")
     val depth = profile(
-      o.withColumn("bucket", ntile(10)
-        .over(Window.orderBy($"o_totalprice", $"o_orderkey")).cast("long")),
+      DistRank.withNtile(o, 10, "bucket",
+          $"o_totalprice", desc = false, Seq($"o_orderkey"))
+        .withColumn("bucket", $"bucket".cast("long")),
       "depth")
     width.unionByName(depth).orderBy($"kind", $"bucket")
   }
@@ -625,24 +624,26 @@ object Aggregates {
     * shares are exact integer ppm and the cumulative column is a plain
     * BIGINT running sum. Decile 1 = highest-value orders.
     *
-    * Scale: p19's shape — contracted NTILE assignment, then a 10-row
-    * window; the only corpus-sized work is one partial-agg groupBy.
+    * Scale: p19's shape — [[DistRank]] NTILE assignment (no
+    * single-partition window), then a triangle self-join over the 10-row
+    * decile frame for the exact-BIGINT cumulative; the only corpus-sized
+    * work is one partial-agg groupBy.
     */
   def revenueConcentration(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val o = Tables.orders(s, d)
       .select($"o_orderkey",
         ($"o_totalprice".cast(org.apache.spark.sql.types.DecimalType(38, 2))
           * 100).cast("long").as("cents"))
-    val deciled = o.withColumn("decile",
-      ntile(10).over(Window.orderBy($"cents".desc, $"o_orderkey")))
+    val deciled = DistRank.withNtile(o, 10, "decile",
+      $"cents", desc = true, Seq($"o_orderkey"))
     val per = deciled.groupBy($"decile")
       .agg(count(lit(1)).as("n_orders"), sum($"cents").as("cents_decile"))
-    val w = Window.orderBy($"decile")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     per
-      .withColumn("cents_cum", sum($"cents_decile").over(w))
+      .join(broadcast(per.select($"decile".as("d2"), $"cents_decile".as("c2"))),
+        $"d2" <= $"decile")
+      .groupBy($"decile", $"n_orders", $"cents_decile")
+      .agg(sum($"c2").as("cents_cum"))
       .crossJoin(broadcast(o.agg(sum($"cents").as("cents_total"))))
       .select($"decile", $"n_orders", $"cents_decile",
         expr("cents_decile * 1000000L div cents_total").as("share_ppm"),

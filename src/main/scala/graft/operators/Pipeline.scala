@@ -930,26 +930,29 @@ object Pipeline {
     * ascending-score order inside a stage would correlate adjacent batches).
     * Output is the full schedule: position → doc with its stage and score.
     *
-    * Scale: the fixture-contract total order (NTILE + global row_number) is
-    * the driver's determinism requirement; at 100 TB the stage boundaries
-    * come from approx score quantiles (one small agg) and the position from
-    * repartitionByRange(stage, coin) + per-partition offsets — same
-    * schedule, no single-partition window. The md5 coin is pure
+    * Scale: BOTH total orders go through [[DistRank]]'s distributed rank —
+    * the stage NTILE buckets on the score's value range, the position
+    * row_number on the (stage, first-hex-of-coin) composite (monotone in
+    * (stage, coin) because lowercase hex sorts in digit order) — so the
+    * schedule is bit-identical to the flat-window oracle with no
+    * single-partition stage anywhere. The md5 coin is pure
     * column-function work, codegen'd, no RNG state.
     */
   def curriculum(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
       .select($"doc_id", $"n_chars",
         size(split($"text", " ")).cast("long").as("tok"))
       .withColumn("score", expr("(n_chars * 1000L) div tok"))
       .withColumn("coin",
         substring(md5(concat(lit("cur:"), $"doc_id".cast("string"))), 1, 8))
-    val staged = docs.withColumn("stage",
-      ntile(4).over(Window.orderBy($"score", $"doc_id")))
-    staged.withColumn("pos",
-        row_number().over(Window.orderBy($"stage", $"coin", $"doc_id")))
+    val staged = DistRank.withNtile(docs, 4, "stage",
+      $"score", desc = false, Seq($"doc_id"))
+    val posBucket = $"stage".cast("long") * 16 +
+      conv(substring($"coin", 1, 1), 16, 10).cast("long")
+    DistRank.withRowNumberBucketed(staged, posBucket, "posl",
+        Seq($"stage", $"coin", $"doc_id"))
+      .withColumn("pos", $"posl".cast("int"))
       .select($"pos", $"doc_id", $"stage", $"score", $"coin")
       .orderBy($"pos")
   }
@@ -1031,25 +1034,27 @@ object Pipeline {
     * pruned, and that retention as exact integer ppm of the corpus. The
     * curve turns "prune at p30?" from a guess into a lookup.
     *
-    * Scale: the decile assignment is the contracted NTILE total order
-    * (approx-quantile bounds at 100 TB, p17's note); the curve itself is
-    * a 10-row window — free at any corpus size.
+    * Scale: the decile assignment is [[DistRank]]'s distributed NTILE
+    * (score-range buckets, no single-partition window); the cumulative
+    * column is a triangle self-join over the 10-row decile frame — exact
+    * BIGINT sums, so join-order never matters, and the whole plan stays
+    * free of unpartitioned windows.
     */
   def pruneCurve(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val scored = Tables.documents(s, d)
       .select($"doc_id", $"n_chars",
         size(split($"text", " ")).cast("long").as("tok"))
       .withColumn("score", expr("(n_chars * 1000L) div tok"))
-    val deciled = scored.withColumn("decile",
-      ntile(10).over(Window.orderBy($"score".desc, $"doc_id")))
+    val deciled = DistRank.withNtile(scored, 10, "decile",
+      $"score", desc = true, Seq($"doc_id"))
     val per = deciled.groupBy($"decile")
       .agg(count(lit(1)).as("n_docs"), sum($"tok").as("tok_decile"))
-    val w = Window.orderBy($"decile")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     per
-      .withColumn("tok_retained", sum($"tok_decile").over(w))
+      .join(broadcast(per.select($"decile".as("d2"), $"tok_decile".as("t2"))),
+        $"d2" <= $"decile")
+      .groupBy($"decile", $"n_docs", $"tok_decile")
+      .agg(sum($"t2").as("tok_retained"))
       .crossJoin(broadcast(scored.agg(sum($"tok").as("tok_total"))))
       .withColumn("retained_ppm", expr("tok_retained * 1000000L div tok_total"))
       .select($"decile", $"n_docs", $"tok_decile", $"tok_retained",
@@ -1093,19 +1098,19 @@ object Pipeline {
     * exact-ppm share of the effective corpus. The table IS the
     * deliverable: it is what a training-run config consumes.
     *
-    * Scale: p19's decile machinery + a 3-row rollup; the expansion is
+    * Scale: p19's decile machinery ([[DistRank]] NTILE, no
+    * single-partition window) + a 3-row rollup; the expansion is
     * arithmetic on aggregates, never a physical row multiplication (p10
     * does the physical repeat; this op decides the budget).
     */
   def repeatBudget(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val scored = Tables.documents(s, d)
       .select($"doc_id", $"n_chars",
         size(split($"text", " ")).cast("long").as("tok"))
       .withColumn("score", expr("(n_chars * 1000L) div tok"))
-    val deciled = scored.withColumn("decile",
-      ntile(10).over(Window.orderBy($"score".desc, $"doc_id")))
+    val deciled = DistRank.withNtile(scored, 10, "decile",
+      $"score", desc = true, Seq($"doc_id"))
     val tiered = deciled.withColumn("tier",
       when($"decile" <= 3, "high")
         .when($"decile" <= 7, "mid")

@@ -726,21 +726,22 @@ object TextAnalysis {
     */
   def heapsLaw(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val docs = Tables.documents(s, d)
       .select($"doc_id", split($"text", " ").as("w"))
       .withColumn("tok", size($"w").cast("long"))
-    val checkpoints = docs
-      .withColumn("decile", ntile(10).over(Window.orderBy($"doc_id")))
+    // checkpoint assignment via DistRank's distributed NTILE (doc_id-range
+    // buckets — no single-partition window); both cumulative columns via
+    // one triangle self-join over the 10-row decile frame (exact BIGINT).
+    val cp = DistRank.withNtile(docs, 10, "decile",
+        $"doc_id", desc = false, Nil)
       .groupBy($"decile")
       .agg(max($"doc_id").as("cutoff"), count(lit(1)).as("nd"),
         sum($"tok").as("nt"))
-      .withColumn("n_docs",
-        sum($"nd").over(Window.orderBy($"decile")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("n_tokens",
-        sum($"nt").over(Window.orderBy($"decile")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val checkpoints = cp
+      .join(broadcast(cp.select($"decile".as("d2"), $"nd".as("nd2"),
+        $"nt".as("nt2"))), $"d2" <= $"decile")
+      .groupBy($"decile", $"cutoff")
+      .agg(sum($"nd2").as("n_docs"), sum($"nt2").as("n_tokens"))
       .select($"decile", $"cutoff", $"n_docs", $"n_tokens")
     val firstSeen = docs.select($"doc_id", explode($"w").as("word"))
       .groupBy($"word").agg(min($"doc_id").as("first_seen"))

@@ -96,10 +96,10 @@ object TimeWindows {
     * contribution to the cumulative curve happens exactly once, on their
     * FIRST day — so cum_distinct(day) = running_sum(new_users), where
     * new_users comes from one user-keyed min() aggregation. Shapes: one
-    * user-keyed agg + two day-keyed aggs + a running sum over the
-    * per-DAY frame (#days rows — the one single-partition window here is
-    * over the calendar, not the data). Daily active users ride along for
-    * the new-vs-returning read.
+    * user-keyed agg + two day-keyed aggs + a triangle self-join running
+    * sum over the per-DAY frame (#days² calendar pairs — trivial, and it
+    * keeps the plan free of single-partition windows). Daily active
+    * users ride along for the new-vs-returning read.
     */
   def cumulativeDistinct(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -109,12 +109,19 @@ object TimeWindows {
       .groupBy($"day").agg(count(lit(1)).as("new_users"))
     val active = ev.groupBy($"day")
       .agg(countDistinct($"user_id").as("active_users"))
-    val w = Window.orderBy($"day")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    active.join(newPerDay, Seq("day"), "left")
+    // cumulative via a triangle self-join over the per-day frame (exact
+    // BIGINT sums; #days² pairs — trivial at any corpus size) instead of
+    // an unpartitioned running-sum window: keeps the whole suite free of
+    // single-partition WindowExec stages (PlanAuditSpec pins this).
+    val base = active.join(newPerDay, Seq("day"), "left")
       .withColumn("new_users", coalesce($"new_users", lit(0L)))
+    base
+      .join(broadcast(base.select($"day".as("d2"), $"new_users".as("nu2"))),
+        $"d2" <= $"day")
+      .groupBy($"day", $"active_users", $"new_users")
+      .agg(sum($"nu2").as("cum_distinct_users"))
       .select(unix_timestamp($"day").as("day_s"), $"active_users",
-        $"new_users", sum($"new_users").over(w).as("cum_distinct_users"))
+        $"new_users", $"cum_distinct_users")
       .orderBy($"day_s")
   }
 

@@ -214,6 +214,23 @@ class PlanAuditSpec extends AnyFunSuite {
       .findFirstIn(p).isDefined, p)
   }
 
+  test("distributed rank: the six former single-partition sorts rank within buckets") {
+    // p17/p19/p20/q66/q67/t15 once computed NTILE/row_number through
+    // Window.orderBy with no partition key — the whole corpus through one
+    // task. They now go through DistRank (monotone value-range buckets +
+    // broadcast cumulative offsets); this pins the physical shape. The
+    // blanket no-unpartitioned-Window guard over ALL queries lives in
+    // QueriesSpec's per-query loop (one construction per JVM).
+    for (q <- Seq("p17_curriculum", "p19_prune_curve", "p20_repeat_budget",
+        "q66_histograms", "q67_revenue_concentration", "t15_heaps_law")) {
+      val p = plan(q)
+      assert("hashpartitioning\\(__drk_b".r.findFirstIn(p).isDefined,
+        s"$q rank window not partitioned by the DistRank bucket:\n$p")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q bucket offsets not broadcast:\n$p")
+    }
+  }
+
   test("p14 epoch shuffle ranks within (epoch, bucket) — never one window per epoch") {
     val p = plan("p14_epoch_shuffle")
     // the row_number window must be keyed by BOTH epoch and the hash

@@ -51,6 +51,34 @@ class QueriesSpec extends AnyFunSuite {
       val wide = wideDecimals(df.schema)
       assert(wide.isEmpty,
         s"$name emits driver-hash-unsafe decimal(s): ${wide.mkString(", ")}")
+      // NO query may contain an unpartitioned Window (ORDER BY with no
+      // PARTITION BY = the whole relation through ONE task at scale),
+      // EXCEPT directly above a GlobalLimit — re-ranking a k-row top-k
+      // list (s13/s16) is O(k) on one task by construction, and forcing
+      // it through a self-join would re-scan the corpus leg twice.
+      // Corpus-sized ranks go through DistRank; bounded cumulative sums
+      // through triangle self-joins. This blanket guard lives HERE (not
+      // PlanAuditSpec) because each query is constructed exactly once per
+      // test JVM in this loop — re-constructing the side-effecting st/kv
+      // queries elsewhere would double-append their index generations.
+      import org.apache.spark.sql.catalyst.plans.logical._
+      @annotation.tailrec
+      def limitBounded(p: LogicalPlan): Boolean = p match {
+        case _: GlobalLimit => true
+        case n: Project => limitBounded(n.child)
+        case n: Filter => limitBounded(n.child)
+        case n: Sort => limitBounded(n.child)
+        case n: SubqueryAlias => limitBounded(n.child)
+        case _ => false
+      }
+      val unpart = df.queryExecution.analyzed.collectWithSubqueries {
+        case w: Window
+            if w.partitionSpec.isEmpty && !limitBounded(w.child) => w
+      }
+      assert(unpart.isEmpty,
+        s"$name has ${unpart.size} unpartitioned Window node(s) over an " +
+          "unbounded relation — single-partition sort at 100 TB; use " +
+          "DistRank or a bounded triangle join")
       val n = df.count()
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
     }
