@@ -239,13 +239,30 @@ object AnnIndex {
     * then CAS at successive generation numbers until one marker is won;
     * the staged dir is never deleted on a lost race, only re-offered at
     * the next number.
+    *
+    * `tag`, when given, makes the append IDEMPOTENT per tag: the tag is
+    * embedded in the staged dir name (`data-&lt;tag&gt;-&lt;uuid&gt;`, so no
+    * marker-format change — marker bodies stay bare dir paths every
+    * reader already parses), and a committed generation carrying the tag
+    * is adopted instead of re-staging. This is the exactly-once seam for
+    * checkpoint-replayed micro-batches (st14: tag = `b&lt;batchId&gt;`) —
+    * without it a replay after a crash-between-commit-and-checkpoint
+    * appends the same vectors twice. The tag survives until its
+    * generation is folded by [[compact]]; stream replay happens at
+    * restart, before any maintenance compaction, which is the window
+    * that matters.
     */
   def append(
-      s: SparkSession, base: org.apache.hadoop.fs.Path)(
+      s: SparkSession, base: org.apache.hadoop.fs.Path,
+      tag: Option[String] = None)(
       build: String => Unit): (Long, String) = {
     import org.apache.hadoop.fs.Path
+    val adopted = tag.flatMap(t =>
+      committedGenerations(s, base).find(_._2.contains(s"data-$t-")))
+    if (adopted.isDefined) return adopted.get
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val staging = new Path(base, s"data-${java.util.UUID.randomUUID()}")
+    val staging = new Path(base,
+      s"data-${tag.fold("")(_ + "-")}${java.util.UUID.randomUUID()}")
     // target generation read BEFORE the (long) build: any commit that
     // lands while we build just costs one conflict-and-advance below
     var gen = committedGenerations(s, base).lastOption.map(_._1).getOrElse(0L) + 1

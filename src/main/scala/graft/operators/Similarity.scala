@@ -87,14 +87,20 @@ object Similarity {
     */
   private[graft] def appendEmbeddingBatch(
       s: SparkSession, base: org.apache.hadoop.fs.Path,
-      batch: DataFrame): Unit = {
+      batch: DataFrame, batchId: Long = -1L): Unit = {
+    // batchId >= 0 tags the generation for exactly-once replay: a
+    // checkpoint-recovered micro-batch re-offering the same id adopts
+    // the already-committed generation instead of appending duplicates
+    val tag = if (batchId >= 0) Some(s"b$batchId") else None
     val sigd = batch
       .withColumn("sig", sigCol(col("embedding")))
       .withColumn("sigp", concat(lit("s"), col("sig")))
-    val (_, dir) = AnnIndex.append(s, base) { staging =>
+    val (_, dir) = AnnIndex.append(s, base, tag) { staging =>
       sigd.repartition(col("sigp"))
         .write.partitionBy("sigp").mode("overwrite").parquet(staging)
     }
+    // idempotent on replay: the sidecar content is a pure function of the
+    // (identical) replayed batch, so rewriting it is a deterministic no-op
     AnnIndex.writeIdMap(s, dir)
   }
 

@@ -804,8 +804,13 @@ object TextAnalysis {
       .orderBy($"labeled_lang", $"predicted_lang")
   }
 
+  // placeholder + .replace AFTER stripMargin (the d16/d17/s22 pattern):
+  // interpolating the multi-line langIdSql INTO the stripMargin template
+  // would let stripMargin eat any whitespace-led '|'/'||' line inside it
   val langConfusionSql: String =
-    s"""WITH li AS (${"\n"}$langIdSql${"\n"}),
+    """WITH li AS (
+       |__LI__
+       |),
        |per AS (
        |  SELECT labeled_lang, predicted_lang, COUNT(*) AS n
        |  FROM li GROUP BY 1, 2),
@@ -816,6 +821,7 @@ object TextAnalysis {
        |  p.n * 1000000 // t.label_total AS rate_ppm
        |FROM per p JOIN tot t USING (labeled_lang)
        |ORDER BY labeled_lang, predicted_lang""".stripMargin
+      .replace("__LI__", langIdSql)
 
   /** t17: term burstiness (Fano factor) — variance-to-mean ratio of a
     * word's per-document counts over ALL documents (zeros included — they

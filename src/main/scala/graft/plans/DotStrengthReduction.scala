@@ -33,15 +33,25 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   */
 object DotStrengthReduction extends Rule[LogicalPlan] {
 
-  /** Strip exact widening casts down to an `array<float>` child. Parquet
-    * schemas mark list elements nullable, so `containsNull` is accepted:
-    * the engine's contract for embedding columns is dense float arrays
+  /** Accept an `array<float>` child either bare or under exactly ONE
+    * `CAST(x AS ARRAY<DOUBLE>)` — the documented exact-widening shape the
+    * HOF dot produces. Nothing else: stripping arbitrary cast chains
+    * (e.g. float→string→double, or via ARRAY<INT>) would rewrite a
+    * VALUE-CHANGING pipeline onto the raw floats — silently wrong in
+    * every session, since the rule is globally injected. Parquet schemas
+    * mark list elements nullable, so `containsNull` is accepted: the
+    * engine's contract for embedding columns is dense float arrays
     * (every similarity operator applies [[FloatDot]] to them directly), and
     * a null element is data corruption either way — the HOF form would
     * yield a silent null score for it, which is not behavior to preserve.
     */
   private def floatArrayChild(e: Expression): Option[Expression] = e match {
-    case c: Cast => floatArrayChild(c.child)
+    case c: Cast =>
+      (c.dataType, c.child.dataType) match {
+        case (ArrayType(DoubleType, _), ArrayType(FloatType, _)) =>
+          Some(c.child)
+        case _ => None
+      }
     case other => other.dataType match {
       case ArrayType(FloatType, _) => Some(other)
       case _ => None

@@ -185,11 +185,19 @@ private[sources] class PotV2Scan(
     val p = new Path(path)
     val fs = p.getFileSystem(new Configuration())
     val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
-    matched.filter(_.isFile)
+    val parts = matched.filter(_.isFile)
       .map(_.getPath.toString)
       .filter(PotV2Filters.accepts(pushed, "pot_file", _))
       .map(f => PotFilePartition(f): InputPartition)
       .toArray
+    // Partial GLOBAL count with every file pruned away: Spark's final
+    // merge would sum zero partial rows and return NULL where a
+    // non-pushed COUNT(*) returns 0 — plan one no-file partition that
+    // emits the 0 partial instead. (Grouped counts correctly emit no
+    // groups from an empty scan.)
+    if (parts.isEmpty && aggGroupedByFile.contains(false))
+      Array(PotNoFilePartition)
+    else parts
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -207,17 +215,35 @@ private[sources] class PotV2Scan(
 
 private[sources] case class PotFilePartition(file: String) extends InputPartition
 
+/** Planned only for a pushed partial GLOBAL count whose pot_file
+  * predicate pruned every file: its reader emits the single 0 partial. */
+private[sources] case object PotNoFilePartition extends InputPartition
+
 private[sources] class PotV2ReaderFactory(
     columns: Array[String],
     pushed: Array[org.apache.spark.sql.sources.Filter],
     aggGroupedByFile: Option[Boolean] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    partition match {
+      case PotNoFilePartition => return new PartitionReader[InternalRow] {
+        private var emitted = false
+        override def next(): Boolean =
+          if (emitted) false else { emitted = true; true }
+        override def get(): InternalRow = InternalRow(0L)
+        override def close(): Unit = ()
+      }
+      case _ => ()
+    }
     val file = partition.asInstanceOf[PotFilePartition].file
     aggGroupedByFile match {
       case Some(grouped) => return new PartitionReader[InternalRow] {
         // Count path: parse the map, apply pushed key predicates, count —
         // document bodies are never stringified. One output row per file.
+        // A GROUPED count emits NO row when the pushed key predicates (or
+        // an empty map) leave zero entries — a (pot_file, 0) group here
+        // would be a phantom a non-pushed aggregate never produces; the
+        // global partial keeps its 0 row (partials are summed).
         private var emitted = false
         private lazy val count: Long = {
           val p = new Path(file)
@@ -231,7 +257,7 @@ private[sources] class PotV2ReaderFactory(
             .toLong
         }
         override def next(): Boolean =
-          if (emitted) false else { emitted = true; true }
+          if (emitted) false else { emitted = true; !grouped || count > 0 }
         override def get(): InternalRow =
           if (grouped)
             InternalRow(UTF8String.fromString(file), count)

@@ -963,9 +963,11 @@ object StreamingQueries {
     * embeddings is signed, `sigp`-partitioned and published as the next
     * CommitMarker generation through [[graft.operators.AnnIndex.append]]
     * (stage-once, CAS-at-next-gen — a lost race re-offers the batch, so a
-    * concurrent appender can never drop vectors), `_idmap` sidecar
-    * included so takedown deletes keep working on stream-written
-    * generations. After the stream drains, the s3 multiprobe lookup over
+    * concurrent appender can never drop vectors; the batchId tags the
+    * generation, so a checkpoint-recovery REPLAY of a committed batch
+    * adopts it instead of appending duplicates — exactly-once per
+    * micro-batch), `_idmap` sidecar included so takedown deletes keep
+    * working on stream-written generations. After the stream drains, the s3 multiprobe lookup over
     * the UNION of committed generations must equal the one-shot batch
     * build's answer — the oracle is s3's SQL verbatim, which is the point:
     * HOW the corpus arrived (one build, N micro-batches, any batch split)
@@ -987,9 +989,10 @@ object StreamingQueries {
         .parquet(fixtureStreamDir(d, "embeddings"))
         .writeStream
         .option("checkpointLocation", s"$root/chk")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           if (!batch.isEmpty)
-            graft.operators.Similarity.appendEmbeddingBatch(s, base, batch)
+            graft.operators.Similarity
+              .appendEmbeddingBatch(s, base, batch, batchId)
         }
         .start()
       q.processAllAvailable()

@@ -85,5 +85,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
       (acc, x) => acc + x).as("s"))
     assert(!other.queryExecution.optimizedPlan.toString
       .toLowerCase.contains("floatdot"))
+    // a VALUE-CHANGING cast chain (float → int truncation → double) must
+    // NOT be rewritten onto the raw floats: only the single exact
+    // float→double widening cast is strippable
+    val chained = e.select(aggregate(zip_with(
+      $"embedding".cast("array<int>").cast("array<double>"),
+      $"embedding".cast("array<double>"), (x, y) => x * y), lit(0.0),
+      (acc, x) => acc + x).as("s"))
+    assert(!chained.queryExecution.optimizedPlan.toString
+      .toLowerCase.contains("floatdot"),
+      "rule stripped a value-changing cast chain")
   }
 }

@@ -192,6 +192,31 @@ class PotJsonSpec extends AnyFunSuite {
     assert(declined.count() === 6L)
   }
 
+  test("PotV2Source pushed counts: no phantom zero groups, pruned-empty global count is 0") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count, lit}
+    val dir = java.nio.file.Files.createTempDirectory("potv2agg0")
+    writePot(dir, "p1", """{"k1": {"id": "k1"}, "k2": {"id": "k2"}}""")
+    writePot(dir, "p2", """{"other": {"id": "other"}}""")
+    writePot(dir, "p3", "{}")
+    val df = spark.read
+      .format(classOf[graft.sources.PotV2Source].getName)
+      .option("path", s"$dir/*/data.json").load()
+    // grouped count under a pushed key filter: files whose entries all
+    // fail the filter (p2) or are empty (p3) must NOT surface as
+    // phantom (pot_file, 0) groups — a non-pushed aggregate never would
+    val grouped = df.filter($"key".startsWith("k"))
+      .groupBy($"pot_file").agg(count(lit(1)).as("n"))
+    assert(grouped.queryExecution.executedPlan.toString
+      .contains("PushedAggregation: count group=[pot_file]"))
+    assert(grouped.select($"n").as[Long].collect().toSeq === Seq(2L))
+    // global count with every file pruned by a pot_file predicate:
+    // 0 (via the planned no-file partition's partial), never NULL
+    val none = df.filter($"pot_file" === "no/such/file")
+      .agg(count(lit(1)).as("n"))
+    assert(none.as[Long].head() === 0L)
+  }
+
   test("PotV2Source rejects a non-map pot object loudly") {
     val dir = java.nio.file.Files.createTempDirectory("potv2bad")
     writePot(dir, "bad", """[1, 2, 3]""")

@@ -294,6 +294,32 @@ class StreamingSpec extends AnyFunSuite {
     new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
   }
 
+  test("st14 ann ingest: a checkpoint-replayed batchId is adopted, not re-appended") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-st14-replay").toString
+    val base = new org.apache.hadoop.fs.Path(s"$root/idx")
+    val emb = Tables.embeddings(spark, sf)
+    (0 until 2).foreach { r =>
+      graft.operators.Similarity.appendEmbeddingBatch(
+        spark, base, emb.filter(col("vec_id") % 2 === r), batchId = r.toLong)
+    }
+    val gens = graft.operators.AnnIndex.committedGenerations(spark, base)
+    assert(gens.map(_._1) === Seq(1L, 2L))
+    // replay batch 1 (crash between commit and checkpoint write): the
+    // committed generation is adopted — no third generation, no dup rows
+    graft.operators.Similarity.appendEmbeddingBatch(
+      spark, base, emb.filter(col("vec_id") % 2 === 1), batchId = 1L)
+    val after = graft.operators.AnnIndex.committedGenerations(spark, base)
+    assert(after === gens, s"replayed batch re-appended: $after")
+    // an UNSEEN batchId still appends
+    graft.operators.Similarity.appendEmbeddingBatch(
+      spark, base, emb.filter(col("vec_id") === 0), batchId = 2L)
+    assert(graft.operators.AnnIndex.committedGenerations(spark, base)
+      .map(_._1) === Seq(1L, 2L, 3L))
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+  }
+
   test("streaming ingest into a PotTable: foreachBatch upserts through the commit protocol") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
