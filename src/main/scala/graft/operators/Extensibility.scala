@@ -440,7 +440,74 @@ object Extensibility {
   /** Oracle: u10's SQL verbatim — the TVF must be just syntax. */
   val sqlTvfSql: String = dsv2PotReadSql
 
+  /** u14: the DSv2 WRITE path — `INSERT`/`OVERWRITE` into a pot object
+    * through [[graft.sources.PotV2Source]]'s `SupportsWrite` (the POST
+    * half of the connector; reference server_routes.go:75-135). The query
+    * exercises the full lifecycle the protocol promises: OVERWRITE a base
+    * of 41 customer docs, then APPEND a delta whose keys partially
+    * overlap — append is whole-doc LWW by key (the reference's POST
+    * semantics, same contract kv14 pins for PotTable), committed via the
+    * stage-fragments → merge-into-snapshot → CommitMarker-CAS →
+    * atomic-materialize chain — then read the object back through the u10
+    * scan. The oracle replays the LWW overlay relationally: delta rows
+    * win their keys, untouched base rows survive. PotJsonSpec adds the
+    * two-concurrent-writers race (exactly one generation wins, no torn
+    * data.json).
+    */
+  def dsv2PotWrite(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-potv2w").toString
+    val pot = s"$dir/t/data.json"
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    def docs(df: org.apache.spark.sql.DataFrame) = df.select(
+      lit("").as("pot_file"), // provenance column: the target path owns it
+      concat(lit("c"), $"c_custkey".cast("string")).as("key"),
+      to_json(struct(
+        $"c_name".as("name"),
+        $"c_nationkey".cast("long").as("nation"),
+        ($"c_acctbal".cast(org.apache.spark.sql.types.DecimalType(38, 2))
+          * 100).cast("long").as("bal_cents"),
+        $"upd")).as("doc_json"))
+    val cust = Tables.customer(s, d)
+    docs(cust.filter($"c_custkey" <= 40).withColumn("upd", lit(0L)))
+      .write.format(fmt).option("path", pot).mode("overwrite").save()
+    docs(cust.filter($"c_custkey" <= 60 && $"c_custkey" % 3 === 0)
+        .withColumn("upd", lit(1L)))
+      .write.format(fmt).option("path", pot).mode("append").save()
+    val result = s.read.format(fmt).option("path", pot).load()
+      .select($"key",
+        get_json_object($"doc_json", "$.name").as("name"),
+        get_json_object($"doc_json", "$.nation").cast("long").as("nation"),
+        get_json_object($"doc_json", "$.bal_cents").cast("long")
+          .as("bal_cents"),
+        get_json_object($"doc_json", "$.upd").cast("long").as("upd"))
+      .orderBy($"key")
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    result
+  }
+
+  val dsv2PotWriteSql: String =
+    """WITH base AS (
+      |  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS key, c_name AS name,
+      |    CAST(c_nationkey AS BIGINT) AS nation,
+      |    CAST(CAST(c_acctbal AS DECIMAL(38,2)) * 100 AS BIGINT) AS bal_cents,
+      |    CAST(0 AS BIGINT) AS upd
+      |  FROM customer WHERE c_custkey <= 40),
+      |delta AS (
+      |  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS key, c_name AS name,
+      |    CAST(c_nationkey AS BIGINT) AS nation,
+      |    CAST(CAST(c_acctbal AS DECIMAL(38,2)) * 100 AS BIGINT) AS bal_cents,
+      |    CAST(1 AS BIGINT) AS upd
+      |  FROM customer WHERE c_custkey <= 60 AND c_custkey % 3 = 0)
+      |SELECT key, name, nation, bal_cents, upd FROM delta
+      |UNION ALL
+      |SELECT key, name, nation, bal_cents, upd FROM base b
+      |WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.key = b.key)
+      |ORDER BY key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u14_dsv2_pot_write" -> (dsv2PotWrite _),
     "u13_sql_tvf" -> (sqlTvf _),
     "u12_dsv2_agg_pushdown" -> (dsv2AggPushdown _),
     "u11_rule_dot_rewrite" -> (hofDotRewrite _),
@@ -456,6 +523,7 @@ object Extensibility {
     "u5_typed_dataset"  -> (typedDataset _))
 
   val oracle: Map[String, String] = Map(
+    "u14_dsv2_pot_write" -> dsv2PotWriteSql,
     "u13_sql_tvf" -> sqlTvfSql,
     "u12_dsv2_agg_pushdown" -> dsv2AggPushdownSql,
     "u11_rule_dot_rewrite" -> hofDotRewriteSql,

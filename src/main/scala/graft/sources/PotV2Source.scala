@@ -8,9 +8,10 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -61,15 +62,19 @@ object PotV2Source {
     StructField("doc_json", StringType, nullable = false)))
 }
 
-private[sources] class PotV2Table(path: String) extends Table with SupportsRead {
+private[sources] class PotV2Table(path: String)
+    extends Table with SupportsRead with SupportsWrite {
   require(path != null && path.nonEmpty,
     "PotV2Source: .option(\"path\", <glob of data.json objects>) is required")
   override def name(): String = s"pot-json:$path"
   override def schema(): StructType = PotV2Source.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PotV2ScanBuilder(path)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new PotV2WriteBuilder(path, info)
 }
 
 private[sources] class PotV2ScanBuilder(path: String)
@@ -297,4 +302,238 @@ private[sources] class PotV2ReaderFactory(
       override def close(): Unit = ()
     }
   }
+}
+
+// ======================= write path (BATCH_WRITE) ========================
+//
+// The POST half of the connector (reference server_routes.go:75-135): a
+// pot object becomes an INSERT-able / OVERWRITE-able table. Protocol —
+// the same stage-then-CAS discipline PotTable.upsert uses, adapted to the
+// single-object data.json format:
+//
+//   - tasks stage their partition's entries as jsonl FRAGMENTS under a
+//     query-unique staging dir (validated as JSON objects task-side, so a
+//     malformed doc_json fails the task, never the committed object);
+//   - the driver commit merges fragments IN PARTITION ORDER into the
+//     previous committed SNAPSHOT (append mode = whole-doc LWW by key,
+//     the reference's POST semantics; truncate mode starts empty), writes
+//     the merged pot as a new immutable `.snap-<uuid>.json`, and
+//     CAS-publishes it as the next generation marker under `.commits/` —
+//     concurrent writers serialize on the marker: EXACTLY ONE wins a
+//     generation, the loser's commit throws CommitConflict (client
+//     retries, re-reading the winner's rows — the reference's
+//     precondition-failed behavior);
+//   - append merges against the marker CHAIN's latest snapshot, never the
+//     mutable data.json — so a slow winner's pending refresh can never be
+//     lost-updated by a faster successor;
+//   - data.json is the published MATERIALIZATION readers glob: refreshed
+//     from the latest committed snapshot by atomic move (java.nio
+//     ATOMIC_MOVE on file:; object stores get it from single-PUT
+//     atomicity), then re-checked — a winner superseded mid-refresh
+//     re-copies the newer snapshot, so concurrent commits converge on the
+//     chain head and a reader NEVER observes a torn object.
+//
+// A pot object is the reference's in-memory unit (server.go holds the
+// whole map in RAM), so the driver-side merge is bounded by pot size by
+// design — the corpus-scale path is many pot objects, written by many
+// independent queries, exactly like the read side's one-partition-per-pot.
+
+private[sources] class PotV2WriteBuilder(
+    path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  override def build(): Write = {
+    require(!path.exists(c => "*?[{".contains(c)),
+      s"PotV2Source write: path must name ONE pot object, not a glob: $path")
+    new PotV2Write(path, info.schema(), info.queryId(), truncateFirst)
+  }
+}
+
+private[sources] case class PotFragmentMessage(
+    partitionId: Int, fragment: String) extends WriterCommitMessage
+
+private[sources] class PotV2Write(
+    path: String, schema: StructType, queryId: String, truncateFirst: Boolean)
+    extends Write with BatchWrite {
+  import java.nio.charset.StandardCharsets.UTF_8
+
+  private val keyIdx = schema.fieldNames.indexOf("key")
+  private val docIdx = schema.fieldNames.indexOf("doc_json")
+  require(keyIdx >= 0 && docIdx >= 0 &&
+    schema.fields(keyIdx).dataType == StringType &&
+    schema.fields(docIdx).dataType == StringType,
+    s"PotV2Source write needs string columns key + doc_json, got $schema")
+  require(schema.fieldNames.forall(
+    Set("pot_file", "key", "doc_json").contains),
+    // pot_file is read-side provenance: accepted (the round-trip keeps the
+    // table schema) but the TARGET path determines it, so values pass through
+    s"PotV2Source write: unknown column(s) in ${schema.fieldNames.mkString(",")}")
+
+  private def stagingDir = new Path(new Path(path).getParent, s".staging-$queryId")
+
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : DataWriterFactory =
+    new PotV2WriterFactory(stagingDir.toString, keyIdx, docIdx)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val target = new Path(path)
+    val fs = target.getFileSystem(new Configuration())
+    val dir = target.getParent
+    val commits = new Path(dir, ".commits")
+    val mapper = new ObjectMapper()
+    // LinkedHashMap: first-seen key keeps its slot, later put = LWW value —
+    // deterministic object layout for identical inputs
+    val entries = new java.util.LinkedHashMap[String, String]()
+    def loadObject(p: Path): Unit = {
+      val in = fs.open(p)
+      val root = try mapper.readTree(in) finally in.close()
+      require(root != null && root.isObject,
+        s"pot object $p: top level must be a JSON map")
+      root.fields().asScala.foreach(e =>
+        entries.put(e.getKey, e.getValue.toString))
+    }
+    // The chain head is read ONCE and pins BOTH the merge base and the
+    // target generation (head+1): a concurrent commit landing in between
+    // makes our publish a CommitConflict, never a silent lost update —
+    // computing the generation separately after the merge would let a
+    // writer that merged an old snapshot win a later generation.
+    val head = PotV2Write.latestSnapshot(fs, commits)
+    if (!truncateFirst) {
+      head match {
+        case Some((_, snap)) => loadObject(new Path(snap))
+        case None if fs.exists(target) =>
+          // adopt a pre-connector pot (e.g. a PotJson.export artifact) as
+          // generation zero's content
+          loadObject(target)
+        case None => ()
+      }
+    }
+    messages.collect { case m: PotFragmentMessage => m }
+      .sortBy(_.partitionId)
+      .foreach { m =>
+        val in = fs.open(new Path(m.fragment))
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).foreach { line =>
+            val n = mapper.readTree(line)
+            entries.put(n.get("k").asText(), n.get("d").toString)
+          }
+        finally in.close()
+      }
+    // immutable snapshot, then CAS the generation marker (exactly one
+    // concurrent writer wins; CommitConflict propagates to the loser)
+    val snap = new Path(dir, s".snap-${java.util.UUID.randomUUID()}.json")
+    val out = fs.create(snap, false)
+    try {
+      out.write('{')
+      var first = true
+      entries.entrySet().asScala.foreach { e =>
+        if (!first) out.write(',')
+        first = false
+        out.write(mapper.writeValueAsString(e.getKey).getBytes(UTF_8))
+        out.write(':')
+        out.write(e.getValue.getBytes(UTF_8))
+      }
+      out.write('}')
+    } finally out.close()
+    val gen = head.map(_._1).getOrElse(0L) + 1
+    try graft.kv.CommitMarker.publish(
+      fs, new Path(commits, gen.toString), snap.toString)
+    catch { case e: Throwable => fs.delete(snap, false); throw e }
+    PotV2Write.refreshMaterialization(fs, dir, target, commits)
+    fs.delete(stagingDir, true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    fs.delete(stagingDir, true)
+  }
+}
+
+private[sources] object PotV2Write {
+  /** Latest committed (gen, snapshot path) from the marker chain. */
+  def latestSnapshot(
+      fs: org.apache.hadoop.fs.FileSystem,
+      commits: Path): Option[(Long, String)] = {
+    val gens = graft.kv.CommitMarker.committedGenerations(fs, commits)
+    if (gens.isEmpty) None
+    else {
+      val g = gens.max
+      Some((g, graft.kv.CommitMarker.read(fs, new Path(commits, g.toString))))
+    }
+  }
+
+  /** Copy the chain-head snapshot over data.json atomically, re-checking
+    * the head afterwards: a winner superseded mid-copy re-copies the newer
+    * head, so concurrent refreshes converge and readers never see a torn
+    * (or regressed-forever) object. Bounded retries — each NEW commit also
+    * refreshes, so transient raciness self-heals on the next write.
+    */
+  def refreshMaterialization(
+      fs: org.apache.hadoop.fs.FileSystem,
+      dir: Path, target: Path, commits: Path): Unit = {
+    var lastCopied = -1L
+    var attempts = 0
+    var head = latestSnapshot(fs, commits)
+    while (attempts < 5 && head.exists(_._1 != lastCopied)) {
+      attempts += 1
+      val (gen, snap) = head.get
+      val tmp = new Path(dir, s".publish-${java.util.UUID.randomUUID()}.json")
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new Path(snap), fs, tmp, false, new Configuration())
+      if ("file".equalsIgnoreCase(fs.getUri.getScheme)) {
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath),
+          java.nio.file.Paths.get(fs.makeQualified(target).toUri.getPath),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } else {
+        // object stores replace data.json with one atomic PUT in their own
+        // connector; generic-FS fallback is delete+rename (brief absence
+        // window, never torn content)
+        fs.delete(target, false)
+        fs.rename(tmp, target)
+      }
+      lastCopied = gen
+      head = latestSnapshot(fs, commits)
+    }
+  }
+}
+
+private[sources] class PotV2WriterFactory(
+    stagingDir: String, keyIdx: Int, docIdx: Int) extends DataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val mapper = new ObjectMapper()
+      private val buf = new scala.collection.mutable.ArrayBuffer[String]()
+      override def write(row: InternalRow): Unit = {
+        val key = row.getUTF8String(keyIdx).toString
+        val doc = row.getUTF8String(docIdx).toString
+        val node = mapper.readTree(doc)
+        require(node != null && node.isObject,
+          s"doc_json for key '$key' must be a JSON object: $doc")
+        val line = mapper.createObjectNode()
+        line.put("k", key)
+        line.set("d", node)
+        buf += mapper.writeValueAsString(line)
+      }
+      override def commit(): WriterCommitMessage = {
+        // single create on commit: a fragment exists iff its task
+        // committed, and only message-named fragments are merged — task
+        // retries / speculation can never double-apply
+        val frag = new Path(stagingDir, f"part-$partitionId%05d-$taskId.jsonl")
+        val fs = frag.getFileSystem(new Configuration())
+        val out = fs.create(frag, false)
+        try out.write((buf.mkString("\n") + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        PotFragmentMessage(partitionId, frag.toString)
+      }
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
 }

@@ -217,6 +217,83 @@ class PotJsonSpec extends AnyFunSuite {
     assert(none.as[Long].head() === 0L)
   }
 
+  test("PotV2Source write round-trips and append is whole-doc LWW by key") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("potv2w").toString
+    val pot = s"$dir/t/data.json"
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    Seq(("", "a", """{"v": 1}"""), ("", "b", """{"v": 2}"""))
+      .toDF("pot_file", "key", "doc_json")
+      .write.format(fmt).option("path", pot).mode("overwrite").save()
+    // append: key b replaced wholesale (LWW, kv14's contract), c added
+    Seq(("", "b", """{"w": 9}"""), ("", "c", """{"v": 3}"""))
+      .toDF("pot_file", "key", "doc_json")
+      .write.format(fmt).option("path", pot).mode("append").save()
+    val back = spark.read.format(fmt).option("path", pot).load()
+      .select($"key", $"doc_json").as[(String, String)].collect().toMap
+    assert(back.keySet === Set("a", "b", "c"))
+    assert(back("b") === """{"w":9}""", "append must replace whole docs")
+    assert(!back("b").contains("\"v\""), "LWW must not column-merge")
+    // a malformed doc_json fails the WRITE, never lands in the object
+    val bad = intercept[Throwable] {
+      Seq(("", "x", """[1, 2]""")).toDF("pot_file", "key", "doc_json")
+        .write.format(fmt).option("path", pot).mode("append").save()
+    }
+    assert(Iterator.iterate(bad)(_.getCause).takeWhile(_ != null).take(8)
+      .exists(_.getMessage.contains("must be a JSON object")))
+    assert(spark.read.format(fmt).option("path", pot).load().count() === 3)
+    // glob targets are rejected for writes
+    val g = intercept[Throwable] {
+      Seq(("", "x", "{}")).toDF("pot_file", "key", "doc_json")
+        .write.format(fmt).option("path", s"$dir/*/data.json")
+        .mode("append").save()
+    }
+    assert(Iterator.iterate(g)(_.getCause).takeWhile(_ != null).take(8)
+      .exists(_.getMessage.contains("not a glob")))
+  }
+
+  test("PotV2Source write: concurrent appends never lose an update or tear data.json") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("potv2race").toString
+    val pot = s"$dir/t/data.json"
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    Seq(("", "seed", """{"v": 0}"""))
+      .toDF("pot_file", "key", "doc_json")
+      .write.format(fmt).option("path", pot).mode("overwrite").save()
+    def isConflict(t: Throwable): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
+        .exists(_.isInstanceOf[graft.kv.PotTable.CommitConflict])
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val results = Seq("a", "b").map { tag =>
+      pool.submit(new java.util.concurrent.Callable[Option[Throwable]] {
+        override def call(): Option[Throwable] = {
+          barrier.await()
+          try {
+            (1 to 20).map(i => ("", s"$tag$i", s"""{"t": "$tag"}"""))
+              .toDF("pot_file", "key", "doc_json")
+              .write.format(fmt).option("path", pot).mode("append").save()
+            None
+          } catch { case t: Throwable => Some(t) }
+        }
+      })
+    }.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    val failures = results.flatten
+    // every failure must be the clean conflict (loser retries), and at
+    // least one writer must have won its generation
+    assert(failures.forall(isConflict), s"non-conflict failure: $failures")
+    assert(failures.size < 2, "both writers lost")
+    // data.json is a valid JSON map whose content is exactly the chain
+    // head's merge: seed + every SUCCESSFUL writer's keys, no torn bytes
+    val back = spark.read.format(fmt).option("path", pot).load()
+      .select($"key").as[String].collect().toSet
+    val winners = Seq("a", "b").zip(results).filter(_._2.isEmpty).map(_._1)
+    val expected = Set("seed") ++
+      winners.flatMap(t => (1 to 20).map(i => s"$t$i"))
+    assert(back === expected, s"lost update: winners=$winners")
+  }
+
   test("PotV2Source rejects a non-map pot object loudly") {
     val dir = java.nio.file.Files.createTempDirectory("potv2bad")
     writePot(dir, "bad", """[1, 2, 3]""")
