@@ -775,7 +775,78 @@ object Aggregates {
       |FROM est JOIN exact USING (w)
       |ORDER BY w_start_s""".stripMargin
 
+  /** q73: EXACT sliding-window distinct users via pane runs — the exact
+    * twin of q69's HLL pane merge, and the production shape for "distinct
+    * users over a trailing hour, every 15 min" when the answer must be
+    * exact. q69's exact leg re-explodes EVENTS into all 4 covering
+    * windows and distincts (w, user) at event scale ×4; this operator
+    * pays event scale exactly ONCE — the (user, pane) distinct — and is
+    * pane-granular ever after. The identity: a user is in window
+    * w = panes [w, w+3] iff some active pane lands in it; merging a
+    * user's active panes into COVERAGE RUNS (successive panes ≤ 4 apart
+    * share a run, because their covered-window intervals [p-3, p] touch)
+    * yields disjoint intervals [a-3, b] of covered windows, so each run
+    * contributes the user exactly once to each window it covers — no
+    * per-window re-count, no double-count across a user's runs.
+    *
+    * Scale: one events scan → (user, pane) distinct (the only
+    * event-sized exchange), a user-keyed lag/run window over each user's
+    * few pane rows, then a ≤(b-a+4)-element sequence explode at RUN
+    * granularity. PlanAuditSpec pins the single scan. The oracle replays
+    * runs via the same gaps-and-islands SQL with a range join.
+    */
+  def slidingExactPanes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val paneUs = 900L * 1000000L
+    val ev = Tables.events(s, d)
+      .select($"user_id", expr(s"unix_micros(ts) div ${paneUs}L").as("pane"))
+      .distinct()
+    val uw = Window.partitionBy($"user_id").orderBy($"pane")
+    val runs = ev
+      .withColumn("brk",
+        when(lag($"pane", 1).over(uw).isNull ||
+          $"pane" - lag($"pane", 1).over(uw) > 4, 1L).otherwise(0L))
+      .withColumn("rid", sum($"brk").over(
+        uw.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    runs.groupBy($"user_id", $"rid")
+      .agg(min($"pane").as("a"), max($"pane").as("b"))
+      .select(explode(expr("sequence(a - 3L, b)")).as("w"))
+      .groupBy($"w").agg(count(lit(1)).as("users"))
+      .select(($"w" * 900L).as("w_start_s"), $"users")
+      .orderBy($"w_start_s")
+  }
+
+  val slidingExactPanesSql: String =
+    """WITH ev AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 900000000 AS pane
+      |  FROM events),
+      |lagged AS (
+      |  SELECT user_id, pane,
+      |    CASE WHEN LAG(pane) OVER (PARTITION BY user_id ORDER BY pane)
+      |             IS NULL
+      |           OR pane - LAG(pane) OVER (PARTITION BY user_id
+      |             ORDER BY pane) > 4
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM ev),
+      |grp AS (
+      |  SELECT user_id, pane,
+      |    SUM(brk) OVER (PARTITION BY user_id ORDER BY pane
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
+      |  FROM lagged),
+      |iv AS (
+      |  SELECT user_id, rid, MIN(pane) AS a, MAX(pane) AS b
+      |  FROM grp GROUP BY 1, 2),
+      |wins AS (
+      |  SELECT DISTINCT pane - off AS w
+      |  FROM ev CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS off) o)
+      |SELECT w * 900 AS w_start_s, CAST(COUNT(*) AS BIGINT) AS users
+      |FROM wins JOIN iv ON iv.a - 3 <= wins.w AND wins.w <= iv.b
+      |GROUP BY w
+      |ORDER BY w_start_s""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q73_sliding_exact_panes" -> (slidingExactPanes _),
     "q69_sliding_hll" -> (slidingHll _),
     "q67_revenue_concentration" -> (revenueConcentration _),
     "q66_histograms"      -> (histograms _),
@@ -792,6 +863,7 @@ object Aggregates {
     "q52_hll_merge"         -> (hllMerge _))
 
   val oracle: Map[String, String] = Map(
+    "q73_sliding_exact_panes" -> slidingExactPanesSql,
     "q69_sliding_hll" -> slidingHllSql,
     "q67_revenue_concentration" -> revenueConcentrationSql,
     "q66_histograms"   -> histogramsSql,

@@ -231,6 +231,18 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q73 sliding exact distinct pays event scale once: a single events scan, pane-keyed after") {
+    val p = plan("q73_sliding_exact_panes")
+    // q69's exact leg scans events twice and re-explodes events into all
+    // 4 covering windows; the pane-run construction must collapse to
+    // (user, pane) off ONE scan and explode only at run granularity
+    assert("Scan parquet".r.findAllIn(p).size === 1,
+      s"expected exactly one events scan:\n$p")
+    assert("hashpartitioning\\(user_id#\\d+".r.findFirstIn(p).isDefined,
+      s"run window not user-keyed:\n$p")
+    assert(p.contains("sequence("), s"no run-granular explode:\n$p")
+  }
+
   test("p14 epoch shuffle ranks within (epoch, bucket) — never one window per epoch") {
     val p = plan("p14_epoch_shuffle")
     // the row_number window must be keyed by BOTH epoch and the hash

@@ -97,6 +97,15 @@ class QueriesSpec extends AnyFunSuite {
     assert(rows.forall(_.getDouble(2) >= Pipeline.DomainTau))
   }
 
+  test("q73 pane-run exact distinct equals q69's naive exact leg, window for window") {
+    import spark.implicits._
+    val fast = operators.Aggregates.slidingExactPanes(spark, sf)
+      .select($"w_start_s", $"users").as[(Long, Long)].collect().toMap
+    val naive = SparkEntry.queries("q69_sliding_hll")(spark, sf)
+      .select($"w_start_s", $"exact_users").as[(Long, Long)].collect().toMap
+    assert(fast === naive)
+  }
+
   test("every oracleSql key has a queries entry") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracleSql without queries: $missing")
