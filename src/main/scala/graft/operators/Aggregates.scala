@@ -845,7 +845,97 @@ object Aggregates {
       |GROUP BY w
       |ORDER BY w_start_s""".stripMargin
 
+  /** q74: APPROXIMATE equi-depth histogram with its price tag MEASURED —
+    * the 100 TB path for q66's depth leg, shipped q48-style (the suite's
+    * "approximation with an exact bill" pattern: s6 recall, d11 MinHash
+    * error, s13 quantization error). Boundaries come from a DETERMINISTIC
+    * sample (md5-coin: orders whose `md5('aq:'||key)` starts with '0' —
+    * a fixed 1/16 rate, no RNG state, replayable in SQL), selected at
+    * fixed ranks i·n/10 of the sample's (price, key) order; every order
+    * is then assigned by comparing against the ≤9 boundary literals — a
+    * pure codegen CASE chain, no join, no global sort of the corpus. The
+    * output reports, per EXACT decile: its size, the approx bucket's
+    * size, and how many of its rows the approx assignment misplaced —
+    * the exact-vs-approx disagreement a profiler consults before trusting
+    * sampled boundaries.
+    *
+    * Scale: the only corpus-sized work is one scan for the sample filter,
+    * one for the CASE assignment, and the exact side's [[DistRank]]
+    * NTILE (which exists to BE the yardstick); boundaries are a bounded
+    * ≤9-row collect (the KMeans-centroid pattern). Rank selection over
+    * the sample is [[DistRank]] again — no unpartitioned window anywhere.
+    */
+  def histogramApproxDepth(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d).select($"o_orderkey", $"o_totalprice")
+    val sample = o.filter(substring(
+      md5(concat(lit("aq:"), $"o_orderkey".cast("string"))), 1, 1) === "0")
+    val n = sample.count()
+    val ranks = (1 to 9).map(i => i.toLong * n / 10L)
+      .filter(_ >= 1L).distinct
+    val bounds = DistRank
+      .withRowNumber(sample, "r", $"o_totalprice", desc = false,
+        Seq($"o_orderkey"))
+      .filter($"r".isin(ranks: _*))
+      .select($"o_totalprice", $"o_orderkey")
+      .collect().map(r => (r.getDouble(0), r.getLong(1))).distinct.toSeq
+    val approx = bounds.foldLeft(lit(1)) { case (acc, (bp, bk)) =>
+      acc + when($"o_totalprice" > bp ||
+        ($"o_totalprice" === bp && $"o_orderkey" > bk), 1).otherwise(0)
+    }
+    val j = DistRank.withNtile(o, 10, "eb",
+        $"o_totalprice", desc = false, Seq($"o_orderkey"))
+      .withColumn("ab", approx.cast("int"))
+    val ea = j.groupBy($"eb")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(when($"ab" =!= $"eb", 1L).otherwise(0L)).as("n_mismatch"))
+    val aa = j.groupBy($"ab").agg(count(lit(1)).as("n_approx"))
+    ea.join(aa, $"eb" === $"ab", "left")
+      .select($"eb".as("bucket"), $"n_exact",
+        coalesce($"n_approx", lit(0L)).as("n_approx"), $"n_mismatch")
+      .orderBy($"bucket")
+  }
+
+  val histogramApproxDepthSql: String =
+    """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
+      |sample AS (
+      |  SELECT o_orderkey, o_totalprice FROM o
+      |  WHERE substr(md5('aq:' || CAST(o_orderkey AS VARCHAR)), 1, 1) = '0'),
+      |sn AS (SELECT COUNT(*) AS n FROM sample),
+      |ranked AS (
+      |  SELECT o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS r
+      |  FROM sample),
+      |bounds AS (
+      |  SELECT DISTINCT rk.o_totalprice AS bp, rk.o_orderkey AS bk
+      |  FROM ranked rk CROSS JOIN sn CROSS JOIN range(1, 10) t(i)
+      |  WHERE rk.r = (i * sn.n) // 10 AND (i * sn.n) // 10 >= 1),
+      |assigned AS (
+      |  SELECT o.o_orderkey,
+      |    CAST(1 + (SELECT COUNT(*) FROM bounds b
+      |      WHERE b.bp < o.o_totalprice
+      |         OR (b.bp = o.o_totalprice AND b.bk < o.o_orderkey))
+      |      AS INTEGER) AS ab
+      |  FROM o),
+      |ex AS (
+      |  SELECT o_orderkey,
+      |    CAST(NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey)
+      |      AS INTEGER) AS eb
+      |  FROM o),
+      |j AS (SELECT e.eb, a.ab FROM ex e JOIN assigned a USING (o_orderkey)),
+      |ea AS (
+      |  SELECT eb, COUNT(*) AS n_exact,
+      |    CAST(SUM(CASE WHEN ab <> eb THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_mismatch
+      |  FROM j GROUP BY 1),
+      |aa AS (SELECT ab, COUNT(*) AS n_approx FROM j GROUP BY 1)
+      |SELECT ea.eb AS bucket, ea.n_exact,
+      |  COALESCE(aa.n_approx, 0) AS n_approx, ea.n_mismatch
+      |FROM ea LEFT JOIN aa ON aa.ab = ea.eb
+      |ORDER BY bucket""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q74_histogram_approx_depth" -> (histogramApproxDepth _),
     "q73_sliding_exact_panes" -> (slidingExactPanes _),
     "q69_sliding_hll" -> (slidingHll _),
     "q67_revenue_concentration" -> (revenueConcentration _),
@@ -863,6 +953,7 @@ object Aggregates {
     "q52_hll_merge"         -> (hllMerge _))
 
   val oracle: Map[String, String] = Map(
+    "q74_histogram_approx_depth" -> histogramApproxDepthSql,
     "q73_sliding_exact_panes" -> slidingExactPanesSql,
     "q69_sliding_hll" -> slidingHllSql,
     "q67_revenue_concentration" -> revenueConcentrationSql,
