@@ -51,6 +51,17 @@ object Bench {
     streaming.DedupIndex.locateGenerations(spark, sfDir)
     val warmSec = (System.nanoTime() - warmT0) / 1e9
 
+    // The st-family's per-entry floor is micro-batch MACHINERY (source
+    // listing, checkpoint commits, batch orchestration), not operator
+    // cost — time that machinery alone (no-op batch body) so the record
+    // is self-attributing: each st entry ~ st_machinery_sec + real work.
+    val stT0 = System.nanoTime()
+    try streaming.StreamingQueries.machineryProbe(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] machinery probe failed: ${e.getMessage}")
+    }
+    val stMachinerySec = (System.nanoTime() - stT0) / 1e9
+
     // Two full passes, min per query: a single timed pass lets one contended
     // window on a shared box poison the whole record (observed 5-13x blowups
     // on unchanged code). The passes are separated in time (full suite each),
@@ -95,12 +106,12 @@ object Bench {
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val (t1, t2) = (pass1.map(_._2).sum, pass2.map(_._2).sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","pass_totals":[$t1,$t2],"warm_sec":$warmSec,"loadavg":{"start":$load0,"mid":$load1,"end":$load2},"failed":$fj,"sf":"$sfDir","queries":$qs,"passes":[${qjson(pass1)},${qjson(pass2)}]}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","pass_totals":[$t1,$t2],"warm_sec":$warmSec,"st_machinery_sec":$stMachinerySec,"loadavg":{"start":$load0,"mid":$load1,"end":$load2},"failed":$fj,"sf":"$sfDir","queries":$qs,"passes":[${qjson(pass1)},${qjson(pass2)}]}""")
     // The driver keeps the TAIL of stdout (r10 verdict: leading fields were
     // exactly what got truncated), so repeat the headline fields in a second
     // compact line with no per-query maps — this one always survives the
     // 2000-char tail and makes a poisoned record self-diagnosing.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","pass_totals":[$t1,$t2],"warm_sec":$warmSec,"loadavg":{"start":$load0,"mid":$load1,"end":$load2},"failed":$fj,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","pass_totals":[$t1,$t2],"warm_sec":$warmSec,"st_machinery_sec":$stMachinerySec,"loadavg":{"start":$load0,"mid":$load1,"end":$load2},"failed":$fj,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

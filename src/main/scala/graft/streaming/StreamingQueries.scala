@@ -106,6 +106,27 @@ object StreamingQueries {
     Tables.normalizeEventsTs(s.readStream.schema(raw).parquet(eventsDir(d)))
   }
 
+  /** Bench probe: the micro-batch MACHINERY floor — the same file-source
+    * staging, checkpoint lifecycle, and per-batch orchestration every st
+    * entry pays, with a near-no-op batch body (`isEmpty` = one limit-1
+    * task). [[graft.Bench]] times it into `st_machinery_sec` so a reader
+    * of the bench record can attribute the st-family's per-entry floor to
+    * stream runtime rather than operator cost: each st entry's time is
+    * roughly `st_machinery_sec + real operator work`.
+    */
+  def machineryProbe(s: SparkSession, d: String): Unit = {
+    val root = runScratchDir("graft-stprobe")
+    withStreamRunConf(s) {
+      val q = eventsStream(s, d).writeStream
+        .option("checkpointLocation", s"$root/chk")
+        .foreachBatch { (b: DataFrame, _: Long) => b.isEmpty; () }
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+  }
+
   /** st1: streaming exact-dedup on (user_id, event_type) within the
     * watermark horizon (state expires instead of growing forever), emitted
     * through an append-mode parquet sink — the scale path: distributed
