@@ -47,6 +47,34 @@ class FixturesSpec extends AnyFunSuite {
         "— q51_map_fns and its oracle SQL must be re-derived")
   }
 
+  test("fixture row counts are stable per SF (the windowed/cap constants are fixture-empirical)") {
+    // A regeneration that keeps every TYPE but changes ROW COUNTS silently
+    // shifts every selectivity-tuned constant (d5's hamming cap 110, s23's
+    // RangeR, d2's bucket caps, q69's pane universe...) — the failure mode
+    // the ts-shape pins can't catch. FIXTURES.md §"fixture-empirical
+    // constants" lists what to re-derive when this trips.
+    val expected = Map(
+      ("sf0.001", "events") -> 1000L,
+      ("sf0.001", "documents") -> 500L,
+      ("sf0.001", "embeddings") -> 500L,
+      ("sf0.01", "events") -> 10000L,
+      ("sf0.01", "documents") -> 500L,
+      ("sf0.01", "embeddings") -> 500L,
+      ("sf0.1", "events") -> 100000L,
+      ("sf0.1", "documents") -> 5000L,
+      ("sf0.1", "embeddings") -> 2000L)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    expected.foreach { case ((sfd, t), n) =>
+      val f = s"/root/testdata/$sfd/$t.parquet"
+      if (new java.io.File(f).exists) {
+        val got = spark.read.parquet(f).count()
+        assert(got === n,
+          s"fixture regenerated: $sfd/$t has $got rows (pinned $n) — " +
+            "re-derive the fixture-empirical constants per FIXTURES.md")
+      }
+    }
+  }
+
   test("documents.text is pure ASCII (m6 audio oracle relies on ord==byte)") {
     val nonAscii = raw("documents")
       .filter(not(col("text").rlike("^[\\x00-\\x7F]*$"))).count()

@@ -460,6 +460,61 @@ class KvSpec extends AnyFunSuite {
     assert(PotTable(spark, root, "pi").generation === 1L)
   }
 
+  test("PotTxn: crash between per-pot applied markers + concurrent writers — recovery replays exactly the unfinished suffix") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val root = java.nio.file.Files.createTempDirectory("graft-txn4").toString
+    val txn = new graft.kv.PotTxn(spark, root)
+    val n = txn.prepare(Seq(
+      "pa" -> Seq(("t1", 1)).toDF("key", "v"),
+      "pb" -> Seq(("t2", 2)).toDF("key", "v"),
+      "pc" -> Seq(("t3", 3)).toDF("key", "v")))
+    // Simulate the coordinator dying BETWEEN per-pot applied markers: pa
+    // fully applied (upsert + applied marker), pb/pc untouched — the one
+    // crash quadrant prepare-crash/rebase/idempotent-replay didn't cover.
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    PotTable(spark, root, "pa").upsert(Seq(("t1", 1)).toDF("key", "v"))
+    val done = new org.apache.hadoop.fs.Path(s"$root/_txns/applied/$n/pa")
+    fs.mkdirs(done.getParent)
+    graft.kv.CommitMarker.publish(fs, done, "done")
+    val paGen = PotTable(spark, root, "pa").generation
+    // Six independent writers land generations on pb between the commit
+    // point and recovery AND while recovery's rebase loop is running —
+    // the BucketedPotSpec stress shape applied to the txn coordinator.
+    val writers = (1 to 6).map { w =>
+      Future(scala.util.Try {
+        var ok = false
+        while (!ok) {
+          try {
+            PotTable(spark, root, "pb")
+              .upsert(Seq((s"w$w", w * 100)).toDF("key", "v"))
+            ok = true
+          } catch { case _: PotTable.CommitConflict => () }
+        }
+      })
+    }
+    val recovered = Await.result(Future(txn.recover()), 180.seconds)
+    writers.foreach(f => assert(Await.result(f, 180.seconds).isSuccess))
+    assert(recovered === Seq(n))
+    // pa's applied marker short-circuited: NOT re-applied, generation intact
+    assert(PotTable(spark, root, "pa").generation === paGen,
+      "recovery re-applied an already-marked pot")
+    // pb: the txn row AND every concurrent writer's generation survive —
+    // the rebase loop re-reads the head on each conflict, never clobbers
+    val pb = PotTable(spark, root, "pb").get()
+      .select($"key", $"v").as[(String, Int)].collect().toMap
+    assert(pb.get("t2").contains(2), s"txn row lost on pb: $pb")
+    (1 to 6).foreach(w =>
+      assert(pb.get(s"w$w").contains(w * 100), s"writer $w lost: $pb"))
+    // pc (never started): rolled forward
+    assert(PotTable(spark, root, "pc").get()
+      .select($"key", $"v").as[(String, Int)].collect().toSeq === Seq(("t3", 3)))
+    assert(txn.recover() === Seq.empty)
+  }
+
   test("IndexedPot: postings track value moves; emptied values overwrite to []") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-ix1").toString
