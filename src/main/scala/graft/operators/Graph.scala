@@ -86,13 +86,42 @@ object Graph {
     * edge (a,c) — no triangle is ever produced twice and no
     * symmetrization blow-up. Both joins are keyed equi-joins (shuffle by
     * node id) — the MapReduce node-iterator that scales to billions of
-    * edges; at 100 TB the orientation would switch from id-order to
-    * degree-order to bound wedge fan-out on hubs, which changes no
-    * output (counts are orientation-invariant).
+    * edges; at 100 TB the orientation switches from id-order to
+    * degree-order ([[trianglesOriented]] with `degreeOrder = true`) to
+    * bound wedge fan-out on hubs, which changes no output — triangle
+    * sets are orientation-invariant under ANY consistent total order,
+    * and ScaleSpec asserts the two variants row-identical at sf0.1.
     */
-  def triangles(s: SparkSession, d: String): DataFrame = {
+  def triangles(s: SparkSession, d: String): DataFrame =
+    trianglesOriented(s, d, degreeOrder = false)
+
+  /** The wedge-join triangle count under a chosen edge orientation:
+    * id-order (the declared q63 — deterministic, zero extra passes) or
+    * degree-order (orient each edge from its lower-(degree, id) endpoint
+    * — the hub-bounding variant: a node's wedge fan-out is then capped by
+    * its position in the degree order, O(m^1.5) work on skewed graphs
+    * instead of O(Σ deg²)). Degree-ordering costs one extra degree
+    * aggregate + two broadcast-sized joins on the edge list; the triangle
+    * SET is identical because a triangle a≺b≺c is found exactly once by
+    * the (a→b, b→c) wedge closed by a→c under ANY total order ≺.
+    */
+  private[graft] def trianglesOriented(
+      s: SparkSession, d: String, degreeOrder: Boolean): DataFrame = {
     import s.implicits._
-    val e = Aggregates.basketPairs(s, d).select($"pa".as("a"), $"pb".as("b"))
+    val und = Aggregates.basketPairs(s, d).select($"pa".as("a"), $"pb".as("b"))
+    val oriented = if (!degreeOrder) und else {
+      val deg = und.select($"a".as("node"))
+        .unionByName(und.select($"b".as("node")))
+        .groupBy($"node").agg(count(lit(1)).as("dg"))
+      val fwd = $"da" < $"db" || ($"da" === $"db" && $"a" < $"b")
+      und
+        .join(deg.select($"node".as("a"), $"dg".as("da")), Seq("a"))
+        .join(deg.select($"node".as("b"), $"dg".as("db")), Seq("b"))
+        .select(when(fwd, $"a").otherwise($"b").as("oa"),
+          when(fwd, $"b").otherwise($"a").as("ob"))
+        .select($"oa".as("a"), $"ob".as("b"))
+    }
+    val e = oriented
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tri = e.as("e1")
       .join(e.as("e2"), $"e1.b" === $"e2.a")

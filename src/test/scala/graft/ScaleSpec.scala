@@ -256,4 +256,17 @@ class ScaleSpec extends AnyFunSuite {
       assert(joined.count() === expected)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("q63 degree-ordered orientation is row-identical to id-order at sf0.1") {
+    // The scaladoc's 100 TB claim, converted to tested fact: orienting
+    // edges by (degree, id) instead of id bounds hub wedge fan-out and
+    // must change NOTHING about the output — the triangle set is
+    // invariant under any consistent total order.
+    val big = "/root/testdata/sf0.1"
+    val idOrder = operators.Graph
+      .trianglesOriented(spark, big, degreeOrder = false).collect().toSeq
+    val degOrder = operators.Graph
+      .trianglesOriented(spark, big, degreeOrder = true).collect().toSeq
+    assert(degOrder === idOrder)
+  }
 }
