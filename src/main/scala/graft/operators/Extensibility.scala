@@ -506,7 +506,56 @@ object Extensibility {
       |WHERE NOT EXISTS (SELECT 1 FROM delta d WHERE d.key = b.key)
       |ORDER BY key""".stripMargin
 
+  /** u15: `INSERT INTO` a pot in PURE SQL — the last mile of the "pot
+    * bucket as a table" story: `CREATE TABLE ... USING PotV2Source`
+    * registers the connector in the session catalog, and the analyzer
+    * resolves `INSERT INTO` to u14's `SupportsWrite` append (AppendData
+    * over the V2 relation — no DataFrame API anywhere). Two inserts
+    * prove LWW through SQL: all nations with `upd` 0, then the region-0
+    * subset re-inserted with `upd` 1 — the second insert replaces those
+    * whole docs (the reference POST semantics, kv14's contract). Read
+    * back through the same catalog table, oracle replays relationally.
+    */
+  def sqlInsertPot(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-potv2sql").toString
+    val pot = s"$dir/t/data.json"
+    val tbl = "graft_pot_sql_t"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"CREATE TABLE $tbl (pot_file STRING, key STRING, doc_json STRING) " +
+      s"USING ${classOf[graft.sources.PotV2Source].getName} " +
+      s"OPTIONS (path '$pot')")
+    Tables.nation(s, d).createOrReplaceTempView("graft_u15_nation")
+    s.sql(s"""INSERT INTO $tbl
+             |SELECT '' AS pot_file, concat('n', n_nationkey) AS key,
+             |  to_json(named_struct('name', n_name, 'region', n_regionkey,
+             |    'upd', 0)) AS doc_json
+             |FROM graft_u15_nation""".stripMargin)
+    s.sql(s"""INSERT INTO $tbl
+             |SELECT '' AS pot_file, concat('n', n_nationkey) AS key,
+             |  to_json(named_struct('name', n_name, 'region', n_regionkey,
+             |    'upd', 1)) AS doc_json
+             |FROM graft_u15_nation WHERE n_regionkey = 0""".stripMargin)
+    val out = s.sql(
+      s"""SELECT key,
+         |  get_json_object(doc_json, '$$.name') AS name,
+         |  CAST(get_json_object(doc_json, '$$.region') AS INT) AS region,
+         |  CAST(get_json_object(doc_json, '$$.upd') AS INT) AS upd
+         |FROM $tbl ORDER BY key""".stripMargin).localCheckpoint(true)
+    s.sql(s"DROP TABLE $tbl")
+    s.catalog.dropTempView("graft_u15_nation")
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    out
+  }
+
+  val sqlInsertPotSql: String =
+    """SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS key,
+      |  n_name AS name, CAST(n_regionkey AS INTEGER) AS region,
+      |  CAST(CASE WHEN n_regionkey = 0 THEN 1 ELSE 0 END AS INTEGER) AS upd
+      |FROM nation
+      |ORDER BY key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u15_sql_insert_pot" -> (sqlInsertPot _),
     "u14_dsv2_pot_write" -> (dsv2PotWrite _),
     "u13_sql_tvf" -> (sqlTvf _),
     "u12_dsv2_agg_pushdown" -> (dsv2AggPushdown _),
@@ -523,6 +572,7 @@ object Extensibility {
     "u5_typed_dataset"  -> (typedDataset _))
 
   val oracle: Map[String, String] = Map(
+    "u15_sql_insert_pot" -> sqlInsertPotSql,
     "u14_dsv2_pot_write" -> dsv2PotWriteSql,
     "u13_sql_tvf" -> sqlTvfSql,
     "u12_dsv2_agg_pushdown" -> dsv2AggPushdownSql,

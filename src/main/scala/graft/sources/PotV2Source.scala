@@ -60,6 +60,33 @@ object PotV2Source {
     StructField("pot_file", StringType, nullable = false),
     StructField("key", StringType, nullable = false),
     StructField("doc_json", StringType, nullable = false)))
+
+  /** Maintenance: delete every `.snap-*.json` the chain head no longer
+    * references (each commit leaves one immutable snapshot; only the head
+    * is ever read — by appends as the merge base and by the data.json
+    * materialization). Markers stay: they are the generation counter and
+    * are a few bytes each. Admin-invoked like [[graft.operators.AnnIndex
+    * .vacuumFolded]]; safe against a concurrent slow committer because a
+    * writer merging from a vacuumed (= superseded) snapshot would lose
+    * its generation CAS anyway — at worst it fails earlier with a read
+    * error and retries. Returns the deleted paths.
+    */
+  def vacuumSnapshots(
+      fs: org.apache.hadoop.fs.FileSystem, potPath: String): Seq[String] = {
+    val dir = new Path(potPath).getParent
+    val commits = new Path(dir, ".commits")
+    // compare by file NAME (uuid-unique): listStatus returns fs-qualified
+    // paths while marker bodies store the path string as written
+    val headName = PotV2Write.latestSnapshot(fs, commits)
+      .map(h => new Path(h._2).getName)
+    if (!fs.exists(dir)) return Seq.empty
+    fs.listStatus(dir).toSeq
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith(".snap-") &&
+        p.getName.endsWith(".json") &&
+        !headName.contains(p.getName))
+      .map { p => fs.delete(p, false); p.toString }
+  }
 }
 
 private[sources] class PotV2Table(path: String)

@@ -252,6 +252,29 @@ class PotJsonSpec extends AnyFunSuite {
       .exists(_.getMessage.contains("not a glob")))
   }
 
+  test("PotV2Source snapshot vacuum keeps only the chain head; writes continue after") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("potv2vac").toString
+    val pot = s"$dir/t/data.json"
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    def put(k: String, v: Int, mode: String): Unit =
+      Seq(("", k, s"""{"v": $v}""")).toDF("pot_file", "key", "doc_json")
+        .write.format(fmt).option("path", pot).mode(mode).save()
+    put("a", 1, "overwrite"); put("b", 2, "append"); put("c", 3, "append")
+    val potDir = new java.io.File(s"$dir/t")
+    def snaps() = potDir.listFiles().count(_.getName.startsWith(".snap-"))
+    assert(snaps() === 3)
+    val fs = new org.apache.hadoop.fs.Path(pot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deleted = graft.sources.PotV2Source.vacuumSnapshots(fs, pot)
+    assert(deleted.size === 2 && snaps() === 1)
+    // content untouched, and the chain accepts the next generation
+    assert(spark.read.format(fmt).option("path", pot).load().count() === 3)
+    put("d", 4, "append")
+    assert(spark.read.format(fmt).option("path", pot).load()
+      .select($"key").as[String].collect().toSet === Set("a", "b", "c", "d"))
+  }
+
   test("PotV2Source write: concurrent appends never lose an update or tear data.json") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("potv2race").toString

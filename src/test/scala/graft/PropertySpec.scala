@@ -395,4 +395,43 @@ class PropertySpec extends AnyFunSuite {
       assert(keeper === best, s"cluster $cluster")
     }
   }
+
+  test("property: DistRank row_number/NTILE are bit-identical to the flat window on adversarial shapes") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // shapes chosen to stress the bucket math: uniform, one dominant tie
+    // value (all rows same bucket), two far clusters (empty middle
+    // buckets), tiny N < k, negatives, and doubles with sub-ulp spreads
+    val shapes: Seq[(String, Seq[(Double, Long)])] = Seq(
+      "uniform" -> (1 to 997).map(i => (i * 3.7, i.toLong)),
+      "massive-ties" -> (1 to 500).map(i =>
+        (if (i % 50 == 0) i.toDouble else 42.0, i.toLong)),
+      "two-clusters" -> ((1 to 300).map(i => (i * 1.0, i.toLong)) ++
+        (1 to 300).map(i => (1e9 + i, 1000L + i))),
+      "tiny" -> (1 to 7).map(i => (i * 1.0, i.toLong)),
+      "negatives" -> (1 to 400).map(i => ((i - 200) * 0.25, i.toLong)),
+      "subulp" -> (1 to 256).map(i =>
+        (1.0 + java.lang.Double.MIN_VALUE * i, i.toLong)))
+    for ((label, rows) <- shapes; desc <- Seq(false, true)) {
+      val df = rows.toDF("v", "id")
+      val ord = if (desc) Seq($"v".desc, $"id") else Seq($"v", $"id")
+      val flatRn = df.withColumn("rn",
+          row_number().over(Window.orderBy(ord: _*)).cast("long"))
+        .select($"id", $"rn").as[(Long, Long)].collect().toMap
+      val distRn = operators.DistRank
+        .withRowNumber(df, "rn", $"v", desc, Seq($"id"))
+        .select($"id", $"rn").as[(Long, Long)].collect().toMap
+      assert(distRn === flatRn, s"row_number $label desc=$desc")
+      for (k <- Seq(4, 10)) {
+        val flatNt = df.withColumn("nt",
+            ntile(k).over(Window.orderBy(ord: _*)))
+          .select($"id", $"nt").as[(Long, Int)].collect().toMap
+        val distNt = operators.DistRank
+          .withNtile(df, k, "nt", $"v", desc, Seq($"id"))
+          .select($"id", $"nt").as[(Long, Int)].collect().toMap
+        assert(distNt === flatNt, s"ntile($k) $label desc=$desc")
+      }
+    }
+  }
 }
