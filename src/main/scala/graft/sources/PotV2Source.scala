@@ -97,7 +97,8 @@ private[sources] class PotV2Table(path: String)
   override def schema(): StructType = PotV2Source.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PotV2ScanBuilder(path)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -377,16 +378,16 @@ private[sources] class PotV2WriteBuilder(
   }
 }
 
-private[sources] case class PotFragmentMessage(
+private[graft] case class PotFragmentMessage(
     partitionId: Int, fragment: String) extends WriterCommitMessage
 
-private[sources] class PotV2Write(
+private[graft] class PotV2Write(
     path: String, schema: StructType, queryId: String, truncateFirst: Boolean)
     extends Write with BatchWrite {
   import java.nio.charset.StandardCharsets.UTF_8
 
-  private val keyIdx = schema.fieldNames.indexOf("key")
-  private val docIdx = schema.fieldNames.indexOf("doc_json")
+  private[graft] val keyIdx = schema.fieldNames.indexOf("key")
+  private[graft] val docIdx = schema.fieldNames.indexOf("doc_json")
   require(keyIdx >= 0 && docIdx >= 0 &&
     schema.fields(keyIdx).dataType == StringType &&
     schema.fields(docIdx).dataType == StringType,
@@ -401,78 +402,128 @@ private[sources] class PotV2Write(
 
   override def toBatch: BatchWrite = this
 
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new PotV2StreamingWrite(this)
+
   override def createBatchWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
       : DataWriterFactory =
     new PotV2WriterFactory(stagingDir.toString, keyIdx, docIdx)
 
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+  private[graft] def stagingBase: String =
+    new Path(new Path(path).getParent, s".staging-$queryId").toString
+
+  private[graft] def epochStagingDir(epochId: Long): Path =
+    new Path(s"$stagingBase-e$epochId")
+
+  /** One merge-and-CAS attempt cycle, shared by the batch and streaming
+    * commit paths.
+    *
+    * `snapTag`, when given, makes the commit IDEMPOTENT per tag (the
+    * AnnIndex.append discipline): the tag is embedded in the snapshot
+    * FILE NAME — marker bodies stay bare paths every reader parses — and
+    * a chain snapshot already carrying the tag short-circuits the commit
+    * (a checkpoint-replayed streaming epoch adopts its committed
+    * generation instead of double-applying).
+    *
+    * `retryOnConflict = false` (batch): a lost CAS propagates as a clean
+    * CommitConflict — the DataFrameWriter caller retries with fresh
+    * intent. `true` (streaming): the loop re-reads the head, RE-MERGES
+    * the same fragments against it and re-CASes at the new head+1 —
+    * lost-update-free because the merge base is re-read every attempt,
+    * and an epoch must not fail the whole stream just because an
+    * external writer took a generation.
+    */
+  private[graft] def commitEntries(
+      messages: Array[WriterCommitMessage], truncate: Boolean,
+      snapTag: Option[String], retryOnConflict: Boolean,
+      staging: Path): Unit = {
     val target = new Path(path)
     val fs = target.getFileSystem(new Configuration())
     val dir = target.getParent
     val commits = new Path(dir, ".commits")
     val mapper = new ObjectMapper()
-    // LinkedHashMap: first-seen key keeps its slot, later put = LWW value —
-    // deterministic object layout for identical inputs
-    val entries = new java.util.LinkedHashMap[String, String]()
-    def loadObject(p: Path): Unit = {
-      val in = fs.open(p)
-      val root = try mapper.readTree(in) finally in.close()
-      require(root != null && root.isObject,
-        s"pot object $p: top level must be a JSON map")
-      root.fields().asScala.foreach(e =>
-        entries.put(e.getKey, e.getValue.toString))
-    }
-    // The chain head is read ONCE and pins BOTH the merge base and the
-    // target generation (head+1): a concurrent commit landing in between
-    // makes our publish a CommitConflict, never a silent lost update —
-    // computing the generation separately after the merge would let a
-    // writer that merged an old snapshot win a later generation.
-    val head = PotV2Write.latestSnapshot(fs, commits)
-    if (!truncateFirst) {
-      head match {
-        case Some((_, snap)) => loadObject(new Path(snap))
-        case None if fs.exists(target) =>
-          // adopt a pre-connector pot (e.g. a PotJson.export artifact) as
-          // generation zero's content
-          loadObject(target)
-        case None => ()
+
+    def tagCommitted(t: String): Boolean =
+      graft.kv.CommitMarker.committedGenerations(fs, commits).exists { g =>
+        new Path(graft.kv.CommitMarker.read(fs, new Path(commits, g.toString)))
+          .getName.contains(s"-$t-")
+      }
+
+    def attempt(): Boolean = {
+      if (snapTag.exists(tagCommitted)) return true // replayed epoch: adopt
+      // LinkedHashMap: first-seen key keeps its slot, later put = LWW value
+      val entries = new java.util.LinkedHashMap[String, String]()
+      def loadObject(p: Path): Unit = {
+        val in = fs.open(p)
+        val root = try mapper.readTree(in) finally in.close()
+        require(root != null && root.isObject,
+          s"pot object $p: top level must be a JSON map")
+        root.fields().asScala.foreach(e =>
+          entries.put(e.getKey, e.getValue.toString))
+      }
+      // The chain head is read ONCE per attempt and pins BOTH the merge
+      // base and the target generation (head+1): a concurrent commit
+      // landing in between makes our publish a CommitConflict, never a
+      // silent lost update.
+      val head = PotV2Write.latestSnapshot(fs, commits)
+      if (!truncate) {
+        head match {
+          case Some((_, snap)) => loadObject(new Path(snap))
+          case None if fs.exists(target) =>
+            // adopt a pre-connector pot (e.g. a PotJson.export artifact)
+            // as generation zero's content
+            loadObject(target)
+          case None => ()
+        }
+      }
+      messages.collect { case m: PotFragmentMessage => m }
+        .sortBy(_.partitionId)
+        .foreach { m =>
+          val in = fs.open(new Path(m.fragment))
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .filter(_.nonEmpty).foreach { line =>
+              val n = mapper.readTree(line)
+              entries.put(n.get("k").asText(), n.get("d").toString)
+            }
+          finally in.close()
+        }
+      val snap = new Path(dir,
+        s".snap-${snapTag.fold("")(_ + "-")}${java.util.UUID.randomUUID()}.json")
+      val out = fs.create(snap, false)
+      try {
+        out.write('{')
+        var first = true
+        entries.entrySet().asScala.foreach { e =>
+          if (!first) out.write(',')
+          first = false
+          out.write(mapper.writeValueAsString(e.getKey).getBytes(UTF_8))
+          out.write(':')
+          out.write(e.getValue.getBytes(UTF_8))
+        }
+        out.write('}')
+      } finally out.close()
+      val gen = head.map(_._1).getOrElse(0L) + 1
+      try {
+        graft.kv.CommitMarker.publish(
+          fs, new Path(commits, gen.toString), snap.toString)
+        true
+      } catch {
+        case e: graft.kv.PotTable.CommitConflict =>
+          fs.delete(snap, false)
+          if (retryOnConflict) false else throw e
+        case e: Throwable => fs.delete(snap, false); throw e
       }
     }
-    messages.collect { case m: PotFragmentMessage => m }
-      .sortBy(_.partitionId)
-      .foreach { m =>
-        val in = fs.open(new Path(m.fragment))
-        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-          .filter(_.nonEmpty).foreach { line =>
-            val n = mapper.readTree(line)
-            entries.put(n.get("k").asText(), n.get("d").toString)
-          }
-        finally in.close()
-      }
-    // immutable snapshot, then CAS the generation marker (exactly one
-    // concurrent writer wins; CommitConflict propagates to the loser)
-    val snap = new Path(dir, s".snap-${java.util.UUID.randomUUID()}.json")
-    val out = fs.create(snap, false)
-    try {
-      out.write('{')
-      var first = true
-      entries.entrySet().asScala.foreach { e =>
-        if (!first) out.write(',')
-        first = false
-        out.write(mapper.writeValueAsString(e.getKey).getBytes(UTF_8))
-        out.write(':')
-        out.write(e.getValue.getBytes(UTF_8))
-      }
-      out.write('}')
-    } finally out.close()
-    val gen = head.map(_._1).getOrElse(0L) + 1
-    try graft.kv.CommitMarker.publish(
-      fs, new Path(commits, gen.toString), snap.toString)
-    catch { case e: Throwable => fs.delete(snap, false); throw e }
+    while (!attempt()) {}
     PotV2Write.refreshMaterialization(fs, dir, target, commits)
-    fs.delete(stagingDir, true)
+    fs.delete(staging, true)
   }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    commitEntries(messages, truncateFirst, snapTag = None,
+      retryOnConflict = false, staging = stagingDir)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(path).getFileSystem(new Configuration())
@@ -480,7 +531,52 @@ private[sources] class PotV2Write(
   }
 }
 
-private[sources] object PotV2Write {
+/** Streaming half of the connector: `writeStream.format(PotV2Source)` —
+  * each micro-batch epoch commits as one chain generation through the
+  * same merge-snapshot-CAS core, with the epoch id embedded in the
+  * snapshot name so a checkpoint-replayed epoch ADOPTS its committed
+  * generation (exactly-once per epoch, st14's AnnIndex discipline at the
+  * connector level). Epochs of one query serialize; conflicts with
+  * EXTERNAL writers re-merge and retry rather than failing the stream.
+  */
+private[graft] class PotV2StreamingWrite(write: PotV2Write)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private def tag(epochId: Long): String = s"e$epochId"
+
+  override def createStreamingWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : StreamingDataWriterFactory =
+    // a concrete factory with only primitive fields: capturing the
+    // enclosing (non-serializable) Write here fails task serialization
+    new PotV2StreamingWriterFactory(
+      write.stagingBase, write.keyIdx, write.docIdx)
+
+  override def commit(
+      epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    write.commitEntries(messages, truncate = false,
+      snapTag = Some(tag(epochId)), retryOnConflict = true,
+      staging = write.epochStagingDir(epochId))
+
+  override def abort(
+      epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val staging = write.epochStagingDir(epochId)
+    staging.getFileSystem(new Configuration()).delete(staging, true)
+  }
+}
+
+private[graft] class PotV2StreamingWriterFactory(
+    stagingBase: String, keyIdx: Int, docIdx: Int)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
+    new PotV2WriterFactory(s"$stagingBase-e$epochId", keyIdx, docIdx)
+      .createWriter(partitionId, taskId)
+}
+
+private[graft] object PotV2Write {
   /** Latest committed (gen, snapshot path) from the marker chain. */
   def latestSnapshot(
       fs: org.apache.hadoop.fs.FileSystem,
@@ -530,7 +626,7 @@ private[sources] object PotV2Write {
   }
 }
 
-private[sources] class PotV2WriterFactory(
+private[graft] class PotV2WriterFactory(
     stagingDir: String, keyIdx: Int, docIdx: Int) extends DataWriterFactory {
   override def createWriter(
       partitionId: Int, taskId: Long): DataWriter[InternalRow] =

@@ -1101,7 +1101,65 @@ object StreamingQueries {
       |GROUP BY 1, 2
       |ORDER BY route, reason""".stripMargin
 
+  /** st16: STREAMING SINK through the DSv2 connector — `writeStream
+    * .format(PotV2Source)`, no foreachBatch anywhere: the analyzer
+    * resolves the sink to [[graft.sources.PotV2StreamingWrite]], and
+    * each micro-batch epoch commits ONE chain generation through u14's
+    * merge-snapshot-CAS core with the epoch id tagging the snapshot —
+    * a checkpoint-replayed epoch ADOPTS its committed generation, so
+    * the sink is exactly-once per epoch at the connector level (st9
+    * hand-rolls this shape with foreachBatch + PotTable; this is the
+    * declarative form every Spark user writes first). The stream routes
+    * a bounded slice of events (event_id % 97 = 0) as (key, doc); the
+    * emitted summary aggregates the pot's parsed docs per event_type —
+    * batch-split independent (LWW by unique key), oracle replays the
+    * slice relationally. Doubles round-trip exactly through to_json/
+    * get_json_object (shortest-representation JSON rendering), and only
+    * order-free min/max touch them.
+    */
+  def streamPotSink(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = runScratchDir("graft-st16")
+    val pot = s"$root/pot/t/data.json"
+    withStreamRunConf(s) {
+      val q = eventsStream(s, d)
+        .filter(col("event_id") % 97 === 0)
+        .select(lit("").as("pot_file"),
+          concat(lit("e"), col("event_id").cast("string")).as("key"),
+          to_json(struct(col("event_type").as("et"),
+            col("value").as("v"))).as("doc_json"))
+        .writeStream
+        .format(classOf[graft.sources.PotV2Source].getName)
+        .option("path", pot)
+        .option("checkpointLocation", s"$root/chk")
+        .outputMode("append")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    val result = s.read
+      .format(classOf[graft.sources.PotV2Source].getName)
+      .option("path", pot).load()
+      .select(get_json_object($"doc_json", "$.et").as("event_type"),
+        get_json_object($"doc_json", "$.v").cast("double").as("v"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), min($"v").as("vmin"), max($"v").as("vmax"))
+      .orderBy($"event_type")
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    result
+  }
+
+  val streamPotSinkSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  MIN(value) AS vmin, MAX(value) AS vmax
+      |FROM events
+      |WHERE event_id % 97 = 0
+      |GROUP BY 1
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st16_stream_pot_sink" -> (streamPotSink _),
     "st15_stream_dlq" -> (streamDlqRouter _),
     "st14_stream_ann_ingest" -> (streamAnnIngest _),
     "st13_stream_rollup" -> (streamRollup _),
@@ -1119,6 +1177,7 @@ object StreamingQueries {
     "st4_stream_attribution" -> (streamClickAttribution _))
 
   val oracle: Map[String, String] = Map(
+    "st16_stream_pot_sink" -> streamPotSinkSql,
     "st15_stream_dlq" -> streamDlqRouterSql,
     "st14_stream_ann_ingest" -> graft.operators.Similarity.annMultiProbeSql,
     "st13_stream_rollup" -> streamRollupSql,

@@ -275,6 +275,43 @@ class PotJsonSpec extends AnyFunSuite {
       .select($"key").as[String].collect().toSet === Set("a", "b", "c", "d"))
   }
 
+  test("PotV2 streaming sink: a replayed epoch adopts its committed generation") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val dir = java.nio.file.Files.createTempDirectory("potv2se").toString
+    val pot = s"$dir/t/data.json"
+    val write = new graft.sources.PotV2Write(
+      pot, graft.sources.PotV2Source.Schema, "q-test", truncateFirst = false)
+    val sw = write.toStreaming
+    def stage(epoch: Long, key: String, v: Int)
+        : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+      val w = new graft.sources.PotV2WriterFactory(
+        write.epochStagingDir(epoch).toString, 1, 2).createWriter(0, 0L)
+      w.write(InternalRow(UTF8String.fromString(""),
+        UTF8String.fromString(key), UTF8String.fromString(s"""{"v": $v}""")))
+      w.commit()
+    }
+    val fs = new org.apache.hadoop.fs.Path(pot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commits = new org.apache.hadoop.fs.Path(s"$dir/t/.commits")
+    def gens() = graft.kv.CommitMarker.committedGenerations(fs, commits).sorted
+    sw.commit(5L, Array(stage(5L, "k1", 1)))
+    assert(gens() === Seq(1L))
+    // checkpoint-recovery replay of epoch 5: the committed generation is
+    // adopted — no second generation, content unchanged
+    sw.commit(5L, Array(stage(5L, "k1", 1)))
+    assert(gens() === Seq(1L), "replayed epoch re-committed")
+    // a NEW epoch appends the next generation
+    sw.commit(6L, Array(stage(6L, "k2", 2)))
+    assert(gens() === Seq(1L, 2L))
+    import spark.implicits._
+    val back = spark.read
+      .format(classOf[graft.sources.PotV2Source].getName)
+      .option("path", pot).load()
+      .select($"key").as[String].collect().toSet
+    assert(back === Set("k1", "k2"))
+  }
+
   test("PotV2Source write: concurrent appends never lose an update or tear data.json") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("potv2race").toString
