@@ -554,7 +554,62 @@ object Extensibility {
       |FROM nation
       |ORDER BY key""".stripMargin
 
+  /** u16: TIME-TRAVEL reads through the connector —
+    * `.option("generation", n)` pins the scan to commit n of the write
+    * chain (the pot VERSION AS OF, pairing with kv7's PotTable time
+    * travel): the reader scans that generation's immutable snapshot
+    * instead of the data.json head. The query writes two generations
+    * (base OVERWRITE, then an LWW-overlapping APPEND) and emits BOTH
+    * states — v1 pinned by generation, head unpinned — so the oracle
+    * replays exactly what a reader at each point in the chain sees;
+    * reading an uncommitted generation fails loudly (PotJsonSpec).
+    */
+  def potTimeTravel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-potv2tt").toString
+    val pot = s"$dir/t/data.json"
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    def docs(df: org.apache.spark.sql.DataFrame) = df.select(
+      lit("").as("pot_file"),
+      concat(lit("n"), $"n_nationkey".cast("string")).as("key"),
+      to_json(struct($"n_name".as("name"),
+        $"n_regionkey".cast("int").as("region"), $"upd")).as("doc_json"))
+    val nat = Tables.nation(s, d)
+    docs(nat.filter($"n_regionkey" <= 1).withColumn("upd", lit(0)))
+      .write.format(fmt).option("path", pot).mode("overwrite").save()
+    docs(nat.filter($"n_regionkey" === 0).withColumn("upd", lit(1)))
+      .write.format(fmt).option("path", pot).mode("append").save()
+    def readState(state: String, gen: Option[Long]) = {
+      val r = s.read.format(fmt).option("path", pot)
+      gen.foreach(g => r.option("generation", g.toString))
+      r.load().select(lit(state).as("state"), $"key",
+        get_json_object($"doc_json", "$.name").as("name"),
+        get_json_object($"doc_json", "$.region").cast("int").as("region"),
+        get_json_object($"doc_json", "$.upd").cast("int").as("upd"))
+    }
+    val result = readState("head", None)
+      .unionByName(readState("v1", Some(1L)))
+      .orderBy($"state", $"key")
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    result
+  }
+
+  val potTimeTravelSql: String =
+    """WITH base AS (
+      |  SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS key, n_name AS name,
+      |    CAST(n_regionkey AS INTEGER) AS region
+      |  FROM nation WHERE n_regionkey <= 1)
+      |SELECT 'head' AS state, key, name, region,
+      |  CAST(CASE WHEN region = 0 THEN 1 ELSE 0 END AS INTEGER) AS upd
+      |FROM base
+      |UNION ALL
+      |SELECT 'v1' AS state, key, name, region, CAST(0 AS INTEGER) AS upd
+      |FROM base
+      |ORDER BY state, key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u16_pot_time_travel" -> (potTimeTravel _),
     "u15_sql_insert_pot" -> (sqlInsertPot _),
     "u14_dsv2_pot_write" -> (dsv2PotWrite _),
     "u13_sql_tvf" -> (sqlTvf _),
@@ -572,6 +627,7 @@ object Extensibility {
     "u5_typed_dataset"  -> (typedDataset _))
 
   val oracle: Map[String, String] = Map(
+    "u16_pot_time_travel" -> potTimeTravelSql,
     "u15_sql_insert_pot" -> sqlInsertPotSql,
     "u14_dsv2_pot_write" -> dsv2PotWriteSql,
     "u13_sql_tvf" -> sqlTvfSql,

@@ -100,12 +100,14 @@ private[sources] class PotV2Table(path: String)
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PotV2ScanBuilder(path)
+    new PotV2ScanBuilder(path,
+      Option(options.get("generation")).map(_.toLong))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new PotV2WriteBuilder(path, info)
 }
 
-private[sources] class PotV2ScanBuilder(path: String)
+private[sources] class PotV2ScanBuilder(
+    path: String, generation: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates {
   import org.apache.spark.sql.sources._
@@ -179,7 +181,7 @@ private[sources] class PotV2ScanBuilder(path: String)
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan =
-    new PotV2Scan(path, required, pushed, aggGroupedByFile)
+    new PotV2Scan(path, required, pushed, aggGroupedByFile, generation)
 }
 
 private[sources] object PotV2Filters {
@@ -200,7 +202,8 @@ private[sources] object PotV2Filters {
 private[sources] class PotV2Scan(
     path: String, required: StructType,
     pushed: Array[org.apache.spark.sql.sources.Filter],
-    aggGroupedByFile: Option[Boolean] = None)
+    aggGroupedByFile: Option[Boolean] = None,
+    generation: Option[Long] = None)
     extends Scan with Batch {
   import org.apache.spark.sql.types.LongType
 
@@ -217,6 +220,23 @@ private[sources] class PotV2Scan(
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
     val fs = p.getFileSystem(new Configuration())
+    // TIME TRAVEL: `.option("generation", n)` pins the read to commit n of
+    // the write chain (the connector's VERSION AS OF, pairing with kv7's
+    // PotTable time travel) — the reader scans that generation's immutable
+    // snapshot instead of the data.json head materialization. One pot
+    // object only (a glob of pots has no shared generation counter), and
+    // an uncommitted generation fails loudly rather than reading stale.
+    generation.foreach { g =>
+      require(!path.exists(c => "*?[{".contains(c)),
+        s"PotV2Source: generation reads need ONE pot object, not a glob: $path")
+      val commits = new Path(p.getParent, ".commits")
+      val marker = new Path(commits, g.toString)
+      require(graft.kv.CommitMarker.committedGenerations(fs, commits)
+          .contains(g),
+        s"PotV2Source: generation $g is not committed under $commits")
+      return Array(
+        PotFilePartition(graft.kv.CommitMarker.read(fs, marker)))
+    }
     val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
     val parts = matched.filter(_.isFile)
       .map(_.getPath.toString)
@@ -242,7 +262,8 @@ private[sources] class PotV2Scan(
       case Some(false) => ", PushedAggregation: count group=[]"
       case None => ""
     }
-    s"PotV2Scan ${pushed.mkString("PushedFilters: [", ", ", "]")}$aggDesc"
+    val genDesc = generation.map(g => s", Generation: $g").getOrElse("")
+    s"PotV2Scan ${pushed.mkString("PushedFilters: [", ", ", "]")}$aggDesc$genDesc"
   }
 }
 

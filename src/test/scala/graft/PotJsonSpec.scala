@@ -312,6 +312,38 @@ class PotJsonSpec extends AnyFunSuite {
     assert(back === Set("k1", "k2"))
   }
 
+  test("PotV2Source generation reads pin the chain; uncommitted/glob reads fail loudly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("potv2tt").toString
+    val pot = s"$dir/t/data.json"
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    def put(k: String, v: Int, mode: String): Unit =
+      Seq(("", k, s"""{"v": $v}""")).toDF("pot_file", "key", "doc_json")
+        .write.format(fmt).option("path", pot).mode(mode).save()
+    put("a", 1, "overwrite"); put("a", 2, "append"); put("b", 3, "append")
+    def keysAt(gen: Long) = spark.read.format(fmt)
+      .option("path", pot).option("generation", gen.toString).load()
+      .select($"key", $"doc_json").as[(String, String)].collect().toMap
+    assert(keysAt(1L) === Map("a" -> """{"v":1}"""))
+    assert(keysAt(2L) === Map("a" -> """{"v":2}"""))
+    assert(keysAt(3L) === Map("a" -> """{"v":2}""", "b" -> """{"v":3}"""))
+    // the Generation marker is visible in the plan description
+    val p = spark.read.format(fmt).option("path", pot)
+      .option("generation", "2").load().queryExecution.executedPlan.toString
+    assert(p.contains("Generation: 2"), p)
+    // uncommitted generation: loud failure, never a stale fallback
+    val e = intercept[Throwable] { keysAt(9L) }
+    assert(Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+      .exists(_.getMessage.contains("not committed")))
+    // glob + generation is rejected (no shared generation counter)
+    val g = intercept[Throwable] {
+      spark.read.format(fmt).option("path", s"$dir/*/data.json")
+        .option("generation", "1").load().collect()
+    }
+    assert(Iterator.iterate(g)(_.getCause).takeWhile(_ != null).take(8)
+      .exists(_.getMessage.contains("ONE pot object")))
+  }
+
   test("PotV2Source write: concurrent appends never lose an update or tear data.json") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("potv2race").toString
