@@ -91,17 +91,56 @@ final class PotTxn(spark: SparkSession, root: String) {
       val done = appliedMarker(n, pot)
       if (!fs.exists(done)) {
         val batch = spark.read.parquet(s"${stageDir(id)}/$pot")
-        var applied = false
-        while (!applied) {
-          try { PotTable(spark, root, pot).upsert(batch); applied = true }
+        // the applied marker records the GENERATION the upsert produced —
+        // the per-pot coordinate [[frontier]] composes into cross-pot
+        // consistent reads (pre-r12 markers said "done"; frontier skips
+        // non-numeric bodies)
+        var applied = -1L
+        while (applied < 0) {
+          try applied = PotTable(spark, root, pot).upsert(batch)
           catch { case _: PotTable.CommitConflict => /* rebase: retry re-reads head */ }
         }
         fs.mkdirs(done.getParent)
-        try CommitMarker.publish(fs, done, "done")
+        try CommitMarker.publish(fs, done, applied.toString)
         catch { case _: PotTable.CommitConflict => /* another recoverer recorded it */ }
       }
     }
   }
+
+  /** Pot → generation frontier as of committed txn `n`: for each
+    * participant pot, the generation recorded by its LAST applied txn
+    * <= n. Composed with [[PotTable.getAt]] this gives CROSS-POT
+    * CONSISTENT READS at a txn boundary — the read-side complement to
+    * the roll-forward durability contract: a reader pinned to
+    * frontier(n) never observes txn n+1 (or any later independent
+    * single-pot write) partially applied, closing the documented
+    * "reader between commit point and apply" caveat for readers that
+    * opt in. The frontier is "state as the txn's apply left it": an
+    * independent write that landed BEFORE that apply is visible, one
+    * that landed after is not — exactly a snapshot at the apply point.
+    */
+  def frontier(n: Long): Map[String, Long] = {
+    val ns = CommitMarker.committedGenerations(fs, commitsDir)
+      .filter(_ <= n).sorted
+    val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    ns.foreach { t =>
+      val pots = CommitMarker.read(fs, new Path(commitsDir, t.toString))
+        .trim.split("\n").toSeq.tail
+      pots.foreach { pot =>
+        val mk = appliedMarker(t, pot)
+        if (fs.exists(mk))
+          CommitMarker.read(fs, mk).trim.toLongOption
+            .foreach(g => m(pot) = g)
+      }
+    }
+    m.toMap
+  }
+
+  /** Consistent snapshot of every txn-participant pot at frontier `n`. */
+  def snapshotAt(n: Long): Map[String, DataFrame] =
+    frontier(n).map { case (pot, g) =>
+      pot -> PotTable(spark, root, pot).getAt(g)
+    }
 
   /** Replay every committed txn that is missing applied markers (crash
     * recovery / startup hook). Returns the txn numbers rolled forward.

@@ -745,6 +745,7 @@ object Kv {
     "kv6_snapshot"        -> (snapshotOp _),
     "kv11_snapshot_restore" -> (snapshotRestore _),
     "kv12_txn_commit"     -> (txnCommit _),
+    "kv18_txn_snapshot_read" -> (txnSnapshotRead _),
     "kv7_generation_diff" -> (generationDiff _))
 
   val oracle: Map[String, String] = Map(
@@ -764,7 +765,8 @@ object Kv {
     "kv9_bucketed_scan"   -> bucketedScanSql,
     "kv10_point_get"      -> pointGetSql,
     "kv11_snapshot_restore" -> snapshotRestoreSql,
-    "kv12_txn_commit"     -> txnCommitSql)
+    "kv12_txn_commit"     -> txnCommitSql,
+    "kv18_txn_snapshot_read" -> txnSnapshotReadSql)
 
   /** kv12: CROSS-POT atomic commit ([[graft.kv.PotTxn]]) — the multi-table
     * transaction the reference cannot express. The query drives the full
@@ -814,6 +816,81 @@ object Kv {
     new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
     result
   }
+
+  /** kv18: cross-pot CONSISTENT SNAPSHOT READ at a txn frontier —
+    * [[graft.kv.PotTxn.snapshotAt]] composes the txn log (each applied
+    * marker now records the generation its upsert produced) with kv7's
+    * per-pot time travel: a reader pinned to frontier(n) sees every
+    * participant pot exactly as txn n's apply left it — later txns AND
+    * later independent single-pot writes are invisible. The query builds
+    * three txns across two pots with an independent nation write landing
+    * BETWEEN txn1 and txn3, then emits BOTH views: `f2` (frontier at
+    * txn2 — nation as of txn1, so the independent +100 bump is absent;
+    * region with txn2's x-prefix) and `f3` (head — all three txns plus
+    * the independent write). The oracle replays both states relationally;
+    * the f2/f3 difference IS the isolation property under test.
+    */
+  def txnSnapshotRead(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-pot-txnsnap").toString
+    val txn = new graft.kv.PotTxn(s, root)
+    val nat = Tables.nation(s, d)
+      .select($"n_nationkey".cast("string").as("key"), $"n_name", $"n_regionkey")
+    val reg = Tables.region(s, d)
+      .select($"r_regionkey".cast("string").as("key"), $"r_name")
+    txn.commitAll(Seq("nation_pot" -> nat, "region_pot" -> reg))
+    // independent single-pot writer between txns: invisible at frontier 2
+    PotTable(s, root, "nation_pot").upsert(
+      nat.filter($"key".cast("int") % 2 === 0)
+        .withColumn("n_regionkey", $"n_regionkey" + 100))
+    val n2 = txn.commitAll(Seq(
+      "region_pot" -> reg.filter($"key".cast("int") >= 3)
+        .withColumn("r_name", concat(lit("x"), $"r_name"))))
+    val n3 = txn.commitAll(Seq(
+      "nation_pot" -> nat.filter($"key".cast("int") % 3 === 0)
+        .withColumn("n_regionkey", $"n_regionkey" + 1000)))
+    def emit(state: String, snap: Map[String, org.apache.spark.sql.DataFrame]) = {
+      val n0 = snap("nation_pot")
+        .select(lit(state).as("state"), lit("nation_pot").as("pot"),
+          $"key".cast("int").as("key"),
+          concat($"n_name", lit(":"), $"n_regionkey".cast("string"))
+            .as("payload"))
+      val r0 = snap("region_pot")
+        .select(lit(state).as("state"), lit("region_pot").as("pot"),
+          $"key".cast("int").as("key"), $"r_name".as("payload"))
+      n0.unionByName(r0)
+    }
+    val result = emit("f2", txn.snapshotAt(n2))
+      .unionByName(emit("f3", txn.snapshotAt(n3)))
+      .orderBy($"state", $"pot", $"key")
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    result
+  }
+
+  lazy val txnSnapshotReadSql: String =
+    """SELECT * FROM (
+      |  SELECT 'f2' AS state, 'nation_pot' AS pot,
+      |    CAST(n_nationkey AS INTEGER) AS key,
+      |    n_name || ':' || CAST(n_regionkey AS VARCHAR) AS payload
+      |  FROM nation
+      |  UNION ALL
+      |  SELECT 'f2', 'region_pot', CAST(r_regionkey AS INTEGER),
+      |    CASE WHEN r_regionkey >= 3 THEN 'x' || r_name ELSE r_name END
+      |  FROM region
+      |  UNION ALL
+      |  SELECT 'f3', 'nation_pot', CAST(n_nationkey AS INTEGER),
+      |    n_name || ':' || CAST(CASE
+      |      WHEN n_nationkey % 3 = 0 THEN n_regionkey + 1000
+      |      WHEN n_nationkey % 2 = 0 THEN n_regionkey + 100
+      |      ELSE n_regionkey END AS VARCHAR)
+      |  FROM nation
+      |  UNION ALL
+      |  SELECT 'f3', 'region_pot', CAST(r_regionkey AS INTEGER),
+      |    CASE WHEN r_regionkey >= 3 THEN 'x' || r_name ELSE r_name END
+      |  FROM region) t
+      |ORDER BY state, pot, key""".stripMargin
 
   // lazy: declared below the oracle map that references it
   lazy val txnCommitSql: String =
