@@ -1160,7 +1160,67 @@ object Pipeline {
       |FROM per CROSS JOIN tot
       |ORDER BY tier""".stripMargin
 
+  /** p21: cluster-coherent split — the leakage-PROOF train/val/test
+    * assignment (the fix for what d12's audit detects): p13 splits by a
+    * per-document md5 coin, which keeps each document itself out of two
+    * splits but lets its NEAR-DUPLICATES straddle the boundary and
+    * quietly inflate eval numbers. Here the coin is thrown once per
+    * near-dup CLUSTER (d6's min-label components over d2's LSH pairs;
+    * singletons are their own cluster) and every member inherits it — a
+    * cross-split near-dup pair is impossible by construction, which
+    * PropertySpec proves by rewiring d12's audit against this assignment
+    * (zero leaks, versus the leaks d12 finds in p13's).
+    *
+    * Scale: d2's bucket-capped pair generation + d6's label propagation
+    * (both already 100 TB-shaped) + one left join and a narrow md5 map —
+    * the split itself adds no new heavy stage.
+    */
+  def clusterSplit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id")
+    val clustered = Dedup.minLabelClusters(
+      Dedup.minhashLsh(s, d).select($"doc_a", $"doc_b"),
+      "doc_a", "doc_b", "doc_id")
+    docs.join(clustered, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce($"cluster_id", $"doc_id"))
+      .withColumn("b",
+        conv(substring(md5($"cluster_id".cast("string")), 1, 2), 16, 10)
+          .cast("long"))
+      .withColumn("split",
+        when($"b" < 230, "train").when($"b" < 243, "val").otherwise("test"))
+      .select($"doc_id", $"cluster_id", $"split")
+      .orderBy($"doc_id")
+  }
+
+  val clusterSplitSql: String =
+    """WITH RECURSIVE pairs AS (__PAIRS__),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |          UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(src, dst) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      |comp AS (SELECT src AS doc_id, MIN(dst) AS cluster_id
+      |         FROM reach GROUP BY src),
+      |ad AS (
+      |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+      |coin AS (
+      |  SELECT doc_id, cluster_id,
+      |    (strpos('0123456789abcdef',
+      |       substr(md5(CAST(cluster_id AS VARCHAR)), 1, 1)) - 1) * 16 +
+      |    (strpos('0123456789abcdef',
+      |       substr(md5(CAST(cluster_id AS VARCHAR)), 2, 1)) - 1) AS b
+      |  FROM ad)
+      |SELECT doc_id, cluster_id,
+      |  CASE WHEN b < 230 THEN 'train' WHEN b < 243 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM coin
+      |ORDER BY doc_id""".stripMargin
+      .replace("__PAIRS__", Dedup.minhashLshSql)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p21_cluster_split"    -> (clusterSplit _),
     "p20_repeat_budget"    -> (repeatBudget _),
     "p19_prune_curve"      -> (pruneCurve _),
     "p18_dataset_card"     -> (datasetCard _),
@@ -1183,6 +1243,7 @@ object Pipeline {
     "p7_bloom_decontaminate" -> (bloomDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "p21_cluster_split"    -> clusterSplitSql,
     "p20_repeat_budget"    -> repeatBudgetSql,
     "p19_prune_curve"      -> pruneCurveSql,
     "p18_dataset_card"     -> datasetCardSql,

@@ -396,6 +396,28 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: p21 cluster split has ZERO near-dup leakage where p13's per-doc split leaks") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def leaks(assign: org.apache.spark.sql.DataFrame): Long =
+      operators.Dedup.minhashLsh(spark, sf)
+        .join(assign.select(col("doc_id").as("doc_a"),
+          col("split").as("split_a")), "doc_a")
+        .join(assign.select(col("doc_id").as("doc_b"),
+          col("split").as("split_b")), "doc_b")
+        .filter(col("split_a") =!= col("split_b")).count()
+    val perDoc = operators.Pipeline
+      .splitAssignOf(Tables.documents(spark, sf)).select($"doc_id", $"split")
+    val perCluster = operators.Pipeline
+      .clusterSplit(spark, sf).select($"doc_id", $"split")
+    assert(leaks(perCluster) === 0L,
+      "cluster-coherent split leaked a near-dup pair across splits")
+    // the contrast that makes p21 non-vacuous: the per-doc coin DOES leak
+    // on this fixture (d12's finding), so zero above is a property of the
+    // construction, not of the data
+    assert(leaks(perDoc) > 0L, "fixture no longer exhibits p13 leakage")
+  }
+
   test("property: DistRank row_number/NTILE are bit-identical to the flat window on adversarial shapes") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
