@@ -803,7 +803,67 @@ object Multimodal {
       |GROUP BY mime
       |ORDER BY mime""".stripMargin
 
+  /** m12: interleaved multimodal SEQUENCE PACKING — the step that turns
+    * m7's per-sample token accounting into the context windows a VLM
+    * training run consumes (MMC4-style interleaved image/audio/video +
+    * text records): samples that fit the context budget pack greedily in
+    * media_id order within (mime, source) LANES — per-modality,
+    * per-domain batches, which is both the semantics a trainer wants
+    * (image-text and video-text batches differ) and the partitioning that
+    * keeps every packing window parallel (p3's lane discipline; no
+    * corpus-wide sort). Bin id = tokens-before div budget, p3's streaming
+    * contract. Per bin: sample count and the text/media/total token
+    * volumes — the bin's padding waste is CtxBudget - total_tok.
+    *
+    * Scale: m7's one decode pass + a lane-keyed window + one partial agg;
+    * lanes are (mime × source), so parallelism grows with the catalog,
+    * not the corpus.
+    */
+  def interleavedPack(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val src = graft.Tables.documents(s, d)
+      .select($"doc_id".as("media_id"), $"source")
+    val w = Window.partitionBy($"mime", $"source").orderBy($"media_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokenBudget(s, d).filter($"fits")
+      .join(src, Seq("media_id"))
+      .withColumn("cum", sum($"total_tokens").over(w))
+      .withColumn("bin", expr(s"(cum - total_tokens) div $CtxBudget"))
+      .groupBy($"mime", $"source", $"bin")
+      .agg(count(lit(1)).as("n_samples"),
+        sum($"text_tokens").as("text_tok"),
+        sum($"media_tokens").as("media_tok"),
+        sum($"total_tokens").as("total_tok"))
+      .orderBy($"mime", $"source", $"bin")
+  }
+
+  val interleavedPackSql: String =
+    s"""WITH m7 AS (SELECT * FROM (__M7__) t WHERE fits),
+       |j AS (
+       |  SELECT m.media_id, m.mime, m.text_tokens, m.media_tokens,
+       |    m.total_tokens, d.source
+       |  FROM m7 m JOIN documents d ON d.doc_id = m.media_id),
+       |c AS (
+       |  SELECT mime, source, media_id, text_tokens, media_tokens,
+       |    total_tokens,
+       |    SUM(total_tokens) OVER (PARTITION BY mime, source
+       |      ORDER BY media_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM j)
+       |SELECT mime, source,
+       |  CAST((cum - total_tokens) // $CtxBudget AS BIGINT) AS bin,
+       |  COUNT(*) AS n_samples,
+       |  CAST(SUM(text_tokens) AS BIGINT) AS text_tok,
+       |  CAST(SUM(media_tokens) AS BIGINT) AS media_tok,
+       |  CAST(SUM(total_tokens) AS BIGINT) AS total_tok
+       |FROM c
+       |GROUP BY 1, 2, 3
+       |ORDER BY mime, source, bin""".stripMargin
+      .replace("__M7__", tokenBudgetSql)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m12_interleaved_pack" -> (interleavedPack _),
     "m11_modality_card" -> (modalityCard _),
     "m10_vad_segments" -> (vadSegments _),
     "m9_scene_detect" -> (sceneDetect _),
@@ -817,6 +877,7 @@ object Multimodal {
     "m5_frame_dedup"    -> (frameDupes _))
 
   val oracle: Map[String, String] = Map(
+    "m12_interleaved_pack" -> interleavedPackSql,
     "m11_modality_card" -> modalityCardSql,
     "m10_vad_segments" -> vadSegmentsSql,
     "m9_scene_detect" -> sceneDetectSql,
