@@ -870,7 +870,81 @@ object TextAnalysis {
       |ORDER BY fano_ppm DESC, word
       |LIMIT 20""".stripMargin
 
+  /** t18: Zipf law fit — the log-log rank-frequency slope of the corpus
+    * vocabulary, the third corpus-statistics diagnostic beside t15 (Heaps)
+    * and t17 (burstiness): natural text sits near slope −1; a corpus of
+    * boilerplate/templates flattens, heavy dedup steepens — a one-number
+    * drift check between corpus versions. Exact least squares over
+    * (ln rank, ln freq) of the top-1000 words: both logs go through the
+    * t5 DECIMAL(38,6) truncation (the repo's cross-engine ln discipline),
+    * every product is decimal-cast BEFORE summation (d17's order-free
+    * rule), and the closed-form slope/intercept are scalar double
+    * arithmetic over identical aggregate values on both engines.
+    *
+    * Scale: one (word) count + a TakeOrdered top-1000; the rank window
+    * sits directly above the GlobalLimit (the allowed k-row re-rank
+    * shape) — corpus-sized work is the word count alone.
+    */
+  def zipfFit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val freq = Tables.documents(s, d)
+      .select(explode(split(lower($"text"), " ")).as("word"))
+      .groupBy($"word").agg(count(lit(1)).as("f"))
+      .orderBy($"f".desc, $"word").limit(1000)
+    val t = freq
+      .withColumn("r",
+        row_number().over(Window.orderBy($"f".desc, $"word")).cast("long"))
+      .select(
+        log($"r".cast("double")).cast(Dec).cast("double").as("x"),
+        log($"f".cast("double")).cast(Dec).cast("double").as("y"))
+    t.agg(
+        count(lit(1)).as("n"),
+        sum(($"x" * $"y").cast(Dec)).cast("double").as("sxy"),
+        sum(($"x" * $"x").cast(Dec)).cast("double").as("sxx"),
+        sum($"x".cast(Dec)).cast("double").as("sx"),
+        sum($"y".cast(Dec)).cast("double").as("sy"))
+      .withColumn("slope",
+        ($"n".cast("double") * $"sxy" - $"sx" * $"sy") /
+          ($"n".cast("double") * $"sxx" - $"sx" * $"sx"))
+      .withColumn("intercept",
+        ($"sy" - $"slope" * $"sx") / $"n".cast("double"))
+      .select($"n", $"slope", $"intercept")
+      .orderBy($"n")
+  }
+
+  val zipfFitSql: String =
+    """WITH w AS (
+      |  SELECT unnest(string_split(lower(text), ' ')) AS word
+      |  FROM documents),
+      |f AS (
+      |  SELECT word, COUNT(*) AS f FROM w GROUP BY 1
+      |  ORDER BY f DESC, word LIMIT 1000),
+      |r AS (
+      |  SELECT f, ROW_NUMBER() OVER (ORDER BY f DESC, word) AS r FROM f),
+      |t AS (
+      |  SELECT
+      |    CAST(CAST(LN(CAST(r AS DOUBLE)) AS DECIMAL(38,6)) AS DOUBLE) AS x,
+      |    CAST(CAST(LN(CAST(f AS DOUBLE)) AS DECIMAL(38,6)) AS DOUBLE) AS y
+      |  FROM r),
+      |a AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy
+      |  FROM t)
+      |SELECT n,
+      |  (CAST(n AS DOUBLE) * sxy - sx * sy)
+      |    / (CAST(n AS DOUBLE) * sxx - sx * sx) AS slope,
+      |  (sy - ((CAST(n AS DOUBLE) * sxy - sx * sy)
+      |    / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx)
+      |    / CAST(n AS DOUBLE) AS intercept
+      |FROM a
+      |ORDER BY n""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t18_zipf_fit"        -> (zipfFit _),
     "t17_burstiness"      -> (burstiness _),
     "t16_lang_confusion"  -> (langConfusion _),
     "t15_heaps_law"       -> (heapsLaw _),
@@ -890,6 +964,7 @@ object TextAnalysis {
     "t6_pii_scrub"    -> (piiScrub _))
 
   val oracle: Map[String, String] = Map(
+    "t18_zipf_fit"        -> zipfFitSql,
     "t17_burstiness"      -> burstinessSql,
     "t16_lang_confusion"  -> langConfusionSql,
     "t15_heaps_law"       -> heapsLawSql,
