@@ -115,7 +115,11 @@ object ScaleSmoke {
     // sixteenth batch
     "q71_nearest_event", "s24_centroid_shift",
     // seventeenth batch
-    "q72_interval_coverage", "t17_burstiness")
+    "q72_interval_coverage", "t17_burstiness",
+    // round-12 batch (q66/q74 omitted: orders stays 1x-symlinked; u14-u16/
+    // st16/kv18 omitted: dimension-only or fixed-slice inputs)
+    "q73_sliding_exact_panes", "p21_cluster_split",
+    "m12_interleaved_pack", "t18_zipf_fit")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
