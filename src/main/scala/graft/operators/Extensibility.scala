@@ -395,24 +395,37 @@ object Extensibility {
     * compose: the relation the TVF returns is the same scan u12 proved
     * prunes, filters and aggregates.
     */
-  def sqlTvf(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  private def registerPotTvf(s: SparkSession): Unit =
     s.sessionState.tableFunctionRegistry.registerFunction(
       new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_pot"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[graft.sources.PotV2Source].getName, "graft_pot"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        val path = exprs match {
-          case Seq(org.apache.spark.sql.catalyst.expressions.Literal(
-            p: org.apache.spark.unsafe.types.UTF8String, _)) => p.toString
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.unsafe.types.UTF8String
+        // graft_pot('<path>'[, <generation>]) — the optional INTEGER
+        // literal pins the read to a committed write-chain generation
+        // (u16's time travel at the SQL level)
+        val (path, gen) = exprs match {
+          case Seq(Literal(p: UTF8String, _)) => (p.toString, None)
+          case Seq(Literal(p: UTF8String, _), Literal(g: Int, _)) =>
+            (p.toString, Some(g.toLong))
+          case Seq(Literal(p: UTF8String, _), Literal(g: Long, _)) =>
+            (p.toString, Some(g))
           case other => throw new IllegalArgumentException(
-            s"graft_pot: expected one STRING literal path, got $other")
+            "graft_pot: expected a STRING literal path and an optional " +
+              s"INTEGER literal generation, got $other")
         }
-        org.apache.spark.sql.SparkSession.active
+        val r = org.apache.spark.sql.SparkSession.active
           .read.format(classOf[graft.sources.PotV2Source].getName)
-          .option("path", path).load()
-          .queryExecution.analyzed
+          .option("path", path)
+        gen.foreach(g => r.option("generation", g.toString))
+        r.load().queryExecution.analyzed
       })
+
+  def sqlTvf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    registerPotTvf(s)
     val dir = java.nio.file.Files.createTempDirectory("graft-potv2tvf").toString
     val rows = Tables.nation(s, d)
       .select($"n_nationkey", $"n_name", $"n_regionkey").collect()
@@ -439,6 +452,60 @@ object Extensibility {
 
   /** Oracle: u10's SQL verbatim — the TVF must be just syntax. */
   val sqlTvfSql: String = dsv2PotReadSql
+
+  /** u17: TVF time travel — `graft_pot('<path>', <generation>)`: u16's
+    * generation pinning at the pure-SQL level, closing the loop so every
+    * chain read the DataFrame API can express has a FROM-position twin
+    * (u13 head reads, u17 pinned reads). The query writes two LWW
+    * generations through the connector and aggregates BOTH states in one
+    * SQL statement — per state: doc count and how many docs carry the
+    * second generation's upd flag (v1: none; head: exactly the overlap).
+    * Aggregate pushdown composes with the pin: the COUNT runs against the
+    * pinned snapshot's scan, same reader as u12.
+    */
+  def sqlTvfTimeTravel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    registerPotTvf(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft-potv2tvt").toString
+    val pot = s"$dir/t/data.json"
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    def docs(df: org.apache.spark.sql.DataFrame) = df.select(
+      lit("").as("pot_file"),
+      concat(lit("n"), $"n_nationkey".cast("string")).as("key"),
+      to_json(struct($"n_name".as("name"), $"upd")).as("doc_json"))
+    val nat = Tables.nation(s, d)
+    docs(nat.filter($"n_regionkey" <= 1).withColumn("upd", lit(0)))
+      .write.format(fmt).option("path", pot).mode("overwrite").save()
+    docs(nat.filter($"n_regionkey" === 0).withColumn("upd", lit(1)))
+      .write.format(fmt).option("path", pot).mode("append").save()
+    val result = s.sql(
+      s"""SELECT 'v1' AS state, COUNT(*) AS n,
+         |  CAST(SUM(CAST(get_json_object(doc_json, '$$.upd') AS BIGINT))
+         |    AS BIGINT) AS n_upd
+         |FROM graft_pot('$pot', 1)
+         |UNION ALL
+         |SELECT 'head' AS state, COUNT(*) AS n,
+         |  CAST(SUM(CAST(get_json_object(doc_json, '$$.upd') AS BIGINT))
+         |    AS BIGINT) AS n_upd
+         |FROM graft_pot('$pot')
+         |ORDER BY state""".stripMargin)
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    result
+  }
+
+  val sqlTvfTimeTravelSql: String =
+    """WITH base AS (SELECT n_nationkey FROM nation WHERE n_regionkey <= 1),
+      |hd AS (
+      |  SELECT COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN n_nationkey IN
+      |      (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_upd
+      |  FROM base)
+      |SELECT 'head' AS state, n, n_upd FROM hd
+      |UNION ALL
+      |SELECT 'v1' AS state, n, CAST(0 AS BIGINT) AS n_upd FROM hd
+      |ORDER BY state""".stripMargin
 
   /** u14: the DSv2 WRITE path — `INSERT`/`OVERWRITE` into a pot object
     * through [[graft.sources.PotV2Source]]'s `SupportsWrite` (the POST
@@ -609,6 +676,7 @@ object Extensibility {
       |ORDER BY state, key""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u17_sql_tvf_time_travel" -> (sqlTvfTimeTravel _),
     "u16_pot_time_travel" -> (potTimeTravel _),
     "u15_sql_insert_pot" -> (sqlInsertPot _),
     "u14_dsv2_pot_write" -> (dsv2PotWrite _),
@@ -627,6 +695,7 @@ object Extensibility {
     "u5_typed_dataset"  -> (typedDataset _))
 
   val oracle: Map[String, String] = Map(
+    "u17_sql_tvf_time_travel" -> sqlTvfTimeTravelSql,
     "u16_pot_time_travel" -> potTimeTravelSql,
     "u15_sql_insert_pot" -> sqlInsertPotSql,
     "u14_dsv2_pot_write" -> dsv2PotWriteSql,
