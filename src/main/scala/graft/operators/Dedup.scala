@@ -1197,7 +1197,73 @@ object Dedup {
       |ORDER BY doc_a, doc_b""".stripMargin
       .replace("__PAIRS__", minhashLshSql)
 
+  /** d18: corpus VERSION DIFF — the release-to-release audit a dataset
+    * card cites (kv7's generation diff lifted to corpus granularity):
+    * v2 is derived deterministically from the fixture (every 17th doc
+    * REMOVED, every 13th surviving doc's text CHANGED via a marker
+    * prefix, ids shifted +10⁹ ADDED for every 11th doc), and the diff
+    * classifies by doc_id full-outer join + md5 content compare into
+    * added / removed / changed / unchanged — reported per class with doc
+    * and char volume, so "what moved between v1 and v2" is one table.
+    *
+    * Scale: two narrow fingerprint projections + ONE doc_id-keyed
+    * full-outer join + a 4-row rollup — content equality by md5, never
+    * by text compare, so the join carries 32-byte fingerprints, not
+    * documents.
+    */
+  def versionDiff(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val v1 = Tables.documents(s, d).select($"doc_id", $"text")
+    val v2 = v1.filter($"doc_id" % 17 =!= 0)
+      .withColumn("text",
+        when($"doc_id" % 13 === 0, concat(lit("v2: "), $"text"))
+          .otherwise($"text"))
+      .unionByName(v1.filter($"doc_id" % 11 === 0)
+        .select(($"doc_id" + 1000000000L).as("doc_id"), $"text"))
+    val a = v1.select($"doc_id", md5($"text").as("fp1"),
+      length($"text").cast("long").as("ch1"))
+    val b = v2.select($"doc_id", md5($"text").as("fp2"),
+      length($"text").cast("long").as("ch2"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select($"doc_id",
+        when($"fp1".isNull, "added")
+          .when($"fp2".isNull, "removed")
+          .when($"fp1" === $"fp2", "unchanged")
+          .otherwise("changed").as("status"),
+        coalesce($"ch2", $"ch1").as("chars"))
+      .groupBy($"status")
+      .agg(count(lit(1)).as("n_docs"), sum($"chars").as("sum_chars"))
+      .orderBy($"status")
+  }
+
+  val versionDiffSql: String =
+    """WITH v1 AS (SELECT doc_id, text FROM documents),
+      |v2 AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 13 = 0 THEN 'v2: ' || text ELSE text END AS text
+      |  FROM v1 WHERE doc_id % 17 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000000, text FROM v1 WHERE doc_id % 11 = 0),
+      |a AS (SELECT doc_id, md5(text) AS fp1,
+      |        CAST(LENGTH(text) AS BIGINT) AS ch1 FROM v1),
+      |b AS (SELECT doc_id, md5(text) AS fp2,
+      |        CAST(LENGTH(text) AS BIGINT) AS ch2 FROM v2),
+      |j AS (
+      |  SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+      |    CASE WHEN a.fp1 IS NULL THEN 'added'
+      |         WHEN b.fp2 IS NULL THEN 'removed'
+      |         WHEN a.fp1 = b.fp2 THEN 'unchanged'
+      |         ELSE 'changed' END AS status,
+      |    COALESCE(b.ch2, a.ch1) AS chars
+      |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+      |SELECT status, COUNT(*) AS n_docs,
+      |  CAST(SUM(chars) AS BIGINT) AS sum_chars
+      |FROM j
+      |GROUP BY status
+      |ORDER BY status""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d18_version_diff"   -> (versionDiff _),
     "d17_tfidf_verify"   -> (tfidfVerify _),
     "d16_canonical_pick" -> (canonicalPick _),
     "d13_edit_verify"    -> (editVerify _),
@@ -1217,6 +1283,7 @@ object Dedup {
     "d9_semantic_dedup"    -> (semanticDedup _))
 
   val oracle: Map[String, String] = Map(
+    "d18_version_diff"   -> versionDiffSql,
     "d17_tfidf_verify"     -> tfidfVerifySql,
     "d16_canonical_pick"   -> canonicalPickSql,
     "d10_repeated_spans"   -> repeatedSpansSql,
