@@ -106,7 +106,7 @@ private[sources] class PotV2Table(path: String)
     new PotV2WriteBuilder(path, info)
 }
 
-private[sources] class PotV2ScanBuilder(
+private[graft] class PotV2ScanBuilder(
     path: String, generation: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates {
@@ -199,12 +199,36 @@ private[sources] object PotV2Filters {
     }
 }
 
-private[sources] class PotV2Scan(
+private[graft] class PotV2Scan(
     path: String, required: StructType,
     pushed: Array[org.apache.spark.sql.sources.Filter],
     aggGroupedByFile: Option[Boolean] = None,
     generation: Option[Long] = None)
-    extends Scan with Batch {
+    extends Scan with Batch
+    with SupportsRuntimeFiltering {
+
+  /** RUNTIME file pruning — the DSv2 dynamic-partition-pruning surface:
+    * when a join's other side resolves at runtime to a set of pot_file
+    * values (a broadcast dim of object paths), Spark hands the scan an
+    * `In(pot_file, ...)` AFTER planning and partitions re-plan against
+    * it — a 10k-object bucket joined to a 3-path dim opens 3 files, with
+    * the pruning decided by DATA, not by a literal the user had to know.
+    * Static pushdown (planning-time literals) and this runtime path share
+    * [[PotV2Filters.accepts]], so semantics cannot diverge.
+    */
+  private var runtime: Array[org.apache.spark.sql.sources.Filter] =
+    Array.empty
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column("pot_file"))
+  override def filter(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+    runtime = filters.filter {
+      case org.apache.spark.sql.sources.In("pot_file", _) => true
+      case org.apache.spark.sql.sources.EqualTo("pot_file", _) => true
+      case _ => false
+    }
   import org.apache.spark.sql.types.LongType
 
   override def readSchema(): StructType = aggGroupedByFile match {
@@ -241,6 +265,7 @@ private[sources] class PotV2Scan(
     val parts = matched.filter(_.isFile)
       .map(_.getPath.toString)
       .filter(PotV2Filters.accepts(pushed, "pot_file", _))
+      .filter(PotV2Filters.accepts(runtime, "pot_file", _))
       .map(f => PotFilePartition(f): InputPartition)
       .toArray
     // Partial GLOBAL count with every file pruned away: Spark's final

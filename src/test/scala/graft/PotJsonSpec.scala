@@ -192,6 +192,35 @@ class PotJsonSpec extends AnyFunSuite {
     assert(declined.count() === 6L)
   }
 
+  test("PotV2Source runtime filtering prunes pot files from a join's resolved values") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("potv2dpp")
+    (1 to 4).foreach(i => writePot(dir, s"p$i", s"""{"k$i": {"id": "k$i"}}"""))
+    val df = spark.read
+      .format(classOf[graft.sources.PotV2Source].getName)
+      .option("path", s"$dir/*/data.json").load()
+    // direct contract: a runtime In(pot_file, ...) delivered after
+    // planning re-plans partitions to exactly the surviving files —
+    // static and runtime pruning share PotV2Filters.accepts
+    val scan = new graft.sources.PotV2ScanBuilder(s"$dir/*/data.json")
+      .build().asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+    val batch = scan.asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+    assert(batch.planInputPartitions().length === 4)
+    assert(scan.filterAttributes().map(_.describe()).toSeq === Seq("pot_file"))
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("pot_file",
+        Array(s"file:$dir/p2/data.json", s"file:$dir/p4/data.json"))))
+    assert(batch.planInputPartitions().length === 2,
+      "runtime In(pot_file) must re-plan to the surviving files")
+    // end to end: joining on pot_file against a tiny dim stays correct
+    // (and benefits from the runtime prune whenever Spark plants a DPP
+    // subquery — behavior-identical either way)
+    val dim = Seq((s"file:$dir/p2/data.json", "keep")).toDF("pf", "tag")
+    val j = df.join(org.apache.spark.sql.functions.broadcast(dim),
+      df("pot_file") === dim("pf"))
+    assert(j.select($"key").as[String].collect().toSeq === Seq("k2"))
+  }
+
   test("PotV2Source pushed counts: no phantom zero groups, pruned-empty global count is 0") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{count, lit}
