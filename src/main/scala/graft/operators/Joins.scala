@@ -310,7 +310,73 @@ object Joins {
       |WHERE rn = 1
       |ORDER BY p_id""".stripMargin
 
+  /** q75: SCD2 temporal LOOKUP join — the consumption half of q59's
+    * dimension build, and the canonical "dimension AS OF fact time"
+    * pattern every warehouse runs: purchases (facts) join the
+    * NON-purchase behavior dimension (q59's run collapse over
+    * browse/click/signup/error states) on the version valid at purchase
+    * time — `f.ts ∈ [vf, vt)` — attributing each conversion to the
+    * user's behavioral state when it happened. Validity intervals
+    * partition each user's timeline (vt = next vf), so every fact
+    * matches AT MOST one version; a purchase before the user's first
+    * non-purchase event takes state 'none' (left join, the honest
+    * cold-start case).
+    *
+    * Scale: the dimension build is q59's two user-keyed windows; the
+    * lookup is an EQUI-join on user_id with the interval condition as a
+    * residual — SortMergeJoin, never a BNLJ (plan-pinned); at 100 TB the
+    * dimension side is the persisted SCD2 table this query derives
+    * inline.
+    */
+  def scd2Lookup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+    val dim = Windows.scd2Of(ev.filter($"event_type" =!= "purchase")
+        .select($"user_id", $"event_type".as("state"), $"ts", $"event_id"))
+      .select($"user_id".as("d_uid"), $"state", $"vf_us", $"vt_us",
+        $"n_events".as("dim_n_events"))
+    val facts = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"))
+    facts.join(dim,
+        facts("user_id") === dim("d_uid") &&
+          $"ts_us" >= $"vf_us" && ($"vt_us".isNull || $"ts_us" < $"vt_us"),
+        "left")
+      .select($"event_id", $"user_id", $"ts_us",
+        coalesce($"state", lit("none")).as("state"),
+        coalesce($"dim_n_events", lit(0L)).as("dim_n_events"))
+      .orderBy($"event_id")
+  }
+
+  val scd2LookupSql: String =
+    """WITH e AS (SELECT user_id, event_type, ts, event_id FROM events),
+      |s0 AS (
+      |  SELECT user_id, event_type AS state, ts, event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |    - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |                         ORDER BY ts, event_id) AS grp
+      |  FROM e WHERE event_type <> 'purchase'),
+      |runs AS (
+      |  SELECT user_id, state, grp, MIN(ts) AS vf,
+      |    CAST(COUNT(*) AS BIGINT) AS n_events, MIN(event_id) AS first_eid
+      |  FROM s0 GROUP BY 1, 2, 3),
+      |dim AS (
+      |  SELECT user_id, state, epoch_us(vf) AS vf_us,
+      |    epoch_us(LEAD(vf) OVER (PARTITION BY user_id
+      |                            ORDER BY vf, first_eid)) AS vt_us,
+      |    n_events
+      |  FROM runs),
+      |f AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us
+      |  FROM e WHERE event_type = 'purchase')
+      |SELECT f.event_id, f.user_id, f.ts_us,
+      |  COALESCE(d.state, 'none') AS state,
+      |  CAST(COALESCE(d.n_events, 0) AS BIGINT) AS dim_n_events
+      |FROM f LEFT JOIN dim d ON d.user_id = f.user_id
+      |  AND f.ts_us >= d.vf_us AND (d.vt_us IS NULL OR f.ts_us < d.vt_us)
+      |ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q75_scd2_lookup" -> (scd2Lookup _),
     "q71_nearest_event" -> (nearestEventJoin _),
     "q44_range_join"       -> (rangeJoin _),
     "q36_join_right_outer" -> (rightOuter _),
@@ -323,6 +389,7 @@ object Joins {
     "q9_join_cross"      -> (cross _))
 
   val oracle: Map[String, String] = Map(
+    "q75_scd2_lookup"      -> scd2LookupSql,
     "q71_nearest_event"    -> nearestEventJoinSql,
     "q44_range_join"       -> rangeJoinSql,
     "q36_join_right_outer" -> rightOuterSql,

@@ -330,12 +330,17 @@ object Windows {
     * second-floor ambiguity), tie-broken by event_id so same-timestamp
     * events order identically in both engines.
     */
-  def scd2Build(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
+  /** The SCD2 run collapse over an arbitrary (user_id, state, ts,
+    * event_id) stream — shared by q59 (full stream) and q75's temporal
+    * lookup (non-purchase dimension stream). Validity intervals
+    * [vf_us, vt_us) partition each user's timeline: vt = next run's vf,
+    * so intervals are disjoint even under ts ties (a tied run is empty).
+    */
+  private[operators] def scd2Of(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
     val wAll = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     val wState = Window.partitionBy($"user_id", $"state").orderBy($"ts", $"event_id")
-    val runs = Tables.events(s, d)
-      .select($"user_id", $"event_type".as("state"), $"ts", $"event_id")
+    val runs = ev
       .withColumn("grp", row_number().over(wAll) - row_number().over(wState))
       .groupBy($"user_id", $"state", $"grp")
       .agg(min($"ts").as("vf"), count(lit(1)).as("n_events"),
@@ -346,6 +351,12 @@ object Windows {
         unix_micros($"vf").as("vf_us"),
         unix_micros(lead($"vf", 1).over(wRuns)).as("vt_us"),
         $"n_events", $"first_eid")
+  }
+
+  def scd2Build(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    scd2Of(Tables.events(s, d)
+        .select($"user_id", $"event_type".as("state"), $"ts", $"event_id"))
       .orderBy($"user_id", $"vf_us", $"first_eid")
   }
 

@@ -231,6 +231,17 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q75 SCD2 lookup is a user-keyed equi-join with the interval as residual, no BNLJ") {
+    val p = plan("q75_scd2_lookup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"temporal join degenerated to a loop join:\n$p")
+    val joinLine = p.linesIterator
+      .find(l => l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")
+        || l.contains("BroadcastHashJoin"))
+      .getOrElse(fail(s"no equi-join in q75 plan:\n$p"))
+    assert(joinLine.contains("user_id") || joinLine.contains("d_uid"), joinLine)
+  }
+
   test("q73 sliding exact distinct pays event scale once: a single events scan, pane-keyed after") {
     val p = plan("q73_sliding_exact_panes")
     // q69's exact leg scans events twice and re-explodes events into all
