@@ -1136,7 +1136,69 @@ object Similarity {
        |GROUP BY 1, 2
        |ORDER BY label_a, label_b""".stripMargin
 
+  /** s25: FILTERED vector search — top-k under a metadata predicate
+    * (`label IN (1, 2)`), the production shape nearly every vector-store
+    * query actually has ("nearest docs in THIS collection/tenant/date
+    * range") and the one that quietly breaks post-filtered ANN: filtering
+    * AFTER a k-bounded probe can starve the result set. Here the filter
+    * applies INSIDE the probed buckets BEFORE ranking (pre-filtering —
+    * the index scan is partition-pruned to the s3 probe set AND
+    * predicate-filtered in the same codegen stage), and the exact
+    * filtered brute-force rides along as ground truth: each returned row
+    * carries `in_exact`, so the filtered-recall price tag is IN the
+    * result (the s6/q48 discipline).
+    *
+    * Scale: the candidate leg lists only the 9 probed buckets of the
+    * persisted index; the exact leg is the oracle-checkable baseline by
+    * construction (at 100 TB it exists only as the audit sample).
+    */
+  def filteredAnn(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val idx = AnnIndex.read(s, d)
+    val (qv, qsig) = queryPoint(s, d)
+    val probes = qsig +: (0 until NumPlanes).map(i =>
+      qsig.updated(i, if (qsig(i) == '0') '1' else '0'))
+    val cand = idx
+      .filter($"sigp".isin(probes.map("s" + _): _*) && $"vec_id" =!= 0 &&
+        $"label".isin(1, 2))
+      .select($"vec_id", $"label",
+        VectorFunctions.dot($"embedding", typedlit(qv)).as("score"))
+      .orderBy($"score".desc, $"vec_id".asc).limit(10)
+    val exact = Tables.embeddings(s, d)
+      .filter($"vec_id" =!= 0 && $"label".isin(1, 2))
+      .select($"vec_id".as("e_id"),
+        VectorFunctions.dot($"embedding", typedlit(qv)).as("e_score"))
+      .orderBy($"e_score".desc, $"e_id".asc).limit(10)
+    cand.join(exact.select($"e_id"), $"vec_id" === $"e_id", "left")
+      .select($"vec_id", $"label", $"score",
+        $"e_id".isNotNull.as("in_exact"))
+      .orderBy($"score".desc, $"vec_id".asc)
+  }
+
+  val filteredAnnSql: String =
+    s"""WITH sigs AS (
+       |  SELECT vec_id, label, embedding, ${sigSql("embedding")} AS sig
+       |  FROM embeddings),
+       |q AS (SELECT embedding AS qv, sig AS qsig FROM sigs WHERE vec_id = 0),
+       |cand AS (
+       |  SELECT e.vec_id, e.label, $dotSql AS score
+       |  FROM sigs e CROSS JOIN q
+       |  WHERE hamming(e.sig, q.qsig) <= 1 AND e.vec_id <> 0
+       |    AND e.label IN (1, 2)
+       |  ORDER BY score DESC, e.vec_id ASC
+       |  LIMIT 10),
+       |exact AS (
+       |  SELECT e.vec_id AS e_id
+       |  FROM sigs e CROSS JOIN q
+       |  WHERE e.vec_id <> 0 AND e.label IN (1, 2)
+       |  ORDER BY $dotSql DESC, e.vec_id ASC
+       |  LIMIT 10)
+       |SELECT c.vec_id, c.label, c.score, ex.e_id IS NOT NULL AS in_exact
+       |FROM cand c LEFT JOIN exact ex ON ex.e_id = c.vec_id
+       |ORDER BY score DESC, vec_id ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s25_filtered_ann" -> (filteredAnn _),
     "s24_centroid_shift" -> (centroidShift _),
     "s23_range_search"   -> (rangeSearch _),
     "s13_quant_error"    -> (quantizationError _),
@@ -1158,6 +1220,7 @@ object Similarity {
     "s17_ann_deletes"    -> (annWithDeletes _))
 
   val oracle: Map[String, String] = Map(
+    "s25_filtered_ann" -> filteredAnnSql,
     "s24_centroid_shift" -> centroidShiftSql,
     "s23_range_search"   -> rangeSearchSql,
     "s15_two_stage_rerank" -> twoStageRerankSql,
