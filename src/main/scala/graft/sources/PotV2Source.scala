@@ -65,11 +65,15 @@ object PotV2Source {
     * references (each commit leaves one immutable snapshot; only the head
     * is ever read — by appends as the merge base and by the data.json
     * materialization). Markers stay: they are the generation counter and
-    * are a few bytes each. Admin-invoked like [[graft.operators.AnnIndex
-    * .vacuumFolded]]; safe against a concurrent slow committer because a
-    * writer merging from a vacuumed (= superseded) snapshot would lose
-    * its generation CAS anyway — at worst it fails earlier with a read
-    * error and retries. Returns the deleted paths.
+    * are a few bytes each.
+    *
+    * PRECONDITION (caller-enforced, the [[graft.kv.CommitMarker.repair]]
+    * fsck pattern): no writer is live on this pot. A mid-commit writer
+    * has staged a NEW `.snap-*` that is not yet the head — vacuuming that
+    * window would publish a marker pointing at a deleted body. Readers of
+    * superseded snapshots are not the issue (a writer merging from one
+    * loses its generation CAS anyway); the in-flight-staging window is.
+    * Returns the deleted paths.
     */
   def vacuumSnapshots(
       fs: org.apache.hadoop.fs.FileSystem, potPath: String): Seq[String] = {
