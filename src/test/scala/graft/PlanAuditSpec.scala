@@ -231,6 +231,22 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("s25 filtered ANN keeps the candidate scan partition-pruned to its probe buckets") {
+    val p = plan("s25_filtered_ann")
+    assert("PartitionFilters: \\[[^\\]]*sigp".r.findFirstIn(p).isDefined,
+      s"no sigp partition filter in the filtered-candidate scan:\n$p")
+    // the metadata predicate rides the SAME scan stage as the prune —
+    // label must appear as a data filter, not a post-rank re-filter
+    assert("PushedFilters: \\[[^\\]]*label".r.findFirstIn(p).isDefined ||
+      "Filter [^\\n]*label".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("m12 interleaved packing windows per (mime, source) lane — never one global pack") {
+    val p = plan("m12_interleaved_pack")
+    assert("hashpartitioning\\(mime#\\d+, source#\\d+".r.findFirstIn(p).isDefined,
+      s"packing window not lane-partitioned:\n$p")
+  }
+
   test("q75 SCD2 lookup is a user-keyed equi-join with the interval as residual, no BNLJ") {
     val p = plan("q75_scd2_lookup")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
