@@ -461,6 +461,9 @@ private[graft] class PotV2Write(
       : DataWriterFactory =
     new PotV2WriterFactory(stagingDir.toString, keyIdx, docIdx)
 
+  private[graft] def qid8: String =
+    queryId.replace("-", "").take(8)
+
   private[graft] def stagingBase: String =
     new Path(new Path(path).getParent, s".staging-$queryId").toString
 
@@ -583,17 +586,24 @@ private[graft] class PotV2Write(
 
 /** Streaming half of the connector: `writeStream.format(PotV2Source)` —
   * each micro-batch epoch commits as one chain generation through the
-  * same merge-snapshot-CAS core, with the epoch id embedded in the
-  * snapshot name so a checkpoint-replayed epoch ADOPTS its committed
-  * generation (exactly-once per epoch, st14's AnnIndex discipline at the
-  * connector level). Epochs of one query serialize; conflicts with
-  * EXTERNAL writers re-merge and retry rather than failing the stream.
+  * same merge-snapshot-CAS core, with (stable query id, epoch id)
+  * embedded in the snapshot name so a checkpoint-replayed epoch ADOPTS
+  * its committed generation (exactly-once per epoch, st14's AnnIndex
+  * discipline at the connector level) while two INDEPENDENT streaming
+  * queries writing the same pot can never adopt each other's epochs.
+  * Epochs of one query serialize; conflicts with external writers
+  * re-merge and retry rather than failing the stream.
   */
 private[graft] class PotV2StreamingWrite(write: PotV2Write)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
   import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
 
-  private def tag(epochId: Long): String = s"e$epochId"
+  // Scoped by the STABLE streaming query id (LogicalWriteInfo.queryId is
+  // the checkpoint-persisted id, identical across restarts — verified
+  // empirically: two runs on one checkpoint see the same queryId under
+  // different runIds), so the tag is BOTH restart-replay idempotent and
+  // collision-free when two independent queries write the same pot.
+  private def tag(epochId: Long): String = s"q${write.qid8}e$epochId"
 
   override def createStreamingWriterFactory(
       info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)

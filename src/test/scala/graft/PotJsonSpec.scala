@@ -333,12 +333,26 @@ class PotJsonSpec extends AnyFunSuite {
     // a NEW epoch appends the next generation
     sw.commit(6L, Array(stage(6L, "k2", 2)))
     assert(gens() === Seq(1L, 2L))
+    // an INDEPENDENT query's epoch 5 must NOT adopt ours: the tag is
+    // scoped by the stable streaming query id, so a second writer on the
+    // same pot commits its own generation instead of silently dropping
+    // its batch
+    val write2 = new graft.sources.PotV2Write(
+      pot, graft.sources.PotV2Source.Schema, "q-other",
+      truncateFirst = false)
+    val w2 = new graft.sources.PotV2WriterFactory(
+      write2.epochStagingDir(5L).toString, 1, 2).createWriter(0, 0L)
+    w2.write(InternalRow(UTF8String.fromString(""),
+      UTF8String.fromString("k3"), UTF8String.fromString("""{"v": 3}""")))
+    write2.toStreaming.commit(5L, Array(w2.commit()))
+    assert(gens() === Seq(1L, 2L, 3L),
+      "cross-query epoch collision: second query's batch was adopted away")
     import spark.implicits._
     val back = spark.read
       .format(classOf[graft.sources.PotV2Source].getName)
       .option("path", pot).load()
       .select($"key").as[String].collect().toSet
-    assert(back === Set("k1", "k2"))
+    assert(back === Set("k1", "k2", "k3"))
   }
 
   test("PotV2Source generation reads pin the chain; uncommitted/glob reads fail loudly") {
