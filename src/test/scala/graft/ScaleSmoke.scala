@@ -119,7 +119,8 @@ object ScaleSmoke {
     // round-12 batch (q66/q74 omitted: orders stays 1x-symlinked; u14-u16/
     // st16/kv18 omitted: dimension-only or fixed-slice inputs)
     "q73_sliding_exact_panes", "p21_cluster_split",
-    "m12_interleaved_pack", "t18_zipf_fit")
+    "m12_interleaved_pack", "t18_zipf_fit",
+    "q75_scd2_lookup", "d18_version_diff", "s25_filtered_ann")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
