@@ -102,7 +102,7 @@ private[sources] class PotV2Table(path: String)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new PotV2ScanBuilder(path,
       Option(options.get("generation")).map(_.toLong))
@@ -244,6 +244,13 @@ private[graft] class PotV2Scan(
     case None => required
   }
   override def toBatch: Batch = this
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(!path.exists(c => "*?[{".contains(c)),
+      s"PotV2Source: streaming reads need ONE pot object, not a glob: $path")
+    new PotV2MicroBatchStream(path, required)
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
@@ -719,4 +726,111 @@ private[graft] class PotV2WriterFactory(
       override def abort(): Unit = ()
       override def close(): Unit = ()
     }
+}
+
+// ================== streaming read (MICRO_BATCH_READ) ===================
+//
+// The pot as a CHANGE FEED: offsets are write-chain generation numbers,
+// each micro-batch covers the generations committed since the last
+// offset, and a generation's batch rows are its LWW UPSERT DELTA versus
+// the previous generation — keys added or whose doc changed (a key-value
+// store's change feed carries upserts; keys deleted by a truncate-mode
+// rewrite simply stop appearing, the LWW analogue of kv7's diff rules).
+// Offsets come from CommitMarker state alone, so batch boundaries are a
+// pure function of the chain — deterministic however the reader's
+// trigger schedule interleaves with writers. Each generation's diff is a
+// single-partition task bounded by pot size (the pot is the reference's
+// in-memory unit); the corpus-scale path is many pots = many sources.
+
+private[graft] case class PotGenOffset(gen: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json: String = gen.toString
+}
+
+private[graft] case class PotDeltaPartition(
+    dir: String, gen: Long) extends InputPartition
+
+private[graft] class PotV2MicroBatchStream(
+    path: String, required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def fs = new Path(path).getFileSystem(new Configuration())
+  private def commits = new Path(new Path(path).getParent, ".commits")
+
+  override def initialOffset(): Offset = PotGenOffset(0L)
+  override def latestOffset(): Offset =
+    PotGenOffset((graft.kv.CommitMarker
+      .committedGenerations(fs, commits) :+ 0L).max)
+  override def deserializeOffset(json: String): Offset =
+    PotGenOffset(json.trim.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(
+      start: Offset, end: Offset): Array[InputPartition] = {
+    val s0 = start.asInstanceOf[PotGenOffset].gen
+    val e0 = end.asInstanceOf[PotGenOffset].gen
+    val dir = new Path(path).getParent.toString
+    ((s0 + 1) to e0).map(g => PotDeltaPartition(dir, g): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PotV2DeltaReaderFactory(required.fieldNames)
+}
+
+private[graft] class PotV2DeltaReaderFactory(columns: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[PotDeltaPartition]
+    new PartitionReader[InternalRow] {
+      private val entries: Iterator[(String, String)] = {
+        val fs = new Path(p.dir).getFileSystem(new Configuration())
+        val commits = new Path(p.dir, ".commits")
+        val mapper = new ObjectMapper()
+        def snapshot(g: Long): Map[String, String] =
+          if (g < 1) Map.empty
+          else {
+            val snap = new Path(graft.kv.CommitMarker
+              .read(fs, new Path(commits, g.toString)))
+            val in = fs.open(snap)
+            val root = try mapper.readTree(in) finally in.close()
+            require(root != null && root.isObject,
+              s"pot snapshot $snap: top level must be a JSON map")
+            root.fields().asScala
+              .map(e => e.getKey -> e.getValue.toString).toMap
+          }
+        val prev = snapshot(p.gen - 1)
+        val cur = new Path(graft.kv.CommitMarker
+          .read(fs, new Path(commits, p.gen.toString)))
+        val in = fs.open(cur)
+        val root = try new ObjectMapper().readTree(in) finally in.close()
+        require(root != null && root.isObject,
+          s"pot snapshot $cur: top level must be a JSON map")
+        // iterate the CURRENT snapshot in file order (deterministic: the
+        // writer's LinkedHashMap layout), keeping upserts only
+        root.fields().asScala
+          .map(e => (e.getKey, e.getValue.toString))
+          .filter { case (k, v) => !prev.get(k).contains(v) }
+      }
+      private val file = s"${p.dir}/data.json@${p.gen}"
+      private var row: InternalRow = _
+      override def next(): Boolean = {
+        if (!entries.hasNext) return false
+        val (k, doc) = entries.next()
+        row = InternalRow.fromSeq(columns.toSeq.map {
+          case "pot_file" => UTF8String.fromString(file)
+          case "key"      => UTF8String.fromString(k)
+          case "doc_json" => UTF8String.fromString(doc)
+          case other => throw new IllegalArgumentException(
+            s"PotV2Source stream: unknown column $other")
+        })
+        true
+      }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+  }
 }

@@ -1158,7 +1158,70 @@ object StreamingQueries {
       |GROUP BY 1
       |ORDER BY event_type""".stripMargin
 
+  /** st17: the pot as a STREAMING SOURCE — `readStream.format(PotV2Source)`
+    * (MICRO_BATCH_READ): offsets are write-chain generation numbers and
+    * each generation's batch rows are its LWW upsert DELTA versus the
+    * previous snapshot — the pot CHANGE FEED, kv7's diff rules made
+    * incremental (st7 streams CDC INTO a pot; this streams it OUT),
+    * closing the connector's fourth quadrant (batch read/write, streaming
+    * write, now streaming read). Three LWW generations are written
+    * through the batch writer; the feed drains through a parquet sink and
+    * the emitted change log — (key, version) for every upsert any
+    * generation introduced — is replayed relationally by the oracle.
+    * Batch boundaries are a pure function of the chain (offsets from
+    * CommitMarker state), so HOW the trigger schedule grouped generations
+    * cannot change the rows.
+    */
+  def streamPotSource(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = runScratchDir("graft-st17")
+    val pot = s"$root/pot/t/data.json"
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    def docs(df: DataFrame, v: Int) = df.select(
+      lit("").as("pot_file"),
+      concat(lit("n"), col("n_nationkey").cast("string")).as("key"),
+      to_json(struct(col("n_name").as("name"), lit(v).as("v")))
+        .as("doc_json"))
+    val nat = graft.Tables.nation(s, d)
+    docs(nat.filter($"n_regionkey" <= 1), 0)
+      .write.format(fmt).option("path", pot).mode("overwrite").save()
+    docs(nat.filter($"n_regionkey" === 0), 1)
+      .write.format(fmt).option("path", pot).mode("append").save()
+    docs(nat.filter($"n_regionkey" === 1), 2)
+      .write.format(fmt).option("path", pot).mode("append").save()
+    val feed = s"$root/feed"
+    withStreamRunConf(s) {
+      val q = s.readStream.format(fmt).option("path", pot).load()
+        .writeStream.format("parquet")
+        .option("path", feed)
+        .option("checkpointLocation", s"$root/chk")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    val result = s.read.parquet(feed)
+      .select($"key",
+        get_json_object($"doc_json", "$.v").cast("int").as("v"))
+      .orderBy($"key", $"v")
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    result
+  }
+
+  val streamPotSourceSql: String =
+    """WITH base AS (
+      |  SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS key, n_regionkey
+      |  FROM nation WHERE n_regionkey <= 1)
+      |SELECT key, v FROM (
+      |  SELECT key, CAST(0 AS INTEGER) AS v FROM base
+      |  UNION ALL
+      |  SELECT key, CAST(1 AS INTEGER) FROM base WHERE n_regionkey = 0
+      |  UNION ALL
+      |  SELECT key, CAST(2 AS INTEGER) FROM base WHERE n_regionkey = 1) t
+      |ORDER BY key, v""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st17_stream_pot_source" -> (streamPotSource _),
     "st16_stream_pot_sink" -> (streamPotSink _),
     "st15_stream_dlq" -> (streamDlqRouter _),
     "st14_stream_ann_ingest" -> (streamAnnIngest _),
@@ -1177,6 +1240,7 @@ object StreamingQueries {
     "st4_stream_attribution" -> (streamClickAttribution _))
 
   val oracle: Map[String, String] = Map(
+    "st17_stream_pot_source" -> streamPotSourceSql,
     "st16_stream_pot_sink" -> streamPotSinkSql,
     "st15_stream_dlq" -> streamDlqRouterSql,
     "st14_stream_ann_ingest" -> graft.operators.Similarity.annMultiProbeSql,
