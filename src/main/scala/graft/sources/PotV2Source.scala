@@ -73,7 +73,13 @@ object PotV2Source {
     * window would publish a marker pointing at a deleted body. Readers of
     * superseded snapshots are not the issue (a writer merging from one
     * loses its generation CAS anyway); the in-flight-staging window is.
-    * Returns the deleted paths.
+    *
+    * RETENTION contract: head-only retention also invalidates
+    * generation-pinned reads (`.option("generation", n)`, u16/u17) and
+    * change-feed consumers still behind the head (st17 — resuming past a
+    * vacuumed generation fails loudly with the missing snapshot, never
+    * silently skips) — the standard CDC retention trade: vacuum no
+    * further than the slowest consumer's offset. Returns deleted paths.
     */
   def vacuumSnapshots(
       fs: org.apache.hadoop.fs.FileSystem, potPath: String): Seq[String] = {
