@@ -796,8 +796,8 @@ private[graft] class PotV2DeltaReaderFactory(columns: Array[String])
         val fs = new Path(p.dir).getFileSystem(new Configuration())
         val commits = new Path(p.dir, ".commits")
         val mapper = new ObjectMapper()
-        def snapshot(g: Long): Map[String, String] =
-          if (g < 1) Map.empty
+        def snapshot(g: Long): Seq[(String, String)] =
+          if (g < 1) Seq.empty
           else {
             val snap = new Path(graft.kv.CommitMarker
               .read(fs, new Path(commits, g.toString)))
@@ -806,9 +806,10 @@ private[graft] class PotV2DeltaReaderFactory(columns: Array[String])
             require(root != null && root.isObject,
               s"pot snapshot $snap: top level must be a JSON map")
             root.fields().asScala
-              .map(e => e.getKey -> e.getValue.toString).toMap
+              .map(e => e.getKey -> e.getValue.toString).toSeq
           }
-        val prev = snapshot(p.gen - 1)
+        val prevSeq = snapshot(p.gen - 1)
+        val prev = prevSeq.toMap
         val cur = new Path(graft.kv.CommitMarker
           .read(fs, new Path(commits, p.gen.toString)))
         val in = fs.open(cur)
@@ -816,10 +817,19 @@ private[graft] class PotV2DeltaReaderFactory(columns: Array[String])
         require(root != null && root.isObject,
           s"pot snapshot $cur: top level must be a JSON map")
         // iterate the CURRENT snapshot in file order (deterministic: the
-        // writer's LinkedHashMap layout), keeping upserts only
-        root.fields().asScala
+        // writer's LinkedHashMap layout), keeping upserts; keys present
+        // before but absent now (a truncate-mode rewrite dropped them)
+        // follow as DELETE tombstones — doc_json = 'null', the Kafka-style
+        // null-body convention (valid JSON, never a valid pot document,
+        // so consumers distinguish it without a schema change). Tombstone
+        // order: previous snapshot's layout (deterministic).
+        val curKeys = root.fieldNames().asScala.toSet
+        val upserts = root.fields().asScala
           .map(e => (e.getKey, e.getValue.toString))
           .filter { case (k, v) => !prev.get(k).contains(v) }
+        val tombstones = prevSeq.iterator
+          .collect { case (k, _) if !curKeys(k) => (k, "null") }
+        upserts ++ tombstones
       }
       private val file = s"${p.dir}/data.json@${p.gen}"
       private var row: InternalRow = _

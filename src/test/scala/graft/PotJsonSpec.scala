@@ -418,6 +418,15 @@ class PotJsonSpec extends AnyFunSuite {
     assert(feedRows() === Seq(
       "a" -> """{"v":1}""", "b" -> """{"v":2}""",
       "b" -> """{"v":9}""", "c" -> """{"v":3}"""))
+    // a truncate-mode rewrite that DROPS keys emits delete tombstones
+    // (doc_json = 'null', the Kafka null-body convention) for the
+    // vanished keys, alongside the survivor's upsert
+    put(Seq("c" -> 4), "overwrite")
+    drain()
+    assert(feedRows() === Seq(
+      "a" -> "null", "a" -> """{"v":1}""",
+      "b" -> "null", "b" -> """{"v":2}""",
+      "b" -> """{"v":9}""", "c" -> """{"v":3}""", "c" -> """{"v":4}"""))
   }
 
   test("PotV2Source write: concurrent appends never lose an update or tear data.json") {
