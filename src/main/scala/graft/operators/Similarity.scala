@@ -87,11 +87,18 @@ object Similarity {
     */
   private[graft] def appendEmbeddingBatch(
       s: SparkSession, base: org.apache.hadoop.fs.Path,
-      batch: DataFrame, batchId: Long = -1L): Unit = {
+      batch: DataFrame, batchId: Long = -1L,
+      scope: String = ""): Unit = {
     // batchId >= 0 tags the generation for exactly-once replay: a
     // checkpoint-recovered micro-batch re-offering the same id adopts
-    // the already-committed generation instead of appending duplicates
-    val tag = if (batchId >= 0) Some(s"b$batchId") else None
+    // the already-committed generation instead of appending duplicates.
+    // `scope` must carry a stable per-query identity when MORE THAN ONE
+    // streaming query can append to the same index base: a bare
+    // `b<batchId>` tag would let two independent queries with overlapping
+    // batch ids adopt each other's generations and silently drop a batch
+    // (the collision class PotV2StreamingWrite's q<qid8>e<epoch> tags
+    // already close at the connector level).
+    val tag = if (batchId >= 0) Some(s"${scope}b$batchId") else None
     val sigd = batch
       .withColumn("sig", sigCol(col("embedding")))
       .withColumn("sigp", concat(lit("s"), col("sig")))

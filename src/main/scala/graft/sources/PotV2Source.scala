@@ -255,6 +255,13 @@ private[graft] class PotV2Scan(
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
     require(!path.exists(c => "*?[{".contains(c)),
       s"PotV2Source: streaming reads need ONE pot object, not a glob: $path")
+    // generation pinning is batch-only (VERSION AS OF has no meaning for
+    // a feed whose offsets ARE generations): fail loudly, never silently
+    // stream the full feed from 0 under an option the reader can't honor
+    require(generation.isEmpty,
+      "PotV2Source: option 'generation' is batch-only — a streaming read's " +
+        "offsets are the generation chain itself; drop the option (or use " +
+        "a batch read for a pinned snapshot)")
     new PotV2MicroBatchStream(path, required)
   }
 
@@ -445,7 +452,8 @@ private[graft] case class PotFragmentMessage(
     partitionId: Int, fragment: String) extends WriterCommitMessage
 
 private[graft] class PotV2Write(
-    path: String, schema: StructType, queryId: String, truncateFirst: Boolean)
+    path: String, schema: StructType, queryId: String,
+    private[graft] val truncateFirst: Boolean)
     extends Write with BatchWrite {
   import java.nio.charset.StandardCharsets.UTF_8
 
@@ -628,7 +636,13 @@ private[graft] class PotV2StreamingWrite(write: PotV2Write)
 
   override def commit(
       epochId: Long, messages: Array[WriterCommitMessage]): Unit =
-    write.commitEntries(messages, truncate = false,
+    // truncateFirst (outputMode("complete") / an explicit truncate) must
+    // reach the streaming commit too: each epoch then REPLACES the pot
+    // instead of merge-appending — r12 hardcoded false here, so complete
+    // mode silently kept stale keys from earlier epochs. Safe under the
+    // retry loop: every attempt re-merges from scratch, and with
+    // truncate the merge base is simply empty every attempt.
+    write.commitEntries(messages, truncate = write.truncateFirst,
       snapTag = Some(tag(epochId)), retryOnConflict = true,
       staging = write.epochStagingDir(epochId))
 

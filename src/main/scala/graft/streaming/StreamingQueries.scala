@@ -1012,8 +1012,13 @@ object StreamingQueries {
         .option("checkpointLocation", s"$root/chk")
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           if (!batch.isEmpty)
+            // scope = hash of the checkpoint root: stable across restarts
+            // of THIS query (replay still adopts), distinct for any other
+            // query appending to the same index base
             graft.operators.Similarity
-              .appendEmbeddingBatch(s, base, batch, batchId)
+              .appendEmbeddingBatch(s, base, batch, batchId,
+                scope = "q" + org.apache.commons.codec.digest.DigestUtils
+                  .md5Hex(s"$root/chk").take(8))
         }
         .start()
       q.processAllAvailable()

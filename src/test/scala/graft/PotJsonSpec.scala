@@ -355,6 +355,63 @@ class PotJsonSpec extends AnyFunSuite {
     assert(back === Set("k1", "k2", "k3"))
   }
 
+  test("PotV2 streaming sink: truncate (complete mode) makes each epoch REPLACE the pot") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val dir = java.nio.file.Files.createTempDirectory("potv2st").toString
+    val pot = s"$dir/t/data.json"
+    // r12 hardcoded truncate=false in the streaming commit while the
+    // builder advertised SupportsTruncate — complete mode silently
+    // merge-appended. Pin the fixed semantics: with truncateFirst, epoch
+    // N's snapshot holds ONLY epoch N's rows.
+    val write = new graft.sources.PotV2Write(
+      pot, graft.sources.PotV2Source.Schema, "q-trunc", truncateFirst = true)
+    val sw = write.toStreaming
+    def stage(epoch: Long, key: String, v: Int)
+        : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+      val w = new graft.sources.PotV2WriterFactory(
+        write.epochStagingDir(epoch).toString, 1, 2).createWriter(0, 0L)
+      w.write(InternalRow(UTF8String.fromString(""),
+        UTF8String.fromString(key), UTF8String.fromString(s"""{"v": $v}""")))
+      w.commit()
+    }
+    sw.commit(1L, Array(stage(1L, "k1", 1)))
+    sw.commit(2L, Array(stage(2L, "k2", 2)))
+    import spark.implicits._
+    val back = spark.read
+      .format(classOf[graft.sources.PotV2Source].getName)
+      .option("path", pot).load()
+      .select($"key").as[String].collect().toSet
+    assert(back === Set("k2"),
+      "complete-mode epoch merge-appended instead of replacing")
+  }
+
+  test("PotV2Source streaming read rejects a generation pin loudly") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("potv2sg").toString
+    val pot = s"$root/t/data.json"
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    Seq(("", "a", """{"v": 1}"""))
+      .toDF("pot_file", "key", "doc_json")
+      .write.format(fmt).option("path", pot).mode("overwrite").save()
+    // generation pinning is batch-only: a streaming read's offsets ARE
+    // the generation chain, so the option must fail loudly instead of
+    // silently streaming the full feed from 0
+    val e = intercept[Exception] {
+      val q = spark.readStream.format(fmt).option("path", pot)
+        .option("generation", "1").load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$root/chk").start()
+      try { q.processAllAvailable(); q.stop() }
+      finally { if (q.isActive) q.stop() }
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("batch-only")),
+      s"expected the batch-only generation error, got: ${messages(e)}")
+  }
+
   test("PotV2Source generation reads pin the chain; uncommitted/glob reads fail loudly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("potv2tt").toString

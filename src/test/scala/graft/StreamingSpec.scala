@@ -320,6 +320,33 @@ class StreamingSpec extends AnyFunSuite {
     new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
   }
 
+  test("st14 ann ingest: query-scoped tags keep two streams' equal batchIds apart") {
+    import org.apache.spark.sql.functions.col
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-st14-scope").toString
+    val base = new org.apache.hadoop.fs.Path(s"$root/idx")
+    val emb = Tables.embeddings(spark, sf)
+    // two INDEPENDENT streaming queries append batch 0 to one index base:
+    // without a scope the second would adopt the first's generation and
+    // silently drop its rows (the PotV2 sink's collision class)
+    graft.operators.Similarity.appendEmbeddingBatch(
+      spark, base, emb.filter(col("vec_id") % 2 === 0),
+      batchId = 0L, scope = "qA")
+    graft.operators.Similarity.appendEmbeddingBatch(
+      spark, base, emb.filter(col("vec_id") % 2 === 1),
+      batchId = 0L, scope = "qB")
+    val gens = graft.operators.AnnIndex.committedGenerations(spark, base)
+    assert(gens.map(_._1) === Seq(1L, 2L),
+      s"second query's batch was adopted away: $gens")
+    // replay within a scope still adopts
+    graft.operators.Similarity.appendEmbeddingBatch(
+      spark, base, emb.filter(col("vec_id") % 2 === 1),
+      batchId = 0L, scope = "qB")
+    assert(graft.operators.AnnIndex.committedGenerations(spark, base)
+      .map(_._1) === Seq(1L, 2L))
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+  }
+
   test("streaming ingest into a PotTable: foreachBatch upserts through the commit protocol") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
