@@ -1204,7 +1204,99 @@ object Similarity {
        |FROM cand c LEFT JOIN exact ex ON ex.e_id = c.vec_id
        |ORDER BY score DESC, vec_id ASC""".stripMargin
 
+  /** s26: filtered ANN with PROBE-UNTIL-K — the composition s25's own
+    * result demands (its sf0.01 run returns 2 rows for k=10: a fixed
+    * probe set starves once the predicate thins the buckets). s14's ring
+    * expansion runs with the metadata predicate applied INSIDE every
+    * ring count, so the radius grows until ≥ k candidates SURVIVE
+    * `label IN (1, 2)` — the query every multi-tenant vector store
+    * actually serves ("nearest in THIS collection", never fewer than a
+    * page of results while the collection has them). Output carries both
+    * `probe_radius` (what the lookup cost — the s14 discipline) and
+    * `in_exact` (the filtered-recall price tag — the s25/s6 discipline).
+    *
+    * Scale: each ring count is a partition-pruned, predicate-pushed scan
+    * of only that ring's buckets reading only `vec_id`+`label` (~12
+    * B/row); the embedding column is read ONCE, by the final ranking
+    * scan over rings 0..R. The loop is driver-side but bounded
+    * (≤ NumPlanes+1 rings), identical to s14's cost shape.
+    */
+  def filteredAnnProbeUntilK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val k = 10
+    val idx = AnnIndex.read(s, d)
+    val (qv, qsig) = queryPoint(s, d)
+    def pred(c: Column): Column = c.isin(1, 2)
+    val probed = scala.collection.mutable.ArrayBuffer.empty[String]
+    var radius = 0
+    var have = 0L
+    while (have < k && radius <= NumPlanes) {
+      val ring = ringSigs(qsig, radius)
+      have += idx
+        .filter($"sigp".isin(ring.map("s" + _): _*) && $"vec_id" =!= 0 &&
+          pred($"label"))
+        .count()
+      probed ++= ring
+      if (have < k) radius += 1
+    }
+    val r = math.min(radius, NumPlanes)
+    val cand = idx
+      .filter($"sigp".isin(probed.map("s" + _).toSeq: _*) &&
+        $"vec_id" =!= 0 && pred($"label"))
+      .select($"vec_id", $"label",
+        VectorFunctions.dot($"embedding", typedlit(qv)).as("score"),
+        lit(r).as("probe_radius"))
+      .orderBy($"score".desc, $"vec_id".asc).limit(k)
+    val exact = Tables.embeddings(s, d)
+      .filter($"vec_id" =!= 0 && pred($"label"))
+      .select($"vec_id".as("e_id"),
+        VectorFunctions.dot($"embedding", typedlit(qv)).as("e_score"))
+      .orderBy($"e_score".desc, $"e_id".asc).limit(k)
+    cand.join(exact.select($"e_id"), $"vec_id" === $"e_id", "left")
+      .select($"vec_id", $"label", $"score", $"probe_radius",
+        $"e_id".isNotNull.as("in_exact"))
+      .orderBy($"score".desc, $"vec_id".asc)
+  }
+
+  /** Oracle replay: s14's minimal-radius rule computed over the
+    * PRE-FILTERED distance set (the cumulative count only sees rows
+    * surviving the label predicate — exactly the Spark ring loop's
+    * count), then the same ranked top-k within that radius, tagged with
+    * membership in the exact filtered top-k. */
+  val filteredAnnProbeUntilKSql: String =
+    s"""WITH sigs AS (
+       |  SELECT vec_id, label, embedding, ${sigSql("embedding")} AS sig
+       |  FROM embeddings),
+       |q AS (SELECT embedding AS qv, sig AS qsig FROM sigs WHERE vec_id = 0),
+       |dist AS (
+       |  SELECT e.vec_id, e.label, $dotSql AS score,
+       |    hamming(e.sig, q.qsig) AS hd
+       |  FROM sigs e CROSS JOIN q
+       |  WHERE e.vec_id <> 0 AND e.label IN (1, 2)),
+       |rad AS (
+       |  SELECT COALESCE(MIN(hd), $NumPlanes) AS r FROM (
+       |    SELECT hd, SUM(COUNT(*)) OVER (ORDER BY hd) AS cum
+       |    FROM dist GROUP BY hd) t
+       |  WHERE cum >= 10),
+       |cand AS (
+       |  SELECT vec_id, label, score, CAST(r AS INTEGER) AS probe_radius
+       |  FROM dist, rad
+       |  WHERE hd <= r
+       |  ORDER BY score DESC, vec_id ASC
+       |  LIMIT 10),
+       |exact AS (
+       |  SELECT e.vec_id AS e_id
+       |  FROM sigs e CROSS JOIN q
+       |  WHERE e.vec_id <> 0 AND e.label IN (1, 2)
+       |  ORDER BY $dotSql DESC, e.vec_id ASC
+       |  LIMIT 10)
+       |SELECT c.vec_id, c.label, c.score, c.probe_radius,
+       |  ex.e_id IS NOT NULL AS in_exact
+       |FROM cand c LEFT JOIN exact ex ON ex.e_id = c.vec_id
+       |ORDER BY score DESC, vec_id ASC""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s26_filtered_probe_k" -> (filteredAnnProbeUntilK _),
     "s25_filtered_ann" -> (filteredAnn _),
     "s24_centroid_shift" -> (centroidShift _),
     "s23_range_search"   -> (rangeSearch _),
@@ -1227,6 +1319,7 @@ object Similarity {
     "s17_ann_deletes"    -> (annWithDeletes _))
 
   val oracle: Map[String, String] = Map(
+    "s26_filtered_probe_k" -> filteredAnnProbeUntilKSql,
     "s25_filtered_ann" -> filteredAnnSql,
     "s24_centroid_shift" -> centroidShiftSql,
     "s23_range_search"   -> rangeSearchSql,

@@ -241,6 +241,19 @@ class PlanAuditSpec extends AnyFunSuite {
       "Filter [^\\n]*label".r.findFirstIn(p).isDefined, p)
   }
 
+  test("s26 probe-until-k keeps ring scans partition-pruned with the label predicate pushed") {
+    val p = plan("s26_filtered_probe_k")
+    assert("PartitionFilters: \\[[^\\]]*sigp".r.findFirstIn(p).isDefined,
+      s"no sigp partition filter in the expanded-ring candidate scan:\n$p")
+    // the predicate must ride the pruned scan stage (pre-filter), not a
+    // post-rank re-filter — the whole point of composing s14 with s25
+    assert("PushedFilters: \\[[^\\]]*label".r.findFirstIn(p).isDefined ||
+      "Filter [^\\n]*label".r.findFirstIn(p).isDefined, p)
+    // and it must return a FULL page where the fixed probe set starves
+    val rows = SparkEntry.queries("s26_filtered_probe_k")(spark, sf).count()
+    assert(rows === 10L, s"probe-until-k still starved: $rows rows")
+  }
+
   test("m12 interleaved packing windows per (mime, source) lane — never one global pack") {
     val p = plan("m12_interleaved_pack")
     assert("hashpartitioning\\(mime#\\d+, source#\\d+".r.findFirstIn(p).isDefined,
