@@ -74,12 +74,15 @@ object PotV2Source {
     * superseded snapshots are not the issue (a writer merging from one
     * loses its generation CAS anyway); the in-flight-staging window is.
     *
-    * RETENTION contract: head-only retention also invalidates
-    * generation-pinned reads (`.option("generation", n)`, u16/u17) and
-    * change-feed consumers still behind the head (st17 — resuming past a
-    * vacuumed generation fails loudly with the missing snapshot, never
-    * silently skips) — the standard CDC retention trade: vacuum no
-    * further than the slowest consumer's offset. Returns deleted paths.
+    * RETENTION contract: head-only retention invalidates
+    * generation-pinned reads (`.option("generation", n)`, u16/u17) —
+    * vacuum no further than the oldest pinned generation a reader needs.
+    * The change feed (st17) is NOT bound by that trade since r13: each
+    * commit's `.delta-*.jsonl` sidecar is RETAINED by this vacuum (it is
+    * O(change-set), the snapshots are the O(pot) cost), so a lagging
+    * consumer replays vacuumed generations from sidecars alone; only
+    * legacy pre-sidecar generations fall back to snapshots and fail
+    * loudly when vacuumed, never silently skip. Returns deleted paths.
     */
   def vacuumSnapshots(
       fs: org.apache.hadoop.fs.FileSystem, potPath: String): Seq[String] = {
@@ -528,29 +531,32 @@ private[graft] class PotV2Write(
     def attempt(): Boolean = {
       if (snapTag.exists(tagCommitted)) return true // replayed epoch: adopt
       // LinkedHashMap: first-seen key keeps its slot, later put = LWW value
-      val entries = new java.util.LinkedHashMap[String, String]()
-      def loadObject(p: Path): Unit = {
+      def loadObject(p: Path,
+          into: java.util.LinkedHashMap[String, String]): Unit = {
         val in = fs.open(p)
         val root = try mapper.readTree(in) finally in.close()
         require(root != null && root.isObject,
           s"pot object $p: top level must be a JSON map")
         root.fields().asScala.foreach(e =>
-          entries.put(e.getKey, e.getValue.toString))
+          into.put(e.getKey, e.getValue.toString))
       }
       // The chain head is read ONCE per attempt and pins BOTH the merge
       // base and the target generation (head+1): a concurrent commit
       // landing in between makes our publish a CommitConflict, never a
       // silent lost update.
       val head = PotV2Write.latestSnapshot(fs, commits)
+      // prevDelta = the head snapshot's content — the change-feed BASE for
+      // this generation's delta sidecar. Distinct from the merge base:
+      // truncate merges from empty but still diffs against the head (so
+      // dropped keys become tombstones); the gen-1 legacy-adoption case
+      // merges from a pre-connector data.json but diffs against EMPTY
+      // (the feed's snapshot(0), so every adopted key is an upsert).
+      val prevDelta = new java.util.LinkedHashMap[String, String]()
+      head.foreach { case (_, snap) => loadObject(new Path(snap), prevDelta) }
+      val entries = new java.util.LinkedHashMap[String, String]()
       if (!truncate) {
-        head match {
-          case Some((_, snap)) => loadObject(new Path(snap))
-          case None if fs.exists(target) =>
-            // adopt a pre-connector pot (e.g. a PotJson.export artifact)
-            // as generation zero's content
-            loadObject(target)
-          case None => ()
-        }
+        if (head.isDefined) entries.putAll(prevDelta)
+        else if (fs.exists(target)) loadObject(target, entries)
       }
       messages.collect { case m: PotFragmentMessage => m }
         .sortBy(_.partitionId)
@@ -563,8 +569,8 @@ private[graft] class PotV2Write(
             }
           finally in.close()
         }
-      val snap = new Path(dir,
-        s".snap-${snapTag.fold("")(_ + "-")}${java.util.UUID.randomUUID()}.json")
+      val stem = s"${snapTag.fold("")(_ + "-")}${java.util.UUID.randomUUID()}"
+      val snap = new Path(dir, s".snap-$stem.json")
       val out = fs.create(snap, false)
       try {
         out.write('{')
@@ -578,6 +584,30 @@ private[graft] class PotV2Write(
         }
         out.write('}')
       } finally out.close()
+      // DELTA SIDECAR (written before the marker CAS; uuid-named with the
+      // snapshot, deleted with it on a lost race): the O(change-set)
+      // record the streaming change feed prefers over an O(pot) snapshot
+      // diff. Line format {"k":<key>,"d":<doc|null>} — d values are
+      // Jackson-rendered JSON (exactly what a snapshot reader re-renders),
+      // null = delete tombstone. Order is the feed's contract: upserts in
+      // current-snapshot layout, then tombstones in previous-snapshot
+      // layout — bit-identical rows to the fallback diff by construction.
+      val delta = new Path(dir, s".delta-$stem.jsonl")
+      val dOut = fs.create(delta, false)
+      try {
+        val sb = new StringBuilder
+        entries.entrySet().asScala.foreach { e =>
+          if (prevDelta.get(e.getKey) != e.getValue)
+            sb.append(mapper.writeValueAsString(e.getKey) match {
+              case kq => s"""{"k":$kq,"d":${e.getValue}}""" + "\n"
+            })
+        }
+        prevDelta.keySet().asScala.foreach { k =>
+          if (!entries.containsKey(k))
+            sb.append(s"""{"k":${mapper.writeValueAsString(k)},"d":null}""" + "\n")
+        }
+        dOut.write(sb.toString.getBytes(UTF_8))
+      } finally dOut.close()
       val gen = head.map(_._1).getOrElse(0L) + 1
       try {
         graft.kv.CommitMarker.publish(
@@ -586,8 +616,10 @@ private[graft] class PotV2Write(
       } catch {
         case e: graft.kv.PotTable.CommitConflict =>
           fs.delete(snap, false)
+          fs.delete(delta, false)
           if (retryOnConflict) false else throw e
-        case e: Throwable => fs.delete(snap, false); throw e
+        case e: Throwable =>
+          fs.delete(snap, false); fs.delete(delta, false); throw e
       }
     }
     while (!attempt()) {}
@@ -810,6 +842,34 @@ private[graft] class PotV2DeltaReaderFactory(columns: Array[String])
         val fs = new Path(p.dir).getFileSystem(new Configuration())
         val commits = new Path(p.dir, ".commits")
         val mapper = new ObjectMapper()
+        // O(delta) fast path: each commit writes a `.delta-<stem>.jsonl`
+        // sidecar next to its `.snap-<stem>.json` (same stem, same
+        // lifecycle) holding exactly this generation's upserts +
+        // tombstones in the feed's contractual order. Reading it costs
+        // the CHANGE SET, not two full pot snapshots; legacy chains
+        // without sidecars (or a sidecar lost to manual cleanup) fall
+        // back to the snapshot diff below — bit-identical rows either
+        // way (PotJsonSpec pins the equivalence on a truncate chain).
+        val curSnapPath = new Path(graft.kv.CommitMarker
+          .read(fs, new Path(commits, p.gen.toString)))
+        val sidecar: Option[Iterator[(String, String)]] = {
+          val name = curSnapPath.getName
+          if (name.startsWith(".snap-") && name.endsWith(".json")) {
+            val stem = name.stripPrefix(".snap-").stripSuffix(".json")
+            val d = new Path(curSnapPath.getParent, s".delta-$stem.jsonl")
+            if (fs.exists(d)) {
+              val in = fs.open(d)
+              val lines = try scala.io.Source
+                .fromInputStream(in, "UTF-8").getLines()
+                .filter(_.nonEmpty).toVector
+              finally in.close()
+              Some(lines.iterator.map { line =>
+                val n = mapper.readTree(line)
+                (n.get("k").asText(), n.get("d").toString)
+              })
+            } else None
+          } else None
+        }
         def snapshot(g: Long): Seq[(String, String)] =
           if (g < 1) Seq.empty
           else {
@@ -822,28 +882,28 @@ private[graft] class PotV2DeltaReaderFactory(columns: Array[String])
             root.fields().asScala
               .map(e => e.getKey -> e.getValue.toString).toSeq
           }
-        val prevSeq = snapshot(p.gen - 1)
-        val prev = prevSeq.toMap
-        val cur = new Path(graft.kv.CommitMarker
-          .read(fs, new Path(commits, p.gen.toString)))
-        val in = fs.open(cur)
-        val root = try new ObjectMapper().readTree(in) finally in.close()
-        require(root != null && root.isObject,
-          s"pot snapshot $cur: top level must be a JSON map")
-        // iterate the CURRENT snapshot in file order (deterministic: the
-        // writer's LinkedHashMap layout), keeping upserts; keys present
-        // before but absent now (a truncate-mode rewrite dropped them)
-        // follow as DELETE tombstones — doc_json = 'null', the Kafka-style
-        // null-body convention (valid JSON, never a valid pot document,
-        // so consumers distinguish it without a schema change). Tombstone
-        // order: previous snapshot's layout (deterministic).
-        val curKeys = root.fieldNames().asScala.toSet
-        val upserts = root.fields().asScala
-          .map(e => (e.getKey, e.getValue.toString))
-          .filter { case (k, v) => !prev.get(k).contains(v) }
-        val tombstones = prevSeq.iterator
-          .collect { case (k, _) if !curKeys(k) => (k, "null") }
-        upserts ++ tombstones
+        sidecar.getOrElse {
+          val prevSeq = snapshot(p.gen - 1)
+          val prev = prevSeq.toMap
+          val in = fs.open(curSnapPath)
+          val root = try new ObjectMapper().readTree(in) finally in.close()
+          require(root != null && root.isObject,
+            s"pot snapshot $curSnapPath: top level must be a JSON map")
+          // iterate the CURRENT snapshot in file order (deterministic: the
+          // writer's LinkedHashMap layout), keeping upserts; keys present
+          // before but absent now (a truncate-mode rewrite dropped them)
+          // follow as DELETE tombstones — doc_json = 'null', the Kafka-style
+          // null-body convention (valid JSON, never a valid pot document,
+          // so consumers distinguish it without a schema change). Tombstone
+          // order: previous snapshot's layout (deterministic).
+          val curKeys = root.fieldNames().asScala.toSet
+          val upserts = root.fields().asScala
+            .map(e => (e.getKey, e.getValue.toString))
+            .filter { case (k, v) => !prev.get(k).contains(v) }
+          val tombstones = prevSeq.iterator
+            .collect { case (k, _) if !curKeys(k) => (k, "null") }
+          upserts ++ tombstones
+        }
       }
       private val file = s"${p.dir}/data.json@${p.gen}"
       private var row: InternalRow = _

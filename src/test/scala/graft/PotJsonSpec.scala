@@ -486,6 +486,73 @@ class PotJsonSpec extends AnyFunSuite {
       "b" -> """{"v":9}""", "c" -> """{"v":3}""", "c" -> """{"v":4}"""))
   }
 
+  test("PotV2 change feed: delta sidecars match the snapshot diff and survive snapshot vacuum") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("potv2delta").toString
+    val pot = s"$root/t/data.json"
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    def put(rows: Seq[(String, Int)], mode: String): Unit =
+      rows.map { case (k, v) => ("", k, s"""{"v": $v}""") }
+        .toDF("pot_file", "key", "doc_json")
+        .write.format(fmt).option("path", pot).mode(mode).save()
+    // 3-generation chain incl. a truncate rewrite (tombstone coverage)
+    put(Seq("a" -> 1, "b" -> 2), "overwrite")
+    put(Seq("b" -> 9), "append")
+    put(Seq("c" -> 3), "overwrite")
+    val potDir = new org.apache.hadoop.fs.Path(s"$root/t")
+    val fs = potDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def ls(prefix: String) = fs.listStatus(potDir).map(_.getPath.getName)
+      .filter(_.startsWith(prefix)).toSeq
+    assert(ls(".delta-").size === 3, s"expected 3 sidecars, got ${ls(".delta-")}")
+    var n = 0
+    def drain(): Seq[(String, String, String)] = {
+      n += 1
+      val feed = s"$root/feed$n"
+      val q = spark.readStream.format(fmt).option("path", pot).load()
+        .writeStream.format("parquet").option("path", feed)
+        .option("checkpointLocation", s"$root/chk$n").start()
+      q.processAllAvailable(); q.stop()
+      spark.read.parquet(feed)
+        .select($"pot_file", $"key", $"doc_json")
+        .as[(String, String, String)].collect().toSeq.sorted
+    }
+    val viaSidecar = drain()
+    assert(viaSidecar.map(t => (t._2, t._3)).sorted === Seq(
+      "a" -> "null", "a" -> """{"v":1}""", "b" -> "null",
+      "b" -> """{"v":2}""", "b" -> """{"v":9}""", "c" -> """{"v":3}"""))
+    // legacy chain: remove every sidecar — the snapshot-diff fallback
+    // must produce bit-identical rows
+    ls(".delta-").foreach(d => fs.delete(
+      new org.apache.hadoop.fs.Path(potDir, d), false))
+    val viaDiff = drain()
+    assert(viaDiff === viaSidecar,
+      "snapshot-diff fallback diverged from the sidecar rows")
+    // sidecar retention decouples CDC from snapshot vacuum: rebuild the
+    // sidecars by... they're gone, so rebuild the whole chain in a fresh
+    // pot, vacuum the non-head snapshots, and replay the feed from 0 —
+    // vacuumed generations must stream from their sidecars alone
+    val pot2 = s"$root/t2/data.json"
+    def put2(rows: Seq[(String, Int)], mode: String): Unit =
+      rows.map { case (k, v) => ("", k, s"""{"v": $v}""") }
+        .toDF("pot_file", "key", "doc_json")
+        .write.format(fmt).option("path", pot2).mode(mode).save()
+    put2(Seq("a" -> 1, "b" -> 2), "overwrite")
+    put2(Seq("b" -> 9), "append")
+    put2(Seq("c" -> 3), "overwrite")
+    val deleted = graft.sources.PotV2Source.vacuumSnapshots(fs, pot2)
+    assert(deleted.size === 2, s"vacuum should drop 2 non-head snaps: $deleted")
+    assert(deleted.forall(_.contains(".snap-")), s"vacuum touched a sidecar: $deleted")
+    val feed2 = s"$root/feed-v"
+    val q2 = spark.readStream.format(fmt).option("path", pot2).load()
+      .writeStream.format("parquet").option("path", feed2)
+      .option("checkpointLocation", s"$root/chk-v").start()
+    q2.processAllAvailable(); q2.stop()
+    val afterVacuum = spark.read.parquet(feed2)
+      .select($"key", $"doc_json").as[(String, String)].collect().toSeq.sorted
+    assert(afterVacuum === viaSidecar.map(t => (t._2, t._3)).sorted,
+      "vacuumed generations did not replay from sidecars")
+  }
+
   test("PotV2Source write: concurrent appends never lose an update or tear data.json") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("potv2race").toString
