@@ -256,8 +256,6 @@ private[graft] class PotV2Scan(
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
-    require(!path.exists(c => "*?[{".contains(c)),
-      s"PotV2Source: streaming reads need ONE pot object, not a glob: $path")
     // generation pinning is batch-only (VERSION AS OF has no meaning for
     // a feed whose offsets ARE generations): fail loudly, never silently
     // stream the full feed from 0 under an option the reader can't honor
@@ -265,7 +263,12 @@ private[graft] class PotV2Scan(
       "PotV2Source: option 'generation' is batch-only — a streaming read's " +
         "offsets are the generation chain itself; drop the option (or use " +
         "a batch read for a pinned snapshot)")
-    new PotV2MicroBatchStream(path, required)
+    // one pot = scalar generation offset; a glob = per-pot generation
+    // VECTOR (st18) — each pot keeps its own chain, so the composite
+    // offset is the only shape that can be exactly-once over many pots
+    if (path.exists(c => "*?[{".contains(c)))
+      new PotV2MultiPotStream(path, required)
+    else new PotV2MicroBatchStream(path, required)
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -799,6 +802,30 @@ private[graft] case class PotGenOffset(gen: Long)
   override def json: String = gen.toString
 }
 
+/** Composite offset for a MULTI-POT feed (st18): the per-pot generation
+  * vector over a glob. Serialized as a JSON object with SORTED keys so
+  * the checkpoint representation is deterministic regardless of glob
+  * resolution order. */
+private[graft] case class PotMultiGenOffset(gens: Map[String, Long])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json: String = {
+    val m = new ObjectMapper()
+    val node = m.createObjectNode()
+    gens.toSeq.sortBy(_._1).foreach { case (k, v) => node.put(k, v) }
+    m.writeValueAsString(node)
+  }
+}
+
+private[graft] object PotMultiGenOffset {
+  def fromJson(s: String): PotMultiGenOffset = {
+    val root = new ObjectMapper().readTree(s)
+    require(root != null && root.isObject,
+      s"multi-pot offset must be a JSON object: $s")
+    PotMultiGenOffset(root.fields().asScala
+      .map(e => e.getKey -> e.getValue.asLong()).toMap)
+  }
+}
+
 private[graft] case class PotDeltaPartition(
     dir: String, gen: Long) extends InputPartition
 
@@ -826,6 +853,55 @@ private[graft] class PotV2MicroBatchStream(
     val dir = new Path(path).getParent.toString
     ((s0 + 1) to e0).map(g => PotDeltaPartition(dir, g): InputPartition)
       .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PotV2DeltaReaderFactory(required.fieldNames)
+}
+
+/** Multi-pot change feed (st18): one streaming source over a GLOB of pot
+  * objects. Each pot keeps its own generation counter, so the stream
+  * offset is the per-pot generation VECTOR ([[PotMultiGenOffset]]) and a
+  * micro-batch plans one [[PotDeltaPartition]] per (pot, new generation)
+  * — the batch side's one-partition-per-pot discipline carried to the
+  * feed, so a 1000-pot bucket drains 1000-wide. Pots appearing under the
+  * glob mid-stream enter the vector at 0 and replay their full chain
+  * (sidecar-first, like any generation); pots REMOVED from the glob
+  * simply stop contributing (their stale vector entry is inert). Rows
+  * carry provenance in `pot_file` (`<dir>/data.json@<gen>`), so a
+  * consumer can fan the merged feed back out per pot.
+  */
+private[graft] class PotV2MultiPotStream(glob: String, required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def fs = new Path(glob).getFileSystem(new Configuration())
+
+  private def pots(): Seq[Path] =
+    Option(fs.globStatus(new Path(glob))).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(_.isFile).map(_.getPath)
+
+  override def initialOffset(): Offset = PotMultiGenOffset(Map.empty)
+  override def latestOffset(): Offset =
+    PotMultiGenOffset(pots().map { p =>
+      val commits = new Path(p.getParent, ".commits")
+      p.toString ->
+        (graft.kv.CommitMarker.committedGenerations(fs, commits) :+ 0L).max
+    }.toMap)
+  override def deserializeOffset(json: String): Offset =
+    PotMultiGenOffset.fromJson(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(
+      start: Offset, end: Offset): Array[InputPartition] = {
+    val s0 = start.asInstanceOf[PotMultiGenOffset].gens
+    val e0 = end.asInstanceOf[PotMultiGenOffset].gens
+    e0.toSeq.sortBy(_._1).flatMap { case (pot, eg) =>
+      val sg = s0.getOrElse(pot, 0L)
+      ((sg + 1) to eg).map(g =>
+        PotDeltaPartition(new Path(pot).getParent.toString, g): InputPartition)
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

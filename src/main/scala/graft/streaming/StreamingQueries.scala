@@ -1225,7 +1225,80 @@ object StreamingQueries {
       |  SELECT key, CAST(2 AS INTEGER) FROM base WHERE n_regionkey = 1) t
       |ORDER BY key, v""".stripMargin
 
+  /** st18: MULTI-POT change feed — `readStream` over a GLOB of pot
+    * objects. Each pot keeps an independent generation chain, so the
+    * stream's offset is the per-pot generation VECTOR
+    * ([[graft.sources.PotMultiGenOffset]]) and each micro-batch plans one
+    * delta partition per (pot, new generation) — the production bucket
+    * feed (st17 is one pot; a real bucket holds thousands). Two pots
+    * receive INTERLEAVED writes (upserts in both, plus a truncate rewrite
+    * in pot b that drops keys → tombstones); the merged feed is fanned
+    * back out per pot via the `pot_file` provenance column and replayed
+    * relationally by the oracle. Deterministic: per-pot batch boundaries
+    * are a pure function of each chain, and the emitted (pot, key, v)
+    * log is trigger-schedule independent.
+    */
+  def streamMultiPotSource(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = runScratchDir("graft-st18")
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    def docs(df: DataFrame, v: Int) = df.select(
+      lit("").as("pot_file"),
+      concat(lit("n"), col("n_nationkey").cast("string")).as("key"),
+      to_json(struct(col("n_name").as("name"), lit(v).as("v")))
+        .as("doc_json"))
+    def put(pot: String, df: DataFrame, v: Int, mode: String): Unit =
+      docs(df, v).write.format(fmt)
+        .option("path", s"$root/pots/$pot/data.json").mode(mode).save()
+    val nat = graft.Tables.nation(s, d)
+    val r0 = nat.filter($"n_regionkey" === 0)
+    val r1 = nat.filter($"n_regionkey" === 1)
+    // interleaved: a1, b1, a2 (append upserts), b2 (truncate → tombstones)
+    put("a", r0, 0, "overwrite")
+    put("b", r1, 0, "overwrite")
+    put("a", r0.filter($"n_nationkey" % 2 === 0), 1, "append")
+    put("b", r1.filter($"n_nationkey" % 2 === 1), 1, "overwrite")
+    val feed = s"$root/feed"
+    withStreamRunConf(s) {
+      val q = s.readStream.format(fmt)
+        .option("path", s"$root/pots/*/data.json").load()
+        .writeStream.format("parquet")
+        .option("path", feed)
+        .option("checkpointLocation", s"$root/chk")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    val result = s.read.parquet(feed)
+      .select(
+        regexp_extract($"pot_file", "/(a|b)/data\\.json@", 1).as("pot"),
+        $"key",
+        when($"doc_json" === "null", -1)
+          .otherwise(get_json_object($"doc_json", "$.v").cast("int"))
+          .as("v"))
+      .orderBy($"pot", $"key", $"v")
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    result
+  }
+
+  val streamMultiPotSourceSql: String =
+    """WITH r0 AS (
+      |  SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS key, n_nationkey
+      |  FROM nation WHERE n_regionkey = 0),
+      |r1 AS (
+      |  SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS key, n_nationkey
+      |  FROM nation WHERE n_regionkey = 1)
+      |SELECT pot, key, CAST(v AS INTEGER) AS v FROM (
+      |  SELECT 'a' AS pot, key, 0 AS v FROM r0
+      |  UNION ALL SELECT 'a', key, 1 FROM r0 WHERE n_nationkey % 2 = 0
+      |  UNION ALL SELECT 'b', key, 0 FROM r1
+      |  UNION ALL SELECT 'b', key, 1 FROM r1 WHERE n_nationkey % 2 = 1
+      |  UNION ALL SELECT 'b', key, -1 FROM r1 WHERE n_nationkey % 2 = 0) t
+      |ORDER BY pot, key, v""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st18_stream_multipot" -> (streamMultiPotSource _),
     "st17_stream_pot_source" -> (streamPotSource _),
     "st16_stream_pot_sink" -> (streamPotSink _),
     "st15_stream_dlq" -> (streamDlqRouter _),
@@ -1245,6 +1318,7 @@ object StreamingQueries {
     "st4_stream_attribution" -> (streamClickAttribution _))
 
   val oracle: Map[String, String] = Map(
+    "st18_stream_multipot" -> streamMultiPotSourceSql,
     "st17_stream_pot_source" -> streamPotSourceSql,
     "st16_stream_pot_sink" -> streamPotSinkSql,
     "st15_stream_dlq" -> streamDlqRouterSql,

@@ -553,6 +553,46 @@ class PotJsonSpec extends AnyFunSuite {
       "vacuumed generations did not replay from sidecars")
   }
 
+  test("PotV2 multi-pot feed: per-pot vector offsets resume exactly; new pots replay from 0") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("potv2mp").toString
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    def put(pot: String, rows: Seq[(String, Int)], mode: String): Unit =
+      rows.map { case (k, v) => ("", k, s"""{"v": $v}""") }
+        .toDF("pot_file", "key", "doc_json")
+        .write.format(fmt).option("path", s"$root/pots/$pot/data.json")
+        .mode(mode).save()
+    put("a", Seq("a1" -> 1), "overwrite")
+    put("b", Seq("b1" -> 1), "overwrite")
+    val feed = s"$root/feed"
+    def drain(): Seq[(String, String)] = {
+      val q = spark.readStream.format(fmt)
+        .option("path", s"$root/pots/*/data.json").load()
+        .writeStream.format("parquet").option("path", feed)
+        .option("checkpointLocation", s"$root/chk").start()
+      q.processAllAvailable(); q.stop()
+      spark.read.parquet(feed).select($"key", $"doc_json")
+        .as[(String, String)].collect().toSeq.sorted
+    }
+    assert(drain() === Seq(
+      "a1" -> """{"v":1}""", "b1" -> """{"v":1}"""))
+    // while the stream is DOWN: pot a advances two generations, pot b is
+    // idle, pot c APPEARS under the glob. The restarted query must resume
+    // each pot from its own vector entry — a's two new deltas and c's
+    // full chain flow; b re-delivers NOTHING.
+    put("a", Seq("a2" -> 2), "append")
+    put("a", Seq("a1" -> 9), "append")
+    put("c", Seq("c1" -> 3), "overwrite")
+    assert(drain() === Seq(
+      "a1" -> """{"v":1}""", "a1" -> """{"v":9}""", "a2" -> """{"v":2}""",
+      "b1" -> """{"v":1}""", "c1" -> """{"v":3}"""))
+    // offset JSON is deterministic (sorted keys) and round-trips
+    val off = graft.sources.PotMultiGenOffset(
+      Map("z/p" -> 2L, "a/p" -> 5L))
+    assert(graft.sources.PotMultiGenOffset.fromJson(off.json) === off)
+    assert(off.json.indexOf("a/p") < off.json.indexOf("z/p"))
+  }
+
   test("PotV2Source write: concurrent appends never lose an update or tear data.json") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("potv2race").toString
