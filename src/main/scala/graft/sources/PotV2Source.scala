@@ -61,18 +61,33 @@ object PotV2Source {
     StructField("key", StringType, nullable = false),
     StructField("doc_json", StringType, nullable = false)))
 
-  /** Maintenance: delete every `.snap-*.json` the chain head no longer
-    * references (each commit leaves one immutable snapshot; only the head
-    * is ever read — by appends as the merge base and by the data.json
-    * materialization). Markers stay: they are the generation counter and
-    * are a few bytes each.
+  /** Maintenance: delete the snapshot bodies of every CHAIN generation
+    * below the head (each commit leaves one immutable snapshot; only the
+    * head is ever read — by appends as the merge base and by the
+    * data.json materialization). Markers stay: they are the generation
+    * counter and are a few bytes each.
     *
-    * PRECONDITION (caller-enforced, the [[graft.kv.CommitMarker.repair]]
-    * fsck pattern): no writer is live on this pot. A mid-commit writer
-    * has staged a NEW `.snap-*` that is not yet the head — vacuuming that
-    * window would publish a marker pointing at a deleted body. Readers of
-    * superseded snapshots are not the issue (a writer merging from one
-    * loses its generation CAS anyway); the in-flight-staging window is.
+    * SAFE WITH LIVE WRITERS (r13 — the r12 contract was a documented
+    * no-live-writer precondition; this is the mechanism). Two pieces:
+    *
+    *   - deletion is CHAIN-REFERENCED only: the candidates are the BODIES
+    *     of committed markers below the head, never a directory listing.
+    *     A mid-commit writer's staged `.snap-*` is unreferenced until its
+    *     marker CAS wins, so vacuum cannot see it — a published marker
+    *     can therefore never point at a vacuumed body (no dangling
+    *     marker, by construction rather than by contract);
+    *   - a CAS FENCE epoch under `.vacuum/` (the CommitMarker primitive):
+    *     each vacuum run must win the next epoch marker, so two
+    *     concurrent vacuums serialize — the loser returns empty, cleanly
+    *     (and the fence body records the head generation at vacuum time,
+    *     the audit horizon for retention tooling).
+    *
+    * The one window left is a READER of a superseded head: a writer that
+    * read head G as its merge base while a commit landed (head G+1) and a
+    * vacuum then deleted G's body mid-load. `commitEntries` treats that
+    * FileNotFound as a conflict-equivalent and retries against the new
+    * head — a clean loss, never a lost update (KvSpec races all three
+    * actors to pin it).
     *
     * RETENTION contract: head-only retention invalidates
     * generation-pinned reads (`.option("generation", n)`, u16/u17) —
@@ -88,17 +103,33 @@ object PotV2Source {
       fs: org.apache.hadoop.fs.FileSystem, potPath: String): Seq[String] = {
     val dir = new Path(potPath).getParent
     val commits = new Path(dir, ".commits")
-    // compare by file NAME (uuid-unique): listStatus returns fs-qualified
-    // paths while marker bodies store the path string as written
-    val headName = PotV2Write.latestSnapshot(fs, commits)
-      .map(h => new Path(h._2).getName)
     if (!fs.exists(dir)) return Seq.empty
-    fs.listStatus(dir).toSeq
-      .map(_.getPath)
-      .filter(p => p.getName.startsWith(".snap-") &&
-        p.getName.endsWith(".json") &&
-        !headName.contains(p.getName))
-      .map { p => fs.delete(p, false); p.toString }
+    val gens = graft.kv.CommitMarker.committedGenerations(fs, commits).sorted
+    if (gens.size < 2) return Seq.empty
+    // CAS fence: win the next vacuum epoch or lose cleanly to the vacuum
+    // that holds it (two racing vacuums would double-delete harmlessly,
+    // but the fence makes the serialization — and the audit horizon —
+    // explicit, and is the hook concurrent maintenance tools key on)
+    val fence = new Path(dir, ".vacuum")
+    val epoch = (graft.kv.CommitMarker
+      .committedGenerations(fs, fence) :+ 0L).max + 1
+    try graft.kv.CommitMarker.publish(
+      fs, new Path(fence, epoch.toString), s"fence@head=${gens.last}")
+    catch {
+      case _: graft.kv.PotTable.CommitConflict => return Seq.empty
+      case _: graft.kv.PotTable.CommitIncomplete => return Seq.empty
+    }
+    // chain-referenced deletion: bodies of committed markers BELOW the
+    // head only — never a directory listing, so an in-flight commit's
+    // staged (unreferenced) snapshot is structurally out of reach
+    gens.dropRight(1).flatMap { g =>
+      val body = new Path(graft.kv.CommitMarker
+        .read(fs, new Path(commits, g.toString)))
+      if (body.getName.startsWith(".snap-") && fs.exists(body)) {
+        fs.delete(body, false)
+        Some(body.toString)
+      } else None
+    }
   }
 }
 
@@ -555,7 +586,15 @@ private[graft] class PotV2Write(
       // merges from a pre-connector data.json but diffs against EMPTY
       // (the feed's snapshot(0), so every adopted key is an upsert).
       val prevDelta = new java.util.LinkedHashMap[String, String]()
-      head.foreach { case (_, snap) => loadObject(new Path(snap), prevDelta) }
+      try head.foreach { case (_, snap) =>
+        loadObject(new Path(snap), prevDelta)
+      } catch {
+        // the head we pinned was superseded AND its body vacuumed while
+        // we were loading it (vacuumSnapshots only deletes below-head
+        // bodies, so a newer head exists) — a conflict-equivalent: retry
+        // the attempt against the new head; no CAS was lost
+        case _: java.io.FileNotFoundException => return false
+      }
       val entries = new java.util.LinkedHashMap[String, String]()
       if (!truncate) {
         if (head.isDefined) entries.putAll(prevDelta)
@@ -727,22 +766,35 @@ private[graft] object PotV2Write {
       attempts += 1
       val (gen, snap) = head.get
       val tmp = new Path(dir, s".publish-${java.util.UUID.randomUUID()}.json")
-      org.apache.hadoop.fs.FileUtil.copy(
-        fs, new Path(snap), fs, tmp, false, new Configuration())
-      if ("file".equalsIgnoreCase(fs.getUri.getScheme)) {
-        java.nio.file.Files.move(
-          java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath),
-          java.nio.file.Paths.get(fs.makeQualified(target).toUri.getPath),
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      } else {
-        // object stores replace data.json with one atomic PUT in their own
-        // connector; generic-FS fallback is delete+rename (brief absence
-        // window, never torn content)
-        fs.delete(target, false)
-        fs.rename(tmp, target)
+      val copied =
+        try {
+          org.apache.hadoop.fs.FileUtil.copy(
+            fs, new Path(snap), fs, tmp, false, new Configuration())
+          true
+        } catch {
+          case _: java.io.FileNotFoundException =>
+            // the head we pinned was superseded AND vacuumed mid-copy
+            // (vacuum only deletes below-head bodies, so a newer head
+            // exists) — drop the partial tmp and retry at the new head
+            fs.delete(tmp, false)
+            false
+        }
+      if (copied) {
+        if ("file".equalsIgnoreCase(fs.getUri.getScheme)) {
+          java.nio.file.Files.move(
+            java.nio.file.Paths.get(fs.makeQualified(tmp).toUri.getPath),
+            java.nio.file.Paths.get(fs.makeQualified(target).toUri.getPath),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        } else {
+          // object stores replace data.json with one atomic PUT in their
+          // own connector; generic-FS fallback is delete+rename (brief
+          // absence window, never torn content)
+          fs.delete(target, false)
+          fs.rename(tmp, target)
+        }
+        lastCopied = gen
       }
-      lastCopied = gen
       head = latestSnapshot(fs, commits)
     }
   }

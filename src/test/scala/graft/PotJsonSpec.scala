@@ -304,6 +304,70 @@ class PotJsonSpec extends AnyFunSuite {
       .select($"key").as[String].collect().toSet === Set("a", "b", "c", "d"))
   }
 
+  test("PotV2 vacuum fence: vacuum racing live commits loses cleanly — no lost update, no dangling marker") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val dir = java.nio.file.Files.createTempDirectory("potv2fence").toString
+    val pot = s"$dir/t/data.json"
+    val fs = new org.apache.hadoop.fs.Path(pot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nWriters = 4
+    val perWriter = 5
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writers = (1 to nWriters).map { w =>
+      new Thread(() => {
+        try {
+          for (i <- 1 to perWriter) {
+            // one streaming write per (writer, epoch): distinct query ids
+            // so tags never collide; the retry loop absorbs CAS losses
+            // AND the vacuumed-merge-base FileNotFound retry
+            val write = new graft.sources.PotV2Write(
+              pot, graft.sources.PotV2Source.Schema, s"q-$w",
+              truncateFirst = false)
+            val wr = new graft.sources.PotV2WriterFactory(
+              write.epochStagingDir(i.toLong).toString, 1, 2)
+              .createWriter(0, 0L)
+            wr.write(InternalRow(UTF8String.fromString(""),
+              UTF8String.fromString(s"k$w-$i"),
+              UTF8String.fromString(s"""{"v": $i}""")))
+            write.toStreaming.commit(i.toLong, Array(wr.commit()))
+          }
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    val vacuums = new Thread(() => {
+      try {
+        (1 to 40).foreach { _ =>
+          graft.sources.PotV2Source.vacuumSnapshots(fs, pot)
+          Thread.sleep(3L)
+        }
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    (writers :+ vacuums).foreach(_.start())
+    (writers :+ vacuums).foreach(_.join(120000))
+    assert(errs.isEmpty, s"race surfaced errors: ${errs.peek()}")
+    // no lost update: every (writer, epoch) key survived the races
+    import spark.implicits._
+    val keys = spark.read
+      .format(classOf[graft.sources.PotV2Source].getName)
+      .option("path", pot).load().select($"key").as[String].collect().toSet
+    val expect = (for (w <- 1 to nWriters; i <- 1 to perWriter)
+      yield s"k$w-$i").toSet
+    assert(keys === expect, s"lost updates: ${expect -- keys}")
+    // no dangling marker: the head marker's body exists (below-head
+    // bodies may legitimately be vacuumed), and a fresh vacuum followed
+    // by a read + write still works
+    val commits = new org.apache.hadoop.fs.Path(s"$dir/t/.commits")
+    val headGen = graft.kv.CommitMarker.committedGenerations(fs, commits).max
+    val headBody = new org.apache.hadoop.fs.Path(graft.kv.CommitMarker
+      .read(fs, new org.apache.hadoop.fs.Path(commits, headGen.toString)))
+    assert(fs.exists(headBody), s"dangling head marker at gen $headGen")
+    graft.sources.PotV2Source.vacuumSnapshots(fs, pot)
+    assert(spark.read
+      .format(classOf[graft.sources.PotV2Source].getName)
+      .option("path", pot).load().count() === expect.size.toLong)
+  }
+
   test("PotV2 streaming sink: a replayed epoch adopts its committed generation") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.unsafe.types.UTF8String
