@@ -61,6 +61,14 @@ object PotV2Source {
     StructField("key", StringType, nullable = false),
     StructField("doc_json", StringType, nullable = false)))
 
+  /** Default ceiling on a single pot object's serialized size through the
+    * WRITE path (1 GiB). The commit merges the whole object in driver
+    * memory — correct parity with the reference's whole-object RMW, but
+    * at engine scale a multi-GB pot would OOM the driver SILENTLY;
+    * [[PotTooLarge]] makes it loud and names the migration path.
+    * Override per write with `.option("maxObjectBytes", n)`. */
+  val DefaultMaxObjectBytes: Long = 1L << 30
+
   /** Maintenance: delete the snapshot bodies of every CHAIN generation
     * below the head (each commit leaves one immutable snapshot; only the
     * head is ever read — by appends as the merge base and by the
@@ -132,6 +140,13 @@ object PotV2Source {
     }
   }
 }
+
+/** Thrown when a pot-object write would exceed its size ceiling: one pot
+  * is a DRIVER-MEMORY unit (the reference's whole-object RMW), so growth
+  * past the ceiling means the data has outgrown the single-object model —
+  * migrate to [[graft.kv.BucketedPotTable]] (hash-bucketed keys, per-bucket
+  * commit protocol, distributed merge) or split across more pot objects. */
+class PotTooLarge(message: String) extends RuntimeException(message)
 
 private[sources] class PotV2Table(path: String)
     extends Table with SupportsRead with SupportsWrite {
@@ -481,7 +496,10 @@ private[sources] class PotV2WriteBuilder(
   override def build(): Write = {
     require(!path.exists(c => "*?[{".contains(c)),
       s"PotV2Source write: path must name ONE pot object, not a glob: $path")
-    new PotV2Write(path, info.schema(), info.queryId(), truncateFirst)
+    val ceiling = Option(info.options.get("maxObjectBytes")).map(_.toLong)
+      .getOrElse(PotV2Source.DefaultMaxObjectBytes)
+    new PotV2Write(path, info.schema(), info.queryId(), truncateFirst,
+      ceiling)
   }
 }
 
@@ -490,7 +508,8 @@ private[graft] case class PotFragmentMessage(
 
 private[graft] class PotV2Write(
     path: String, schema: StructType, queryId: String,
-    private[graft] val truncateFirst: Boolean)
+    private[graft] val truncateFirst: Boolean,
+    maxObjectBytes: Long = PotV2Source.DefaultMaxObjectBytes)
     extends Write with BatchWrite {
   import java.nio.charset.StandardCharsets.UTF_8
 
@@ -579,6 +598,21 @@ private[graft] class PotV2Write(
       // landing in between makes our publish a CommitConflict, never a
       // silent lost update.
       val head = PotV2Write.latestSnapshot(fs, commits)
+      // size ceiling, checked BEFORE the driver materializes the object:
+      // the merge base's file length bounds the load, so a pot that has
+      // outgrown driver memory fails loudly with the migration path
+      // instead of OOMing mid-merge
+      head.foreach { case (_, snap) =>
+        val len = fs.getFileStatus(new Path(snap)).getLen
+        if (len > maxObjectBytes)
+          throw new PotTooLarge(
+            s"pot object $path: merge base is $len bytes, over the " +
+              s"$maxObjectBytes ceiling — a pot is a driver-memory unit; " +
+              "migrate to graft.kv.BucketedPotTable (hash-bucketed keys, " +
+              "distributed merge) or split across more pot objects " +
+              "(raise with .option(\"maxObjectBytes\", n) only if the " +
+              "driver really has the headroom)")
+      }
       // prevDelta = the head snapshot's content — the change-feed BASE for
       // this generation's delta sidecar. Distinct from the merge base:
       // truncate merges from empty but still diffs against the head (so
@@ -611,6 +645,16 @@ private[graft] class PotV2Write(
             }
           finally in.close()
         }
+      // and the MERGED size (base + this write's fragments) before the
+      // snapshot hits disk — the ceiling is on the object, not the base
+      val mergedBytes = entries.entrySet().asScala.iterator
+        .map(e => e.getKey.length.toLong + e.getValue.length + 6L).sum
+      if (mergedBytes > maxObjectBytes)
+        throw new PotTooLarge(
+          s"pot object $path: merged object would be ~$mergedBytes bytes, " +
+            s"over the $maxObjectBytes ceiling — a pot is a driver-memory " +
+            "unit; migrate to graft.kv.BucketedPotTable or split across " +
+            "more pot objects")
       val stem = s"${snapTag.fold("")(_ + "-")}${java.util.UUID.randomUUID()}"
       val snap = new Path(dir, s".snap-$stem.json")
       val out = fs.create(snap, false)

@@ -368,6 +368,36 @@ class PotJsonSpec extends AnyFunSuite {
       .option("path", pot).load().count() === expect.size.toLong)
   }
 
+  test("PotV2 write: the size ceiling fails loudly and names the bucketed migration path") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("potv2cap").toString
+    val pot = s"$dir/t/data.json"
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    def put(rows: Seq[(String, String)], cap: Long): Unit =
+      rows.map { case (k, v) => ("", k, v) }
+        .toDF("pot_file", "key", "doc_json")
+        .write.format(fmt).option("path", pot)
+        .option("maxObjectBytes", cap.toString).mode("append").save()
+    // under the ceiling: fine
+    put(Seq("a" -> """{"v": 1}"""), 200L)
+    // merged growth past the ceiling: loud PotTooLarge naming the
+    // migration path, not a silent driver OOM
+    val e = intercept[Exception] {
+      put(Seq("b" -> s"""{"v": "${"x" * 400}"}"""), 200L)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("BucketedPotTable") &&
+      m.contains("ceiling")), s"wrong error: ${msgs(e)}")
+    // the pot is untouched by the failed commit
+    assert(spark.read.format(fmt).option("path", pot).load()
+      .select($"key").as[String].collect().toSeq === Seq("a"))
+    // an oversized MERGE BASE also fails loudly (pre-load check)
+    val e2 = intercept[Exception] { put(Seq("c" -> """{"v": 2}"""), 10L) }
+    assert(msgs(e2).exists(_.contains("merge base")), s"${msgs(e2)}")
+  }
+
   test("PotV2 streaming sink: a replayed epoch adopts its committed generation") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.unsafe.types.UTF8String
