@@ -65,11 +65,23 @@ final class PotTable(spark: SparkSession, root: String, path: String) {
   /** Read a SPECIFIC committed generation (time travel). Works for any
     * generation whose staged data a vacuum retention window still holds
     * (the reference exposes the same handle as the GCS object generation;
-    * here every committed marker is a readable version pointer).
+    * here every committed marker is a readable version pointer). A
+    * generation whose staged data [[vacuum]] reclaimed fails with
+    * [[PotTable.RetentionViolated]] — loud and named, never Spark's bare
+    * path-not-found (r13: the frontier-GC retention contract).
     */
   def getAt(gen: Long): DataFrame =
     if (gen == 0L) spark.emptyDataFrame
-    else spark.read.parquet(readMarker(gen))
+    else {
+      val staged = readMarker(gen)
+      if (!fs.exists(new Path(staged)))
+        throw new PotTable.RetentionViolated(
+          s"pot $path generation $gen: staged data was vacuumed — the " +
+            "retention window has passed this generation; pin vacuum's " +
+            "retainGenerations above the oldest generation readers still " +
+            s"need (current head is $generation)")
+      spark.read.parquet(staged)
+    }
 
   /** Change feed between two committed generations (CDC): one row per key
     * whose document was added, removed, or changed from `fromGen` to
@@ -249,6 +261,14 @@ object PotTable {
     * mapping (asserted in KvSpec's lockout cases).
     */
   final class CommitConflict(msg: String) extends RuntimeException(msg)
+
+  /** A pinned read (generation time travel, txn frontier snapshot) asked
+    * for state the retention machinery has reclaimed — [[PotTable.vacuum]]
+    * dropped the generation's staged data, or [[PotTxn.gcBelow]] dropped
+    * the txn-frontier coordinates. Loud and specific: the CDC-retention
+    * discipline is "vacuum no further than the slowest pinned reader",
+    * and this error is what violating it looks like. */
+  final class RetentionViolated(msg: String) extends IllegalStateException(msg)
 
   /** Our marker create won the CAS but writing/closing the body failed:
     * the commit is NOT durable and NOT foreign-owned — retry the commit

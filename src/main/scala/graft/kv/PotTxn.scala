@@ -120,9 +120,27 @@ final class PotTxn(spark: SparkSession, root: String) {
     * that landed after is not — exactly a snapshot at the apply point.
     */
   def frontier(n: Long): Map[String, Long] = {
-    val ns = CommitMarker.committedGenerations(fs, commitsDir)
-      .filter(_ <= n).sorted
+    val w = gcWatermark
+    if (n < w)
+      throw new PotTable.RetentionViolated(
+        s"frontier($n) is below the txn GC watermark $w: gcBelow($w) " +
+          "dropped the per-txn frontier coordinates of older " +
+          "transactions; pinned reads must stay at or above the " +
+          "watermark (the checkpointed frontier there is still exact)")
     val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+    // seed with the watermark's CHECKPOINTED frontier (gcBelow records
+    // frontier(w) in the watermark marker before dropping the per-txn
+    // markers, so pots whose last applied txn predates the watermark
+    // keep their coordinate)
+    if (w > 0L)
+      CommitMarker.read(fs, new Path(gcDir, w.toString)).trim
+        .split("\n").iterator.filter(_.contains("="))
+        .foreach { line =>
+          val i = line.lastIndexOf('=')
+          line.drop(i + 1).toLongOption.foreach(g => m(line.take(i)) = g)
+        }
+    val ns = CommitMarker.committedGenerations(fs, commitsDir)
+      .filter(t => t > w && t <= n).sorted
     ns.foreach { t =>
       val pots = CommitMarker.read(fs, new Path(commitsDir, t.toString))
         .trim.split("\n").toSeq.tail
@@ -134,6 +152,59 @@ final class PotTxn(spark: SparkSession, root: String) {
       }
     }
     m.toMap
+  }
+
+  private def gcDir = new Path(s"$root/_txns/_gc")
+
+  /** Highest committed GC watermark (0 = never GC'd). */
+  def gcWatermark: Long =
+    CommitMarker.committedGenerations(fs, gcDir).foldLeft(0L)(math.max)
+
+  /** Frontier GC — the retention half of the txn log (kv18's frontier
+    * reads would otherwise pin every applied marker and stage dir
+    * forever). Checkpoints `frontier(w)` INTO the watermark marker (one
+    * CommitMarker CAS — concurrent GCs serialize, the loser adopts), then
+    * drops the per-txn applied markers and staged batches of every txn
+    * <= `w`. After it: `frontier(n)`/`snapshotAt(n)` for n >= w stay
+    * EXACT (checkpoint seed + later markers); for n < w they fail with
+    * [[PotTable.RetentionViolated]] — the same loud contract
+    * [[PotTable.getAt]] applies when a staged generation is vacuumed.
+    * Refuses to run past an unapplied txn (recovery still needs its
+    * stage): run [[recover]] first. Commit markers themselves stay — they
+    * are the txn counter, a few bytes each.
+    */
+  def gcBelow(w: Long): Unit = {
+    val ns = CommitMarker.committedGenerations(fs, commitsDir)
+      .filter(_ <= w).sorted
+    val unapplied = ns.filterNot { t =>
+      CommitMarker.read(fs, new Path(commitsDir, t.toString))
+        .trim.split("\n").toSeq.tail
+        .forall(pot => fs.exists(appliedMarker(t, pot)))
+    }
+    require(unapplied.isEmpty,
+      s"gcBelow($w): txns ${unapplied.mkString(",")} are not fully " +
+        "applied — run recover() first (their staged batches are still " +
+        "the roll-forward source)")
+    val cur = gcWatermark
+    require(w >= cur,
+      s"gcBelow($w): watermark is already at $cur — it only moves forward")
+    val f = frontier(w)
+    val body = f.toSeq.sortBy(_._1)
+      .map { case (p, g) => s"$p=$g" }.mkString("\n") match {
+        case "" => "-" // CommitMarker bodies must be non-empty
+        case b  => b
+      }
+    fs.mkdirs(gcDir)
+    try CommitMarker.publish(fs, new Path(gcDir, w.toString), body)
+    catch {
+      case _: PotTable.CommitConflict => () // concurrent GC won this w
+    }
+    ns.foreach { t =>
+      val id = CommitMarker.read(fs, new Path(commitsDir, t.toString))
+        .trim.split("\n").head
+      fs.delete(new Path(stageDir(id)), true)
+      fs.delete(new Path(s"$root/_txns/applied/$t"), true)
+    }
   }
 
   /** Consistent snapshot of every txn-participant pot at frontier `n`. */

@@ -432,6 +432,51 @@ class KvSpec extends AnyFunSuite {
     assert(txn.recover() === Seq.empty)
   }
 
+  test("PotTxn: gcBelow drops old frontiers; reads below the watermark fail loudly, at/above stay exact") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-txngc").toString
+    val txn = new graft.kv.PotTxn(spark, root)
+    val t1 = txn.commitAll(Seq(
+      "pa" -> Seq(("k1", 1)).toDF("key", "v"),
+      "pb" -> Seq(("k2", 1)).toDF("key", "v")))
+    val t2 = txn.commitAll(Seq(
+      "pa" -> Seq(("k1", 2)).toDF("key", "v"),
+      "pb" -> Seq(("k2", 2)).toDF("key", "v")))
+    val f1 = txn.frontier(t1)
+    val f2 = txn.frontier(t2)
+    // GC below t2: t1's applied markers and stage go away; the watermark
+    // marker checkpoints frontier(t2) so later reads stay exact
+    txn.gcBelow(t2)
+    assert(txn.gcWatermark === t2)
+    val e = intercept[graft.kv.PotTable.RetentionViolated] {
+      txn.snapshotAt(t1)
+    }
+    assert(e.getMessage.contains("watermark"), e.getMessage)
+    // at/above the watermark: frontier identical to pre-GC, snapshot exact
+    assert(txn.frontier(t2) === f2,
+      "checkpointed frontier diverged from the pre-GC frontier")
+    val snap = txn.snapshotAt(t2)
+    assert(snap("pa").select($"v").as[Int].collect().toSeq === Seq(2))
+    assert(snap("pb").select($"v").as[Int].collect().toSeq === Seq(2))
+    // a THIRD txn on top of the checkpoint: frontier folds checkpoint +
+    // post-watermark markers; pots not in t3 keep their checkpointed gen
+    val t3 = txn.commitAll(Seq("pa" -> Seq(("k1", 3)).toDF("key", "v")))
+    val f3 = txn.frontier(t3)
+    assert(f3("pb") === f2("pb"), "checkpoint seed lost pb's coordinate")
+    assert(txn.snapshotAt(t3)("pa").select($"v").as[Int].collect().toSeq
+      === Seq(3))
+    // the watermark only moves forward
+    intercept[IllegalArgumentException] { txn.gcBelow(t1) }
+    // and a pot generation dropped by PotTable.vacuum is equally loud
+    val pa = PotTable(spark, root, "pa")
+    pa.vacuum(retainGenerations = 0)
+    val e2 = intercept[graft.kv.PotTable.RetentionViolated] {
+      pa.getAt(f2("pa")).collect()
+    }
+    assert(e2.getMessage.contains("vacuumed"), e2.getMessage)
+    assert(f1 !== f2) // the GC'd frontier really was distinct state
+  }
+
   test("PotTxn: apply rebases over a concurrent single-pot commit instead of clobbering") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("graft-txn2").toString
