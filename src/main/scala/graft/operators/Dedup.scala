@@ -1262,7 +1262,57 @@ object Dedup {
       |GROUP BY status
       |ORDER BY status""".stripMargin
 
+  /** d19: INCREMENTAL cross-shard near-dedup — the production ingest
+    * shape: a NEW shard (doc_id % 3 == 0) is admitted against the OLD
+    * corpus's LSH band index only; new-vs-new pairs are deferred to the
+    * next full sweep (d2/d6's job). Per new doc: the earliest old doc
+    * sharing any in-cap band bucket (`dup_of`, NULL = admitted). At
+    * 100 TB the old side is a persisted (band, sig, min doc_id) index —
+    * 3 small columns per bucket, no documents, no old-corpus rescan; the
+    * probe is one equi-join keyed by (band, sig) sized to the NEW shard.
+    * Old buckets over [[LshBucketCap]] are boilerplate, not signal, and
+    * are excluded exactly as d2 excludes them (cap mirrored in the
+    * oracle's HAVING). Docs under 3 words have no band signatures and
+    * admit trivially — the outer join from the new-doc spine keeps them.
+    */
+  def incrementalDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sigs = bandSigs(s, d)
+    val old = sigs.filter($"doc_id" % 3 =!= 0)
+      .groupBy($"band", $"sig")
+      .agg(min($"doc_id").as("hit"), count(lit(1)).as("bn"))
+      .filter($"bn" <= LshBucketCap)
+      .drop("bn")
+    val probes = sigs.filter($"doc_id" % 3 === 0)
+      .join(old, Seq("band", "sig"), "left")
+      .groupBy($"doc_id").agg(min($"hit").as("dup_of"))
+    Tables.documents(s, d).filter($"doc_id" % 3 === 0).select($"doc_id")
+      .join(probes, Seq("doc_id"), "left")
+      .select($"doc_id", $"dup_of", $"dup_of".isNull.as("admitted"))
+      .orderBy($"doc_id")
+  }
+
+  val incrementalDedupSql: String =
+    s"""WITH __SH__,
+       |__BANDS__,
+       |old AS (
+       |  SELECT band, sig, MIN(doc_id) AS hit
+       |  FROM bands WHERE doc_id % 3 <> 0
+       |  GROUP BY band, sig HAVING COUNT(*) <= $LshBucketCap),
+       |probes AS (
+       |  SELECT b.doc_id, MIN(o.hit) AS dup_of
+       |  FROM bands b LEFT JOIN old o ON o.band = b.band AND o.sig = b.sig
+       |  WHERE b.doc_id % 3 = 0
+       |  GROUP BY b.doc_id)
+       |SELECT d.doc_id, p.dup_of, p.dup_of IS NULL AS admitted
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 3 = 0) d
+       |LEFT JOIN probes p ON p.doc_id = d.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+      .replace("__SH__", shinglesCte)
+      .replace("__BANDS__", bandsCte)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d19_incremental_dedup" -> (incrementalDedup _),
     "d18_version_diff"   -> (versionDiff _),
     "d17_tfidf_verify"   -> (tfidfVerify _),
     "d16_canonical_pick" -> (canonicalPick _),
@@ -1283,6 +1333,7 @@ object Dedup {
     "d9_semantic_dedup"    -> (semanticDedup _))
 
   val oracle: Map[String, String] = Map(
+    "d19_incremental_dedup" -> incrementalDedupSql,
     "d18_version_diff"   -> versionDiffSql,
     "d17_tfidf_verify"     -> tfidfVerifySql,
     "d16_canonical_pick"   -> canonicalPickSql,

@@ -1295,7 +1295,35 @@ object Similarity {
        |FROM cand c LEFT JOIN exact ex ON ex.e_id = c.vec_id
        |ORDER BY score DESC, vec_id ASC""".stripMargin
 
+  /** s27: index INTEGRITY AUDIT — the persisted LSH index's per-bucket
+    * histogram (bucket signature, vector count, earliest vec_id) checked
+    * against a first-principles recomputation from the source embeddings:
+    * the oracle derives every bucket from scratch, so a hash-equal result
+    * PROVES the index holds exactly the corpus — no dropped generation,
+    * no double-ingested batch, no orphaned bucket (the audit every
+    * vector store runs after a compaction or a restore). The scan reads
+    * only (sig, vec_id) — column pruning keeps the audit at metadata
+    * weight next to the ~260 B/row embedding payload it never touches.
+    * At 100 TB this is the cheap invariant check between maintenance
+    * operations; the same shape diffs two indexes after a migration.
+    */
+  def indexIntegrity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    AnnIndex.read(s, d)
+      .groupBy($"sig")
+      .agg(count(lit(1)).as("n_vecs"), min($"vec_id").as("min_vec"))
+      .orderBy($"sig")
+  }
+
+  val indexIntegritySql: String =
+    s"""SELECT ${sigSql("embedding")} AS sig, COUNT(*) AS n_vecs,
+       |  MIN(vec_id) AS min_vec
+       |FROM embeddings
+       |GROUP BY 1
+       |ORDER BY sig""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s27_index_integrity" -> (indexIntegrity _),
     "s26_filtered_probe_k" -> (filteredAnnProbeUntilK _),
     "s25_filtered_ann" -> (filteredAnn _),
     "s24_centroid_shift" -> (centroidShift _),
@@ -1319,6 +1347,7 @@ object Similarity {
     "s17_ann_deletes"    -> (annWithDeletes _))
 
   val oracle: Map[String, String] = Map(
+    "s27_index_integrity" -> indexIntegritySql,
     "s26_filtered_probe_k" -> filteredAnnProbeUntilKSql,
     "s25_filtered_ann" -> filteredAnnSql,
     "s24_centroid_shift" -> centroidShiftSql,

@@ -445,7 +445,44 @@ object TimeWindows {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** q76: LWW state compaction over an event log — for each (user_id,
+    * event_type) the LATEST event's payload (ts DESC, event_id DESC as
+    * the unique tie-break), plus how many events folded into it: a
+    * changelog materialized to its current-state table, the shape every
+    * CDC consumer builds first. ONE max-struct aggregation — a single
+    * map-side-combining shuffle on the key, no sort anywhere. The naive
+    * per-key ROW_NUMBER window computes the same answer at a full
+    * sort-per-key cost, and the corpus-wide rank variant is the
+    * 100 TB-fatal shape DistRank exists for; this query needs neither —
+    * the struct max IS the argmax. `value` rides the struct untouched
+    * (selected, never summed — double-safe by construction).
+    */
+  def latestPerKey(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"user_id", $"event_type",
+        struct(unix_micros($"ts").as("tsu"), $"event_id",
+          $"value").as("ev"))
+      .groupBy($"user_id", $"event_type")
+      .agg(max($"ev").as("m"), count(lit(1)).as("n_folded"))
+      .select($"user_id", $"event_type", $"m.tsu".as("tsu"),
+        $"m.event_id".as("event_id"), $"m.value".as("v"), $"n_folded")
+      .orderBy($"user_id", $"event_type")
+  }
+
+  val latestPerKeySql: String =
+    """SELECT user_id, event_type, tsu, event_id, v, n_folded FROM (
+      |  SELECT user_id, event_type, epoch_us(ts) AS tsu, event_id,
+      |    value AS v,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn,
+      |    COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_folded
+      |  FROM events) t
+      |WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_latest_per_key" -> (latestPerKey _),
     "q72_interval_coverage" -> (intervalCoverage _),
     "q65_semi_additive" -> (semiAdditive _),
     "q64_markov_transitions" -> (markovTransitions _),
@@ -458,6 +495,7 @@ object TimeWindows {
     "q55_retention"    -> (retention _))
 
   val oracle: Map[String, String] = Map(
+    "q76_latest_per_key" -> latestPerKeySql,
     "q72_interval_coverage" -> intervalCoverageSql,
     "q65_semi_additive" -> semiAdditiveSql,
     "q64_markov_transitions" -> markovTransitionsSql,

@@ -1297,7 +1297,76 @@ object StreamingQueries {
       |  UNION ALL SELECT 'b', key, -1 FROM r1 WHERE n_nationkey % 2 = 0) t
       |ORDER BY pot, key, v""".stripMargin
 
+  /** st19: CDC MIRROR — the connector's quadrants COMPOSED: pot A's
+    * change feed (st17's streaming source, sidecar-backed) streams
+    * declaratively into pot B (st16's streaming sink, epoch-tagged
+    * exactly-once), no foreachBatch anywhere. Delete tombstones
+    * (doc_json = 'null') cannot be pot documents, so the mirror encodes
+    * them as `{"__del__":true}` sentinel docs — the Kafka compacted-topic
+    * model: B's PHYSICAL state carries tombstones, B's LOGICAL view
+    * filters them, and a downstream mirror of B would propagate the
+    * deletes onward. After draining, B's logical view must equal A's
+    * final state exactly — LWW across generations, upserts superseded,
+    * truncate-dropped keys gone (the oracle replays A's write history
+    * relationally). Generation order is guaranteed end-to-end: the feed
+    * plans one partition per generation in chain order and the sink
+    * merges fragments in partition order.
+    */
+  def streamCdcMirror(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = runScratchDir("graft-st19")
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    val potA = s"$root/a/data.json"
+    val potB = s"$root/b/data.json"
+    def docs(df: DataFrame, v: Int) = df.select(
+      lit("").as("pot_file"),
+      concat(lit("n"), col("n_nationkey").cast("string")).as("key"),
+      to_json(struct(col("n_name").as("name"), lit(v).as("v")))
+        .as("doc_json"))
+    val nat = graft.Tables.nation(s, d)
+    // A's history: broad v0, a v1 update wave, then a truncate rewrite
+    // that keeps region 1 + even-key region 0 at v2 (odd region-0 keys
+    // are DROPPED → tombstones in the feed)
+    docs(nat.filter($"n_regionkey" <= 1), 0)
+      .write.format(fmt).option("path", potA).mode("overwrite").save()
+    docs(nat.filter($"n_regionkey" === 0), 1)
+      .write.format(fmt).option("path", potA).mode("append").save()
+    docs(nat.filter($"n_regionkey" === 1 ||
+        ($"n_regionkey" === 0 && $"n_nationkey" % 2 === 0)), 2)
+      .write.format(fmt).option("path", potA).mode("overwrite").save()
+    withStreamRunConf(s) {
+      val q = s.readStream.format(fmt).option("path", potA).load()
+        .select($"pot_file", $"key",
+          when($"doc_json" === "null", lit("""{"__del__":true}"""))
+            .otherwise($"doc_json").as("doc_json"))
+        .writeStream.format(fmt)
+        .option("path", potB)
+        .option("checkpointLocation", s"$root/chk")
+        .outputMode("append")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    val result = s.read.format(fmt).option("path", potB).load()
+      .filter(get_json_object($"doc_json", "$.__del__").isNull)
+      .select($"key",
+        get_json_object($"doc_json", "$.name").as("name"),
+        get_json_object($"doc_json", "$.v").cast("int").as("v"))
+      .orderBy($"key")
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    result
+  }
+
+  val streamCdcMirrorSql: String =
+    """SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS key, n_name AS name,
+      |  CAST(2 AS INTEGER) AS v
+      |FROM nation
+      |WHERE n_regionkey = 1 OR (n_regionkey = 0 AND n_nationkey % 2 = 0)
+      |ORDER BY key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st19_cdc_mirror" -> (streamCdcMirror _),
     "st18_stream_multipot" -> (streamMultiPotSource _),
     "st17_stream_pot_source" -> (streamPotSource _),
     "st16_stream_pot_sink" -> (streamPotSink _),
@@ -1318,6 +1387,7 @@ object StreamingQueries {
     "st4_stream_attribution" -> (streamClickAttribution _))
 
   val oracle: Map[String, String] = Map(
+    "st19_cdc_mirror" -> streamCdcMirrorSql,
     "st18_stream_multipot" -> streamMultiPotSourceSql,
     "st17_stream_pot_source" -> streamPotSourceSql,
     "st16_stream_pot_sink" -> streamPotSinkSql,
