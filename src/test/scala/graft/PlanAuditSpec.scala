@@ -254,6 +254,32 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(rows === 10L, s"probe-until-k still starved: $rows rows")
   }
 
+  test("d19 incremental dedup probes the old-corpus band index by equi-join, cap ahead of the probe") {
+    val p = plan("d19_incremental_dedup")
+    assert(!p.contains("CartesianProduct"), s"all-pairs shape in d19:\n$p")
+    // the boilerplate-bucket cap must gate the index BEFORE the new-shard
+    // probe joins it — an uncapped bucket would fan the probe out by the
+    // bucket size (the d2 discipline)
+    val capIdx = p.indexOf(s"bn#")
+    assert(capIdx >= 0 && p.contains("<= " + operators.Dedup.LshBucketCap),
+      s"bucket cap not in the old-index build:\n$p")
+  }
+
+  test("q76 LWW compaction is one max-struct aggregation: partial agg, no per-key window sort") {
+    val p = plan("q76_latest_per_key")
+    assert(!p.contains("Window"), s"q76 fell back to a window:\n$p")
+    assert(p.contains("partial_max"), s"no map-side combine in q76:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size === 1,
+      s"expected exactly one events scan:\n$p")
+  }
+
+  test("s27 index audit reads only (vec_id, sig) — the embedding payload is pruned from the scan") {
+    val p = plan("s27_index_integrity")
+    val read = "ReadSchema: [^\\n]*".r.findFirstIn(p).getOrElse(fail(s"no ReadSchema:\n$p"))
+    assert(!read.contains("embedding"), s"audit scan reads the payload: $read")
+    assert(read.contains("vec_id") && read.contains("sig"), read)
+  }
+
   test("m12 interleaved packing windows per (mime, source) lane — never one global pack") {
     val p = plan("m12_interleaved_pack")
     assert("hashpartitioning\\(mime#\\d+, source#\\d+".r.findFirstIn(p).isDefined,

@@ -121,8 +121,10 @@ object ScaleSmoke {
     "q73_sliding_exact_panes", "p21_cluster_split",
     "m12_interleaved_pack", "t18_zipf_fit",
     "q75_scd2_lookup", "d18_version_diff", "s25_filtered_ann",
-    // round-13 batch (st18/kv gc omitted: dimension-only or store-lifecycle)
-    "s26_filtered_probe_k")
+    // round-13 batch (st18/st19/kv gc omitted: dimension-only or
+    // store-lifecycle)
+    "s26_filtered_probe_k",
+    "d19_incremental_dedup", "s27_index_integrity", "q76_latest_per_key")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
