@@ -1311,7 +1311,104 @@ object Dedup {
       .replace("__SH__", shinglesCte)
       .replace("__BANDS__", bandsCte)
 
+  /** d20: EXACT set-similarity self-join via prefix filtering (the
+    * PPJoin family, Xiao et al., WWW'08 — public literature): all pairs
+    * with word-set Jaccard >= 4/5, found WITHOUT MinHash approximation
+    * and WITHOUT an all-pairs scan. Under a global token order (document
+    * frequency ascending, word as tie-break — rarest first), a doc of
+    * |T| = n tokens need only index its first n - ceil(4n/5) + 1 tokens:
+    * if two docs reach the threshold they MUST share a prefix token
+    * (pigeonhole on the required overlap), so the candidate join is an
+    * equi-join on RARE tokens — the inverted index touches the long tail,
+    * never the head. Size filter 4|a| <= 5|b| (and symmetric) prunes
+    * before the join; candidates verify by exact overlap (a codegen'd
+    * `array_intersect` over the per-doc token SETS — per-pair O(n) with
+    * no exploded pair×token shuffle) against the threshold as the integer
+    * cross-multiplication 9*o >= 4*(|a|+|b|) — no floats anywhere, so
+    * the pair set is bit-reproducible. This is the third dedup mechanism
+    * class: d2 approximates (MinHash), d3 caps a full inverted index (df
+    * cap drops hot tokens), d20 is EXACT and sub-quadratic by
+    * construction. Jaccard emitted in integer ppm. Threshold 4/5 and the
+    * `doc_id % 5 == 2` shard mirrored literally in the oracle (change
+    * both or neither). The shard is fixture-pathology containment, not
+    * algorithm: the synthesized corpus is ~50-way templated, so the
+    * QUALIFYING pair list itself is quadratic in dup-group size (7.1M
+    * pairs at tau=3/5, 3.0M at 4/5, full sf0.1 corpus — measured; a
+    * pair-LIST workload, d17/p21's attribution, not an operator cost);
+    * the 1-in-5 shard cuts group membership 5x and the pair list 25x
+    * while exercising every stage. A real corpus at 100 TB is not 50-way
+    * templated — there this code runs unsharded, and the d2-cap
+    * discipline handles whatever boilerplate groups remain.
+    */
+  def prefixFilterJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(s, d)
+      .filter($"doc_id" % 5 === 2)
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("word"))
+      .distinct()
+    val dfreq = toks.groupBy($"word").agg(count(lit(1)).as("df"))
+    val docs = toks.groupBy($"doc_id")
+      .agg(collect_set($"word").as("ws"), count(lit(1)).as("n"))
+    // per-doc window (partitioned — never corpus-wide): rank tokens
+    // rarest-first and keep the prefix the pigeonhole bound requires
+    val w = Window.partitionBy($"doc_id").orderBy($"df", $"word")
+    val pref = toks.join(dfreq, Seq("word"))
+      .withColumn("rn", row_number().over(w))
+      .join(docs.select($"doc_id", $"n"), Seq("doc_id"))
+      .filter($"rn" <= $"n" - expr("(4 * n + 4) div 5") + 1)
+      .select($"doc_id", $"word", $"n")
+    val cand = pref.as("a").join(pref.as("b"),
+        $"a.word" === $"b.word" && $"a.doc_id" < $"b.doc_id" &&
+        $"b.n" * 5 >= $"a.n" * 4 && $"a.n" * 5 >= $"b.n" * 4)
+      .select($"a.doc_id".as("da"), $"b.doc_id".as("db"))
+      .distinct()
+    cand
+      .join(docs.select($"doc_id".as("da"), $"ws".as("wa"), $"n".as("na")),
+        Seq("da"))
+      .join(docs.select($"doc_id".as("db"), $"ws".as("wb"), $"n".as("nb")),
+        Seq("db"))
+      .select($"da", $"db", $"na", $"nb",
+        size(array_intersect($"wa", $"wb")).cast("long").as("inter_n"))
+      .filter($"inter_n" * 9 >= ($"na" + $"nb") * 4)
+      .select($"da".as("doc_a"), $"db".as("doc_b"), $"inter_n",
+        ($"na" + $"nb" - $"inter_n").as("union_n"),
+        expr("(1000000 * inter_n) div (na + nb - inter_n)").as("jac_ppm"))
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val prefixFilterJoinSql: String =
+    """WITH toks AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS word
+      |  FROM documents WHERE doc_id % 5 = 2),
+      |dfreq AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY 1),
+      |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+      |pref AS (
+      |  SELECT doc_id, word, n FROM (
+      |    SELECT t.doc_id, t.word, s.n,
+      |      ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.word) AS rn
+      |    FROM toks t JOIN dfreq d USING (word) JOIN sz s USING (doc_id)) r
+      |  WHERE rn <= n - (4 * n + 4) // 5 + 1),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |  FROM pref a JOIN pref b
+      |    ON a.word = b.word AND a.doc_id < b.doc_id
+      |   AND b.n * 5 >= a.n * 4 AND a.n * 5 >= b.n * 4),
+      |ov AS (
+      |  SELECT c.da, c.db, CAST(COUNT(*) AS BIGINT) AS inter_n
+      |  FROM cand c
+      |  JOIN toks ta ON ta.doc_id = c.da
+      |  JOIN toks tb ON tb.doc_id = c.db AND tb.word = ta.word
+      |  GROUP BY 1, 2)
+      |SELECT o.da AS doc_a, o.db AS doc_b, o.inter_n,
+      |  sa.n + sb.n - o.inter_n AS union_n,
+      |  (1000000 * o.inter_n) // (sa.n + sb.n - o.inter_n) AS jac_ppm
+      |FROM ov o JOIN sz sa ON sa.doc_id = o.da JOIN sz sb ON sb.doc_id = o.db
+      |WHERE o.inter_n * 9 >= (sa.n + sb.n) * 4
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d20_prefix_filter_join" -> (prefixFilterJoin _),
     "d19_incremental_dedup" -> (incrementalDedup _),
     "d18_version_diff"   -> (versionDiff _),
     "d17_tfidf_verify"   -> (tfidfVerify _),
@@ -1333,6 +1430,7 @@ object Dedup {
     "d9_semantic_dedup"    -> (semanticDedup _))
 
   val oracle: Map[String, String] = Map(
+    "d20_prefix_filter_join" -> prefixFilterJoinSql,
     "d19_incremental_dedup" -> incrementalDedupSql,
     "d18_version_diff"   -> versionDiffSql,
     "d17_tfidf_verify"     -> tfidfVerifySql,

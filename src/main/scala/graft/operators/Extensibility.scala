@@ -675,7 +675,57 @@ object Extensibility {
       |FROM base
       |ORDER BY state, key""".stripMargin
 
+  /** u18: SQL `DELETE FROM` a pot — the reference's remove verb
+    * (`server_routes.go` DELETE) as catalog DML, closing the SQL write
+    * surface (u15 INSERT / u18 DELETE): the analyzer resolves the
+    * statement to the connector's `SupportsDelete.deleteWhere`, the
+    * predicate travels as pushed filters (LIKE 'n1%' →
+    * StringStartsWith, IN → In — the same exact-evaluation family the
+    * scan prunes with), and the delete commits as a truncate-rewrite
+    * generation whose sidecar carries the dropped keys as change-feed
+    * tombstones (st19's mirror would propagate them). The commit pins
+    * its merge base's generation, so racing a concurrent writer is a
+    * loud CommitConflict, never a silent resurrection. Non-exact shapes
+    * (doc_json predicates) decline loudly — PotJsonSpec pins both the
+    * rejection and the tombstone sidecar.
+    */
+  def sqlDeletePot(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-potv2del").toString
+    val pot = s"$dir/t/data.json"
+    val tbl = "graft_pot_sql_del"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"CREATE TABLE $tbl (pot_file STRING, key STRING, doc_json STRING) " +
+      s"USING ${classOf[graft.sources.PotV2Source].getName} " +
+      s"OPTIONS (path '$pot')")
+    Tables.nation(s, d).createOrReplaceTempView("graft_u18_nation")
+    s.sql(s"""INSERT INTO $tbl
+             |SELECT '' AS pot_file, concat('n', n_nationkey) AS key,
+             |  to_json(named_struct('name', n_name, 'region', n_regionkey))
+             |    AS doc_json
+             |FROM graft_u18_nation""".stripMargin)
+    s.sql(s"DELETE FROM $tbl WHERE key LIKE 'n1%'")
+    s.sql(s"DELETE FROM $tbl WHERE key IN ('n3', 'n8', 'n21')")
+    val out = s.sql(
+      s"""SELECT key,
+         |  get_json_object(doc_json, '$$.name') AS name,
+         |  CAST(get_json_object(doc_json, '$$.region') AS INT) AS region
+         |FROM $tbl ORDER BY key""".stripMargin).localCheckpoint(true)
+    s.sql(s"DROP TABLE $tbl")
+    s.catalog.dropTempView("graft_u18_nation")
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    out
+  }
+
+  val sqlDeletePotSql: String =
+    """SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS key,
+      |  n_name AS name, CAST(n_regionkey AS INTEGER) AS region
+      |FROM nation
+      |WHERE NOT ('n' || CAST(n_nationkey AS VARCHAR)) LIKE 'n1%'
+      |  AND 'n' || CAST(n_nationkey AS VARCHAR) NOT IN ('n3', 'n8', 'n21')
+      |ORDER BY key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u18_sql_delete_pot" -> (sqlDeletePot _),
     "u17_sql_tvf_time_travel" -> (sqlTvfTimeTravel _),
     "u16_pot_time_travel" -> (potTimeTravel _),
     "u15_sql_insert_pot" -> (sqlInsertPot _),
@@ -695,6 +745,7 @@ object Extensibility {
     "u5_typed_dataset"  -> (typedDataset _))
 
   val oracle: Map[String, String] = Map(
+    "u18_sql_delete_pot" -> sqlDeletePotSql,
     "u17_sql_tvf_time_travel" -> sqlTvfTimeTravelSql,
     "u16_pot_time_travel" -> potTimeTravelSql,
     "u15_sql_insert_pot" -> sqlInsertPotSql,

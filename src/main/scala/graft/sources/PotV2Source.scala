@@ -61,6 +61,11 @@ object PotV2Source {
     StructField("key", StringType, nullable = false),
     StructField("doc_json", StringType, nullable = false)))
 
+  /** True when `path` contains glob metacharacters (names MANY pot
+    * objects). Single-object-only surfaces (write, generation pin, SQL
+    * DELETE) reject globs through this one definition. */
+  def isGlob(path: String): Boolean = path.exists(c => "*?[{".contains(c))
+
   /** Default ceiling on a single pot object's serialized size through the
     * WRITE path (1 GiB). The commit merges the whole object in driver
     * memory — correct parity with the reference's whole-object RMW, but
@@ -149,7 +154,8 @@ object PotV2Source {
 class PotTooLarge(message: String) extends RuntimeException(message)
 
 private[sources] class PotV2Table(path: String)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   require(path != null && path.nonEmpty,
     "PotV2Source: .option(\"path\", <glob of data.json objects>) is required")
   override def name(): String = s"pot-json:$path"
@@ -163,6 +169,66 @@ private[sources] class PotV2Table(path: String)
       Option(options.get("generation")).map(_.toLong))
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new PotV2WriteBuilder(path, info)
+
+  /** SQL `DELETE FROM pot WHERE ...` (u18) — the reference's DELETE verb
+    * (`server_routes.go` remove) as catalog DML, completing the SQL
+    * surface: INSERT (u15) writes generations, DELETE removes keys. A
+    * delete is a truncate-REWRITE commit: survivors of the head object
+    * re-stage as one fragment and commit as generation head+1 through
+    * the same merge-snapshot-CAS core, so dropped keys become change-feed
+    * TOMBSTONES via the delta sidecar (a mirror, st19, propagates them)
+    * and vacuum/ceiling/retry semantics are u14's verbatim. The commit
+    * pins `expectedHeadGen`: survivors derive from generation G, so a
+    * concurrent writer landing G+1 first makes this a loud
+    * CommitConflict — never a silent resurrection of deleted state over
+    * the concurrent write. Shapes that cannot be evaluated exactly
+    * against (pot_file, key) decline (`canDeleteWhere` false → Spark
+    * rejects the statement loudly); doc_json predicates and multi-object
+    * globs are row-level work the scan-based engine serves instead.
+    */
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    !PotV2Source.isGlob(path) && filters.forall(PotV2Filters.deletable)
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val target = new Path(path)
+    val fs = target.getFileSystem(new Configuration())
+    val dir = target.getParent
+    val commits = new Path(dir, ".commits")
+    val mapper = new ObjectMapper()
+    val head = PotV2Write.latestSnapshot(fs, commits)
+    val entries = new java.util.LinkedHashMap[String, String]()
+    val src = head.map(h => new Path(h._2))
+      .orElse(if (fs.exists(target)) Some(target) else None)
+    src.foreach { p =>
+      val in = fs.open(p)
+      val root = try mapper.readTree(in) finally in.close()
+      require(root != null && root.isObject,
+        s"pot object $p: top level must be a JSON map")
+      root.fields().asScala.foreach(e =>
+        entries.put(e.getKey, e.getValue.toString))
+    }
+    val survivors = entries.asScala.filterNot { case (k, _) =>
+      PotV2Filters.accepts(filters, "key", k) &&
+        PotV2Filters.accepts(filters, "pot_file", path)
+    }
+    val w = new PotV2Write(path, PotV2Source.Schema,
+      java.util.UUID.randomUUID().toString, truncateFirst = true)
+    val staging = new Path(w.stagingBase)
+    fs.mkdirs(staging)
+    val frag = new Path(staging, "delete-rewrite.jsonl")
+    val out = fs.create(frag, false)
+    try survivors.foreach { case (k, dj) =>
+      out.write(
+        s"""{"k":${mapper.writeValueAsString(k)},"d":$dj}""".getBytes(UTF_8))
+      out.write('\n')
+    } finally out.close()
+    w.commitEntries(Array(PotFragmentMessage(0, frag.toString)),
+      truncate = true, snapTag = None, retryOnConflict = false,
+      staging = staging, expectedHeadGen = Some(head.map(_._1).getOrElse(0L)))
+  }
 }
 
 private[graft] class PotV2ScanBuilder(
@@ -256,6 +322,20 @@ private[sources] object PotV2Filters {
       case IsNotNull(a) if a == column => true // columns are non-null
       case _ => true
     }
+
+  /** A DELETE predicate is servable only if [[accepts]] evaluates it
+    * EXACTLY: the supported shapes on the addressable columns (pot_file,
+    * key). Anything else — doc_json predicates, OR trees, comparisons —
+    * must make `canDeleteWhere` decline (accepts would pass them
+    * vacuously, which for a delete means dropping rows it never
+    * evaluated). */
+  def deletable(f: Filter): Boolean = f match {
+    case EqualTo(a, _: String) => a == "key" || a == "pot_file"
+    case In(a, _) => a == "key" || a == "pot_file"
+    case StringStartsWith(a, _) => a == "key" || a == "pot_file"
+    case IsNotNull(a) => a == "key" || a == "pot_file"
+    case _ => false
+  }
 }
 
 private[graft] class PotV2Scan(
@@ -568,7 +648,7 @@ private[graft] class PotV2Write(
   private[graft] def commitEntries(
       messages: Array[WriterCommitMessage], truncate: Boolean,
       snapTag: Option[String], retryOnConflict: Boolean,
-      staging: Path): Unit = {
+      staging: Path, expectedHeadGen: Option[Long] = None): Unit = {
     val target = new Path(path)
     val fs = target.getFileSystem(new Configuration())
     val dir = target.getParent
@@ -598,6 +678,18 @@ private[graft] class PotV2Write(
       // landing in between makes our publish a CommitConflict, never a
       // silent lost update.
       val head = PotV2Write.latestSnapshot(fs, commits)
+      // a caller whose INTENT was computed against a specific head (the
+      // SQL DELETE rewrite: survivors derive from generation G, so the
+      // commit must land at exactly G+1) pins it here — a head that moved
+      // is a conflict, NEVER a silent apply of stale intent over a
+      // concurrent writer's generation
+      expectedHeadGen.foreach { e =>
+        if (head.map(_._1).getOrElse(0L) != e)
+          throw new graft.kv.PotTable.CommitConflict(
+            s"pot object $path: head moved to generation " +
+              s"${head.map(_._1).getOrElse(0L)} while a rewrite computed " +
+              s"against generation $e was in flight — re-run the DELETE")
+      }
       // size ceiling, checked BEFORE the driver materializes the object:
       // the merge base's file length bounds the load, so a pot that has
       // outgrown driver memory fails loudly with the migration path

@@ -729,6 +729,47 @@ class PotJsonSpec extends AnyFunSuite {
     assert(back === expected, s"lost update: winners=$winners")
   }
 
+  test("PotV2 SQL DELETE: key predicates rewrite the pot, dropped keys become sidecar tombstones, non-exact shapes decline") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("potv2sqldel").toString
+    val pot = s"$root/t/data.json"
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    val tbl = "graft_spec_del"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (pot_file STRING, key STRING, " +
+      s"doc_json STRING) USING $fmt OPTIONS (path '$pot')")
+    Seq(("", "a1", """{"v": 1}"""), ("", "a2", """{"v": 2}"""),
+        ("", "b1", """{"v": 3}"""))
+      .toDF("pot_file", "key", "doc_json")
+      .write.format(fmt).option("path", pot).mode("overwrite").save()
+    spark.sql(s"DELETE FROM $tbl WHERE key LIKE 'a%'")
+    assert(spark.sql(s"SELECT key FROM $tbl").as[String].collect().toSeq
+      === Seq("b1"))
+    // the delete generation's sidecar carries the dropped keys as
+    // tombstones — the change feed (and st19's mirror) sees the DELETE
+    val potDir = new org.apache.hadoop.fs.Path(s"$root/t")
+    val fs = potDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deltas = fs.listStatus(potDir).map(_.getPath)
+      .filter(_.getName.startsWith(".delta-"))
+    val bodies = deltas.map { p =>
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    assert(bodies.exists(b => b.contains(""""k":"a1","d":null""") &&
+      b.contains(""""k":"a2","d":null""")),
+      s"delete generation wrote no tombstone sidecar: ${bodies.mkString("|")}")
+    // a predicate the connector cannot evaluate EXACTLY against
+    // (pot_file, key) must decline loudly — deleting rows it never
+    // evaluated is the failure mode canDeleteWhere exists to prevent
+    intercept[Exception] {
+      spark.sql(s"DELETE FROM $tbl WHERE doc_json LIKE '%1%'")
+    }
+    assert(spark.sql(s"SELECT key FROM $tbl").as[String].collect().toSeq
+      === Seq("b1"), "declined DELETE must not change state")
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("PotV2Source rejects a non-map pot object loudly") {
     val dir = java.nio.file.Files.createTempDirectory("potv2bad")
     writePot(dir, "bad", """[1, 2, 3]""")
