@@ -727,7 +727,53 @@ object Kv {
       |WHERE fval IN ('MOVED', 'BUILDING')
       |ORDER BY fval, key""".stripMargin
 
+  /** kv19: TTL EXPIRY sweep — the retention lifecycle every production
+    * KV runs: documents carry a lease (`exp_day = key % 11`), a refresh
+    * wave renews a subset's lease (`key % 4 == 0` → +11, whole-doc LWW
+    * re-upsert, gen 2), and the sweep commits the expiry of every lease
+    * below the cutoff (5) as ONE generation (gen 3) through the same CAS
+    * chain — so the expiry is atomic, time-travelable (kv8 reads gen 2
+    * and sees the pre-sweep state) and diffable (kv7 shows exactly the
+    * expired set). The sweep reads CURRENT state — a lease renewed in
+    * gen 2 survives a cutoff its gen-1 lease would have failed, which is
+    * the entire point of leases. Fixture-sized key collection rides
+    * `PotTable.remove`; a 100 TB sweep keeps the same generation
+    * semantics with the expired-key set staying distributed (kv2's
+    * anti-join merged through the bucketed store). Mods %11/%4 and
+    * cutoff 5 mirrored literally in the oracle.
+    */
+  def ttlExpiry(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-pot-ttl").toString
+    val pot = PotTable(s, root, "cust_ttl")
+    val docs = Tables.customer(s, d)
+      .select($"c_custkey".cast("string").as("key"), $"c_name",
+        ($"c_custkey" % 11).cast("int").as("exp_day"))
+    pot.upsert(docs) // gen 1: every doc with its initial lease
+    pot.upsert(docs.filter($"key".cast("long") % 4 === 0)
+      .withColumn("exp_day", ($"exp_day" + 11).cast("int"))) // gen 2: renewals
+    val expired = pot.get().filter($"exp_day" < 5)
+      .select($"key").as[String].collect().toSeq.sorted
+    pot.remove(expired) // gen 3: the sweep, one atomic generation
+    val result = pot.get()
+      .select($"key".cast("long").as("key"), $"c_name", $"exp_day")
+      .orderBy($"key").localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    result
+  }
+
+  val ttlExpirySql: String =
+    """SELECT c_custkey AS key, c_name,
+      |  CAST(CASE WHEN c_custkey % 4 = 0 THEN c_custkey % 11 + 11
+      |            ELSE c_custkey % 11 END AS INTEGER) AS exp_day
+      |FROM customer
+      |WHERE (CASE WHEN c_custkey % 4 = 0 THEN c_custkey % 11 + 11
+      |            ELSE c_custkey % 11 END) >= 5
+      |ORDER BY key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kv19_ttl_expiry" -> (ttlExpiry _),
     "kv17_storage_report" -> (storageReport _),
     "kv16_reshard" -> (reshard _),
     "q68_incremental_view" -> (incrementalView _),
@@ -749,6 +795,7 @@ object Kv {
     "kv7_generation_diff" -> (generationDiff _))
 
   val oracle: Map[String, String] = Map(
+    "kv19_ttl_expiry" -> ttlExpirySql,
     "kv17_storage_report" -> storageReportSql,
     "kv16_reshard" -> reshardSql,
     "q68_incremental_view" -> incrementalViewSql,

@@ -1219,7 +1219,77 @@ object Pipeline {
       |ORDER BY doc_id""".stripMargin
       .replace("__PAIRS__", Dedup.minhashLshSql)
 
+  /** p22: SEMANTIC decontamination — the embedding-space complement of
+    * p7's n-gram Bloom: corpus vectors within cosine 0.45 of any
+    * benchmark vector (the deterministic `vec_id % 97 == 0` slice, ~1%)
+    * are contamination hits; the report covers the WHOLE corpus — every
+    * audited vector carries `flagged` plus, when hit, the earliest
+    * matching benchmark id and hit count — paraphrased test-set leakage
+    * that token-level n-grams can't see (the reason every modern corpus
+    * prep runs BOTH gates). Plan shape is s1's, not d5's: the benchmark side
+    * is tiny by construction, so it BROADCASTS and the join is a
+    * broadcast loop whose conjuncts short-circuit — 4x xor+popcount
+    * hamming (d5's 256-plane BitSketch prefilter, <=110) ahead of the
+    * exact float dot, so ~90% of corpus x bench pairs never pay the full
+    * 64-float multiply. A benchmark too large to broadcast switches to
+    * d5's block equi-join with zero semantic change. Constants (17,
+    * hamming 110, cos 0.45) mirrored literally in the oracle (change
+    * both or neither — 110 is d5's empirical cap for the 0.45 band).
+    */
+  def semanticDecon(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d).select($"vec_id", $"embedding",
+      graft.functions.BitSketch.sketch($"embedding", Dedup.SketchPlanes)
+        .as("sk"))
+    val bench = e.filter($"vec_id" % 17 === 0)
+      .select($"vec_id".as("b_id"), $"embedding".as("b_emb"),
+        $"sk".as("b_sk"))
+    val corpus = e.filter($"vec_id" % 17 =!= 0)
+    val ham = (0 until Dedup.SketchPlanes / 64).map { w =>
+      bit_count(element_at($"sk", w + 1)
+        .bitwiseXOR(element_at($"b_sk", w + 1)))
+    }.reduce(_ + _)
+    val hits = corpus.join(broadcast(bench),
+        ham <= Dedup.SketchHammingMax &&
+          graft.functions.VectorFunctions.dot($"embedding", $"b_emb") >= 0.45)
+      .groupBy($"vec_id")
+      .agg(min($"b_id").as("bench_hit"), count(lit(1)).as("n_hits"))
+    // the report covers the WHOLE corpus — clean vectors carry an
+    // explicit clean verdict, so the consumer filters `flagged`, never
+    // re-derives who was audited
+    corpus.select($"vec_id").join(hits, Seq("vec_id"), "left")
+      .select($"vec_id", $"bench_hit",
+        coalesce($"n_hits", lit(0L)).as("n_hits"),
+        $"bench_hit".isNotNull.as("flagged"))
+      .orderBy($"vec_id")
+  }
+
+  val semanticDeconSql: String =
+    """WITH __SIGS__,
+      |hits AS (
+      |  SELECT c.vec_id, MIN(b.vec_id) AS bench_hit,
+      |    CAST(COUNT(*) AS BIGINT) AS n_hits
+      |  FROM embeddings c
+      |  JOIN sigs sc ON sc.vec_id = c.vec_id
+      |  JOIN embeddings b ON b.vec_id % 17 = 0
+      |  JOIN sigs sb ON sb.vec_id = b.vec_id
+      |  WHERE c.vec_id % 17 <> 0
+      |    AND hamming(sc.sig, sb.sig) <= 110
+      |    AND list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(range(1, len(c.embedding) + 1),
+      |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+      |      (acc, x) -> acc + x) >= 0.45
+      |  GROUP BY c.vec_id)
+      |SELECT c.vec_id, h.bench_hit,
+      |  COALESCE(h.n_hits, 0) AS n_hits,
+      |  h.bench_hit IS NOT NULL AS flagged
+      |FROM (SELECT vec_id FROM embeddings WHERE vec_id % 17 <> 0) c
+      |LEFT JOIN hits h ON h.vec_id = c.vec_id
+      |ORDER BY c.vec_id""".stripMargin
+      .replace("__SIGS__", Dedup.sketchSigsCte)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p22_semantic_decon"   -> (semanticDecon _),
     "p21_cluster_split"    -> (clusterSplit _),
     "p20_repeat_budget"    -> (repeatBudget _),
     "p19_prune_curve"      -> (pruneCurve _),
@@ -1243,6 +1313,7 @@ object Pipeline {
     "p7_bloom_decontaminate" -> (bloomDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "p22_semantic_decon"   -> semanticDeconSql,
     "p21_cluster_split"    -> clusterSplitSql,
     "p20_repeat_budget"    -> repeatBudgetSql,
     "p19_prune_curve"      -> pruneCurveSql,

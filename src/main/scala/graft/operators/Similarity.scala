@@ -1322,7 +1322,62 @@ object Similarity {
        |GROUP BY 1
        |ORDER BY sig""".stripMargin
 
+  /** s28: k-NN GRAPH construction — every vector's top-3 neighbors by
+    * exact dot among its LSH-bucket cohort: the batch ALL-vectors join
+    * shape (the backbone of graph-based dedup, SemDeDup-style cluster
+    * graphs, kNN label propagation and hub diagnostics) where the
+    * s-family's other entries serve per-QUERY lookups. Pairs never leave
+    * their bucket: the self-join is keyed on the full signature, so the
+    * shuffle is bucket-local and the quadratic term is bounded by bucket
+    * occupancy — the d5 discipline applied to graph building (recall is
+    * bucket-resolution-bounded by construction; s14's ring expansion is
+    * the widening knob when a production graph needs it). Ranking is
+    * (dot DESC, nbr ASC) inside a per-vector window — partitioned, never
+    * corpus-wide — and dots are the FloatDot left-to-right accumulation
+    * the oracle replays exactly; vectors alone in their bucket emit no
+    * rows (an honest recall hole the graph consumer sees, not a silent
+    * fill-in).
+    */
+  def knnGraph(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", $"embedding", sigCol($"embedding").as("sig"))
+    val nb = e.as("a").join(e.as("b"),
+        $"a.sig" === $"b.sig" && $"a.vec_id" =!= $"b.vec_id")
+      .select($"a.vec_id".as("vec_id"), $"b.vec_id".as("nbr"),
+        graft.functions.VectorFunctions
+          .dot($"a.embedding", $"b.embedding").as("dot"))
+    val w = Window.partitionBy($"vec_id").orderBy($"dot".desc, $"nbr".asc)
+    nb.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"vec_id", $"rk", $"nbr", $"dot")
+      .orderBy($"vec_id", $"rk")
+  }
+
+  val knnGraphSql: String =
+    s"""WITH sigs AS (
+       |  SELECT vec_id, ${sigSql("embedding")} AS sig, embedding
+       |  FROM embeddings),
+       |nb AS (
+       |  SELECT a.vec_id, b.vec_id AS nbr,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, len(a.embedding) + 1),
+       |        i -> CAST(a.embedding[i] AS DOUBLE) *
+       |             CAST(b.embedding[i] AS DOUBLE))),
+       |      (acc, x) -> acc + x) AS dot
+       |  FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id <> b.vec_id),
+       |rk AS (
+       |  SELECT vec_id, nbr, dot,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY dot DESC, nbr ASC) AS rk
+       |  FROM nb)
+       |SELECT vec_id, CAST(rk AS INTEGER) AS rk, nbr, dot
+       |FROM rk WHERE rk <= 3
+       |ORDER BY vec_id, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s28_knn_graph" -> (knnGraph _),
     "s27_index_integrity" -> (indexIntegrity _),
     "s26_filtered_probe_k" -> (filteredAnnProbeUntilK _),
     "s25_filtered_ann" -> (filteredAnn _),
@@ -1347,6 +1402,7 @@ object Similarity {
     "s17_ann_deletes"    -> (annWithDeletes _))
 
   val oracle: Map[String, String] = Map(
+    "s28_knn_graph" -> knnGraphSql,
     "s27_index_integrity" -> indexIntegritySql,
     "s26_filtered_probe_k" -> filteredAnnProbeUntilKSql,
     "s25_filtered_ann" -> filteredAnnSql,

@@ -481,7 +481,56 @@ object TimeWindows {
       |WHERE rn = 1
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** q77: OHLC bars — the time-series downsample every monitoring/market
+    * pipeline runs: per (event_type, hour) the OPEN (first value), HIGH,
+    * LOW, CLOSE (last value) and event count, computed in ONE map-side-
+    * combining aggregation — open/close are q76's struct-argmax trick
+    * (min/max over (tsu, event_id, value) structs, event_id the unique
+    * tie-break), high/low are plain MIN/MAX. No window, no sort-per-key,
+    * no second scan: four struct/scalar aggregates share one exchange
+    * keyed by (event_type, hour). Doubles are SELECTED (ride the argmin/
+    * argmax struct) or COMPARED (min/max) — never summed, so bars are
+    * exact in both engines by construction. Hour buckets emitted as
+    * epoch-second BIGINTs (the fixture-drift-proof form).
+    */
+  def ohlcBars(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d)
+      .select($"event_type",
+        expr("unix_micros(ts) div 3600000000").as("hb"),
+        unix_micros($"ts").as("tsu"), $"event_id", $"value")
+      .select($"event_type", ($"hb" * 3600L).as("hour"),
+        struct($"tsu", $"event_id", $"value").as("ev"))
+      .groupBy($"event_type", $"hour")
+      .agg(min($"ev").as("o"), max($"ev").as("c"),
+        min($"ev.value").as("low"), max($"ev.value").as("high"),
+        count(lit(1)).as("n_events"))
+      .select($"event_type", $"hour", $"o.value".as("open"), $"high",
+        $"low", $"c.value".as("close"), $"n_events")
+      .orderBy($"event_type", $"hour")
+  }
+
+  val ohlcBarsSql: String =
+    """SELECT event_type, hour,
+      |  MIN(CASE WHEN rna = 1 THEN value END) AS open,
+      |  MAX(value) AS high, MIN(value) AS low,
+      |  MIN(CASE WHEN rnd = 1 THEN value END) AS close,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM (
+      |  SELECT event_type, (epoch_us(ts) // 3600000000) * 3600 AS hour,
+      |    value,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type,
+      |      (epoch_us(ts) // 3600000000)
+      |      ORDER BY epoch_us(ts) ASC, event_id ASC) AS rna,
+      |    ROW_NUMBER() OVER (PARTITION BY event_type,
+      |      (epoch_us(ts) // 3600000000)
+      |      ORDER BY epoch_us(ts) DESC, event_id DESC) AS rnd
+      |  FROM events) t
+      |GROUP BY event_type, hour
+      |ORDER BY event_type, hour""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q77_ohlc_bars" -> (ohlcBars _),
     "q76_latest_per_key" -> (latestPerKey _),
     "q72_interval_coverage" -> (intervalCoverage _),
     "q65_semi_additive" -> (semiAdditive _),
@@ -495,6 +544,7 @@ object TimeWindows {
     "q55_retention"    -> (retention _))
 
   val oracle: Map[String, String] = Map(
+    "q77_ohlc_bars" -> ohlcBarsSql,
     "q76_latest_per_key" -> latestPerKeySql,
     "q72_interval_coverage" -> intervalCoverageSql,
     "q65_semi_additive" -> semiAdditiveSql,
