@@ -685,9 +685,10 @@ object Extensibility {
     * generation whose sidecar carries the dropped keys as change-feed
     * tombstones (st19's mirror would propagate them). The commit pins
     * its merge base's generation, so racing a concurrent writer is a
-    * loud CommitConflict, never a silent resurrection. Non-exact shapes
-    * (doc_json predicates) decline loudly — PotJsonSpec pins both the
-    * rejection and the tombstone sidecar.
+    * loud CommitConflict, never a silent resurrection. Shapes the
+    * metadata path cannot evaluate exactly (doc_json predicates) route
+    * through the row-level SupportsDelta rewrite instead (u19's
+    * machinery) — PotJsonSpec pins both paths and the tombstone sidecar.
     */
   def sqlDeletePot(s: SparkSession, d: String): DataFrame = {
     val dir = java.nio.file.Files.createTempDirectory("graft-potv2del").toString
@@ -724,7 +725,69 @@ object Extensibility {
       |  AND 'n' || CAST(n_nationkey AS VARCHAR) NOT IN ('n3', 'n8', 'n21')
       |ORDER BY key""".stripMargin
 
+  /** u19: SQL `MERGE INTO` a pot — the full upsert statement every
+    * warehouse ships, served by the DELTA-based row-level operation API
+    * (`SupportsRowLevelOperations` → `SupportsDelta`): the analyzer
+    * rewrites the MERGE into a WriteDelta whose incoming rows are ONLY
+    * the changed rows (insert/update/delete tagged), the connector
+    * stages upsert lines + null-doc tombstones, and ONE CAS'd generation
+    * applies the whole statement atomically — O(change-set), the pot's
+    * native merge shape, with the delete branch visible to the change
+    * feed as tombstones. rowId = key makes Spark plan the merge join ON
+    * the pot's primary key. One statement exercises all three branches:
+    * matched region-2 rows DELETE, other matched rows UPDATE to v1,
+    * unmatched source rows INSERT — final state = regions 0/1 updated,
+    * 3/4 inserted, 2 gone, replayed relationally by the oracle.
+    */
+  def sqlMergePot(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-potv2mrg").toString
+    val pot = s"$dir/t/data.json"
+    val tbl = "graft_pot_sql_m"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"CREATE TABLE $tbl (pot_file STRING, key STRING, doc_json STRING) " +
+      s"USING ${classOf[graft.sources.PotV2Source].getName} " +
+      s"OPTIONS (path '$pot')")
+    Tables.nation(s, d).createOrReplaceTempView("graft_u19_nation")
+    s.sql(s"""INSERT INTO $tbl
+             |SELECT '' AS pot_file, concat('n', n_nationkey) AS key,
+             |  to_json(named_struct('name', n_name, 'region', n_regionkey,
+             |    'v', 0)) AS doc_json
+             |FROM graft_u19_nation WHERE n_regionkey <= 2""".stripMargin)
+    s.sql(s"""MERGE INTO $tbl t
+             |USING (
+             |  SELECT '' AS pot_file, concat('n', n_nationkey) AS key,
+             |    to_json(named_struct('name', n_name, 'region', n_regionkey,
+             |      'v', 1)) AS doc_json,
+             |    n_regionkey AS region
+             |  FROM graft_u19_nation) src
+             |ON t.key = src.key
+             |WHEN MATCHED AND src.region = 2 THEN DELETE
+             |WHEN MATCHED THEN UPDATE SET doc_json = src.doc_json
+             |WHEN NOT MATCHED THEN
+             |  INSERT (pot_file, key, doc_json)
+             |  VALUES (src.pot_file, src.key, src.doc_json)""".stripMargin)
+    val out = s.sql(
+      s"""SELECT key,
+         |  get_json_object(doc_json, '$$.name') AS name,
+         |  CAST(get_json_object(doc_json, '$$.region') AS INT) AS region,
+         |  CAST(get_json_object(doc_json, '$$.v') AS INT) AS v
+         |FROM $tbl ORDER BY key""".stripMargin).localCheckpoint(true)
+    s.sql(s"DROP TABLE $tbl")
+    s.catalog.dropTempView("graft_u19_nation")
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    out
+  }
+
+  val sqlMergePotSql: String =
+    """SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS key,
+      |  n_name AS name, CAST(n_regionkey AS INTEGER) AS region,
+      |  CAST(1 AS INTEGER) AS v
+      |FROM nation
+      |WHERE n_regionkey <> 2
+      |ORDER BY key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u19_sql_merge_pot" -> (sqlMergePot _),
     "u18_sql_delete_pot" -> (sqlDeletePot _),
     "u17_sql_tvf_time_travel" -> (sqlTvfTimeTravel _),
     "u16_pot_time_travel" -> (potTimeTravel _),
@@ -745,6 +808,7 @@ object Extensibility {
     "u5_typed_dataset"  -> (typedDataset _))
 
   val oracle: Map[String, String] = Map(
+    "u19_sql_merge_pot" -> sqlMergePotSql,
     "u18_sql_delete_pot" -> sqlDeletePotSql,
     "u17_sql_tvf_time_travel" -> sqlTvfTimeTravelSql,
     "u16_pot_time_travel" -> potTimeTravelSql,

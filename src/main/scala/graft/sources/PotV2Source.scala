@@ -155,7 +155,8 @@ class PotTooLarge(message: String) extends RuntimeException(message)
 
 private[sources] class PotV2Table(path: String)
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   require(path != null && path.nonEmpty,
     "PotV2Source: .option(\"path\", <glob of data.json objects>) is required")
   override def name(): String = s"pot-json:$path"
@@ -170,6 +171,14 @@ private[sources] class PotV2Table(path: String)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new PotV2WriteBuilder(path, info)
 
+  /** SQL MERGE/UPDATE/DELETE rewrite support (u19) — see
+    * [[PotRowLevelOperation]]: delta-based, so the write receives only
+    * changed rows and applies them as one LWW generation. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new PotRowLevelOperationBuilder(path, info)
+
   /** SQL `DELETE FROM pot WHERE ...` (u18) — the reference's DELETE verb
     * (`server_routes.go` remove) as catalog DML, completing the SQL
     * surface: INSERT (u15) writes generations, DELETE removes keys. A
@@ -182,9 +191,10 @@ private[sources] class PotV2Table(path: String)
     * concurrent writer landing G+1 first makes this a loud
     * CommitConflict — never a silent resurrection of deleted state over
     * the concurrent write. Shapes that cannot be evaluated exactly
-    * against (pot_file, key) decline (`canDeleteWhere` false → Spark
-    * rejects the statement loudly); doc_json predicates and multi-object
-    * globs are row-level work the scan-based engine serves instead.
+    * against (pot_file, key) decline (`canDeleteWhere` false); the
+    * analyzer then falls back to the row-level SupportsDelta rewrite
+    * ([[PotRowLevelOperation]]) which deletes by scanned content —
+    * metadata delete stays the fast path for exact key shapes.
     */
   override def canDeleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
@@ -733,7 +743,12 @@ private[graft] class PotV2Write(
           try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
             .filter(_.nonEmpty).foreach { line =>
               val n = mapper.readTree(line)
-              entries.put(n.get("k").asText(), n.get("d").toString)
+              val dn = n.get("d")
+              // a null doc is a fragment-level TOMBSTONE (the delta
+              // write path's delete rows — same convention as the
+              // change-feed sidecar): fold as a removal, not a document
+              if (dn == null || dn.isNull) entries.remove(n.get("k").asText())
+              else entries.put(n.get("k").asText(), dn.toString)
             }
           finally in.close()
         }
@@ -959,6 +974,135 @@ private[graft] class PotV2WriterFactory(
         // committed, and only message-named fragments are merged — task
         // retries / speculation can never double-apply
         val frag = new Path(stagingDir, f"part-$partitionId%05d-$taskId.jsonl")
+        val fs = frag.getFileSystem(new Configuration())
+        val out = fs.create(frag, false)
+        try out.write((buf.mkString("\n") + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+        PotFragmentMessage(partitionId, frag.toString)
+      }
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
+}
+
+// ============ row-level operations (MERGE / UPDATE / DELETE) ============
+//
+// SQL `MERGE INTO` / `UPDATE` / non-metadata `DELETE` via the DELTA-based
+// row-level operation API (`SupportsDelta`): the analyzer rewrites the
+// statement into a WriteDelta whose incoming rows are ONLY the changed
+// rows, each tagged insert/update/delete — the O(change-set) shape the
+// pot's LWW merge core applies natively. Inserts/updates stage as upsert
+// fragment lines, deletes as null-doc tombstone lines; `commitEntries`
+// folds both onto the chain head in ONE CAS'd generation, so a MERGE's
+// whole effect is atomic, its dropped keys surface in the change feed,
+// and conflict/vacuum/ceiling semantics are u14's verbatim. rowId = key:
+// the pot's primary key IS the row identity (the reference's key-address
+// model), which also makes Spark plan the merge join ON the key — the
+// one join every MERGE against a KV store wants. The group-based
+// copy-on-write alternative would rewrite whole pots per statement;
+// delta is the pot-native choice (and why metadata DELETE, u18, remains
+// the fast path for exact key predicates while predicates the connector
+// cannot evaluate — doc_json shapes — now run HERE instead of failing).
+
+private[graft] class PotRowLevelOperationBuilder(
+    path: String,
+    info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+    extends org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
+  override def build(): org.apache.spark.sql.connector.write.RowLevelOperation =
+    new PotRowLevelOperation(path, info.command())
+}
+
+private[graft] class PotRowLevelOperation(
+    path: String,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.SupportsDelta {
+  import org.apache.spark.sql.connector.write._
+  override def command(): RowLevelOperation.Command = cmd
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new PotV2ScanBuilder(path, None)
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new PotV2DeltaWrite(path, info)
+    }
+  override def rowId()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("key"))
+}
+
+private[graft] class PotV2DeltaWrite(
+    path: String,
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    extends org.apache.spark.sql.connector.write.DeltaWrite
+    with org.apache.spark.sql.connector.write.DeltaBatchWrite {
+  require(!PotV2Source.isGlob(path),
+    s"PotV2Source MERGE/UPDATE/DELETE: path must name ONE pot object, " +
+      s"not a glob: $path")
+  // the inner Write supplies the commit core (staging dir, merge, CAS,
+  // sidecar); truncate=false — a delta is an append-merge by definition
+  private val inner = new PotV2Write(
+    path, PotV2Source.Schema, info.queryId(), truncateFirst = false)
+  // a pure DELETE rewrite carries an EMPTY row schema (only rowIds
+  // flow); key/doc indices are then never consulted
+  private val rowKeyIdx = info.schema().fieldNames.indexOf("key")
+  private val rowDocIdx = info.schema().fieldNames.indexOf("doc_json")
+  require(info.schema().isEmpty || (rowKeyIdx >= 0 && rowDocIdx >= 0),
+    s"delta write needs key + doc_json in the row schema, got ${info.schema()}")
+  private val idKeyIdx = info.rowIdSchema()
+    .map[Int](s => s.fieldNames.indexOf("key")).orElse(-1)
+  require(idKeyIdx >= 0,
+    s"delta write needs key in the rowId schema, got ${info.rowIdSchema()}")
+
+  override def toBatch
+      : org.apache.spark.sql.connector.write.DeltaBatchWrite = this
+
+  override def createBatchWriterFactory(
+      info: org.apache.spark.sql.connector.write.PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriterFactory =
+    new PotV2DeltaWriterFactory(
+      inner.stagingBase, rowKeyIdx, rowDocIdx, idKeyIdx)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    inner.commitEntries(messages, truncate = false, snapTag = None,
+      retryOnConflict = false,
+      staging = new Path(inner.stagingBase))
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(path).getFileSystem(new Configuration())
+    fs.delete(new Path(inner.stagingBase), true)
+  }
+}
+
+private[graft] class PotV2DeltaWriterFactory(
+    stagingDir: String, rowKeyIdx: Int, rowDocIdx: Int, idKeyIdx: Int)
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+      private val mapper = new ObjectMapper()
+      private val buf = new scala.collection.mutable.ArrayBuffer[String]()
+      private def upsert(row: InternalRow): Unit = {
+        val key = row.getUTF8String(rowKeyIdx).toString
+        val doc = row.getUTF8String(rowDocIdx).toString
+        val node = mapper.readTree(doc)
+        require(node != null && node.isObject,
+          s"doc_json for key '$key' must be a JSON object: $doc")
+        val line = mapper.createObjectNode()
+        line.put("k", key)
+        line.set("d", node)
+        buf += mapper.writeValueAsString(line)
+      }
+      override def insert(row: InternalRow): Unit = upsert(row)
+      override def update(
+          meta: InternalRow, id: InternalRow, row: InternalRow): Unit =
+        upsert(row)
+      override def delete(meta: InternalRow, id: InternalRow): Unit =
+        buf += s"""{"k":${mapper.writeValueAsString(
+          id.getUTF8String(idKeyIdx).toString)},"d":null}"""
+      override def commit(): WriterCommitMessage = {
+        val frag = new Path(
+          stagingDir, f"delta-$partitionId%05d-$taskId.jsonl")
         val fs = frag.getFileSystem(new Configuration())
         val out = fs.create(frag, false)
         try out.write((buf.mkString("\n") + "\n")

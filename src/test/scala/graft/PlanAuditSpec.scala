@@ -280,6 +280,39 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(read.contains("vec_id") && read.contains("sig"), read)
   }
 
+  test("d20 prefix-filter join: equi-joins only, the pigeonhole prefix bound gates the index") {
+    val p = plan("d20_prefix_filter_join")
+    assert(!p.contains("CartesianProduct"), s"all-pairs shape in d20:\n$p")
+    assert(p.contains("div 5"), s"prefix bound missing from d20 plan:\n$p")
+    assert(p.contains("array_intersect"), s"exact verify missing:\n$p")
+  }
+
+  test("p22 semantic decon broadcasts the benchmark; popcount prefilter short-circuits before the dot") {
+    val p = plan("p22_semantic_decon")
+    val joinLine = p.linesIterator
+      .find(_.contains("BroadcastNestedLoopJoin"))
+      .getOrElse(fail(s"benchmark side not broadcast:\n$p"))
+    assert(joinLine.indexOf("bit_count") >= 0 &&
+      joinLine.indexOf("floatdot") > joinLine.indexOf("bit_count"),
+      s"dot not behind the popcount prefilter: $joinLine")
+  }
+
+  test("q77 OHLC bars are one partial aggregation: no window, single events scan") {
+    val p = plan("q77_ohlc_bars")
+    assert(!p.contains("Window"), s"q77 fell back to a window:\n$p")
+    assert(p.contains("partial_min") && p.contains("partial_max"), p)
+    assert("Scan parquet".r.findAllIn(p).size === 1,
+      s"expected exactly one events scan:\n$p")
+  }
+
+  test("s28 kNN graph: bucket-local equi-join, top-k via WindowGroupLimit (no full rank materialization)") {
+    val p = plan("s28_knn_graph")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"kNN graph degenerated to all-pairs:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-vector top-3 not group-limited before the window sort:\n$p")
+  }
+
   test("m12 interleaved packing windows per (mime, source) lane — never one global pack") {
     val p = plan("m12_interleaved_pack")
     assert("hashpartitioning\\(mime#\\d+, source#\\d+".r.findFirstIn(p).isDefined,

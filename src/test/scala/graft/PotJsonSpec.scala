@@ -759,14 +759,36 @@ class PotJsonSpec extends AnyFunSuite {
     assert(bodies.exists(b => b.contains(""""k":"a1","d":null""") &&
       b.contains(""""k":"a2","d":null""")),
       s"delete generation wrote no tombstone sidecar: ${bodies.mkString("|")}")
-    // a predicate the connector cannot evaluate EXACTLY against
-    // (pot_file, key) must decline loudly — deleting rows it never
-    // evaluated is the failure mode canDeleteWhere exists to prevent
-    intercept[Exception] {
-      spark.sql(s"DELETE FROM $tbl WHERE doc_json LIKE '%1%'")
-    }
-    assert(spark.sql(s"SELECT key FROM $tbl").as[String].collect().toSeq
-      === Seq("b1"), "declined DELETE must not change state")
+    // a predicate the metadata path cannot evaluate exactly against
+    // (pot_file, key) — canDeleteWhere declines it — routes through the
+    // row-level (SupportsDelta) rewrite instead: delete by CONTENT,
+    // still one LWW generation
+    spark.sql(s"DELETE FROM $tbl WHERE doc_json LIKE '%3%'")
+    assert(spark.sql(s"SELECT key FROM $tbl").as[String].collect().isEmpty,
+      "row-level DELETE by content did not apply")
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("PotV2 SQL UPDATE rewrites the targeted docs as one delta generation") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("potv2squp").toString
+    val pot = s"$root/t/data.json"
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    val tbl = "graft_spec_upd"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (pot_file STRING, key STRING, " +
+      s"doc_json STRING) USING $fmt OPTIONS (path '$pot')")
+    Seq(("", "a1", """{"v": 1}"""), ("", "a2", """{"v": 2}"""))
+      .toDF("pot_file", "key", "doc_json")
+      .write.format(fmt).option("path", pot).mode("overwrite").save()
+    spark.sql(s"""UPDATE $tbl SET doc_json = '{"v": 9}' WHERE key = 'a2'""")
+    assert(spark.sql(s"SELECT key, doc_json FROM $tbl ORDER BY key")
+      .as[(String, String)].collect().toSeq
+      === Seq("a1" -> """{"v":1}""", "a2" -> """{"v":9}"""))
+    // the whole statement is ONE generation on the chain
+    val commits = new org.apache.hadoop.fs.Path(s"$root/t/.commits")
+    val fs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(graft.kv.CommitMarker.committedGenerations(fs, commits).max === 2L)
     spark.sql(s"DROP TABLE $tbl")
   }
 

@@ -124,7 +124,10 @@ object ScaleSmoke {
     // round-13 batch (st18/st19/kv gc omitted: dimension-only or
     // store-lifecycle)
     "s26_filtered_probe_k",
-    "d19_incremental_dedup", "s27_index_integrity", "q76_latest_per_key")
+    "d19_incremental_dedup", "s27_index_integrity", "q76_latest_per_key",
+    // round-13 second batch (kv19/u18 omitted: dimension-only inputs)
+    "d20_prefix_filter_join", "p22_semantic_decon", "q77_ohlc_bars",
+    "s28_knn_graph")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
