@@ -1407,7 +1407,138 @@ object Dedup {
       |WHERE o.inter_n * 9 >= (sa.n + sb.n) * 4
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** d21: LSH BANDING parameter sweep — s22's nprobe table for MinHash:
+    * the (bands x rows) tradeoff measured on this corpus, one row per
+    * config (b4r2 = d2's production geometry, b2r4, b1r8), reporting
+    * candidate volume (cost), exact-verified trues (shingle Jaccard >=
+    * 1/2 by integer cross-multiply 3c >= na+nb), precision, and recall
+    * relative to the loosest config. Banding theory says larger rows-
+    * per-band sharpens the S-curve (higher precision, lower recall) —
+    * this measures it, which is what you consult before re-tuning d2.
+    * The pair UNIVERSE is d2's in-cap candidate set; because the three
+    * configs' band keys are nested prefixes of the same 8-signature
+    * vector, tighter configs are true subsets evaluated PER PAIR on the
+    * signatures already in hand (no per-config re-bucketing, no second
+    * corpus pass) — one d2 run + d11's candidate-scoped exact pass
+    * prices the whole sweep. Thresholds and the 2..100 bucket cap are
+    * d2/d11's, mirrored in the oracle.
+    */
+  def bandingSweep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = minhashLsh(s, d).select($"doc_a", $"doc_b").localCheckpoint()
+    val sigs = words(s, d)
+      .filter(size($"w") >= 3)
+      .select($"doc_id",
+        graft.functions.MinHashWords.minhashWords($"w", 3, 8).as("mh"))
+    val cand = pairs
+      .select(explode(array($"doc_a", $"doc_b")).as("doc_id")).distinct()
+    val docSh = Tables.documents(s, d)
+      .join(broadcast(cand), Seq("doc_id"), "left_semi")
+      .select($"doc_id", explode(
+        graft.functions.ShingleHashes.shingleHashes(lower($"text"), 3)).as("h"))
+      .localCheckpoint()
+    val cnt = docSh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val co = pairs
+      .join(docSh.as("x"), $"doc_a" === col("x.doc_id"))
+      .join(docSh.as("y"),
+        $"doc_b" === col("y.doc_id") && col("x.h") === col("y.h"))
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("c"))
+    val scored = pairs
+      .join(sigs.as("sa"), $"doc_a" === col("sa.doc_id"))
+      .join(sigs.as("sb"), $"doc_b" === col("sb.doc_id"))
+      .withColumn("m", expr("zip_with(sa.mh, sb.mh, (x, y) -> x = y)"))
+      .withColumn("c_b4r2",
+        expr("exists(sequence(0, 3), i -> m[2*i] AND m[2*i+1])"))
+      .withColumn("c_b2r4", expr(
+        "exists(sequence(0, 1), i -> m[4*i] AND m[4*i+1] AND m[4*i+2] AND m[4*i+3])"))
+      .withColumn("c_b1r8", expr("aggregate(m, true, (a, x) -> a AND x)"))
+      .join(co, Seq("doc_a", "doc_b"), "left")
+      .join(cnt.as("ca"), $"doc_a" === col("ca.doc_id"))
+      .join(cnt.as("cb"), $"doc_b" === col("cb.doc_id"))
+      .withColumn("is_true",
+        expr("3 * coalesce(c, 0) >= ca.n + cb.n"))
+      .localCheckpoint()
+    val rows = Seq(("b4r2", "c_b4r2"), ("b2r4", "c_b2r4"),
+        ("b1r8", "c_b1r8")).map { case (name, cc) =>
+      scored.filter(col(cc))
+        .agg(count(lit(1)).as("n_cand"),
+          coalesce(sum(when($"is_true", 1L).otherwise(0L)), lit(0L))
+            .as("n_true"))
+        .select(lit(name).as("config"), $"n_cand", $"n_true")
+    }.reduce(_ unionByName _)
+    val base = rows.filter($"config" === "b4r2")
+      .select($"n_true".as("base_true"))
+    rows.crossJoin(broadcast(base))
+      .select($"config", $"n_cand", $"n_true",
+        expr("CASE WHEN n_cand = 0 THEN NULL " +
+          "ELSE n_true * 1000000 div n_cand END").as("precision_ppm"),
+        expr("CASE WHEN base_true = 0 THEN NULL " +
+          "ELSE n_true * 1000000 div base_true END").as("recall_ppm"))
+      .orderBy($"config")
+  }
+
+  val bandingSweepSql: String =
+    """WITH __SH__,
+      |__BANDS__,
+      |ok AS (SELECT band, sig FROM bands
+      |       GROUP BY band, sig HAVING COUNT(*) BETWEEN 2 AND 100),
+      |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+      |  JOIN ok ON ok.band = a.band AND ok.sig = a.sig),
+      |mtc AS (SELECT p.doc_a, p.doc_b, a.seed, (a.h = b.h) AS m
+      |  FROM pairs p
+      |  JOIN mh a ON a.doc_id = p.doc_a
+      |  JOIN mh b ON b.doc_id = p.doc_b AND b.seed = a.seed),
+      |g2 AS (SELECT doc_a, doc_b, seed // 2 AS g, BOOL_AND(m) AS bm
+      |       FROM mtc GROUP BY 1, 2, 3),
+      |c2 AS (SELECT doc_a, doc_b, BOOL_OR(bm) AS memb FROM g2 GROUP BY 1, 2),
+      |g4 AS (SELECT doc_a, doc_b, seed // 4 AS g, BOOL_AND(m) AS bm
+      |       FROM mtc GROUP BY 1, 2, 3),
+      |c4 AS (SELECT doc_a, doc_b, BOOL_OR(bm) AS memb FROM g4 GROUP BY 1, 2),
+      |c8 AS (SELECT doc_a, doc_b, BOOL_AND(m) AS memb FROM mtc GROUP BY 1, 2),
+      |cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      |co AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+      |  FROM sh x JOIN sh y ON x.sh = y.sh AND x.doc_id < y.doc_id
+      |  GROUP BY 1, 2),
+      |truth AS (SELECT p.doc_a, p.doc_b,
+      |    (3 * COALESCE(co.c, 0) >= ca.n + cb.n) AS is_true
+      |  FROM pairs p
+      |  LEFT JOIN co ON co.doc_a = p.doc_a AND co.doc_b = p.doc_b
+      |  JOIN cnt ca ON ca.doc_id = p.doc_a
+      |  JOIN cnt cb ON cb.doc_id = p.doc_b),
+      |cfg AS (
+      |  SELECT 'b4r2' AS config, CAST(COUNT(*) AS BIGINT) AS n_cand,
+      |    CAST(COALESCE(SUM(CASE WHEN t.is_true THEN 1 ELSE 0 END), 0)
+      |      AS BIGINT) AS n_true
+      |  FROM truth t JOIN c2 ON c2.doc_a = t.doc_a AND c2.doc_b = t.doc_b
+      |  WHERE c2.memb
+      |  UNION ALL
+      |  SELECT 'b2r4', CAST(COUNT(*) AS BIGINT),
+      |    CAST(COALESCE(SUM(CASE WHEN t.is_true THEN 1 ELSE 0 END), 0)
+      |      AS BIGINT)
+      |  FROM truth t JOIN c4 ON c4.doc_a = t.doc_a AND c4.doc_b = t.doc_b
+      |  WHERE c4.memb
+      |  UNION ALL
+      |  SELECT 'b1r8', CAST(COUNT(*) AS BIGINT),
+      |    CAST(COALESCE(SUM(CASE WHEN t.is_true THEN 1 ELSE 0 END), 0)
+      |      AS BIGINT)
+      |  FROM truth t JOIN c8 ON c8.doc_a = t.doc_a AND c8.doc_b = t.doc_b
+      |  WHERE c8.memb)
+      |SELECT config, n_cand, n_true,
+      |  CASE WHEN n_cand = 0 THEN NULL
+      |       ELSE n_true * 1000000 // n_cand END AS precision_ppm,
+      |  CASE WHEN b.bt = 0 THEN NULL
+      |       ELSE n_true * 1000000 // b.bt END AS recall_ppm
+      |FROM cfg CROSS JOIN
+      |  (SELECT n_true AS bt FROM cfg WHERE config = 'b4r2') b
+      |ORDER BY config""".stripMargin
+      .replace("__SH__", shinglesCte)
+      .replace("__BANDS__", bandsCte)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d21_banding_sweep" -> (bandingSweep _),
     "d20_prefix_filter_join" -> (prefixFilterJoin _),
     "d19_incremental_dedup" -> (incrementalDedup _),
     "d18_version_diff"   -> (versionDiff _),
@@ -1430,6 +1561,7 @@ object Dedup {
     "d9_semantic_dedup"    -> (semanticDedup _))
 
   val oracle: Map[String, String] = Map(
+    "d21_banding_sweep" -> bandingSweepSql,
     "d20_prefix_filter_join" -> prefixFilterJoinSql,
     "d19_incremental_dedup" -> incrementalDedupSql,
     "d18_version_diff"   -> versionDiffSql,

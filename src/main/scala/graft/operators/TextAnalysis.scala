@@ -943,7 +943,93 @@ object TextAnalysis {
       |FROM a
       |ORDER BY n""".stripMargin
 
+  /** t19: SOURCE DRIFT matrix — pairwise KL divergence between the
+    * per-source unigram distributions over the corpus's top-200
+    * vocabulary (rank directly above a GlobalLimit — the allowed k-row
+    * shape), Laplace add-1 smoothed over the shared grid so no pair is
+    * undefined: KL(a||b) = sum_w p_aw ln(p_aw/p_bw). This is the
+    * between-DOMAIN complement of t18's within-corpus Zipf check — the
+    * number a mixture designer (p8's temperatures) consults to see which
+    * domains actually differ and by how much, and the drift alarm
+    * between corpus versions when run source=release. Arithmetic is the
+    * repo's cross-engine ln discipline end-to-end: every ln quantized
+    * through DECIMAL(38,6), the inner sum of quantized lns
+    * left-to-right-parenthesized identically in both engines, each term
+    * decimal-cast BEFORE summation (order-free), one final double
+    * division. The corpus-sized stage is ONE token count; everything
+    * after runs on a (sources x 200) grid.
+    */
+  def klDrift(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select($"source", explode(split(lower($"text"), " ")).as("word"))
+    val top = toks.groupBy($"word").agg(count(lit(1)).as("f"))
+      .orderBy($"f".desc, $"word").limit(200).select($"word")
+    val cw = toks.join(broadcast(top), Seq("word"))
+      .groupBy($"source", $"word").agg(count(lit(1)).as("c"))
+    val sources = Tables.documents(s, d).select($"source").distinct()
+    val grid = sources.crossJoin(broadcast(top))
+      .join(cw, Seq("source", "word"), "left")
+      .select($"source", $"word", (coalesce($"c", lit(0L)) + 1L).as("c1"))
+      .localCheckpoint(true)
+    val tot = grid.groupBy($"source").agg(sum($"c1").as("t1"))
+    def lnq(c: org.apache.spark.sql.Column) =
+      log(c.cast("double")).cast(Dec).cast("double")
+    val a = grid.select($"source".as("src_a"), $"word", $"c1".as("ca"))
+      .join(tot.select($"source".as("src_a"), $"t1".as("ta")), Seq("src_a"))
+    val b = grid.select($"source".as("src_b"), $"word", $"c1".as("cb"))
+      .join(tot.select($"source".as("src_b"), $"t1".as("tb")), Seq("src_b"))
+    a.join(b, Seq("word"))
+      .filter($"src_a" =!= $"src_b")
+      .select($"src_a", $"src_b",
+        ($"ca".cast("double") *
+          (((lnq($"ca") + lnq($"tb")) - lnq($"cb")) - lnq($"ta")))
+          .cast(Dec).as("term"))
+      .groupBy($"src_a", $"src_b")
+      .agg(sum($"term").as("num"))
+      .join(tot.select($"source".as("src_a"), $"t1".as("ta")), Seq("src_a"))
+      .select($"src_a", $"src_b",
+        ($"num".cast("double") / $"ta".cast("double")).as("kl"))
+      .orderBy($"src_a", $"src_b")
+  }
+
+  val klDriftSql: String =
+    """WITH w AS (
+      |  SELECT source, unnest(string_split(lower(text), ' ')) AS word
+      |  FROM documents),
+      |top AS (
+      |  SELECT word FROM (
+      |    SELECT word, COUNT(*) AS f FROM w GROUP BY 1
+      |    ORDER BY f DESC, word LIMIT 200) t),
+      |cw AS (
+      |  SELECT source, word, COUNT(*) AS c
+      |  FROM w JOIN top USING (word) GROUP BY 1, 2),
+      |src AS (SELECT DISTINCT source FROM documents),
+      |grid AS (
+      |  SELECT s.source, t.word, COALESCE(cw.c, 0) + 1 AS c1
+      |  FROM src s CROSS JOIN top t
+      |  LEFT JOIN cw ON cw.source = s.source AND cw.word = t.word),
+      |tot AS (SELECT source, SUM(c1) AS t1 FROM grid GROUP BY 1),
+      |terms AS (
+      |  SELECT a.source AS src_a, b.source AS src_b,
+      |    CAST(CAST(a.c1 AS DOUBLE) *
+      |      (((CAST(CAST(LN(CAST(a.c1 AS DOUBLE)) AS DECIMAL(38,6)) AS DOUBLE)
+      |        + CAST(CAST(LN(CAST(tb.t1 AS DOUBLE)) AS DECIMAL(38,6)) AS DOUBLE))
+      |        - CAST(CAST(LN(CAST(b.c1 AS DOUBLE)) AS DECIMAL(38,6)) AS DOUBLE))
+      |        - CAST(CAST(LN(CAST(ta.t1 AS DOUBLE)) AS DECIMAL(38,6)) AS DOUBLE))
+      |      AS DECIMAL(38,6)) AS term
+      |  FROM grid a
+      |  JOIN grid b ON a.word = b.word AND a.source <> b.source
+      |  JOIN tot ta ON ta.source = a.source
+      |  JOIN tot tb ON tb.source = b.source),
+      |k AS (SELECT src_a, src_b, SUM(term) AS num FROM terms GROUP BY 1, 2)
+      |SELECT k.src_a, k.src_b,
+      |  CAST(k.num AS DOUBLE) / CAST(t.t1 AS DOUBLE) AS kl
+      |FROM k JOIN tot t ON t.source = k.src_a
+      |ORDER BY src_a, src_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t19_kl_drift"        -> (klDrift _),
     "t18_zipf_fit"        -> (zipfFit _),
     "t17_burstiness"      -> (burstiness _),
     "t16_lang_confusion"  -> (langConfusion _),
@@ -964,6 +1050,7 @@ object TextAnalysis {
     "t6_pii_scrub"    -> (piiScrub _))
 
   val oracle: Map[String, String] = Map(
+    "t19_kl_drift"        -> klDriftSql,
     "t18_zipf_fit"        -> zipfFitSql,
     "t17_burstiness"      -> burstinessSql,
     "t16_lang_confusion"  -> langConfusionSql,

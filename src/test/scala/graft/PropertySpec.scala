@@ -479,6 +479,34 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: d20's prefix-filter candidates lose NO true pair vs the brute-force join") {
+    import spark.implicits._
+    // The pigeonhole claim the operator rests on: every pair with word-set
+    // Jaccard >= 4/5 shares a rarest-first prefix token, so the operator's
+    // RESULT must equal the brute-force all-pairs join on the same shard.
+    // sf0.001 keeps the brute side trivial (~120 docs in the shard).
+    val d20 = SparkEntry.queries("d20_prefix_filter_join")(spark, sf)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val toks = Tables.documents(spark, sf)
+      .filter($"doc_id" % 5 === 2)
+      .select($"doc_id", explode(split(lower($"text"), " ")).as("word"))
+      .distinct()
+      .as[(Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val ids = toks.keys.toSeq.sorted
+    val brute = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1 until ids.size).iterator
+      a = toks(ids(i)); b = toks(ids(j))
+      inter = (a & b).size
+      if inter * 9 >= (a.size + b.size) * 4
+    } yield (ids(i), ids(j))).toSet
+    assert(d20 === brute,
+      s"prefix filter diverged: missed ${(brute -- d20).take(5)}, " +
+        s"extra ${(d20 -- brute).take(5)}")
+    assert(brute.nonEmpty, "vacuous: no true pairs in the shard at sf0.001")
+  }
+
   test("property: DistRank matches the flat window under NULL leading values") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window

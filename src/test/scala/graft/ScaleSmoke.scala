@@ -127,7 +127,9 @@ object ScaleSmoke {
     "d19_incremental_dedup", "s27_index_integrity", "q76_latest_per_key",
     // round-13 second batch (kv19/u18 omitted: dimension-only inputs)
     "d20_prefix_filter_join", "p22_semantic_decon", "q77_ohlc_bars",
-    "s28_knn_graph")
+    "s28_knn_graph",
+    // round-13 third batch (kv19/u18/u19 omitted: dimension-only inputs)
+    "d21_banding_sweep", "t19_kl_drift")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
