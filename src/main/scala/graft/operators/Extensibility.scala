@@ -786,7 +786,100 @@ object Extensibility {
       |WHERE n_regionkey <> 2
       |ORDER BY key""".stripMargin
 
+  /** u20: the change feed as a TABLE-VALUED FUNCTION —
+    * `graft_pot_changes('<path>', <from_gen>)` (Delta Lake's
+    * `table_changes` shape): a BATCH read of every generation after
+    * `from_gen`, rows bit-identical to what the streaming source (st17)
+    * delivers over the same range because it resolves to the SAME
+    * per-generation sidecar-first delta partitions
+    * (`.option("changesFrom", g)` is the DataFrame twin). This is the
+    * audit/backfill consumption mode of CDC — "what changed since the
+    * release at generation g" — without standing up a stream; tombstones
+    * arrive as `doc_json = 'null'`, `pot_file` carries `@<gen>`
+    * provenance so one result spans generations. Out-of-range starts
+    * fail loudly (the generation-pin discipline), args must be literals
+    * (the TVF family's planning-parameter rule).
+    */
+  private def registerPotChangesTvf(s: SparkSession): Unit =
+    s.sessionState.tableFunctionRegistry.registerFunction(
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(
+        "graft_pot_changes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.sources.PotV2Source].getName, "graft_pot_changes"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.unsafe.types.UTF8String
+        val (path, from) = exprs match {
+          case Seq(Literal(p: UTF8String, _), Literal(g: Int, _)) =>
+            (p.toString, g.toLong)
+          case Seq(Literal(p: UTF8String, _), Literal(g: Long, _)) =>
+            (p.toString, g)
+          case other => throw new IllegalArgumentException(
+            "graft_pot_changes: expected a STRING literal path and an " +
+              s"INTEGER literal from-generation, got $other")
+        }
+        org.apache.spark.sql.SparkSession.active
+          .read.format(classOf[graft.sources.PotV2Source].getName)
+          .option("path", path)
+          .option("changesFrom", from.toString)
+          .load().queryExecution.analyzed
+      })
+
+  def sqlPotChanges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    registerPotChangesTvf(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft-potv2chg").toString
+    val pot = s"$dir/t/data.json"
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    def docs(df: DataFrame, v: Int) = df.select(
+      lit("").as("pot_file"),
+      concat(lit("n"), col("n_nationkey").cast("string")).as("key"),
+      to_json(struct(col("n_name").as("name"), lit(v).as("v")))
+        .as("doc_json"))
+    val nat = Tables.nation(s, d)
+    // the st19 history: broad v0, a v1 update wave, a truncate rewrite
+    // dropping odd region-0 keys — so the range after gen 1 carries
+    // upserts AND tombstones
+    docs(nat.filter($"n_regionkey" <= 1), 0)
+      .write.format(fmt).option("path", pot).mode("overwrite").save()
+    docs(nat.filter($"n_regionkey" === 0), 1)
+      .write.format(fmt).option("path", pot).mode("append").save()
+    docs(nat.filter($"n_regionkey" === 1 ||
+        ($"n_regionkey" === 0 && $"n_nationkey" % 2 === 0)), 2)
+      .write.format(fmt).option("path", pot).mode("overwrite").save()
+    val out = s.sql(
+      s"""SELECT CAST(regexp_extract(pot_file, '@([0-9]+)$$', 1) AS INT)
+         |    AS gen,
+         |  key,
+         |  get_json_object(doc_json, '$$.name') AS name,
+         |  CAST(get_json_object(doc_json, '$$.v') AS INT) AS v,
+         |  (doc_json = 'null') AS deleted
+         |FROM graft_pot_changes('$pot', 1)
+         |ORDER BY gen, key""".stripMargin).localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    out
+  }
+
+  val sqlPotChangesSql: String =
+    """WITH base AS (
+      |  SELECT n_nationkey AS nk, 'n' || CAST(n_nationkey AS VARCHAR) AS key,
+      |    n_name AS name, n_regionkey AS r
+      |  FROM nation)
+      |SELECT gen, key, name, v, deleted FROM (
+      |  SELECT CAST(2 AS INTEGER) AS gen, key, name,
+      |    CAST(1 AS INTEGER) AS v, FALSE AS deleted
+      |  FROM base WHERE r = 0
+      |  UNION ALL
+      |  SELECT CAST(3 AS INTEGER), key, name, CAST(2 AS INTEGER), FALSE
+      |  FROM base WHERE r = 1 OR (r = 0 AND nk % 2 = 0)
+      |  UNION ALL
+      |  SELECT CAST(3 AS INTEGER), key, CAST(NULL AS VARCHAR),
+      |    CAST(NULL AS INTEGER), TRUE
+      |  FROM base WHERE r = 0 AND nk % 2 <> 0) t
+      |ORDER BY gen, key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u20_sql_pot_changes" -> (sqlPotChanges _),
     "u19_sql_merge_pot" -> (sqlMergePot _),
     "u18_sql_delete_pot" -> (sqlDeletePot _),
     "u17_sql_tvf_time_travel" -> (sqlTvfTimeTravel _),
@@ -808,6 +901,7 @@ object Extensibility {
     "u5_typed_dataset"  -> (typedDataset _))
 
   val oracle: Map[String, String] = Map(
+    "u20_sql_pot_changes" -> sqlPotChangesSql,
     "u19_sql_merge_pot" -> sqlMergePotSql,
     "u18_sql_delete_pot" -> sqlDeletePotSql,
     "u17_sql_tvf_time_travel" -> sqlTvfTimeTravelSql,

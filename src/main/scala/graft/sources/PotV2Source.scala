@@ -166,8 +166,15 @@ private[sources] class PotV2Table(path: String)
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new PotV2ScanBuilder(path,
-      Option(options.get("generation")).map(_.toLong))
+    Option(options.get("changesFrom")).map(_.toLong) match {
+      // batch CDC read: rows = the LWW deltas of every generation AFTER
+      // `changesFrom` (tombstones included) — the change feed (st17)
+      // consumed as a TABLE (Delta's table_changes shape); reuses the
+      // feed's per-generation partitions + sidecar-first reader verbatim
+      case Some(from) => new PotChangesScanBuilder(path, from)
+      case None => new PotV2ScanBuilder(path,
+        Option(options.get("generation")).map(_.toLong))
+    }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new PotV2WriteBuilder(path, info)
 
@@ -984,6 +991,54 @@ private[graft] class PotV2WriterFactory(
       override def abort(): Unit = ()
       override def close(): Unit = ()
     }
+}
+
+/** Batch CDC scan (u20): `.option("changesFrom", g)` — or the
+  * `graft_pot_changes('<path>', g)` TVF — reads the change feed as a
+  * TABLE: one [[PotDeltaPartition]] per committed generation in
+  * (g, head], rows are that generation's LWW upsert delta + delete
+  * tombstones with `pot_file` carrying `@<gen>` provenance — bit-identical
+  * rows to what the streaming source (st17) would deliver over the same
+  * range, because it IS the same reader. Validation is the generation-pin
+  * discipline: g must be 0..head (an out-of-range start fails loudly,
+  * never an empty stale answer); one pot object only (a glob has no
+  * shared generation counter — the multi-pot feed, st18, is the glob
+  * surface). Column pruning composes (the delta reader takes the pruned
+  * field list).
+  */
+private[graft] class PotChangesScanBuilder(path: String, from: Long)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  require(!PotV2Source.isGlob(path),
+    s"PotV2Source changesFrom: path must name ONE pot object, not a " +
+      s"glob: $path (the multi-pot feed is the streaming source)")
+  private var required: StructType = PotV2Source.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new PotChangesScan(path, from, required)
+}
+
+private[graft] class PotChangesScan(
+    path: String, from: Long, required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"PotChangesScan(path=$path, changesFrom=$from)"
+  override def planInputPartitions(): Array[InputPartition] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    val commits = new Path(p.getParent, ".commits")
+    val head =
+      (graft.kv.CommitMarker.committedGenerations(fs, commits) :+ 0L).max
+    require(from >= 0 && from <= head,
+      s"PotV2Source changesFrom=$from out of range: committed head is " +
+        s"$head for $path — never a stale/empty fallback")
+    ((from + 1) to head)
+      .map(g => PotDeltaPartition(p.getParent.toString, g): InputPartition)
+      .toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PotV2DeltaReaderFactory(required.fieldNames)
 }
 
 // ============ row-level operations (MERGE / UPDATE / DELETE) ============

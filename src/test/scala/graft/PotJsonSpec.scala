@@ -792,6 +792,42 @@ class PotJsonSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("PotV2 batch changes read equals the streaming feed and rejects out-of-range starts") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("potv2chg").toString
+    val pot = s"$root/t/data.json"
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    def put(rows: Seq[(String, Int)], mode: String): Unit =
+      rows.map { case (k, v) => ("", k, s"""{"v": $v}""") }
+        .toDF("pot_file", "key", "doc_json")
+        .write.format(fmt).option("path", pot).mode(mode).save()
+    put(Seq("a" -> 1, "b" -> 2), "overwrite")
+    put(Seq("b" -> 9), "append")
+    put(Seq("c" -> 3), "overwrite")
+    def batchFrom(g: Long) = spark.read.format(fmt)
+      .option("path", pot).option("changesFrom", g.toString).load()
+      .select($"pot_file", $"key", $"doc_json")
+      .as[(String, String, String)].collect().toSeq.sorted
+    // full-range batch read ≡ a full streaming drain (same reader)
+    val feedDir = s"$root/feed"
+    val q = spark.readStream.format(fmt).option("path", pot).load()
+      .writeStream.format("parquet").option("path", feedDir)
+      .option("checkpointLocation", s"$root/chk").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.read.parquet(feedDir)
+      .select($"pot_file", $"key", $"doc_json")
+      .as[(String, String, String)].collect().toSeq.sorted
+    assert(batchFrom(0) === streamed, "batch changes diverged from the feed")
+    // suffix range: only generations > 2
+    assert(batchFrom(2).map(t => (t._2, t._3)) ===
+      Seq("a" -> "null", "b" -> "null", "c" -> """{"v":3}""").sorted)
+    // the generation-pin discipline: out-of-range start fails loudly
+    val e = intercept[Exception] { batchFrom(9) }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("out of range")), e)
+  }
+
   test("PotV2Source rejects a non-map pot object loudly") {
     val dir = java.nio.file.Files.createTempDirectory("potv2bad")
     writePot(dir, "bad", """[1, 2, 3]""")
