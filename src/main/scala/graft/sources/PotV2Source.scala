@@ -705,7 +705,7 @@ private[graft] class PotV2Write(
           throw new graft.kv.PotTable.CommitConflict(
             s"pot object $path: head moved to generation " +
               s"${head.map(_._1).getOrElse(0L)} while a rewrite computed " +
-              s"against generation $e was in flight — re-run the DELETE")
+              s"against generation $e was in flight — re-run the statement")
       }
       // size ceiling, checked BEFORE the driver materializes the object:
       // the merge base's file length bounds the load, so a pot that has
@@ -1073,13 +1073,26 @@ private[graft] class PotRowLevelOperation(
     cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
     extends org.apache.spark.sql.connector.write.SupportsDelta {
   import org.apache.spark.sql.connector.write._
+  // The statement's delta is computed against the state its SCAN read, so
+  // the commit pins the generation observed when the operation is built
+  // (<= scan time): a concurrent writer landing in between makes the
+  // commit a loud CommitConflict, never a delta applied over state it
+  // never saw (the u18 rewrite's discipline; a too-early capture can only
+  // produce a FALSE conflict, which retries — never a lost update).
+  private val observedHeadGen: Long = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    PotV2Write.latestSnapshot(fs, new Path(p.getParent, ".commits"))
+      .map(_._1).getOrElse(0L)
+  }
   override def command(): RowLevelOperation.Command = cmd
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new PotV2ScanBuilder(path, None)
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
-      override def build(): DeltaWrite = new PotV2DeltaWrite(path, info)
+      override def build(): DeltaWrite =
+        new PotV2DeltaWrite(path, info, observedHeadGen)
     }
   override def rowId()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
@@ -1088,7 +1101,8 @@ private[graft] class PotRowLevelOperation(
 
 private[graft] class PotV2DeltaWrite(
     path: String,
-    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo,
+    observedHeadGen: Long)
     extends org.apache.spark.sql.connector.write.DeltaWrite
     with org.apache.spark.sql.connector.write.DeltaBatchWrite {
   require(!PotV2Source.isGlob(path),
@@ -1121,7 +1135,8 @@ private[graft] class PotV2DeltaWrite(
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     inner.commitEntries(messages, truncate = false, snapTag = None,
       retryOnConflict = false,
-      staging = new Path(inner.stagingBase))
+      staging = new Path(inner.stagingBase),
+      expectedHeadGen = Some(observedHeadGen))
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(path).getFileSystem(new Configuration())
