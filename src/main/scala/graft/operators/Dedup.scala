@@ -1537,7 +1537,45 @@ object Dedup {
       .replace("__SH__", shinglesCte)
       .replace("__BANDS__", bandsCte)
 
+  /** d22: RELEASE MANIFEST — the shipping checksum table for a corpus
+    * release: per content shard (`doc_id % 16`), document count, char
+    * volume, and a shard DIGEST = md5 over the doc fingerprints sorted
+    * and concatenated — so two parties (or two releases) compare 16
+    * digest rows instead of terabytes, any mismatch localizes to a
+    * shard, and d18's version diff is the drill-down. Order-free by
+    * construction (fingerprints sorted INSIDE the shard before hashing),
+    * so any partitioning/replication layout produces the identical
+    * manifest — the property that makes it a cross-datacenter integrity
+    * check. One narrow scan + one 16-group aggregation; the digest
+    * concatenation is shard-bounded (32 bytes per doc), the d18/s27
+    * discipline of auditing hashes, never payloads; at 100 TB the shard
+    * count scales with the corpus (%16 → %1M keeps each digest buffer
+    * in single-task memory — the manifest just gets more rows, the
+    * order-free property is per-shard and unaffected). Shard count 16
+    * mirrored in the oracle.
+    */
+  def releaseManifest(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(($"doc_id" % 16).as("shard"), md5($"text").as("fp"),
+        length($"text").cast("long").as("chars"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"chars").as("n_chars"),
+        md5(concat_ws("", sort_array(collect_list($"fp")))).as("digest"))
+      .orderBy($"shard")
+  }
+
+  val releaseManifestSql: String =
+    """SELECT doc_id % 16 AS shard,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars,
+      |  md5(string_agg(md5(text), '' ORDER BY md5(text))) AS digest
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d22_release_manifest" -> (releaseManifest _),
     "d21_banding_sweep" -> (bandingSweep _),
     "d20_prefix_filter_join" -> (prefixFilterJoin _),
     "d19_incremental_dedup" -> (incrementalDedup _),
@@ -1561,6 +1599,7 @@ object Dedup {
     "d9_semantic_dedup"    -> (semanticDedup _))
 
   val oracle: Map[String, String] = Map(
+    "d22_release_manifest" -> releaseManifestSql,
     "d21_banding_sweep" -> bandingSweepSql,
     "d20_prefix_filter_join" -> prefixFilterJoinSql,
     "d19_incremental_dedup" -> incrementalDedupSql,
