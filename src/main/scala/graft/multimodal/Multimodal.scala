@@ -862,7 +862,60 @@ object Multimodal {
        |ORDER BY mime, source, bin""".stripMargin
       .replace("__M7__", tokenBudgetSql)
 
+  /** m13: container DQ AUDIT — the gate every multimodal ingest runs
+    * between decode (m1) and inventory (m11): per mime, how many decoded
+    * containers trip each acceptance rule — extreme aspect ratio
+    * (w > 4h or h > 4w: banner/strip crops that resize badly), tiny
+    * frames (w*h < 4096: thumbnails masquerading as images), frame-heavy
+    * videos (f > 24: over the per-sample frame budget) — plus the clean
+    * count the sampler may draw from. Flags come from the REAL byte-level
+    * header decode (the m1 codec), not trusted metadata; the oracle
+    * re-derives them from the synthesis formulas (the m-family contract:
+    * any `mediaTable` change updates these SQLs). Pure map-side decode +
+    * one mime-keyed partial aggregation. Thresholds (4x, 4096, 24)
+    * mirrored literally.
+    */
+  def containerAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    extractFeatures(mediaTable(s, d)).toDF()
+      .withColumn("aspect_extreme",
+        $"width" > $"height" * 4 || $"height" > $"width" * 4)
+      .withColumn("tiny", $"width".cast("long") * $"height" < 4096L)
+      .withColumn("frame_heavy", $"n_frames" > 24)
+      .groupBy($"mime")
+      .agg(count(lit(1)).as("n_objects"),
+        sum(when($"aspect_extreme", 1L).otherwise(0L)).as("n_aspect_extreme"),
+        sum(when($"tiny", 1L).otherwise(0L)).as("n_tiny"),
+        sum(when($"frame_heavy", 1L).otherwise(0L)).as("n_frame_heavy"),
+        sum(when(!$"aspect_extreme" && !$"tiny" && !$"frame_heavy", 1L)
+          .otherwise(0L)).as("n_clean"))
+      .orderBy($"mime")
+  }
+
+  val containerAuditSql: String =
+    """WITH m AS (
+      |  SELECT doc_id,
+      |    ['image/png','audio/wav','video/mp4'][CAST(doc_id % 3 AS INTEGER) + 1]
+      |      AS mime,
+      |    16 + doc_id % 640 AS w, 16 + (doc_id * 7) % 480 AS h,
+      |    CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 30 ELSE 1 END AS f
+      |  FROM documents)
+      |SELECT mime, CAST(COUNT(*) AS BIGINT) AS n_objects,
+      |  CAST(SUM(CASE WHEN w > h * 4 OR h > w * 4 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_aspect_extreme,
+      |  CAST(SUM(CASE WHEN w * h < 4096 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_tiny,
+      |  CAST(SUM(CASE WHEN f > 24 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_frame_heavy,
+      |  CAST(SUM(CASE WHEN NOT (w > h * 4 OR h > w * 4)
+      |    AND NOT (w * h < 4096) AND NOT (f > 24) THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_clean
+      |FROM m
+      |GROUP BY mime
+      |ORDER BY mime""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m13_container_audit" -> (containerAudit _),
     "m12_interleaved_pack" -> (interleavedPack _),
     "m11_modality_card" -> (modalityCard _),
     "m10_vad_segments" -> (vadSegments _),
@@ -877,6 +930,7 @@ object Multimodal {
     "m5_frame_dedup"    -> (frameDupes _))
 
   val oracle: Map[String, String] = Map(
+    "m13_container_audit" -> containerAuditSql,
     "m12_interleaved_pack" -> interleavedPackSql,
     "m11_modality_card" -> modalityCardSql,
     "m10_vad_segments" -> vadSegmentsSql,
