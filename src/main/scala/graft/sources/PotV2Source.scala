@@ -743,22 +743,29 @@ private[graft] class PotV2Write(
         if (head.isDefined) entries.putAll(prevDelta)
         else if (fs.exists(target)) loadObject(target, entries)
       }
-      messages.collect { case m: PotFragmentMessage => m }
+      // Two-phase fold: ALL tombstones apply before ANY upsert. A null
+      // doc is a fragment-level TOMBSTONE (the delta write path's delete
+      // and rename rows — same convention as the change-feed sidecar);
+      // under MERGE semantics the only key touched by both a tombstone
+      // and an upsert in ONE statement is a rename target/source, and
+      // removals-first resolves every such collision (key swaps
+      // included) independent of partition interleaving. Upserts keep
+      // their partition-then-line order — the kv1 LWW contract.
+      val frags = messages.collect { case m: PotFragmentMessage => m }
         .sortBy(_.partitionId)
-        .foreach { m =>
-          val in = fs.open(new Path(m.fragment))
-          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-            .filter(_.nonEmpty).foreach { line =>
-              val n = mapper.readTree(line)
-              val dn = n.get("d")
-              // a null doc is a fragment-level TOMBSTONE (the delta
-              // write path's delete rows — same convention as the
-              // change-feed sidecar): fold as a removal, not a document
-              if (dn == null || dn.isNull) entries.remove(n.get("k").asText())
-              else entries.put(n.get("k").asText(), dn.toString)
-            }
-          finally in.close()
-        }
+      val upserts = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      frags.foreach { m =>
+        val in = fs.open(new Path(m.fragment))
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).foreach { line =>
+            val n = mapper.readTree(line)
+            val dn = n.get("d")
+            if (dn == null || dn.isNull) entries.remove(n.get("k").asText())
+            else upserts += ((n.get("k").asText(), dn.toString))
+          }
+        finally in.close()
+      }
+      upserts.foreach { case (k, v) => entries.put(k, v) }
       // and the MERGED size (base + this write's fragments) before the
       // snapshot hits disk — the ceiling is on the object, not the base
       val mergedBytes = entries.entrySet().asScala.iterator
@@ -1165,8 +1172,15 @@ private[graft] class PotV2DeltaWriterFactory(
       }
       override def insert(row: InternalRow): Unit = upsert(row)
       override def update(
-          meta: InternalRow, id: InternalRow, row: InternalRow): Unit =
+          meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+        // an UPDATE that reassigns the rowId (`SET key = ...`) MOVES the
+        // document: the old identity must die or the pot would keep both
+        // (key IS the row identity — a rename is delete + insert)
+        val oldKey = id.getUTF8String(idKeyIdx).toString
+        if (oldKey != row.getUTF8String(rowKeyIdx).toString)
+          buf += s"""{"k":${mapper.writeValueAsString(oldKey)},"d":null}"""
         upsert(row)
+      }
       override def delete(meta: InternalRow, id: InternalRow): Unit =
         buf += s"""{"k":${mapper.writeValueAsString(
           id.getUTF8String(idKeyIdx).toString)},"d":null}"""

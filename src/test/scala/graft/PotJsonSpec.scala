@@ -828,6 +828,37 @@ class PotJsonSpec extends AnyFunSuite {
     assert(msgs(e).exists(m => m != null && m.contains("out of range")), e)
   }
 
+  test("PotV2 SQL UPDATE reassigning the key MOVES the doc; a key swap round-trips") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("potv2ren").toString
+    val pot = s"$root/t/data.json"
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    val tbl = "graft_spec_ren"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (pot_file STRING, key STRING, " +
+      s"doc_json STRING) USING $fmt OPTIONS (path '$pot')")
+    Seq(("", "a", """{"v": 1}"""), ("", "b", """{"v": 2}"""),
+        ("", "c", """{"v": 3}"""))
+      .toDF("pot_file", "key", "doc_json")
+      .write.format(fmt).option("path", pot).mode("overwrite").save()
+    // rename: the old identity must die (key IS the row identity)
+    spark.sql(s"UPDATE $tbl SET key = 'c2' WHERE key = 'c'")
+    assert(spark.sql(s"SELECT key FROM $tbl ORDER BY key")
+      .as[String].collect().toSeq === Seq("a", "b", "c2"),
+      "rename left the old key behind")
+    // key SWAP in one statement: removals-first folding makes it exact
+    // however the rows land across partitions
+    spark.sql(s"""UPDATE $tbl SET key = CASE key WHEN 'a' THEN 'b'
+                 |  WHEN 'b' THEN 'a' END WHERE key IN ('a', 'b')"""
+      .stripMargin)
+    assert(spark.sql(s"SELECT key, doc_json FROM $tbl ORDER BY key")
+      .as[(String, String)].collect().toSeq ===
+      Seq("a" -> """{"v":2}""", "b" -> """{"v":1}""",
+        "c2" -> """{"v":3}"""),
+      "key swap lost a row")
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("PotV2Source rejects a non-map pot object loudly") {
     val dir = java.nio.file.Files.createTempDirectory("potv2bad")
     writePot(dir, "bad", """[1, 2, 3]""")
