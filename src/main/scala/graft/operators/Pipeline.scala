@@ -1288,7 +1288,85 @@ object Pipeline {
       |ORDER BY c.vec_id""".stripMargin
       .replace("__SIGS__", Dedup.sketchSigsCte)
 
+  /** p23: the DECONTAMINATION VERDICT MATRIX — one benchmark definition
+    * (the deterministic `% 17` slice, p22's), two detection modalities,
+    * four verdicts per corpus doc: `both` (near-verbatim leakage — the
+    * n-gram overlap AND the embedding both fire), `ngram_only` (literal
+    * phrase reuse below the cosine bar — boilerplate/citation),
+    * `semantic_only` (PARAPHRASED leakage — exactly what token-level
+    * gates miss and the reason p22 exists), `clean`. This is the table
+    * the decontamination runbook acts on: `both`/`semantic_only` drop,
+    * `ngram_only` gets human review. N-gram leg: any shared 4-shingle
+    * with a benchmark doc (p5's exact semi-join scoped to the benchmark
+    * slice); semantic leg: p22's flag verbatim (embeddings are
+    * id-parallel to documents; docs beyond the embedded prefix carry
+    * semantic_hit = false — "not semantically checkable" — identically
+    * in both engines). Constants: %17 (p22's), 4-shingles (p5's), both
+    * mirrored.
+    */
+  def deconMatrix(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sh = shingles4(s, d)
+    val bench = sh.filter($"doc_id" % 17 === 0).select($"sh").distinct()
+    val ngram = sh.filter($"doc_id" % 17 =!= 0)
+      .join(bench, Seq("sh"))
+      .select($"doc_id").distinct()
+      .withColumn("ngram_hit", lit(true))
+    val sem = semanticDecon(s, d)
+      .select($"vec_id".as("doc_id"), $"flagged".as("semantic_hit"))
+    Tables.documents(s, d).filter($"doc_id" % 17 =!= 0).select($"doc_id")
+      .join(ngram, Seq("doc_id"), "left")
+      .join(sem, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"ngram_hit", lit(false)).as("ngram_hit"),
+        coalesce($"semantic_hit", lit(false)).as("semantic_hit"))
+      .withColumn("verdict",
+        when($"ngram_hit" && $"semantic_hit", "both")
+          .when($"ngram_hit", "ngram_only")
+          .when($"semantic_hit", "semantic_only")
+          .otherwise("clean"))
+      .orderBy($"doc_id")
+  }
+
+  val deconMatrixSql: String =
+    """WITH __SIGS__,
+      |hits AS (
+      |  SELECT c.vec_id, MIN(b.vec_id) AS bench_hit
+      |  FROM embeddings c
+      |  JOIN sigs sc ON sc.vec_id = c.vec_id
+      |  JOIN embeddings b ON b.vec_id % 17 = 0
+      |  JOIN sigs sb ON sb.vec_id = b.vec_id
+      |  WHERE c.vec_id % 17 <> 0
+      |    AND hamming(sc.sig, sb.sig) <= 110
+      |    AND list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(range(1, len(c.embedding) + 1),
+      |        i -> CAST(c.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))),
+      |      (acc, x) -> acc + x) >= 0.45
+      |  GROUP BY c.vec_id),
+      |__SH4__,
+      |bench AS (SELECT DISTINCT sh FROM shc WHERE doc_id % 17 = 0),
+      |ng AS (
+      |  SELECT DISTINCT doc_id FROM shc
+      |  WHERE doc_id % 17 <> 0 AND sh IN (SELECT sh FROM bench)),
+      |m AS (
+      |  SELECT d.doc_id,
+      |    (ng.doc_id IS NOT NULL) AS ngram_hit,
+      |    (h.bench_hit IS NOT NULL) AS semantic_hit
+      |  FROM (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0) d
+      |  LEFT JOIN ng ON ng.doc_id = d.doc_id
+      |  LEFT JOIN hits h ON h.vec_id = d.doc_id)
+      |SELECT doc_id, ngram_hit, semantic_hit,
+      |  CASE WHEN ngram_hit AND semantic_hit THEN 'both'
+      |       WHEN ngram_hit THEN 'ngram_only'
+      |       WHEN semantic_hit THEN 'semantic_only'
+      |       ELSE 'clean' END AS verdict
+      |FROM m
+      |ORDER BY doc_id""".stripMargin
+      .replace("__SIGS__", Dedup.sketchSigsCte)
+      .replace("__SH4__", shingles4Cte)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p23_decon_matrix"     -> (deconMatrix _),
     "p22_semantic_decon"   -> (semanticDecon _),
     "p21_cluster_split"    -> (clusterSplit _),
     "p20_repeat_budget"    -> (repeatBudget _),
@@ -1313,6 +1391,7 @@ object Pipeline {
     "p7_bloom_decontaminate" -> (bloomDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "p23_decon_matrix"     -> deconMatrixSql,
     "p22_semantic_decon"   -> semanticDeconSql,
     "p21_cluster_split"    -> clusterSplitSql,
     "p20_repeat_budget"    -> repeatBudgetSql,
