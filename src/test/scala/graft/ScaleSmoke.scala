@@ -129,7 +129,7 @@ object ScaleSmoke {
     "d20_prefix_filter_join", "p22_semantic_decon", "q77_ohlc_bars",
     "s28_knn_graph",
     // round-13 third batch (kv19/u18/u19 omitted: dimension-only inputs)
-    "d21_banding_sweep", "t19_kl_drift")
+    "d21_banding_sweep", "t19_kl_drift", "p23_decon_matrix", "d22_release_manifest", "m13_container_audit")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
