@@ -878,7 +878,80 @@ object Extensibility {
       |  FROM base WHERE r = 0 AND nk % 2 <> 0) t
       |ORDER BY gen, key""".stripMargin
 
+  /** u21: the BUCKETED store's SQL front door —
+    * `graft_bucketed_pot('<root>', '<table>', <buckets>)` resolves to a
+    * `BucketedPotTable` read (manifest at the committed generation →
+    * per-bucket parquet scan), so the 100 TB store joins the TVF family
+    * exactly like the single-object pot did (u13): a SQL-only user
+    * queries the hash-bucketed KV without touching the Scala API, and
+    * everything downstream is ordinary Catalyst (the aggregate in this
+    * query plans straight over the bucket scans). Args are literals (the
+    * family's planning-parameter rule); bucket count must match the
+    * store's (the manifest is per-count — a wrong count reads an absent
+    * store and fails loudly rather than returning partial data). The
+    * query builds a 3-generation lifecycle (base, LWW wave, remove) and
+    * reads the survivors back through pure SQL.
+    */
+  private def registerBucketedPotTvf(s: SparkSession): Unit =
+    s.sessionState.tableFunctionRegistry.registerFunction(
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(
+        "graft_bucketed_pot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.kv.BucketedPotTable].getName, "graft_bucketed_pot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.unsafe.types.UTF8String
+        val (root, name, n) = exprs match {
+          case Seq(Literal(r: UTF8String, _), Literal(t: UTF8String, _),
+              Literal(b: Int, _)) => (r.toString, t.toString, b)
+          case other => throw new IllegalArgumentException(
+            "graft_bucketed_pot: expected STRING literal root + table " +
+              s"and an INTEGER literal bucket count, got $other")
+        }
+        new graft.kv.BucketedPotTable(
+          org.apache.spark.sql.SparkSession.active, root, name, n)
+          .get().queryExecution.analyzed
+      })
+
+  def sqlBucketedPot(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    registerBucketedPotTvf(s)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bpot-tvf").toString
+    val t = new graft.kv.BucketedPotTable(s, root, "cust_tvf", 8)
+    val base = Tables.customer(s, d)
+      .filter($"c_custkey" <= 200)
+      .select($"c_custkey".cast("string").as("key"),
+        $"c_mktsegment", $"c_nationkey")
+    t.upsert(base)
+    t.upsert(base.filter($"key".cast("bigint") % 5 === 0)
+      .withColumn("c_mktsegment", lit("MOVED")))
+    t.remove((0 to 200).filter(_ % 9 == 0).map(_.toString))
+    val out = s.sql(
+      s"""SELECT c_mktsegment, COUNT(*) AS n_keys,
+         |  SUM(CAST(c_nationkey AS BIGINT)) AS sum_nation
+         |FROM graft_bucketed_pot('$root', 'cust_tvf', 8)
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment""".stripMargin).localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    out
+  }
+
+  val sqlBucketedPotSql: String =
+    """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |  CAST(SUM(c_nationkey) AS BIGINT) AS sum_nation
+      |FROM (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 5 = 0 THEN 'MOVED' ELSE c_mktsegment END
+      |      AS c_mktsegment,
+      |    c_nationkey
+      |  FROM customer
+      |  WHERE c_custkey <= 200 AND c_custkey % 9 <> 0) t
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u21_sql_bucketed_pot" -> (sqlBucketedPot _),
     "u20_sql_pot_changes" -> (sqlPotChanges _),
     "u19_sql_merge_pot" -> (sqlMergePot _),
     "u18_sql_delete_pot" -> (sqlDeletePot _),
@@ -901,6 +974,7 @@ object Extensibility {
     "u5_typed_dataset"  -> (typedDataset _))
 
   val oracle: Map[String, String] = Map(
+    "u21_sql_bucketed_pot" -> sqlBucketedPotSql,
     "u20_sql_pot_changes" -> sqlPotChangesSql,
     "u19_sql_merge_pot" -> sqlMergePotSql,
     "u18_sql_delete_pot" -> sqlDeletePotSql,
