@@ -507,6 +507,53 @@ class PropertySpec extends AnyFunSuite {
     assert(brute.nonEmpty, "vacuous: no true pairs in the shard at sf0.001")
   }
 
+  test("property: SQL MERGE INTO pot equals the reference fold for arbitrary action sets") {
+    import spark.implicits._
+    // Model-based check of the delta row-level write: for random
+    // source/target overlaps the MERGE (DELETE if v%3=0 / UPDATE /
+    // INSERT) must equal a driver-side fold of the same rules — the
+    // whole-statement-one-generation contract can hide nothing.
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    val keyGen = Gen.choose(0, 14)
+    for (iter <- 1 to 3) {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"potv2-mprop$iter").toString
+      val pot = s"$root/t/data.json"
+      val tbl = s"graft_prop_merge$iter"
+      val tgtKeys = samples(keyGen, 8, 1000L + iter).distinct
+      val srcRows = samples(Gen.zip(keyGen, Gen.choose(0, 99)), 10,
+        2000L + iter).distinctBy(_._1)
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      spark.sql(s"CREATE TABLE $tbl (pot_file STRING, key STRING, " +
+        s"doc_json STRING) USING $fmt OPTIONS (path '$pot')")
+      tgtKeys.map(k => ("", s"k$k", s"""{"v": ${k * 10}}"""))
+        .toDF("pot_file", "key", "doc_json")
+        .write.format(fmt).option("path", pot).mode("overwrite").save()
+      srcRows.map { case (k, v) => ("", s"k$k", s"""{"v": $v}""", v) }
+        .toDF("pot_file", "key", "doc_json", "v")
+        .createOrReplaceTempView(s"${tbl}_src")
+      spark.sql(s"""MERGE INTO $tbl t USING ${tbl}_src s ON t.key = s.key
+                   |WHEN MATCHED AND s.v % 3 = 0 THEN DELETE
+                   |WHEN MATCHED THEN UPDATE SET doc_json = s.doc_json
+                   |WHEN NOT MATCHED THEN
+                   |  INSERT (pot_file, key, doc_json)
+                   |  VALUES (s.pot_file, s.key, s.doc_json)""".stripMargin)
+      val got = spark.sql(s"SELECT key, doc_json FROM $tbl")
+        .as[(String, String)].collect().toMap
+      // reference fold
+      var model = tgtKeys.map(k => s"k$k" -> s"""{"v":${k * 10}}""").toMap
+      srcRows.foreach { case (k, v) =>
+        val key = s"k$k"
+        if (model.contains(key)) {
+          if (v % 3 == 0) model -= key
+          else model += key -> s"""{"v":$v}"""
+        } else model += key -> s"""{"v":$v}"""
+      }
+      assert(got === model, s"iter $iter: tgt=$tgtKeys src=$srcRows")
+      spark.sql(s"DROP TABLE $tbl")
+    }
+  }
+
   test("property: DistRank matches the flat window under NULL leading values") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
