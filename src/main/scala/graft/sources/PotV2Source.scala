@@ -171,7 +171,12 @@ private[sources] class PotV2Table(path: String)
       // `changesFrom` (tombstones included) — the change feed (st17)
       // consumed as a TABLE (Delta's table_changes shape); reuses the
       // feed's per-generation partitions + sidecar-first reader verbatim
-      case Some(from) => new PotChangesScanBuilder(path, from)
+      case Some(from) =>
+        require(options.get("generation") == null,
+          "PotV2Source: changesFrom and generation are mutually " +
+            "exclusive — a changes read spans generations, a pin names " +
+            "one; combining them would silently ignore the pin")
+        new PotChangesScanBuilder(path, from)
       case None => new PotV2ScanBuilder(path,
         Option(options.get("generation")).map(_.toLong))
     }
