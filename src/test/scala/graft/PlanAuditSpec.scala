@@ -313,6 +313,35 @@ class PlanAuditSpec extends AnyFunSuite {
       s"per-vector top-3 not group-limited before the window sort:\n$p")
   }
 
+  test("d22 manifest is one scan + one partial object aggregation, digest buffers shard-bounded") {
+    val p = plan("d22_release_manifest")
+    assert("Scan parquet".r.findAllIn(p).size === 1, p)
+    assert(p.contains("partial_collect_list"),
+      s"no map-side combine on the digest buffer:\n$p")
+    assert(!p.contains("Window"), p)
+  }
+
+  test("t19 KL drift: the corpus pays one token aggregation, the matrix runs on the grid") {
+    val p = plan("t19_kl_drift")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), s"t19 grew a window:\n$p")
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("p23 verdict matrix: every join keyed (benchmark semi-join included), no all-pairs") {
+    val p = plan("p23_decon_matrix")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin") ||
+      // the one allowed loop join is p22's broadcast-benchmark leg
+      p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).size <= 1,
+      s"unexpected loop joins in p23:\n$p")
+  }
+
+  test("d21 banding sweep: pair universe from the bucketed pass, no corpus cartesian") {
+    val p = plan("d21_banding_sweep")
+    assert(!p.contains("CartesianProduct"), s"all-pairs shape in d21:\n$p")
+  }
+
   test("m12 interleaved packing windows per (mime, source) lane — never one global pack") {
     val p = plan("m12_interleaved_pack")
     assert("hashpartitioning\\(mime#\\d+, source#\\d+".r.findFirstIn(p).isDefined,
