@@ -798,7 +798,11 @@ object Extensibility {
     * arrive as `doc_json = 'null'`, `pot_file` carries `@<gen>`
     * provenance so one result spans generations. Out-of-range starts
     * fail loudly (the generation-pin discipline), args must be literals
-    * (the TVF family's planning-parameter rule).
+    * (the TVF family's planning-parameter rule). A GLOB path with
+    * from_gen = 0 is the full-history BUCKET AUDIT (one partition per
+    * pot-generation); a nonzero glob start declines loudly — pots have
+    * independent counters, incremental multi-pot consumption is st18's
+    * vector-offset stream.
     */
   private def registerPotChangesTvf(s: SparkSession): Unit =
     s.sessionState.tableFunctionRegistry.registerFunction(

@@ -1020,9 +1020,16 @@ private[graft] class PotV2WriterFactory(
   */
 private[graft] class PotChangesScanBuilder(path: String, from: Long)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
-  require(!PotV2Source.isGlob(path),
-    s"PotV2Source changesFrom: path must name ONE pot object, not a " +
-      s"glob: $path (the multi-pot feed is the streaming source)")
+  // a GLOB changes read is the full-history BUCKET AUDIT: every pot's
+  // whole chain, one partition per (pot, generation). A nonzero start
+  // has no meaning across pots with independent generation counters —
+  // that consumer wants the multi-pot STREAM (st18), whose offset is the
+  // per-pot generation vector.
+  require(!PotV2Source.isGlob(path) || from == 0,
+    s"PotV2Source changesFrom: a glob supports only changesFrom=0 (the " +
+      s"full-history audit) — pots have independent generation " +
+      s"counters; incremental multi-pot consumption is the streaming " +
+      s"source with its per-pot vector offsets: $path")
   private var required: StructType = PotV2Source.Schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -1039,15 +1046,27 @@ private[graft] class PotChangesScan(
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
     val fs = p.getFileSystem(new Configuration())
-    val commits = new Path(p.getParent, ".commits")
-    val head =
+    def headOf(pot: Path): Long = {
+      val commits = new Path(pot.getParent, ".commits")
       (graft.kv.CommitMarker.committedGenerations(fs, commits) :+ 0L).max
-    require(from >= 0 && from <= head,
-      s"PotV2Source changesFrom=$from out of range: committed head is " +
-        s"$head for $path — never a stale/empty fallback")
-    ((from + 1) to head)
-      .map(g => PotDeltaPartition(p.getParent.toString, g): InputPartition)
-      .toArray
+    }
+    if (PotV2Source.isGlob(path)) {
+      val pots = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+        .filter(_.isFile).map(_.getPath).sortBy(_.toString)
+      pots.flatMap { pot =>
+        (1L to headOf(pot))
+          .map(g => PotDeltaPartition(pot.getParent.toString, g)
+            : InputPartition)
+      }.toArray
+    } else {
+      val head = headOf(p)
+      require(from >= 0 && from <= head,
+        s"PotV2Source changesFrom=$from out of range: committed head is " +
+          s"$head for $path — never a stale/empty fallback")
+      ((from + 1) to head)
+        .map(g => PotDeltaPartition(p.getParent.toString, g): InputPartition)
+        .toArray
+    }
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new PotV2DeltaReaderFactory(required.fieldNames)

@@ -859,6 +859,32 @@ class PotJsonSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("PotV2 glob changes read is the full-history bucket audit; nonzero start declines") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("potv2gchg").toString
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    def put(pot: String, rows: Seq[(String, Int)], mode: String): Unit =
+      rows.map { case (k, v) => ("", k, s"""{"v": $v}""") }
+        .toDF("pot_file", "key", "doc_json")
+        .write.format(fmt).option("path", s"$root/$pot/data.json")
+        .mode(mode).save()
+    put("p1", Seq("a" -> 1), "overwrite"); put("p1", Seq("a" -> 2), "append")
+    put("p2", Seq("x" -> 7), "overwrite")
+    val glob = s"$root/*/data.json"
+    val rows = spark.read.format(fmt).option("path", glob)
+      .option("changesFrom", "0").load()
+      .select($"key", $"doc_json").as[(String, String)]
+      .collect().toSeq.sorted
+    assert(rows === Seq("a" -> """{"v":1}""", "a" -> """{"v":2}""",
+      "x" -> """{"v":7}"""), rows.toString)
+    // per-pot generation counters make a nonzero glob start meaningless —
+    // that consumer is the multi-pot stream (st18)
+    intercept[Exception] {
+      spark.read.format(fmt).option("path", glob)
+        .option("changesFrom", "1").load().collect()
+    }
+  }
+
   test("PotV2Source rejects a non-map pot object loudly") {
     val dir = java.nio.file.Files.createTempDirectory("potv2bad")
     writePot(dir, "bad", """[1, 2, 3]""")
