@@ -174,8 +174,25 @@ final class PotTxn(spark: SparkSession, root: String) {
     * are the txn counter, a few bytes each.
     */
   def gcBelow(w: Long): Unit = {
+    // the watermark can never run AHEAD of the txn counter: new txns are
+    // numbered max-committed+1, so a premature w > head would let later
+    // committed txns land at t <= w — frontier()'s `t > w` filter would
+    // then silently exclude their applied coordinates from every future
+    // frontier/snapshotAt (committed effects invisible to pinned reads)
+    val head = CommitMarker.committedGenerations(fs, commitsDir)
+      .foldLeft(0L)(math.max)
+    require(w <= head,
+      s"gcBelow($w): watermark cannot pass the committed txn head $head — " +
+        "a future txn would be numbered at or below the watermark and " +
+        "its frontier coordinates silently dropped")
+    val cur = gcWatermark
+    require(w >= cur,
+      s"gcBelow($w): watermark is already at $cur — it only moves forward")
+    // only txns in (cur, w] are candidates: txns at or below the CURRENT
+    // watermark were already GC'd (their applied markers are gone by
+    // design — re-checking them would refuse every second GC)
     val ns = CommitMarker.committedGenerations(fs, commitsDir)
-      .filter(_ <= w).sorted
+      .filter(t => t > cur && t <= w).sorted
     val unapplied = ns.filterNot { t =>
       CommitMarker.read(fs, new Path(commitsDir, t.toString))
         .trim.split("\n").toSeq.tail
@@ -185,9 +202,6 @@ final class PotTxn(spark: SparkSession, root: String) {
       s"gcBelow($w): txns ${unapplied.mkString(",")} are not fully " +
         "applied — run recover() first (their staged batches are still " +
         "the roll-forward source)")
-    val cur = gcWatermark
-    require(w >= cur,
-      s"gcBelow($w): watermark is already at $cur — it only moves forward")
     val f = frontier(w)
     val body = f.toSeq.sortBy(_._1)
       .map { case (p, g) => s"$p=$g" }.mkString("\n") match {

@@ -220,17 +220,41 @@ private[sources] class PotV2Table(path: String)
     val dir = target.getParent
     val commits = new Path(dir, ".commits")
     val mapper = new ObjectMapper()
-    val head = PotV2Write.latestSnapshot(fs, commits)
+    // head-snapshot load gets the SAME FileNotFound-as-conflict treatment
+    // as commitEntries/refreshMaterialization: if a concurrent commit
+    // supersedes the head and vacuum deletes its body mid-read, retry
+    // against the new head (survivors then derive from it and the pinned
+    // expectedHeadGen moves with it) — never a raw FileNotFoundException
+    // out of a SQL DELETE
+    var head: Option[(Long, String)] = None
     val entries = new java.util.LinkedHashMap[String, String]()
-    val src = head.map(h => new Path(h._2))
-      .orElse(if (fs.exists(target)) Some(target) else None)
-    src.foreach { p =>
-      val in = fs.open(p)
-      val root = try mapper.readTree(in) finally in.close()
-      require(root != null && root.isObject,
-        s"pot object $p: top level must be a JSON map")
-      root.fields().asScala.foreach(e =>
-        entries.put(e.getKey, e.getValue.toString))
+    var loaded = false
+    var loadAttempts = 0
+    while (!loaded) {
+      loadAttempts += 1
+      head = PotV2Write.latestSnapshot(fs, commits)
+      entries.clear()
+      val src = head.map(h => new Path(h._2))
+        .orElse(if (fs.exists(target)) Some(target) else None)
+      try {
+        src.foreach { p =>
+          val in = fs.open(p)
+          val root = try mapper.readTree(in) finally in.close()
+          require(root != null && root.isObject,
+            s"pot object $p: top level must be a JSON map")
+          root.fields().asScala.foreach(e =>
+            entries.put(e.getKey, e.getValue.toString))
+        }
+        loaded = true
+      } catch {
+        case e: java.io.FileNotFoundException if loadAttempts < 5 =>
+          // superseded + vacuumed mid-read: a newer head exists — retry
+          ()
+        case _: java.io.FileNotFoundException =>
+          throw new graft.kv.PotTable.CommitConflict(
+            s"pot object $path: head snapshot kept vanishing mid-read " +
+              "(concurrent commits + vacuum) — re-run the statement")
+      }
     }
     val survivors = entries.asScala.filterNot { case (k, _) =>
       PotV2Filters.accepts(filters, "key", k) &&
@@ -1119,7 +1143,15 @@ private[graft] class PotRowLevelOperation(
   override def command(): RowLevelOperation.Command = cmd
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new PotV2ScanBuilder(path, None)
+    // the scan is PINNED to the captured generation, not the data.json
+    // materialization: data.json lags the chain between a concurrent
+    // writer's marker CAS and refreshMaterialization, so an unpinned scan
+    // could read generation G-1 content while expectedHeadGen=G still
+    // matches at commit — a delta applied over state the statement never
+    // saw. Pinning makes scan content and the CAS check the SAME
+    // generation (gen 0 = no chain yet: data.json IS the only state).
+    new PotV2ScanBuilder(path,
+      if (observedHeadGen > 0) Some(observedHeadGen) else None)
   override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
     new DeltaWriteBuilder {
       override def build(): DeltaWrite =
@@ -1140,9 +1172,14 @@ private[graft] class PotV2DeltaWrite(
     s"PotV2Source MERGE/UPDATE/DELETE: path must name ONE pot object, " +
       s"not a glob: $path")
   // the inner Write supplies the commit core (staging dir, merge, CAS,
-  // sidecar); truncate=false — a delta is an append-merge by definition
+  // sidecar); truncate=false — a delta is an append-merge by definition.
+  // maxObjectBytes resolves from the write options exactly like the batch
+  // path (PotV2WriteBuilder.build) — MERGE/UPDATE/DELETE can raise or
+  // tighten the PotTooLarge ceiling the same way INSERT can
   private val inner = new PotV2Write(
-    path, PotV2Source.Schema, info.queryId(), truncateFirst = false)
+    path, PotV2Source.Schema, info.queryId(), truncateFirst = false,
+    Option(info.options.get("maxObjectBytes")).map(_.toLong)
+      .getOrElse(PotV2Source.DefaultMaxObjectBytes))
   // a pure DELETE rewrite carries an EMPTY row schema (only rowIds
   // flow); key/doc indices are then never consulted
   private val rowKeyIdx = info.schema().fieldNames.indexOf("key")
@@ -1321,21 +1358,42 @@ private[graft] class PotV2MultiPotStream(glob: String, required: StructType)
     Option(fs.globStatus(new Path(glob))).map(_.toSeq).getOrElse(Seq.empty)
       .filter(_.isFile).map(_.getPath)
 
+  // Last-known generation vector, carried FORWARD monotonically: a pot
+  // transiently absent from globStatus (the non-file-scheme materialize
+  // delete+rename window) must keep its committed coordinate — rebuilding
+  // the vector from the glob alone would drop its entry, and on
+  // reappearance getOrElse(pot, 0L) would replay its full chain
+  // (duplicate rows). Seeded from every offset the engine hands us
+  // (checkpoint restore via deserializeOffset, batch bounds via
+  // planInputPartitions), so the guarantee survives restarts.
+  @volatile private var lastKnown: Map[String, Long] = Map.empty
+  private def remember(gens: Map[String, Long]): Map[String, Long] = {
+    val merged = (lastKnown.keySet ++ gens.keySet).iterator.map { p =>
+      p -> math.max(lastKnown.getOrElse(p, 0L), gens.getOrElse(p, 0L))
+    }.toMap
+    lastKnown = merged
+    merged
+  }
+
   override def initialOffset(): Offset = PotMultiGenOffset(Map.empty)
   override def latestOffset(): Offset =
-    PotMultiGenOffset(pots().map { p =>
+    PotMultiGenOffset(remember(pots().map { p =>
       val commits = new Path(p.getParent, ".commits")
       p.toString ->
         (graft.kv.CommitMarker.committedGenerations(fs, commits) :+ 0L).max
-    }.toMap)
-  override def deserializeOffset(json: String): Offset =
-    PotMultiGenOffset.fromJson(json)
+    }.toMap))
+  override def deserializeOffset(json: String): Offset = {
+    val o = PotMultiGenOffset.fromJson(json)
+    remember(o.gens)
+    o
+  }
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
   override def planInputPartitions(
       start: Offset, end: Offset): Array[InputPartition] = {
     val s0 = start.asInstanceOf[PotMultiGenOffset].gens
+    remember(s0)
     val e0 = end.asInstanceOf[PotMultiGenOffset].gens
     e0.toSeq.sortBy(_._1).flatMap { case (pot, eg) =>
       val sg = s0.getOrElse(pot, 0L)

@@ -467,6 +467,17 @@ class KvSpec extends AnyFunSuite {
       === Seq(3))
     // the watermark only moves forward
     intercept[IllegalArgumentException] { txn.gcBelow(t1) }
+    // ...and never PAST the committed txn head: a future txn would be
+    // numbered at or below the watermark and frontier()'s `t > w` filter
+    // would silently drop its applied coordinates forever
+    val eAhead = intercept[IllegalArgumentException] { txn.gcBelow(t3 + 5) }
+    assert(eAhead.getMessage.contains("head"), eAhead.getMessage)
+    // the guard really protects visibility: commit t4, gc at the head,
+    // and t4's coordinates survive in every later frontier
+    val t4 = txn.commitAll(Seq("pb" -> Seq(("k2", 4)).toDF("key", "v")))
+    txn.gcBelow(t4)
+    assert(txn.frontier(t4)("pb") > f2("pb"),
+      "post-GC frontier lost a committed txn's coordinate")
     // and a pot generation dropped by PotTable.vacuum is equally loud
     val pa = PotTable(spark, root, "pa")
     pa.vacuum(retainGenerations = 0)

@@ -885,6 +885,142 @@ class PotJsonSpec extends AnyFunSuite {
     }
   }
 
+  test("PotV2 row-level op pins its SCAN to the captured generation (never the lagging data.json)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("potv2pin").toString
+    val pot = s"$root/t/data.json"
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    def put(rows: Seq[(String, Int)], mode: String): Unit =
+      rows.map { case (k, v) => ("", k, s"""{"v": $v}""") }
+        .toDF("pot_file", "key", "doc_json")
+        .write.format(fmt).option("path", pot).mode(mode).save()
+    put(Seq("a" -> 1), "overwrite") // generation 1
+    // the operation is BUILT at head=1 (captures observedHeadGen)...
+    val op = new graft.sources.PotRowLevelOperation(pot,
+      org.apache.spark.sql.connector.write.RowLevelOperation.Command.UPDATE)
+    // ...then a concurrent writer lands generation 2
+    put(Seq("a" -> 2), "append")
+    val scan = op.newScanBuilder(
+      org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+      .build()
+    assert(scan.description().contains("Generation: 1"),
+      s"scan is not pinned to the captured generation: ${scan.description()}")
+    // reading the pinned scan yields generation-1 CONTENT — the state the
+    // commit's expectedHeadGen check protects, not whatever data.json
+    // (which may lag or lead the chain) holds at scan time
+    val parts = scan.toBatch.planInputPartitions()
+    assert(parts.length === 1)
+    val r = scan.toBatch.createReaderFactory().createReader(parts.head)
+    val docs = scala.collection.mutable.Map.empty[String, String]
+    while (r.next()) {
+      val row = r.get()
+      docs(row.getUTF8String(1).toString) = row.getUTF8String(2).toString
+    }
+    r.close()
+    assert(docs.toMap === Map("a" -> """{"v":1}"""),
+      "row-level scan read state other than the pinned generation")
+  }
+
+  test("PotV2 multi-pot feed: a pot transiently absent from the glob keeps its committed coordinate") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("potv2mpabs").toString
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    def put(pot: String, rows: Seq[(String, Int)]): Unit =
+      rows.map { case (k, v) => ("", k, s"""{"v": $v}""") }
+        .toDF("pot_file", "key", "doc_json")
+        .write.format(fmt).option("path", s"$root/pots/$pot/data.json")
+        .mode("overwrite").save()
+    put("a", Seq("a1" -> 1)); put("b", Seq("b1" -> 1))
+    val stream = new graft.sources.PotV2MultiPotStream(
+      s"$root/pots/*/data.json", graft.sources.PotV2Source.Schema)
+    val o1 = stream.latestOffset()
+      .asInstanceOf[graft.sources.PotMultiGenOffset]
+    assert(o1.gens.size === 2 && o1.gens.values.forall(_ === 1L), o1.json)
+    // simulate the materialize delete+rename window: b's data.json is
+    // transiently absent from globStatus while its chain is intact
+    val bData = java.nio.file.Paths.get(s"$root/pots/b/data.json")
+    val bytes = java.nio.file.Files.readAllBytes(bData)
+    java.nio.file.Files.delete(bData)
+    val o2 = stream.latestOffset()
+      .asInstanceOf[graft.sources.PotMultiGenOffset]
+    assert(o2.gens === o1.gens,
+      s"absent pot dropped its committed coordinate: ${o2.json}")
+    // on reappearance nothing replays: the carried coordinate means the
+    // batch between the two offsets has NO partitions for b
+    java.nio.file.Files.write(bData, bytes)
+    val o3 = stream.latestOffset()
+      .asInstanceOf[graft.sources.PotMultiGenOffset]
+    assert(o3.gens === o1.gens, o3.json)
+    assert(stream.planInputPartitions(o2, o3).isEmpty,
+      "reappearing pot replayed its chain")
+  }
+
+  test("PotV2 MERGE/UPDATE/DELETE honors the maxObjectBytes option like the batch write path") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("potv2dcap").toString
+    val pot = s"$root/t/data.json"
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    Seq(("", "a", """{"v": 1}"""), ("", "b", """{"v": 2}"""))
+      .toDF("pot_file", "key", "doc_json")
+      .write.format(fmt).option("path", pot).mode("overwrite").save()
+    def infoWith(opts: java.util.Map[String, String]) =
+      new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+        override def options() =
+          new org.apache.spark.sql.util.CaseInsensitiveStringMap(opts)
+        override def queryId() = java.util.UUID.randomUUID().toString
+        override def schema() = graft.sources.PotV2Source.Schema
+        override def rowIdSchema() = java.util.Optional.of(
+          StructType(Seq(StructField("key", StringType))))
+        override def metadataSchema() =
+          java.util.Optional.empty[StructType]()
+      }
+    // a 10-byte ceiling through the DELTA path: the head merge base is
+    // over it, so the commit fails loudly with the migration message —
+    // the same contract .option("maxObjectBytes", n) gives batch INSERT
+    val capped = new graft.sources.PotV2DeltaWrite(pot,
+      infoWith(java.util.Map.of("maxObjectBytes", "10")), 1L)
+    val e = intercept[graft.sources.PotTooLarge] {
+      capped.commit(Array.empty)
+    }
+    assert(e.getMessage.contains("BucketedPotTable"))
+    // default ceiling: the same empty delta commits fine (generation 2)
+    new graft.sources.PotV2DeltaWrite(pot,
+      infoWith(java.util.Map.of()), 1L).commit(Array.empty)
+    val commits = new org.apache.hadoop.fs.Path(s"$root/t/.commits")
+    val fs = commits.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(graft.kv.CommitMarker.committedGenerations(fs, commits).max === 2L)
+  }
+
+  test("PotV2 SQL DELETE surfaces a vacuumed head as a clean conflict, not a raw FileNotFound") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("potv2delfnf").toString
+    val pot = s"$root/t/data.json"
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    val tbl = "graft_spec_del_fnf"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (pot_file STRING, key STRING, " +
+      s"doc_json STRING) USING $fmt OPTIONS (path '$pot')")
+    Seq(("", "a", """{"v": 1}"""))
+      .toDF("pot_file", "key", "doc_json")
+      .write.format(fmt).option("path", pot).mode("overwrite").save()
+    // simulate the vacuum window: the head marker stands but its body is
+    // gone (in a real race a newer head exists and the retry adopts it;
+    // here the chain stays corrupt, so the loop must end in the loud
+    // re-run contract — never a raw FileNotFoundException)
+    val dirP = new org.apache.hadoop.fs.Path(s"$root/t")
+    val fs = dirP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(dirP).map(_.getPath)
+      .filter(_.getName.startsWith(".snap-")).foreach(fs.delete(_, false))
+    val e = intercept[Exception] { spark.sql(s"DELETE FROM $tbl WHERE key = 'a'") }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    assert(chain(e).exists(_.isInstanceOf[graft.kv.PotTable.CommitConflict]),
+      s"expected CommitConflict, got: $e")
+    assert(!chain(e).exists(_.isInstanceOf[java.io.FileNotFoundException]),
+      "raw FileNotFoundException leaked out of SQL DELETE")
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("PotV2Source rejects a non-map pot object loudly") {
     val dir = java.nio.file.Files.createTempDirectory("potv2bad")
     writePot(dir, "bad", """[1, 2, 3]""")
