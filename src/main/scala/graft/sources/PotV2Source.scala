@@ -75,10 +75,14 @@ object PotV2Source {
   val DefaultMaxObjectBytes: Long = 1L << 30
 
   /** Maintenance: delete the snapshot bodies of every CHAIN generation
-    * below the head (each commit leaves one immutable snapshot; only the
-    * head is ever read — by appends as the merge base and by the
-    * data.json materialization). Markers stay: they are the generation
-    * counter and are a few bytes each.
+    * below the head's COVERING snapshot (each snapshot commit leaves one
+    * immutable full object; delta generations above the covering snapshot
+    * are O(change-set) `.dgen-` files the head state folds from, so the
+    * covering snapshot and everything above it must survive). Markers
+    * stay: they are the generation counter and are a few bytes each.
+    * Delta-generation bodies are never deleted — like the `.delta-`
+    * sidecars they are change-set sized and double as the change feed's
+    * replay record.
     *
     * SAFE WITH LIVE WRITERS (r13 — the r12 contract was a documented
     * no-live-writer precondition; this is the mechanism). Two pieces:
@@ -133,16 +137,88 @@ object PotV2Source {
       case _: graft.kv.PotTable.CommitIncomplete => return Seq.empty
     }
     // chain-referenced deletion: bodies of committed markers BELOW the
-    // head only — never a directory listing, so an in-flight commit's
-    // staged (unreferenced) snapshot is structurally out of reach
-    gens.dropRight(1).flatMap { g =>
-      val body = new Path(graft.kv.CommitMarker
-        .read(fs, new Path(commits, g.toString)))
-      if (body.getName.startsWith(".snap-") && fs.exists(body)) {
-        fs.delete(body, false)
-        Some(body.toString)
+    // head's covering snapshot only — never a directory listing, so an
+    // in-flight commit's staged (unreferenced) snapshot is structurally
+    // out of reach, and the covering snapshot the head state folds from
+    // is structurally retained
+    val bodies = gens.map(g => g -> graft.kv.CommitMarker
+      .read(fs, new Path(commits, g.toString)))
+    val covering = bodies.filter(b => PotChain.isSnap(b._2))
+      .map(_._1).foldLeft(0L)(math.max)
+    bodies.flatMap { case (g, body) =>
+      val p = new Path(body)
+      if (g < covering && p.getName.startsWith(".snap-") && fs.exists(p)) {
+        fs.delete(p, false)
+        Some(p.toString)
       } else None
     }
+  }
+}
+
+/** Generation-chain state resolution: a pot's chain holds two artifact
+  * kinds — full snapshots (`.snap-*.json`, the whole object) and DELTA
+  * generations (`.dgen-*.jsonl`, one streaming epoch's change set:
+  * `{"k":<key>,"d":<doc|null>}` lines, null = tombstone). State at
+  * generation g = the nearest snapshot at or below g folded with the
+  * delta generations above it, LWW per key — the LSM discipline that
+  * makes a streaming epoch O(change-set) while batch commits stay full
+  * snapshots. Chains always START with a snapshot (the first epoch of a
+  * pot goes through the snapshot path, adopting any legacy data.json),
+  * so the fold always has a base.
+  */
+private[graft] object PotChain {
+  def isSnap(body: String): Boolean =
+    new Path(body).getName.startsWith(".snap-")
+  def isDgen(body: String): Boolean =
+    new Path(body).getName.startsWith(".dgen-")
+
+  /** (gen, marker body) ascending for every committed gen <= g. */
+  def artifactsUpTo(fs: org.apache.hadoop.fs.FileSystem, commits: Path,
+      g: Long): Seq[(Long, String)] =
+    graft.kv.CommitMarker.committedGenerations(fs, commits)
+      .filter(_ <= g).sorted
+      .map(n => n -> graft.kv.CommitMarker.read(fs, new Path(commits, n.toString)))
+
+  /** The artifact body of one committed generation. */
+  def artifactOf(fs: org.apache.hadoop.fs.FileSystem, commits: Path,
+      g: Long): String =
+    graft.kv.CommitMarker.read(fs, new Path(commits, g.toString))
+
+  /** Fold the chain into the full key→doc state at generation g.
+    * Cost: one snapshot load + the delta generations above it. Throws
+    * FileNotFoundException if a needed body was vacuumed mid-read
+    * (callers treat it as conflict-equivalent and retry, or fail loudly
+    * for pinned reads — the retention contract).
+    */
+  def stateAt(fs: org.apache.hadoop.fs.FileSystem, commits: Path, g: Long)
+      : java.util.LinkedHashMap[String, String] = {
+    val mapper = new ObjectMapper()
+    val arts = artifactsUpTo(fs, commits, g)
+    val baseIdx = arts.lastIndexWhere(a => isSnap(a._2))
+    val state = new java.util.LinkedHashMap[String, String]()
+    if (baseIdx >= 0) {
+      val in = fs.open(new Path(arts(baseIdx)._2))
+      val root = try mapper.readTree(in) finally in.close()
+      require(root != null && root.isObject,
+        s"pot snapshot ${arts(baseIdx)._2}: top level must be a JSON map")
+      root.fields().asScala.foreach(e =>
+        state.put(e.getKey, e.getValue.toString))
+    }
+    arts.drop(baseIdx + 1).foreach { case (_, body) =>
+      require(isDgen(body),
+        s"pot chain: generation artifact above the covering snapshot " +
+          s"must be a delta: $body")
+      val in = fs.open(new Path(body))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).foreach { line =>
+          val n = mapper.readTree(line)
+          val d = n.get("d")
+          if (d == null || d.isNull) state.remove(n.get("k").asText())
+          else state.put(n.get("k").asText(), d.toString)
+        }
+      finally in.close()
+    }
+    state
   }
 }
 
@@ -234,16 +310,27 @@ private[sources] class PotV2Table(path: String)
       loadAttempts += 1
       head = PotV2Write.latestSnapshot(fs, commits)
       entries.clear()
-      val src = head.map(h => new Path(h._2))
-        .orElse(if (fs.exists(target)) Some(target) else None)
       try {
-        src.foreach { p =>
-          val in = fs.open(p)
-          val root = try mapper.readTree(in) finally in.close()
-          require(root != null && root.isObject,
-            s"pot object $p: top level must be a JSON map")
-          root.fields().asScala.foreach(e =>
-            entries.put(e.getKey, e.getValue.toString))
+        head match {
+          case Some((g, body)) =>
+            // fold when the head is a delta generation (streaming
+            // epochs since the last compaction); direct load otherwise
+            if (PotChain.isSnap(body)) {
+              val in = fs.open(new Path(body))
+              val root = try mapper.readTree(in) finally in.close()
+              require(root != null && root.isObject,
+                s"pot object $body: top level must be a JSON map")
+              root.fields().asScala.foreach(e =>
+                entries.put(e.getKey, e.getValue.toString))
+            } else entries.putAll(PotChain.stateAt(fs, commits, g))
+          case None if fs.exists(target) =>
+            val in = fs.open(target)
+            val root = try mapper.readTree(in) finally in.close()
+            require(root != null && root.isObject,
+              s"pot object $target: top level must be a JSON map")
+            root.fields().asScala.foreach(e =>
+              entries.put(e.getKey, e.getValue.toString))
+          case None => ()
         }
         loaded = true
       } catch {
@@ -460,15 +547,33 @@ private[graft] class PotV2Scan(
       require(graft.kv.CommitMarker.committedGenerations(fs, commits)
           .contains(g),
         s"PotV2Source: generation $g is not committed under $commits")
+      val body = graft.kv.CommitMarker.read(fs, marker)
+      // a snapshot generation reads its immutable object directly; a
+      // DELTA generation (streaming epoch) folds its chain executor-side
       return Array(
-        PotFilePartition(graft.kv.CommitMarker.read(fs, marker)))
+        if (PotChain.isSnap(body)) PotFilePartition(body)
+        else PotStatePartition(p.getParent.toString, g, body))
     }
     val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
     val parts = matched.filter(_.isFile)
       .map(_.getPath.toString)
       .filter(PotV2Filters.accepts(pushed, "pot_file", _))
       .filter(PotV2Filters.accepts(runtime, "pot_file", _))
-      .map(f => PotFilePartition(f): InputPartition)
+      .map { f =>
+        // data.json materializes SNAPSHOTS only: when the chain head is a
+        // delta generation (streaming epochs since the last compaction),
+        // the partition folds the chain instead of reading the lagging
+        // materialization — still one task per pot. pot_file provenance
+        // stays the data.json path either way.
+        val dir = new Path(f).getParent
+        val commits = new Path(dir, ".commits")
+        val head = (graft.kv.CommitMarker
+          .committedGenerations(fs, commits) :+ 0L).max
+        val headIsDelta = head > 0 &&
+          PotChain.isDgen(PotChain.artifactOf(fs, commits, head))
+        if (headIsDelta) PotStatePartition(dir.toString, head, f)
+        else PotFilePartition(f): InputPartition
+      }
       .toArray
     // Partial GLOBAL count with every file pruned away: Spark's final
     // merge would sum zero partial rows and return NULL where a
@@ -496,6 +601,14 @@ private[graft] class PotV2Scan(
 
 private[sources] case class PotFilePartition(file: String) extends InputPartition
 
+/** A pot whose chain head (or pinned generation) is a DELTA generation:
+  * the reader folds the chain (covering snapshot + dgens) EXECUTOR-side
+  * via [[PotChain.stateAt]] — one task per pot, the same parallelism as a
+  * file partition, with data.json allowed to lag snapshot-only. `potFile`
+  * is the provenance value emitted in the pot_file column. */
+private[sources] case class PotStatePartition(
+    dir: String, gen: Long, potFile: String) extends InputPartition
+
 /** Planned only for a pushed partial GLOBAL count whose pot_file
   * predicate pruned every file: its reader emits the single 0 partial. */
 private[sources] case object PotNoFilePartition extends InputPartition
@@ -516,7 +629,22 @@ private[sources] class PotV2ReaderFactory(
       }
       case _ => ()
     }
-    val file = partition.asInstanceOf[PotFilePartition].file
+    val file = partition match {
+      case PotFilePartition(f) => f
+      case PotStatePartition(_, _, pf) => pf
+      case other => throw new IllegalArgumentException(
+        s"PotV2Source: unexpected partition $other")
+    }
+    // state partitions fold their chain executor-side; key predicates
+    // still prune the emitted entries (the fold itself is whole-state by
+    // definition — that is what a delta-headed chain costs to resolve)
+    def foldedEntries(sp: PotStatePartition): Iterator[(String, String)] = {
+      val fs = new Path(sp.dir).getFileSystem(new Configuration())
+      PotChain.stateAt(fs, new Path(sp.dir, ".commits"), sp.gen)
+        .entrySet().asScala.iterator
+        .filter(e => PotV2Filters.accepts(pushed, "key", e.getKey))
+        .map(e => (e.getKey, e.getValue))
+    }
     aggGroupedByFile match {
       case Some(grouped) => return new PartitionReader[InternalRow] {
         // Count path: parse the map, apply pushed key predicates, count —
@@ -526,16 +654,18 @@ private[sources] class PotV2ReaderFactory(
         // would be a phantom a non-pushed aggregate never produces; the
         // global partial keeps its 0 row (partials are summed).
         private var emitted = false
-        private lazy val count: Long = {
-          val p = new Path(file)
-          val fs = p.getFileSystem(new Configuration())
-          val in = fs.open(p)
-          val root = try new ObjectMapper().readTree(in) finally in.close()
-          require(root != null && root.isObject,
-            s"pot object $file: top level must be a JSON map")
-          root.fieldNames().asScala
-            .count(PotV2Filters.accepts(pushed, "key", _))
-            .toLong
+        private lazy val count: Long = partition match {
+          case sp: PotStatePartition => foldedEntries(sp).size.toLong
+          case _ =>
+            val p = new Path(file)
+            val fs = p.getFileSystem(new Configuration())
+            val in = fs.open(p)
+            val root = try new ObjectMapper().readTree(in) finally in.close()
+            require(root != null && root.isObject,
+              s"pot object $file: top level must be a JSON map")
+            root.fieldNames().asScala
+              .count(PotV2Filters.accepts(pushed, "key", _))
+              .toLong
         }
         override def next(): Boolean =
           if (emitted) false else { emitted = true; !grouped || count > 0 }
@@ -548,18 +678,20 @@ private[sources] class PotV2ReaderFactory(
       case None => // fall through to the row reader below
     }
     new PartitionReader[InternalRow] {
-      private val entries: Iterator[(String, String)] = {
-        val p = new Path(file)
-        val fs = p.getFileSystem(new Configuration())
-        val in = fs.open(p)
-        val root = try new ObjectMapper().readTree(in) finally in.close()
-        require(root != null && root.isObject,
-          s"pot object $file: top level must be a JSON map")
-        // key predicates filter BEFORE toString — a point read of one key
-        // in a 100k-entry pot never stringifies the other bodies
-        root.fields().asScala
-          .filter(e => PotV2Filters.accepts(pushed, "key", e.getKey))
-          .map(e => (e.getKey, e.getValue.toString))
+      private val entries: Iterator[(String, String)] = partition match {
+        case sp: PotStatePartition => foldedEntries(sp)
+        case _ =>
+          val p = new Path(file)
+          val fs = p.getFileSystem(new Configuration())
+          val in = fs.open(p)
+          val root = try new ObjectMapper().readTree(in) finally in.close()
+          require(root != null && root.isObject,
+            s"pot object $file: top level must be a JSON map")
+          // key predicates filter BEFORE toString — a point read of one
+          // key in a 100k-entry pot never stringifies the other bodies
+          root.fields().asScala
+            .filter(e => PotV2Filters.accepts(pushed, "key", e.getKey))
+            .map(e => (e.getKey, e.getValue.toString))
       }
       private var row: InternalRow = _
       override def next(): Boolean = {
@@ -624,8 +756,15 @@ private[sources] class PotV2WriteBuilder(
       s"PotV2Source write: path must name ONE pot object, not a glob: $path")
     val ceiling = Option(info.options.get("maxObjectBytes")).map(_.toLong)
       .getOrElse(PotV2Source.DefaultMaxObjectBytes)
+    // compactEvery: every Nth streaming APPEND epoch commits a full
+    // snapshot instead of a delta generation (amortized O(pot/N) per
+    // epoch); batch writes always snapshot
+    val compactEvery = Option(info.options.get("compactEvery"))
+      .map(_.toInt).getOrElse(8)
+    require(compactEvery >= 2,
+      s"PotV2Source: compactEvery must be >= 2, got $compactEvery")
     new PotV2Write(path, info.schema(), info.queryId(), truncateFirst,
-      ceiling)
+      ceiling, compactEvery)
   }
 }
 
@@ -635,7 +774,8 @@ private[graft] case class PotFragmentMessage(
 private[graft] class PotV2Write(
     path: String, schema: StructType, queryId: String,
     private[graft] val truncateFirst: Boolean,
-    maxObjectBytes: Long = PotV2Source.DefaultMaxObjectBytes)
+    maxObjectBytes: Long = PotV2Source.DefaultMaxObjectBytes,
+    private[graft] val compactEvery: Int = 8)
     extends Write with BatchWrite {
   import java.nio.charset.StandardCharsets.UTF_8
 
@@ -737,29 +877,40 @@ private[graft] class PotV2Write(
               s"against generation $e was in flight — re-run the statement")
       }
       // size ceiling, checked BEFORE the driver materializes the object:
-      // the merge base's file length bounds the load, so a pot that has
+      // the COVERING SNAPSHOT's file length bounds the fold (delta
+      // generations above it are change-set sized), so a pot that has
       // outgrown driver memory fails loudly with the migration path
       // instead of OOMing mid-merge
-      head.foreach { case (_, snap) =>
-        val len = fs.getFileStatus(new Path(snap)).getLen
-        if (len > maxObjectBytes)
-          throw new PotTooLarge(
-            s"pot object $path: merge base is $len bytes, over the " +
-              s"$maxObjectBytes ceiling — a pot is a driver-memory unit; " +
-              "migrate to graft.kv.BucketedPotTable (hash-bucketed keys, " +
-              "distributed merge) or split across more pot objects " +
-              "(raise with .option(\"maxObjectBytes\", n) only if the " +
-              "driver really has the headroom)")
+      head.foreach { case (g, body) =>
+        val snapPath =
+          if (PotChain.isSnap(body)) Some(body)
+          else PotChain.artifactsUpTo(fs, commits, g)
+            .filter(a => PotChain.isSnap(a._2)).lastOption.map(_._2)
+        snapPath.foreach { snap =>
+          val len = fs.getFileStatus(new Path(snap)).getLen
+          if (len > maxObjectBytes)
+            throw new PotTooLarge(
+              s"pot object $path: merge base is $len bytes, over the " +
+                s"$maxObjectBytes ceiling — a pot is a driver-memory unit; " +
+                "migrate to graft.kv.BucketedPotTable (hash-bucketed keys, " +
+                "distributed merge) or split across more pot objects " +
+                "(raise with .option(\"maxObjectBytes\", n) only if the " +
+                "driver really has the headroom)")
+        }
       }
-      // prevDelta = the head snapshot's content — the change-feed BASE for
+      // prevDelta = the head state's content — the change-feed BASE for
       // this generation's delta sidecar. Distinct from the merge base:
       // truncate merges from empty but still diffs against the head (so
       // dropped keys become tombstones); the gen-1 legacy-adoption case
       // merges from a pre-connector data.json but diffs against EMPTY
       // (the feed's snapshot(0), so every adopted key is an upsert).
+      // A head that is a DELTA generation folds its chain (covering
+      // snapshot + dgens) — snapshot commits above a streaming epoch run
+      // therefore COMPACT the chain.
       val prevDelta = new java.util.LinkedHashMap[String, String]()
-      try head.foreach { case (_, snap) =>
-        loadObject(new Path(snap), prevDelta)
+      try head.foreach { case (g, body) =>
+        if (PotChain.isSnap(body)) loadObject(new Path(body), prevDelta)
+        else prevDelta.putAll(PotChain.stateAt(fs, commits, g))
       } catch {
         // the head we pinned was superseded AND its body vacuumed while
         // we were loading it (vacuumSnapshots only deletes below-head
@@ -863,6 +1014,107 @@ private[graft] class PotV2Write(
     fs.delete(staging, true)
   }
 
+  /** O(change-set) streaming-epoch commit: fold this epoch's fragments
+    * into ONE `.dgen-` delta file and CAS it as the next generation —
+    * no head-snapshot load, no full-object write, no pot-size ceiling.
+    * The driver's work is bounded by the EPOCH, not the pot, so a
+    * high-rate stream into a large pot commits at change-set cost.
+    *
+    * Routing (the chain stays snapshot-based where a snapshot is the
+    * honest cost):
+    *   - FIRST commit of a pot (no chain): snapshot path — it adopts any
+    *     legacy data.json and gives the fold its base;
+    *   - every `compactEvery`-th epoch: snapshot path (COMPACTION) — the
+    *     fold is amortized O(pot/compactEvery) per epoch, data.json
+    *     re-materializes, and the PotTooLarge ceiling applies exactly
+    *     there (true snapshot materialization), never to the delta
+    *     epochs between;
+    *   - otherwise: delta generation.
+    *
+    * Exactly-once: the epoch tag rides in the dgen/snapshot file name, so
+    * a checkpoint-replayed epoch ADOPTS its committed generation
+    * whichever path it originally took. Lost CAS races re-read the head
+    * and re-CAS (nothing to re-merge — the delta is head-independent).
+    */
+  private[graft] def commitDeltaEpoch(
+      messages: Array[WriterCommitMessage], snapTag: String,
+      staging: Path): Unit = {
+    import java.nio.charset.StandardCharsets.UTF_8
+    val target = new Path(path)
+    val fs = target.getFileSystem(new Configuration())
+    val dir = target.getParent
+    val commits = new Path(dir, ".commits")
+    val mapper = new ObjectMapper()
+
+    def tagCommitted(t: String): Boolean =
+      graft.kv.CommitMarker.committedGenerations(fs, commits).exists { g =>
+        new Path(graft.kv.CommitMarker.read(fs, new Path(commits, g.toString)))
+          .getName.contains(s"-$t-")
+      }
+
+    def dgenRunLength(gens: Seq[Long]): Int =
+      gens.sorted.reverse.iterator
+        .map(g => PotChain.artifactOf(fs, commits, g))
+        .takeWhile(PotChain.isDgen).size
+
+    def attempt(): Boolean = {
+      if (tagCommitted(snapTag)) return true // replayed epoch: adopt
+      val gens = graft.kv.CommitMarker.committedGenerations(fs, commits)
+      // no chain yet, or the delta run reached the compaction threshold:
+      // this epoch is a SNAPSHOT commit (base / compaction) — the one
+      // place the whole-object fold and its ceiling legitimately run
+      if (gens.isEmpty || dgenRunLength(gens) >= compactEvery - 1) {
+        commitEntries(messages, truncate = false, snapTag = Some(snapTag),
+          retryOnConflict = true, staging = staging)
+        return true
+      }
+      // delta epoch: two-phase per-key fold of the fragments (ALL
+      // tombstones before ANY upsert — commitEntries's discipline), then
+      // one CAS'd `.dgen-` artifact; the epoch never touches pot state
+      val frags = messages.collect { case m: PotFragmentMessage => m }
+        .sortBy(_.partitionId)
+      val folded = new java.util.LinkedHashMap[String, String]()
+      val upserts = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      frags.foreach { m =>
+        val in = fs.open(new Path(m.fragment))
+        try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(_.nonEmpty).foreach { line =>
+            val n = mapper.readTree(line)
+            val dn = n.get("d")
+            if (dn == null || dn.isNull) folded.put(n.get("k").asText(), null)
+            else upserts += ((n.get("k").asText(), dn.toString))
+          }
+        finally in.close()
+      }
+      upserts.foreach { case (k, v) => folded.put(k, v) }
+      val stem = s"$snapTag-${java.util.UUID.randomUUID()}"
+      val dgen = new Path(dir, s".dgen-$stem.jsonl")
+      val out = fs.create(dgen, false)
+      try folded.entrySet().asScala.foreach { e =>
+        val d = Option(e.getValue).getOrElse("null")
+        out.write(
+          s"""{"k":${mapper.writeValueAsString(e.getKey)},"d":$d}"""
+            .getBytes(UTF_8))
+        out.write('\n')
+      } finally out.close()
+      val gen = gens.foldLeft(0L)(math.max) + 1
+      try {
+        graft.kv.CommitMarker.publish(
+          fs, new Path(commits, gen.toString), dgen.toString)
+        true
+      } catch {
+        case _: graft.kv.PotTable.CommitConflict =>
+          fs.delete(dgen, false); false // re-read head, re-CAS
+        case e: Throwable =>
+          fs.delete(dgen, false); throw e
+      }
+    }
+    while (!attempt()) {}
+    // NO data.json refresh: that is the snapshot paths' job — readers
+    // resolve a delta-headed chain by folding (PotStatePartition)
+    fs.delete(staging, true)
+  }
+
   override def commit(messages: Array[WriterCommitMessage]): Unit =
     commitEntries(messages, truncateFirst, snapTag = None,
       retryOnConflict = false, staging = stagingDir)
@@ -909,10 +1161,16 @@ private[graft] class PotV2StreamingWrite(write: PotV2Write)
     // instead of merge-appending — r12 hardcoded false here, so complete
     // mode silently kept stale keys from earlier epochs. Safe under the
     // retry loop: every attempt re-merges from scratch, and with
-    // truncate the merge base is simply empty every attempt.
-    write.commitEntries(messages, truncate = write.truncateFirst,
-      snapTag = Some(tag(epochId)), retryOnConflict = true,
-      staging = write.epochStagingDir(epochId))
+    // truncate the merge base is simply empty every attempt. (A complete
+    // epoch IS the whole object, so the snapshot path is its honest
+    // cost; APPEND epochs go through the O(change-set) delta path.)
+    if (write.truncateFirst)
+      write.commitEntries(messages, truncate = true,
+        snapTag = Some(tag(epochId)), retryOnConflict = true,
+        staging = write.epochStagingDir(epochId))
+    else
+      write.commitDeltaEpoch(messages, tag(epochId),
+        staging = write.epochStagingDir(epochId))
 
   override def abort(
       epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -944,18 +1202,33 @@ private[graft] object PotV2Write {
     }
   }
 
-  /** Copy the chain-head snapshot over data.json atomically, re-checking
-    * the head afterwards: a winner superseded mid-copy re-copies the newer
-    * head, so concurrent refreshes converge and readers never see a torn
-    * (or regressed-forever) object. Bounded retries — each NEW commit also
-    * refreshes, so transient raciness self-heals on the next write.
+  /** Latest committed generation whose artifact is a FULL snapshot (the
+    * materialization source — delta generations above it are resolved by
+    * the scan-side fold, never copied into data.json). */
+  def latestFullSnapshot(
+      fs: org.apache.hadoop.fs.FileSystem,
+      commits: Path): Option[(Long, String)] = {
+    val gens = graft.kv.CommitMarker.committedGenerations(fs, commits)
+      .sorted.reverse
+    gens.iterator
+      .map(g => g -> graft.kv.CommitMarker.read(fs, new Path(commits, g.toString)))
+      .find(a => PotChain.isSnap(a._2))
+  }
+
+  /** Copy the latest SNAPSHOT generation over data.json atomically,
+    * re-checking afterwards: a winner superseded mid-copy re-copies the
+    * newer snapshot, so concurrent refreshes converge and readers never
+    * see a torn (or regressed-forever) object. Bounded retries — each NEW
+    * snapshot commit also refreshes, so transient raciness self-heals on
+    * the next write. Delta generations above the copied snapshot are the
+    * scan fold's job (data.json materializes snapshots only).
     */
   def refreshMaterialization(
       fs: org.apache.hadoop.fs.FileSystem,
       dir: Path, target: Path, commits: Path): Unit = {
     var lastCopied = -1L
     var attempts = 0
-    var head = latestSnapshot(fs, commits)
+    var head = latestFullSnapshot(fs, commits)
     while (attempts < 5 && head.exists(_._1 != lastCopied)) {
       attempts += 1
       val (gen, snap) = head.get
@@ -989,7 +1262,7 @@ private[graft] object PotV2Write {
         }
         lastCopied = gen
       }
-      head = latestSnapshot(fs, commits)
+      head = latestFullSnapshot(fs, commits)
     }
   }
 }
@@ -1426,6 +1699,20 @@ private[graft] class PotV2DeltaReaderFactory(columns: Array[String])
         // way (PotJsonSpec pins the equivalence on a truncate chain).
         val curSnapPath = new Path(graft.kv.CommitMarker
           .read(fs, new Path(commits, p.gen.toString)))
+        // a DELTA generation (streaming epoch) IS its own change record:
+        // its `.dgen-` lines are exactly the epoch's applied change set
+        // (upserts + tombstones) — no sidecar, no snapshot diff
+        if (PotChain.isDgen(curSnapPath.toString)) {
+          val in = fs.open(curSnapPath)
+          val lines = try scala.io.Source
+            .fromInputStream(in, "UTF-8").getLines()
+            .filter(_.nonEmpty).toVector
+          finally in.close()
+          lines.iterator.map { line =>
+            val n = mapper.readTree(line)
+            (n.get("k").asText(), n.get("d").toString)
+          }
+        } else {
         val sidecar: Option[Iterator[(String, String)]] = {
           val name = curSnapPath.getName
           if (name.startsWith(".snap-") && name.endsWith(".json")) {
@@ -1446,16 +1733,8 @@ private[graft] class PotV2DeltaReaderFactory(columns: Array[String])
         }
         def snapshot(g: Long): Seq[(String, String)] =
           if (g < 1) Seq.empty
-          else {
-            val snap = new Path(graft.kv.CommitMarker
-              .read(fs, new Path(commits, g.toString)))
-            val in = fs.open(snap)
-            val root = try mapper.readTree(in) finally in.close()
-            require(root != null && root.isObject,
-              s"pot snapshot $snap: top level must be a JSON map")
-            root.fields().asScala
-              .map(e => e.getKey -> e.getValue.toString).toSeq
-          }
+          else PotChain.stateAt(fs, commits, g).entrySet().asScala
+            .map(e => e.getKey -> e.getValue).toSeq
         sidecar.getOrElse {
           val prevSeq = snapshot(p.gen - 1)
           val prev = prevSeq.toMap
@@ -1477,6 +1756,7 @@ private[graft] class PotV2DeltaReaderFactory(columns: Array[String])
           val tombstones = prevSeq.iterator
             .collect { case (k, _) if !curKeys(k) => (k, "null") }
           upserts ++ tombstones
+        }
         }
       }
       private val file = s"${p.dir}/data.json@${p.gen}"

@@ -480,6 +480,146 @@ class PotJsonSpec extends AnyFunSuite {
       "complete-mode epoch merge-appended instead of replacing")
   }
 
+  test("PotV2 streaming APPEND epochs are O(change-set) delta generations; reads fold; compaction every Nth epoch") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("potv2dg").toString
+    val pot = s"$dir/t/data.json"
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    val fs = new org.apache.hadoop.fs.Path(pot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commits = new org.apache.hadoop.fs.Path(s"$dir/t/.commits")
+    def artifact(g: Long) =
+      graft.kv.CommitMarker.read(fs,
+        new org.apache.hadoop.fs.Path(commits, g.toString))
+    def gens() = graft.kv.CommitMarker.committedGenerations(fs, commits).sorted
+    // gen 1: a LARGE pot via the batch path (full snapshot)
+    (1 to 2000).map(i => ("", f"seed$i%04d", s"""{"v": $i}"""))
+      .toDF("pot_file", "key", "doc_json")
+      .write.format(fmt).option("path", pot).mode("overwrite").save()
+    val potBytes = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(pot)).getLen
+    assert(potBytes > 20000, s"seed pot unexpectedly small: $potBytes")
+    // stream small epochs with compactEvery=4
+    val write = new graft.sources.PotV2Write(
+      pot, graft.sources.PotV2Source.Schema, "q-dgen",
+      truncateFirst = false, compactEvery = 4)
+    val sw = write.toStreaming
+    def stage(epoch: Long, key: String, v: Int)
+        : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+      val w = new graft.sources.PotV2WriterFactory(
+        write.epochStagingDir(epoch).toString, 1, 2).createWriter(0, 0L)
+      w.write(InternalRow(UTF8String.fromString(""),
+        UTF8String.fromString(key), UTF8String.fromString(s"""{"v": $v}""")))
+      w.commit()
+    }
+    sw.commit(1L, Array(stage(1L, "e1", 1)))
+    sw.commit(2L, Array(stage(2L, "e2", 2)))
+    sw.commit(3L, Array(stage(3L, "seed0001", 99))) // update a seeded key
+    assert(gens() === Seq(1L, 2L, 3L, 4L))
+    // epochs 1-3 are DELTA generations: change-set-sized artifacts, no
+    // snapshot write, data.json untouched (still the gen-1 bytes)
+    (2L to 4L).foreach { g =>
+      val a = artifact(g)
+      assert(a.contains(".dgen-"), s"gen $g is not a delta: $a")
+      val len = fs.getFileStatus(new org.apache.hadoop.fs.Path(a)).getLen
+      assert(len < 200,
+        s"delta generation $g is $len bytes — not change-set-sized")
+    }
+    assert(fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(pot)).getLen === potBytes,
+      "a delta epoch re-materialized data.json (O(pot) write)")
+    // a replayed delta epoch ADOPTS its generation (exactly-once)
+    sw.commit(2L, Array(stage(2L, "e2", 2)))
+    assert(gens() === Seq(1L, 2L, 3L, 4L), "replayed delta epoch re-committed")
+    // batch reads FOLD the delta-headed chain: all epochs visible
+    def readBack() = spark.read.format(fmt).option("path", pot).load()
+      .select($"key", $"doc_json").as[(String, String)].collect().toMap
+    val folded = readBack()
+    assert(folded.size === 2002)
+    assert(folded("e1") === """{"v":1}""")
+    assert(folded("seed0001") === """{"v":99}""")
+    // pushed COUNT over the folded chain stays correct
+    assert(spark.read.format(fmt).option("path", pot).load().count() === 2002L)
+    // generation pins onto a DELTA generation fold state at that point
+    val atGen3 = spark.read.format(fmt).option("path", pot)
+      .option("generation", "3").load()
+      .select($"key", $"doc_json").as[(String, String)].collect().toMap
+    assert(atGen3.size === 2002 && atGen3("seed0001") === """{"v":1}""" &&
+      atGen3("e2") === """{"v":2}""")
+    // 4th delta-run epoch hits the compaction threshold: full snapshot,
+    // data.json re-materializes with everything
+    sw.commit(4L, Array(stage(4L, "e4", 4)))
+    assert(gens() === Seq(1L, 2L, 3L, 4L, 5L))
+    assert(artifact(5L).contains(".snap-"),
+      s"compaction epoch did not snapshot: ${artifact(5L)}")
+    val mat = spark.read.format(fmt).option("path", pot).load().count()
+    assert(mat === 2003L)
+    assert(fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(pot)).getLen > potBytes,
+      "compaction did not refresh data.json")
+    // the change feed delivers delta generations from their own artifact
+    // and the compaction epoch as its sidecar diff — batch CDC sees
+    // exactly the applied per-epoch change sets
+    val changes = spark.read.format(fmt).option("path", pot)
+      .option("changesFrom", "1").load()
+      .select($"pot_file", $"key", $"doc_json")
+      .as[(String, String, String)].collect()
+      .map(t => (t._1.split("@")(1).toLong, t._2, t._3)).toSet
+    assert(changes === Set(
+      (2L, "e1", """{"v":1}"""), (3L, "e2", """{"v":2}"""),
+      (4L, "seed0001", """{"v":99}"""), (5L, "e4", """{"v":4}""")))
+    // vacuum keeps the covering snapshot of a delta-headed chain: append
+    // two more delta epochs (head = dgen), vacuum, and the fold survives
+    sw.commit(5L, Array(stage(5L, "e5", 5)))
+    sw.commit(6L, Array(stage(6L, "e6", 6)))
+    assert(artifact(7L).contains(".dgen-"))
+    val deleted = graft.sources.PotV2Source.vacuumSnapshots(fs, pot)
+    assert(deleted.forall(_.contains(".snap-")))
+    assert(!deleted.exists(_ == artifact(5L)),
+      "vacuum deleted the covering snapshot of a delta-headed chain")
+    assert(readBack().size === 2005)
+  }
+
+  test("PotV2 delta epochs are not gated by the pot-size ceiling; compaction (true snapshot materialization) is") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("potv2dgc").toString
+    val pot = s"$dir/t/data.json"
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    (1 to 500).map(i => ("", f"seed$i%04d", s"""{"v": $i}"""))
+      .toDF("pot_file", "key", "doc_json")
+      .write.format(fmt).option("path", pot).mode("overwrite").save()
+    // ceiling far below the pot size, compaction far away: APPEND epochs
+    // flow at change-set cost — the ceiling no longer gates stream
+    // throughput between compactions
+    val write = new graft.sources.PotV2Write(
+      pot, graft.sources.PotV2Source.Schema, "q-ceil",
+      truncateFirst = false, maxObjectBytes = 1000L, compactEvery = 100)
+    val sw = write.toStreaming
+    def stage(w: graft.sources.PotV2Write, epoch: Long, key: String)
+        : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+      val dw = new graft.sources.PotV2WriterFactory(
+        w.epochStagingDir(epoch).toString, 1, 2).createWriter(0, 0L)
+      dw.write(InternalRow(UTF8String.fromString(""),
+        UTF8String.fromString(key), UTF8String.fromString("""{"v": 0}""")))
+      dw.commit()
+    }
+    (1L to 5L).foreach(e => sw.commit(e, Array(stage(write, e, s"e$e"))))
+    assert(spark.read.format(fmt).option("path", pot).load().count() === 505L)
+    // a compaction epoch IS true snapshot materialization: the ceiling
+    // applies there, loudly, with the migration path named
+    val write2 = new graft.sources.PotV2Write(
+      pot, graft.sources.PotV2Source.Schema, "q-ceil2",
+      truncateFirst = false, maxObjectBytes = 1000L, compactEvery = 2)
+    val e = intercept[graft.sources.PotTooLarge] {
+      write2.toStreaming.commit(1L, Array(stage(write2, 1L, "x")))
+    }
+    assert(e.getMessage.contains("BucketedPotTable"))
+  }
+
   test("PotV2Source streaming read rejects a generation pin loudly") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("potv2sg").toString
