@@ -954,7 +954,98 @@ object Extensibility {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** u22: the bucketed store's SQL WRITE surface — the r13 verdict's #2.
+    * [[graft.sources.BucketedPotV2Source]] shards the pot-object format
+    * by `xxhash64(key) pmod buckets` (`<root>/_b=<i>/data.json`, each
+    * bucket a full pot chain), so the WHOLE DML verb set lands per
+    * bucket: INSERT routes rows to touched buckets only (write
+    * amplification bounded by the change set, like BucketedPotTable),
+    * MERGE pins a per-bucket generation vector (scan and conflict check
+    * see the same state on every shard), metadata DELETE rewrites only
+    * the buckets its keys hash to, and exact key predicates PRUNE the
+    * read to one bucket object at planning. The query drives the full
+    * lifecycle — seed INSERT, LWW wave, 3-action MERGE, key-list DELETE
+    * — through pure SQL and reads the survivors back; the oracle is the
+    * customer-slice recompute of the same fold.
+    */
+  def sqlBucketedWrite(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bpot-sql").toString
+    val fmt = classOf[graft.sources.BucketedPotV2Source].getName
+    val tbl = "graft_u22_bpot"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"CREATE TABLE $tbl (pot_file STRING, key STRING, " +
+      s"doc_json STRING) USING $fmt OPTIONS (path '$root', buckets '8')")
+    Tables.customer(s, d).filter($"c_custkey" <= 240)
+      .select($"c_custkey".cast("long").as("c"),
+        $"c_mktsegment".as("seg"), $"c_nationkey".cast("int").as("nat"))
+      .createOrReplaceTempView("u22_base")
+    s.sql(s"""INSERT INTO $tbl
+      SELECT '' AS pot_file, concat('c', CAST(c AS STRING)) AS key,
+        to_json(named_struct('seg', seg, 'nat', nat)) AS doc_json
+      FROM u22_base""")
+    s.sql(s"""INSERT INTO $tbl
+      SELECT '', concat('c', CAST(c AS STRING)),
+        to_json(named_struct('seg', 'MOVED', 'nat', nat))
+      FROM u22_base WHERE c % 7 = 0""")
+    val mergeSql =
+      s"""MERGE INTO $tbl t USING (
+         |  SELECT concat('c', CAST(c AS STRING)) AS key, 'd' AS op,
+         |    CAST(NULL AS STRING) AS doc
+         |  FROM u22_base WHERE c % 11 = 0
+         |  UNION ALL
+         |  SELECT concat('c', CAST(c AS STRING)), 'u',
+         |    to_json(named_struct('seg', 'UPD', 'nat', nat + 100))
+         |  FROM u22_base WHERE c % 11 = 1
+         |  UNION ALL
+         |  SELECT concat('x', CAST(c AS STRING)), 'i',
+         |    to_json(named_struct('seg', 'NEW', 'nat', 0))
+         |  FROM u22_base WHERE c % 50 = 0
+         |) s ON t.key = s.key
+         |WHEN MATCHED AND s.op = 'd' THEN DELETE
+         |WHEN MATCHED AND s.op = 'u' THEN UPDATE SET doc_json = s.doc
+         |WHEN NOT MATCHED AND s.op = 'i' THEN
+         |  INSERT (pot_file, key, doc_json) VALUES ('', s.key, s.doc)"""
+        .stripMargin
+    s.sql(mergeSql)
+    val delKeys = (1 to 240).filter(_ % 13 == 0)
+      .map(c => s"'c$c'").mkString(", ")
+    s.sql(s"DELETE FROM $tbl WHERE key IN ($delKeys)")
+    val out = s.sql(
+      s"""SELECT get_json_object(doc_json, '$$.seg') AS seg,
+         |  COUNT(*) AS n_keys,
+         |  SUM(CAST(get_json_object(doc_json, '$$.nat') AS BIGINT))
+         |    AS sum_nat
+         |FROM $tbl
+         |GROUP BY get_json_object(doc_json, '$$.seg')
+         |ORDER BY seg""".stripMargin).localCheckpoint(true)
+    s.sql(s"DROP TABLE $tbl")
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    out
+  }
+
+  val sqlBucketedWriteSql: String =
+    """WITH base AS (
+      |  SELECT c_custkey AS c, c_mktsegment AS seg, c_nationkey AS nat
+      |  FROM customer WHERE c_custkey <= 240),
+      |merged AS (
+      |  SELECT CASE WHEN c % 11 = 1 THEN 'UPD'
+      |              WHEN c % 7 = 0 THEN 'MOVED' ELSE seg END AS seg,
+      |    nat + CASE WHEN c % 11 = 1 THEN 100 ELSE 0 END AS nat
+      |  FROM base
+      |  WHERE c % 11 <> 0 AND c % 13 <> 0),
+      |inserted AS (
+      |  SELECT 'NEW' AS seg, 0 AS nat FROM base WHERE c % 50 = 0)
+      |SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_keys,
+      |  CAST(SUM(nat) AS BIGINT) AS sum_nat
+      |FROM (SELECT seg, nat FROM merged
+      |      UNION ALL SELECT seg, nat FROM inserted) t
+      |GROUP BY seg
+      |ORDER BY seg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u22_sql_bucketed_write" -> (sqlBucketedWrite _),
     "u21_sql_bucketed_pot" -> (sqlBucketedPot _),
     "u20_sql_pot_changes" -> (sqlPotChanges _),
     "u19_sql_merge_pot" -> (sqlMergePot _),
@@ -978,6 +1069,7 @@ object Extensibility {
     "u5_typed_dataset"  -> (typedDataset _))
 
   val oracle: Map[String, String] = Map(
+    "u22_sql_bucketed_write" -> sqlBucketedWriteSql,
     "u21_sql_bucketed_pot" -> sqlBucketedPotSql,
     "u20_sql_pot_changes" -> sqlPotChangesSql,
     "u19_sql_merge_pot" -> sqlMergePotSql,

@@ -1,0 +1,478 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** SQL DML front door for the BUCKETED pot store (u22) — the write half
+  * the r13 verdict called for, designed the Spark-first way: the store is
+  * a SHARDED POT — `nBuckets` independent pot objects laid out as
+  * `<root>/_b=<i>/data.json`, keys routed by `xxhash64(key) pmod n` (the
+  * same bucket function as [[graft.kv.BucketedPotTable]]). Every shard is
+  * a full pot chain, so the whole u14–u20 connector surface composes per
+  * bucket for free:
+  *
+  *   - READ: the existing glob scan — one partition per bucket, pushed
+  *     key/pot_file filters, pushed counts, delta-headed chain folding —
+  *     PLUS bucket pruning: an exact `key = 'k'` / `key IN (...)`
+  *     predicate resolves its bucket(s) at PLANNING and the scan opens
+  *     only those objects (the SQL analogue of BucketedPotTable's point
+  *     get);
+  *   - INSERT INTO (append): task writers route rows to per-bucket
+  *     fragments; the driver commits each TOUCHED bucket through the pot
+  *     LWW merge-snapshot-CAS core with `retryOnConflict` — concurrent
+  *     SQL writers serialize per bucket and BOTH land (no lost update);
+  *   - INSERT OVERWRITE / TRUNCATE: every existing bucket rewrites
+  *     (touched buckets to their new content, untouched to empty);
+  *   - DELETE FROM (exact key shapes): metadata path — only the buckets
+  *     the keys hash to are rewritten; non-exact shapes fall back to the
+  *     row-level rewrite like the single pot;
+  *   - MERGE INTO / UPDATE: delta-based row-level ops. The operation
+  *     captures each bucket's head generation at build, PINS its scan to
+  *     those generations (the r14 discipline: scan content and the
+  *     conflict check are the same state), and commits each touched
+  *     bucket's delta fragments with `expectedHeadGen` — a concurrent
+  *     writer on any touched bucket is a loud CommitConflict, never a
+  *     delta applied over unseen state.
+  *
+  * Atomicity contract (stated, not oversold — the PotTxn discipline):
+  * each bucket's commit is atomic and statement-tagged. Buckets commit in
+  * ascending order; a failure mid-statement leaves a PREFIX of buckets
+  * committed, and re-running the statement converges — already-committed
+  * buckets ADOPT their statement tag (exactly-once per bucket) while the
+  * remainder apply. A reader between the two runs can observe the
+  * statement partially applied (the documented PotTxn reality absent a
+  * shared catalog log); what can never happen is a lost update or a torn
+  * bucket.
+  *
+  * Scale: an upsert of k keys touches at most k buckets regardless of
+  * table size (write amplification bounded by the CHANGE SET, not the
+  * table — reference server.go:396-400 rewrites the whole object); reads
+  * fan out one task per bucket; point reads open one object. The
+  * per-bucket ceiling is the pot ceiling — size buckets via the
+  * `buckets` option so each shard stays a driver-memory unit.
+  */
+class BucketedPotV2Source extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    PotV2Source.Schema
+  override def getTable(
+      schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new BucketedPotV2Table(
+      properties.get("path"),
+      Option(properties.get("buckets")).map(_.toInt).getOrElse(16))
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+object BucketedPotV2Source {
+  /** Driver/task-side twin of BucketedPotTable's bucket function:
+    * xxhash64 (seed 42) pmod n on the UTF-8 key bytes. */
+  def bucketOf(key: String, n: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+    val h = new XxHash64(Seq(Literal(
+      org.apache.spark.unsafe.types.UTF8String.fromString(key),
+      org.apache.spark.sql.types.StringType))).eval(null).asInstanceOf[Long]
+    (((h % n) + n) % n).toInt
+  }
+
+  def bucketPot(root: String, b: Int): String = s"$root/_b=$b/data.json"
+
+  /** Buckets that currently exist on disk (have a data.json). */
+  def existingBuckets(root: String, n: Int): Seq[Int] = {
+    val fs = new Path(root).getFileSystem(new Configuration())
+    (0 until n).filter(b => fs.exists(new Path(bucketPot(root, b))))
+  }
+
+  /** Head generation per existing bucket (the row-level ops' pin vector). */
+  def headVector(root: String, n: Int): Map[Int, Long] = {
+    val fs = new Path(root).getFileSystem(new Configuration())
+    existingBuckets(root, n).map { b =>
+      val commits = new Path(new Path(bucketPot(root, b)).getParent, ".commits")
+      b -> (graft.kv.CommitMarker.committedGenerations(fs, commits) :+ 0L).max
+    }.toMap
+  }
+}
+
+private[sources] class BucketedPotV2Table(root: String, nBuckets: Int)
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+  require(root != null && root.nonEmpty,
+    "BucketedPotV2Source: .option(\"path\", <bucket root dir>) is required")
+  require(!PotV2Source.isGlob(root),
+    s"BucketedPotV2Source: path must be the bucket ROOT directory, not a " +
+      s"glob (the connector shards it): $root")
+  require(nBuckets >= 1, s"BucketedPotV2Source: buckets must be >= 1")
+
+  override def name(): String = s"bucketed-pot:$root[$nBuckets]"
+  override def schema(): StructType = PotV2Source.Schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new BucketedPotScanBuilder(root, nBuckets)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new BucketedPotWriteBuilder(root, nBuckets, info)
+
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    new RowLevelOperationBuilder {
+      override def build(): RowLevelOperation =
+        new BucketedPotRowLevelOperation(root, nBuckets, info.command())
+    }
+
+  /** Metadata DELETE: exact key shapes rewrite only the buckets the keys
+    * hash to; exact pot_file shapes prune likewise; anything else
+    * declines to the row-level rewrite. */
+  override def canDeleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    filters.forall(PotV2Filters.deletable)
+
+  override def deleteWhere(
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    // buckets named by exact key predicates; other deletable shapes
+    // (prefix, pot_file) cannot be hashed — those touch every bucket
+    val keyBuckets: Option[Set[Int]] = filters.collectFirst {
+      case EqualTo("key", k: String) =>
+        Set(BucketedPotV2Source.bucketOf(k, nBuckets))
+      case In("key", vs) =>
+        vs.map(v => BucketedPotV2Source.bucketOf(v.toString, nBuckets)).toSet
+    }
+    val existing = BucketedPotV2Source.existingBuckets(root, nBuckets)
+    val touched = keyBuckets.fold(existing)(bs => existing.filter(bs))
+    touched.foreach { b =>
+      new PotV2Table(BucketedPotV2Source.bucketPot(root, b))
+        .deleteWhere(filters)
+    }
+  }
+}
+
+/** The glob scan plus PLANNING-time bucket pruning: exact key predicates
+  * hash to their bucket objects and join the pushed pot_file filters, so
+  * a point SELECT over a 1000-bucket store opens one object. */
+private[sources] class BucketedPotScanBuilder(root: String, nBuckets: Int)
+    extends PotV2ScanBuilder(s"$root/_b=*/data.json", None) {
+  import org.apache.spark.sql.sources._
+
+  private def qualifiedBucket(k: String): String = {
+    val p = new Path(BucketedPotV2Source.bucketPot(
+      root, BucketedPotV2Source.bucketOf(k, nBuckets)))
+    // qualify like globStatus qualifies matched files, or the string
+    // comparison in PotV2Filters.accepts would prune EVERYTHING
+    p.getFileSystem(new Configuration()).makeQualified(p).toString
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val rest = super.pushFilters(filters)
+    val derived: Array[Filter] = pushed.flatMap {
+      case EqualTo("key", k: String) =>
+        Some(In("pot_file", Array[Any](qualifiedBucket(k))))
+      case In("key", vs) if vs.nonEmpty =>
+        Some(In("pot_file",
+          vs.map(v => qualifiedBucket(v.toString): Any).distinct))
+      case _ => None
+    }
+    pushed = pushed ++ derived
+    rest
+  }
+}
+
+// ============================ write path =================================
+
+private[sources] class BucketedPotWriteBuilder(
+    root: String, nBuckets: Int, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+  override def build(): Write = {
+    val ceiling = Option(info.options.get("maxObjectBytes")).map(_.toLong)
+      .getOrElse(PotV2Source.DefaultMaxObjectBytes)
+    new BucketedPotWrite(root, nBuckets, info.schema(), info.queryId(),
+      truncateFirst, ceiling)
+  }
+}
+
+/** One fragment per (bucket, task): bucket-routed jsonl staging. */
+private[graft] case class BucketFragmentsMessage(
+    partitionId: Int, fragments: Seq[(Int, String)])
+    extends WriterCommitMessage
+
+private[graft] class BucketedPotWrite(
+    root: String, nBuckets: Int, schema: StructType, queryId: String,
+    truncateFirst: Boolean, maxObjectBytes: Long)
+    extends Write with BatchWrite {
+
+  private val keyIdx = schema.fieldNames.indexOf("key")
+  private val docIdx = schema.fieldNames.indexOf("doc_json")
+  require(keyIdx >= 0 && docIdx >= 0,
+    s"BucketedPotV2Source write needs key + doc_json columns, got $schema")
+
+  private def stagingDir = new Path(root, s".staging-$queryId")
+  private def qid8 = queryId.replace("-", "").take(8)
+
+  override def toBatch: BatchWrite = this
+
+  override def createBatchWriterFactory(
+      info: PhysicalWriteInfo): DataWriterFactory =
+    new BucketedPotWriterFactory(
+      stagingDir.toString, nBuckets, keyIdx, docIdx)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(root).getFileSystem(new Configuration())
+    val perBucket = messages
+      .collect { case m: BucketFragmentsMessage => m }
+      .flatMap(m => m.fragments.map { case (b, f) =>
+        (b, PotFragmentMessage(m.partitionId, f)) })
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    // overwrite rewrites EVERY existing bucket (untouched ones to empty);
+    // append touches only the buckets with incoming rows
+    val buckets: Seq[Int] =
+      if (truncateFirst)
+        (perBucket.keySet ++
+          BucketedPotV2Source.existingBuckets(root, nBuckets)).toSeq.sorted
+      else perBucket.keySet.toSeq.sorted
+    buckets.foreach { b =>
+      val pot = BucketedPotV2Source.bucketPot(root, b)
+      val w = new PotV2Write(pot, PotV2Source.Schema, s"$queryId-b$b",
+        truncateFirst, maxObjectBytes)
+      // statement-tagged (adopt-on-rerun) + retry-on-conflict: concurrent
+      // SQL writers serialize per bucket, both land; a re-run statement
+      // adopts buckets it already committed
+      w.commitEntries(
+        perBucket.getOrElse(b, Array.empty[PotFragmentMessage])
+          .asInstanceOf[Array[WriterCommitMessage]],
+        truncate = truncateFirst, snapTag = Some(s"q${qid8}"),
+        retryOnConflict = true,
+        staging = new Path(stagingDir, s"done-b$b"))
+    }
+    fs.delete(stagingDir, true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(root).getFileSystem(new Configuration())
+    fs.delete(stagingDir, true)
+  }
+}
+
+private[graft] class BucketedPotWriterFactory(
+    stagingDir: String, nBuckets: Int, keyIdx: Int, docIdx: Int)
+    extends DataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val mapper = new ObjectMapper()
+      private val bufs = scala.collection.mutable.Map
+        .empty[Int, scala.collection.mutable.ArrayBuffer[String]]
+      override def write(row: InternalRow): Unit = {
+        val key = row.getUTF8String(keyIdx).toString
+        val doc = row.getUTF8String(docIdx).toString
+        val node = mapper.readTree(doc)
+        require(node != null && node.isObject,
+          s"doc_json for key '$key' must be a JSON object: $doc")
+        val line = mapper.createObjectNode()
+        line.put("k", key)
+        line.set("d", node)
+        bufs.getOrElseUpdate(
+          BucketedPotV2Source.bucketOf(key, nBuckets),
+          scala.collection.mutable.ArrayBuffer.empty[String]) +=
+          mapper.writeValueAsString(line)
+      }
+      override def commit(): WriterCommitMessage = {
+        val fs = new Path(stagingDir).getFileSystem(new Configuration())
+        val frags = bufs.toSeq.sortBy(_._1).map { case (b, buf) =>
+          val frag = new Path(
+            stagingDir, f"part-b$b%04d-$partitionId%05d-$taskId.jsonl")
+          val out = fs.create(frag, false)
+          try out.write((buf.mkString("\n") + "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          b -> frag.toString
+        }
+        BucketFragmentsMessage(partitionId, frags)
+      }
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
+}
+
+// ===================== row-level ops (MERGE / UPDATE) ====================
+
+private[sources] class BucketedPotRowLevelOperation(
+    root: String, nBuckets: Int, cmd: RowLevelOperation.Command)
+    extends SupportsDelta {
+  // per-bucket head generations captured at BUILD: the scan pins to this
+  // vector and every touched bucket's commit expects it — scan content
+  // and conflict check are the same state on every shard
+  private val observed: Map[Int, Long] =
+    BucketedPotV2Source.headVector(root, nBuckets)
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new BucketedPinnedScanBuilder(root, observed)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite =
+        new BucketedPotDeltaWrite(root, nBuckets, info, observed)
+    }
+
+  override def rowId()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("key"))
+}
+
+/** Generation-pinned multi-bucket scan: one partition per bucket, each
+  * pinned to the generation the row-level operation captured. */
+private[sources] class BucketedPinnedScanBuilder(
+    root: String, observed: Map[Int, Long])
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var required: StructType = PotV2Source.Schema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new Scan with Batch {
+    override def readSchema(): StructType = required
+    override def toBatch: Batch = this
+    override def description(): String =
+      s"BucketedPotPinnedScan(root=$root, gens=${observed.toSeq.sorted})"
+    override def planInputPartitions(): Array[InputPartition] = {
+      val fs = new Path(root).getFileSystem(new Configuration())
+      observed.toSeq.sorted.flatMap { case (b, g) =>
+        val pot = new Path(BucketedPotV2Source.bucketPot(root, b))
+        if (g > 0) {
+          val commits = new Path(pot.getParent, ".commits")
+          val body = PotChain.artifactOf(fs, commits, g)
+          Some(if (PotChain.isSnap(body)) PotFilePartition(body)
+            else PotStatePartition(pot.getParent.toString, g, body)
+            : InputPartition)
+        } else if (fs.exists(pot)) Some(PotFilePartition(pot.toString))
+        else None
+      }.toArray
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new PotV2ReaderFactory(required.fieldNames, Array.empty, None)
+  }
+}
+
+private[graft] class BucketedPotDeltaWrite(
+    root: String, nBuckets: Int, info: LogicalWriteInfo,
+    observed: Map[Int, Long])
+    extends DeltaWrite with DeltaBatchWrite {
+  private val rowKeyIdx = info.schema().fieldNames.indexOf("key")
+  private val rowDocIdx = info.schema().fieldNames.indexOf("doc_json")
+  require(info.schema().isEmpty || (rowKeyIdx >= 0 && rowDocIdx >= 0),
+    s"delta write needs key + doc_json in the row schema, got ${info.schema()}")
+  private val idKeyIdx = info.rowIdSchema()
+    .map[Int](s => s.fieldNames.indexOf("key")).orElse(-1)
+  require(idKeyIdx >= 0,
+    s"delta write needs key in the rowId schema, got ${info.rowIdSchema()}")
+  private val ceiling = Option(info.options.get("maxObjectBytes"))
+    .map(_.toLong).getOrElse(PotV2Source.DefaultMaxObjectBytes)
+
+  private def stagingDir = new Path(root, s".staging-${info.queryId()}")
+
+  override def toBatch: DeltaBatchWrite = this
+
+  override def createBatchWriterFactory(
+      pinfo: PhysicalWriteInfo): DeltaWriterFactory =
+    new BucketedPotDeltaWriterFactory(
+      stagingDir.toString, nBuckets, rowKeyIdx, rowDocIdx, idKeyIdx)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(root).getFileSystem(new Configuration())
+    val perBucket = messages
+      .collect { case m: BucketFragmentsMessage => m }
+      .flatMap(m => m.fragments.map { case (b, f) =>
+        (b, PotFragmentMessage(m.partitionId, f)) })
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    perBucket.keys.toSeq.sorted.foreach { b =>
+      val pot = BucketedPotV2Source.bucketPot(root, b)
+      val w = new PotV2Write(pot, PotV2Source.Schema,
+        s"${info.queryId()}-b$b", truncateFirst = false, ceiling)
+      w.commitEntries(
+        perBucket(b).asInstanceOf[Array[WriterCommitMessage]],
+        truncate = false, snapTag = None, retryOnConflict = false,
+        staging = new Path(stagingDir, s"done-b$b"),
+        expectedHeadGen = Some(observed.getOrElse(b, 0L)))
+    }
+    fs.delete(stagingDir, true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(root).getFileSystem(new Configuration())
+    fs.delete(stagingDir, true)
+  }
+}
+
+private[graft] class BucketedPotDeltaWriterFactory(
+    stagingDir: String, nBuckets: Int,
+    rowKeyIdx: Int, rowDocIdx: Int, idKeyIdx: Int)
+    extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : DeltaWriter[InternalRow] =
+    new DeltaWriter[InternalRow] {
+      private val mapper = new ObjectMapper()
+      private val bufs = scala.collection.mutable.Map
+        .empty[Int, scala.collection.mutable.ArrayBuffer[String]]
+      private def bufOf(key: String) = bufs.getOrElseUpdate(
+        BucketedPotV2Source.bucketOf(key, nBuckets),
+        scala.collection.mutable.ArrayBuffer.empty[String])
+      private def upsert(row: InternalRow): Unit = {
+        val key = row.getUTF8String(rowKeyIdx).toString
+        val doc = row.getUTF8String(rowDocIdx).toString
+        val node = mapper.readTree(doc)
+        require(node != null && node.isObject,
+          s"doc_json for key '$key' must be a JSON object: $doc")
+        val line = mapper.createObjectNode()
+        line.put("k", key)
+        line.set("d", node)
+        bufOf(key) += mapper.writeValueAsString(line)
+      }
+      override def insert(row: InternalRow): Unit = upsert(row)
+      override def update(
+          meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+        val oldKey = id.getUTF8String(idKeyIdx).toString
+        // a key-reassigning UPDATE moves the doc ACROSS buckets: the old
+        // identity dies in its own bucket's delta
+        if (oldKey != row.getUTF8String(rowKeyIdx).toString)
+          bufOf(oldKey) +=
+            s"""{"k":${mapper.writeValueAsString(oldKey)},"d":null}"""
+        upsert(row)
+      }
+      override def delete(meta: InternalRow, id: InternalRow): Unit = {
+        val key = id.getUTF8String(idKeyIdx).toString
+        bufOf(key) +=
+          s"""{"k":${mapper.writeValueAsString(key)},"d":null}"""
+      }
+      override def commit(): WriterCommitMessage = {
+        val fs = new Path(stagingDir).getFileSystem(new Configuration())
+        val frags = bufs.toSeq.sortBy(_._1).map { case (b, buf) =>
+          val frag = new Path(
+            stagingDir, f"delta-b$b%04d-$partitionId%05d-$taskId.jsonl")
+          val out = fs.create(frag, false)
+          try out.write((buf.mkString("\n") + "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          b -> frag.toString
+        }
+        BucketFragmentsMessage(partitionId, frags)
+      }
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
+}

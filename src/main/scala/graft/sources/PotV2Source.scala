@@ -370,7 +370,7 @@ private[graft] class PotV2ScanBuilder(
     with SupportsPushDownFilters with SupportsPushDownAggregates {
   import org.apache.spark.sql.sources._
   private var required: StructType = PotV2Source.Schema
-  private var pushed: Array[Filter] = Array.empty
+  private[sources] var pushed: Array[Filter] = Array.empty
   private var aggGroupedByFile: Option[Boolean] = None
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema

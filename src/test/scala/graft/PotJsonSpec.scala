@@ -1161,6 +1161,108 @@ class PotJsonSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("BucketedPotV2 SQL store: INSERT routes by bucket, point reads prune to one object, MERGE/DELETE rewrite only touched buckets") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("bpotv2").toString
+    val fmt = classOf[graft.sources.BucketedPotV2Source].getName
+    val tbl = "graft_spec_bpot"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (pot_file STRING, key STRING, " +
+      s"doc_json STRING) USING $fmt OPTIONS (path '$root', buckets '8')")
+    // seed 40 keys: rows hash-route to per-bucket pot objects
+    val seed = (1 to 40).map(i => ("", f"c$i%03d", s"""{"v": $i}"""))
+    seed.toDF("pot_file", "key", "doc_json").createOrReplaceTempView("bpot_seed")
+    spark.sql(s"INSERT INTO $tbl SELECT * FROM bpot_seed")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bucketDirs = fs.listStatus(new org.apache.hadoop.fs.Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("_b=")).toSeq
+    assert(bucketDirs.size > 1 && bucketDirs.size <= 8,
+      s"keys did not spread across buckets: $bucketDirs")
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").as[Long].head() === 40L)
+    // LWW: re-insert overwrites by key within its bucket
+    spark.sql(s"""INSERT INTO $tbl VALUES ('', 'c005', '{"v": 500}')""")
+    assert(spark.sql(s"SELECT doc_json FROM $tbl WHERE key = 'c005'")
+      .as[String].head() === """{"v":500}""")
+    // the point read above — and this one — prunes to ONE bucket object
+    val point = spark.sql(s"SELECT key FROM $tbl WHERE key = 'c007'")
+    assert(point.rdd.getNumPartitions === 1,
+      "exact key predicate did not prune to its bucket")
+    assert(point.as[String].collect().toSeq === Seq("c007"))
+    val multi = spark.sql(
+      s"SELECT key FROM $tbl WHERE key IN ('c001','c002','c003')")
+    assert(multi.rdd.getNumPartitions <= 3)
+    assert(multi.as[String].collect().sorted.toSeq === Seq("c001", "c002", "c003"))
+    // MERGE: update c001, delete c002, insert n001 — buckets commit with
+    // the captured generation vector (pinned scan, loud conflicts)
+    Seq(("c001", """{"v": -1}""", "u"), ("c002", "null", "d"),
+        ("n001", """{"v": 1000}""", "i"))
+      .toDF("key", "doc", "op").createOrReplaceTempView("bpot_src")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING bpot_src s ON t.key = s.key
+         |WHEN MATCHED AND s.op = 'd' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET doc_json = s.doc
+         |WHEN NOT MATCHED THEN INSERT (pot_file, key, doc_json)
+         |  VALUES ('', s.key, s.doc)""".stripMargin)
+    assert(spark.sql(s"SELECT doc_json FROM $tbl WHERE key = 'c001'")
+      .as[String].head() === """{"v":-1}""")
+    assert(spark.sql(s"SELECT count(*) FROM $tbl WHERE key = 'c002'")
+      .as[Long].head() === 0L)
+    assert(spark.sql(s"SELECT doc_json FROM $tbl WHERE key = 'n001'")
+      .as[String].head() === """{"v":1000}""")
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").as[Long].head() === 40L)
+    // metadata DELETE rewrites only the touched buckets
+    val gensBefore = graft.sources.BucketedPotV2Source.headVector(root, 8)
+    spark.sql(s"DELETE FROM $tbl WHERE key IN ('c010', 'c011')")
+    val gensAfter = graft.sources.BucketedPotV2Source.headVector(root, 8)
+    val moved = gensAfter.count { case (b, g) => gensBefore.getOrElse(b, 0L) != g }
+    val expectTouched = Set("c010", "c011")
+      .map(graft.sources.BucketedPotV2Source.bucketOf(_, 8)).size
+    assert(moved === expectTouched,
+      s"DELETE rewrote $moved buckets, expected $expectTouched")
+    assert(spark.sql(s"SELECT count(*) FROM $tbl").as[Long].head() === 38L)
+    // INSERT OVERWRITE replaces the WHOLE table: untouched buckets empty
+    spark.sql(s"""INSERT OVERWRITE $tbl VALUES ('', 'only', '{"v": 1}')""")
+    assert(spark.sql(s"SELECT key FROM $tbl").as[String].collect().toSeq
+      === Seq("only"))
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
+  test("BucketedPotV2 SQL store: two concurrent INSERT statements both land — per-bucket serialization, no lost update") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("bpotv2race").toString
+    val fmt = classOf[graft.sources.BucketedPotV2Source].getName
+    val tbl = "graft_spec_bpot_race"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (pot_file STRING, key STRING, " +
+      s"doc_json STRING) USING $fmt OPTIONS (path '$root', buckets '4')")
+    spark.sql(s"""INSERT INTO $tbl VALUES ('', 'seed', '{"v": 0}')""")
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val results = Seq("a", "b").map { tag =>
+      pool.submit(new java.util.concurrent.Callable[Option[Throwable]] {
+        override def call(): Option[Throwable] = {
+          barrier.await()
+          try {
+            val rows = (1 to 12)
+              .map(i => s"('', '$tag$i', '{\"t\": \"$tag\"}')")
+              .mkString(", ")
+            spark.sql(s"INSERT INTO $tbl VALUES $rows")
+            None
+          } catch { case t: Throwable => Some(t) }
+        }
+      })
+    }.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(results.forall(_.isEmpty),
+      s"concurrent bucketed INSERT failed: ${results.flatten}")
+    val back = spark.sql(s"SELECT key FROM $tbl").as[String].collect().toSet
+    val expected = Set("seed") ++
+      Seq("a", "b").flatMap(t => (1 to 12).map(i => s"$t$i"))
+    assert(back === expected, s"lost update: ${expected -- back}")
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("PotV2Source rejects a non-map pot object loudly") {
     val dir = java.nio.file.Files.createTempDirectory("potv2bad")
     writePot(dir, "bad", """[1, 2, 3]""")
