@@ -242,18 +242,36 @@ private[sources] class PotV2Table(path: String)
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    Option(options.get("changesFrom")).map(_.toLong) match {
+    (Option(options.get("changesFrom")).map(_.toLong),
+      Option(options.get("changesFromVector"))) match {
+      // batch CDC read with a PER-POT from-vector (u23): the glob/stream
+      // symmetry closer — the same JSON shape st18 checkpoints
+      // (PotMultiGenOffset) consumed as a TABLE. Each matched pot replays
+      // (vector(pot), head]; pots absent from the vector replay their
+      // full chain (the st18 new-pot rule); vector entries naming absent
+      // pots are inert (the carried-coordinate rule).
+      case (None, Some(vec)) =>
+        require(options.get("generation") == null,
+          "PotV2Source: changesFromVector and generation are mutually " +
+            "exclusive — a changes read spans generations, a pin names one")
+        new PotChangesScanBuilder(path, 0L,
+          Some(PotMultiGenOffset.fromJson(vec).gens))
+      case (Some(_), Some(_)) =>
+        throw new IllegalArgumentException(
+          "PotV2Source: changesFrom and changesFromVector are mutually " +
+            "exclusive — a scalar start names one pot's generation, the " +
+            "vector names each pot's; pick the one matching the path shape")
       // batch CDC read: rows = the LWW deltas of every generation AFTER
       // `changesFrom` (tombstones included) — the change feed (st17)
       // consumed as a TABLE (Delta's table_changes shape); reuses the
       // feed's per-generation partitions + sidecar-first reader verbatim
-      case Some(from) =>
+      case (Some(from), None) =>
         require(options.get("generation") == null,
           "PotV2Source: changesFrom and generation are mutually " +
             "exclusive — a changes read spans generations, a pin names " +
             "one; combining them would silently ignore the pin")
         new PotChangesScanBuilder(path, from)
-      case None => new PotV2ScanBuilder(path,
+      case (None, None) => new PotV2ScanBuilder(path,
         Option(options.get("generation")).map(_.toLong))
     }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
@@ -1315,31 +1333,37 @@ private[graft] class PotV2WriterFactory(
   * surface). Column pruning composes (the delta reader takes the pruned
   * field list).
   */
-private[graft] class PotChangesScanBuilder(path: String, from: Long)
+private[graft] class PotChangesScanBuilder(
+    path: String, from: Long,
+    vector: Option[Map[String, Long]] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
-  // a GLOB changes read is the full-history BUCKET AUDIT: every pot's
-  // whole chain, one partition per (pot, generation). A nonzero start
-  // has no meaning across pots with independent generation counters —
-  // that consumer wants the multi-pot STREAM (st18), whose offset is the
-  // per-pot generation vector.
-  require(!PotV2Source.isGlob(path) || from == 0,
+  // a GLOB changes read with a SCALAR start is the full-history BUCKET
+  // AUDIT only: every pot's whole chain, one partition per
+  // (pot, generation). A nonzero scalar start has no meaning across pots
+  // with independent generation counters — incremental multi-pot
+  // consumption takes the per-pot VECTOR (`changesFromVector`, the same
+  // JSON st18's stream checkpoints) or the stream itself.
+  require(vector.isDefined || !PotV2Source.isGlob(path) || from == 0,
     s"PotV2Source changesFrom: a glob supports only changesFrom=0 (the " +
       s"full-history audit) — pots have independent generation " +
-      s"counters; incremental multi-pot consumption is the streaming " +
-      s"source with its per-pot vector offsets: $path")
+      s"counters; incremental multi-pot consumption is changesFromVector " +
+      s"(the per-pot generation map) or the streaming source: $path")
   private var required: StructType = PotV2Source.Schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new PotChangesScan(path, from, required)
+  override def build(): Scan =
+    new PotChangesScan(path, from, required, vector)
 }
 
 private[graft] class PotChangesScan(
-    path: String, from: Long, required: StructType)
+    path: String, from: Long, required: StructType,
+    vector: Option[Map[String, Long]] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"PotChangesScan(path=$path, changesFrom=$from)"
+    s"PotChangesScan(path=$path, changesFrom=" +
+      vector.map(v => v.toSeq.sorted.toString).getOrElse(from.toString) + ")"
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
     val fs = p.getFileSystem(new Configuration())
@@ -1347,22 +1371,46 @@ private[graft] class PotChangesScan(
       val commits = new Path(pot.getParent, ".commits")
       (graft.kv.CommitMarker.committedGenerations(fs, commits) :+ 0L).max
     }
-    if (PotV2Source.isGlob(path)) {
-      val pots = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
-        .filter(_.isFile).map(_.getPath).sortBy(_.toString)
-      pots.flatMap { pot =>
-        (1L to headOf(pot))
-          .map(g => PotDeltaPartition(pot.getParent.toString, g)
-            : InputPartition)
-      }.toArray
-    } else {
-      val head = headOf(p)
-      require(from >= 0 && from <= head,
-        s"PotV2Source changesFrom=$from out of range: committed head is " +
-          s"$head for $path — never a stale/empty fallback")
-      ((from + 1) to head)
-        .map(g => PotDeltaPartition(p.getParent.toString, g): InputPartition)
-        .toArray
+    vector match {
+      case Some(vec) =>
+        // per-pot from-vector: qualified keys (matching globStatus and
+        // the stream's checkpointed offsets); pots absent from the
+        // vector start at 0 (st18's new-pot rule), vector entries for
+        // absent pots are inert. Out-of-range entries fail loudly —
+        // the generation-pin discipline per pot.
+        val qvec = vec.map { case (k, v) =>
+          fs.makeQualified(new Path(k)).toString -> v }
+        val pots =
+          if (PotV2Source.isGlob(path))
+            Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+              .filter(_.isFile).map(_.getPath).sortBy(_.toString)
+          else Seq(fs.makeQualified(p))
+        pots.flatMap { pot =>
+          val head = headOf(pot)
+          val sg = qvec.getOrElse(pot.toString, 0L)
+          require(sg >= 0 && sg <= head,
+            s"PotV2Source changesFromVector: start $sg out of range for " +
+              s"$pot (committed head $head) — never a stale/empty fallback")
+          ((sg + 1) to head)
+            .map(g => PotDeltaPartition(pot.getParent.toString, g)
+              : InputPartition)
+        }.toArray
+      case None if PotV2Source.isGlob(path) =>
+        val pots = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+          .filter(_.isFile).map(_.getPath).sortBy(_.toString)
+        pots.flatMap { pot =>
+          (1L to headOf(pot))
+            .map(g => PotDeltaPartition(pot.getParent.toString, g)
+              : InputPartition)
+        }.toArray
+      case None =>
+        val head = headOf(p)
+        require(from >= 0 && from <= head,
+          s"PotV2Source changesFrom=$from out of range: committed head is " +
+            s"$head for $path — never a stale/empty fallback")
+        ((from + 1) to head)
+          .map(g => PotDeltaPartition(p.getParent.toString, g): InputPartition)
+          .toArray
     }
   }
   override def createReaderFactory(): PartitionReaderFactory =

@@ -1263,6 +1263,59 @@ class PotJsonSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("PotV2 glob changes with a per-pot vector equals the resumed multi-pot stream; out-of-range entries fail loudly") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("potv2vecb").toString
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    def put(pot: String, rows: Seq[(String, Int)], mode: String): Unit =
+      rows.map { case (k, v) => ("", k, s"""{"v": $v}""") }
+        .toDF("pot_file", "key", "doc_json")
+        .write.format(fmt).option("path", s"$root/pots/$pot/data.json")
+        .mode(mode).save()
+    put("a", Seq("a1" -> 1), "overwrite")
+    put("b", Seq("b1" -> 1), "overwrite")
+    // first stream drain consumes the current heads — capture its vector
+    val feed = s"$root/feed"
+    def drain(): Set[(String, String, String)] = {
+      val q = spark.readStream.format(fmt)
+        .option("path", s"$root/pots/*/data.json").load()
+        .writeStream.format("parquet").option("path", feed)
+        .option("checkpointLocation", s"$root/chk").start()
+      q.processAllAvailable(); q.stop()
+      spark.read.parquet(feed).select($"pot_file", $"key", $"doc_json")
+        .as[(String, String, String)].collect().toSet
+    }
+    val first = drain()
+    val vec = graft.sources.PotMultiGenOffset(Map(
+      s"$root/pots/a/data.json" -> 1L,
+      s"$root/pots/b/data.json" -> 1L)).json
+    // while "down": a advances twice, b idle, c appears
+    put("a", Seq("a2" -> 2), "append")
+    put("a", Seq("a1" -> 9), "append")
+    put("c", Seq("c1" -> 3), "overwrite")
+    val second = drain() -- first
+    val batch = spark.read.format(fmt)
+      .option("path", s"$root/pots/*/data.json")
+      .option("changesFromVector", vec).load()
+      .select($"pot_file", $"key", $"doc_json")
+      .as[(String, String, String)].collect().toSet
+    assert(batch === second,
+      s"batch vector read diverged from the resumed stream:\n" +
+        s"batch=$batch\nstream=$second")
+    // the generation-pin discipline holds per pot: an entry past a pot's
+    // head fails loudly, never an empty stale answer
+    val bad = graft.sources.PotMultiGenOffset(Map(
+      s"$root/pots/b/data.json" -> 9L)).json
+    val e = intercept[Exception] {
+      spark.read.format(fmt).option("path", s"$root/pots/*/data.json")
+        .option("changesFromVector", bad).load().collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("out of range")), msgs(e).toString)
+  }
+
   test("PotV2Source rejects a non-map pot object loudly") {
     val dir = java.nio.file.Files.createTempDirectory("potv2bad")
     writePot(dir, "bad", """[1, 2, 3]""")
