@@ -1350,14 +1350,20 @@ object Dedup {
     val dfreq = toks.groupBy($"word").agg(count(lit(1)).as("df"))
     val docs = toks.groupBy($"doc_id")
       .agg(collect_set($"word").as("ws"), count(lit(1)).as("n"))
-    // per-doc window (partitioned — never corpus-wide): rank tokens
-    // rarest-first and keep the prefix the pigeonhole bound requires
-    val w = Window.partitionBy($"doc_id").orderBy($"df", $"word")
+    // rarest-first prefix via a per-doc ARRAY SORT (r14, replacing a
+    // per-doc row_number window): prefix SETS are order-free, so one
+    // hash aggregate collecting (df, word) structs + sort_array + slice
+    // to the pigeonhole bound yields the identical prefix rows with no
+    // sort-based window stage — the most expensive stage of the r13 plan
+    // gone. Struct order (df, word) reproduces the window's tie-break.
     val pref = toks.join(dfreq, Seq("word"))
-      .withColumn("rn", row_number().over(w))
-      .join(docs.select($"doc_id", $"n"), Seq("doc_id"))
-      .filter($"rn" <= $"n" - expr("(4 * n + 4) div 5") + 1)
-      .select($"doc_id", $"word", $"n")
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"df", $"word"))).as("ranked"),
+        count(lit(1)).as("n"))
+      .select($"doc_id", $"n",
+        explode(slice($"ranked", lit(1),
+          ($"n" - expr("(4 * n + 4) div 5") + 1).cast("int"))).as("dw"))
+      .select($"doc_id", $"dw.word".as("word"), $"n")
     val cand = pref.as("a").join(pref.as("b"),
         $"a.word" === $"b.word" && $"a.doc_id" < $"b.doc_id" &&
         $"b.n" * 5 >= $"a.n" * 4 && $"a.n" * 5 >= $"b.n" * 4)

@@ -284,6 +284,12 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("d20_prefix_filter_join")
     assert(!p.contains("CartesianProduct"), s"all-pairs shape in d20:\n$p")
     assert(p.contains("div 5"), s"prefix bound missing from d20 plan:\n$p")
+    // r14: the rarest-first prefix is an array-sort aggregation (the
+    // sort_array folds into the aggregate's result expressions; its
+    // sliced output is what the plan shows), not a sort-based window —
+    // no Window operator anywhere in the plan
+    assert(!p.contains("Window"), s"window stage crept back into d20:\n$p")
+    assert(p.contains("slice(ranked"), s"array-sort prefix missing:\n$p")
     assert(p.contains("array_intersect"), s"exact verify missing:\n$p")
   }
 
