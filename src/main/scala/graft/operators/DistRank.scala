@@ -31,9 +31,20 @@ import org.apache.spark.sql.types.NumericType
   *      dense or TIED mass; an exact drill on just those slices collects
   *      the heavy values (count > N/[[Buckets]] — at most 255 of them by
   *      pigeonhole), and each heavy value's rows are sub-split [[TieK]]
-  *      ways by a monotone bucket of the first tie-break column (numeric
-  *      tie columns only; the drill and the tie min/max are exact
-  *      aggregates over the overfull slice, never samples).
+  *      ways by a monotone bucket of the first tie-break column. Numeric
+  *      ties split on their value range; STRING ties (r14) split on a
+  *      monotone first-7-bytes encoding — UTF-8 bytes zero-padded to a
+  *      fixed width read as an unsigned integer, which orders exactly
+  *      like Spark's byte-wise string comparison. The data-derived
+  *      [tlo, thi] range cancels any shared key prefix, and one bounded
+  *      REFINEMENT pass (count per tie bucket, overfull ones sub-split
+  *      [[TieSub]] ways by the same closed formula) zooms into clustered
+  *      encodings — ASCII digit suffixes, peaked numeric ties. Deeply
+  *      hierarchical multi-cluster keys beyond TieK*TieSub resolution
+  *      degrade in PARALLELISM only, never correctness: the encoding is
+  *      monotone unconditionally. Other tie types keep one sub-bucket.
+  *      (The drill, tie min/max and tie counts are exact aggregates over
+  *      the overfull slice, never samples.)
   *
   * Every pre-pass is an exact deterministic aggregate with a bounded
   * collect (the KMeans bounded-collect pattern), so the frozen literals
@@ -63,9 +74,29 @@ object DistRank {
     * leading value spread over TieK buckets keyed by the tie column. */
   val TieK = 64
 
+  /** Refinement width for overfull TIE buckets (r14): tie encodings that
+    * cluster — ASCII digit suffixes use 10 of 256 byte values, numeric
+    * ties can peak — leave most of the [tlo, thi] range empty, so one
+    * linear split collapses; overfull tie buckets sub-split TieSub ways
+    * by the same closed formula on their exact sub-range, up to
+    * [[MaxTieDepth]] levels (one bounded count pass per level, only
+    * while overfull buckets remain). */
+  val TieSub = 64
+
+  /** Tie refinement depth cap: TieK * TieSub^MaxTieDepth = 64^4 ≈ 16.7M
+    * resolution over the tie range — three zoom levels, each engaged
+    * only when the previous level still has overfull buckets. */
+  val MaxTieDepth = 3
+
+  /** Width of one heavy value's tie-bucket id space (the deepest
+    * possible refinement): TieK * TieSub^MaxTieDepth. */
+  private val TieWidth =
+    TieK.toLong * math.pow(TieSub.toDouble, MaxTieDepth.toDouble).toLong
+
   /** Strictly above the largest heavy-segment part id
-    * (255*(TieK+1)+TieK = 16639), so composite*PartCap + part nests. */
-  private val PartCap = 32768L
+    * (255*(TieWidth+1)+TieWidth < 2^33), so composite*PartCap + part
+    * nests (max core 65536*2^33 = 2^49 — long-safe). */
+  private val PartCap = 1L << 33
   private val MaxComposite = Buckets.toLong * SubN - 1L
   private val MaxId = (MaxComposite + 1L) * PartCap
 
@@ -124,20 +155,92 @@ object DistRank {
         val m = heavy.size.toLong
         val j =
           if (desc) lit(m) - less - when(isH, 1L).otherwise(0L) else less
-        val tieSub: Column = ties.headOption match {
-          case Some(tc)
-              if df.select(tc).schema.head.dataType.isInstanceOf[NumericType] =>
-            val td = tc.cast("double")
-            val (tlo, thi) = minMax(df.filter(vd.isInCollection(heavy)), tc)
+        val tieSub: Column = ties.headOption.flatMap { tc =>
+          df.select(tc).schema.head.dataType match {
+            case _: NumericType => Some(tc.cast("double"))
+            case org.apache.spark.sql.types.StringType =>
+              // monotone first-7-bytes encoding (r14 — closes the r13
+              // verdict's latent collapse for STRING tie columns): the
+              // UTF-8 bytes zero-padded to a fixed 7-byte width read as
+              // an unsigned big-endian integer. Spark's string order IS
+              // byte-wise unsigned UTF-8 order, and fixed-width padding
+              // keeps prefixes below their extensions, so the encoding
+              // is monotone non-decreasing w.r.t. the tie sort — all the
+              // split needs (strings tied through 7 bytes collapse to
+              // one sub-bucket, exactly like equal numerics). 7 bytes =
+              // 14 hex digits < 2^56, double-exact through the cast.
+              Some(conv(hex(call_function("rpad",
+                encode(tc, "UTF-8"), lit(7),
+                lit(Array[Byte](0)))), 16, 10).cast("double"))
+            case _ => None
+          }
+        } match {
+          case Some(td) =>
+            val heavyRows = df.filter(vd.isInCollection(heavy))
+            val r0 = heavyRows
+              .agg(min(td).cast("double"), max(td).cast("double")).head()
+            val (tlo, thi) =
+              if (r0.isNullAt(0)) (0.0, 0.0)
+              else (r0.getDouble(0), r0.getDouble(1))
             if (thi <= tlo) lit(0L)
-            else coalesce(
-              least(lit(TieK - 1L), greatest(lit(0L),
-                floor((td - lit(tlo)) / lit(thi - tlo) * TieK))),
-              lit(0L))
-          case _ => lit(0L)
+            else {
+              val frac = (td - lit(tlo)) / lit(thi - tlo)
+              // level 0: uniform TieK split. Deeper levels SELECTIVELY
+              // refine overfull buckets on their exact sub-range (tracked
+              // driver-side) — each level is one bounded exact count pass
+              // (<= nonempty tie buckets rows) + a when-chain over the
+              // split ids, engaged only while overfull buckets remain.
+              // Clustered encodings (digit suffixes) zoom open; a bucket
+              // whose range has collapsed to a point stops splitting.
+              var tb: Column = coalesce(least(lit(TieK - 1L),
+                greatest(lit(0L), floor(frac * TieK))), lit(0L))
+              var ranges: Map[Long, (Double, Double)] =
+                (0 until TieK).map(i => i.toLong ->
+                  (i.toDouble / TieK, (i + 1).toDouble / TieK)).toMap
+              var depth = 0
+              var done = false
+              while (depth < MaxTieDepth && !done) {
+                val tc = bucketCounts(heavyRows, tb)
+                val hn = tc.map(_._2).sum
+                val tThresh = 2L * math.max(hn / TieK, 1L)
+                val splits = tc.filter { case (id, cn) =>
+                  cn > tThresh && ranges.get(id).exists {
+                    case (lo, hi) => hi - lo > 1e-12 }
+                }.map(_._1)
+                if (splits.isEmpty) done = true
+                else {
+                  val prev = tb
+                  val base = prev * TieSub
+                  tb = splits.foldLeft(base) { (acc, id) =>
+                    val (lo, hi) = ranges(id)
+                    when(prev === id, base + coalesce(
+                      least(lit(TieSub - 1L), greatest(lit(0L),
+                        floor((frac - lit(lo)) / lit(hi - lo) * TieSub))),
+                      lit(0L)))
+                      .otherwise(acc)
+                  }
+                  ranges = ranges.iterator.flatMap { case (id, (lo, hi)) =>
+                    if (splits.contains(id))
+                      (0 until TieSub).map { k =>
+                        (id * TieSub + k) ->
+                          (lo + (hi - lo) * k / TieSub,
+                            lo + (hi - lo) * (k + 1) / TieSub)
+                      }
+                    else Iterator.single((id * TieSub) -> (lo, hi))
+                  }.toMap
+                  depth += 1
+                }
+              }
+              // normalize to the fixed TieWidth id space so ids from
+              // different stop-depths stay monotone together
+              var scale = 1L
+              (depth until MaxTieDepth).foreach(_ => scale *= TieSub)
+              tb * scale
+            }
+          case None => lit(0L)
         }
-        when(isH, j * (TieK + 1L) + 1L + tieSub)
-          .otherwise(j * (TieK + 1L))
+        when(isH, j * (TieWidth + 1L) + 1L + tieSub)
+          .otherwise(j * (TieWidth + 1L))
       }
     val comp = if (desc) lit(MaxComposite) - composite else composite
     val core = comp * PartCap + part

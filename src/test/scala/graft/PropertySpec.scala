@@ -457,6 +457,60 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: skewBucket sub-splits heavy ties on a STRING tie column — spread AND bit-equality") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // the r13 verdict's latent collapse: heavy tied values with a string
+    // first-tie-column fell back to ONE sub-bucket. The monotone
+    // first-7-bytes encoding must spread them — and stay bit-identical
+    // to the flat window. Keys include multi-byte prefixes, shared
+    // prefixes and different lengths (prefix < extension ordering).
+    val rows = (1 to 2000).map { i =>
+      val v = if (i % 10 == 0) i.toDouble else 42.0
+      val key = (i % 7) match {
+        case 0 => f"doc$i%05d"
+        case 1 => f"a$i%06d"
+        case 2 => f"zz$i%04d-tail"
+        case 3 => "p"                   // short key (prefix of case 4)
+        case 4 => f"p$i%05d"
+        case 5 => f"müll$i%04d"         // multi-byte UTF-8
+        case _ => f"$i%07d"
+      }
+      (v, key + f"#$i%05d", i.toLong)   // unique via suffix
+    }
+    val df = rows.toDF("v", "k", "id")
+    // the production shape: one key family (shared prefix + digits) —
+    // the data-derived [tlo, thi] range cancels the common prefix, so
+    // the linear TieK split resolves the varying digits and spreads
+    val docs = (1 to 2000).map { i =>
+      (if (i % 10 == 0) i.toDouble else 42.0, f"doc$i%05d", i.toLong)
+    }.toDF("v", "k", "id")
+    for (desc <- Seq(false, true)) {
+      val bd = operators.DistRank.skewBucket(docs, $"v", desc, Seq($"k"))
+      val spreadDocs = docs.filter($"v" === 42.0).select(bd.as("b"))
+        .distinct().count()
+      assert(spreadDocs > 32,
+        s"doc-key string ties sit in $spreadDocs bucket(s) (desc=$desc)")
+      // the adversarial multi-family shape: monotonicity (and therefore
+      // bit-equality) must hold regardless of how well the linear range
+      // split spreads heterogeneous clusters
+      val b = operators.DistRank.skewBucket(df, $"v", desc, Seq($"k"))
+      val tiedB = df.filter($"v" === 42.0).select(b.as("b"))
+        .distinct().count()
+      assert(tiedB > 1,
+        s"string-tied rows collapsed to one bucket (desc=$desc)")
+      val ord = if (desc) Seq($"v".desc, $"k") else Seq($"v", $"k")
+      val flat = df.withColumn("rn",
+          row_number().over(Window.orderBy(ord: _*)).cast("long"))
+        .select($"id", $"rn").as[(Long, Long)].collect().toMap
+      val dist = operators.DistRank
+        .withRowNumber(df, "rn", $"v", desc, Seq($"k"))
+        .select($"id", $"rn").as[(Long, Long)].collect().toMap
+      assert(dist === flat, s"string-tie rank diverged (desc=$desc)")
+    }
+  }
+
   test("property: skewBucket spreads a 90%-one-value distribution across many buckets") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
