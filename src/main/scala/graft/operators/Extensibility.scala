@@ -753,19 +753,34 @@ object Extensibility {
              |  to_json(named_struct('name', n_name, 'region', n_regionkey,
              |    'v', 0)) AS doc_json
              |FROM graft_u19_nation WHERE n_regionkey <= 2""".stripMargin)
+    // r14: the FULL SCD-sync verb — the source omits nationkey % 3 = 0
+    // rows, so targets it no longer carries flow through the
+    // NOT MATCHED BY SOURCE clauses (delete region 0, re-stamp the rest
+    // v=9) in the SAME one-generation delta as the matched/unmatched
+    // actions
     s.sql(s"""MERGE INTO $tbl t
              |USING (
              |  SELECT '' AS pot_file, concat('n', n_nationkey) AS key,
              |    to_json(named_struct('name', n_name, 'region', n_regionkey,
              |      'v', 1)) AS doc_json,
              |    n_regionkey AS region
-             |  FROM graft_u19_nation) src
+             |  FROM graft_u19_nation
+             |  WHERE n_nationkey % 3 <> 0) src
              |ON t.key = src.key
              |WHEN MATCHED AND src.region = 2 THEN DELETE
              |WHEN MATCHED THEN UPDATE SET doc_json = src.doc_json
              |WHEN NOT MATCHED THEN
              |  INSERT (pot_file, key, doc_json)
-             |  VALUES (src.pot_file, src.key, src.doc_json)""".stripMargin)
+             |  VALUES (src.pot_file, src.key, src.doc_json)
+             |WHEN NOT MATCHED BY SOURCE
+             |  AND CAST(get_json_object(t.doc_json, '$$.region') AS INT) = 0
+             |  THEN DELETE
+             |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET doc_json =
+             |  to_json(named_struct(
+             |    'name', get_json_object(t.doc_json, '$$.name'),
+             |    'region', CAST(get_json_object(t.doc_json, '$$.region')
+             |      AS INT),
+             |    'v', 9))""".stripMargin)
     val out = s.sql(
       s"""SELECT key,
          |  get_json_object(doc_json, '$$.name') AS name,
@@ -781,9 +796,11 @@ object Extensibility {
   val sqlMergePotSql: String =
     """SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS key,
       |  n_name AS name, CAST(n_regionkey AS INTEGER) AS region,
-      |  CAST(1 AS INTEGER) AS v
+      |  CAST(CASE WHEN n_nationkey % 3 = 0 THEN 9 ELSE 1 END AS INTEGER)
+      |    AS v
       |FROM nation
-      |WHERE n_regionkey <> 2
+      |WHERE (n_nationkey % 3 <> 0 AND n_regionkey <> 2)
+      |   OR (n_nationkey % 3 = 0 AND n_regionkey IN (1, 2))
       |ORDER BY key""".stripMargin
 
   /** u20: the change feed as a TABLE-VALUED FUNCTION —

@@ -591,14 +591,28 @@ class PropertySpec extends AnyFunSuite {
                    |WHEN MATCHED THEN UPDATE SET doc_json = s.doc_json
                    |WHEN NOT MATCHED THEN
                    |  INSERT (pot_file, key, doc_json)
-                   |  VALUES (s.pot_file, s.key, s.doc_json)""".stripMargin)
+                   |  VALUES (s.pot_file, s.key, s.doc_json)
+                   |WHEN NOT MATCHED BY SOURCE
+                   |  AND CAST(get_json_object(t.doc_json, '$$.v') AS INT)
+                   |    % 4 = 0 THEN DELETE
+                   |WHEN NOT MATCHED BY SOURCE THEN
+                   |  UPDATE SET doc_json = '{"v": -1}'""".stripMargin)
       val got = spark.sql(s"SELECT key, doc_json FROM $tbl")
         .as[(String, String)].collect().toMap
-      // reference fold
+      // reference fold (by-source actions included: target keys the
+      // source does not carry delete when v%4=0, else re-stamp to -1)
       var model = tgtKeys.map(k => s"k$k" -> s"""{"v":${k * 10}}""").toMap
+      val srcKeys = srcRows.map(k => s"k${k._1}").toSet
+      tgtKeys.foreach { k =>
+        val key = s"k$k"
+        if (!srcKeys.contains(key)) {
+          if ((k * 10) % 4 == 0) model -= key
+          else model += key -> """{"v":-1}""" // Jackson-normalized render
+        }
+      }
       srcRows.foreach { case (k, v) =>
         val key = s"k$k"
-        if (model.contains(key)) {
+        if (tgtKeys.map(x => s"k$x").contains(key)) {
           if (v % 3 == 0) model -= key
           else model += key -> s"""{"v":$v}"""
         } else model += key -> s"""{"v":$v}"""
