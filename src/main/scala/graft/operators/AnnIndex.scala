@@ -509,6 +509,107 @@ object AnnIndex {
     if (isFold(fs, dir)) Some(dir) else None // lost the CAS to an append
   }
 
+  /** IVF-view sidecars written by [[recluster]] inside a fold
+    * generation: the trained centroids (16 rows) and the per-vector cell
+    * assignment, `cellp`-partitioned so a probe's literal cell filter
+    * prunes the assignment scan like the data scan. `_` prefix hides
+    * both from the data read, like `_idmap`/`_folds`. */
+  private[graft] val CentroidsSidecar = "_centroids"
+  private[graft] val CellsSidecar = "_cells"
+
+  /** MAINTENANCE: re-cluster the index's IVF view when the data has
+    * drifted (r13 verdict #7 — s24 measures centroid shift; this ACTS on
+    * it). The live rows (tombstones resolved away) train fresh centroids
+    * — [[KMeans.train]]'s one integer Lloyd round, deterministic and
+    * oracle-replayable — and the drift metric is the max over fresh
+    * centroids of the squared-L2 distance to the NEAREST previous
+    * centroid (previous = the `_centroids` sidecar of the newest
+    * generation carrying one; no reference yet = bootstrap, recluster
+    * unconditionally). Below `shiftThreshold`: no-op, returns None — the
+    * gate that keeps a nightly maintenance cron from rewriting a quiet
+    * index.
+    *
+    * Over the threshold, the rebuild publishes as a FOLD generation
+    * through [[compact]]'s machinery (ensureGeneration CAS; a lost race
+    * to a concurrent append adopts the append and returns None — data
+    * beats maintenance, retry later): every live vector is preserved,
+    * tombstoned rows become physical deletions, and the generation dir
+    * carries the refreshed `_centroids` + `_cells` sidecars. Readers are
+    * never torn; the sig-bucket layout (and so every existing lookup) is
+    * unchanged — the IVF view rides alongside.
+    *
+    * Contract: the live set must still contain the first
+    * [[IvfCentroids]] vec_ids (the deterministic Lloyd init — same rule
+    * as [[buildIvf]]/the s9 oracle).
+    */
+  def recluster(
+      s: SparkSession, base: org.apache.hadoop.fs.Path,
+      shiftThreshold: Long): Option[String] = {
+    import s.implicits._
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val gens = committedGenerations(s, base)
+    require(gens.nonEmpty, s"no committed generations under $base")
+    val top = gens.last._1
+    val visible = visibleGenerations(fs, gens)
+    val live = resolveVisible(s, fs, visible)
+    val q = live.select($"vec_id", expr(
+        s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${KMeans.QScale}.0) AS BIGINT))")
+        .as("q"))
+      .as[(Long, Seq[Long])].rdd.map { case (id, v) => (id, v.toArray) }
+    val fresh = KMeans.train(s, q, IvfCentroids)
+    def l2(a: Array[Long], b: Array[Long]): Long = {
+      var acc = 0L; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); acc += t * t; i += 1 }
+      acc
+    }
+    val prev = gens.reverse
+      .map(g => new org.apache.hadoop.fs.Path(g._2, CentroidsSidecar))
+      .find(fs.exists)
+      .map(p => s.read.parquet(p.toString).collect()
+        .map(r => (r.getInt(0), r.getSeq[Long](1).toArray)))
+    val shift = prev match {
+      case None    => Long.MaxValue // bootstrap: no reference to hold to
+      case Some(p) => fresh.map(fc => p.map(pc => l2(fc._2, pc._2)).min).max
+    }
+    if (shift <= shiftThreshold) return None
+    val centsDf = fresh.toSeq.map { case (cid, cq) => (cid, cq.toSeq) }
+      .toDF("cid", "cq")
+    val dir = ensureGeneration(s, base, top + 1) { out =>
+      resolveVisible(s, fs, visible)
+        .repartition(col("sigp"))
+        .write.partitionBy("sigp").mode("overwrite").parquet(out)
+      val f = fs.create(
+        new org.apache.hadoop.fs.Path(out, FoldsSidecar), false)
+      try f.write(top.toString.getBytes("UTF-8")) finally f.close()
+      writeIdMap(s, out)
+      centsDf.coalesce(1).write.mode("overwrite")
+        .parquet(s"$out/$CentroidsSidecar")
+      // cell assignment over the just-written fold (no recompute of the
+      // resolution): nearest fresh centroid by exact integer squared-L2,
+      // ties to the lowest cid — buildIvf's rule, so the s9/s21 oracle
+      // replay applies verbatim
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"vec_id").orderBy($"cdist".asc, $"cid".asc)
+      s.read.parquet(out)
+        .withColumn("q", expr(
+          s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${KMeans.QScale}.0) AS BIGINT))"))
+        .crossJoin(broadcast(centsDf))
+        .withColumn("cdist", expr(
+          """aggregate(zip_with(q, cq, (x, y) -> (x - y) * (x - y)),
+            |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
+        .withColumn("rn", org.apache.spark.sql.functions
+          .row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"vec_id", concat(lit("c"), $"cid").as("cellp"))
+        .repartition($"cellp")
+        .write.partitionBy("cellp").mode("overwrite")
+        .parquet(s"$out/$CellsSidecar")
+    }
+    val ok = isFold(fs, dir) && fs.exists(
+      new org.apache.hadoop.fs.Path(dir, CentroidsSidecar))
+    if (ok) Some(dir) else None // lost the CAS to an append
+  }
+
   /** Publish a TOMBSTONE generation deleting `ids` (a `vec_id` column) —
     * the arbitrary-id production path, built on [[append]] (a delete
     * request exists nowhere else; losing a CAS race must re-offer it, not

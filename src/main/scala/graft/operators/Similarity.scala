@@ -1338,6 +1338,94 @@ object Similarity {
     * rows (an honest recall hole the graph consumer sees, not a silent
     * fill-in).
     */
+  /** s29: the index-maintenance loop CLOSED — s24 measures drift,
+    * [[AnnIndex.recluster]] acts on it. The query drives the production
+    * lifecycle on a scratch chain index: ingest the even half (gen 1),
+    * the odd half arrives as a drift wave (gen 2 append), a takedown
+    * batch tombstones a slice (gen 3), then `recluster` folds the chain
+    * — every live vector preserved, tombstones physically dropped — and
+    * publishes fresh integer-Lloyd centroids + a `cellp`-partitioned
+    * cell-assignment sidecar. The probe is then IVF over the REFRESHED
+    * cells: the query vector's 2 nearest fresh centroids select the
+    * cells, exact float dot ranks inside them. The oracle replays the
+    * whole pipeline (one Lloyd round over the live set, assignment with
+    * (dist, cid) ties, probe selection, dot ranking) — possible because
+    * recluster's training is the same order-free integer arithmetic as
+    * s9/s21.
+    */
+  def reclusterProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-s29").toString
+    val base = new org.apache.hadoop.fs.Path(root, "idx")
+    AnnIndex.ensureGeneration(s, base, 1L)(out =>
+      AnnIndex.buildFiltered(s, d, out, $"vec_id" % 2 === 0))
+    AnnIndex.append(s, base)(out =>
+      AnnIndex.buildFiltered(s, d, out, $"vec_id" % 2 === 1))
+    AnnIndex.delete(s, base,
+      Tables.embeddings(s, d).filter($"vec_id" % 89 === 21)
+        .select($"vec_id"))
+    val dir = AnnIndex.recluster(s, base, 1000000L)
+      .getOrElse(throw new IllegalStateException(
+        "bootstrap recluster did not fire"))
+    val cents = s.read.parquet(s"$dir/${AnnIndex.CentroidsSidecar}")
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toArray))
+    val qv = Tables.embeddings(s, d).filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0).toArray
+    val qq = qv.map(x => math.floor(x.toDouble * KMeans.QScale).toLong)
+    def l2(a: Array[Long], b: Array[Long]): Long = {
+      var acc = 0L; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); acc += t * t; i += 1 }
+      acc
+    }
+    val probes = cents.map { case (cid, cq) => (l2(qq, cq), cid) }
+      .sorted.take(2).map { case (_, cid) => s"c$cid" }.toSeq
+    val cells = s.read.parquet(s"$dir/${AnnIndex.CellsSidecar}")
+      .filter($"cellp".isin(probes: _*))
+    val out = s.read.parquet(dir)
+      .join(cells, Seq("vec_id"))
+      .filter($"vec_id" =!= 0)
+      .select($"vec_id", $"label", $"cellp".as("cell"),
+        VectorFunctions.dot($"embedding", typedlit(qv)).as("score"))
+      .orderBy($"score".desc, $"vec_id".asc)
+      .limit(10)
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    out
+  }
+
+  val reclusterProbeSql: String =
+    s"""WITH live AS (
+       |  SELECT * FROM embeddings WHERE vec_id % 89 <> 21),
+       |__LLOYD__,
+       |d2 AS (
+       |  SELECT v.vec_id, c.cid,
+       |    CAST(list_sum(list_transform(range(1, ${Dim + 1}),
+       |      i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i]))) AS BIGINT) AS dist
+       |  FROM q v CROSS JOIN c1 c),
+       |a2 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |    FROM d2) t WHERE rn = 1),
+       |qcells AS (
+       |  SELECT cid FROM (
+       |    SELECT cid, ROW_NUMBER() OVER (ORDER BY dist, cid) AS rn
+       |    FROM d2 WHERE vec_id = 0) t
+       |  WHERE rn <= 2),
+       |qv0 AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+       |SELECT e.vec_id, e.label,
+       |  'c' || CAST(a.cid AS VARCHAR) AS cell, $dotSql AS score
+       |FROM live e
+       |JOIN a2 a USING (vec_id)
+       |JOIN qcells qc ON a.cid = qc.cid
+       |CROSS JOIN qv0 q
+       |WHERE e.vec_id <> 0
+       |ORDER BY score DESC, e.vec_id ASC
+       |LIMIT 10""".stripMargin
+      .replace("__LLOYD__",
+        KMeans.lloydCtes(AnnIndex.IvfCentroids)
+          .replace("FROM embeddings", "FROM live"))
+
   def knnGraph(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -1377,6 +1465,7 @@ object Similarity {
        |ORDER BY vec_id, rk""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s29_recluster_probe" -> (reclusterProbe _),
     "s28_knn_graph" -> (knnGraph _),
     "s27_index_integrity" -> (indexIntegrity _),
     "s26_filtered_probe_k" -> (filteredAnnProbeUntilK _),
@@ -1402,6 +1491,7 @@ object Similarity {
     "s17_ann_deletes"    -> (annWithDeletes _))
 
   val oracle: Map[String, String] = Map(
+    "s29_recluster_probe" -> reclusterProbeSql,
     "s28_knn_graph" -> knnGraphSql,
     "s27_index_integrity" -> indexIntegritySql,
     "s26_filtered_probe_k" -> filteredAnnProbeUntilKSql,

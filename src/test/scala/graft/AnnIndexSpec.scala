@@ -235,6 +235,63 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(visible() === afterReinsert)
   }
 
+  test("recluster: drift gate, fold preserves live vectors + drops tombstones, refreshed cells cover the live set") {
+    import spark.implicits._
+    val base = new Path(
+      new java.io.File(System.getProperty("java.io.tmpdir")).toURI.toString,
+      s"graft-reclust-${java.util.UUID.randomUUID()}-v2")
+    def vecs(ids: Range, offset: Float): Seq[(Long, String, Seq[Float], String)] =
+      ids.map(i => (i.toLong, s"l${i % 3}",
+        Seq.tabulate(operators.KMeans.Dim)(j =>
+          offset + ((i * 7 + j) % 13) * 0.01f),
+        s"s0${i % 2}"))
+    def writeRows(out: String, rows: Seq[(Long, String, Seq[Float], String)]): Unit =
+      rows.toDF("vec_id", "label", "embedding", "sigp")
+        .write.partitionBy("sigp").mode("overwrite").parquet(out)
+    AnnIndex.ensureGeneration(spark, base, 1L)(out =>
+      writeRows(out, vecs(0 until 30, 0f)))
+    // bootstrap: no reference centroids yet — recluster fires at ANY
+    // threshold and publishes the fold with the IVF sidecars
+    val first = AnnIndex.recluster(spark, base, Long.MaxValue - 1)
+    assert(first.isDefined, "bootstrap recluster did not fire")
+    val fs = fsFor(base)
+    assert(fs.exists(new Path(first.get, "_centroids")))
+    assert(fs.exists(new Path(first.get, "_cells")))
+    def liveIds(): Set[Long] = AnnIndex.readCommitted(spark, base)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(liveIds() === (0L until 30L).toSet)
+    // quiet index: fresh centroids equal the reference — shift 0, no-op
+    // even at threshold 0 (the gate that keeps maintenance crons cheap)
+    assert(AnnIndex.recluster(spark, base, 0L).isEmpty,
+      "recluster rewrote a quiet index")
+    // drift wave (far-offset vectors) + a takedown
+    AnnIndex.append(spark, base)(out =>
+      writeRows(out, vecs(30 until 40, 50f)))
+    AnnIndex.delete(spark, base, Seq(35L).toDF("vec_id"))
+    // drift below an absurd threshold: still gated
+    assert(AnnIndex.recluster(spark, base, Long.MaxValue - 1).isEmpty,
+      "gate ignored the threshold under drift")
+    // real threshold: recluster folds — every live vector preserved,
+    // the tombstoned row physically gone, cells cover exactly the live set
+    val second = AnnIndex.recluster(spark, base, 0L)
+    assert(second.isDefined, "drifted index did not recluster")
+    val expected = (0L until 40L).toSet - 35L
+    assert(liveIds() === expected)
+    assert(spark.read.parquet(second.get).count() === expected.size.toLong,
+      "fold kept tombstoned/dropped rows physically")
+    val cellIds = spark.read.parquet(s"${second.get}/_cells")
+      .select($"vec_id").as[Long].collect().toSet
+    assert(cellIds === expected, "cell assignment diverged from the live set")
+    // the drifted wave separates: its vectors land in cells the original
+    // corpus does not occupy (the refreshed centroids actually moved)
+    val cellsOf = spark.read.parquet(s"${second.get}/_cells")
+      .select($"vec_id", $"cellp").as[(Long, String)].collect().toMap
+    val oldCells = (0L until 30L).map(cellsOf)
+    val newCells = (30L until 40L).filterNot(_ == 35L).map(cellsOf)
+    assert(newCells.toSet.intersect(oldCells.toSet).isEmpty,
+      "drifted vectors share cells with the original corpus — centroids did not adapt")
+  }
+
   test("delete resolves buckets from _idmap sidecars, never scanning the index (r11)") {
     import spark.implicits._
     val base = new Path(
