@@ -201,6 +201,30 @@ final class BucketedPotTable(
     commitStaged(staged, touched, gen)
   }
 
+  /** Predicate remove (r14): delete every document matching `pred`,
+    * restaging ONLY the buckets that contain matching rows — the
+    * driver never materializes a key list (the one bounded collect is
+    * bucket IDs, <= nBuckets). The distributed twin of [[remove]] for
+    * data-sized delete sets (TTL sweeps, retention): cost scales with
+    * the touched buckets, not the expired-key count.
+    */
+  def removeWhere(pred: org.apache.spark.sql.Column): Long = {
+    graft.Metrics.of(spark).foreach(_.recordRemove())
+    val gen = generation
+    if (gen == 0L) return 0L
+    val current = resolve(gen)
+    if (current.isEmpty) return gen
+    val touched = spark.read.parquet(current.values.toSeq.sorted: _*)
+      .filter(pred).withColumn("_b", bucketCol)
+      .select($"_b").distinct().as[Int].collect().sorted.toSeq
+    if (touched.isEmpty) return gen // nothing matches: no-op
+    val remaining = readBuckets(current, touched).filter(!pred)
+    val staged = stageRoot(gen + 1)
+    remaining.repartition(touched.length, $"_b")
+      .write.partitionBy("_b").mode("errorifexists").parquet(staged)
+    commitStaged(staged, touched, gen)
+  }
+
   /** Compaction: restage every live bucket at one generation (one job),
     * collapsing the manifest overlay a reader must walk. Old staged dirs
     * stay on disk until [[vacuum]] — concurrent readers keep their pinned

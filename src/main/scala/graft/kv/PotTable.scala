@@ -205,6 +205,20 @@ final class PotTable(spark: SparkSession, root: String, path: String) {
     commit(get().join(broadcast(keysDf), Seq("key"), "left_anti"), gen)
   }
 
+  /** Predicate remove (r14 — the distributed sweep): delete every
+    * document matching `pred` in ONE atomic generation, with no
+    * driver-side key materialization anywhere — the filter IS the
+    * rewrite. This is the verb a TTL/retention sweep wants: the key-list
+    * [[remove]] mirrors the reference's key-addressed DELETE, this stays
+    * data-sized-safe when the expired set is large.
+    */
+  def removeWhere(pred: org.apache.spark.sql.Column): Long = {
+    graft.Metrics.of(spark).foreach(_.recordRemove())
+    val gen = generation
+    if (gen == 0L) return 0L
+    commit(get().filter(!pred), gen)
+  }
+
   /** Admin recovery for a generation wedged by a crashed writer AND a
     * crashed reclaimer (see [[CommitMarker.publish]]'s failure-mode note).
     * Caller guarantees no writer is live. Returns repaired generations.

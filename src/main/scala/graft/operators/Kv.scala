@@ -736,11 +736,11 @@ object Kv {
     * and sees the pre-sweep state) and diffable (kv7 shows exactly the
     * expired set). The sweep reads CURRENT state — a lease renewed in
     * gen 2 survives a cutoff its gen-1 lease would have failed, which is
-    * the entire point of leases. Fixture-sized key collection rides
-    * `PotTable.remove`; a 100 TB sweep keeps the same generation
-    * semantics with the expired-key set staying distributed (kv2's
-    * anti-join merged through the bucketed store). Mods %11/%4 and
-    * cutoff 5 mirrored literally in the oracle.
+    * the entire point of leases. The sweep is `PotTable.removeWhere`
+    * (r14): the predicate IS the rewrite — no driver-side key
+    * materialization at any scale (the bucketed twin,
+    * `BucketedPotTable.removeWhere`, restages only matching buckets).
+    * Mods %11/%4 and cutoff 5 mirrored literally in the oracle.
     */
   def ttlExpiry(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -753,9 +753,9 @@ object Kv {
     pot.upsert(docs) // gen 1: every doc with its initial lease
     pot.upsert(docs.filter($"key".cast("long") % 4 === 0)
       .withColumn("exp_day", ($"exp_day" + 11).cast("int"))) // gen 2: renewals
-    val expired = pot.get().filter($"exp_day" < 5)
-      .select($"key").as[String].collect().toSeq.sorted
-    pot.remove(expired) // gen 3: the sweep, one atomic generation
+    pot.removeWhere($"exp_day" < 5) // gen 3: the sweep, one atomic
+    // generation — fully distributed (r14: the expired keys are never
+    // materialized on the driver; the predicate is the rewrite)
     val result = pot.get()
       .select($"key".cast("long").as("key"), $"c_name", $"exp_day")
       .orderBy($"key").localCheckpoint(true)

@@ -39,6 +39,33 @@ class BucketedPotSpec extends AnyFunSuite {
     assert(!keys.contains("k7") && keys.size === 49)
   }
 
+  test("removeWhere: predicate sweep restages only matching buckets, no driver key list") {
+    import org.apache.spark.sql.functions.col
+    val root = tmpRoot()
+    val pot = BucketedPotTable(spark, root, "t", nBuckets = 8)
+    pot.upsert((1 to 200).map(i => (s"k$i", i)).toDF("key", "v"))
+    // sweep v > 190: 10 keys, hashing into a strict subset of buckets —
+    // the commit must restage exactly those buckets
+    val expected = (1 to 200).filter(_ > 190).map(i => s"k$i")
+    val expectedBuckets = expected
+      .map(k => spark.range(1).select(
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.lit(k)),
+          org.apache.spark.sql.functions.lit(8L)).cast("int"))
+        .as[Int].head()).toSet
+    val gen = pot.removeWhere(col("v") > 190)
+    assert(pot.bucketsWrittenAt(gen).toSet === expectedBuckets,
+      s"sweep restaged ${pot.bucketsWrittenAt(gen)} vs $expectedBuckets")
+    val keys = pot.get().select("key").as[String].collect().toSet
+    assert(keys.size === 190 && expected.forall(!keys.contains(_)))
+    // nothing matches: no-op, no generation burned
+    assert(pot.removeWhere(col("v") > 1000) === gen)
+    // sweep that empties buckets tombstones them (whole-table expiry)
+    pot.removeWhere(col("v") > 0)
+    assert(pot.get().isEmpty)
+  }
+
   test("compact collapses bucket version history and preserves state") {
     val root = tmpRoot()
     val pot = BucketedPotTable(spark, root, "t", nBuckets = 4)
