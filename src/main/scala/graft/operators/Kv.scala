@@ -763,6 +763,50 @@ object Kv {
     result
   }
 
+  /** kv20: the TTL sweep at BUCKETED-store scale — kv19's lifecycle
+    * (lease, renewal wave, atomic expiry) run through
+    * `BucketedPotTable.removeWhere` (r14): the sweep restages ONLY the
+    * buckets containing expired docs, the expired-key set never touches
+    * the driver (the one bounded collect is bucket IDs), and the expiry
+    * is still one CAS'd generation on the manifest chain. Mods %13/%5
+    * and cutoff 6 mirrored literally in the oracle; the report
+    * aggregates survivors by lease day (integer sums — oracle-exact).
+    */
+  def bucketedTtl(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bpot-ttl").toString
+    val pot = graft.kv.BucketedPotTable(s, root, "cust_bttl", 16)
+    val docs = Tables.customer(s, d).select(
+      $"c_custkey".cast("string").as("key"),
+      $"c_nationkey".cast("int").as("nat"),
+      ($"c_custkey" % 13).cast("int").as("exp_day"))
+    pot.upsert(docs) // gen 1: initial leases
+    pot.upsert(docs.filter($"key".cast("long") % 5 === 0)
+      .withColumn("exp_day", ($"exp_day" + 13).cast("int"))) // gen 2
+    pot.removeWhere($"exp_day" < 6) // gen 3: distributed sweep
+    val result = pot.get()
+      .groupBy($"exp_day")
+      .agg(count(lit(1)).as("n"),
+        sum($"nat".cast("long")).as("sum_nat"))
+      .orderBy($"exp_day").localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    result
+  }
+
+  val bucketedTtlSql: String =
+    """SELECT exp_day, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(c_nationkey) AS BIGINT) AS sum_nat
+      |FROM (
+      |  SELECT c_nationkey,
+      |    CAST((c_custkey % 13) +
+      |      CASE WHEN c_custkey % 5 = 0 THEN 13 ELSE 0 END AS INTEGER)
+      |      AS exp_day
+      |  FROM customer) t
+      |WHERE exp_day >= 6
+      |GROUP BY exp_day
+      |ORDER BY exp_day""".stripMargin
+
   val ttlExpirySql: String =
     """SELECT c_custkey AS key, c_name,
       |  CAST(CASE WHEN c_custkey % 4 = 0 THEN c_custkey % 11 + 11
@@ -773,6 +817,7 @@ object Kv {
       |ORDER BY key""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kv20_bucketed_ttl" -> (bucketedTtl _),
     "kv19_ttl_expiry" -> (ttlExpiry _),
     "kv17_storage_report" -> (storageReport _),
     "kv16_reshard" -> (reshard _),
@@ -795,6 +840,7 @@ object Kv {
     "kv7_generation_diff" -> (generationDiff _))
 
   val oracle: Map[String, String] = Map(
+    "kv20_bucketed_ttl" -> bucketedTtlSql,
     "kv19_ttl_expiry" -> ttlExpirySql,
     "kv17_storage_report" -> storageReportSql,
     "kv16_reshard" -> reshardSql,

@@ -119,7 +119,8 @@ private[sources] class BucketedPotV2Table(root: String, nBuckets: Int)
   override def schema(): StructType = PotV2Source.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new BucketedPotScanBuilder(root, nBuckets)
@@ -216,15 +217,63 @@ private[graft] class BucketedPotWrite(
     truncateFirst: Boolean, maxObjectBytes: Long)
     extends Write with BatchWrite {
 
-  private val keyIdx = schema.fieldNames.indexOf("key")
-  private val docIdx = schema.fieldNames.indexOf("doc_json")
+  private[sources] val keyIdx = schema.fieldNames.indexOf("key")
+  private[sources] val docIdx = schema.fieldNames.indexOf("doc_json")
   require(keyIdx >= 0 && docIdx >= 0,
     s"BucketedPotV2Source write needs key + doc_json columns, got $schema")
 
   private def stagingDir = new Path(root, s".staging-$queryId")
   private def qid8 = queryId.replace("-", "").take(8)
+  private[sources] def stagingBase: String = stagingDir.toString
+  private[sources] def buckets: Int = nBuckets
 
   override def toBatch: BatchWrite = this
+
+  /** Streaming half (st20): each micro-batch epoch routes its rows to
+    * per-bucket fragments and commits every touched bucket through the
+    * SINGLE-pot streaming epoch path — O(change-set) delta generations
+    * with threshold compaction per shard, epoch-tag adoption per
+    * (query, epoch) on every chain (a replayed epoch re-commits only the
+    * buckets that have not adopted yet — per-bucket exactly-once).
+    * Complete mode (truncate) replaces the WHOLE store each epoch:
+    * touched buckets rewrite, untouched existing buckets empty. The
+    * sharded store thus ingests a stream at change-set cost per shard —
+    * the 100 TB firehose shape: keys fan out across buckets, each
+    * bucket's chain grows by its own epoch delta.
+    */
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new BucketedPotStreamingWrite(this)
+
+  private[sources] def commitEpoch(
+      epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(root).getFileSystem(new Configuration())
+    val perBucket = messages
+      .collect { case m: BucketFragmentsMessage => m }
+      .flatMap(m => m.fragments.map { case (b, f) =>
+        (b, PotFragmentMessage(m.partitionId, f)) })
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val tag = s"q${qid8}e$epochId"
+    val buckets: Seq[Int] =
+      if (truncateFirst)
+        (perBucket.keySet ++
+          BucketedPotV2Source.existingBuckets(root, nBuckets)).toSeq.sorted
+      else perBucket.keySet.toSeq.sorted
+    buckets.foreach { b =>
+      val pot = BucketedPotV2Source.bucketPot(root, b)
+      val w = new PotV2Write(pot, PotV2Source.Schema, s"$queryId-b$b",
+        truncateFirst, maxObjectBytes)
+      val msgs = perBucket.getOrElse(b, Array.empty[PotFragmentMessage])
+        .asInstanceOf[Array[WriterCommitMessage]]
+      val staging = new Path(stagingBase + s"-e$epochId", s"done-b$b")
+      if (truncateFirst)
+        w.commitEntries(msgs, truncate = true, snapTag = Some(tag),
+          retryOnConflict = true, staging = staging)
+      else
+        w.commitDeltaEpoch(msgs, tag, staging = staging)
+    }
+    fs.delete(new Path(stagingBase + s"-e$epochId"), true)
+  }
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =
@@ -307,6 +356,34 @@ private[graft] class BucketedPotWriterFactory(
       override def abort(): Unit = ()
       override def close(): Unit = ()
     }
+}
+
+private[graft] class BucketedPotStreamingWrite(write: BucketedPotWrite)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new BucketedPotStreamingWriterFactory(
+      write.stagingBase, write.buckets, write.keyIdx, write.docIdx)
+  override def commit(
+      epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    write.commitEpoch(epochId, messages)
+  override def abort(
+      epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val staging = new Path(write.stagingBase + s"-e$epochId")
+    staging.getFileSystem(new Configuration()).delete(staging, true)
+  }
+}
+
+private[graft] class BucketedPotStreamingWriterFactory(
+    stagingBase: String, nBuckets: Int, keyIdx: Int, docIdx: Int)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] =
+    new BucketedPotWriterFactory(
+      s"$stagingBase-e$epochId", nBuckets, keyIdx, docIdx)
+      .createWriter(partitionId, taskId)
 }
 
 // ===================== row-level ops (MERGE / UPDATE) ====================

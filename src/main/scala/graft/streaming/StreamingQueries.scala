@@ -1365,7 +1365,63 @@ object StreamingQueries {
       |WHERE n_regionkey = 1 OR (n_regionkey = 0 AND n_nationkey % 2 = 0)
       |ORDER BY key""".stripMargin
 
+  /** st20: streaming ingest into the SHARDED pot store
+    * ([[graft.sources.BucketedPotV2Source]]) — the firehose shape: each
+    * micro-batch epoch hash-routes its rows to per-bucket fragments
+    * task-side, and every touched bucket commits its own O(change-set)
+    * DELTA generation (threshold compaction per shard, epoch-tag
+    * adoption per (query, epoch, bucket) = per-bucket exactly-once).
+    * Where st16 streams into ONE pot (one chain absorbs every epoch),
+    * this spreads the same stream across 8 independent chains — the
+    * write-amplification and parallelism story of the bucketed store
+    * carried into streaming. Readback goes through the sharded
+    * connector's fold-aware glob scan, so delta-headed chains resolve
+    * without any compaction having happened.
+    */
+  def streamBucketedSink(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = runScratchDir("graft-st20")
+    val store = s"$root/store"
+    val fmt = classOf[graft.sources.BucketedPotV2Source].getName
+    withStreamRunConf(s) {
+      val q = eventsStream(s, d)
+        .filter(col("event_id") % 41 === 0)
+        .select(lit("").as("pot_file"),
+          concat(lit("e"), col("event_id").cast("string")).as("key"),
+          to_json(struct(col("event_type").as("et"),
+            col("value").as("v"))).as("doc_json"))
+        .writeStream
+        .format(fmt)
+        .option("path", store)
+        .option("buckets", "8")
+        .option("checkpointLocation", s"$root/chk")
+        .outputMode("append")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    val result = s.read.format(fmt)
+      .option("path", store).option("buckets", "8").load()
+      .select(get_json_object($"doc_json", "$.et").as("event_type"),
+        get_json_object($"doc_json", "$.v").cast("double").as("v"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), min($"v").as("vmin"), max($"v").as("vmax"))
+      .orderBy($"event_type")
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    result
+  }
+
+  val streamBucketedSinkSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  MIN(value) AS vmin, MAX(value) AS vmax
+      |FROM events
+      |WHERE event_id % 41 = 0
+      |GROUP BY 1
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st20_stream_bucketed_sink" -> (streamBucketedSink _),
     "st19_cdc_mirror" -> (streamCdcMirror _),
     "st18_stream_multipot" -> (streamMultiPotSource _),
     "st17_stream_pot_source" -> (streamPotSource _),
@@ -1387,6 +1443,7 @@ object StreamingQueries {
     "st4_stream_attribution" -> (streamClickAttribution _))
 
   val oracle: Map[String, String] = Map(
+    "st20_stream_bucketed_sink" -> streamBucketedSinkSql,
     "st19_cdc_mirror" -> streamCdcMirrorSql,
     "st18_stream_multipot" -> streamMultiPotSourceSql,
     "st17_stream_pot_source" -> streamPotSourceSql,
