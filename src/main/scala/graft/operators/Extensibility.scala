@@ -978,6 +978,107 @@ object Extensibility {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** u24: chain observability — `graft_pot_history('<path>')`, the
+    * DESCRIBE HISTORY analogue for a pot chain (A12's observability
+    * surface at the SQL level): one row per committed generation with
+    * its artifact KIND (`snapshot` = full-object commit, `delta` = an
+    * r14 streaming epoch's O(change-set) `.dgen-`) and the generation's
+    * applied change counts (upserts, deletes) derived from the SAME
+    * change-feed partitions u20 reads — so the numbers are the feed's
+    * truth, not a parallel bookkeeping that could drift. Kinds are a
+    * driver-side metadata walk (bounded by chain length); the counts
+    * aggregate runs distributed, one partition per generation.
+    */
+  private[graft] def registerPotHistoryTvf(s: SparkSession): Unit =
+    s.sessionState.tableFunctionRegistry.registerFunction(
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(
+        "graft_pot_history"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.sources.PotV2Source].getName, "graft_pot_history"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.unsafe.types.UTF8String
+        val path = exprs match {
+          case Seq(Literal(p: UTF8String, _)) => p.toString
+          case other => throw new IllegalArgumentException(
+            s"graft_pot_history: expected a STRING literal path, got $other")
+        }
+        val spark = org.apache.spark.sql.SparkSession.active
+        import spark.implicits._
+        val hp = new org.apache.hadoop.fs.Path(path)
+        val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val commits = new org.apache.hadoop.fs.Path(hp.getParent, ".commits")
+        val kinds = graft.kv.CommitMarker
+          .committedGenerations(fs, commits).sorted.map { g =>
+            val body = graft.sources.PotChain.artifactOf(fs, commits, g)
+            (g, if (graft.sources.PotChain.isDgen(body)) "delta"
+              else "snapshot")
+          }
+        val kindsDf = kinds.toDF("gen", "kind")
+        val changes = spark.read
+          .format(classOf[graft.sources.PotV2Source].getName)
+          .option("path", path).option("changesFrom", "0").load()
+          .select(regexp_extract($"pot_file", "@([0-9]+)$", 1)
+            .cast("long").as("gen"),
+            ($"doc_json" === "null").as("del"))
+          .groupBy($"gen")
+          .agg(sum(when(!$"del", 1L).otherwise(0L)).as("ups"),
+            sum(when($"del", 1L).otherwise(0L)).as("dels"))
+        kindsDf.join(changes, Seq("gen"), "left")
+          .select($"gen", $"kind",
+            coalesce($"ups", lit(0L)).as("upserts"),
+            coalesce($"dels", lit(0L)).as("deletes"))
+          .queryExecution.analyzed
+      })
+
+  def sqlPotHistory(s: SparkSession, d: String): DataFrame = {
+    registerPotHistoryTvf(s)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-potv2hist").toString
+    val pot = s"$dir/t/data.json"
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    import s.implicits._
+    def docs(df: DataFrame, v: Int) = df.select(
+      lit("").as("pot_file"),
+      concat(lit("n"), col("n_nationkey").cast("string")).as("key"),
+      to_json(struct(col("n_name").as("name"), lit(v).as("v")))
+        .as("doc_json"))
+    val nat = Tables.nation(s, d)
+    docs(nat.filter($"n_regionkey" <= 1), 0)
+      .write.format(fmt).option("path", pot).mode("overwrite").save()
+    docs(nat.filter($"n_regionkey" === 0), 1)
+      .write.format(fmt).option("path", pot).mode("append").save()
+    docs(nat.filter($"n_regionkey" === 1 ||
+        ($"n_regionkey" === 0 && $"n_nationkey" % 2 === 0)), 2)
+      .write.format(fmt).option("path", pot).mode("overwrite").save()
+    val out = s.sql(
+      s"""SELECT gen, kind, upserts, deletes
+         |FROM graft_pot_history('$pot')
+         |ORDER BY gen""".stripMargin).localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    out
+  }
+
+  val sqlPotHistorySql: String =
+    """SELECT gen, kind, upserts, deletes FROM (
+      |  SELECT CAST(1 AS BIGINT) AS gen, 'snapshot' AS kind,
+      |    CAST((SELECT COUNT(*) FROM nation WHERE n_regionkey <= 1)
+      |      AS BIGINT) AS upserts,
+      |    CAST(0 AS BIGINT) AS deletes
+      |  UNION ALL
+      |  SELECT CAST(2 AS BIGINT), 'snapshot',
+      |    CAST((SELECT COUNT(*) FROM nation WHERE n_regionkey = 0)
+      |      AS BIGINT),
+      |    CAST(0 AS BIGINT)
+      |  UNION ALL
+      |  SELECT CAST(3 AS BIGINT), 'snapshot',
+      |    CAST((SELECT COUNT(*) FROM nation WHERE n_regionkey = 1
+      |      OR (n_regionkey = 0 AND n_nationkey % 2 = 0)) AS BIGINT),
+      |    CAST((SELECT COUNT(*) FROM nation
+      |      WHERE n_regionkey = 0 AND n_nationkey % 2 = 1) AS BIGINT)
+      |) t
+      |ORDER BY gen""".stripMargin
+
   /** u23: multi-pot batch CDC with a PER-POT from-vector — the r13
     * verdict's #3, closing the batch/stream symmetry: a glob changes
     * read now takes the SAME per-pot generation map st18's stream
@@ -1152,6 +1253,7 @@ object Extensibility {
       |ORDER BY seg""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u24_sql_pot_history" -> (sqlPotHistory _),
     "u23_sql_changes_vector" -> (sqlPotChangesVector _),
     "u22_sql_bucketed_write" -> (sqlBucketedWrite _),
     "u21_sql_bucketed_pot" -> (sqlBucketedPot _),
@@ -1177,6 +1279,7 @@ object Extensibility {
     "u5_typed_dataset"  -> (typedDataset _))
 
   val oracle: Map[String, String] = Map(
+    "u24_sql_pot_history" -> sqlPotHistorySql,
     "u23_sql_changes_vector" -> sqlPotChangesVectorSql,
     "u22_sql_bucketed_write" -> sqlBucketedWriteSql,
     "u21_sql_bucketed_pot" -> sqlBucketedPotSql,

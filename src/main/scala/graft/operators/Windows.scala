@@ -378,7 +378,40 @@ object Windows {
       |FROM runs
       |ORDER BY user_id, vf_us, first_eid""".stripMargin
 
+  /** q78: corpus-wide leaderboard with a STRING tie-break — the r14
+    * DistRank path driven through the driver gate, not just the property
+    * suite: ranking by `c_nationkey` makes EVERY value a heavy tie
+    * (sf0.1: ~600 rows per nation), and the tie-break is `c_name` — a
+    * string with a shared "Customer#" prefix and a digit suffix, exactly
+    * the clustered-encoding shape the depth-adaptive tie refinement
+    * exists for. Same global-total-order contract as p17/q66 (flat
+    * ROW_NUMBER in the oracle); the scale path is DistRank's bounded
+    * pre-passes — no unpartitioned window anywhere.
+    */
+  def stringTieRank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val c = Tables.customer(s, d).select(
+      $"c_custkey".cast("long").as("custkey"),
+      $"c_nationkey".cast("int").as("nation"), $"c_name")
+    DistRank.withRowNumber(c, "rk", $"nation", desc = false,
+        Seq($"c_name", $"custkey"))
+      .filter($"rk" <= 200)
+      .select($"rk", $"custkey", $"nation", $"c_name")
+      .orderBy($"rk")
+  }
+
+  val stringTieRankSql: String =
+    """SELECT rk, custkey, nation, c_name FROM (
+      |  SELECT CAST(c_custkey AS BIGINT) AS custkey,
+      |    CAST(c_nationkey AS INTEGER) AS nation, c_name,
+      |    CAST(ROW_NUMBER() OVER (
+      |      ORDER BY c_nationkey, c_name, c_custkey) AS BIGINT) AS rk
+      |  FROM customer) t
+      |WHERE rk <= 200
+      |ORDER BY rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q78_string_tie_rank" -> (stringTieRank _),
     "q59_scd2_build" -> (scd2Build _),
     "q46_value_windows" -> (valueWindows _),
     "q45_distribution_windows" -> (distributionWindows _),
@@ -391,6 +424,7 @@ object Windows {
     "q21_orderby_limit"  -> (orderByLimit _))
 
   val oracle: Map[String, String] = Map(
+    "q78_string_tie_rank" -> stringTieRankSql,
     "q59_scd2_build" -> scd2BuildSql,
     "q16_window_rank"    -> rankingSql,
     "q17_window_running" -> runningSumSql,

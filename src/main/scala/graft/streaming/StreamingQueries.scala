@@ -1420,7 +1420,81 @@ object StreamingQueries {
       |GROUP BY 1
       |ORDER BY event_type""".stripMargin
 
+  /** st21: CDC OUT of the sharded store — the multi-pot vector-offset
+    * stream (st18) composed over `BucketedPotV2Source`'s bucket layout:
+    * each bucket IS a pot chain, so `readStream` on the `_b=*` glob
+    * drains every shard's generations with per-bucket exactly-once
+    * offsets, and the feed carries the store's full SQL DML history —
+    * the seed INSERT's upserts, the LWW wave's updated docs, and the
+    * row-level DELETE's tombstones (a doc_json predicate the metadata
+    * path declines, so the delete runs through the SupportsDelta rewrite
+    * and surfaces in each touched bucket's sidecar). Bucket assignment
+    * is hash-internal, but the feed's (key, doc) multiset is
+    * bucket-independent — exactly what the oracle recomputes.
+    */
+  def streamBucketedCdc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = runScratchDir("graft-st21")
+    val store = s"$root/store"
+    val bfmt = classOf[graft.sources.BucketedPotV2Source].getName
+    val pfmt = classOf[graft.sources.PotV2Source].getName
+    val tbl = "graft_st21_bpot"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"CREATE TABLE $tbl (pot_file STRING, key STRING, " +
+      s"doc_json STRING) USING $bfmt OPTIONS (path '$store', buckets '8')")
+    Tables.nation(s, d).createOrReplaceTempView("graft_st21_nation")
+    s.sql(s"""INSERT INTO $tbl
+             |SELECT '' AS pot_file, concat('n', n_nationkey) AS key,
+             |  to_json(named_struct('region', n_regionkey, 'v', 0))
+             |    AS doc_json
+             |FROM graft_st21_nation WHERE n_regionkey <= 2""".stripMargin)
+    s.sql(s"""INSERT INTO $tbl
+             |SELECT '', concat('n', n_nationkey),
+             |  to_json(named_struct('region', n_regionkey, 'v', 1))
+             |FROM graft_st21_nation WHERE n_regionkey = 0""".stripMargin)
+    s.sql(s"""DELETE FROM $tbl
+             |WHERE get_json_object(doc_json, '$$.region') = '2'"""
+      .stripMargin)
+    val feed = s"$root/feed"
+    withStreamRunConf(s) {
+      val q = s.readStream.format(pfmt)
+        .option("path", s"$store/_b=*/data.json").load()
+        .writeStream.format("parquet").option("path", feed)
+        .option("checkpointLocation", s"$root/chk").start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    val result = s.read.parquet(feed)
+      .select($"key",
+        coalesce(get_json_object($"doc_json", "$.v").cast("int"), lit(-1))
+          .as("v"),
+        ($"doc_json" === "null").as("deleted"))
+      .orderBy($"key", $"deleted", $"v")
+      .localCheckpoint(true)
+    s.sql(s"DROP TABLE $tbl")
+    s.catalog.dropTempView("graft_st21_nation")
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    result
+  }
+
+  val streamBucketedCdcSql: String =
+    """WITH r AS (
+      |  SELECT n_nationkey AS nk,
+      |    'n' || CAST(n_nationkey AS VARCHAR) AS key,
+      |    n_regionkey AS rg
+      |  FROM nation)
+      |SELECT key, v, deleted FROM (
+      |  SELECT key, CAST(0 AS INTEGER) AS v, FALSE AS deleted
+      |  FROM r WHERE rg <= 2
+      |  UNION ALL
+      |  SELECT key, CAST(1 AS INTEGER), FALSE FROM r WHERE rg = 0
+      |  UNION ALL
+      |  SELECT key, CAST(-1 AS INTEGER), TRUE FROM r WHERE rg = 2
+      |) t
+      |ORDER BY key, deleted, v""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st21_stream_bucketed_cdc" -> (streamBucketedCdc _),
     "st20_stream_bucketed_sink" -> (streamBucketedSink _),
     "st19_cdc_mirror" -> (streamCdcMirror _),
     "st18_stream_multipot" -> (streamMultiPotSource _),
@@ -1443,6 +1517,7 @@ object StreamingQueries {
     "st4_stream_attribution" -> (streamClickAttribution _))
 
   val oracle: Map[String, String] = Map(
+    "st21_stream_bucketed_cdc" -> streamBucketedCdcSql,
     "st20_stream_bucketed_sink" -> streamBucketedSinkSql,
     "st19_cdc_mirror" -> streamCdcMirrorSql,
     "st18_stream_multipot" -> streamMultiPotSourceSql,

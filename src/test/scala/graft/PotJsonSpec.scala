@@ -1316,6 +1316,42 @@ class PotJsonSpec extends AnyFunSuite {
     assert(msgs(e).exists(_.contains("out of range")), msgs(e).toString)
   }
 
+  test("graft_pot_history reports artifact kinds: snapshots for batch commits, delta for streaming epochs") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("potv2hist").toString
+    val pot = s"$dir/t/data.json"
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    Seq(("", "a", """{"v": 1}"""))
+      .toDF("pot_file", "key", "doc_json")
+      .write.format(fmt).option("path", pot).mode("overwrite").save()
+    val write = new graft.sources.PotV2Write(
+      pot, graft.sources.PotV2Source.Schema, "q-hist",
+      truncateFirst = false, compactEvery = 100)
+    val sw = write.toStreaming
+    def stage(epoch: Long, key: String)
+        : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+      val w = new graft.sources.PotV2WriterFactory(
+        write.epochStagingDir(epoch).toString, 1, 2).createWriter(0, 0L)
+      w.write(InternalRow(UTF8String.fromString(""),
+        UTF8String.fromString(key), UTF8String.fromString("""{"v": 0}""")))
+      w.commit()
+    }
+    sw.commit(1L, Array(stage(1L, "b")))
+    sw.commit(2L, Array(stage(2L, "a"))) // update: a -> v0
+    // the TVF: kinds from the marker chain, counts from the change feed
+    graft.operators.Extensibility.registerPotHistoryTvf(spark)
+    val rows = spark.sql(
+      s"SELECT gen, kind, upserts, deletes FROM graft_pot_history('$pot') " +
+        "ORDER BY gen")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(rows === Seq(
+      (1L, "snapshot", 1L, 0L),
+      (2L, "delta", 1L, 0L),
+      (3L, "delta", 1L, 0L)), rows.toString)
+  }
+
   test("PotV2Source rejects a non-map pot object loudly") {
     val dir = java.nio.file.Files.createTempDirectory("potv2bad")
     writePot(dir, "bad", """[1, 2, 3]""")
