@@ -825,6 +825,28 @@ private[graft] class PotV2Write(
   private[graft] def qid8: String =
     queryId.replace("-", "").take(8)
 
+  /** Committed marker bodies are IMMUTABLE once published, so the
+    * tag-adoption scan caches them: each epoch reads only the markers
+    * that appeared since the last scan (amortized O(new generations)
+    * per epoch instead of O(chain) — a long-running stream's per-epoch
+    * overhead stays flat as its own chain grows). Keyed per Write
+    * instance; a fresh writer (restart) rebuilds the cache on first use.
+    */
+  private val markerBodyCache =
+    scala.collection.mutable.Map.empty[Long, String]
+
+  private[graft] def committedTagExists(
+      fs: org.apache.hadoop.fs.FileSystem, commits: Path,
+      t: String): Boolean = {
+    graft.kv.CommitMarker.committedGenerations(fs, commits).foreach { g =>
+      if (!markerBodyCache.contains(g))
+        markerBodyCache(g) =
+          new Path(graft.kv.CommitMarker.read(fs, new Path(commits, g.toString)))
+            .getName
+    }
+    markerBodyCache.valuesIterator.exists(_.contains(s"-$t-"))
+  }
+
   private[graft] def stagingBase: String =
     new Path(new Path(path).getParent, s".staging-$queryId").toString
 
@@ -860,10 +882,7 @@ private[graft] class PotV2Write(
     val mapper = new ObjectMapper()
 
     def tagCommitted(t: String): Boolean =
-      graft.kv.CommitMarker.committedGenerations(fs, commits).exists { g =>
-        new Path(graft.kv.CommitMarker.read(fs, new Path(commits, g.toString)))
-          .getName.contains(s"-$t-")
-      }
+      committedTagExists(fs, commits, t)
 
     def attempt(): Boolean = {
       if (snapTag.exists(tagCommitted)) return true // replayed epoch: adopt
@@ -1065,10 +1084,7 @@ private[graft] class PotV2Write(
     val mapper = new ObjectMapper()
 
     def tagCommitted(t: String): Boolean =
-      graft.kv.CommitMarker.committedGenerations(fs, commits).exists { g =>
-        new Path(graft.kv.CommitMarker.read(fs, new Path(commits, g.toString)))
-          .getName.contains(s"-$t-")
-      }
+      committedTagExists(fs, commits, t)
 
     def dgenRunLength(gens: Seq[Long]): Int =
       gens.sorted.reverse.iterator
