@@ -80,6 +80,23 @@ final class BucketedPotTable(
     else spark.read.parquet(m.values.toSeq.sorted: _*)
   }
 
+  /** TIME TRAVEL read (r14): the table's state at manifest generation
+    * `gen` — the manifest overlay stops at `gen`, so the scan opens
+    * exactly the staged dirs that generation's readers saw. Valid while
+    * [[vacuum]] retention covers `gen` (vacuumed staged dirs fail the
+    * scan loudly — the same retention contract as PotTable.getAt). An
+    * uncommitted/out-of-range generation fails loudly, never a stale
+    * fallback.
+    */
+  def getAt(gen: Long): DataFrame = {
+    require(gen >= 1L && gen <= generation && isCommitted(gen),
+      s"bucketed pot $path: generation $gen is not committed " +
+        s"(head is $generation) — never a stale/empty fallback")
+    val m = resolve(gen)
+    if (m.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(m.values.toSeq.sorted: _*)
+  }
+
   /** Point read: resolve `key`'s bucket driver-side (same xxhash64/pmod
     * as [[bucketCol]], evaluated without a job) and scan ONLY that
     * bucket's current staged dir — the read-side payoff of bucketing.

@@ -934,7 +934,70 @@ object Aggregates {
       |FROM ea LEFT JOIN aa ON aa.ab = ea.eb
       |ORDER BY bucket""".stripMargin
 
+  /** q79: EXACT robust statistics — per-status lower median and median
+    * absolute deviation of order totals, the outlier-resistant location/
+    * scale pair a data-quality monitor wants where mean/stddev are
+    * wrecked by tails. "Exact" is the contract: the lower median is the
+    * element at rank (n+1) div 2 under the (value, orderkey) total
+    * order — an actual data value both engines select identically (no
+    * interpolation, whose float arithmetic diverges across engines) —
+    * and MAD re-ranks |p - med| the same way (one IEEE subtraction on
+    * identical operands — bit-stable). Both ranks are PARTITIONED
+    * windows (per status) — never corpus-wide; n via one group-by, med
+    * and n broadcast back.
+    */
+  def robustStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(s, d).select(
+      $"o_orderstatus".as("status"), $"o_totalprice".as("p"),
+      $"o_orderkey".as("k"))
+    val n = o.groupBy($"status").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"status").orderBy($"p", $"k")
+    val med = o.withColumn("rn", row_number().over(w).cast("long"))
+      .join(broadcast(n), Seq("status"))
+      .filter($"rn" === expr("(n + 1) div 2"))
+      .select($"status", $"p".as("med"))
+    val dev = o.join(broadcast(med), Seq("status"))
+      .withColumn("ad", abs($"p" - $"med"))
+    val w2 = Window.partitionBy($"status").orderBy($"ad", $"k")
+    val mad = dev.withColumn("rn", row_number().over(w2).cast("long"))
+      .join(broadcast(n), Seq("status"))
+      .filter($"rn" === expr("(n + 1) div 2"))
+      .select($"status", $"ad".as("mad"))
+    n.join(med, Seq("status")).join(mad, Seq("status"))
+      .select($"status", $"n", $"med", $"mad")
+      .orderBy($"status")
+  }
+
+  val robustStatsSql: String =
+    """WITH o AS (
+      |  SELECT o_orderstatus AS status, o_totalprice AS p,
+      |    o_orderkey AS k
+      |  FROM orders),
+      |cnt AS (
+      |  SELECT status, CAST(COUNT(*) AS BIGINT) AS n FROM o GROUP BY 1),
+      |med AS (
+      |  SELECT t.status, t.p AS med FROM (
+      |    SELECT status, p,
+      |      ROW_NUMBER() OVER (PARTITION BY status ORDER BY p, k) AS rn
+      |    FROM o) t JOIN cnt USING (status)
+      |  WHERE t.rn = (cnt.n + 1) // 2),
+      |dev AS (
+      |  SELECT o.status, abs(o.p - m.med) AS ad, o.k
+      |  FROM o JOIN med m USING (status)),
+      |mad AS (
+      |  SELECT t.status, t.ad AS mad FROM (
+      |    SELECT status, ad, k,
+      |      ROW_NUMBER() OVER (PARTITION BY status ORDER BY ad, k) AS rn
+      |    FROM dev) t JOIN cnt USING (status)
+      |  WHERE t.rn = (cnt.n + 1) // 2)
+      |SELECT status, n, med, mad
+      |FROM cnt JOIN med USING (status) JOIN mad USING (status)
+      |ORDER BY status""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q79_robust_stats" -> (robustStats _),
     "q74_histogram_approx_depth" -> (histogramApproxDepth _),
     "q73_sliding_exact_panes" -> (slidingExactPanes _),
     "q69_sliding_hll" -> (slidingHll _),
@@ -953,6 +1016,7 @@ object Aggregates {
     "q52_hll_merge"         -> (hllMerge _))
 
   val oracle: Map[String, String] = Map(
+    "q79_robust_stats" -> robustStatsSql,
     "q74_histogram_approx_depth" -> histogramApproxDepthSql,
     "q73_sliding_exact_panes" -> slidingExactPanesSql,
     "q69_sliding_hll" -> slidingHllSql,

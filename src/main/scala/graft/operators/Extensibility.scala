@@ -929,16 +929,23 @@ object Extensibility {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         import org.apache.spark.sql.catalyst.expressions.Literal
         import org.apache.spark.unsafe.types.UTF8String
-        val (root, name, n) = exprs match {
+        val (root, name, n, gen) = exprs match {
           case Seq(Literal(r: UTF8String, _), Literal(t: UTF8String, _),
-              Literal(b: Int, _)) => (r.toString, t.toString, b)
+              Literal(b: Int, _)) => (r.toString, t.toString, b, None)
+          // u25: optional 4th arg = manifest generation (VERSION AS OF
+          // for the bucketed store — u16/u17's discipline at bucket
+          // scale: the overlay stops at that generation)
+          case Seq(Literal(r: UTF8String, _), Literal(t: UTF8String, _),
+              Literal(b: Int, _), Literal(g: Int, _)) =>
+            (r.toString, t.toString, b, Some(g.toLong))
           case other => throw new IllegalArgumentException(
-            "graft_bucketed_pot: expected STRING literal root + table " +
-              s"and an INTEGER literal bucket count, got $other")
+            "graft_bucketed_pot: expected STRING literal root + table, " +
+              "an INTEGER literal bucket count, and an optional INTEGER " +
+              s"literal generation, got $other")
         }
-        new graft.kv.BucketedPotTable(
+        val tbl = new graft.kv.BucketedPotTable(
           org.apache.spark.sql.SparkSession.active, root, name, n)
-          .get().queryExecution.analyzed
+        gen.fold(tbl.get())(tbl.getAt).queryExecution.analyzed
       })
 
   def sqlBucketedPot(s: SparkSession, d: String): DataFrame = {
@@ -977,6 +984,58 @@ object Extensibility {
       |  WHERE c_custkey <= 200 AND c_custkey % 9 <> 0) t
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
+
+  /** u25: TIME TRAVEL for the bucketed store — `graft_bucketed_pot`'s
+    * optional generation argument (u16/u17's VERSION AS OF discipline at
+    * bucket scale): the manifest overlay stops at the pinned generation,
+    * so the scan opens exactly the staged dirs that generation's readers
+    * saw; an uncommitted pin fails loudly. The lifecycle writes three
+    * generations (base, LWW wave, predicate sweep via the r14
+    * `removeWhere`) and reads ALL THREE states in one SQL statement —
+    * the audit/rollback-inspection query a production store serves
+    * ("what did the segment mix look like before the sweep?").
+    */
+  def sqlBucketedTimeTravel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    registerBucketedPotTvf(s)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bpot-tt").toString
+    val t = new graft.kv.BucketedPotTable(s, root, "cust_tt", 8)
+    val base = Tables.customer(s, d)
+      .filter($"c_custkey" <= 150)
+      .select($"c_custkey".cast("string").as("key"), $"c_mktsegment")
+    t.upsert(base)
+    t.upsert(base.filter($"key".cast("long") % 3 === 0)
+      .withColumn("c_mktsegment", lit("MOVED")))
+    t.removeWhere($"key".cast("long") % 7 === 0)
+    def at(g: Int, state: String) =
+      s"""SELECT '$state' AS state, c_mktsegment
+         |FROM graft_bucketed_pot('$root', 'cust_tt', 8, $g)""".stripMargin
+    val out = s.sql(
+      s"""SELECT state, c_mktsegment, COUNT(*) AS n
+         |FROM (${at(1, "g1")} UNION ALL ${at(2, "g2")}
+         |      UNION ALL ${at(3, "head")}) u
+         |GROUP BY state, c_mktsegment
+         |ORDER BY state, c_mktsegment""".stripMargin).localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    out
+  }
+
+  val sqlBucketedTimeTravelSql: String =
+    """WITH base AS (
+      |  SELECT c_custkey AS k, c_mktsegment AS seg
+      |  FROM customer WHERE c_custkey <= 150),
+      |g2s AS (
+      |  SELECT k, CASE WHEN k % 3 = 0 THEN 'MOVED' ELSE seg END AS seg
+      |  FROM base)
+      |SELECT state, seg AS c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+      |FROM (
+      |  SELECT 'g1' AS state, seg FROM base
+      |  UNION ALL SELECT 'g2', seg FROM g2s
+      |  UNION ALL SELECT 'head', seg FROM g2s WHERE k % 7 <> 0
+      |) u
+      |GROUP BY state, seg
+      |ORDER BY state, c_mktsegment""".stripMargin
 
   /** u24: chain observability — `graft_pot_history('<path>')`, the
     * DESCRIBE HISTORY analogue for a pot chain (A12's observability
@@ -1253,6 +1312,7 @@ object Extensibility {
       |ORDER BY seg""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u25_sql_bucketed_tt" -> (sqlBucketedTimeTravel _),
     "u24_sql_pot_history" -> (sqlPotHistory _),
     "u23_sql_changes_vector" -> (sqlPotChangesVector _),
     "u22_sql_bucketed_write" -> (sqlBucketedWrite _),
@@ -1279,6 +1339,7 @@ object Extensibility {
     "u5_typed_dataset"  -> (typedDataset _))
 
   val oracle: Map[String, String] = Map(
+    "u25_sql_bucketed_tt" -> sqlBucketedTimeTravelSql,
     "u24_sql_pot_history" -> sqlPotHistorySql,
     "u23_sql_changes_vector" -> sqlPotChangesVectorSql,
     "u22_sql_bucketed_write" -> sqlBucketedWriteSql,
