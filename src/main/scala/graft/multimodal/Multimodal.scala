@@ -589,9 +589,12 @@ object Multimodal {
     * is one window over the 64-bit hash — at corpus scale that exchange
     * is keyed by the hash exactly like d1's exact-dedup groupBy.
     */
-  def perceptualHash(s: SparkSession, d: String): DataFrame = {
+  /** Raw (media_id, width, height, hash_hi, hash_lo) per image — the
+    * 64-bit perceptual hash without m8's same-hash window, shared with
+    * d23's banded near-dup join. */
+  private[graft] def phashes(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val hashes = mediaTable(s, d).mapPartitions { it =>
+    mediaTable(s, d).mapPartitions { it =>
       it.filter(r => new String(r.media, 0, 4,
           java.nio.charset.StandardCharsets.US_ASCII) == "GIMG")
         .map { r =>
@@ -617,7 +620,11 @@ object Multimodal {
           PHash(r.media_id, hd.width, hd.height, hi, lo)
         }
     }.toDF()
-    hashes
+  }
+
+  def perceptualHash(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    phashes(s, d)
       .withColumn("n_same_hash",
         count(lit(1)).over(org.apache.spark.sql.expressions.Window
           .partitionBy($"hash_hi", $"hash_lo")))

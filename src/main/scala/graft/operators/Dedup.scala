@@ -1580,7 +1580,93 @@ object Dedup {
       |GROUP BY 1
       |ORDER BY shard""".stripMargin
 
+  /** d23: perceptual-hash NEAR-DUP join over the MEDIA corpus — the
+    * image analogue of d5's embedding BitSketch: re-encoded/recompressed
+    * copies of an image keep a near-identical 64-bit brightness-pattern
+    * phash (m8's), so near-dup detection is a hamming join over phashes.
+    * Candidates via LSH banding on the hash itself — 8 bands of 8 bits
+    * (lo bytes 0-3, hi bytes 0-3); a pair is a candidate iff some band
+    * matches exactly (equi-join on (band_idx, band_value) — bucketed,
+    * never all-pairs; sf0.1: 79k candidates of 1.39M possible pairs,
+    * max bucket 59) — then verified EXACTLY: popcount(xor) over both
+    * halves <= [[PhashHammingMax]]. Banded recall is honest-partial
+    * (a qualifying pair with no matching band is missed — measured 6/7
+    * at sf0.01, ~certain at lower distances), the d5/s28 discipline.
+    * Band geometry (8×8 bits) and the hamming cap are mirrored
+    * LITERALLY in the oracle, which also replays the m8 synthesis —
+    * any change to `mediaTable`'s container format must update this
+    * oracle alongside m1/m2/m3/m8's.
+    */
+  val PhashHammingMax = 16
+
+  def phashNearDup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val h = graft.multimodal.Multimodal.phashes(s, d)
+      .select($"media_id", $"hash_hi", $"hash_lo")
+    val bands = h.select($"media_id", $"hash_hi", $"hash_lo",
+        explode(expr("sequence(0, 7)")).as("i"))
+      .withColumn("band", expr(
+        """CASE WHEN i < 4 THEN shiftright(hash_lo, 8 * i) & 255
+          |ELSE shiftright(hash_hi, 8 * (i - 4)) & 255 END""".stripMargin))
+    bands.as("a").join(bands.as("b"),
+        col("a.i") === col("b.i") && col("a.band") === col("b.band") &&
+        col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("doc_a"), col("b.media_id").as("doc_b"),
+        (bit_count(col("a.hash_hi").bitwiseXOR(col("b.hash_hi"))) +
+          bit_count(col("a.hash_lo").bitwiseXOR(col("b.hash_lo"))))
+          .cast("int").as("hd"))
+      .distinct()
+      .filter($"hd" <= PhashHammingMax)
+      .orderBy($"doc_a", $"doc_b")
+  }
+
+  val phashNearDupSql: String =
+    s"""WITH imgs AS (
+       |  SELECT doc_id AS media_id, text, length(text) AS L
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |ch AS (
+       |  SELECT media_id, L,
+       |    ord(substr(text, CAST(p AS INTEGER) + 1, 1)) AS b,
+       |    CAST(p * 64 // L AS INTEGER) AS cell
+       |  FROM imgs, (SELECT unnest(range(1024)) AS p) px
+       |  WHERE p < L),
+       |cells AS (
+       |  SELECT media_id, L, cell, SUM(b) AS cs, COUNT(*) AS cc
+       |  FROM ch GROUP BY 1, 2, 3),
+       |tot AS (SELECT media_id, SUM(b) AS s FROM ch GROUP BY 1),
+       |bits AS (
+       |  SELECT c.media_id, c.cell,
+       |    CASE WHEN c.cs * c.L > t.s * c.cc THEN 1 ELSE 0 END AS bit
+       |  FROM cells c JOIN tot t USING (media_id)),
+       |hash AS (
+       |  SELECT media_id,
+       |    CAST(SUM(CASE WHEN cell >= 32
+       |      THEN bit * (CAST(1 AS BIGINT) << (cell - 32)) ELSE 0 END)
+       |      AS BIGINT) AS hash_hi,
+       |    CAST(SUM(CASE WHEN cell < 32
+       |      THEN bit * (CAST(1 AS BIGINT) << cell) ELSE 0 END) AS BIGINT)
+       |      AS hash_lo
+       |  FROM bits GROUP BY 1),
+       |bands AS (
+       |  SELECT media_id, hash_hi, hash_lo, i,
+       |    CASE WHEN i < 4 THEN (hash_lo >> (8 * CAST(i AS INTEGER))) & 255
+       |         ELSE (hash_hi >> (8 * (CAST(i AS INTEGER) - 4))) & 255
+       |    END AS band
+       |  FROM hash, (SELECT unnest(range(8)) AS i) t),
+       |cand AS (
+       |  SELECT DISTINCT a.media_id AS doc_a, b.media_id AS doc_b,
+       |    CAST(bit_count(CAST(xor(a.hash_hi, b.hash_hi) AS BIGINT)) +
+       |      bit_count(CAST(xor(a.hash_lo, b.hash_lo) AS BIGINT))
+       |      AS INTEGER) AS hd
+       |  FROM bands a JOIN bands b
+       |    ON a.i = b.i AND a.band = b.band AND a.media_id < b.media_id)
+       |SELECT doc_a, doc_b, hd
+       |FROM cand
+       |WHERE hd <= $PhashHammingMax
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d23_phash_near_dup" -> (phashNearDup _),
     "d22_release_manifest" -> (releaseManifest _),
     "d21_banding_sweep" -> (bandingSweep _),
     "d20_prefix_filter_join" -> (prefixFilterJoin _),
@@ -1605,6 +1691,7 @@ object Dedup {
     "d9_semantic_dedup"    -> (semanticDedup _))
 
   val oracle: Map[String, String] = Map(
+    "d23_phash_near_dup" -> phashNearDupSql,
     "d22_release_manifest" -> releaseManifestSql,
     "d21_banding_sweep" -> bandingSweepSql,
     "d20_prefix_filter_join" -> prefixFilterJoinSql,
