@@ -280,6 +280,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(read.contains("vec_id") && read.contains("sig"), read)
   }
 
+  test("d23 phash near-dup: banded equi-join only — never an all-pairs hamming scan") {
+    val p = plan("d23_phash_near_dup")
+    assert(!p.contains("CartesianProduct"), s"all-pairs shape in d23:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop hamming scan in d23:\n$p")
+    // the candidate join is keyed on (band index, band value)
+    assert(p.contains("i#") && p.contains("band#"),
+      s"band keys missing from the d23 join:\n$p")
+  }
+
   test("d20 prefix-filter join: equi-joins only, the pigeonhole prefix bound gates the index") {
     val p = plan("d20_prefix_filter_join")
     assert(!p.contains("CartesianProduct"), s"all-pairs shape in d20:\n$p")
