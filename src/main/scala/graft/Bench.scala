@@ -23,6 +23,12 @@ object Bench {
       // on the critical path for no I/O saved
       .config("spark.shuffle.compress", "false")
       .config("spark.shuffle.spill.compress", "false")
+      // index builds write 256-way sigp-partitioned dirs; commit algorithm
+      // v2 renames task output in the tasks instead of one serial driver
+      // pass per dir. Durability is NOT the committer's job here — every
+      // published generation goes through CommitMarker's stage-then-CAS,
+      // so a torn staged dir that never wins a marker is simply invisible.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .config("spark.ui.enabled", "false")
     // ad-hoc A/B overrides: SPARK_GRAFT_CONF="k=v;k=v" (applied last, wins)
     val spark = sys.env.getOrElse("SPARK_GRAFT_CONF", "")

@@ -921,7 +921,54 @@ object Multimodal {
       |GROUP BY mime
       |ORDER BY mime""".stripMargin
 
+  /** m14: image–caption PAIR admission — the LAION-style gate a
+    * multimodal training set runs per PAIR, not per side: (image, its
+    * source text) pairs (m7's pairing convention) are dropped when (a)
+    * the IMAGE is a perceptual near-dup of an earlier image — the d19
+    * greedy admission rule applied to d23's banded phash edge list
+    * (`dup_of` = lowest-id qualifying neighbor; transitive canonical
+    * pick is d6's job) — or (b) the CAPTION is under [[MinCapTok]]
+    * tokens (the alt-text-too-short filter; 52 of 167 sf0.01 pairs).
+    * Output keeps every pair with its verdict so the drop is auditable.
+    * Shapes: d23's candidate generation is the banded equi-join (never
+    * all-pairs), the dup-anchor reduce is one doc_b-keyed min, and the
+    * verdict join is media_id-keyed — all keyed exchanges.
+    * [[MinCapTok]] mirrored literally in the oracle.
+    */
+  val MinCapTok = 40
+
+  def pairAdmission(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dupOf = graft.operators.Dedup.phashNearDup(s, d)
+      .groupBy($"doc_b".as("media_id"))
+      .agg(min($"doc_a").as("dup_of"))
+    val pairs = Tables.documents(s, d)
+      .filter($"doc_id" % 3 === 0)
+      .select($"doc_id".as("media_id"),
+        size(split($"text", " ")).cast("long").as("cap_tokens"))
+    pairs.join(dupOf, Seq("media_id"), "left")
+      .select($"media_id", $"cap_tokens", $"dup_of",
+        ($"dup_of".isNull && $"cap_tokens" >= MinCapTok).as("kept"))
+      .orderBy($"media_id")
+  }
+
+  val pairAdmissionSql: String =
+    s"""WITH dups AS (__D23__),
+       |dupof AS (
+       |  SELECT doc_b AS media_id, MIN(doc_a) AS dup_of
+       |  FROM dups GROUP BY 1),
+       |pairs AS (
+       |  SELECT doc_id AS media_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS cap_tokens
+       |  FROM documents WHERE doc_id % 3 = 0)
+       |SELECT p.media_id, p.cap_tokens, d.dup_of,
+       |  (d.dup_of IS NULL AND p.cap_tokens >= $MinCapTok) AS kept
+       |FROM pairs p LEFT JOIN dupof d USING (media_id)
+       |ORDER BY p.media_id""".stripMargin
+      .replace("__D23__", graft.operators.Dedup.phashNearDupSql)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m14_pair_admission" -> (pairAdmission _),
     "m13_container_audit" -> (containerAudit _),
     "m12_interleaved_pack" -> (interleavedPack _),
     "m11_modality_card" -> (modalityCard _),
@@ -937,6 +984,7 @@ object Multimodal {
     "m5_frame_dedup"    -> (frameDupes _))
 
   val oracle: Map[String, String] = Map(
+    "m14_pair_admission" -> pairAdmissionSql,
     "m13_container_audit" -> containerAuditSql,
     "m12_interleaved_pack" -> interleavedPackSql,
     "m11_modality_card" -> modalityCardSql,

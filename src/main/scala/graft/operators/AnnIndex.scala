@@ -50,13 +50,21 @@ object AnnIndex {
       s: SparkSession, d: String, out: String,
       pred: org.apache.spark.sql.Column): Unit = {
     import s.implicits._
-    Tables.embeddings(s, d)
+    // One signature computation feeds both the data write and the idmap
+    // sidecar (writeIdMapFrom) — the sidecar is NOT a read-back of the
+    // 256 just-written bucket dirs (per-dir listing + footer reads cost
+    // more than the 2-column frame it reproduces).
+    val signed = Tables.embeddings(s, d)
       .filter(pred)
       .withColumn("sig", Similarity.sigCol($"embedding"))
       .withColumn("sigp", concat(lit("s"), $"sig"))
-      .repartition($"sigp")
-      .write.partitionBy("sigp").mode("overwrite").parquet(out)
-    writeIdMap(s, out)
+      .persist()
+    try {
+      signed
+        .repartition($"sigp")
+        .write.partitionBy("sigp").mode("overwrite").parquet(out)
+      writeIdMapFrom(signed.select($"vec_id", $"sigp"), out)
+    } finally signed.unpersist()
   }
 
   /** `vec_id -> sigp` reverse-lookup sidecar, written alongside every
@@ -82,7 +90,15 @@ object AnnIndex {
     * every generation.
     */
   private[graft] def writeIdMap(s: SparkSession, dataDir: String): Unit =
-    s.read.parquet(dataDir).select(col("vec_id"), col("sigp"))
+    writeIdMapFrom(
+      s.read.parquet(dataDir).select(col("vec_id"), col("sigp")), dataDir)
+
+  /** Sidecar write when the (`vec_id`, `sigp`) frame is already in hand
+    * (recluster's cached chain resolution) — skips the read-back of the
+    * just-written bucket dirs; content is identical by construction. */
+  private[graft] def writeIdMapFrom(
+      pairs: DataFrame, dataDir: String): Unit =
+    pairs
       .withColumn("idb", idMapBucket(col("vec_id")))
       .repartition(col("idb"))
       .write.partitionBy("idb").mode("overwrite")
@@ -371,6 +387,20 @@ object AnnIndex {
       fs: org.apache.hadoop.fs.FileSystem, dir: String): Boolean =
     fs.exists(new org.apache.hadoop.fs.Path(dir, FoldsSidecar))
 
+  /** The chain's head generation iff it is already a FOLD carrying an IVF
+    * view (`_centroids`) — the cheap head check a maintenance cron runs
+    * BEFORE paying [[recluster]]'s train-and-compare pass: a head that is
+    * itself a fresh fold cannot have drifted from itself. None when the
+    * head is a plain insert/tombstone generation (or the chain is empty).
+    */
+  private[graft] def headFold(
+      s: SparkSession, base: org.apache.hadoop.fs.Path): Option[String] = {
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    committedGenerations(s, base).lastOption.map(_._2).filter(dir =>
+      isFold(fs, dir) &&
+        fs.exists(new org.apache.hadoop.fs.Path(dir, CentroidsSidecar)))
+  }
+
   /** Sidecar marking a generation as TOMBSTONES: its rows name DELETIONS
     * (`vec_id`, `sigp`), not inserts — the takedown/right-to-erasure
     * operation a production index must serve without rewriting 100 TB.
@@ -551,7 +581,12 @@ object AnnIndex {
     require(gens.nonEmpty, s"no committed generations under $base")
     val top = gens.last._1
     val visible = visibleGenerations(fs, gens)
-    val live = resolveVisible(s, fs, visible)
+    // ONE chain resolution for the whole rebuild: the same cached frame
+    // feeds the Lloyd pass, the fold write, the idmap sidecar, and the
+    // cell assignment (four otherwise-independent full re-resolutions of
+    // the multi-generation union + tombstone anti-join).
+    val live = resolveVisible(s, fs, visible).persist()
+    try {
     val q = live.select($"vec_id", expr(
         s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${KMeans.QScale}.0) AS BIGINT))")
         .as("q"))
@@ -575,32 +610,37 @@ object AnnIndex {
     val centsDf = fresh.toSeq.map { case (cid, cq) => (cid, cq.toSeq) }
       .toDF("cid", "cq")
     val dir = ensureGeneration(s, base, top + 1) { out =>
-      resolveVisible(s, fs, visible)
+      live
         .repartition(col("sigp"))
         .write.partitionBy("sigp").mode("overwrite").parquet(out)
       val f = fs.create(
         new org.apache.hadoop.fs.Path(out, FoldsSidecar), false)
       try f.write(top.toString.getBytes("UTF-8")) finally f.close()
-      writeIdMap(s, out)
+      // the fold is an insert generation: keep it mapped — from the same
+      // cached resolution (the fold's content BY CONSTRUCTION), not a
+      // read-back of the 256 just-written bucket dirs
+      writeIdMapFrom(live.select(col("vec_id"), col("sigp")), out)
       centsDf.coalesce(1).write.mode("overwrite")
         .parquet(s"$out/$CentroidsSidecar")
-      // cell assignment over the just-written fold (no recompute of the
-      // resolution): nearest fresh centroid by exact integer squared-L2,
-      // ties to the lowest cid — buildIvf's rule, so the s9/s21 oracle
-      // replay applies verbatim
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"vec_id").orderBy($"cdist".asc, $"cid".asc)
-      s.read.parquet(out)
+      // cell assignment: nearest fresh centroid by exact integer
+      // squared-L2, ties to the lowest cid — buildIvf's rule, so the
+      // s9/s21 oracle replay applies verbatim. The 16 centroids ride as
+      // an in-row LITERAL and array_min's lexicographic struct order IS
+      // the (dist, cid) tie rule — no crossJoin, no per-vector window,
+      // no extra exchange (the r14 fix for a 16x row blow-up + corpus-
+      // keyed window that dominated recluster's cost).
+      val centsLit = typedlit(fresh.toSeq.sortBy(_._1)
+        .map { case (cid, cq) => (cq.toSeq, cid) })
+      live
         .withColumn("q", expr(
           s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${KMeans.QScale}.0) AS BIGINT))"))
-        .crossJoin(broadcast(centsDf))
-        .withColumn("cdist", expr(
-          """aggregate(zip_with(q, cq, (x, y) -> (x - y) * (x - y)),
-            |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
-        .withColumn("rn", org.apache.spark.sql.functions
-          .row_number().over(w))
-        .filter($"rn" === 1)
-        .select($"vec_id", concat(lit("c"), $"cid").as("cellp"))
+        .withColumn("cents", centsLit)
+        .withColumn("best", array_min(expr(
+          """transform(cents, c -> struct(
+            |  aggregate(zip_with(q, c._1, (x, y) -> (x - y) * (x - y)),
+            |    CAST(0 AS BIGINT), (acc, v) -> acc + v) AS cdist,
+            |  c._2 AS cid))""".stripMargin)))
+        .select($"vec_id", concat(lit("c"), $"best.cid").as("cellp"))
         .repartition($"cellp")
         .write.partitionBy("cellp").mode("overwrite")
         .parquet(s"$out/$CellsSidecar")
@@ -608,6 +648,7 @@ object AnnIndex {
     val ok = isFold(fs, dir) && fs.exists(
       new org.apache.hadoop.fs.Path(dir, CentroidsSidecar))
     if (ok) Some(dir) else None // lost the CAS to an append
+    } finally live.unpersist()
   }
 
   /** Publish a TOMBSTONE generation deleting `ids` (a `vec_id` column) —

@@ -1665,7 +1665,83 @@ object Dedup {
        |WHERE hd <= $PhashHammingMax
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** d24: LINE-level dedup with REWRITE — the C4/CCNet boilerplate pass
+    * (Raffel et al. 2020 drop any three-sentence span seen before; CCNet
+    * dedups at the paragraph hash level), and the first dedup operator
+    * here that REWRITES documents instead of flagging them. The fixture
+    * corpus has no newlines, so a "line" is a non-overlapping
+    * [[LineTok]]-token chunk (the d10 span domain made disjoint; the
+    * trailing short chunk is a line too). A line is BOILERPLATE iff it
+    * occurs in more than [[LineDfMax]] DISTINCT docs (the ~50-way
+    * templated corpus makes this real signal: sf0.01 has 127 chunk-types
+    * shared by >=2 docs); every boilerplate line is dropped from every
+    * doc and the survivors are reassembled in position order. Output =
+    * per-doc line counts + the cleaned text (empty when everything was
+    * template). Shapes: one explode, one line-keyed partial-agg df pass,
+    * one line-keyed fetch join, one doc-keyed sort_array re-assembly
+    * (d20's order-free collect — no Window anywhere). At 100 TB the line
+    * join key is a 64-bit hash (d10's xxhash64 domain) rather than the
+    * string itself — exact strings kept here so the oracle is equality,
+    * not modulo-collision. [[LineTok]]/[[LineDfMax]] mirrored LITERALLY
+    * in the oracle.
+    */
+  val LineTok = 10
+  val LineDfMax = 1
+
+  def lineDedup(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = words(s, d)
+      .withColumn("n_lines",
+        expr(s"CAST((size(w) + ${LineTok - 1}) DIV $LineTok AS BIGINT)"))
+    val lines = base.select($"doc_id",
+      posexplode(expr(
+        s"""transform(sequence(0, CAST(n_lines AS INT) - 1),
+           |  i -> array_join(slice(w, i * $LineTok + 1, $LineTok), ' '))"""
+          .stripMargin)).as(Seq("pos", "line")))
+    val df = lines.groupBy($"line")
+      .agg(countDistinct($"doc_id").as("df"))
+    val kept = lines.join(df, "line").filter($"df" <= LineDfMax)
+    val agg = kept.groupBy($"doc_id")
+      .agg(count(lit(1)).as("kept_lines"),
+        expr("array_join(transform(sort_array(collect_list(struct(pos, line))), x -> x.line), ' ')")
+          .as("clean_text"))
+    base.select($"doc_id", $"n_lines")
+      .join(agg, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_lines",
+        coalesce($"kept_lines", lit(0L)).as("kept_lines"),
+        coalesce($"clean_text", lit("")).as("clean_text"))
+      .orderBy($"doc_id")
+  }
+
+  val lineDedupSql: String =
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+       |base AS (
+       |  SELECT doc_id,
+       |    CAST((len(w) + ${LineTok - 1}) // $LineTok AS BIGINT) AS n_lines, w
+       |  FROM w),
+       |lines AS (
+       |  SELECT doc_id, CAST(i AS INTEGER) AS pos,
+       |    array_to_string(list_slice(w,
+       |      CAST(i AS INTEGER) * $LineTok + 1,
+       |      CAST(i AS INTEGER) * $LineTok + $LineTok), ' ') AS line
+       |  FROM base, UNNEST(range(n_lines)) AS t(i)),
+       |df AS (SELECT line, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY 1),
+       |kept AS (
+       |  SELECT l.doc_id, l.pos, l.line
+       |  FROM lines l JOIN df USING (line) WHERE df.df <= $LineDfMax),
+       |agg AS (
+       |  SELECT doc_id, COUNT(*) AS kept_lines,
+       |    string_agg(line, ' ' ORDER BY pos) AS clean_text
+       |  FROM kept GROUP BY doc_id)
+       |SELECT b.doc_id, b.n_lines,
+       |  COALESCE(a.kept_lines, 0) AS kept_lines,
+       |  COALESCE(a.clean_text, '') AS clean_text
+       |FROM base b LEFT JOIN agg a USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d24_line_dedup" -> (lineDedup _),
     "d23_phash_near_dup" -> (phashNearDup _),
     "d22_release_manifest" -> (releaseManifest _),
     "d21_banding_sweep" -> (bandingSweep _),
@@ -1691,6 +1767,7 @@ object Dedup {
     "d9_semantic_dedup"    -> (semanticDedup _))
 
   val oracle: Map[String, String] = Map(
+    "d24_line_dedup" -> lineDedupSql,
     "d23_phash_near_dup" -> phashNearDupSql,
     "d22_release_manifest" -> releaseManifestSql,
     "d21_banding_sweep" -> bandingSweepSql,

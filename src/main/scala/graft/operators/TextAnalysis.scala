@@ -1028,7 +1028,114 @@ object TextAnalysis {
       |FROM k JOIN tot t ON t.source = k.src_a
       |ORDER BY src_a, src_b""".stripMargin
 
+  /** t20: bigram LM surprisal with Stupid Backoff (Brants et al. 2007) —
+    * the next rung above t7's unigram filter, and the first with a real
+    * TRAIN/HELD-OUT split: the LM (bigram + unigram counts) is built
+    * from the `doc_id % 100 = 0` REFERENCE slice only (the CCNet shape —
+    * a small reference LM scores the whole corpus; an 80% slice
+    * saturates this vocabulary's bigram space and leaves the backoff
+    * branch dead: 1 unseen bigram corpus-wide at sf0.01), and EVERY doc
+    * is scored against it, so out-of-slice docs exercise backoff for
+    * real (sf0.01: 76% of scored positions, 495/500 docs; sf0.1: 4.6%,
+    * 4211/5000 docs — the rate falling as the slice's absolute size
+    * grows is itself the coverage curve). Per scored position: seen bigram →
+    * ln(c(prev,w)/c(prev)); unseen → ln(α·(c(w)+1)/(T+V)) (α=0.4, the
+    * published constant; add-one over the train vocab V floors unseen
+    * unigrams). Exactness: each token's ln truncated to DECIMAL(38,6)
+    * (the t5/t7 discipline), decimal per-doc sum, ONE final double
+    * divide; α and the slice mod mirrored literally in the oracle.
+    * Shapes: map-side bigram assembly (in-row transform, no self-join),
+    * (prev,word)- and word-keyed joins against the AGGREGATED count
+    * tables (at 100 TB the LM side is the smaller relation — exactly how
+    * corpus-LM scoring deploys), one doc-keyed aggregation; `n_backoff`
+    * emitted so the filter's miss-rate is auditable.
+    */
+  def bigramSurprisal(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", split(lower($"text"), " ").as("w"))
+      .filter(size($"w") >= 2)
+    val train = docs.filter($"doc_id" % 100 === 0)
+    val trainToks = train.select(explode($"w").as("word"))
+    val uc = trainToks.groupBy($"word").agg(count(lit(1)).as("cu"))
+    val totv = uc.agg(sum($"cu").as("total"),
+      count(lit(1)).cast("long").as("v"))
+    val bc = train
+      .select(explode(expr(
+        """transform(sequence(1, size(w) - 1),
+          |  i -> struct(element_at(w, i) AS prev,
+          |              element_at(w, i + 1) AS word))""".stripMargin))
+        .as("bg"))
+      .select($"bg.prev", $"bg.word")
+      .groupBy($"prev", $"word").agg(count(lit(1)).as("cb"))
+    val scored = docs
+      .select($"doc_id", explode(expr(
+        """transform(sequence(1, size(w) - 1),
+          |  i -> struct(element_at(w, i) AS prev,
+          |              element_at(w, i + 1) AS word))""".stripMargin))
+        .as("bg"))
+      .select($"doc_id", $"bg.prev", $"bg.word")
+      .join(bc, Seq("prev", "word"), "left")
+      .join(uc.select($"word".as("prev"), $"cu".as("cup")), Seq("prev"), "left")
+      .join(uc.select($"word", $"cu".as("cuw")), Seq("word"), "left")
+      .crossJoin(broadcast(totv))
+      .select($"doc_id", $"cb",
+        when($"cb".isNotNull,
+          log($"cb".cast("double") / $"cup".cast("double")))
+          .otherwise(log(lit(0.4) *
+            ((coalesce($"cuw", lit(0L)) + 1L).cast("double") /
+              ($"total" + $"v").cast("double"))))
+          .cast(Dec).as("lnp"))
+    scored.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_scored"),
+        sum(when($"cb".isNull, 1L).otherwise(0L)).as("n_backoff"),
+        sum($"lnp").cast(Dec).as("slnp"))
+      .select($"doc_id", $"n_scored", $"n_backoff",
+        (-($"slnp".cast("double") / $"n_scored")).as("avg_surprisal"))
+      .orderBy($"doc_id")
+  }
+
+  val bigramSurprisalSql: String =
+    """WITH docs AS (
+      |  SELECT doc_id, string_split(lower(text), ' ') AS w
+      |  FROM documents WHERE len(string_split(lower(text), ' ')) >= 2),
+      |train AS (SELECT * FROM docs WHERE doc_id % 100 = 0),
+      |uc AS (
+      |  SELECT word, CAST(COUNT(*) AS BIGINT) AS cu
+      |  FROM (SELECT unnest(w) AS word FROM train) GROUP BY 1),
+      |totv AS (
+      |  SELECT CAST(SUM(cu) AS BIGINT) AS total,
+      |    CAST(COUNT(*) AS BIGINT) AS v FROM uc),
+      |bc AS (
+      |  SELECT prev, word, CAST(COUNT(*) AS BIGINT) AS cb FROM (
+      |    SELECT w[CAST(i AS INTEGER)] AS prev,
+      |      w[CAST(i AS INTEGER) + 1] AS word
+      |    FROM train, UNNEST(range(1, len(w))) t(i)) GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT g.doc_id, bc.cb,
+      |    CAST(CASE WHEN bc.cb IS NOT NULL
+      |      THEN LN(CAST(bc.cb AS DOUBLE) / CAST(up.cu AS DOUBLE))
+      |      ELSE LN(0.4 * (CAST(COALESCE(uw.cu, 0) + 1 AS DOUBLE) /
+      |                     CAST(tv.total + tv.v AS DOUBLE)))
+      |      END AS DECIMAL(38,6)) AS lnp
+      |  FROM (
+      |    SELECT doc_id, w[CAST(i AS INTEGER)] AS prev,
+      |      w[CAST(i AS INTEGER) + 1] AS word
+      |    FROM docs, UNNEST(range(1, len(w))) t(i)) g
+      |  LEFT JOIN bc ON bc.prev = g.prev AND bc.word = g.word
+      |  LEFT JOIN uc up ON up.word = g.prev
+      |  LEFT JOIN uc uw ON uw.word = g.word
+      |  CROSS JOIN totv tv)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_scored,
+      |  CAST(SUM(CASE WHEN cb IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_backoff,
+      |  -(CAST(CAST(SUM(lnp) AS DECIMAL(38,6)) AS DOUBLE) / COUNT(*))
+      |    AS avg_surprisal
+      |FROM scored GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t20_bigram_surprisal" -> (bigramSurprisal _),
     "t19_kl_drift"        -> (klDrift _),
     "t18_zipf_fit"        -> (zipfFit _),
     "t17_burstiness"      -> (burstiness _),
@@ -1050,6 +1157,7 @@ object TextAnalysis {
     "t6_pii_scrub"    -> (piiScrub _))
 
   val oracle: Map[String, String] = Map(
+    "t20_bigram_surprisal" -> bigramSurprisalSql,
     "t19_kl_drift"        -> klDriftSql,
     "t18_zipf_fit"        -> zipfFitSql,
     "t17_burstiness"      -> burstinessSql,

@@ -410,7 +410,61 @@ object Windows {
       |WHERE rk <= 200
       |ORDER BY rk""".stripMargin
 
+  /** q80: exact per-supplier WEIGHTED median of line price (weight =
+    * quantity) — the robust per-key price point q79's unweighted median
+    * can't give (a 50-unit line should pull the median 50× harder than a
+    * 1-unit line). Lower weighted median: the smallest price whose
+    * cumulative weight reaches half the supplier's total, picked by the
+    * exact crossing condition `2·cum ≥ tot ∧ 2·(cum−w) < tot` (one row
+    * per key since weights are ≥1). All weight arithmetic is BIGINT
+    * (quantity is integral), so the comparison is exact on both engines;
+    * the median itself is a SELECTED data value, never arithmetic.
+    * Shapes: ONE exchange keyed by `sk` shared by the partitioned
+    * cumulative window and the total-weight aggregate (map-side partial)
+    * — partition count grows with suppliers, per-partition size is the
+    * supplier's line count (bounded ~600 in TPC-H), so the window never
+    * degenerates into a corpus-sized sort at scale.
+    */
+  def weightedMedian(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val l = Tables.lineitem(s, d).select(
+      $"l_suppkey".as("sk"), $"l_extendedprice".as("p"),
+      expr("CAST(l_quantity AS BIGINT)").as("w"),
+      $"l_orderkey".as("k"), $"l_linenumber".as("ln"))
+    val tot = l.groupBy($"sk")
+      .agg(sum($"w").as("tw"), count(lit(1)).as("n"))
+    val win = Window.partitionBy($"sk").orderBy($"p", $"k", $"ln")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.withColumn("cw", sum($"w").over(win))
+      .join(tot, Seq("sk"))
+      .filter($"cw" * 2 >= $"tw" && ($"cw" - $"w") * 2 < $"tw")
+      .select($"sk", $"n", $"tw", $"p".as("wmed"))
+      .orderBy($"sk")
+  }
+
+  val weightedMedianSql: String =
+    """WITH l AS (
+      |  SELECT l_suppkey AS sk, l_extendedprice AS p,
+      |    CAST(l_quantity AS BIGINT) AS w, l_orderkey AS k,
+      |    l_linenumber AS ln
+      |  FROM lineitem),
+      |tot AS (
+      |  SELECT sk, CAST(SUM(w) AS BIGINT) AS tw,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM l GROUP BY 1),
+      |c AS (
+      |  SELECT sk, p, w,
+      |    CAST(SUM(w) OVER (PARTITION BY sk ORDER BY p, k, ln
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS cw
+      |  FROM l)
+      |SELECT c.sk, t.n, t.tw, c.p AS wmed
+      |FROM c JOIN tot t USING (sk)
+      |WHERE c.cw * 2 >= t.tw AND (c.cw - c.w) * 2 < t.tw
+      |ORDER BY c.sk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_weighted_median" -> (weightedMedian _),
     "q78_string_tie_rank" -> (stringTieRank _),
     "q59_scd2_build" -> (scd2Build _),
     "q46_value_windows" -> (valueWindows _),
@@ -424,6 +478,7 @@ object Windows {
     "q21_orderby_limit"  -> (orderByLimit _))
 
   val oracle: Map[String, String] = Map(
+    "q80_weighted_median" -> weightedMedianSql,
     "q78_string_tie_rank" -> stringTieRankSql,
     "q59_scd2_build" -> scd2BuildSql,
     "q16_window_rank"    -> rankingSql,

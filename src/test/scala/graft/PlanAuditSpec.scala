@@ -329,6 +329,45 @@ class PlanAuditSpec extends AnyFunSuite {
       s"per-vector top-3 not group-limited before the window sort:\n$p")
   }
 
+  test("d24 line dedup: keyed exchanges only — no window, no cartesian, partial df aggregation") {
+    val p = plan("d24_line_dedup")
+    assert(!p.contains("Window"), s"d24 grew a window:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"d24 degenerated to a pair scan:\n$p")
+    assert(p.contains("partial_count(distinct"),
+      s"line-frequency pass lost its map-side partial:\n$p")
+  }
+
+  test("s30 kNN join: probes meet only their signature cohort, never probes x corpus") {
+    val p = plan("s30_knn_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"kNN join degenerated to all-pairs:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-probe top-3 not group-limited before the window sort:\n$p")
+  }
+
+  test("q80 weighted median: supplier-keyed window, map-side partial total, no cartesian") {
+    val p = plan("q80_weighted_median")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q80 grew a pair scan:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"total-weight aggregate lost its map-side partial:\n$p")
+  }
+
+  test("m14 pair admission: dup edges stay banded (equi-join), verdict join keyed") {
+    val p = plan("m14_pair_admission")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"m14 degenerated to all-pairs:\n$p")
+  }
+
+  test("t20 bigram surprisal: in-row bigram assembly, LM joins keyed, only the scalar totals broadcast") {
+    val p = plan("t20_bigram_surprisal")
+    assert(!p.contains("CartesianProduct"), s"t20 grew a cartesian:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"only the 1-row (total, v) scalar may be a BNLJ:\n$p")
+    assert(!p.contains("Window"), s"t20 grew a window:\n$p")
+  }
+
   test("d22 manifest is one scan + one partial object aggregation, digest buffers shard-bounded") {
     val p = plan("d22_release_manifest")
     assert("Scan parquet".r.findAllIn(p).size === 1, p)
