@@ -996,7 +996,49 @@ object Aggregates {
       |FROM cnt JOIN med USING (status) JOIN mad USING (status)
       |ORDER BY status""".stripMargin
 
+  /** q81: exact per-group MODE — the most frequent order priority per
+    * customer market segment, with a deterministic smallest-value
+    * tie-break. The scale point is the SHAPE: mode needs no window and
+    * no sort — a keyed fact-dimension join, then two cascaded hash
+    * aggregations, both with map-side partials ((segment, priority)
+    * counts, then per-segment `min(struct(-cnt, priority))` whose
+    * lexicographic struct order IS the "highest count, then smallest
+    * value" rule). A window-based mode (rank per group) would sort
+    * every group at every scale for the same five rows.
+    */
+  def groupMode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d).select($"o_custkey", $"o_orderpriority")
+    val c = Tables.customer(s, d).select($"c_custkey", $"c_mktsegment")
+    o.join(c, $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment", $"o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy($"c_mktsegment")
+      .agg(min(struct((-$"cnt").as("negc"),
+        $"o_orderpriority".as("m"))).as("b"))
+      .select($"c_mktsegment", $"b.m".as("mode_priority"),
+        (-$"b.negc").as("mode_count"))
+      .orderBy($"c_mktsegment")
+  }
+
+  val groupModeSql: String =
+    """WITH c AS (
+      |  SELECT c_mktsegment, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM orders
+      |  JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |r AS (
+      |  SELECT c_mktsegment, o_orderpriority, cnt,
+      |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+      |      ORDER BY cnt DESC, o_orderpriority ASC) AS rn
+      |  FROM c)
+      |SELECT c_mktsegment, o_orderpriority AS mode_priority,
+      |  cnt AS mode_count
+      |FROM r WHERE rn = 1
+      |ORDER BY c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q81_group_mode" -> (groupMode _),
     "q79_robust_stats" -> (robustStats _),
     "q74_histogram_approx_depth" -> (histogramApproxDepth _),
     "q73_sliding_exact_panes" -> (slidingExactPanes _),
@@ -1016,6 +1058,7 @@ object Aggregates {
     "q52_hll_merge"         -> (hllMerge _))
 
   val oracle: Map[String, String] = Map(
+    "q81_group_mode" -> groupModeSql,
     "q79_robust_stats" -> robustStatsSql,
     "q74_histogram_approx_depth" -> histogramApproxDepthSql,
     "q73_sliding_exact_panes" -> slidingExactPanesSql,

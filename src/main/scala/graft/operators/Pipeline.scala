@@ -1365,7 +1365,72 @@ object Pipeline {
       .replace("__SIGS__", Dedup.sketchSigsCte)
       .replace("__SH4__", shingles4Cte)
 
+  /** p24: token-budget MIXTURE planner — the table a training run is
+    * provisioned from: given per-source target weights and a total token
+    * budget, how much of each source is sampled, how many full epochs it
+    * repeats, and how much of the target is UNFILLABLE under a repeat
+    * cap. Weights are the literal formula `(src_index % 5) + 1` (mirrored
+    * in the oracle); the budget deliberately oversubscribes the corpus
+    * (`total_tokens * 3 div 2`) so the repeat/deficit arms are live; the
+    * cap is [[RepeatCap]] epochs — the data-constrained-scaling rule of
+    * thumb (Muennighoff et al. 2023: repeated data stops paying after
+    * ~4 epochs). All arithmetic exact BIGINT (mul-then-div). Unlike
+    * p20's quality-tier repeats (decile-driven), this plans against an
+    * EXTERNAL mixture target — the DoReMi-style knob. Shapes: one
+    * map-side-partial token aggregation per source, a broadcast 1-row
+    * totals join, then pure projection — no window, no second corpus
+    * pass; at 100 TB the plan costs one aggregation over the token-count
+    * column.
+    */
+  val RepeatCap = 4L
+
+  def mixturePlan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val inv = Tables.documents(s, d)
+      .select($"source", size(split($"text", " ")).cast("long").as("tok"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"tok").as("tok_inv"))
+      .withColumn("w",
+        (substring($"source", 4, 10).cast("int") % 5 + 1).cast("long"))
+    val tot = inv.agg(sum($"tok_inv").as("tot_inv"), sum($"w").as("tot_w"))
+    inv.crossJoin(broadcast(tot))
+      .withColumn("desired",
+        expr("(tot_inv * 3L div 2) * w div tot_w"))
+      .withColumn("planned", least($"desired", $"tok_inv" * RepeatCap))
+      .select($"source", $"n_docs", $"tok_inv", $"w", $"desired",
+        $"planned",
+        expr("planned div tok_inv").as("full_epochs"),
+        ($"planned" % $"tok_inv").as("partial_tok"),
+        ($"desired" - $"planned").as("deficit"))
+      .orderBy($"source")
+  }
+
+  val mixturePlanSql: String =
+    s"""WITH inv AS (
+       |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok_inv,
+       |    CAST(CAST(substr(source, 4) AS INTEGER) % 5 + 1 AS BIGINT) AS w
+       |  FROM documents GROUP BY source),
+       |tot AS (
+       |  SELECT CAST(SUM(tok_inv) AS BIGINT) AS tot_inv,
+       |    CAST(SUM(w) AS BIGINT) AS tot_w FROM inv),
+       |pl AS (
+       |  SELECT i.source, i.n_docs, i.tok_inv, i.w,
+       |    (t.tot_inv * 3 // 2) * i.w // t.tot_w AS desired,
+       |    LEAST((t.tot_inv * 3 // 2) * i.w // t.tot_w,
+       |      i.tok_inv * $RepeatCap) AS planned
+       |  FROM inv i CROSS JOIN tot t)
+       |SELECT source, n_docs, tok_inv, w,
+       |  CAST(desired AS BIGINT) AS desired,
+       |  CAST(planned AS BIGINT) AS planned,
+       |  CAST(planned // tok_inv AS BIGINT) AS full_epochs,
+       |  CAST(planned % tok_inv AS BIGINT) AS partial_tok,
+       |  CAST(desired - planned AS BIGINT) AS deficit
+       |FROM pl
+       |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p24_mixture_plan"     -> (mixturePlan _),
     "p23_decon_matrix"     -> (deconMatrix _),
     "p22_semantic_decon"   -> (semanticDecon _),
     "p21_cluster_split"    -> (clusterSplit _),
@@ -1391,6 +1456,7 @@ object Pipeline {
     "p7_bloom_decontaminate" -> (bloomDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "p24_mixture_plan"     -> mixturePlanSql,
     "p23_decon_matrix"     -> deconMatrixSql,
     "p22_semantic_decon"   -> semanticDeconSql,
     "p21_cluster_split"    -> clusterSplitSql,

@@ -368,6 +368,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"t20 grew a window:\n$p")
   }
 
+  test("q81 group mode: no window, cascaded hash aggregations with map-side partials") {
+    val p = plan("q81_group_mode")
+    assert(!p.contains("Window"), s"q81 grew a window — mode is two hash aggs:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q81 grew a pair scan:\n$p")
+    assert(p.contains("partial_count"),
+      s"(segment, priority) count lost its map-side partial:\n$p")
+    assert(p.contains("partial_min"),
+      s"per-segment struct argmin lost its map-side partial:\n$p")
+  }
+
+  test("p24 mixture plan: one token aggregation, only the 1-row totals broadcast, no window") {
+    val p = plan("p24_mixture_plan")
+    assert(!p.contains("Window"), s"p24 grew a window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"p24 grew a cartesian on data:\n$p")
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 1,
+      s"only the 1-row totals may be a BNLJ:\n$p")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"per-source inventory lost its map-side partial:\n$p")
+  }
+
   test("d22 manifest is one scan + one partial object aggregation, digest buffers shard-bounded") {
     val p = plan("d22_release_manifest")
     assert("Scan parquet".r.findAllIn(p).size === 1, p)
