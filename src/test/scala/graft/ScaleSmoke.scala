@@ -129,7 +129,12 @@ object ScaleSmoke {
     "d20_prefix_filter_join", "p22_semantic_decon", "q77_ohlc_bars",
     "s28_knn_graph",
     // round-13 third batch (kv19/u18/u19 omitted: dimension-only inputs)
-    "d21_banding_sweep", "t19_kl_drift", "p23_decon_matrix", "d22_release_manifest", "m13_container_audit")
+    "d21_banding_sweep", "t19_kl_drift", "p23_decon_matrix", "d22_release_manifest", "m13_container_audit",
+    // round-14 batch (q78/q79/q81 omitted: customer/orders stay
+    // 1x-symlinked; u22-u25/st20/st21/kv20/s29 omitted: store-lifecycle)
+    "q80_weighted_median", "d23_phash_near_dup", "d24_line_dedup",
+    "t20_bigram_surprisal", "s30_knn_join", "m14_pair_admission",
+    "p24_mixture_plan")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
