@@ -566,6 +566,27 @@ private[graft] class PotV2Scan(
           .contains(g),
         s"PotV2Source: generation $g is not committed under $commits")
       val body = graft.kv.CommitMarker.read(fs, marker)
+      // retention guard (the PotTable.getAt contract brought to the SQL
+      // path): a pinned generation whose needed bodies were vacuumed
+      // fails loudly and NAMED at planning — never a raw executor
+      // FileNotFoundException out of a VERSION AS OF read. For a
+      // snapshot pin that is the one body; for a delta-headed pin it is
+      // the covering snapshot plus the dgen run above it (artifacts
+      // BELOW the covering snapshot are legitimately vacuumable).
+      val needed: Seq[String] =
+        if (PotChain.isSnap(body)) Seq(body)
+        else {
+          val arts = PotChain.artifactsUpTo(fs, commits, g)
+          val baseIdx = arts.lastIndexWhere(a => PotChain.isSnap(a._2))
+          arts.drop(math.max(baseIdx, 0)).map(_._2)
+        }
+      val gone = needed.filterNot(b => fs.exists(new Path(b)))
+      if (gone.nonEmpty)
+        throw new graft.kv.PotTable.RetentionViolated(
+          s"pot $path generation $g: ${gone.size} chain artifact(s) were " +
+            s"vacuumed (first: ${gone.head}) — the retention window has " +
+            "passed this generation; pin vacuum's retention above the " +
+            "oldest generation readers still need")
       // a snapshot generation reads its immutable object directly; a
       // DELTA generation (streaming epoch) folds its chain executor-side
       return Array(

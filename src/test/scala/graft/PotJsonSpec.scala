@@ -678,6 +678,38 @@ class PotJsonSpec extends AnyFunSuite {
       .exists(_.getMessage.contains("ONE pot object")))
   }
 
+  test("PotV2Source generation read of a vacuumed snapshot fails RetentionViolated, not FileNotFound") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("potv2rv").toString
+    val pot = s"$dir/t/data.json"
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    def put(k: String, v: Int, mode: String): Unit =
+      Seq(("", k, s"""{"v": $v}""")).toDF("pot_file", "key", "doc_json")
+        .write.format(fmt).option("path", pot).mode(mode).save()
+    put("a", 1, "overwrite"); put("a", 2, "append"); put("b", 3, "append")
+    val fs = new org.apache.hadoop.fs.Path(pot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val deleted = graft.sources.PotV2Source.vacuumSnapshots(fs, pot)
+    assert(deleted.nonEmpty, "vacuum should reclaim the superseded bodies")
+    // the SQL path gets the PotTable.getAt contract: loud and NAMED
+    val e = intercept[Throwable] {
+      spark.read.format(fmt).option("path", pot)
+        .option("generation", "1").load().collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+      .flatMap(t => Option(t.getMessage)).toSeq
+    assert(msgs.exists(_.contains("vacuumed")),
+      s"expected the retention message, got: $msgs")
+    assert(Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+      .exists(_.isInstanceOf[graft.kv.PotTable.RetentionViolated]),
+      s"expected RetentionViolated, got: $e")
+    // the head generation still reads fine
+    val head = spark.read.format(fmt).option("path", pot)
+      .option("generation", "3").load()
+      .select($"key").as[String].collect().sorted
+    assert(head === Array("a", "b"))
+  }
+
   test("PotV2Source streaming read resumes from its generation offset, no re-delivery") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("potv2src").toString
