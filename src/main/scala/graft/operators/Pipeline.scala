@@ -1429,7 +1429,101 @@ object Pipeline {
        |FROM pl
        |ORDER BY source""".stripMargin
 
+  /** p25: quality-rule ATTRITION FUNNEL — the Gopher-style rule cascade
+    * (Rae et al. 2021's heuristic battery) reported the way a production
+    * pipeline publishes it: one row per rule IN CASCADE ORDER with docs
+    * entering, dropped by THIS rule (first-failure attribution), and
+    * surviving. Rules are integer cross-multiplies only (no float
+    * ratios): min/max token count, chars-per-token band, stopword floor
+    * (≥5%), distinct-token repetition ceiling (≥40% unique). Every
+    * threshold is mirrored literally in the oracle; a rule that drops
+    * zero is an honest row, not an error. Shapes: ONE corpus pass
+    * computes the per-doc first-failing-rule index and its ≤6-row
+    * histogram (map-side partial count); the cascade arithmetic runs on
+    * those six numbers driver-side (bounded pre-pass — re-deriving them
+    * per consumer as DataFrames would re-scan the corpus once per use,
+    * since Spark shares no subplans). At 100 TB the funnel costs
+    * exactly one aggregation over derived per-doc ints.
+    */
+  private val FunnelStop = Seq("the", "a", "of", "and", "to", "is", "in", "it")
+
+  def qualityFunnel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ff = Tables.documents(s, d)
+      .withColumn("w", split(lower($"text"), " "))
+      .select(
+        length($"text").cast("long").as("lc"),
+        size($"w").cast("long").as("nt"),
+        size(filter($"w", x => x.isin(FunnelStop: _*))).cast("long").as("ns"),
+        size(array_distinct($"w")).cast("long").as("nd"))
+      .select(
+        when(!($"nt" >= 20L), 1)
+          .when(!($"nt" <= 80L), 2)
+          .when(!($"lc" >= $"nt" * 5L && $"lc" <= $"nt" * 12L), 3)
+          .when(!($"ns" * 20L >= $"nt"), 4)
+          .when(!($"nd" * 5L >= $"nt" * 2L), 5)
+          .otherwise(0).as("ff"))
+    // the first-fail histogram is ≤6 rows BY CONSTRUCTION (one per rule
+    // + pass-all) — a bounded driver pre-pass (the DistRank discipline),
+    // never data-sized; reusing it as a DataFrame would re-execute the
+    // corpus scan once per consumer (Spark does not share subplans)
+    val counts = ff.groupBy($"ff").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum
+    var before = 0L
+    val rows = Seq(
+      (1, "min_tokens"), (2, "max_tokens"), (3, "word_length"),
+      (4, "stopword_floor"), (5, "repetition")).map { case (st, nm) =>
+      val drop = counts.getOrElse(st, 0L)
+      val nIn = total - before
+      before += drop
+      (st, nm, nIn, drop, nIn - drop)
+    }
+    rows.toDF("stage", "rule", "n_in", "n_dropped", "n_out")
+      .orderBy($"stage")
+  }
+
+  val qualityFunnelSql: String =
+    """WITH d AS (
+      |  SELECT CAST(LENGTH(text) AS BIGINT) AS lc,
+      |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS nt,
+      |    CAST(len(list_filter(string_split(lower(text), ' '),
+      |      x -> list_contains(['the','a','of','and','to','is','in','it'], x)))
+      |      AS BIGINT) AS ns,
+      |    CAST(len(list_distinct(string_split(lower(text), ' ')))
+      |      AS BIGINT) AS nd
+      |  FROM documents),
+      |ff AS (
+      |  SELECT CASE
+      |    WHEN NOT (nt >= 20) THEN 1
+      |    WHEN NOT (nt <= 80) THEN 2
+      |    WHEN NOT (lc >= nt * 5 AND lc <= nt * 12) THEN 3
+      |    WHEN NOT (ns * 20 >= nt) THEN 4
+      |    WHEN NOT (nd * 5 >= nt * 2) THEN 5
+      |    ELSE 0 END AS ff
+      |  FROM d),
+      |cnt AS (SELECT ff, CAST(COUNT(*) AS BIGINT) AS n FROM ff GROUP BY ff),
+      |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cnt),
+      |rules(stage, rule) AS (VALUES
+      |  (1, 'min_tokens'), (2, 'max_tokens'), (3, 'word_length'),
+      |  (4, 'stopword_floor'), (5, 'repetition')),
+      |drops AS (
+      |  SELECT r.stage, r.rule, COALESCE(c.n, 0) AS n_dropped
+      |  FROM rules r LEFT JOIN cnt c ON c.ff = r.stage),
+      |cum AS (
+      |  SELECT a.stage, a.rule, a.n_dropped,
+      |    COALESCE(CAST(SUM(b.n_dropped) AS BIGINT), 0) AS before
+      |  FROM drops a LEFT JOIN drops b ON b.stage < a.stage
+      |  GROUP BY a.stage, a.rule, a.n_dropped)
+      |SELECT CAST(stage AS INTEGER) AS stage, rule,
+      |  CAST(t.total - before AS BIGINT) AS n_in,
+      |  CAST(n_dropped AS BIGINT) AS n_dropped,
+      |  CAST(t.total - before - n_dropped AS BIGINT) AS n_out
+      |FROM cum CROSS JOIN tot t
+      |ORDER BY stage""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p25_quality_funnel"   -> (qualityFunnel _),
     "p24_mixture_plan"     -> (mixturePlan _),
     "p23_decon_matrix"     -> (deconMatrix _),
     "p22_semantic_decon"   -> (semanticDecon _),
@@ -1456,6 +1550,7 @@ object Pipeline {
     "p7_bloom_decontaminate" -> (bloomDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "p25_quality_funnel"   -> qualityFunnelSql,
     "p24_mixture_plan"     -> mixturePlanSql,
     "p23_decon_matrix"     -> deconMatrixSql,
     "p22_semantic_decon"   -> semanticDeconSql,

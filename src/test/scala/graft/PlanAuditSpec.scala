@@ -389,6 +389,17 @@ class PlanAuditSpec extends AnyFunSuite {
       s"per-source inventory lost its map-side partial:\n$p")
   }
 
+  test("p25 quality funnel: result is the tiny local frame — the corpus paid exactly one bounded pre-pass") {
+    val p = plan("p25_quality_funnel")
+    // the corpus scan happens ONCE in the ≤6-row histogram collect; the
+    // emitted 5-row funnel must not re-scan it or grow a window
+    assert(!p.contains("Scan parquet"),
+      s"the emitted funnel re-scans the corpus:\n$p")
+    assert(!p.contains("Window"), s"p25 grew a window:\n$p")
+    assert(p.contains("LocalTableScan"),
+      s"expected the driver-computed 5-row frame:\n$p")
+  }
+
   test("d22 manifest is one scan + one partial object aggregation, digest buffers shard-bounded") {
     val p = plan("d22_release_manifest")
     assert("Scan parquet".r.findAllIn(p).size === 1, p)
