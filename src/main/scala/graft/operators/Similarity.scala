@@ -1532,7 +1532,74 @@ object Similarity {
        |FROM rk WHERE rk <= 3
        |ORDER BY probe_id, rk""".stripMargin
 
+  /** s31: MATRYOSHKA truncation recall — MRL (Kusupati et al. 2022)
+    * ships one embedding whose PREFIX is itself a usable lower-dim
+    * embedding; the deployment question is what top-k quality the
+    * 4×-cheaper 16-dim prefix buys. The query ranks the corpus BOTH ways
+    * (full 64-dim exact dot, prefix [[MatDim]]-dim dot) and emits the
+    * full top-10 with each row's prefix-ranking position (NULL = fell
+    * out — the truncation's recall hole, the s6/q48 price-tag
+    * discipline). Shapes: each ranking is TakeOrderedAndProject (the
+    * distributed top-k — never a corpus sort; s15's pinned pattern),
+    * rank assignment is the ONE sanctioned unpartitioned-window shape
+    * (re-rank directly above a GlobalLimit), and the two 10-row lists
+    * join broadcast. [[MatDim]] mirrored literally in the oracle.
+    */
+  val MatDim = 16
+
+  def matryoshkaRecall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+    val q = e.filter($"vec_id" === 0)
+      .select($"embedding".as("qv"),
+        slice($"embedding", 1, MatDim).as("qp"))
+    val base = e.filter($"vec_id" =!= 0).crossJoin(broadcast(q))
+      .select($"vec_id", $"label",
+        VectorFunctions.dot($"embedding", $"qv").as("score"),
+        VectorFunctions.dot(slice($"embedding", 1, MatDim), $"qp")
+          .as("p_score"))
+    val w = Window.orderBy($"score".desc, $"vec_id".asc)
+    val full = base.orderBy($"score".desc, $"vec_id".asc).limit(10)
+      .withColumn("rank", row_number().over(w))
+    val wp = Window.orderBy($"p_score".desc, $"vec_id".asc)
+    val prefix = base.orderBy($"p_score".desc, $"vec_id".asc).limit(10)
+      .withColumn("p_rank", row_number().over(wp))
+      .select($"vec_id", $"p_rank")
+    full.join(broadcast(prefix), Seq("vec_id"), "left")
+      .select($"rank", $"vec_id", $"label", $"score", $"p_rank",
+        $"p_rank".isNotNull.as("in_prefix"))
+      .orderBy($"rank")
+  }
+
+  val matryoshkaRecallSql: String =
+    s"""WITH q AS (
+       |  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |base AS (
+       |  SELECT e.vec_id, e.label,
+       |    $dotSql AS score,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, ${MatDim + 1}),
+       |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))),
+       |      (acc, x) -> acc + x) AS p_score
+       |  FROM embeddings e CROSS JOIN q
+       |  WHERE e.vec_id <> 0),
+       |f AS (
+       |  SELECT vec_id, label, score,
+       |    ROW_NUMBER() OVER (ORDER BY score DESC, vec_id ASC) AS rank
+       |  FROM base QUALIFY rank <= 10),
+       |p AS (
+       |  SELECT vec_id,
+       |    ROW_NUMBER() OVER (ORDER BY p_score DESC, vec_id ASC) AS p_rank
+       |  FROM base QUALIFY p_rank <= 10)
+       |SELECT CAST(f.rank AS INTEGER) AS rank, f.vec_id, f.label, f.score,
+       |  CAST(p.p_rank AS INTEGER) AS p_rank,
+       |  (p.p_rank IS NOT NULL) AS in_prefix
+       |FROM f LEFT JOIN p USING (vec_id)
+       |ORDER BY rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s31_matryoshka_recall" -> (matryoshkaRecall _),
     "s30_knn_join" -> (knnJoin _),
     "s29_recluster_probe" -> (reclusterProbe _),
     "s28_knn_graph" -> (knnGraph _),
@@ -1560,6 +1627,7 @@ object Similarity {
     "s17_ann_deletes"    -> (annWithDeletes _))
 
   val oracle: Map[String, String] = Map(
+    "s31_matryoshka_recall" -> matryoshkaRecallSql,
     "s30_knn_join" -> knnJoinSql,
     "s29_recluster_probe" -> reclusterProbeSql,
     "s28_knn_graph" -> knnGraphSql,

@@ -329,6 +329,16 @@ class PlanAuditSpec extends AnyFunSuite {
       s"per-vector top-3 not group-limited before the window sort:\n$p")
   }
 
+  test("s31 matryoshka: both rankings are distributed top-k (TakeOrdered), never a corpus sort") {
+    val p = plan("s31_matryoshka_recall")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
+      s"expected two TakeOrdered rankings (full + prefix):\n$p")
+    assert(!p.contains("Exchange rangepartitioning(score"),
+      s"full ranking degenerated into a corpus range-sort:\n$p")
+    assert(!p.contains("Exchange rangepartitioning(p_score"),
+      s"prefix ranking degenerated into a corpus range-sort:\n$p")
+  }
+
   test("d24 line dedup: keyed exchanges only — no window, no cartesian, partial df aggregation") {
     val p = plan("d24_line_dedup")
     assert(!p.contains("Window"), s"d24 grew a window:\n$p")
