@@ -1037,7 +1037,80 @@ object Aggregates {
       |FROM r WHERE rn = 1
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** q83: Z-ORDER vs linear layout — the pruning arithmetic behind
+    * multi-dimensional clustering, measured on this corpus. Rows carry
+    * two lookup dimensions (supplier, part, both pmod 256); a LINEAR
+    * layout buckets by the leading dimension (`a div 8`), the Z layout
+    * buckets by the 16-bit bit-interleave (`z div 2048`) — 32 buckets
+    * either way. For a SECONDARY-dimension predicate (`b in [64,127]`)
+    * the linear layout's bucket min/max boxes are full-range on b
+    * (every bucket scanned: the file-skipping failure that motivates
+    * Z-ordering at 100 TB), while the Z layout's top bucket bits
+    * interleave b's high bits, so only the boxes whose b-range overlaps
+    * survive. Emitted per layout: buckets scanned / rows in scanned
+    * buckets / rows matched (identical across layouts — the sanity
+    * check). ONE corpus scan: both layout assignments ride a 2-way
+    * in-row explode into a (layout, bucket) aggregation with map-side
+    * partials; bit math and every constant mirrored literally.
+    */
+  def zorderPruning(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val zExpr = (0 until 8).map(i =>
+      s"(((a >> $i) & 1) << ${2 * i}) + (((b >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    val l = Tables.lineitem(s, d)
+      .select(pmod($"l_suppkey", lit(256)).cast("long").as("a"),
+        pmod($"l_partkey", lit(256)).cast("long").as("b"))
+      .withColumn("z", expr(zExpr))
+      .select($"b", explode(expr(
+        "array(struct('zorder' AS layout, z div 2048 AS bucket), " +
+          "struct('linear' AS layout, a div 8 AS bucket))")).as("v"))
+      .select($"v.layout", $"v.bucket", $"b")
+    val boxes = l.groupBy($"layout", $"bucket")
+      .agg(min($"b").as("bmin"), max($"b").as("bmax"),
+        count(lit(1)).as("n"),
+        sum(when($"b".between(64, 127), 1L).otherwise(0L)).as("hits"))
+    boxes.groupBy($"layout")
+      .agg(count(lit(1)).as("buckets_total"),
+        sum(when($"bmin" <= 127 && $"bmax" >= 64, 1L).otherwise(0L))
+          .as("buckets_scanned"),
+        sum(when($"bmin" <= 127 && $"bmax" >= 64, $"n").otherwise(0L))
+          .as("rows_scanned"),
+        sum($"hits").as("rows_matched"))
+      .orderBy($"layout")
+  }
+
+  val zorderPruningSql: String = {
+    val zExpr = (0 until 8).map(i =>
+      s"(((a >> $i) & 1) << ${2 * i}) + (((b >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+    s"""WITH base AS (
+       |  SELECT CAST(l_suppkey % 256 AS BIGINT) AS a,
+       |    CAST(l_partkey % 256 AS BIGINT) AS b
+       |  FROM lineitem),
+       |z AS (SELECT a, b, ($zExpr) AS z FROM base),
+       |v AS (
+       |  SELECT 'zorder' AS layout, z // 2048 AS bucket, b FROM z
+       |  UNION ALL
+       |  SELECT 'linear' AS layout, a // 8 AS bucket, b FROM z),
+       |boxes AS (
+       |  SELECT layout, bucket, MIN(b) AS bmin, MAX(b) AS bmax,
+       |    CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CASE WHEN b BETWEEN 64 AND 127 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS hits
+       |  FROM v GROUP BY layout, bucket)
+       |SELECT layout, CAST(COUNT(*) AS BIGINT) AS buckets_total,
+       |  CAST(SUM(CASE WHEN bmin <= 127 AND bmax >= 64 THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS buckets_scanned,
+       |  CAST(SUM(CASE WHEN bmin <= 127 AND bmax >= 64 THEN n ELSE 0 END)
+       |    AS BIGINT) AS rows_scanned,
+       |  CAST(SUM(hits) AS BIGINT) AS rows_matched
+       |FROM boxes GROUP BY layout
+       |ORDER BY layout""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_zorder_pruning" -> (zorderPruning _),
     "q81_group_mode" -> (groupMode _),
     "q79_robust_stats" -> (robustStats _),
     "q74_histogram_approx_depth" -> (histogramApproxDepth _),
@@ -1058,6 +1131,7 @@ object Aggregates {
     "q52_hll_merge"         -> (hllMerge _))
 
   val oracle: Map[String, String] = Map(
+    "q83_zorder_pruning" -> zorderPruningSql,
     "q81_group_mode" -> groupModeSql,
     "q79_robust_stats" -> robustStatsSql,
     "q74_histogram_approx_depth" -> histogramApproxDepthSql,

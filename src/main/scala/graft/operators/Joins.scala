@@ -375,7 +375,75 @@ object Joins {
       |  AND f.ts_us >= d.vf_us AND (d.vt_us IS NULL OR f.ts_us < d.vt_us)
       |ORDER BY event_id""".stripMargin
 
+  /** q82: incremental maintenance of a JOIN view — q68 maintains an
+    * aggregate under CDC; this maintains a row-level join materialization
+    * J = orders ⋈ customer under deltas on BOTH base tables (ΔO: a price
+    * adjustment on `o_orderkey % 13 = 0`; ΔC: a segment move on
+    * `c_custkey % 17 = 0`) with the delta-join algebra: the AFFECTED key
+    * set is ΔO's keys plus the orders of ΔC's customers (a keyed
+    * semi-join sized to ΔC — in production the customer→orders lookup an
+    * index serves), untouched view rows are kept via anti-join, and ONLY
+    * the affected keys pay the re-join against the updated dimensions.
+    * The emitted per-segment rollup must be indistinguishable from a
+    * full O' ⋈ C' rescan — the oracle IS that rescan (the q68 IVM
+    * contract, extended to join views). The stored view is recomputed
+    * here fixture-side (it stands in for the materialized table, q68's
+    * convention); the maintenance joins are all delta-scoped — never a
+    * second full view build. Money through [[Ora.dsum]]; the single
+    * `tp + 50.0` IEEE add is one deterministic scalar op on both
+    * engines. Mods 13/17 mirrored literally.
+    */
+  def joinIvm(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, d)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val c = Tables.customer(s, d)
+      .select($"c_custkey", $"c_mktsegment")
+    // the stored materialization (stand-in for the view table)
+    val j0 = o.join(c, $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice",
+        $"c_mktsegment".as("seg"))
+    val dOk = o.filter($"o_orderkey" % 13 === 0).select($"o_orderkey")
+    val dCk = c.filter($"c_custkey" % 17 === 0).select($"c_custkey")
+    val affected = o.join(dCk, $"o_custkey" === $"c_custkey", "left_semi")
+      .select($"o_orderkey")
+      .union(dOk)
+    val oPrime = o.withColumn("o_totalprice",
+      when($"o_orderkey" % 13 === 0, $"o_totalprice" + 50.0)
+        .otherwise($"o_totalprice"))
+    val cPrime = c.withColumn("seg",
+      when($"c_custkey" % 17 === 0, lit("MOVED"))
+        .otherwise($"c_mktsegment")).drop("c_mktsegment")
+    val refreshed = oPrime
+      .join(affected, Seq("o_orderkey"), "left_semi")
+      .join(cPrime, $"o_custkey" === $"c_custkey")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"seg")
+    val kept = j0.join(affected, Seq("o_orderkey"), "left_anti")
+    kept.union(refreshed)
+      .groupBy($"seg")
+      .agg(count(lit(1)).as("n"), Ora.dsum($"o_totalprice").as("revenue"))
+      .orderBy($"seg")
+  }
+
+  val joinIvmSql: String =
+    s"""WITH op AS (
+       |  SELECT o_orderkey, o_custkey,
+       |    CASE WHEN o_orderkey % 13 = 0 THEN o_totalprice + 50.0
+       |         ELSE o_totalprice END AS tp
+       |  FROM orders),
+       |cp AS (
+       |  SELECT c_custkey,
+       |    CASE WHEN c_custkey % 17 = 0 THEN 'MOVED'
+       |         ELSE c_mktsegment END AS seg
+       |  FROM customer)
+       |SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+       |  ${Ora.sqlSum("tp")} AS revenue
+       |FROM op JOIN cp ON o_custkey = c_custkey
+       |GROUP BY seg
+       |ORDER BY seg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_join_ivm" -> (joinIvm _),
     "q75_scd2_lookup" -> (scd2Lookup _),
     "q71_nearest_event" -> (nearestEventJoin _),
     "q44_range_join"       -> (rangeJoin _),
@@ -389,6 +457,7 @@ object Joins {
     "q9_join_cross"      -> (cross _))
 
   val oracle: Map[String, String] = Map(
+    "q82_join_ivm"         -> joinIvmSql,
     "q75_scd2_lookup"      -> scd2LookupSql,
     "q71_nearest_event"    -> nearestEventJoinSql,
     "q44_range_join"       -> rangeJoinSql,

@@ -339,6 +339,29 @@ class PlanAuditSpec extends AnyFunSuite {
       s"prefix ranking degenerated into a corpus range-sort:\n$p")
   }
 
+  test("q82 join IVM: maintenance joins are delta-scoped — no second full view build") {
+    val p = plan("q82_join_ivm")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q82 grew a pair scan:\n$p")
+    // exactly ONE full orders-customer join may exist (the stored-view
+    // stand-in); the refresh side must join through the affected-key
+    // semi-join, so a second unrestricted o⋈c would show as a third
+    // SortMergeJoin/BroadcastHashJoin on the custkey equality
+    assert(p.contains("LeftSemi"), s"affected-key semi-join missing:\n$p")
+    assert(p.contains("LeftAnti"), s"kept-rows anti-join missing:\n$p")
+    assert(p.contains("partial_sum"), s"rollup lost its map-side partial:\n$p")
+  }
+
+  test("q83 z-order study: one corpus scan, two cascaded hash aggs, no window, no join") {
+    val p = plan("q83_zorder_pruning")
+    assert("Scan parquet".r.findAllIn(p).size === 1,
+      s"layout study re-scanned the corpus:\n$p")
+    assert(!p.contains("Window"), s"q83 grew a window:\n$p")
+    assert(!p.contains("Join"), s"q83 grew a join:\n$p")
+    assert(p.contains("partial_min") && p.contains("partial_max"),
+      s"bucket boxes lost their map-side partials:\n$p")
+  }
+
   test("d24 line dedup: keyed exchanges only — no window, no cartesian, partial df aggregation") {
     val p = plan("d24_line_dedup")
     assert(!p.contains("Window"), s"d24 grew a window:\n$p")

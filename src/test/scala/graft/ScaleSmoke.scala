@@ -134,7 +134,9 @@ object ScaleSmoke {
     // 1x-symlinked; u22-u25/st20/st21/kv20/s29 omitted: store-lifecycle)
     "q80_weighted_median", "d23_phash_near_dup", "d24_line_dedup",
     "t20_bigram_surprisal", "s30_knn_join", "m14_pair_admission",
-    "p24_mixture_plan", "p25_quality_funnel", "s31_matryoshka_recall")
+    "p24_mixture_plan", "p25_quality_funnel", "s31_matryoshka_recall",
+    // q82 omitted: customer/orders stay 1x-symlinked
+    "q83_zorder_pruning")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
