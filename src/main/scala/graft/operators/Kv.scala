@@ -816,7 +816,63 @@ object Kv {
       |            ELSE c_custkey % 11 END) >= 5
       |ORDER BY key""".stripMargin
 
+  /** kv21: point-in-time ROLLBACK of the bucketed store — the
+    * bad-deploy incident verb: gen 1 seeds, gen 2 is the good LWW wave,
+    * then a bad release both SWEEPS live keys (gen 3 removeWhere) and
+    * WRITES junk keys (gen 4). The rollback is FORWARD-MOVING (u16/kv11
+    * discipline — history is never rewritten): re-upsert the gen-2
+    * state read through `getAt` (u25's pinned read), then remove the
+    * keys that exist now but did not exist then (one distributed
+    * anti-join; the collect it feeds is sized to the INCIDENT's write
+    * set, never the table — the bad deploy's own output is the bound).
+    * After rollback the head state must equal gen 2 exactly — the
+    * oracle recomputes that state from the base tables; the chain keeps
+    * all six generations for audit (head = 6: sweep, junk, restore
+    * upsert, extras removal).
+    */
+  def bucketedRestore(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bpot-rb").toString
+    val pot = graft.kv.BucketedPotTable(s, root, "cust_rb", 8)
+    val base = Tables.customer(s, d)
+      .filter($"c_custkey" <= 300)
+      .select($"c_custkey".cast("string").as("key"),
+        $"c_mktsegment", $"c_nationkey".cast("int").as("nat"))
+    pot.upsert(base) // gen 1
+    pot.upsert(base.filter($"key".cast("long") % 4 === 0)
+      .withColumn("c_mktsegment", lit("MOVED"))) // gen 2: the good state
+    pot.removeWhere($"key".cast("long") % 6 === 0) // gen 3: bad sweep
+    pot.upsert(base.filter($"key".cast("long") % 50 === 0)
+      .select(concat(lit("junk-"), $"key").as("key"),
+        lit("BAD").as("c_mktsegment"), lit(-1).as("nat"))) // gen 4: junk
+    // rollback to gen 2, forward-moving
+    val good = pot.getAt(2L).select($"key", $"c_mktsegment", $"nat")
+    pot.upsert(good) // gen 5: restore overwritten/removed keys
+    val extras = pot.get().select($"key")
+      .join(good.select($"key"), Seq("key"), "left_anti")
+      .as[String].collect().toSeq.sorted // incident-sized, not table-sized
+    pot.remove(extras) // gen 6: drop the bad deploy's own writes
+    val result = pot.get()
+      .select($"key".cast("long").as("key"), $"c_mktsegment", $"nat")
+      .orderBy($"key").localCheckpoint(true)
+    require(pot.generation == 6L,
+      s"rollback must preserve history: expected head 6, got ${pot.generation}")
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    result
+  }
+
+  val bucketedRestoreSql: String =
+    """SELECT c_custkey AS key,
+      |  CASE WHEN c_custkey % 4 = 0 THEN 'MOVED' ELSE c_mktsegment END
+      |    AS c_mktsegment,
+      |  CAST(c_nationkey AS INTEGER) AS nat
+      |FROM customer
+      |WHERE c_custkey <= 300
+      |ORDER BY key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "kv21_bucketed_restore" -> (bucketedRestore _),
     "kv20_bucketed_ttl" -> (bucketedTtl _),
     "kv19_ttl_expiry" -> (ttlExpiry _),
     "kv17_storage_report" -> (storageReport _),
@@ -840,6 +896,7 @@ object Kv {
     "kv7_generation_diff" -> (generationDiff _))
 
   val oracle: Map[String, String] = Map(
+    "kv21_bucketed_restore" -> bucketedRestoreSql,
     "kv20_bucketed_ttl" -> bucketedTtlSql,
     "kv19_ttl_expiry" -> ttlExpirySql,
     "kv17_storage_report" -> storageReportSql,

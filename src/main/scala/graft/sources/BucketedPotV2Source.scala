@@ -434,6 +434,14 @@ private[sources] class BucketedPinnedScanBuilder(
         if (g > 0) {
           val commits = new Path(pot.getParent, ".commits")
           val body = PotChain.artifactOf(fs, commits, g)
+          // same retention guard as the single-pot pinned scan: a
+          // bucket generation vacuumed between op build and scan is a
+          // loud named failure at planning, never an executor FNF
+          if (PotChain.isSnap(body) && !fs.exists(new Path(body)))
+            throw new graft.kv.PotTable.RetentionViolated(
+              s"bucketed pot $root bucket $b generation $g: snapshot " +
+                "body was vacuumed between operation build and scan — " +
+                "re-run the statement (it will pin the new head)")
           Some(if (PotChain.isSnap(body)) PotFilePartition(body)
             else PotStatePartition(pot.getParent.toString, g, body)
             : InputPartition)
