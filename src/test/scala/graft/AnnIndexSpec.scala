@@ -292,6 +292,34 @@ class AnnIndexSpec extends AnyFunSuite {
       "drifted vectors share cells with the original corpus — centroids did not adapt")
   }
 
+  test("headFold short-circuits only when the head is a fold carrying centroids") {
+    import spark.implicits._
+    val base = new Path(
+      new java.io.File(System.getProperty("java.io.tmpdir")).toURI.toString,
+      s"graft-headfold-${java.util.UUID.randomUUID()}-v2")
+    def writeRows(out: String, ids: Range): Unit =
+      ids.map(i => (i.toLong, s"l${i % 3}",
+          Seq.tabulate(operators.KMeans.Dim)(j => ((i * 7 + j) % 13) * 0.01f),
+          s"s0${i % 2}"))
+        .toDF("vec_id", "label", "embedding", "sigp")
+        .write.partitionBy("sigp").mode("overwrite").parquet(out)
+    // empty chain: no head at all
+    assert(AnnIndex.headFold(spark, base).isEmpty)
+    AnnIndex.ensureGeneration(spark, base, 1L)(out => writeRows(out, 0 until 30))
+    // plain insert head: the cron must NOT skip maintenance
+    assert(AnnIndex.headFold(spark, base).isEmpty,
+      "a plain insert generation was mistaken for a fresh fold")
+    val fold = AnnIndex.recluster(spark, base, Long.MaxValue - 1)
+    assert(fold.isDefined)
+    // fold head: short-circuit returns the SAME dir recluster published
+    assert(AnnIndex.headFold(spark, base) === fold,
+      "headFold missed the fold at the head")
+    // an append supersedes the fold: short-circuit must disengage again
+    AnnIndex.append(spark, base)(out => writeRows(out, 30 until 35))
+    assert(AnnIndex.headFold(spark, base).isEmpty,
+      "headFold returned a superseded fold — appended data would be invisible")
+  }
+
   test("delete resolves buckets from _idmap sidecars, never scanning the index (r11)") {
     import spark.implicits._
     val base = new Path(
