@@ -1311,7 +1311,69 @@ object Extensibility {
       |GROUP BY seg
       |ORDER BY seg""".stripMargin
 
+  /** u26: batch CDC for the BUCKETED store — the last cell of the
+    * batch/stream symmetry the connector pins everywhere else (u20:
+    * single-pot batch ≡ st17 stream; u23: multi-pot vector batch ≡ st18;
+    * st21: bucketed STREAM CDC; this: bucketed BATCH CDC). The store's
+    * SQL DML history (seed INSERT, LWW wave, SQL DELETE) is read back
+    * through `graft_pot_changes` over the `_b=*` glob — each shard is a
+    * pot chain, so the TVF composes with zero new machinery. The output
+    * aggregates per KEY (event count + terminal tombstone flag), which
+    * is bucket-ASSIGNMENT-FREE — exactly the property the oracle can
+    * recompute without replaying xxhash64 routing (st21's multiset
+    * discipline applied to the batch read). Mods %7/%13 mirrored
+    * literally.
+    */
+  def sqlBucketedChanges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    registerPotChangesTvf(s)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-bpot-cdc").toString
+    val fmt = classOf[graft.sources.BucketedPotV2Source].getName
+    val tbl = "graft_u26_bpot"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"CREATE TABLE $tbl (pot_file STRING, key STRING, " +
+      s"doc_json STRING) USING $fmt OPTIONS (path '$root', buckets '8')")
+    Tables.customer(s, d).filter($"c_custkey" <= 200)
+      .select($"c_custkey".cast("long").as("c"),
+        $"c_nationkey".cast("int").as("nat"))
+      .createOrReplaceTempView("u26_base")
+    s.sql(s"""INSERT INTO $tbl
+      SELECT '' AS pot_file, concat('c', CAST(c AS STRING)) AS key,
+        to_json(named_struct('nat', nat, 'v', 0)) AS doc_json
+      FROM u26_base""")
+    s.sql(s"""INSERT INTO $tbl
+      SELECT '', concat('c', CAST(c AS STRING)),
+        to_json(named_struct('nat', nat, 'v', 1))
+      FROM u26_base WHERE c % 7 = 0""")
+    val delKeys = (1 to 200).filter(_ % 13 == 0)
+      .map(c => s"'c$c'").mkString(", ")
+    s.sql(s"DELETE FROM $tbl WHERE key IN ($delKeys)")
+    val out = s.sql(
+      s"""SELECT key, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  MAX(CASE WHEN doc_json = 'null' THEN TRUE ELSE FALSE END)
+         |    AS deleted
+         |FROM graft_pot_changes('$root/_b=*/data.json', 0)
+         |GROUP BY key
+         |ORDER BY key""".stripMargin).localCheckpoint(true)
+    s.sql(s"DROP TABLE $tbl")
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    out
+  }
+
+  val sqlBucketedChangesSql: String =
+    """SELECT 'c' || CAST(c_custkey AS VARCHAR) AS key,
+      |  CAST(1 + CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END
+      |         + CASE WHEN c_custkey % 13 = 0 AND c_custkey > 0
+      |           THEN 1 ELSE 0 END
+      |    AS BIGINT) AS n_events,
+      |  (c_custkey % 13 = 0 AND c_custkey > 0) AS deleted
+      |FROM customer
+      |WHERE c_custkey <= 200
+      |ORDER BY key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u26_sql_bucketed_changes" -> (sqlBucketedChanges _),
     "u25_sql_bucketed_tt" -> (sqlBucketedTimeTravel _),
     "u24_sql_pot_history" -> (sqlPotHistory _),
     "u23_sql_changes_vector" -> (sqlPotChangesVector _),
@@ -1339,6 +1401,7 @@ object Extensibility {
     "u5_typed_dataset"  -> (typedDataset _))
 
   val oracle: Map[String, String] = Map(
+    "u26_sql_bucketed_changes" -> sqlBucketedChangesSql,
     "u25_sql_bucketed_tt" -> sqlBucketedTimeTravelSql,
     "u24_sql_pot_history" -> sqlPotHistorySql,
     "u23_sql_changes_vector" -> sqlPotChangesVectorSql,
