@@ -967,7 +967,81 @@ object Multimodal {
        |ORDER BY p.media_id""".stripMargin
       .replace("__D23__", graft.operators.Dedup.phashNearDupSql)
 
+  /** m15: image–caption ALIGNMENT score — the CLIP-filter step of the
+    * LAION recipe (Schuhmann et al. 2021 keep pairs with CLIP similarity
+    * over a threshold), the gate m14's dup/length rules don't cover:
+    * WHAT the image shows vs what the caption says. No image encoder
+    * ships in this container, so the image-side embedding is the
+    * DETERMINISTIC stand-in this codebase already trades in: m8's
+    * 64-bit perceptual hash read as a ±1 sign vector (brightness
+    * structure as direction — the m-family synthesis discipline, oracle
+    * replays it bit-for-bit); the caption side is the real embeddings
+    * row. Score = the FloatDot left-to-right dot (the s1 float
+    * discipline, list_reduce-mirrored), `aligned` = score > 0. Pairs =
+    * media docs whose caption has an embedding row (inner vec_id join —
+    * keyed). Shapes: one mapPartitions decode pass (the m-family
+    * codec), one in-row sign transform, one keyed join; no window.
+    */
+  def pairAlignment(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val signs = phashes(s, d).select($"media_id",
+      expr(
+        """transform(sequence(0, 63), i -> CAST(
+          |  (CASE WHEN i < 32 THEN (hash_lo >> i) & 1
+          |        ELSE (hash_hi >> (i - 32)) & 1 END) * 2 - 1 AS FLOAT))"""
+          .stripMargin).as("sv"))
+    val e = graft.Tables.embeddings(s, d)
+      .select($"vec_id".as("media_id"), $"embedding")
+    signs.join(e, Seq("media_id"))
+      .select($"media_id",
+        graft.functions.VectorFunctions.dot($"sv", $"embedding").as("score"))
+      .withColumn("aligned", $"score" > 0.0)
+      .orderBy($"media_id")
+  }
+
+  val pairAlignmentSql: String =
+    """WITH imgs AS (
+      |  SELECT doc_id AS media_id, text, length(text) AS L
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |ch AS (
+      |  SELECT media_id, L,
+      |    ord(substr(text, CAST(p AS INTEGER) + 1, 1)) AS b,
+      |    CAST(p * 64 // L AS INTEGER) AS cell
+      |  FROM imgs, (SELECT unnest(range(1024)) AS p) px
+      |  WHERE p < L),
+      |cells AS (
+      |  SELECT media_id, L, cell, SUM(b) AS cs, COUNT(*) AS cc
+      |  FROM ch GROUP BY 1, 2, 3),
+      |tot AS (SELECT media_id, SUM(b) AS s FROM ch GROUP BY 1),
+      |bits AS (
+      |  SELECT c.media_id, c.cell,
+      |    CASE WHEN c.cs * c.L > t.s * c.cc THEN 1 ELSE 0 END AS bit
+      |  FROM cells c JOIN tot t USING (media_id)),
+      |sv AS (
+      |  -- full 64-cell grid: a payload shorter than 64 bytes leaves
+      |  -- cells empty, and an empty cell's bit is 0 (0 > 0 is false on
+      |  -- the Spark side too) — the sign vector must still be 64-long
+      |  SELECT g.media_id,
+      |    list(CAST(COALESCE(b.bit, 0) * 2 - 1 AS FLOAT) ORDER BY g.cell)
+      |      AS signs
+      |  FROM (SELECT media_id, CAST(c AS INTEGER) AS cell
+      |        FROM imgs, (SELECT unnest(range(64)) AS c) cc) g
+      |  LEFT JOIN bits b ON b.media_id = g.media_id AND b.cell = g.cell
+      |  GROUP BY g.media_id),
+      |scored AS (
+      |  SELECT v.media_id,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(range(1, 65),
+      |        i -> CAST(v.signs[i] AS DOUBLE) *
+      |             CAST(e.embedding[i] AS DOUBLE))),
+      |      (acc, x) -> acc + x) AS score
+      |  FROM sv v JOIN embeddings e ON e.vec_id = v.media_id)
+      |SELECT media_id, score, (score > 0.0) AS aligned
+      |FROM scored
+      |ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m15_pair_alignment" -> (pairAlignment _),
     "m14_pair_admission" -> (pairAdmission _),
     "m13_container_audit" -> (containerAudit _),
     "m12_interleaved_pack" -> (interleavedPack _),
@@ -984,6 +1058,7 @@ object Multimodal {
     "m5_frame_dedup"    -> (frameDupes _))
 
   val oracle: Map[String, String] = Map(
+    "m15_pair_alignment" -> pairAlignmentSql,
     "m14_pair_admission" -> pairAdmissionSql,
     "m13_container_audit" -> containerAuditSql,
     "m12_interleaved_pack" -> interleavedPackSql,

@@ -362,6 +362,13 @@ class PlanAuditSpec extends AnyFunSuite {
       s"bucket boxes lost their map-side partials:\n$p")
   }
 
+  test("m15 pair alignment: keyed embedding join, in-row signs — no window, no pair scan") {
+    val p = plan("m15_pair_alignment")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"m15 degenerated to all-pairs:\n$p")
+    assert(!p.contains("Window"), s"m15 grew a window:\n$p")
+  }
+
   test("d24 line dedup: keyed exchanges only — no window, no cartesian, partial df aggregation") {
     val p = plan("d24_line_dedup")
     assert(!p.contains("Window"), s"d24 grew a window:\n$p")

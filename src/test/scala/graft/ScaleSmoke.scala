@@ -136,7 +136,7 @@ object ScaleSmoke {
     "t20_bigram_surprisal", "s30_knn_join", "m14_pair_admission",
     "p24_mixture_plan", "p25_quality_funnel", "s31_matryoshka_recall",
     // q82 omitted: customer/orders stay 1x-symlinked
-    "q83_zorder_pruning")
+    "q83_zorder_pruning", "m15_pair_alignment")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
