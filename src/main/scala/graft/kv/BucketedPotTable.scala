@@ -235,7 +235,11 @@ final class BucketedPotTable(
       .filter(pred).withColumn("_b", bucketCol)
       .select($"_b").distinct().as[Int].collect().sorted.toSeq
     if (touched.isEmpty) return gen // nothing matches: no-op
-    val remaining = readBuckets(current, touched).filter(!pred)
+    // Keep rows where pred is NOT TRUE (coalesce NULL -> false): survival is
+    // then independent of bucket co-residency — a NULL-pred row in a touched
+    // bucket survives the restage, matching the filter(pred) touch detection
+    // (NULL = not matching) and SQL DELETE semantics.
+    val remaining = readBuckets(current, touched).filter(!coalesce(pred, lit(false)))
     val staged = stageRoot(gen + 1)
     remaining.repartition(touched.length, $"_b")
       .write.partitionBy("_b").mode("errorifexists").parquet(staged)

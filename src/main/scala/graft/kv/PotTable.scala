@@ -216,7 +216,10 @@ final class PotTable(spark: SparkSession, root: String, path: String) {
     graft.Metrics.of(spark).foreach(_.recordRemove())
     val gen = generation
     if (gen == 0L) return 0L
-    commit(get().filter(!pred), gen)
+    // SQL DELETE semantics: delete only rows where pred IS TRUE. A row whose
+    // predicate evaluates to NULL must SURVIVE (`!pred` alone is NULL there,
+    // which filter() drops — silent deletion).
+    commit(get().filter(!coalesce(pred, lit(false))), gen)
   }
 
   /** Admin recovery for a generation wedged by a crashed writer AND a

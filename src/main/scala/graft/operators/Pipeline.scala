@@ -1439,11 +1439,14 @@ object Pipeline {
     * threshold is mirrored literally in the oracle; a rule that drops
     * zero is an honest row, not an error. Shapes: ONE corpus pass
     * computes the per-doc first-failing-rule index and its ≤6-row
-    * histogram (map-side partial count); the cascade arithmetic runs on
-    * those six numbers driver-side (bounded pre-pass — re-deriving them
-    * per consumer as DataFrames would re-scan the corpus once per use,
-    * since Spark shares no subplans). At 100 TB the funnel costs
-    * exactly one aggregation over derived per-doc ints.
+    * histogram (map-side partial count); the cascade arithmetic is a
+    * LAZY broadcast join of the 5-row rule frame against that histogram
+    * (n_in(s) = Σ n where ff=0 or ff≥s — docs reaching stage s are
+    * exactly those passing rules 1..s-1), so building/explaining the
+    * plan costs nothing and the corpus is scanned exactly once, at
+    * execution time (r15: retired the eager driver collect the r14
+    * ADVICE flagged). At 100 TB the funnel costs exactly one
+    * aggregation over derived per-doc ints.
     */
   private val FunnelStop = Seq("the", "a", "of", "and", "to", "is", "in", "it")
 
@@ -1464,22 +1467,20 @@ object Pipeline {
           .when(!($"nd" * 5L >= $"nt" * 2L), 5)
           .otherwise(0).as("ff"))
     // the first-fail histogram is ≤6 rows BY CONSTRUCTION (one per rule
-    // + pass-all) — a bounded driver pre-pass (the DistRank discipline),
-    // never data-sized; reusing it as a DataFrame would re-execute the
-    // corpus scan once per consumer (Spark does not share subplans)
-    val counts = ff.groupBy($"ff").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val total = counts.values.sum
-    var before = 0L
-    val rows = Seq(
+    // + pass-all); broadcast it under the 5-row rule frame so the whole
+    // cascade is one lazy plan over a single corpus aggregation
+    val cnt = ff.groupBy($"ff").agg(count(lit(1)).as("n"))
+    val rules = Seq(
       (1, "min_tokens"), (2, "max_tokens"), (3, "word_length"),
-      (4, "stopword_floor"), (5, "repetition")).map { case (st, nm) =>
-      val drop = counts.getOrElse(st, 0L)
-      val nIn = total - before
-      before += drop
-      (st, nm, nIn, drop, nIn - drop)
-    }
-    rows.toDF("stage", "rule", "n_in", "n_dropped", "n_out")
+      (4, "stopword_floor"), (5, "repetition")).toDF("stage", "rule")
+    rules.join(broadcast(cnt), $"ff" === 0 || $"ff" >= $"stage", "left")
+      .groupBy($"stage", $"rule")
+      .agg(
+        coalesce(sum($"n"), lit(0L)).as("n_in"),
+        coalesce(sum(when($"ff" === $"stage", $"n")), lit(0L))
+          .as("n_dropped"))
+      .select($"stage", $"rule", $"n_in", $"n_dropped",
+        ($"n_in" - $"n_dropped").as("n_out"))
       .orderBy($"stage")
   }
 

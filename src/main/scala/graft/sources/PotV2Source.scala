@@ -1734,12 +1734,31 @@ private[graft] class PotV2MultiPotStream(glob: String, required: StructType)
   }
 
   override def initialOffset(): Offset = PotMultiGenOffset(Map.empty)
-  override def latestOffset(): Offset =
-    PotMultiGenOffset(remember(pots().map { p =>
+  override def latestOffset(): Offset = {
+    val observed = pots().map { p =>
       val commits = new Path(p.getParent, ".commits")
       p.toString ->
         (graft.kv.CommitMarker.committedGenerations(fs, commits) :+ 0L).max
-    }.toMap))
+    }.toMap
+    // Chain-regression guard: the monotone-chain assumption this vector
+    // rests on is ASSERTED here, not assumed. A pot that is PRESENT in the
+    // glob with a committed head BELOW its carried coordinate was deleted
+    // and recreated from scratch (a live chain only grows; markers at/below
+    // the head are never removed by vacuum) — silently pinning it at the
+    // old coordinate would swallow the new chain's rows forever. Transient
+    // ABSENCE (the materialize delete+rename window) is still fine: absent
+    // pots aren't in `observed`, so they keep their coordinate inertly.
+    observed.foreach { case (pot, head) =>
+      val carried = lastKnown.getOrElse(pot, 0L)
+      if (head < carried) throw new IllegalStateException(
+        s"pot change feed $glob: pot $pot committed head $head regressed " +
+          s"below the stream's carried offset $carried — the pot was " +
+          "deleted and recreated. Restart the stream with a fresh " +
+          "checkpoint (or a new glob) to replay the new chain; silently " +
+          "pinning it would drop every row of the recreated pot.")
+    }
+    PotMultiGenOffset(remember(observed))
+  }
   override def deserializeOffset(json: String): Offset = {
     val o = PotMultiGenOffset.fromJson(json)
     remember(o.gens)

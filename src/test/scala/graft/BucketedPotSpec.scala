@@ -66,6 +66,30 @@ class BucketedPotSpec extends AnyFunSuite {
     assert(pot.get().isEmpty)
   }
 
+  test("removeWhere: NULL-predicate rows SURVIVE, even bucket-co-resident with a match (r15)") {
+    // SQL DELETE semantics: delete rows where pred IS TRUE; a row whose
+    // predicate evaluates to NULL must survive. nBuckets=1 forces the
+    // NULL-pred row into the SAME restaged bucket as the matching row —
+    // the shape the r14 advice flagged as silently deleting it.
+    import org.apache.spark.sql.functions.col
+    val root = tmpRoot()
+    val pot = BucketedPotTable(spark, root, "t", nBuckets = 1)
+    pot.upsert(Seq(("keep", Some(1)), ("nullv", None), ("drop", Some(10)))
+      .toDF("key", "v"))
+    pot.removeWhere(col("v") > 5)
+    val keys = pot.get().select("key").as[String].collect().toSet
+    assert(keys === Set("keep", "nullv"),
+      s"NULL-pred row must survive a co-resident restage, got $keys")
+
+    // PotTable.removeWhere: same contract on the unsharded store
+    val flat = graft.kv.PotTable(spark, root, "flat")
+    flat.upsert(Seq(("keep", Some(1)), ("nullv", None), ("drop", Some(10)))
+      .toDF("key", "v"))
+    flat.removeWhere(col("v") > 5)
+    assert(flat.get().select("key").as[String].collect().toSet
+      === Set("keep", "nullv"))
+  }
+
   test("compact collapses bucket version history and preserves state") {
     val root = tmpRoot()
     val pot = BucketedPotTable(spark, root, "t", nBuckets = 4)

@@ -1127,6 +1127,33 @@ class PotJsonSpec extends AnyFunSuite {
       "reappearing pot replayed its chain")
   }
 
+  test("PotV2 multi-pot feed: a RECREATED pot (chain regression) fails loudly, never pins silently (r15)") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("potv2mprec").toString
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    def put(pot: String, rows: Seq[(String, Int)], mode: String): Unit =
+      rows.map { case (k, v) => ("", k, s"""{"v": $v}""") }
+        .toDF("pot_file", "key", "doc_json")
+        .write.format(fmt).option("path", s"$root/pots/$pot/data.json")
+        .mode(mode).save()
+    put("a", Seq("a1" -> 1), "overwrite")
+    put("a", Seq("a2" -> 2), "append") // chain head = 2
+    val stream = new graft.sources.PotV2MultiPotStream(
+      s"$root/pots/*/data.json", graft.sources.PotV2Source.Schema)
+    val o1 = stream.latestOffset()
+      .asInstanceOf[graft.sources.PotMultiGenOffset]
+    assert(o1.gens.values.toSeq === Seq(2L), o1.json)
+    // the pot is deleted and RECREATED from scratch: a fresh chain
+    // restarting at generation 1 — its head is now BELOW the stream's
+    // carried coordinate. Silence here would swallow the new chain's
+    // rows forever; the contract is a loud failure.
+    val dir = new java.io.File(s"$root/pots/a")
+    new scala.reflect.io.Directory(dir).deleteRecursively()
+    put("a", Seq("fresh" -> 9), "overwrite") // new chain, head = 1
+    val e = intercept[IllegalStateException] { stream.latestOffset() }
+    assert(e.getMessage.contains("regressed"), e.getMessage)
+  }
+
   test("PotV2 MERGE/UPDATE/DELETE honors the maxObjectBytes option like the batch write path") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("potv2dcap").toString
