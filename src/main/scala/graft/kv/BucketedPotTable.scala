@@ -43,7 +43,23 @@ final class BucketedPotTable(
   private def fs: FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def bucketCol = pmod(xxhash64($"key"), lit(nBuckets.toLong)).cast("int")
+  /** The store's ROUTING MODULUS — self-describing since r15: the stamped
+    * `_meta/buckets` marker is authoritative, the constructor count
+    * (<= 0 = unspecified) is validated against it on first use and a
+    * mismatch fails loudly instead of silently mis-routing point reads
+    * and writes. See [[BucketMeta]].
+    */
+  private lazy val buckets: Int = BucketMeta.resolve(
+    fs, new Path(dir), Some(nBuckets).filter(_ > 0),
+    storeLive = fs.exists(new Path(s"$dir/_commits")))
+
+  /** Stamp the modulus before any mutation routes rows by it (idempotent;
+    * a CAS race between same-count creators is adoption).
+    */
+  private def stampMeta(): Unit =
+    BucketMeta.stamp(fs, new Path(dir), buckets)
+
+  private def bucketCol = pmod(xxhash64($"key"), lit(buckets.toLong)).cast("int")
 
   def generation: Long =
     CommitMarker.committedGenerations(fs, new Path(s"$dir/_commits"))
@@ -126,7 +142,7 @@ final class BucketedPotTable(
     val h = new XxHash64(Seq(Literal(
       org.apache.spark.unsafe.types.UTF8String.fromString(key),
       org.apache.spark.sql.types.StringType))).eval(null).asInstanceOf[Long]
-    (((h % nBuckets) + nBuckets) % nBuckets).toInt
+    (((h % buckets) + buckets) % buckets).toInt
   }
 
   private def stageRoot(gen: Long): String =
@@ -172,6 +188,7 @@ final class BucketedPotTable(
     * the new generation (unchanged generation for an empty batch).
     */
   def upsert(docs: DataFrame): Long = {
+    stampMeta()
     val gen = generation
     val current = resolve(gen)
     val stamped = docs
@@ -203,6 +220,7 @@ final class BucketedPotTable(
     */
   def remove(keys: Seq[String]): Long = {
     graft.Metrics.of(spark).foreach(_.recordRemove()) // A12 op counter
+    stampMeta()
     val gen = generation
     if (gen == 0L) return 0L
     val current = resolve(gen)
@@ -227,6 +245,7 @@ final class BucketedPotTable(
     */
   def removeWhere(pred: org.apache.spark.sql.Column): Long = {
     graft.Metrics.of(spark).foreach(_.recordRemove())
+    stampMeta()
     val gen = generation
     if (gen == 0L) return 0L
     val current = resolve(gen)
@@ -252,6 +271,7 @@ final class BucketedPotTable(
     * files.
     */
   def compact(): Long = {
+    stampMeta()
     val gen = generation
     if (gen == 0L) return 0L
     val current = resolve(gen)
@@ -318,6 +338,7 @@ final class BucketedPotTable(
     * like [[PotTable.restore]]'s snapshot semantics).
     */
   def reshardTo(newBuckets: Int, suffix: String = "_resharded"): BucketedPotTable = {
+    require(newBuckets >= 1, "reshardTo needs an explicit positive bucket count")
     val out = new BucketedPotTable(spark, root, s"$path$suffix", newBuckets)
     out.upsert(get())
     out
@@ -325,7 +346,12 @@ final class BucketedPotTable(
 }
 
 object BucketedPotTable {
+  /** `nBuckets = 0` (the default) = self-describing open: the stamped
+    * `_meta/buckets` modulus is used ([[BucketMeta.DefaultBuckets]] for a
+    * brand-new store). A positive count on an existing store must match
+    * the stamped value — mismatch fails loudly.
+    */
   def apply(spark: SparkSession, root: String, path: String,
-      nBuckets: Int = 16): BucketedPotTable =
+      nBuckets: Int = 0): BucketedPotTable =
     new BucketedPotTable(spark, root, path, nBuckets)
 }

@@ -930,6 +930,10 @@ object Extensibility {
         import org.apache.spark.sql.catalyst.expressions.Literal
         import org.apache.spark.unsafe.types.UTF8String
         val (root, name, n, gen) = exprs match {
+          // r15 count-free form: the store is self-describing (the
+          // stamped _meta/buckets modulus is authoritative)
+          case Seq(Literal(r: UTF8String, _), Literal(t: UTF8String, _)) =>
+            (r.toString, t.toString, 0, None)
           case Seq(Literal(r: UTF8String, _), Literal(t: UTF8String, _),
               Literal(b: Int, _)) => (r.toString, t.toString, b, None)
           // u25: optional 4th arg = manifest generation (VERSION AS OF
@@ -940,7 +944,8 @@ object Extensibility {
             (r.toString, t.toString, b, Some(g.toLong))
           case other => throw new IllegalArgumentException(
             "graft_bucketed_pot: expected STRING literal root + table, " +
-              "an INTEGER literal bucket count, and an optional INTEGER " +
+              "an optional INTEGER literal bucket count (omit it — the " +
+              "store is self-describing), and an optional INTEGER " +
               s"literal generation, got $other")
         }
         val tbl = new graft.kv.BucketedPotTable(
@@ -965,7 +970,7 @@ object Extensibility {
     val out = s.sql(
       s"""SELECT c_mktsegment, COUNT(*) AS n_keys,
          |  SUM(CAST(c_nationkey AS BIGINT)) AS sum_nation
-         |FROM graft_bucketed_pot('$root', 'cust_tvf', 8)
+         |FROM graft_bucketed_pot('$root', 'cust_tvf')
          |GROUP BY c_mktsegment
          |ORDER BY c_mktsegment""".stripMargin).localCheckpoint(true)
     new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()

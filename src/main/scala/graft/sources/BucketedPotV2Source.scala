@@ -68,10 +68,20 @@ class BucketedPotV2Source extends TableProvider {
     PotV2Source.Schema
   override def getTable(
       schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new BucketedPotV2Table(
-      properties.get("path"),
-      Option(properties.get("buckets")).map(_.toInt).getOrElse(16))
+      properties: util.Map[String, String]): Table = {
+    val root = properties.get("path")
+    val supplied = Option(properties.get("buckets")).map(_.toInt)
+    // r15: the store is SELF-DESCRIBING — the persisted `_meta/buckets`
+    // modulus is authoritative. A supplied count must match it (mismatch
+    // fails loudly at planning, never a silently mis-pruned point read or
+    // a mis-routed write); omitting the count reads the stored value.
+    // Bad paths skip resolution so the table's own require fires first.
+    val n =
+      if (root == null || root.isEmpty || PotV2Source.isGlob(root))
+        supplied.getOrElse(graft.kv.BucketMeta.DefaultBuckets)
+      else BucketedPotV2Source.resolveBuckets(root, supplied)
+    new BucketedPotV2Table(root, n)
+  }
   override def supportsExternalMetadata(): Boolean = true
 }
 
@@ -92,6 +102,25 @@ object BucketedPotV2Source {
   def existingBuckets(root: String, n: Int): Seq[Int] = {
     val fs = new Path(root).getFileSystem(new Configuration())
     (0 until n).filter(b => fs.exists(new Path(bucketPot(root, b))))
+  }
+
+  /** Resolve the routing modulus against the persisted `_meta/buckets`
+    * marker — stored is authoritative, a differing supplied count is a
+    * loud [[graft.kv.BucketMeta.BucketCountMismatch]], a count-free open
+    * of a pre-meta live store fails asking for the count once.
+    */
+  def resolveBuckets(root: String, supplied: Option[Int]): Int = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(new Configuration())
+    graft.kv.BucketMeta.resolve(fs, p, supplied,
+      storeLive =
+        Option(fs.globStatus(new Path(root, "_b=*"))).exists(_.nonEmpty))
+  }
+
+  /** Stamp the modulus at the write front door (idempotent CAS). */
+  def stampBuckets(root: String, n: Int): Unit = {
+    val p = new Path(root)
+    graft.kv.BucketMeta.stamp(p.getFileSystem(new Configuration()), p, n)
   }
 
   /** Head generation per existing bucket (the row-level ops' pin vector). */
@@ -145,6 +174,7 @@ private[sources] class BucketedPotV2Table(root: String, nBuckets: Int)
   override def deleteWhere(
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     import org.apache.spark.sql.sources.{EqualTo, In}
+    BucketedPotV2Source.stampBuckets(root, nBuckets)
     // buckets named by exact key predicates; other deletable shapes
     // (prefix, pot_file) cannot be hashed — those touch every bucket
     val keyBuckets: Option[Set[Int]] = filters.collectFirst {
@@ -247,6 +277,7 @@ private[graft] class BucketedPotWrite(
 
   private[sources] def commitEpoch(
       epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    BucketedPotV2Source.stampBuckets(root, nBuckets)
     val fs = new Path(root).getFileSystem(new Configuration())
     val perBucket = messages
       .collect { case m: BucketFragmentsMessage => m }
@@ -281,6 +312,7 @@ private[graft] class BucketedPotWrite(
       stagingDir.toString, nBuckets, keyIdx, docIdx)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    BucketedPotV2Source.stampBuckets(root, nBuckets)
     val fs = new Path(root).getFileSystem(new Configuration())
     val perBucket = messages
       .collect { case m: BucketFragmentsMessage => m }
@@ -479,6 +511,7 @@ private[graft] class BucketedPotDeltaWrite(
       stagingDir.toString, nBuckets, rowKeyIdx, rowDocIdx, idKeyIdx)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    BucketedPotV2Source.stampBuckets(root, nBuckets)
     val fs = new Path(root).getFileSystem(new Configuration())
     val perBucket = messages
       .collect { case m: BucketFragmentsMessage => m }

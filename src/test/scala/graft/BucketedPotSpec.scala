@@ -90,6 +90,43 @@ class BucketedPotSpec extends AnyFunSuite {
       === Set("keep", "nullv"))
   }
 
+  test("self-describing store (r15): stamped modulus, wrong-count open fails loudly, count-free open resolves") {
+    import org.apache.spark.sql.functions.col
+    val root = tmpRoot()
+    val pot = BucketedPotTable(spark, root, "t", nBuckets = 4)
+    pot.upsert((1 to 40).map(i => (s"k$i", i)).toDF("key", "v"))
+    // creation stamped the modulus
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/t/_meta/buckets")).trim === "4")
+    // wrong-count open: LOUD mismatch on any routing path, never a
+    // silently-empty point read or a mis-routed write
+    val wrong = BucketedPotTable(spark, root, "t", nBuckets = 8)
+    intercept[graft.kv.BucketMeta.BucketCountMismatch] { wrong.get("k7") }
+    intercept[graft.kv.BucketMeta.BucketCountMismatch] {
+      wrong.upsert(Seq(("k7", 700)).toDF("key", "v"))
+    }
+    // count-free open reads the stored modulus: point get prunes to ONE
+    // bucket dir and finds the live key
+    val free = BucketedPotTable(spark, root, "t")
+    assert(free.get("k7").select("v").as[Int].collect().toSeq === Seq(7))
+    assert(free.get("k7").inputFiles
+      .map(_.replaceFirst("/[^/]*$", "")).distinct.length === 1)
+    free.upsert(Seq(("k7", 700)).toDF("key", "v")) // routing works count-free
+    assert(free.get("k7").select("v").as[Int].collect().toSeq === Seq(700))
+    // pre-meta legacy store: count-free open fails asking for the count
+    // once; a supplied count restamps on the next write
+    new scala.reflect.io.Directory(new java.io.File(s"$root/t/_meta"))
+      .deleteRecursively()
+    intercept[IllegalStateException] {
+      BucketedPotTable(spark, root, "t").get("k7")
+    }
+    val restamp = BucketedPotTable(spark, root, "t", nBuckets = 4)
+    restamp.removeWhere(col("v") > 600)
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/t/_meta/buckets")).trim === "4")
+    assert(BucketedPotTable(spark, root, "t").get("k7").isEmpty)
+  }
+
   test("compact collapses bucket version history and preserves state") {
     val root = tmpRoot()
     val pot = BucketedPotTable(spark, root, "t", nBuckets = 4)

@@ -1322,6 +1322,49 @@ class PotJsonSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("BucketedPotV2 SQL store is self-describing (r15): stamped modulus, wrong-count open loud, count-free open resolves") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("bpotv2meta").toString
+    val fmt = classOf[graft.sources.BucketedPotV2Source].getName
+    val tbl = "graft_spec_bpot_meta"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (pot_file STRING, key STRING, " +
+      s"doc_json STRING) USING $fmt OPTIONS (path '$root', buckets '4')")
+    val rows = (1 to 30).map(i => s"('', 'k$i', '{\"v\": $i}')").mkString(", ")
+    spark.sql(s"INSERT INTO $tbl VALUES $rows")
+    // the INSERT stamped the routing modulus
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$root/_meta/buckets")).trim === "4")
+    // count-free open: the stored modulus drives planning-time bucket
+    // pruning — the point read opens ONE object and finds the live key
+    val free = spark.read.format(fmt).option("path", root).load()
+    val point = free.filter($"key" === "k7").select($"key")
+    assert(point.rdd.getNumPartitions === 1,
+      "count-free open lost planning-time bucket pruning")
+    assert(point.as[String].collect().toSeq === Seq("k7"))
+    // wrong-count open fails LOUDLY at planning — the r14 verdict's
+    // hazard (silently-empty point read over a mis-derived bucket)
+    val e = intercept[Throwable] {
+      spark.read.format(fmt).option("path", root)
+        .option("buckets", "8").load().collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    assert(chain(e).exists(
+      _.isInstanceOf[graft.kv.BucketMeta.BucketCountMismatch]),
+      s"expected BucketCountMismatch, got $e")
+    // wrong-count WRITE is equally loud (mis-routed keys never land)
+    val e2 = intercept[Throwable] {
+      Seq(("", "new", """{"v": 1}""")).toDF("pot_file", "key", "doc_json")
+        .write.format(fmt).option("path", root).option("buckets", "8")
+        .mode("append").save()
+    }
+    assert(chain(e2).exists(
+      _.isInstanceOf[graft.kv.BucketMeta.BucketCountMismatch]),
+      s"expected BucketCountMismatch on write, got $e2")
+    spark.sql(s"DROP TABLE $tbl")
+  }
+
   test("PotV2 glob changes with a per-pot vector equals the resumed multi-pot stream; out-of-range entries fail loudly") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("potv2vecb").toString
