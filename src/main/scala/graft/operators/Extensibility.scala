@@ -1377,7 +1377,58 @@ object Extensibility {
       |WHERE c_custkey <= 200
       |ORDER BY key""".stripMargin
 
+  /** u27: STATISTICS-DRIVEN broadcast join over a pot relation (r15).
+    * The pot connector reports `sizeInBytes` from chain metadata
+    * ([[graft.sources.PotV2Scan.estimateStatistics]]), so a small pot dim
+    * joined to a parquet fact plans a BroadcastHashJoin WITHOUT a hint —
+    * before r15 a V2 relation without stats weighed `defaultSizeInBytes`
+    * (Long.MaxValue) and never auto-broadcast, leaving a 100 TB fact
+    * join to shuffle both sides or hope for AQE's post-shuffle rescue.
+    * The query is deliberately hint-free: PlanAuditSpec pins the pot
+    * scan inside the broadcast build side. Oracle: the same join straight
+    * off the nation table (the pot holds `{"name": n_name}` per nation).
+    */
+  private[graft] def statsBroadcastBuild(
+      s: SparkSession, d: String): (DataFrame, String) = {
+    import s.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-potstats").toString
+    Tables.nation(s, d)
+      .select(lit("").as("pot_file"),
+        concat(lit("n"), $"n_nationkey".cast("string")).as("key"),
+        to_json(struct($"n_name".as("name"))).as("doc_json"))
+      .write.format(classOf[graft.sources.PotV2Source].getName)
+      .option("path", s"$dir/nation/data.json").mode("overwrite").save()
+    val pot = s.read.format(classOf[graft.sources.PotV2Source].getName)
+      .option("path", s"$dir/nation/data.json").load()
+      .select($"key",
+        get_json_object($"doc_json", "$.name").as("n_name"))
+    val joined = Tables.customer(s, d)
+      .withColumn("key", concat(lit("n"), $"c_nationkey".cast("string")))
+      .join(pot, "key") // NO broadcast() hint — stats must plan it
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_cust"),
+        sum($"c_custkey".cast("bigint")).as("sum_cust"))
+      .orderBy($"n_name")
+    (joined, dir)
+  }
+
+  def statsBroadcastJoin(s: SparkSession, d: String): DataFrame = {
+    val (joined, dir) = statsBroadcastBuild(s, d)
+    val out = joined.localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    out
+  }
+
+  val statsBroadcastJoinSql: String =
+    """SELECT n.n_name AS n_name, CAST(COUNT(*) AS BIGINT) AS n_cust,
+      |  CAST(SUM(c.c_custkey) AS BIGINT) AS sum_cust
+      |FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |GROUP BY n.n_name
+      |ORDER BY n_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u27_stats_broadcast" -> (statsBroadcastJoin _),
     "u26_sql_bucketed_changes" -> (sqlBucketedChanges _),
     "u25_sql_bucketed_tt" -> (sqlBucketedTimeTravel _),
     "u24_sql_pot_history" -> (sqlPotHistory _),
@@ -1406,6 +1457,7 @@ object Extensibility {
     "u5_typed_dataset"  -> (typedDataset _))
 
   val oracle: Map[String, String] = Map(
+    "u27_stats_broadcast" -> statsBroadcastJoinSql,
     "u26_sql_bucketed_changes" -> sqlBucketedChangesSql,
     "u25_sql_bucketed_tt" -> sqlBucketedTimeTravelSql,
     "u24_sql_pot_history" -> sqlPotHistorySql,

@@ -495,7 +495,7 @@ private[graft] class PotV2Scan(
     aggGroupedByFile: Option[Boolean] = None,
     generation: Option[Long] = None)
     extends Scan with Batch
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportStatistics {
 
   /** RUNTIME file pruning — the DSv2 dynamic-partition-pruning surface:
     * when a join's other side resolves at runtime to a set of pot_file
@@ -510,8 +510,15 @@ private[graft] class PotV2Scan(
     Array.empty
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    Array(org.apache.spark.sql.connector.expressions.Expressions
-      .column("pot_file"))
+    // advertise pot_file ONLY when the pruned read schema still carries
+    // it: Spark's runtime-pruning rules resolve these refs against the
+    // scan OUTPUT, and an unprojected column is an AnalysisException at
+    // planning (surfaced by r15's stats report making pot dims broadcast
+    // candidates, which runs the DPP rule over this scan)
+    if (readSchema().fieldNames.contains("pot_file"))
+      Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column("pot_file"))
+    else Array.empty
   override def filter(
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
     runtime = filters.filter {
@@ -626,6 +633,64 @@ private[graft] class PotV2Scan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PotV2ReaderFactory(required.fieldNames, pushed, aggGroupedByFile)
+
+  /** Statistics reporting (r15) — the missing piece for DATA-DRIVEN join
+    * planning over pot relations: without it Spark assumes
+    * `defaultSizeInBytes` (Long.MaxValue) for a V2 relation, so a small
+    * pot dim joined to a parquet fact never auto-broadcasts and at scale
+    * relies on AQE's post-shuffle rescue. `sizeInBytes` is EXACT FS
+    * metadata over exactly the objects the (pushed-filter-pruned) scan
+    * will open — a pruned point read reports bytes of its one object; a
+    * delta-headed chain reports covering snapshot + dgen run (the bytes
+    * the fold reads; data.json may lag). Row count is not persisted at
+    * commit, so `numRows` is honestly absent — sizeInBytes alone drives
+    * the autoBroadcastJoinThreshold decision, which is the 100 TB
+    * behavior this buys.
+    */
+  override def estimateStatistics(): Statistics = {
+    import java.util.OptionalLong
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    def len(f: String): Long =
+      try fs.getFileStatus(new Path(f)).getLen
+      catch { case _: java.io.FileNotFoundException => 0L }
+    def foldBytes(commits: Path, g: Long): Long = {
+      val arts = PotChain.artifactsUpTo(fs, commits, g)
+      val baseIdx = arts.lastIndexWhere(a => PotChain.isSnap(a._2))
+      arts.drop(math.max(baseIdx, 0)).iterator.map(a => len(a._2)).sum
+    }
+    val bytes: Option[Long] =
+      try generation match {
+        case Some(g) =>
+          val commits = new Path(p.getParent, ".commits")
+          val body = PotChain.artifactOf(fs, commits, g)
+          Some(if (PotChain.isSnap(body)) len(body)
+          else foldBytes(commits, g))
+        case None =>
+          Some(Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+            .filter(_.isFile)
+            .filter(st =>
+              PotV2Filters.accepts(pushed, "pot_file", st.getPath.toString))
+            .map { st =>
+              val commits = new Path(st.getPath.getParent, ".commits")
+              val head = (graft.kv.CommitMarker
+                .committedGenerations(fs, commits) :+ 0L).max
+              if (head > 0 &&
+                  PotChain.isDgen(PotChain.artifactOf(fs, commits, head)))
+                foldBytes(commits, head)
+              else st.getLen
+            }.sum)
+      } catch {
+        // stats must never fail planning — an unreadable chain reports
+        // unknown and the read path raises its own loud error
+        case scala.util.control.NonFatal(_) => None
+      }
+    new Statistics {
+      override def sizeInBytes(): OptionalLong =
+        bytes.fold(OptionalLong.empty())(OptionalLong.of)
+      override def numRows(): OptionalLong = OptionalLong.empty()
+    }
+  }
 
   override def description(): String = {
     val aggDesc = aggGroupedByFile match {

@@ -12,6 +12,31 @@ class PlanAuditSpec extends AnyFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
 
+  test("u27 stats-driven broadcast: the pot dim is the broadcast BUILD side with no hint (r15)") {
+    // the query is hint-free; the only way the pot side broadcasts is the
+    // connector's SupportsReportStatistics sizeInBytes report
+    val (joined, dir) =
+      graft.operators.Extensibility.statsBroadcastBuild(spark, sf)
+    try {
+      import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+      import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+      val plan = joined.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val bhj = plan.collectFirst { case j: BroadcastHashJoinExec => j }
+        .getOrElse(fail(s"no BroadcastHashJoin planned:\n$plan"))
+      val build = bhj.buildSide match {
+        case BuildLeft  => bhj.left
+        case BuildRight => bhj.right
+      }
+      assert(build.toString.contains("PotV2Scan"),
+        s"the pot relation is not the broadcast build side:\n$plan")
+    } finally new scala.reflect.io.Directory(new java.io.File(dir))
+      .deleteRecursively()
+  }
+
   test("q2 filter/project pushes predicates into the parquet scan") {
     val p = plan("q2_filter_project")
     assert(p.contains("PushedFilters: [IsNotNull"), p)
@@ -429,15 +454,20 @@ class PlanAuditSpec extends AnyFunSuite {
       s"per-source inventory lost its map-side partial:\n$p")
   }
 
-  test("p25 quality funnel: result is the tiny local frame — the corpus paid exactly one bounded pre-pass") {
+  test("p25 quality funnel: fully lazy — exactly ONE corpus scan, cascade is a broadcast join on the tiny frames (r15)") {
     val p = plan("p25_quality_funnel")
-    // the corpus scan happens ONCE in the ≤6-row histogram collect; the
-    // emitted 5-row funnel must not re-scan it or grow a window
-    assert(!p.contains("Scan parquet"),
-      s"the emitted funnel re-scans the corpus:\n$p")
+    // r15 retired the eager driver collect: the whole funnel is one lazy
+    // plan — a single corpus aggregation (the ≤6-row first-fail
+    // histogram) broadcast under the 5-row rule frame; plan-building and
+    // explain cost nothing
+    assert("Scan parquet".r.findAllIn(p).size === 1,
+      s"the funnel must scan the corpus exactly once:\n$p")
     assert(!p.contains("Window"), s"p25 grew a window:\n$p")
     assert(p.contains("LocalTableScan"),
-      s"expected the driver-computed 5-row frame:\n$p")
+      s"expected the 5-row rule frame:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"cascade join is not broadcast:\n$p")
   }
 
   test("d22 manifest is one scan + one partial object aggregation, digest buffers shard-bounded") {

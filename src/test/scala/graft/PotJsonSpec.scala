@@ -1365,6 +1365,53 @@ class PotJsonSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE $tbl")
   }
 
+  test("PotV2 scan reports statistics (r15): a small pot dim auto-broadcasts in a join plan, a large one does not") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("potv2stats").toString
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    def put(pot: String, rows: Seq[(String, String)]): Unit =
+      rows.map { case (k, d) => ("", k, d) }
+        .toDF("pot_file", "key", "doc_json")
+        .write.format(fmt).option("path", s"$root/$pot/data.json")
+        .mode("overwrite").save()
+    put("small", (1 to 10).map(i => s"k$i" -> s"""{"v": $i}"""))
+    // "large" relative to a lowered threshold — the decision mechanism is
+    // identical at the default 10 MB, without writing 10 MB in a test
+    put("large", (1 to 200).map(i =>
+      s"k$i" -> s"""{"pad": "${"x" * 100}"}"""))
+    val facts = (1 to 500).flatMap(i => (1 to 10).map(k => (s"k$k", i)))
+      .toDF("key", "amt")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "4096")
+      def planOf(pot: String): String = {
+        val dim = spark.read.format(fmt)
+          .option("path", s"$root/$pot/data.json").load()
+        facts.join(dim, "key").queryExecution.executedPlan.toString
+      }
+      // the small pot's reported sizeInBytes is under the threshold: Spark
+      // PLANS the broadcast (no stats -> defaultSizeInBytes -> never)
+      assert(planOf("small").contains("BroadcastHashJoin"),
+        s"small pot did not auto-broadcast:\n${planOf("small")}")
+      // the large pot reports over-threshold bytes: a shuffle join,
+      // not an executor-memory-blowing forced broadcast
+      assert(!planOf("large").contains("BroadcastHashJoin"),
+        s"large pot wrongly auto-broadcast:\n${planOf("large")}")
+      // pushed pot_file pruning shrinks the report: the two-object glob is
+      // over threshold unfiltered, but an exact pot_file predicate prunes
+      // to the small object and the join broadcasts again
+      val glob = spark.read.format(fmt)
+        .option("path", s"$root/*/data.json").load()
+      val smallPath = glob.select($"pot_file").distinct().as[String]
+        .collect().find(_.contains("small")).get
+      val prunedPlan = facts
+        .join(glob.filter($"pot_file" === smallPath), "key")
+        .queryExecution.executedPlan.toString
+      assert(prunedPlan.contains("BroadcastHashJoin"),
+        s"pruned scan did not shrink the stats report:\n$prunedPlan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("PotV2 glob changes with a per-pot vector equals the resumed multi-pot stream; out-of-range entries fail loudly") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("potv2vecb").toString
