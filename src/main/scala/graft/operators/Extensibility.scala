@@ -1427,7 +1427,60 @@ object Extensibility {
       |GROUP BY n.n_name
       |ORDER BY n_name""".stripMargin
 
+  /** u28: LIMIT / TopN PUSHDOWN through the SQL front door (r15).
+    * `ORDER BY key LIMIT k` over a pot relation pushes as a per-object
+    * top-k (each reader returns k key-ordered rows, only the winners'
+    * documents stringify; Spark merges the partials), and a bare LIMIT
+    * pushes as an early-stop streaming parse — `SELECT … LIMIT 10` over
+    * a 100 MB object parses ~10 entries instead of the whole map. The
+    * query reads both directions off one 200-key pot; every row carries
+    * its direction tag so the union has a total order. Oracle: the same
+    * top-k straight off customer.
+    */
+  def sqlTopNPushdown(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    registerPotTvf(s)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pottopn").toString
+    Tables.customer(s, d).filter($"c_custkey" <= 200)
+      .select(lit("").as("pot_file"),
+        concat(lit("c"), lpad($"c_custkey".cast("string"), 3, "0"))
+          .as("key"),
+        to_json(struct($"c_custkey".cast("long").as("v"))).as("doc_json"))
+      .write.format(classOf[graft.sources.PotV2Source].getName)
+      .option("path", s"$dir/cust/data.json").mode("overwrite").save()
+    val out = s.sql(
+      s"""SELECT dir, key, v FROM (
+         |  SELECT 'asc' AS dir, key,
+         |    CAST(get_json_object(doc_json, '$$.v') AS BIGINT) AS v
+         |  FROM graft_pot('$dir/cust/data.json')
+         |  ORDER BY key LIMIT 10
+         |) UNION ALL
+         |SELECT dir, key, v FROM (
+         |  SELECT 'desc' AS dir, key,
+         |    CAST(get_json_object(doc_json, '$$.v') AS BIGINT) AS v
+         |  FROM graft_pot('$dir/cust/data.json')
+         |  ORDER BY key DESC LIMIT 7
+         |)
+         |ORDER BY dir, key""".stripMargin).localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    out
+  }
+
+  val sqlTopNPushdownSql: String =
+    """WITH pot AS (
+      |  SELECT 'c' || lpad(CAST(c_custkey AS VARCHAR), 3, '0') AS key,
+      |    CAST(c_custkey AS BIGINT) AS v
+      |  FROM customer WHERE c_custkey <= 200)
+      |SELECT dir, key, v FROM (
+      |  SELECT 'asc' AS dir, key, v FROM pot ORDER BY key LIMIT 10)
+      |UNION ALL
+      |SELECT dir, key, v FROM (
+      |  SELECT 'desc' AS dir, key, v FROM pot ORDER BY key DESC LIMIT 7)
+      |ORDER BY dir, key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u28_sql_topn_pushdown" -> (sqlTopNPushdown _),
     "u27_stats_broadcast" -> (statsBroadcastJoin _),
     "u26_sql_bucketed_changes" -> (sqlBucketedChanges _),
     "u25_sql_bucketed_tt" -> (sqlBucketedTimeTravel _),
@@ -1457,6 +1510,7 @@ object Extensibility {
     "u5_typed_dataset"  -> (typedDataset _))
 
   val oracle: Map[String, String] = Map(
+    "u28_sql_topn_pushdown" -> sqlTopNPushdownSql,
     "u27_stats_broadcast" -> statsBroadcastJoinSql,
     "u26_sql_bucketed_changes" -> sqlBucketedChangesSql,
     "u25_sql_bucketed_tt" -> sqlBucketedTimeTravelSql,

@@ -385,13 +385,52 @@ private[sources] class PotV2Table(path: String)
 private[graft] class PotV2ScanBuilder(
     path: String, generation: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownFilters with SupportsPushDownAggregates {
+    with SupportsPushDownFilters with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
   import org.apache.spark.sql.sources._
   private var required: StructType = PotV2Source.Schema
   private[sources] var pushed: Array[Filter] = Array.empty
   private var aggGroupedByFile: Option[Boolean] = None
+  private var pushedLimit: Option[Int] = None
+  private var pushedTopN: Option[(Boolean, Int)] = None
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** LIMIT pushdown (r15): `SELECT … LIMIT k` over a pot bucket stops the
+    * reader after k surviving entries — and for a plain snapshot object
+    * the reader switches to STREAMING Jackson parsing, so a LIMIT 10 over
+    * a 100 MB object parses ~10 entries instead of building the whole
+    * tree (the per-object analogue of "stop opening every object"; across
+    * objects, Spark's incremental limit execution opens partitions as
+    * needed). PARTIAL pushdown: each partition still emits up to k rows
+    * and Spark's own Limit does the global cut.
+    */
+  override def pushLimit(limit: Int): Boolean = {
+    pushedLimit = Some(limit)
+    true
+  }
+  override def isPartiallyPushed(): Boolean = true
+
+  /** ORDER BY key LIMIT k pushdown (r15): each reader keeps a k-bounded
+    * selection by key and stringifies ONLY the k winners' documents (the
+    * dominant per-entry cost) — a top-k over a 10k-object bucket returns
+    * k rows per object for Spark's final merge instead of every row.
+    * Only a single ORDER BY key (either direction) is servable: key is
+    * the one column with scan-level ordering semantics.
+    */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = orders match {
+    case Array(o) => o.expression() match {
+      case r: org.apache.spark.sql.connector.expressions.NamedReference
+          if r.fieldNames.sameElements(Array("key")) =>
+        import org.apache.spark.sql.connector.expressions.SortDirection
+        pushedTopN = Some((o.direction() == SortDirection.ASCENDING, limit))
+        true
+      case _ => false
+    }
+    case _ => false
+  }
 
   /** Aggregate pushdown — the V2 surface that makes `COUNT(*)` over a pot
     * bucket a METADATA-SPEED query: the reader counts map entries without
@@ -457,7 +496,8 @@ private[graft] class PotV2ScanBuilder(
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan =
-    new PotV2Scan(path, required, pushed, aggGroupedByFile, generation)
+    new PotV2Scan(path, required, pushed, aggGroupedByFile, generation,
+      pushedLimit, pushedTopN)
 }
 
 private[sources] object PotV2Filters {
@@ -493,7 +533,9 @@ private[graft] class PotV2Scan(
     path: String, required: StructType,
     pushed: Array[org.apache.spark.sql.sources.Filter],
     aggGroupedByFile: Option[Boolean] = None,
-    generation: Option[Long] = None)
+    generation: Option[Long] = None,
+    pushedLimit: Option[Int] = None,
+    pushedTopN: Option[(Boolean, Int)] = None)
     extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics {
 
@@ -632,7 +674,8 @@ private[graft] class PotV2Scan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new PotV2ReaderFactory(required.fieldNames, pushed, aggGroupedByFile)
+    new PotV2ReaderFactory(required.fieldNames, pushed, aggGroupedByFile,
+      pushedLimit, pushedTopN)
 
   /** Statistics reporting (r15) — the missing piece for DATA-DRIVEN join
     * planning over pot relations: without it Spark assumes
@@ -699,7 +742,12 @@ private[graft] class PotV2Scan(
       case None => ""
     }
     val genDesc = generation.map(g => s", Generation: $g").getOrElse("")
-    s"PotV2Scan ${pushed.mkString("PushedFilters: [", ", ", "]")}$aggDesc$genDesc"
+    val limDesc = pushedTopN match {
+      case Some((asc, k)) =>
+        s", PushedTopN: key ${if (asc) "ASC" else "DESC"} limit $k"
+      case None => pushedLimit.map(k => s", PushedLimit: $k").getOrElse("")
+    }
+    s"PotV2Scan ${pushed.mkString("PushedFilters: [", ", ", "]")}$aggDesc$genDesc$limDesc"
   }
 }
 
@@ -720,7 +768,9 @@ private[sources] case object PotNoFilePartition extends InputPartition
 private[sources] class PotV2ReaderFactory(
     columns: Array[String],
     pushed: Array[org.apache.spark.sql.sources.Filter],
-    aggGroupedByFile: Option[Boolean] = None)
+    aggGroupedByFile: Option[Boolean] = None,
+    pushedLimit: Option[Int] = None,
+    pushedTopN: Option[(Boolean, Int)] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     partition match {
@@ -782,20 +832,97 @@ private[sources] class PotV2ReaderFactory(
       case None => // fall through to the row reader below
     }
     new PartitionReader[InternalRow] {
-      private val entries: Iterator[(String, String)] = partition match {
-        case sp: PotStatePartition => foldedEntries(sp)
-        case _ =>
-          val p = new Path(file)
-          val fs = p.getFileSystem(new Configuration())
-          val in = fs.open(p)
-          val root = try new ObjectMapper().readTree(in) finally in.close()
-          require(root != null && root.isObject,
-            s"pot object $file: top level must be a JSON map")
-          // key predicates filter BEFORE toString — a point read of one
-          // key in a 100k-entry pot never stringifies the other bodies
-          root.fields().asScala
-            .filter(e => PotV2Filters.accepts(pushed, "key", e.getKey))
-            .map(e => (e.getKey, e.getValue.toString))
+      // open streaming parser, if any — closed on early stop via close()
+      private var openParser: com.fasterxml.jackson.core.JsonParser = null
+      // Streaming entry source for a snapshot object (r15, limit path):
+      // Jackson token parsing emits entries incrementally, so a pushed
+      // LIMIT stops PARSING after its k survivors instead of building the
+      // whole tree first. Documents are kept as JsonNode until selection
+      // decides a row survives (stringification is the dominant cost).
+      def streamedFields(p: Path)
+          : Iterator[(String, com.fasterxml.jackson.databind.JsonNode)] = {
+        val fs = p.getFileSystem(new Configuration())
+        val mapper = new ObjectMapper()
+        val parser = mapper.getFactory.createParser(
+          fs.open(p): java.io.InputStream)
+        openParser = parser
+        require(parser.nextToken() ==
+            com.fasterxml.jackson.core.JsonToken.START_OBJECT,
+          s"pot object $file: top level must be a JSON map")
+        new Iterator[(String, com.fasterxml.jackson.databind.JsonNode)] {
+          private var nextKey: String = null
+          private var done = false
+          private def advance(): Unit = {
+            while (nextKey == null && !done) {
+              val t = parser.nextToken()
+              if (t == null ||
+                  t == com.fasterxml.jackson.core.JsonToken.END_OBJECT) {
+                done = true; parser.close()
+              } else nextKey = parser.currentName()
+            }
+          }
+          override def hasNext: Boolean = { advance(); nextKey != null }
+          override def next()
+              : (String, com.fasterxml.jackson.databind.JsonNode) = {
+            advance()
+            val k = nextKey
+            nextKey = null
+            parser.nextToken() // position on the value
+            k -> mapper.readTree[com.fasterxml.jackson.databind.JsonNode](
+              parser)
+          }
+        }
+      }
+      private def sourceEntries(): Iterator[(String, String)] =
+        partition match {
+          case sp: PotStatePartition => foldedEntries(sp)
+          case _ if pushedLimit.isDefined && pushedTopN.isEmpty =>
+            // limit path: stream + early stop (the take() below closes
+            // the parse after k survivors — O(k) parse, not O(object))
+            streamedFields(new Path(file))
+              .filter(e => PotV2Filters.accepts(pushed, "key", e._1))
+              .map(e => (e._1, e._2.toString))
+          case _ =>
+            val p = new Path(file)
+            val fs = p.getFileSystem(new Configuration())
+            val in = fs.open(p)
+            val root = try new ObjectMapper().readTree(in) finally in.close()
+            require(root != null && root.isObject,
+              s"pot object $file: top level must be a JSON map")
+            // key predicates filter BEFORE toString — a point read of one
+            // key in a 100k-entry pot never stringifies the other bodies
+            root.fields().asScala
+              .filter(e => PotV2Filters.accepts(pushed, "key", e.getKey))
+              .map(e => (e.getKey, e.getValue.toString))
+        }
+      private val entries: Iterator[(String, String)] = pushedTopN match {
+        case Some((asc, k)) =>
+          // top-k by key, k-bounded selection: only winners stringify.
+          // (The snapshot still parses fully — every key must be seen —
+          // but Spark receives k rows per object, not the whole object.)
+          val ord =
+            if (asc) Ordering.String else Ordering.String.reverse
+          val sel = new java.util.TreeMap[String, String](ord)
+          partition match {
+            case sp: PotStatePartition =>
+              foldedEntries(sp).foreach { case (key, doc) =>
+                sel.put(key, doc)
+                if (sel.size > k) sel.pollLastEntry()
+              }
+            case _ =>
+              streamedFields(new Path(file))
+                .filter(e => PotV2Filters.accepts(pushed, "key", e._1))
+                .foreach { case (key, node) =>
+                  // admit before stringify; evict the current worst
+                  if (sel.size < k) sel.put(key, node.toString)
+                  else if (ord.compare(key, sel.lastKey()) < 0) {
+                    sel.pollLastEntry(); sel.put(key, node.toString)
+                  }
+                }
+          }
+          sel.entrySet().asScala.iterator.map(e => (e.getKey, e.getValue))
+        case None =>
+          pushedLimit.fold(sourceEntries())(k => sourceEntries().take(k))
       }
       private var row: InternalRow = _
       override def next(): Boolean = {
@@ -811,7 +938,8 @@ private[sources] class PotV2ReaderFactory(
         true
       }
       override def get(): InternalRow = row
-      override def close(): Unit = ()
+      override def close(): Unit =
+        if (openParser != null && !openParser.isClosed) openParser.close()
     }
   }
 }

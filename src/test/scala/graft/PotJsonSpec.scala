@@ -1412,6 +1412,51 @@ class PotJsonSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("PotV2 limit/TopN pushdown (r15): the reader stops parsing at k, top-k by key is k-bounded per object") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("potv2lim").toString
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    Seq("a", "b").foreach { pot =>
+      val dir = java.nio.file.Paths.get(root, pot)
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.writeString(dir.resolve("data.json"),
+        (1 to 50).map(i => s""""$pot${"%03d".format(i)}": {"v": $i}""")
+          .mkString("{", ", ", "}"))
+    }
+    def read() = spark.read.format(fmt)
+      .option("path", s"$root/*/data.json").load()
+    // LIMIT pushes (partial): plan advertises it, result honors it
+    val lim = read().limit(5)
+    assert(lim.queryExecution.executedPlan.toString.contains(
+      "PushedLimit: 5"),
+      s"limit not pushed:\n${lim.queryExecution.executedPlan}")
+    assert(lim.count() === 5L)
+    // ORDER BY key LIMIT k pushes as TopN; the global result is the true
+    // top-k across objects (per-object k-bounded partials, Spark merges)
+    val top = read().orderBy($"key").limit(3).select($"key")
+    assert(top.queryExecution.executedPlan.toString.contains(
+      "PushedTopN: key ASC limit 3"),
+      s"TopN not pushed:\n${top.queryExecution.executedPlan}")
+    assert(top.as[String].collect().toSeq === Seq("a001", "a002", "a003"))
+    val bot = read().orderBy($"key".desc).limit(2).select($"key")
+    assert(bot.queryExecution.executedPlan.toString.contains(
+      "PushedTopN: key DESC limit 2"), bot.queryExecution.toString())
+    assert(bot.as[String].collect().toSeq === Seq("b050", "b049"))
+    // O(k)-parse proof: a pot whose tail is GARBAGE after the first
+    // entries — a pushed-limit read of the valid prefix succeeds (the
+    // streaming parser never reaches the tail), the full read fails
+    val g = java.nio.file.Paths.get(root, "garbage")
+    java.nio.file.Files.createDirectories(g)
+    java.nio.file.Files.writeString(g.resolve("data.json"),
+      """{"g1": {"v": 1}, "g2": {"v": 2}, "g3": {"v": 3}, THIS IS NOT JSON""")
+    val gpot = spark.read.format(fmt)
+      .option("path", s"$root/garbage/data.json").load()
+    assert(gpot.limit(2).select($"key").as[String].collect().toSeq
+      === Seq("g1", "g2"),
+      "pushed limit did not stop the parse before the malformed tail")
+    intercept[org.apache.spark.SparkException] { gpot.count() }
+  }
+
   test("PotV2 glob changes with a per-pot vector equals the resumed multi-pot stream; out-of-range entries fail loudly") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("potv2vecb").toString
