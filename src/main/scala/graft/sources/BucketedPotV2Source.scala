@@ -46,15 +46,18 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     writer on any touched bucket is a loud CommitConflict, never a
   *     delta applied over unseen state.
   *
-  * Atomicity contract (stated, not oversold — the PotTxn discipline):
-  * each bucket's commit is atomic and statement-tagged. Buckets commit in
-  * ascending order; a failure mid-statement leaves a PREFIX of buckets
-  * committed, and re-running the statement converges — already-committed
-  * buckets ADOPT their statement tag (exactly-once per bucket) while the
-  * remainder apply. A reader between the two runs can observe the
-  * statement partially applied (the documented PotTxn reality absent a
-  * shared catalog log); what can never happen is a lost update or a torn
-  * bucket.
+  * Atomicity contract (r15 — statement-atomic for READERS too): every
+  * multi-bucket statement runs behind a [[BucketedStmtLog]] barrier —
+  * intent CAS'd before any bucket commits (readers cap those buckets at
+  * the pre-statement BASE generations), per-bucket commits tagged for
+  * exactly-once adoption, done marker flipping the whole statement
+  * visible atomically. A reader planned mid-statement sees NONE of it,
+  * never a committed prefix. Crash mid-statement => readers keep the
+  * pre-statement view and `BucketedPotV2Source.recoverStatements` rolls
+  * forward from the staged fragments; a conflict-failed MERGE drops its
+  * barrier (prefix visible, the pre-r15 reality for exactly that case)
+  * and re-raises for the user to re-run. What can never happen is a lost
+  * update, a torn bucket, or a silently half-seen successful statement.
   *
   * Scale: an upsert of k keys touches at most k buckets regardless of
   * table size (write amplification bounded by the CHANGE SET, not the
@@ -123,6 +126,13 @@ object BucketedPotV2Source {
     graft.kv.BucketMeta.stamp(p.getFileSystem(new Configuration()), p, n)
   }
 
+  /** Crash recovery: roll every open multi-bucket statement forward from
+    * its staged fragments and flip it visible (see [[BucketedStmtLog]]).
+    * Returns the completed statement ids.
+    */
+  def recoverStatements(root: String): Seq[String] =
+    BucketedStmtLog.recover(root)
+
   /** Head generation per existing bucket (the row-level ops' pin vector). */
   def headVector(root: String, n: Int): Map[Int, Long] = {
     val fs = new Path(root).getFileSystem(new Configuration())
@@ -185,10 +195,26 @@ private[sources] class BucketedPotV2Table(root: String, nBuckets: Int)
     }
     val existing = BucketedPotV2Source.existingBuckets(root, nBuckets)
     val touched = keyBuckets.fold(existing)(bs => existing.filter(bs))
-    touched.foreach { b =>
+    // r15 statement barrier (filters serialized into the intent — the
+    // roll-forward source for a crashed multi-bucket DELETE)
+    val qid = java.util.UUID.randomUUID().toString
+    val barrier = touched.length > 1
+    if (barrier) {
+      val base = BucketedPotV2Source.headVector(root, nBuckets)
+      BucketedStmtLog.begin(root, qid, BucketedStmtLog.intentBody(
+        "delete", qid, truncate = false, 0L, touched,
+        touched.map(b => b -> base.getOrElse(b, 0L)).toMap,
+        Map.empty, Some(filters)))
+    }
+    try touched.foreach { b =>
       new PotV2Table(BucketedPotV2Source.bucketPot(root, b))
         .deleteWhere(filters)
+    } catch {
+      case e: graft.kv.PotTable.CommitConflict if barrier =>
+        BucketedStmtLog.abort(root, qid, Seq.empty)
+        throw e
     }
+    if (barrier) BucketedStmtLog.complete(root, qid, Seq.empty)
   }
 }
 
@@ -199,13 +225,24 @@ private[sources] class BucketedPotScanBuilder(root: String, nBuckets: Int)
     extends PotV2ScanBuilder(s"$root/_b=*/data.json", None) {
   import org.apache.spark.sql.sources._
 
-  private def qualifiedBucket(k: String): String = {
-    val p = new Path(BucketedPotV2Source.bucketPot(
-      root, BucketedPotV2Source.bucketOf(k, nBuckets)))
+  private def qualifiedPath(b: Int): String = {
+    val p = new Path(BucketedPotV2Source.bucketPot(root, b))
     // qualify like globStatus qualifies matched files, or the string
     // comparison in PotV2Filters.accepts would prune EVERYTHING
     p.getFileSystem(new Configuration()).makeQualified(p).toString
   }
+
+  private def qualifiedBucket(k: String): String =
+    qualifiedPath(BucketedPotV2Source.bucketOf(k, nBuckets))
+
+  /** r15 statement-atomicity barrier: open statements cap their buckets
+    * at the pre-statement base generation — a reader planned mid-
+    * statement sees NONE of it; the done marker flips it visible whole.
+    */
+  override protected def capResolver: Option[() => Map[String, Long]] =
+    Some(() => BucketedStmtLog.caps(root).map { case (b, g) =>
+      qualifiedPath(b) -> g
+    })
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val rest = super.pushFilters(filters)
@@ -326,6 +363,20 @@ private[graft] class BucketedPotWrite(
         (perBucket.keySet ++
           BucketedPotV2Source.existingBuckets(root, nBuckets)).toSeq.sorted
       else perBucket.keySet.toSeq.sorted
+    // r15 statement barrier: multi-bucket statements publish an INTENT
+    // (reader caps at the base vector — none-or-all visibility) before
+    // any bucket commits, and flip DONE after the last. Single-bucket
+    // statements are already atomic in their one chain commit.
+    val barrier = buckets.length > 1
+    if (barrier) {
+      val base = BucketedPotV2Source.headVector(root, nBuckets)
+        .view.filterKeys(buckets.contains).toMap
+      BucketedStmtLog.begin(root, queryId, BucketedStmtLog.intentBody(
+        "insert", queryId, truncateFirst, maxObjectBytes, buckets,
+        buckets.map(b => b -> base.getOrElse(b, 0L)).toMap,
+        perBucket.view.mapValues(_.toSeq.map(m =>
+          (m.partitionId, m.fragment))).toMap))
+    }
     buckets.foreach { b =>
       val pot = BucketedPotV2Source.bucketPot(root, b)
       val w = new PotV2Write(pot, PotV2Source.Schema, s"$queryId-b$b",
@@ -340,7 +391,8 @@ private[graft] class BucketedPotWrite(
         retryOnConflict = true,
         staging = new Path(stagingDir, s"done-b$b"))
     }
-    fs.delete(stagingDir, true)
+    if (barrier) BucketedStmtLog.complete(root, queryId, Seq(stagingDir))
+    else fs.delete(stagingDir, true)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
@@ -518,17 +570,42 @@ private[graft] class BucketedPotDeltaWrite(
       .flatMap(m => m.fragments.map { case (b, f) =>
         (b, PotFragmentMessage(m.partitionId, f)) })
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-    perBucket.keys.toSeq.sorted.foreach { b =>
+    val buckets = perBucket.keys.toSeq.sorted
+    val qid8 = info.queryId().replace("-", "").take(8)
+    // r15 statement barrier (see BucketedStmtLog): base = the op's pinned
+    // generation vector — scan content, conflict check and reader cap are
+    // all the same state
+    val barrier = buckets.length > 1
+    if (barrier)
+      BucketedStmtLog.begin(root, info.queryId(),
+        BucketedStmtLog.intentBody("delta", info.queryId(),
+          truncate = false, ceiling, buckets,
+          buckets.map(b => b -> observed.getOrElse(b, 0L)).toMap,
+          perBucket.view.mapValues(_.toSeq.map(m =>
+            (m.partitionId, m.fragment))).toMap))
+    try buckets.foreach { b =>
       val pot = BucketedPotV2Source.bucketPot(root, b)
       val w = new PotV2Write(pot, PotV2Source.Schema,
         s"${info.queryId()}-b$b", truncateFirst = false, ceiling)
+      // statement-tagged so a crashed statement's recovery adopts the
+      // buckets it already committed instead of re-raising its own
+      // generation as a conflict
       w.commitEntries(
         perBucket(b).asInstanceOf[Array[WriterCommitMessage]],
-        truncate = false, snapTag = None, retryOnConflict = false,
+        truncate = false, snapTag = Some(s"q$qid8"),
+        retryOnConflict = false,
         staging = new Path(stagingDir, s"done-b$b"),
         expectedHeadGen = Some(observed.getOrElse(b, 0L)))
+    } catch {
+      case e: graft.kv.PotTable.CommitConflict if barrier =>
+        // conflict-failed statement: barrier down, prefix visible, loud
+        // re-run signal — see BucketedStmtLog.abort
+        BucketedStmtLog.abort(root, info.queryId(), Seq(stagingDir))
+        throw e
     }
-    fs.delete(stagingDir, true)
+    if (barrier)
+      BucketedStmtLog.complete(root, info.queryId(), Seq(stagingDir))
+    else fs.delete(stagingDir, true)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

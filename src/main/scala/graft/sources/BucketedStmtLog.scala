@@ -1,0 +1,250 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** STATEMENT-ATOMIC multi-bucket DML for the sharded pot store (r15) —
+  * the reader-visibility barrier the r14 verdict asked for.
+  *
+  * A bucketed INSERT/MERGE/DELETE commits each touched bucket's chain
+  * independently; without a barrier a reader planning between two bucket
+  * commits observes the statement PREFIX-APPLIED. The fix is the PotTxn
+  * write-ahead discipline scoped to one statement, composed from the same
+  * CommitMarker CAS primitive:
+  *
+  *   1. INTENT (`_stmts/open/<qid>`): CAS'd BEFORE any bucket commits.
+  *      Body = the statement's kind, its staged fragment paths per bucket
+  *      (the roll-forward source), and the BASE generation vector (each
+  *      touched bucket's head at statement start).
+  *   2. APPLY: per-bucket commits exactly as before — each tagged with
+  *      the statement's query id, so a replay ADOPTS buckets it already
+  *      committed (exactly-once per bucket).
+  *   3. DONE (`_stmts/done/<qid>`): CAS'd after every bucket landed; then
+  *      intent, staging and the done marker itself are cleaned up.
+  *
+  * READER contract: scan planning lists `_stmts/open/` (normally empty —
+  * one listing of an empty dir) and, for every statement still open, CAPS
+  * each of its buckets at the statement's BASE generation. A reader
+  * therefore sees the store as-of BEFORE an in-flight statement — never a
+  * committed prefix — and the statement becomes visible ATOMICALLY when
+  * its done marker flips. The conservative corner: an independent commit
+  * stacking on top of an open statement's bucket is ALSO hidden until the
+  * statement completes (chains are cumulative snapshots, so a mid-chain
+  * generation cannot be excluded); that is snapshot lag, not
+  * inconsistency.
+  *
+  * CRASH matrix: before 1 => invisible, staging is garbage; between 1 and
+  * 3 => readers keep the pre-statement view and [[recover]] rolls the
+  * statement FORWARD from its staged fragments (adoption makes replay
+  * exactly-once per bucket; a MERGE whose pinned base moved re-raises its
+  * CommitConflict loudly). Roll-forward-only — the same no-abort-after-
+  * commit-point shape as [[graft.kv.PotTxn]].
+  */
+private[graft] object BucketedStmtLog {
+  private def mapper = new ObjectMapper()
+
+  private def openDir(root: String) = new Path(root, "_stmts/open")
+  private def doneMarker(root: String, qid: String) =
+    new Path(root, s"_stmts/done/$qid")
+  private def openMarker(root: String, qid: String) =
+    new Path(openDir(root), qid)
+
+  private def fsOf(root: String): FileSystem =
+    new Path(root).getFileSystem(new Configuration())
+
+  /** Build an intent body. `frags` maps bucket -> (partitionId, fragment
+    * path); `base` is the touched buckets' head-generation vector at
+    * statement start; `buckets` the exact commit set (for truncate it
+    * includes existing-but-untouched buckets that rewrite to empty).
+    */
+  def intentBody(kind: String, qid: String, truncate: Boolean,
+      ceiling: Long, buckets: Seq[Int], base: Map[Int, Long],
+      frags: Map[Int, Seq[(Int, String)]],
+      filters: Option[Array[org.apache.spark.sql.sources.Filter]] = None)
+      : String = {
+    val m = mapper
+    val o = m.createObjectNode()
+    o.put("kind", kind)
+    o.put("qid", qid)
+    o.put("truncate", truncate)
+    o.put("ceiling", ceiling)
+    val ba = o.putObject("base")
+    base.foreach { case (b, g) => ba.put(b.toString, g) }
+    val bl = o.putArray("buckets")
+    buckets.foreach(bl.add)
+    val fo = o.putObject("frags")
+    frags.foreach { case (b, fs) =>
+      val arr = fo.putArray(b.toString)
+      fs.foreach { case (pid, f) =>
+        val e = arr.addObject(); e.put("p", pid); e.put("f", f)
+      }
+    }
+    filters.foreach { fl =>
+      val arr = o.putArray("filters")
+      fl.foreach(f => arr.add(filterToJson(m, f)))
+    }
+    m.writeValueAsString(o)
+  }
+
+  private def filterToJson(m: ObjectMapper,
+      f: org.apache.spark.sql.sources.Filter): ObjectNode = {
+    import org.apache.spark.sql.sources._
+    val o = m.createObjectNode()
+    f match {
+      case EqualTo(a, v: String) =>
+        o.put("t", "eq"); o.put("a", a); o.put("v", v)
+      case In(a, vs) =>
+        o.put("t", "in"); o.put("a", a)
+        val arr = o.putArray("vs"); vs.foreach(v => arr.add(v.toString))
+      case StringStartsWith(a, p) =>
+        o.put("t", "sw"); o.put("a", a); o.put("v", p)
+      case IsNotNull(a) =>
+        o.put("t", "nn"); o.put("a", a)
+      case other => throw new IllegalArgumentException(
+        s"bucketed statement log: unserializable delete filter $other " +
+          "(canDeleteWhere should have declined)")
+    }
+    o
+  }
+
+  private def filterFromJson(n: com.fasterxml.jackson.databind.JsonNode)
+      : org.apache.spark.sql.sources.Filter = {
+    import org.apache.spark.sql.sources._
+    n.get("t").asText() match {
+      case "eq" => EqualTo(n.get("a").asText(), n.get("v").asText())
+      case "in" => In(n.get("a").asText(),
+        n.get("vs").elements().asScala.map(_.asText(): Any).toArray)
+      case "sw" => StringStartsWith(n.get("a").asText(), n.get("v").asText())
+      case "nn" => IsNotNull(n.get("a").asText())
+    }
+  }
+
+  /** Publish the statement intent (the reader barrier goes up HERE). */
+  def begin(root: String, qid: String, body: String): Unit = {
+    val fs = fsOf(root)
+    fs.mkdirs(openDir(root))
+    graft.kv.CommitMarker.publish(fs, openMarker(root, qid), body)
+  }
+
+  /** Flip the statement visible and clean up. Racing completers (a slow
+    * live writer vs a recoverer) are safe: the done CAS arbitrates, both
+    * cleanups are idempotent deletes.
+    */
+  def complete(root: String, qid: String, stagingDirs: Seq[Path]): Unit = {
+    val fs = fsOf(root)
+    fs.mkdirs(doneMarker(root, qid).getParent)
+    try graft.kv.CommitMarker.publish(fs, doneMarker(root, qid), "done")
+    catch { case _: graft.kv.PotTable.CommitConflict => () }
+    stagingDirs.foreach(d => fs.delete(d, true))
+    fs.delete(openMarker(root, qid), false)
+    fs.delete(doneMarker(root, qid), false)
+  }
+
+  /** Drop a statement's barrier WITHOUT completing it — the
+    * CONFLICT-FAILED path: a MERGE whose pinned base moved mid-statement
+    * cannot roll forward (replaying would violate its conflict contract)
+    * and cannot roll back (chains are cumulative), so the barrier comes
+    * down, the committed prefix becomes visible (the pre-r15 documented
+    * reality for exactly this case) and the conflict is re-raised for the
+    * user to re-run — a fresh MERGE computed against live state
+    * converges. Crash failures do NOT take this path; they stay open for
+    * [[recover]]'s roll-forward.
+    */
+  def abort(root: String, qid: String, stagingDirs: Seq[Path]): Unit = {
+    val fs = fsOf(root)
+    stagingDirs.foreach(d => fs.delete(d, true))
+    fs.delete(openMarker(root, qid), false)
+  }
+
+  /** Open statements: (qid, intent body), oldest-first by marker name. */
+  def openStatements(root: String): Seq[(String, String)] = {
+    val fs = fsOf(root)
+    if (!fs.exists(openDir(root))) return Seq.empty
+    fs.listStatus(openDir(root)).toSeq.sortBy(_.getPath.getName)
+      .filter(_.getLen > 0) // zero-length = foreign crash husk, not open
+      .map(st => st.getPath.getName ->
+        graft.kv.CommitMarker.read(fs, st.getPath))
+  }
+
+  /** Reader caps: bucket -> lowest BASE generation over statements that
+    * are open and not done (the double-check closes the list-then-
+    * complete race to a benign pre-statement view).
+    */
+  def caps(root: String): Map[Int, Long] = {
+    val fs = fsOf(root)
+    val open = openStatements(root)
+    if (open.isEmpty) return Map.empty
+    val m = scala.collection.mutable.Map.empty[Int, Long]
+    open.foreach { case (qid, body) =>
+      val stillOpen = !fs.exists(doneMarker(root, qid)) &&
+        fs.exists(openMarker(root, qid))
+      if (stillOpen) {
+        val base = mapper.readTree(body).get("base")
+        base.properties().asScala.foreach { e =>
+          val b = e.getKey.toInt
+          val g = e.getValue.asLong()
+          m(b) = math.min(m.getOrElse(b, Long.MaxValue), g)
+        }
+      }
+    }
+    m.toMap
+  }
+
+  /** Roll every open statement forward from its staged fragments and flip
+    * it visible. Exactly-once per bucket via statement-tag adoption; a
+    * MERGE whose pinned base moved under a concurrent writer re-raises
+    * CommitConflict (re-run the statement). Returns completed qids.
+    */
+  def recover(root: String): Seq[String] = {
+    openStatements(root).map { case (qid, body) =>
+      val j = mapper.readTree(body)
+      val kind = j.get("kind").asText()
+      val truncate = j.get("truncate").asBoolean()
+      val ceiling = j.get("ceiling").asLong()
+      val qid8 = j.get("qid").asText().replace("-", "").take(8)
+      val buckets = j.get("buckets").elements().asScala
+        .map(_.asInt()).toSeq
+      def frags(b: Int): Array[org.apache.spark.sql.connector.write.WriterCommitMessage] =
+        Option(j.get("frags").get(b.toString)).toSeq
+          .flatMap(_.elements().asScala)
+          .map(e => PotFragmentMessage(e.get("p").asInt(),
+            e.get("f").asText())
+            : org.apache.spark.sql.connector.write.WriterCommitMessage)
+          .toArray
+      def base(b: Int): Long =
+        Option(j.get("base").get(b.toString)).map(_.asLong()).getOrElse(0L)
+      val stagingRoots = scala.collection.mutable.Set.empty[Path]
+      buckets.foreach { b =>
+        val pot = BucketedPotV2Source.bucketPot(root, b)
+        val w = new PotV2Write(pot, PotV2Source.Schema,
+          s"${j.get("qid").asText()}-b$b", truncate, ceiling)
+        val msgs = frags(b)
+        msgs.collect { case m: PotFragmentMessage => m }
+          .foreach(m => stagingRoots += new Path(m.fragment).getParent)
+        kind match {
+          case "insert" =>
+            w.commitEntries(msgs, truncate = truncate,
+              snapTag = Some(s"q$qid8"), retryOnConflict = true,
+              staging = new Path(root, s".recover-$qid-b$b"))
+          case "delta" =>
+            // adopt-or-apply at the ORIGINAL pinned base: a moved head is
+            // the MERGE conflict contract, raised loudly
+            w.commitEntries(msgs, truncate = false,
+              snapTag = Some(s"q$qid8"), retryOnConflict = false,
+              staging = new Path(root, s".recover-$qid-b$b"),
+              expectedHeadGen = Some(base(b)))
+          case "delete" =>
+            val filters = j.get("filters").elements().asScala
+              .map(filterFromJson).toArray
+            new PotV2Table(pot).deleteWhere(filters)
+        }
+      }
+      complete(root, qid, stagingRoots.toSeq)
+      qid
+    }
+  }
+}

@@ -495,9 +495,18 @@ private[graft] class PotV2ScanBuilder(
     rest
   }
   override def pushedFilters(): Array[Filter] = pushed
+
+  /** Bucketed-store hook (r15): per-pot-file read-generation CAPS,
+    * resolved AT PLANNING — the statement-atomicity barrier. A file
+    * capped below its head reads the capped generation's folded state; a
+    * cap of 0 means the pot did not exist pre-statement and plans no
+    * partition. None (the default) = no barrier, plain head reads.
+    */
+  protected def capResolver: Option[() => Map[String, Long]] = None
+
   override def build(): Scan =
     new PotV2Scan(path, required, pushed, aggGroupedByFile, generation,
-      pushedLimit, pushedTopN)
+      pushedLimit, pushedTopN, capResolver)
 }
 
 private[sources] object PotV2Filters {
@@ -535,7 +544,8 @@ private[graft] class PotV2Scan(
     aggGroupedByFile: Option[Boolean] = None,
     generation: Option[Long] = None,
     pushedLimit: Option[Int] = None,
-    pushedTopN: Option[(Boolean, Int)] = None)
+    pushedTopN: Option[(Boolean, Int)] = None,
+    capResolver: Option[() => Map[String, Long]] = None)
     extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics {
 
@@ -643,11 +653,16 @@ private[graft] class PotV2Scan(
         else PotStatePartition(p.getParent.toString, g, body))
     }
     val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+    // r15 statement barrier: the bucketed store's open-statement caps,
+    // resolved once per planning. A capped pot reads its BASE generation
+    // (pre-statement state) so a multi-bucket statement is never observed
+    // prefix-applied; cap 0 = the pot did not exist pre-statement.
+    val caps: Map[String, Long] = capResolver.map(_()).getOrElse(Map.empty)
     val parts = matched.filter(_.isFile)
       .map(_.getPath.toString)
       .filter(PotV2Filters.accepts(pushed, "pot_file", _))
       .filter(PotV2Filters.accepts(runtime, "pot_file", _))
-      .map { f =>
+      .flatMap { f =>
         // data.json materializes SNAPSHOTS only: when the chain head is a
         // delta generation (streaming epochs since the last compaction),
         // the partition folds the chain instead of reading the lagging
@@ -657,10 +672,16 @@ private[graft] class PotV2Scan(
         val commits = new Path(dir, ".commits")
         val head = (graft.kv.CommitMarker
           .committedGenerations(fs, commits) :+ 0L).max
-        val headIsDelta = head > 0 &&
-          PotChain.isDgen(PotChain.artifactOf(fs, commits, head))
-        if (headIsDelta) PotStatePartition(dir.toString, head, f)
-        else PotFilePartition(f): InputPartition
+        val eff = caps.get(f).fold(head)(c => math.min(head, c))
+        if (eff < head) {
+          if (eff <= 0L) None
+          else Some(PotStatePartition(dir.toString, eff, f): InputPartition)
+        } else {
+          val headIsDelta = head > 0 &&
+            PotChain.isDgen(PotChain.artifactOf(fs, commits, head))
+          Some(if (headIsDelta) PotStatePartition(dir.toString, head, f)
+          else PotFilePartition(f): InputPartition)
+        }
       }
       .toArray
     // Partial GLOBAL count with every file pruned away: Spark's final

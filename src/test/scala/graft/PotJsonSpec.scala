@@ -1457,6 +1457,83 @@ class PotJsonSpec extends AnyFunSuite {
     intercept[org.apache.spark.SparkException] { gpot.count() }
   }
 
+  test("BucketedPotV2 statement barrier (r15): a reader mid-statement sees NONE of it; done flips it whole") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("bpotv2stmt").toString
+    val fmt = classOf[graft.sources.BucketedPotV2Source].getName
+    def readKeys(): Set[String] = spark.read.format(fmt)
+      .option("path", root).option("buckets", "4").load()
+      .select($"key").as[String].collect().toSet
+    // seed through the SQL front door (its own statement, completed)
+    val seed = (1 to 20).map(i => ("", s"s$i", s"""{"v": $i}"""))
+    seed.toDF("pot_file", "key", "doc_json")
+      .write.format(fmt).option("path", root).option("buckets", "4")
+      .mode("append").save()
+    assert(readKeys() === (1 to 20).map(i => s"s$i").toSet)
+    // simulate a statement caught MID-FLIGHT: intent up (base = current
+    // heads), then exactly one bucket's chain commits (the prefix)
+    val base = graft.sources.BucketedPotV2Source.headVector(root, 4)
+    graft.sources.BucketedStmtLog.begin(root, "test-stmt-1",
+      graft.sources.BucketedStmtLog.intentBody(
+        "insert", "test-stmt-1", truncate = false,
+        Long.MaxValue, Seq(0, 1, 2, 3),
+        (0 to 3).map(b => b -> base.getOrElse(b, 0L)).toMap, Map.empty))
+    Seq(("", "prefix-row", """{"v": 999}"""))
+      .toDF("pot_file", "key", "doc_json")
+      .write.format(classOf[graft.sources.PotV2Source].getName)
+      .option("path", graft.sources.BucketedPotV2Source.bucketPot(root,
+        graft.sources.BucketedPotV2Source.bucketOf("prefix-row", 4)))
+      .mode("append").save()
+    // NONE: the committed prefix is invisible — readers hold the base
+    assert(readKeys() === (1 to 20).map(i => s"s$i").toSet,
+      "reader observed a prefix-applied statement")
+    // ALL: completing the statement flips it visible atomically
+    graft.sources.BucketedStmtLog.complete(root, "test-stmt-1", Seq.empty)
+    assert(readKeys().contains("prefix-row"))
+  }
+
+  test("BucketedPotV2 statement recovery (r15): a crashed multi-bucket INSERT rolls forward from its staged fragments") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("bpotv2rec").toString
+    val fmt = classOf[graft.sources.BucketedPotV2Source].getName
+    def readKeys(): Set[String] = spark.read.format(fmt)
+      .option("path", root).option("buckets", "4").load()
+      .select($"key").as[String].collect().toSet
+    Seq(("", "seed", """{"v": 0}""")).toDF("pot_file", "key", "doc_json")
+      .write.format(fmt).option("path", root).option("buckets", "4")
+      .mode("append").save()
+    // a statement that CRASHED right after its intent: fragments staged,
+    // zero buckets committed
+    val keys = Seq("ra", "rb", "rc", "rd")
+    val byBucket = keys.groupBy(
+      graft.sources.BucketedPotV2Source.bucketOf(_, 4))
+    val staging = java.nio.file.Paths.get(root, ".staging-crashq")
+    java.nio.file.Files.createDirectories(staging)
+    val frags = byBucket.map { case (b, ks) =>
+      val f = staging.resolve(s"part-b$b.jsonl")
+      java.nio.file.Files.writeString(f,
+        ks.map(k => s"""{"k":"$k","d":{"v":1}}""").mkString("", "\n", "\n"))
+      b -> Seq((0, f.toString))
+    }
+    val base = graft.sources.BucketedPotV2Source.headVector(root, 4)
+    graft.sources.BucketedStmtLog.begin(root, "crashq",
+      graft.sources.BucketedStmtLog.intentBody(
+        "insert", "crashq", truncate = false, Long.MaxValue,
+        byBucket.keys.toSeq.sorted,
+        byBucket.keys.map(b => b -> base.getOrElse(b, 0L)).toMap, frags))
+    // pre-recovery: invisible (none-or-all holds across the crash)
+    assert(readKeys() === Set("seed"))
+    // roll forward: every bucket commits, the statement flips visible,
+    // the barrier and staged fragments are gone
+    val done = graft.sources.BucketedPotV2Source.recoverStatements(root)
+    assert(done === Seq("crashq"))
+    assert(readKeys() === Set("seed") ++ keys)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "_stmts/open/crashq")))
+    // recovery is idempotent / no-op when nothing is open
+    assert(graft.sources.BucketedPotV2Source.recoverStatements(root).isEmpty)
+  }
+
   test("PotV2 glob changes with a per-pot vector equals the resumed multi-pot stream; out-of-range entries fail loudly") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("potv2vecb").toString
