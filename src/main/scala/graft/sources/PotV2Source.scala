@@ -1016,8 +1016,14 @@ private[sources] class PotV2WriteBuilder(
       .map(_.toInt).getOrElse(8)
     require(compactEvery >= 2,
       s"PotV2Source: compactEvery must be >= 2, got $compactEvery")
+    // compactBytesFactor (r15): ALSO snapshot when the dgen run's bytes
+    // exceed factor x covering-snapshot bytes — the LSM-style size
+    // trigger that bounds read-fold cost under SKEWED epoch sizes (a few
+    // fat epochs can outweigh the count threshold). <= 0 disables.
+    val compactBytesFactor = Option(info.options.get("compactBytesFactor"))
+      .map(_.toDouble).getOrElse(4.0)
     new PotV2Write(path, info.schema(), info.queryId(), truncateFirst,
-      ceiling, compactEvery)
+      ceiling, compactEvery, compactBytesFactor)
   }
 }
 
@@ -1028,7 +1034,8 @@ private[graft] class PotV2Write(
     path: String, schema: StructType, queryId: String,
     private[graft] val truncateFirst: Boolean,
     maxObjectBytes: Long = PotV2Source.DefaultMaxObjectBytes,
-    private[graft] val compactEvery: Int = 8)
+    private[graft] val compactEvery: Int = 8,
+    private[graft] val compactBytesFactor: Double = 4.0)
     extends Write with BatchWrite {
   import java.nio.charset.StandardCharsets.UTF_8
 
@@ -1296,11 +1303,13 @@ private[graft] class PotV2Write(
     * honest cost):
     *   - FIRST commit of a pot (no chain): snapshot path — it adopts any
     *     legacy data.json and gives the fold its base;
-    *   - every `compactEvery`-th epoch: snapshot path (COMPACTION) — the
-    *     fold is amortized O(pot/compactEvery) per epoch, data.json
-    *     re-materializes, and the PotTooLarge ceiling applies exactly
-    *     there (true snapshot materialization), never to the delta
-    *     epochs between;
+    *   - every `compactEvery`-th epoch, OR when the dgen run's bytes
+    *     reach `compactBytesFactor` x the covering snapshot's (r15 size
+    *     trigger — epoch-skew-proof): snapshot path (COMPACTION) — the
+    *     fold is amortized O(pot/compactEvery) per epoch and bounded at
+    *     (1 + factor) x snapshot bytes, data.json re-materializes, and
+    *     the PotTooLarge ceiling applies exactly there (true snapshot
+    *     materialization), never to the delta epochs between;
     *   - otherwise: delta generation.
     *
     * Exactly-once: the epoch tag rides in the dgen/snapshot file name, so
@@ -1321,18 +1330,42 @@ private[graft] class PotV2Write(
     def tagCommitted(t: String): Boolean =
       committedTagExists(fs, commits, t)
 
-    def dgenRunLength(gens: Seq[Long]): Int =
+    def artifactLen(body: String): Long =
+      try fs.getFileStatus(new Path(body)).getLen
+      catch { case _: java.io.FileNotFoundException => 0L }
+
+    // the head's unbroken dgen run (artifact bodies, newest first)
+    def dgenRun(gens: Seq[Long]): Seq[String] =
       gens.sorted.reverse.iterator
         .map(g => PotChain.artifactOf(fs, commits, g))
-        .takeWhile(PotChain.isDgen).size
+        .takeWhile(PotChain.isDgen).toSeq
+
+    // r15 SIZE trigger: compact when the dgen run's cumulative bytes
+    // exceed compactBytesFactor x the covering snapshot's bytes — the
+    // count threshold alone lets a few FAT epochs (reshard waves, bulk
+    // backfills) pile read-fold cost the count never sees; the bytes
+    // ratio bounds fold cost at (1 + factor) x snapshot regardless of
+    // epoch skew, the LSM compaction discipline.
+    def sizeTriggered(gens: Seq[Long], run: Seq[String]): Boolean =
+      compactBytesFactor > 0 && run.nonEmpty && {
+        gens.sorted.reverse.drop(run.size).headOption.exists { coveringGen =>
+          val snapBytes =
+            artifactLen(PotChain.artifactOf(fs, commits, coveringGen))
+          run.iterator.map(artifactLen).sum >=
+            math.max(1L, (compactBytesFactor * snapBytes).toLong)
+        }
+      }
 
     def attempt(): Boolean = {
       if (tagCommitted(snapTag)) return true // replayed epoch: adopt
       val gens = graft.kv.CommitMarker.committedGenerations(fs, commits)
-      // no chain yet, or the delta run reached the compaction threshold:
-      // this epoch is a SNAPSHOT commit (base / compaction) — the one
-      // place the whole-object fold and its ceiling legitimately run
-      if (gens.isEmpty || dgenRunLength(gens) >= compactEvery - 1) {
+      val run = dgenRun(gens)
+      // no chain yet, or the delta run reached the compaction threshold
+      // (count OR cumulative bytes): this epoch is a SNAPSHOT commit
+      // (base / compaction) — the one place the whole-object fold and
+      // its ceiling legitimately run
+      if (gens.isEmpty || run.size >= compactEvery - 1 ||
+          sizeTriggered(gens, run)) {
         commitEntries(messages, truncate = false, snapTag = Some(snapTag),
           retryOnConflict = true, staging = staging)
         return true

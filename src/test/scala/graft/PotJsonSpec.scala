@@ -620,6 +620,80 @@ class PotJsonSpec extends AnyFunSuite {
     assert(e.getMessage.contains("BucketedPotTable"))
   }
 
+  test("PotV2 size-based dgen compaction (r15): a FAT epoch triggers the snapshot path long before the count threshold") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.unsafe.types.UTF8String
+    val dir = java.nio.file.Files.createTempDirectory("potv2szc").toString
+    val pot = s"$dir/t/data.json"
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    val fs = new org.apache.hadoop.fs.Path(pot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val commits = new org.apache.hadoop.fs.Path(s"$dir/t/.commits")
+    def artifact(g: Long) = graft.kv.CommitMarker.read(fs,
+      new org.apache.hadoop.fs.Path(commits, g.toString))
+    // tiny base snapshot (gen 1)
+    Seq(("", "base", """{"v": 0}""")).toDF("pot_file", "key", "doc_json")
+      .write.format(fmt).option("path", pot).mode("overwrite").save()
+    // count threshold far away; size factor 4 (the default) active
+    val write = new graft.sources.PotV2Write(
+      pot, graft.sources.PotV2Source.Schema, "q-szc",
+      truncateFirst = false, compactEvery = 100)
+    val sw = write.toStreaming
+    def stage(epoch: Long, rows: Seq[(String, String)])
+        : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+      val w = new graft.sources.PotV2WriterFactory(
+        write.epochStagingDir(epoch).toString, 1, 2).createWriter(0, 0L)
+      rows.foreach { case (k, d) => w.write(InternalRow(
+        UTF8String.fromString(""), UTF8String.fromString(k),
+        UTF8String.fromString(d))) }
+      w.commit()
+    }
+    // epoch 1: FAT (bytes >> 4 x base snapshot) — still a delta (the run
+    // was empty when it committed; the trigger looks at the EXISTING run)
+    sw.commit(1L, Array(stage(1L, (1 to 500).map(i =>
+      f"fat$i%04d" -> s"""{"pad": "${"x" * 40}"}"""))))
+    assert(artifact(2L).contains(".dgen-"),
+      s"first epoch over an empty run must stay a delta: ${artifact(2L)}")
+    // epoch 2: the run's bytes now dwarf the covering snapshot — SIZE
+    // trigger compacts (count threshold is 99 epochs away)
+    sw.commit(2L, Array(stage(2L, Seq("tiny" -> """{"v": 1}"""))))
+    assert(artifact(3L).contains(".snap-"),
+      s"fat dgen run did not size-trigger compaction: ${artifact(3L)}")
+    // the compacted read is complete and data.json re-materialized
+    val back = spark.read.format(fmt).option("path", pot).load()
+    assert(back.count() === 502L)
+    assert(fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(pot)).getLen > 20000,
+      "compaction epoch did not re-materialize data.json")
+    // factor <= 0 disables: same shape stays on the delta path
+    val dir2 = java.nio.file.Files.createTempDirectory("potv2szc2").toString
+    val pot2 = s"$dir2/t/data.json"
+    Seq(("", "base", """{"v": 0}""")).toDF("pot_file", "key", "doc_json")
+      .write.format(fmt).option("path", pot2).mode("overwrite").save()
+    val write2 = new graft.sources.PotV2Write(
+      pot2, graft.sources.PotV2Source.Schema, "q-szc2",
+      truncateFirst = false, compactEvery = 100,
+      compactBytesFactor = 0.0)
+    val sw2 = write2.toStreaming
+    def stage2(epoch: Long, rows: Seq[(String, String)])
+        : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+      val w = new graft.sources.PotV2WriterFactory(
+        write2.epochStagingDir(epoch).toString, 1, 2).createWriter(0, 0L)
+      rows.foreach { case (k, d) => w.write(InternalRow(
+        UTF8String.fromString(""), UTF8String.fromString(k),
+        UTF8String.fromString(d))) }
+      w.commit()
+    }
+    sw2.commit(1L, Array(stage2(1L, (1 to 500).map(i =>
+      f"fat$i%04d" -> s"""{"pad": "${"x" * 40}"}"""))))
+    sw2.commit(2L, Array(stage2(2L, Seq("tiny" -> """{"v": 1}"""))))
+    val commits2 = new org.apache.hadoop.fs.Path(s"$dir2/t/.commits")
+    assert(graft.kv.CommitMarker.read(fs,
+      new org.apache.hadoop.fs.Path(commits2, "3")).contains(".dgen-"),
+      "disabled size trigger still compacted")
+  }
+
   test("PotV2Source streaming read rejects a generation pin loudly") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("potv2sg").toString
