@@ -1134,7 +1134,136 @@ object TextAnalysis {
       |FROM scored GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** t21: BPE TRAINING — apply the merges, not just count pairs (r15,
+    * the other half of t9). The canonical tokenizer-training kernel a
+    * data pipeline runs (Sennrich et al. 2016): N rounds of
+    * [distributed pair count → argmax merge rule → map-side re-tokenize],
+    * with the merge table as BOUNDED driver state (one 3-column row per
+    * round — the DistRank bounded-pre-pass discipline) and every
+    * re-tokenization a broadcast-free HOF fold inside codegen:
+    * `aggregate(syms, ...)` replaces each leftmost (l,r) adjacency with
+    * the merged symbol, greedy left-to-right (a freshly merged symbol
+    * never re-matches as `l` in the same pass, since l+r != l — so the
+    * fold IS the pass). Per-round state is localCheckpointed so round k
+    * does not re-execute rounds 1..k-1 (at 100 TB: checkpoint to
+    * storage; the loop shape is unchanged). Ties break on
+    * (count DESC, l || \\u0001 || r ASC) — mirrored in the oracle, which
+    * replays the SAME N rounds relationally: the greedy pass is
+    * expressed as match-run parity (position i applies iff matched and
+    * its consecutive-match run-prefix is even — provably the fold),
+    * with per-round MATERIALIZED CTEs so the 3-way reuse of each
+    * round's state is linear, not 3^N. Corpus slice doc_id % 4 = 3,
+    * words >= 2 chars, max word length 8 (range(1,16) bound, the t9
+    * trick).
+    */
+  private val BpeRounds = 6
+
+  private def bpeApplyMerge(syms: org.apache.spark.sql.Column,
+      a: String, b: String): org.apache.spark.sql.Column =
+    aggregate(syms, array().cast("array<string>"), (acc, s) =>
+      when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(a) && s === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(s))))
+
+  def bpeMerges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    var cur = Tables.documents(s, d)
+      .filter($"doc_id" % 4 === 3)
+      .select(explode(split(lower($"text"), " ")).as("w"))
+      .filter(length($"w") >= 2)
+      .select(expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+        .as("syms"))
+      .localCheckpoint(true)
+    val rows = (1 to BpeRounds).map { r =>
+      val top = cur.filter(size($"syms") >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(syms) - 1), i -> " +
+            "struct(element_at(syms, i) AS l, " +
+            "element_at(syms, i + 1) AS r))")).as("p"))
+        .groupBy($"p.l".as("l"), $"p.r".as("r"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, concat($"l", lit("\u0001"), $"r").asc)
+        .limit(1).collect()(0)
+      val (a, b, n) =
+        (top.getString(0), top.getString(1), top.getLong(2))
+      cur = cur.select(bpeApplyMerge($"syms", a, b).as("syms"))
+        .localCheckpoint(true)
+      val toks = cur.agg(sum(size($"syms"))).as[Long].head()
+      (r, a, b, n, toks)
+    }
+    rows.toDF("round", "lhs", "rhs", "pair_n", "toks_after")
+      .orderBy($"round")
+  }
+
+  /** Oracle: generated N-round unrolled replay (see [[bpeMerges]]). */
+  val bpeMergesSql: String = {
+    val sb = new StringBuilder
+    sb ++= "WITH words AS MATERIALIZED (\n" +
+      "  SELECT doc_id * 1000000 + wi AS wid, w\n" +
+      "  FROM (\n" +
+      "    SELECT doc_id,\n" +
+      "      unnest(string_split(lower(text), ' ')) AS w,\n" +
+      "      unnest(range(1, len(string_split(lower(text), ' ')) + 1))" +
+      " AS wi\n" +
+      "    FROM documents WHERE doc_id % 4 = 3)\n" +
+      "  WHERE length(w) >= 2),\n" +
+      "w0 AS MATERIALIZED (SELECT wid, string_split(w, '') AS syms" +
+      " FROM words)"
+    (1 to BpeRounds).foreach { r =>
+      val p = s"w${r - 1}"
+      sb ++= s""",
+pr$r AS (
+  SELECT list_extract(syms, CAST(i AS INTEGER)) AS l,
+    list_extract(syms, CAST(i AS INTEGER) + 1) AS r2, COUNT(*) AS n
+  FROM $p, (SELECT unnest(range(1, 16)) AS i) ix
+  WHERE i <= len(syms) - 1
+  GROUP BY 1, 2
+  ORDER BY n DESC, l || chr(1) || r2 ASC
+  LIMIT 1),
+mt$r AS (
+  SELECT w.wid, ix.i
+  FROM $p w CROSS JOIN pr$r pp, (SELECT unnest(range(1, 16)) AS i) ix
+  WHERE ix.i <= len(w.syms) - 1
+    AND list_extract(w.syms, CAST(ix.i AS INTEGER)) = pp.l
+    AND list_extract(w.syms, CAST(ix.i AS INTEGER) + 1) = pp.r2),
+ap$r AS (
+  SELECT wid, i, row_number() OVER (PARTITION BY wid, g ORDER BY i) AS rn
+  FROM (SELECT wid, i, i - row_number() OVER (PARTITION BY wid ORDER BY i) AS g
+        FROM mt$r)),
+w$r AS MATERIALIZED (
+  SELECT p.wid,
+    list(CASE WHEN a1.wid IS NOT NULL THEN pp.l || pp.r2 ELSE p.s END
+         ORDER BY p.i) AS syms
+  FROM (
+    SELECT w.wid, ix.i, list_extract(w.syms, CAST(ix.i AS INTEGER)) AS s
+    FROM $p w, (SELECT unnest(range(1, 17)) AS i) ix
+    WHERE ix.i <= len(w.syms)) p
+  CROSS JOIN pr$r pp
+  LEFT JOIN ap$r a1 ON a1.wid = p.wid AND a1.i = p.i AND a1.rn % 2 = 1
+  LEFT JOIN ap$r a0 ON a0.wid = p.wid AND a0.i = p.i - 1 AND a0.rn % 2 = 1
+  WHERE a0.wid IS NULL
+  GROUP BY p.wid)"""
+    }
+    val merges = (1 to BpeRounds)
+      .map(r => s"SELECT $r AS round, l, r2, n FROM pr$r")
+      .mkString(" UNION ALL ")
+    val toks = (1 to BpeRounds)
+      .map(r => s"SELECT $r AS round, SUM(len(syms)) AS tk FROM w$r")
+      .mkString(" UNION ALL ")
+    sb ++= s""",
+merges AS ($merges),
+toks AS ($toks)
+SELECT CAST(m.round AS INTEGER) AS round, m.l AS lhs, m.r2 AS rhs,
+  CAST(m.n AS BIGINT) AS pair_n, CAST(t.tk AS BIGINT) AS toks_after
+FROM merges m JOIN toks t ON t.round = m.round
+ORDER BY round"""
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t21_bpe_merges" -> (bpeMerges _),
     "t20_bigram_surprisal" -> (bigramSurprisal _),
     "t19_kl_drift"        -> (klDrift _),
     "t18_zipf_fit"        -> (zipfFit _),
@@ -1157,6 +1286,7 @@ object TextAnalysis {
     "t6_pii_scrub"    -> (piiScrub _))
 
   val oracle: Map[String, String] = Map(
+    "t21_bpe_merges" -> bpeMergesSql,
     "t20_bigram_surprisal" -> bigramSurprisalSql,
     "t19_kl_drift"        -> klDriftSql,
     "t18_zipf_fit"        -> zipfFitSql,
