@@ -1598,7 +1598,140 @@ object Similarity {
        |FROM f LEFT JOIN p USING (vec_id)
        |ORDER BY rank""".stripMargin
 
+  /** s32: kNN join with RING-EXPANSION fallback for starved probes (r15
+    * — the s30/s28 empty-cohort recall knob). s30's honest hole: a probe
+    * whose LSH bucket holds fewer than k corpus vectors emits a short
+    * (or empty) neighbor list. Here the s14 escalation composes in at
+    * BATCH scale: probes satisfied at radius 0 keep their exact-sig
+    * cohort; STARVED probes (cohort < k) explode into their 8
+    * hamming-1 ring signatures and equi-join those buckets too — still
+    * bucket-local (never probes x corpus; the quadratic term stays
+    * bounded by bucket occupancy x 9), with `probe_radius` provenance
+    * per probe (the s14 discipline: callers see what the lookup cost).
+    * Each row also carries the s6-style PRICE TAG: `exact_hits3` = how
+    * many of the probe's fallback top-3 appear in its exact brute-force
+    * top-3 (the measurement half — the exact baseline is a
+    * broadcast-probe pass, priced for audit runs, sampled in
+    * production). Probes still starved at radius 1 emit what they have —
+    * the hole narrows, it never silently fills. Mods 101/7, k=3 and the
+    * radius-1 bound mirrored literally in the oracle.
+    */
+  def knnJoinFallback(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val e = Tables.embeddings(s, d)
+      .select($"vec_id", $"label", $"embedding",
+        sigCol($"embedding").as("sig"))
+    val probes = e.filter($"vec_id" % 101 === 7)
+    val corpus = e.filter($"vec_id" % 101 =!= 7)
+    def pairs(q: DataFrame): DataFrame =
+      q.as("q").join(corpus.as("c"), $"q.sig" === $"c.sig")
+        .select($"q.vec_id".as("probe_id"), $"c.vec_id".as("nbr"),
+          $"c.label".as("nbr_label"),
+          graft.functions.VectorFunctions
+            .dot($"q.embedding", $"c.embedding").as("dot"))
+    val nb0 = pairs(probes)
+    val cnt0 = nb0.groupBy($"probe_id").agg(count(lit(1)).as("n0"))
+    // starved = cohort smaller than k (absent cohort included)
+    val starved = probes
+      .join(cnt0, probes("vec_id") === cnt0("probe_id"), "left")
+      .filter(coalesce($"n0", lit(0L)) < 3)
+      .select(probes("vec_id"), $"embedding", $"sig")
+    // hamming-1 ring: 8 one-bit flips of the probe signature, exploded
+    // back into sig-equality buckets (the join stays an equi-join)
+    val ring1 = starved.select($"vec_id", $"embedding",
+      explode(expr(
+        "transform(sequence(1, 8), i -> concat(substring(sig, 1, i - 1), " +
+          "CASE WHEN substring(sig, i, 1) = '0' THEN '1' ELSE '0' END, " +
+          "substring(sig, i + 1, 8)))")).as("sig"))
+    val cand = nb0.unionByName(pairs(ring1))
+    val radius = starved.select($"vec_id".as("probe_id"))
+      .withColumn("probe_radius", lit(1))
+    val w = Window.partitionBy($"probe_id")
+      .orderBy($"dot".desc, $"nbr".asc)
+    val top3 = cand.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+    // price tag: exact brute-force top-3 per probe (broadcast-probe
+    // measurement pass), intersected by neighbor id
+    val exact = corpus.as("c")
+      .crossJoin(broadcast(probes.select($"vec_id".as("pid"),
+        $"embedding".as("pv"))))
+      .select($"pid", $"c.vec_id".as("enbr"),
+        graft.functions.VectorFunctions
+          .dot($"pv", $"c.embedding").as("edot"))
+      .withColumn("erk", row_number().over(
+        Window.partitionBy($"pid").orderBy($"edot".desc, $"enbr".asc)))
+      .filter($"erk" <= 3)
+    val hits = top3.join(exact,
+        $"probe_id" === $"pid" && $"nbr" === $"enbr", "left_semi")
+      .groupBy($"probe_id".as("hpid"))
+      .agg(count(lit(1)).as("exact_hits3"))
+    top3
+      .join(broadcast(radius), Seq("probe_id"), "left")
+      .join(broadcast(hits), $"probe_id" === $"hpid", "left")
+      .select($"probe_id", $"rk", $"nbr", $"nbr_label", $"dot",
+        coalesce($"probe_radius", lit(0)).as("probe_radius"),
+        coalesce($"exact_hits3", lit(0L)).as("exact_hits3"))
+      .orderBy($"probe_id", $"rk")
+  }
+
+  val knnJoinFallbackSql: String =
+    s"""WITH sigs AS (
+       |  SELECT vec_id, label, ${sigSql("embedding")} AS sig, embedding
+       |  FROM embeddings),
+       |pr AS (SELECT * FROM sigs WHERE vec_id % 101 = 7),
+       |cp AS (SELECT * FROM sigs WHERE vec_id % 101 <> 7),
+       |allp AS (
+       |  SELECT q.vec_id AS probe_id, c.vec_id AS nbr,
+       |    c.label AS nbr_label,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(range(1, len(q.embedding) + 1),
+       |        i -> CAST(q.embedding[i] AS DOUBLE) *
+       |             CAST(c.embedding[i] AS DOUBLE))),
+       |      (acc, x) -> acc + x) AS dot,
+       |    hamming(q.sig, c.sig) AS hd
+       |  FROM pr q JOIN cp c ON hamming(q.sig, c.sig) <= 1),
+       |cnt0 AS (
+       |  SELECT p.vec_id AS probe_id,
+       |    (SELECT COUNT(*) FROM allp a
+       |     WHERE a.probe_id = p.vec_id AND a.hd = 0) AS n0
+       |  FROM pr p),
+       |cand AS (
+       |  SELECT a.probe_id, a.nbr, a.nbr_label, a.dot
+       |  FROM allp a JOIN cnt0 n ON n.probe_id = a.probe_id
+       |  WHERE a.hd = 0 OR n.n0 < 3),
+       |rk AS (
+       |  SELECT probe_id, nbr, nbr_label, dot,
+       |    ROW_NUMBER() OVER (PARTITION BY probe_id
+       |      ORDER BY dot DESC, nbr ASC) AS rk
+       |  FROM cand),
+       |top3 AS (SELECT * FROM rk WHERE rk <= 3),
+       |ex AS (
+       |  SELECT q.vec_id AS probe_id, c.vec_id AS nbr,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+       |      list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        list_transform(range(1, len(q.embedding) + 1),
+       |          i -> CAST(q.embedding[i] AS DOUBLE) *
+       |               CAST(c.embedding[i] AS DOUBLE))),
+       |        (acc, x) -> acc + x) DESC, c.vec_id ASC) AS erk
+       |  FROM pr q CROSS JOIN cp c),
+       |hits AS (
+       |  SELECT t.probe_id, CAST(COUNT(*) AS BIGINT) AS exact_hits3
+       |  FROM top3 t JOIN ex e
+       |    ON e.probe_id = t.probe_id AND e.nbr = t.nbr AND e.erk <= 3
+       |  GROUP BY t.probe_id)
+       |SELECT t.probe_id, CAST(t.rk AS INTEGER) AS rk, t.nbr,
+       |  t.nbr_label, t.dot,
+       |  CAST(CASE WHEN n.n0 < 3 THEN 1 ELSE 0 END AS INTEGER)
+       |    AS probe_radius,
+       |  COALESCE(h.exact_hits3, 0) AS exact_hits3
+       |FROM top3 t
+       |JOIN cnt0 n ON n.probe_id = t.probe_id
+       |LEFT JOIN hits h ON h.probe_id = t.probe_id
+       |ORDER BY t.probe_id, rk""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s32_knn_join_fallback" -> (knnJoinFallback _),
     "s31_matryoshka_recall" -> (matryoshkaRecall _),
     "s30_knn_join" -> (knnJoin _),
     "s29_recluster_probe" -> (reclusterProbe _),
@@ -1627,6 +1760,7 @@ object Similarity {
     "s17_ann_deletes"    -> (annWithDeletes _))
 
   val oracle: Map[String, String] = Map(
+    "s32_knn_join_fallback" -> knnJoinFallbackSql,
     "s31_matryoshka_recall" -> matryoshkaRecallSql,
     "s30_knn_join" -> knnJoinSql,
     "s29_recluster_probe" -> reclusterProbeSql,

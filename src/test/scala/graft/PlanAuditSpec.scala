@@ -37,6 +37,19 @@ class PlanAuditSpec extends AnyFunSuite {
       .deleteRecursively()
   }
 
+  test("s32 kNN fallback join: cohort-local equi-joins; the one NLJ is the broadcast-probe price tag (r15)") {
+    val p = plan("s32_knn_join_fallback")
+    assert(!p.contains("CartesianProduct"), s"all-pairs shape in s32:\n$p")
+    // candidate generation (radius 0 AND the ring-1 escalation) is
+    // sig-equality — bucket-local, never probes x corpus
+    assert(p.contains("BroadcastHashJoin [sig") ||
+      p.contains("[sig#"), s"sig equi-join missing:\n$p")
+    // exactly one nested-loop: the exact-baseline measurement with the
+    // probe batch broadcast (the priced audit half, not the lookup path)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size === 1,
+      s"expected exactly the one broadcast-probe measurement NLJ:\n$p")
+  }
+
   test("q2 filter/project pushes predicates into the parquet scan") {
     val p = plan("q2_filter_project")
     assert(p.contains("PushedFilters: [IsNotNull"), p)
