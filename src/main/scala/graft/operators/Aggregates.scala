@@ -1109,7 +1109,57 @@ object Aggregates {
        |ORDER BY layout""".stripMargin
   }
 
+  /** q84: Z-ORDER LAYOUT as a physical operation (r15) — q83 measured
+    * the arithmetic; this WRITES the layout and proves the skipping on
+    * disk. Lineitem (projected to the two q83 lookup dimensions) is
+    * clustered via [[ZOrderLayout.cluster]] into 32 `zb=` parquet
+    * partitions; the secondary-dimension read (`b BETWEEN 64 AND 127`)
+    * goes through [[ZOrderLayout.readBRange]], whose driver-derived
+    * bucket set is a literal partition filter — the scan OPENS 8 of the
+    * 32 buckets (q83's predicted fraction; PlanAuditSpec asserts the
+    * file-count drop and the PartitionFilters entry). Oracle: the same
+    * aggregate straight off lineitem — the layout must change WHAT IS
+    * READ, never the answer.
+    */
+  private[graft] def zorderLayoutBuild(
+      s: SparkSession, d: String): (DataFrame, String) = {
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-zorder").toString
+    val dir = s"$root/zl"
+    val base = Tables.lineitem(s, d)
+      .select($"l_returnflag", $"l_orderkey",
+        pmod($"l_suppkey", lit(256)).cast("long").as("a"),
+        pmod($"l_partkey", lit(256)).cast("long").as("b"))
+    ZOrderLayout.cluster(base, $"a", $"b", dir)
+    val pruned = ZOrderLayout.readBRange(s, dir, 64, 127)
+      .filter($"b".between(64, 127))
+    (pruned, root)
+  }
+
+  def zorderLayoutScan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (pruned, root) = zorderLayoutBuild(s, d)
+    val out = pruned.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        sum($"l_orderkey").as("sum_okey"))
+      .orderBy($"l_returnflag")
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(root))
+      .deleteRecursively()
+    out
+  }
+
+  val zorderLayoutScanSql: String =
+    """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(l_orderkey) AS BIGINT) AS sum_okey
+      |FROM lineitem
+      |WHERE l_partkey % 256 BETWEEN 64 AND 127
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q84_zorder_layout" -> (zorderLayoutScan _),
     "q83_zorder_pruning" -> (zorderPruning _),
     "q81_group_mode" -> (groupMode _),
     "q79_robust_stats" -> (robustStats _),
@@ -1131,6 +1181,7 @@ object Aggregates {
     "q52_hll_merge"         -> (hllMerge _))
 
   val oracle: Map[String, String] = Map(
+    "q84_zorder_layout" -> zorderLayoutScanSql,
     "q83_zorder_pruning" -> zorderPruningSql,
     "q81_group_mode" -> groupModeSql,
     "q79_robust_stats" -> robustStatsSql,

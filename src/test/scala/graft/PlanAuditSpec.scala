@@ -50,6 +50,38 @@ class PlanAuditSpec extends AnyFunSuite {
       s"expected exactly the one broadcast-probe measurement NLJ:\n$p")
   }
 
+  test("q84 z-order layout: the secondary-dimension read opens 8 of 32 buckets via partition pruning (r15)") {
+    val (pruned, root) =
+      graft.operators.Aggregates.zorderLayoutBuild(spark, sf)
+    try {
+      // the derived bucket set is a literal PARTITION filter, resolved
+      // at file listing — q83's predicted fraction made physical
+      val plan0 = pruned.queryExecution.executedPlan
+      val p = plan0.toString
+      assert(p.contains("PartitionFilters") && p.contains("zb#"),
+        s"zb partition filter missing:\n$p")
+      // structural arithmetic: b in [64,127] pins b7=0, b6=1; a7/a6/b5
+      // free -> exactly 8 of the 32 bucket boxes overlap
+      assert(graft.operators.ZOrderLayout.bucketsForBRange(64, 127)
+        .size === 8)
+      // ground truth: the scan's numFiles metric (post-pruning) vs the
+      // part-files on disk (.inputFiles would report the pre-pruning
+      // listing — useless as evidence)
+      pruned.collect()
+      val scan = plan0.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(fail(s"no file scan in plan:\n$p"))
+      val opened = scan.metrics("numFiles").value
+      import scala.jdk.CollectionConverters._
+      val full = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$root/zl")).iterator().asScala
+        .count(f => f.getFileName.toString.startsWith("part-"))
+      assert(opened * 2 <= full,
+        s"z-order pruning opened $opened of $full files")
+    } finally new scala.reflect.io.Directory(new java.io.File(root))
+      .deleteRecursively()
+  }
+
   test("q2 filter/project pushes predicates into the parquet scan") {
     val p = plan("q2_filter_project")
     assert(p.contains("PushedFilters: [IsNotNull"), p)
