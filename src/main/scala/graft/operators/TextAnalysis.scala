@@ -1166,7 +1166,12 @@ object TextAnalysis {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
         .otherwise(concat(acc, array(s))))
 
-  def bpeMerges(s: SparkSession, d: String): DataFrame = {
+  /** Shared trainer (t21/t22): the six merge rules learned on the
+    * slice, with each round's selection count and post-apply token
+    * count. Bounded driver state — one 5-tuple per round.
+    */
+  private def bpeTrain(s: SparkSession, d: String)
+      : Seq[(Int, String, String, Long, Long)] = {
     import s.implicits._
     var cur = Tables.documents(s, d)
       .filter($"doc_id" % 4 === 3)
@@ -1176,7 +1181,7 @@ object TextAnalysis {
         "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
         .as("syms"))
       .localCheckpoint(true)
-    val rows = (1 to BpeRounds).map { r =>
+    (1 to BpeRounds).map { r =>
       val top = cur.filter(size($"syms") >= 2)
         .select(explode(expr(
           "transform(sequence(1, size(syms) - 1), i -> " +
@@ -1193,7 +1198,11 @@ object TextAnalysis {
       val toks = cur.agg(sum(size($"syms"))).as[Long].head()
       (r, a, b, n, toks)
     }
-    rows.toDF("round", "lhs", "rhs", "pair_n", "toks_after")
+  }
+
+  def bpeMerges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    bpeTrain(s, d).toDF("round", "lhs", "rhs", "pair_n", "toks_after")
       .orderBy($"round")
   }
 
@@ -1262,7 +1271,114 @@ ORDER BY round"""
     sb.toString
   }
 
+  /** t22: BPE ENCODE — the inference half of the tokenizer story (r15):
+    * the [[bpeTrain]] rules (slice-learned, t21's exact derivation)
+    * applied to the FULL corpus in RANK order, reported per source as
+    * the compression a training pipeline provisions by (words, chars
+    * in, tokens out). Spark shape: the six rules compose as six chained
+    * [[bpeApplyMerge]] HOF folds over one corpus pass — a broadcast-free
+    * map-side encode inside codegen, the way a 100 TB corpus is
+    * actually tokenized (rules driver-bounded, data never collected).
+    * Oracle: the t21 generator twice over — train CTEs on the slice,
+    * then the same parity-replay applied fold-by-fold to the full
+    * corpus; validated against an independent python reference at both
+    * SFs before porting.
+    */
+  def bpeEncode(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rules = bpeTrain(s, d).map(t => (t._2, t._3))
+    val words = Tables.documents(s, d)
+      .select($"source", explode(split(lower($"text"), " ")).as("w"))
+      .filter(length($"w") >= 2)
+      .select($"source", length($"w").cast("long").as("chars"),
+        expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+          .as("syms"))
+    val enc = rules.foldLeft(words) { case (df, (a, b)) =>
+      df.withColumn("syms", bpeApplyMerge($"syms", a, b))
+    }
+    enc.groupBy($"source")
+      .agg(count(lit(1)).as("n_words"),
+        sum($"chars").as("chars"),
+        sum(size($"syms").cast("long")).as("tokens"))
+      .orderBy($"source")
+  }
+
+  /** Oracle: train on the slice (s0..s5 + pr1..pr6), encode the full
+    * corpus (f0..f6) — generated like [[bpeMergesSql]].
+    */
+  val bpeEncodeSql: String = {
+    def applyCtes(prev: String, nxt: String, pr: String): String =
+      s""",
+mt_$nxt AS (
+  SELECT w.wid, ix.i
+  FROM $prev w CROSS JOIN $pr pp, (SELECT unnest(range(1, 16)) AS i) ix
+  WHERE ix.i <= len(w.syms) - 1
+    AND list_extract(w.syms, CAST(ix.i AS INTEGER)) = pp.l
+    AND list_extract(w.syms, CAST(ix.i AS INTEGER) + 1) = pp.r2),
+ap_$nxt AS (
+  SELECT wid, i, row_number() OVER (PARTITION BY wid, g ORDER BY i) AS rn
+  FROM (SELECT wid, i, i - row_number() OVER (PARTITION BY wid ORDER BY i) AS g
+        FROM mt_$nxt)),
+$nxt AS MATERIALIZED (
+  SELECT p.wid, ANY_VALUE(p.src) AS src,
+    list(CASE WHEN a1.wid IS NOT NULL THEN pp.l || pp.r2 ELSE p.s END
+         ORDER BY p.i) AS syms
+  FROM (
+    SELECT w.wid, w.src, ix.i,
+      list_extract(w.syms, CAST(ix.i AS INTEGER)) AS s
+    FROM $prev w, (SELECT unnest(range(1, 17)) AS i) ix
+    WHERE ix.i <= len(w.syms)) p
+  CROSS JOIN $pr pp
+  LEFT JOIN ap_$nxt a1 ON a1.wid = p.wid AND a1.i = p.i AND a1.rn % 2 = 1
+  LEFT JOIN ap_$nxt a0 ON a0.wid = p.wid AND a0.i = p.i - 1 AND a0.rn % 2 = 1
+  WHERE a0.wid IS NULL
+  GROUP BY p.wid)"""
+    def prCte(r: Int, prev: String): String =
+      s""",
+pr$r AS (
+  SELECT list_extract(syms, CAST(i AS INTEGER)) AS l,
+    list_extract(syms, CAST(i AS INTEGER) + 1) AS r2, COUNT(*) AS n
+  FROM $prev, (SELECT unnest(range(1, 16)) AS i) ix
+  WHERE i <= len(syms) - 1
+  GROUP BY 1, 2
+  ORDER BY n DESC, l || chr(1) || r2 ASC
+  LIMIT 1)"""
+    val sb = new StringBuilder
+    sb ++= "WITH wordsall AS MATERIALIZED (\n" +
+      "  SELECT doc_id * 1000000 + wi AS wid, source AS src, w,\n" +
+      "    (doc_id % 4 = 3) AS insl\n" +
+      "  FROM (\n" +
+      "    SELECT doc_id, source,\n" +
+      "      unnest(string_split(lower(text), ' ')) AS w,\n" +
+      "      unnest(range(1, len(string_split(lower(text), ' ')) + 1))" +
+      " AS wi\n" +
+      "    FROM documents)\n" +
+      "  WHERE length(w) >= 2),\n" +
+      "s0 AS MATERIALIZED (SELECT wid, src, string_split(w, '') AS syms" +
+      " FROM wordsall WHERE insl),\n" +
+      "f0 AS MATERIALIZED (SELECT wid, src, string_split(w, '') AS syms" +
+      " FROM wordsall)"
+    (1 to BpeRounds).foreach { r =>
+      sb ++= prCte(r, s"s${r - 1}")
+      if (r < BpeRounds) sb ++= applyCtes(s"s${r - 1}", s"s$r", s"pr$r")
+    }
+    (1 to BpeRounds).foreach { r =>
+      sb ++= applyCtes(s"f${r - 1}", s"f$r", s"pr$r")
+    }
+    sb ++= s"""
+SELECT w.src AS source,
+  CAST(COUNT(*) AS BIGINT) AS n_words,
+  CAST(SUM(len(w0.syms)) AS BIGINT) AS chars,
+  CAST(SUM(len(w.syms)) AS BIGINT) AS tokens
+FROM f$BpeRounds w JOIN f0 w0 ON w0.wid = w.wid
+GROUP BY w.src
+ORDER BY source"""
+    sb.toString
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t22_bpe_encode" -> (bpeEncode _),
     "t21_bpe_merges" -> (bpeMerges _),
     "t20_bigram_surprisal" -> (bigramSurprisal _),
     "t19_kl_drift"        -> (klDrift _),
@@ -1286,6 +1402,7 @@ ORDER BY round"""
     "t6_pii_scrub"    -> (piiScrub _))
 
   val oracle: Map[String, String] = Map(
+    "t22_bpe_encode" -> bpeEncodeSql,
     "t21_bpe_merges" -> bpeMergesSql,
     "t20_bigram_surprisal" -> bigramSurprisalSql,
     "t19_kl_drift"        -> klDriftSql,
