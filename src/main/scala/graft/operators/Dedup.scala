@@ -1740,7 +1740,94 @@ object Dedup {
        |FROM base b LEFT JOIN agg a USING (doc_id)
        |ORDER BY b.doc_id""".stripMargin
 
+  /** d25: cross-document EXACT-SUBSTRING duplication (r15) — the
+    * ExactSubstr half of Lee et al. 2022 ("Deduplicating Training Data
+    * Makes Language Models Better"), seed-and-extend instead of suffix
+    * arrays (which don't distribute): every SLIDING [[SpanW]]-token
+    * window is a seed (vs d24's non-overlapping chunks — sliding finds
+    * the unaligned overlaps chunking misses), a seed shared by ≥2
+    * DISTINCT docs marks its token positions duplicated, and per doc the
+    * covered positions merge into maximal spans via gaps-and-islands
+    * (the span-merge step, doc-partitioned window — bounded by one doc's
+    * length). Emitted per doc: total/duplicated token counts + maximal
+    * span count (real signal: 47/500 docs carry cross-doc spans at
+    * sf0.01, 477/5000 at sf0.1). Shapes: one narrow window explode →
+    * one wkey-keyed count shuffle (HAVING ≥2 distinct docs) → seed
+    * fetch join → position explode + distinct → per-doc islands. Scale
+    * path: key the shuffle on xxhash64(wkey) (d3's domain discipline) so
+    * the exchange carries 8 bytes, not the 8-token string; W and the
+    * 200-position bound mirrored literally (fixture max doc = 100
+    * tokens).
+    */
+  private val SpanW = 8
+
+  def exactSubstr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select($"doc_id", split(lower($"text"), " ").as("t"))
+      .withColumn("n", size($"t"))
+    val wins = toks.filter($"n" >= SpanW)
+      .select($"doc_id", explode(expr(
+        s"transform(sequence(1, n - ${SpanW - 1}), i -> " +
+          s"struct(i AS i, array_join(slice(t, i, $SpanW), chr(1)) " +
+          "AS wkey))")).as("w"))
+      .select($"doc_id", $"w.i".as("i"), $"w.wkey".as("wkey"))
+    val shared = wins.groupBy($"wkey")
+      .agg(countDistinct($"doc_id").as("nd"))
+      .filter($"nd" >= 2).select($"wkey")
+    val cov = wins.join(shared, Seq("wkey"))
+      .select($"doc_id",
+        explode(expr(s"sequence(i, i + ${SpanW - 1})")).as("p"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"p")
+    val agg = cov.withColumn("g", $"p" - row_number().over(w))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("dup_tokens"),
+        countDistinct($"g").as("n_spans"))
+    toks.select($"doc_id", $"n".cast("long").as("total_tokens"))
+      .join(agg, Seq("doc_id"), "left")
+      .select($"doc_id", $"total_tokens",
+        coalesce($"dup_tokens", lit(0L)).as("dup_tokens"),
+        coalesce($"n_spans", lit(0L)).as("n_spans"))
+      .orderBy($"doc_id")
+  }
+
+  val exactSubstrSql: String =
+    s"""WITH toks AS MATERIALIZED (
+       |  SELECT doc_id, string_split(lower(text), ' ') AS t,
+       |    len(string_split(lower(text), ' ')) AS n
+       |  FROM documents),
+       |wins AS MATERIALIZED (
+       |  SELECT doc_id, i,
+       |    array_to_string(
+       |      t[CAST(i AS INTEGER):CAST(i + $SpanW - 1 AS INTEGER)],
+       |      chr(1)) AS wkey
+       |  FROM toks, (SELECT unnest(range(1, 200)) AS i) ix
+       |  WHERE n >= $SpanW AND i <= n - $SpanW + 1),
+       |shared AS (
+       |  SELECT wkey FROM wins
+       |  GROUP BY wkey HAVING COUNT(DISTINCT doc_id) >= 2),
+       |cov AS (
+       |  SELECT DISTINCT w.doc_id, w.i + o.o AS p
+       |  FROM wins w JOIN shared s ON s.wkey = w.wkey,
+       |    (SELECT unnest(range(0, $SpanW)) AS o) o),
+       |isl AS (
+       |  SELECT doc_id, p,
+       |    p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS g
+       |  FROM cov),
+       |agg AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_tokens,
+       |    CAST(COUNT(DISTINCT g) AS BIGINT) AS n_spans
+       |  FROM isl GROUP BY doc_id)
+       |SELECT t.doc_id, CAST(t.n AS BIGINT) AS total_tokens,
+       |  COALESCE(a.dup_tokens, 0) AS dup_tokens,
+       |  COALESCE(a.n_spans, 0) AS n_spans
+       |FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d25_exact_substr" -> (exactSubstr _),
     "d24_line_dedup" -> (lineDedup _),
     "d23_phash_near_dup" -> (phashNearDup _),
     "d22_release_manifest" -> (releaseManifest _),
@@ -1767,6 +1854,7 @@ object Dedup {
     "d9_semantic_dedup"    -> (semanticDedup _))
 
   val oracle: Map[String, String] = Map(
+    "d25_exact_substr" -> exactSubstrSql,
     "d24_line_dedup" -> lineDedupSql,
     "d23_phash_near_dup" -> phashNearDupSql,
     "d22_release_manifest" -> releaseManifestSql,

@@ -327,6 +327,23 @@ private[graft] class BucketedPotWrite(
         (perBucket.keySet ++
           BucketedPotV2Source.existingBuckets(root, nBuckets)).toSeq.sorted
       else perBucket.keySet.toSeq.sorted
+    // r15 statement barrier at EPOCH granularity: a multi-bucket epoch
+    // is none-or-all to readers exactly like a batch statement. A
+    // checkpoint-replayed epoch adopts its own existing intent (the
+    // original base vector is the correct cap) and its bucket commits
+    // adopt by (query, epoch) tag — exactly-once per bucket unchanged.
+    val barrier = buckets.length > 1
+    val stmtId = s"$queryId-e$epochId"
+    if (barrier) {
+      val base = BucketedPotV2Source.headVector(root, nBuckets)
+        .view.filterKeys(buckets.contains).toMap
+      BucketedStmtLog.begin(root, stmtId, BucketedStmtLog.intentBody(
+        "epoch", queryId, truncateFirst, maxObjectBytes, buckets,
+        buckets.map(b => b -> base.getOrElse(b, 0L)).toMap,
+        perBucket.view.mapValues(_.toSeq.map(m =>
+          (m.partitionId, m.fragment))).toMap,
+        epoch = Some(epochId)), adoptExisting = true)
+    }
     buckets.foreach { b =>
       val pot = BucketedPotV2Source.bucketPot(root, b)
       val w = new PotV2Write(pot, PotV2Source.Schema, s"$queryId-b$b",
@@ -340,7 +357,10 @@ private[graft] class BucketedPotWrite(
       else
         w.commitDeltaEpoch(msgs, tag, staging = staging)
     }
-    fs.delete(new Path(stagingBase + s"-e$epochId"), true)
+    if (barrier)
+      BucketedStmtLog.complete(root, stmtId,
+        Seq(new Path(stagingBase + s"-e$epochId")))
+    else fs.delete(new Path(stagingBase + s"-e$epochId"), true)
   }
 
   override def createBatchWriterFactory(

@@ -64,14 +64,15 @@ private[graft] object BucketedStmtLog {
   def intentBody(kind: String, qid: String, truncate: Boolean,
       ceiling: Long, buckets: Seq[Int], base: Map[Int, Long],
       frags: Map[Int, Seq[(Int, String)]],
-      filters: Option[Array[org.apache.spark.sql.sources.Filter]] = None)
-      : String = {
+      filters: Option[Array[org.apache.spark.sql.sources.Filter]] = None,
+      epoch: Option[Long] = None): String = {
     val m = mapper
     val o = m.createObjectNode()
     o.put("kind", kind)
     o.put("qid", qid)
     o.put("truncate", truncate)
     o.put("ceiling", ceiling)
+    epoch.foreach(e => o.put("epoch", e))
     val ba = o.putObject("base")
     base.foreach { case (b, g) => ba.put(b.toString, g) }
     val bl = o.putArray("buckets")
@@ -123,11 +124,20 @@ private[graft] object BucketedStmtLog {
     }
   }
 
-  /** Publish the statement intent (the reader barrier goes up HERE). */
-  def begin(root: String, qid: String, body: String): Unit = {
+  /** Publish the statement intent (the reader barrier goes up HERE).
+    * `adoptExisting` (streaming epochs): a replayed statement finding
+    * its own intent already published proceeds under the ORIGINAL
+    * barrier instead of failing — the original base vector is the
+    * correct cap, and the replay's bucket commits adopt anyway.
+    */
+  def begin(root: String, qid: String, body: String,
+      adoptExisting: Boolean = false): Unit = {
     val fs = fsOf(root)
     fs.mkdirs(openDir(root))
-    graft.kv.CommitMarker.publish(fs, openMarker(root, qid), body)
+    try graft.kv.CommitMarker.publish(fs, openMarker(root, qid), body)
+    catch {
+      case _: graft.kv.PotTable.CommitConflict if adoptExisting => ()
+    }
   }
 
   /** Flip the statement visible and clean up. Racing completers (a slow
@@ -230,6 +240,18 @@ private[graft] object BucketedStmtLog {
             w.commitEntries(msgs, truncate = truncate,
               snapTag = Some(s"q$qid8"), retryOnConflict = true,
               staging = new Path(root, s".recover-$qid-b$b"))
+          case "epoch" =>
+            // streaming epoch roll-forward: the per-(query, epoch) tag
+            // makes replay exactly-once per bucket, through the same
+            // delta/compaction routing the live epoch would have taken
+            val tag = s"q${qid8}e${j.get("epoch").asLong()}"
+            if (truncate)
+              w.commitEntries(msgs, truncate = true, snapTag = Some(tag),
+                retryOnConflict = true,
+                staging = new Path(root, s".recover-$qid-b$b"))
+            else
+              w.commitDeltaEpoch(msgs, tag,
+                staging = new Path(root, s".recover-$qid-b$b"))
           case "delta" =>
             // adopt-or-apply at the ORIGINAL pinned base: a moved head is
             // the MERGE conflict contract, raised loudly

@@ -1608,6 +1608,59 @@ class PotJsonSpec extends AnyFunSuite {
     assert(graft.sources.BucketedPotV2Source.recoverStatements(root).isEmpty)
   }
 
+  test("BucketedPotV2 EPOCH barrier (r15): a mid-epoch reader sees none; recovery rolls the epoch forward as deltas") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("bpotv2ep").toString
+    val fmt = classOf[graft.sources.BucketedPotV2Source].getName
+    def readKeys(): Set[String] = spark.read.format(fmt)
+      .option("path", root).option("buckets", "4").load()
+      .select($"key").as[String].collect().toSet
+    // seed (its own epoch-like statement, completed)
+    Seq(("", "seed", """{"v": 0}""")).toDF("pot_file", "key", "doc_json")
+      .write.format(fmt).option("path", root).option("buckets", "4")
+      .mode("append").save()
+    // an epoch that CRASHED mid-apply: intent up, fragments staged for
+    // two buckets, exactly ONE bucket's delta committed
+    val keys = Seq("ea", "eb", "ec", "ed")
+    val byBucket = keys.groupBy(
+      graft.sources.BucketedPotV2Source.bucketOf(_, 4))
+    assert(byBucket.size > 1, s"fixture keys collapsed: $byBucket")
+    val staging = java.nio.file.Paths.get(root, ".staging-epq-e7")
+    java.nio.file.Files.createDirectories(staging)
+    val frags = byBucket.map { case (b, ks) =>
+      val f = staging.resolve(s"part-b$b.jsonl")
+      java.nio.file.Files.writeString(f,
+        ks.map(k => s"""{"k":"$k","d":{"v":7}}""").mkString("", "\n", "\n"))
+      b -> Seq((0, f.toString))
+    }
+    val base = graft.sources.BucketedPotV2Source.headVector(root, 4)
+    graft.sources.BucketedStmtLog.begin(root, "epq-e7",
+      graft.sources.BucketedStmtLog.intentBody(
+        "epoch", "epq", truncate = false, Long.MaxValue,
+        byBucket.keys.toSeq.sorted,
+        byBucket.keys.map(b => b -> base.getOrElse(b, 0L)).toMap,
+        frags, epoch = Some(7L)))
+    // the crashed run had committed the FIRST bucket's delta
+    val b0 = byBucket.keys.min
+    val w0 = new graft.sources.PotV2Write(
+      graft.sources.BucketedPotV2Source.bucketPot(root, b0),
+      graft.sources.PotV2Source.Schema, s"epq-b$b0",
+      truncateFirst = false)
+    w0.commitDeltaEpoch(
+      Array(graft.sources.PotFragmentMessage(0, frags(b0).head._2)),
+      "qepqe7", new org.apache.hadoop.fs.Path(root, ".spec-scratch"))
+    // NONE: the committed prefix bucket is capped at its base
+    assert(readKeys() === Set("seed"),
+      "reader observed a prefix-applied epoch")
+    // roll forward: remaining buckets commit as (query, epoch)-tagged
+    // deltas (the already-committed bucket adopts), epoch flips visible
+    assert(graft.sources.BucketedPotV2Source.recoverStatements(root)
+      === Seq("epq-e7"))
+    assert(readKeys() === Set("seed") ++ keys)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "_stmts/open/epq-e7")))
+  }
+
   test("PotV2 glob changes with a per-pot vector equals the resumed multi-pot stream; out-of-range entries fail loudly") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("potv2vecb").toString
