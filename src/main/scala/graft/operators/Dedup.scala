@@ -1761,7 +1761,10 @@ object Dedup {
     */
   private val SpanW = 8
 
-  def exactSubstr(s: SparkSession, d: String): DataFrame = {
+  /** Per-doc (doc_id, total_tokens, dup_tokens, n_spans) — d25's frame,
+    * shared with p26's drop policy. */
+  private[operators] def exactSubstrPerDoc(
+      s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val toks = Tables.documents(s, d)
       .select($"doc_id", split(lower($"text"), " ").as("t"))
@@ -1790,10 +1793,15 @@ object Dedup {
       .select($"doc_id", $"total_tokens",
         coalesce($"dup_tokens", lit(0L)).as("dup_tokens"),
         coalesce($"n_spans", lit(0L)).as("n_spans"))
-      .orderBy($"doc_id")
   }
 
-  val exactSubstrSql: String =
+  def exactSubstr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    exactSubstrPerDoc(s, d).orderBy($"doc_id")
+  }
+
+  /** d25's oracle CTE chain up to the per-doc frame (shared with p26). */
+  private[operators] val exactSubstrPerDocCtes: String =
     s"""WITH toks AS MATERIALIZED (
        |  SELECT doc_id, string_split(lower(text), ' ') AS t,
        |    len(string_split(lower(text), ' ')) AS n
@@ -1819,12 +1827,18 @@ object Dedup {
        |agg AS (
        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dup_tokens,
        |    CAST(COUNT(DISTINCT g) AS BIGINT) AS n_spans
-       |  FROM isl GROUP BY doc_id)
-       |SELECT t.doc_id, CAST(t.n AS BIGINT) AS total_tokens,
-       |  COALESCE(a.dup_tokens, 0) AS dup_tokens,
-       |  COALESCE(a.n_spans, 0) AS n_spans
-       |FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id
-       |ORDER BY t.doc_id""".stripMargin
+       |  FROM isl GROUP BY doc_id),
+       |perdoc AS (
+       |  SELECT t.doc_id, CAST(t.n AS BIGINT) AS total_tokens,
+       |    COALESCE(a.dup_tokens, 0) AS dup_tokens,
+       |    COALESCE(a.n_spans, 0) AS n_spans
+       |  FROM toks t LEFT JOIN agg a ON a.doc_id = t.doc_id)""".stripMargin
+
+  val exactSubstrSql: String =
+    exactSubstrPerDocCtes + "\n" +
+      """SELECT doc_id, total_tokens, dup_tokens, n_spans
+        |FROM perdoc
+        |ORDER BY doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d25_exact_substr" -> (exactSubstr _),

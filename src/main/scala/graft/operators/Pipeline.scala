@@ -1523,7 +1523,54 @@ object Pipeline {
       |FROM cum CROSS JOIN tot t
       |ORDER BY stage""".stripMargin
 
+  /** p26: exact-substring DROP POLICY — the other half of Lee et al.
+    * 2022 (r15, composing d25): a doc is dropped when ≥20% of its tokens
+    * sit in cross-document duplicated spans (integer cross-multiply
+    * `5·dup ≥ total`, the p25 float-free discipline), and the budget
+    * report a pipeline acts on is per SOURCE: docs in/dropped, tokens
+    * total/dropped/kept — the "dedup dividend" (compute recovered by
+    * dropping near-copies) next to p25's quality attrition. One d25
+    * per-doc pass + a doc_id-keyed join back to `documents` for the
+    * source + one aggregation; threshold mirrored literally. Fixture
+    * reality (measured): shared spans on this corpus are near-full-doc
+    * (90-100% coverage — planted near-copy clusters), so the 20% gate
+    * drops exactly the cross-copy set; the margin lives in the
+    * arithmetic, not the fixture.
+    */
+  def substrDropPolicy(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val perDoc = Dedup.exactSubstrPerDoc(s, d)
+    val dropped = ($"dup_tokens" * 5L) >= $"total_tokens"
+    Tables.documents(s, d).select($"doc_id", $"source")
+      .join(perDoc, Seq("doc_id"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(dropped, 1L).otherwise(0L)).as("n_dropped"),
+        sum($"total_tokens").as("tokens_total"),
+        sum(when(dropped, $"total_tokens").otherwise(0L))
+          .as("tokens_dropped"),
+        sum(when(!dropped, $"total_tokens").otherwise(0L))
+          .as("tokens_kept"))
+      .orderBy($"source")
+  }
+
+  val substrDropPolicySql: String =
+    Dedup.exactSubstrPerDocCtes + "\n" +
+      """SELECT d.source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN dup_tokens * 5 >= total_tokens
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST(SUM(total_tokens) AS BIGINT) AS tokens_total,
+        |  CAST(SUM(CASE WHEN dup_tokens * 5 >= total_tokens
+        |    THEN total_tokens ELSE 0 END) AS BIGINT) AS tokens_dropped,
+        |  CAST(SUM(CASE WHEN dup_tokens * 5 >= total_tokens
+        |    THEN 0 ELSE total_tokens END) AS BIGINT) AS tokens_kept
+        |FROM perdoc p JOIN documents d ON d.doc_id = p.doc_id
+        |GROUP BY d.source
+        |ORDER BY d.source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p26_substr_drop_policy" -> (substrDropPolicy _),
     "p25_quality_funnel"   -> (qualityFunnel _),
     "p24_mixture_plan"     -> (mixturePlan _),
     "p23_decon_matrix"     -> (deconMatrix _),
@@ -1551,6 +1598,7 @@ object Pipeline {
     "p7_bloom_decontaminate" -> (bloomDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "p26_substr_drop_policy" -> substrDropPolicySql,
     "p25_quality_funnel"   -> qualityFunnelSql,
     "p24_mixture_plan"     -> mixturePlanSql,
     "p23_decon_matrix"     -> deconMatrixSql,
