@@ -82,6 +82,17 @@ class PlanAuditSpec extends AnyFunSuite {
       .deleteRecursively()
   }
 
+  test("d25/p26 exact-substring: window-keyed equi-joins only, no cartesian, doc-partitioned span merge (r15)") {
+    Seq("d25_exact_substr", "p26_substr_drop_policy").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"all-pairs shape in $q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        s"nested-loop crept into $q:\n$p")
+      // the seed fetch is an equi-join on the window key
+      assert(p.contains("wkey"), s"window-key join missing from $q:\n$p")
+    }
+  }
+
   test("q2 filter/project pushes predicates into the parquet scan") {
     val p = plan("q2_filter_project")
     assert(p.contains("PushedFilters: [IsNotNull"), p)

@@ -136,7 +136,11 @@ object ScaleSmoke {
     "t20_bigram_surprisal", "s30_knn_join", "m14_pair_admission",
     "p24_mixture_plan", "p25_quality_funnel", "s31_matryoshka_recall",
     // q82 omitted: customer/orders stay 1x-symlinked
-    "q83_zorder_pruning", "m15_pair_alignment")
+    "q83_zorder_pruning", "m15_pair_alignment",
+    // round-15 batch (u27/u28/q84/kv21/st22 omitted: dimension-only or
+    // store/layout-lifecycle; t21/t22 train on a fixed slice whose
+    // replicas change the rules, measured separately if ever needed)
+    "d25_exact_substr", "p26_substr_drop_policy", "s32_knn_join_fallback")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
