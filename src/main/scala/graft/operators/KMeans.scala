@@ -152,7 +152,7 @@ object KMeans {
     * s9 oracle (k=4) and the s4 trained-IVF oracle (k=16).
     */
   private[graft] def lloydCtes(k: Int): String =
-    s"""q AS (
+    s"""q AS MATERIALIZED (
        |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(floor(CAST(x AS DOUBLE) * $QScale.0) AS BIGINT)) AS q
        |  FROM embeddings),
@@ -174,7 +174,7 @@ object KMeans {
        |  FROM a1 a JOIN q v USING (vec_id)
        |  CROSS JOIN range(1, ${Dim + 1}) t(i)
        |  GROUP BY a.cid, t.i),
-       |c1 AS (
+       |c1 AS MATERIALIZED (
        |  SELECT cid, list((s - ((s % n + n) % n)) // n ORDER BY i) AS c
        |  FROM comp1 GROUP BY cid)""".stripMargin
 

@@ -151,7 +151,7 @@ object Pq {
   private def subspaceCtes(m: Int): String = {
     val lo = m * SubDim + 1
     val hi = (m + 1) * SubDim
-    s"""q$m AS (
+    s"""q$m AS MATERIALIZED (
        |  SELECT vec_id, list_slice(q, $lo, $hi) AS q FROM qf),
        |c${m}0 AS (
        |  SELECT CAST(vec_id AS INTEGER) AS cid, q AS c FROM q$m WHERE vec_id < $Kc),
@@ -170,15 +170,15 @@ object Pq {
        |  FROM a${m}1 a JOIN q$m v USING (vec_id)
        |  CROSS JOIN range(1, ${SubDim + 1}) t(i)
        |  GROUP BY a.cid, t.i),
-       |c${m}1 AS (
+       |c${m}1 AS MATERIALIZED (
        |  SELECT cid, list((s - ((s % n + n) % n)) // n ORDER BY i) AS c
        |  FROM comp${m}1 GROUP BY cid),
-       |d${m}2 AS (
+       |d${m}2 AS MATERIALIZED (
        |  SELECT v.vec_id, c.cid,
        |    CAST(list_sum(list_transform(range(1, ${SubDim + 1}),
        |      i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i]))) AS BIGINT) AS dist
        |  FROM q$m v CROSS JOIN c${m}1 c),
-       |a${m}2 AS (
+       |a${m}2 AS MATERIALIZED (
        |  SELECT vec_id, cid FROM (
        |    SELECT vec_id, cid,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
@@ -189,7 +189,7 @@ object Pq {
 
   /** Quantized-corpus head CTE (`qf`) every PQ oracle opens with. */
   private val headCte: String =
-    s"""WITH qf AS (
+    s"""WITH qf AS MATERIALIZED (
        |  SELECT vec_id, list_transform(embedding,
        |    x -> CAST(floor(CAST(x AS DOUBLE) * ${KMeans.QScale}.0) AS BIGINT)) AS q
        |  FROM embeddings)""".stripMargin
@@ -332,12 +332,12 @@ object Pq {
   val ivfPqSearchSql: String = {
     val subs = (0 until M).map(subspaceCtes)
     val coarse =
-      s"""d2c AS (
+      s"""d2c AS MATERIALIZED (
          |  SELECT v.vec_id, c.cid,
          |    CAST(list_sum(list_transform(range(1, ${KMeans.Dim + 1}),
          |      i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i]))) AS BIGINT) AS dist
          |  FROM q v CROSS JOIN c1 c),
-         |a2c AS (
+         |a2c AS MATERIALIZED (
          |  SELECT vec_id, cid AS cell FROM (
          |    SELECT vec_id, cid, dist,
          |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
@@ -436,7 +436,7 @@ object Pq {
        |    CAST(list_sum(list_transform(range(1, ${KMeans.Dim + 1}),
        |      i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i]))) AS BIGINT) AS dist
        |  FROM q v CROSS JOIN c1 c),
-       |a2c AS (
+       |a2c AS MATERIALIZED (
        |  SELECT vec_id, cid AS cell FROM (
        |    SELECT vec_id, cid, dist,
        |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
@@ -480,13 +480,145 @@ object Pq {
        |ORDER BY nprobe""".stripMargin
       .replace("__LLOYD__", KMeans.lloydCtes(CoarseK))
 
+  /** s33: IVF-PQ kNN JOIN — s30's batch-serving shape at QUANTIZED cost
+    * (r15): a probe batch (vec_id % 101 == 7, the s30 convention)
+    * classified against the corpus through the s21 index layout instead
+    * of exact dots. Each probe explodes into its [[NProbe]]
+    * nearest coarse cells (cell = the join key — cohort-bounded, never
+    * probes × corpus), the corpus side carries only its cell + [[M]]
+    * PQ codes (the 64×-smaller codes table s18 persists), and each
+    * pair's distance is pure ADC: four broadcast lookups into the
+    * probe's per-subspace LUT rows (probes × M × Kc rows — KBs). Top-3
+    * per probe ranks by (adc, nbr); the emitted rows carry the EXACT
+    * integer L2 next to the adc (the s6 price-tag discipline: the
+    * serving order is ADC, the true distance is visible) plus the
+    * neighbor's label. Probes whose cells hold no corpus vector emit
+    * nothing (the honest s30 hole; s32 shows the escalation pattern).
+    * All integer-exact; CoarseK/NProbe/M/Kc mirrored literally — the
+    * oracle reuses the trained c{m}1/a{m}2/d{m}2 chain (d{m}2 IS the
+    * probe-batch LUT) and the lloyd coarse cells.
+    */
+  def ivfPqKnnJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val q = KMeans.quantized(s, d)
+    val cells = KMeans.train(s, q, CoarseK)
+    val (books, _, _) = trainPq(s, q)
+    val bcCells = s.sparkContext.broadcast(cells)
+    val bcBooks = s.sparkContext.broadcast(books)
+    def l2(a: Array[Long], b: Array[Long]): Long = {
+      var acc = 0L; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); acc += t * t; i += 1 }
+      acc
+    }
+    // corpus: ONE map pass -> (nbr, cell, 4 codes) — the persisted
+    // codes-table shape
+    val corpus = q.filter(_._1 % 101 != 7).map { case (id, v) =>
+      val cell = KMeans.assign(v, bcCells.value)._1
+      val c = (0 until M).map(m => KMeans.assign(
+        java.util.Arrays.copyOfRange(v, m * SubDim, (m + 1) * SubDim),
+        bcBooks.value(m))._1)
+      (id, cell, c(0), c(1), c(2), c(3))
+    }.toDF("nbr", "cell", "c0", "c1", "c2", "c3")
+    val probes = q.filter(_._1 % 101 == 7)
+    val pc = probes.flatMap { case (id, v) =>
+      bcCells.value.map { case (cid, c) => (l2(v, c), cid) }
+        .sorted.take(NProbe).map { case (_, cid) => (id, cid) }
+    }.toDF("probe_id", "cell")
+    val lut = probes.flatMap { case (id, v) =>
+      for {
+        m <- 0 until M
+        (cid, c) <- bcBooks.value(m)
+      } yield (id, m, cid, l2(java.util.Arrays.copyOfRange(
+        v, m * SubDim, (m + 1) * SubDim), c))
+    }.toDF("probe_id", "m", "cid", "dd")
+    def lutm(m: Int) = broadcast(lut.filter($"m" === m)
+      .select($"probe_id".as(s"p$m"), $"cid".as(s"k$m"),
+        $"dd".as(s"d$m")))
+    val pairs = pc.join(corpus, Seq("cell"))
+      .join(lutm(0), $"probe_id" === $"p0" && $"c0" === $"k0")
+      .join(lutm(1), $"probe_id" === $"p1" && $"c1" === $"k1")
+      .join(lutm(2), $"probe_id" === $"p2" && $"c2" === $"k2")
+      .join(lutm(3), $"probe_id" === $"p3" && $"c3" === $"k3")
+      .select($"probe_id", $"nbr",
+        ($"d0" + $"d1" + $"d2" + $"d3").as("adc"))
+    val w = Window.partitionBy($"probe_id").orderBy($"adc".asc, $"nbr".asc)
+    val top3 = pairs.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 3)
+    val qDf = q.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "qv")
+    qDf.select($"vec_id".as("probe_id"), $"qv".as("pv"))
+      .join(broadcast(top3), Seq("probe_id"))
+      .join(qDf.select($"vec_id".as("nbr"), $"qv".as("nv")), Seq("nbr"))
+      .join(Tables.embeddings(s, d)
+        .select($"vec_id".as("nbr"), $"label".as("nbr_label")), Seq("nbr"))
+      .withColumn("dist",
+        aggregate(zip_with($"pv", $"nv", (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v))
+      .select($"probe_id", $"rk", $"nbr", $"nbr_label", $"adc", $"dist")
+      .orderBy($"probe_id", $"rk")
+  }
+
+  val ivfPqKnnJoinSql: String = {
+    val subs = (0 until M).map(subspaceCtes)
+    val block =
+      s"""d2c AS MATERIALIZED (
+         |  SELECT v.vec_id, c.cid,
+         |    CAST(list_sum(list_transform(range(1, ${KMeans.Dim + 1}),
+         |      i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i]))) AS BIGINT) AS dist
+         |  FROM q v CROSS JOIN c1 c),
+         |a2c AS MATERIALIZED (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid, dist,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d2c) WHERE rn = 1),
+         |pcb AS (
+         |  SELECT vec_id AS probe_id, cid AS cell FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d2c WHERE vec_id % 101 = 7) WHERE rn <= $NProbe),
+         |pairsb AS (
+         |  SELECT p.probe_id, ac.vec_id AS nbr,
+         |    l0.dist + l1.dist + l2.dist + l3.dist AS adc
+         |  FROM pcb p
+         |  JOIN a2c ac ON ac.cell = p.cell AND ac.vec_id % 101 <> 7
+         |  JOIN a02 a0 ON a0.vec_id = ac.vec_id
+         |  JOIN a12 a1 ON a1.vec_id = ac.vec_id
+         |  JOIN a22 a2 ON a2.vec_id = ac.vec_id
+         |  JOIN a32 a3 ON a3.vec_id = ac.vec_id
+         |  JOIN d02 l0 ON l0.vec_id = p.probe_id AND l0.cid = a0.cid
+         |  JOIN d12 l1 ON l1.vec_id = p.probe_id AND l1.cid = a1.cid
+         |  JOIN d22 l2 ON l2.vec_id = p.probe_id AND l2.cid = a2.cid
+         |  JOIN d32 l3 ON l3.vec_id = p.probe_id AND l3.cid = a3.cid),
+         |rkb AS (
+         |  SELECT probe_id, nbr, adc,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id
+         |      ORDER BY adc, nbr) AS rk
+         |  FROM pairsb),
+         |top3b AS (SELECT * FROM rkb WHERE rk <= 3)""".stripMargin
+    val tail =
+      s"""SELECT t.probe_id, CAST(t.rk AS INTEGER) AS rk, t.nbr,
+         |  e.label AS nbr_label, CAST(t.adc AS BIGINT) AS adc,
+         |  CAST(list_sum(list_transform(range(1, ${KMeans.Dim + 1}),
+         |    i -> (pv.q[i] - nv.q[i]) * (pv.q[i] - nv.q[i])))
+         |    AS BIGINT) AS dist
+         |FROM top3b t
+         |JOIN qf pv ON pv.vec_id = t.probe_id
+         |JOIN qf nv ON nv.vec_id = t.nbr
+         |JOIN embeddings e ON e.vec_id = t.nbr
+         |ORDER BY t.probe_id, t.rk""".stripMargin
+    (Seq(headCte, KMeans.lloydCtes(CoarseK)) ++ subs :+ block)
+      .mkString(",\n") + "\n" + tail
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s33_ivfpq_knn_join" -> (ivfPqKnnJoin _),
     "s18_pq_adc"    -> (pqSearch _),
     "s19_pq_recall" -> (pqRecall _),
     "s21_ivfpq"     -> (ivfPqSearch _),
     "s22_nprobe_sweep" -> (nprobeSweep _))
 
   val oracle: Map[String, String] = Map(
+    "s33_ivfpq_knn_join" -> ivfPqKnnJoinSql,
     "s18_pq_adc"    -> pqSearchSql,
     "s19_pq_recall" -> pqRecallSql,
     "s21_ivfpq"     -> ivfPqSearchSql,

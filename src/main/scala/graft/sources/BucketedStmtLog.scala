@@ -43,6 +43,15 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * exactly-once per bucket; a MERGE whose pinned base moved re-raises its
   * CommitConflict loudly). Roll-forward-only — the same no-abort-after-
   * commit-point shape as [[graft.kv.PotTxn]].
+  *
+  * SCOPE (stated, not oversold): the barrier governs SNAPSHOT reads —
+  * the glob scan's planning caps. The CHANGE FEED (`graft_pot_changes`
+  * over `_b=*`, the multi-pot stream) remains a physical per-chain log:
+  * its consumers see bucket commits as they land, each tagged with its
+  * statement's query id in the artifact stem, so a downstream apply
+  * that needs statement consistency can group on the tag and hold a
+  * statement's deltas until its `_stmts` marker clears — the CDC
+  * analogue of the snapshot cap, composed consumer-side.
   */
 private[graft] object BucketedStmtLog {
   private def mapper = new ObjectMapper()

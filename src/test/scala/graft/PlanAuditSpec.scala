@@ -93,6 +93,14 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("s33 IVF-PQ kNN join: cell-cohort equi-join + broadcast LUTs, never probes x corpus (r15)") {
+    val p = plan("s33_ivfpq_knn_join")
+    assert(!p.contains("CartesianProduct"), s"all-pairs shape in s33:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop crept into s33:\n$p")
+    assert(p.contains("cell"), s"cell cohort join missing:\n$p")
+  }
+
   test("q2 filter/project pushes predicates into the parquet scan") {
     val p = plan("q2_filter_project")
     assert(p.contains("PushedFilters: [IsNotNull"), p)
