@@ -1388,7 +1388,57 @@ ORDER BY source"""
     sb.toString
   }
 
+  /** t23: CCNet HEAD/MIDDLE/TAIL perplexity split (r15) — the famous
+    * CCNet partition (Wenzek et al. 2020): every scored doc (t20's
+    * Stupid-Backoff LM surprisal — ≥2 tokens, the t20 domain) lands in
+    * one of three equal-size buckets by ascending surprisal (head =
+    * closest to the reference LM = the slice pretraining keeps first),
+    * reported per (source, bucket) as docs + whitespace tokens — the
+    * provisioning table the CCNet recipe hands the mixture planner.
+    * Scale: the tercile assignment is [[DistRank.withNtile]]'s
+    * distributed NTILE (monotone value-range buckets + broadcast
+    * offsets — bit-identical to a flat window, ANSI sizes, doc_id
+    * tie-break), so the plan has NO unpartitioned window; the doubles
+    * feeding it are t20's hash-matched exact values, so the oracle's
+    * flat NTILE(3) sees identical ordering.
+    */
+  def perplexitySplit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val scored = bigramSurprisal(s, d)
+      .select($"doc_id", $"avg_surprisal")
+    val tiled = graft.operators.DistRank.withNtile(
+      scored, 3, "b", $"avg_surprisal", desc = false, Seq($"doc_id"))
+    tiled
+      .join(Tables.documents(s, d)
+        .select($"doc_id", $"source",
+          size(split(lower($"text"), " ")).cast("long").as("tok")),
+        Seq("doc_id"))
+      .select($"source",
+        when($"b" === 1, "head").when($"b" === 2, "middle")
+          .otherwise("tail").as("bucket"),
+        $"tok")
+      .groupBy($"source", $"bucket")
+      .agg(count(lit(1)).as("n_docs"), sum($"tok").as("tokens"))
+      .orderBy($"source", $"bucket")
+  }
+
+  val perplexitySplitSql: String =
+    """SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(tok) AS BIGINT) AS tokens
+      |FROM (
+      |  SELECT d.source,
+      |    CASE NTILE(3) OVER (ORDER BY t.avg_surprisal, t.doc_id)
+      |      WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+      |      ELSE 'tail' END AS bucket,
+      |    CAST(len(string_split(lower(d.text), ' ')) AS BIGINT) AS tok
+      |  FROM (__T20__) t
+      |  JOIN documents d ON d.doc_id = t.doc_id)
+      |GROUP BY source, bucket
+      |ORDER BY source, bucket""".stripMargin
+      .replace("__T20__", bigramSurprisalSql)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t23_perplexity_split" -> (perplexitySplit _),
     "t22_bpe_encode" -> (bpeEncode _),
     "t21_bpe_merges" -> (bpeMerges _),
     "t20_bigram_surprisal" -> (bigramSurprisal _),
@@ -1413,6 +1463,7 @@ ORDER BY source"""
     "t6_pii_scrub"    -> (piiScrub _))
 
   val oracle: Map[String, String] = Map(
+    "t23_perplexity_split" -> perplexitySplitSql,
     "t22_bpe_encode" -> bpeEncodeSql,
     "t21_bpe_merges" -> bpeMergesSql,
     "t20_bigram_surprisal" -> bigramSurprisalSql,

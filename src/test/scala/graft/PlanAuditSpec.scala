@@ -101,6 +101,15 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("cell"), s"cell cohort join missing:\n$p")
   }
 
+  test("t23 perplexity split: tercile via DistRank — every Window is bucket-partitioned, none global (r15)") {
+    val p = plan("t23_perplexity_split")
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty, s"expected DistRank's bucketed window:\n$p")
+    windows.foreach(l => assert(l.contains("__drk_b"),
+      s"t23 grew an UNPARTITIONED window for the global tercile: $l"))
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q2 filter/project pushes predicates into the parquet scan") {
     val p = plan("q2_filter_project")
     assert(p.contains("PushedFilters: [IsNotNull"), p)
