@@ -200,11 +200,13 @@ private[sources] class BucketedPotV2Table(root: String, nBuckets: Int)
     val qid = java.util.UUID.randomUUID().toString
     val barrier = touched.length > 1
     if (barrier) {
-      val base = BucketedPotV2Source.headVector(root, nBuckets)
-      BucketedStmtLog.begin(root, qid, BucketedStmtLog.intentBody(
-        "delete", qid, truncate = false, 0L, touched,
-        touched.map(b => b -> base.getOrElse(b, 0L)).toMap,
-        Map.empty, Some(filters)))
+      // beginFresh: base re-read after the intent CAS (ADVICE r15 — a
+      // commit landing in the read-then-publish window stays visible)
+      BucketedStmtLog.beginFresh(root, qid, touched,
+        () => BucketedPotV2Source.headVector(root, nBuckets),
+        base => BucketedStmtLog.intentBody(
+          "delete", qid, truncate = false, 0L, touched, base,
+          Map.empty, Some(filters)))
     }
     try touched.foreach { b =>
       new PotV2Table(BucketedPotV2Source.bucketPot(root, b))
@@ -335,14 +337,15 @@ private[graft] class BucketedPotWrite(
     val barrier = buckets.length > 1
     val stmtId = s"$queryId-e$epochId"
     if (barrier) {
-      val base = BucketedPotV2Source.headVector(root, nBuckets)
-        .view.filterKeys(buckets.contains).toMap
-      BucketedStmtLog.begin(root, stmtId, BucketedStmtLog.intentBody(
-        "epoch", queryId, truncateFirst, maxObjectBytes, buckets,
-        buckets.map(b => b -> base.getOrElse(b, 0L)).toMap,
-        perBucket.view.mapValues(_.toSeq.map(m =>
-          (m.partitionId, m.fragment))).toMap,
-        epoch = Some(epochId)), adoptExisting = true)
+      // beginFresh: base re-read after the intent CAS (ADVICE r15); a
+      // checkpoint-replayed epoch adopts its original intent unchanged
+      BucketedStmtLog.beginFresh(root, stmtId, buckets,
+        () => BucketedPotV2Source.headVector(root, nBuckets),
+        base => BucketedStmtLog.intentBody(
+          "epoch", queryId, truncateFirst, maxObjectBytes, buckets, base,
+          perBucket.view.mapValues(_.toSeq.map(m =>
+            (m.partitionId, m.fragment))).toMap,
+          epoch = Some(epochId)), adoptExisting = true)
     }
     buckets.foreach { b =>
       val pot = BucketedPotV2Source.bucketPot(root, b)
@@ -389,13 +392,13 @@ private[graft] class BucketedPotWrite(
     // statements are already atomic in their one chain commit.
     val barrier = buckets.length > 1
     if (barrier) {
-      val base = BucketedPotV2Source.headVector(root, nBuckets)
-        .view.filterKeys(buckets.contains).toMap
-      BucketedStmtLog.begin(root, queryId, BucketedStmtLog.intentBody(
-        "insert", queryId, truncateFirst, maxObjectBytes, buckets,
-        buckets.map(b => b -> base.getOrElse(b, 0L)).toMap,
-        perBucket.view.mapValues(_.toSeq.map(m =>
-          (m.partitionId, m.fragment))).toMap))
+      // beginFresh: base re-read after the intent CAS (ADVICE r15)
+      BucketedStmtLog.beginFresh(root, queryId, buckets,
+        () => BucketedPotV2Source.headVector(root, nBuckets),
+        base => BucketedStmtLog.intentBody(
+          "insert", queryId, truncateFirst, maxObjectBytes, buckets, base,
+          perBucket.view.mapValues(_.toSeq.map(m =>
+            (m.partitionId, m.fragment))).toMap))
     }
     buckets.foreach { b =>
       val pot = BucketedPotV2Source.bucketPot(root, b)

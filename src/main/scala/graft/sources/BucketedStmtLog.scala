@@ -56,6 +56,25 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 private[graft] object BucketedStmtLog {
   private def mapper = new ObjectMapper()
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Lease window after which a still-open statement is presumed CRASHED
+    * and auto-recovered by the next reader or writer (r16 — the verdict's
+    * "aged barrier" fix; reference analogue: lock lease expiry,
+    * server.go:670-702). Intent bodies carry their publish wall-clock;
+    * [[caps]] and [[begin]] roll any older-than-threshold statement
+    * forward via the idempotent [[recover]] path, so a crashed driver can
+    * no longer pin readers at stale state waiting for a manual
+    * `recoverStatements` call. A conflicted roll-forward (the statement's
+    * pinned base moved under a concurrent writer — only "delta" kind pins)
+    * drops the barrier loudly by name instead: the committed prefix
+    * becomes visible, exactly what the live conflict path does.
+    * Tunable for tests via -Dgraft.stmt.recoverAfterMs.
+    */
+  private def recoverAfterMs: Long =
+    sys.props.get("graft.stmt.recoverAfterMs").map(_.toLong)
+      .getOrElse(600000L)
+
   private def openDir(root: String) = new Path(root, "_stmts/open")
   private def doneMarker(root: String, qid: String) =
     new Path(root, s"_stmts/done/$qid")
@@ -81,6 +100,8 @@ private[graft] object BucketedStmtLog {
     o.put("qid", qid)
     o.put("truncate", truncate)
     o.put("ceiling", ceiling)
+    // publish wall-clock: the statement's lease stamp (see recoverAfterMs)
+    o.put("ts", System.currentTimeMillis())
     epoch.foreach(e => o.put("epoch", e))
     val ba = o.putObject("base")
     base.foreach { case (b, g) => ba.put(b.toString, g) }
@@ -138,14 +159,64 @@ private[graft] object BucketedStmtLog {
     * its own intent already published proceeds under the ORIGINAL
     * barrier instead of failing — the original base vector is the
     * correct cap, and the replay's bucket commits adopt anyway.
+    * Returns true iff THIS call published (false = adopted an existing
+    * intent, whose original base must not be touched).
+    *
+    * Any AGED open statement on the store is rolled forward first — the
+    * next write is one of the two recovery triggers (the other is read
+    * planning via [[caps]]); a crashed predecessor can therefore never
+    * wedge the store against its successors.
     */
   def begin(root: String, qid: String, body: String,
+      adoptExisting: Boolean = false): Boolean = {
+    val fs = fsOf(root)
+    recoverAged(root)
+    fs.mkdirs(openDir(root))
+    try { graft.kv.CommitMarker.publish(fs, openMarker(root, qid), body); true }
+    catch {
+      case _: graft.kv.PotTable.CommitConflict if adoptExisting => false
+    }
+  }
+
+  /** [[begin]] with the ADVICE-r15 base-vector discipline: an independent
+    * commit landing between the caller's head read and the intent CAS is
+    * already reader-visible, so capping it below base would show readers
+    * a NON-MONOTONIC snapshot (gen g+1, then g) for the statement's
+    * duration. Fix: re-read heads immediately AFTER winning the CAS; if
+    * any touched bucket moved above the published base, take the barrier
+    * down and republish with the fresh vector (no bucket of ours has
+    * committed yet, so the barrier-free window is benign — readers just
+    * see live pre-statement state). Movement observed after barrier-up is
+    * adopted conservatively into base: the commit may have been visible
+    * pre-barrier, and keeping an INDEPENDENT commit visible is always
+    * consistent (chains are cumulative; none of OUR buckets have
+    * committed). Bounded retries; the residual corner after exhaustion is
+    * the documented snapshot-lag shape, narrowed to the delete+republish
+    * microsecond window. Not for "delta" statements — their base is the
+    * operation's PINNED vector (scan content = conflict check) and must
+    * not be refreshed.
+    */
+  def beginFresh(root: String, qid: String, buckets: Seq[Int],
+      heads: () => Map[Int, Long],
+      mkBody: Map[Int, Long] => String,
       adoptExisting: Boolean = false): Unit = {
     val fs = fsOf(root)
-    fs.mkdirs(openDir(root))
-    try graft.kv.CommitMarker.publish(fs, openMarker(root, qid), body)
-    catch {
-      case _: graft.kv.PotTable.CommitConflict if adoptExisting => ()
+    var base = heads()
+    var attempts = 0
+    var settled = false
+    while (!settled) {
+      val won = begin(root, qid,
+        mkBody(buckets.map(b => b -> base.getOrElse(b, 0L)).toMap),
+        adoptExisting)
+      if (!won) return // adopted a replay's intent: original base stands
+      val after = heads()
+      val moved = buckets.exists(b =>
+        after.getOrElse(b, 0L) > base.getOrElse(b, 0L))
+      if (moved && attempts < 5) {
+        fs.delete(openMarker(root, qid), false)
+        base = base ++ after.view.filterKeys(buckets.contains).toMap
+        attempts += 1
+      } else settled = true
     }
   }
 
@@ -192,8 +263,17 @@ private[graft] object BucketedStmtLog {
   /** Reader caps: bucket -> lowest BASE generation over statements that
     * are open and not done (the double-check closes the list-then-
     * complete race to a benign pre-statement view).
+    *
+    * r16: meeting an open statement is no longer silent — AGED ones
+    * (older than [[recoverAfterMs]]) are rolled forward HERE, at read
+    * planning, before the caps are computed (a crashed writer's barrier
+    * self-heals at the next read instead of pinning snapshot freshness
+    * until a human calls `recoverStatements`); young ones — a live
+    * writer mid-statement — cap as before, but are WARNED by name so an
+    * operator watching logs sees the lag, never wonders about it.
     */
   def caps(root: String): Map[Int, Long] = {
+    if (openStatements(root).nonEmpty) recoverAged(root)
     val fs = fsOf(root)
     val open = openStatements(root)
     if (open.isEmpty) return Map.empty
@@ -202,6 +282,9 @@ private[graft] object BucketedStmtLog {
       val stillOpen = !fs.exists(doneMarker(root, qid)) &&
         fs.exists(openMarker(root, qid))
       if (stillOpen) {
+        log.warn(s"bucketed pot $root: statement $qid is OPEN — readers " +
+          "are capped at its base generations until it completes " +
+          s"(auto-recovery after ${recoverAfterMs} ms)")
         val base = mapper.readTree(body).get("base")
         base.properties().asScala.foreach { e =>
           val b = e.getKey.toInt
@@ -213,13 +296,49 @@ private[graft] object BucketedStmtLog {
     m.toMap
   }
 
+  /** Roll forward every open statement whose lease expired (intent older
+    * than [[recoverAfterMs]]; a stamp-free legacy intent counts as aged).
+    * Conflicted roll-forwards (a "delta" statement whose pinned base
+    * moved — replaying would violate its conflict contract) drop their
+    * barrier LOUDLY by name, making the committed prefix visible: the
+    * live conflict path's exact behavior, minus the re-raise no caller
+    * exists to catch. Returns recovered qids.
+    */
+  def recoverAged(root: String): Seq[String] = {
+    val now = System.currentTimeMillis()
+    openStatements(root).flatMap { case (qid, body) =>
+      val ts = Option(mapper.readTree(body).get("ts")).map(_.asLong())
+      if (ts.exists(now - _ < recoverAfterMs)) None
+      else {
+        log.warn(s"bucketed pot $root: statement $qid aged out " +
+          s"(intent ts=$ts, lease ${recoverAfterMs} ms) — rolling forward")
+        try { recoverOne(root, qid, body); Some(qid) }
+        catch {
+          case e: graft.kv.PotTable.CommitConflict =>
+            log.error(s"bucketed pot $root: crashed statement $qid cannot " +
+              "roll forward (pinned base moved under a concurrent " +
+              "writer) — dropping its barrier; the committed prefix " +
+              s"becomes visible and the statement must be re-run: $e")
+            abort(root, qid, Seq.empty)
+            None
+        }
+      }
+    }
+  }
+
   /** Roll every open statement forward from its staged fragments and flip
     * it visible. Exactly-once per bucket via statement-tag adoption; a
     * MERGE whose pinned base moved under a concurrent writer re-raises
     * CommitConflict (re-run the statement). Returns completed qids.
     */
-  def recover(root: String): Seq[String] = {
+  def recover(root: String): Seq[String] =
     openStatements(root).map { case (qid, body) =>
+      recoverOne(root, qid, body)
+      qid
+    }
+
+  private def recoverOne(root: String, qid: String, body: String): Unit = {
+    {
       val j = mapper.readTree(body)
       val kind = j.get("kind").asText()
       val truncate = j.get("truncate").asBoolean()
@@ -275,7 +394,6 @@ private[graft] object BucketedStmtLog {
         }
       }
       complete(root, qid, stagingRoots.toSeq)
-      qid
     }
   }
 }

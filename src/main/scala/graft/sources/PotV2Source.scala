@@ -411,25 +411,53 @@ private[graft] class PotV2ScanBuilder(
   }
   override def isPartiallyPushed(): Boolean = true
 
-  /** ORDER BY key LIMIT k pushdown (r15): each reader keeps a k-bounded
-    * selection by key and stringifies ONLY the k winners' documents (the
-    * dominant per-entry cost) — a top-k over a 10k-object bucket returns
-    * k rows per object for Spark's final merge instead of every row.
-    * Only a single ORDER BY key (either direction) is servable: key is
-    * the one column with scan-level ordering semantics.
+  /** ORDER BY … LIMIT k pushdown (r15; breadth + declination matrix r16):
+    * each reader keeps a k-bounded selection by key and stringifies ONLY
+    * the k winners' documents (the dominant per-entry cost) — a top-k
+    * over a 10k-object bucket returns k rows per object for Spark's
+    * final merge instead of every row. The pushdown is PARTIAL (Spark
+    * re-sorts globally), so a per-partition selection is correct iff it
+    * is a SUPERSET of the partition's true global-top-k contribution.
+    * With one pot object per partition that gives the served matrix:
+    *
+    *   - `key [ASC|DESC] [, anything…]`: SERVED by key direction — keys
+    *     are unique within one object, so any suffix term can never be
+    *     consulted within a partition;
+    *   - `pot_file [ASC|DESC], key [ASC|DESC] [, anything…]`: SERVED —
+    *     pot_file is CONSTANT within a partition (the file-aligned
+    *     partitioning makes the prefix free; its direction is
+    *     irrelevant per-partition), so the partition's contribution is
+    *     its k extreme keys;
+    *   - `pot_file [ASC|DESC]` alone: SERVED as a plain LIMIT — every
+    *     row in a partition ties, any k rows are valid winners;
+    *   - anything else (leading doc_json, doc_json directly after the
+    *     pot_file prefix, non-column expressions): DECLINED — Spark
+    *     runs its own full TopN. PotJsonSpec pins both halves of the
+    *     matrix so a future sort shape can't silently lose the push.
     */
   override def pushTopN(
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
-      limit: Int): Boolean = orders match {
-    case Array(o) => o.expression() match {
-      case r: org.apache.spark.sql.connector.expressions.NamedReference
-          if r.fieldNames.sameElements(Array("key")) =>
-        import org.apache.spark.sql.connector.expressions.SortDirection
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, SortDirection, SortOrder}
+    def colOf(o: SortOrder): Option[String] = o.expression() match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        Some(r.fieldNames()(0))
+      case _ => None
+    }
+    val cols = orders.toSeq.map(colOf)
+    if (orders.isEmpty || cols.exists(_.isEmpty)) return false
+    val names = cols.flatten
+    val eff = if (names.headOption.contains("pot_file"))
+      names.drop(1).zip(orders.toSeq.drop(1)) else names.zip(orders.toSeq)
+    eff.headOption match {
+      case Some(("key", o)) =>
         pushedTopN = Some((o.direction() == SortDirection.ASCENDING, limit))
+        true
+      case None => // pot_file alone: all rows tie per partition
+        pushedLimit = Some(limit)
         true
       case _ => false
     }
-    case _ => false
   }
 
   /** Aggregate pushdown — the V2 surface that makes `COUNT(*)` over a pot
@@ -921,8 +949,17 @@ private[sources] class PotV2ReaderFactory(
           // top-k by key, k-bounded selection: only winners stringify.
           // (The snapshot still parses fully — every key must be seen —
           // but Spark receives k rows per object, not the whole object.)
-          val ord =
-            if (asc) Ordering.String else Ordering.String.reverse
+          // Keys compare in UNSIGNED UTF-8 BYTE order — Spark sorts
+          // StringType by UTF8String binary comparison, and a pushdown
+          // must be semantically invisible: java's Ordering.String
+          // (UTF-16 code units) would rank supplementary characters
+          // (surrogates 0xD800-0xDFFF) BELOW BMP chars >= U+E000 and a
+          // partial top-k could evict a true global winner (ADVICE r15).
+          val utf8: java.util.Comparator[String] =
+            (x: String, y: String) => java.util.Arrays.compareUnsigned(
+              x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+              y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val ord = if (asc) utf8 else utf8.reversed()
           val sel = new java.util.TreeMap[String, String](ord)
           partition match {
             case sp: PotStatePartition =>

@@ -1531,6 +1531,87 @@ class PotJsonSpec extends AnyFunSuite {
     intercept[org.apache.spark.SparkException] { gpot.count() }
   }
 
+  test("PotV2 TopN pushdown (r16): UTF-8 byte order — supplementary-char keys never evicted by a BMP key >= U+E000") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("potv2utf8").toString
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    // one object mixing an emoji key (U+1F600, UTF-16 surrogates
+    // 0xD83D 0xDE00; UTF-8 F0 9F 98 80) with BMP keys >= U+E000
+    // (UTF-16 sorts them ABOVE the surrogate pair, UTF-8/Spark BELOW):
+    // under the old java-String comparator a DESC top-1 returned the
+    // private-use key; Spark's own sort returns the emoji
+    val dir = java.nio.file.Paths.get(root, "u")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.writeString(dir.resolve("data.json"),
+      "{\"a\": {\"v\": 1}, \"x\": {\"v\": 2}, " +
+        "\"\uD83D\uDE00\": {\"v\": 3}, \"\uE000y\": {\"v\": 4}}")
+    def read() = spark.read.format(fmt)
+      .option("path", s"$root/u/data.json").load()
+    val top = read().orderBy($"key".desc).limit(1).select($"key")
+    assert(top.queryExecution.executedPlan.toString
+      .contains("PushedTopN: key DESC limit 1"))
+    val expected = read().select($"key").as[String].collect()
+      .sorted(Ordering.comparatorToOrdering(
+        (x: String, y: String) => java.util.Arrays.compareUnsigned(
+          x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          y.getBytes(java.nio.charset.StandardCharsets.UTF_8)))).last
+    assert(top.as[String].head() === expected,
+      "pushed DESC top-1 diverged from Spark's UTF8 binary sort order")
+    assert(top.as[String].head() === "\uD83D\uDE00")
+    // ASC end of the matrix stays correct too
+    val asc3 = read().orderBy($"key").limit(3).select($"key")
+      .as[String].collect().toSeq
+    assert(asc3 === Seq("a", "x", "\uE000y"))
+  }
+
+  test("PotV2 TopN pushdown declination matrix (r16): served and declined sort shapes are plan-pinned") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("potv2topnm").toString
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    Seq("a", "b").foreach { pot =>
+      val dir = java.nio.file.Paths.get(root, pot)
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.writeString(dir.resolve("data.json"),
+        (1 to 20).map(i => s""""$pot${"%03d".format(i)}": {"v": $i}""")
+          .mkString("{", ", ", "}"))
+    }
+    def read() = spark.read.format(fmt)
+      .option("path", s"$root/*/data.json").load()
+    def plan(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    // SERVED: pot_file prefix + key — per-partition pot_file is constant
+    val pfk = read().orderBy($"pot_file", $"key").limit(3)
+    assert(plan(pfk).contains("PushedTopN: key ASC limit 3"),
+      s"pot_file-prefixed key sort lost the pushdown:\n${plan(pfk)}")
+    assert(pfk.select($"key").as[String].collect().toSeq
+      === Seq("a001", "a002", "a003"))
+    // SERVED: mixed directions on the prefix
+    val pfdk = read().orderBy($"pot_file".desc, $"key".desc).limit(2)
+    assert(plan(pfdk).contains("PushedTopN: key DESC limit 2"))
+    assert(pfdk.select($"key").as[String].collect().toSeq
+      === Seq("b020", "b019"))
+    // SERVED: key with a trailing term (keys unique per object)
+    val kd = read().orderBy($"key", $"doc_json").limit(2)
+    assert(plan(kd).contains("PushedTopN: key ASC limit 2"))
+    assert(kd.select($"key").as[String].collect().toSeq
+      === Seq("a001", "a002"))
+    // SERVED as LIMIT: pot_file alone (all rows tie per partition)
+    val pf = read().orderBy($"pot_file").limit(4)
+    assert(plan(pf).contains("PushedLimit: 4"),
+      s"pot_file-only sort should degrade to a pushed limit:\n${plan(pf)}")
+    assert(pf.count() === 4L)
+    // DECLINED: doc_json leads — Spark runs its own full TopN
+    val dj = read().orderBy($"doc_json", $"key").limit(2)
+    assert(!plan(dj).contains("PushedTopN"),
+      s"doc_json sort must decline the pushdown:\n${plan(dj)}")
+    // string order: `{"v": 10}` < `{"v": 1}` ('0' < '}')
+    assert(dj.select($"key").as[String].collect().toSeq
+      === Seq("a010", "b010"))
+    // DECLINED: doc_json directly after the pot_file prefix
+    val pfdj = read().orderBy($"pot_file", $"doc_json").limit(2)
+    assert(!plan(pfdj).contains("PushedTopN"))
+  }
+
   test("BucketedPotV2 statement barrier (r15): a reader mid-statement sees NONE of it; done flips it whole") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("bpotv2stmt").toString
@@ -1659,6 +1740,139 @@ class PotJsonSpec extends AnyFunSuite {
     assert(readKeys() === Set("seed") ++ keys)
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(root, "_stmts/open/epq-e7")))
+  }
+
+  test("BucketedPotV2 AGED statement auto-recovery (r16): an ordinary read rolls a crashed statement forward — no manual recoverStatements") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("bpotv2age").toString
+    val fmt = classOf[graft.sources.BucketedPotV2Source].getName
+    def readKeys(): Set[String] = spark.read.format(fmt)
+      .option("path", root).option("buckets", "4").load()
+      .select($"key").as[String].collect().toSet
+    Seq(("", "seed", """{"v": 0}""")).toDF("pot_file", "key", "doc_json")
+      .write.format(fmt).option("path", root).option("buckets", "4")
+      .mode("append").save()
+    // crash a writer mid-statement: intent up, fragments staged, nothing
+    // committed (the exact r15-verdict hazard — a barrier with no owner)
+    val keys = Seq("xa", "xb", "xc", "xd")
+    val byBucket = keys.groupBy(
+      graft.sources.BucketedPotV2Source.bucketOf(_, 4))
+    assert(byBucket.size > 1, s"fixture keys collapsed: $byBucket")
+    val staging = java.nio.file.Paths.get(root, ".staging-agedq")
+    java.nio.file.Files.createDirectories(staging)
+    val frags = byBucket.map { case (b, ks) =>
+      val f = staging.resolve(s"part-b$b.jsonl")
+      java.nio.file.Files.writeString(f,
+        ks.map(k => s"""{"k":"$k","d":{"v":1}}""").mkString("", "\n", "\n"))
+      b -> Seq((0, f.toString))
+    }
+    val base = graft.sources.BucketedPotV2Source.headVector(root, 4)
+    graft.sources.BucketedStmtLog.begin(root, "agedq",
+      graft.sources.BucketedStmtLog.intentBody(
+        "insert", "agedq", truncate = false, Long.MaxValue,
+        byBucket.keys.toSeq.sorted,
+        byBucket.keys.map(b => b -> base.getOrElse(b, 0L)).toMap, frags))
+    // within the lease the barrier holds: readers keep the base view
+    assert(readKeys() === Set("seed"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "_stmts/open/agedq")))
+    // lease expired (threshold 0): the NEXT ordinary read rolls the
+    // statement forward at planning — no explicit recoverStatements call
+    val prev = sys.props.put("graft.stmt.recoverAfterMs", "0")
+    try {
+      assert(readKeys() === Set("seed") ++ keys,
+        "aged crashed statement did not auto-recover at read planning")
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(root, "_stmts/open/agedq")))
+    } finally prev match {
+      case Some(v) => sys.props.put("graft.stmt.recoverAfterMs", v)
+      case None => sys.props.remove("graft.stmt.recoverAfterMs")
+    }
+  }
+
+  test("BucketedPotV2 AGED statement auto-recovery (r16): the next WRITE on the store rolls a crashed predecessor forward") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("bpotv2agew").toString
+    val fmt = classOf[graft.sources.BucketedPotV2Source].getName
+    def readKeys(): Set[String] = spark.read.format(fmt)
+      .option("path", root).option("buckets", "4").load()
+      .select($"key").as[String].collect().toSet
+    Seq(("", "seed", """{"v": 0}""")).toDF("pot_file", "key", "doc_json")
+      .write.format(fmt).option("path", root).option("buckets", "4")
+      .mode("append").save()
+    val keys = Seq("wa", "wb", "wc", "wd")
+    val byBucket = keys.groupBy(
+      graft.sources.BucketedPotV2Source.bucketOf(_, 4))
+    val staging = java.nio.file.Paths.get(root, ".staging-agedw")
+    java.nio.file.Files.createDirectories(staging)
+    val frags = byBucket.map { case (b, ks) =>
+      val f = staging.resolve(s"part-b$b.jsonl")
+      java.nio.file.Files.writeString(f,
+        ks.map(k => s"""{"k":"$k","d":{"v":1}}""").mkString("", "\n", "\n"))
+      b -> Seq((0, f.toString))
+    }
+    val base = graft.sources.BucketedPotV2Source.headVector(root, 4)
+    graft.sources.BucketedStmtLog.begin(root, "agedw",
+      graft.sources.BucketedStmtLog.intentBody(
+        "insert", "agedw", truncate = false, Long.MaxValue,
+        byBucket.keys.toSeq.sorted,
+        byBucket.keys.map(b => b -> base.getOrElse(b, 0L)).toMap, frags))
+    val prev = sys.props.put("graft.stmt.recoverAfterMs", "0")
+    try {
+      // an ordinary multi-bucket INSERT: its begin() meets the aged
+      // barrier and rolls it forward before publishing its own intent
+      Seq(("", "w-new-1", """{"v": 2}"""), ("", "w-new-2", """{"v": 2}"""))
+        .toDF("pot_file", "key", "doc_json")
+        .write.format(fmt).option("path", root).option("buckets", "4")
+        .mode("append").save()
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(root, "_stmts/open/agedw")),
+        "write path did not recover the aged crashed statement")
+      assert(readKeys() === Set("seed", "w-new-1", "w-new-2") ++ keys)
+    } finally prev match {
+      case Some(v) => sys.props.put("graft.stmt.recoverAfterMs", v)
+      case None => sys.props.remove("graft.stmt.recoverAfterMs")
+    }
+  }
+
+  test("BucketedPotV2 statement base vector (r16/ADVICE): a commit landing between head read and intent CAS stays reader-visible") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("bpotv2fresh").toString
+    val fmt = classOf[graft.sources.BucketedPotV2Source].getName
+    Seq(("", "seed", """{"v": 0}""")).toDF("pot_file", "key", "doc_json")
+      .write.format(fmt).option("path", root).option("buckets", "4")
+      .mode("append").save()
+    val b0 = graft.sources.BucketedPotV2Source.bucketOf("seed", 4)
+    // heads() that simulates the race: the FIRST read returns the stale
+    // vector; between it and the post-CAS re-read an independent commit
+    // lands on bucket b0 (performed inside the closure's second call)
+    var calls = 0
+    val stale = graft.sources.BucketedPotV2Source.headVector(root, 4)
+    def heads(): Map[Int, Long] = {
+      calls += 1
+      if (calls == 1) stale
+      else graft.sources.BucketedPotV2Source.headVector(root, 4)
+    }
+    // the independent commit (visible to readers BEFORE the barrier)
+    Seq(("", "seed", """{"v": 9}""")).toDF("pot_file", "key", "doc_json")
+      .write.format(fmt).option("path", root).option("buckets", "4")
+      .mode("append").save()
+    graft.sources.BucketedStmtLog.beginFresh(root, "freshq", Seq(0, 1, 2, 3),
+      () => heads(),
+      base => graft.sources.BucketedStmtLog.intentBody(
+        "insert", "freshq", truncate = false, Long.MaxValue,
+        Seq(0, 1, 2, 3), base, Map.empty))
+    // the published base must reflect the moved head: the v9 commit was
+    // reader-visible pre-barrier, so readers must keep seeing it
+    val v = spark.read.format(fmt)
+      .option("path", root).option("buckets", "4").load()
+      .filter($"key" === "seed")
+      .select(org.apache.spark.sql.functions
+        .get_json_object($"doc_json", "$.v").cast("int"))
+      .as[Int].head()
+    assert(v === 9,
+      "reader snapshot regressed below an independent pre-barrier commit")
+    graft.sources.BucketedStmtLog.abort(root, "freshq", Seq.empty)
   }
 
   test("PotV2 glob changes with a per-pot vector equals the resumed multi-pot stream; out-of-range entries fail loudly") {
