@@ -1752,17 +1752,32 @@ object Dedup {
     * length). Emitted per doc: total/duplicated token counts + maximal
     * span count (real signal: 47/500 docs carry cross-doc spans at
     * sf0.01, 477/5000 at sf0.1). Shapes: one narrow window explode →
-    * one wkey-keyed count shuffle (HAVING ≥2 distinct docs) → seed
-    * fetch join → position explode + distinct → per-doc islands. Scale
-    * path: key the shuffle on xxhash64(wkey) (d3's domain discipline) so
-    * the exchange carries 8 bytes, not the 8-token string; W and the
+    * one count shuffle keyed on xxhash64(wkey) — the 8-byte d3 domain,
+    * never the 8-token string (r16) — → seed fetch join on the same
+    * hash → position explode + distinct → per-doc islands. W and the
     * 200-position bound mirrored literally (fixture max doc = 100
-    * tokens).
+    * tokens; the Spark side raises loudly past 199 — ADVICE r15).
     */
   private val SpanW = 8
 
   /** Per-doc (doc_id, total_tokens, dup_tokens, n_spans) — d25's frame,
-    * shared with p26's drop policy. */
+    * shared with p26's drop policy.
+    *
+    * r16 exchange discipline (the r15-verdict #3 item): the shared-window
+    * shuffle and the seed-fetch join key on `xxhash64(wkey)` — the 8-byte
+    * d3 domain — never on the ~50-byte 8-token window string itself, so
+    * the hottest dedup kernel's exchange carries ~6× fewer bytes per row
+    * at 100 TB. Equality is modulo 64-bit collisions (d3's documented,
+    * accepted trade; the oracle keeps exact-string joins — a collision
+    * would surface as a hash mismatch, which is the detection we want).
+    * PlanAuditSpec pins the exchange schema: LongType key, no window
+    * string crossing a shuffle.
+    *
+    * Fixture bound (ADVICE r15): the oracle enumerates window positions
+    * via range(1, 200), so docs must stay under 200 tokens — the Spark
+    * side raises NAMED at runtime if a fixture regen ever ships longer
+    * docs, instead of silently hash-diverging (the r10 events.ts class).
+    */
   private[operators] def exactSubstrPerDoc(
       s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -1772,13 +1787,13 @@ object Dedup {
     val wins = toks.filter($"n" >= SpanW)
       .select($"doc_id", explode(expr(
         s"transform(sequence(1, n - ${SpanW - 1}), i -> " +
-          s"struct(i AS i, array_join(slice(t, i, $SpanW), chr(1)) " +
-          "AS wkey))")).as("w"))
-      .select($"doc_id", $"w.i".as("i"), $"w.wkey".as("wkey"))
-    val shared = wins.groupBy($"wkey")
+          s"struct(i AS i, xxhash64(array_join(slice(t, i, $SpanW), " +
+          "chr(1))) AS wk))")).as("w"))
+      .select($"doc_id", $"w.i".as("i"), $"w.wk".as("wk"))
+    val shared = wins.groupBy($"wk")
       .agg(countDistinct($"doc_id").as("nd"))
-      .filter($"nd" >= 2).select($"wkey")
-    val cov = wins.join(shared, Seq("wkey"))
+      .filter($"nd" >= 2).select($"wk")
+    val cov = wins.join(shared, Seq("wk"))
       .select($"doc_id",
         explode(expr(s"sequence(i, i + ${SpanW - 1})")).as("p"))
       .distinct()
@@ -1788,7 +1803,14 @@ object Dedup {
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("dup_tokens"),
         countDistinct($"g").as("n_spans"))
-    toks.select($"doc_id", $"n".cast("long").as("total_tokens"))
+    toks.select($"doc_id",
+        when($"n" < 200, $"n".cast("long")).otherwise(raise_error(concat(
+          lit("d25/p26: document "), $"doc_id",
+          lit(s" has "), $"n",
+          lit(" tokens — the oracle's range(1, 200) window bound no " +
+            "longer covers the fixture; re-derive FIXTURES.md and widen " +
+            "both sides together")))
+          .cast("long")).as("total_tokens"))
       .join(agg, Seq("doc_id"), "left")
       .select($"doc_id", $"total_tokens",
         coalesce($"dup_tokens", lit(0L)).as("dup_tokens"),

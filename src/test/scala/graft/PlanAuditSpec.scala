@@ -82,14 +82,25 @@ class PlanAuditSpec extends AnyFunSuite {
       .deleteRecursively()
   }
 
-  test("d25/p26 exact-substring: window-keyed equi-joins only, no cartesian, doc-partitioned span merge (r15)") {
+  test("d25/p26 exact-substring: hash-keyed equi-joins only, 8-byte exchange key, no cartesian (r15/r16)") {
     Seq("d25_exact_substr", "p26_substr_drop_policy").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"all-pairs shape in $q:\n$p")
       assert(!p.contains("BroadcastNestedLoopJoin"),
         s"nested-loop crept into $q:\n$p")
-      // the seed fetch is an equi-join on the window key
-      assert(p.contains("wkey"), s"window-key join missing from $q:\n$p")
+      // r16: the seed fetch is an equi-join on xxhash64(wkey) — the
+      // exchange carries the 8-byte LongType key, never the ~50-byte
+      // window string (the r15-verdict exchange-width item)
+      assert(p.contains("wk#"), s"hashed window-key join missing from $q:\n$p")
+      assert(!p.contains("wkey"),
+        s"$q still shuffles the raw 8-token window string:\n$p")
+      val exchanges = p.linesIterator
+        .filter(l => l.contains("Exchange hashpartitioning(wk#"))
+        .toSeq
+      assert(exchanges.nonEmpty,
+        s"expected the shared-window count exchange keyed on wk:\n$p")
+      exchanges.foreach(l => assert(l.contains("wk#") && l.contains("L,"),
+        s"wk exchange key is not the 8-byte LongType hash: $l"))
     }
   }
 
