@@ -172,6 +172,47 @@ private[graft] object PotChain {
   def isDgen(body: String): Boolean =
     new Path(body).getName.startsWith(".dgen-")
 
+  // r16: every commit embeds its row statistics in the artifact NAME —
+  // `.snap-<stem>-r<entries>.json` / `.dgen-<stem>-u<upserts>d<dels>.jsonl`
+  // — so marker bodies stay the bare paths every reader parses while
+  // estimateStatistics().numRows becomes answerable from the chain alone
+  // (no data read). The name is decided before the CAS, so the count is
+  // atomic with the commit; legacy artifacts simply report no count.
+  private val SnapRowsRe = "-r([0-9]+)\\.json$".r
+  private val DgenCountsRe = "-u([0-9]+)d([0-9]+)\\.jsonl$".r
+
+  /** Exact entry count a `.snap-` artifact carries in its name. */
+  def snapRows(body: String): Option[Long] =
+    SnapRowsRe.findFirstMatchIn(new Path(body).getName)
+      .map(_.group(1).toLong)
+
+  /** (upsert lines, tombstone lines) a `.dgen-` artifact carries. */
+  def dgenCounts(body: String): Option[(Long, Long)] =
+    DgenCountsRe.findFirstMatchIn(new Path(body).getName)
+      .map(m => (m.group(1).toLong, m.group(2).toLong))
+
+  /** Row-count ESTIMATE of the state at generation g, from artifact
+    * names only: the covering snapshot's exact count folded with each
+    * dgen's `+upserts −tombstones`. Exact for snapshot heads; an
+    * UPPER-leaning estimate for delta heads (a dgen upsert of an
+    * existing key does not grow the state, a tombstone of an absent key
+    * does not shrink it) — the right bias for a planner statistic. None
+    * when any needed artifact predates the r16 stamp.
+    */
+  def rowsAt(fs: org.apache.hadoop.fs.FileSystem, commits: Path,
+      g: Long): Option[Long] = {
+    val arts = artifactsUpTo(fs, commits, g)
+    val baseIdx = arts.lastIndexWhere(a => isSnap(a._2))
+    if (baseIdx < 0) None
+    else snapRows(arts(baseIdx)._2).flatMap { base =>
+      arts.drop(baseIdx + 1).foldLeft(Option(base)) { (acc, a) =>
+        acc.flatMap(r => dgenCounts(a._2).map { case (u, d) =>
+          math.max(0L, r + u - d)
+        })
+      }
+    }
+  }
+
   /** (gen, marker body) ascending for every committed gen <= g. */
   def artifactsUpTo(fs: org.apache.hadoop.fs.FileSystem, commits: Path,
       g: Long): Seq[(Long, String)] =
@@ -734,10 +775,14 @@ private[graft] class PotV2Scan(
     * metadata over exactly the objects the (pushed-filter-pruned) scan
     * will open — a pruned point read reports bytes of its one object; a
     * delta-headed chain reports covering snapshot + dgen run (the bytes
-    * the fold reads; data.json may lag). Row count is not persisted at
-    * commit, so `numRows` is honestly absent — sizeInBytes alone drives
-    * the autoBroadcastJoinThreshold decision, which is the 100 TB
-    * behavior this buys.
+    * the fold reads; data.json may lag). `numRows` (r16) reads the
+    * per-commit row counts the writers stamp into artifact names
+    * ([[PotChain.rowsAt]]) — exact for snapshot heads, an upper-leaning
+    * estimate for delta heads, absent (honestly) for pre-r16 chains and
+    * raw legacy objects; with it the V2 relation carries a rowCount into
+    * the logical stats, the input CBO join reordering needs. A pushed
+    * exact-key predicate caps the estimate at keys × files (a point read
+    * must not report the whole pot's cardinality).
     */
   override def estimateStatistics(): Statistics = {
     import java.util.OptionalLong
@@ -751,15 +796,18 @@ private[graft] class PotV2Scan(
       val baseIdx = arts.lastIndexWhere(a => PotChain.isSnap(a._2))
       arts.drop(math.max(baseIdx, 0)).iterator.map(a => len(a._2)).sum
     }
-    val bytes: Option[Long] =
+    var nFiles = 1L
+    val (bytes, rows): (Option[Long], Option[Long]) =
       try generation match {
         case Some(g) =>
           val commits = new Path(p.getParent, ".commits")
           val body = PotChain.artifactOf(fs, commits, g)
-          Some(if (PotChain.isSnap(body)) len(body)
-          else foldBytes(commits, g))
+          (Some(if (PotChain.isSnap(body)) len(body)
+            else foldBytes(commits, g)),
+            PotChain.rowsAt(fs, commits, g))
         case None =>
-          Some(Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+          val per = Option(fs.globStatus(p)).map(_.toSeq)
+            .getOrElse(Seq.empty)
             .filter(_.isFile)
             .filter(st =>
               PotV2Filters.accepts(pushed, "pot_file", st.getPath.toString))
@@ -767,20 +815,40 @@ private[graft] class PotV2Scan(
               val commits = new Path(st.getPath.getParent, ".commits")
               val head = (graft.kv.CommitMarker
                 .committedGenerations(fs, commits) :+ 0L).max
-              if (head > 0 &&
+              val b = if (head > 0 &&
                   PotChain.isDgen(PotChain.artifactOf(fs, commits, head)))
                 foldBytes(commits, head)
               else st.getLen
-            }.sum)
+              val r = if (head > 0) PotChain.rowsAt(fs, commits, head)
+                else None // raw legacy object: count unknown without a read
+              (b, r)
+            }
+          nFiles = per.length.toLong
+          (Some(per.map(_._1).sum),
+            if (per.nonEmpty && per.forall(_._2.isDefined))
+              Some(per.flatMap(_._2).sum)
+            else None)
       } catch {
         // stats must never fail planning — an unreadable chain reports
         // unknown and the read path raises its own loud error
-        case scala.util.control.NonFatal(_) => None
+        case scala.util.control.NonFatal(_) => (None, None)
       }
+    // pushed exact-key shapes bound the emitted rows: at most one match
+    // per key per opened object (keys are unique within a pot)
+    val keyBound: Option[Long] = pushed.collectFirst {
+      case org.apache.spark.sql.sources.EqualTo("key", _) => nFiles
+      case org.apache.spark.sql.sources.In("key", vs) =>
+        vs.length.toLong * nFiles
+    }
+    val boundedRows = (rows, keyBound) match {
+      case (Some(r), Some(k)) => Some(math.min(r, k))
+      case (r, _) => r
+    }
     new Statistics {
       override def sizeInBytes(): OptionalLong =
         bytes.fold(OptionalLong.empty())(OptionalLong.of)
-      override def numRows(): OptionalLong = OptionalLong.empty()
+      override def numRows(): OptionalLong =
+        boundedRows.fold(OptionalLong.empty())(OptionalLong.of)
     }
   }
 
@@ -1272,7 +1340,10 @@ private[graft] class PotV2Write(
             s"over the $maxObjectBytes ceiling — a pot is a driver-memory " +
             "unit; migrate to graft.kv.BucketedPotTable or split across " +
             "more pot objects")
-      val stem = s"${snapTag.fold("")(_ + "-")}${java.util.UUID.randomUUID()}"
+      // exact entry count stamped into the artifact name (r16 — the
+      // commit-time statistic estimateStatistics().numRows reads back)
+      val stem = s"${snapTag.fold("")(_ + "-")}" +
+        s"${java.util.UUID.randomUUID()}-r${entries.size}"
       val snap = new Path(dir, s".snap-$stem.json")
       val out = fs.create(snap, false)
       try {
@@ -1426,7 +1497,11 @@ private[graft] class PotV2Write(
         finally in.close()
       }
       upserts.foreach { case (k, v) => folded.put(k, v) }
-      val stem = s"$snapTag-${java.util.UUID.randomUUID()}"
+      // upsert/tombstone counts stamped into the name (r16): the chain
+      // can estimate a delta head's row count without reading any data
+      val nDels = folded.values().asScala.count(_ == null)
+      val stem = s"$snapTag-${java.util.UUID.randomUUID()}" +
+        s"-u${folded.size - nDels}d$nDels"
       val dgen = new Path(dir, s".dgen-$stem.jsonl")
       val out = fs.create(dgen, false)
       try folded.entrySet().asScala.foreach { e =>

@@ -1531,6 +1531,74 @@ class PotJsonSpec extends AnyFunSuite {
     intercept[org.apache.spark.SparkException] { gpot.count() }
   }
 
+  test("PotV2 numRows statistics (r16): commit-stamped counts reach the logical stats; key filters cap them; CBO reorders a 3-way join") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("potv2rows").toString
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    def put(pot: String, n: Int): Unit =
+      (1 to n).map(i => ("", s"$pot$i", s"""{"v": $i}"""))
+        .toDF("pot_file", "key", "doc_json")
+        .write.format(fmt).option("path", s"$root/$pot/data.json")
+        .mode("overwrite").save()
+    put("a", 1000); put("b", 50); put("c", 5)
+    def pot(p: String) = spark.read.format(fmt)
+      .option("path", s"$root/$p/data.json").load()
+    def rowCount(df: org.apache.spark.sql.DataFrame): Option[BigInt] =
+      df.queryExecution.optimizedPlan.stats.rowCount
+    // exact count for a snapshot head, through the V2 relation stats
+    assert(rowCount(pot("a")) === Some(BigInt(1000)),
+      s"snapshot rowCount missing: ${pot("a").queryExecution.optimizedPlan.stats}")
+    assert(rowCount(pot("c")) === Some(BigInt(5)))
+    // a pushed exact-key predicate caps the estimate at 1 per object
+    assert(rowCount(pot("a").filter($"key" === "a5")) === Some(BigInt(1)),
+      "key-filtered scan must not report the whole pot's cardinality")
+    // delta-headed chain: covering snapshot + dgen fold (2 new upserts,
+    // 1 tombstone of an existing key => estimate 5 + 2 - 1 = 6)
+    val w = new graft.sources.PotV2Write(
+      s"$root/c/data.json", graft.sources.PotV2Source.Schema, "rowsq",
+      truncateFirst = false)
+    val frag = java.nio.file.Paths.get(root, "c-frag.jsonl")
+    java.nio.file.Files.writeString(frag,
+      """{"k":"cx1","d":{"v":101}}""" + "\n" +
+        """{"k":"cx2","d":{"v":102}}""" + "\n" +
+        """{"k":"c1","d":null}""" + "\n")
+    w.commitDeltaEpoch(
+      Array(graft.sources.PotFragmentMessage(0, frag.toString)),
+      "qrowsqe1", new org.apache.hadoop.fs.Path(root, ".spec-scratch"))
+    assert(rowCount(pot("c")) === Some(BigInt(6)),
+      s"delta-head estimate wrong: ${pot("c").queryExecution.optimizedPlan.stats}")
+    // CBO join reorder: with rowCount flowing, the DP reorder joins the
+    // two SMALL pots before touching the 1000-row one — declared order
+    // deliberately puts the big pot first
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    val prevRe = spark.conf.get("spark.sql.cbo.joinReorder.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val a = pot("a").select($"key".as("k"), $"doc_json".as("da"))
+      val b = pot("b").select($"key".as("k"), $"doc_json".as("db"))
+      val c = pot("c").select($"key".as("k"), $"doc_json".as("dc"))
+      val opt = a.join(b, "k").join(c, "k")
+        .queryExecution.optimizedPlan
+      // the innermost (first-executed) join must NOT be the declared
+      // a-join-b pair: the DP reorder pulls the SMALLEST relation into
+      // it (observed plan: (a JOIN c) JOIN b — the 50-row mid moves out)
+      val leafRows = opt.collectLeaves().map(_.stats.rowCount)
+      info(s"leaf order after reorder: $leafRows")
+      assert(leafRows !== List(Some(BigInt(1000)), Some(BigInt(50)),
+        Some(BigInt(6))),
+        s"CBO kept the declared join order; leaves: $leafRows\n$opt")
+      assert(leafRows.take(2).flatten.exists(_ <= BigInt(6)),
+        s"smallest pot not in the innermost join; leaves: $leafRows\n$opt")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", prevRe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("PotV2 TopN pushdown (r16): UTF-8 byte order — supplementary-char keys never evicted by a BMP key >= U+E000") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("potv2utf8").toString
