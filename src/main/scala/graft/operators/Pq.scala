@@ -610,7 +610,179 @@ object Pq {
       .mkString(",\n") + "\n" + tail
   }
 
+  /** s34 knobs (mirrored literally in the oracle): a FINE coarse
+    * partition ([[FbK]] cells — cohorts small enough that starvation is
+    * LIVE at sf0.01: rank-1 cohorts [6,6,11,11,11] against k=10), one
+    * probed cell by default, widening to the [[FbWiden]] nearest for
+    * starved probes. */
+  val FbK = 64
+  val FbNProbe = 1
+  val FbTopK = 10
+  val FbWiden = 3
+
+  /** s34: IVF-PQ kNN JOIN with STARVED-PROBE ESCALATION (r16) — s33's
+    * honest hole closed the s32 way, at QUANTIZED cost: a probe whose
+    * [[FbNProbe]] nearest coarse cells hold fewer than [[FbTopK]] corpus
+    * vectors widens to its [[FbWiden]] nearest cells — still a
+    * cell-cohort EQUI-join (never probes × corpus; the widened set is a
+    * driver-free rank filter over the same exploded cell relation), with
+    * `probe_radius` provenance per probe (0 = served at NProbe, 1 =
+    * escalated — the s14/s32 discipline: callers see what the lookup
+    * cost) and the exact integer L2 printed next to every ADC rank (the
+    * price tag s33 already pays). Starvation is detected from the cell
+    * OCCUPANCY table (FbK rows — at 100 TB this is the index's stats
+    * sidecar, not a data pass). Probes still starved at the widened
+    * radius emit what they have — the hole narrows, it never silently
+    * fills. FbK/FbNProbe/FbTopK/FbWiden mirrored literally; the oracle
+    * replays the widened cell set relationally.
+    */
+  def ivfPqKnnFallback(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val q = KMeans.quantized(s, d)
+    val cells = KMeans.train(s, q, FbK)
+    val (books, _, _) = trainPq(s, q)
+    val bcCells = s.sparkContext.broadcast(cells)
+    val bcBooks = s.sparkContext.broadcast(books)
+    def l2(a: Array[Long], b: Array[Long]): Long = {
+      var acc = 0L; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); acc += t * t; i += 1 }
+      acc
+    }
+    val corpus = q.filter(_._1 % 101 != 7).map { case (id, v) =>
+      val cell = KMeans.assign(v, bcCells.value)._1
+      val c = (0 until M).map(m => KMeans.assign(
+        java.util.Arrays.copyOfRange(v, m * SubDim, (m + 1) * SubDim),
+        bcBooks.value(m))._1)
+      (id, cell, c(0), c(1), c(2), c(3))
+    }.toDF("nbr", "cell", "c0", "c1", "c2", "c3")
+    val probes = q.filter(_._1 % 101 == 7)
+    // every probe's FbWiden nearest cells WITH their rank — one relation
+    // serves both the default probe set (crank <= FbNProbe) and the
+    // escalation (crank <= FbWiden), no second cell pass
+    val pc = probes.flatMap { case (id, v) =>
+      bcCells.value.map { case (cid, c) => (l2(v, c), cid) }
+        .sorted.take(FbWiden).zipWithIndex
+        .map { case ((_, cid), r) => (id, cid, r + 1) }
+    }.toDF("probe_id", "cell", "crank")
+    // starvation from the occupancy table (FbK rows), not a data join
+    val occ = corpus.groupBy($"cell").agg(count(lit(1)).as("occ"))
+    val radius = pc.filter($"crank" <= FbNProbe)
+      .join(broadcast(occ), Seq("cell"), "left")
+      .groupBy($"probe_id")
+      .agg(sum(coalesce($"occ", lit(0L))).as("n0"))
+      .select($"probe_id",
+        when($"n0" < FbTopK, 1).otherwise(0).as("probe_radius"))
+    val pce = pc.join(broadcast(radius), Seq("probe_id"))
+      .filter($"crank" <= FbNProbe ||
+        ($"probe_radius" === 1 && $"crank" <= FbWiden))
+      .select($"probe_id", $"cell")
+    val lut = probes.flatMap { case (id, v) =>
+      for {
+        m <- 0 until M
+        (cid, c) <- bcBooks.value(m)
+      } yield (id, m, cid, l2(java.util.Arrays.copyOfRange(
+        v, m * SubDim, (m + 1) * SubDim), c))
+    }.toDF("probe_id", "m", "cid", "dd")
+    def lutm(m: Int) = broadcast(lut.filter($"m" === m)
+      .select($"probe_id".as(s"p$m"), $"cid".as(s"k$m"),
+        $"dd".as(s"d$m")))
+    val pairs = pce.join(corpus, Seq("cell"))
+      .join(lutm(0), $"probe_id" === $"p0" && $"c0" === $"k0")
+      .join(lutm(1), $"probe_id" === $"p1" && $"c1" === $"k1")
+      .join(lutm(2), $"probe_id" === $"p2" && $"c2" === $"k2")
+      .join(lutm(3), $"probe_id" === $"p3" && $"c3" === $"k3")
+      .select($"probe_id", $"nbr",
+        ($"d0" + $"d1" + $"d2" + $"d3").as("adc"))
+    val w = Window.partitionBy($"probe_id").orderBy($"adc".asc, $"nbr".asc)
+    val topk = pairs.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= FbTopK)
+    val qDf = q.map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "qv")
+    qDf.select($"vec_id".as("probe_id"), $"qv".as("pv"))
+      .join(broadcast(topk), Seq("probe_id"))
+      .join(qDf.select($"vec_id".as("nbr"), $"qv".as("nv")), Seq("nbr"))
+      .join(Tables.embeddings(s, d)
+        .select($"vec_id".as("nbr"), $"label".as("nbr_label")), Seq("nbr"))
+      .join(broadcast(radius), Seq("probe_id"))
+      .withColumn("dist",
+        aggregate(zip_with($"pv", $"nv", (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v))
+      .select($"probe_id", $"rk", $"nbr", $"nbr_label", $"adc", $"dist",
+        $"probe_radius")
+      .orderBy($"probe_id", $"rk")
+  }
+
+  val ivfPqKnnFallbackSql: String = {
+    val subs = (0 until M).map(subspaceCtes)
+    val block =
+      s"""d2c AS MATERIALIZED (
+         |  SELECT v.vec_id, c.cid,
+         |    CAST(list_sum(list_transform(range(1, ${KMeans.Dim + 1}),
+         |      i -> (v.q[i] - c.c[i]) * (v.q[i] - c.c[i]))) AS BIGINT) AS dist
+         |  FROM q v CROSS JOIN c1 c),
+         |a2c AS MATERIALIZED (
+         |  SELECT vec_id, cid AS cell FROM (
+         |    SELECT vec_id, cid, dist,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d2c) WHERE rn = 1),
+         |occb AS (
+         |  SELECT cell, CAST(COUNT(*) AS BIGINT) AS occ
+         |  FROM a2c WHERE vec_id % 101 <> 7 GROUP BY cell),
+         |pcr AS MATERIALIZED (
+         |  SELECT vec_id AS probe_id, cid AS cell, rn AS crank FROM (
+         |    SELECT vec_id, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+         |    FROM d2c WHERE vec_id % 101 = 7) WHERE rn <= $FbWiden),
+         |radb AS MATERIALIZED (
+         |  SELECT p.probe_id,
+         |    CASE WHEN COALESCE(SUM(o.occ), 0) < $FbTopK THEN 1 ELSE 0 END
+         |      AS probe_radius
+         |  FROM pcr p LEFT JOIN occb o ON o.cell = p.cell
+         |  WHERE p.crank <= $FbNProbe
+         |  GROUP BY p.probe_id),
+         |pceb AS (
+         |  SELECT p.probe_id, p.cell
+         |  FROM pcr p JOIN radb r USING (probe_id)
+         |  WHERE p.crank <= $FbNProbe
+         |     OR (r.probe_radius = 1 AND p.crank <= $FbWiden)),
+         |pairsb AS (
+         |  SELECT p.probe_id, ac.vec_id AS nbr,
+         |    l0.dist + l1.dist + l2.dist + l3.dist AS adc
+         |  FROM pceb p
+         |  JOIN a2c ac ON ac.cell = p.cell AND ac.vec_id % 101 <> 7
+         |  JOIN a02 a0 ON a0.vec_id = ac.vec_id
+         |  JOIN a12 a1 ON a1.vec_id = ac.vec_id
+         |  JOIN a22 a2 ON a2.vec_id = ac.vec_id
+         |  JOIN a32 a3 ON a3.vec_id = ac.vec_id
+         |  JOIN d02 l0 ON l0.vec_id = p.probe_id AND l0.cid = a0.cid
+         |  JOIN d12 l1 ON l1.vec_id = p.probe_id AND l1.cid = a1.cid
+         |  JOIN d22 l2 ON l2.vec_id = p.probe_id AND l2.cid = a2.cid
+         |  JOIN d32 l3 ON l3.vec_id = p.probe_id AND l3.cid = a3.cid),
+         |rkb AS (
+         |  SELECT probe_id, nbr, adc,
+         |    ROW_NUMBER() OVER (PARTITION BY probe_id
+         |      ORDER BY adc, nbr) AS rk
+         |  FROM pairsb),
+         |topkb AS (SELECT * FROM rkb WHERE rk <= $FbTopK)""".stripMargin
+    val tail =
+      s"""SELECT t.probe_id, CAST(t.rk AS INTEGER) AS rk, t.nbr,
+         |  e.label AS nbr_label, CAST(t.adc AS BIGINT) AS adc,
+         |  CAST(list_sum(list_transform(range(1, ${KMeans.Dim + 1}),
+         |    i -> (pv.q[i] - nv.q[i]) * (pv.q[i] - nv.q[i])))
+         |    AS BIGINT) AS dist,
+         |  CAST(r.probe_radius AS INTEGER) AS probe_radius
+         |FROM topkb t
+         |JOIN qf pv ON pv.vec_id = t.probe_id
+         |JOIN qf nv ON nv.vec_id = t.nbr
+         |JOIN embeddings e ON e.vec_id = t.nbr
+         |JOIN radb r ON r.probe_id = t.probe_id
+         |ORDER BY t.probe_id, t.rk""".stripMargin
+    (Seq(headCte, KMeans.lloydCtes(FbK)) ++ subs :+ block)
+      .mkString(",\n") + "\n" + tail
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s34_ivfpq_knn_fallback" -> (ivfPqKnnFallback _),
     "s33_ivfpq_knn_join" -> (ivfPqKnnJoin _),
     "s18_pq_adc"    -> (pqSearch _),
     "s19_pq_recall" -> (pqRecall _),
@@ -618,6 +790,7 @@ object Pq {
     "s22_nprobe_sweep" -> (nprobeSweep _))
 
   val oracle: Map[String, String] = Map(
+    "s34_ivfpq_knn_fallback" -> ivfPqKnnFallbackSql,
     "s33_ivfpq_knn_join" -> ivfPqKnnJoinSql,
     "s18_pq_adc"    -> pqSearchSql,
     "s19_pq_recall" -> pqRecallSql,

@@ -112,6 +112,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("cell"), s"cell cohort join missing:\n$p")
   }
 
+  test("s34 IVF-PQ fallback join: cell-cohort equi-join at both radii, occupancy-table starvation, never probes x corpus (r16)") {
+    val p = plan("s34_ivfpq_knn_fallback")
+    assert(!p.contains("CartesianProduct"), s"all-pairs shape in s34:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"nested-loop crept into s34:\n$p")
+    // the widened probe set joins the SAME cell-keyed corpus relation —
+    // escalation must not introduce a non-equi shape
+    assert(p.contains("cell"), s"cell cohort join missing:\n$p")
+  }
+
   test("t23 perplexity split: tercile via DistRank — every Window is bucket-partitioned, none global (r15)") {
     val p = plan("t23_perplexity_split")
     val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
