@@ -317,6 +317,104 @@ final class BucketedPotTable(
   def repair(): Seq[Long] =
     CommitMarker.repair(fs, new Path(s"$dir/_commits"))
 
+  // ===================== persisted z-order layout (r16) ==================
+  // q84 proved the z-order mechanism on a per-query temp dir; this is the
+  // STORE-NATIVE form the r15 verdict asked for: a maintenance op that
+  // rewrites the table's current state z-clustered under `_zorder/` and
+  // publishes it as a CommitMarker generation readers ADOPT across
+  // queries (and processes) — what a 100 TB lookup table actually runs.
+  // The layout is a derived artifact pinned to its SOURCE generation: a
+  // reader meeting a layout built from an older store generation fails
+  // loudly (stale layout, re-run cluster) instead of serving dropped-
+  // behind data. N-dim interleave via ZOrderLayout.zvalN; the caller
+  // maps its dimensions into the [0, 2^8) domain and NAMES them — the
+  // names persist in the layout parquet (filterable) and in the marker
+  // body (self-describing, like _meta/buckets).
+
+  private def zorderCommits = new Path(s"$dir/_zorder/_commits")
+
+  /** Rewrite the current state z-clustered on `dims` (name -> column in
+    * the [0,256) domain) and publish the layout. One shuffle, one file
+    * per occupied z-bucket; the marker body records dims, bucketBits and
+    * the source generation. Returns the layout generation.
+    */
+  def cluster(dims: Seq[(String, org.apache.spark.sql.Column)],
+      bucketBits: Int = 6): Long = {
+    require(dims.length >= 2, "cluster needs at least two dimensions")
+    val srcGen = generation
+    require(srcGen >= 1L, s"bucketed pot $path: nothing to cluster")
+    val layoutGen = CommitMarker
+      .committedGenerations(fs, zorderCommits).foldLeft(0L)(math.max) + 1
+    val staged =
+      s"$dir/_zorder/data/g${layoutGen}_${java.util.UUID.randomUUID()}"
+    val named = dims.foldLeft(get()) { case (df, (n, c)) =>
+      df.withColumn(n, c.cast("long"))
+    }
+    named
+      .withColumn("zb", shiftright(
+        graft.operators.ZOrderLayout.zvalN(dims.map(d => col(d._1))),
+        dims.length * graft.operators.ZOrderLayout.Bits - bucketBits)
+        .cast("long"))
+      .repartition(col("zb"))
+      .write.partitionBy("zb").mode("errorifexists").parquet(staged)
+    val body = s"$staged\n" +
+      s"""{"srcGen":$srcGen,"bucketBits":$bucketBits,""" +
+      s""""dims":[${dims.map(d => "\"" + d._1 + "\"").mkString(",")}]}"""
+    fs.mkdirs(zorderCommits)
+    try CommitMarker.publish(
+      fs, new Path(zorderCommits, layoutGen.toString), body)
+    catch {
+      case e: CommitConflict =>
+        fs.delete(new Path(staged), true) // own staging only
+        throw e
+    }
+    layoutGen
+  }
+
+  /** The latest published layout: (dataDir, srcGen, bucketBits, dims). */
+  private def resolveLayout(): Option[(String, Long, Int, Seq[String])] = {
+    val gens = CommitMarker.committedGenerations(fs, zorderCommits)
+    if (gens.isEmpty) return None
+    val body = CommitMarker.read(fs, new Path(zorderCommits, gens.max.toString))
+    val lines = body.split("\n", 2)
+    val j = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(lines(1))
+    import scala.jdk.CollectionConverters._
+    Some((lines(0), j.get("srcGen").asLong(), j.get("bucketBits").asInt(),
+      j.get("dims").elements().asScala.map(_.asText()).toSeq))
+  }
+
+  /** True iff a layout exists AND matches the store's current
+    * generation — the "do I need to re-cluster?" probe. */
+  def layoutFresh(): Boolean =
+    resolveLayout().exists(_._2 == generation)
+
+  /** Pruned read over the PERSISTED layout for a range predicate on one
+    * clustered dimension: the structurally-derived bucket set becomes a
+    * literal `zb IN (...)` partition filter (pruned at file listing);
+    * the exact range predicate applies on top. Fails loudly on a stale
+    * layout (source generation moved) or an un-clustered dimension —
+    * never silently serves dropped-behind data or an unpruned scan.
+    */
+  def readClustered(dim: String, lo: Int, hi: Int): DataFrame = {
+    val (dataDir, srcGen, bucketBits, dims) = resolveLayout().getOrElse(
+      throw new IllegalStateException(
+        s"bucketed pot $path: no z-order layout published — run cluster()"))
+    require(srcGen == generation,
+      s"bucketed pot $path: z-order layout was built at generation " +
+        s"$srcGen but the store is at $generation — stale layout; " +
+        "re-run cluster() (a layout is a derived artifact, it never " +
+        "silently serves old state)")
+    val di = dims.indexOf(dim)
+    require(di >= 0, s"bucketed pot $path: dimension '$dim' is not in " +
+      s"the clustered set ${dims.mkString("[", ", ", "]")}")
+    val zbs = graft.operators.ZOrderLayout
+      .bucketsForRangeN(di, dims.length, lo, hi, bucketBits)
+    spark.read.parquet(dataDir)
+      .filter(col("zb").isin(zbs: _*))
+      .filter(col(dim).between(lo.toLong, hi.toLong))
+  }
+
   /** Buckets republished (or tombstoned) by generation `gen`'s commit —
     * test hook for asserting partition-scoped (not whole-table) rewrite.
     */

@@ -1158,7 +1158,78 @@ object Aggregates {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** q85: PERSISTED store-native z-order (r16) — q84's mechanism moved
+    * onto the store where a 100 TB lookup table actually runs it:
+    * documents live in a [[graft.kv.BucketedPotTable]] (content-addressed
+    * under tmpdir per fixture — the AnnIndex warm-store discipline, with
+    * the fixture file's length+mtime in the key so a driver regen can
+    * never serve a stale store), `cluster()` publishes a 3-dim z-layout
+    * GENERATION under `_zorder/` (CommitMarker CAS, pinned to its source
+    * generation), and TWO SEPARATE range reads — one on dim `b`, one on
+    * dim `c` — ADOPT the persisted layout (Verify and Bench, separate
+    * processes, both open it; within the query the two reads share
+    * nothing but the published artifact). Each read's structurally
+    * derived bucket set is a literal `zb IN` partition filter: 3 dims ×
+    * 8 bits interleaved, bucketBits=6 pins 2 bits of EVERY dim, so each
+    * single-dim range of one quarter-domain opens 16 of 64 buckets
+    * (PlanAuditSpec pins the numFiles drop for both dims). Dims
+    * (doc_id%256, length%256, (doc_id*37)%256 — the multiplicative
+    * spread keeps every dim's HIGH bits live at 500 docs) mirrored
+    * literally;
+    * oracle = the same aggregates straight off documents — the layout
+    * changes WHAT IS READ, never the answer.
+    */
+  private[graft] def storeZorderTable(
+      s: SparkSession, d: String): graft.kv.BucketedPotTable = {
+    import s.implicits._
+    val docsFile = new java.io.File(s"$d/documents.parquet")
+    val fp = s"$d|${docsFile.length()}|${docsFile.lastModified()}"
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(fp.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    val root = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft-zstore-$key").toString
+    val t = graft.kv.BucketedPotTable(s, root, "docs_z", 16)
+    if (t.generation == 0L)
+      t.upsert(Tables.documents(s, d).select(
+        concat(lit("d"), $"doc_id").as("key"),
+        $"doc_id",
+        pmod($"doc_id", lit(256)).as("a"),
+        pmod(length($"text"), lit(256)).cast("long").as("b"),
+        pmod($"doc_id" * 37, lit(256)).as("c")))
+    if (!t.layoutFresh())
+      try t.cluster(Seq("a" -> $"a", "b" -> $"b", "c" -> $"c"))
+      catch { // concurrent builder published: adopt its layout
+        case _: graft.kv.PotTable.CommitConflict => ()
+      }
+    t
+  }
+
+  def storeZorder(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val t = storeZorderTable(s, d)
+    def probe(name: String, dim: String, lo: Int, hi: Int): DataFrame =
+      t.readClustered(dim, lo, hi)
+        .agg(count(lit(1)).as("n_rows"), sum($"doc_id").as("sum_id"))
+        .select(lit(name).as("probe"), $"n_rows", $"sum_id")
+    probe("b64_127", "b", 64, 127)
+      .unionByName(probe("c0_63", "c", 0, 63))
+      .orderBy($"probe")
+      .localCheckpoint(true)
+  }
+
+  val storeZorderSql: String =
+    """SELECT probe, n_rows, sum_id FROM (
+      |  SELECT 'b64_127' AS probe, CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    CAST(SUM(doc_id) AS BIGINT) AS sum_id
+      |  FROM documents WHERE length(text) % 256 BETWEEN 64 AND 127
+      |  UNION ALL
+      |  SELECT 'c0_63', CAST(COUNT(*) AS BIGINT),
+      |    CAST(SUM(doc_id) AS BIGINT)
+      |  FROM documents WHERE (doc_id * 37) % 256 BETWEEN 0 AND 63) t
+      |ORDER BY probe""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q85_store_zorder" -> (storeZorder _),
     "q84_zorder_layout" -> (zorderLayoutScan _),
     "q83_zorder_pruning" -> (zorderPruning _),
     "q81_group_mode" -> (groupMode _),
@@ -1181,6 +1252,7 @@ object Aggregates {
     "q52_hll_merge"         -> (hllMerge _))
 
   val oracle: Map[String, String] = Map(
+    "q85_store_zorder" -> storeZorderSql,
     "q84_zorder_layout" -> zorderLayoutScanSql,
     "q83_zorder_pruning" -> zorderPruningSql,
     "q81_group_mode" -> groupModeSql,

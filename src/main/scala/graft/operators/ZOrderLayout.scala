@@ -90,4 +90,46 @@ object ZOrderLayout {
     // post-scan one
     s.read.parquet(dir).filter(
       col("zb").isin(bucketsForBRange(lo, hi, bucketBits): _*))
+
+  // ======================= N-dim generalization (r16) ====================
+  // The store-native persisted layout (BucketedPotTable.cluster) needs
+  // more than two lookup dimensions; the interleave generalizes round-
+  // robin — z bit (i*n + j) = bit i of dimension j — so the 2-dim [[zval]]
+  // is exactly [[zvalN]](Seq(a, b)). Bucket derivation stays pure bit
+  // structure: a bucket id pins the top `bucketBits` z bits, each
+  // dimension's reachable interval follows from which of ITS bits land in
+  // the pinned range.
+
+  /** Round-robin n-dim interleave over [[Bits]]-bit dimensions. */
+  def zvalN(cols: Seq[Column]): Column = {
+    val n = cols.length
+    require(n >= 2, "zvalN needs at least two dimensions")
+    (for {
+      i <- 0 until Bits
+      (c, j) <- cols.zipWithIndex
+    } yield shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + j))
+      .reduce(_ + _)
+  }
+
+  /** Buckets whose structural box overlaps [lo, hi] on dimension
+    * `dimIdx` of an `nDims`-dim interleave — the N-dim
+    * [[bucketsForBRange]] (which equals dimIdx=1, nDims=2). */
+  def bucketsForRangeN(dimIdx: Int, nDims: Int, lo: Int, hi: Int,
+      bucketBits: Int): Seq[Int] = {
+    require(dimIdx >= 0 && dimIdx < nDims)
+    require(bucketBits >= 1 && bucketBits <= nDims * Bits)
+    (0 until (1 << bucketBits)).filter { zb =>
+      var dmin = 0
+      var dmax = 0
+      (0 until Bits).foreach { bit =>
+        val zpos = bit * nDims + dimIdx
+        if (zpos >= nDims * Bits - bucketBits) {
+          val v = (zb >> (zpos - (nDims * Bits - bucketBits))) & 1
+          dmin |= v << bit
+          dmax |= v << bit
+        } else dmax |= 1 << bit
+      }
+      dmin <= hi && dmax >= lo
+    }
+  }
 }

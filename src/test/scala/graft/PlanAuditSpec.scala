@@ -82,6 +82,42 @@ class PlanAuditSpec extends AnyFunSuite {
       .deleteRecursively()
   }
 
+  test("q85 persisted store z-order: both dims' range reads prune at file listing across separate queries (r16)") {
+    val t = graft.operators.Aggregates.storeZorderTable(spark, sf)
+    // structural arithmetic: 3 dims x 8 bits, bucketBits=6 pins 2 bits
+    // of each dim -> a quarter-domain range admits 16 of 64 boxes
+    assert(graft.operators.ZOrderLayout
+      .bucketsForRangeN(1, 3, 64, 127, 6).size === 16)
+    assert(graft.operators.ZOrderLayout
+      .bucketsForRangeN(2, 3, 0, 63, 6).size === 16)
+    // 2-dim equivalence: the N-dim derivation at n=2 IS bucketsForBRange
+    assert(graft.operators.ZOrderLayout.bucketsForRangeN(1, 2, 64, 127, 5)
+      === graft.operators.ZOrderLayout.bucketsForBRange(64, 127))
+    Seq(("b", 64, 127), ("c", 0, 63)).foreach { case (dim, lo, hi) =>
+      val pruned = t.readClustered(dim, lo, hi)
+      val plan0 = pruned.queryExecution.executedPlan
+      val p = plan0.toString
+      assert(p.contains("PartitionFilters") && p.contains("zb#"),
+        s"zb partition filter missing for dim $dim:\n$p")
+      pruned.collect()
+      val scan = plan0.collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.getOrElse(fail(s"no file scan in plan:\n$p"))
+      val opened = scan.metrics("numFiles").value
+      // ground truth numFiles vs the layout's on-disk part files: a
+      // separate-query read of the PERSISTED artifact must open under
+      // half the files (16/64 boxes structurally; occupancy-dependent)
+      val dataDir = pruned.inputFiles.head
+        .replaceAll("/zb=.*", "")
+      import scala.jdk.CollectionConverters._
+      val full = java.nio.file.Files.walk(java.nio.file.Paths.get(
+        new java.net.URI(dataDir).getPath)).iterator().asScala
+        .count(f => f.getFileName.toString.startsWith("part-"))
+      assert(opened * 2 <= full,
+        s"persisted z-order pruning on $dim opened $opened of $full files")
+    }
+  }
+
   test("d25/p26 exact-substring: hash-keyed equi-joins only, 8-byte exchange key, no cartesian (r15/r16)") {
     Seq("d25_exact_substr", "p26_substr_drop_policy").foreach { q =>
       val p = plan(q)
