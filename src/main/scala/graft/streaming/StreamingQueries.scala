@@ -1493,7 +1493,144 @@ object StreamingQueries {
       |) t
       |ORDER BY key, deleted, v""".stripMargin
 
+  /** st22: STATEMENT-CONSISTENT CDC APPLY (r16) — the consumer recipe
+    * [[graft.sources.BucketedStmtLog]] documents, demonstrated end to
+    * end: the sharded store's change feed is a physical per-chain log
+    * (bucket commits surface as they land), so a downstream apply that
+    * needs statement atomicity must group deltas on the STATEMENT TAG
+    * (embedded in each generation's artifact stem) and HOLD a
+    * statement's deltas until its `_stmts/open` barrier clears. The
+    * fixture crashes a multi-bucket INSERT mid-apply (intent up, exactly
+    * one bucket's chain committed) and folds the feed TWICE:
+    *
+    *   - phase `1_held`: the consumer's applied view with the crashed
+    *     statement's tag still open — the committed-prefix bucket's
+    *     deltas are HELD, so the view equals the seed statement exactly
+    *     (a prefix-applied statement is never emitted downstream);
+    *   - phase `2_released`: after `recoverStatements` rolls the crash
+    *     forward (barrier clears), the same fold applies the whole
+    *     statement atomically.
+    *
+    * Tag resolution is driver-bounded (buckets × generations commit
+    * markers — the index's metadata, not a data pass) and joins the feed
+    * broadcast; the apply itself is one per-key LWW window over
+    * (bucket, generation) — keys never move buckets, so per-key order is
+    * per-chain order. Oracle replays both phases relationally.
+    */
+  def streamStmtConsistentCdc(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val root = runScratchDir("graft-st22")
+    val store = s"$root/store"
+    val bfmt = classOf[graft.sources.BucketedPotV2Source].getName
+    val pfmt = classOf[graft.sources.PotV2Source].getName
+    val nat = Tables.nation(s, d)
+    // statement A (completed multi-bucket INSERT): regions <= 1 at v0
+    nat.filter($"n_regionkey" <= 1).select(lit("").as("pot_file"),
+        concat(lit("n"), $"n_nationkey").as("key"),
+        to_json(struct($"n_regionkey".as("r"), lit(0).as("v")))
+          .as("doc_json"))
+      .write.format(bfmt).option("path", store).option("buckets", "8")
+      .mode("append").save()
+    // statement B, CRASHED mid-apply: intent published, fragments staged
+    // for every touched bucket, exactly the FIRST bucket's chain
+    // committed (the prefix a naive CDC consumer would leak)
+    val bKeys = nat.filter($"n_regionkey" === 0)
+      .select(concat(lit("n"), $"n_nationkey").as("key"))
+      .as[String].collect().sorted.toSeq
+    val byBucket = bKeys.groupBy(
+      graft.sources.BucketedPotV2Source.bucketOf(_, 8))
+    val staging = new java.io.File(s"$store/.staging-st22b")
+    staging.mkdirs()
+    val frags = byBucket.map { case (b, ks) =>
+      val f = new java.io.File(staging, s"part-b$b.jsonl")
+      java.nio.file.Files.writeString(f.toPath,
+        ks.map(k => s"""{"k":"$k","d":{"r":0,"v":1}}""")
+          .mkString("", "\n", "\n"))
+      b -> Seq((0, f.toString))
+    }
+    val base = graft.sources.BucketedPotV2Source.headVector(store, 8)
+    graft.sources.BucketedStmtLog.begin(store, "st22-crashed",
+      graft.sources.BucketedStmtLog.intentBody("insert", "st22-crashed",
+        truncate = false, Long.MaxValue, byBucket.keys.toSeq.sorted,
+        byBucket.keys.map(b => b -> base.getOrElse(b, 0L)).toMap, frags))
+    val b0 = byBucket.keys.min
+    new graft.sources.PotV2Write(
+      graft.sources.BucketedPotV2Source.bucketPot(store, b0),
+      graft.sources.PotV2Source.Schema, s"st22-crashed-b$b0",
+      truncateFirst = false)
+      .commitEntries(
+        Array(graft.sources.PotFragmentMessage(0, frags(b0).head._2)),
+        truncate = false, snapTag = Some("qst22cras"),
+        retryOnConflict = true,
+        staging = new org.apache.hadoop.fs.Path(store, ".scratch-b0"))
+    // ---- the consumer (the BucketedStmtLog recipe) ----
+    def appliedView(phase: String): DataFrame = {
+      val fs = new org.apache.hadoop.fs.Path(store)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      // statement-tag dimension: (bucket, generation) -> artifact stem
+      // tag. Bounded metadata (buckets x generations markers).
+      val TagRe = "^\\.(?:snap|dgen)-(q[0-9a-z]+)-".r
+      val tagRows = (0 until 8).flatMap { b =>
+        val pot = new org.apache.hadoop.fs.Path(
+          graft.sources.BucketedPotV2Source.bucketPot(store, b))
+        val commits = new org.apache.hadoop.fs.Path(pot.getParent, ".commits")
+        graft.kv.CommitMarker.committedGenerations(fs, commits).map { g =>
+          val stem = new org.apache.hadoop.fs.Path(
+            graft.sources.PotChain.artifactOf(fs, commits, g)).getName
+          (b, g, TagRe.findFirstMatchIn(stem).map(_.group(1)).getOrElse(""))
+        }
+      }
+      // HOLD set: tags of statements whose barrier is still up
+      val openTags = graft.sources.BucketedStmtLog.openStatements(store)
+        .map { case (qid, _) => "q" + qid.replace("-", "").take(8) }
+      val tags = tagRows.toDF("b", "gen", "tag")
+        .withColumn("held",
+          if (openTags.isEmpty) lit(false) else $"tag".isin(openTags: _*))
+      val feed = s.read.format(pfmt)
+        .option("path", s"$store/_b=*/data.json")
+        .option("changesFromVector", "{}").load()
+        .select(
+          regexp_extract($"pot_file", "_b=([0-9]+)/", 1).cast("int")
+            .as("b"),
+          regexp_extract($"pot_file", "@([0-9]+)$", 1).cast("long")
+            .as("gen"),
+          $"key", $"doc_json")
+      val wnd = Window.partitionBy($"key").orderBy($"gen".desc)
+      feed.join(broadcast(tags), Seq("b", "gen"))
+        .filter(!$"held") // the recipe: open statements' deltas wait
+        .withColumn("rn", row_number().over(wnd))
+        .filter($"rn" === 1 && $"doc_json" =!= "null")
+        .select(lit(phase).as("phase"), $"key",
+          get_json_object($"doc_json", "$.v").cast("int").as("v"))
+    }
+    // phase 1 materialized BEFORE recovery: the crashed statement's
+    // committed-prefix bucket exists in the feed but is HELD
+    val held = appliedView("1_held").localCheckpoint(true)
+    graft.sources.BucketedPotV2Source.recoverStatements(store)
+    val released = appliedView("2_released").localCheckpoint(true)
+    val out = held.unionByName(released)
+      .orderBy($"phase", $"key").localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    out
+  }
+
+  val streamStmtConsistentCdcSql: String =
+    """WITH r AS (
+      |  SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS key,
+      |    n_regionkey AS rg
+      |  FROM nation)
+      |SELECT phase, key, v FROM (
+      |  SELECT '1_held' AS phase, key, CAST(0 AS INTEGER) AS v
+      |  FROM r WHERE rg <= 1
+      |  UNION ALL
+      |  SELECT '2_released', key,
+      |    CAST(CASE WHEN rg = 0 THEN 1 ELSE 0 END AS INTEGER)
+      |  FROM r WHERE rg <= 1) t
+      |ORDER BY phase, key""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st22_stmt_consistent_cdc" -> (streamStmtConsistentCdc _),
     "st21_stream_bucketed_cdc" -> (streamBucketedCdc _),
     "st20_stream_bucketed_sink" -> (streamBucketedSink _),
     "st19_cdc_mirror" -> (streamCdcMirror _),
@@ -1517,6 +1654,7 @@ object StreamingQueries {
     "st4_stream_attribution" -> (streamClickAttribution _))
 
   val oracle: Map[String, String] = Map(
+    "st22_stmt_consistent_cdc" -> streamStmtConsistentCdcSql,
     "st21_stream_bucketed_cdc" -> streamBucketedCdcSql,
     "st20_stream_bucketed_sink" -> streamBucketedSinkSql,
     "st19_cdc_mirror" -> streamCdcMirrorSql,

@@ -395,6 +395,25 @@ class StreamingSpec extends AnyFunSuite {
       phys.get("b").contains("""{"__del__":true}"""), phys.toString)
   }
 
+  test("st22 statement-consistent apply: a crashed statement's committed-prefix deltas are HELD, released whole after recovery (r16)") {
+    import spark.implicits._
+    // the query embeds the mid-statement crash (intent up, one bucket's
+    // chain committed); this pin asserts the consumer contract directly:
+    // the held phase carries ZERO of the crashed statement's rows — a
+    // prefix-applied statement is never emitted downstream — and the
+    // released phase carries ALL of them
+    val out = graft.streaming.StreamingQueries
+      .streamStmtConsistentCdc(spark, sf)
+      .select($"phase", $"v").as[(String, Int)].collect().toSeq
+    val held = out.filter(_._1 == "1_held").map(_._2)
+    val released = out.filter(_._1 == "2_released").map(_._2)
+    assert(held.nonEmpty && held.forall(_ === 0),
+      s"held phase leaked a committed-prefix delta: $held")
+    assert(released.count(_ === 1) > 0 && released.count(_ === 0) > 0,
+      s"released phase did not apply the recovered statement: $released")
+    assert(held.length === released.length)
+  }
+
   test("streaming ingest into a PotTable: foreachBatch upserts through the commit protocol") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
