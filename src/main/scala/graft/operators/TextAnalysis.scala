@@ -1168,18 +1168,89 @@ object TextAnalysis {
 
   /** Shared trainer (t21/t22): the six merge rules learned on the
     * slice, with each round's selection count and post-apply token
-    * count. Bounded driver state — one 5-tuple per round, MEMOIZED per
-    * fixture dir (the AnnIndex warm-index discipline: training is
-    * deterministic in the input, so t22 — and a bench's second pass —
-    * reuses t21's rules instead of re-running six rounds of jobs).
+    * count. Bounded driver state — one 5-tuple per round, memoized per
+    * fixture dir in-process AND (r16) PUBLISHED as a persistent
+    * artifact: the trained merge table is a tokenizer's durable output,
+    * so it round-trips through a CommitMarker-CAS'd generation under a
+    * content-addressed tmpdir root (the AnnIndex persistence discipline
+    * applied to the tokenizer — the fixture file's length+mtime is in
+    * the key, so a driver regen can never serve stale rules). A second
+    * PROCESS encodes (t22) by opening the artifact instead of re-running
+    * six rounds of jobs; racing trainers CAS and the loser adopts the
+    * winner's rules (training is deterministic in the input, so the
+    * race is benign — generation-keyed deterministic content).
     */
   private val bpeTrainCache =
     scala.collection.concurrent.TrieMap
       .empty[String, Seq[(Int, String, String, Long, Long)]]
 
+  /** Test hook: drop the in-process memo (artifact reads then prove
+    * themselves). */
+  private[graft] def bpeMemoClear(): Unit = bpeTrainCache.clear()
+
+  private def bpeArtifactBase(d: String): org.apache.hadoop.fs.Path = {
+    val docsFile = new java.io.File(s"$d/documents.parquet")
+    val fp = s"$d|${docsFile.length()}|${docsFile.lastModified()}|r$BpeRounds"
+    val key = java.security.MessageDigest.getInstance("MD5")
+      .digest(fp.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    new org.apache.hadoop.fs.Path(
+      new java.io.File(System.getProperty("java.io.tmpdir")).toURI.toString,
+      s"graft-bpe-$key")
+  }
+
+  private def bpeRulesFromJson(body: String)
+      : Seq[(Int, String, String, Long, Long)] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    body.linesIterator.filter(_.nonEmpty).map { line =>
+      val n = mapper.readTree(line)
+      (n.get("r").asInt(), n.get("a").asText(), n.get("b").asText(),
+        n.get("n").asLong(), n.get("t").asLong())
+    }.toSeq.sortBy(_._1)
+  }
+
+  /** Open the published merge table, or train and publish it. */
+  private[graft] def bpeTrainPersistent(s: SparkSession, d: String)
+      : Seq[(Int, String, String, Long, Long)] = {
+    val base = bpeArtifactBase(d)
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(base, "commits/1")
+    def fromArtifact(): Option[Seq[(Int, String, String, Long, Long)]] =
+      try {
+        if (fs.getFileStatus(marker).getLen > 0)
+          Some(bpeRulesFromJson(graft.kv.CommitMarker.read(
+            fs, new org.apache.hadoop.fs.Path(
+              graft.kv.CommitMarker.read(fs, marker)))))
+        else None // husk
+      } catch { case _: java.io.FileNotFoundException => None }
+    fromArtifact().getOrElse {
+      val rules = bpeTrainUncached(s, d)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val staged = new org.apache.hadoop.fs.Path(
+        base, s"rules-${java.util.UUID.randomUUID()}.jsonl")
+      val out = fs.create(staged, false)
+      try out.write(rules.map { case (r, a, b, n, t) =>
+        val o = mapper.createObjectNode()
+        o.put("r", r); o.put("a", a); o.put("b", b)
+        o.put("n", n); o.put("t", t)
+        mapper.writeValueAsString(o)
+      }.mkString("", "\n", "\n").getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      try {
+        graft.kv.CommitMarker.publish(fs, marker, staged.toString)
+        rules
+      } catch {
+        case _: graft.kv.PotTable.CommitConflict =>
+          // lost the publish race: adopt the winner's (identical) rules
+          fs.delete(staged, false)
+          fromArtifact().getOrElse(rules)
+      }
+    }
+  }
+
   private def bpeTrain(s: SparkSession, d: String)
       : Seq[(Int, String, String, Long, Long)] =
-    bpeTrainCache.getOrElseUpdate(d, bpeTrainUncached(s, d))
+    bpeTrainCache.getOrElseUpdate(d, bpeTrainPersistent(s, d))
 
   private def bpeTrainUncached(s: SparkSession, d: String)
       : Seq[(Int, String, String, Long, Long)] = {

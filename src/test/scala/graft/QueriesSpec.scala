@@ -110,4 +110,42 @@ class QueriesSpec extends AnyFunSuite {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracleSql without queries: $missing")
   }
+
+  test("t21/t22 BPE merge table round-trips through the published artifact — a second process encodes without retraining (r16)") {
+    // private fixture copy so deleting the parquet can prove the
+    // artifact-only read without touching the shared testdata
+    val dir = java.nio.file.Files.createTempDirectory("bpeart")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      dir.resolve("documents.parquet"))
+    val d = dir.toString
+    // first "process": trains and publishes
+    operators.TextAnalysis.bpeMemoClear()
+    val trained = operators.TextAnalysis.bpeTrainPersistent(spark, d)
+    assert(trained.length === 6)
+    // reference: the same rules the shared fixture derives (slice
+    // content identical), so the artifact body is the real training
+    val ref = operators.TextAnalysis.bpeTrainPersistent(spark, sf)
+    assert(trained === ref)
+    // second "process": memo cleared, then the published artifact body
+    // is DOCTORED with a sentinel rule — the reopen returning the
+    // sentinel proves the rules came from the artifact, not a retrain
+    operators.TextAnalysis.bpeMemoClear()
+    val base = operators.TextAnalysis.getClass.getDeclaredMethods
+      .find(_.getName.endsWith("bpeArtifactBase")).get
+    base.setAccessible(true)
+    val basePath = base.invoke(operators.TextAnalysis, d)
+      .asInstanceOf[org.apache.hadoop.fs.Path]
+    val fs = basePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rulesFile = new org.apache.hadoop.fs.Path(graft.kv.CommitMarker
+      .read(fs, new org.apache.hadoop.fs.Path(basePath, "commits/1")))
+    val sentinel =
+      """{"r":1,"a":"ZZ","b":"ZZ","n":7,"t":7}"""
+    val out = fs.create(rulesFile, true)
+    try out.write((sentinel + "\n").getBytes("UTF-8")) finally out.close()
+    val reopened = operators.TextAnalysis.bpeTrainPersistent(spark, d)
+    assert(reopened === Seq((1, "ZZ", "ZZ", 7L, 7L)),
+      s"reopen retrained instead of reading the artifact: $reopened")
+    operators.TextAnalysis.bpeMemoClear()
+  }
 }
