@@ -389,6 +389,32 @@ final class BucketedPotTable(
   def layoutFresh(): Boolean =
     resolveLayout().exists(_._2 == generation)
 
+  /** Delete layout data dirs not referenced by the newest `retain`
+    * layout generations ([[vacuum]]'s discipline applied to the derived
+    * artifact — without it every re-cluster leaks a full table copy).
+    * Staged dirs whose encoded generation is ahead of the committed head
+    * are a concurrent clusterer's in-flight staging and are always kept.
+    */
+  def vacuumLayouts(retain: Int = 1): Unit = {
+    val dataRoot = new Path(s"$dir/_zorder/data")
+    if (!fs.exists(dataRoot)) return
+    val gens = CommitMarker.committedGenerations(fs, zorderCommits)
+    val head = gens.foldLeft(0L)(math.max)
+    val keep = gens.sorted.reverse.take(math.max(retain, 1)).map { g =>
+      val body = CommitMarker.read(fs, new Path(zorderCommits, g.toString))
+      new Path(body.split("\n", 2)(0)).getName
+    }.toSet
+    val StagedGen = "^g(\\d+)_.*".r
+    fs.listStatus(dataRoot).foreach { st =>
+      val name = st.getPath.getName
+      val inFlight = name match {
+        case StagedGen(g) => g.toLong > head
+        case _            => false
+      }
+      if (!inFlight && !keep.contains(name)) fs.delete(st.getPath, true)
+    }
+  }
+
   /** Pruned read over the PERSISTED layout for a range predicate on one
     * clustered dimension: the structurally-derived bucket set becomes a
     * literal `zb IN (...)` partition filter (pruned at file listing);

@@ -1179,15 +1179,19 @@ object Aggregates {
     * oracle = the same aggregates straight off documents — the layout
     * changes WHAT IS READ, never the answer.
     */
-  private[graft] def storeZorderTable(
-      s: SparkSession, d: String): graft.kv.BucketedPotTable = {
-    import s.implicits._
+  private[graft] def storeZorderRoot(s: SparkSession, d: String): String = {
     val docsFile = new java.io.File(s"$d/documents.parquet")
     val fp = s"$d|${docsFile.length()}|${docsFile.lastModified()}"
     val key = java.security.MessageDigest.getInstance("MD5")
       .digest(fp.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
-    val root = new java.io.File(
+    new java.io.File(
       System.getProperty("java.io.tmpdir"), s"graft-zstore-$key").toString
+  }
+
+  private[graft] def storeZorderTable(
+      s: SparkSession, d: String): graft.kv.BucketedPotTable = {
+    import s.implicits._
+    val root = storeZorderRoot(s, d)
     val t = graft.kv.BucketedPotTable(s, root, "docs_z", 16)
     if (t.generation == 0L)
       t.upsert(Tables.documents(s, d).select(

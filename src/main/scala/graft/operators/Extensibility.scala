@@ -953,6 +953,64 @@ object Extensibility {
         gen.fold(tbl.get())(tbl.getAt).queryExecution.analyzed
       })
 
+  /** u29: the PERSISTED z-order layout's SQL front door (r16) —
+    * `graft_zorder_read('<root>', '<table>', '<dim>', lo, hi)` resolves
+    * to [[graft.kv.BucketedPotTable.readClustered]]: the published
+    * layout generation is opened, the structurally derived bucket set
+    * becomes the literal `zb IN` partition filter, and a SQL-only user
+    * gets the pruned range read without touching the Scala API — the
+    * TVF-family rule (u13/u17/u21/u25) applied to q85's maintenance op.
+    * Stale layouts and un-clustered dims fail loudly AT PLANNING (the
+    * resolution runs in the TVF builder). Args are literals (the
+    * family's planning-parameter rule). The probe (dim `a`, quarter
+    * domain [128,191]) is disjoint from q85's b/c probes, so between
+    * them every clustered dimension's pruned read is oracle-checked.
+    */
+  private def registerZOrderReadTvf(s: SparkSession): Unit =
+    s.sessionState.tableFunctionRegistry.registerFunction(
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(
+        "graft_zorder_read"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.kv.BucketedPotTable].getName, "graft_zorder_read"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.unsafe.types.UTF8String
+        val (root, name, dim, lo, hi) = exprs match {
+          case Seq(Literal(r: UTF8String, _), Literal(t: UTF8String, _),
+              Literal(dm: UTF8String, _), Literal(l: Int, _),
+              Literal(h: Int, _)) =>
+            (r.toString, t.toString, dm.toString, l, h)
+          case other => throw new IllegalArgumentException(
+            "graft_zorder_read: expected STRING literal root, table and " +
+              s"dimension plus INTEGER literal lo/hi bounds, got $other")
+        }
+        new graft.kv.BucketedPotTable(
+          org.apache.spark.sql.SparkSession.active, root, name, 0)
+          .readClustered(dim, lo, hi).queryExecution.analyzed
+      })
+
+  def sqlZorderRead(s: SparkSession, d: String): DataFrame = {
+    registerZOrderReadTvf(s)
+    // ensure the q85 store + fresh published layout, then read via SQL
+    graft.operators.Aggregates.storeZorderTable(s, d)
+    val root = graft.operators.Aggregates.storeZorderRoot(s, d)
+    s.sql(
+      s"""SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+         |  CAST(MIN(a) AS BIGINT) AS a_min,
+         |  CAST(MAX(a) AS BIGINT) AS a_max
+         |FROM graft_zorder_read('$root', 'docs_z', 'a', 128, 191)
+         |ORDER BY n_rows""".stripMargin)
+  }
+
+  val sqlZorderReadSql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(doc_id) AS BIGINT) AS sum_id,
+      |  CAST(MIN(doc_id % 256) AS BIGINT) AS a_min,
+      |  CAST(MAX(doc_id % 256) AS BIGINT) AS a_max
+      |FROM documents WHERE doc_id % 256 BETWEEN 128 AND 191
+      |ORDER BY n_rows""".stripMargin
+
   def sqlBucketedPot(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     registerBucketedPotTvf(s)
@@ -1480,6 +1538,7 @@ object Extensibility {
       |ORDER BY dir, key""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u29_sql_zorder_read" -> (sqlZorderRead _),
     "u28_sql_topn_pushdown" -> (sqlTopNPushdown _),
     "u27_stats_broadcast" -> (statsBroadcastJoin _),
     "u26_sql_bucketed_changes" -> (sqlBucketedChanges _),
@@ -1510,6 +1569,7 @@ object Extensibility {
     "u5_typed_dataset"  -> (typedDataset _))
 
   val oracle: Map[String, String] = Map(
+    "u29_sql_zorder_read" -> sqlZorderReadSql,
     "u28_sql_topn_pushdown" -> sqlTopNPushdownSql,
     "u27_stats_broadcast" -> statsBroadcastJoinSql,
     "u26_sql_bucketed_changes" -> sqlBucketedChangesSql,

@@ -28,6 +28,50 @@ class BucketedPotSpec extends AnyFunSuite {
     assert(state("k2") === 2)
   }
 
+  test("persisted z-order layout (r16): generation-pinned adopt, loud staleness, loud unknown dim, vacuumLayouts retention") {
+    import org.apache.spark.sql.functions.{col, pmod}
+    val root = tmpRoot()
+    val pot = BucketedPotTable(spark, root, "z", nBuckets = 8)
+    pot.upsert((0 until 300).map(i => (s"k$i", i.toLong))
+      .toDF("key", "v")
+      .withColumn("a", pmod(col("v"), org.apache.spark.sql.functions.lit(256L)))
+      .withColumn("b", pmod(col("v") * 37, org.apache.spark.sql.functions.lit(256L))))
+    // no layout yet: loud
+    val e0 = intercept[IllegalStateException] { pot.readClustered("a", 0, 63) }
+    assert(e0.getMessage.contains("no z-order layout"))
+    val g1 = pot.cluster(Seq("a" -> col("a"), "b" -> col("b")), bucketBits = 4)
+    assert(g1 === 1L)
+    assert(pot.layoutFresh())
+    // pruned read returns exactly the range rows
+    val got = pot.readClustered("b", 64, 127)
+      .select("key").as[String].collect().toSet
+    val want = (0 until 300).filter(i => { val b = (i * 37) % 256; b >= 64 && b <= 127 })
+      .map(i => s"k$i").toSet
+    assert(got === want)
+    // un-clustered dim: loud
+    val e1 = intercept[IllegalArgumentException] { pot.readClustered("v", 0, 10) }
+    assert(e1.getMessage.contains("not in the clustered set"))
+    // store moves on: the layout is STALE and says so by name
+    pot.upsert(Seq(("k0", 999L)).toDF("key", "v")
+      .withColumn("a", org.apache.spark.sql.functions.lit(231L))
+      .withColumn("b", org.apache.spark.sql.functions.lit(3L)))
+    val e2 = intercept[IllegalArgumentException] { pot.readClustered("a", 0, 63) }
+    assert(e2.getMessage.contains("stale layout"))
+    assert(!pot.layoutFresh())
+    // re-cluster publishes generation 2; old data dir vacuums away
+    val g2 = pot.cluster(Seq("a" -> col("a"), "b" -> col("b")), bucketBits = 4)
+    assert(g2 === 2L)
+    assert(pot.readClustered("a", 224, 255)
+      .filter(col("key") === "k0").count() === 1L)
+    val dataRoot = new java.io.File(s"$root/z/_zorder/data")
+    assert(dataRoot.listFiles().length === 2)
+    pot.vacuumLayouts(retain = 1)
+    assert(dataRoot.listFiles().length === 1,
+      "vacuumLayouts kept the superseded layout copy")
+    // the retained layout still serves
+    assert(pot.readClustered("b", 64, 127).count() === want.size.toLong)
+  }
+
   test("remove rewrites only touched buckets; absent keys are no-ops") {
     val root = tmpRoot()
     val pot = BucketedPotTable(spark, root, "t", nBuckets = 8)
