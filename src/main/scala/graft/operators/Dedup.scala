@@ -1778,8 +1778,12 @@ object Dedup {
     * side raises NAMED at runtime if a fixture regen ever ships longer
     * docs, instead of silently hash-diverging (the r10 events.ts class).
     */
-  private[operators] def exactSubstrPerDoc(
-      s: SparkSession, d: String): DataFrame = {
+  /** The shared d25/d26/p26 frames: per-doc token arrays (with the
+    * 200-token oracle-bound guard on `total_tokens` consumers) and the
+    * distinct duplicated POSITIONS (doc_id, p) from the hashed
+    * shared-window join. */
+  private[operators] def exactSubstrCov(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val toks = Tables.documents(s, d)
       .select($"doc_id", split(lower($"text"), " ").as("t"))
@@ -1797,30 +1801,82 @@ object Dedup {
       .select($"doc_id",
         explode(expr(s"sequence(i, i + ${SpanW - 1})")).as("p"))
       .distinct()
+    (toks, cov)
+  }
+
+  private[operators] def exactSubstrPerDoc(
+      s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (toks, cov) = exactSubstrCov(s, d)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"doc_id").orderBy($"p")
     val agg = cov.withColumn("g", $"p" - row_number().over(w))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("dup_tokens"),
         countDistinct($"g").as("n_spans"))
-    toks.select($"doc_id",
-        when($"n" < 200, $"n".cast("long")).otherwise(raise_error(concat(
-          lit("d25/p26: document "), $"doc_id",
-          lit(s" has "), $"n",
-          lit(" tokens — the oracle's range(1, 200) window bound no " +
-            "longer covers the fixture; re-derive FIXTURES.md and widen " +
-            "both sides together")))
-          .cast("long")).as("total_tokens"))
+    toks.select($"doc_id", guardedTotalTokens(s).as("total_tokens"))
       .join(agg, Seq("doc_id"), "left")
       .select($"doc_id", $"total_tokens",
         coalesce($"dup_tokens", lit(0L)).as("dup_tokens"),
         coalesce($"n_spans", lit(0L)).as("n_spans"))
   }
 
+  /** ADVICE-r15 fixture-bound guard shared by d25/d26/p26: the oracles
+    * enumerate positions via range(1, 200), so a fixture regen shipping
+    * >=200-token docs must raise NAMED instead of hash-diverging.
+    * Executor-side, zero cost in the good case. */
+  private def guardedTotalTokens(
+      s: SparkSession): org.apache.spark.sql.Column = {
+    import s.implicits._
+    when($"n" < 200, $"n".cast("long")).otherwise(raise_error(concat(
+      lit("d25/d26/p26: document "), $"doc_id",
+      lit(s" has "), $"n",
+      lit(" tokens — the oracle's range(1, 200) window bound no " +
+        "longer covers the fixture; re-derive FIXTURES.md and widen " +
+        "both sides together")))
+      .cast("long"))
+  }
+
   def exactSubstr(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     exactSubstrPerDoc(s, d).orderBy($"doc_id")
   }
+
+  /** d26: exact-substring SPAN SURGERY (r16) — d25 measured the
+    * cross-document duplicated spans; this produces what Lee et al.
+    * 2022's ExactSubstr dedup actually SHIPS: the corpus with those
+    * spans CUT OUT (span removal, not doc dropping — the paper's
+    * chosen action, p26 is the dropping alternative). Every duplicated
+    * position (the shared d25 cov frame — hashed-window equi-joins, no
+    * cartesian) is anti-joined away from the per-doc position explode,
+    * survivors reassemble in position order (d24's rebuild shape:
+    * doc-partitioned sort_array over collect_list — bounded by one
+    * doc's length, never a global sort). Emitted per doc: total/kept
+    * token counts + the cleaned text, so downstream stages consume the
+    * SURGERY, not a flag. Docs whose every token is duplicated come out
+    * empty but present (the d24 contract).
+    */
+  def exactSubstrScrub(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val (toks, cov) = exactSubstrCov(s, d)
+    val pos = toks.select($"doc_id", $"n",
+      explode(expr(
+        "transform(sequence(1, n), i -> struct(i AS p, t[i - 1] AS tok))"))
+        .as("x"))
+      .select($"doc_id", $"x.p".as("p"), $"x.tok".as("tok"))
+    val kept = pos.join(cov, Seq("doc_id", "p"), "left_anti")
+    val agg = kept.groupBy($"doc_id")
+      .agg(count(lit(1)).as("kept_tokens"),
+        expr("array_join(transform(sort_array(collect_list(" +
+          "struct(p, tok))), x -> x.tok), ' ')").as("clean_text"))
+    toks.select($"doc_id", guardedTotalTokens(s).as("total_tokens"))
+      .join(agg, Seq("doc_id"), "left")
+      .select($"doc_id", $"total_tokens",
+        coalesce($"kept_tokens", lit(0L)).as("kept_tokens"),
+        coalesce($"clean_text", lit("")).as("clean_text"))
+      .orderBy($"doc_id")
+  }
+
 
   /** d25's oracle CTE chain up to the per-doc frame (shared with p26). */
   private[operators] val exactSubstrPerDocCtes: String =
@@ -1862,7 +1918,29 @@ object Dedup {
         |FROM perdoc
         |ORDER BY doc_id""".stripMargin
 
+  val exactSubstrScrubSql: String =
+    exactSubstrPerDocCtes + ",\n" +
+      """pos26 AS (
+        |  SELECT t.doc_id, CAST(i AS INTEGER) AS p,
+        |    t.t[CAST(i AS INTEGER)] AS tok
+        |  FROM toks t, (SELECT unnest(range(1, 200)) AS i) ix
+        |  WHERE i <= t.n),
+        |kept26 AS (
+        |  SELECT p.doc_id, p.p, p.tok FROM pos26 p
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM cov c WHERE c.doc_id = p.doc_id AND c.p = p.p)),
+        |agg26 AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS kept_tokens,
+        |    string_agg(tok, ' ' ORDER BY p) AS clean_text
+        |  FROM kept26 GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(t.n AS BIGINT) AS total_tokens,
+        |  COALESCE(a.kept_tokens, 0) AS kept_tokens,
+        |  COALESCE(a.clean_text, '') AS clean_text
+        |FROM toks t LEFT JOIN agg26 a ON a.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d26_substr_scrub" -> (exactSubstrScrub _),
     "d25_exact_substr" -> (exactSubstr _),
     "d24_line_dedup" -> (lineDedup _),
     "d23_phash_near_dup" -> (phashNearDup _),
@@ -1890,6 +1968,7 @@ object Dedup {
     "d9_semantic_dedup"    -> (semanticDedup _))
 
   val oracle: Map[String, String] = Map(
+    "d26_substr_scrub" -> exactSubstrScrubSql,
     "d25_exact_substr" -> exactSubstrSql,
     "d24_line_dedup" -> lineDedupSql,
     "d23_phash_near_dup" -> phashNearDupSql,
