@@ -1569,7 +1569,73 @@ object Pipeline {
         |GROUP BY d.source
         |ORDER BY d.source""".stripMargin
 
+  /** p27: the mixture plan REPLANNED over the post-dedup inventory (r16)
+    * — the dedup dividend REINVESTED: p24 budgets against raw token
+    * inventories, but after d25/d26's exact-substring surgery the
+    * per-source inventory SHRINKS by the duplicated tokens, and a
+    * data-constrained run (Muennighoff et al. 2023) must replan —
+    * deficits grow where dedup bit hardest, epoch counts shift, and the
+    * `reclaimed` column prices what the surgery freed. Same literal
+    * weight formula and [[RepeatCap]] as p24 (change both or neither);
+    * inventory = Σ(total − dup) per source off d25's shared per-doc
+    * frame (hashed-window equi-joins — one extra narrow join over p24's
+    * plan, never a second corpus pass for the raw counts: raw = Σ total
+    * from the same frame).
+    */
+  def postDedupMixture(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val perDoc = Dedup.exactSubstrPerDoc(s, d)
+    val inv = Tables.documents(s, d).select($"doc_id", $"source")
+      .join(perDoc, Seq("doc_id"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"total_tokens").as("tok_raw"),
+        sum($"total_tokens" - $"dup_tokens").as("tok_inv"))
+      .withColumn("w",
+        (substring($"source", 4, 10).cast("int") % 5 + 1).cast("long"))
+    val tot = inv.agg(sum($"tok_inv").as("tot_inv"), sum($"w").as("tot_w"))
+    inv.crossJoin(broadcast(tot))
+      .withColumn("desired",
+        expr("(tot_inv * 3L div 2) * w div tot_w"))
+      .withColumn("planned", least($"desired", $"tok_inv" * RepeatCap))
+      .select($"source", $"n_docs", $"tok_raw", $"tok_inv",
+        ($"tok_raw" - $"tok_inv").as("reclaimed"), $"w", $"desired",
+        $"planned",
+        expr("planned div tok_inv").as("full_epochs"),
+        ($"desired" - $"planned").as("deficit"))
+      .orderBy($"source")
+  }
+
+  val postDedupMixtureSql: String =
+    Dedup.exactSubstrPerDocCtes + ",\n" +
+      s"""inv AS (
+         |  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(p.total_tokens) AS BIGINT) AS tok_raw,
+         |    CAST(SUM(p.total_tokens - p.dup_tokens) AS BIGINT) AS tok_inv,
+         |    CAST(CAST(substr(d.source, 4) AS INTEGER) % 5 + 1 AS BIGINT)
+         |      AS w
+         |  FROM perdoc p JOIN documents d ON d.doc_id = p.doc_id
+         |  GROUP BY d.source),
+         |tot AS (
+         |  SELECT CAST(SUM(tok_inv) AS BIGINT) AS tot_inv,
+         |    CAST(SUM(w) AS BIGINT) AS tot_w FROM inv),
+         |pl AS (
+         |  SELECT i.source, i.n_docs, i.tok_raw, i.tok_inv, i.w,
+         |    (t.tot_inv * 3 // 2) * i.w // t.tot_w AS desired,
+         |    LEAST((t.tot_inv * 3 // 2) * i.w // t.tot_w,
+         |      i.tok_inv * $RepeatCap) AS planned
+         |  FROM inv i CROSS JOIN tot t)
+         |SELECT source, n_docs, tok_raw, tok_inv,
+         |  CAST(tok_raw - tok_inv AS BIGINT) AS reclaimed, w,
+         |  CAST(desired AS BIGINT) AS desired,
+         |  CAST(planned AS BIGINT) AS planned,
+         |  CAST(planned // tok_inv AS BIGINT) AS full_epochs,
+         |  CAST(desired - planned AS BIGINT) AS deficit
+         |FROM pl
+         |ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p27_post_dedup_mixture" -> (postDedupMixture _),
     "p26_substr_drop_policy" -> (substrDropPolicy _),
     "p25_quality_funnel"   -> (qualityFunnel _),
     "p24_mixture_plan"     -> (mixturePlan _),
@@ -1598,6 +1664,7 @@ object Pipeline {
     "p7_bloom_decontaminate" -> (bloomDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "p27_post_dedup_mixture" -> postDedupMixtureSql,
     "p26_substr_drop_policy" -> substrDropPolicySql,
     "p25_quality_funnel"   -> qualityFunnelSql,
     "p24_mixture_plan"     -> mixturePlanSql,
