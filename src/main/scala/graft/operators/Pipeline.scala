@@ -1601,7 +1601,11 @@ object Pipeline {
       .select($"source", $"n_docs", $"tok_raw", $"tok_inv",
         ($"tok_raw" - $"tok_inv").as("reclaimed"), $"w", $"desired",
         $"planned",
-        expr("planned div tok_inv").as("full_epochs"),
+        // total-duplication-safe: on a fully-deduped source tok_inv = 0
+        // and planned = 0 (found live on the 10x dedup-hostile replica
+        // smoke — every doc a planted copy); 0 epochs, not a div-by-zero
+        expr("CASE WHEN tok_inv > 0 THEN planned div tok_inv ELSE 0L END")
+          .as("full_epochs"),
         ($"desired" - $"planned").as("deficit"))
       .orderBy($"source")
   }
@@ -1629,7 +1633,8 @@ object Pipeline {
          |  CAST(tok_raw - tok_inv AS BIGINT) AS reclaimed, w,
          |  CAST(desired AS BIGINT) AS desired,
          |  CAST(planned AS BIGINT) AS planned,
-         |  CAST(planned // tok_inv AS BIGINT) AS full_epochs,
+         |  CAST(CASE WHEN tok_inv > 0 THEN planned // tok_inv
+         |    ELSE 0 END AS BIGINT) AS full_epochs,
          |  CAST(desired - planned AS BIGINT) AS deficit
          |FROM pl
          |ORDER BY source""".stripMargin

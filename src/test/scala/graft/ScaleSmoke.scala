@@ -140,7 +140,11 @@ object ScaleSmoke {
     // round-15 batch (u27/u28/q84/kv21/st22 omitted: dimension-only or
     // store/layout-lifecycle; t21/t22 train on a fixed slice whose
     // replicas change the rules, measured separately if ever needed)
-    "d25_exact_substr", "p26_substr_drop_policy", "s32_knn_join_fallback")
+    "d25_exact_substr", "p26_substr_drop_policy", "s32_knn_join_fallback",
+    // round-16 batch (s34/q85/u29/st22 omitted: store/layout-lifecycle
+    // on fixed-slice or content-addressed stores; t24 omitted like
+    // t21/t22 — replicas change the trained rules)
+    "d26_substr_scrub", "p27_post_dedup_mixture")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
