@@ -781,7 +781,109 @@ object Pq {
       .mkString(",\n") + "\n" + tail
   }
 
+  /** s35: PQ RANGE search sweep (r16) — the quantized-cost half of s23
+    * (exact range search), measured the s22 way: ADC is a systematic
+    * UNDER-estimate of exact L2 (centroids absorb within-cell variance —
+    * on this fixture the whole corpus's ADC sits below the s23 radius,
+    * so a naive `adc <= R` prefilter scans everything), which makes the
+    * ADC range prefilter a THRESHOLD-TUNING problem, not a free win. The
+    * sweep prices four operating points (`adc <= R·pct/100`, pct ∈
+    * 60/70/80/90): candidates scanned, verified hits inside the exact
+    * radius, true hits (one priced exact audit pass — the s32
+    * discipline), recall and scan-savings per point — the table a
+    * deployment reads to pick its radius prefilter. ONE corpus pass
+    * computes (adc, exact) per vector; the sweep is a 4-row broadcast
+    * join + bounded aggregation. Integer-exact throughout; R is s23's
+    * [[Similarity.RangeR]] and the pct list is mirrored literally.
+    */
+  val RangeThrPcts: Seq[Int] = Seq(60, 70, 80, 90)
+
+  def pqRangeSweep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = KMeans.quantized(s, d)
+    val (books, luts, probe) = trainPq(s, q)
+    val r = graft.operators.Similarity.RangeR
+    val bcBooks = s.sparkContext.broadcast(books)
+    val bcLuts = s.sparkContext.broadcast(luts)
+    val bcProbe = s.sparkContext.broadcast(probe)
+    val scored = q.filter(_._1 != 0L).map { case (id, v) =>
+      var adc = 0L
+      var m = 0
+      while (m < M) {
+        val slice = java.util.Arrays.copyOfRange(
+          v, m * SubDim, (m + 1) * SubDim)
+        adc += bcLuts.value(m)(KMeans.assign(slice, bcBooks.value(m))._1)
+        m += 1
+      }
+      var ex = 0L
+      var i = 0
+      while (i < v.length) {
+        val t = v(i) - bcProbe.value(i); ex += t * t; i += 1
+      }
+      (id, adc, ex)
+    }.toDF("vec_id", "adc", "ex")
+    val ths = RangeThrPcts.toDF("thr_pct")
+    val agg = scored.crossJoin(broadcast(ths))
+      .filter($"adc" * 100L <= lit(r) * $"thr_pct")
+      .groupBy($"thr_pct")
+      .agg(count(lit(1)).as("n_candidates"),
+        sum(when($"ex" <= r, 1L).otherwise(0L)).as("hits_found"))
+    val tot = scored.agg(count(lit(1)).as("n_corpus"),
+      sum(when($"ex" <= r, 1L).otherwise(0L)).as("hits_true"))
+    ths.join(agg, Seq("thr_pct"), "left")
+      .crossJoin(broadcast(tot))
+      .select($"thr_pct",
+        coalesce($"n_candidates", lit(0L)).as("n_candidates"),
+        coalesce($"hits_found", lit(0L)).as("hits_found"),
+        $"hits_true",
+        expr("coalesce(hits_found, 0L) * 100 div hits_true")
+          .as("recall_pct"),
+        expr("(n_corpus - coalesce(n_candidates, 0L)) * 100 div n_corpus")
+          .as("scan_saved_pct"))
+      .orderBy($"thr_pct")
+  }
+
+  val pqRangeSweepSql: String = {
+    val r = graft.operators.Similarity.RangeR
+    searchCtes + ",\n" +
+      s"""ex35 AS MATERIALIZED (
+         |  SELECT a.vec_id, a.adc,
+         |    CAST(list_sum(list_transform(range(1, ${KMeans.Dim + 1}),
+         |      i -> (v.q[i] - p.q[i]) * (v.q[i] - p.q[i]))) AS BIGINT)
+         |      AS ex
+         |  FROM adc a
+         |  JOIN qf v ON v.vec_id = a.vec_id
+         |  CROSS JOIN (SELECT q FROM qf WHERE vec_id = 0) p(q)
+         |  WHERE a.vec_id <> 0),
+         |th35 AS (SELECT unnest([${RangeThrPcts.mkString(", ")}])
+         |  AS thr_pct),
+         |agg35 AS (
+         |  SELECT t.thr_pct, CAST(COUNT(*) AS BIGINT) AS n_candidates,
+         |    CAST(SUM(CASE WHEN s.ex <= $r THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS hits_found
+         |  FROM ex35 s JOIN th35 t ON s.adc * 100 <= $r * t.thr_pct
+         |  GROUP BY t.thr_pct),
+         |tot35 AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus,
+         |    CAST(SUM(CASE WHEN ex <= $r THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS hits_true
+         |  FROM ex35)
+         |SELECT CAST(t.thr_pct AS INTEGER) AS thr_pct,
+         |  COALESCE(a.n_candidates, 0) AS n_candidates,
+         |  COALESCE(a.hits_found, 0) AS hits_found,
+         |  x.hits_true,
+         |  CAST(COALESCE(a.hits_found, 0) * 100 // x.hits_true AS BIGINT)
+         |    AS recall_pct,
+         |  CAST((x.n_corpus - COALESCE(a.n_candidates, 0)) * 100
+         |    // x.n_corpus AS BIGINT) AS scan_saved_pct
+         |FROM th35 t
+         |LEFT JOIN agg35 a USING (thr_pct)
+         |CROSS JOIN tot35 x
+         |ORDER BY thr_pct""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s35_pq_range_sweep" -> (pqRangeSweep _),
     "s34_ivfpq_knn_fallback" -> (ivfPqKnnFallback _),
     "s33_ivfpq_knn_join" -> (ivfPqKnnJoin _),
     "s18_pq_adc"    -> (pqSearch _),
@@ -790,6 +892,7 @@ object Pq {
     "s22_nprobe_sweep" -> (nprobeSweep _))
 
   val oracle: Map[String, String] = Map(
+    "s35_pq_range_sweep" -> pqRangeSweepSql,
     "s34_ivfpq_knn_fallback" -> ivfPqKnnFallbackSql,
     "s33_ivfpq_knn_join" -> ivfPqKnnJoinSql,
     "s18_pq_adc"    -> pqSearchSql,
