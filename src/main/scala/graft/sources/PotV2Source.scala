@@ -191,34 +191,52 @@ private[graft] object PotChain {
     DgenCountsRe.findFirstMatchIn(new Path(body).getName)
       .map(m => (m.group(1).toLong, m.group(2).toLong))
 
+  /** BACKWARD chain walk to the covering snapshot (r16): the
+    * (snapshot body, dgen bodies above it oldest-first) pair every
+    * fold/stats consumer needs, at O(dgen run) marker reads instead of
+    * O(chain) — at 100 TB a long-lived pot's chain has thousands of
+    * generations but its head run is bounded by the compaction
+    * threshold, and planning-time stats must not read every marker
+    * ever committed. A chain headed by dgens with NO covering snapshot
+    * returns (None, run) — callers treat it as the legacy/invalid shape
+    * they already handle.
+    */
+  def chainRun(fs: org.apache.hadoop.fs.FileSystem, commits: Path,
+      g: Long): (Option[String], Seq[String]) = {
+    val gens = graft.kv.CommitMarker.committedGenerations(fs, commits)
+      .filter(_ <= g).sorted.reverse
+    val dgens = scala.collection.mutable.ArrayBuffer.empty[String]
+    gens.foreach { gen =>
+      val body = artifactOf(fs, commits, gen)
+      if (isSnap(body)) return (Some(body), dgens.reverse.toSeq)
+      require(isDgen(body),
+        s"pot chain: generation artifact above the covering snapshot " +
+          s"must be a delta: $body")
+      dgens += body
+    }
+    (None, dgens.reverse.toSeq)
+  }
+
   /** Row-count ESTIMATE of the state at generation g, from artifact
     * names only: the covering snapshot's exact count folded with each
     * dgen's `+upserts −tombstones`. Exact for snapshot heads; an
     * UPPER-leaning estimate for delta heads (a dgen upsert of an
     * existing key does not grow the state, a tombstone of an absent key
     * does not shrink it) — the right bias for a planner statistic. None
-    * when any needed artifact predates the r16 stamp.
+    * when any needed artifact predates the r16 stamp. O(dgen run)
+    * marker reads via [[chainRun]].
     */
   def rowsAt(fs: org.apache.hadoop.fs.FileSystem, commits: Path,
       g: Long): Option[Long] = {
-    val arts = artifactsUpTo(fs, commits, g)
-    val baseIdx = arts.lastIndexWhere(a => isSnap(a._2))
-    if (baseIdx < 0) None
-    else snapRows(arts(baseIdx)._2).flatMap { base =>
-      arts.drop(baseIdx + 1).foldLeft(Option(base)) { (acc, a) =>
-        acc.flatMap(r => dgenCounts(a._2).map { case (u, d) =>
+    val (snap, dgens) = chainRun(fs, commits, g)
+    snap.flatMap(snapRows).flatMap { base =>
+      dgens.foldLeft(Option(base)) { (acc, b) =>
+        acc.flatMap(r => dgenCounts(b).map { case (u, d) =>
           math.max(0L, r + u - d)
         })
       }
     }
   }
-
-  /** (gen, marker body) ascending for every committed gen <= g. */
-  def artifactsUpTo(fs: org.apache.hadoop.fs.FileSystem, commits: Path,
-      g: Long): Seq[(Long, String)] =
-    graft.kv.CommitMarker.committedGenerations(fs, commits)
-      .filter(_ <= g).sorted
-      .map(n => n -> graft.kv.CommitMarker.read(fs, new Path(commits, n.toString)))
 
   /** The artifact body of one committed generation. */
   def artifactOf(fs: org.apache.hadoop.fs.FileSystem, commits: Path,
@@ -234,21 +252,19 @@ private[graft] object PotChain {
   def stateAt(fs: org.apache.hadoop.fs.FileSystem, commits: Path, g: Long)
       : java.util.LinkedHashMap[String, String] = {
     val mapper = new ObjectMapper()
-    val arts = artifactsUpTo(fs, commits, g)
-    val baseIdx = arts.lastIndexWhere(a => isSnap(a._2))
+    // backward walk (r16): the fold reads the covering snapshot + the
+    // dgen run above it — O(run) marker reads, never O(chain)
+    val (snap, dgens) = chainRun(fs, commits, g)
     val state = new java.util.LinkedHashMap[String, String]()
-    if (baseIdx >= 0) {
-      val in = fs.open(new Path(arts(baseIdx)._2))
+    snap.foreach { body =>
+      val in = fs.open(new Path(body))
       val root = try mapper.readTree(in) finally in.close()
       require(root != null && root.isObject,
-        s"pot snapshot ${arts(baseIdx)._2}: top level must be a JSON map")
+        s"pot snapshot $body: top level must be a JSON map")
       root.fields().asScala.foreach(e =>
         state.put(e.getKey, e.getValue.toString))
     }
-    arts.drop(baseIdx + 1).foreach { case (_, body) =>
-      require(isDgen(body),
-        s"pot chain: generation artifact above the covering snapshot " +
-          s"must be a delta: $body")
+    dgens.foreach { body =>
       val in = fs.open(new Path(body))
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
         .filter(_.nonEmpty).foreach { line =>
@@ -704,9 +720,8 @@ private[graft] class PotV2Scan(
       val needed: Seq[String] =
         if (PotChain.isSnap(body)) Seq(body)
         else {
-          val arts = PotChain.artifactsUpTo(fs, commits, g)
-          val baseIdx = arts.lastIndexWhere(a => PotChain.isSnap(a._2))
-          arts.drop(math.max(baseIdx, 0)).map(_._2)
+          val (snap, dgens) = PotChain.chainRun(fs, commits, g)
+          snap.toSeq ++ dgens
         }
       val gone = needed.filterNot(b => fs.exists(new Path(b)))
       if (gone.nonEmpty)
@@ -792,9 +807,8 @@ private[graft] class PotV2Scan(
       try fs.getFileStatus(new Path(f)).getLen
       catch { case _: java.io.FileNotFoundException => 0L }
     def foldBytes(commits: Path, g: Long): Long = {
-      val arts = PotChain.artifactsUpTo(fs, commits, g)
-      val baseIdx = arts.lastIndexWhere(a => PotChain.isSnap(a._2))
-      arts.drop(math.max(baseIdx, 0)).iterator.map(a => len(a._2)).sum
+      val (snap, dgens) = PotChain.chainRun(fs, commits, g)
+      (snap.toSeq ++ dgens).iterator.map(len).sum
     }
     var nFiles = 1L
     val (bytes, rows): (Option[Long], Option[Long]) =
@@ -1268,8 +1282,7 @@ private[graft] class PotV2Write(
       head.foreach { case (g, body) =>
         val snapPath =
           if (PotChain.isSnap(body)) Some(body)
-          else PotChain.artifactsUpTo(fs, commits, g)
-            .filter(a => PotChain.isSnap(a._2)).lastOption.map(_._2)
+          else PotChain.chainRun(fs, commits, g)._1
         snapPath.foreach { snap =>
           val len = fs.getFileStatus(new Path(snap)).getLen
           if (len > maxObjectBytes)
