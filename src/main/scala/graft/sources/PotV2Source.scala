@@ -114,7 +114,12 @@ object PotV2Source {
     * O(change-set), the snapshots are the O(pot) cost), so a lagging
     * consumer replays vacuumed generations from sidecars alone; only
     * legacy pre-sidecar generations fall back to snapshots and fail
-    * loudly when vacuumed, never silently skip. Returns deleted paths.
+    * loudly when vacuumed, never silently skip. `.dgen-` artifacts below
+    * the covering snapshot are retained DELIBERATELY for the same reason
+    * (r16, stated): a dgen IS its generation's change record — deleting
+    * it would punch a hole in the feed's history for exactly the
+    * O(change-set) bytes the sidecar policy chose to keep. Only the
+    * O(pot) snapshot bodies are reclaimed. Returns deleted paths.
     */
   def vacuumSnapshots(
       fs: org.apache.hadoop.fs.FileSystem, potPath: String): Seq[String] = {
