@@ -111,6 +111,23 @@ class QueriesSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracleSql without queries: $missing")
   }
 
+  test("d25/d26/p26 fixture bound: a >=200-token document raises NAMED instead of silently hash-diverging (r16, ADVICE r15)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("d25bound")
+    Seq((1L, "src1", "en", (1 to 250).map(i => s"w$i").mkString(" ")),
+        (2L, "src1", "en", "short doc under the bound"))
+      .toDF("doc_id", "source", "lang", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val e = intercept[Exception] {
+      SparkEntry.queries("d25_exact_substr")(spark, dir.toString)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("range(1, 200)") || msg.contains("250"),
+      s"bound violation did not raise by name: $e")
+  }
+
   test("t21/t22 BPE merge table round-trips through the published artifact — a second process encodes without retraining (r16)") {
     // private fixture copy so deleting the parquet can prove the
     // artifact-only read without touching the shared testdata
