@@ -696,6 +696,13 @@ object Multimodal {
     */
   def sceneDetect(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    scenesFrame(s, d).orderBy($"media_id", $"scene_id")
+  }
+
+  /** m9's per-(media, scene) frame, unsorted — shared with m16's
+    * frame-budget planner. */
+  private def scenesFrame(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val stats = mediaTable(s, d).mapPartitions { it =>
       it.flatMap { r =>
         val hd = parseHeader(r)
@@ -731,10 +738,11 @@ object Multimodal {
         max($"frame_idx").as("end_frame"),
         count(lit(1)).as("n_frames"),
         sum($"flen".cast("long")).as("scene_bytes"))
-      .orderBy($"media_id", $"scene_id")
   }
 
-  val sceneDetectSql: String =
+  /** m9's oracle CTE chain up to the per-frame `scenes` relation —
+    * shared with m16. */
+  private val sceneCtes: String =
     s"""WITH vids AS (
        |  SELECT doc_id AS media_id, text,
        |    CAST(1 + doc_id % 30 AS INTEGER) AS f,
@@ -767,12 +775,80 @@ object Multimodal {
        |    CAST(SUM(boundary) OVER (PARTITION BY media_id ORDER BY frame_idx
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
        |      AS scene_id
-       |  FROM flagged)
-       |SELECT media_id, scene_id,
-       |  MIN(frame_idx) AS start_frame, MAX(frame_idx) AS end_frame,
-       |  COUNT(*) AS n_frames, CAST(SUM(flen) AS BIGINT) AS scene_bytes
-       |FROM scenes
-       |GROUP BY media_id, scene_id
+       |  FROM flagged)""".stripMargin
+
+  val sceneDetectSql: String = sceneCtes + "\n" +
+    """SELECT media_id, scene_id,
+      |  MIN(frame_idx) AS start_frame, MAX(frame_idx) AS end_frame,
+      |  COUNT(*) AS n_frames, CAST(SUM(flen) AS BIGINT) AS scene_bytes
+      |FROM scenes
+      |GROUP BY media_id, scene_id
+      |ORDER BY media_id, scene_id""".stripMargin
+
+  /** m16: scene-aware FRAME-SAMPLE budget planner (r16) — the sampling
+    * policy a video training pipeline actually runs (scene-proportional
+    * sampling, not uniform stride — every VideoCLIP-style loader's
+    * preprocessing decision): each video gets a [[FrameBudget]]-frame
+    * budget allocated ACROSS its m9 scenes by the largest-remainder
+    * method (base = `K·n div tot`, remainders ranked `(rem DESC,
+    * scene_id ASC)` hand out the leftover — deterministic, sums to
+    * exactly K), and a video with fewer total frames than the budget
+    * samples everything (alloc = n_frames; with tot > K the
+    * largest-remainder alloc provably never exceeds a scene's frames).
+    * Emitted per scene: frames, bytes, alloc — the loader's sampling
+    * manifest. One m9 scene pass + a media-keyed totals join + one
+    * media-partitioned rank window (bounded by ≤30 scenes per video);
+    * [[FrameBudget]] mirrored literally.
+    */
+  val FrameBudget = 8L
+
+  def frameBudget(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val sc = scenesFrame(s, d)
+      .select($"media_id", $"scene_id", $"n_frames", $"scene_bytes")
+    val tot = sc.groupBy($"media_id").agg(sum($"n_frames").as("tf"))
+    val w = Window.partitionBy($"media_id")
+    val wr = Window.partitionBy($"media_id")
+      .orderBy($"rem".desc, $"scene_id".asc)
+    sc.join(tot, Seq("media_id"))
+      .withColumn("base", expr(s"$FrameBudget * n_frames div tf"))
+      .withColumn("rem", expr(s"$FrameBudget * n_frames % tf"))
+      .withColumn("rk", row_number().over(wr))
+      .withColumn("sb", sum($"base").over(w))
+      .select($"media_id", $"scene_id", $"n_frames", $"scene_bytes",
+        when($"tf" <= FrameBudget, $"n_frames")
+          .otherwise($"base" +
+            when($"rk" <= lit(FrameBudget) - $"sb", 1L).otherwise(0L))
+          .as("alloc"))
+      .orderBy($"media_id", $"scene_id")
+  }
+
+  val frameBudgetSql: String = sceneCtes + ",\n" +
+    s"""sc16 AS (
+       |  SELECT media_id, scene_id, COUNT(*) AS n_frames,
+       |    CAST(SUM(flen) AS BIGINT) AS scene_bytes
+       |  FROM scenes GROUP BY media_id, scene_id),
+       |tot16 AS (
+       |  SELECT media_id, CAST(SUM(n_frames) AS BIGINT) AS tf
+       |  FROM sc16 GROUP BY media_id),
+       |a16 AS (
+       |  SELECT s.media_id, s.scene_id, s.n_frames, s.scene_bytes, t.tf,
+       |    $FrameBudget * s.n_frames // t.tf AS base,
+       |    $FrameBudget * s.n_frames % t.tf AS rem
+       |  FROM sc16 s JOIN tot16 t USING (media_id)),
+       |r16 AS (
+       |  SELECT *,
+       |    ROW_NUMBER() OVER (PARTITION BY media_id
+       |      ORDER BY rem DESC, scene_id ASC) AS rk,
+       |    SUM(base) OVER (PARTITION BY media_id) AS sb
+       |  FROM a16)
+       |SELECT media_id, scene_id, CAST(n_frames AS BIGINT) AS n_frames,
+       |  scene_bytes,
+       |  CAST(CASE WHEN tf <= $FrameBudget THEN n_frames
+       |    ELSE base + CASE WHEN rk <= $FrameBudget - sb THEN 1 ELSE 0 END
+       |    END AS BIGINT) AS alloc
+       |FROM r16
        |ORDER BY media_id, scene_id""".stripMargin
 
   /** m11: modality card — p18's datasheet for the binary corpus: per mime,
@@ -1041,6 +1117,7 @@ object Multimodal {
       |ORDER BY media_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m16_frame_budget" -> (frameBudget _),
     "m15_pair_alignment" -> (pairAlignment _),
     "m14_pair_admission" -> (pairAdmission _),
     "m13_container_audit" -> (containerAudit _),
@@ -1058,6 +1135,7 @@ object Multimodal {
     "m5_frame_dedup"    -> (frameDupes _))
 
   val oracle: Map[String, String] = Map(
+    "m16_frame_budget" -> frameBudgetSql,
     "m15_pair_alignment" -> pairAlignmentSql,
     "m14_pair_admission" -> pairAdmissionSql,
     "m13_container_audit" -> containerAuditSql,
