@@ -1537,7 +1537,49 @@ object Extensibility {
       |  SELECT 'desc' AS dir, key, v FROM pot ORDER BY key DESC LIMIT 7)
       |ORDER BY dir, key""".stripMargin
 
+  /** u30: the DSv2 FUNCTION CATALOG surface — s5's int8-quantized top-k
+    * restated with the ranking dot computed by
+    * `graft_fns.ops.int8dot(...)`, a catalog-namespaced V2
+    * [[graft.sources.GraftFunctionCatalog ScalarFunction]] wired in by
+    * CONFIG alone (`spark.sql.catalog.graft_fns`), not by session-registry
+    * code: the registration path a shared cluster gateway exposes.
+    * Resolution binds the typed function at analysis and codegens a direct
+    * call to its magic `invoke` method — GraftExtensionsSpec pins the
+    * physical plan's ranking column is the bound V2 function (and that a
+    * bad input type or unknown name fails at ANALYSIS, not execute).
+    * Hash-matching s5's oracle proves the catalog path is bit-identical
+    * to the HOF `aggregate(zip_with(...))` shape. One scan, broadcast'd
+    * single-row query side, TakeOrderedAndProject — s5's plan exactly.
+    */
+  def sqlFunctionCatalog(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_fns",
+      classOf[graft.sources.GraftFunctionCatalog].getName)
+    Tables.embeddings(s, d).createOrReplaceTempView("g_embeddings")
+    s.sql(
+      """WITH codes AS (
+        |  SELECT vec_id, label,
+        |    transform(embedding, x ->
+        |      CAST(floor(CAST(x AS DOUBLE) *
+        |        (127.0 / aggregate(embedding, CAST(0.0 AS DOUBLE),
+        |           (m, v) -> greatest(m, abs(CAST(v AS DOUBLE)))))) AS INT))
+        |      AS code
+        |  FROM g_embeddings),
+        |q AS (SELECT code AS qc FROM codes WHERE vec_id = 0)
+        |SELECT e.vec_id, e.label, graft_fns.ops.int8dot(e.code, q.qc) AS qdot
+        |FROM codes e CROSS JOIN q
+        |WHERE e.vec_id <> 0
+        |ORDER BY qdot DESC, e.vec_id ASC
+        |LIMIT 20""".stripMargin)
+  }
+
+  /** Oracle: s5's quantized top-k SQL verbatim (same codes, same integer
+    * dot, same order) — the catalog function must be indistinguishable
+    * from the HOF it packages.
+    */
+  val sqlFunctionCatalogSql: String = Similarity.quantizedTopKSql
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u30_sql_function_catalog" -> (sqlFunctionCatalog _),
     "u29_sql_zorder_read" -> (sqlZorderRead _),
     "u28_sql_topn_pushdown" -> (sqlTopNPushdown _),
     "u27_stats_broadcast" -> (statsBroadcastJoin _),
@@ -1569,6 +1611,7 @@ object Extensibility {
     "u5_typed_dataset"  -> (typedDataset _))
 
   val oracle: Map[String, String] = Map(
+    "u30_sql_function_catalog" -> sqlFunctionCatalogSql,
     "u29_sql_zorder_read" -> sqlZorderReadSql,
     "u28_sql_topn_pushdown" -> sqlTopNPushdownSql,
     "u27_stats_broadcast" -> statsBroadcastJoinSql,

@@ -1,0 +1,110 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.connector.catalog.{CatalogPlugin, FunctionCatalog, Identifier}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource-V2 FUNCTION CATALOG — the catalog-namespaced front door to
+  * graft's native kernels, complementing the session-registry injection
+  * ([[graft.GraftExtensions]], u7/u8) with the `FunctionCatalog` plugin
+  * surface a multi-tenant cluster actually uses: functions live under a
+  * catalog+namespace (`graft_fns.ops.int8dot(...)`), are discoverable via
+  * `SHOW FUNCTIONS`, need no per-session registration code, and resolve
+  * through Spark's V2 function resolution — which binds the typed
+  * [[ScalarFunction]] and then codegens a direct JVM call to the MAGIC
+  * `invoke` method (no reflection, no row boxing on the hot path).
+  *
+  * Reference analogue: pot exposes its operations as named HTTP endpoints
+  * (`server.go` route table); the catalog is the SQL-native equivalent of
+  * that addressable-by-name surface.
+  *
+  * Registration is pure config — `spark.sql.catalog.graft_fns =
+  * graft.sources.GraftFunctionCatalog` — so it works identically on a
+  * cluster where sessions are built by a gateway the user doesn't control.
+  */
+class GraftFunctionCatalog extends CatalogPlugin with FunctionCatalog {
+  private var catName: String = "graft_fns"
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catName = name
+
+  override def name(): String = catName
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(GraftFunctionCatalog.Namespace))
+      GraftFunctionCatalog.functions.keys.toArray
+        .map(n => Identifier.of(namespace, n))
+    else Array.empty
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.namespace.sameElements(GraftFunctionCatalog.Namespace))
+      GraftFunctionCatalog.functions.getOrElse(
+        ident.name, throw new NoSuchFunctionException(ident))
+    else throw new NoSuchFunctionException(ident)
+}
+
+object GraftFunctionCatalog {
+  val Namespace: Array[String] = Array("ops")
+
+  val functions: Map[String, UnboundFunction] = Map(
+    "int8dot" -> Int8DotUnbound)
+}
+
+/** `int8dot(array<int>, array<int>) -> bigint` — exact integer dot product
+  * over int8-quantized embedding codes (the s5/s15 scoring kernel). Bind
+  * accepts any two integer-array inputs; anything else fails loudly at
+  * ANALYSIS time (not at execute) with the offending type printed.
+  */
+object Int8DotUnbound extends UnboundFunction {
+  override def name(): String = "int8dot"
+  override def description(): String =
+    "int8dot(array<int>, array<int>) -> bigint: exact integer dot product " +
+      "over int8 quantization codes"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    val ok = inputType.fields.length == 2 && inputType.fields.forall {
+      f => f.dataType match {
+        case ArrayType(IntegerType, _) => true
+        case _                         => false
+      }
+    }
+    if (!ok) throw new UnsupportedOperationException(
+      s"int8dot expects (array<int>, array<int>), got ${inputType.simpleString}")
+    Int8DotBound
+  }
+}
+
+object Int8DotBound extends ScalarFunction[java.lang.Long] {
+  override def inputTypes(): Array[DataType] =
+    Array(ArrayType(IntegerType), ArrayType(IntegerType))
+  override def resultType(): DataType = LongType
+  override def name(): String = "int8dot"
+  override def canonicalName(): String = "graft.ops.int8dot"
+  override def isResultNullable: Boolean = false
+
+  /** MAGIC method — resolved by name+signature at analysis, codegen'd as a
+    * direct `Invoke` (BoundFunction literal, no InternalRow construction).
+    * Must stay bit-identical to [[produceResult]] and to the HOF shape
+    * `aggregate(zip_with(a, b, x*y), 0L, +)` the s5 oracle replays.
+    */
+  def invoke(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += a.getInt(i).toLong * b.getInt(i).toLong
+      i += 1
+    }
+    acc
+  }
+
+  /** Row-based fallback path (used only if magic-method resolution were to
+    * fail); same arithmetic as [[invoke]].
+    */
+  override def produceResult(input: InternalRow): java.lang.Long =
+    invoke(input.getArray(0), input.getArray(1))
+}

@@ -96,4 +96,50 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .toLowerCase.contains("floatdot"),
       "rule stripped a value-changing cast chain")
   }
+
+  test("DSv2 FunctionCatalog (r16): graft_fns.ops.int8dot resolves via " +
+    "config alone, codegens the magic invoke, and fails at analysis") {
+    val s = TestSpark.spark
+    s.conf.set("spark.sql.catalog.graft_fns",
+      classOf[graft.sources.GraftFunctionCatalog].getName)
+    val df = s.sql(
+      "SELECT graft_fns.ops.int8dot(array(1, 2, 3), array(4, 5, -6)) AS d")
+    assert(df.collect().head.getLong(0) === -4L)
+    // the magic-vs-fallback choice is made at ANALYSIS
+    // (V2ExpressionUtils.resolveScalarFunction): the analyzed plan must
+    // carry a direct Invoke on the BoundFunction object, not the
+    // row-boxing ApplyFunctionExpression fallback. (The optimizer then
+    // constant-folds literal args — itself proof the Invoke evaluates.)
+    val nonLit = s.sql(
+      """SELECT graft_fns.ops.int8dot(a, array(4, 5, -6)) AS d
+        |FROM VALUES (array(1, 2, 3)), (array(9, 0, 1)) AS t(a)""".stripMargin)
+    assert(nonLit.collect().map(_.getLong(0)).sorted.toSeq === Seq(-4L, 30L))
+    val analyzed = nonLit.queryExecution.analyzed.toString
+    assert(analyzed.toLowerCase.contains("invoke"),
+      s"magic invoke not resolved:\n$analyzed")
+    assert(!analyzed.toLowerCase.contains("applyfunctionexpression"),
+      s"fell back to produceResult boxing:\n$analyzed")
+    // discoverable: SHOW FUNCTIONS lists the namespace's functions
+    val shown = s.sql("SHOW FUNCTIONS IN graft_fns.ops")
+      .collect().map(_.getString(0))
+    assert(shown.exists(_.contains("int8dot")), shown.mkString(","))
+    // unknown function name -> analysis-time error, not execute-time
+    intercept[org.apache.spark.sql.AnalysisException] {
+      s.sql("SELECT graft_fns.ops.nope(1) AS x")
+    }
+    // wrong input type -> bind() rejects at analysis, naming the shape
+    val err = intercept[Exception] {
+      s.sql("SELECT graft_fns.ops.int8dot(array('a'), array('b')) AS x")
+    }
+    assert(err.getMessage.contains("int8dot expects"), err.getMessage)
+    // catalog-path value identical to the HOF aggregate(zip_with(...))
+    val hof = s.sql(
+      """SELECT aggregate(zip_with(array(7, -3, 11), array(2, 9, -1),
+        |  (x, y) -> CAST(x AS BIGINT) * y), CAST(0 AS BIGINT),
+        |  (acc, v) -> acc + v) AS d""".stripMargin).collect().head.getLong(0)
+    val cat = s.sql(
+      "SELECT graft_fns.ops.int8dot(array(7, -3, 11), array(2, 9, -1)) AS d")
+      .collect().head.getLong(0)
+    assert(cat === hof)
+  }
 }
