@@ -1232,7 +1232,52 @@ object Aggregates {
       |  FROM documents WHERE (doc_id * 37) % 256 BETWEEN 0 AND 63) t
       |ORDER BY probe""".stripMargin
 
+  /** q86: RECURSIVE CTE hierarchy rollup (r16) — Spark 4's `WITH
+    * RECURSIVE` (UnionLoop, SPARK-24497) on a derived customer tree:
+    * parent(k) = k DIV 10, so the closure is every (node, ancestor) pair
+    * up the decimal tree, built level-synchronously in O(log10 N)
+    * iterations each a narrow scan of the previous level — no joins, the
+    * account balance rides the recursion. Subtree rollup = one GROUP BY
+    * over the closure (internal nodes only), exact-decimal sum (Ora
+    * discipline). Scale: closure size N*log10(N) rows of 4 narrow
+    * columns; each UnionLoop step is a full shuffle-free map of the
+    * prior level, so a 1000-executor run is |levels| = ~12 rounds at
+    * 100 TB, not row-count-bounded recursion depth. DuckDB replays the
+    * identical recursion (`//` = DIV).
+    */
+  def recursiveRollup(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("g_customer86")
+    s.sql(
+      """WITH RECURSIVE up(node, anc, lvl, bal) AS (
+        |  SELECT c_custkey, c_custkey, 0, c_acctbal FROM g_customer86
+        |  UNION ALL
+        |  SELECT node, anc DIV 10, lvl + 1, bal FROM up WHERE anc >= 10
+        |)
+        |SELECT anc, CAST(COUNT(*) AS BIGINT) AS n_desc,
+        |  CAST(MAX(lvl) AS INT) AS depth,
+        |  CAST(SUM(CAST(bal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+        |FROM up
+        |GROUP BY anc
+        |HAVING COUNT(*) > 1
+        |ORDER BY anc""".stripMargin)
+  }
+
+  val recursiveRollupSql: String =
+    """WITH RECURSIVE up(node, anc, lvl, bal) AS (
+      |  SELECT c_custkey, c_custkey, 0, c_acctbal FROM customer
+      |  UNION ALL
+      |  SELECT node, anc // 10, lvl + 1, bal FROM up WHERE anc >= 10
+      |)
+      |SELECT anc, CAST(COUNT(*) AS BIGINT) AS n_desc,
+      |  CAST(MAX(lvl) AS INTEGER) AS depth,
+      |  CAST(SUM(CAST(bal AS DECIMAL(38,6))) AS DOUBLE) AS sum_bal
+      |FROM up
+      |GROUP BY anc
+      |HAVING COUNT(*) > 1
+      |ORDER BY anc""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_recursive_rollup" -> (recursiveRollup _),
     "q85_store_zorder" -> (storeZorder _),
     "q84_zorder_layout" -> (zorderLayoutScan _),
     "q83_zorder_pruning" -> (zorderPruning _),
@@ -1256,6 +1301,7 @@ object Aggregates {
     "q52_hll_merge"         -> (hllMerge _))
 
   val oracle: Map[String, String] = Map(
+    "q86_recursive_rollup" -> recursiveRollupSql,
     "q85_store_zorder" -> storeZorderSql,
     "q84_zorder_layout" -> zorderLayoutScanSql,
     "q83_zorder_pruning" -> zorderPruningSql,
