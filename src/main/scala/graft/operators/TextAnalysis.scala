@@ -1568,7 +1568,105 @@ pr$r AS (
       |ORDER BY source, bucket""".stripMargin
       .replace("__T20__", bigramSurprisalSql)
 
+  /** t25 constants — mirrored LITERALLY in [[sequencePackingSql]] (change
+    * both or neither). Budget 256 > the fixture's 200-token doc bound
+    * (d25/p26's pinned guard), so no fixture doc is oversize — the
+    * oversize-doc path (own bin, fill > budget) is spec-pinned on
+    * synthetic rows instead.
+    */
+  val PackBudget = 256
+  val PackShards = 8
+
+  /** Spark-side packing plan over `<view>(doc_id BIGINT, text STRING)` —
+    * factored so QueriesSpec can replay it on synthetic docs (oversize,
+    * exact-boundary) the fixture can't produce.
+    */
+  private[graft] def packPlanSql(view: String): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, doc_id % $PackShards AS shard,
+       |    size(split(text, ' ')) AS n
+       |  FROM $view),
+       |shards AS (
+       |  SELECT shard,
+       |    sort_array(collect_list(named_struct('doc_id', doc_id, 'n', n)))
+       |      AS docs
+       |  FROM toks GROUP BY shard),
+       |packed AS (
+       |  SELECT shard, aggregate(
+       |    docs,
+       |    named_struct('fill', ${2 * PackBudget}, 'bin', -1,
+       |      'out', CAST(array() AS ARRAY<STRUCT<doc_id: BIGINT, n: INT, bin: INT>>)),
+       |    (acc, x) -> named_struct(
+       |      'fill', IF(acc.fill + x.n <= $PackBudget, acc.fill + x.n, x.n),
+       |      'bin',  IF(acc.fill + x.n <= $PackBudget, acc.bin, acc.bin + 1),
+       |      'out',  array_append(acc.out, named_struct(
+       |        'doc_id', x.doc_id, 'n', x.n,
+       |        'bin', IF(acc.fill + x.n <= $PackBudget, acc.bin, acc.bin + 1)))),
+       |    acc -> acc.out) AS out
+       |  FROM shards)
+       |SELECT shard, o.bin AS bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(o.n) AS BIGINT) AS fill_tokens,
+       |  CAST(MIN(o.doc_id) AS BIGINT) AS first_doc,
+       |  CAST(MAX(o.doc_id) AS BIGINT) AS last_doc
+       |FROM packed LATERAL VIEW explode(out) t AS o
+       |GROUP BY shard, o.bin
+       |ORDER BY shard, bin""".stripMargin
+
+  /** t25: SEQUENCE PACKING — the step between a cleaned corpus and a
+    * training run: greedy sequential (first-fit-in-order) packing of
+    * whitespace-token documents into fixed [[PackBudget]]-token training
+    * sequences, doc order pinned to doc_id so the assignment is
+    * deterministic. Packing is inherently a sequential fold, so the
+    * PARALLEL UNIT is the shard (doc_id mod [[PackShards]] here; at
+    * 100 TB, constant-SIZE shards via doc_id DIV shardSize — each task
+    * folds its own shard, no cross-shard state, which is exactly how
+    * production packers shard the problem). Per shard: one
+    * sort_array(collect_list) of (doc_id, n) pairs — bounded by the
+    * shard contract, NOT corpus-sized — then a single codegen'd HOF
+    * fold threading (fill, bin, assignment) through the docs; an
+    * oversize doc opens its own bin (fill > budget, next doc always
+    * overflows out of it). Emitted at bin granularity (n_docs, fill,
+    * doc span per bin) — the packing audit a training-prep pipeline
+    * reports. Oracle: DuckDB 1.0's `list_reduce` DROPS list-valued
+    * struct-accumulator state (verified: `[1]||[2]||[3]` folds to
+    * `[3]`), so the fold is replayed as a RECURSIVE CTE over per-shard
+    * rank — one level per doc position, every shard advancing in
+    * lockstep; `ordered` is AS MATERIALIZED (multiply-referenced CTE
+    * rule, SURVEY §7.4i).
+    */
+  def sequencePacking(s: SparkSession, d: String): DataFrame = {
+    Tables.documents(s, d).select("doc_id", "text")
+      .createOrReplaceTempView("g_documents25")
+    s.sql(packPlanSql("g_documents25"))
+  }
+
+  val sequencePackingSql: String =
+    s"""WITH RECURSIVE ordered AS MATERIALIZED (
+       |  SELECT doc_id % $PackShards AS shard, doc_id,
+       |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n,
+       |    CAST(row_number() OVER (PARTITION BY doc_id % $PackShards
+       |      ORDER BY doc_id) AS INTEGER) AS rk
+       |  FROM documents),
+       |steps(shard, rk, doc_id, n, fill, bin) AS (
+       |  SELECT shard, rk, doc_id, n, n, 0 FROM ordered WHERE rk = 1
+       |  UNION ALL
+       |  SELECT o.shard, o.rk, o.doc_id, o.n,
+       |    CASE WHEN s.fill + o.n <= $PackBudget THEN s.fill + o.n
+       |         ELSE o.n END,
+       |    CASE WHEN s.fill + o.n <= $PackBudget THEN s.bin
+       |         ELSE s.bin + 1 END
+       |  FROM steps s JOIN ordered o
+       |    ON o.shard = s.shard AND o.rk = s.rk + 1)
+       |SELECT shard, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n) AS BIGINT) AS fill_tokens,
+       |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       |  CAST(MAX(doc_id) AS BIGINT) AS last_doc
+       |FROM steps
+       |GROUP BY shard, bin
+       |ORDER BY shard, bin""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t25_sequence_packing" -> (sequencePacking _),
     "t24_token_fertility" -> (tokenFertility _),
     "t23_perplexity_split" -> (perplexitySplit _),
     "t22_bpe_encode" -> (bpeEncode _),
@@ -1595,6 +1693,7 @@ pr$r AS (
     "t6_pii_scrub"    -> (piiScrub _))
 
   val oracle: Map[String, String] = Map(
+    "t25_sequence_packing" -> sequencePackingSql,
     "t24_token_fertility" -> tokenFertilitySql,
     "t23_perplexity_split" -> perplexitySplitSql,
     "t22_bpe_encode" -> bpeEncodeSql,
