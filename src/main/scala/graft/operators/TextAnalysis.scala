@@ -1640,7 +1640,12 @@ pr$r AS (
     s.sql(packPlanSql("g_documents25"))
   }
 
-  val sequencePackingSql: String =
+  /** The packing-fold recursion, shared by the t25 and st23 oracles (each
+    * concatenates its own final SELECT below the CTE chain — concat of
+    * independently-stripMargin'd parts, never interpolation into an outer
+    * margin).
+    */
+  private[graft] val packStepsCte: String =
     s"""WITH RECURSIVE ordered AS MATERIALIZED (
        |  SELECT doc_id % $PackShards AS shard, doc_id,
        |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n,
@@ -1656,14 +1661,19 @@ pr$r AS (
        |    CASE WHEN s.fill + o.n <= $PackBudget THEN s.bin
        |         ELSE s.bin + 1 END
        |  FROM steps s JOIN ordered o
-       |    ON o.shard = s.shard AND o.rk = s.rk + 1)
-       |SELECT shard, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
-       |  CAST(SUM(n) AS BIGINT) AS fill_tokens,
-       |  CAST(MIN(doc_id) AS BIGINT) AS first_doc,
-       |  CAST(MAX(doc_id) AS BIGINT) AS last_doc
-       |FROM steps
-       |GROUP BY shard, bin
-       |ORDER BY shard, bin""".stripMargin
+       |    ON o.shard = s.shard AND o.rk = s.rk + 1),
+       |bins AS (
+       |  SELECT shard, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(n) AS BIGINT) AS fill_tokens,
+       |    CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+       |    CAST(MAX(doc_id) AS BIGINT) AS last_doc
+       |  FROM steps
+       |  GROUP BY shard, bin)""".stripMargin
+
+  val sequencePackingSql: String = packStepsCte + "\n" +
+    """SELECT shard, bin, n_docs, fill_tokens, first_doc, last_doc
+      |FROM bins
+      |ORDER BY shard, bin""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t25_sequence_packing" -> (sequencePacking _),

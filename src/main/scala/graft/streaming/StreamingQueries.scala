@@ -13,6 +13,12 @@ case class SessEvent(user_id: Long, ts: java.sql.Timestamp, ts_us: Long)
 case class SessState(start_us: Long, last_us: Long, n: Long)
 case class SessionOut(user_id: Long, sess_start: Long, n_events: Long)
 
+/** st23 incremental-packing types (top-level for implicit Encoders). */
+case class PackDoc(doc_id: Long, shard: Long, n: Int)
+case class PackOpenBin(bin: Int, fill: Int, nDocs: Long, firstDoc: Long, lastDoc: Long)
+case class PackBinOut(shard: Long, bin: Int, n_docs: Long, fill_tokens: Long,
+    first_doc: Long, last_doc: Long)
+
 /** Oracle-checked streaming entries — each runs a REAL Structured Streaming
   * query (file source over the events fixture → transform → sink, driven to
   * completion with processAllAvailable) and returns a DataFrame whose
@@ -1493,6 +1499,91 @@ object StreamingQueries {
       |) t
       |ORDER BY key, deleted, v""".stripMargin
 
+  /** The custom-state core of [[streamPacking]], exposed for the spec's
+    * multi-batch test: greedy first-fit-in-order packing of a doc stream
+    * into [[graft.operators.TextAnalysis.PackBudget]]-token bins, state =
+    * the one OPEN bin per shard. A bin emits when a later doc overflows
+    * past it (it can never change again); the trailing open bin stays in
+    * state unemitted — the closed-bins-only contract, st5's discipline
+    * applied to packing. Docs sort by doc_id within each micro-batch
+    * (delivery is unordered); cross-batch order is the arrival contract
+    * a production packer has anyway.
+    */
+  private[graft] def packStream(
+      docs: org.apache.spark.sql.Dataset[PackDoc]): org.apache.spark.sql.Dataset[PackBinOut] = {
+    import docs.sparkSession.implicits._
+    val budget = graft.operators.TextAnalysis.PackBudget
+    docs.groupByKey(_.shard)
+      .flatMapGroupsWithState[PackOpenBin, PackBinOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: Long, it: Iterator[PackDoc], state: GroupState[PackOpenBin]) =>
+          val sorted = it.toArray.sortBy(_.doc_id)
+          var closed = List.empty[PackBinOut]
+          var open = state.getOption
+          sorted.foreach { dd =>
+            open match {
+              case Some(o) if o.fill + dd.n <= budget =>
+                open = Some(PackOpenBin(o.bin, o.fill + dd.n, o.nDocs + 1,
+                  o.firstDoc, dd.doc_id))
+              case Some(o) =>
+                closed ::= PackBinOut(shard, o.bin, o.nDocs, o.fill.toLong,
+                  o.firstDoc, o.lastDoc)
+                open = Some(PackOpenBin(o.bin + 1, dd.n, 1L, dd.doc_id, dd.doc_id))
+              case None =>
+                open = Some(PackOpenBin(0, dd.n, 1L, dd.doc_id, dd.doc_id))
+            }
+          }
+          open.foreach(state.update)
+          closed.reverse.iterator
+      }
+  }
+
+  /** st23: STREAMING SEQUENCE PACKING — t25's packer as the INGEST-time
+    * operator it becomes in production (pack while the corpus lands, not
+    * as an extra batch pass): one [[PackOpenBin]] of state per shard —
+    * constant memory regardless of stream length — with completed bins
+    * emitted append-mode the moment a doc overflows past them. The
+    * trailing open bin per shard is deliberately withheld (it could
+    * still absorb the next doc). Oracle: t25's recursive-CTE fold
+    * restricted to closed bins (`bin < max(bin) per shard` — every shard
+    * holds exactly one open bin at stream end, fixture docs all fit
+    * under budget).
+    */
+  def streamPacking(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val batchDocs = Tables.documents(s, d)
+    val docs = s.readStream.schema(batchDocs.schema)
+      .parquet(fixtureStreamDir(d, "documents"))
+      .select($"doc_id",
+        ($"doc_id" % graft.operators.TextAnalysis.PackShards).as("shard"),
+        size(split($"text", " ")).as("n"))
+      .as[PackDoc]
+    val out = runScratchDir("graft-st23")
+    withStreamRunConf(s) {
+      val q = packStream(docs)
+        .writeStream
+        .format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/chk")
+        .outputMode("append")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    val result = s.read.parquet(s"$out/data")
+      .orderBy($"shard", $"bin").localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(out)).deleteRecursively()
+    result
+  }
+
+  val streamPackingSql: String =
+    graft.operators.TextAnalysis.packStepsCte + "\n" +
+      """SELECT shard, bin, n_docs, fill_tokens, first_doc, last_doc
+        |FROM (SELECT b.*, MAX(bin) OVER (PARTITION BY shard) AS mxbin
+        |      FROM bins b) t
+        |WHERE bin < mxbin
+        |ORDER BY shard, bin""".stripMargin
+
   /** st22: STATEMENT-CONSISTENT CDC APPLY (r16) — the consumer recipe
     * [[graft.sources.BucketedStmtLog]] documents, demonstrated end to
     * end: the sharded store's change feed is a physical per-chain log
@@ -1630,6 +1721,7 @@ object StreamingQueries {
       |ORDER BY phase, key""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st23_stream_packing" -> (streamPacking _),
     "st22_stmt_consistent_cdc" -> (streamStmtConsistentCdc _),
     "st21_stream_bucketed_cdc" -> (streamBucketedCdc _),
     "st20_stream_bucketed_sink" -> (streamBucketedSink _),
@@ -1654,6 +1746,7 @@ object StreamingQueries {
     "st4_stream_attribution" -> (streamClickAttribution _))
 
   val oracle: Map[String, String] = Map(
+    "st23_stream_packing" -> streamPackingSql,
     "st22_stmt_consistent_cdc" -> streamStmtConsistentCdcSql,
     "st21_stream_bucketed_cdc" -> streamBucketedCdcSql,
     "st20_stream_bucketed_sink" -> streamBucketedSinkSql,

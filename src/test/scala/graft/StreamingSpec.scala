@@ -443,4 +443,37 @@ class StreamingSpec extends AnyFunSuite {
         === Map("a" -> 1, "b" -> 2))
     } finally q.stop()
   }
+
+  test("st23 packing stream: open bin carries across micro-batches, " +
+    "closes on overflow, trailing bin never emits (r16)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    assert(graft.operators.TextAnalysis.PackBudget === 256)
+    val mem = MemoryStream[graft.streaming.PackDoc]
+    val q = graft.streaming.StreamingQueries.packStream(mem.toDS())
+      .writeStream.format("memory").queryName("pack_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1 (one shard, out-of-order delivery): sorted = 100, 120
+      // -> both fit bin 0 (fill 220), nothing closed yet
+      mem.addData(
+        graft.streaming.PackDoc(8, 0, 120),
+        graft.streaming.PackDoc(0, 0, 100))
+      q.processAllAvailable()
+      assert(spark.table("pack_out").count() === 0L)
+      // batch 2: 50 overflows (220+50>256) -> bin 0 CLOSES with batch-1
+      // state intact; 300 oversize overflows again -> bin 1 closes too;
+      // bin 2 (the oversize doc) stays open and must NOT emit
+      mem.addData(
+        graft.streaming.PackDoc(16, 0, 50),
+        graft.streaming.PackDoc(24, 0, 300))
+      q.processAllAvailable()
+      val rows = spark.table("pack_out")
+        .select("shard", "bin", "n_docs", "fill_tokens", "first_doc", "last_doc")
+        .as[(Long, Int, Long, Long, Long, Long)].collect().toSeq.sorted
+      assert(rows === Seq(
+        (0L, 0, 2L, 220L, 0L, 8L),
+        (0L, 1, 1L, 50L, 16L, 16L)), rows.toString)
+    } finally q.stop()
+  }
 }
