@@ -1578,7 +1578,64 @@ object Extensibility {
     */
   val sqlFunctionCatalogSql: String = Similarity.quantizedTopKSql
 
+  /** u31: the AGGREGATE half of the u30 catalog surface —
+    * `graft_fns.ops.vsum(...)`, a V2 `AggregateFunction` resolved from
+    * the same config-wired catalog and planned as Spark's `V2Aggregator`
+    * (partial update per partition, associative merge at the exchange —
+    * the 1000-executor centroid shape, exercised for real: GROUP BY
+    * label over every input partition). Per-label integer centroid sums
+    * over the KMeans-quantized corpus, emitted as scalar functionals of
+    * the summed vector (first/last component + total checksum) so the
+    * driver hash covers the array content without comparing raw arrays.
+    * Oracle replays the element-wise sums relationally (UNNEST + two
+    * filtered sums). GraftExtensionsSpec pins state-merge correctness
+    * across forced repartitions and the analysis-time bad-type failure.
+    */
+  def sqlCatalogAgg(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.catalog.graft_fns",
+      classOf[graft.sources.GraftFunctionCatalog].getName)
+    Tables.embeddings(s, d).createOrReplaceTempView("g_embeddings")
+    val sql =
+      """WITH qv AS (
+        |  SELECT vec_id, label,
+        |    transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * __SCALE__.0) AS BIGINT)) AS q
+        |  FROM g_embeddings),
+        |cent AS (
+        |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |    graft_fns.ops.vsum(q) AS vs
+        |  FROM qv GROUP BY label)
+        |SELECT label, n_vecs,
+        |  element_at(vs, 1) AS c_first,
+        |  element_at(vs, 64) AS c_last,
+        |  aggregate(vs, CAST(0 AS BIGINT), (acc, x) -> acc + x) AS checksum
+        |FROM cent
+        |ORDER BY label""".stripMargin
+        .replace("__SCALE__", KMeans.QScale.toString)
+    s.sql(sql)
+  }
+
+  val sqlCatalogAggSql: String =
+    """WITH qv AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * __SCALE__.0) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |ex AS (
+      |  SELECT label, i, q[i] AS v
+      |  FROM qv, UNNEST(range(1, len(q) + 1)) AS t(i))
+      |SELECT e.label,
+      |  CAST(COUNT(*) FILTER (WHERE i = 1) AS BIGINT) AS n_vecs,
+      |  CAST(SUM(v) FILTER (WHERE i = 1) AS BIGINT) AS c_first,
+      |  CAST(SUM(v) FILTER (WHERE i = 64) AS BIGINT) AS c_last,
+      |  CAST(SUM(v) AS BIGINT) AS checksum
+      |FROM ex e
+      |GROUP BY e.label
+      |ORDER BY e.label""".stripMargin
+      .replace("__SCALE__", KMeans.QScale.toString)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "u31_sql_catalog_agg" -> (sqlCatalogAgg _),
     "u30_sql_function_catalog" -> (sqlFunctionCatalog _),
     "u29_sql_zorder_read" -> (sqlZorderRead _),
     "u28_sql_topn_pushdown" -> (sqlTopNPushdown _),
@@ -1611,6 +1668,7 @@ object Extensibility {
     "u5_typed_dataset"  -> (typedDataset _))
 
   val oracle: Map[String, String] = Map(
+    "u31_sql_catalog_agg" -> sqlCatalogAggSql,
     "u30_sql_function_catalog" -> sqlFunctionCatalogSql,
     "u29_sql_zorder_read" -> sqlZorderReadSql,
     "u28_sql_topn_pushdown" -> sqlTopNPushdownSql,

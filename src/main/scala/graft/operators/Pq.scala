@@ -882,7 +882,105 @@ object Pq {
          |ORDER BY thr_pct""".stripMargin
   }
 
+  /** s36: TRAINED SCALAR QUANTIZATION (SQ8) recall — the third leg of the
+    * Faiss quantization triad next to binary sketches (s2/d5) and PQ
+    * (s18+): per-DIMENSION trained [min, max] ranges (Faiss
+    * ScalarQuantizer's train step; contrast s5's untrained per-VECTOR
+    * max-abs), each component mapped onto its own full 0..255 grid —
+    * code = (x - mn) * 255 div span, ENTIRELY in [[KMeans]]'s integer
+    * domain, so training, encoding and the code-space L2 ranking replay
+    * bit-exactly in DuckDB (no float rounding anywhere past the shared
+    * q = floor(e·2^20) load). Train = one 64-group min/max aggregate
+    * (map-side partial combine; 64-row bounded driver state, the PQ-LUT
+    * discipline — broadcast literals into a single codegen'd transform,
+    * no join on the encode path). Serving cost: 64 B/vec vs 512 B raw —
+    * 8×, positioned between s5's 64× (PQ codes) and raw. The emitted
+    * price tag is the s19 shape at k=1 and k=10: |SQ top-k ∩ exact
+    * top-k| over the integer-exact ground truth, ties to lowest vec_id
+    * both sides. A constant dim (span 0) degrades to code 0 via the
+    * GREATEST(span, 1) guard — mirrored literally.
+    */
+  def sq8Recall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val qv = Tables.embeddings(s, d).select($"vec_id", expr(
+      s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${KMeans.QScale}.0) AS BIGINT))")
+      .as("qv"))
+    // train: per-dimension min/span — 64 rows of bounded driver state
+    val params = qv
+      .select(posexplode($"qv").as(Seq("i", "v")))
+      .groupBy($"i").agg(min($"v").as("mn"), max($"v").as("mx"))
+      .orderBy($"i").collect()
+    val mins = params.map(r => r.getLong(1))
+    val spans = params.map(r => math.max(r.getLong(2) - r.getLong(1), 1L))
+    val minsArr = mins.mkString("array(", "L,", "L)")
+    val spansArr = spans.mkString("array(", "L,", "L)")
+    val coded = qv.withColumn("code", expr(
+      s"""transform(qv, (x, i) ->
+         |  ((x - element_at($minsArr, i + 1)) * 255)
+         |    div element_at($spansArr, i + 1))""".stripMargin))
+    val probeCode = coded.filter($"vec_id" === 0L)
+      .select($"code").as[Seq[Long]].head()
+    val probeQv = qv.filter($"vec_id" === 0L)
+      .select($"qv").as[Seq[Long]].head()
+    val pcLit = lit(probeCode.toArray)
+    val pqLit = lit(probeQv.toArray)
+    val cand = coded.filter($"vec_id" =!= 0L)
+      .withColumn("code_l2",
+        aggregate(zip_with($"code", pcLit, (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v))
+    val exactRank = qv.filter($"vec_id" =!= 0L)
+      .withColumn("d2",
+        aggregate(zip_with($"qv", pqLit, (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v))
+    def hitsAt(k: Int): DataFrame = {
+      val sq = cand.orderBy($"code_l2".asc, $"vec_id".asc).limit(k)
+        .select($"vec_id")
+      val ex = exactRank.orderBy($"d2".asc, $"vec_id".asc).limit(k)
+        .select($"vec_id")
+      sq.join(ex, Seq("vec_id"), "left_semi")
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(k.toLong).as("k"), $"hits",
+          expr(s"(hits * 100) div ${k}L").as("recall_pct"))
+    }
+    hitsAt(1).unionByName(hitsAt(10)).orderBy($"k")
+  }
+
+  val sq8RecallSql: String =
+    s"""WITH qcorp AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * ${KMeans.QScale}.0) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |ex AS MATERIALIZED (
+       |  SELECT vec_id, i, qv[i] AS v
+       |  FROM qcorp, UNNEST(range(1, len(qv) + 1)) AS t(i)),
+       |params AS (
+       |  SELECT i, MIN(v) AS mn, GREATEST(MAX(v) - MIN(v), 1) AS span
+       |  FROM ex GROUP BY i),
+       |codes AS MATERIALIZED (
+       |  SELECT e.vec_id, e.i, ((e.v - p.mn) * 255) // p.span AS c
+       |  FROM ex e JOIN params p USING (i)),
+       |dist AS (
+       |  SELECT c.vec_id, SUM((c.c - q.c) * (c.c - q.c)) AS code_l2
+       |  FROM codes c JOIN (SELECT i, c FROM codes WHERE vec_id = 0) q USING (i)
+       |  WHERE c.vec_id <> 0 GROUP BY c.vec_id),
+       |exact AS (
+       |  SELECT e.vec_id, SUM((e.v - q.v) * (e.v - q.v)) AS d2
+       |  FROM ex e JOIN (SELECT i, v FROM ex WHERE vec_id = 0) q USING (i)
+       |  WHERE e.vec_id <> 0 GROUP BY e.vec_id),
+       |sq1 AS (SELECT vec_id FROM dist ORDER BY code_l2 ASC, vec_id ASC LIMIT 1),
+       |ex1 AS (SELECT vec_id FROM exact ORDER BY d2 ASC, vec_id ASC LIMIT 1),
+       |sq10 AS (SELECT vec_id FROM dist ORDER BY code_l2 ASC, vec_id ASC LIMIT 10),
+       |ex10 AS (SELECT vec_id FROM exact ORDER BY d2 ASC, vec_id ASC LIMIT 10)
+       |SELECT k, hits, (hits * 100) // k AS recall_pct FROM (
+       |  SELECT CAST(1 AS BIGINT) AS k, CAST(COUNT(*) AS BIGINT) AS hits
+       |  FROM sq1 WHERE vec_id IN (SELECT vec_id FROM ex1)
+       |  UNION ALL
+       |  SELECT CAST(10 AS BIGINT), CAST(COUNT(*) AS BIGINT)
+       |  FROM sq10 WHERE vec_id IN (SELECT vec_id FROM ex10)) t
+       |ORDER BY k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s36_sq8_recall" -> (sq8Recall _),
     "s35_pq_range_sweep" -> (pqRangeSweep _),
     "s34_ivfpq_knn_fallback" -> (ivfPqKnnFallback _),
     "s33_ivfpq_knn_join" -> (ivfPqKnnJoin _),
@@ -892,6 +990,7 @@ object Pq {
     "s22_nprobe_sweep" -> (nprobeSweep _))
 
   val oracle: Map[String, String] = Map(
+    "s36_sq8_recall" -> sq8RecallSql,
     "s35_pq_range_sweep" -> pqRangeSweepSql,
     "s34_ivfpq_knn_fallback" -> ivfPqKnnFallbackSql,
     "s33_ivfpq_knn_join" -> ivfPqKnnJoinSql,

@@ -1577,40 +1577,27 @@ pr$r AS (
   val PackBudget = 256
   val PackShards = 8
 
-  /** Spark-side packing plan over `<view>(doc_id BIGINT, text STRING)` —
-    * factored so QueriesSpec can replay it on synthetic docs (oversize,
-    * exact-boundary) the fixture can't produce.
+  /** The packing plan over a typed doc Dataset — factored so QueriesSpec
+    * can replay it on synthetic docs (oversize, exact-boundary) the
+    * fixture can't produce. One shuffle (groupByKey on shard), then the
+    * LINEAR [[graft.streaming.PackFold]] per group — sort the shard in
+    * memory (bounded by the shard contract, the same bound the
+    * sort-within-group carries anywhere), thread O(1) state, emit bins.
     */
-  private[graft] def packPlanSql(view: String): String =
-    s"""WITH toks AS (
-       |  SELECT doc_id, doc_id % $PackShards AS shard,
-       |    size(split(text, ' ')) AS n
-       |  FROM $view),
-       |shards AS (
-       |  SELECT shard,
-       |    sort_array(collect_list(named_struct('doc_id', doc_id, 'n', n)))
-       |      AS docs
-       |  FROM toks GROUP BY shard),
-       |packed AS (
-       |  SELECT shard, aggregate(
-       |    docs,
-       |    named_struct('fill', ${2 * PackBudget}, 'bin', -1,
-       |      'out', CAST(array() AS ARRAY<STRUCT<doc_id: BIGINT, n: INT, bin: INT>>)),
-       |    (acc, x) -> named_struct(
-       |      'fill', IF(acc.fill + x.n <= $PackBudget, acc.fill + x.n, x.n),
-       |      'bin',  IF(acc.fill + x.n <= $PackBudget, acc.bin, acc.bin + 1),
-       |      'out',  array_append(acc.out, named_struct(
-       |        'doc_id', x.doc_id, 'n', x.n,
-       |        'bin', IF(acc.fill + x.n <= $PackBudget, acc.bin, acc.bin + 1)))),
-       |    acc -> acc.out) AS out
-       |  FROM shards)
-       |SELECT shard, o.bin AS bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
-       |  CAST(SUM(o.n) AS BIGINT) AS fill_tokens,
-       |  CAST(MIN(o.doc_id) AS BIGINT) AS first_doc,
-       |  CAST(MAX(o.doc_id) AS BIGINT) AS last_doc
-       |FROM packed LATERAL VIEW explode(out) t AS o
-       |GROUP BY shard, o.bin
-       |ORDER BY shard, bin""".stripMargin
+  private[graft] def packDocs(
+      docs: org.apache.spark.sql.Dataset[graft.streaming.PackDoc]): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.shard)
+      .flatMapGroups { (shard, it) =>
+        val (closed, open) = graft.streaming.PackFold(
+          shard, None, it.toArray.sortBy(_.doc_id), PackBudget)
+        // batch semantics: stream end flushes the trailing open bin
+        closed.iterator ++ open.map(o => graft.streaming.PackBinOut(
+          shard, o.bin, o.nDocs, o.fill.toLong, o.firstDoc, o.lastDoc)).iterator
+      }
+      .toDF()
+      .orderBy("shard", "bin")
+  }
 
   /** t25: SEQUENCE PACKING — the step between a cleaned corpus and a
     * training run: greedy sequential (first-fit-in-order) packing of
@@ -1620,10 +1607,12 @@ pr$r AS (
     * PARALLEL UNIT is the shard (doc_id mod [[PackShards]] here; at
     * 100 TB, constant-SIZE shards via doc_id DIV shardSize — each task
     * folds its own shard, no cross-shard state, which is exactly how
-    * production packers shard the problem). Per shard: one
-    * sort_array(collect_list) of (doc_id, n) pairs — bounded by the
-    * shard contract, NOT corpus-sized — then a single codegen'd HOF
-    * fold threading (fill, bin, assignment) through the docs; an
+    * production packers shard the problem). Per shard: ONE groupByKey
+    * exchange, an in-memory sort of the shard's (doc_id, n) pairs
+    * (bounded by the shard contract, NOT corpus-sized), then the LINEAR
+    * [[graft.streaming.PackFold]] threading O(1) state doc to doc —
+    * NOT a SQL HOF with an array accumulator, which array_append-copies
+    * per doc and went O(shard²) = 25.6× on the 10× smoke; an
     * oversize doc opens its own bin (fill > budget, next doc always
     * overflows out of it). Emitted at bin granularity (n_docs, fill,
     * doc span per bin) — the packing audit a training-prep pipeline
@@ -1635,9 +1624,10 @@ pr$r AS (
     * rule, SURVEY §7.4i).
     */
   def sequencePacking(s: SparkSession, d: String): DataFrame = {
-    Tables.documents(s, d).select("doc_id", "text")
-      .createOrReplaceTempView("g_documents25")
-    s.sql(packPlanSql("g_documents25"))
+    import s.implicits._
+    packDocs(Tables.documents(s, d).select($"doc_id",
+      ($"doc_id" % PackShards).as("shard"),
+      size(split($"text", " ")).as("n")).as[graft.streaming.PackDoc])
   }
 
   /** The packing-fold recursion, shared by the t25 and st23 oracles (each

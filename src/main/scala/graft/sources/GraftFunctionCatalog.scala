@@ -51,7 +51,8 @@ object GraftFunctionCatalog {
   val Namespace: Array[String] = Array("ops")
 
   val functions: Map[String, UnboundFunction] = Map(
-    "int8dot" -> Int8DotUnbound)
+    "int8dot" -> Int8DotUnbound,
+    "vsum" -> VSumUnbound)
 }
 
 /** `int8dot(array<int>, array<int>) -> bigint` — exact integer dot product
@@ -107,4 +108,63 @@ object Int8DotBound extends ScalarFunction[java.lang.Long] {
     */
   override def produceResult(input: InternalRow): java.lang.Long =
     invoke(input.getArray(0), input.getArray(1))
+}
+
+/** `vsum(array<bigint>) -> array<bigint>` — element-wise vector SUM, the
+  * distributed centroid-accumulation kernel: partial states are plain
+  * long arrays, `merge` is associative/commutative element-wise addition,
+  * so Spark's partial-aggregate plan (update per partition, merge at the
+  * exchange) is exactly the 1000-executor shape. Exact BIGINT arithmetic
+  * end to end — no float order-dependence, which is WHY a centroid sum
+  * can be oracle-checked at all.
+  */
+object VSumUnbound extends UnboundFunction {
+  override def name(): String = "vsum"
+  override def description(): String =
+    "vsum(array<bigint>) -> array<bigint>: element-wise exact vector sum " +
+      "(distributed centroid kernel)"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    val ok = inputType.fields.length == 1 && (inputType.fields(0).dataType match {
+      case ArrayType(LongType, _) => true
+      case _                      => false
+    })
+    if (!ok) throw new UnsupportedOperationException(
+      s"vsum expects (array<bigint>), got ${inputType.simpleString}")
+    VSumBound
+  }
+}
+
+object VSumBound extends org.apache.spark.sql.connector.catalog.functions.AggregateFunction[Array[Long], ArrayData] {
+  override def inputTypes(): Array[DataType] = Array(ArrayType(LongType))
+  override def resultType(): DataType = ArrayType(LongType)
+  override def name(): String = "vsum"
+  override def canonicalName(): String = "graft.ops.vsum"
+  override def isResultNullable: Boolean = false
+
+  /** Zero state: dimension adopted from the first row seen (empty sums
+    * with any dimension).
+    */
+  override def newAggregationState(): Array[Long] = Array.emptyLongArray
+
+  override def update(state: Array[Long], input: InternalRow): Array[Long] = {
+    val a = input.getArray(0)
+    if (a == null) return state
+    val n = a.numElements()
+    val s = if (state.length >= n) state else java.util.Arrays.copyOf(state, n)
+    var i = 0
+    while (i < n) { s(i) += a.getLong(i); i += 1 }
+    s
+  }
+
+  override def merge(s1: Array[Long], s2: Array[Long]): Array[Long] = {
+    val (big, small) = if (s1.length >= s2.length) (s1, s2) else (s2, s1)
+    val out = java.util.Arrays.copyOf(big, big.length)
+    var i = 0
+    while (i < small.length) { out(i) += small(i); i += 1 }
+    out
+  }
+
+  override def produceResult(state: Array[Long]): ArrayData =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(state)
 }

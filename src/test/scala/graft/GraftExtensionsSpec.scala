@@ -142,4 +142,38 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .collect().head.getLong(0)
     assert(cat === hof)
   }
+
+  test("DSv2 FunctionCatalog V2 aggregate (r16): vsum partial states " +
+    "merge across partitions, bad input type fails at analysis") {
+    val s = TestSpark.spark
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft_fns",
+      classOf[graft.sources.GraftFunctionCatalog].getName)
+    val rows = (1L to 100L).map(i => (i % 3, Array(i, 2 * i, -i)))
+    // 1 partition vs 7 partitions: merge() must make them identical
+    def run(parts: Int): Map[Long, Seq[Long]] = {
+      rows.toDF("g", "v").repartition(parts)
+        .createOrReplaceTempView("g_vsum_spec")
+      s.sql("SELECT g, graft_fns.ops.vsum(v) AS vs FROM g_vsum_spec GROUP BY g")
+        .as[(Long, Seq[Long])].collect().toMap
+    }
+    val one = run(1)
+    val many = run(7)
+    assert(one === many, s"merge drift: $one vs $many")
+    // values: group g sums i over {i : i % 3 == g}
+    val expect = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> Seq(rs.map(_._2(0)).sum, rs.map(_._2(1)).sum, rs.map(_._2(2)).sum)
+    }
+    assert(one === expect)
+    // the plan carries the V2Aggregator-planned function, not a UDAF shim
+    rows.toDF("g", "v").createOrReplaceTempView("g_vsum_spec")
+    val agg = s.sql(
+      "SELECT g, graft_fns.ops.vsum(v) AS vs FROM g_vsum_spec GROUP BY g")
+    assert(agg.queryExecution.analyzed.toString.toLowerCase.contains("vsum"))
+    // wrong input type -> bind() rejects at analysis
+    val err = intercept[Exception] {
+      s.sql("SELECT graft_fns.ops.vsum(array('a')) AS x")
+    }
+    assert(err.getMessage.contains("vsum expects"), err.getMessage)
+  }
 }

@@ -169,17 +169,16 @@ class QueriesSpec extends AnyFunSuite {
   test("t25 packing fold: oversize doc owns its bin, exact-boundary doc " +
     "fills to budget, next doc opens a new bin (r16)") {
     import spark.implicits._
-    // all doc_ids ≡ 0 (mod PackShards) → one shard, sequential order pinned
+    // all docs on one shard; unsorted input order pins the doc_id sort
     val B = operators.TextAnalysis.PackBudget
     assert(B === 256, "spec arithmetic assumes budget 256")
-    def text(n: Int): String = Seq.fill(n)("w").mkString(" ")
-    Seq(
-      (0L, text(300)),  // oversize: own bin 0, fill 300 > budget
-      (8L, text(200)),  // 300+200 > 256 → bin 1
-      (16L, text(56)),  // 200+56 = 256 exactly → stays bin 1
-      (24L, text(1))    // 256+1 > 256 → bin 2
-    ).toDF("doc_id", "text").createOrReplaceTempView("g_pack_spec")
-    val rows = spark.sql(operators.TextAnalysis.packPlanSql("g_pack_spec"))
+    val docs = Seq(
+      streaming.PackDoc(24, 0, 1),   // 256+1 > 256 → bin 2
+      streaming.PackDoc(0, 0, 300),  // oversize: own bin 0, fill 300 > budget
+      streaming.PackDoc(16, 0, 56),  // 200+56 = 256 exactly → stays bin 1
+      streaming.PackDoc(8, 0, 200)   // 300+200 > 256 → bin 1
+    ).toDS()
+    val rows = operators.TextAnalysis.packDocs(docs)
       .select("bin", "n_docs", "fill_tokens", "first_doc", "last_doc")
       .as[(Int, Long, Long, Long, Long)].collect().toSeq
     assert(rows === Seq(

@@ -144,7 +144,11 @@ object ScaleSmoke {
     // round-16 batch (s34/q85/u29/st22 omitted: store/layout-lifecycle
     // on fixed-slice or content-addressed stores; t24 omitted like
     // t21/t22 — replicas change the trained rules)
-    "d26_substr_scrub", "p27_post_dedup_mixture")
+    "d26_substr_scrub", "p27_post_dedup_mixture",
+    // round-16 continuation batch (u30/q86 omitted: dimension-only
+    // inputs — embeddings codes / customer tree; st23 omitted:
+    // stream-machinery floor dominates)
+    "t25_sequence_packing", "s36_sq8_recall")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
