@@ -1939,7 +1939,114 @@ object Dedup {
         |FROM toks t LEFT JOIN agg26 a ON a.doc_id = t.doc_id
         |ORDER BY t.doc_id""".stripMargin
 
+  /** d27 constants — mirrored LITERALLY in [[winnowingSql]] (change both
+    * or neither). K-gram size, winnowing window, df cap (d3's
+    * [[ShingleDfCap]] discipline at fingerprint granularity), and the
+    * min shared-fingerprint bar for a reported pair. Winnowing guarantee:
+    * any shared token run of length >= K + W - 1 (= 7) yields at least
+    * one shared fingerprint.
+    */
+  val WinnowK = 4
+  val WinnowW = 4
+  val WinnowDfCap = 10
+  val WinnowMinShared = 2
+
+  /** d27: WINNOWING fingerprints (Schleimer, Wilkerson, Aiken, "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD'03 — the MOSS
+    * scheme): hash every K-token gram, slide a W-gram window, keep each
+    * window's MINIMUM hash (ties to the RIGHTMOST position — robust
+    * winnowing), dedupe selections; the surviving ~2/(W+1) of gram hashes
+    * are the document's fingerprints, with the guarantee that any match
+    * of >= K+W-1 tokens shares a fingerprint. This is the third local
+    * fingerprint family next to d3's MinHash (global similarity) and
+    * d25's seed-and-extend (exact spans): winnowing is what you PERSIST
+    * when you need bounded-size per-doc signatures that still catch
+    * partial overlap. Engine-portable hashing: h = the first 12 md5 hex
+    * digits folded to a 48-bit BIGINT (p7's fold — xxhash64 has no
+    * DuckDB twin, and unlike d3 the SELECTION depends on hash VALUES,
+    * so the oracle must reproduce them bit-for-bit, not join strings).
+    * The window argmin is pure integer arithmetic: min over
+    * h·512 + (511 − p) picks (min hash, rightmost position) in one
+    * aggregate — no struct compare, no window function; positions stay
+    * under 512 by the corpus's spec-pinned 200-token bound. Pair join
+    * keyed by the 8-byte fingerprint hash, [[WinnowDfCap]] bounding the
+    * fan-out exactly as d3's cap does. 100 TB: fingerprints are a narrow
+    * (doc, h, p) relation ~2/(W+1) the gram count; one equi-join
+    * exchange; no pair generator is ever quadratic past the cap.
+    */
+  def winnowing(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables.documents(s, d)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .select($"doc_id", expr(
+        s"""transform(sequence(1, size(w) - ${WinnowK - 1}),
+           |  p -> CAST(conv(substring(md5(array_join(slice(w, p, $WinnowK), ' ')),
+           |    1, 12), 16, 10) AS BIGINT))""".stripMargin).as("hs"))
+      .filter(size($"hs") >= WinnowW)
+    // Window argmins computed MAP-SIDE per document (the sliding scan is
+    // in-row array math — no exchange exists before the fingerprint
+    // join; the first cut shuffled a (doc, window) explode through a
+    // hash aggregate and paid 4× the rows for the same integers).
+    val sel = grams
+      .withColumn("cs", expr("transform(hs, (h, i) -> h * 512 + 511 - (i + 1))"))
+      .select($"doc_id", explode(expr(
+        s"""array_distinct(transform(sequence(1, size(cs) - ${WinnowW - 1}),
+           |  w -> array_min(slice(cs, w, $WinnowW))))""".stripMargin))
+        .as("selv"))
+      .select($"doc_id", expr("selv div 512").as("h"),
+        expr("511 - (selv % 512)").as("p"))
+    val ok = sel.groupBy($"h")
+      .agg(countDistinct($"doc_id").as("df"))
+      .filter($"df" <= WinnowDfCap)
+      .select($"h")
+    val fp = sel.join(ok, "h")
+    val pairs = fp.select($"h", $"doc_id".as("doc_a"))
+      .join(fp.select($"h", $"doc_id".as("doc_b")), "h")
+      .filter($"doc_a" < $"doc_b")
+      .select($"doc_a", $"doc_b", $"h").distinct()
+      .groupBy($"doc_a", $"doc_b")
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter($"shared_fps" >= WinnowMinShared)
+      .orderBy($"doc_a", $"doc_b")
+    pairs
+  }
+
+  val winnowingSql: String =
+    s"""WITH grams AS MATERIALIZED (
+       |  SELECT doc_id, p,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, 13),
+       |        i -> CAST(strpos('0123456789abcdef',
+       |               substr(md5(array_to_string(w[p:p + ${WinnowK - 1}], ' ')),
+       |                 i, 1)) - 1 AS BIGINT))),
+       |      (acc, v) -> acc * 16 + v) AS h,
+       |    np
+       |  FROM (
+       |    SELECT doc_id, string_split(text, ' ') AS w,
+       |      CAST(len(string_split(text, ' ')) AS INTEGER) - ${WinnowK - 1} AS np
+       |    FROM documents) d,
+       |    UNNEST(range(1, np + 1)) AS t(p)
+       |  WHERE np >= $WinnowW),
+       |sel AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id,
+       |    MIN(h * 512 + (511 - p)) // 512 AS h,
+       |    511 - (MIN(h * 512 + (511 - p)) % 512) AS p
+       |  FROM grams,
+       |    UNNEST(range(greatest(1, p - ${WinnowW - 1}),
+       |                 least(p, np - ${WinnowW - 1}) + 1)) AS u(win)
+       |  GROUP BY doc_id, win),
+       |ok AS (SELECT h FROM sel GROUP BY h
+       |       HAVING COUNT(DISTINCT doc_id) <= $WinnowDfCap),
+       |fp AS (SELECT s.doc_id, s.h FROM sel s JOIN ok USING (h))
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(COUNT(DISTINCT a.h) AS BIGINT) AS shared_fps
+       |FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+       |GROUP BY a.doc_id, b.doc_id
+       |HAVING COUNT(DISTINCT a.h) >= $WinnowMinShared
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d27_winnowing" -> (winnowing _),
     "d26_substr_scrub" -> (exactSubstrScrub _),
     "d25_exact_substr" -> (exactSubstr _),
     "d24_line_dedup" -> (lineDedup _),
@@ -1968,6 +2075,7 @@ object Dedup {
     "d9_semantic_dedup"    -> (semanticDedup _))
 
   val oracle: Map[String, String] = Map(
+    "d27_winnowing" -> winnowingSql,
     "d26_substr_scrub" -> exactSubstrScrubSql,
     "d25_exact_substr" -> exactSubstrSql,
     "d24_line_dedup" -> lineDedupSql,
