@@ -1639,7 +1639,90 @@ object Pipeline {
          |FROM pl
          |ORDER BY source""".stripMargin
 
+  /** p28: LEAVE-ONE-OUT RULE ABLATION — the question every curation
+    * review actually asks of p25's cascade: "what does each rule COST
+    * us?" For each of the five Gopher-style rules, the corpus is
+    * re-evaluated with that one rule removed; the docs recovered are
+    * exactly those whose failure MASK is that rule's bit alone (docs
+    * failing only it), so the whole ablation is ONE corpus pass
+    * computing a 5-bit failure mask + token count per doc, a ≤32-row
+    * (mask → docs, tokens) histogram (map-side partial agg), and a
+    * 6-row broadcast rule frame joined against it — p25's lazy-cascade
+    * discipline, zero extra scans for 5 ablations (the naive form is 6
+    * corpus passes). Stage 0 reports the full-cascade baseline.
+    * Thresholds are p25's, mirrored literally (change both or neither).
+    * At 100 TB: still exactly one aggregation over derived per-doc ints.
+    */
+  def ruleAblation(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val masked = Tables.documents(s, d)
+      .withColumn("w", split(lower($"text"), " "))
+      .select(
+        length($"text").cast("long").as("lc"),
+        size($"w").cast("long").as("nt"),
+        size(filter($"w", x => x.isin(FunnelStop: _*))).cast("long").as("ns"),
+        size(array_distinct($"w")).cast("long").as("nd"))
+      .select($"nt",
+        (when(!($"nt" >= 20L), 1).otherwise(0)
+          + when(!($"nt" <= 80L), 2).otherwise(0)
+          + when(!($"lc" >= $"nt" * 5L && $"lc" <= $"nt" * 12L), 4).otherwise(0)
+          + when(!($"ns" * 20L >= $"nt"), 8).otherwise(0)
+          + when(!($"nd" * 5L >= $"nt" * 2L), 16).otherwise(0)).as("mask"))
+    val hist = masked.groupBy($"mask")
+      .agg(count(lit(1)).as("n"), sum($"nt").as("tok"))
+    val rules = Seq(
+      (0, "cascade_baseline", 0), (1, "min_tokens", 1), (2, "max_tokens", 2),
+      (3, "word_length", 4), (4, "stopword_floor", 8), (5, "repetition", 16))
+      .toDF("stage", "rule", "bit")
+    rules.join(broadcast(hist),
+        $"mask" === 0 || $"mask" === $"bit", "left")
+      .groupBy($"stage", $"rule")
+      .agg(
+        coalesce(sum($"n"), lit(0L)).as("n_kept"),
+        coalesce(sum(when($"mask" === $"bit" && $"bit" > 0, $"n")), lit(0L))
+          .as("docs_recovered"),
+        coalesce(sum(when($"mask" === $"bit" && $"bit" > 0, $"tok")), lit(0L))
+          .as("tokens_recovered"))
+      .orderBy($"stage")
+  }
+
+  val ruleAblationSql: String =
+    """WITH d AS (
+      |  SELECT CAST(LENGTH(text) AS BIGINT) AS lc,
+      |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS nt,
+      |    CAST(len(list_filter(string_split(lower(text), ' '),
+      |      x -> list_contains(['the','a','of','and','to','is','in','it'], x)))
+      |      AS BIGINT) AS ns,
+      |    CAST(len(list_distinct(string_split(lower(text), ' ')))
+      |      AS BIGINT) AS nd
+      |  FROM documents),
+      |m AS (
+      |  SELECT nt,
+      |    (CASE WHEN NOT (nt >= 20) THEN 1 ELSE 0 END
+      |     + CASE WHEN NOT (nt <= 80) THEN 2 ELSE 0 END
+      |     + CASE WHEN NOT (lc >= nt * 5 AND lc <= nt * 12) THEN 4 ELSE 0 END
+      |     + CASE WHEN NOT (ns * 20 >= nt) THEN 8 ELSE 0 END
+      |     + CASE WHEN NOT (nd * 5 >= nt * 2) THEN 16 ELSE 0 END) AS mask
+      |  FROM d),
+      |hist AS (
+      |  SELECT mask, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(nt) AS BIGINT) AS tok
+      |  FROM m GROUP BY mask),
+      |rules(stage, rule, bit) AS (VALUES
+      |  (0, 'cascade_baseline', 0), (1, 'min_tokens', 1), (2, 'max_tokens', 2),
+      |  (3, 'word_length', 4), (4, 'stopword_floor', 8), (5, 'repetition', 16))
+      |SELECT CAST(r.stage AS INTEGER) AS stage, r.rule,
+      |  CAST(COALESCE(SUM(h.n), 0) AS BIGINT) AS n_kept,
+      |  CAST(COALESCE(SUM(CASE WHEN h.mask = r.bit AND r.bit > 0
+      |    THEN h.n END), 0) AS BIGINT) AS docs_recovered,
+      |  CAST(COALESCE(SUM(CASE WHEN h.mask = r.bit AND r.bit > 0
+      |    THEN h.tok END), 0) AS BIGINT) AS tokens_recovered
+      |FROM rules r LEFT JOIN hist h ON h.mask = 0 OR h.mask = r.bit
+      |GROUP BY r.stage, r.rule
+      |ORDER BY stage""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p28_rule_ablation" -> (ruleAblation _),
     "p27_post_dedup_mixture" -> (postDedupMixture _),
     "p26_substr_drop_policy" -> (substrDropPolicy _),
     "p25_quality_funnel"   -> (qualityFunnel _),
@@ -1669,6 +1752,7 @@ object Pipeline {
     "p7_bloom_decontaminate" -> (bloomDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "p28_rule_ablation" -> ruleAblationSql,
     "p27_post_dedup_mixture" -> postDedupMixtureSql,
     "p26_substr_drop_policy" -> substrDropPolicySql,
     "p25_quality_funnel"   -> qualityFunnelSql,

@@ -148,7 +148,8 @@ object ScaleSmoke {
     // round-16 continuation batch (u30/q86 omitted: dimension-only
     // inputs — embeddings codes / customer tree; st23 omitted:
     // stream-machinery floor dominates)
-    "t25_sequence_packing", "s36_sq8_recall", "d27_winnowing")
+    "t25_sequence_packing", "s36_sq8_recall", "d27_winnowing",
+    "p28_rule_ablation")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
