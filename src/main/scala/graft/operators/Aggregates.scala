@@ -1276,7 +1276,168 @@ object Aggregates {
       |HAVING COUNT(*) > 1
       |ORDER BY anc""".stripMargin
 
+  /** q87 constants — mirrored LITERALLY in [[kmvOverlapSql]] (change both
+    * or neither). K = sketch size (bottom-k distinct hash values); U =
+    * the 48-bit hash universe (p7's md5 fold domain — engine-portable,
+    * unlike xxhash64); Cap = the map-side PREFILTER: a uniform hash
+    * means the k-th minimum concentrates near K/n·U, so only hashes
+    * under U/4 can ever reach a 32-value sketch once n ≥ 128 — the
+    * filter drops ~3/4 of rows before any exchange. At 100 TB the cap
+    * tightens to Θ(K/n̂)·U from a row-count estimate (the planner
+    * statistic) and survivors stay O(K) per corpus; the fixture pins
+    * U/4 literally so the oracle replays the identical survivor set. */
+  private val KmvK = 32
+  private val KmvU = 1L << 48
+  private val KmvCap = KmvU / 4
+
+  /** q87: KMV (k-minimum-values / bottom-k) DISTINCT SKETCH + sketch
+    * set operations — Beyer et al. SIGMOD'07, the third sketch family
+    * next to HLL (q15/q43/q52/q57, distinct counts only) and Count-Min
+    * (q48, frequencies): a KMV sketch supports UNION and INTERSECTION
+    * estimates, which is what corpus-overlap questions at training-data
+    * scale actually need ("how much of corpus B is already in A?"
+    * BEFORE paying the exact dedup join). Two overlapping corpora are
+    * derived from `documents` with known ground truth (doc_id mod 3 /
+    * mod 2 slices, true Jaccard ≈ 0.4); each keeps its K smallest
+    * distinct 48-bit text hashes. Estimators (all integer-exact, both
+    * engines): distinct ≈ (K−1)·U / h_K; union from the merged bottom-K
+    * of the two sketches; intersection ≈ (|merged ∩ A ∩ B| · union_est)
+    * / K. Emitted beside EXACT counts — the price tag: at sf0.01 a
+    * 32-value sketch estimates 333/250/416/167 within ~15%. Undersized
+    * sketch (fixture regen shrinking a corpus below K survivors) raises
+    * NAMED, never estimates from a silently short sketch. Scale: the
+    * prefilter makes survivors O(K), the bottom-k is one tiny
+    * collect_set per corpus, sketch ops are single-row array math —
+    * no corpus-sized exchange anywhere.
+    */
+  def kmvOverlap(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val h = Tables.documents(s, d).select($"doc_id", expr(
+      "CAST(conv(substring(md5(text), 1, 12), 16, 10) AS BIGINT)").as("h"))
+    def corpus(name: String, keep: org.apache.spark.sql.Column) =
+      h.filter(keep).select(lit(name).as("corpus"), $"h")
+    val tagged = corpus("corpus_a", $"doc_id" % 3 =!= 0)
+      .unionByName(corpus("corpus_b", $"doc_id" % 2 =!= 0))
+    val sk = tagged.groupBy($"corpus").agg(
+      slice(sort_array(collect_set(when($"h" < KmvCap, $"h"))),
+        1, KmvK).as("ks0"),
+      countDistinct($"h").as("exact_nd"))
+      .withColumn("ks", expr(
+        s"""CASE WHEN size(ks0) >= $KmvK THEN ks0
+           |  ELSE CAST(raise_error(concat('q87: corpus ', corpus,
+           |    ' has only ', CAST(size(ks0) AS STRING), ' distinct ',
+           |    'hashes under the U/4 prefilter — the fixture shrank ',
+           |    'below the 32-value sketch; re-derive FIXTURES.md and ',
+           |    'retune K/Cap together')) AS ARRAY<BIGINT>)
+           |END""".stripMargin))
+      .select($"corpus", $"ks", $"exact_nd",
+        expr(s"element_at(ks, $KmvK)").as("hk"),
+        expr(s"CAST((${KmvK - 1}L * ${KmvU}L) DIV element_at(ks, $KmvK) " +
+          "AS BIGINT)").as("est"))
+    val a = sk.filter($"corpus" === "corpus_a")
+      .select($"ks".as("ks_a"), $"exact_nd".as("nd_a"),
+        $"hk".as("hk_a"), $"est".as("est_a"))
+    val b = sk.filter($"corpus" === "corpus_b")
+      .select($"ks".as("ks_b"), $"exact_nd".as("nd_b"),
+        $"hk".as("hk_b"), $"est".as("est_b"))
+    // exact union / intersection ground truth (the price-tag baseline)
+    val exact = tagged.groupBy($"h")
+      .agg(countDistinct($"corpus").as("nc"))
+      .agg(count(lit(1)).as("nd_union"),
+        count(when($"nc" === 2, 1)).as("nd_inter"))
+    // sketch set ops: merged bottom-K of the union; intersection
+    // estimate = (merged values present in BOTH sketches) · union / K
+    val ops = a.crossJoin(b).crossJoin(exact).select(
+      expr(s"slice(sort_array(array_union(ks_a, ks_b)), 1, $KmvK)")
+        .as("mk"),
+      $"ks_a", $"ks_b", $"nd_a", $"nd_b", $"hk_a", $"hk_b",
+      $"est_a", $"est_b", $"nd_union", $"nd_inter")
+      .select($"ks_a", $"ks_b", $"nd_a", $"nd_b", $"hk_a", $"hk_b",
+        $"est_a", $"est_b", $"nd_union", $"nd_inter",
+        expr(s"element_at(mk, $KmvK)").as("hk_u"),
+        expr(s"CAST((${KmvK - 1}L * ${KmvU}L) DIV element_at(mk, $KmvK) " +
+          "AS BIGINT)").as("est_union"),
+        expr("CAST(size(array_intersect(array_intersect(mk, ks_a), " +
+          "ks_b)) AS BIGINT)").as("jacc_num"))
+    ops.select(explode(array(
+      struct(lit("1_sketch").as("kind"), lit("corpus_a").as("name"),
+        $"est_a".as("est"), $"nd_a".as("exact"), $"hk_a".as("aux")),
+      struct(lit("1_sketch").as("kind"), lit("corpus_b").as("name"),
+        $"est_b".as("est"), $"nd_b".as("exact"), $"hk_b".as("aux")),
+      struct(lit("2_union").as("kind"), lit("a_b").as("name"),
+        $"est_union".as("est"), $"nd_union".as("exact"), $"hk_u".as("aux")),
+      struct(lit("3_intersect").as("kind"), lit("a_b").as("name"),
+        expr(s"CAST((jacc_num * est_union) DIV $KmvK AS BIGINT)")
+          .as("est"),
+        $"nd_inter".as("exact"), $"jacc_num".as("aux")))).as("r"))
+      .select($"r.kind", $"r.name", $"r.est", $"r.exact", $"r.aux")
+      .orderBy($"kind", $"name")
+  }
+
+  val kmvOverlapSql: String =
+    s"""WITH h AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, 13),
+       |        i -> CAST(strpos('0123456789abcdef',
+       |               substr(md5(text), i, 1)) - 1 AS BIGINT))),
+       |      (acc, v) -> acc * 16 + v) AS h
+       |  FROM documents),
+       |tag AS MATERIALIZED (
+       |  SELECT 'corpus_a' AS corpus, h FROM h WHERE doc_id % 3 != 0
+       |  UNION ALL
+       |  SELECT 'corpus_b' AS corpus, h FROM h WHERE doc_id % 2 != 0),
+       |surv AS (SELECT DISTINCT corpus, h FROM tag
+       |         WHERE h < ${KmvCap}),
+       |rk AS (SELECT corpus, h,
+       |         row_number() OVER (PARTITION BY corpus ORDER BY h) AS r
+       |       FROM surv),
+       |ks AS MATERIALIZED (SELECT corpus, h, r FROM rk WHERE r <= $KmvK),
+       |sk AS (
+       |  SELECT corpus, MAX(h) AS hk,
+       |    CAST((${KmvK - 1} * CAST(${KmvU} AS BIGINT)) // MAX(h) AS BIGINT)
+       |      AS est
+       |  FROM ks GROUP BY corpus),
+       |exact AS (
+       |  SELECT corpus, CAST(COUNT(DISTINCT h) AS BIGINT) AS nd
+       |  FROM tag GROUP BY corpus),
+       |uni AS (
+       |  SELECT CAST(COUNT(DISTINCT h) AS BIGINT) AS nd_union,
+       |    CAST(COUNT(DISTINCT CASE WHEN na > 0 AND nb > 0 THEN h END)
+       |      AS BIGINT) AS nd_inter
+       |  FROM (SELECT h,
+       |          COUNT(DISTINCT CASE WHEN corpus = 'corpus_a' THEN 1 END)
+       |            AS na,
+       |          COUNT(DISTINCT CASE WHEN corpus = 'corpus_b' THEN 1 END)
+       |            AS nb
+       |        FROM tag GROUP BY h)),
+       |mrk AS (SELECT h, row_number() OVER (ORDER BY h) AS r
+       |        FROM (SELECT DISTINCT h FROM ks)),
+       |mk AS MATERIALIZED (SELECT h FROM mrk WHERE r <= $KmvK),
+       |musk AS (
+       |  SELECT MAX(h) AS hk_u,
+       |    CAST((${KmvK - 1} * CAST(${KmvU} AS BIGINT)) // MAX(h) AS BIGINT)
+       |      AS est_union
+       |  FROM mk),
+       |jn AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS jacc_num FROM mk
+       |  WHERE h IN (SELECT h FROM ks WHERE corpus = 'corpus_a')
+       |    AND h IN (SELECT h FROM ks WHERE corpus = 'corpus_b'))
+       |SELECT '1_sketch' AS kind, corpus AS name, est,
+       |  nd AS "exact", hk AS aux
+       |FROM sk JOIN exact USING (corpus)
+       |UNION ALL
+       |SELECT '2_union', 'a_b', est_union, nd_union, hk_u
+       |FROM musk, uni
+       |UNION ALL
+       |SELECT '3_intersect', 'a_b',
+       |  CAST((jacc_num * est_union) // $KmvK AS BIGINT),
+       |  nd_inter, jacc_num
+       |FROM jn, musk, uni
+       |ORDER BY kind, name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_kmv_overlap" -> (kmvOverlap _),
     "q86_recursive_rollup" -> (recursiveRollup _),
     "q85_store_zorder" -> (storeZorder _),
     "q84_zorder_layout" -> (zorderLayoutScan _),
@@ -1301,6 +1462,7 @@ object Aggregates {
     "q52_hll_merge"         -> (hllMerge _))
 
   val oracle: Map[String, String] = Map(
+    "q87_kmv_overlap" -> kmvOverlapSql,
     "q86_recursive_rollup" -> recursiveRollupSql,
     "q85_store_zorder" -> storeZorderSql,
     "q84_zorder_layout" -> zorderLayoutScanSql,

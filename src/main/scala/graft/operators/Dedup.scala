@@ -1988,7 +1988,21 @@ object Dedup {
     // join; the first cut shuffled a (doc, window) explode through a
     // hash aggregate and paid 4× the rows for the same integers).
     val sel = grams
-      .withColumn("cs", expr("transform(hs, (h, i) -> h * 512 + 511 - (i + 1))"))
+      // the d25-family fixture-bound guard, d27's domain: the combined
+      // argmin encoding h*512 + (511 - p) only covers positions < 512,
+      // so a fixture regen shipping longer docs must raise NAMED instead
+      // of silently colliding positions (executor-side, free when good;
+      // folded into the USED column so pruning can't drop it)
+      .withColumn("cs", expr(
+        s"""CASE WHEN size(hs) < 512
+           |  THEN transform(hs, (h, i) -> h * 512 + 511 - (i + 1))
+           |  ELSE CAST(raise_error(concat('d27: document ',
+           |    CAST(doc_id AS STRING), ' has ',
+           |    CAST(size(hs) + ${WinnowK - 1} AS STRING),
+           |    ' tokens — the 511-position fingerprint encoding no ',
+           |    'longer covers the fixture; re-derive FIXTURES.md and ',
+           |    'widen both sides together')) AS ARRAY<BIGINT>)
+           |END""".stripMargin))
       .select($"doc_id", explode(expr(
         s"""array_distinct(transform(sequence(1, size(cs) - ${WinnowW - 1}),
            |  w -> array_min(slice(cs, w, $WinnowW))))""".stripMargin))

@@ -675,6 +675,87 @@ object Extensibility {
       |FROM base
       |ORDER BY state, key""".stripMargin
 
+  /** u32: generation PROVENANCE as a DSv2 metadata column — `SELECT
+    * key, _pot_gen FROM pot` (Delta's `_commit_version`, Iceberg's
+    * `_file` surface; reference pot objects carry no per-key version,
+    * this surfaces the commit chain's where SQL can join on it). The
+    * column is HIDDEN: absent from `SELECT *`, resolved only when
+    * named, zero cost unprojected. Semantics: the generation whose
+    * committed artifact SUPPLIED the surviving row — exact writer
+    * provenance for delta-epoch rows (the fold reads each dgen's
+    * marker anyway, so provenance is free), the covering snapshot's
+    * generation for rows it folded (a snapshot rewrite forgets the
+    * original writer, exactly `_commit_version` after OPTIMIZE), NULL
+    * for raw legacy objects. The query builds gen 1-2 as batch
+    * snapshots, then two streaming delta epochs (gens 3-4) over
+    * disjoint nation slices, so the emitted `_pot_gen` proves all
+    * three cases: folded rows report 2, each epoch's rows report
+    * their dgen. Scale: provenance rides the chain fold the read does
+    * anyway — O(run) marker reads, no extra IO, no shuffle.
+    */
+  def potGenMetadataCol(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-potv2mdc").toString
+    val pot = s"$dir/t/data.json"
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    val tbl = "graft_u32_pot"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"CREATE TABLE $tbl (pot_file STRING, key STRING, " +
+      s"doc_json STRING) USING $fmt OPTIONS (path '$pot')")
+    val nat = Tables.nation(s, d)
+    def docs(df: org.apache.spark.sql.DataFrame, upd: Int) = df.select(
+      lit("").as("pot_file"),
+      concat(lit("n"), $"n_nationkey".cast("string")).as("key"),
+      to_json(struct($"n_name".as("name"), lit(upd).as("upd")))
+        .as("doc_json"))
+    // gens 1-2: batch snapshots (the second LWW-overlaps region 0)
+    docs(nat, 0)
+      .write.format(fmt).option("path", pot).mode("overwrite").save()
+    docs(nat.filter($"n_regionkey" === 0), 1)
+      .write.format(fmt).option("path", pot).mode("append").save()
+    // gens 3-4: streaming DELTA epochs (compactEvery high enough that
+    // neither triggers the snapshot path) over disjoint region slices
+    val write = new graft.sources.PotV2Write(
+      pot, graft.sources.PotV2Source.Schema, "u32-epochs",
+      truncateFirst = false, compactEvery = 1000)
+    val sw = write.toStreaming
+    def epoch(e: Long, rows: Seq[(String, String)]): Unit = {
+      val w = new graft.sources.PotV2WriterFactory(
+        write.epochStagingDir(e).toString, 1, 2).createWriter(0, 0L)
+      rows.foreach { case (k, dj) =>
+        w.write(org.apache.spark.sql.catalyst.InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(""),
+          org.apache.spark.unsafe.types.UTF8String.fromString(k),
+          org.apache.spark.unsafe.types.UTF8String.fromString(dj)))
+      }
+      sw.commit(e, Array(w.commit()))
+    }
+    def slice(region: Int, upd: Int): Seq[(String, String)] =
+      docs(nat.filter($"n_regionkey" === region), upd)
+        .select($"key", $"doc_json").as[(String, String)].collect().toSeq
+        .sortBy(_._1)
+    epoch(1L, slice(1, 2)) // gen 3
+    epoch(2L, slice(2, 3)) // gen 4
+    val out = s.sql(
+      s"""SELECT key, _pot_gen AS gen,
+         |  CAST(get_json_object(doc_json, '$$.upd') AS INT) AS upd
+         |FROM $tbl ORDER BY key""".stripMargin).localCheckpoint(true)
+    s.sql(s"DROP TABLE $tbl")
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    out
+  }
+
+  val potGenMetadataColSql: String =
+    """SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS key,
+      |  CAST(CASE WHEN n_regionkey = 1 THEN 3
+      |            WHEN n_regionkey = 2 THEN 4
+      |            ELSE 2 END AS BIGINT) AS gen,
+      |  CAST(CASE WHEN n_regionkey = 1 THEN 2
+      |            WHEN n_regionkey = 2 THEN 3
+      |            WHEN n_regionkey = 0 THEN 1
+      |            ELSE 0 END AS INTEGER) AS upd
+      |FROM nation ORDER BY key""".stripMargin
+
   /** u18: SQL `DELETE FROM` a pot — the reference's remove verb
     * (`server_routes.go` DELETE) as catalog DML, closing the SQL write
     * surface (u15 INSERT / u18 DELETE): the analyzer resolves the
@@ -1636,6 +1717,7 @@ object Extensibility {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "u31_sql_catalog_agg" -> (sqlCatalogAgg _),
+    "u32_pot_gen_metadata_col" -> (potGenMetadataCol _),
     "u30_sql_function_catalog" -> (sqlFunctionCatalog _),
     "u29_sql_zorder_read" -> (sqlZorderRead _),
     "u28_sql_topn_pushdown" -> (sqlTopNPushdown _),
@@ -1669,6 +1751,7 @@ object Extensibility {
 
   val oracle: Map[String, String] = Map(
     "u31_sql_catalog_agg" -> sqlCatalogAggSql,
+    "u32_pot_gen_metadata_col" -> potGenMetadataColSql,
     "u30_sql_function_catalog" -> sqlFunctionCatalogSql,
     "u29_sql_zorder_read" -> sqlZorderReadSql,
     "u28_sql_topn_pushdown" -> sqlTopNPushdownSql,

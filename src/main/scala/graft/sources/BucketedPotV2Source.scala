@@ -145,6 +145,7 @@ object BucketedPotV2Source {
 
 private[sources] class BucketedPotV2Table(root: String, nBuckets: Int)
     extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   require(root != null && root.nonEmpty,
@@ -156,6 +157,13 @@ private[sources] class BucketedPotV2Table(root: String, nBuckets: Int)
 
   override def name(): String = s"bucketed-pot:$root[$nBuckets]"
   override def schema(): StructType = PotV2Source.Schema
+
+  /** u32 — the same `_pot_gen` hidden column as the single-pot table
+    * ([[PotV2Table.metadataColumns]]): per-bucket generation provenance,
+    * since each bucket keeps its own chain. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    PotV2Source.MetadataCols
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
@@ -549,7 +557,7 @@ private[sources] class BucketedPinnedScanBuilder(
               s"bucketed pot $root bucket $b generation $g: snapshot " +
                 "body was vacuumed between operation build and scan — " +
                 "re-run the statement (it will pin the new head)")
-          Some(if (PotChain.isSnap(body)) PotFilePartition(body)
+          Some(if (PotChain.isSnap(body)) PotFilePartition(body, g)
             else PotStatePartition(pot.getParent.toString, g, body)
             : InputPartition)
         } else if (fs.exists(pot)) Some(PotFilePartition(pot.toString))

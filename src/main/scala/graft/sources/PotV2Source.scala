@@ -8,7 +8,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{MetadataColumn, SupportsMetadataColumns, SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
@@ -60,6 +60,21 @@ object PotV2Source {
     StructField("pot_file", StringType, nullable = false),
     StructField("key", StringType, nullable = false),
     StructField("doc_json", StringType, nullable = false)))
+
+  /** The `_pot_gen` metadata column (u32): see
+    * [[PotV2Table.metadataColumns]]. Shared by the single-pot and
+    * bucketed tables so the hidden-column surface is identical. */
+  val PotGenCol = "_pot_gen"
+  val MetadataCols: Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = PotGenCol
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.LongType
+      override def isNullable: Boolean = true
+      override def comment(): String =
+        "generation whose committed artifact supplied the row (the " +
+          "covering snapshot for folded rows; NULL for raw legacy objects)"
+    })
 
   /** True when `path` contains glob metacharacters (names MANY pot
     * objects). Single-object-only surfaces (write, generation pin, SQL
@@ -208,16 +223,27 @@ private[graft] object PotChain {
     */
   def chainRun(fs: org.apache.hadoop.fs.FileSystem, commits: Path,
       g: Long): (Option[String], Seq[String]) = {
+    val (snap, dgens) = chainRunG(fs, commits, g)
+    (snap.map(_._1), dgens.map(_._1))
+  }
+
+  /** [[chainRun]] pairing each body with the GENERATION whose marker
+    * named it — the markers are read during the walk anyway, so
+    * provenance consumers ([[stateAtWithGen]], the `_pot_gen` metadata
+    * column) get generation numbers at zero extra marker reads.
+    */
+  def chainRunG(fs: org.apache.hadoop.fs.FileSystem, commits: Path,
+      g: Long): (Option[(String, Long)], Seq[(String, Long)]) = {
     val gens = graft.kv.CommitMarker.committedGenerations(fs, commits)
       .filter(_ <= g).sorted.reverse
-    val dgens = scala.collection.mutable.ArrayBuffer.empty[String]
+    val dgens = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     gens.foreach { gen =>
       val body = artifactOf(fs, commits, gen)
-      if (isSnap(body)) return (Some(body), dgens.reverse.toSeq)
+      if (isSnap(body)) return (Some((body, gen)), dgens.reverse.toSeq)
       require(isDgen(body),
         s"pot chain: generation artifact above the covering snapshot " +
           s"must be a delta: $body")
-      dgens += body
+      dgens += ((body, gen))
     }
     (None, dgens.reverse.toSeq)
   }
@@ -256,27 +282,47 @@ private[graft] object PotChain {
     */
   def stateAt(fs: org.apache.hadoop.fs.FileSystem, commits: Path, g: Long)
       : java.util.LinkedHashMap[String, String] = {
+    val withGen = stateAtWithGen(fs, commits, g)
+    val state = new java.util.LinkedHashMap[String, String]()
+    withGen.entrySet().asScala.foreach(e =>
+      state.put(e.getKey, e.getValue._1))
+    state
+  }
+
+  /** [[stateAt]] carrying per-key GENERATION PROVENANCE: the generation
+    * whose committed artifact SUPPLIED the surviving row — the covering
+    * snapshot's generation for rows it folded (compaction forgets the
+    * original writer, exactly like Delta's `_commit_version` after
+    * OPTIMIZE), the dgen's generation for rows a delta wrote above it.
+    * Feeds the `_pot_gen` metadata column (u32); the generation number
+    * of each chainRun body is recovered from its commit marker position
+    * (markers are read anyway — zero extra IO).
+    */
+  def stateAtWithGen(fs: org.apache.hadoop.fs.FileSystem, commits: Path,
+      g: Long): java.util.LinkedHashMap[String, (String, Long)] = {
     val mapper = new ObjectMapper()
     // backward walk (r16): the fold reads the covering snapshot + the
-    // dgen run above it — O(run) marker reads, never O(chain)
-    val (snap, dgens) = chainRun(fs, commits, g)
-    val state = new java.util.LinkedHashMap[String, String]()
-    snap.foreach { body =>
+    // dgen run above it — O(run) marker reads, never O(chain); the
+    // generation of each body rides along from the walk's own marker
+    // reads (chainRunG), NOT a second full-chain marker scan
+    val (snap, dgens) = chainRunG(fs, commits, g)
+    val state = new java.util.LinkedHashMap[String, (String, Long)]()
+    snap.foreach { case (body, bodyGen) =>
       val in = fs.open(new Path(body))
       val root = try mapper.readTree(in) finally in.close()
       require(root != null && root.isObject,
         s"pot snapshot $body: top level must be a JSON map")
       root.fields().asScala.foreach(e =>
-        state.put(e.getKey, e.getValue.toString))
+        state.put(e.getKey, (e.getValue.toString, bodyGen)))
     }
-    dgens.foreach { body =>
+    dgens.foreach { case (body, bodyGen) =>
       val in = fs.open(new Path(body))
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
         .filter(_.nonEmpty).foreach { line =>
           val n = mapper.readTree(line)
           val d = n.get("d")
           if (d == null || d.isNull) state.remove(n.get("k").asText())
-          else state.put(n.get("k").asText(), d.toString)
+          else state.put(n.get("k").asText(), (d.toString, bodyGen))
         }
       finally in.close()
     }
@@ -293,12 +339,29 @@ class PotTooLarge(message: String) extends RuntimeException(message)
 
 private[sources] class PotV2Table(path: String)
     extends Table with SupportsRead with SupportsWrite
+    with SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   require(path != null && path.nonEmpty,
     "PotV2Source: .option(\"path\", <glob of data.json objects>) is required")
   override def name(): String = s"pot-json:$path"
   override def schema(): StructType = PotV2Source.Schema
+
+  /** u32 — generation provenance as a DSv2 METADATA COLUMN (Delta's
+    * `_commit_version`, Iceberg's `_file` surface): `SELECT key,
+    * _pot_gen FROM pot` resolves like a hidden column, never appears in
+    * `SELECT *`, and costs nothing unprojected. Value = the generation
+    * whose COMMITTED ARTIFACT supplied the surviving row: the dgen's
+    * generation for rows a delta wrote above the covering snapshot
+    * (exact writer provenance), the covering snapshot's generation for
+    * rows it folded (compaction forgets the original writer — exactly
+    * Delta's `_commit_version` after OPTIMIZE), NULL for a raw legacy
+    * object with no commit chain (provenance honestly unknown, never a
+    * fabricated 0). Reference: pot's objects carry no per-key version —
+    * this is the chain's provenance surfaced where SQL can join on it.
+    */
+  override def metadataColumns(): Array[MetadataColumn] =
+    PotV2Source.MetadataCols
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
@@ -738,7 +801,7 @@ private[graft] class PotV2Scan(
       // a snapshot generation reads its immutable object directly; a
       // DELTA generation (streaming epoch) folds its chain executor-side
       return Array(
-        if (PotChain.isSnap(body)) PotFilePartition(body)
+        if (PotChain.isSnap(body)) PotFilePartition(body, g)
         else PotStatePartition(p.getParent.toString, g, body))
     }
     val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
@@ -769,7 +832,8 @@ private[graft] class PotV2Scan(
           val headIsDelta = head > 0 &&
             PotChain.isDgen(PotChain.artifactOf(fs, commits, head))
           Some(if (headIsDelta) PotStatePartition(dir.toString, head, f)
-          else PotFilePartition(f): InputPartition)
+          else PotFilePartition(f, if (head > 0) head else -1L)
+          : InputPartition)
         }
       }
       .toArray
@@ -887,7 +951,12 @@ private[graft] class PotV2Scan(
   }
 }
 
-private[sources] case class PotFilePartition(file: String) extends InputPartition
+/** One immutable object read whole: either a `.snap-` body or a data.json
+  * materialization. `gen` is the snapshot generation that produced the
+  * content (every row's `_pot_gen`); -1 = raw legacy object with no
+  * chain (metadata column reads NULL). */
+private[sources] case class PotFilePartition(
+    file: String, gen: Long = -1L) extends InputPartition
 
 /** A pot whose chain head (or pinned generation) is a DELTA generation:
   * the reader folds the chain (covering snapshot + dgens) EXECUTOR-side
@@ -920,20 +989,28 @@ private[sources] class PotV2ReaderFactory(
       case _ => ()
     }
     val file = partition match {
-      case PotFilePartition(f) => f
+      case PotFilePartition(f, _) => f
       case PotStatePartition(_, _, pf) => pf
       case other => throw new IllegalArgumentException(
         s"PotV2Source: unexpected partition $other")
     }
+    // `_pot_gen` value for rows of a whole-object read: the snapshot
+    // generation the partition carries (-1 = legacy, reads NULL). Fold
+    // partitions get per-key provenance from stateAtWithGen instead.
+    val fileGen = partition match {
+      case PotFilePartition(_, g) => g
+      case _ => -1L
+    }
     // state partitions fold their chain executor-side; key predicates
     // still prune the emitted entries (the fold itself is whole-state by
     // definition — that is what a delta-headed chain costs to resolve)
-    def foldedEntries(sp: PotStatePartition): Iterator[(String, String)] = {
+    def foldedEntries(sp: PotStatePartition)
+        : Iterator[(String, String, Long)] = {
       val fs = new Path(sp.dir).getFileSystem(new Configuration())
-      PotChain.stateAt(fs, new Path(sp.dir, ".commits"), sp.gen)
+      PotChain.stateAtWithGen(fs, new Path(sp.dir, ".commits"), sp.gen)
         .entrySet().asScala.iterator
         .filter(e => PotV2Filters.accepts(pushed, "key", e.getKey))
-        .map(e => (e.getKey, e.getValue))
+        .map(e => (e.getKey, e.getValue._1, e.getValue._2))
     }
     aggGroupedByFile match {
       case Some(grouped) => return new PartitionReader[InternalRow] {
@@ -1009,7 +1086,7 @@ private[sources] class PotV2ReaderFactory(
           }
         }
       }
-      private def sourceEntries(): Iterator[(String, String)] =
+      private def sourceEntries(): Iterator[(String, String, Long)] =
         partition match {
           case sp: PotStatePartition => foldedEntries(sp)
           case _ if pushedLimit.isDefined && pushedTopN.isEmpty =>
@@ -1017,7 +1094,7 @@ private[sources] class PotV2ReaderFactory(
             // the parse after k survivors — O(k) parse, not O(object))
             streamedFields(new Path(file))
               .filter(e => PotV2Filters.accepts(pushed, "key", e._1))
-              .map(e => (e._1, e._2.toString))
+              .map(e => (e._1, e._2.toString, fileGen))
           case _ =>
             val p = new Path(file)
             val fs = p.getFileSystem(new Configuration())
@@ -1029,9 +1106,9 @@ private[sources] class PotV2ReaderFactory(
             // key in a 100k-entry pot never stringifies the other bodies
             root.fields().asScala
               .filter(e => PotV2Filters.accepts(pushed, "key", e.getKey))
-              .map(e => (e.getKey, e.getValue.toString))
+              .map(e => (e.getKey, e.getValue.toString, fileGen))
         }
-      private val entries: Iterator[(String, String)] = pushedTopN match {
+      private val entries: Iterator[(String, String, Long)] = pushedTopN match {
         case Some((asc, k)) =>
           // top-k by key, k-bounded selection: only winners stringify.
           // (The snapshot still parses fully — every key must be seen —
@@ -1047,11 +1124,11 @@ private[sources] class PotV2ReaderFactory(
               x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
               y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           val ord = if (asc) utf8 else utf8.reversed()
-          val sel = new java.util.TreeMap[String, String](ord)
+          val sel = new java.util.TreeMap[String, (String, Long)](ord)
           partition match {
             case sp: PotStatePartition =>
-              foldedEntries(sp).foreach { case (key, doc) =>
-                sel.put(key, doc)
+              foldedEntries(sp).foreach { case (key, doc, g) =>
+                sel.put(key, (doc, g))
                 if (sel.size > k) sel.pollLastEntry()
               }
             case _ =>
@@ -1059,24 +1136,27 @@ private[sources] class PotV2ReaderFactory(
                 .filter(e => PotV2Filters.accepts(pushed, "key", e._1))
                 .foreach { case (key, node) =>
                   // admit before stringify; evict the current worst
-                  if (sel.size < k) sel.put(key, node.toString)
+                  if (sel.size < k) sel.put(key, (node.toString, fileGen))
                   else if (ord.compare(key, sel.lastKey()) < 0) {
-                    sel.pollLastEntry(); sel.put(key, node.toString)
+                    sel.pollLastEntry(); sel.put(key, (node.toString, fileGen))
                   }
                 }
           }
-          sel.entrySet().asScala.iterator.map(e => (e.getKey, e.getValue))
+          sel.entrySet().asScala.iterator
+            .map(e => (e.getKey, e.getValue._1, e.getValue._2))
         case None =>
           pushedLimit.fold(sourceEntries())(k => sourceEntries().take(k))
       }
       private var row: InternalRow = _
       override def next(): Boolean = {
         if (!entries.hasNext) return false
-        val (k, doc) = entries.next()
+        val (k, doc, g) = entries.next()
         row = InternalRow.fromSeq(columns.toSeq.map {
           case "pot_file" => UTF8String.fromString(file)
           case "key"      => UTF8String.fromString(k)
           case "doc_json" => UTF8String.fromString(doc)
+          // u32 metadata column: -1 = legacy object, provenance unknown
+          case PotV2Source.PotGenCol => if (g >= 0) g else null
           case other => throw new IllegalArgumentException(
             s"PotV2Source: unknown column $other")
         })

@@ -2042,4 +2042,75 @@ class PotJsonSpec extends AnyFunSuite {
     assert(e.getMessage.contains("top level must be a JSON map") ||
       Option(e.getCause).exists(_.getMessage.contains("top level must be a JSON map")))
   }
+
+  test("PotV2 _pot_gen metadata column (u32): hidden from SELECT *, " +
+    "snapshot gen for folded rows, delta gen above it, NULL for legacy") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("potv2mdc").toString
+    val pot = s"$root/t/data.json"
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    val tbl = "graft_spec_mdcol"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl (pot_file STRING, key STRING, " +
+      s"doc_json STRING) USING $fmt OPTIONS (path '$pot')")
+    // gen 1 + gen 2: batch commits (full snapshots each)
+    Seq(("", "a", """{"v": 1}"""), ("", "b", """{"v": 2}"""))
+      .toDF("pot_file", "key", "doc_json")
+      .write.format(fmt).option("path", pot).mode("overwrite").save()
+    Seq(("", "c", """{"v": 3}""")).toDF("pot_file", "key", "doc_json")
+      .write.format(fmt).option("path", pot).mode("append").save()
+    // hidden-column contract: SELECT * never shows it
+    assert(!spark.sql(s"SELECT * FROM $tbl").columns.contains("_pot_gen"))
+    // snapshot-headed read: every surviving row folded by the head
+    // snapshot (Delta's _commit_version after OPTIMIZE)
+    assert(spark.sql(s"SELECT key, _pot_gen FROM $tbl ORDER BY key")
+      .as[(String, Long)].collect().toSeq
+      === Seq("a" -> 2L, "b" -> 2L, "c" -> 2L))
+    // gen 3: SQL UPDATE commits through the merge-snapshot core — a
+    // full-snapshot rewrite FORGETS per-key provenance by design
+    // (exactly Delta's _commit_version after OPTIMIZE): every row now
+    // reports the rewriting generation
+    spark.sql(s"""UPDATE $tbl SET doc_json = '{"v": 9}' WHERE key = 'b'""")
+    assert(spark.sql(s"SELECT key, _pot_gen FROM $tbl ORDER BY key")
+      .as[(String, Long)].collect().toSeq
+      === Seq("a" -> 3L, "b" -> 3L, "c" -> 3L))
+    // gens 4, 5: streaming DELTA epochs (O(change-set) dgens) — the fold
+    // keeps EXACT writer provenance: each delta-written key carries its
+    // dgen's generation, untouched keys the covering snapshot's
+    val write = new graft.sources.PotV2Write(
+      pot, graft.sources.PotV2Source.Schema, "q-mdcol",
+      truncateFirst = false, compactEvery = 100)
+    val sw = write.toStreaming
+    def stage(epoch: Long, key: String, v: Int)
+        : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+      val w = new graft.sources.PotV2WriterFactory(
+        write.epochStagingDir(epoch).toString, 1, 2).createWriter(0, 0L)
+      w.write(org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(""),
+        org.apache.spark.unsafe.types.UTF8String.fromString(key),
+        org.apache.spark.unsafe.types.UTF8String.fromString(
+          s"""{"v": $v}""")))
+      w.commit()
+    }
+    sw.commit(1L, Array(stage(1L, "d", 4)))  // gen 4: new key
+    sw.commit(2L, Array(stage(2L, "a", 5)))  // gen 5: update a seeded key
+    assert(spark.sql(s"SELECT key, _pot_gen FROM $tbl ORDER BY key")
+      .as[(String, Long)].collect().toSeq
+      === Seq("a" -> 5L, "b" -> 3L, "c" -> 3L, "d" -> 4L))
+    // generation-pinned time travel composes: the pin re-resolves
+    // provenance at that generation
+    assert(spark.read.format(fmt).option("path", pot)
+      .option("generation", 1L).load()
+      .selectExpr("key", "_pot_gen").as[(String, Long)]
+      .collect().toSeq.sorted === Seq("a" -> 1L, "b" -> 1L))
+    // raw legacy object (no commit chain): provenance honestly NULL
+    val legacy = java.nio.file.Files.createTempDirectory("potv2mdcleg")
+    writePot(legacy, "l", """{"x": {"id": "x"}}""")
+    val lrows = spark.read.format(fmt)
+      .option("path", s"$legacy/l/data.json").load()
+      .selectExpr("key", "_pot_gen").collect()
+    assert(lrows.map(r => (r.getString(0), r.isNullAt(1))).toSeq
+      === Seq("x" -> true))
+    spark.sql(s"DROP TABLE $tbl")
+  }
 }

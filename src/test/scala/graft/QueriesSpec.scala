@@ -128,6 +128,24 @@ class QueriesSpec extends AnyFunSuite {
       s"bound violation did not raise by name: $e")
   }
 
+  test("d27 fixture bound: a >=512-position document raises NAMED instead " +
+    "of silently colliding fingerprint positions (r16)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("d27bound")
+    Seq((1L, "src1", "en", (1 to 600).map(i => s"w$i").mkString(" ")),
+        (2L, "src1", "en", "short doc under the bound"))
+      .toDF("doc_id", "source", "lang", "text")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val e = intercept[Exception] {
+      SparkEntry.queries("d27_winnowing")(spark, dir.toString)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("511-position") || msg.contains("600"),
+      s"bound violation did not raise by name: $e")
+  }
+
   test("t21/t22 BPE merge table round-trips through the published artifact — a second process encodes without retraining (r16)") {
     // private fixture copy so deleting the parquet can prove the
     // artifact-only read without touching the shared testdata
