@@ -1659,6 +1659,170 @@ object Extensibility {
     */
   val sqlFunctionCatalogSql: String = Similarity.quantizedTopKSql
 
+  /** u34: SQL-BODY FUNCTIONS (Spark 4, SPARK-46246) — `CREATE FUNCTION
+    * ... RETURN <expr>` scalar UDFs and `RETURNS TABLE` UDTFs defined in
+    * pure SQL. The engine-relevant property (and why this beats a Scala
+    * UDF everywhere it can be used): the analyzer's ResolveSQLFunctions
+    * INLINES the body into the calling plan — the optimized plan is
+    * plain expressions, whole-stage-codegen'd, pushdown-transparent; a
+    * Scala UDF is an opaque row-at-a-time black box that blocks both.
+    * GraftExtensionsSpec pins the inlining (no UDF/function node
+    * survives in the optimized plan). The query: a scalar SQL function
+    * computing exact discounted cents (the Ora decimal discipline
+    * packaged as a reusable function) + a TABLE-valued SQL function
+    * serving quantity tiers, joined and aggregated; the oracle inlines
+    * both bodies — which is exactly what the analyzer does.
+    * Scale: everything stays one codegen'd partial-agg groupBy; the
+    * tier TVF is a 3-row VALUES broadcast.
+    */
+  def sqlUdfInline(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_u34_lineitem")
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_disc_cents(
+        |  price DOUBLE, disc DOUBLE) RETURNS BIGINT
+        |RETURN CAST(CAST(price AS DECIMAL(38,2)) * 100 AS BIGINT)
+        |  * (100 - CAST(CAST(disc AS DECIMAL(38,2)) * 100 AS BIGINT))"""
+        .stripMargin)
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION graft_qty_tiers()
+        |RETURNS TABLE(tier INT, lo INT, hi INT)
+        |RETURN SELECT * FROM VALUES (1, 1, 10), (2, 11, 25), (3, 26, 50)
+        |  AS t(tier, lo, hi)""".stripMargin)
+    val out = s.sql(
+      """SELECT l_returnflag, t.tier,
+        |  CAST(SUM(graft_disc_cents(l_extendedprice, l_discount))
+        |    AS BIGINT) AS disc_val,
+        |  COUNT(*) AS n
+        |FROM graft_u34_lineitem l
+        |JOIN graft_qty_tiers() t
+        |  ON l.l_quantity BETWEEN t.lo AND t.hi
+        |GROUP BY l_returnflag, t.tier
+        |ORDER BY l_returnflag, t.tier""".stripMargin)
+      .localCheckpoint(true)
+    s.catalog.dropTempView("graft_u34_lineitem")
+    out
+  }
+
+  val sqlUdfInlineSql: String =
+    """WITH tiers(tier, lo, hi) AS (
+      |  VALUES (1, 1, 10), (2, 11, 25), (3, 26, 50))
+      |SELECT l_returnflag, CAST(t.tier AS INTEGER) AS tier,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(38,2)) * 100
+      |             AS BIGINT)
+      |         * (100 - CAST(CAST(l_discount AS DECIMAL(38,2)) * 100
+      |             AS BIGINT))) AS BIGINT) AS disc_val,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM lineitem l
+      |JOIN tiers t ON l.l_quantity BETWEEN t.lo AND t.hi
+      |GROUP BY l_returnflag, t.tier
+      |ORDER BY l_returnflag, tier""".stripMargin
+
+  /** u33: RUNTIME BLOOM-FILTER join pruning (`InjectRuntimeFilter`) —
+    * the row-level sibling of u27's stats-driven broadcast and the pot
+    * scan's DPP: when a selective dimension filters a shuffle join, the
+    * optimizer plants a `BloomFilterAggregate` on the dim side and a
+    * `BloomFilterMightContain` probe UNDER the fact side's exchange, so
+    * non-joining fact rows die before they are ever shuffled. At 100 TB
+    * this is the difference between shuffling the whole fact table and
+    * shuffling the ~2% that joins: the bloom probe is a codegen'd
+    * expression on the scan output, no extra pass. The query runs on an
+    * ISOLATED `newSession()` (own runtime conf; broadcast disabled to
+    * force the shuffle-join shape the filter exists for, application-
+    * side size floor dropped to fixture scale — production keeps the
+    * 10 GB default and triggers on real fact sizes). The result is a
+    * plain join aggregate the oracle replays; the bloom's presence is
+    * plan-pinned in GraftExtensionsSpec (filters change plans, never
+    * answers).
+    */
+  def bloomRuntimeJoin(s: SparkSession, d: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ss.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    ss.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "0")
+    ss.conf.set(
+      "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled", "false")
+    bloomJoinPlan(ss, d)
+  }
+
+  /** The join both u33's query and its plan-pin spec build: urgent
+    * orders (the selective creation side) against lineitem (the fact
+    * whose shuffle the bloom prunes), revenue in exact cents per
+    * return flag. */
+  private[graft] def bloomJoinPlan(
+      ss: SparkSession, d: String): DataFrame = {
+    import ss.implicits._
+    val o = Tables.orders(ss, d)
+      .filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_orderkey")
+    val l = Tables.lineitem(ss, d).select($"l_orderkey", $"l_returnflag",
+      ($"l_extendedprice".cast(org.apache.spark.sql.types.DecimalType(38, 2))
+        * 100).cast("long").as("cents"))
+    l.join(o, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("cents_sum"))
+      .orderBy($"l_returnflag")
+  }
+
+  val bloomRuntimeJoinSql: String =
+    """SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(38,2)) * 100
+      |    AS BIGINT)) AS BIGINT) AS cents_sum
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** u35: the VARIANT type (Spark 4 / the open Parquet Variant binary
+    * encoding) — semi-structured JSON decoded ONCE into a typed binary
+    * value instead of re-parsed per probe. `parse_json` builds the
+    * variant, `variant_get` navigates paths with a target type,
+    * `try_variant_get` turns absent paths/type mismatches into NULL
+    * (probed here on a path the fixture never carries — the
+    * all-rows-miss proof), `schema_of_variant` reports the inferred
+    * shape the shredder would use. The query re-encodes each event's
+    * `props` (fixture contract: exactly {"k": <int>} — q51's pin) into
+    * a NESTED document {"p": props, "u": user_id} and navigates both
+    * levels, grouped per event_type with integer-exact functionals.
+    * At 100 TB the point is parse-once + shredding: a string-JSON
+    * pipeline re-tokenizes every probe, the variant path decodes at
+    * ingest and every probe is a typed offset read.
+    */
+  def variantJson(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, d).createOrReplaceTempView("graft_u35_events")
+    val out = s.sql(
+      """WITH v AS (
+        |  SELECT event_type,
+        |    parse_json(concat('{"p":', props, ',"u":', CAST(user_id AS STRING), '}')) AS doc
+        |  FROM graft_u35_events)
+        |SELECT event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(variant_get(doc, '$.p.k', 'bigint')) AS BIGINT) AS sum_k,
+        |  CAST(SUM(variant_get(doc, '$.u', 'bigint')) AS BIGINT) AS sum_u,
+        |  CAST(COUNT(try_variant_get(doc, '$.p.missing', 'bigint'))
+        |    AS BIGINT) AS n_missing_hits,
+        |  MIN(schema_of_variant(doc)) AS vschema
+        |FROM v
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin).localCheckpoint(true)
+    s.catalog.dropTempView("graft_u35_events")
+    out
+  }
+
+  val variantJsonSql: String =
+    """SELECT event_type,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+      |    AS sum_k,
+      |  CAST(SUM(user_id) AS BIGINT) AS sum_u,
+      |  CAST(0 AS BIGINT) AS n_missing_hits,
+      |  'OBJECT<p: OBJECT<k: BIGINT>, u: BIGINT>' AS vschema
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+
   /** u31: the AGGREGATE half of the u30 catalog surface —
     * `graft_fns.ops.vsum(...)`, a V2 `AggregateFunction` resolved from
     * the same config-wired catalog and planned as Spark's `V2Aggregator`
@@ -1718,6 +1882,9 @@ object Extensibility {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "u31_sql_catalog_agg" -> (sqlCatalogAgg _),
     "u32_pot_gen_metadata_col" -> (potGenMetadataCol _),
+    "u33_bloom_runtime_join" -> (bloomRuntimeJoin _),
+    "u34_sql_udf_inline" -> (sqlUdfInline _),
+    "u35_variant_json" -> (variantJson _),
     "u30_sql_function_catalog" -> (sqlFunctionCatalog _),
     "u29_sql_zorder_read" -> (sqlZorderRead _),
     "u28_sql_topn_pushdown" -> (sqlTopNPushdown _),
@@ -1752,6 +1919,9 @@ object Extensibility {
   val oracle: Map[String, String] = Map(
     "u31_sql_catalog_agg" -> sqlCatalogAggSql,
     "u32_pot_gen_metadata_col" -> potGenMetadataColSql,
+    "u33_bloom_runtime_join" -> bloomRuntimeJoinSql,
+    "u34_sql_udf_inline" -> sqlUdfInlineSql,
+    "u35_variant_json" -> variantJsonSql,
     "u30_sql_function_catalog" -> sqlFunctionCatalogSql,
     "u29_sql_zorder_read" -> sqlZorderReadSql,
     "u28_sql_topn_pushdown" -> sqlTopNPushdownSql,

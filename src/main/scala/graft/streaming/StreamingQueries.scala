@@ -19,6 +19,47 @@ case class PackOpenBin(bin: Int, fill: Int, nDocs: Long, firstDoc: Long, lastDoc
 case class PackBinOut(shard: Long, bin: Int, n_docs: Long, fill_tokens: Long,
     first_doc: Long, last_doc: Long)
 
+/** st24 transformWithState types (top-level for implicit Encoders). */
+case class TwsEvent(user_id: Long, ts_us: Long, event_id: Long, k: Long)
+case class TwsTotals(cnt: Long, sumK: Long)
+case class TwsMilestone(user_id: Long, milestone: Long, event_id: Long,
+    cum_k: Long)
+
+/** st24's processor — the Spark 4 `transformWithState` API (the typed
+  * successor to flatMapGroupsWithState: named state variables on the
+  * RocksDB store, per-variable TTL, timers): one ValueState holding each
+  * user's running (count, sum) across micro-batches; a milestone row
+  * emits whenever the cumulative count crosses a multiple of `every`.
+  * Rows are folded in (ts_us, event_id) order — the fixture's unique
+  * total order — so emission is deterministic whatever order the batch
+  * iterator delivers (and however the stream is batched).
+  */
+class MilestoneProcessor(every: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[
+      Long, TwsEvent, TwsMilestone] {
+  @transient private var totals
+      : org.apache.spark.sql.streaming.ValueState[TwsTotals] = _
+  override def init(outputMode: OutputMode,
+      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+    totals = getHandle.getValueState[TwsTotals]("totals",
+      org.apache.spark.sql.Encoders.product[TwsTotals],
+      org.apache.spark.sql.streaming.TTLConfig.NONE)
+  override def handleInputRows(key: Long, rows: Iterator[TwsEvent],
+      timerValues: org.apache.spark.sql.streaming.TimerValues)
+      : Iterator[TwsMilestone] = {
+    val sorted = rows.toArray.sortBy(e => (e.ts_us, e.event_id))
+    var st = if (totals.exists()) totals.get() else TwsTotals(0L, 0L)
+    val out = scala.collection.mutable.ArrayBuffer.empty[TwsMilestone]
+    sorted.foreach { e =>
+      st = TwsTotals(st.cnt + 1, st.sumK + e.k)
+      if (st.cnt % every == 0)
+        out += TwsMilestone(key, st.cnt, e.event_id, st.sumK)
+    }
+    totals.update(st)
+    out.iterator
+  }
+}
+
 /** The one packing fold, shared by batch t25 (trailing bin flushed) and
   * streaming st23 (trailing bin stays in state): LINEAR in the shard —
   * O(1) state threaded doc to doc, closed bins emitted as they seal.
@@ -1565,6 +1606,75 @@ object StreamingQueries {
     * holds exactly one open bin at stream end, fixture docs all fit
     * under budget).
     */
+  /** st24: `transformWithState` (Spark 4, SPARK-46815) — arbitrary
+    * stateful processing v2, the typed successor to
+    * flatMapGroupsWithState the rest of the st family uses: NAMED state
+    * variables (ValueState/ListState/MapState) on the RocksDB store,
+    * per-variable TTL, registered timers. The operator: per-user running
+    * (count, sum-of-props.k) totals held in one ValueState, emitting a
+    * milestone row each time a user's cumulative event count crosses a
+    * multiple of 25 — the "alert every Nth interaction" production shape
+    * that needs cross-batch state a windowed agg can't hold. Rows fold
+    * in the fixture's unique (ts_us, event_id) order inside the
+    * processor, so emission is batching-invariant and the oracle replays
+    * it as a running window. RocksDB provider is REQUIRED by the API
+    * (the conf is set for the run and restored); at scale that is the
+    * point — state lives off-heap with changelog checkpointing, not in
+    * executor heap. StreamingSpec drives the processor across TWO
+    * MemoryStream batches to pin that state genuinely crosses batches.
+    */
+  def streamTransformWithState(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = runScratchDir("graft-st24")
+    val prevProvider = s.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try withStreamRunConf(s) {
+      val ev = eventsStream(s, d).select(
+        $"user_id", unix_micros($"ts").as("ts_us"), $"event_id",
+        get_json_object($"props", "$.k").cast("long").as("k")).as[TwsEvent]
+      val q = ev.groupByKey(_.user_id)
+        .transformWithState(new MilestoneProcessor(25L),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append())
+        .writeStream
+        .format("parquet")
+        .option("path", s"$out/data")
+        .option("checkpointLocation", s"$out/chk")
+        .outputMode("append")
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    } finally prevProvider match {
+      case Some(v) =>
+        s.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None =>
+        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val result = s.read.parquet(s"$out/data")
+      .orderBy($"user_id", $"milestone").localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(out)).deleteRecursively()
+    result
+  }
+
+  val streamTransformWithStateSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS tus, event_id,
+      |    CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY tus, event_id) AS rn,
+      |    SUM(k) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM e)
+      |SELECT user_id, CAST(rn AS BIGINT) AS milestone, event_id,
+      |  CAST(cum AS BIGINT) AS cum_k
+      |FROM r WHERE rn % 25 = 0
+      |ORDER BY user_id, milestone""".stripMargin
+
   def streamPacking(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val batchDocs = Tables.documents(s, d)
@@ -1737,6 +1847,7 @@ object StreamingQueries {
       |ORDER BY phase, key""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st24_transform_with_state" -> (streamTransformWithState _),
     "st23_stream_packing" -> (streamPacking _),
     "st22_stmt_consistent_cdc" -> (streamStmtConsistentCdc _),
     "st21_stream_bucketed_cdc" -> (streamBucketedCdc _),
@@ -1762,6 +1873,7 @@ object StreamingQueries {
     "st4_stream_attribution" -> (streamClickAttribution _))
 
   val oracle: Map[String, String] = Map(
+    "st24_transform_with_state" -> streamTransformWithStateSql,
     "st23_stream_packing" -> streamPackingSql,
     "st22_stmt_consistent_cdc" -> streamStmtConsistentCdcSql,
     "st21_stream_bucketed_cdc" -> streamBucketedCdcSql,

@@ -176,4 +176,51 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("vsum expects"), err.getMessage)
   }
+
+  test("u33 runtime bloom filter (r16): the fact side probes the dim's " +
+    "bloom under its exchange; without the conf the probe is absent") {
+    val s = TestSpark.spark
+    // configured session: bloom injected
+    val on = s.newSession()
+    on.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    on.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    on.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "0")
+    val planOn = graft.operators.Extensibility
+      .bloomJoinPlan(on, TestSpark.sf)
+      .queryExecution.optimizedPlan.toString.toLowerCase
+    assert(planOn.contains("bloomfilter"),
+      s"no bloom probe in the configured plan:\n$planOn")
+    // unconfigured session (fixture-size thresholds): no bloom — the
+    // filter is a planning decision, never part of the answer
+    val off = s.newSession()
+    off.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val planOff = graft.operators.Extensibility
+      .bloomJoinPlan(off, TestSpark.sf)
+      .queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!planOff.contains("bloomfilter"),
+      s"bloom probe injected without the size-threshold conf:\n$planOff")
+  }
+
+  test("u34 SQL-body functions (r16): ResolveSQLFunctions INLINES the " +
+    "body — the optimized plan is plain expressions, no function node") {
+    val s = TestSpark.spark
+    val df = graft.operators.Extensibility.sqlUdfInline(s, TestSpark.sf)
+    // the returned frame is checkpointed; re-derive the plan the query
+    // actually compiled by building it again without execution
+    s.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_u34spec_f(x BIGINT) " +
+      "RETURNS BIGINT RETURN x * 3 + 1")
+    val plan = s.sql(
+      "SELECT SUM(graft_u34spec_f(id)) AS s FROM RANGE(10)")
+      .queryExecution.optimizedPlan.toString
+    // inlined: the body's arithmetic survives as plain expressions, the
+    // function reference does not (no SQLFunctionNode, no UDF invoke)
+    assert(!plan.contains("graft_u34spec_f"),
+      s"SQL UDF was not inlined:\n$plan")
+    assert(plan.contains("* 3") && plan.contains("+ 1"),
+      s"inlined body arithmetic missing:\n$plan")
+    assert(df.columns.toSeq ===
+      Seq("l_returnflag", "tier", "disc_val", "n"))
+  }
 }

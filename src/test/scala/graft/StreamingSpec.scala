@@ -476,4 +476,46 @@ class StreamingSpec extends AnyFunSuite {
         (0L, 1, 1L, 50L, 16L, 16L)), rows.toString)
     } finally q.stop()
   }
+
+  test("st24 transformWithState: ValueState crosses micro-batches, " +
+    "milestones emit exactly at the crossing row (r16)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val prev = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[graft.streaming.TwsEvent]
+    val q = mem.toDS().groupByKey(_.user_id)
+      .transformWithState(new graft.streaming.MilestoneProcessor(3L),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+      .writeStream.format("memory").queryName("tws_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: two events for user 1 (delivered out of order) — count
+      // 2 < 3, nothing emits, state must persist
+      mem.addData(
+        graft.streaming.TwsEvent(1L, 20L, 101L, 2L),
+        graft.streaming.TwsEvent(1L, 10L, 100L, 1L))
+      q.processAllAvailable()
+      assert(spark.table("tws_out").count() === 0L)
+      // batch 2: the third event crosses the milestone — cum_k must
+      // include BATCH-1 state (1+2) + this row's 4 = 7
+      mem.addData(graft.streaming.TwsEvent(1L, 30L, 102L, 4L))
+      q.processAllAvailable()
+      val rows = spark.table("tws_out")
+        .as[graft.streaming.TwsMilestone].collect().toSeq
+      assert(rows === Seq(
+        graft.streaming.TwsMilestone(1L, 3L, 102L, 7L)), rows.toString)
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
