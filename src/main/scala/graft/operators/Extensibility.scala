@@ -1774,6 +1774,70 @@ object Extensibility {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** u36: DSv2 STORED PROCEDURES (`CALL`, SPARK-44167) — the store's
+    * maintenance verbs catalog-addressable from pure SQL, completing the
+    * catalog matrix u30/u31 opened (functions = compute, procedures =
+    * lifecycle): `CALL graft_fns.sys.vacuum_pot('<pot>')` runs chain
+    * retention (snapshot bodies below the covering snapshot, CAS-fenced,
+    * live-writer-safe — vacuumSnapshots' exact semantics) and returns
+    * one row per deleted body; `CALL ...recover_statements('<root>')`
+    * rolls crashed multi-bucket statements forward (the r16
+    * auto-recovery's manual trigger) returning recovered qids. The
+    * query: a 2-generation pot (both batch snapshots) vacuums exactly
+    * its pre-covering body, state unharmed; a clean bucketed store
+    * recovers zero statements. Reference: pot's admin endpoints share
+    * server.go's route table with its reads — procedures are that
+    * addressable-admin surface in SQL, runnable from a gateway with no
+    * JVM access to graft's API. Scale: maintenance verbs return
+    * paths/qids (driver-sized by contract), never data.
+    */
+  def sqlStoredProcedure(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft_fns",
+      classOf[graft.sources.GraftFunctionCatalog].getName)
+    val dir = java.nio.file.Files.createTempDirectory("graft-u36").toString
+    val pot = s"$dir/t/data.json"
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    val nat = Tables.nation(s, d)
+    def docs(df: org.apache.spark.sql.DataFrame, upd: Int) = df.select(
+      lit("").as("pot_file"),
+      concat(lit("n"), $"n_nationkey".cast("string")).as("key"),
+      to_json(struct($"n_name".as("name"), lit(upd).as("upd")))
+        .as("doc_json"))
+    docs(nat, 0)
+      .write.format(fmt).option("path", pot).mode("overwrite").save()
+    docs(nat.filter($"n_regionkey" === 0), 1)
+      .write.format(fmt).option("path", pot).mode("append").save()
+    // the CALL: gen 1's snapshot body is below the covering snapshot
+    // (gen 2) — exactly one body reclaimed, chain + state intact
+    val deleted = s.sql(s"CALL graft_fns.sys.vacuum_pot('$pot')")
+      .agg(count(lit(1)).as("n_deleted"),
+        sum(when($"deleted_path".rlike("\\.snap-.*\\.json$"), 1L)
+          .otherwise(0L)).as("n_snap_bodies"))
+    val recovered = s.sql(
+      s"CALL graft_fns.sys.recover_statements('$dir/clean-store')")
+      .agg(count(lit(1)).as("n_recovered"))
+    val after = s.read.format(fmt).option("path", pot).load()
+      .agg(count(lit(1)).as("n_rows_after"),
+        sum(when(get_json_object($"doc_json", "$.upd") === "1", 1L)
+          .otherwise(0L)).as("n_upd"))
+    val out = deleted.crossJoin(recovered).crossJoin(after)
+      .select($"n_deleted", $"n_snap_bodies", $"n_recovered",
+        $"n_rows_after", $"n_upd")
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    out
+  }
+
+  val sqlStoredProcedureSql: String =
+    """SELECT CAST(1 AS BIGINT) AS n_deleted,
+      |  CAST(1 AS BIGINT) AS n_snap_bodies,
+      |  CAST(0 AS BIGINT) AS n_recovered,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows_after,
+      |  CAST(COUNT(CASE WHEN n_regionkey = 0 THEN 1 END) AS BIGINT)
+      |    AS n_upd
+      |FROM nation""".stripMargin
+
   /** u35: the VARIANT type (Spark 4 / the open Parquet Variant binary
     * encoding) — semi-structured JSON decoded ONCE into a typed binary
     * value instead of re-parsed per probe. `parse_json` builds the
@@ -1885,6 +1949,7 @@ object Extensibility {
     "u33_bloom_runtime_join" -> (bloomRuntimeJoin _),
     "u34_sql_udf_inline" -> (sqlUdfInline _),
     "u35_variant_json" -> (variantJson _),
+    "u36_sql_stored_procedure" -> (sqlStoredProcedure _),
     "u30_sql_function_catalog" -> (sqlFunctionCatalog _),
     "u29_sql_zorder_read" -> (sqlZorderRead _),
     "u28_sql_topn_pushdown" -> (sqlTopNPushdown _),
@@ -1922,6 +1987,7 @@ object Extensibility {
     "u33_bloom_runtime_join" -> bloomRuntimeJoinSql,
     "u34_sql_udf_inline" -> sqlUdfInlineSql,
     "u35_variant_json" -> variantJsonSql,
+    "u36_sql_stored_procedure" -> sqlStoredProcedureSql,
     "u30_sql_function_catalog" -> sqlFunctionCatalogSql,
     "u29_sql_zorder_read" -> sqlZorderReadSql,
     "u28_sql_topn_pushdown" -> sqlTopNPushdownSql,

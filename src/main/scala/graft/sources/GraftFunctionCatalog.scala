@@ -26,7 +26,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * graft.sources.GraftFunctionCatalog` — so it works identically on a
   * cluster where sessions are built by a gateway the user doesn't control.
   */
-class GraftFunctionCatalog extends CatalogPlugin with FunctionCatalog {
+class GraftFunctionCatalog extends CatalogPlugin with FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catName: String = "graft_fns"
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
@@ -45,14 +46,112 @@ class GraftFunctionCatalog extends CatalogPlugin with FunctionCatalog {
       GraftFunctionCatalog.functions.getOrElse(
         ident.name, throw new NoSuchFunctionException(ident))
     else throw new NoSuchFunctionException(ident)
+
+  /** u36 — DSv2 STORED PROCEDURES (`CALL graft_fns.sys.<proc>(...)`,
+    * SPARK-44167): the store's MAINTENANCE verbs as catalog-addressable
+    * SQL, completing the catalog matrix (functions = compute,
+    * procedures = lifecycle). Reference analogue: pot's admin endpoints
+    * live on the same route table as its reads (`server.go`); here
+    * vacuum/recovery live in the same catalog as the kernels, runnable
+    * from any SQL gateway without JVM access to graft's API.
+    */
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.sameElements(GraftFunctionCatalog.SysNamespace))
+      GraftFunctionCatalog.procedures.keys.toArray
+        .map(n => Identifier.of(namespace, n))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    if (ident.namespace.sameElements(GraftFunctionCatalog.SysNamespace))
+      GraftFunctionCatalog.procedures.getOrElse(ident.name,
+        throw new NoSuchFunctionException(ident))
+    else throw new NoSuchFunctionException(ident)
 }
 
 object GraftFunctionCatalog {
   val Namespace: Array[String] = Array("ops")
+  val SysNamespace: Array[String] = Array("sys")
 
   val functions: Map[String, UnboundFunction] = Map(
     "int8dot" -> Int8DotUnbound,
     "vsum" -> VSumUnbound)
+
+  val procedures: Map[String,
+      org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure] =
+    Map(
+      "vacuum_pot" -> VacuumPotProcedure,
+      "recover_statements" -> RecoverStatementsProcedure)
+}
+
+/** Base for graft's one-string-arg maintenance procedures: binds any
+  * single-string input, runs the verb, returns its result rows through a
+  * [[org.apache.spark.sql.connector.read.LocalScan]] (driver-sized by
+  * contract — maintenance verbs return paths/ids, never data).
+  */
+private[sources] abstract class GraftMaintenanceProcedure(
+    procName: String, argName: String, outName: String, desc: String)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+
+  /** The maintenance verb: arg → result strings (paths, qids). */
+  protected def run(arg: String): Seq[String]
+
+  override def name(): String = procName
+  override def description(): String = desc
+  override def bind(inputType: StructType): BoundProcedure = {
+    val ok = inputType.fields.length == 1 &&
+      inputType.fields(0).dataType == StringType
+    if (!ok) throw new UnsupportedOperationException(
+      s"$procName expects ($argName STRING), got ${inputType.simpleString}")
+    this
+  }
+  override def parameters(): Array[ProcedureParameter] =
+    Array(ProcedureParameter.in(argName, StringType).build())
+  // mutates store state: never constant-foldable or re-executable
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val results = run(input.getUTF8String(0).toString)
+    val schema = StructType(Seq(StructField(outName, StringType,
+      nullable = false)))
+    java.util.Collections.singletonList[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] = results.map(r =>
+        InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(r))
+          : InternalRow).toArray
+      override def readSchema(): StructType = schema
+    }).iterator()
+  }
+}
+
+/** `CALL graft_fns.sys.vacuum_pot('<pot data.json path>')` — chain
+  * retention ([[PotV2Source.vacuumSnapshots]]: delete snapshot BODIES
+  * below the head's covering snapshot, CAS-fenced against concurrent
+  * vacuums, safe with live writers) as a SQL verb; returns one row per
+  * deleted body.
+  */
+object VacuumPotProcedure extends GraftMaintenanceProcedure(
+  "vacuum_pot", "path", "deleted_path",
+  "delete pot snapshot bodies below the covering snapshot (CAS-fenced)") {
+  override protected def run(arg: String): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(arg)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    PotV2Source.vacuumSnapshots(fs, arg)
+  }
+}
+
+/** `CALL graft_fns.sys.recover_statements('<bucketed store root>')` —
+  * the r16 aged-statement AUTO-recovery's manual trigger as SQL: roll
+  * every crashed multi-bucket statement forward from its staged
+  * fragments (idempotent, conflict-safe); returns the recovered qids.
+  */
+object RecoverStatementsProcedure extends GraftMaintenanceProcedure(
+  "recover_statements", "root", "qid",
+  "roll crashed multi-bucket statements forward from staged fragments") {
+  override protected def run(arg: String): Seq[String] =
+    BucketedPotV2Source.recoverStatements(arg)
 }
 
 /** `int8dot(array<int>, array<int>) -> bigint` — exact integer dot product

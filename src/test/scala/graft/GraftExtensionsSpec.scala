@@ -223,4 +223,58 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(df.columns.toSeq ===
       Seq("l_returnflag", "tier", "disc_val", "n"))
   }
+
+  test("u36 stored procedures (r16): CALL recover_statements rolls a " +
+    "genuinely crashed statement forward and returns its qid; bad arg " +
+    "types and unknown procedures fail at analysis") {
+    val s = TestSpark.spark
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft_fns",
+      classOf[graft.sources.GraftFunctionCatalog].getName)
+    val root = java.nio.file.Files.createTempDirectory("u36rec").toString
+    val fmt = classOf[graft.sources.BucketedPotV2Source].getName
+    Seq(("", "seed", """{"v": 0}""")).toDF("pot_file", "key", "doc_json")
+      .write.format(fmt).option("path", root).option("buckets", "4")
+      .mode("append").save()
+    // crash a statement right after its intent (fragments staged, zero
+    // buckets committed) — the PotJsonSpec recovery fixture via CALL
+    val keys = Seq("ra", "rb", "rc", "rd")
+    val byBucket = keys.groupBy(
+      graft.sources.BucketedPotV2Source.bucketOf(_, 4))
+    val staging = java.nio.file.Paths.get(root, ".staging-crashproc")
+    java.nio.file.Files.createDirectories(staging)
+    val frags = byBucket.map { case (b, ks) =>
+      val f = staging.resolve(s"part-b$b.jsonl")
+      java.nio.file.Files.writeString(f,
+        ks.map(k => s"""{"k":"$k","d":{"v":1}}""").mkString("", "\n", "\n"))
+      b -> Seq((0, f.toString))
+    }
+    val base = graft.sources.BucketedPotV2Source.headVector(root, 4)
+    graft.sources.BucketedStmtLog.begin(root, "crashproc",
+      graft.sources.BucketedStmtLog.intentBody(
+        "insert", "crashproc", truncate = false, Long.MaxValue,
+        byBucket.keys.toSeq.sorted,
+        byBucket.keys.map(b => b -> base.getOrElse(b, 0L)).toMap, frags))
+    val recovered = s.sql(
+      s"CALL graft_fns.sys.recover_statements('$root')")
+    assert(recovered.columns.toSeq === Seq("qid"))
+    assert(recovered.as[String].collect().toSeq === Seq("crashproc"))
+    val after = s.read.format(fmt).option("path", root)
+      .option("buckets", "4").load().select($"key").as[String]
+      .collect().toSet
+    assert(after === Set("seed") ++ keys,
+      "CALL recover_statements did not apply the crashed statement")
+    // bad arg type: rejected at ANALYSIS naming the shape
+    val err = intercept[Exception] {
+      s.sql("CALL graft_fns.sys.vacuum_pot(42)").collect()
+    }
+    assert(err.getMessage.contains("vacuum_pot expects") ||
+      err.getMessage.toLowerCase.contains("cannot"), err.getMessage)
+    // unknown procedure: analysis-time failure, not a runtime surprise
+    val missing = intercept[Exception] {
+      s.sql("CALL graft_fns.sys.no_such_proc('x')").collect()
+    }
+    assert(missing.getMessage.toLowerCase.contains("no_such_proc"),
+      missing.getMessage)
+  }
 }
