@@ -1774,6 +1774,45 @@ object Extensibility {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** u37: SQL PIPE SYNTAX (Spark 4, SPARK-49555 — the `FROM t |> op`
+    * composable dialect from Google's "SQL Has Problems" pipe-SQL
+    * paper): each `|>` stage consumes the previous relation, so query
+    * logic reads top-to-bottom like the DataFrame API while remaining
+    * pure SQL. The query chains six pipe operators — WHERE (pre-agg),
+    * EXTEND (computed cents column), AGGREGATE … GROUP BY, WHERE
+    * (post-agg HAVING), SELECT projection reorder, ORDER BY — over
+    * lineitem. The ANALYZED plan is identical to the classic form (the
+    * parser desugars stages; nothing new executes), which is exactly
+    * the point: syntax surface, zero planner risk — the oracle IS the
+    * classic form.
+    */
+  def sqlPipeSyntax(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_u37_lineitem")
+    val out = s.sql(
+      """FROM graft_u37_lineitem
+        ||> WHERE l_quantity <= 25
+        ||> EXTEND CAST(CAST(l_extendedprice AS DECIMAL(38,2)) * 100
+        |     AS BIGINT) AS cents
+        ||> AGGREGATE COUNT(*) AS n, SUM(cents) AS cents_sum
+        |     GROUP BY l_returnflag, l_linestatus
+        ||> WHERE n > 10
+        ||> SELECT l_returnflag, l_linestatus, n, cents_sum
+        ||> ORDER BY l_returnflag, l_linestatus""".stripMargin)
+      .localCheckpoint(true)
+    s.catalog.dropTempView("graft_u37_lineitem")
+    out
+  }
+
+  val sqlPipeSyntaxSql: String =
+    """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(38,2)) * 100
+      |    AS BIGINT)) AS BIGINT) AS cents_sum
+      |FROM lineitem
+      |WHERE l_quantity <= 25
+      |GROUP BY l_returnflag, l_linestatus
+      |HAVING COUNT(*) > 10
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   /** u36: DSv2 STORED PROCEDURES (`CALL`, SPARK-44167) — the store's
     * maintenance verbs catalog-addressable from pure SQL, completing the
     * catalog matrix u30/u31 opened (functions = compute, procedures =
@@ -1950,6 +1989,7 @@ object Extensibility {
     "u34_sql_udf_inline" -> (sqlUdfInline _),
     "u35_variant_json" -> (variantJson _),
     "u36_sql_stored_procedure" -> (sqlStoredProcedure _),
+    "u37_sql_pipe_syntax" -> (sqlPipeSyntax _),
     "u30_sql_function_catalog" -> (sqlFunctionCatalog _),
     "u29_sql_zorder_read" -> (sqlZorderRead _),
     "u28_sql_topn_pushdown" -> (sqlTopNPushdown _),
@@ -1988,6 +2028,7 @@ object Extensibility {
     "u34_sql_udf_inline" -> sqlUdfInlineSql,
     "u35_variant_json" -> variantJsonSql,
     "u36_sql_stored_procedure" -> sqlStoredProcedureSql,
+    "u37_sql_pipe_syntax" -> sqlPipeSyntaxSql,
     "u30_sql_function_catalog" -> sqlFunctionCatalogSql,
     "u29_sql_zorder_read" -> sqlZorderReadSql,
     "u28_sql_topn_pushdown" -> sqlTopNPushdownSql,

@@ -1623,6 +1623,83 @@ pr$r AS (
     * lockstep; `ordered` is AS MATERIALIZED (multiply-referenced CTE
     * rule, SURVEY §7.4i).
     */
+  /** t26: FILL-IN-THE-MIDDLE span transform (Bavarian et al. 2022,
+    * "Efficient Training of Language Models to Fill in the Middle") —
+    * the data-side half of FIM training: each selected document splits
+    * into (prefix, middle, suffix) at two DETERMINISTIC cut points and
+    * re-serializes in PSM order `<PRE> p <SUF> s <MID> m`, teaching the
+    * model to infill; the rest of the corpus passes through untouched
+    * (the paper's ~50% FIM rate, selected by doc_id parity — corpus
+    * properties stay balanced). Cut points derive from md5 folds of the
+    * doc_id (engine-portable, p7's discipline): i = h1 mod (n+1),
+    * m = h2 mod (n−i+1) — every (i, m) pair reachable, replayed by the
+    * oracle bit-for-bit; the transformed text is hash-checked (md5 of
+    * the PSM string), not just counted. Scale: pure map-side row math —
+    * no exchange, no state; the one groupBy is the audit rollup.
+    */
+  def fimTransform(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"doc_id", split($"text", " ").as("w"),
+        ($"doc_id" % 2 === 0).as("fim"))
+      .withColumn("n", size($"w"))
+      .withColumn("h1", expr(
+        "CAST(conv(substring(md5(concat('fim1:', CAST(doc_id AS STRING))), 1, 12), 16, 10) AS BIGINT)"))
+      .withColumn("h2", expr(
+        "CAST(conv(substring(md5(concat('fim2:', CAST(doc_id AS STRING))), 1, 12), 16, 10) AS BIGINT)"))
+      .withColumn("i", expr("CAST(h1 % (n + 1) AS INT)"))
+      .withColumn("m", expr("CAST(h2 % (n - i + 1) AS INT)"))
+      .withColumn("psm", expr(
+        """CASE WHEN fim THEN concat(
+          |  '<PRE> ', array_join(slice(w, 1, i), ' '),
+          |  ' <SUF> ', array_join(slice(w, i + m + 1, n - i - m), ' '),
+          |  ' <MID> ', array_join(slice(w, i + 1, m), ' '))
+          |ELSE array_join(w, ' ') END""".stripMargin))
+    docs.select($"doc_id", $"fim".cast("int").as("fim"),
+      when($"fim", $"i").otherwise(lit(0)).as("n_prefix"),
+      when($"fim", $"m").otherwise($"n").as("n_middle"),
+      when($"fim", $"n" - $"i" - $"m").otherwise(lit(0)).as("n_suffix"),
+      md5($"psm").as("psm_md5"))
+      .orderBy($"doc_id")
+  }
+
+  val fimTransformSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w,
+      |    doc_id % 2 = 0 AS fim,
+      |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, 13),
+      |        i -> CAST(strpos('0123456789abcdef',
+      |               substr(md5('fim1:' || CAST(doc_id AS VARCHAR)), i, 1))
+      |             - 1 AS BIGINT))),
+      |      (acc, v) -> acc * 16 + v) AS h1,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, 13),
+      |        i -> CAST(strpos('0123456789abcdef',
+      |               substr(md5('fim2:' || CAST(doc_id AS VARCHAR)), i, 1))
+      |             - 1 AS BIGINT))),
+      |      (acc, v) -> acc * 16 + v) AS h2
+      |  FROM documents),
+      |cuts AS (
+      |  SELECT doc_id, w, fim, n,
+      |    CAST(h1 % (n + 1) AS INTEGER) AS i,
+      |    CAST(h2 % (n - CAST(h1 % (n + 1) AS INTEGER) + 1) AS INTEGER)
+      |      AS m
+      |  FROM d)
+      |SELECT doc_id, CAST(fim AS INTEGER) AS fim,
+      |  CAST(CASE WHEN fim THEN i ELSE 0 END AS INTEGER) AS n_prefix,
+      |  CAST(CASE WHEN fim THEN m ELSE n END AS INTEGER) AS n_middle,
+      |  CAST(CASE WHEN fim THEN n - i - m ELSE 0 END AS INTEGER)
+      |    AS n_suffix,
+      |  md5(CASE WHEN fim THEN
+      |    '<PRE> ' || COALESCE(array_to_string(w[1:i], ' '), '') ||
+      |    ' <SUF> ' || COALESCE(array_to_string(w[i + m + 1:n], ' '), '') ||
+      |    ' <MID> ' || COALESCE(array_to_string(w[i + 1:i + m], ' '), '')
+      |  ELSE array_to_string(w, ' ') END) AS psm_md5
+      |FROM cuts
+      |ORDER BY doc_id""".stripMargin
+
   def sequencePacking(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     packDocs(Tables.documents(s, d).select($"doc_id",
@@ -1666,6 +1743,7 @@ pr$r AS (
       |ORDER BY shard, bin""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t26_fim_transform" -> (fimTransform _),
     "t25_sequence_packing" -> (sequencePacking _),
     "t24_token_fertility" -> (tokenFertility _),
     "t23_perplexity_split" -> (perplexitySplit _),
@@ -1693,6 +1771,7 @@ pr$r AS (
     "t6_pii_scrub"    -> (piiScrub _))
 
   val oracle: Map[String, String] = Map(
+    "t26_fim_transform" -> fimTransformSql,
     "t25_sequence_packing" -> sequencePackingSql,
     "t24_token_fertility" -> tokenFertilitySql,
     "t23_perplexity_split" -> perplexitySplitSql,
