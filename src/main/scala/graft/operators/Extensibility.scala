@@ -1774,6 +1774,66 @@ object Extensibility {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** u38: AQE SKEW-JOIN SPLIT — the RUNTIME half of the skew story
+    * (u6/Scale.saltedJoin is the plan-time half, for shapes AQE can't
+    * re-plan): a 90%-hot join key melts one reducer in a static plan;
+    * AQE observes the actual shuffle-partition sizes at the stage
+    * boundary and SPLITS the skewed partition across tasks, replicating
+    * the matching build rows — no salting column, no query rewrite. The
+    * query manufactures the skew (CASE-collapsed lineitem partkey) on an
+    * isolated `newSession` with fixture-scale skew thresholds
+    * (production keeps the 256 MB default — the POINT is thresholds are
+    * bytes of real data, so the same query self-heals at 100 TB where it
+    * matters); GraftExtensionsSpec pins `skew=true` in the FINAL
+    * adaptive plan and its absence in the static plan. Result = a plain
+    * join aggregate the oracle replays; AQE must never change answers.
+    */
+  def aqeSkewJoin(s: SparkSession, d: String): DataFrame = {
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    ss.conf.set("spark.sql.adaptive.enabled", "true")
+    ss.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    ss.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    ss.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+    ss.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+    aqeSkewPlan(ss, d)
+  }
+
+  /** The skewed join both u38 and its plan-pin spec build: 90% of
+    * lineitem rows collapse onto partkey 1, joined to part, aggregated
+    * by brand. */
+  private[graft] def aqeSkewPlan(ss: SparkSession, d: String): DataFrame = {
+    import ss.implicits._
+    // skew split regroups MAP-side blocks, so a reduce partition is only
+    // divisible into as many chunks as there are map tasks — the fixture
+    // parquet is one split, production facts are thousands; repartition
+    // stands in for that map-task fan-out
+    val l = Tables.lineitem(ss, d).repartition(8).select(
+      when($"l_partkey" % 10 =!= 0, lit(1L)).otherwise($"l_partkey")
+        .as("k"),
+      ($"l_extendedprice".cast(org.apache.spark.sql.types.DecimalType(38, 2))
+        * 100).cast("long").as("cents"))
+    val p = Tables.part(ss, d).select($"p_partkey".as("k"), $"p_brand")
+    l.join(p, "k")
+      .groupBy($"p_brand")
+      .agg(count(lit(1)).as("n"), sum($"cents").as("cents_sum"))
+      .orderBy($"p_brand")
+  }
+
+  val aqeSkewJoinSql: String =
+    """WITH l AS (
+      |  SELECT CASE WHEN l_partkey % 10 != 0 THEN 1
+      |              ELSE l_partkey END AS k,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(38,2)) * 100 AS BIGINT)
+      |      AS cents
+      |  FROM lineitem)
+      |SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(cents) AS BIGINT) AS cents_sum
+      |FROM l JOIN part ON l.k = p_partkey
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
   /** u37: SQL PIPE SYNTAX (Spark 4, SPARK-49555 — the `FROM t |> op`
     * composable dialect from Google's "SQL Has Problems" pipe-SQL
     * paper): each `|>` stage consumes the previous relation, so query
@@ -1990,6 +2050,7 @@ object Extensibility {
     "u35_variant_json" -> (variantJson _),
     "u36_sql_stored_procedure" -> (sqlStoredProcedure _),
     "u37_sql_pipe_syntax" -> (sqlPipeSyntax _),
+    "u38_aqe_skew_join" -> (aqeSkewJoin _),
     "u30_sql_function_catalog" -> (sqlFunctionCatalog _),
     "u29_sql_zorder_read" -> (sqlZorderRead _),
     "u28_sql_topn_pushdown" -> (sqlTopNPushdown _),
@@ -2029,6 +2090,7 @@ object Extensibility {
     "u35_variant_json" -> variantJsonSql,
     "u36_sql_stored_procedure" -> sqlStoredProcedureSql,
     "u37_sql_pipe_syntax" -> sqlPipeSyntaxSql,
+    "u38_aqe_skew_join" -> aqeSkewJoinSql,
     "u30_sql_function_catalog" -> sqlFunctionCatalogSql,
     "u29_sql_zorder_read" -> sqlZorderReadSql,
     "u28_sql_topn_pushdown" -> sqlTopNPushdownSql,

@@ -277,4 +277,31 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(missing.getMessage.toLowerCase.contains("no_such_proc"),
       missing.getMessage)
   }
+
+  test("u38 AQE skew join (r16): the hot partition splits at runtime " +
+    "(skew=true in the final plan); the static plan does not") {
+    val s = TestSpark.spark
+    // skew-tuned adaptive session: the final plan marks the join skewed
+    val on = s.newSession()
+    on.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    on.conf.set("spark.sql.adaptive.enabled", "true")
+    on.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    on.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    on.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8k")
+    on.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4k")
+    val df = graft.operators.Extensibility.aqeSkewPlan(on, TestSpark.sf)
+    df.collect() // AQE decides from RUNTIME sizes — execute first
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert(finalPlan.contains("skew=true"),
+      s"AQE did not split the skewed partition:\n$finalPlan")
+    // adaptive off: the same query melts one reducer silently — the
+    // plan carries no skew handling (what u6's salting is for pre-AQE)
+    val off = s.newSession()
+    off.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    off.conf.set("spark.sql.adaptive.enabled", "false")
+    val dfOff = graft.operators.Extensibility.aqeSkewPlan(off, TestSpark.sf)
+    dfOff.collect()
+    assert(!dfOff.queryExecution.executedPlan.toString.contains("skew=true"))
+  }
 }

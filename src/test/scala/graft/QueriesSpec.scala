@@ -146,6 +146,24 @@ class QueriesSpec extends AnyFunSuite {
       s"bound violation did not raise by name: $e")
   }
 
+  test("q87 fixture bound: a corpus with fewer than K prefilter survivors " +
+    "raises NAMED instead of estimating from a short sketch (r16)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q87bound")
+    // 10 docs: far under the 32-survivor floor for either derived corpus
+    (1 to 10).map(i => (i.toLong, s"tiny doc number $i", "en", "s1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .coalesce(1).write.parquet(s"$dir/documents.parquet")
+    val e = intercept[Exception] {
+      SparkEntry.queries("q87_kmv_overlap")(spark, dir.toString)
+        .write.format("noop").mode("overwrite").save()
+    }
+    val msg = Option(e.getMessage).getOrElse("") +
+      Option(e.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("32-value sketch") || msg.contains("q87"),
+      s"undersized sketch did not raise by name: $e")
+  }
+
   test("t21/t22 BPE merge table round-trips through the published artifact — a second process encodes without retraining (r16)") {
     // private fixture copy so deleting the parquet can prove the
     // artifact-only read without touching the shared testdata
