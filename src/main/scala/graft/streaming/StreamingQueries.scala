@@ -1626,6 +1626,20 @@ object StreamingQueries {
   def streamTransformWithState(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val out = runScratchDir("graft-st24")
+    runMilestoneStream(s, d, out)
+    val result = s.read.parquet(s"$out/data")
+      .orderBy($"user_id", $"milestone").localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(out)).deleteRecursively()
+    result
+  }
+
+  /** The st24 stream run (shared with st25, which re-opens its RocksDB
+    * checkpoint through the state data source): drive the milestone
+    * processor over the events fixture, parquet sink + checkpoint under
+    * `out`. */
+  private def runMilestoneStream(
+      s: SparkSession, d: String, out: String): Unit = {
+    import s.implicits._
     val prevProvider = s.conf.getOption(
       "spark.sql.streaming.stateStore.providerClass")
     s.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -1652,11 +1666,45 @@ object StreamingQueries {
       case None =>
         s.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
-    val result = s.read.parquet(s"$out/data")
-      .orderBy($"user_id", $"milestone").localCheckpoint(true)
+  }
+
+  /** st25: the STATE DATA SOURCE (Spark 4, SPARK-45511) — a streaming
+    * query's checkpointed state read back as a BATCH TABLE
+    * (`spark.read.format("statestore")`), the observability surface
+    * that turns "what is my stream holding?" from a debugger question
+    * into SQL: run st24's transformWithState stream to completion, then
+    * open its RocksDB checkpoint OFFLINE and read the named `totals`
+    * ValueState — every user's running (count, Σk) exactly as the
+    * processor left it. The oracle replays the totals from the events
+    * table directly, so this pins END-TO-END that the stream's
+    * persisted state equals the batch truth (state corruption, encoder
+    * drift, or a missed row would all hash-mismatch). At scale this is
+    * how state is audited, backfilled, and migrated (the
+    * state-rebalance story) without replaying the stream.
+    */
+  def streamStateStoreReader(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = runScratchDir("graft-st25")
+    runMilestoneStream(s, d, out)
+    val state = s.read.format("statestore")
+      .option("path", s"$out/chk")
+      .option("stateVarName", "totals")
+      .load()
+    val result = state
+      .select($"key.value".as("user_id"), $"value.cnt".as("n_events"),
+        $"value.sumK".as("sum_k"))
+      .orderBy($"user_id").localCheckpoint(true)
     new scala.reflect.io.Directory(new java.io.File(out)).deleteRecursively()
     result
   }
+
+  val streamStateStoreReaderSql: String =
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+      |    AS sum_k
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
 
   val streamTransformWithStateSql: String =
     """WITH e AS (
@@ -1847,6 +1895,7 @@ object StreamingQueries {
       |ORDER BY phase, key""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st25_state_store_reader" -> (streamStateStoreReader _),
     "st24_transform_with_state" -> (streamTransformWithState _),
     "st23_stream_packing" -> (streamPacking _),
     "st22_stmt_consistent_cdc" -> (streamStmtConsistentCdc _),
@@ -1873,6 +1922,7 @@ object StreamingQueries {
     "st4_stream_attribution" -> (streamClickAttribution _))
 
   val oracle: Map[String, String] = Map(
+    "st25_state_store_reader" -> streamStateStoreReaderSql,
     "st24_transform_with_state" -> streamTransformWithStateSql,
     "st23_stream_packing" -> streamPackingSql,
     "st22_stmt_consistent_cdc" -> streamStmtConsistentCdcSql,
