@@ -1116,7 +1116,73 @@ object Multimodal {
       |FROM scored
       |ORDER BY media_id""".stripMargin
 
+  /** m17: ASPECT-RATIO BUCKETED BATCHING — the vision-training collate
+    * step (SDXL-style aspect bucketing; p16's length batching for
+    * images): padding every image in a batch to the batch max dims
+    * wastes FLOPs proportional to dimension spread, so images group by
+    * aspect CLASS first (w·100 div h: <80 portrait, ≤125 square, else
+    * landscape — constants mirrored in the oracle) and batch in fixed
+    * counts of 8 within (class, shard). The emitted per-batch PAD WASTE
+    * (Σ max_w·max_h − w·h, exact ints) is the price the bucketing
+    * minimizes — visible in the result, so a regression in bucketing
+    * quality is a hash change, not a vibe. Shard = media_id mod 4 keeps
+    * every rank window partition-local (the production packer shape:
+    * per-shard batching, zero cross-shard coordination; the window is
+    * per (class, shard), never corpus-wide). Images only (kind 0 of the
+    * synthesized container corpus).
+    */
+  def aspectBatching(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val imgs = Tables.documents(s, d)
+      .filter($"doc_id" % 3 === 0)
+      .select($"doc_id".as("media_id"),
+        (lit(16) + $"doc_id" % 640).cast("int").as("w"),
+        (lit(16) + ($"doc_id" * 7) % 480).cast("int").as("h"))
+      .withColumn("r", expr("w * 100 DIV h"))
+      .withColumn("cls", when($"r" < 80, "portrait")
+        .when($"r" <= 125, "square").otherwise("landscape"))
+      .withColumn("shard", ($"media_id" % 4).cast("int"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cls", $"shard").orderBy($"media_id")
+    imgs
+      .withColumn("rn", row_number().over(w))
+      .withColumn("batch", expr("CAST((rn - 1) DIV 8 AS INT)"))
+      .groupBy($"cls", $"shard", $"batch")
+      .agg(count(lit(1)).as("n_imgs"),
+        (max($"w") * max($"h") * count(lit(1))
+          - sum($"w" * $"h")).as("pad_waste"),
+        sum($"w" * $"h").as("px"))
+      .orderBy($"cls", $"shard", $"batch")
+  }
+
+  val aspectBatchingSql: String =
+    """WITH imgs AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(16 + doc_id % 640 AS INTEGER) AS w,
+      |    CAST(16 + (doc_id * 7) % 480 AS INTEGER) AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |cls AS (
+      |  SELECT media_id, w, h,
+      |    CASE WHEN w * 100 // h < 80 THEN 'portrait'
+      |         WHEN w * 100 // h <= 125 THEN 'square'
+      |         ELSE 'landscape' END AS cls,
+      |    CAST(media_id % 4 AS INTEGER) AS shard
+      |  FROM imgs),
+      |rk AS (
+      |  SELECT *, CAST((ROW_NUMBER() OVER (PARTITION BY cls, shard
+      |      ORDER BY media_id) - 1) // 8 AS INTEGER) AS batch
+      |  FROM cls)
+      |SELECT cls, shard, batch,
+      |  CAST(COUNT(*) AS BIGINT) AS n_imgs,
+      |  CAST(MAX(w) * MAX(h) * COUNT(*) - SUM(w * h) AS BIGINT)
+      |    AS pad_waste,
+      |  CAST(SUM(w * h) AS BIGINT) AS px
+      |FROM rk
+      |GROUP BY cls, shard, batch
+      |ORDER BY cls, shard, batch""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m17_aspect_batching" -> (aspectBatching _),
     "m16_frame_budget" -> (frameBudget _),
     "m15_pair_alignment" -> (pairAlignment _),
     "m14_pair_admission" -> (pairAdmission _),
@@ -1135,6 +1201,7 @@ object Multimodal {
     "m5_frame_dedup"    -> (frameDupes _))
 
   val oracle: Map[String, String] = Map(
+    "m17_aspect_batching" -> aspectBatchingSql,
     "m16_frame_budget" -> frameBudgetSql,
     "m15_pair_alignment" -> pairAlignmentSql,
     "m14_pair_admission" -> pairAdmissionSql,

@@ -149,7 +149,11 @@ object ScaleSmoke {
     // inputs — embeddings codes / customer tree; st23 omitted:
     // stream-machinery floor dominates)
     "t25_sequence_packing", "s36_sq8_recall", "d27_winnowing",
-    "p28_rule_ablation")
+    "p28_rule_ablation",
+    // round-16 widening batch (u32/u36/u37/st24/st25 omitted:
+    // store-lifecycle, syntax-only, or stream-machinery floor)
+    "q87_kmv_overlap", "t26_fim_transform", "u33_bloom_runtime_join",
+    "u34_sql_udf_inline", "u35_variant_json", "u38_aqe_skew_join")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
