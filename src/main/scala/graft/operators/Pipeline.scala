@@ -1653,6 +1653,62 @@ object Pipeline {
     * Thresholds are p25's, mirrored literally (change both or neither).
     * At 100 TB: still exactly one aggregation over derived per-doc ints.
     */
+  /** p29: 13-GRAM TEST-SET DECONTAMINATION (GPT-3 appendix C / PaLM's
+    * "data contamination" audit — the EXACT-overlap method): a training
+    * doc is contaminated if it shares any 13-token n-gram with the
+    * held-out benchmark. This completes the decon triptych: p7 flags by
+    * whole-doc bloom membership, p22 by embedding similarity; this is
+    * the lexical-overlap standard labs actually report. Benchmark =
+    * the doc_id mod 37 slice (fixture stand-in for a real eval set);
+    * emitted per contaminated doc: distinct shared 13-grams and how
+    * many benchmark docs it collides with — the triage columns (1
+    * shared gram from 1 doc = likely boilerplate; many from many =
+    * leaked eval). Live signal: 1 flagged doc / 46 shared grams at
+    * sf0.01, 11/369 at sf0.1. The join is on the exact gram string (the
+    * oracle needs string equality); at 100 TB the exchange keys on
+    * xxhash64(gram) with the string resolved post-join — d25/p26's r16
+    * discipline — and the benchmark side (eval sets are tiny) gram set
+    * BROADCASTS, making this a map-side semi-join, no corpus shuffle.
+    */
+  def ngramDecon(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables.documents(s, d)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .filter(size($"w") >= 13)
+      .select($"doc_id", explode(expr(
+        """array_distinct(transform(sequence(1, size(w) - 12),
+          |  p -> array_join(slice(w, p, 13), ' ')))""".stripMargin))
+        .as("gram"))
+    val bench = grams.filter($"doc_id" % 37 === 0)
+      .select($"gram", $"doc_id".as("bench_id")).distinct()
+    grams.filter($"doc_id" % 37 =!= 0)
+      .join(broadcast(bench), "gram")
+      .groupBy($"doc_id")
+      .agg(countDistinct($"gram").as("n_shared_grams"),
+        countDistinct($"bench_id").as("n_bench_docs"))
+      .orderBy($"doc_id")
+  }
+
+  val ngramDeconSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w,
+      |    CAST(len(string_split(text, ' ')) AS INTEGER) AS n
+      |  FROM documents),
+      |g AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id, array_to_string(w[p:p + 12], ' ') AS gram
+      |  FROM d, UNNEST(range(1, n - 11)) AS t(p)
+      |  WHERE n >= 13),
+      |bench AS (
+      |  SELECT DISTINCT gram, doc_id AS bench_id FROM g
+      |  WHERE doc_id % 37 = 0)
+      |SELECT g.doc_id,
+      |  CAST(COUNT(DISTINCT g.gram) AS BIGINT) AS n_shared_grams,
+      |  CAST(COUNT(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+      |FROM g JOIN bench b USING (gram)
+      |WHERE g.doc_id % 37 != 0
+      |GROUP BY g.doc_id
+      |ORDER BY g.doc_id""".stripMargin
+
   def ruleAblation(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val masked = Tables.documents(s, d)
@@ -1722,6 +1778,7 @@ object Pipeline {
       |ORDER BY stage""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p29_ngram_decon" -> (ngramDecon _),
     "p28_rule_ablation" -> (ruleAblation _),
     "p27_post_dedup_mixture" -> (postDedupMixture _),
     "p26_substr_drop_policy" -> (substrDropPolicy _),
@@ -1752,6 +1809,7 @@ object Pipeline {
     "p7_bloom_decontaminate" -> (bloomDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "p29_ngram_decon" -> ngramDeconSql,
     "p28_rule_ablation" -> ruleAblationSql,
     "p27_post_dedup_mixture" -> postDedupMixtureSql,
     "p26_substr_drop_policy" -> substrDropPolicySql,
