@@ -1436,7 +1436,39 @@ object Aggregates {
        |FROM jn, musk, uni
        |ORDER BY kind, name""".stripMargin
 
+  /** q88: TOP-K PER GROUP through the custom physical operator
+    * ([[graft.plans.GroupedTopK]] — logical node + planner Strategy +
+    * two-phase SparkPlan, the full extension ladder): per (source,
+    * lang) the 3 longest documents, ties broken by doc_id. The window
+    * form (`row_number() <= 3`) sorts every group in full AND shuffles
+    * every row before dropping any; the operator keeps a k-bounded
+    * heap map-side, so the exchange carries at most k·groups·partitions
+    * rows — the candidate-selection shape (per-probe ANN shortlists,
+    * per-source leaderboards) at its right cost. PlanAuditSpec pins
+    * the physical shape (partial exec → ONE hash exchange → final
+    * exec) and bit-equality with the flat window form; the oracle is
+    * that window form.
+    */
+  def groupedTopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+      .select($"source", $"lang", $"doc_id", $"n_chars")
+    graft.plans.GroupedTopK.topKPerGroup(docs, 3,
+      Seq("source", "lang"), Seq(("n_chars", false), ("doc_id", true)))
+      .orderBy($"source", $"lang", $"n_chars".desc, $"doc_id")
+  }
+
+  val groupedTopKSql: String =
+    """SELECT source, lang, doc_id, n_chars FROM (
+      |  SELECT source, lang, doc_id, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY source, lang
+      |      ORDER BY n_chars DESC, doc_id) AS rn
+      |  FROM documents)
+      |WHERE rn <= 3
+      |ORDER BY source, lang, n_chars DESC, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q88_grouped_topk" -> (groupedTopK _),
     "q87_kmv_overlap" -> (kmvOverlap _),
     "q86_recursive_rollup" -> (recursiveRollup _),
     "q85_store_zorder" -> (storeZorder _),
@@ -1462,6 +1494,7 @@ object Aggregates {
     "q52_hll_merge"         -> (hllMerge _))
 
   val oracle: Map[String, String] = Map(
+    "q88_grouped_topk" -> groupedTopKSql,
     "q87_kmv_overlap" -> kmvOverlapSql,
     "q86_recursive_rollup" -> recursiveRollupSql,
     "q85_store_zorder" -> storeZorderSql,

@@ -1774,6 +1774,50 @@ object Extensibility {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** u39: `Dataset.observe` — ZERO-EXTRA-PASS pipeline telemetry (the
+    * `Observation` API over `CollectMetrics`): named aggregates ride
+    * the SAME execution that produces the pipeline's real output (here
+    * a noop sink standing in for the production parquet write), so
+    * row counts / quality tallies / checksums cost nothing beyond the
+    * pass the job already pays — at 100 TB the alternative is a second
+    * full scan per audit metric. The emitted row IS the observed
+    * metric set (exact integers), and the oracle recomputes the same
+    * aggregates relationally — pinning that observe-during-write
+    * equals aggregate-after-write. This is the mechanism every
+    * `queries()` pipeline would use for production run-ledgers
+    * (d22's release manifest records counts; observe is how they're
+    * gathered for free).
+    */
+  def observeMetrics(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val obs = org.apache.spark.sql.Observation(
+      "graft_u39_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+    Tables.lineitem(s, d)
+      .select($"l_returnflag", $"l_quantity",
+        ($"l_extendedprice".cast(org.apache.spark.sql.types.DecimalType(38, 2))
+          * 100).cast("long").as("cents"))
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum($"cents").as("cents_total"),
+        count(when($"l_quantity" > 45, 1)).as("n_heavy"),
+        min($"cents").as("cents_min"))
+      .write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    Seq((m("n_rows").asInstanceOf[Long], m("cents_total").asInstanceOf[Long],
+      m("n_heavy").asInstanceOf[Long], m("cents_min").asInstanceOf[Long]))
+      .toDF("n_rows", "cents_total", "n_heavy", "cents_min")
+  }
+
+  val observeMetricsSql: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(38,2)) * 100
+      |    AS BIGINT)) AS BIGINT) AS cents_total,
+      |  CAST(COUNT(CASE WHEN l_quantity > 45 THEN 1 END) AS BIGINT)
+      |    AS n_heavy,
+      |  CAST(MIN(CAST(CAST(l_extendedprice AS DECIMAL(38,2)) * 100
+      |    AS BIGINT)) AS BIGINT) AS cents_min
+      |FROM lineitem""".stripMargin
+
   /** u38: AQE SKEW-JOIN SPLIT — the RUNTIME half of the skew story
     * (u6/Scale.saltedJoin is the plan-time half, for shapes AQE can't
     * re-plan): a 90%-hot join key melts one reducer in a static plan;
@@ -2051,6 +2095,7 @@ object Extensibility {
     "u36_sql_stored_procedure" -> (sqlStoredProcedure _),
     "u37_sql_pipe_syntax" -> (sqlPipeSyntax _),
     "u38_aqe_skew_join" -> (aqeSkewJoin _),
+    "u39_observe_metrics" -> (observeMetrics _),
     "u30_sql_function_catalog" -> (sqlFunctionCatalog _),
     "u29_sql_zorder_read" -> (sqlZorderRead _),
     "u28_sql_topn_pushdown" -> (sqlTopNPushdown _),
@@ -2091,6 +2136,7 @@ object Extensibility {
     "u36_sql_stored_procedure" -> sqlStoredProcedureSql,
     "u37_sql_pipe_syntax" -> sqlPipeSyntaxSql,
     "u38_aqe_skew_join" -> aqeSkewJoinSql,
+    "u39_observe_metrics" -> observeMetricsSql,
     "u30_sql_function_catalog" -> sqlFunctionCatalogSql,
     "u29_sql_zorder_read" -> sqlZorderReadSql,
     "u28_sql_topn_pushdown" -> sqlTopNPushdownSql,

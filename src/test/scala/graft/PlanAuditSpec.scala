@@ -931,4 +931,40 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(t.get().inputFiles
       .map(_.replaceFirst("/[^/]*$", "")).distinct.length > 1)
   }
+
+  test("q88 grouped top-k (r16): two-phase custom exec — partial heap " +
+    "before ONE hash exchange, final after; bit-equal to the window form") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf)
+      .select($"source", $"lang", $"doc_id", $"n_chars")
+      .repartition(5) // multiple map partitions: the partial phase is real
+    val topk = graft.plans.GroupedTopK.topKPerGroup(docs, 3,
+      Seq("source", "lang"), Seq(("n_chars", false), ("doc_id", true)))
+    val p = topk.queryExecution.executedPlan.toString
+    assert("GroupedTopK \\[".r.findAllIn(p).length >= 2,
+      s"expected partial+final GroupedTopKExec:\n$p")
+    // the exec prints (..., k, partial): ", 3, true" = partial phase
+    assert(p.contains(", 3, true") && p.contains(", 3, false"), p)
+    assert(p.contains("Exchange hashpartitioning(source"),
+      s"no group-key exchange between the phases:\n$p")
+    // the exchange input is the PARTIAL side (bounded rows), pinned by
+    // plan nesting: the final (partial=false) exec sits ABOVE it
+    assert(p.indexOf(", 3, false") <
+        p.indexOf("Exchange hashpartitioning(source"),
+      s"final phase must sit above the exchange:\n$p")
+    // value equality with the flat window form, including ties
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source", $"lang")
+      .orderBy($"n_chars".desc, $"doc_id")
+    val expected = docs
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter($"rn" <= 3).drop("rn")
+      .orderBy($"source", $"lang", $"n_chars".desc, $"doc_id")
+      .collect().toSeq
+    val got = topk
+      .orderBy($"source", $"lang", $"n_chars".desc, $"doc_id")
+      .collect().toSeq
+    assert(got === expected,
+      s"grouped top-k diverges from the window form: ${got.take(5)}")
+  }
 }

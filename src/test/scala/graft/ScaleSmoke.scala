@@ -153,7 +153,9 @@ object ScaleSmoke {
     // round-16 widening batch (u32/u36/u37/st24/st25 omitted:
     // store-lifecycle, syntax-only, or stream-machinery floor)
     "q87_kmv_overlap", "t26_fim_transform", "u33_bloom_runtime_join",
-    "u34_sql_udf_inline", "u35_variant_json", "u38_aqe_skew_join")
+    "u34_sql_udf_inline", "u35_variant_json", "u38_aqe_skew_join",
+    "p29_ngram_decon", "m17_aspect_batching", "q88_grouped_topk",
+    "u39_observe_metrics")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
