@@ -1774,6 +1774,48 @@ object Extensibility {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** u40: the OPTIMIZER-RULE leg of the grouped-top-k ladder
+    * ([[graft.plans.WindowTopKRewrite]]): the classic BI pattern —
+    * `row_number() OVER (PARTITION BY … ORDER BY …)` filtered to
+    * `rn <= k` with the rank projected away — rewrites AUTOMATICALLY
+    * to the [[graft.plans.GroupedTopK]] operator, so users get the
+    * map-side k-heap + O(groups·k) exchange without knowing the
+    * operator exists (q88 is the explicit API; this is the transparent
+    * path). Runs on an ISOLATED newSession (extraOptimizations +
+    * extraStrategies — u11's injection discipline) so the shared
+    * session's plans stay byte-stable; GraftExtensionsSpec pins the
+    * rewrite fired (GroupedTopK present, Window absent) and that the
+    * guard rails hold it back when the rank column SURVIVES the
+    * projection. The query is the window form verbatim — same result
+    * as q88, same oracle — because an optimizer rule that changes
+    * answers is a bug by definition.
+    */
+  def windowTopKRewrite(s: SparkSession, d: String): DataFrame = {
+    val ss = s.newSession()
+    ss.experimental.extraOptimizations =
+      ss.experimental.extraOptimizations :+ graft.plans.WindowTopKRewrite
+    ss.experimental.extraStrategies =
+      ss.experimental.extraStrategies :+ new graft.plans.GroupedTopKStrategy
+    windowTopKPlan(ss, d)
+  }
+
+  /** The window-form top-3 both u40 and its spec build (identical
+    * semantics to q88's explicit-API query). */
+  private[graft] def windowTopKPlan(
+      ss: SparkSession, d: String): DataFrame = {
+    import ss.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source", $"lang")
+      .orderBy($"n_chars".desc, $"doc_id")
+    Tables.documents(ss, d)
+      .select($"source", $"lang", $"doc_id", $"n_chars")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3).drop("rn")
+      .orderBy($"source", $"lang", $"n_chars".desc, $"doc_id")
+  }
+
+  val windowTopKRewriteSql: String = Aggregates.groupedTopKSql
+
   /** u39: `Dataset.observe` — ZERO-EXTRA-PASS pipeline telemetry (the
     * `Observation` API over `CollectMetrics`): named aggregates ride
     * the SAME execution that produces the pipeline's real output (here
@@ -2096,6 +2138,7 @@ object Extensibility {
     "u37_sql_pipe_syntax" -> (sqlPipeSyntax _),
     "u38_aqe_skew_join" -> (aqeSkewJoin _),
     "u39_observe_metrics" -> (observeMetrics _),
+    "u40_window_topk_rewrite" -> (windowTopKRewrite _),
     "u30_sql_function_catalog" -> (sqlFunctionCatalog _),
     "u29_sql_zorder_read" -> (sqlZorderRead _),
     "u28_sql_topn_pushdown" -> (sqlTopNPushdown _),
@@ -2137,6 +2180,7 @@ object Extensibility {
     "u37_sql_pipe_syntax" -> sqlPipeSyntaxSql,
     "u38_aqe_skew_join" -> aqeSkewJoinSql,
     "u39_observe_metrics" -> observeMetricsSql,
+    "u40_window_topk_rewrite" -> windowTopKRewriteSql,
     "u30_sql_function_catalog" -> sqlFunctionCatalogSql,
     "u29_sql_zorder_read" -> sqlZorderReadSql,
     "u28_sql_topn_pushdown" -> sqlTopNPushdownSql,

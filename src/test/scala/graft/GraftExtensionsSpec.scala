@@ -278,6 +278,38 @@ class GraftExtensionsSpec extends AnyFunSuite {
       missing.getMessage)
   }
 
+  test("u40 window→top-k rewrite (r16): the drop-rank row_number filter " +
+    "becomes GroupedTopK; a SURVIVING rank column holds the rule back") {
+    val s = TestSpark.spark
+    import s.implicits._
+    val ss = s.newSession()
+    ss.experimental.extraOptimizations = Seq(graft.plans.WindowTopKRewrite)
+    ss.experimental.extraStrategies = Seq(new graft.plans.GroupedTopKStrategy)
+    val rewritten = graft.operators.Extensibility
+      .windowTopKPlan(ss, TestSpark.sf)
+    val opt = rewritten.queryExecution.optimizedPlan.toString
+    assert(opt.contains("GroupedTopK"), s"rewrite did not fire:\n$opt")
+    assert(!opt.contains("Window ["), s"window machinery survived:\n$opt")
+    // result equality with the un-rewritten session (rule changes plans,
+    // never answers)
+    val plain = graft.operators.Extensibility
+      .windowTopKPlan(s.newSession(), TestSpark.sf).collect().toSeq
+    assert(rewritten.collect().toSeq === plain)
+    // guard rail: rank column SURVIVES the projection → window must run
+    val keepRn = {
+      import ss.implicits._
+      graft.Tables.documents(ss, TestSpark.sf)
+        .select($"source", $"doc_id", $"n_chars")
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"source")
+            .orderBy($"n_chars".desc, $"doc_id")))
+        .filter($"rn" <= 3)
+    }
+    val keepOpt = keepRn.queryExecution.optimizedPlan.toString
+    assert(!keepOpt.contains("GroupedTopK"),
+      s"rule fired on a surviving rank column:\n$keepOpt")
+  }
+
   test("u38 AQE skew join (r16): the hot partition splits at runtime " +
     "(skew=true in the final plan); the static plan does not") {
     val s = TestSpark.spark
