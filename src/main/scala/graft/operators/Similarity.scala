@@ -1730,7 +1730,49 @@ object Similarity {
        |LEFT JOIN hits h ON h.probe_id = t.probe_id
        |ORDER BY t.probe_id, rk""".stripMargin
 
+  /** s37: the grouped-top-k PHYSICAL OPERATOR (q88's ladder) in its
+    * motivating domain — per-probe kNN shortlists: 5 probe vectors
+    * broadcast against the corpus, exact FloatDot scores, then the
+    * k-heap keeps each probe's top-10 MAP-SIDE. The window form this
+    * replaces shuffles every (probe, candidate) scored pair — 5× the
+    * corpus — before dropping any; the two-phase exec's exchange
+    * carries ≤ k·probes·partitions rows, which is the serving-path
+    * cost batch shortlist jobs actually need (the same shape s30/s33
+    * reach via bucketing; this is the dense-scoring variant). Scores
+    * are the deterministic left-to-right FloatDot accumulation, so the
+    * oracle's list_reduce replay is bit-identical (s1's discipline).
+    */
+  def topkExecKnn(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = Tables.embeddings(s, d)
+    val probes = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("probe_id"), $"embedding".as("qv"))
+    val scored = e.filter($"vec_id" >= 5)
+      .crossJoin(broadcast(probes))
+      .select($"probe_id", $"vec_id", $"label",
+        VectorFunctions.dot($"embedding", $"qv").as("score"))
+    graft.plans.GroupedTopK.topKPerGroup(scored, 10,
+      Seq("probe_id"), Seq(("score", false), ("vec_id", true)))
+      .orderBy($"probe_id", $"score".desc, $"vec_id")
+  }
+
+  val topkExecKnnSql: String =
+    s"""WITH sc AS MATERIALIZED (
+       |  SELECT q.probe_id, e.vec_id, e.label, $dotSql AS score
+       |  FROM embeddings e
+       |  CROSS JOIN (SELECT vec_id AS probe_id, embedding AS qv
+       |              FROM embeddings WHERE vec_id < 5) q
+       |  WHERE e.vec_id >= 5),
+       |rk AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+       |    ORDER BY score DESC, vec_id) AS rn
+       |  FROM sc)
+       |SELECT probe_id, vec_id, label, score FROM rk
+       |WHERE rn <= 10
+       |ORDER BY probe_id, score DESC, vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s37_topk_exec_knn" -> (topkExecKnn _),
     "s32_knn_join_fallback" -> (knnJoinFallback _),
     "s31_matryoshka_recall" -> (matryoshkaRecall _),
     "s30_knn_join" -> (knnJoin _),
@@ -1760,6 +1802,7 @@ object Similarity {
     "s17_ann_deletes"    -> (annWithDeletes _))
 
   val oracle: Map[String, String] = Map(
+    "s37_topk_exec_knn" -> topkExecKnnSql,
     "s32_knn_join_fallback" -> knnJoinFallbackSql,
     "s31_matryoshka_recall" -> matryoshkaRecallSql,
     "s30_knn_join" -> knnJoinSql,

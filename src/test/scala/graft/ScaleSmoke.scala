@@ -152,7 +152,7 @@ object ScaleSmoke {
     "p28_rule_ablation",
     // round-16 widening batch (u32/u36/u37/st24/st25 omitted:
     // store-lifecycle, syntax-only, or stream-machinery floor)
-    "q87_kmv_overlap", "t26_fim_transform", "u33_bloom_runtime_join",
+    "q87_kmv_overlap", "t26_fim_transform", "u33_bloom_runtime_join", "s37_topk_exec_knn",
     "u34_sql_udf_inline", "u35_variant_json", "u38_aqe_skew_join",
     "p29_ngram_decon", "m17_aspect_batching", "q88_grouped_topk",
     "u39_observe_metrics")
