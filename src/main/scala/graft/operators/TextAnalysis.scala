@@ -1700,6 +1700,61 @@ pr$r AS (
       |FROM cuts
       |ORDER BY doc_id""".stripMargin
 
+  /** t27: MEMORIZATION-RISK audit — the privacy-side reading of the
+    * n-gram df distribution (Carlini et al.'s "memorization follows
+    * duplication" inverted): a 20-token gram that occurs EXACTLY ONCE
+    * in the corpus is long-tail content a model can only emit by
+    * memorizing its one source — names, addresses, keys, unique
+    * prose. Per doc: gram count, corpus-unique (df=1) gram count, and
+    * uniqueness density in ppm (exact integer division) — the triage
+    * column a privacy review sorts by; d10/t14 read the same df
+    * relation for the OPPOSITE tail (df>1 duplication). Distinct grams
+    * per doc first (array_distinct map-side), then one df aggregate
+    * over gram strings (the oracle needs string equality; at 100 TB
+    * the exchange keys on xxhash64(gram) — d25/p26's discipline) and
+    * one join back. No window, no pair join — three keyed exchanges
+    * (gram agg, gram join-back, doc rollup), all on real keys.
+    */
+  def memorizationRisk(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val grams = Tables.documents(s, d)
+      .select($"doc_id", split($"text", " ").as("w"))
+      .filter(size($"w") >= 20)
+      .select($"doc_id", explode(expr(
+        """array_distinct(transform(sequence(1, size(w) - 19),
+          |  p -> array_join(slice(w, p, 20), ' ')))""".stripMargin))
+        .as("gram"))
+    val df = grams.groupBy($"gram")
+      .agg(count(lit(1)).as("dfreq"))
+    grams.join(df, "gram")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when($"dfreq" === 1, 1)).as("n_unique"))
+      .select($"doc_id", $"n_grams", $"n_unique",
+        expr("n_unique * 1000000 DIV n_grams").as("uniq_ppm"))
+      .orderBy($"doc_id")
+  }
+
+  val memorizationRiskSql: String =
+    """WITH g AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id, array_to_string(w[p:p + 19], ' ') AS gram
+      |  FROM (
+      |    SELECT doc_id, string_split(text, ' ') AS w,
+      |      CAST(len(string_split(text, ' ')) AS INTEGER) AS n
+      |    FROM documents) d,
+      |    UNNEST(range(1, n - 18)) AS t(p)
+      |  WHERE n >= 20),
+      |df AS (SELECT gram, COUNT(*) AS dfreq FROM g GROUP BY gram)
+      |SELECT g.doc_id,
+      |  CAST(COUNT(*) AS BIGINT) AS n_grams,
+      |  CAST(COUNT(CASE WHEN df.dfreq = 1 THEN 1 END) AS BIGINT)
+      |    AS n_unique,
+      |  CAST(COUNT(CASE WHEN df.dfreq = 1 THEN 1 END) * 1000000
+      |    // COUNT(*) AS BIGINT) AS uniq_ppm
+      |FROM g JOIN df USING (gram)
+      |GROUP BY g.doc_id
+      |ORDER BY g.doc_id""".stripMargin
+
   def sequencePacking(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     packDocs(Tables.documents(s, d).select($"doc_id",
@@ -1743,6 +1798,7 @@ pr$r AS (
       |ORDER BY shard, bin""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t27_memorization_risk" -> (memorizationRisk _),
     "t26_fim_transform" -> (fimTransform _),
     "t25_sequence_packing" -> (sequencePacking _),
     "t24_token_fertility" -> (tokenFertility _),
@@ -1771,6 +1827,7 @@ pr$r AS (
     "t6_pii_scrub"    -> (piiScrub _))
 
   val oracle: Map[String, String] = Map(
+    "t27_memorization_risk" -> memorizationRiskSql,
     "t26_fim_transform" -> fimTransformSql,
     "t25_sequence_packing" -> sequencePackingSql,
     "t24_token_fertility" -> tokenFertilitySql,

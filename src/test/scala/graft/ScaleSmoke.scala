@@ -148,7 +148,7 @@ object ScaleSmoke {
     // round-16 continuation batch (u30/q86 omitted: dimension-only
     // inputs — embeddings codes / customer tree; st23 omitted:
     // stream-machinery floor dominates)
-    "t25_sequence_packing", "s36_sq8_recall", "d27_winnowing",
+    "t25_sequence_packing", "s36_sq8_recall", "d27_winnowing", "t27_memorization_risk",
     "p28_rule_ablation",
     // round-16 widening batch (u32/u36/u37/st24/st25 omitted:
     // store-lifecycle, syntax-only, or stream-machinery floor)
