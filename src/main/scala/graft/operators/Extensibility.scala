@@ -1816,6 +1816,59 @@ object Extensibility {
 
   val windowTopKRewriteSql: String = Aggregates.groupedTopKSql
 
+  /** u41: TABLESAMPLE pushdown on the pot scan
+    * (`SupportsPushDownTableSample`) — `TABLESAMPLE (p PERCENT)`
+    * reaches the reader as a KEY-HASH admission test evaluated during
+    * the streaming parse, so a 10% sample of a 100 MB object
+    * stringifies ~10% of the bodies instead of materializing
+    * everything and dropping rows above the scan. The connector's
+    * sampling is CONSISTENT (systematic): admitted keys are a pure
+    * function of the keys (md5 fold mod 10000 under p·100),
+    * independent of Spark's seed — re-runs, re-partitions, and two
+    * replicas of the same pot sample the SAME keys, which is what a
+    * cross-store audit sample needs and what makes a pushed sample
+    * hash-comparable at all (stated in the scan description; seeded
+    * Bernoulli shapes decline to Spark's post-scan Sample).
+    * PotJsonSpec pins the pushed plan, the declined plan, and
+    * run-to-run consistency. Stats scale by the admitted fraction, so
+    * the planner sees the sampled cardinality.
+    */
+  def sqlTableSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-u41").toString
+    val pot = s"$dir/t/data.json"
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    val tbl = "graft_u41_pot"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(s"CREATE TABLE $tbl (pot_file STRING, key STRING, " +
+      s"doc_json STRING) USING $fmt OPTIONS (path '$pot')")
+    Tables.nation(s, d).select(
+      lit("").as("pot_file"),
+      concat(lit("n"), $"n_nationkey".cast("string")).as("key"),
+      to_json(struct($"n_name".as("name"))).as("doc_json"))
+      .write.format(fmt).option("path", pot).mode("overwrite").save()
+    val out = s.sql(
+      s"""SELECT key, get_json_object(doc_json, '$$.name') AS name
+         |FROM $tbl TABLESAMPLE (40 PERCENT)
+         |ORDER BY key""".stripMargin).localCheckpoint(true)
+    s.sql(s"DROP TABLE $tbl")
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    out
+  }
+
+  val sqlTableSampleSql: String =
+    """WITH k AS (
+      |  SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS key,
+      |    n_name AS name
+      |  FROM nation)
+      |SELECT key, name FROM k
+      |WHERE list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(range(1, 13),
+      |      i -> CAST(strpos('0123456789abcdef',
+      |             substr(md5(key), i, 1)) - 1 AS BIGINT))),
+      |    (acc, v) -> acc * 16 + v) % 10000 < 4000
+      |ORDER BY key""".stripMargin
+
   /** u39: `Dataset.observe` — ZERO-EXTRA-PASS pipeline telemetry (the
     * `Observation` API over `CollectMetrics`): named aggregates ride
     * the SAME execution that produces the pipeline's real output (here
@@ -2139,6 +2192,7 @@ object Extensibility {
     "u38_aqe_skew_join" -> (aqeSkewJoin _),
     "u39_observe_metrics" -> (observeMetrics _),
     "u40_window_topk_rewrite" -> (windowTopKRewrite _),
+    "u41_sql_table_sample" -> (sqlTableSample _),
     "u30_sql_function_catalog" -> (sqlFunctionCatalog _),
     "u29_sql_zorder_read" -> (sqlZorderRead _),
     "u28_sql_topn_pushdown" -> (sqlTopNPushdown _),
@@ -2181,6 +2235,7 @@ object Extensibility {
     "u38_aqe_skew_join" -> aqeSkewJoinSql,
     "u39_observe_metrics" -> observeMetricsSql,
     "u40_window_topk_rewrite" -> windowTopKRewriteSql,
+    "u41_sql_table_sample" -> sqlTableSampleSql,
     "u30_sql_function_catalog" -> sqlFunctionCatalogSql,
     "u29_sql_zorder_read" -> sqlZorderReadSql,
     "u28_sql_topn_pushdown" -> sqlTopNPushdownSql,

@@ -511,15 +511,40 @@ private[graft] class PotV2ScanBuilder(
     path: String, generation: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates
-    with SupportsPushDownLimit with SupportsPushDownTopN {
+    with SupportsPushDownLimit with SupportsPushDownTopN
+    with org.apache.spark.sql.connector.read.SupportsPushDownTableSample {
   import org.apache.spark.sql.sources._
   private var required: StructType = PotV2Source.Schema
   private[sources] var pushed: Array[Filter] = Array.empty
   private var aggGroupedByFile: Option[Boolean] = None
   private var pushedLimit: Option[Int] = None
   private var pushedTopN: Option[(Boolean, Int)] = None
+  private var pushedSample: Option[Long] = None
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** TABLESAMPLE pushdown (u41): `TABLESAMPLE (p PERCENT)` reaches the
+    * reader as a KEY-HASH admission test — a key survives when its
+    * md5 fold mod 10000 is under p·100 — applied during the streaming
+    * parse, so a 10% sample of a 100 MB object stringifies ~10% of the
+    * document bodies (and the count-pushdown path counts without
+    * stringifying any). Semantics are CONSISTENT (systematic) sampling:
+    * the admitted key set is a pure function of the keys, independent
+    * of Spark's seed — re-running, re-partitioning, or sampling two
+    * replicas of the same pot selects the SAME keys (the property a
+    * cross-store audit sample wants, and what makes the sample
+    * oracle-replayable at all; stated in the scan description). Shapes
+    * the hash test cannot express decline honestly: replacement
+    * sampling and nonzero lower bounds fall back to Spark's post-scan
+    * Sample operator.
+    */
+  override def pushTableSample(lowerBound: Double, upperBound: Double,
+      withReplacement: Boolean, seed: Long): Boolean = {
+    if (withReplacement || lowerBound != 0.0 ||
+        upperBound <= 0.0 || upperBound >= 1.0) return false
+    pushedSample = Some(math.round(upperBound * 10000))
+    true
+  }
 
   /** LIMIT pushdown (r15): `SELECT … LIMIT k` over a pot bucket stops the
     * reader after k surviving entries — and for a plain snapshot object
@@ -659,11 +684,24 @@ private[graft] class PotV2ScanBuilder(
 
   override def build(): Scan =
     new PotV2Scan(path, required, pushed, aggGroupedByFile, generation,
-      pushedLimit, pushedTopN, capResolver)
+      pushedLimit, pushedTopN, capResolver, pushedSample)
 }
 
-private[sources] object PotV2Filters {
+private[graft] object PotV2Filters {
   import org.apache.spark.sql.sources._
+
+  /** u41 sample fold: the first 12 md5 hex digits of the key as a long,
+    * mod 10000 (p7's engine-portable fold — the oracle replays it with
+    * DuckDB's md5, so a pushed sample stays hash-comparable).
+    * private[graft] for the spec's expected-set replay. */
+  private[graft] def sampleFold(key: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var acc = 0L
+    var i = 0
+    while (i < 6) { acc = (acc << 8) | (md(i) & 0xffL); i += 1 }
+    acc % 10000
+  }
 
   /** Evaluate the pushed predicates that address `column` against `value`
     * (filters on other columns pass). All pushable shapes are exact. */
@@ -698,7 +736,8 @@ private[graft] class PotV2Scan(
     generation: Option[Long] = None,
     pushedLimit: Option[Int] = None,
     pushedTopN: Option[(Boolean, Int)] = None,
-    capResolver: Option[() => Map[String, Long]] = None)
+    capResolver: Option[() => Map[String, Long]] = None,
+    pushedSample: Option[Long] = None)
     extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics {
 
@@ -849,7 +888,7 @@ private[graft] class PotV2Scan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PotV2ReaderFactory(required.fieldNames, pushed, aggGroupedByFile,
-      pushedLimit, pushedTopN)
+      pushedLimit, pushedTopN, pushedSample)
 
   /** Statistics reporting (r15) — the missing piece for DATA-DRIVEN join
     * planning over pot relations: without it Spark assumes
@@ -923,9 +962,15 @@ private[graft] class PotV2Scan(
       case org.apache.spark.sql.sources.In("key", vs) =>
         vs.length.toLong * nFiles
     }
-    val boundedRows = (rows, keyBound) match {
+    val boundedRows0 = (rows, keyBound) match {
       case (Some(r), Some(k)) => Some(math.min(r, k))
       case (r, _) => r
+    }
+    // a pushed sample admits ~threshold/10000 of the keys: scale the
+    // estimate so the planner sees the sampled cardinality
+    val boundedRows = pushedSample match {
+      case Some(t) => boundedRows0.map(r => math.max(1L, r * t / 10000))
+      case None => boundedRows0
     }
     new Statistics {
       override def sizeInBytes(): OptionalLong =
@@ -947,7 +992,9 @@ private[graft] class PotV2Scan(
         s", PushedTopN: key ${if (asc) "ASC" else "DESC"} limit $k"
       case None => pushedLimit.map(k => s", PushedLimit: $k").getOrElse("")
     }
-    s"PotV2Scan ${pushed.mkString("PushedFilters: [", ", ", "]")}$aggDesc$genDesc$limDesc"
+    val sampleDesc = pushedSample
+      .map(t => s", PushedSample: $t/10000 by key hash").getOrElse("")
+    s"PotV2Scan ${pushed.mkString("PushedFilters: [", ", ", "]")}$aggDesc$genDesc$limDesc$sampleDesc"
   }
 }
 
@@ -975,8 +1022,16 @@ private[sources] class PotV2ReaderFactory(
     pushed: Array[org.apache.spark.sql.sources.Filter],
     aggGroupedByFile: Option[Boolean] = None,
     pushedLimit: Option[Int] = None,
-    pushedTopN: Option[(Boolean, Int)] = None)
+    pushedTopN: Option[(Boolean, Int)] = None,
+    pushedSample: Option[Long] = None)
     extends PartitionReaderFactory {
+  /** Pushed-filter + pushed-sample admission for one key (u41: the
+    * sample is a per-myriad threshold on the md5 key fold — consistent
+    * across runs, partitions, and replicas by construction). */
+  private def keyKeep(key: String): Boolean =
+    PotV2Filters.accepts(pushed, "key", key) &&
+      pushedSample.forall(t => PotV2Filters.sampleFold(key) < t)
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     partition match {
       case PotNoFilePartition => return new PartitionReader[InternalRow] {
@@ -1009,7 +1064,7 @@ private[sources] class PotV2ReaderFactory(
       val fs = new Path(sp.dir).getFileSystem(new Configuration())
       PotChain.stateAtWithGen(fs, new Path(sp.dir, ".commits"), sp.gen)
         .entrySet().asScala.iterator
-        .filter(e => PotV2Filters.accepts(pushed, "key", e.getKey))
+        .filter(e => keyKeep(e.getKey))
         .map(e => (e.getKey, e.getValue._1, e.getValue._2))
     }
     aggGroupedByFile match {
@@ -1031,7 +1086,7 @@ private[sources] class PotV2ReaderFactory(
             require(root != null && root.isObject,
               s"pot object $file: top level must be a JSON map")
             root.fieldNames().asScala
-              .count(PotV2Filters.accepts(pushed, "key", _))
+              .count(keyKeep(_))
               .toLong
         }
         override def next(): Boolean =
@@ -1093,7 +1148,7 @@ private[sources] class PotV2ReaderFactory(
             // limit path: stream + early stop (the take() below closes
             // the parse after k survivors — O(k) parse, not O(object))
             streamedFields(new Path(file))
-              .filter(e => PotV2Filters.accepts(pushed, "key", e._1))
+              .filter(e => keyKeep(e._1))
               .map(e => (e._1, e._2.toString, fileGen))
           case _ =>
             val p = new Path(file)
@@ -1105,7 +1160,7 @@ private[sources] class PotV2ReaderFactory(
             // key predicates filter BEFORE toString — a point read of one
             // key in a 100k-entry pot never stringifies the other bodies
             root.fields().asScala
-              .filter(e => PotV2Filters.accepts(pushed, "key", e.getKey))
+              .filter(e => keyKeep(e.getKey))
               .map(e => (e.getKey, e.getValue.toString, fileGen))
         }
       private val entries: Iterator[(String, String, Long)] = pushedTopN match {
@@ -1133,7 +1188,7 @@ private[sources] class PotV2ReaderFactory(
               }
             case _ =>
               streamedFields(new Path(file))
-                .filter(e => PotV2Filters.accepts(pushed, "key", e._1))
+                .filter(e => keyKeep(e._1))
                 .foreach { case (key, node) =>
                   // admit before stringify; evict the current worst
                   if (sel.size < k) sel.put(key, (node.toString, fileGen))

@@ -2043,6 +2043,42 @@ class PotJsonSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("top level must be a JSON map")))
   }
 
+  test("PotV2 TABLESAMPLE pushdown (u41): consistent key-hash sample " +
+    "reaches the scan; replacement sampling declines to post-scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("potv2sample").toString
+    val pot = s"$dir/t/data.json"
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    (1 to 200).map(i => ("", f"k$i%03d", s"""{"v": $i}"""))
+      .toDF("pot_file", "key", "doc_json")
+      .write.format(fmt).option("path", pot).mode("overwrite").save()
+    def sampled() = spark.read.format(fmt).option("path", pot).load()
+      .sample(withReplacement = false, 0.3, seed = 42L)
+    val df = sampled()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedSample: 3000/10000"),
+      s"sample not pushed:\n$plan")
+    assert(!plan.contains("Sample "), s"post-scan Sample survived:\n$plan")
+    // admitted set = exactly the keys under the hash threshold
+    val got = df.select($"key").as[String].collect().toSet
+    val expected = (1 to 200).map(i => f"k$i%03d")
+      .filter(k => graft.sources.PotV2Filters.sampleFold(k) < 3000L).toSet
+    assert(got === expected)
+    assert(got.nonEmpty && got.size < 200, s"degenerate sample: ${got.size}")
+    // CONSISTENT sampling: a different seed admits the same keys (the
+    // cross-replica audit property; stated in the scan description)
+    val again = spark.read.format(fmt).option("path", pot).load()
+      .sample(withReplacement = false, 0.3, seed = 7L)
+      .select($"key").as[String].collect().toSet
+    assert(again === got)
+    // replacement sampling declines: the Sample node stays above the scan
+    val repl = spark.read.format(fmt).option("path", pot).load()
+      .sample(withReplacement = true, 0.3, seed = 1L)
+    val rplan = repl.queryExecution.executedPlan.toString
+    assert(!rplan.contains("PushedSample"), rplan)
+    assert(rplan.contains("Sample"), s"no fallback Sample node:\n$rplan")
+  }
+
   test("PotV2 _pot_gen metadata column (u32): hidden from SELECT *, " +
     "snapshot gen for folded rows, delta gen above it, NULL for legacy") {
     import spark.implicits._

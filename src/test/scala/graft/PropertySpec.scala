@@ -649,4 +649,33 @@ class PropertySpec extends AnyFunSuite {
       assert(distNt === flatNt, s"ntile with nulls desc=$desc")
     }
   }
+
+  test("property: GroupedTopK equals the flat window form for arbitrary " +
+    "group skew, k, and partitioning (r16)") {
+    import spark.implicits._
+    val rowGen = for {
+      g <- Gen.chooseNum(0, 6)       // few groups: forced collisions
+      v <- Gen.chooseNum(-1000, 1000) // heavy ties across rows
+    } yield (g.toLong, v.toLong)
+    (1 to 4).foreach { trial =>
+      val n = 40 * trial
+      val rows = samples(rowGen, n, 7100L + trial)
+        .zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }
+      val k = 1 + trial * 2
+      val parts = 1 + trial // 1..4 input partitions: partial phase varies
+      val df = rows.toDF("g", "v", "id").repartition(parts)
+      val got = graft.plans.GroupedTopK.topKPerGroup(df, k,
+        Seq("g"), Seq(("v", false), ("id", true)))
+        .orderBy($"g", $"v".desc, $"id")
+        .as[(Long, Long, Long)].collect().toSeq
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"g").orderBy($"v".desc, $"id")
+      val expected = df.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= k).drop("rn")
+        .orderBy($"g", $"v".desc, $"id")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(got === expected,
+        s"trial=$trial k=$k parts=$parts: ${got.take(6)} vs ${expected.take(6)}")
+    }
+  }
 }
