@@ -1816,6 +1816,89 @@ object Extensibility {
 
   val windowTopKRewriteSql: String = Aggregates.groupedTopKSql
 
+  /** u42: SHALLOW CLONE (`CALL graft_fns.sys.clone_pot` /
+    * [[graft.sources.PotV2Source.clonePot]] — Delta/Iceberg CLONE
+    * brought to the pot store): history is shared by re-publishing the
+    * source's commit MARKERS (bodies keep absolute source paths — zero
+    * artifact copies; the chain, which dominates storage, is never
+    * duplicated), only the head `data.json` is copied (O(current
+    * state)). The query proves the full lifecycle: clone equals source
+    * (rows + generations); a write on the CLONE diverges (clone gains
+    * the rows, SOURCE stays untouched — copy-on-write at generation
+    * granularity via the unchanged CAS flow); TIME TRAVEL on the clone
+    * reads the source's generation-1 artifact through the shared
+    * marker; and the clone's VACUUM deletes ZERO bodies (the ownership
+    * guard — borrowed history is the source's to retire, never the
+    * clone's; the same guard protects any pot from a corrupted marker
+    * naming a foreign path). The dev/staging fork every production
+    * store eventually needs, at marker cost.
+    */
+  def sqlShallowClone(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft_fns",
+      classOf[graft.sources.GraftFunctionCatalog].getName)
+    val dir = java.nio.file.Files.createTempDirectory("graft-u42").toString
+    val src = s"$dir/src/data.json"
+    val dst = s"$dir/dst/data.json"
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    val nat = Tables.nation(s, d)
+    def docs(df: org.apache.spark.sql.DataFrame, upd: Int) = df.select(
+      lit("").as("pot_file"),
+      concat(lit("n"), $"n_nationkey".cast("string")).as("key"),
+      to_json(struct($"n_name".as("name"), lit(upd).as("upd")))
+        .as("doc_json"))
+    // source: gen 1 (all nations), gen 2 (region 0 LWW-updated)
+    docs(nat, 0)
+      .write.format(fmt).option("path", src).mode("overwrite").save()
+    docs(nat.filter($"n_regionkey" === 0), 1)
+      .write.format(fmt).option("path", src).mode("append").save()
+    // collect() pins execution order: the clone must exist before the
+    // divergent write below (CALL is a command, but explicit beats
+    // relying on eager command semantics)
+    val nClonedGens = s.sql(
+      s"CALL graft_fns.sys.clone_pot('$src', '$dst')").collect().length
+    val cloned = Seq(nClonedGens.toLong).toDF("n_cloned_gens")
+    // divergence: a write on the CLONE must not touch the source
+    docs(nat.filter($"n_regionkey" === 1), 2)
+      .write.format(fmt).option("path", dst).mode("append").save()
+    def upds(pot: String, gen: Option[Long]) = {
+      val r = s.read.format(fmt).option("path", pot)
+      gen.foreach(g => r.option("generation", g.toString))
+      r.load().agg(count(lit(1)).as("n"),
+        sum(get_json_object($"doc_json", "$.upd").cast("long")).as("upd_sum"))
+    }
+    val srcHead = upds(src, None)
+      .select($"n".as("src_n"), $"upd_sum".as("src_upds"))
+    val dstHead = upds(dst, None)
+      .select($"n".as("dst_n"), $"upd_sum".as("dst_upds"))
+    // time travel THROUGH the shared marker: clone gen 1 = source gen 1
+    val dstV1 = upds(dst, Some(1L))
+      .select($"n".as("dst_v1_n"), $"upd_sum".as("dst_v1_upds"))
+    // ownership guard: the clone's vacuum reclaims NOTHING (its
+    // pre-covering bodies are all borrowed source artifacts)
+    val vacuumed = s.sql(s"CALL graft_fns.sys.vacuum_pot('$dst')")
+      .agg(count(lit(1)).as("n_vacuumed"))
+    val out = cloned.crossJoin(srcHead).crossJoin(dstHead)
+      .crossJoin(dstV1).crossJoin(vacuumed)
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    out
+  }
+
+  val sqlShallowCloneSql: String =
+    """SELECT CAST(2 AS BIGINT) AS n_cloned_gens,
+      |  CAST(COUNT(*) AS BIGINT) AS src_n,
+      |  CAST(COUNT(CASE WHEN n_regionkey = 0 THEN 1 END) AS BIGINT)
+      |    AS src_upds,
+      |  CAST(COUNT(*) AS BIGINT) AS dst_n,
+      |  CAST(COUNT(CASE WHEN n_regionkey = 0 THEN 1 END)
+      |    + 2 * COUNT(CASE WHEN n_regionkey = 1 THEN 1 END) AS BIGINT)
+      |    AS dst_upds,
+      |  CAST(COUNT(*) AS BIGINT) AS dst_v1_n,
+      |  CAST(0 AS BIGINT) AS dst_v1_upds,
+      |  CAST(0 AS BIGINT) AS n_vacuumed
+      |FROM nation""".stripMargin
+
   /** u41: TABLESAMPLE pushdown on the pot scan
     * (`SupportsPushDownTableSample`) — `TABLESAMPLE (p PERCENT)`
     * reaches the reader as a KEY-HASH admission test evaluated during
@@ -2193,6 +2276,7 @@ object Extensibility {
     "u39_observe_metrics" -> (observeMetrics _),
     "u40_window_topk_rewrite" -> (windowTopKRewrite _),
     "u41_sql_table_sample" -> (sqlTableSample _),
+    "u42_shallow_clone" -> (sqlShallowClone _),
     "u30_sql_function_catalog" -> (sqlFunctionCatalog _),
     "u29_sql_zorder_read" -> (sqlZorderRead _),
     "u28_sql_topn_pushdown" -> (sqlTopNPushdown _),
@@ -2236,6 +2320,7 @@ object Extensibility {
     "u39_observe_metrics" -> observeMetricsSql,
     "u40_window_topk_rewrite" -> windowTopKRewriteSql,
     "u41_sql_table_sample" -> sqlTableSampleSql,
+    "u42_shallow_clone" -> sqlShallowCloneSql,
     "u30_sql_function_catalog" -> sqlFunctionCatalogSql,
     "u29_sql_zorder_read" -> sqlZorderReadSql,
     "u28_sql_topn_pushdown" -> sqlTopNPushdownSql,

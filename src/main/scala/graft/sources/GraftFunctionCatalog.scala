@@ -82,7 +82,8 @@ object GraftFunctionCatalog {
       org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure] =
     Map(
       "vacuum_pot" -> VacuumPotProcedure,
-      "recover_statements" -> RecoverStatementsProcedure)
+      "recover_statements" -> RecoverStatementsProcedure,
+      "clone_pot" -> ClonePotProcedure)
 }
 
 /** Base for graft's one-string-arg maintenance procedures: binds any
@@ -152,6 +153,48 @@ object RecoverStatementsProcedure extends GraftMaintenanceProcedure(
   "roll crashed multi-bucket statements forward from staged fragments") {
   override protected def run(arg: String): Seq[String] =
     BucketedPotV2Source.recoverStatements(arg)
+}
+
+/** `CALL graft_fns.sys.clone_pot('<src data.json>', '<dst data.json>')`
+  * — SHALLOW CLONE ([[PotV2Source.clonePot]]: marker-shared history,
+  * one head-file copy, divergent writes, vacuum ownership guard) as a
+  * SQL verb; returns one row per cloned generation.
+  */
+object ClonePotProcedure
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  override def name(): String = "clone_pot"
+  override def description(): String =
+    "shallow-clone a pot: share commit history by marker, copy only " +
+      "the head materialization"
+  override def bind(inputType: StructType): BoundProcedure = {
+    val ok = inputType.fields.length == 2 &&
+      inputType.fields.forall(_.dataType == StringType)
+    if (!ok) throw new UnsupportedOperationException(
+      s"clone_pot expects (src STRING, dst STRING), got " +
+        inputType.simpleString)
+    this
+  }
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in("src", StringType).build(),
+    ProcedureParameter.in("dst", StringType).build())
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val src = input.getUTF8String(0).toString
+    val dst = input.getUTF8String(1).toString
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val gens = PotV2Source.clonePot(fs, src, dst)
+    val schema = StructType(Seq(
+      StructField("generation", LongType, nullable = false)))
+    java.util.Collections.singletonList[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] =
+        gens.map(g => InternalRow(g): InternalRow).toArray
+      override def readSchema(): StructType = schema
+    }).iterator()
+  }
 }
 
 /** `int8dot(array<int>, array<int>) -> bigint` — exact integer dot product

@@ -167,11 +167,77 @@ object PotV2Source {
       .map(_._1).foldLeft(0L)(math.max)
     bodies.flatMap { case (g, body) =>
       val p = new Path(body)
-      if (g < covering && p.getName.startsWith(".snap-") && fs.exists(p)) {
+      // OWNERSHIP guard (u42): only bodies under this pot's own
+      // directory are reclaimable — a SHALLOW CLONE's chain references
+      // the source pot's artifacts by absolute path, and vacuuming the
+      // clone must never delete history it merely borrows (the same
+      // rule protects against a corrupted marker naming a foreign
+      // path). Foreign bodies are skipped silently: they are the
+      // SOURCE's to retire under its own retention.
+      val owned = fs.makeQualified(p).toString
+        .startsWith(fs.makeQualified(dir).toString + "/")
+      if (g < covering && owned && p.getName.startsWith(".snap-") &&
+          fs.exists(p)) {
         fs.delete(p, false)
         Some(p.toString)
       } else None
     }
+  }
+
+  /** SHALLOW CLONE (u42 — Delta/Iceberg `CLONE` brought to the pot
+    * store): re-publish the source's commit MARKERS at the target —
+    * marker bodies keep their absolute source paths, so the entire
+    * generation history (time travel, change-feed replay via the
+    * snapshot-diff fallback) is SHARED with zero artifact copies — plus
+    * ONE file copy of the head materialization (`data.json`, the
+    * O(current-state) cost; the history chain, which dominates storage,
+    * is never copied). Writes on the clone then diverge naturally: the
+    * next commit stages a clone-local artifact at generation head+1
+    * through the unchanged CAS flow, leaving the source untouched —
+    * copy-on-write at generation granularity. Safety: the clone's
+    * vacuum skips borrowed (foreign-path) bodies via the ownership
+    * guard above, so clone retention can never delete source history;
+    * the target must be empty (cloning over live state would orphan
+    * it). Returns the cloned generation numbers.
+    */
+  def clonePot(fs: org.apache.hadoop.fs.FileSystem,
+      srcPot: String, dstPot: String): Seq[Long] = {
+    require(!isGlob(srcPot) && !isGlob(dstPot),
+      s"clonePot: one source and one target pot, no globs: $srcPot -> $dstPot")
+    val srcDir = new Path(srcPot).getParent
+    val dstDir = new Path(dstPot).getParent
+    val srcCommits = new Path(srcDir, ".commits")
+    val dstCommits = new Path(dstDir, ".commits")
+    require(graft.kv.CommitMarker.committedGenerations(fs, dstCommits)
+        .isEmpty && !fs.exists(new Path(dstPot)),
+      s"clonePot: target $dstPot must be empty (cloning over live " +
+        "state would orphan it)")
+    fs.mkdirs(dstDir)
+    val gens = graft.kv.CommitMarker
+      .committedGenerations(fs, srcCommits).sorted
+    gens.foreach { g =>
+      graft.kv.CommitMarker.publish(fs, new Path(dstCommits, g.toString),
+        graft.kv.CommitMarker.read(fs, new Path(srcCommits, g.toString)))
+    }
+    if (fs.exists(new Path(srcPot))) {
+      val srcP = fs.makeQualified(new Path(srcPot))
+      val dstP = fs.makeQualified(new Path(dstPot))
+      if (srcP.toUri.getScheme == "file") {
+        // RAW nio copy on file: — the same layer the commit flow's
+        // ATOMIC_MOVE materialization uses. A checksummed-FS copy
+        // (FileUtil.copy) would plant a .crc sidecar the next commit's
+        // raw move never refreshes → ChecksumException on read.
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(srcP.toUri),
+          java.nio.file.Paths.get(dstP.toUri))
+      } else {
+        val in = fs.open(srcP)
+        val out = fs.create(dstP, false)
+        try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536)
+        finally { in.close(); out.close() }
+      }
+    }
+    gens
   }
 }
 
