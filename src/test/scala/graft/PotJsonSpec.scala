@@ -2079,6 +2079,29 @@ class PotJsonSpec extends AnyFunSuite {
     assert(rplan.contains("Sample"), s"no fallback Sample node:\n$rplan")
   }
 
+  test("BucketedPotV2 inherits TABLESAMPLE pushdown (u41): the sample " +
+    "reaches every bucket's scan and admits the same global key set") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("bpotsample").toString
+    val fmt = classOf[graft.sources.BucketedPotV2Source].getName
+    (1 to 200).map(i => ("", f"k$i%03d", s"""{"v": $i}"""))
+      .toDF("pot_file", "key", "doc_json")
+      .write.format(fmt).option("path", root).option("buckets", "4")
+      .mode("append").save()
+    val df = spark.read.format(fmt).option("path", root)
+      .option("buckets", "4").load()
+      .sample(withReplacement = false, 0.3, seed = 9L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedSample: 3000/10000"),
+      s"sample not pushed through the bucketed builder:\n$plan")
+    // the key-hash admission is bucket-layout-independent: the bucketed
+    // sample equals the single-pot fold's admitted set
+    val got = df.select($"key").as[String].collect().toSet
+    val expected = (1 to 200).map(i => f"k$i%03d")
+      .filter(k => graft.sources.PotV2Filters.sampleFold(k) < 3000L).toSet
+    assert(got === expected)
+  }
+
   test("PotV2 _pot_gen metadata column (u32): hidden from SELECT *, " +
     "snapshot gen for folded rows, delta gen above it, NULL for legacy") {
     import spark.implicits._
