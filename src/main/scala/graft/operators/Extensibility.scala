@@ -1816,6 +1816,40 @@ object Extensibility {
 
   val windowTopKRewriteSql: String = Aggregates.groupedTopKSql
 
+  /** u43: TABLESAMPLE over the BUCKETED store — u41's pushdown
+    * inherited through the bucketed scan builder, proving the sample
+    * composes with sharding: every bucket's reader applies the same
+    * key-hash admission, so the global sampled set is BUCKET-LAYOUT
+    * INDEPENDENT (reshard the store, sample again, same keys — the
+    * property that lets an audit sample survive maintenance;
+    * PotJsonSpec pins set-equality with the single-pot fold). Oracle
+    * is the same fold over the nation-derived keys.
+    */
+  def sqlBucketedSample(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-u43").toString
+    val fmt = classOf[graft.sources.BucketedPotV2Source].getName
+    Tables.nation(s, d).select(
+      lit("").as("pot_file"),
+      concat(lit("n"), $"n_nationkey".cast("string")).as("key"),
+      to_json(struct($"n_name".as("name"))).as("doc_json"))
+      .write.format(fmt).option("path", root).option("buckets", "4")
+      .mode("append").save()
+    val out = s.read.format(fmt).option("path", root)
+      .option("buckets", "4").load()
+      .sample(withReplacement = false, 0.4, seed = 3L)
+      .select($"key", get_json_object($"doc_json", "$.name").as("name"))
+      .orderBy($"key").localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    out
+  }
+
+  /** Same admitted set as u41 (the fold is layout-independent).
+    * LAZY: sqlTableSampleSql is declared below this point — a strict
+    * val here would read null at object init (the kv12 lesson; direct
+    * reference, so lazy is sufficient). */
+  lazy val sqlBucketedSampleSql: String = sqlTableSampleSql
+
   /** u42: SHALLOW CLONE (`CALL graft_fns.sys.clone_pot` /
     * [[graft.sources.PotV2Source.clonePot]] — Delta/Iceberg CLONE
     * brought to the pot store): history is shared by re-publishing the
@@ -2277,6 +2311,7 @@ object Extensibility {
     "u40_window_topk_rewrite" -> (windowTopKRewrite _),
     "u41_sql_table_sample" -> (sqlTableSample _),
     "u42_shallow_clone" -> (sqlShallowClone _),
+    "u43_bucketed_sample" -> (sqlBucketedSample _),
     "u30_sql_function_catalog" -> (sqlFunctionCatalog _),
     "u29_sql_zorder_read" -> (sqlZorderRead _),
     "u28_sql_topn_pushdown" -> (sqlTopNPushdown _),
@@ -2321,6 +2356,7 @@ object Extensibility {
     "u40_window_topk_rewrite" -> windowTopKRewriteSql,
     "u41_sql_table_sample" -> sqlTableSampleSql,
     "u42_shallow_clone" -> sqlShallowCloneSql,
+    "u43_bucketed_sample" -> sqlBucketedSampleSql,
     "u30_sql_function_catalog" -> sqlFunctionCatalogSql,
     "u29_sql_zorder_read" -> sqlZorderReadSql,
     "u28_sql_topn_pushdown" -> sqlTopNPushdownSql,
