@@ -1816,6 +1816,43 @@ object Extensibility {
 
   val windowTopKRewriteSql: String = Aggregates.groupedTopKSql
 
+  /** u44: the RANK() leg of the window→top-k rewrite (r17 — broadens
+    * u40 beyond row_number): `rank() OVER (PARTITION BY source ORDER
+    * BY n_chars DESC) <= 3` with the rank projected away rewrites to
+    * [[graft.plans.GroupedTopK]] in [[graft.plans.RankK]] mode, whose
+    * partial fold keeps TIES of the k-th position (output may exceed
+    * k rows per group — exactly rank()'s contract, and exactly what
+    * Spark's own WindowGroupLimit RankLimitIterator keeps). The
+    * rewrite also STRIPS the WindowGroupLimit node Spark's
+    * InferWindowGroupLimit has already inserted below the window —
+    * otherwise the heap operator would sit on a redundant per-group
+    * sort (GraftExtensionsSpec pins its absence plus bit-equality on
+    * a tie-heavy fixture). Same isolated-session discipline as u40.
+    */
+  def rankTopKRewrite(s: SparkSession, d: String): DataFrame = {
+    val ss = s.newSession()
+    ss.experimental.extraOptimizations =
+      ss.experimental.extraOptimizations :+ graft.plans.WindowTopKRewrite
+    ss.experimental.extraStrategies =
+      ss.experimental.extraStrategies :+ new graft.plans.GroupedTopKStrategy
+    import ss.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"n_chars".desc)
+    Tables.documents(ss, d)
+      .select($"source", $"doc_id", $"n_chars")
+      .withColumn("rk", org.apache.spark.sql.functions.rank().over(w))
+      .filter($"rk" <= 3).drop("rk")
+      .orderBy($"source", $"n_chars".desc, $"doc_id")
+  }
+
+  val rankTopKRewriteSql: String =
+    """SELECT source, doc_id, n_chars FROM (
+      |  SELECT source, doc_id, n_chars,
+      |    RANK() OVER (PARTITION BY source ORDER BY n_chars DESC) AS rk
+      |  FROM documents)
+      |WHERE rk <= 3
+      |ORDER BY source, n_chars DESC, doc_id""".stripMargin
+
   /** u43: TABLESAMPLE over the BUCKETED store — u41's pushdown
     * inherited through the bucketed scan builder, proving the sample
     * composes with sharding: every bucket's reader applies the same
@@ -2312,6 +2349,7 @@ object Extensibility {
     "u41_sql_table_sample" -> (sqlTableSample _),
     "u42_shallow_clone" -> (sqlShallowClone _),
     "u43_bucketed_sample" -> (sqlBucketedSample _),
+    "u44_rank_topk_rewrite" -> (rankTopKRewrite _),
     "u30_sql_function_catalog" -> (sqlFunctionCatalog _),
     "u29_sql_zorder_read" -> (sqlZorderRead _),
     "u28_sql_topn_pushdown" -> (sqlTopNPushdown _),
@@ -2357,6 +2395,7 @@ object Extensibility {
     "u41_sql_table_sample" -> sqlTableSampleSql,
     "u42_shallow_clone" -> sqlShallowCloneSql,
     "u43_bucketed_sample" -> sqlBucketedSampleSql,
+    "u44_rank_topk_rewrite" -> rankTopKRewriteSql,
     "u30_sql_function_catalog" -> sqlFunctionCatalogSql,
     "u29_sql_zorder_read" -> sqlZorderReadSql,
     "u28_sql_topn_pushdown" -> sqlTopNPushdownSql,

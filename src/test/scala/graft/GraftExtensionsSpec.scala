@@ -290,6 +290,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val opt = rewritten.queryExecution.optimizedPlan.toString
     assert(opt.contains("GroupedTopK"), s"rewrite did not fire:\n$opt")
     assert(!opt.contains("Window ["), s"window machinery survived:\n$opt")
+    // r17 (ADVICE): InferWindowGroupLimit runs BEFORE extraOptimizations
+    // and inserts a WindowGroupLimit below the window; the rewrite must
+    // strip it or GroupedTopK sits on a redundant per-group sort
+    assert(!opt.contains("WindowGroupLimit"),
+      s"inferred WindowGroupLimit survived under GroupedTopK:\n$opt")
     // result equality with the un-rewritten session (rule changes plans,
     // never answers)
     val plain = graft.operators.Extensibility
@@ -308,6 +313,53 @@ class GraftExtensionsSpec extends AnyFunSuite {
     val keepOpt = keepRn.queryExecution.optimizedPlan.toString
     assert(!keepOpt.contains("GroupedTopK"),
       s"rule fired on a surviving rank column:\n$keepOpt")
+  }
+
+  test("u44 rank/dense_rank rewrite legs (r17): drop-rank rank() and " +
+    "dense_rank() shapes rewrite to GroupedTopK in their tie-preserving " +
+    "modes, bit-equal to the window forms on a tie-heavy fixture") {
+    val s = TestSpark.spark
+    val ss = s.newSession()
+    ss.experimental.extraOptimizations = Seq(graft.plans.WindowTopKRewrite)
+    ss.experimental.extraStrategies = Seq(new graft.plans.GroupedTopKStrategy)
+    import ss.implicits._
+    import org.apache.spark.sql.functions.{dense_rank, rank}
+    // tie-heavy synthetic: score = id % 5 forces boundary ties everywhere
+    def fixture(sess: org.apache.spark.sql.SparkSession) =
+      sess.range(0, 2000, 1, 4)
+        .selectExpr("id % 8 as g", "id % 5 as score", "id as doc")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"score".desc)
+    def shape(fn: org.apache.spark.sql.Column) =
+      fixture(ss).withColumn("rk", fn.over(w))
+        .filter($"rk" <= 2).drop("rk")
+    for ((fn, mode) <- Seq((rank(), "RankK"), (dense_rank(), "DenseRankK"))) {
+      val df = shape(fn)
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("GroupedTopK") && opt.contains(mode),
+        s"$mode rewrite did not fire:\n$opt")
+      assert(!opt.contains("Window [") && !opt.contains("WindowGroupLimit"),
+        s"window machinery survived the $mode rewrite:\n$opt")
+    }
+    // bit-equality vs the un-rewritten session, ties included
+    val plainSess = s.newSession()
+    def plainShape(fn: org.apache.spark.sql.Column) = {
+      import plainSess.implicits._
+      val pw = org.apache.spark.sql.expressions.Window
+        .partitionBy($"g").orderBy($"score".desc)
+      fixture(plainSess).withColumn("rk", fn.over(pw))
+        .filter($"rk" <= 2).drop("rk")
+    }
+    def sorted(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("g", "score", "doc").collect().toSeq
+    assert(sorted(shape(rank())) === sorted(plainShape(rank())),
+      "rank() rewrite changed the answer")
+    assert(sorted(shape(dense_rank())) === sorted(plainShape(dense_rank())),
+      "dense_rank() rewrite changed the answer")
+    // rank keeps ties of the k-th: with 5 score values over 250 rows per
+    // group, rank()<=2 keeps ~50 rows (one full tie class), never exactly 2
+    assert(sorted(shape(rank())).size > 16,
+      "rank() rewrite dropped boundary ties")
   }
 
   test("u38 AQE skew join (r16): the hot partition splits at runtime " +

@@ -943,13 +943,15 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = topk.queryExecution.executedPlan.toString
     assert("GroupedTopK \\[".r.findAllIn(p).length >= 2,
       s"expected partial+final GroupedTopKExec:\n$p")
-    // the exec prints (..., k, partial): ", 3, true" = partial phase
-    assert(p.contains(", 3, true") && p.contains(", 3, false"), p)
+    // the exec prints (..., k, mode, partial): ", 3, RowNumberK, true"
+    // = partial phase
+    assert(p.contains(", 3, RowNumberK, true") &&
+      p.contains(", 3, RowNumberK, false"), p)
     assert(p.contains("Exchange hashpartitioning(source"),
       s"no group-key exchange between the phases:\n$p")
     // the exchange input is the PARTIAL side (bounded rows), pinned by
     // plan nesting: the final (partial=false) exec sits ABOVE it
-    assert(p.indexOf(", 3, false") <
+    assert(p.indexOf(", 3, RowNumberK, false") <
         p.indexOf("Exchange hashpartitioning(source"),
       s"final phase must sit above the exchange:\n$p")
     // value equality with the flat window form, including ties
@@ -966,5 +968,81 @@ class PlanAuditSpec extends AnyFunSuite {
       .collect().toSeq
     assert(got === expected,
       s"grouped top-k diverges from the window form: ${got.take(5)}")
+  }
+
+  test("GroupedTopK partial phase flushes on memory pressure (r17): group " +
+    "cardinality >> budget emits+clears heaps, counted in the metric, " +
+    "bit-equal to the window form") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.row_number
+    // 5000 groups against a budget of 64: the partial map MUST flush many
+    // times per partition; correctness is free because the fold is
+    // algebraic (top-k of top-k's is top-k — final phase re-merges chunks)
+    spark.conf.set("spark.graft.topk.partialMaxGroups", "64")
+    // AQE wraps the partial exec in a ShuffleQueryStage leaf, which hides
+    // it from plan.collect — turn it off so the metric is reachable
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = spark.range(0, 20000, 1, 5)
+        .selectExpr("id % 5000 as g", "id as v")
+      val topk = graft.plans.GroupedTopK.topKPerGroup(
+        df, 2, Seq("g"), Seq(("v", false)))
+      // execute topk's OWN QueryExecution (an .orderBy would build a new
+      // one whose metrics never tick); sort driver-side for comparison
+      def sorted(rows: Array[org.apache.spark.sql.Row]) =
+        rows.toSeq.sortBy(r => (r.getLong(0), -r.getLong(1)))
+      val got = sorted(topk.collect())
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"g").orderBy($"v".desc)
+      val expected = sorted(df.withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 2).drop("rn").collect())
+      assert(got === expected,
+        "flush-on-pressure changed the answer — the fold is not re-folding")
+      // the flush actually happened: pinned via the partial exec's metric
+      val phys = topk.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val flushes = phys.collect {
+        case e: graft.plans.GroupedTopKExec if e.partial =>
+          e.metrics("partialFlushes").value
+      }.sum
+      assert(flushes > 0,
+        s"expected partial-phase flushes at 5000 groups vs budget 64:\n$phys")
+    } finally {
+      spark.conf.unset("spark.graft.topk.partialMaxGroups")
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    }
+  }
+
+  test("GroupedTopK rank/dense_rank modes (r17): boundary ties of the " +
+    "k-th survive (RankK) / first k distinct keys survive (DenseRankK), " +
+    "bit-equal to the window forms on a tie-heavy fixture") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{dense_rank, rank}
+    // tie-heavy: score = id % 7 gives dense tie groups per partition key
+    val df = spark.range(0, 3000, 1, 4)
+      .selectExpr("id % 11 as g", "id % 7 as score", "id as doc")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"score".desc)
+    def sortAll(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy($"g", $"score".desc, $"doc").collect().toSeq
+    val gotRank = graft.plans.GroupedTopK.topKPerGroup(
+      df, 3, Seq("g"), Seq(("score", false)), graft.plans.RankK)
+    val expRank = df.withColumn("r", rank().over(w))
+      .filter($"r" <= 3).drop("r")
+    assert(sortAll(gotRank) === sortAll(expRank),
+      "RankK diverges from the rank() window form")
+    val gotDense = graft.plans.GroupedTopK.topKPerGroup(
+      df, 3, Seq("g"), Seq(("score", false)), graft.plans.DenseRankK)
+    val expDense = df.withColumn("r", dense_rank().over(w))
+      .filter($"r" <= 3).drop("r")
+    assert(sortAll(gotDense) === sortAll(expDense),
+      "DenseRankK diverges from the dense_rank() window form")
+    // rank mode output EXCEEDS k on ties — it keeps ties of the k-th
+    val oneGroup = gotRank.filter($"g" === 0).count()
+    assert(oneGroup > 3, s"expected boundary ties kept, got $oneGroup rows")
   }
 }
