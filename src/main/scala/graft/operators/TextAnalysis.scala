@@ -1710,10 +1710,15 @@ pr$r AS (
     * column a privacy review sorts by; d10/t14 read the same df
     * relation for the OPPOSITE tail (df>1 duplication). Distinct grams
     * per doc first (array_distinct map-side), then one df aggregate
-    * over gram strings (the oracle needs string equality; at 100 TB
-    * the exchange keys on xxhash64(gram) — d25/p26's discipline) and
-    * one join back. No window, no pair join — three keyed exchanges
-    * (gram agg, gram join-back, doc rollup), all on real keys.
+    * and one join back — both keyed on `xxhash64(gram)` (r17: the
+    * 20-token gram string ~100-150 B never leaves the map side; the
+    * exchange carries the 8-byte hash — d25/p26/p29's discipline,
+    * ~15× narrower on the suite's hottest privacy exchange). The
+    * oracle keeps string equality, so agreement is modulo 64-bit
+    * xxhash collisions — d3's documented-and-accepted domain rule.
+    * No window, no pair join — three keyed exchanges (gram-hash agg,
+    * hash join-back, doc rollup), all on real keys. PlanAuditSpec
+    * pins the df exchange schema: 8-byte key, no gram string.
     */
   def memorizationRisk(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -1724,9 +1729,10 @@ pr$r AS (
         """array_distinct(transform(sequence(1, size(w) - 19),
           |  p -> array_join(slice(w, p, 20), ' ')))""".stripMargin))
         .as("gram"))
-    val df = grams.groupBy($"gram")
+      .select($"doc_id", xxhash64($"gram").as("gh"))
+    val df = grams.groupBy($"gh")
       .agg(count(lit(1)).as("dfreq"))
-    grams.join(df, "gram")
+    grams.join(df, "gh")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_grams"),
         count(when($"dfreq" === 1, 1)).as("n_unique"))

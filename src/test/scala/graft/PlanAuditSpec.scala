@@ -970,6 +970,19 @@ class PlanAuditSpec extends AnyFunSuite {
       s"grouped top-k diverges from the window form: ${got.take(5)}")
   }
 
+  test("t27 memorization risk (r17): the df exchange keys on the 8-byte " +
+    "xxhash64(gram), never the 20-token gram string") {
+    val p = plan("t27_memorization_risk")
+    assert(p.contains("hashpartitioning(gh#"),
+      s"df exchange does not key on the gram hash:\n$p")
+    assert(!p.contains("hashpartitioning(gram#"),
+      s"raw gram string rides an exchange:\n$p")
+    // the string itself dies map-side: no exchange row schema carries it
+    val exchanges = "Exchange [^\\n]*".r.findAllIn(p).toSeq
+    assert(exchanges.nonEmpty && exchanges.forall(!_.contains("gram#")),
+      s"gram string survives into an exchange:\n${exchanges.mkString("\n")}")
+  }
+
   test("GroupedTopK partial phase flushes on memory pressure (r17): group " +
     "cardinality >> budget emits+clears heaps, counted in the metric, " +
     "bit-equal to the window form") {
