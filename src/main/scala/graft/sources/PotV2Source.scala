@@ -603,12 +603,33 @@ private[graft] class PotV2ScanBuilder(
     * the hash test cannot express decline honestly: replacement
     * sampling and nonzero lower bounds fall back to Spark's post-scan
     * Sample operator.
+    *
+    * SEED DECISION (r17, pinned in PotJsonSpec): the pushdown
+    * deliberately IGNORES the sample seed — `REPEATABLE(1)` and
+    * `REPEATABLE(2)` admit the IDENTICAL key set. The connector cannot
+    * distinguish an explicit REPEATABLE from the random seed Spark
+    * invents for a bare TABLESAMPLE, so honoring seeds would make every
+    * unseeded audit sample nondeterministic (and oracle-unreplayable);
+    * consistency wins by default. Users who need Spark's seeded
+    * contract set `spark.graft.sample.pushConsistent=false`, which
+    * DECLINES the push entirely — the post-scan Sample then honors the
+    * seed exactly (both behaviors spec-pinned).
+    *
+    * Quantization guard (r17): a fraction that rounds to 0/10000 of
+    * the per-myriad fold — under 0.005% or above 99.995% — DECLINES
+    * rather than silently returning zero (or every) row; Spark's own
+    * Sample serves those tails at full fidelity.
     */
   override def pushTableSample(lowerBound: Double, upperBound: Double,
       withReplacement: Boolean, seed: Long): Boolean = {
     if (withReplacement || lowerBound != 0.0 ||
         upperBound <= 0.0 || upperBound >= 1.0) return false
-    pushedSample = Some(math.round(upperBound * 10000))
+    if (!org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.graft.sample.pushConsistent", "true")
+        .toBoolean) return false
+    val threshold = math.round(upperBound * 10000)
+    if (threshold <= 0L || threshold >= 10000L) return false
+    pushedSample = Some(threshold)
     true
   }
 

@@ -2077,6 +2077,37 @@ class PotJsonSpec extends AnyFunSuite {
     val rplan = repl.queryExecution.executedPlan.toString
     assert(!rplan.contains("PushedSample"), rplan)
     assert(rplan.contains("Sample"), s"no fallback Sample node:\n$rplan")
+    // r17 quantization guard (ADVICE): a fraction under the 1/10000
+    // fold's resolution would round to threshold 0 and silently return
+    // ZERO rows once Spark removes its Sample node — it must DECLINE
+    for (tiny <- Seq(0.00003, 0.99998)) {
+      val t = spark.read.format(fmt).option("path", pot).load()
+        .sample(withReplacement = false, tiny, seed = 3L)
+      val tplan = t.queryExecution.executedPlan.toString
+      assert(!tplan.contains("PushedSample"),
+        s"unrepresentable fraction $tiny was pushed:\n$tplan")
+      assert(tplan.contains("Sample"),
+        s"no fallback Sample for fraction $tiny:\n$tplan")
+    }
+    // r17 seed decision (pinned): pushConsistent=false declines the push
+    // so Spark's post-scan Sample honors REPEATABLE exactly — two seeds
+    // then genuinely differ (200 keys at 30%: identical draws are
+    // ~impossible), where the default push makes them identical
+    spark.conf.set("spark.graft.sample.pushConsistent", "false")
+    try {
+      def seeded(seed: Long) = spark.read.format(fmt)
+        .option("path", pot).load()
+        .sample(withReplacement = false, 0.3, seed = seed)
+      val splan = seeded(42L).queryExecution.executedPlan.toString
+      assert(!splan.contains("PushedSample") && splan.contains("Sample"),
+        s"pushConsistent=false did not decline the push:\n$splan")
+      val s1 = seeded(42L).select($"key").as[String].collect().toSet
+      val s2 = seeded(7L).select($"key").as[String].collect().toSet
+      assert(s1 !== s2,
+        "declined push should give Spark's seeded (seed-sensitive) sample")
+      assert(seeded(42L).select($"key").as[String].collect().toSet === s1,
+        "Spark's REPEATABLE contract broke under the declined push")
+    } finally spark.conf.unset("spark.graft.sample.pushConsistent")
   }
 
   test("BucketedPotV2 inherits TABLESAMPLE pushdown (u41): the sample " +
