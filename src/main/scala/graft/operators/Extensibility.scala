@@ -2023,6 +2023,50 @@ object Extensibility {
       |    (acc, v) -> acc * 16 + v) % 10000 < 4000
       |ORDER BY key""".stripMargin
 
+  /** u45: DOCUMENT-FIELD predicate pushdown on the pot scan (r17) — the
+    * scan win a key→document store's users hit first: documents are the
+    * entire value model (reference `server.go:315-331` stores opaque
+    * JSON documents), so the predicates that matter are on fields
+    * INSIDE `doc_json`. `.option("shred", "field:type,…")` projects
+    * named top-level fields as real nullable columns (u35's VARIANT
+    * shredding surfaced where Catalyst can push), so an ordinary
+    * `WHERE seg = 'BUILDING' AND nat >= 10` reaches `pushFilters` as
+    * plain column predicates, evaluated during the streaming Jackson
+    * parse BEFORE document stringification — losers die as parse
+    * tokens (counted in the `docSkippedEntries` scan metric), and with
+    * `doc_json` dropped from the projection NO body is ever
+    * stringified. PotJsonSpec pins the pushed plan (residual-free), the
+    * metric, NULL semantics for missing/mistyped fields, and equality
+    * with the post-scan-filter form.
+    */
+  def docFieldPushdown(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-u45").toString
+    val pot = s"$dir/t/data.json"
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    Tables.customer(s, d).select(
+      lit("").as("pot_file"),
+      concat(lit("c"), $"c_custkey".cast("string")).as("key"),
+      to_json(struct($"c_mktsegment".as("seg"),
+        $"c_nationkey".cast("long").as("nat"))).as("doc_json"))
+      .write.format(fmt).option("path", pot).mode("overwrite").save()
+    val out = s.read.format(fmt).option("path", pot)
+      .option("shred", "seg:string,nat:bigint").load()
+      .filter($"seg" === "BUILDING" && $"nat" >= 10)
+      .select($"key", $"nat")
+      .orderBy($"key")
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    out
+  }
+
+  val docFieldPushdownSql: String =
+    """SELECT 'c' || CAST(c_custkey AS VARCHAR) AS key,
+      |  CAST(c_nationkey AS BIGINT) AS nat
+      |FROM customer
+      |WHERE c_mktsegment = 'BUILDING' AND c_nationkey >= 10
+      |ORDER BY key""".stripMargin
+
   /** u39: `Dataset.observe` — ZERO-EXTRA-PASS pipeline telemetry (the
     * `Observation` API over `CollectMetrics`): named aggregates ride
     * the SAME execution that produces the pipeline's real output (here
@@ -2350,6 +2394,7 @@ object Extensibility {
     "u42_shallow_clone" -> (sqlShallowClone _),
     "u43_bucketed_sample" -> (sqlBucketedSample _),
     "u44_rank_topk_rewrite" -> (rankTopKRewrite _),
+    "u45_doc_field_pushdown" -> (docFieldPushdown _),
     "u30_sql_function_catalog" -> (sqlFunctionCatalog _),
     "u29_sql_zorder_read" -> (sqlZorderRead _),
     "u28_sql_topn_pushdown" -> (sqlTopNPushdown _),
@@ -2396,6 +2441,7 @@ object Extensibility {
     "u42_shallow_clone" -> sqlShallowCloneSql,
     "u43_bucketed_sample" -> sqlBucketedSampleSql,
     "u44_rank_topk_rewrite" -> rankTopKRewriteSql,
+    "u45_doc_field_pushdown" -> docFieldPushdownSql,
     "u30_sql_function_catalog" -> sqlFunctionCatalogSql,
     "u29_sql_zorder_read" -> sqlZorderReadSql,
     "u28_sql_topn_pushdown" -> sqlTopNPushdownSql,

@@ -47,11 +47,13 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class PotV2Source extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    PotV2Source.Schema
+    PotV2Source.schemaWith(
+      PotV2Source.parseShred(Option(options.get("shred"))))
   override def getTable(
       schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new PotV2Table(properties.get("path"))
+    new PotV2Table(properties.get("path"),
+      PotV2Source.parseShred(Option(properties.get("shred"))))
   override def supportsExternalMetadata(): Boolean = true
 }
 
@@ -60,6 +62,41 @@ object PotV2Source {
     StructField("pot_file", StringType, nullable = false),
     StructField("key", StringType, nullable = false),
     StructField("doc_json", StringType, nullable = false)))
+
+  /** Document-field SHREDDING (u45, r17): `.option("shred",
+    * "field:type,field:type")` projects named TOP-LEVEL document fields
+    * as real (nullable) read columns next to the raw triple — the u35
+    * VARIANT idea surfaced where Catalyst can push into it. With the
+    * fields first-class, an ordinary `WHERE region_key = 2` reaches the
+    * scan builder as a plain column [[org.apache.spark.sql.sources
+    * .Filter]], and the reader evaluates it during the streaming parse
+    * BEFORE document stringification (the dominant per-entry cost) —
+    * non-matching entries die as parse tokens, counted in the
+    * `docSkippedEntries` custom metric. A shredded read that also drops
+    * `doc_json` from its projection never stringifies ANY body. Types:
+    * `string` and `bigint`; a missing field, JSON null, or type
+    * mismatch reads as SQL NULL (never a coercion guess). Shredding is
+    * a READ view — the write path's (key, doc_json) contract is
+    * unchanged.
+    */
+  def parseShred(spec: Option[String])
+      : Seq[(String, org.apache.spark.sql.types.DataType)] =
+    spec.filter(_.trim.nonEmpty).map(_.split(",").toSeq.map { p =>
+      p.split(":") match {
+        case Array(f, "string") => (f.trim, StringType: org.apache.spark.sql.types.DataType)
+        case Array(f, "bigint") =>
+          (f.trim, org.apache.spark.sql.types.LongType: org.apache.spark.sql.types.DataType)
+        case other => throw new IllegalArgumentException(
+          s"PotV2Source shred: expected 'field:string|bigint', got " +
+            s"'${p.trim}'")
+      }
+    }).getOrElse(Nil)
+
+  def schemaWith(
+      shred: Seq[(String, org.apache.spark.sql.types.DataType)])
+      : StructType =
+    StructType(Schema.fields.toSeq ++
+      shred.map { case (f, t) => StructField(f, t, nullable = true) })
 
   /** The `_pot_gen` metadata column (u32): see
     * [[PotV2Table.metadataColumns]]. Shared by the single-pot and
@@ -403,7 +440,8 @@ private[graft] object PotChain {
   * commit protocol, distributed merge) or split across more pot objects. */
 class PotTooLarge(message: String) extends RuntimeException(message)
 
-private[sources] class PotV2Table(path: String)
+private[sources] class PotV2Table(path: String,
+    shred: Seq[(String, org.apache.spark.sql.types.DataType)] = Nil)
     extends Table with SupportsRead with SupportsWrite
     with SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -411,7 +449,7 @@ private[sources] class PotV2Table(path: String)
   require(path != null && path.nonEmpty,
     "PotV2Source: .option(\"path\", <glob of data.json objects>) is required")
   override def name(): String = s"pot-json:$path"
-  override def schema(): StructType = PotV2Source.Schema
+  override def schema(): StructType = PotV2Source.schemaWith(shred)
 
   /** u32 — generation provenance as a DSv2 METADATA COLUMN (Delta's
     * `_commit_version`, Iceberg's `_file` surface): `SELECT key,
@@ -463,7 +501,7 @@ private[sources] class PotV2Table(path: String)
             "one; combining them would silently ignore the pin")
         new PotChangesScanBuilder(path, from)
       case (None, None) => new PotV2ScanBuilder(path,
-        Option(options.get("generation")).map(_.toLong))
+        Option(options.get("generation")).map(_.toLong), shred)
     }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new PotV2WriteBuilder(path, info)
@@ -574,13 +612,16 @@ private[sources] class PotV2Table(path: String)
 }
 
 private[graft] class PotV2ScanBuilder(
-    path: String, generation: Option[Long] = None)
+    path: String, generation: Option[Long] = None,
+    shred: Seq[(String, org.apache.spark.sql.types.DataType)] = Nil)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN
     with org.apache.spark.sql.connector.read.SupportsPushDownTableSample {
   import org.apache.spark.sql.sources._
-  private var required: StructType = PotV2Source.Schema
+  private val shredTypes: Map[String, org.apache.spark.sql.types.DataType] =
+    shred.toMap
+  private var required: StructType = PotV2Source.schemaWith(shred)
   private[sources] var pushed: Array[Filter] = Array.empty
   private var aggGroupedByFile: Option[Boolean] = None
   private var pushedLimit: Option[Int] = None
@@ -746,13 +787,38 @@ private[graft] class PotV2ScanBuilder(
     * is stringified (the dominant per-entry cost). Both are exact, so no
     * residual re-evaluation is handed back to Spark.
     */
-  private def pushable(f: Filter): Boolean = f match {
-    case EqualTo(a, _: String) => a == "pot_file" || a == "key"
-    case In(a, vs) => (a == "pot_file" || a == "key") &&
-      vs.forall(_.isInstanceOf[String])
-    case StringStartsWith(a, _) => a == "pot_file" || a == "key"
-    case IsNotNull(a) => a == "pot_file" || a == "key"
+  /** Doc-field pushability (u45): exact shapes on SHREDDED columns —
+    * equality/IN on both types, range comparisons on bigint fields,
+    * IsNotNull (field present, non-null, right-typed). All evaluated
+    * entry-by-entry during the parse BEFORE stringification; exact, so
+    * no residual is handed back. */
+  private def shredPushable(f: Filter): Boolean = f match {
+    case EqualTo(a, v) => shredTypes.get(a).exists(PotV2Filters.litOk(_, v))
+    case In(a, vs) => shredTypes.get(a)
+      .exists(t => vs.nonEmpty && vs.forall(PotV2Filters.litOk(t, _)))
+    case IsNotNull(a) => shredTypes.contains(a)
+    case GreaterThan(a, v) => shredTypes.get(a)
+      .contains(org.apache.spark.sql.types.LongType) &&
+      PotV2Filters.longLit(v).isDefined
+    case GreaterThanOrEqual(a, v) => shredTypes.get(a)
+      .contains(org.apache.spark.sql.types.LongType) &&
+      PotV2Filters.longLit(v).isDefined
+    case LessThan(a, v) => shredTypes.get(a)
+      .contains(org.apache.spark.sql.types.LongType) &&
+      PotV2Filters.longLit(v).isDefined
+    case LessThanOrEqual(a, v) => shredTypes.get(a)
+      .contains(org.apache.spark.sql.types.LongType) &&
+      PotV2Filters.longLit(v).isDefined
     case _ => false
+  }
+
+  private def pushable(f: Filter): Boolean = f match {
+    case EqualTo(a, _: String) if a == "pot_file" || a == "key" => true
+    case In(a, vs) if (a == "pot_file" || a == "key") &&
+      vs.forall(_.isInstanceOf[String]) => true
+    case StringStartsWith(a, _) if a == "pot_file" || a == "key" => true
+    case IsNotNull(a) if a == "pot_file" || a == "key" => true
+    case other => shredPushable(other)
   }
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (ok, rest) = filters.partition(pushable)
@@ -771,7 +837,17 @@ private[graft] class PotV2ScanBuilder(
 
   override def build(): Scan =
     new PotV2Scan(path, required, pushed, aggGroupedByFile, generation,
-      pushedLimit, pushedTopN, capResolver, pushedSample)
+      pushedLimit, pushedTopN, capResolver, pushedSample, shred)
+}
+
+/** `docSkippedEntries` (u45): entries whose documents were dropped by a
+  * pushed doc-field predicate BEFORE stringification — the proof the
+  * filter ran inside the parse, not above the scan. Summed across tasks. */
+private[sources] class DocSkippedMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "docSkippedEntries"
+  override def description(): String =
+    "entries dropped by pushed doc-field predicates pre-stringify"
 }
 
 private[graft] object PotV2Filters {
@@ -788,6 +864,77 @@ private[graft] object PotV2Filters {
     var i = 0
     while (i < 6) { acc = (acc << 8) | (md(i) & 0xffL); i += 1 }
     acc % 10000
+  }
+
+  /** Literal admissibility for a shredded column of type `t` (u45):
+    * Spark hands filter literals typed by the column, so a string field
+    * compares against String and a bigint field against Int/Long. */
+  def litOk(t: org.apache.spark.sql.types.DataType, v: Any): Boolean =
+    t match {
+      case org.apache.spark.sql.types.StringType => v.isInstanceOf[String]
+      case org.apache.spark.sql.types.LongType => longLit(v).isDefined
+      case _ => false
+    }
+  def longLit(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int => Some(i.toLong)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    case _ => None
+  }
+
+  /** Evaluate the pushed DOC-FIELD predicates (u45) against one entry's
+    * extracted shred values (`get` returns String | java.lang.Long |
+    * null). SQL three-valued logic collapsed at the scan: a NULL field
+    * fails every comparison and IsNotNull — exactly what the post-scan
+    * Filter would do, which is what makes the pushdown residual-free. */
+  def docAccepts(filters: Array[Filter],
+      shredCols: Set[String], get: String => Any): Boolean = {
+    def lng(a: String): Option[Long] = get(a) match {
+      case l: java.lang.Long => Some(l.longValue)
+      case _ => None
+    }
+    filters.forall {
+      case EqualTo(a, v) if shredCols(a) => (get(a), v) match {
+        case (s: String, vs: String) => s == vs
+        case (l: java.lang.Long, _) => longLit(v).contains(l.longValue)
+        case _ => false
+      }
+      case In(a, vs) if shredCols(a) => get(a) match {
+        case s: String => vs.exists(_ == s)
+        case l: java.lang.Long =>
+          vs.exists(longLit(_).contains(l.longValue))
+        case _ => false
+      }
+      case IsNotNull(a) if shredCols(a) => get(a) != null
+      case GreaterThan(a, v) if shredCols(a) =>
+        lng(a).exists(x => longLit(v).exists(x > _))
+      case GreaterThanOrEqual(a, v) if shredCols(a) =>
+        lng(a).exists(x => longLit(v).exists(x >= _))
+      case LessThan(a, v) if shredCols(a) =>
+        lng(a).exists(x => longLit(v).exists(x < _))
+      case LessThanOrEqual(a, v) if shredCols(a) =>
+        lng(a).exists(x => longLit(v).exists(x <= _))
+      case _ => true
+    }
+  }
+
+  /** Extract one shredded field from a parsed document (u45): missing
+    * field, JSON null, or a type mismatch read as SQL NULL — never a
+    * coercion guess (a float is NOT a bigint; an object is NOT a
+    * string). Returns String | java.lang.Long | null. */
+  def shredValue(node: com.fasterxml.jackson.databind.JsonNode,
+      field: String, t: org.apache.spark.sql.types.DataType): Any = {
+    val v = node.get(field)
+    if (v == null || v.isNull) null
+    else t match {
+      case org.apache.spark.sql.types.StringType =>
+        if (v.isTextual) v.asText else null
+      case org.apache.spark.sql.types.LongType =>
+        if (v.isIntegralNumber && v.canConvertToLong)
+          java.lang.Long.valueOf(v.asLong) else null
+      case _ => null
+    }
   }
 
   /** Evaluate the pushed predicates that address `column` against `value`
@@ -824,9 +971,14 @@ private[graft] class PotV2Scan(
     pushedLimit: Option[Int] = None,
     pushedTopN: Option[(Boolean, Int)] = None,
     capResolver: Option[() => Map[String, Long]] = None,
-    pushedSample: Option[Long] = None)
+    pushedSample: Option[Long] = None,
+    shred: Seq[(String, org.apache.spark.sql.types.DataType)] = Nil)
     extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics {
+
+  override def supportedCustomMetrics()
+      : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
+    Array(new DocSkippedMetric)
 
   /** RUNTIME file pruning — the DSv2 dynamic-partition-pruning surface:
     * when a join's other side resolves at runtime to a set of pot_file
@@ -975,7 +1127,7 @@ private[graft] class PotV2Scan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PotV2ReaderFactory(required.fieldNames, pushed, aggGroupedByFile,
-      pushedLimit, pushedTopN, pushedSample)
+      pushedLimit, pushedTopN, pushedSample, shred)
 
   /** Statistics reporting (r15) — the missing piece for DATA-DRIVEN join
     * planning over pot relations: without it Spark assumes
@@ -1104,13 +1256,23 @@ private[sources] case class PotStatePartition(
   * predicate pruned every file: its reader emits the single 0 partial. */
 private[sources] case object PotNoFilePartition extends InputPartition
 
+/** One admitted entry, shred values extracted pre-stringify; `doc` is
+  * null when the projection dropped doc_json (no body ever rendered). */
+private[sources] final case class PotEntry(
+    key: String, doc: String, gen: Long, sv: Array[Any])
+
+private[sources] object PotV2ReaderFactory {
+  val NoSvals: Array[Any] = Array.empty[Any]
+}
+
 private[sources] class PotV2ReaderFactory(
     columns: Array[String],
     pushed: Array[org.apache.spark.sql.sources.Filter],
     aggGroupedByFile: Option[Boolean] = None,
     pushedLimit: Option[Int] = None,
     pushedTopN: Option[(Boolean, Int)] = None,
-    pushedSample: Option[Long] = None)
+    pushedSample: Option[Long] = None,
+    shred: Seq[(String, org.apache.spark.sql.types.DataType)] = Nil)
     extends PartitionReaderFactory {
   /** Pushed-filter + pushed-sample admission for one key (u41: the
     * sample is a per-myriad threshold on the md5 key fold — consistent
@@ -1118,6 +1280,22 @@ private[sources] class PotV2ReaderFactory(
   private def keyKeep(key: String): Boolean =
     PotV2Filters.accepts(pushed, "key", key) &&
       pushedSample.forall(t => PotV2Filters.sampleFold(key) < t)
+
+  // u45 doc-field pushdown: predicates over shredded columns, evaluated
+  // against per-entry extracted values BEFORE any stringification
+  private val shredCols: Set[String] = shred.map(_._1).toSet
+  private val shredIdx: Map[String, Int] =
+    shred.map(_._1).zipWithIndex.toMap
+  private val docFilters = pushed.filter(_.references.exists(shredCols))
+  private val needDoc = columns.contains("doc_json")
+  private def svalsOf(node: com.fasterxml.jackson.databind.JsonNode)
+      : Array[Any] =
+    if (shred.isEmpty) PotV2ReaderFactory.NoSvals
+    else shred.iterator.map { case (f, t) =>
+      PotV2Filters.shredValue(node, f, t) }.toArray
+  private def docKeep(sv: Array[Any]): Boolean =
+    docFilters.isEmpty ||
+      PotV2Filters.docAccepts(docFilters, shredCols, n => sv(shredIdx(n)))
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     partition match {
@@ -1143,16 +1321,42 @@ private[sources] class PotV2ReaderFactory(
       case PotFilePartition(_, g) => g
       case _ => -1L
     }
+    // per-reader doc-skip count, surfaced as the docSkippedEntries task
+    // metric (u45): entries dropped by pushed doc-field predicates before
+    // their bodies were stringified
+    var docSkipped = 0L
+    def taskMetrics()
+        : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
+      Array(new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+        override def name(): String = "docSkippedEntries"
+        override def value(): Long = docSkipped
+      })
+    // doc-field admission over a parsed node (u45): extract, evaluate,
+    // count the kill — the node is dropped before any toString
+    def nodeAdmit(node: com.fasterxml.jackson.databind.JsonNode)
+        : Option[Array[Any]] = {
+      val sv = svalsOf(node)
+      if (docKeep(sv)) Some(sv) else { docSkipped += 1; None }
+    }
     // state partitions fold their chain executor-side; key predicates
     // still prune the emitted entries (the fold itself is whole-state by
-    // definition — that is what a delta-headed chain costs to resolve)
-    def foldedEntries(sp: PotStatePartition)
-        : Iterator[(String, String, Long)] = {
+    // definition — that is what a delta-headed chain costs to resolve).
+    // The fold materializes doc STRINGS, so doc-field predicates re-parse
+    // per entry here — correct, and honest about what a delta-headed
+    // chain costs; the snapshot paths below never pay it.
+    def foldedEntries(sp: PotStatePartition): Iterator[PotEntry] = {
       val fs = new Path(sp.dir).getFileSystem(new Configuration())
+      val mapper = new ObjectMapper()
       PotChain.stateAtWithGen(fs, new Path(sp.dir, ".commits"), sp.gen)
         .entrySet().asScala.iterator
         .filter(e => keyKeep(e.getKey))
-        .map(e => (e.getKey, e.getValue._1, e.getValue._2))
+        .flatMap { e =>
+          if (shred.isEmpty)
+            Some(PotEntry(e.getKey, e.getValue._1, e.getValue._2,
+              PotV2ReaderFactory.NoSvals))
+          else nodeAdmit(mapper.readTree(e.getValue._1)).map(sv =>
+            PotEntry(e.getKey, e.getValue._1, e.getValue._2, sv))
+        }
     }
     aggGroupedByFile match {
       case Some(grouped) => return new PartitionReader[InternalRow] {
@@ -1161,7 +1365,9 @@ private[sources] class PotV2ReaderFactory(
         // A GROUPED count emits NO row when the pushed key predicates (or
         // an empty map) leave zero entries — a (pot_file, 0) group here
         // would be a phantom a non-pushed aggregate never produces; the
-        // global partial keeps its 0 row (partials are summed).
+        // global partial keeps its 0 row (partials are summed). Pushed
+        // doc-field predicates count under the COUNT too (u45) — a count
+        // of a filtered read counts survivors.
         private var emitted = false
         private lazy val count: Long = partition match {
           case sp: PotStatePartition => foldedEntries(sp).size.toLong
@@ -1172,8 +1378,9 @@ private[sources] class PotV2ReaderFactory(
             val root = try new ObjectMapper().readTree(in) finally in.close()
             require(root != null && root.isObject,
               s"pot object $file: top level must be a JSON map")
-            root.fieldNames().asScala
-              .count(keyKeep(_))
+            root.fields().asScala
+              .count(e => keyKeep(e.getKey) &&
+                (shred.isEmpty || nodeAdmit(e.getValue).isDefined))
               .toLong
         }
         override def next(): Boolean =
@@ -1182,6 +1389,7 @@ private[sources] class PotV2ReaderFactory(
           if (grouped)
             InternalRow(UTF8String.fromString(file), count)
           else InternalRow(count)
+        override def currentMetricsValues() = taskMetrics()
         override def close(): Unit = ()
       }
       case None => // fall through to the row reader below
@@ -1228,15 +1436,23 @@ private[sources] class PotV2ReaderFactory(
           }
         }
       }
-      private def sourceEntries(): Iterator[(String, String, Long)] =
+      // admit a (key, node): key predicates, then doc-field predicates on
+      // extracted shred values (u45) — the body stringifies ONLY for
+      // survivors, and not at all when the projection dropped doc_json
+      def admit(key: String,
+          node: com.fasterxml.jackson.databind.JsonNode)
+          : Option[PotEntry] =
+        if (!keyKeep(key)) None
+        else nodeAdmit(node).map(sv => PotEntry(key,
+          if (needDoc) node.toString else null, fileGen, sv))
+      private def sourceEntries(): Iterator[PotEntry] =
         partition match {
           case sp: PotStatePartition => foldedEntries(sp)
           case _ if pushedLimit.isDefined && pushedTopN.isEmpty =>
             // limit path: stream + early stop (the take() below closes
             // the parse after k survivors — O(k) parse, not O(object))
             streamedFields(new Path(file))
-              .filter(e => keyKeep(e._1))
-              .map(e => (e._1, e._2.toString, fileGen))
+              .flatMap(e => admit(e._1, e._2))
           case _ =>
             val p = new Path(file)
             val fs = p.getFileSystem(new Configuration())
@@ -1247,10 +1463,9 @@ private[sources] class PotV2ReaderFactory(
             // key predicates filter BEFORE toString — a point read of one
             // key in a 100k-entry pot never stringifies the other bodies
             root.fields().asScala
-              .filter(e => keyKeep(e.getKey))
-              .map(e => (e.getKey, e.getValue.toString, fileGen))
+              .flatMap(e => admit(e.getKey, e.getValue))
         }
-      private val entries: Iterator[(String, String, Long)] = pushedTopN match {
+      private val entries: Iterator[PotEntry] = pushedTopN match {
         case Some((asc, k)) =>
           // top-k by key, k-bounded selection: only winners stringify.
           // (The snapshot still parses fully — every key must be seen —
@@ -1266,45 +1481,59 @@ private[sources] class PotV2ReaderFactory(
               x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
               y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           val ord = if (asc) utf8 else utf8.reversed()
-          val sel = new java.util.TreeMap[String, (String, Long)](ord)
+          val sel = new java.util.TreeMap[String, (String, Long, Array[Any])](ord)
           partition match {
             case sp: PotStatePartition =>
-              foldedEntries(sp).foreach { case (key, doc, g) =>
-                sel.put(key, (doc, g))
+              foldedEntries(sp).foreach { e =>
+                sel.put(e.key, (e.doc, e.gen, e.sv))
                 if (sel.size > k) sel.pollLastEntry()
               }
             case _ =>
               streamedFields(new Path(file))
                 .filter(e => keyKeep(e._1))
                 .foreach { case (key, node) =>
-                  // admit before stringify; evict the current worst
-                  if (sel.size < k) sel.put(key, (node.toString, fileGen))
+                  // admit before stringify (key selection AND doc-field
+                  // predicates); evict the current worst
+                  def winner(): Unit = nodeAdmit(node).foreach { sv =>
+                    sel.put(key,
+                      (if (needDoc) node.toString else null, fileGen, sv))
+                  }
+                  if (sel.size < k) winner()
                   else if (ord.compare(key, sel.lastKey()) < 0) {
-                    sel.pollLastEntry(); sel.put(key, (node.toString, fileGen))
+                    val before = sel.size
+                    winner()
+                    if (sel.size > before) sel.pollLastEntry()
                   }
                 }
           }
           sel.entrySet().asScala.iterator
-            .map(e => (e.getKey, e.getValue._1, e.getValue._2))
+            .map(e => PotEntry(e.getKey, e.getValue._1, e.getValue._2,
+              e.getValue._3))
         case None =>
           pushedLimit.fold(sourceEntries())(k => sourceEntries().take(k))
       }
       private var row: InternalRow = _
       override def next(): Boolean = {
         if (!entries.hasNext) return false
-        val (k, doc, g) = entries.next()
+        val e = entries.next()
         row = InternalRow.fromSeq(columns.toSeq.map {
           case "pot_file" => UTF8String.fromString(file)
-          case "key"      => UTF8String.fromString(k)
-          case "doc_json" => UTF8String.fromString(doc)
+          case "key"      => UTF8String.fromString(e.key)
+          case "doc_json" => UTF8String.fromString(e.doc)
           // u32 metadata column: -1 = legacy object, provenance unknown
-          case PotV2Source.PotGenCol => if (g >= 0) g else null
+          case PotV2Source.PotGenCol => if (e.gen >= 0) e.gen else null
+          case shredded if shredIdx.contains(shredded) =>
+            e.sv(shredIdx(shredded)) match {
+              case s: String => UTF8String.fromString(s)
+              case other => other // java.lang.Long or null
+            }
           case other => throw new IllegalArgumentException(
             s"PotV2Source: unknown column $other")
         })
         true
       }
       override def get(): InternalRow = row
+      override def currentMetricsValues() = taskMetrics()
       override def close(): Unit =
         if (openParser != null && !openParser.isClosed) openParser.close()
     }

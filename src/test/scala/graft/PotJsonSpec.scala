@@ -2110,6 +2110,69 @@ class PotJsonSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.sample.pushConsistent")
   }
 
+  test("PotV2 doc-field pushdown (u45, r17): shredded columns carry " +
+    "EqualTo/range predicates into the parse pre-stringify — pushed plan " +
+    "residual-free, skip metric ticks, NULL for missing/mistyped fields") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("potv2shred").toString
+    val pot = s"$dir/t/data.json"
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    // 40 typed docs + 3 pathological ones: missing field, JSON null,
+    // type mismatch (float is NOT a bigint; object is NOT a string)
+    val docs = (1 to 40).map(i =>
+      (s"k$i%03d".format(i), s"""{"v": $i, "name": "n$i"}""")) ++ Seq(
+      ("kmiss", """{"name": "x"}"""),
+      ("knull", """{"v": null, "name": "y"}"""),
+      ("ktype", """{"v": 1.5, "name": {"o": 1}}"""))
+    docs.map { case (k, d) => ("", k, d) }
+      .toDF("pot_file", "key", "doc_json")
+      .write.format(fmt).option("path", pot).mode("overwrite").save()
+    def shredded() = spark.read.format(fmt).option("path", pot)
+      .option("shred", "v:bigint,name:string").load()
+    // pushed, residual-free: the plan has NO Filter node above the scan
+    val q = shredded().filter($"v" > 10 && $"v" <= 20).select($"key", $"v")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThan(v,10)") &&
+      plan.contains("LessThanOrEqual(v,20)"),
+      s"doc-field predicates not pushed:\n$plan")
+    assert(!plan.contains("Filter ("),
+      s"residual Filter survived an exact pushdown:\n$plan")
+    // collect q's OWN QueryExecution (an .as/.orderBy would build a new
+    // one whose scan metrics never tick)
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got === (11 to 20).map(i => (s"k$i%03d".format(i), i.toLong)).toSet)
+    // the skip metric proves losers died pre-stringify: 43 entries,
+    // 10 survivors -> 33 skipped (the 3 pathological docs read v as NULL
+    // and fail the comparison, exactly like the post-scan filter would)
+    val scanNode = q.queryExecution.executedPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.getOrElse(fail(s"no BatchScanExec:\n$plan"))
+    assert(scanNode.metrics("docSkippedEntries").value === 33,
+      s"expected 33 pre-stringify kills, got " +
+        s"${scanNode.metrics("docSkippedEntries").value}")
+    // NULL semantics surface as columns too
+    val nulls = shredded().select($"key", $"v", $"name")
+      .filter($"key".isin("kmiss", "knull", "ktype"))
+      .collect().map(r => (r.getString(0), r.isNullAt(1), r.isNullAt(2)))
+      .toSet
+    assert(nulls === Set(("kmiss", true, false), ("knull", true, false),
+      ("ktype", true, true)))
+    // string equality + IN push; count pushdown composes (count of the
+    // filtered read counts survivors)
+    val inQ = shredded().filter($"name".isin("n3", "n7", "nope"))
+    assert(inQ.queryExecution.executedPlan.toString.contains("In(name"),
+      inQ.queryExecution.executedPlan.toString)
+    assert(inQ.count() === 2)
+    // equality with the un-shredded post-scan form
+    val plainF = spark.read.format(fmt).option("path", pot).load()
+      .filter(org.apache.spark.sql.functions.expr(
+        "try_cast(get_json_object(doc_json, '$.v') AS BIGINT) > 10 AND " +
+          "try_cast(get_json_object(doc_json, '$.v') AS BIGINT) <= 20"))
+      .select($"key").as[String].collect().toSet
+    assert(got.map(_._1) === plainF)
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
   test("BucketedPotV2 inherits TABLESAMPLE pushdown (u41): the sample " +
     "reaches every bucket's scan and admits the same global key set") {
     import spark.implicits._
