@@ -403,23 +403,30 @@ object Extensibility {
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         import org.apache.spark.sql.catalyst.expressions.Literal
         import org.apache.spark.unsafe.types.UTF8String
-        // graft_pot('<path>'[, <generation>]) — the optional INTEGER
-        // literal pins the read to a committed write-chain generation
-        // (u16's time travel at the SQL level)
-        val (path, gen) = exprs match {
-          case Seq(Literal(p: UTF8String, _)) => (p.toString, None)
+        // graft_pot('<path>'[, <generation> | '<timestamp>']) — an
+        // INTEGER literal pins the read to a committed write-chain
+        // generation (u16's time travel at the SQL level); a STRING
+        // literal is TIMESTAMP AS OF (u46): epoch millis or
+        // 'yyyy-MM-dd HH:mm:ss[.f]', resolved to the youngest commit at
+        // or before that instant via marker mtimes
+        val (path, gen, asOf) = exprs match {
+          case Seq(Literal(p: UTF8String, _)) => (p.toString, None, None)
           case Seq(Literal(p: UTF8String, _), Literal(g: Int, _)) =>
-            (p.toString, Some(g.toLong))
+            (p.toString, Some(g.toLong), None)
           case Seq(Literal(p: UTF8String, _), Literal(g: Long, _)) =>
-            (p.toString, Some(g))
+            (p.toString, Some(g), None)
+          case Seq(Literal(p: UTF8String, _), Literal(t: UTF8String, _)) =>
+            (p.toString, None, Some(t.toString))
           case other => throw new IllegalArgumentException(
             "graft_pot: expected a STRING literal path and an optional " +
-              s"INTEGER literal generation, got $other")
+              "INTEGER literal generation or STRING literal timestamp, " +
+              s"got $other")
         }
         val r = org.apache.spark.sql.SparkSession.active
           .read.format(classOf[graft.sources.PotV2Source].getName)
           .option("path", path)
         gen.foreach(g => r.option("generation", g.toString))
+        asOf.foreach(t => r.option("timestampAsOf", t))
         r.load().queryExecution.analyzed
       })
 
@@ -506,6 +513,67 @@ object Extensibility {
       |UNION ALL
       |SELECT 'v1' AS state, n, CAST(0 AS BIGINT) AS n_upd FROM hd
       |ORDER BY state""".stripMargin
+
+  /** u46: TIMESTAMP AS OF (r17) — wall-clock time travel, the lakehouse
+    * read every Delta/Iceberg user expects next to VERSION AS OF
+    * (u16/u17): `.option("timestampAsOf", t)` / `graft_pot('<path>',
+    * '<t>')` resolves the instant to the youngest committed generation
+    * whose MARKER MTIME is at or before it
+    * ([[graft.sources.PotV2Source.resolveTimestampAsOf]]) — markers are
+    * created exactly once by the winning CAS and never rewritten, so
+    * their mtimes are the commit clock the chain already carries. A
+    * timestamp BETWEEN two commits reads the EARLIER one (the state at
+    * that instant; boundary spec-pinned), one predating the first
+    * commit fails NAMED at planning. The query commits two LWW
+    * generations (strictly-ordered mtimes enforced), then reads the
+    * midpoint instant (= v1) and the second commit's own instant
+    * (= head) through the TVF string form; oracle = u17's (the states
+    * are identical — only the ADDRESSING differs, which is the point).
+    */
+  def timestampAsOfRead(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    registerPotTvf(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft-u46").toString
+    val pot = s"$dir/t/data.json"
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    def docs(df: org.apache.spark.sql.DataFrame) = df.select(
+      lit("").as("pot_file"),
+      concat(lit("n"), $"n_nationkey".cast("string")).as("key"),
+      to_json(struct($"n_name".as("name"), $"upd")).as("doc_json"))
+    val nat = Tables.nation(s, d)
+    docs(nat.filter($"n_regionkey" <= 1).withColumn("upd", lit(0)))
+      .write.format(fmt).option("path", pot).mode("overwrite").save()
+    val commits = new org.apache.hadoop.fs.Path(s"$dir/t/.commits")
+    val fs = commits.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    def mtime(g: Int): Long = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(commits, g.toString)).getModificationTime
+    val t1 = mtime(1)
+    // the second commit must carry a strictly later mtime for the
+    // midpoint to exist (local FS mtimes are >= ms-granular)
+    while (System.currentTimeMillis() <= t1 + 2) Thread.sleep(2)
+    docs(nat.filter($"n_regionkey" === 0).withColumn("upd", lit(1)))
+      .write.format(fmt).option("path", pot).mode("append").save()
+    val t2 = mtime(2)
+    require(t2 > t1, s"u46: commit mtimes not strictly ordered ($t1, $t2)")
+    val mid = t1 + (t2 - t1) / 2
+    val result = s.sql(
+      s"""SELECT 'v1' AS state, COUNT(*) AS n,
+         |  CAST(SUM(CAST(get_json_object(doc_json, '$$.upd') AS BIGINT))
+         |    AS BIGINT) AS n_upd
+         |FROM graft_pot('$pot', '$mid')
+         |UNION ALL
+         |SELECT 'head' AS state, COUNT(*) AS n,
+         |  CAST(SUM(CAST(get_json_object(doc_json, '$$.upd') AS BIGINT))
+         |    AS BIGINT) AS n_upd
+         |FROM graft_pot('$pot', '$t2')
+         |ORDER BY state""".stripMargin)
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    result
+  }
+
+  /** Oracle: u17's verbatim — same two states, different addressing. */
+  val timestampAsOfReadSql: String = sqlTvfTimeTravelSql
 
   /** u14: the DSv2 WRITE path — `INSERT`/`OVERWRITE` into a pot object
     * through [[graft.sources.PotV2Source]]'s `SupportsWrite` (the POST
@@ -2395,6 +2463,7 @@ object Extensibility {
     "u43_bucketed_sample" -> (sqlBucketedSample _),
     "u44_rank_topk_rewrite" -> (rankTopKRewrite _),
     "u45_doc_field_pushdown" -> (docFieldPushdown _),
+    "u46_timestamp_as_of" -> (timestampAsOfRead _),
     "u30_sql_function_catalog" -> (sqlFunctionCatalog _),
     "u29_sql_zorder_read" -> (sqlZorderRead _),
     "u28_sql_topn_pushdown" -> (sqlTopNPushdown _),
@@ -2442,6 +2511,7 @@ object Extensibility {
     "u43_bucketed_sample" -> sqlBucketedSampleSql,
     "u44_rank_topk_rewrite" -> rankTopKRewriteSql,
     "u45_doc_field_pushdown" -> docFieldPushdownSql,
+    "u46_timestamp_as_of" -> timestampAsOfReadSql,
     "u30_sql_function_catalog" -> sqlFunctionCatalogSql,
     "u29_sql_zorder_read" -> sqlZorderReadSql,
     "u28_sql_topn_pushdown" -> sqlTopNPushdownSql,

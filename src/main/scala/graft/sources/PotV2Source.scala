@@ -118,6 +118,42 @@ object PotV2Source {
     * DELETE) reject globs through this one definition. */
   def isGlob(path: String): Boolean = path.exists(c => "*?[{".contains(c))
 
+  /** TIMESTAMP AS OF (u46, r17): resolve a wall-clock instant to the
+    * write chain's generation — the youngest committed generation whose
+    * marker mtime is <= the instant (a timestamp BETWEEN two commits
+    * reads the EARLIER one: that was the table's state at that moment —
+    * Delta/Iceberg's rule, spec-pinned). Marker mtimes are the commit
+    * clock: a marker is created exactly once by the winning CAS and
+    * never rewritten (hard-link publish), so its mtime IS the commit
+    * instant. Accepts epoch millis (all digits) or
+    * `yyyy-MM-dd HH:mm:ss[.f]` via java.sql.Timestamp (session-local
+    * wall clock, same as the FS mtimes it resolves against). An instant
+    * predating the first commit fails NAMED at planning — never a
+    * silent empty read.
+    */
+  def resolveTimestampAsOf(path: String, ts: String): Long = {
+    require(!isGlob(path),
+      s"PotV2Source: timestampAsOf reads need ONE pot object, not a glob: $path")
+    val p = new Path(path)
+    val fs = p.getFileSystem(new Configuration())
+    val commits = new Path(p.getParent, ".commits")
+    val millis =
+      if (ts.nonEmpty && ts.forall(_.isDigit)) ts.toLong
+      else java.sql.Timestamp.valueOf(ts).getTime
+    val gens = graft.kv.CommitMarker.committedGenerations(fs, commits)
+    require(gens.nonEmpty,
+      s"PotV2Source: timestampAsOf over $path: no committed generations " +
+        s"under $commits")
+    val fits = gens.filter(g =>
+      fs.getFileStatus(new Path(commits, g.toString))
+        .getModificationTime <= millis)
+    require(fits.nonEmpty,
+      s"PotV2Source: timestampAsOf '$ts' predates the earliest commit of " +
+        s"$path (first marker mtime ${fs.getFileStatus(new Path(commits,
+          gens.min.toString)).getModificationTime}) — nothing existed yet")
+    fits.max
+  }
+
   /** Default ceiling on a single pot object's serialized size through the
     * WRITE path (1 GiB). The commit merges the whole object in driver
     * memory — correct parity with the reference's whole-object RMW, but
@@ -500,8 +536,15 @@ private[sources] class PotV2Table(path: String,
             "exclusive — a changes read spans generations, a pin names " +
             "one; combining them would silently ignore the pin")
         new PotChangesScanBuilder(path, from)
-      case (None, None) => new PotV2ScanBuilder(path,
-        Option(options.get("generation")).map(_.toLong), shred)
+      case (None, None) =>
+        val gen = Option(options.get("generation")).map(_.toLong)
+        val asOf = Option(options.get("timestampAsOf"))
+        require(gen.isEmpty || asOf.isEmpty,
+          "PotV2Source: generation and timestampAsOf are mutually " +
+            "exclusive — both pin a read; pick one addressing scheme")
+        new PotV2ScanBuilder(path,
+          asOf.map(PotV2Source.resolveTimestampAsOf(path, _)).orElse(gen),
+          shred)
     }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new PotV2WriteBuilder(path, info)

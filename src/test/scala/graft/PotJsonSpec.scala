@@ -2110,6 +2110,51 @@ class PotJsonSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.sample.pushConsistent")
   }
 
+  test("PotV2 TIMESTAMP AS OF (u46, r17): an instant between two commits " +
+    "reads the EARLIER generation; predating the first commit raises " +
+    "NAMED; generation+timestampAsOf are mutually exclusive") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("potv2asof").toString
+    val pot = s"$dir/t/data.json"
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    def write(rows: Seq[(String, String)], mode: String) =
+      rows.map { case (k, d) => ("", k, d) }
+        .toDF("pot_file", "key", "doc_json")
+        .write.format(fmt).option("path", pot).mode(mode).save()
+    write(Seq(("a", """{"v": 1}"""), ("b", """{"v": 1}""")), "overwrite")
+    val commits = new org.apache.hadoop.fs.Path(s"$dir/t/.commits")
+    val fs = commits.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    def mtime(g: Int): Long = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(commits, g.toString)).getModificationTime
+    val t1 = mtime(1)
+    while (System.currentTimeMillis() <= t1 + 2) Thread.sleep(2)
+    write(Seq(("b", """{"v": 2}"""), ("c", """{"v": 2}""")), "append")
+    val t2 = mtime(2)
+    assert(t2 > t1)
+    def keysAt(ts: String): Set[String] = spark.read.format(fmt)
+      .option("path", pot).option("timestampAsOf", ts).load()
+      .select($"key").as[String].collect().toSet
+    // boundary: strictly between commits = the EARLIER generation; the
+    // second commit's own instant = the second generation
+    assert(keysAt((t1 + (t2 - t1) / 2).toString) === Set("a", "b"))
+    assert(keysAt(t1.toString) === Set("a", "b"))
+    assert(keysAt(t2.toString) === Set("a", "b", "c"))
+    // the human-readable form parses too (far future = head)
+    assert(keysAt("2099-01-01 00:00:00") === Set("a", "b", "c"))
+    // predating the first commit: NAMED planning-time failure
+    val early = intercept[Exception] { keysAt((t1 - 60000).toString) }
+    assert(early.getMessage.contains("predates the earliest commit"),
+      early.getMessage)
+    // addressing schemes are mutually exclusive
+    val both = intercept[Exception] {
+      spark.read.format(fmt).option("path", pot)
+        .option("generation", "1").option("timestampAsOf", t2.toString)
+        .load().collect()
+    }
+    assert(both.getMessage.contains("mutually exclusive"), both.getMessage)
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
   test("PotV2 doc-field pushdown (u45, r17): shredded columns carry " +
     "EqualTo/range predicates into the parse pre-stringify — pushed plan " +
     "residual-free, skip metric ticks, NULL for missing/mistyped fields") {
