@@ -141,6 +141,55 @@ object BucketedPotV2Source {
       b -> (graft.kv.CommitMarker.committedGenerations(fs, commits) :+ 0L).max
     }.toMap
   }
+
+  /** BUCKETED shallow clone (r17 — u42's clonePot composed over a whole
+    * store): clone every bucket's marker chain + head materialization,
+    * stamp the target's `_meta/buckets` with the source's modulus
+    * (stamp-once CAS; a differing pre-existing stamp is a loud
+    * mismatch), and carry NO statement log — open multi-bucket
+    * statements are rolled FORWARD first ([[recoverStatements]], the
+    * r16 auto-recovery made a clone precondition), so the cloned
+    * buckets are a statement-consistent frontier and the clone starts
+    * with clean statement history. Z-order layouts (q85) are NOT
+    * cloned: a layout is a derived acceleration artifact the clone can
+    * re-`cluster()` — copying would share layout paths the source's
+    * `vacuumLayouts` may retire (the same borrowed-artifact hazard the
+    * per-bucket ownership guard already covers for chain bodies).
+    * Per-bucket clones inherit clonePot's idempotent RESUME: a
+    * mid-clone crash (some buckets cloned, some not) re-runs to
+    * completion; a target bucket with divergent writes fails loudly.
+    * Same retention contract as clonePot: the source's retention must
+    * outlive every clone's pinned-read horizon. Returns (bucket,
+    * generation) per cloned marker.
+    */
+  def cloneBucketedPot(srcRoot: String, dstRoot: String)
+      : Seq[(Int, Long)] = {
+    val srcP = new Path(srcRoot)
+    val fs = srcP.getFileSystem(new Configuration())
+    val n = graft.kv.BucketMeta.stored(fs, srcP).getOrElse(
+      throw new IllegalArgumentException(
+        s"cloneBucketedPot: $srcRoot has no _meta/buckets stamp — not a " +
+          "bucketed store (clone single pots with clonePot)"))
+    // statement-consistent frontier: roll crashed statements forward,
+    // then refuse while any statement is still OPEN (a live writer's
+    // intent window; cloning mid-statement would freeze a prefix)
+    recoverStatements(srcRoot)
+    val open = BucketedStmtLog.openStatements(srcRoot)
+    require(open.isEmpty,
+      s"cloneBucketedPot: $srcRoot has ${open.size} open statement(s) " +
+        s"(first: ${open.head._1}) — quiesce writers or CALL " +
+        "recover_statements, then re-run")
+    graft.kv.BucketMeta.stamp(fs, new Path(dstRoot), n)
+    val stamped = graft.kv.BucketMeta.stored(fs, new Path(dstRoot))
+    require(stamped.contains(n),
+      s"cloneBucketedPot: target $dstRoot is stamped with " +
+        s"${stamped.getOrElse(-1)} buckets, source has $n — refusing to " +
+        "mix moduli")
+    existingBuckets(srcRoot, n).flatMap { b =>
+      PotV2Source.clonePot(fs, bucketPot(srcRoot, b), bucketPot(dstRoot, b))
+        .map(g => (b, g))
+    }
+  }
 }
 
 private[sources] class BucketedPotV2Table(root: String, nBuckets: Int)

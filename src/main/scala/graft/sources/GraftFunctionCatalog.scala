@@ -155,10 +155,17 @@ object RecoverStatementsProcedure extends GraftMaintenanceProcedure(
     BucketedPotV2Source.recoverStatements(arg)
 }
 
-/** `CALL graft_fns.sys.clone_pot('<src data.json>', '<dst data.json>')`
-  * — SHALLOW CLONE ([[PotV2Source.clonePot]]: marker-shared history,
-  * one head-file copy, divergent writes, vacuum ownership guard) as a
-  * SQL verb; returns one row per cloned generation.
+/** `CALL graft_fns.sys.clone_pot('<src>', '<dst>')` — SHALLOW CLONE
+  * ([[PotV2Source.clonePot]]: marker-shared history, one head-file
+  * copy, divergent writes, vacuum ownership guard, idempotent
+  * mid-crash resume) as a SQL verb. The BUCKETED form (r17) is
+  * detected from the source itself: a path carrying a
+  * `_meta/buckets` stamp clones the whole store
+  * ([[BucketedPotV2Source.cloneBucketedPot]] — every bucket's chain +
+  * head, statement-consistent, target stamped with the source's
+  * modulus); a data.json path clones one pot. Returns one row per
+  * cloned (target, generation) — the target column names the bucket
+  * pot for bucketed clones.
   */
 object ClonePotProcedure
     extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
@@ -167,8 +174,9 @@ object ClonePotProcedure
   import org.apache.spark.sql.connector.read.{LocalScan, Scan}
   override def name(): String = "clone_pot"
   override def description(): String =
-    "shallow-clone a pot: share commit history by marker, copy only " +
-      "the head materialization"
+    "shallow-clone a pot (or, given a bucketed-store root, the whole " +
+      "store): share commit history by marker, copy only the head " +
+      "materializations"
   override def bind(inputType: StructType): BoundProcedure = {
     val ok = inputType.fields.length == 2 &&
       inputType.fields.forall(_.dataType == StringType)
@@ -186,12 +194,22 @@ object ClonePotProcedure
     val dst = input.getUTF8String(1).toString
     val fs = new org.apache.hadoop.fs.Path(src)
       .getFileSystem(new org.apache.hadoop.conf.Configuration())
-    val gens = PotV2Source.clonePot(fs, src, dst)
+    val bucketed = !PotV2Source.isGlob(src) && graft.kv.BucketMeta
+      .stored(fs, new org.apache.hadoop.fs.Path(src)).isDefined
+    val cloned: Seq[(String, Long)] =
+      if (bucketed)
+        BucketedPotV2Source.cloneBucketedPot(src, dst).map { case (b, g) =>
+          (BucketedPotV2Source.bucketPot(dst, b), g)
+        }
+      else PotV2Source.clonePot(fs, src, dst).map(g => (dst, g))
     val schema = StructType(Seq(
+      StructField("target", StringType, nullable = false),
       StructField("generation", LongType, nullable = false)))
     java.util.Collections.singletonList[Scan](new LocalScan {
       override def rows(): Array[InternalRow] =
-        gens.map(g => InternalRow(g): InternalRow).toArray
+        cloned.map { case (t, g) => InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(t), g)
+          : InternalRow }.toArray
       override def readSchema(): StructType = schema
     }).iterator()
   }

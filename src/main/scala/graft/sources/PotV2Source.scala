@@ -270,8 +270,17 @@ object PotV2Source {
     * copy-on-write at generation granularity. Safety: the clone's
     * vacuum skips borrowed (foreign-path) bodies via the ownership
     * guard above, so clone retention can never delete source history;
-    * the target must be empty (cloning over live state would orphan
-    * it). Returns the cloned generation numbers.
+    * the target must be empty OR a byte-identical marker PREFIX of the
+    * source (r17, ADVICE: a mid-clone crash leaves exactly such a
+    * prefix — markers publish in generation order, the head copy comes
+    * last — so RE-RUNNING the clone resumes idempotently: matching
+    * markers are adopted, missing ones published, the head re-copied;
+    * a target marker that DIFFERS is real divergence and fails loudly,
+    * never overwritten). RETENTION CONTRACT: the source's vacuum
+    * retention must outlive every clone's pinned-read horizon — clones
+    * reference source bodies the source's own retention can retire
+    * (the clone-side RetentionViolated guard then names the gap).
+    * Returns the cloned generation numbers.
     */
   def clonePot(fs: org.apache.hadoop.fs.FileSystem,
       srcPot: String, dstPot: String): Seq[Long] = {
@@ -281,18 +290,53 @@ object PotV2Source {
     val dstDir = new Path(dstPot).getParent
     val srcCommits = new Path(srcDir, ".commits")
     val dstCommits = new Path(dstDir, ".commits")
-    require(graft.kv.CommitMarker.committedGenerations(fs, dstCommits)
-        .isEmpty && !fs.exists(new Path(dstPot)),
+    val srcGens = graft.kv.CommitMarker
+      .committedGenerations(fs, srcCommits).sorted
+    val dstGens = graft.kv.CommitMarker
+      .committedGenerations(fs, dstCommits).sorted
+    // idempotent-resume admission: every existing target marker must
+    // byte-match its source twin (a crashed clone's prefix); anything
+    // else is live divergent state and must never be overwritten
+    dstGens.foreach { g =>
+      require(srcGens.contains(g) &&
+        graft.kv.CommitMarker.read(fs, new Path(dstCommits, g.toString)) ==
+          graft.kv.CommitMarker.read(fs, new Path(srcCommits, g.toString)),
+        s"clonePot: target $dstPot has a marker at generation $g that is " +
+          s"not a byte-identical copy of the source's — the target holds " +
+          "live state, not a crashed clone; refusing to overwrite")
+    }
+    // a chainless target with a head object is a live RAW pot, not a
+    // crashed clone (markers publish before the head copy) — refuse
+    require(dstGens.nonEmpty || !fs.exists(new Path(dstPot)),
       s"clonePot: target $dstPot must be empty (cloning over live " +
         "state would orphan it)")
     fs.mkdirs(dstDir)
-    val gens = graft.kv.CommitMarker
-      .committedGenerations(fs, srcCommits).sorted
+    val gens = srcGens
+    var published = false
     gens.foreach { g =>
-      graft.kv.CommitMarker.publish(fs, new Path(dstCommits, g.toString),
-        graft.kv.CommitMarker.read(fs, new Path(srcCommits, g.toString)))
+      if (!dstGens.contains(g)) {
+        val body = graft.kv.CommitMarker.read(
+          fs, new Path(srcCommits, g.toString))
+        try {
+          graft.kv.CommitMarker.publish(
+            fs, new Path(dstCommits, g.toString), body)
+          published = true
+        } catch {
+          // a concurrent resume of the SAME clone may win the CAS; its
+          // marker must then be the byte-identical body — anything else
+          // is divergence and re-raises
+          case e: graft.kv.PotTable.CommitConflict =>
+            if (graft.kv.CommitMarker.read(
+                fs, new Path(dstCommits, g.toString)) != body) throw e
+        }
+      }
     }
-    if (fs.exists(new Path(srcPot))) {
+    // head copy LAST; a resume refreshes it whenever markers were
+    // topped up (a stale materialization must never survive a resume)
+    val refreshHead = published || !fs.exists(new Path(dstPot))
+    if (refreshHead && fs.exists(new Path(dstPot)))
+      fs.delete(new Path(dstPot), false)
+    if (refreshHead && fs.exists(new Path(srcPot))) {
       val srcP = fs.makeQualified(new Path(srcPot))
       val dstP = fs.makeQualified(new Path(dstPot))
       if (srcP.toUri.getScheme == "file") {

@@ -406,4 +406,62 @@ class BucketedPotSpec extends AnyFunSuite {
     assert(t.get("k7").select("v").as[Int].collect().toSeq === Seq(700))
     new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
   }
+
+  test("bucketed shallow clone (u47, r17): a mid-clone crash resumes " +
+    "idempotently, divergent targets refuse loudly, per-bucket vacuum " +
+    "reclaims zero borrowed bodies") {
+    import spark.implicits._
+    import graft.sources.{BucketedPotV2Source, PotV2Source}
+    val dir = java.nio.file.Files.createTempDirectory("graft-bclone").toString
+    val src = s"$dir/src"; val dst = s"$dir/dst"; val dst2 = s"$dir/dst2"
+    val fmt = classOf[BucketedPotV2Source].getName
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    def write(rows: Seq[(String, Int)], root: String): Unit =
+      rows.map { case (k, v) => ("", k, s"""{"v": $v}""") }
+        .toDF("pot_file", "key", "doc_json")
+        .write.format(fmt).option("path", root).option("buckets", "4")
+        .mode("append").save()
+    write((1 to 40).map(i => (s"k$i", i)), src)          // gen 1 per bucket
+    write((1 to 10).map(i => (s"k$i", i * 100)), src)    // gen 2 (LWW wave)
+    def state(root: String): Map[String, Long] =
+      spark.read.format(fmt).option("path", root).option("buckets", "4")
+        .load().select($"key", org.apache.spark.sql.functions
+          .get_json_object($"doc_json", "$.v").cast("long"))
+        .as[(String, Long)].collect().toMap
+    // CRASH SIMULATION: a partial clone is exactly a per-bucket marker
+    // prefix — clone bucket 0 by hand, then "crash" before the rest
+    PotV2Source.clonePot(fs,
+      BucketedPotV2Source.bucketPot(src, 0),
+      BucketedPotV2Source.bucketPot(dst, 0))
+    // resume: the full clone completes the remaining buckets
+    val cloned = BucketedPotV2Source.cloneBucketedPot(src, dst)
+    assert(state(dst) === state(src))
+    assert(graft.kv.BucketMeta.stored(fs,
+      new org.apache.hadoop.fs.Path(dst)).contains(4))
+    // idempotent re-run: same (bucket, generation) set, nothing rewritten
+    assert(BucketedPotV2Source.cloneBucketedPot(src, dst).toSet ===
+      cloned.toSet)
+    // per-bucket ownership guard: the clone's vacuums reclaim NOTHING
+    // (pre-covering bodies are all borrowed source artifacts)
+    (0 until 4).foreach { b =>
+      assert(PotV2Source.vacuumSnapshots(fs,
+        BucketedPotV2Source.bucketPot(dst, b)).isEmpty, s"bucket $b")
+    }
+    // divergence: a write on the clone, then a re-clone attempt = LOUD
+    write(Seq(("k1", 999)), dst)
+    val diverged = intercept[IllegalArgumentException] {
+      BucketedPotV2Source.cloneBucketedPot(src, dst)
+    }
+    assert(diverged.getMessage.contains("refusing to overwrite"),
+      diverged.getMessage)
+    // and the divergent write never touched the source
+    assert(state(src)("k1") === 100L)
+    // a non-bucketed source refuses the bucketed form by name
+    val notStore = intercept[IllegalArgumentException] {
+      BucketedPotV2Source.cloneBucketedPot(s"$dir/nosuch", dst2)
+    }
+    assert(notStore.getMessage.contains("_meta/buckets"), notStore.getMessage)
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+  }
 }
