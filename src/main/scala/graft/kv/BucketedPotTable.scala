@@ -395,9 +395,9 @@ final class BucketedPotTable(
     * Staged dirs whose encoded generation is ahead of the committed head
     * are a concurrent clusterer's in-flight staging and are always kept.
     */
-  def vacuumLayouts(retain: Int = 1): Unit = {
+  def vacuumLayouts(retain: Int = 1): Seq[String] = {
     val dataRoot = new Path(s"$dir/_zorder/data")
-    if (!fs.exists(dataRoot)) return
+    if (!fs.exists(dataRoot)) return Seq.empty
     val gens = CommitMarker.committedGenerations(fs, zorderCommits)
     val head = gens.foldLeft(0L)(math.max)
     val keep = gens.sorted.reverse.take(math.max(retain, 1)).map { g =>
@@ -405,13 +405,16 @@ final class BucketedPotTable(
       new Path(body.split("\n", 2)(0)).getName
     }.toSet
     val StagedGen = "^g(\\d+)_.*".r
-    fs.listStatus(dataRoot).foreach { st =>
+    fs.listStatus(dataRoot).toSeq.flatMap { st =>
       val name = st.getPath.getName
       val inFlight = name match {
         case StagedGen(g) => g.toLong > head
         case _            => false
       }
-      if (!inFlight && !keep.contains(name)) fs.delete(st.getPath, true)
+      if (!inFlight && !keep.contains(name)) {
+        fs.delete(st.getPath, true)
+        Some(st.getPath.toString)
+      } else None
     }
   }
 

@@ -83,7 +83,34 @@ object GraftFunctionCatalog {
     Map(
       "vacuum_pot" -> VacuumPotProcedure,
       "recover_statements" -> RecoverStatementsProcedure,
-      "clone_pot" -> ClonePotProcedure)
+      "clone_pot" -> ClonePotProcedure,
+      "cluster_pot" -> ClusterPotProcedure,
+      "ensure_clustered" -> EnsureClusteredProcedure,
+      "vacuum_layouts" -> VacuumLayoutsProcedure)
+
+  /** Open a bucketed store from its directory (count-free: the stamped
+    * `_meta/buckets` modulus is authoritative) — the CALL verbs' shared
+    * front door. */
+  private[sources] def storeOf(store: String): graft.kv.BucketedPotTable = {
+    val p = new org.apache.hadoop.fs.Path(store)
+    graft.kv.BucketedPotTable(
+      org.apache.spark.sql.SparkSession.active,
+      p.getParent.toString, p.getName)
+  }
+
+  /** `'name:sqlExpr;name:sqlExpr'` → cluster dims (semicolon-separated
+    * so expressions may contain commas; each expr must land in the
+    * [0,256) z-domain — cluster() casts, the caller maps). */
+  private[sources] def parseDims(spec: String)
+      : Seq[(String, org.apache.spark.sql.Column)] =
+    spec.split(";").toSeq.map { s =>
+      s.split(":", 2) match {
+        case Array(n, e) if n.trim.nonEmpty && e.trim.nonEmpty =>
+          (n.trim, org.apache.spark.sql.functions.expr(e.trim))
+        case _ => throw new IllegalArgumentException(
+          s"cluster dims: expected 'name:sqlExpr;…', got '$s'")
+      }
+    }
 }
 
 /** Base for graft's one-string-arg maintenance procedures: binds any
@@ -213,6 +240,93 @@ object ClonePotProcedure
       override def readSchema(): StructType = schema
     }).iterator()
   }
+}
+
+/** Base for graft's TWO-string-arg maintenance procedures (the one-arg
+  * twin is [[GraftMaintenanceProcedure]]). */
+private[sources] abstract class GraftMaintenanceProcedure2(
+    procName: String, arg1: String, arg2: String, outName: String,
+    desc: String)
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  protected def run(a1: String, a2: String): Seq[String]
+  override def name(): String = procName
+  override def description(): String = desc
+  override def bind(inputType: StructType): BoundProcedure = {
+    val ok = inputType.fields.length == 2 &&
+      inputType.fields.forall(_.dataType == StringType)
+    if (!ok) throw new UnsupportedOperationException(
+      s"$procName expects ($arg1 STRING, $arg2 STRING), got " +
+        inputType.simpleString)
+    this
+  }
+  override def parameters(): Array[ProcedureParameter] = Array(
+    ProcedureParameter.in(arg1, StringType).build(),
+    ProcedureParameter.in(arg2, StringType).build())
+  override def isDeterministic: Boolean = false
+  override def call(input: InternalRow): java.util.Iterator[Scan] = {
+    val results =
+      run(input.getUTF8String(0).toString, input.getUTF8String(1).toString)
+    val schema = StructType(Seq(StructField(outName, StringType,
+      nullable = false)))
+    java.util.Collections.singletonList[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] = results.map(r =>
+        InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(r))
+          : InternalRow).toArray
+      override def readSchema(): StructType = schema
+    }).iterator()
+  }
+}
+
+/** `CALL graft_fns.sys.cluster_pot('<store dir>', 'name:expr;name:expr')`
+  * — q85's z-order `cluster()` as a SQL verb (u48): rewrite the store's
+  * current state z-clustered on the named dims (each SQL expression must
+  * land in the [0,256) z-domain) and publish the layout generation.
+  */
+object ClusterPotProcedure extends GraftMaintenanceProcedure2(
+  "cluster_pot", "store", "dims", "result",
+  "publish a z-order layout of the store's current state") {
+  override protected def run(store: String, dims: String): Seq[String] =
+    Seq("layout_gen=" + GraftFunctionCatalog.storeOf(store)
+      .cluster(GraftFunctionCatalog.parseDims(dims)))
+}
+
+/** `CALL graft_fns.sys.ensure_clustered('<store dir>', '<dims>')` — the
+  * operational re-cluster loop (u48, r17 — the verdict named the gap:
+  * nothing re-clustered when `layoutFresh()` went false): a FRESH layout
+  * (source generation matches the store head) is a no-op reporting
+  * `fresh`; a stale or absent one re-clusters on the given dims and
+  * reports the new `layout_gen`. Idempotent under concurrency: a lost
+  * publish CAS means a concurrent clusterer landed this generation —
+  * adopt it (`adopted`).
+  */
+object EnsureClusteredProcedure extends GraftMaintenanceProcedure2(
+  "ensure_clustered", "store", "dims", "result",
+  "re-cluster the store iff its z-order layout is stale or absent") {
+  override protected def run(store: String, dims: String): Seq[String] = {
+    val t = GraftFunctionCatalog.storeOf(store)
+    if (t.layoutFresh()) Seq("fresh")
+    else try Seq("layout_gen=" +
+      t.cluster(GraftFunctionCatalog.parseDims(dims)))
+    catch {
+      case _: graft.kv.PotTable.CommitConflict => Seq("adopted")
+    }
+  }
+}
+
+/** `CALL graft_fns.sys.vacuum_layouts('<store dir>')` — layout retention
+  * (u48): delete layout data dirs not referenced by the newest layout
+  * generation (in-flight stagings are structurally kept); returns one
+  * row per deleted dir. Without it every re-cluster leaks a full table
+  * copy.
+  */
+object VacuumLayoutsProcedure extends GraftMaintenanceProcedure(
+  "vacuum_layouts", "store", "deleted_path",
+  "delete z-order layout dirs superseded by the newest layout") {
+  override protected def run(store: String): Seq[String] =
+    GraftFunctionCatalog.storeOf(store).vacuumLayouts(retain = 1)
 }
 
 /** `int8dot(array<int>, array<int>) -> bigint` — exact integer dot product
