@@ -1781,6 +1781,66 @@ pr$r AS (
       |GROUP BY g.doc_id
       |ORDER BY g.doc_id""".stripMargin
 
+  /** t28: WITHIN-DOC repetition signals (r17) — Gopher's quality-filter
+    * family (Rae et al. 2021, Table A1: "fraction of duplicate
+    * n-grams / fraction of characters in most common n-gram"), the
+    * INTRA-document reading the rest of the t/d families don't cover
+    * (t14/d10 look across docs; t17 at dispersion): machine-generated
+    * and template text repeats itself, and these two integer-exact
+    * signals are the standard cheap detectors — per doc: token count,
+    * distinct tokens, duplicate-token density ppm, the most frequent
+    * bigram's count, and its share of all bigrams in ppm. Shapes: two
+    * doc-keyed aggregations (unigram distinct + bigram top/total) and
+    * one join — every exchange keyed on doc_id, nothing corpus-wide.
+    * A filter rule reads directly off the output (`dup_pm > X`), which
+    * is how p25's funnel would consume it at 100 TB.
+    */
+  def repetitionSignals(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select($"doc_id", split($"text", " ").as("w"))
+    val uni = toks.select($"doc_id", size($"w").cast("long").as("n_toks"),
+      size(array_distinct($"w")).cast("long").as("n_distinct"))
+    val big = toks.filter(size($"w") >= 2)
+      .select($"doc_id", explode(expr(
+        """transform(sequence(1, size(w) - 1),
+          |  i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"""
+          .stripMargin)).as("bg"))
+      .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id").agg(max($"c").as("top_bigram_n"),
+        sum($"c").as("n_bigrams"))
+    uni.join(big, "doc_id")
+      .select($"doc_id", $"n_toks", $"n_distinct",
+        expr("(n_toks - n_distinct) * 1000000 DIV n_toks").as("dup_pm"),
+        $"top_bigram_n",
+        expr("top_bigram_n * 1000000 DIV n_bigrams").as("top2_share_pm"))
+      .orderBy($"doc_id")
+  }
+
+  val repetitionSignalsSql: String =
+    """WITH toks AS MATERIALIZED (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |uni AS (
+      |  SELECT doc_id, CAST(len(w) AS BIGINT) AS n_toks,
+      |    CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct
+      |  FROM toks),
+      |big AS (
+      |  SELECT doc_id, bg, COUNT(*) AS c FROM (
+      |    SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg
+      |    FROM toks, UNNEST(range(1, len(w))) AS t(i)
+      |    WHERE len(w) >= 2)
+      |  GROUP BY doc_id, bg),
+      |bagg AS (
+      |  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_n,
+      |    CAST(SUM(c) AS BIGINT) AS n_bigrams
+      |  FROM big GROUP BY doc_id)
+      |SELECT u.doc_id, u.n_toks, u.n_distinct,
+      |  (u.n_toks - u.n_distinct) * 1000000 // u.n_toks AS dup_pm,
+      |  b.top_bigram_n,
+      |  b.top_bigram_n * 1000000 // b.n_bigrams AS top2_share_pm
+      |FROM uni u JOIN bagg b USING (doc_id)
+      |ORDER BY u.doc_id""".stripMargin
+
   def sequencePacking(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     packDocs(Tables.documents(s, d).select($"doc_id",
@@ -1824,6 +1884,7 @@ pr$r AS (
       |ORDER BY shard, bin""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t28_repetition_signals" -> (repetitionSignals _),
     "t27_memorization_risk" -> (memorizationRisk _),
     "t26_fim_transform" -> (fimTransform _),
     "t25_sequence_packing" -> (sequencePacking _),
@@ -1853,6 +1914,7 @@ pr$r AS (
     "t6_pii_scrub"    -> (piiScrub _))
 
   val oracle: Map[String, String] = Map(
+    "t28_repetition_signals" -> repetitionSignalsSql,
     "t27_memorization_risk" -> memorizationRiskSql,
     "t26_fim_transform" -> fimTransformSql,
     "t25_sequence_packing" -> sequencePackingSql,
