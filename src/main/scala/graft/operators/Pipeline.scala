@@ -1670,6 +1670,58 @@ object Pipeline {
     * discipline — and the benchmark side (eval sets are tiny) gram set
     * BROADCASTS, making this a map-side semi-join, no corpus shuffle.
     */
+  /** p30: quality-threshold ADMISSION SWEEP (r17) — the "choose your
+    * cutoff" price curve every classifier-filtered pipeline (FineWeb,
+    * DCLM) publishes before committing to a threshold: for each
+    * candidate cutoff over a per-doc quality score, how many documents
+    * and tokens survive, and what share of the token budget that is
+    * (ppm, exact integer cross-multiply). Score = distinct-token ratio
+    * ppm (t28's duplicate-density signal inverted — a real lexical
+    * quality proxy, and deterministic on both engines). Thresholds
+    * [0, 250k, 500k, 750k, 900k] ppm mirrored literally in the oracle
+    * (change both or neither). Shapes: one corpus pass computing two
+    * ints per doc, a 5-row broadcast threshold frame, one keyed
+    * aggregation — the d21/s35 sweep idiom applied to quality
+    * admission; at 100 TB still exactly one scan.
+    */
+  def qualitySweep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val per = Tables.documents(s, d)
+      .select(size(split($"text", " ")).cast("long").as("n_toks"),
+        size(array_distinct(split($"text", " "))).cast("long")
+          .as("n_distinct"))
+      .select($"n_toks",
+        expr("n_distinct * 1000000 DIV n_toks").as("uniq_pm"))
+    val thr = Seq(0L, 250000L, 500000L, 750000L, 900000L).toDF("thr_pm")
+    val tot = per.agg(sum($"n_toks").as("total"))
+    per.crossJoin(broadcast(thr))
+      .filter($"uniq_pm" >= $"thr_pm")
+      .groupBy($"thr_pm")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("n_tokens"))
+      .crossJoin(broadcast(tot))
+      .select($"thr_pm", $"n_docs", $"n_tokens",
+        expr("n_tokens * 1000000 DIV total").as("token_share_pm"))
+      .orderBy($"thr_pm")
+  }
+
+  val qualitySweepSql: String =
+    """WITH per AS MATERIALIZED (
+      |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+      |      * 1000000 // CAST(len(string_split(text, ' ')) AS BIGINT)
+      |      AS uniq_pm
+      |  FROM documents),
+      |tot AS (SELECT CAST(SUM(n_toks) AS BIGINT) AS total FROM per),
+      |thr AS (SELECT unnest([0, 250000, 500000, 750000, 900000]) AS t)
+      |SELECT CAST(thr.t AS BIGINT) AS thr_pm,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(p.n_toks) AS BIGINT) AS n_tokens,
+      |  CAST(CAST(SUM(p.n_toks) AS BIGINT) * 1000000 // MAX(tot.total)
+      |    AS BIGINT) AS token_share_pm
+      |FROM thr JOIN per p ON p.uniq_pm >= thr.t CROSS JOIN tot
+      |GROUP BY thr.t
+      |ORDER BY thr_pm""".stripMargin
+
   def ngramDecon(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val grams = Tables.documents(s, d)
@@ -1778,6 +1830,7 @@ object Pipeline {
       |ORDER BY stage""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p30_quality_sweep" -> (qualitySweep _),
     "p29_ngram_decon" -> (ngramDecon _),
     "p28_rule_ablation" -> (ruleAblation _),
     "p27_post_dedup_mixture" -> (postDedupMixture _),
@@ -1809,6 +1862,7 @@ object Pipeline {
     "p7_bloom_decontaminate" -> (bloomDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "p30_quality_sweep" -> qualitySweepSql,
     "p29_ngram_decon" -> ngramDeconSql,
     "p28_rule_ablation" -> ruleAblationSql,
     "p27_post_dedup_mixture" -> postDedupMixtureSql,
