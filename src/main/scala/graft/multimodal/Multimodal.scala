@@ -476,6 +476,94 @@ object Multimodal {
       .orderBy($"media_id", $"win_idx")
   }
 
+  /** Whole-stream level stats for one audio object (m18's unit). */
+  final case class AudioLevel(
+      media_id: Long, n_samples: Int, sum_abs: Long, peak: Int)
+
+  /** One byte pass per audio object: total samples, Σ|s−96| (mean-abs
+    * loudness numerator — integer, unlike RMS whose sqrt would break
+    * cross-engine exactness), and peak |s−96|. Same per-partition batch
+    * shape as [[audioWindows]], no copies, no shuffle. */
+  def audioLevels(media: Dataset[MediaRecord]): Dataset[AudioLevel] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val hd = parseHeader(r)
+        if (hd.mime != "audio/wav") Iterator.empty
+        else {
+          var j = hd.payloadPos
+          var sa = 0L
+          var pk = 0
+          while (j < hd.payloadPos + hd.payloadLen) {
+            val a = math.abs((r.media(j) & 0xff) - 96)
+            sa += a
+            if (a > pk) pk = a
+            j += 1
+          }
+          Iterator.single(AudioLevel(r.media_id, hd.payloadLen, sa, pk))
+        }
+      }
+    }
+  }
+
+  /** m18: LOUDNESS NORMALIZATION gain table (r17) — the step a speech /
+    * audio corpus runs between m6's level analysis and training: bring
+    * every stream to a target level so batch loudness is uniform. Per
+    * audio object: the gain (×1000, exact integer cross-multiply —
+    * `target·1000·n div sum_abs` against a mean-abs target of 16,
+    * clamped to [0.1×, 8×], the limiter every normalizer has), the
+    * predicted post-gain peak, and a would-clip flag — the rows a
+    * resample/limiter stage consumes, and the audit columns (how much
+    * of the corpus clips at this target?) a level policy is chosen by.
+    * Mean-abs, not RMS: the integer loudness proxy that stays
+    * bit-exact on both engines (m8's no-division discipline; the
+    * silent-stream edge pins gain at the 8× ceiling rather than
+    * dividing by zero). One mapPartitions byte pass, zero shuffles
+    * before the final sort.
+    */
+  def gainNormalize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    audioLevels(mediaTable(s, d)).toDF()
+      .select($"media_id", $"n_samples".cast("long").as("n_samples"),
+        $"sum_abs", $"peak".cast("long").as("peak"))
+      .withColumn("gain_x1000", expr(
+        """CAST(CASE WHEN sum_abs = 0 THEN 8000
+          |  ELSE greatest(100, least(8000, 16000 * n_samples DIV sum_abs))
+          |  END AS BIGINT)""".stripMargin))
+      .withColumn("peak_after", expr("peak * gain_x1000 DIV 1000"))
+      .withColumn("would_clip", expr(
+        "CAST(CASE WHEN peak * gain_x1000 DIV 1000 > 127 THEN 1 ELSE 0 " +
+          "END AS BIGINT)"))
+      .orderBy($"media_id")
+  }
+
+  val gainNormalizeSql: String =
+    """WITH auds AS (
+      |  SELECT doc_id AS media_id, text,
+      |    CAST(length(text) AS BIGINT) AS n_samples
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |lev AS (
+      |  SELECT media_id, n_samples,
+      |    CAST(SUM(abs(ord(substr(text, CAST(j AS INTEGER) + 1, 1)) - 96))
+      |      AS BIGINT) AS sum_abs,
+      |    CAST(MAX(abs(ord(substr(text, CAST(j AS INTEGER) + 1, 1)) - 96))
+      |      AS BIGINT) AS peak
+      |  FROM auds, (SELECT unnest(range(1024)) AS j) jx
+      |  WHERE j < length(text)
+      |  GROUP BY media_id, n_samples),
+      |g AS (
+      |  SELECT media_id, n_samples, sum_abs, peak,
+      |    CAST(CASE WHEN sum_abs = 0 THEN 8000
+      |      ELSE greatest(100, least(8000, 16000 * n_samples // sum_abs))
+      |      END AS BIGINT) AS gain_x1000
+      |  FROM lev)
+      |SELECT media_id, n_samples, sum_abs, peak, gain_x1000,
+      |  CAST(peak * gain_x1000 // 1000 AS BIGINT) AS peak_after,
+      |  CAST(CASE WHEN peak * gain_x1000 // 1000 > 127 THEN 1 ELSE 0 END
+      |    AS BIGINT) AS would_clip
+      |FROM g
+      |ORDER BY media_id""".stripMargin
+
   /** Oracle CTE chain replaying [[audioWindows]] from the documents text
     * (audio objects are the doc_id % 3 = 1 rows with the raw text as
     * payload; the text is ASCII so ord(char) == the byte the JVM reads, and
@@ -1193,6 +1281,7 @@ object Multimodal {
     "m9_scene_detect" -> (sceneDetect _),
     "m8_perceptual_hash" -> (perceptualHash _),
     "m7_token_budget"   -> (tokenBudget _),
+    "m18_gain_normalize" -> (gainNormalize _),
     "m6_audio_energy"   -> (audioEnergy _),
     "m1_media_meta"     -> (mediaMeta _),
     "m2_media_features" -> (mediaFeatures _),
@@ -1217,5 +1306,6 @@ object Multimodal {
     "m3_frame_sample"   -> frameSampleSql,
     "m4_resize_plan"    -> resizePlanSql,
     "m5_frame_dedup"    -> frameDupesSql,
-    "m6_audio_energy"   -> audioEnergySql)
+    "m6_audio_energy"   -> audioEnergySql,
+    "m18_gain_normalize" -> gainNormalizeSql)
 }
