@@ -383,6 +383,63 @@ object Extensibility {
       |GROUP BY 1
       |ORDER BY pot""".stripMargin
 
+  /** u49: MULTI-AGGREGATE pushdown on the pot connector (r17 — u12
+    * carried COUNT alone): `COUNT(*), MIN(key), MAX(key)` push together,
+    * COMPLETELY for `GROUP BY pot_file` (one partition per object ⇒ no
+    * group spans partitions; Spark plans no aggregate at all) and
+    * PARTIALLY for the global form (each reader emits its partial
+    * count/min/max row; Spark merges). Key extremes fold in UNSIGNED
+    * UTF-8 BYTE order — Spark's StringType MIN/MAX contract, the same
+    * comparator rule pushTopN learned in r15 — and document bodies are
+    * never stringified: a bucket inventory with its key-range fence
+    * (the input to range-partition planning or a manifest) is
+    * metadata-speed over 10k objects. PotJsonSpec pins the plan marker
+    * and the empty-relation partial (count 0, min/max NULL).
+    */
+  def aggMinMaxPushdown(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-u49").toString
+    val rows = Tables.nation(s, d)
+      .select($"n_nationkey", $"n_name", $"n_regionkey").collect()
+    def potJson(parity: Int): String =
+      rows.filter(_.getInt(0) % 2 == parity)
+        .map(r => s""""n${r.getInt(0)}": {"id": "n${r.getInt(0)}", """ +
+          s""""name": "${r.getString(1)}", "region": ${r.getInt(2)}}""")
+        .mkString("{", ", ", "}")
+    Seq(0, 1).foreach { par =>
+      val pd = java.nio.file.Paths.get(dir, s"nation_$par")
+      java.nio.file.Files.createDirectories(pd)
+      java.nio.file.Files.writeString(pd.resolve("data.json"), potJson(par))
+    }
+    val df = s.read.format(classOf[graft.sources.PotV2Source].getName)
+      .option("path", s"$dir/*/data.json").load()
+    val grouped = df.groupBy($"pot_file")
+      .agg(count(lit(1)).as("n_docs"), min($"key").as("min_key"),
+        max($"key").as("max_key"))
+      .select(
+        regexp_extract($"pot_file", "([^/]+)/data\\.json$", 1).as("pot"),
+        $"n_docs", $"min_key", $"max_key")
+    val global = df.agg(count(lit(1)).as("n_docs"),
+      min($"key").as("min_key"), max($"key").as("max_key"))
+      .select(lit("_all").as("pot"), $"n_docs", $"min_key", $"max_key")
+    val out = grouped.unionByName(global).orderBy($"pot")
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    out
+  }
+
+  val aggMinMaxPushdownSql: String =
+    """WITH k AS (
+      |  SELECT 'nation_' || CAST(n_nationkey % 2 AS VARCHAR) AS pot,
+      |    'n' || CAST(n_nationkey AS VARCHAR) AS key
+      |  FROM nation)
+      |SELECT pot, COUNT(*) AS n_docs, MIN(key) AS min_key,
+      |  MAX(key) AS max_key
+      |FROM k GROUP BY pot
+      |UNION ALL
+      |SELECT '_all', COUNT(*), MIN(key), MAX(key) FROM k
+      |ORDER BY pot""".stripMargin
+
   /** u13: a TABLE-VALUED FUNCTION — `graft_pot('<glob>')` in FROM position
     * resolves to the PotV2 DSv2 relation, completing the SQL extension
     * family (scalar expressions u7/u8, aggregate u9, optimizer rule u11,
@@ -2617,6 +2674,7 @@ object Extensibility {
     "u46_timestamp_as_of" -> (timestampAsOfRead _),
     "u47_bucketed_clone" -> (bucketedClone _),
     "u48_zorder_maintenance" -> (zorderMaintenance _),
+    "u49_agg_minmax_pushdown" -> (aggMinMaxPushdown _),
     "u30_sql_function_catalog" -> (sqlFunctionCatalog _),
     "u29_sql_zorder_read" -> (sqlZorderRead _),
     "u28_sql_topn_pushdown" -> (sqlTopNPushdown _),
@@ -2667,6 +2725,7 @@ object Extensibility {
     "u46_timestamp_as_of" -> timestampAsOfReadSql,
     "u47_bucketed_clone" -> bucketedCloneSql,
     "u48_zorder_maintenance" -> zorderMaintenanceSql,
+    "u49_agg_minmax_pushdown" -> aggMinMaxPushdownSql,
     "u30_sql_function_catalog" -> sqlFunctionCatalogSql,
     "u29_sql_zorder_read" -> sqlZorderReadSql,
     "u28_sql_topn_pushdown" -> sqlTopNPushdownSql,

@@ -118,6 +118,17 @@ object PotV2Source {
     * DELETE) reject globs through this one definition. */
   def isGlob(path: String): Boolean = path.exists(c => "*?[{".contains(c))
 
+  /** Pushable aggregate kinds (u12 COUNT; u49 adds MIN/MAX over the key
+    * column — metadata-speed like the count: keys are parsed anyway,
+    * document bodies never stringify). Key extremes compare in UNSIGNED
+    * UTF-8 BYTE order — Spark's StringType MIN/MAX is UTF8String binary
+    * comparison, and a pushdown must be semantically invisible (the
+    * same rule pushTopN learned in r15). */
+  sealed trait PotAgg extends Serializable
+  case object AggCount extends PotAgg
+  case object AggMinKey extends PotAgg
+  case object AggMaxKey extends PotAgg
+
   /** TIMESTAMP AS OF (u46, r17): resolve a wall-clock instant to the
     * write chain's generation — the youngest committed generation whose
     * marker mtime is <= the instant (a timestamp BETWEEN two commits
@@ -711,6 +722,7 @@ private[graft] class PotV2ScanBuilder(
   private var required: StructType = PotV2Source.schemaWith(shred)
   private[sources] var pushed: Array[Filter] = Array.empty
   private var aggGroupedByFile: Option[Boolean] = None
+  private var aggKinds: Seq[PotV2Source.PotAgg] = Seq(PotV2Source.AggCount)
   private var pushedLimit: Option[Int] = None
   private var pushedTopN: Option[(Boolean, Int)] = None
   private var pushedSample: Option[Long] = None
@@ -843,26 +855,38 @@ private[graft] class PotV2ScanBuilder(
     */
   private def translateAgg(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[Boolean] = {
+      : Option[(Boolean, Seq[PotV2Source.PotAgg])] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
-    import org.apache.spark.sql.connector.expressions.aggregate.CountStar
-    if (agg.aggregateExpressions.length != 1 ||
-        !agg.aggregateExpressions()(0).isInstanceOf[CountStar]) None
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    def keyRef(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Boolean = e match {
+      case r: NamedReference => r.fieldNames.sameElements(Array("key"))
+      case _ => false
+    }
+    val kinds = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(PotV2Source.AggCount)
+      case m: Min if keyRef(m.column) => Some(PotV2Source.AggMinKey)
+      case m: Max if keyRef(m.column) => Some(PotV2Source.AggMaxKey)
+      case _ => None
+    }
+    if (kinds.isEmpty || kinds.exists(_.isEmpty)) None
     else agg.groupByExpressions() match {
-      case Array() => Some(false)
+      case Array() => Some((false, kinds.flatten))
       case Array(r: NamedReference)
-          if r.fieldNames.sameElements(Array("pot_file")) => Some(true)
+          if r.fieldNames.sameElements(Array("pot_file")) =>
+        Some((true, kinds.flatten))
       case _ => None
     }
   }
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean = translateAgg(agg).contains(true)
+      : Boolean = translateAgg(agg).exists(_._1)
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean =
     translateAgg(agg) match {
-      case Some(g) => aggGroupedByFile = Some(g); true
+      case Some((g, kinds)) =>
+        aggGroupedByFile = Some(g); aggKinds = kinds; true
       case None => false
     }
 
@@ -924,7 +948,7 @@ private[graft] class PotV2ScanBuilder(
 
   override def build(): Scan =
     new PotV2Scan(path, required, pushed, aggGroupedByFile, generation,
-      pushedLimit, pushedTopN, capResolver, pushedSample, shred)
+      pushedLimit, pushedTopN, capResolver, pushedSample, shred, aggKinds)
 }
 
 /** `docSkippedEntries` (u45): entries whose documents were dropped by a
@@ -1059,7 +1083,8 @@ private[graft] class PotV2Scan(
     pushedTopN: Option[(Boolean, Int)] = None,
     capResolver: Option[() => Map[String, Long]] = None,
     pushedSample: Option[Long] = None,
-    shred: Seq[(String, org.apache.spark.sql.types.DataType)] = Nil)
+    shred: Seq[(String, org.apache.spark.sql.types.DataType)] = Nil,
+    aggKinds: Seq[PotV2Source.PotAgg] = Seq(PotV2Source.AggCount))
     extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics {
 
@@ -1098,12 +1123,18 @@ private[graft] class PotV2Scan(
     }
   import org.apache.spark.sql.types.LongType
 
+  private def aggFields: Seq[StructField] = aggKinds.map {
+    case PotV2Source.AggCount =>
+      StructField("count(*)", LongType, nullable = false)
+    case PotV2Source.AggMinKey =>
+      StructField("min(key)", StringType, nullable = true)
+    case PotV2Source.AggMaxKey =>
+      StructField("max(key)", StringType, nullable = true)
+  }
   override def readSchema(): StructType = aggGroupedByFile match {
-    case Some(true) => StructType(Seq(
-      StructField("pot_file", StringType, nullable = false),
-      StructField("count(*)", LongType, nullable = false)))
-    case Some(false) => StructType(Seq(
-      StructField("count(*)", LongType, nullable = false)))
+    case Some(true) => StructType(
+      StructField("pot_file", StringType, nullable = false) +: aggFields)
+    case Some(false) => StructType(aggFields)
     case None => required
   }
   override def toBatch: Batch = this
@@ -1214,7 +1245,7 @@ private[graft] class PotV2Scan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PotV2ReaderFactory(required.fieldNames, pushed, aggGroupedByFile,
-      pushedLimit, pushedTopN, pushedSample, shred)
+      pushedLimit, pushedTopN, pushedSample, shred, aggKinds)
 
   /** Statistics reporting (r15) — the missing piece for DATA-DRIVEN join
     * planning over pot relations: without it Spark assumes
@@ -1307,9 +1338,14 @@ private[graft] class PotV2Scan(
   }
 
   override def description(): String = {
+    val aggNames = aggKinds.map {
+      case PotV2Source.AggCount => "count"
+      case PotV2Source.AggMinKey => "min(key)"
+      case PotV2Source.AggMaxKey => "max(key)"
+    }.mkString(",")
     val aggDesc = aggGroupedByFile match {
-      case Some(true)  => ", PushedAggregation: count group=[pot_file]"
-      case Some(false) => ", PushedAggregation: count group=[]"
+      case Some(true)  => s", PushedAggregation: $aggNames group=[pot_file]"
+      case Some(false) => s", PushedAggregation: $aggNames group=[]"
       case None => ""
     }
     val genDesc = generation.map(g => s", Generation: $g").getOrElse("")
@@ -1359,7 +1395,8 @@ private[sources] class PotV2ReaderFactory(
     pushedLimit: Option[Int] = None,
     pushedTopN: Option[(Boolean, Int)] = None,
     pushedSample: Option[Long] = None,
-    shred: Seq[(String, org.apache.spark.sql.types.DataType)] = Nil)
+    shred: Seq[(String, org.apache.spark.sql.types.DataType)] = Nil,
+    aggKinds: Seq[PotV2Source.PotAgg] = Seq(PotV2Source.AggCount))
     extends PartitionReaderFactory {
   /** Pushed-filter + pushed-sample admission for one key (u41: the
     * sample is a per-myriad threshold on the md5 key fold — consistent
@@ -1387,10 +1424,15 @@ private[sources] class PotV2ReaderFactory(
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     partition match {
       case PotNoFilePartition => return new PartitionReader[InternalRow] {
+        // the zero-file GLOBAL partial: count 0, min/max NULL (exactly
+        // the partial an empty relation contributes)
         private var emitted = false
         override def next(): Boolean =
           if (emitted) false else { emitted = true; true }
-        override def get(): InternalRow = InternalRow(0L)
+        override def get(): InternalRow = InternalRow.fromSeq(aggKinds.map {
+          case PotV2Source.AggCount => 0L
+          case _ => null
+        })
         override def close(): Unit = ()
       }
       case _ => ()
@@ -1447,35 +1489,63 @@ private[sources] class PotV2ReaderFactory(
     }
     aggGroupedByFile match {
       case Some(grouped) => return new PartitionReader[InternalRow] {
-        // Count path: parse the map, apply pushed key predicates, count —
-        // document bodies are never stringified. One output row per file.
-        // A GROUPED count emits NO row when the pushed key predicates (or
-        // an empty map) leave zero entries — a (pot_file, 0) group here
+        // Aggregate path (u12 count; u49 adds MIN/MAX over key): parse
+        // the map, apply pushed key + doc-field predicates, fold — key
+        // extremes compare in UNSIGNED UTF-8 BYTE order (Spark's
+        // StringType semantics; pushTopN's r15 comparator rule), and
+        // document bodies are never stringified unless doc-field
+        // predicates force a per-entry parse. One output row per file.
+        // A GROUPED aggregate emits NO row when the predicates (or an
+        // empty map) leave zero entries — a (pot_file, 0) group here
         // would be a phantom a non-pushed aggregate never produces; the
-        // global partial keeps its 0 row (partials are summed). Pushed
-        // doc-field predicates count under the COUNT too (u45) — a count
-        // of a filtered read counts survivors.
+        // global partial keeps its row (count 0, min/max NULL).
         private var emitted = false
-        private lazy val count: Long = partition match {
-          case sp: PotStatePartition => foldedEntries(sp).size.toLong
-          case _ =>
-            val p = new Path(file)
-            val fs = p.getFileSystem(new Configuration())
-            val in = fs.open(p)
-            val root = try new ObjectMapper().readTree(in) finally in.close()
-            require(root != null && root.isObject,
-              s"pot object $file: top level must be a JSON map")
-            root.fields().asScala
-              .count(e => keyKeep(e.getKey) &&
-                (shred.isEmpty || nodeAdmit(e.getValue).isDefined))
-              .toLong
+        private lazy val stats: (Long, String, String) = {
+          val utf8: java.util.Comparator[String] =
+            (x: String, y: String) => java.util.Arrays.compareUnsigned(
+              x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+              y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          var n = 0L
+          var mn: String = null
+          var mx: String = null
+          def fold(key: String): Unit = {
+            n += 1
+            if (mn == null || utf8.compare(key, mn) < 0) mn = key
+            if (mx == null || utf8.compare(key, mx) > 0) mx = key
+          }
+          partition match {
+            case sp: PotStatePartition =>
+              foldedEntries(sp).foreach(e => fold(e.key))
+            case _ =>
+              val p = new Path(file)
+              val fs = p.getFileSystem(new Configuration())
+              val in = fs.open(p)
+              val root = try new ObjectMapper().readTree(in)
+                finally in.close()
+              require(root != null && root.isObject,
+                s"pot object $file: top level must be a JSON map")
+              root.fields().asScala.foreach { e =>
+                if (keyKeep(e.getKey) &&
+                    (shred.isEmpty || nodeAdmit(e.getValue).isDefined))
+                  fold(e.getKey)
+              }
+          }
+          (n, mn, mx)
+        }
+        private def aggVals: Seq[Any] = aggKinds.map {
+          case PotV2Source.AggCount => stats._1
+          case PotV2Source.AggMinKey =>
+            if (stats._2 == null) null else UTF8String.fromString(stats._2)
+          case PotV2Source.AggMaxKey =>
+            if (stats._3 == null) null else UTF8String.fromString(stats._3)
         }
         override def next(): Boolean =
-          if (emitted) false else { emitted = true; !grouped || count > 0 }
+          if (emitted) false
+          else { emitted = true; !grouped || stats._1 > 0 }
         override def get(): InternalRow =
           if (grouped)
-            InternalRow(UTF8String.fromString(file), count)
-          else InternalRow(count)
+            InternalRow.fromSeq(UTF8String.fromString(file) +: aggVals)
+          else InternalRow.fromSeq(aggVals)
         override def currentMetricsValues() = taskMetrics()
         override def close(): Unit = ()
       }

@@ -192,6 +192,49 @@ class PotJsonSpec extends AnyFunSuite {
     assert(declined.count() === 6L)
   }
 
+  test("PotV2Source pushes COUNT+MIN(key)+MAX(key) together (u49, r17): " +
+    "complete grouped, partial global, UTF-8 byte-order extremes, " +
+    "empty-relation partial is (0, NULL, NULL)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    val dir = java.nio.file.Files.createTempDirectory("potv2aggmm")
+    writePot(dir, "p1", """{"kb": {"v": 1}, "ka": {"v": 2}, "kc": {"v": 3}}""")
+    writePot(dir, "p2", """{"kz": {"v": 4}, "kd": {"v": 5}}""")
+    val df = spark.read
+      .format(classOf[graft.sources.PotV2Source].getName)
+      .option("path", s"$dir/*/data.json").load()
+    val grouped = df.groupBy($"pot_file")
+      .agg(count(lit(1)).as("n"), min($"key").as("mn"), max($"key").as("mx"))
+    val gplan = grouped.queryExecution.executedPlan.toString
+    assert(gplan.contains(
+      "PushedAggregation: count,min(key),max(key) group=[pot_file]"), gplan)
+    assert(!gplan.contains("HashAggregate"),
+      s"complete pushdown must not re-aggregate:\n$gplan")
+    assert(grouped.select($"n", $"mn", $"mx").as[(Long, String, String)]
+      .collect().toSet === Set((3L, "ka", "kc"), (2L, "kd", "kz")))
+    // global: partial pushdown, Spark merges the per-file extremes
+    val global = df.agg(count(lit(1)).as("n"), min($"key").as("mn"),
+      max($"key").as("mx"))
+    val pplan = global.queryExecution.executedPlan.toString
+    assert(pplan.contains(
+      "PushedAggregation: count,min(key),max(key) group=[]"), pplan)
+    assert(global.as[(Long, String, String)].head() === ((5L, "ka", "kz")))
+    // value equality with the un-pushed row-scan form
+    val raw = df.select($"key").as[String].collect()
+    assert(raw.length === 5L && raw.min === "ka" && raw.max === "kz")
+    // every file pruned away: the no-file partial must be (0, NULL, NULL)
+    val none = df.filter($"pot_file" === "no/such/file")
+      .agg(count(lit(1)).as("n"), min($"key").as("mn"))
+    val row = none.collect()(0)
+    assert(row.getLong(0) === 0L && row.isNullAt(1), row.toString)
+    // an unsupported aggregate mix (sum) declines to the row scan
+    val declined = df.agg(count(lit(1)),
+      org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions
+        .length($"key")))
+    assert(!declined.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"))
+  }
+
   test("PotV2Source runtime filtering prunes pot files from a join's resolved values") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("potv2dpp")
