@@ -2246,6 +2246,118 @@ object Extensibility {
       |  CAST(1 AS BIGINT) AS n_layouts_vacuumed
       |FROM nation""".stripMargin
 
+  /** u50: manual chain COMPACTION behind CALL (r17 — with u48 this
+    * closes the "maintenance verbs half-exposed" gap completely):
+    * `CALL graft_fns.sys.compact_pot('<pot>')` folds a DELTA-HEADED
+    * chain (streaming epochs since the last snapshot) into one full
+    * snapshot at head+1 through the standard commit flow with an empty
+    * change set — state identical by construction, and the `_pot_gen`
+    * provenance column collapses from per-writer generations to the
+    * fold generation (u32's documented OPTIMIZE semantics, here pinned
+    * BY THE ORACLE: distinct provenance 3 → 1 across the CALL). The
+    * query builds a 3-generation chain (snapshot + two hand-staged
+    * delta epochs carrying LWW overwrites and a tombstone), reads the
+    * pre-compact shape (head is a dgen; per-key provenance spans all
+    * three generations), CALLs the verb, and proves state identity at
+    * the new head AND through a generation-pinned read of the old one
+    * (the chain survives — compaction adds, vacuum retires). A
+    * bucketed-store root compacts every delta-headed bucket (clone_pot's
+    * detection rule); already-compact pots emit nothing.
+    */
+  def compactPotVerb(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft_fns",
+      classOf[graft.sources.GraftFunctionCatalog].getName)
+    val dir = java.nio.file.Files.createTempDirectory("graft-u50").toString
+    val pot = s"$dir/t/data.json"
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    val nat = Tables.nation(s, d)
+      .select($"n_nationkey", $"n_name", $"n_regionkey").collect().toSeq
+    def doc(name: String, upd: Int) = s"""{"name": "$name", "upd": $upd}"""
+    // gen 1: full snapshot through the batch write
+    nat.map(r => ("", s"n${r.getInt(0)}", doc(r.getString(1), 0)))
+      .toDF("pot_file", "key", "doc_json")
+      .write.format(fmt).option("path", pot).mode("overwrite").save()
+    // gens 2-3: hand-staged DELTA epochs through the streaming commit
+    // path (dgen artifacts — the chain shape compaction exists for)
+    val fs = new org.apache.hadoop.fs.Path(pot)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    def epoch(tag: String, lines: Seq[String]): Unit = {
+      val staging = new org.apache.hadoop.fs.Path(s"$dir/t/.staging-$tag")
+      fs.mkdirs(staging)
+      val frag = new org.apache.hadoop.fs.Path(staging, "f.jsonl")
+      val out = fs.create(frag, false)
+      try out.write(lines.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val w = new graft.sources.PotV2Write(pot,
+        graft.sources.PotV2Source.Schema, tag, truncateFirst = false,
+        graft.sources.PotV2Source.DefaultMaxObjectBytes)
+      w.commitDeltaEpoch(
+        Array(graft.sources.PotFragmentMessage(0, frag.toString)),
+        tag, staging)
+    }
+    epoch("u50e1", nat.filter(_.getInt(2) == 0).map(r =>
+      s"""{"k": "n${r.getInt(0)}", "d": ${doc(r.getString(1), 1)}}"""))
+    epoch("u50e2", nat.filter(_.getInt(2) == 1).map(r =>
+      s"""{"k": "n${r.getInt(0)}", "d": ${doc(r.getString(1), 2)}}""") :+
+      """{"k": "n7", "d": null}""")
+    val commits = new org.apache.hadoop.fs.Path(s"$dir/t/.commits")
+    val gensBefore = graft.kv.CommitMarker.committedGenerations(fs, commits)
+    val headDgenBefore = graft.sources.PotChain.isDgen(
+      graft.sources.PotChain.artifactOf(fs, commits, gensBefore.max))
+    def state(gen: Option[Long]) = {
+      val r = s.read.format(fmt).option("path", pot)
+      gen.foreach(g => r.option("generation", g.toString))
+      r.load()
+    }
+    // MATERIALIZED before the CALL — a lazy frame would fold the
+    // post-compact chain and read one provenance value instead of three
+    val pgenBefore = state(None)
+      .select(col(graft.sources.PotV2Source.PotGenCol).as("pg"))
+      .agg(countDistinct($"pg").as("pgen_distinct_before"))
+      .localCheckpoint(true)
+    val folds = s.sql(s"CALL graft_fns.sys.compact_pot('$pot')")
+      .collect().length
+    def sums(df: org.apache.spark.sql.DataFrame) = df.agg(
+      count(lit(1)).as("n"),
+      sum(get_json_object($"doc_json", "$.upd").cast("long")).as("upd"))
+    val after = sums(state(None))
+      .select($"n".as("n_after"), $"upd".as("upd_after"))
+    val v3 = sums(state(Some(3L)))
+      .select($"n".as("n_v3"), $"upd".as("upd_v3"))
+    val pgenAfter = state(None)
+      .select(col(graft.sources.PotV2Source.PotGenCol).as("pg"))
+      .agg(countDistinct($"pg").as("pgen_distinct_after"),
+        max($"pg").as("pgen_head"))
+    val out = Seq((gensBefore.length.toLong,
+      if (headDgenBefore) 1L else 0L, folds.toLong))
+      .toDF("n_gens_before", "head_dgen_before", "n_folds")
+      .crossJoin(pgenBefore).crossJoin(after).crossJoin(v3)
+      .crossJoin(pgenAfter)
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    out
+  }
+
+  val compactPotVerbSql: String =
+    """WITH st AS (
+      |  SELECT n_nationkey AS k,
+      |    CASE WHEN n_regionkey = 0 THEN 1
+      |         WHEN n_regionkey = 1 THEN 2 ELSE 0 END AS upd
+      |  FROM nation WHERE n_nationkey <> 7)
+      |SELECT CAST(3 AS BIGINT) AS n_gens_before,
+      |  CAST(1 AS BIGINT) AS head_dgen_before,
+      |  CAST(1 AS BIGINT) AS n_folds,
+      |  CAST(3 AS BIGINT) AS pgen_distinct_before,
+      |  CAST(COUNT(*) AS BIGINT) AS n_after,
+      |  CAST(SUM(upd) AS BIGINT) AS upd_after,
+      |  CAST(COUNT(*) AS BIGINT) AS n_v3,
+      |  CAST(SUM(upd) AS BIGINT) AS upd_v3,
+      |  CAST(1 AS BIGINT) AS pgen_distinct_after,
+      |  CAST(4 AS BIGINT) AS pgen_head
+      |FROM st""".stripMargin
+
   /** u41: TABLESAMPLE pushdown on the pot scan
     * (`SupportsPushDownTableSample`) — `TABLESAMPLE (p PERCENT)`
     * reaches the reader as a KEY-HASH admission test evaluated during
@@ -2675,6 +2787,7 @@ object Extensibility {
     "u47_bucketed_clone" -> (bucketedClone _),
     "u48_zorder_maintenance" -> (zorderMaintenance _),
     "u49_agg_minmax_pushdown" -> (aggMinMaxPushdown _),
+    "u50_compact_pot" -> (compactPotVerb _),
     "u30_sql_function_catalog" -> (sqlFunctionCatalog _),
     "u29_sql_zorder_read" -> (sqlZorderRead _),
     "u28_sql_topn_pushdown" -> (sqlTopNPushdown _),
@@ -2726,6 +2839,7 @@ object Extensibility {
     "u47_bucketed_clone" -> bucketedCloneSql,
     "u48_zorder_maintenance" -> zorderMaintenanceSql,
     "u49_agg_minmax_pushdown" -> aggMinMaxPushdownSql,
+    "u50_compact_pot" -> compactPotVerbSql,
     "u30_sql_function_catalog" -> sqlFunctionCatalogSql,
     "u29_sql_zorder_read" -> sqlZorderReadSql,
     "u28_sql_topn_pushdown" -> sqlTopNPushdownSql,

@@ -86,7 +86,8 @@ object GraftFunctionCatalog {
       "clone_pot" -> ClonePotProcedure,
       "cluster_pot" -> ClusterPotProcedure,
       "ensure_clustered" -> EnsureClusteredProcedure,
-      "vacuum_layouts" -> VacuumLayoutsProcedure)
+      "vacuum_layouts" -> VacuumLayoutsProcedure,
+      "compact_pot" -> CompactPotProcedure)
 
   /** Open a bucketed store from its directory (count-free: the stamped
     * `_meta/buckets` modulus is authoritative) — the CALL verbs' shared
@@ -327,6 +328,33 @@ object VacuumLayoutsProcedure extends GraftMaintenanceProcedure(
   "delete z-order layout dirs superseded by the newest layout") {
   override protected def run(store: String): Seq[String] =
     GraftFunctionCatalog.storeOf(store).vacuumLayouts(retain = 1)
+}
+
+/** `CALL graft_fns.sys.compact_pot('<pot data.json | store root>')` —
+  * manual chain compaction (u50): fold a delta-headed chain into one
+  * snapshot at head+1 ([[PotV2Source.compactPot]]; state identical,
+  * provenance collapses to the fold generation — u32's OPTIMIZE
+  * semantics). A bucketed-store root (detected by its `_meta/buckets`
+  * stamp, clone_pot's rule) compacts every delta-headed bucket.
+  * Returns one `<pot>@<gen>` row per fold; already-compact pots emit
+  * nothing (no empty commits churned).
+  */
+object CompactPotProcedure extends GraftMaintenanceProcedure(
+  "compact_pot", "path", "compacted",
+  "fold delta-headed chains into snapshots (state-identical)") {
+  override protected def run(path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val pots: Seq[String] =
+      if (!PotV2Source.isGlob(path) &&
+          graft.kv.BucketMeta.stored(fs, p).isDefined) {
+        val n = graft.kv.BucketMeta.stored(fs, p).get
+        BucketedPotV2Source.existingBuckets(path, n)
+          .map(BucketedPotV2Source.bucketPot(path, _))
+      } else Seq(path)
+    pots.flatMap(pot =>
+      PotV2Source.compactPot(fs, pot).map(g => s"$pot@$g"))
+  }
 }
 
 /** `int8dot(array<int>, array<int>) -> bigint` — exact integer dot product

@@ -268,6 +268,36 @@ object PotV2Source {
     }
   }
 
+  /** Manual COMPACTION (u50, r17 — the last API-only maintenance verb
+    * behind CALL): fold a DELTA-HEADED chain (streaming epochs since
+    * the last snapshot) into one full snapshot at head+1 through the
+    * standard commitEntries flow with an EMPTY change set — the merge
+    * base IS the folded chain state, so the commit is a pure
+    * materialization: state identical, `_pot_gen` provenance collapses
+    * to the fold generation (u32's documented OPTIMIZE semantics), and
+    * subsequent reads stop paying the per-read chain fold. A
+    * snapshot-headed pot is already compact: None, no empty commit
+    * churned. Concurrency is the unchanged CAS discipline (a lost race
+    * retries against the new head). Returns the fold generation.
+    */
+  def compactPot(fs: org.apache.hadoop.fs.FileSystem,
+      pot: String): Option[Long] = {
+    require(!isGlob(pot),
+      s"compactPot: one pot object, not a glob: $pot")
+    val dir = new Path(pot).getParent
+    val commits = new Path(dir, ".commits")
+    val gens = graft.kv.CommitMarker.committedGenerations(fs, commits)
+    if (gens.isEmpty) return None
+    val head = gens.max
+    if (PotChain.isSnap(PotChain.artifactOf(fs, commits, head))) return None
+    val qid = s"compact-${java.util.UUID.randomUUID()}"
+    val w = new PotV2Write(pot, Schema, qid, truncateFirst = false,
+      DefaultMaxObjectBytes)
+    w.commitEntries(Array.empty, truncate = false, snapTag = None,
+      retryOnConflict = true, staging = new Path(dir, s".staging-$qid"))
+    Some(graft.kv.CommitMarker.committedGenerations(fs, commits).max)
+  }
+
   /** SHALLOW CLONE (u42 — Delta/Iceberg `CLONE` brought to the pot
     * store): re-publish the source's commit MARKERS at the target —
     * marker bodies keep their absolute source paths, so the entire

@@ -1668,6 +1668,100 @@ object StreamingQueries {
     }
   }
 
+  /** st26: LATE-DATA AUDIT (r17) — the watermark's DROP SIDE made a
+    * first-class, oracle-checked number. Every production stream faces
+    * the question "what did the watermark throw away?", and the answer
+    * usually lives only in UI metrics; here the
+    * `numRowsDroppedByWatermark` state-operator metric is emitted AS A
+    * ROW (w_start = -1) next to the admitted windowed counts, and the
+    * DuckDB oracle recomputes BOTH from the batch split — pinning
+    * Spark's exact lateness semantics (watermark = ms-truncated max
+    * event time − delay, carried across micro-batches; a row is late
+    * iff its window END is at or before the watermark its batch
+    * opened with). Deterministic batching: a 2% fixture slice feeds a
+    * MemoryStream in three explicit waves — on-time wave (sets the
+    * watermark), late wave (mostly behind it), and a far-future flush
+    * row that closes every real window for append-mode emission (its
+    * own window stays open and never emits). The driver-side feed is
+    * the harness source (MemoryStream is driver-fed by definition —
+    * production swaps in Kafka); it is the bounded slice, never the
+    * corpus. Output: (w_start, n) per surviving window + the (-1,
+    * n_dropped) audit row.
+    */
+  def streamLateAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val table = "st26_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val chk = runScratchDir("graft-st26")
+    // the 2% harness slice, split by a second modulus into the waves
+    val slice = graft.Tables.events(s, d)
+      .filter($"event_id" % 50 === 0)
+      .select($"event_id", unix_micros($"ts").as("tus"))
+      .as[(Long, Long)].collect().toSeq
+    val b1 = slice.filter(r => (r._1 / 50) % 7 != 0)
+    val b2 = slice.filter(r => (r._1 / 50) % 7 == 0)
+    val flushTus = slice.map(_._2).max + 2L * 24 * 3600 * 1000000
+    var dropped = 0L
+    // no-data batches ON (st5's exception rule): Spark filters late
+    // events with the PREVIOUS batch's watermark (the late/eviction
+    // split of SPARK-40925), so the wave-1 watermark reaches wave 2's
+    // late filter only through the intervening no-data batch — skipping
+    // them would admit every late row and the audit would read zero
+    withStreamRunConf(s, skipNoData = false) {
+      val mem = MemoryStream[(Long, Long)](
+        implicitly[org.apache.spark.sql.Encoder[(Long, Long)]], s.sqlContext)
+      val q = mem.toDF().toDF("event_id", "tus")
+        .select(timestamp_micros($"tus").as("ts"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window($"ts", "15 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp($"window.start").as("w_start"), $"n")
+        .writeStream.format("memory").queryName(table)
+        .option("checkpointLocation", s"$chk/chk")
+        .outputMode("append")
+        .start()
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      mem.addData(Seq((-1L, flushTus))); q.processAllAvailable()
+      dropped = q.recentProgress.toSeq
+        .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+        .map(_.numRowsDroppedByWatermark).sum
+      q.stop()
+    }
+    new scala.reflect.io.Directory(new java.io.File(chk)).deleteRecursively()
+    val audit = Seq((-1L, dropped)).toDF("w_start", "n")
+    val result = s.table(table).select($"w_start", $"n")
+      .unionByName(audit)
+      .orderBy($"w_start").localCheckpoint(true)
+    s.catalog.dropTempView(table)
+    result
+  }
+
+  val streamLateAuditSql: String =
+    """WITH sl AS (
+      |  SELECT event_id, epoch_us(ts) AS tus FROM events
+      |  WHERE event_id % 50 = 0),
+      |b1 AS (SELECT tus FROM sl WHERE (event_id // 50) % 7 <> 0),
+      |b2 AS (SELECT tus FROM sl WHERE (event_id // 50) % 7 = 0),
+      |wm AS (SELECT (MAX(tus) // 1000 - 600000) * 1000 AS w FROM b1),
+      |adm AS (
+      |  SELECT tus FROM b1
+      |  UNION ALL
+      |  SELECT tus FROM b2, wm
+      |  WHERE (tus // 900000000 + 1) * 900000000 > wm.w),
+      |agg AS (
+      |  SELECT CAST(tus // 900000000 * 900 AS BIGINT) AS w_start,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM adm GROUP BY 1),
+      |drp AS (
+      |  SELECT CAST(-1 AS BIGINT) AS w_start, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM b2, wm
+      |  WHERE (tus // 900000000 + 1) * 900000000 <= wm.w)
+      |SELECT w_start, n FROM agg
+      |UNION ALL
+      |SELECT w_start, n FROM drp
+      |ORDER BY w_start""".stripMargin
+
   /** st25: the STATE DATA SOURCE (Spark 4, SPARK-45511) — a streaming
     * query's checkpointed state read back as a BATCH TABLE
     * (`spark.read.format("statestore")`), the observability surface
@@ -1895,6 +1989,7 @@ object StreamingQueries {
       |ORDER BY phase, key""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st26_late_data_audit" -> (streamLateAudit _),
     "st25_state_store_reader" -> (streamStateStoreReader _),
     "st24_transform_with_state" -> (streamTransformWithState _),
     "st23_stream_packing" -> (streamPacking _),
@@ -1922,6 +2017,7 @@ object StreamingQueries {
     "st4_stream_attribution" -> (streamClickAttribution _))
 
   val oracle: Map[String, String] = Map(
+    "st26_late_data_audit" -> streamLateAuditSql,
     "st25_state_store_reader" -> streamStateStoreReaderSql,
     "st24_transform_with_state" -> streamTransformWithStateSql,
     "st23_stream_packing" -> streamPackingSql,
