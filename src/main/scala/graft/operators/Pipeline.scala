@@ -1670,6 +1670,75 @@ object Pipeline {
     * discipline — and the benchmark side (eval sets are tiny) gram set
     * BROADCASTS, making this a map-side semi-join, no corpus shuffle.
     */
+  /** p31: DETERMINISTIC corpus shuffle + shard manifest (r17) — the
+    * reproducibility primitive every training run needs before data
+    * touches a GPU: a SEEDED global permutation of the corpus and its
+    * split into loader shards, such that any two runs (or engines)
+    * produce the IDENTICAL order. Permutation key = the md5 fold of
+    * `seed || ':' || doc_id` (p7's engine-portable fold — no RNG, no
+    * Spark-version hash dependence), shard = key mod 8; within a shard
+    * the documents are consumed in key order. The emitted manifest is
+    * per shard: doc count, token sum, the first and last doc in
+    * consumption order, and an ORDER FINGERPRINT (md5 of the ordered
+    * doc_id list) — a training job resuming from any checkpoint can
+    * re-derive and VERIFY its exact data order from this row alone.
+    * Scale: one map pass computes keys, one exchange on shard, shard-
+    * local sort (shards are the parallel unit by construction — no
+    * global sort, no single-partition window); fingerprints built via
+    * sort_array over shard-local collected (key, doc_id) pairs, bounded
+    * by the shard contract exactly like t25's packer. Seed mirrored
+    * literally in the oracle.
+    */
+  def seededShuffle(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val seed = "graft-p31-seed1"
+    // fixed-width STRING permutation key (12 hex fold chars + zero-padded
+    // doc_id): string order == numeric order, and it survives both
+    // engines' arg_min/min_by signatures
+    val keyed = Tables.documents(s, d)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_toks"),
+        expr(s"substring(md5(concat('$seed', ':', " +
+          "CAST(doc_id AS STRING))), 1, 12)").as("pkh"))
+      .select($"doc_id", $"n_toks",
+        concat($"pkh", lpad($"doc_id".cast("string"), 10, "0")).as("skey"),
+        pmod(expr("conv(pkh, 16, 10)").cast("long"), lit(8L)).as("shard"))
+    keyed.groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("n_tokens"),
+        min_by($"doc_id", $"skey").as("first_doc"),
+        max_by($"doc_id", $"skey").as("last_doc"),
+        md5(concat_ws(",",
+          expr("transform(sort_array(collect_list(struct(skey, doc_id))), " +
+            "x -> CAST(x.doc_id AS STRING))"))).as("order_md5"))
+      .orderBy($"shard")
+  }
+
+  val seededShuffleSql: String =
+    """WITH keyed AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+      |    substr(md5('graft-p31-seed1' || ':' ||
+      |      CAST(doc_id AS VARCHAR)), 1, 12) AS pkh
+      |  FROM documents),
+      |sharded AS (
+      |  SELECT doc_id, n_toks,
+      |    pkh || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS skey,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, 13),
+      |        i -> CAST(strpos('0123456789abcdef', substr(pkh, i, 1)) - 1
+      |          AS BIGINT))),
+      |      (acc, v) -> acc * 16 + v) % 8 AS shard
+      |  FROM keyed)
+      |SELECT CAST(shard AS BIGINT) AS shard,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+      |  CAST(arg_min(doc_id, skey) AS BIGINT) AS first_doc,
+      |  CAST(arg_max(doc_id, skey) AS BIGINT) AS last_doc,
+      |  md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY skey))
+      |    AS order_md5
+      |FROM sharded
+      |GROUP BY shard
+      |ORDER BY shard""".stripMargin
+
   /** p30: quality-threshold ADMISSION SWEEP (r17) — the "choose your
     * cutoff" price curve every classifier-filtered pipeline (FineWeb,
     * DCLM) publishes before committing to a threshold: for each
@@ -1830,6 +1899,7 @@ object Pipeline {
       |ORDER BY stage""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p31_seeded_shuffle" -> (seededShuffle _),
     "p30_quality_sweep" -> (qualitySweep _),
     "p29_ngram_decon" -> (ngramDecon _),
     "p28_rule_ablation" -> (ruleAblation _),
@@ -1862,6 +1932,7 @@ object Pipeline {
     "p7_bloom_decontaminate" -> (bloomDecontaminate _))
 
   val oracle: Map[String, String] = Map(
+    "p31_seeded_shuffle" -> seededShuffleSql,
     "p30_quality_sweep" -> qualitySweepSql,
     "p29_ngram_decon" -> ngramDeconSql,
     "p28_rule_ablation" -> ruleAblationSql,
