@@ -629,7 +629,8 @@ private[sources] class PotV2Table(path: String,
             "exclusive — both pin a read; pick one addressing scheme")
         new PotV2ScanBuilder(path,
           asOf.map(PotV2Source.resolveTimestampAsOf(path, _)).orElse(gen),
-          shred)
+          shred,
+          Option(options.get("maxGenerationsPerTrigger")).map(_.toInt))
     }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new PotV2WriteBuilder(path, info)
@@ -741,7 +742,8 @@ private[sources] class PotV2Table(path: String,
 
 private[graft] class PotV2ScanBuilder(
     path: String, generation: Option[Long] = None,
-    shred: Seq[(String, org.apache.spark.sql.types.DataType)] = Nil)
+    shred: Seq[(String, org.apache.spark.sql.types.DataType)] = Nil,
+    maxGensPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN
@@ -978,7 +980,8 @@ private[graft] class PotV2ScanBuilder(
 
   override def build(): Scan =
     new PotV2Scan(path, required, pushed, aggGroupedByFile, generation,
-      pushedLimit, pushedTopN, capResolver, pushedSample, shred, aggKinds)
+      pushedLimit, pushedTopN, capResolver, pushedSample, shred, aggKinds,
+      maxGensPerTrigger)
 }
 
 /** `docSkippedEntries` (u45): entries whose documents were dropped by a
@@ -1114,7 +1117,8 @@ private[graft] class PotV2Scan(
     capResolver: Option[() => Map[String, Long]] = None,
     pushedSample: Option[Long] = None,
     shred: Seq[(String, org.apache.spark.sql.types.DataType)] = Nil,
-    aggKinds: Seq[PotV2Source.PotAgg] = Seq(PotV2Source.AggCount))
+    aggKinds: Seq[PotV2Source.PotAgg] = Seq(PotV2Source.AggCount),
+    maxGensPerTrigger: Option[Int] = None)
     extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics {
 
@@ -1181,9 +1185,16 @@ private[graft] class PotV2Scan(
     // one pot = scalar generation offset; a glob = per-pot generation
     // VECTOR (st18) — each pot keeps its own chain, so the composite
     // offset is the only shape that can be exactly-once over many pots
+    // admission control is per-chain: the multi-pot feed's parallel unit
+    // is the pot (one delta partition per pot per batch already bounds
+    // it); the rate option applies to the single-chain backlog replay
+    require(maxGensPerTrigger.isEmpty ||
+      !path.exists(c => "*?[{".contains(c)),
+      "PotV2Source: maxGenerationsPerTrigger applies to a single pot's " +
+        "chain — a glob feed is already bounded per pot per batch")
     if (path.exists(c => "*?[{".contains(c)))
       new PotV2MultiPotStream(path, required)
-    else new PotV2MicroBatchStream(path, required)
+    else new PotV2MicroBatchStream(path, required, maxGensPerTrigger)
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -2679,18 +2690,45 @@ private[graft] object PotMultiGenOffset {
 private[graft] case class PotDeltaPartition(
     dir: String, gen: Long) extends InputPartition
 
+/** u51/st27 admission control: `.option("maxGenerationsPerTrigger", n)`
+  * bounds each micro-batch to n generations of backlog —
+  * `SupportsAdmissionControl`, the DSv2 rate-limiting surface (Kafka's
+  * maxOffsetsPerTrigger for the chain). WHY: offsets are a pure
+  * function of the chain, so a reader starting against a 10k-generation
+  * backlog would otherwise replay it as ONE micro-batch — one giant
+  * task set, one checkpoint commit, the OOM/straggler shape every
+  * backfill hits. With the limit, the backlog drains in bounded,
+  * checkpointable steps and the emitted ROWS are identical (each
+  * generation's delta is planned whole — a generation never splits, so
+  * batch boundaries stay deterministic; spec pins rows == unlimited
+  * run, batches == ceil(backlog/n)). */
 private[graft] class PotV2MicroBatchStream(
-    path: String, required: StructType)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+    path: String, required: StructType,
+    maxGensPerTrigger: Option[Int] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   private def fs = new Path(path).getFileSystem(new Configuration())
   private def commits = new Path(new Path(path).getParent, ".commits")
 
+  private def head: Long = (graft.kv.CommitMarker
+    .committedGenerations(fs, commits) :+ 0L).max
+
   override def initialOffset(): Offset = PotGenOffset(0L)
-  override def latestOffset(): Offset =
-    PotGenOffset((graft.kv.CommitMarker
-      .committedGenerations(fs, commits) :+ 0L).max)
+  override def latestOffset(): Offset = PotGenOffset(head)
+  override def getDefaultReadLimit: ReadLimit =
+    maxGensPerTrigger.map(n => ReadLimit.maxRows(n.toLong))
+      .getOrElse(ReadLimit.allAvailable())
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s0 = start.asInstanceOf[PotGenOffset].gen
+    limit match {
+      case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        PotGenOffset(math.min(head, s0 + r.maxRows()))
+      case _ => PotGenOffset(head)
+    }
+  }
+  override def reportLatestOffset(): Offset = PotGenOffset(head)
   override def deserializeOffset(json: String): Offset =
     PotGenOffset(json.trim.toLong)
   override def commit(end: Offset): Unit = ()

@@ -1302,6 +1302,73 @@ object StreamingQueries {
       |  SELECT key, CAST(2 AS INTEGER) FROM base WHERE n_regionkey = 1) t
       |ORDER BY key, v""".stripMargin
 
+  /** st27: RATE-LIMITED backlog replay (r17) — DSv2 admission control
+    * (`SupportsAdmissionControl`) on the pot change feed:
+    * `.option("maxGenerationsPerTrigger", 1)` bounds every micro-batch
+    * to one generation of backlog, so a reader starting against a deep
+    * chain drains it in bounded, checkpointable steps instead of one
+    * giant batch (Kafka's maxOffsetsPerTrigger for the chain — the
+    * backfill-OOM guard). st17's exact 3-generation pot replayed under
+    * the limit: the emitted ROWS are identical to the unlimited feed
+    * (a generation never splits, boundaries stay deterministic) and
+    * the DATA-BATCH COUNT — emitted as the `_batches` row — is exactly
+    * the backlog depth, both oracle-checked.
+    */
+  def streamRateLimitedFeed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = runScratchDir("graft-st27")
+    val pot = s"$root/pot/t/data.json"
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    def docs(df: DataFrame, v: Int) = df.select(
+      lit("").as("pot_file"),
+      concat(lit("n"), col("n_nationkey").cast("string")).as("key"),
+      to_json(struct(col("n_name").as("name"), lit(v).as("v")))
+        .as("doc_json"))
+    val nat = graft.Tables.nation(s, d)
+    docs(nat.filter($"n_regionkey" <= 1), 0)
+      .write.format(fmt).option("path", pot).mode("overwrite").save()
+    docs(nat.filter($"n_regionkey" === 0), 1)
+      .write.format(fmt).option("path", pot).mode("append").save()
+    docs(nat.filter($"n_regionkey" === 1), 2)
+      .write.format(fmt).option("path", pot).mode("append").save()
+    val feed = s"$root/feed"
+    var dataBatches = 0
+    withStreamRunConf(s) {
+      val q = s.readStream.format(fmt).option("path", pot)
+        .option("maxGenerationsPerTrigger", "1").load()
+        .writeStream.format("parquet")
+        .option("path", feed)
+        .option("checkpointLocation", s"$root/chk")
+        .start()
+      q.processAllAvailable()
+      dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      q.stop()
+    }
+    val rows = s.read.parquet(feed)
+      .select($"key",
+        get_json_object($"doc_json", "$.v").cast("int").as("v"))
+    val result = rows
+      .unionByName(Seq(("_batches", dataBatches)).toDF("key", "v"))
+      .orderBy($"key", $"v")
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    result
+  }
+
+  val streamRateLimitedFeedSql: String =
+    """WITH base AS (
+      |  SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS key, n_regionkey
+      |  FROM nation WHERE n_regionkey <= 1)
+      |SELECT key, v FROM (
+      |  SELECT key, CAST(0 AS INTEGER) AS v FROM base
+      |  UNION ALL
+      |  SELECT key, CAST(1 AS INTEGER) FROM base WHERE n_regionkey = 0
+      |  UNION ALL
+      |  SELECT key, CAST(2 AS INTEGER) FROM base WHERE n_regionkey = 1
+      |  UNION ALL
+      |  SELECT '_batches', CAST(3 AS INTEGER)) t
+      |ORDER BY key, v""".stripMargin
+
   /** st18: MULTI-POT change feed — `readStream` over a GLOB of pot
     * objects. Each pot keeps an independent generation chain, so the
     * stream's offset is the per-pot generation VECTOR
@@ -1989,6 +2056,7 @@ object StreamingQueries {
       |ORDER BY phase, key""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st27_rate_limited_feed" -> (streamRateLimitedFeed _),
     "st26_late_data_audit" -> (streamLateAudit _),
     "st25_state_store_reader" -> (streamStateStoreReader _),
     "st24_transform_with_state" -> (streamTransformWithState _),
@@ -2017,6 +2085,7 @@ object StreamingQueries {
     "st4_stream_attribution" -> (streamClickAttribution _))
 
   val oracle: Map[String, String] = Map(
+    "st27_rate_limited_feed" -> streamRateLimitedFeedSql,
     "st26_late_data_audit" -> streamLateAuditSql,
     "st25_state_store_reader" -> streamStateStoreReaderSql,
     "st24_transform_with_state" -> streamTransformWithStateSql,
