@@ -440,6 +440,182 @@ object Extensibility {
       |SELECT '_all', COUNT(*), MIN(key), MAX(key) FROM k
       |ORDER BY pot""".stripMargin
 
+  /** u51: STORAGE-PARTITIONED JOIN over the pot layout (r17) — Iceberg's
+    * SPJ brought to the connector: the scan reports
+    * `KeyGroupedPartitioning(identity(pot_file))` (one pot object per
+    * partition ⇒ one pot_file value per partition, carried as the DSv2
+    * partition key), so with `spark.sql.sources.v2.bucketing.enabled`
+    * a pot_file-keyed join between two reads of the store plans with
+    * ZERO exchange on either side. The query is the SELF-DESCRIBING
+    * OBJECT enrichment shape: each pot carries a `_meta` manifest key,
+    * and every entry row joins its file's manifest — two row scans
+    * (entries vs the key-pushed `_meta` read) meeting exchange-free,
+    * where the unpartitioned alternative shuffles the whole corpus to
+    * meet 10k one-row manifests. HONEST LIMITATION (found live): a
+    * PUSHED-AGGREGATE scan loses its reported partitioning —
+    * V2ScanPartitioningAndOrdering resolves the identity transform
+    * against the aggregate-rewritten output and fails — so the
+    * per-file-stats side must be real rows (the manifest layout),
+    * not u12's pushed count. Broadcast disabled on the isolated
+    * session so the exchange-free plan is SPJ's doing; PotJsonSpec
+    * pins zero Exchange nodes with the conf and the shuffle's return
+    * without it. Oracle replays relationally from nation.
+    */
+  def storagePartitionedJoin(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val dir = java.nio.file.Files.createTempDirectory("graft-u51").toString
+    val rows = Tables.nation(ss, d)
+      .select($"n_nationkey", $"n_name").collect()
+    def potJson(parity: Int): String = {
+      val members = rows.filter(_.getInt(0) % 2 == parity)
+      (members.map(r =>
+        s""""n${r.getInt(0)}": {"name": "${r.getString(1)}"}""") :+
+        s""""_meta": {"n": ${members.length}}""").mkString("{", ", ", "}")
+    }
+    Seq(0, 1).foreach { par =>
+      val pd = java.nio.file.Paths.get(dir, s"nation_$par")
+      java.nio.file.Files.createDirectories(pd)
+      java.nio.file.Files.writeString(pd.resolve("data.json"), potJson(par))
+    }
+    val df = ss.read.format(classOf[graft.sources.PotV2Source].getName)
+      .option("path", s"$dir/*/data.json").load()
+    val entries = df.filter($"key" =!= "_meta").select($"pot_file", $"key")
+    val manifest = df.filter($"key" === "_meta").select($"pot_file",
+      get_json_object($"doc_json", "$.n").cast("long").as("n_in_file"))
+    val out = entries.join(manifest, "pot_file")
+      .select(
+        regexp_extract($"pot_file", "([^/]+)/data\\.json$", 1).as("pot"),
+        $"key", $"n_in_file")
+      .orderBy($"pot", $"key")
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    out
+  }
+
+  val storagePartitionedJoinSql: String =
+    """WITH k AS (
+      |  SELECT 'nation_' || CAST(n_nationkey % 2 AS VARCHAR) AS pot,
+      |    'n' || CAST(n_nationkey AS VARCHAR) AS key
+      |  FROM nation),
+      |c AS (SELECT pot, COUNT(*) AS n_in_file FROM k GROUP BY pot)
+      |SELECT k.pot, k.key, c.n_in_file
+      |FROM k JOIN c USING (pot)
+      |ORDER BY pot, key""".stripMargin
+
+  /** u52: CHAIN-HEALTH inventory TVF (r17) — `graft_pot_chain('<glob>')`
+    * in FROM position: one row per pot under the glob with its chain
+    * shape (head generation, covering snapshot generation, delta-run
+    * length, needs_compaction) — the observability surface u50's
+    * compact verb is DRIVEN by: `SELECT … WHERE needs_compaction = 1`
+    * is the maintenance loop's work list, exactly how a lakehouse
+    * schedules OPTIMIZE. Driver-side chain walk per pot (marker reads
+    * only — metadata-sized, one row per pot, the CALL-result bound);
+    * the query builds one delta-headed chain (u50's shape) and one
+    * snapshot-only pot and reads both through the TVF; every emitted
+    * value is deterministic by construction, oracle = the expected
+    * inventory relationally.
+    */
+  private def registerPotChainTvf(s: SparkSession): Unit =
+    s.sessionState.tableFunctionRegistry.registerFunction(
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("graft_pot_chain"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.sources.PotV2Source].getName, "graft_pot_chain"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.unsafe.types.UTF8String
+        val glob = exprs match {
+          case Seq(Literal(p: UTF8String, _)) => p.toString
+          case other => throw new IllegalArgumentException(
+            "graft_pot_chain: expected a STRING literal glob, got " + other)
+        }
+        val sess = org.apache.spark.sql.SparkSession.active
+        import sess.implicits._
+        val p = new org.apache.hadoop.fs.Path(glob)
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val rows = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+          .filter(_.isFile).map(_.getPath).map { pot =>
+            val commits = new org.apache.hadoop.fs.Path(
+              pot.getParent, ".commits")
+            val gens = graft.kv.CommitMarker
+              .committedGenerations(fs, commits)
+            if (gens.isEmpty) (pot.toString, 0L, 0L, 0L, 0L)
+            else {
+              val head = gens.max
+              val (snap, dgens) =
+                graft.sources.PotChain.chainRun(fs, commits, head)
+              val covering = head - dgens.length
+              (pot.toString, head, covering, dgens.length.toLong,
+                if (dgens.nonEmpty) 1L else 0L)
+            }
+          }
+        rows.toDF("pot_file", "head_gen", "covering_gen", "dgen_run",
+          "needs_compaction").queryExecution.analyzed
+      })
+
+  def chainInventory(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    registerPotChainTvf(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft-u52").toString
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    val nat = Tables.nation(s, d)
+      .select($"n_nationkey", $"n_name", $"n_regionkey").collect().toSeq
+    def doc(name: String) = s"""{"name": "$name"}"""
+    def write(sub: String, rows: Seq[org.apache.spark.sql.Row]): String = {
+      val pot = s"$dir/$sub/data.json"
+      rows.map(r => ("", s"n${r.getInt(0)}", doc(r.getString(1))))
+        .toDF("pot_file", "key", "doc_json")
+        .write.format(fmt).option("path", pot).mode("overwrite").save()
+      pot
+    }
+    // pot A: snapshot + two delta epochs (u50's chain shape)
+    val potA = write("a", nat)
+    val fsA = new org.apache.hadoop.fs.Path(potA)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    def epoch(tag: String, lines: Seq[String]): Unit = {
+      val staging = new org.apache.hadoop.fs.Path(s"$dir/a/.staging-$tag")
+      fsA.mkdirs(staging)
+      val frag = new org.apache.hadoop.fs.Path(staging, "f.jsonl")
+      val out = fsA.create(frag, false)
+      try out.write(lines.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val w = new graft.sources.PotV2Write(potA,
+        graft.sources.PotV2Source.Schema, tag, truncateFirst = false,
+        graft.sources.PotV2Source.DefaultMaxObjectBytes)
+      w.commitDeltaEpoch(
+        Array(graft.sources.PotFragmentMessage(0, frag.toString)),
+        tag, staging)
+    }
+    epoch("u52e1", nat.filter(_.getInt(2) == 0).map(r =>
+      s"""{"k": "n${r.getInt(0)}", "d": ${doc(r.getString(1))}}"""))
+    epoch("u52e2", nat.filter(_.getInt(2) == 1).map(r =>
+      s"""{"k": "n${r.getInt(0)}", "d": ${doc(r.getString(1))}}"""))
+    // pot B: one snapshot generation, already compact
+    write("b", nat.filter(_.getInt(2) <= 1))
+    val out = s.sql(
+      s"""SELECT regexp_extract(pot_file, '([^/]+)/data\\\\.json$$', 1)
+         |    AS pot,
+         |  head_gen, covering_gen, dgen_run, needs_compaction
+         |FROM graft_pot_chain('$dir/*/data.json')
+         |ORDER BY pot""".stripMargin)
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    out
+  }
+
+  val chainInventorySql: String =
+    """SELECT pot, head_gen, covering_gen, dgen_run, needs_compaction
+      |FROM (VALUES
+      |  ('a', CAST(3 AS BIGINT), CAST(1 AS BIGINT), CAST(2 AS BIGINT),
+      |    CAST(1 AS BIGINT)),
+      |  ('b', CAST(1 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+      |    CAST(0 AS BIGINT)))
+      |  AS t(pot, head_gen, covering_gen, dgen_run, needs_compaction)
+      |ORDER BY pot""".stripMargin
+
   /** u13: a TABLE-VALUED FUNCTION — `graft_pot('<glob>')` in FROM position
     * resolves to the PotV2 DSv2 relation, completing the SQL extension
     * family (scalar expressions u7/u8, aggregate u9, optimizer rule u11,
@@ -2788,6 +2964,8 @@ object Extensibility {
     "u48_zorder_maintenance" -> (zorderMaintenance _),
     "u49_agg_minmax_pushdown" -> (aggMinMaxPushdown _),
     "u50_compact_pot" -> (compactPotVerb _),
+    "u51_storage_partitioned_join" -> (storagePartitionedJoin _),
+    "u52_chain_inventory" -> (chainInventory _),
     "u30_sql_function_catalog" -> (sqlFunctionCatalog _),
     "u29_sql_zorder_read" -> (sqlZorderRead _),
     "u28_sql_topn_pushdown" -> (sqlTopNPushdown _),
@@ -2840,6 +3018,8 @@ object Extensibility {
     "u48_zorder_maintenance" -> zorderMaintenanceSql,
     "u49_agg_minmax_pushdown" -> aggMinMaxPushdownSql,
     "u50_compact_pot" -> compactPotVerbSql,
+    "u51_storage_partitioned_join" -> storagePartitionedJoinSql,
+    "u52_chain_inventory" -> chainInventorySql,
     "u30_sql_function_catalog" -> sqlFunctionCatalogSql,
     "u29_sql_zorder_read" -> sqlZorderReadSql,
     "u28_sql_topn_pushdown" -> sqlTopNPushdownSql,

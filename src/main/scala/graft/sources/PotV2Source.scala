@@ -1120,7 +1120,35 @@ private[graft] class PotV2Scan(
     aggKinds: Seq[PotV2Source.PotAgg] = Seq(PotV2Source.AggCount),
     maxGensPerTrigger: Option[Int] = None)
     extends Scan with Batch
-    with SupportsRuntimeFiltering with SupportsReportStatistics {
+    with SupportsRuntimeFiltering with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  /** u51: STORAGE-PARTITIONED JOIN surface — the scan reports
+    * `KeyGroupedPartitioning(identity(pot_file))`: every partition is
+    * exactly one pot object (or its chain fold), so its rows share ONE
+    * pot_file value, carried as the partition key
+    * ([[PotFilePartition.partitionKey]]). With
+    * `spark.sql.sources.v2.bucketing.enabled`, a join keyed on
+    * pot_file between two reads of the store (per-entry rows × pushed
+    * per-file aggregates, the enrichment shape) plans with ZERO
+    * exchange on either side — Iceberg's SPJ for the pot layout.
+    * Reported only when pot_file survives projection and every planned
+    * partition carries a key (the count-pushed no-file partition has
+    * none); otherwise Unknown, exactly what Spark assumed before.
+    */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
+    val parts = planInputPartitions()
+    val keyed = parts.nonEmpty && parts.forall(
+      _.isInstanceOf[org.apache.spark.sql.connector.read.HasPartitionKey])
+    if (keyed && readSchema().fieldNames.contains("pot_file"))
+      new org.apache.spark.sql.connector.read.partitioning
+        .KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .identity("pot_file")), parts.length)
+    else new org.apache.spark.sql.connector.read.partitioning
+      .UnknownPartitioning(parts.length)
+  }
 
   override def supportedCustomMetrics()
       : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
@@ -1404,9 +1432,14 @@ private[graft] class PotV2Scan(
 /** One immutable object read whole: either a `.snap-` body or a data.json
   * materialization. `gen` is the snapshot generation that produced the
   * content (every row's `_pot_gen`); -1 = raw legacy object with no
-  * chain (metadata column reads NULL). */
+  * chain (metadata column reads NULL). Carries its `pot_file` as the
+  * DSv2 partition key (u51: storage-partitioned joins). */
 private[sources] case class PotFilePartition(
     file: String, gen: Long = -1L) extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    InternalRow(UTF8String.fromString(file))
+}
 
 /** A pot whose chain head (or pinned generation) is a DELTA generation:
   * the reader folds the chain (covering snapshot + dgens) EXECUTOR-side
@@ -1415,6 +1448,10 @@ private[sources] case class PotFilePartition(
   * is the provenance value emitted in the pot_file column. */
 private[sources] case class PotStatePartition(
     dir: String, gen: Long, potFile: String) extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    InternalRow(UTF8String.fromString(potFile))
+}
 
 /** Planned only for a pushed partial GLOBAL count whose pot_file
   * predicate pruned every file: its reader emits the single 0 partial. */

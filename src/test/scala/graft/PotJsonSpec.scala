@@ -235,6 +235,53 @@ class PotJsonSpec extends AnyFunSuite {
       .contains("PushedAggregation"))
   }
 
+  test("PotV2 storage-partitioned join (u51, r17): pot_file-keyed join " +
+    "between entry rows and the pushed per-file aggregate plans with " +
+    "ZERO exchanges under v2 bucketing; without the conf the shuffle is " +
+    "back") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count, lit}
+    val dir = java.nio.file.Files.createTempDirectory("potv2spj")
+    (1 to 4).foreach(i => writePot(dir, s"p$i",
+      ((1 to i).map(j => s""""k${i}_$j": {"id": "k${i}_$j"}""") :+
+        s""""_meta": {"n": $i}""").mkString("{", ", ", "}")))
+    def joined(sess: org.apache.spark.sql.SparkSession) = {
+      val df = sess.read
+        .format(classOf[graft.sources.PotV2Source].getName)
+        .option("path", s"$dir/*/data.json").load()
+      // per-file stats as MANIFEST ROWS, not the pushed aggregate: an
+      // aggregate-rewritten scan loses its reported partitioning
+      // (V2ScanPartitioningAndOrdering fails to resolve the transform
+      // against the rewritten output — found live, noted in the query)
+      df.filter(df("key") =!= "_meta").select(df("pot_file"), df("key"))
+        .join(df.filter(df("key") === "_meta").select(df("pot_file"),
+          org.apache.spark.sql.functions
+            .get_json_object(df("doc_json"), "$.n").cast("long").as("n")),
+          "pot_file")
+    }
+    val on = spark.newSession()
+    on.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    on.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val spj = joined(on)
+    val plan = spj.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"storage-partitioned join still shuffles:\n$plan")
+    val got = spj.collect().map(r => (r.getString(1), r.getLong(2))).toSet
+    val expected = (1 to 4).flatMap(i =>
+      (1 to i).map(j => (s"k${i}_$j", i.toLong))).toSet
+    assert(got === expected)
+    // with v2 bucketing DISABLED (it is default-ON in Spark 4 — even
+    // better for users): same answer, but the join pays its exchanges
+    val off = spark.newSession()
+    off.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    off.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plain = joined(off)
+    assert(plain.queryExecution.executedPlan.toString.contains("Exchange"),
+      "expected the shuffle back with v2 bucketing disabled")
+    assert(plain.collect().map(r => (r.getString(1), r.getLong(2))).toSet
+      === expected)
+  }
+
   test("PotV2Source runtime filtering prunes pot files from a join's resolved values") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("potv2dpp")
