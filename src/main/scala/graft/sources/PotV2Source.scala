@@ -79,24 +79,42 @@ object PotV2Source {
     * a READ view — the write path's (key, doc_json) contract is
     * unchanged.
     */
+  /** Shred spec entry: `field:type` for a top-level field, or
+    * `alias=a.b.c:type` for a NESTED path (r17 — the dot walks
+    * sub-objects during the same pre-stringify extraction; the alias
+    * names the column, since dots in column names would fight SQL).
+    * A dotted path without an alias is rejected loudly. */
   def parseShred(spec: Option[String])
-      : Seq[(String, org.apache.spark.sql.types.DataType)] =
+      : Seq[(String, Seq[String], org.apache.spark.sql.types.DataType)] =
     spec.filter(_.trim.nonEmpty).map(_.split(",").toSeq.map { p =>
-      p.split(":") match {
-        case Array(f, "string") => (f.trim, StringType: org.apache.spark.sql.types.DataType)
-        case Array(f, "bigint") =>
-          (f.trim, org.apache.spark.sql.types.LongType: org.apache.spark.sql.types.DataType)
-        case other => throw new IllegalArgumentException(
-          s"PotV2Source shred: expected 'field:string|bigint', got " +
-            s"'${p.trim}'")
+      val (alias0, rest) = p.split("=", 2) match {
+        case Array(a, r) => (Some(a.trim), r)
+        case _ => (None, p)
       }
+      val (path, t) = rest.split(":") match {
+        case Array(f, "string") =>
+          (f.trim, StringType: org.apache.spark.sql.types.DataType)
+        case Array(f, "bigint") =>
+          (f.trim, org.apache.spark.sql.types.LongType
+            : org.apache.spark.sql.types.DataType)
+        case _ => throw new IllegalArgumentException(
+          s"PotV2Source shred: expected '[alias=]path:string|bigint', " +
+            s"got '${p.trim}'")
+      }
+      val segs = path.split("\\.").toSeq.map(_.trim)
+      require(segs.nonEmpty && segs.forall(_.nonEmpty),
+        s"PotV2Source shred: empty path in '${p.trim}'")
+      require(segs.length == 1 || alias0.isDefined,
+        s"PotV2Source shred: nested path '$path' needs an alias " +
+          "('alias=a.b:type') — dots in column names would fight SQL")
+      (alias0.getOrElse(segs.head), segs, t)
     }).getOrElse(Nil)
 
   def schemaWith(
-      shred: Seq[(String, org.apache.spark.sql.types.DataType)])
+      shred: Seq[(String, Seq[String], org.apache.spark.sql.types.DataType)])
       : StructType =
     StructType(Schema.fields.toSeq ++
-      shred.map { case (f, t) => StructField(f, t, nullable = true) })
+      shred.map { case (f, _, t) => StructField(f, t, nullable = true) })
 
   /** The `_pot_gen` metadata column (u32): see
     * [[PotV2Table.metadataColumns]]. Shared by the single-pot and
@@ -562,7 +580,7 @@ private[graft] object PotChain {
 class PotTooLarge(message: String) extends RuntimeException(message)
 
 private[sources] class PotV2Table(path: String,
-    shred: Seq[(String, org.apache.spark.sql.types.DataType)] = Nil)
+    shred: Seq[(String, Seq[String], org.apache.spark.sql.types.DataType)] = Nil)
     extends Table with SupportsRead with SupportsWrite
     with SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -742,7 +760,7 @@ private[sources] class PotV2Table(path: String,
 
 private[graft] class PotV2ScanBuilder(
     path: String, generation: Option[Long] = None,
-    shred: Seq[(String, org.apache.spark.sql.types.DataType)] = Nil,
+    shred: Seq[(String, Seq[String], org.apache.spark.sql.types.DataType)] = Nil,
     maxGensPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates
@@ -750,7 +768,7 @@ private[graft] class PotV2ScanBuilder(
     with org.apache.spark.sql.connector.read.SupportsPushDownTableSample {
   import org.apache.spark.sql.sources._
   private val shredTypes: Map[String, org.apache.spark.sql.types.DataType] =
-    shred.toMap
+    shred.map(s => s._1 -> s._3).toMap
   private var required: StructType = PotV2Source.schemaWith(shred)
   private[sources] var pushed: Array[Filter] = Array.empty
   private var aggGroupedByFile: Option[Boolean] = None
@@ -1063,13 +1081,16 @@ private[graft] object PotV2Filters {
     }
   }
 
-  /** Extract one shredded field from a parsed document (u45): missing
-    * field, JSON null, or a type mismatch read as SQL NULL — never a
-    * coercion guess (a float is NOT a bigint; an object is NOT a
-    * string). Returns String | java.lang.Long | null. */
+  /** Extract one shredded field from a parsed document (u45; nested
+    * paths r17): missing field, JSON null, a non-object mid-path, or a
+    * type mismatch read as SQL NULL — never a coercion guess (a float
+    * is NOT a bigint; an object is NOT a string). Returns String |
+    * java.lang.Long | null. */
   def shredValue(node: com.fasterxml.jackson.databind.JsonNode,
-      field: String, t: org.apache.spark.sql.types.DataType): Any = {
-    val v = node.get(field)
+      path: Seq[String], t: org.apache.spark.sql.types.DataType): Any = {
+    var v: com.fasterxml.jackson.databind.JsonNode = node
+    path.foreach { seg => if (v != null && v.isObject) v = v.get(seg)
+      else v = null }
     if (v == null || v.isNull) null
     else t match {
       case org.apache.spark.sql.types.StringType =>
@@ -1116,7 +1137,7 @@ private[graft] class PotV2Scan(
     pushedTopN: Option[(Boolean, Int)] = None,
     capResolver: Option[() => Map[String, Long]] = None,
     pushedSample: Option[Long] = None,
-    shred: Seq[(String, org.apache.spark.sql.types.DataType)] = Nil,
+    shred: Seq[(String, Seq[String], org.apache.spark.sql.types.DataType)] = Nil,
     aggKinds: Seq[PotV2Source.PotAgg] = Seq(PotV2Source.AggCount),
     maxGensPerTrigger: Option[Int] = None)
     extends Scan with Batch
@@ -1473,7 +1494,7 @@ private[sources] class PotV2ReaderFactory(
     pushedLimit: Option[Int] = None,
     pushedTopN: Option[(Boolean, Int)] = None,
     pushedSample: Option[Long] = None,
-    shred: Seq[(String, org.apache.spark.sql.types.DataType)] = Nil,
+    shred: Seq[(String, Seq[String], org.apache.spark.sql.types.DataType)] = Nil,
     aggKinds: Seq[PotV2Source.PotAgg] = Seq(PotV2Source.AggCount))
     extends PartitionReaderFactory {
   /** Pushed-filter + pushed-sample admission for one key (u41: the
@@ -1493,8 +1514,8 @@ private[sources] class PotV2ReaderFactory(
   private def svalsOf(node: com.fasterxml.jackson.databind.JsonNode)
       : Array[Any] =
     if (shred.isEmpty) PotV2ReaderFactory.NoSvals
-    else shred.iterator.map { case (f, t) =>
-      PotV2Filters.shredValue(node, f, t) }.toArray
+    else shred.iterator.map { case (_, path, t) =>
+      PotV2Filters.shredValue(node, path, t) }.toArray
   private def docKeep(sv: Array[Any]): Boolean =
     docFilters.isEmpty ||
       PotV2Filters.docAccepts(docFilters, shredCols, n => sv(shredIdx(n)))

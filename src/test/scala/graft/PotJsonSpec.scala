@@ -2305,6 +2305,32 @@ class PotJsonSpec extends AnyFunSuite {
           "try_cast(get_json_object(doc_json, '$.v') AS BIGINT) <= 20"))
       .select($"key").as[String].collect().toSet
     assert(got.map(_._1) === plainF)
+    // r17 NESTED paths: 'alias=a.b:type' walks sub-objects during the
+    // same pre-stringify extraction; a non-object mid-path reads NULL;
+    // a dotted path without an alias is rejected loudly
+    val nestPot = s"$dir/n/data.json"
+    Seq(
+      ("", "a", """{"geo": {"cc": "DE", "pop": 83}}"""),
+      ("", "b", """{"geo": {"cc": "FR"}}"""),
+      ("", "c", """{"geo": "flat"}"""))
+      .toDF("pot_file", "key", "doc_json")
+      .write.format(fmt).option("path", nestPot).mode("overwrite").save()
+    val nested = spark.read.format(fmt).option("path", nestPot)
+      .option("shred", "cc=geo.cc:string,pop=geo.pop:bigint").load()
+    val nq = nested.filter($"cc" === "DE").select($"key", $"pop")
+    assert(nq.queryExecution.executedPlan.toString.contains("EqualTo(cc,DE)"),
+      nq.queryExecution.executedPlan.toString)
+    assert(nq.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("a", 83L)))
+    val nulls2 = nested.select($"key", $"cc", $"pop").collect()
+      .map(r => (r.getString(0), r.isNullAt(1), r.isNullAt(2))).toSet
+    assert(nulls2 === Set(("a", false, false), ("b", false, true),
+      ("c", true, true)))
+    val noAlias = intercept[Exception] {
+      spark.read.format(fmt).option("path", nestPot)
+        .option("shred", "geo.cc:string").load().collect()
+    }
+    assert(noAlias.getMessage.contains("needs an alias"), noAlias.getMessage)
     new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
   }
 
