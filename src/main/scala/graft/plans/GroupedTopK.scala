@@ -204,9 +204,28 @@ case class GroupedTopKExec(
         private val map =
           new java.util.TreeMap[UnsafeRow, java.util.ArrayList[UnsafeRow]](ascRow)
         private var total = 0
+        // worst tie-group dies once the rows strictly before it number
+        // >= k (its rank exceeded k). Must run after EVERY retained-set
+        // growth — including a tie-append to a better key, which raises
+        // the count preceding the worst group without touching keys
+        // (missed in the first cut; the r17 rank-mode property test
+        // caught surviving stale tie-groups under chunked re-folds)
+        private def evictOverRank(): Unit = {
+          var done = false
+          while (!done && map.size > 1) {
+            val last = map.lastEntry()
+            if (total - last.getValue.size >= kk) {
+              total -= last.getValue.size; map.pollLastEntry()
+            } else done = true
+          }
+        }
         def insert(row: UnsafeRow): Unit = {
           val existing = map.get(row)
-          if (existing != null) { existing.add(row.copy()); total += 1; return }
+          if (existing != null) {
+            existing.add(row.copy()); total += 1
+            if (!dense) evictOverRank()
+            return
+          }
           if (dense) {
             if (map.size < kk) {
               val l = new java.util.ArrayList[UnsafeRow](); val c = row.copy()
@@ -223,15 +242,7 @@ case class GroupedTopKExec(
                 ord.compare(row, map.lastKey()) > 0) return
             val l = new java.util.ArrayList[UnsafeRow](); val c = row.copy()
             l.add(c); map.put(c, l); total += 1
-            // worst tie-group dies once the rows strictly before it
-            // number >= k (its rank exceeded k)
-            var done = false
-            while (!done && map.size > 1) {
-              val last = map.lastEntry()
-              if (total - last.getValue.size >= kk) {
-                total -= last.getValue.size; map.pollLastEntry()
-              } else done = true
-            }
+            evictOverRank()
           }
         }
         def emit(buf: scala.collection.mutable.ArrayBuffer[InternalRow]): Unit = {

@@ -678,4 +678,42 @@ class PropertySpec extends AnyFunSuite {
         s"trial=$trial k=$k parts=$parts: ${got.take(6)} vs ${expected.take(6)}")
     }
   }
+
+  test("property: GroupedTopK rank/dense_rank modes equal the window " +
+    "forms under heavy ties, varied partitioning, AND partial-phase " +
+    "flushes (r17)") {
+    import spark.implicits._
+    // tiny value domain: every group is wall-to-wall ties, the worst case
+    // for TieState's boundary eviction; the flush budget below forces the
+    // partial map to emit+clear repeatedly, so re-folding of TIE SETS is
+    // exercised too (not just row_number's heaps)
+    val rowGen = for {
+      g <- Gen.chooseNum(0, 9)
+      v <- Gen.chooseNum(0, 4)
+    } yield (g.toLong, v.toLong)
+    spark.conf.set("spark.graft.topk.partialMaxGroups", "3")
+    try (1 to 3).foreach { trial =>
+      val rows = samples(rowGen, 60 * trial, 9300L + trial)
+        .zipWithIndex.map { case ((g, v), i) => (g, v, i.toLong) }
+      val k = trial // 1..3
+      val df = rows.toDF("g", "v", "id").repartition(trial + 1)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"g").orderBy($"v".desc)
+      def sortAll(d: org.apache.spark.sql.DataFrame) =
+        d.orderBy($"g", $"v".desc, $"id").as[(Long, Long, Long)]
+          .collect().toSeq
+      for ((mode, fn) <- Seq(
+          (graft.plans.RankK, org.apache.spark.sql.functions.rank()),
+          (graft.plans.DenseRankK,
+            org.apache.spark.sql.functions.dense_rank()))) {
+        val got = sortAll(graft.plans.GroupedTopK.topKPerGroup(
+          df, k, Seq("g"), Seq(("v", false)), mode))
+        val expected = sortAll(df.withColumn("r", fn.over(w))
+          .filter($"r" <= k).drop("r"))
+        assert(got === expected,
+          s"trial=$trial k=$k mode=$mode: ${got.take(6)} vs " +
+            s"${expected.take(6)}")
+      }
+    } finally spark.conf.unset("spark.graft.topk.partialMaxGroups")
+  }
 }
