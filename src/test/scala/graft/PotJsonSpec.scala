@@ -2305,6 +2305,26 @@ class PotJsonSpec extends AnyFunSuite {
           "try_cast(get_json_object(doc_json, '$.v') AS BIGINT) <= 20"))
       .select($"key").as[String].collect().toSet
     assert(got.map(_._1) === plainF)
+    // composition with the OTHER pushdowns: TopN's k-bounded selection
+    // admits only doc-filtered entries (the per-partition selection must
+    // be a superset of the filtered relation's top-k — it is, because
+    // admission runs the same docKeep before the heap), and the
+    // aggregate path folds survivors only
+    val topn = shredded().filter($"v" > 10)
+      .select($"key").orderBy($"key").limit(2)
+    assert(topn.queryExecution.executedPlan.toString
+      .contains("PushedTopN: key ASC limit 2"),
+      topn.queryExecution.executedPlan.toString)
+    assert(topn.as[String].collect().toSeq === Seq("k11011", "k12012"))
+    val aggQ = shredded().filter($"v" > 30)
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.min($"key").as("mn"),
+        org.apache.spark.sql.functions.max($"key").as("mx"))
+    assert(aggQ.queryExecution.executedPlan.toString
+      .contains("PushedAggregation: count,min(key),max(key)"),
+      aggQ.queryExecution.executedPlan.toString)
+    assert(aggQ.collect()(0).toSeq === Seq(10L, "k31031", "k40040"))
     // r17 NESTED paths: 'alias=a.b:type' walks sub-objects during the
     // same pre-stringify extraction; a non-object mid-path reads NULL;
     // a dotted path without an alias is rejected loudly
