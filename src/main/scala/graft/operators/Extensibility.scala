@@ -616,6 +616,51 @@ object Extensibility {
       |  AS t(pot, head_gen, covering_gen, dgen_run, needs_compaction)
       |ORDER BY pot""".stripMargin
 
+  /** u53: LIST PAGINATION via OFFSET pushdown (r17) — the reference
+    * pages its listings at the network boundary (`server.go:437-463`);
+    * this is that surface as DSv2: `ORDER BY key LIMIT 5 OFFSET 5p`
+    * over one pot pushes BOTH (`SupportsPushDownOffset` next to the
+    * r15 TopN push — Spark hands the selection limit = k + offset), so
+    * the reader's k-bounded key selection drops the page prefix and
+    * stringifies ONLY the page's documents. Single-object only: the
+    * scan plans exactly one partition there, which is what makes a
+    * per-reader drop globally exact — a glob declines to Spark's
+    * post-scan Offset (the served/declined matrix discipline). The
+    * query reads three consecutive pages; oracle = the same slices of
+    * the sorted key set.
+    */
+  def listPagination(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-u53").toString
+    val pot = s"$dir/t/data.json"
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    Tables.nation(s, d).select(
+      lit("").as("pot_file"),
+      concat(lit("n"), $"n_nationkey".cast("string")).as("key"),
+      to_json(struct($"n_name".as("name"))).as("doc_json"))
+      .write.format(fmt).option("path", pot).mode("overwrite").save()
+    val pages = (0 until 3).map { p =>
+      s.read.format(fmt).option("path", pot).load()
+        .select($"key").orderBy($"key")
+        .offset(p * 5).limit(5)
+        .withColumn("page", lit(p.toLong))
+    }
+    val out = pages.reduce(_ unionByName _)
+      .select($"page", $"key")
+      .orderBy($"page", $"key")
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    out
+  }
+
+  val listPaginationSql: String =
+    """WITH k AS (
+      |  SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS key FROM nation),
+      |o AS (SELECT key, ROW_NUMBER() OVER (ORDER BY key) - 1 AS pos FROM k)
+      |SELECT CAST(pos // 5 AS BIGINT) AS page, key
+      |FROM o WHERE pos < 15
+      |ORDER BY page, key""".stripMargin
+
   /** u13: a TABLE-VALUED FUNCTION — `graft_pot('<glob>')` in FROM position
     * resolves to the PotV2 DSv2 relation, completing the SQL extension
     * family (scalar expressions u7/u8, aggregate u9, optimizer rule u11,
@@ -2966,6 +3011,7 @@ object Extensibility {
     "u50_compact_pot" -> (compactPotVerb _),
     "u51_storage_partitioned_join" -> (storagePartitionedJoin _),
     "u52_chain_inventory" -> (chainInventory _),
+    "u53_list_pagination" -> (listPagination _),
     "u30_sql_function_catalog" -> (sqlFunctionCatalog _),
     "u29_sql_zorder_read" -> (sqlZorderRead _),
     "u28_sql_topn_pushdown" -> (sqlTopNPushdown _),
@@ -3020,6 +3066,7 @@ object Extensibility {
     "u50_compact_pot" -> compactPotVerbSql,
     "u51_storage_partitioned_join" -> storagePartitionedJoinSql,
     "u52_chain_inventory" -> chainInventorySql,
+    "u53_list_pagination" -> listPaginationSql,
     "u30_sql_function_catalog" -> sqlFunctionCatalogSql,
     "u29_sql_zorder_read" -> sqlZorderReadSql,
     "u28_sql_topn_pushdown" -> sqlTopNPushdownSql,

@@ -765,7 +765,8 @@ private[graft] class PotV2ScanBuilder(
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN
-    with org.apache.spark.sql.connector.read.SupportsPushDownTableSample {
+    with org.apache.spark.sql.connector.read.SupportsPushDownTableSample
+    with org.apache.spark.sql.connector.read.SupportsPushDownOffset {
   import org.apache.spark.sql.sources._
   private val shredTypes: Map[String, org.apache.spark.sql.types.DataType] =
     shred.map(s => s._1 -> s._3).toMap
@@ -776,6 +777,7 @@ private[graft] class PotV2ScanBuilder(
   private var pushedLimit: Option[Int] = None
   private var pushedTopN: Option[(Boolean, Int)] = None
   private var pushedSample: Option[Long] = None
+  private var pushedOffset: Option[Int] = None
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
@@ -836,7 +838,32 @@ private[graft] class PotV2ScanBuilder(
     pushedLimit = Some(limit)
     true
   }
-  override def isPartiallyPushed(): Boolean = true
+  /** Partial across a GLOB (per-object k-bounded partials, Spark
+    * merges); COMPLETE for one pot object (r17 — the scan plans exactly
+    * one partition there, and the TopN selection emits in the requested
+    * order, so Spark can drop its own sort/limit entirely; completeness
+    * is also what lets Spark push the paired OFFSET, u53). */
+  override def isPartiallyPushed(): Boolean = PotV2Source.isGlob(path)
+
+  /** OFFSET pushdown (u53, r17) — the reference's LIST PAGINATION
+    * (`server.go:437-463` pages its listings at the network boundary)
+    * as a DSv2 surface: `ORDER BY key LIMIT k OFFSET j` over one pot
+    * object serves page j/k from the reader — the k-bounded TopN
+    * selection (Spark hands pushTopN limit = k + j) drops its first j
+    * winners before stringifying ANYTHING beyond the page. Accepted
+    * ONLY for a single pot object: the scan then plans exactly ONE
+    * partition, making the per-partition drop globally exact — a glob
+    * spans partitions where a per-partition offset is semantically
+    * wrong, so it declines to Spark's post-scan Offset. Without an
+    * ORDER BY the dropped prefix is the object's own entry order
+    * (deterministic per object — same contract as the unordered
+    * LIMIT).
+    */
+  override def pushOffset(offset: Int): Boolean = {
+    if (PotV2Source.isGlob(path)) return false
+    pushedOffset = Some(offset)
+    true
+  }
 
   /** ORDER BY … LIMIT k pushdown (r15; breadth + declination matrix r16):
     * each reader keeps a k-bounded selection by key and stringifies ONLY
@@ -999,7 +1026,7 @@ private[graft] class PotV2ScanBuilder(
   override def build(): Scan =
     new PotV2Scan(path, required, pushed, aggGroupedByFile, generation,
       pushedLimit, pushedTopN, capResolver, pushedSample, shred, aggKinds,
-      maxGensPerTrigger)
+      maxGensPerTrigger, pushedOffset)
 }
 
 /** `docSkippedEntries` (u45): entries whose documents were dropped by a
@@ -1139,7 +1166,8 @@ private[graft] class PotV2Scan(
     pushedSample: Option[Long] = None,
     shred: Seq[(String, Seq[String], org.apache.spark.sql.types.DataType)] = Nil,
     aggKinds: Seq[PotV2Source.PotAgg] = Seq(PotV2Source.AggCount),
-    maxGensPerTrigger: Option[Int] = None)
+    maxGensPerTrigger: Option[Int] = None,
+    pushedOffset: Option[Int] = None)
     extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -1335,7 +1363,7 @@ private[graft] class PotV2Scan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PotV2ReaderFactory(required.fieldNames, pushed, aggGroupedByFile,
-      pushedLimit, pushedTopN, pushedSample, shred, aggKinds)
+      pushedLimit, pushedTopN, pushedSample, shred, aggKinds, pushedOffset)
 
   /** Statistics reporting (r15) — the missing piece for DATA-DRIVEN join
     * planning over pot relations: without it Spark assumes
@@ -1446,7 +1474,8 @@ private[graft] class PotV2Scan(
     }
     val sampleDesc = pushedSample
       .map(t => s", PushedSample: $t/10000 by key hash").getOrElse("")
-    s"PotV2Scan ${pushed.mkString("PushedFilters: [", ", ", "]")}$aggDesc$genDesc$limDesc$sampleDesc"
+    val offDesc = pushedOffset.map(o => s", PushedOffset: $o").getOrElse("")
+    s"PotV2Scan ${pushed.mkString("PushedFilters: [", ", ", "]")}$aggDesc$genDesc$limDesc$sampleDesc$offDesc"
   }
 }
 
@@ -1495,7 +1524,8 @@ private[sources] class PotV2ReaderFactory(
     pushedTopN: Option[(Boolean, Int)] = None,
     pushedSample: Option[Long] = None,
     shred: Seq[(String, Seq[String], org.apache.spark.sql.types.DataType)] = Nil,
-    aggKinds: Seq[PotV2Source.PotAgg] = Seq(PotV2Source.AggCount))
+    aggKinds: Seq[PotV2Source.PotAgg] = Seq(PotV2Source.AggCount),
+    pushedOffset: Option[Int] = None)
     extends PartitionReaderFactory {
   /** Pushed-filter + pushed-sample admission for one key (u41: the
     * sample is a per-myriad threshold on the md5 key fold — consistent
@@ -1768,10 +1798,17 @@ private[sources] class PotV2ReaderFactory(
         case None =>
           pushedLimit.fold(sourceEntries())(k => sourceEntries().take(k))
       }
+      // pushed OFFSET (u53): drop the page prefix AFTER selection — the
+      // scan plans exactly one partition for a non-glob pot (the only
+      // shape the builder accepts), so the per-reader drop is global.
+      // Spark hands pushTopN/pushLimit limit = k + offset, so what
+      // survives here is exactly the requested page.
+      private val paged: Iterator[PotEntry] =
+        pushedOffset.fold(entries)(o => entries.drop(o))
       private var row: InternalRow = _
       override def next(): Boolean = {
-        if (!entries.hasNext) return false
-        val e = entries.next()
+        if (!paged.hasNext) return false
+        val e = paged.next()
         row = InternalRow.fromSeq(columns.toSeq.map {
           case "pot_file" => UTF8String.fromString(file)
           case "key"      => UTF8String.fromString(e.key)

@@ -235,6 +235,38 @@ class PotJsonSpec extends AnyFunSuite {
       .contains("PushedAggregation"))
   }
 
+  test("PotV2 OFFSET pushdown (u53, r17): single-pot pages push offset " +
+    "next to the TopN selection; a glob declines to the post-scan Offset") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("potv2off").toString
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    def write(sub: String, n: Int): String = {
+      val pot = s"$dir/$sub/data.json"
+      (1 to n).map(i => ("", f"k$i%03d", s"""{"v": $i}"""))
+        .toDF("pot_file", "key", "doc_json")
+        .write.format(fmt).option("path", pot).mode("overwrite").save()
+      pot
+    }
+    val pot = write("a", 30); write("b", 30)
+    val page = spark.read.format(fmt).option("path", pot).load()
+      .select($"key").orderBy($"key").offset(10).limit(5)
+    val plan = page.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedOffset: 10") &&
+      plan.contains("PushedTopN: key ASC limit 15"),
+      s"offset/topN not pushed together:\n$plan")
+    assert(page.as[String].collect().toSeq ===
+      (11 to 15).map(i => f"k$i%03d"))
+    // glob: a per-partition drop would be wrong — decline, Spark offsets
+    val globPage = spark.read.format(fmt)
+      .option("path", s"$dir/*/data.json").load()
+      .select($"key").orderBy($"key").offset(10).limit(5)
+    val gplan = globPage.queryExecution.executedPlan.toString
+    assert(!gplan.contains("PushedOffset"), gplan)
+    assert(globPage.as[String].collect().toSeq ===
+      Seq("k006", "k006", "k007", "k007", "k008"))
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
   test("PotV2 storage-partitioned join (u51, r17): pot_file-keyed join " +
     "between entry rows and the pushed per-file aggregate plans with " +
     "ZERO exchanges under v2 bucketing; without the conf the shuffle is " +
