@@ -679,6 +679,108 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: compactPot is state-identical on arbitrary chains " +
+    "(random upsert/tombstone epochs, compaction at a random depth; " +
+    "r17)") {
+    import spark.implicits._
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    val opGen = for {
+      key <- Gen.chooseNum(0, 14) // small key space: LWW collisions + dels
+      del <- Gen.prob(0.25)
+      v <- Gen.chooseNum(0, 999)
+    } yield (s"k$key", if (del) None else Some(v))
+    (1 to 3).foreach { trial =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"prop-compact$trial").toString
+      val pot = s"$dir/t/data.json"
+      val fs = new org.apache.hadoop.fs.Path(pot)
+        .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      // base snapshot
+      (0 to 9).map(i => ("", s"k$i", s"""{"v": $i}"""))
+        .toDF("pot_file", "key", "doc_json")
+        .write.format(fmt).option("path", pot).mode("overwrite").save()
+      // 2-4 random delta epochs through the streaming commit path
+      val nEpochs = 1 + trial
+      (1 to nEpochs).foreach { e =>
+        val ops = samples(opGen, 8, 5500L + trial * 100 + e)
+        val lines = ops.map {
+          case (k, Some(v)) => s"""{"k": "$k", "d": {"v": $v}}"""
+          case (k, None) => s"""{"k": "$k", "d": null}"""
+        }
+        val staging = new org.apache.hadoop.fs.Path(s"$dir/t/.stg-e$e")
+        fs.mkdirs(staging)
+        val frag = new org.apache.hadoop.fs.Path(staging, "f.jsonl")
+        val out = fs.create(frag, false)
+        try out.write(lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+        finally out.close()
+        new graft.sources.PotV2Write(pot, graft.sources.PotV2Source.Schema,
+          s"pc$trial-e$e", truncateFirst = false,
+          graft.sources.PotV2Source.DefaultMaxObjectBytes)
+          .commitDeltaEpoch(Array(
+            graft.sources.PotFragmentMessage(0, frag.toString)),
+            s"pc$trial-e$e", staging)
+      }
+      def state(): Map[String, String] = spark.read.format(fmt)
+        .option("path", pot).load()
+        .select($"key", $"doc_json").as[(String, String)].collect().toMap
+      val before = state()
+      val gen = graft.sources.PotV2Source.compactPot(fs, pot)
+      assert(gen.isDefined, s"trial $trial: delta-headed chain not folded")
+      assert(state() === before,
+        s"trial $trial: compaction changed the state")
+      // idempotent: a second compact is a no-op (head already a snapshot)
+      assert(graft.sources.PotV2Source.compactPot(fs, pot).isEmpty)
+      assert(state() === before)
+      new scala.reflect.io.Directory(new java.io.File(dir))
+        .deleteRecursively()
+    }
+  }
+
+  test("property: doc-field shred pushdown equals the post-scan filter " +
+    "over random typed/missing/null/mistyped fields (u45, r17)") {
+    import spark.implicits._
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    // value shapes: typed int, missing, JSON null, float (type mismatch
+    // reads NULL on both paths — the generator avoids NUMERIC STRINGS,
+    // where the stringly get_json_object reference is deliberately
+    // looser than the typed shred)
+    val docGen = for {
+      shape <- Gen.chooseNum(0, 3)
+      v <- Gen.chooseNum(-50, 50)
+    } yield shape match {
+      case 0 => s"""{"v": $v}"""
+      case 1 => """{"o": 1}"""
+      case 2 => """{"v": null}"""
+      case _ => s"""{"v": $v.5}"""
+    }
+    (1 to 3).foreach { trial =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"prop-shred$trial").toString
+      val pot = s"$dir/t/data.json"
+      val docs = samples(docGen, 50, 6200L + trial).zipWithIndex
+        .map { case (d, i) => ("", f"k$i%03d", d) }
+      docs.toDF("pot_file", "key", "doc_json")
+        .write.format(fmt).option("path", pot).mode("overwrite").save()
+      val shredded = spark.read.format(fmt).option("path", pot)
+        .option("shred", "v:bigint").load()
+      val plain = spark.read.format(fmt).option("path", pot).load()
+        .withColumn("v", expr(
+          "CASE WHEN get_json_object(doc_json, '$.v') NOT LIKE '%.%' " +
+            "THEN try_cast(get_json_object(doc_json, '$.v') AS BIGINT) " +
+            "END"))
+      for (pred <- Seq("v = 7", "v > 0", "v <= -3", "v IN (1, 2, 3)",
+          "v IS NOT NULL", "v >= -10 AND v < 10")) {
+        val got = shredded.filter(expr(pred))
+          .select($"key").as[String].collect().sorted.toSeq
+        val exp = plain.filter(expr(pred))
+          .select($"key").as[String].collect().sorted.toSeq
+        assert(got === exp, s"trial $trial pred '$pred'")
+      }
+      new scala.reflect.io.Directory(new java.io.File(dir))
+        .deleteRecursively()
+    }
+  }
+
   test("property: GroupedTopK rank/dense_rank modes equal the window " +
     "forms under heavy ties, varied partitioning, AND partial-phase " +
     "flushes (r17)") {
