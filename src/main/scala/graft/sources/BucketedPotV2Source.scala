@@ -68,11 +68,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class BucketedPotV2Source extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    PotV2Source.Schema
+    PotV2Source.schemaWith(
+      PotV2Source.parseShred(Option(options.get("shred"))))
   override def getTable(
       schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
     val root = properties.get("path")
+    val shred = PotV2Source.parseShred(Option(properties.get("shred")))
     val supplied = Option(properties.get("buckets")).map(_.toInt)
     // r15: the store is SELF-DESCRIBING — the persisted `_meta/buckets`
     // modulus is authoritative. A supplied count must match it (mismatch
@@ -83,7 +85,7 @@ class BucketedPotV2Source extends TableProvider {
       if (root == null || root.isEmpty || PotV2Source.isGlob(root))
         supplied.getOrElse(graft.kv.BucketMeta.DefaultBuckets)
       else BucketedPotV2Source.resolveBuckets(root, supplied)
-    new BucketedPotV2Table(root, n)
+    new BucketedPotV2Table(root, n, shred)
   }
   override def supportsExternalMetadata(): Boolean = true
 }
@@ -192,7 +194,9 @@ object BucketedPotV2Source {
   }
 }
 
-private[sources] class BucketedPotV2Table(root: String, nBuckets: Int)
+private[sources] class BucketedPotV2Table(root: String, nBuckets: Int,
+    shred: Seq[(String, Seq[String],
+      org.apache.spark.sql.types.DataType)] = Nil)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -205,7 +209,7 @@ private[sources] class BucketedPotV2Table(root: String, nBuckets: Int)
   require(nBuckets >= 1, s"BucketedPotV2Source: buckets must be >= 1")
 
   override def name(): String = s"bucketed-pot:$root[$nBuckets]"
-  override def schema(): StructType = PotV2Source.Schema
+  override def schema(): StructType = PotV2Source.schemaWith(shred)
 
   /** u32 — the same `_pot_gen` hidden column as the single-pot table
     * ([[PotV2Table.metadataColumns]]): per-bucket generation provenance,
@@ -219,7 +223,7 @@ private[sources] class BucketedPotV2Table(root: String, nBuckets: Int)
       TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new BucketedPotScanBuilder(root, nBuckets)
+    new BucketedPotScanBuilder(root, nBuckets, shred)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new BucketedPotWriteBuilder(root, nBuckets, info)
@@ -280,8 +284,10 @@ private[sources] class BucketedPotV2Table(root: String, nBuckets: Int)
 /** The glob scan plus PLANNING-time bucket pruning: exact key predicates
   * hash to their bucket objects and join the pushed pot_file filters, so
   * a point SELECT over a 1000-bucket store opens one object. */
-private[sources] class BucketedPotScanBuilder(root: String, nBuckets: Int)
-    extends PotV2ScanBuilder(s"$root/_b=*/data.json", None) {
+private[sources] class BucketedPotScanBuilder(root: String, nBuckets: Int,
+    shred: Seq[(String, Seq[String],
+      org.apache.spark.sql.types.DataType)] = Nil)
+    extends PotV2ScanBuilder(s"$root/_b=*/data.json", None, shred) {
   import org.apache.spark.sql.sources._
 
   private def qualifiedPath(b: Int): String = {

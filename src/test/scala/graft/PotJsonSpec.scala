@@ -2232,6 +2232,27 @@ class PotJsonSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.sample.pushConsistent")
   }
 
+  test("BucketedPotV2 inherits doc-field shredding (u45, r17): typed " +
+    "columns + pushed predicates reach every bucket's parse") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("bpotshred").toString
+    val fmt = classOf[graft.sources.BucketedPotV2Source].getName
+    (1 to 40).map(i => ("", s"k$i", s"""{"v": $i, "name": "n$i"}"""))
+      .toDF("pot_file", "key", "doc_json")
+      .write.format(fmt).option("path", root).option("buckets", "4")
+      .mode("append").save()
+    val df = spark.read.format(fmt).option("path", root)
+      .option("buckets", "4").option("shred", "v:bigint,name:string").load()
+    val q = df.filter($"v" > 35).select($"key", $"v", $"name")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThan(v,35)"),
+      s"shredded predicate not pushed through the bucketed builder:\n$plan")
+    assert(q.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getString(2))).toSet ===
+      (36 to 40).map(i => (s"k$i", i.toLong, s"n$i")).toSet)
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+  }
+
   test("PotV2 TIMESTAMP AS OF (u46, r17): an instant between two commits " +
     "reads the EARLIER generation; predating the first commit raises " +
     "NAMED; generation+timestampAsOf are mutually exclusive") {
