@@ -155,7 +155,12 @@ object ScaleSmoke {
     "q87_kmv_overlap", "t26_fim_transform", "u33_bloom_runtime_join", "s37_topk_exec_knn",
     "u34_sql_udf_inline", "u35_variant_json", "u38_aqe_skew_join",
     "p29_ngram_decon", "m17_aspect_batching", "q88_grouped_topk",
-    "u39_observe_metrics")
+    "u39_observe_metrics",
+    // round-17 batch (u44-u53/st26/st27 omitted: dimension-only inputs,
+    // store-lifecycle verbs, or stream-machinery floor; t22/t24 omitted
+    // like t21 — replicas change the trained rules)
+    "t28_repetition_signals", "p30_quality_sweep", "p31_seeded_shuffle",
+    "m18_gain_normalize")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
