@@ -1226,12 +1226,14 @@ private[graft] class PotV2Scan(
         .column("pot_file"))
     else Array.empty
   override def filter(
-      filters: Array[org.apache.spark.sql.sources.Filter]): Unit =
+      filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     runtime = filters.filter {
       case org.apache.spark.sql.sources.In("pot_file", _) => true
       case org.apache.spark.sql.sources.EqualTo("pot_file", _) => true
       case _ => false
     }
+    cachedParts = null // runtime pruning re-plans from the new filters
+  }
   import org.apache.spark.sql.types.LongType
 
   private def aggFields: Seq[StructField] = aggKinds.map {
@@ -1274,7 +1276,32 @@ private[graft] class PotV2Scan(
     else new PotV2MicroBatchStream(path, required, maxGensPerTrigger)
   }
 
+  /** Planning memo (r17): planInputPartitions is consulted several
+    * times per query since the SPJ change (outputPartitioning, stats,
+    * the exec itself), and each uncached call re-walks the glob and
+    * every pot's marker dir — at 10k objects that is real planning
+    * cost. One Scan instance = one query, so a cached snapshot is not
+    * just cheaper but MORE correct (plan stability: stats, partitioning
+    * and the exec all see the same chain heads). Runtime filtering
+    * invalidates it — DPP re-plans from the delivered pot_file values.
+    * Statement-barrier reads (capResolver set — the bucketed store) are
+    * NEVER memoized: cap resolution is also where aged crashed
+    * statements AUTO-RECOVER (r16), and the read that triggers the
+    * roll-forward must re-plan to serve the recovered heads — a frozen
+    * early snapshot would hand the exec the pre-recovery base caps
+    * (caught by the r16 auto-recovery spec when the memo first landed). */
+  @volatile private var cachedParts: Array[InputPartition] = _
+
   override def planInputPartitions(): Array[InputPartition] = {
+    if (capResolver.isDefined) return planInputPartitionsUncached()
+    val c = cachedParts
+    if (c != null) return c
+    val planned = planInputPartitionsUncached()
+    cachedParts = planned
+    planned
+  }
+
+  private def planInputPartitionsUncached(): Array[InputPartition] = {
     val p = new Path(path)
     val fs = p.getFileSystem(new Configuration())
     // TIME TRAVEL: `.option("generation", n)` pins the read to commit n of
