@@ -1619,6 +1619,62 @@ pr$r AS (
       .orderBy("shard", "bin")
   }
 
+  /** t29: PACKING PURITY audit (r17) — the cross-document attention
+    * question t25's packer raises: a packed training sequence that
+    * mixes SOURCES (or languages) lets attention bleed across unrelated
+    * documents unless the trainer masks boundaries, and "how much of my
+    * packing is mixed?" is the number that decides whether boundary
+    * masking (or source-grouped packing) is worth its cost (the
+    * sequence-packing literature's contamination concern made a table).
+    * Per shard: bins, source-mixed bins, language-mixed bins. Docs of a
+    * (shard, bin) are CONTIGUOUS in doc_id by the fold's construction,
+    * so assignment is a shard-keyed equi-join with a range predicate
+    * against the bin frame (bins per shard are bounded by corpus/budget
+    * — the join's quadratic term is per-shard and budget-bounded; at
+    * 100 TB the fold itself would emit (doc, bin) pairs instead).
+    * Oracle: the shared t25 recursive fold's `steps` relation joined
+    * back to documents — the doc→bin assignment read directly.
+    */
+  def packingPurity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d).select($"doc_id",
+      ($"doc_id" % PackShards).as("shard"), $"source", $"lang",
+      size(split($"text", " ")).as("n"))
+    val bins = packDocs(docs.select($"doc_id", $"shard", $"n")
+      .as[graft.streaming.PackDoc])
+      .select($"shard".as("bshard"), $"bin", $"first_doc", $"last_doc")
+    docs.join(bins, $"shard" === $"bshard" &&
+        $"doc_id".between($"first_doc", $"last_doc"))
+      .groupBy($"shard", $"bin")
+      .agg(countDistinct($"source").as("ns"),
+        countDistinct($"lang").as("nl"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_bins"),
+        count(when($"ns" > 1, 1)).as("mixed_source_bins"),
+        count(when($"nl" > 1, 1)).as("mixed_lang_bins"))
+      .orderBy($"shard")
+  }
+
+  /** LAZY: packStepsCte is declared below this point — a strict val
+    * would read null at object init (the kv12/d15 trap; the maps at the
+    * bottom force this after every plain val above them initialized). */
+  lazy val packingPuritySql: String = packStepsCte + ",\n" +
+    """asg AS (
+      |  SELECT s.shard, s.bin, d.source, d.lang
+      |  FROM steps s JOIN documents d USING (doc_id)),
+      |pb AS (
+      |  SELECT shard, bin, COUNT(DISTINCT source) AS ns,
+      |    COUNT(DISTINCT lang) AS nl
+      |  FROM asg GROUP BY shard, bin)
+      |SELECT CAST(shard AS BIGINT) AS shard,
+      |  CAST(COUNT(*) AS BIGINT) AS n_bins,
+      |  CAST(COUNT(CASE WHEN ns > 1 THEN 1 END) AS BIGINT)
+      |    AS mixed_source_bins,
+      |  CAST(COUNT(CASE WHEN nl > 1 THEN 1 END) AS BIGINT)
+      |    AS mixed_lang_bins
+      |FROM pb GROUP BY shard
+      |ORDER BY shard""".stripMargin
+
   /** t25: SEQUENCE PACKING — the step between a cleaned corpus and a
     * training run: greedy sequential (first-fit-in-order) packing of
     * whitespace-token documents into fixed [[PackBudget]]-token training
@@ -1884,6 +1940,7 @@ pr$r AS (
       |ORDER BY shard, bin""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t29_packing_purity" -> (packingPurity _),
     "t28_repetition_signals" -> (repetitionSignals _),
     "t27_memorization_risk" -> (memorizationRisk _),
     "t26_fim_transform" -> (fimTransform _),
@@ -1914,6 +1971,7 @@ pr$r AS (
     "t6_pii_scrub"    -> (piiScrub _))
 
   val oracle: Map[String, String] = Map(
+    "t29_packing_purity" -> packingPuritySql,
     "t28_repetition_signals" -> repetitionSignalsSql,
     "t27_memorization_risk" -> memorizationRiskSql,
     "t26_fim_transform" -> fimTransformSql,
