@@ -411,10 +411,12 @@ final class BucketedPotTable(
         case StagedGen(g) => g.toLong > head
         case _            => false
       }
-      if (!inFlight && !keep.contains(name)) {
-        fs.delete(st.getPath, true)
+      // report a path as retired ONLY when the delete actually happened —
+      // a false return (permissions, concurrent access) must not read as
+      // a reclaimed layout in the vacuum_layouts CALL output (r18 ADVICE)
+      if (!inFlight && !keep.contains(name) && fs.delete(st.getPath, true))
         Some(st.getPath.toString)
-      } else None
+      else None
     }
   }
 

@@ -1683,11 +1683,21 @@ object Pipeline {
     * doc_id list) — a training job resuming from any checkpoint can
     * re-derive and VERIFY its exact data order from this row alone.
     * Scale: one map pass computes keys, one exchange on shard, shard-
-    * local sort (shards are the parallel unit by construction — no
-    * global sort, no single-partition window); fingerprints built via
-    * sort_array over shard-local collected (key, doc_id) pairs, bounded
-    * by the shard contract exactly like t25's packer. Seed mirrored
-    * literally in the oracle.
+    * local sort via sortWithinPartitions (shards are the parallel unit
+    * by construction — no global sort, no single-partition window);
+    * the fingerprint is a ONE-PASS CHAINED DIGEST: a MessageDigest fed
+    * the skey-ordered doc_id bytes row by row inside mapPartitions, so
+    * per-shard state is O(1) — count/sum/first/last/16 digest bytes —
+    * never a collected list or an O(shard) concatenated string (r18;
+    * r17 shipped sort_array∘collect_list, a whole shard in one
+    * aggregation buffer). Emitted md5 == md5 of the comma-joined
+    * ordered doc_id list, byte-identical to the aggregate form, so the
+    * oracle is untouched. Shard-count scale rule (t25's contract): the
+    * modulus-8 here is the fixture stand-in — at 100 TB shards come
+    * from `conv(pkh,16,10) DIV shardSpan` so each shard is CONSTANT
+    * SIZE and the per-task sort stays bounded; the digest itself is
+    * already O(1) whatever the shard size. Seed mirrored literally in
+    * the oracle.
     */
   def seededShuffle(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -1702,13 +1712,36 @@ object Pipeline {
       .select($"doc_id", $"n_toks",
         concat($"pkh", lpad($"doc_id".cast("string"), 10, "0")).as("skey"),
         pmod(expr("conv(pkh, 16, 10)").cast("long"), lit(8L)).as("shard"))
-    keyed.groupBy($"shard")
-      .agg(count(lit(1)).as("n_docs"), sum($"n_toks").as("n_tokens"),
-        min_by($"doc_id", $"skey").as("first_doc"),
-        max_by($"doc_id", $"skey").as("last_doc"),
-        md5(concat_ws(",",
-          expr("transform(sort_array(collect_list(struct(skey, doc_id))), " +
-            "x -> CAST(x.doc_id AS STRING))"))).as("order_md5"))
+    keyed
+      .select($"shard", $"skey", $"doc_id", $"n_toks")
+      .as[(Long, String, Long, Long)]
+      .repartition($"shard")
+      .sortWithinPartitions($"shard", $"skey")
+      .mapPartitions { it =>
+        // rows arrive (shard, skey)-sorted, shards contiguous: fold each
+        // shard with O(1) state, streaming doc_ids into the digest
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long, Long, String)]
+        var cur = Long.MinValue
+        var dig: java.security.MessageDigest = null
+        var n = 0L; var toks = 0L; var first = 0L; var last = 0L
+        def flush(): Unit = if (dig != null)
+          out += ((cur, n, toks, first, last,
+            dig.digest().map("%02x".format(_)).mkString))
+        it.foreach { case (shard, _, docId, nToks) =>
+          if (dig == null || shard != cur) {
+            flush()
+            cur = shard; n = 0L; toks = 0L; first = docId
+            dig = java.security.MessageDigest.getInstance("MD5")
+          } else dig.update(",".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          dig.update(docId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          n += 1; toks += nToks; last = docId
+        }
+        flush()
+        out.iterator
+      }
+      .toDF("shard", "n_docs", "n_tokens", "first_doc", "last_doc",
+        "order_md5")
       .orderBy($"shard")
   }
 

@@ -1619,6 +1619,27 @@ pr$r AS (
       .orderBy("shard", "bin")
   }
 
+  /** The per-doc ASSIGNMENT emit — the same [[graft.streaming.PackFold]]
+    * walk (via its onDoc hook, so the two emits can never diverge), but
+    * each doc yields its own (shard, doc_id, bin) row. This is the
+    * 100 TB shape the t25 scaladoc promised: assignment rows come out of
+    * the fold itself, O(docs) total, so downstream audits are keyed
+    * equi-joins — no doc×bins range reconstruction.
+    */
+  private[graft] def packAssign(
+      docs: org.apache.spark.sql.Dataset[graft.streaming.PackDoc]): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.shard)
+      .flatMapGroups { (shard, it) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+        graft.streaming.PackFold(
+          shard, None, it.toArray.sortBy(_.doc_id), PackBudget,
+          (dd, bin) => out += ((shard, dd.doc_id, bin)))
+        out.iterator
+      }
+      .toDF("shard", "doc_id", "bin")
+  }
+
   /** t29: PACKING PURITY audit (r17) — the cross-document attention
     * question t25's packer raises: a packed training sequence that
     * mixes SOURCES (or languages) lets attention bleed across unrelated
@@ -1626,12 +1647,14 @@ pr$r AS (
     * packing is mixed?" is the number that decides whether boundary
     * masking (or source-grouped packing) is worth its cost (the
     * sequence-packing literature's contamination concern made a table).
-    * Per shard: bins, source-mixed bins, language-mixed bins. Docs of a
-    * (shard, bin) are CONTIGUOUS in doc_id by the fold's construction,
-    * so assignment is a shard-keyed equi-join with a range predicate
-    * against the bin frame (bins per shard are bounded by corpus/budget
-    * — the join's quadratic term is per-shard and budget-bounded; at
-    * 100 TB the fold itself would emit (doc, bin) pairs instead).
+    * Per shard: bins, source-mixed bins, language-mixed bins. The
+    * doc→bin assignment comes STRAIGHT OUT OF THE FOLD ([[packAssign]]
+    * — one (doc_id, bin) row per doc via PackFold's onDoc hook), so the
+    * audit is ONE doc_id-keyed equi-join: O(docs) rows moved, no range
+    * predicate, no per-shard doc×bins term (r18 — r17 shipped a
+    * shard-keyed BETWEEN join against the bin frame whose quadratic
+    * per-shard cost its own scaladoc flagged; the fold-emitted
+    * assignment deletes it).
     * Oracle: the shared t25 recursive fold's `steps` relation joined
     * back to documents — the doc→bin assignment read directly.
     */
@@ -1640,11 +1663,11 @@ pr$r AS (
     val docs = Tables.documents(s, d).select($"doc_id",
       ($"doc_id" % PackShards).as("shard"), $"source", $"lang",
       size(split($"text", " ")).as("n"))
-    val bins = packDocs(docs.select($"doc_id", $"shard", $"n")
+    val asg = packAssign(docs.select($"doc_id", $"shard", $"n")
       .as[graft.streaming.PackDoc])
-      .select($"shard".as("bshard"), $"bin", $"first_doc", $"last_doc")
-    docs.join(bins, $"shard" === $"bshard" &&
-        $"doc_id".between($"first_doc", $"last_doc"))
+      .select($"doc_id", $"shard", $"bin")
+    docs.select($"doc_id", $"source", $"lang")
+      .join(asg, Seq("doc_id"))
       .groupBy($"shard", $"bin")
       .agg(countDistinct($"source").as("ns"),
         countDistinct($"lang").as("nl"))

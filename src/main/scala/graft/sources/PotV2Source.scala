@@ -311,9 +311,11 @@ object PotV2Source {
     val qid = s"compact-${java.util.UUID.randomUUID()}"
     val w = new PotV2Write(pot, Schema, qid, truncateFirst = false,
       DefaultMaxObjectBytes)
-    w.commitEntries(Array.empty, truncate = false, snapTag = None,
-      retryOnConflict = true, staging = new Path(dir, s".staging-$qid"))
-    Some(graft.kv.CommitMarker.committedGenerations(fs, commits).max)
+    // report the generation the fold ACTUALLY published — a head re-read
+    // here could name a concurrent writer's (possibly delta-headed)
+    // generation as the compaction result (r18 ADVICE)
+    Some(w.commitEntries(Array.empty, truncate = false, snapTag = None,
+      retryOnConflict = true, staging = new Path(dir, s".staging-$qid")))
   }
 
   /** SHALLOW CLONE (u42 — Delta/Iceberg `CLONE` brought to the pot
@@ -391,13 +393,27 @@ object PotV2Source {
       }
     }
     // head copy LAST; a resume refreshes it whenever markers were
-    // topped up (a stale materialization must never survive a resume)
-    val refreshHead = published || !fs.exists(new Path(dstPot))
-    if (refreshHead && fs.exists(new Path(dstPot)))
-      fs.delete(new Path(dstPot), false)
+    // topped up (a stale materialization must never survive a resume).
+    // STAGE-THEN-RENAME (r18 ADVICE): the copy lands at a writer-unique
+    // staging path and RENAMES into place, so a crash mid-copy can only
+    // ever leave a staging husk — dstPot is either absent (resume
+    // refreshes it) or a COMPLETE head; the old in-place raw copy could
+    // leave a torn data.json beside a complete marker set that a resume
+    // then adopted (refreshHead = published || !exists was false) and
+    // snapshot-headed reads scanned as corrupt with no repair path.
+    // Belt-and-braces: a target head whose LENGTH differs from the
+    // source's is stale or torn (pre-fix husk, or markers re-published
+    // elsewhere) — refresh it; within a clone the two heads are the same
+    // materialization by construction, so equal-length is the invariant.
+    val headTorn = fs.exists(new Path(dstPot)) && fs.exists(new Path(srcPot)) &&
+      fs.getFileStatus(new Path(dstPot)).getLen !=
+        fs.getFileStatus(new Path(srcPot)).getLen
+    val refreshHead = published || headTorn || !fs.exists(new Path(dstPot))
     if (refreshHead && fs.exists(new Path(srcPot))) {
       val srcP = fs.makeQualified(new Path(srcPot))
       val dstP = fs.makeQualified(new Path(dstPot))
+      val stageP = fs.makeQualified(new Path(dstDir,
+        s".clone-stage-${java.util.UUID.randomUUID()}"))
       if (srcP.toUri.getScheme == "file") {
         // RAW nio copy on file: — the same layer the commit flow's
         // ATOMIC_MOVE materialization uses. A checksummed-FS copy
@@ -405,12 +421,23 @@ object PotV2Source {
         // raw move never refreshes → ChecksumException on read.
         java.nio.file.Files.copy(
           java.nio.file.Paths.get(srcP.toUri),
-          java.nio.file.Paths.get(dstP.toUri))
+          java.nio.file.Paths.get(stageP.toUri))
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(stageP.toUri),
+          java.nio.file.Paths.get(dstP.toUri),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       } else {
         val in = fs.open(srcP)
-        val out = fs.create(dstP, false)
+        val out = fs.create(stageP, false)
         try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536)
         finally { in.close(); out.close() }
+        if (fs.exists(dstP)) fs.delete(dstP, false)
+        if (!fs.rename(stageP, dstP)) {
+          fs.delete(stageP, false)
+          throw new java.io.IOException(
+            s"clonePot: failed to publish staged head $stageP -> $dstP")
+        }
       }
     }
     gens
@@ -622,6 +649,10 @@ private[sources] class PotV2Table(path: String,
         require(options.get("generation") == null,
           "PotV2Source: changesFromVector and generation are mutually " +
             "exclusive — a changes read spans generations, a pin names one")
+        require(shred.isEmpty,
+          "PotV2Source: shred and changesFromVector are mutually " +
+            "exclusive — change rows are pot_file/key/doc_json, never " +
+            "shredded doc fields; drop one of the options")
         new PotChangesScanBuilder(path, 0L,
           Some(PotMultiGenOffset.fromJson(vec).gens))
       case (Some(_), Some(_)) =>
@@ -638,6 +669,10 @@ private[sources] class PotV2Table(path: String,
           "PotV2Source: changesFrom and generation are mutually " +
             "exclusive — a changes read spans generations, a pin names " +
             "one; combining them would silently ignore the pin")
+        require(shred.isEmpty,
+          "PotV2Source: shred and changesFrom are mutually exclusive — " +
+            "change rows are pot_file/key/doc_json, never shredded doc " +
+            "fields; drop one of the options")
         new PotChangesScanBuilder(path, from)
       case (None, None) =>
         val gen = Option(options.get("generation")).map(_.toLong)
@@ -1271,6 +1306,15 @@ private[graft] class PotV2Scan(
       !path.exists(c => "*?[{".contains(c)),
       "PotV2Source: maxGenerationsPerTrigger applies to a single pot's " +
         "chain — a glob feed is already bounded per pot per batch")
+    // shred is batch-only: the micro-batch/change-feed readers emit
+    // pot_file/key/doc_json rows, so an advertised shred column would die
+    // at runtime with 'unknown column' — decline at planning with a name
+    // instead (r18 ADVICE; the generation mutual-exclusion style above)
+    require(shred.isEmpty,
+      "PotV2Source: option 'shred' is batch-only — the streaming feed " +
+        "emits change rows (pot_file/key/doc_json), not shredded doc " +
+        "fields; drop the option and parse doc_json downstream (or use " +
+        "a batch read for shredded columns)")
     if (path.exists(c => "*?[{".contains(c)))
       new PotV2MultiPotStream(path, required)
     else new PotV2MicroBatchStream(path, required, maxGensPerTrigger)
@@ -1972,17 +2016,25 @@ private[graft] class PotV2Write(
   private val markerBodyCache =
     scala.collection.mutable.Map.empty[Long, String]
 
-  private[graft] def committedTagExists(
+  /** Generation whose committed artifact name carries tag `t` — the
+    * replayed-epoch adoption lookup, and (r18 ADVICE) what lets a CALL
+    * report the generation its OWN fold published instead of re-reading
+    * a head a concurrent writer may have moved. */
+  private[graft] def genOfTag(
       fs: org.apache.hadoop.fs.FileSystem, commits: Path,
-      t: String): Boolean = {
+      t: String): Option[Long] = {
     graft.kv.CommitMarker.committedGenerations(fs, commits).foreach { g =>
       if (!markerBodyCache.contains(g))
         markerBodyCache(g) =
           new Path(graft.kv.CommitMarker.read(fs, new Path(commits, g.toString)))
             .getName
     }
-    markerBodyCache.valuesIterator.exists(_.contains(s"-$t-"))
+    markerBodyCache.collectFirst { case (g, name) if name.contains(s"-$t-") => g }
   }
+
+  private[graft] def committedTagExists(
+      fs: org.apache.hadoop.fs.FileSystem, commits: Path,
+      t: String): Boolean = genOfTag(fs, commits, t).isDefined
 
   private[graft] def stagingBase: String =
     new Path(new Path(path).getParent, s".staging-$queryId").toString
@@ -2008,21 +2060,26 @@ private[graft] class PotV2Write(
     * and an epoch must not fail the whole stream just because an
     * external writer took a generation.
     */
+  /** Returns the GENERATION this commit actually published (or, for a
+    * replayed tagged epoch, the generation it adopted) — threaded out so
+    * CALL verbs report their own fold's generation, never a head re-read
+    * that a concurrent writer may have advanced past it (r18 ADVICE). */
   private[graft] def commitEntries(
       messages: Array[WriterCommitMessage], truncate: Boolean,
       snapTag: Option[String], retryOnConflict: Boolean,
-      staging: Path, expectedHeadGen: Option[Long] = None): Unit = {
+      staging: Path, expectedHeadGen: Option[Long] = None): Long = {
     val target = new Path(path)
     val fs = target.getFileSystem(new Configuration())
     val dir = target.getParent
     val commits = new Path(dir, ".commits")
     val mapper = new ObjectMapper()
 
-    def tagCommitted(t: String): Boolean =
-      committedTagExists(fs, commits, t)
-
-    def attempt(): Boolean = {
-      if (snapTag.exists(tagCommitted)) return true // replayed epoch: adopt
+    def attempt(): Option[Long] = {
+      // replayed epoch: adopt the generation the earlier run committed
+      snapTag.foreach { t =>
+        val g = genOfTag(fs, commits, t)
+        if (g.isDefined) return g
+      }
       // LinkedHashMap: first-seen key keeps its slot, later put = LWW value
       def loadObject(p: Path,
           into: java.util.LinkedHashMap[String, String]): Unit = {
@@ -2089,7 +2146,7 @@ private[graft] class PotV2Write(
         // we were loading it (vacuumSnapshots only deletes below-head
         // bodies, so a newer head exists) — a conflict-equivalent: retry
         // the attempt against the new head; no CAS was lost
-        case _: java.io.FileNotFoundException => return false
+        case _: java.io.FileNotFoundException => return None
       }
       val entries = new java.util.LinkedHashMap[String, String]()
       if (!truncate) {
@@ -2175,19 +2232,21 @@ private[graft] class PotV2Write(
       try {
         graft.kv.CommitMarker.publish(
           fs, new Path(commits, gen.toString), snap.toString)
-        true
+        Some(gen)
       } catch {
         case e: graft.kv.PotTable.CommitConflict =>
           fs.delete(snap, false)
           fs.delete(delta, false)
-          if (retryOnConflict) false else throw e
+          if (retryOnConflict) None else throw e
         case e: Throwable =>
           fs.delete(snap, false); fs.delete(delta, false); throw e
       }
     }
-    while (!attempt()) {}
+    var committed: Option[Long] = None
+    while ({ committed = attempt(); committed.isEmpty }) {}
     PotV2Write.refreshMaterialization(fs, dir, target, commits)
     fs.delete(staging, true)
+    committed.get
   }
 
   /** O(change-set) streaming-epoch commit: fold this epoch's fragments

@@ -69,8 +69,15 @@ class MilestoneProcessor(every: Long)
   * array literal.)
   */
 object PackFold {
+  /** `onDoc` receives every document's bin id AS IT IS ASSIGNED — the
+    * per-doc output t29's purity audit keys on (one (doc, bin) row per
+    * doc, so the audit is a keyed equi-join instead of reconstructing
+    * assignment through a doc×bins range join). The default no-op keeps
+    * the bin-only call sites (t25 batch, st23 streaming) byte-identical.
+    */
   def apply(shard: Long, open0: Option[PackOpenBin], sorted: Array[PackDoc],
-      budget: Int): (List[PackBinOut], Option[PackOpenBin]) = {
+      budget: Int, onDoc: (PackDoc, Int) => Unit = (_, _) => ())
+      : (List[PackBinOut], Option[PackOpenBin]) = {
     var closed = List.empty[PackBinOut]
     var open = open0
     sorted.foreach { dd =>
@@ -85,6 +92,7 @@ object PackFold {
         case None =>
           open = Some(PackOpenBin(0, dd.n, 1L, dd.doc_id, dd.doc_id))
       }
+      onDoc(dd, open.get.bin)
     }
     (closed.reverse, open)
   }

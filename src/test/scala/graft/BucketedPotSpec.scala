@@ -464,4 +464,42 @@ class BucketedPotSpec extends AnyFunSuite {
     assert(notStore.getMessage.contains("_meta/buckets"), notStore.getMessage)
     new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
   }
+
+  test("clonePot head publish is staged-then-renamed (r18 ADVICE): a torn " +
+    "head beside complete markers is repaired on resume, no staging husks " +
+    "survive a successful clone") {
+    import spark.implicits._
+    import graft.sources.PotV2Source
+    val dir = java.nio.file.Files.createTempDirectory("graft-tornclone").toString
+    val src = s"$dir/src/data.json"; val dst = s"$dir/dst/data.json"
+    val fmt = classOf[PotV2Source].getName
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    def write(rows: Seq[(String, Int)]): Unit =
+      rows.map { case (k, v) => ("", k, s"""{"v": $v}""") }
+        .toDF("pot_file", "key", "doc_json")
+        .write.format(fmt).option("path", src).mode("append").save()
+    write((1 to 30).map(i => (s"k$i", i)))
+    write((1 to 5).map(i => (s"k$i", i * 10)))
+    PotV2Source.clonePot(fs, src, dst)
+    val srcLen = fs.getFileStatus(new org.apache.hadoop.fs.Path(src)).getLen
+    assert(fs.getFileStatus(new org.apache.hadoop.fs.Path(dst)).getLen === srcLen)
+    // no staging husk after a successful clone
+    val husks = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/dst"))
+      .map(_.getPath.getName).filter(_.startsWith(".clone-stage-"))
+    assert(husks.isEmpty, husks.mkString(","))
+    // TORN HEAD: simulate the pre-fix crash artifact — markers complete,
+    // data.json truncated mid-copy. A resume must REFRESH it, not adopt.
+    val full = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dst))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dst),
+      java.util.Arrays.copyOf(full, full.length / 2))
+    PotV2Source.clonePot(fs, src, dst)
+    assert(fs.getFileStatus(new org.apache.hadoop.fs.Path(dst)).getLen === srcLen)
+    val state = spark.read.format(fmt).option("path", dst).load()
+      .select($"key", org.apache.spark.sql.functions
+        .get_json_object($"doc_json", "$.v").cast("long"))
+      .as[(String, Long)].collect().toMap
+    assert(state.size === 30 && state("k1") === 10L && state("k30") === 30L)
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+  }
 }

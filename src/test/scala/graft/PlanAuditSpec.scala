@@ -1058,4 +1058,37 @@ class PlanAuditSpec extends AnyFunSuite {
     val oneGroup = gotRank.filter($"g" === 0).count()
     assert(oneGroup > 3, s"expected boundary ties kept, got $oneGroup rows")
   }
+
+  test("t29 packing purity: doc->bin assignment is a keyed equi-join — " +
+    "no join carries a range residual, no loop join (r18)") {
+    val p = plan("t29_packing_purity")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"loop join in t29:\n$p")
+    // r17's shape joined docs to the bin frame on doc_id BETWEEN
+    // first_doc AND last_doc — a >=/<= residual on the join row. The
+    // fold-emitted assignment makes every join pure-equi: no join line
+    // may carry an inequality.
+    val joinLines = p.linesIterator.filter(_.contains("Join")).toList
+    assert(joinLines.nonEmpty, s"no join found in t29 plan:\n$p")
+    joinLines.foreach { l =>
+      assert(!l.contains(">=") && !l.contains("<=") &&
+        !l.contains("first_doc") && !l.contains("last_doc"),
+        s"range residual survived on a t29 join:\n$l")
+    }
+  }
+
+  test("p31 seeded shuffle: order fingerprint is a streamed chained digest " +
+    "— no collect_list buffer, shard exchange + within-partition sort (r18)") {
+    val p = plan("p31_seeded_shuffle")
+    assert(!p.contains("collect_list") && !p.contains("sort_array"),
+      s"whole-shard aggregation buffer survived in p31:\n$p")
+    assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"),
+      s"expected the mapPartitions digest fold:\n$p")
+    assert("hashpartitioning\\(shard#\\d+".r.findFirstIn(p).isDefined,
+      s"no shard exchange in p31:\n$p")
+    // the shard-local sort (global=false), never a corpus-global one
+    assert("Sort \\[shard#\\d+\\w* ASC NULLS FIRST, skey#\\d+ ASC NULLS FIRST\\], false"
+      .r.findFirstIn(p).isDefined,
+      s"expected a NON-GLOBAL (shard, skey) sort:\n$p")
+  }
 }

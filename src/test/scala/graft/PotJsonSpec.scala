@@ -842,6 +842,43 @@ class PotJsonSpec extends AnyFunSuite {
       s"expected the batch-only generation error, got: ${messages(e)}")
   }
 
+  test("shred is batch-only (r18 ADVICE): streaming and changes reads " +
+    "decline by name at planning, never 'unknown column' at runtime") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("potv2shredst").toString
+    val pot = s"$root/t/data.json"
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    Seq(("", "a", """{"v": 1}"""))
+      .toDF("pot_file", "key", "doc_json")
+      .write.format(fmt).option("path", pot).mode("overwrite").save()
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    // readStream + shred: the micro-batch reader emits change rows only
+    val e = intercept[Exception] {
+      val q = spark.readStream.format(fmt).option("path", pot)
+        .option("shred", "v:bigint").load()
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$root/chk").start()
+      try { q.processAllAvailable(); q.stop() }
+      finally { if (q.isActive) q.stop() }
+    }
+    assert(messages(e).exists(m => m.contains("batch-only") &&
+      m.contains("shred")),
+      s"expected the batch-only shred error, got: ${messages(e)}")
+    // batch changes read + shred: same decline, mutual-exclusion style
+    Seq("changesFrom" -> "0",
+        "changesFromVector" -> s"""{"$pot":0}""").foreach { case (opt, v) =>
+      val c = intercept[Exception] {
+        spark.read.format(fmt).option("path", pot)
+          .option(opt, v).option("shred", "v:bigint").load().collect()
+      }
+      assert(messages(c).exists(m => m.contains("mutually exclusive") &&
+        m.contains("shred")),
+        s"expected the shred/$opt decline, got: ${messages(c)}")
+    }
+  }
+
   test("PotV2Source generation reads pin the chain; uncommitted/glob reads fail loudly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("potv2tt").toString

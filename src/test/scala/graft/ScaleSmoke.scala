@@ -160,7 +160,9 @@ object ScaleSmoke {
     // store-lifecycle verbs, or stream-machinery floor; t22/t24 omitted
     // like t21 — replicas change the trained rules)
     "t28_repetition_signals", "p30_quality_sweep", "p31_seeded_shuffle",
-    "m18_gain_normalize")
+    "m18_gain_normalize",
+    // r18: t29 joined once its doc->bin assignment became fold-emitted
+    "t29_packing_purity")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
