@@ -440,6 +440,52 @@ object Extensibility {
       |SELECT '_all', COUNT(*), MIN(key), MAX(key) FROM k
       |ORDER BY pot""".stripMargin
 
+  /** u57: ZONE-MAP object pruning (r18) — the parquet-footer-statistics
+    * discipline for the pot format: every snapshot commit stamps a
+    * `.zmap-<stem>.json` sidecar with the commit's key min/max (unsigned
+    * UTF-8 order, written with the snapshot and exactly as atomic), and
+    * `planInputPartitions` DROPS whole objects whose range excludes a
+    * pushed exact-key predicate — a point read over a range-clustered
+    * 10k-object layout opens only the covering objects, decided at
+    * PLANNING from metadata-sized sidecars, zero data reads for the
+    * pruned ones. Absent/torn sidecars (legacy chains, delta heads)
+    * simply don't prune — never wrong results (PotJsonSpec pins the
+    * partition-count reduction, the stale-sidecar fallback, and the
+    * delta-head exclusion). The query is the takedown shape: five
+    * range-clustered pot objects, a 2-key IN probe; the oracle replays
+    * relationally from nation.
+    */
+  def zoneMapPruning(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-u57").toString
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    val nat = Tables.nation(s, d)
+      .select($"n_nationkey", $"n_name").collect().toSeq
+    // five pots, range-clustered on zero-padded key (k00-k04 in pot 0, …)
+    (0 to 4).foreach { g =>
+      val rows = nat.filter(r => r.getInt(0) / 5 == g)
+        .map(r => ("", f"k${r.getInt(0)}%02d",
+          s"""{"name": "${r.getString(1)}"}"""))
+      s.createDataFrame(rows).toDF("pot_file", "key", "doc_json")
+        .write.format(fmt).option("path", s"$dir/range_$g/data.json")
+        .mode("overwrite").save()
+    }
+    val out = s.read.format(fmt).option("path", s"$dir/*/data.json").load()
+      .filter($"key".isin("k03", "k17"))
+      .select($"key", get_json_object($"doc_json", "$.name").as("name"))
+      .orderBy($"key")
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    out
+  }
+
+  val zoneMapPruningSql: String =
+    """SELECT 'k' || lpad(CAST(n_nationkey AS VARCHAR), 2, '0') AS key,
+      |  n_name AS name
+      |FROM nation
+      |WHERE n_nationkey IN (3, 17)
+      |ORDER BY key""".stripMargin
+
   /** u51: STORAGE-PARTITIONED JOIN over the pot layout (r17) — Iceberg's
     * SPJ brought to the connector: the scan reports
     * `KeyGroupedPartitioning(identity(pot_file))` (one pot object per
@@ -504,6 +550,206 @@ object Extensibility {
       |SELECT k.pot, k.key, c.n_in_file
       |FROM k JOIN c USING (pot)
       |ORDER BY pot, key""".stripMargin
+
+  /** u54: KEY-grain storage-partitioned join over the BUCKETED store
+    * (r18 — the co-located join the bucketed layout exists for): two
+    * same-modulus stores read through the TABLE CATALOG
+    * (`graft_fns.store.\`root\`` — [[graft.sources.GraftFunctionCatalog]]
+    * is now a TableCatalog, and a catalog relation is what makes the
+    * scan-reported `bucket(n, key)` transform RESOLVABLE against its
+    * FunctionCatalog), joined on `key` with broadcast disabled: both
+    * sides report `KeyGroupedPartitioning(bucket(4, key))` with one
+    * partition per bucket carrying its bucket id, so the join plans with
+    * ZERO exchange on either side — Iceberg's bucket-transform SPJ for
+    * the pot layout. PotJsonSpec pins the exchange-free plan, the
+    * shuffle's return on a different-modulus pair AND on a path-based
+    * (catalog-less) read, and that `graft_fns.ops.bucket` ==
+    * the write router bucket-for-bucket. The enrichment here is the
+    * lakehouse dim-enrich shape: entity store × attribute store, both
+    * key-routed, meeting bucket-local. Oracle replays relationally from
+    * nation (bucket routing never surfaces in the emitted rows).
+    */
+  def bucketedKeySpj(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.catalog.graft_fns",
+      classOf[graft.sources.GraftFunctionCatalog].getName)
+    ss.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val dir = java.nio.file.Files.createTempDirectory("graft-u54").toString
+    val fmt = classOf[graft.sources.BucketedPotV2Source].getName
+    val rows = Tables.nation(ss, d)
+      .select($"n_nationkey", $"n_name", $"n_regionkey").collect().toSeq
+    def write(sub: String, doc: org.apache.spark.sql.Row => String): String = {
+      val root = s"$dir/$sub"
+      val data = rows.map(r => ("", s"n${r.getInt(0)}", doc(r)))
+      ss.createDataFrame(data).toDF("pot_file", "key", "doc_json")
+        .write.format(fmt).option("path", root).option("buckets", "4")
+        .mode("append").save()
+      root
+    }
+    val names = write("names", r => s"""{"name": "${r.getString(1)}"}""")
+    val regions = write("regions", r => s"""{"region": ${r.getInt(2)}}""")
+    def readStore(root: String) = ss.read.table(s"graft_fns.store.`$root`")
+    val out = readStore(names).select($"key",
+        get_json_object($"doc_json", "$.name").as("name"))
+      .join(readStore(regions).select($"key",
+        get_json_object($"doc_json", "$.region").cast("long").as("region")),
+        Seq("key"))
+      .orderBy($"key")
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    out
+  }
+
+  val bucketedKeySpjSql: String =
+    """SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS key,
+      |  n_name AS name, CAST(n_regionkey AS BIGINT) AS region
+      |FROM nation
+      |ORDER BY key""".stripMargin
+
+  /** u55: TIMESTAMP AS OF over the BUCKETED store (r18) — u46's
+    * wall-clock time travel composed over the sharded layout:
+    * `.option("timestampAsOf", t)` resolves EACH bucket's chain to its
+    * youngest marker-mtime <= t generation and serves the whole store at
+    * that per-bucket vector through the capped-scan machinery
+    * ([[graft.sources.BucketedPotV2Source.asOfVector]]); multi-bucket
+    * statement windows — journaled under `_stmts/closed` at complete —
+    * cap their buckets at pre-statement base, so a historical instant
+    * can never observe a statement half-applied (BucketedPotSpec pins
+    * the mid-statement and crash boundaries; here the between-commits
+    * boundary runs live: the midpoint instant reads wave 1 EXACTLY,
+    * the head instant both waves). Oracle replays the two states
+    * relationally from nation.
+    */
+  def bucketedTimestampAsOf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-u55").toString
+    val fmt = classOf[graft.sources.BucketedPotV2Source].getName
+    val nat = Tables.nation(s, d)
+    def write(df: org.apache.spark.sql.DataFrame): Unit = df.select(
+        lit("").as("pot_file"),
+        concat(lit("n"), $"n_nationkey".cast("string")).as("key"),
+        to_json(struct($"n_name".as("name"), $"upd")).as("doc_json"))
+      .write.format(fmt).option("path", root).option("buckets", "4")
+      .mode("append").save()
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    def lastMtime: Long = graft.sources.BucketedPotV2Source
+      .existingBuckets(root, 4).map { b =>
+        val commits = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs
+          .Path(graft.sources.BucketedPotV2Source.bucketPot(root, b))
+          .getParent, ".commits")
+        graft.kv.CommitMarker.committedGenerations(fs, commits).map(g =>
+          fs.getFileStatus(new org.apache.hadoop.fs.Path(
+            commits, g.toString)).getModificationTime).max
+      }.max
+    write(nat.withColumn("upd", lit(0)))                       // wave 1
+    // the v1 instant must postdate wave 1's ENTIRE statement window
+    // (bucket commits AND the barrier's doneTs — an instant between the
+    // commits and complete() correctly replays the live reader's cap and
+    // reads the statement as not-yet-visible), and predate wave 2's
+    // intent: capture it AFTER the write returns, with mtime-granularity
+    // margin on both sides (u46's discipline)
+    val w1 = lastMtime
+    while (System.currentTimeMillis() <= w1 + 2) Thread.sleep(2)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(3)
+    write(nat.filter($"n_regionkey" === 0).withColumn("upd", lit(1)))
+    val w2 = math.max(lastMtime, System.currentTimeMillis())
+    while (System.currentTimeMillis() <= w2 + 2) Thread.sleep(2)
+    val t2 = System.currentTimeMillis()
+    require(t2 > t1 + 2, s"u55: wave instants not separated ($t1, $t2)")
+    def stateAt(ts: Long, label: String) = s.read.format(fmt)
+      .option("path", root).option("buckets", "4")
+      .option("timestampAsOf", ts.toString).load()
+      .agg(count(lit(1)).as("n"),
+        sum(get_json_object($"doc_json", "$.upd").cast("long")).as("n_upd"))
+      .select(lit(label).as("state"), $"n", $"n_upd")
+    val out = stateAt(t1, "v1").unionAll(stateAt(t2, "head"))
+      .orderBy($"state")
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    out
+  }
+
+  val bucketedTimestampAsOfSql: String =
+    """SELECT state, n, n_upd FROM (
+      |  SELECT 'v1' AS state, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(0 AS BIGINT) AS n_upd FROM nation
+      |  UNION ALL
+      |  SELECT 'head' AS state, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CASE WHEN n_regionkey = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_upd
+      |  FROM nation)
+      |ORDER BY state""".stripMargin
+
+  /** u56: aggregate pushdown over SHREDDED doc fields (r18 — u49 × u45):
+    * `COUNT(field)` / `MIN` / `MAX` over `shred`-typed columns fold over
+    * the PRE-STRINGIFY extracted values inside the reader, so an
+    * analytics aggregate over a 10k-object store returns per-object
+    * tuples with zero document bodies ever rendered — the parquet-
+    * footer-statistics experience for the pot format. Semantics pinned
+    * here live: COUNT(field) counts NON-NULL extractions (region-2
+    * nations carry no `pop` field → n_pop < n_docs per SQL), MIN over a
+    * string field uses unsigned UTF-8 byte order (u49's key rule), MAX
+    * over a bigint field is numeric. Grouped-by-pot_file is the COMPLETE
+    * pushdown (no Spark-side aggregate at all — PotJsonSpec pins zero
+    * HashAggregate and the PushedAggregation description); the global
+    * form is partial with the (0, NULL, NULL) empty discipline
+    * inherited from u49. Oracle replays relationally from nation.
+    */
+  def aggShredPushdown(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-u56").toString
+    val rows = Tables.nation(s, d)
+      .select($"n_nationkey", $"n_name", $"n_regionkey").collect()
+    def potJson(parity: Int): String =
+      rows.filter(_.getInt(0) % 2 == parity)
+        .map { r =>
+          val pop = if (r.getInt(2) == 2) ""
+            else s""", "pop": ${r.getInt(0) * 1000 + r.getInt(2)}"""
+          s""""n${r.getInt(0)}": {"name": "${r.getString(1)}"$pop}"""
+        }
+        .mkString("{", ", ", "}")
+    Seq(0, 1).foreach { par =>
+      val pd = java.nio.file.Paths.get(dir, s"nation_$par")
+      java.nio.file.Files.createDirectories(pd)
+      java.nio.file.Files.writeString(pd.resolve("data.json"), potJson(par))
+    }
+    val df = s.read.format(classOf[graft.sources.PotV2Source].getName)
+      .option("path", s"$dir/*/data.json")
+      .option("shred", "name=name:string,pop=pop:bigint").load()
+    val grouped = df.groupBy($"pot_file")
+      .agg(count($"pop").as("n_pop"), min($"name").as("min_name"),
+        max($"pop").as("max_pop"))
+      .select(
+        regexp_extract($"pot_file", "([^/]+)/data\\.json$", 1).as("pot"),
+        $"n_pop", $"min_name", $"max_pop")
+    val global = df.agg(count($"pop").as("n_pop"),
+      min($"name").as("min_name"), max($"pop").as("max_pop"))
+      .select(lit("_all").as("pot"), $"n_pop", $"min_name", $"max_pop")
+    val out = grouped.unionByName(global).orderBy($"pot")
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    out
+  }
+
+  val aggShredPushdownSql: String =
+    """WITH k AS (
+      |  SELECT 'nation_' || CAST(n_nationkey % 2 AS VARCHAR) AS pot,
+      |    n_name AS name,
+      |    CASE WHEN n_regionkey = 2 THEN NULL
+      |      ELSE CAST(n_nationkey * 1000 + n_regionkey AS BIGINT)
+      |    END AS pop
+      |  FROM nation)
+      |SELECT pot, CAST(COUNT(pop) AS BIGINT) AS n_pop,
+      |  MIN(name) AS min_name, MAX(pop) AS max_pop
+      |FROM k GROUP BY pot
+      |UNION ALL
+      |SELECT '_all', CAST(COUNT(pop) AS BIGINT), MIN(name), MAX(pop) FROM k
+      |ORDER BY pot""".stripMargin
 
   /** u52: CHAIN-HEALTH inventory TVF (r17) — `graft_pot_chain('<glob>')`
     * in FROM position: one row per pot under the glob with its chain
@@ -3012,6 +3258,10 @@ object Extensibility {
     "u51_storage_partitioned_join" -> (storagePartitionedJoin _),
     "u52_chain_inventory" -> (chainInventory _),
     "u53_list_pagination" -> (listPagination _),
+    "u54_bucketed_key_spj" -> (bucketedKeySpj _),
+    "u55_bucketed_as_of" -> (bucketedTimestampAsOf _),
+    "u56_agg_shred_pushdown" -> (aggShredPushdown _),
+    "u57_zone_map_pruning" -> (zoneMapPruning _),
     "u30_sql_function_catalog" -> (sqlFunctionCatalog _),
     "u29_sql_zorder_read" -> (sqlZorderRead _),
     "u28_sql_topn_pushdown" -> (sqlTopNPushdown _),
@@ -3067,6 +3317,10 @@ object Extensibility {
     "u51_storage_partitioned_join" -> storagePartitionedJoinSql,
     "u52_chain_inventory" -> chainInventorySql,
     "u53_list_pagination" -> listPaginationSql,
+    "u54_bucketed_key_spj" -> bucketedKeySpjSql,
+    "u55_bucketed_as_of" -> bucketedTimestampAsOfSql,
+    "u56_agg_shred_pushdown" -> aggShredPushdownSql,
+    "u57_zone_map_pruning" -> zoneMapPruningSql,
     "u30_sql_function_catalog" -> sqlFunctionCatalogSql,
     "u29_sql_zorder_read" -> sqlZorderReadSql,
     "u28_sql_topn_pushdown" -> sqlTopNPushdownSql,

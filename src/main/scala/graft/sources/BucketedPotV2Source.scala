@@ -144,6 +144,39 @@ object BucketedPotV2Source {
     }.toMap
   }
 
+  /** u55 (r18): TIMESTAMP AS OF over the whole BUCKETED store — the
+    * wall-clock instant resolved to a PER-BUCKET generation vector:
+    * each bucket reads its youngest generation whose marker mtime is
+    * <= the instant (u46's commit clock, per chain; between-commits →
+    * the EARLIER generation, Delta/Iceberg's rule), then the vector is
+    * capped by [[BucketedStmtLog.capsAt]] — an instant inside ANY
+    * multi-bucket statement's barrier window (open, crashed, completed,
+    * or aborted; the `_stmts/closed` journal keeps the windows) reads
+    * that statement's buckets at their PRE-statement base generations,
+    * so the statement is none-or-all at every historical instant
+    * exactly as it was for live readers. Cap 0 = the bucket had no
+    * commit yet (reads empty); an instant predating EVERY bucket's
+    * first commit fails NAMED at planning, mirroring u46.
+    */
+  def asOfVector(root: String, n: Int, millis: Long): Map[Int, Long] = {
+    val fs = new Path(root).getFileSystem(new Configuration())
+    val resolved = existingBuckets(root, n).map { b =>
+      val commits =
+        new Path(new Path(bucketPot(root, b)).getParent, ".commits")
+      val fit = graft.kv.CommitMarker.committedGenerations(fs, commits)
+        .filter(g => fs.getFileStatus(new Path(commits, g.toString))
+          .getModificationTime <= millis)
+      b -> (if (fit.isEmpty) 0L else fit.max)
+    }.toMap
+    require(resolved.values.exists(_ > 0L),
+      s"BucketedPotV2Source: timestampAsOf $millis predates the earliest " +
+        s"commit of every bucket under $root — nothing existed yet")
+    val winCaps = BucketedStmtLog.capsAt(root, millis)
+    resolved.map { case (b, g) =>
+      b -> math.min(g, winCaps.getOrElse(b, Long.MaxValue))
+    }
+  }
+
   /** BUCKETED shallow clone (r17 — u42's clonePot composed over a whole
     * store): clone every bucket's marker chain + head materialization,
     * stamp the target's `_meta/buckets` with the source's modulus
@@ -194,9 +227,17 @@ object BucketedPotV2Source {
   }
 }
 
+/** `keySpj` (u54): report the `bucket(n, key)` scan partitioning — set
+  * ONLY by [[GraftFunctionCatalog.loadTable]], because the transform
+  * resolves against the loading catalog's FunctionCatalog. A table
+  * reached any other way must NOT report it: the session catalog
+  * (`spark_catalog`) THROWS resolving an empty-namespace function
+  * (REQUIRES_SINGLE_PART_NAMESPACE — found live, r18), and a path-based
+  * read has no catalog at all. */
 private[sources] class BucketedPotV2Table(root: String, nBuckets: Int,
     shred: Seq[(String, Seq[String],
-      org.apache.spark.sql.types.DataType)] = Nil)
+      org.apache.spark.sql.types.DataType)] = Nil,
+    keySpj: Boolean = false)
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -222,8 +263,20 @@ private[sources] class BucketedPotV2Table(root: String, nBuckets: Int,
       TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.STREAMING_WRITE)
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new BucketedPotScanBuilder(root, nBuckets, shred)
+  /** u54: the store's declared layout — one `bucket(n, key)` transform,
+    * the catalog-visible twin of the scan-reported partitioning. */
+  override def partitioning(): Array[Transform] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .bucket(nBuckets, "key"))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    // u55: wall-clock read of the whole store (per-bucket mtime
+    // resolution + the statement-window caps — see asOfVector)
+    val asOf = Option(options.get("timestampAsOf"))
+      .map(PotV2Source.parseTsMillis)
+    new BucketedPotScanBuilder(root, nBuckets, shred, asOf,
+      keyGrain = if (keySpj) Some(nBuckets) else None)
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new BucketedPotWriteBuilder(root, nBuckets, info)
@@ -286,7 +339,9 @@ private[sources] class BucketedPotV2Table(root: String, nBuckets: Int,
   * a point SELECT over a 1000-bucket store opens one object. */
 private[sources] class BucketedPotScanBuilder(root: String, nBuckets: Int,
     shred: Seq[(String, Seq[String],
-      org.apache.spark.sql.types.DataType)] = Nil)
+      org.apache.spark.sql.types.DataType)] = Nil,
+    asOfMillis: Option[Long] = None,
+    keyGrain: Option[Int] = None)
     extends PotV2ScanBuilder(s"$root/_b=*/data.json", None, shred) {
   import org.apache.spark.sql.sources._
 
@@ -300,14 +355,32 @@ private[sources] class BucketedPotScanBuilder(root: String, nBuckets: Int,
   private def qualifiedBucket(k: String): String =
     qualifiedPath(BucketedPotV2Source.bucketOf(k, nBuckets))
 
+  /** u54 (r18): key-grain `KeyGroupedPartitioning(bucket(nBuckets, key))`
+    * — each partition is one bucket, its partition key the bucket id, so
+    * same-modulus key-equi-joins between two stores read through the
+    * graft catalog plan exchange-free (see
+    * [[PotV2Scan.outputPartitioning]]; catalog-loaded tables only —
+    * the keySpj gate above). */
+  override protected def keyBucketGrain: Option[Int] = keyGrain
+
   /** r15 statement-atomicity barrier: open statements cap their buckets
     * at the pre-statement base generation — a reader planned mid-
     * statement sees NONE of it; the done marker flips it visible whole.
+    * u55: an AS OF read caps EVERY bucket at its wall-clock-resolved
+    * generation instead (statement windows already folded in —
+    * [[BucketedPotV2Source.asOfVector]]); the capped-scan machinery
+    * (eff = min(head, cap), cap 0 = skip) serves both identically.
     */
   override protected def capResolver: Option[() => Map[String, Long]] =
-    Some(() => BucketedStmtLog.caps(root).map { case (b, g) =>
-      qualifiedPath(b) -> g
-    })
+    asOfMillis match {
+      case Some(t) => Some(() =>
+        BucketedPotV2Source.asOfVector(root, nBuckets, t).map {
+          case (b, g) => qualifiedPath(b) -> g
+        })
+      case None => Some(() => BucketedStmtLog.caps(root).map { case (b, g) =>
+        qualifiedPath(b) -> g
+      })
+    }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val rest = super.pushFilters(filters)

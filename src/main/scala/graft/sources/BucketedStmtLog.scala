@@ -80,6 +80,9 @@ private[graft] object BucketedStmtLog {
     new Path(root, s"_stmts/done/$qid")
   private def openMarker(root: String, qid: String) =
     new Path(openDir(root), qid)
+  private def closedDir(root: String) = new Path(root, "_stmts/closed")
+  private def closedMarker(root: String, qid: String) =
+    new Path(closedDir(root), qid)
 
   private def fsOf(root: String): FileSystem =
     new Path(root).getFileSystem(new Configuration())
@@ -224,8 +227,32 @@ private[graft] object BucketedStmtLog {
     * live writer vs a recoverer) are safe: the done CAS arbitrates, both
     * cleanups are idempotent deletes.
     */
+  /** Journal the finished statement's barrier WINDOW (u55, r18): the
+    * intent body + the close instant, published under `_stmts/closed/`.
+    * This is what makes wall-clock time travel STATEMENT-atomic for all
+    * of history, not just for barriers still standing: a `timestampAsOf`
+    * inside [intent ts, doneTs) caps the statement's buckets at its base
+    * vector ([[capsAt]]) — the statement flips visible atomically at
+    * doneTs, exactly the live reader-barrier semantics replayed. Marker
+    * bodies are metadata-sized (the intent json) and CAS-published, so a
+    * replayed epoch's re-complete adopts the first journal entry.
+    */
+  private def journalClosed(root: String, qid: String, outcome: String): Unit = {
+    val fs = fsOf(root)
+    if (!fs.exists(openMarker(root, qid))) return
+    val o = mapper.readTree(graft.kv.CommitMarker.read(fs, openMarker(root, qid)))
+      .asInstanceOf[ObjectNode]
+    o.put("doneTs", System.currentTimeMillis())
+    o.put("outcome", outcome)
+    fs.mkdirs(closedDir(root))
+    try graft.kv.CommitMarker.publish(fs, closedMarker(root, qid),
+      mapper.writeValueAsString(o))
+    catch { case _: graft.kv.PotTable.CommitConflict => () }
+  }
+
   def complete(root: String, qid: String, stagingDirs: Seq[Path]): Unit = {
     val fs = fsOf(root)
+    journalClosed(root, qid, "complete")
     fs.mkdirs(doneMarker(root, qid).getParent)
     try graft.kv.CommitMarker.publish(fs, doneMarker(root, qid), "done")
     catch { case _: graft.kv.PotTable.CommitConflict => () }
@@ -246,6 +273,11 @@ private[graft] object BucketedStmtLog {
     */
   def abort(root: String, qid: String, stagingDirs: Seq[Path]): Unit = {
     val fs = fsOf(root)
+    // journal the window even for the conflict-dropped barrier: until the
+    // abort instant readers were capped, so a historical read inside the
+    // window must replay that cap (after it, the committed prefix is the
+    // documented visible reality — "outcome":"abort" records why)
+    journalClosed(root, qid, "abort")
     stagingDirs.foreach(d => fs.delete(d, true))
     fs.delete(openMarker(root, qid), false)
   }
@@ -293,6 +325,44 @@ private[graft] object BucketedStmtLog {
         }
       }
     }
+    m.toMap
+  }
+
+  /** u55: statement-window caps AT a historical instant — bucket ->
+    * lowest base generation over every statement whose barrier STOOD at
+    * `millis`: still-open statements (all their commits postdate their
+    * intent, so the min is exact for instants inside the window and a
+    * no-op before it) and journaled closed statements whose
+    * [intent ts, doneTs) window contains the instant. A legacy intent
+    * with no ts stamp caps unconditionally (the conservative direction —
+    * an earlier consistent view, never a torn one). This is the live
+    * [[caps]] rule replayed against the `_stmts/closed` journal, which
+    * is why a wall-clock read can never observe a multi-bucket statement
+    * half-applied, crashed, completed, or aborted.
+    */
+  def capsAt(root: String, millis: Long): Map[Int, Long] = {
+    val fs = fsOf(root)
+    val m = scala.collection.mutable.Map.empty[Int, Long]
+    def foldBase(body: String): Unit = {
+      val base = mapper.readTree(body).get("base")
+      if (base != null) base.properties().asScala.foreach { e =>
+        m(e.getKey.toInt) =
+          math.min(m.getOrElse(e.getKey.toInt, Long.MaxValue),
+            e.getValue.asLong())
+      }
+    }
+    openStatements(root).foreach { case (_, body) => foldBase(body) }
+    if (fs.exists(closedDir(root)))
+      fs.listStatus(closedDir(root)).foreach { st =>
+        if (st.getLen > 0) {
+          val body = graft.kv.CommitMarker.read(fs, st.getPath)
+          val n = mapper.readTree(body)
+          val ts = Option(n.get("ts")).map(_.asLong()).getOrElse(Long.MinValue)
+          val done = Option(n.get("doneTs")).map(_.asLong())
+            .getOrElse(Long.MaxValue)
+          if (ts <= millis && millis < done) foldBase(body)
+        }
+      }
     m.toMap
   }
 

@@ -27,6 +27,7 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * cluster where sessions are built by a gateway the user doesn't control.
   */
 class GraftFunctionCatalog extends CatalogPlugin with FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.TableCatalog
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
   private var catName: String = "graft_fns"
 
@@ -42,10 +43,52 @@ class GraftFunctionCatalog extends CatalogPlugin with FunctionCatalog
     else Array.empty
 
   override def loadFunction(ident: Identifier): UnboundFunction =
-    if (ident.namespace.sameElements(GraftFunctionCatalog.Namespace))
+    // the EMPTY namespace serves Spark's transform resolution
+    // (V2ExpressionUtils loads `Identifier.of(Array.empty, t.name)` to
+    // bind a scan-reported partition transform — u54's bucket(n, key))
+    if (ident.namespace.isEmpty && ident.name == "bucket") BucketFnUnbound
+    else if (ident.namespace.sameElements(GraftFunctionCatalog.Namespace))
       GraftFunctionCatalog.functions.getOrElse(
         ident.name, throw new NoSuchFunctionException(ident))
     else throw new NoSuchFunctionException(ident)
+
+  /** u54 — TABLE CATALOG over the pot layouts, the read path that makes
+    * the bucket transform RESOLVABLE: a relation opened through a
+    * catalog carries that catalog as its FunctionCatalog, which is what
+    * `V2ScanPartitioningAndOrdering` binds scan-reported transforms
+    * against (a path-based `.format(...).load()` has none, so key-grain
+    * SPJ silently degrades to Unknown partitioning there). Tables are
+    * PATH-ADDRESSED — `graft_fns.store.\`/root\`` opens a bucketed store
+    * (modulus from its authoritative `_meta/buckets` stamp, count-free),
+    * `graft_fns.pot.\`/path/data.json\`` one pot object — so there is no
+    * enumerable table list and no DDL: the stores are self-describing
+    * directories, the catalog is their SQL address.
+    */
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array.empty
+
+  override def loadTable(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.Table =
+    if (ident.namespace.sameElements(GraftFunctionCatalog.StoreNamespace))
+      new BucketedPotV2Table(ident.name,
+        BucketedPotV2Source.resolveBuckets(ident.name, None), Nil,
+        keySpj = true)
+    else if (ident.namespace.sameElements(GraftFunctionCatalog.PotNamespace))
+      new PotV2Table(ident.name)
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchTableException(ident)
+
+  override def alterTable(ident: Identifier,
+      changes: org.apache.spark.sql.connector.catalog.TableChange*)
+      : org.apache.spark.sql.connector.catalog.Table =
+    throw new UnsupportedOperationException(
+      s"$catName: pot tables are self-describing directories — no DDL")
+
+  override def dropTable(ident: Identifier): Boolean = false
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      s"$catName: pot tables are self-describing directories — no DDL")
 
   /** u36 — DSv2 STORED PROCEDURES (`CALL graft_fns.sys.<proc>(...)`,
     * SPARK-44167): the store's MAINTENANCE verbs as catalog-addressable
@@ -73,10 +116,14 @@ class GraftFunctionCatalog extends CatalogPlugin with FunctionCatalog
 object GraftFunctionCatalog {
   val Namespace: Array[String] = Array("ops")
   val SysNamespace: Array[String] = Array("sys")
+  /** u54 path-addressed table namespaces. */
+  val StoreNamespace: Array[String] = Array("store")
+  val PotNamespace: Array[String] = Array("pot")
 
   val functions: Map[String, UnboundFunction] = Map(
     "int8dot" -> Int8DotUnbound,
-    "vsum" -> VSumUnbound)
+    "vsum" -> VSumUnbound,
+    "bucket" -> BucketFnUnbound)
 
   val procedures: Map[String,
       org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure] =
@@ -355,6 +402,51 @@ object CompactPotProcedure extends GraftMaintenanceProcedure(
     pots.flatMap(pot =>
       PotV2Source.compactPot(fs, pot).map(g => s"$pot@$g"))
   }
+}
+
+/** u54: the bucketed store's key-routing as a catalog V2 function —
+  * `bucket(n, key) = xxhash64(key, seed 42) pmod n`, bit-identical to
+  * [[BucketedPotV2Source.bucketOf]] (the write router) by construction.
+  * This is what makes the scan-reported `bucket(n, key)` TRANSFORM
+  * resolvable: Spark binds it here and two scans' TransformExpressions
+  * compare equal iff [[BucketFn.canonicalName]] and the modulus match —
+  * same-modulus stores co-partition (zero-exchange key joins), different
+  * moduli are incompatible and shuffle. Also callable as
+  * `graft_fns.ops.bucket(n, key)` for routing audits.
+  */
+object BucketFnUnbound extends UnboundFunction {
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, key) -> int: xxhash64(key) pmod n — the bucketed pot " +
+      "store's key-routing function (SPJ partition transform)"
+  override def bind(inputType: StructType): BoundFunction = {
+    val ok = inputType.fields.length == 2 &&
+      inputType.fields(0).dataType == IntegerType &&
+      inputType.fields(1).dataType == StringType
+    if (!ok) throw new UnsupportedOperationException(
+      s"bucket expects (int, string), got ${inputType.simpleString}")
+    BucketFn
+  }
+}
+
+object BucketFn extends ScalarFunction[Integer] {
+  override def inputTypes(): Array[DataType] = Array(IntegerType, StringType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String = "graft.bucket"
+  override def isResultNullable: Boolean = false
+
+  /** MAGIC method (codegen'd direct call); must stay bit-identical to
+    * [[BucketedPotV2Source.bucketOf]] — the router and the transform are
+    * the same function or co-partitioning is silently wrong. */
+  def invoke(n: Int, key: org.apache.spark.unsafe.types.UTF8String): Int = {
+    val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      .hash(key, StringType, 42L)
+    (((h % n) + n) % n).toInt
+  }
+
+  override def produceResult(input: InternalRow): Integer =
+    Integer.valueOf(invoke(input.getInt(0), input.getUTF8String(1)))
 }
 
 /** `int8dot(array<int>, array<int>) -> bigint` — exact integer dot product

@@ -136,6 +136,14 @@ object PotV2Source {
     * DELETE) reject globs through this one definition. */
   def isGlob(path: String): Boolean = path.exists(c => "*?[{".contains(c))
 
+  /** Unsigned UTF-8 byte comparison — the ONE string order the engine
+    * uses everywhere a pushdown must be semantically invisible (key
+    * extremes u49, TopN u28, zone maps u57): Spark's StringType order. */
+  private[sources] def utf8Cmp(x: String, y: String): Int =
+    java.util.Arrays.compareUnsigned(
+      x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   /** Pushable aggregate kinds (u12 COUNT; u49 adds MIN/MAX over the key
     * column — metadata-speed like the count: keys are parsed anyway,
     * document bodies never stringify). Key extremes compare in UNSIGNED
@@ -146,6 +154,20 @@ object PotV2Source {
   case object AggCount extends PotAgg
   case object AggMinKey extends PotAgg
   case object AggMaxKey extends PotAgg
+  /** u56 (r18): COUNT/MIN/MAX over a SHREDDED doc field — evaluated on
+    * the pre-stringify extracted value (u45's machinery), so an
+    * analytics aggregate over a 10k-object store returns per-object
+    * tuples without ever rendering a document body. COUNT(field) counts
+    * non-null extractions (SQL semantics); MIN/MAX ignore nulls, string
+    * fields compare in unsigned UTF-8 byte order (the key-extreme rule),
+    * bigint fields numerically. `t` rides along so the scan schema and
+    * the fold agree on the value type without re-resolving the shred
+    * spec. */
+  case class AggCountShred(field: String) extends PotAgg
+  case class AggMinShred(field: String,
+      t: org.apache.spark.sql.types.DataType) extends PotAgg
+  case class AggMaxShred(field: String,
+      t: org.apache.spark.sql.types.DataType) extends PotAgg
 
   /** TIMESTAMP AS OF (u46, r17): resolve a wall-clock instant to the
     * write chain's generation — the youngest committed generation whose
@@ -160,15 +182,19 @@ object PotV2Source {
     * predating the first commit fails NAMED at planning — never a
     * silent empty read.
     */
+  /** Epoch millis (all digits) or `yyyy-MM-dd HH:mm:ss[.f]` — shared by
+    * the single-pot (u46) and bucketed (u55) AS OF resolvers. */
+  private[sources] def parseTsMillis(ts: String): Long =
+    if (ts.nonEmpty && ts.forall(_.isDigit)) ts.toLong
+    else java.sql.Timestamp.valueOf(ts).getTime
+
   def resolveTimestampAsOf(path: String, ts: String): Long = {
     require(!isGlob(path),
       s"PotV2Source: timestampAsOf reads need ONE pot object, not a glob: $path")
     val p = new Path(path)
     val fs = p.getFileSystem(new Configuration())
     val commits = new Path(p.getParent, ".commits")
-    val millis =
-      if (ts.nonEmpty && ts.forall(_.isDigit)) ts.toLong
-      else java.sql.Timestamp.valueOf(ts).getTime
+    val millis = parseTsMillis(ts)
     val gens = graft.kv.CommitMarker.committedGenerations(fs, commits)
     require(gens.nonEmpty,
       s"PotV2Source: timestampAsOf over $path: no committed generations " +
@@ -281,6 +307,8 @@ object PotV2Source {
       if (g < covering && owned && p.getName.startsWith(".snap-") &&
           fs.exists(p)) {
         fs.delete(p, false)
+        // the paired zone-map sidecar (u57) retires with its snapshot
+        PotChain.zmapOf(body).foreach(z => fs.delete(z, false))
         Some(p.toString)
       } else None
     }
@@ -460,6 +488,31 @@ private[graft] object PotChain {
     new Path(body).getName.startsWith(".snap-")
   def isDgen(body: String): Boolean =
     new Path(body).getName.startsWith(".dgen-")
+
+  /** u57: the zone-map sidecar paired with a `.snap-` artifact (same
+    * uuid stem, `.zmap-` prefix) — present for every r18+ snapshot
+    * commit, absent for legacy/delta artifacts. */
+  def zmapOf(body: String): Option[Path] = {
+    val p = new Path(body)
+    val name = p.getName
+    if (name.startsWith(".snap-") && name.endsWith(".json"))
+      Some(new Path(p.getParent,
+        ".zmap-" + name.stripPrefix(".snap-").stripSuffix(".json") + ".json"))
+    else None
+  }
+
+  /** The (kmin, kmax) a snapshot's zone map declares, if one exists and
+    * parses — any absence or tear reads None (no pruning, never wrong). */
+  def zmapRange(fs: org.apache.hadoop.fs.FileSystem, body: String)
+      : Option[(String, String)] =
+    try zmapOf(body).filter(fs.exists).flatMap { p =>
+      val in = fs.open(p)
+      val n = try new ObjectMapper().readTree(in) finally in.close()
+      for {
+        mn <- Option(n.get("kmin")).filter(_.isTextual).map(_.asText)
+        mx <- Option(n.get("kmax")).filter(_.isTextual).map(_.asText)
+      } yield (mn, mx)
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   // r16: every commit embeds its row statistics in the artifact NAME —
   // `.snap-<stem>-r<entries>.json` / `.dgen-<stem>-u<upserts>d<dels>.jsonl`
@@ -969,16 +1022,32 @@ private[graft] class PotV2ScanBuilder(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[(Boolean, Seq[PotV2Source.PotAgg])] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
-    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     def keyRef(e: org.apache.spark.sql.connector.expressions.Expression)
         : Boolean = e match {
       case r: NamedReference => r.fieldNames.sameElements(Array("key"))
       case _ => false
     }
+    // u56: a single-part reference naming a SHREDDED column — its
+    // aggregate folds over the pre-stringify extracted value
+    def shredRef(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 &&
+          shredTypes.contains(r.fieldNames()(0)) => Some(r.fieldNames()(0))
+      case _ => None
+    }
     val kinds = agg.aggregateExpressions.toSeq.map {
       case _: CountStar => Some(PotV2Source.AggCount)
       case m: Min if keyRef(m.column) => Some(PotV2Source.AggMinKey)
       case m: Max if keyRef(m.column) => Some(PotV2Source.AggMaxKey)
+      case m: Min if shredRef(m.column).isDefined =>
+        shredRef(m.column).map(f =>
+          PotV2Source.AggMinShred(f, shredTypes(f)))
+      case m: Max if shredRef(m.column).isDefined =>
+        shredRef(m.column).map(f =>
+          PotV2Source.AggMaxShred(f, shredTypes(f)))
+      case c: Count if !c.isDistinct && shredRef(c.column).isDefined =>
+        shredRef(c.column).map(PotV2Source.AggCountShred)
       case _ => None
     }
     if (kinds.isEmpty || kinds.exists(_.isEmpty)) None
@@ -1058,10 +1127,14 @@ private[graft] class PotV2ScanBuilder(
     */
   protected def capResolver: Option[() => Map[String, Long]] = None
 
+  /** u54: the bucketed builder sets Some(nBuckets) so the scan reports
+    * key-grain `KeyGroupedPartitioning(bucket(n, key))`. */
+  protected def keyBucketGrain: Option[Int] = None
+
   override def build(): Scan =
     new PotV2Scan(path, required, pushed, aggGroupedByFile, generation,
       pushedLimit, pushedTopN, capResolver, pushedSample, shred, aggKinds,
-      maxGensPerTrigger, pushedOffset)
+      maxGensPerTrigger, pushedOffset, keyBucketGrain)
 }
 
 /** `docSkippedEntries` (u45): entries whose documents were dropped by a
@@ -1202,7 +1275,8 @@ private[graft] class PotV2Scan(
     shred: Seq[(String, Seq[String], org.apache.spark.sql.types.DataType)] = Nil,
     aggKinds: Seq[PotV2Source.PotAgg] = Seq(PotV2Source.AggCount),
     maxGensPerTrigger: Option[Int] = None,
-    pushedOffset: Option[Int] = None)
+    pushedOffset: Option[Int] = None,
+    keyBucketGrain: Option[Int] = None)
     extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -1219,19 +1293,57 @@ private[graft] class PotV2Scan(
     * Reported only when pot_file survives projection and every planned
     * partition carries a key (the count-pushed no-file partition has
     * none); otherwise Unknown, exactly what Spark assumed before.
+    *
+    * u54 (r18): KEY-grain SPJ for the BUCKETED store — when the builder
+    * set `keyBucketGrain = Some(n)`, every partition is one bucket whose
+    * rows all hash to that bucket id, so the scan reports
+    * `KeyGroupedPartitioning(bucket(n, key))` with the bucket id as each
+    * partition's key ([[BucketKeyedPartition]]). The transform resolves
+    * through the relation's FunctionCatalog
+    * ([[GraftFunctionCatalog.BucketFn]] — catalog reads only; a
+    * path-based read has no function catalog, Spark logs and falls back
+    * to Unknown, never wrong results), so a `key`-equi-join between two
+    * SAME-modulus stores read via `graft_fns.store.\`root\`` plans with
+    * ZERO exchange on either side; different moduli are incompatible
+    * transforms and shuffle as before. The two u51 traps carry over:
+    * key-grain is reported only when no aggregate was pushed and `key`
+    * survives projection.
     */
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning = {
     val parts = planInputPartitions()
-    val keyed = parts.nonEmpty && parts.forall(
-      _.isInstanceOf[org.apache.spark.sql.connector.read.HasPartitionKey])
-    if (keyed && readSchema().fieldNames.contains("pot_file"))
+    if (parts.nonEmpty && parts.forall(_.isInstanceOf[BucketKeyedPartition]))
+      new org.apache.spark.sql.connector.read.partitioning
+        .KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .bucket(keyBucketGrain.get, "key")), parts.length)
+    else if (parts.nonEmpty && parts.forall(
+        _.isInstanceOf[org.apache.spark.sql.connector.read.HasPartitionKey])
+        && readSchema().fieldNames.contains("pot_file"))
       new org.apache.spark.sql.connector.read.partitioning
         .KeyGroupedPartitioning(
           Array(org.apache.spark.sql.connector.expressions.Expressions
             .identity("pot_file")), parts.length)
     else new org.apache.spark.sql.connector.read.partitioning
       .UnknownPartitioning(parts.length)
+  }
+
+  /** The bucket-id wrap for u54: applied only when EVERY planned
+    * partition names its bucket (the `_b=<i>` layout); a mixed or
+    * unparseable layout stays unwrapped and key-grain is simply not
+    * reported. Aggregate-pushed scans never wrap (u51's learned-live
+    * trap: the rewritten output can't resolve the transform). */
+  private def wrapKeyGrain(parts: Array[InputPartition]): Array[InputPartition] = {
+    if (keyBucketGrain.isEmpty || aggGroupedByFile.isDefined ||
+        parts.isEmpty || !required.fieldNames.contains("key")) return parts
+    val ids: Array[Option[Int]] = parts.map {
+      case PotFilePartition(f, _) => PotV2Scan.bucketIdOf(f)
+      case PotStatePartition(_, _, pf) => PotV2Scan.bucketIdOf(pf)
+      case _ => None
+    }
+    if (ids.exists(_.isEmpty)) parts
+    else parts.lazyZip(ids).map { case (p, id) =>
+      BucketKeyedPartition(p, id.get): InputPartition }.toArray
   }
 
   override def supportedCustomMetrics()
@@ -1278,6 +1390,12 @@ private[graft] class PotV2Scan(
       StructField("min(key)", StringType, nullable = true)
     case PotV2Source.AggMaxKey =>
       StructField("max(key)", StringType, nullable = true)
+    case PotV2Source.AggCountShred(f) =>
+      StructField(s"count($f)", LongType, nullable = false)
+    case PotV2Source.AggMinShred(f, t) =>
+      StructField(s"min($f)", t, nullable = true)
+    case PotV2Source.AggMaxShred(f, t) =>
+      StructField(s"max($f)", t, nullable = true)
   }
   override def readSchema(): StructType = aggGroupedByFile match {
     case Some(true) => StructType(
@@ -1337,10 +1455,10 @@ private[graft] class PotV2Scan(
   @volatile private var cachedParts: Array[InputPartition] = _
 
   override def planInputPartitions(): Array[InputPartition] = {
-    if (capResolver.isDefined) return planInputPartitionsUncached()
+    if (capResolver.isDefined) return wrapKeyGrain(planInputPartitionsUncached())
     val c = cachedParts
     if (c != null) return c
-    val planned = planInputPartitionsUncached()
+    val planned = wrapKeyGrain(planInputPartitionsUncached())
     cachedParts = planned
     planned
   }
@@ -1395,6 +1513,16 @@ private[graft] class PotV2Scan(
     // (pre-statement state) so a multi-bucket statement is never observed
     // prefix-applied; cap 0 = the pot did not exist pre-statement.
     val caps: Map[String, Long] = capResolver.map(_()).getOrElse(Map.empty)
+    // u57: exact pushed/runtime key values are a ZONE-MAP pruning witness
+    // (filters are ANDed, so any one exact shape's value set suffices: a
+    // pot whose [kmin, kmax] excludes every value cannot serve a row)
+    val exactKeys: Option[Seq[String]] =
+      (pushed ++ runtime).collectFirst {
+        case org.apache.spark.sql.sources.EqualTo("key", v: String) => Seq(v)
+        case org.apache.spark.sql.sources.In("key", vs)
+            if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+          vs.toSeq.map(_.toString)
+      }
     val parts = matched.filter(_.isFile)
       .map(_.getPath.toString)
       .filter(PotV2Filters.accepts(pushed, "pot_file", _))
@@ -1414,9 +1542,24 @@ private[graft] class PotV2Scan(
           if (eff <= 0L) None
           else Some(PotStatePartition(dir.toString, eff, f): InputPartition)
         } else {
-          val headIsDelta = head > 0 &&
-            PotChain.isDgen(PotChain.artifactOf(fs, commits, head))
-          Some(if (headIsDelta) PotStatePartition(dir.toString, head, f)
+          val body = if (head > 0) PotChain.artifactOf(fs, commits, head)
+            else null
+          val headIsDelta = head > 0 && PotChain.isDgen(body)
+          // u57 zone-map pruning: snapshot-headed pots whose sidecar
+          // range excludes every exact pushed key drop at PLANNING —
+          // the object is never opened. Delta heads, legacy chains, and
+          // sidecar-less commits keep their partition (no pruning,
+          // never wrong results).
+          val admit = headIsDelta || head == 0 || exactKeys.forall { ks =>
+            PotChain.zmapRange(fs, body) match {
+              case Some((mn, mx)) => ks.exists(k =>
+                PotV2Source.utf8Cmp(k, mn) >= 0 &&
+                  PotV2Source.utf8Cmp(k, mx) <= 0)
+              case None => true
+            }
+          }
+          if (!admit) None
+          else Some(if (headIsDelta) PotStatePartition(dir.toString, head, f)
           else PotFilePartition(f, if (head > 0) head else -1L)
           : InputPartition)
         }
@@ -1531,6 +1674,9 @@ private[graft] class PotV2Scan(
       case PotV2Source.AggCount => "count"
       case PotV2Source.AggMinKey => "min(key)"
       case PotV2Source.AggMaxKey => "max(key)"
+      case PotV2Source.AggCountShred(f) => s"count($f)"
+      case PotV2Source.AggMinShred(f, _) => s"min($f)"
+      case PotV2Source.AggMaxShred(f, _) => s"max($f)"
     }.mkString(",")
     val aggDesc = aggGroupedByFile match {
       case Some(true)  => s", PushedAggregation: $aggNames group=[pot_file]"
@@ -1578,6 +1724,23 @@ private[sources] case class PotStatePartition(
   * predicate pruned every file: its reader emits the single 0 partial. */
 private[sources] case object PotNoFilePartition extends InputPartition
 
+private[sources] object PotV2Scan {
+  private val BucketRe = "_b=([0-9]+)/data\\.json$".r
+  /** Bucket id encoded in a bucketed-store pot path, if any. */
+  def bucketIdOf(potFile: String): Option[Int] =
+    BucketRe.findFirstMatchIn(potFile).map(_.group(1).toInt)
+}
+
+/** u54: a bucketed-store partition whose DSv2 partition key is its
+  * BUCKET ID — the value of `bucket(n, key)` for every row it holds
+  * (bucket id is a pure function of the key). Wraps the real file/state
+  * partition; [[PotV2ReaderFactory]] unwraps before reading. */
+private[sources] case class BucketKeyedPartition(
+    inner: InputPartition, bucket: Int) extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow = InternalRow(bucket)
+}
+
 /** One admitted entry, shred values extracted pre-stringify; `doc` is
   * null when the projection dropped doc_json (no body ever rendered). */
 private[sources] final case class PotEntry(
@@ -1621,7 +1784,13 @@ private[sources] class PotV2ReaderFactory(
     docFilters.isEmpty ||
       PotV2Filters.docAccepts(docFilters, shredCols, n => sv(shredIdx(n)))
 
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+  override def createReader(partition0: InputPartition): PartitionReader[InternalRow] = {
+    // u54: the bucket-id carrier is planning-surface only — read the real
+    // file/state partition inside it
+    val partition = partition0 match {
+      case BucketKeyedPartition(inner, _) => inner
+      case p => p
+    }
     partition match {
       case PotNoFilePartition => return new PartitionReader[InternalRow] {
         // the zero-file GLOBAL partial: count 0, min/max NULL (exactly
@@ -1689,59 +1858,93 @@ private[sources] class PotV2ReaderFactory(
     }
     aggGroupedByFile match {
       case Some(grouped) => return new PartitionReader[InternalRow] {
-        // Aggregate path (u12 count; u49 adds MIN/MAX over key): parse
-        // the map, apply pushed key + doc-field predicates, fold — key
+        // Aggregate path (u12 count; u49 MIN/MAX over key; u56 adds
+        // COUNT/MIN/MAX over SHREDDED doc fields): parse the map, apply
+        // pushed key + doc-field predicates, fold — key and string-field
         // extremes compare in UNSIGNED UTF-8 BYTE order (Spark's
-        // StringType semantics; pushTopN's r15 comparator rule), and
-        // document bodies are never stringified unless doc-field
-        // predicates force a per-entry parse. One output row per file.
-        // A GROUPED aggregate emits NO row when the predicates (or an
-        // empty map) leave zero entries — a (pot_file, 0) group here
-        // would be a phantom a non-pushed aggregate never produces; the
-        // global partial keeps its row (count 0, min/max NULL).
+        // StringType semantics; pushTopN's r15 comparator rule), bigint
+        // fields numerically; shred values come from the pre-stringify
+        // extraction (u45), so document bodies are NEVER stringified.
+        // One output row per file. A GROUPED aggregate emits NO row when
+        // the predicates (or an empty map) leave zero entries — a
+        // (pot_file, 0) group here would be a phantom a non-pushed
+        // aggregate never produces; the global partial keeps its row
+        // (count 0, min/max NULL — the u49 empty discipline, which for
+        // shred aggs also covers the all-null-field case per SQL).
         private var emitted = false
-        private lazy val stats: (Long, String, String) = {
-          val utf8: java.util.Comparator[String] =
-            (x: String, y: String) => java.util.Arrays.compareUnsigned(
-              x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-              y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          var n = 0L
-          var mn: String = null
-          var mx: String = null
-          def fold(key: String): Unit = {
-            n += 1
-            if (mn == null || utf8.compare(key, mn) < 0) mn = key
-            if (mx == null || utf8.compare(key, mx) > 0) mx = key
-          }
-          partition match {
-            case sp: PotStatePartition =>
-              foldedEntries(sp).foreach(e => fold(e.key))
-            case _ =>
-              val p = new Path(file)
-              val fs = p.getFileSystem(new Configuration())
-              val in = fs.open(p)
-              val root = try new ObjectMapper().readTree(in)
-                finally in.close()
-              require(root != null && root.isObject,
-                s"pot object $file: top level must be a JSON map")
-              root.fields().asScala.foreach { e =>
-                if (keyKeep(e.getKey) &&
-                    (shred.isEmpty || nodeAdmit(e.getValue).isDefined))
-                  fold(e.getKey)
-              }
-          }
-          (n, mn, mx)
+        private val utf8: java.util.Comparator[String] =
+          (x: String, y: String) => java.util.Arrays.compareUnsigned(
+            x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+            y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        // per-kind fold state, parallel to aggKinds (n doubles as the
+        // grouped emit decision)
+        private var n = 0L
+        private var mnKey: String = null
+        private var mxKey: String = null
+        private val shredState = new Array[Any](aggKinds.length)
+        private val shredCount = new Array[Long](aggKinds.length)
+        private def less(a: Any, b: Any): Boolean = (a, b) match {
+          case (x: String, y: String) => utf8.compare(x, y) < 0
+          case (x: java.lang.Long, y: java.lang.Long) => x < y
+          case _ => false
         }
-        private def aggVals: Seq[Any] = aggKinds.map {
-          case PotV2Source.AggCount => stats._1
-          case PotV2Source.AggMinKey =>
-            if (stats._2 == null) null else UTF8String.fromString(stats._2)
-          case PotV2Source.AggMaxKey =>
-            if (stats._3 == null) null else UTF8String.fromString(stats._3)
+        private def fold(key: String, sv: Array[Any]): Unit = {
+          n += 1
+          if (mnKey == null || utf8.compare(key, mnKey) < 0) mnKey = key
+          if (mxKey == null || utf8.compare(key, mxKey) > 0) mxKey = key
+          var i = 0
+          while (i < aggKinds.length) {
+            aggKinds(i) match {
+              case PotV2Source.AggCountShred(f) =>
+                if (sv(shredIdx(f)) != null) shredCount(i) += 1
+              case PotV2Source.AggMinShred(f, _) =>
+                val v = sv(shredIdx(f))
+                if (v != null &&
+                    (shredState(i) == null || less(v, shredState(i))))
+                  shredState(i) = v
+              case PotV2Source.AggMaxShred(f, _) =>
+                val v = sv(shredIdx(f))
+                if (v != null &&
+                    (shredState(i) == null || less(shredState(i), v)))
+                  shredState(i) = v
+              case _ => ()
+            }
+            i += 1
+          }
+        }
+        private lazy val folded: Unit = partition match {
+          case sp: PotStatePartition =>
+            foldedEntries(sp).foreach(e => fold(e.key, e.sv))
+          case _ =>
+            val p = new Path(file)
+            val fs = p.getFileSystem(new Configuration())
+            val in = fs.open(p)
+            val root = try new ObjectMapper().readTree(in)
+              finally in.close()
+            require(root != null && root.isObject,
+              s"pot object $file: top level must be a JSON map")
+            root.fields().asScala.foreach { e =>
+              if (keyKeep(e.getKey)) {
+                if (shred.isEmpty) fold(e.getKey, PotV2ReaderFactory.NoSvals)
+                else nodeAdmit(e.getValue).foreach(sv => fold(e.getKey, sv))
+              }
+            }
+        }
+        private def out(v: Any): Any = v match {
+          case s: String => UTF8String.fromString(s)
+          case other => other
+        }
+        private def aggVals: Seq[Any] = aggKinds.zipWithIndex.map {
+          case (PotV2Source.AggCount, _) => n
+          case (PotV2Source.AggMinKey, _) => out(mnKey)
+          case (PotV2Source.AggMaxKey, _) => out(mxKey)
+          case (PotV2Source.AggCountShred(_), i) => shredCount(i)
+          case (PotV2Source.AggMinShred(_, _), i) => out(shredState(i))
+          case (PotV2Source.AggMaxShred(_, _), i) => out(shredState(i))
         }
         override def next(): Boolean =
           if (emitted) false
-          else { emitted = true; !grouped || stats._1 > 0 }
+          else { emitted = true; folded; !grouped || n > 0 }
         override def get(): InternalRow =
           if (grouped)
             InternalRow.fromSeq(UTF8String.fromString(file) +: aggVals)
@@ -2228,6 +2431,31 @@ private[graft] class PotV2Write(
         }
         dOut.write(sb.toString.getBytes(UTF_8))
       } finally dOut.close()
+      // ZONE-MAP sidecar (u57, r18): per-commit key min/max in UNSIGNED
+      // UTF-8 byte order (the engine's one string order) — written with
+      // the snapshot, uuid-paired by stem, deleted with it on a lost
+      // race, so it is exactly as atomic as the commit it describes.
+      // planInputPartitions prunes WHOLE OBJECTS whose range excludes a
+      // pushed exact-key predicate (the parquet-footer-statistics
+      // discipline for the pot format); an absent/torn sidecar simply
+      // means no pruning, never wrong results. Empty commits write none.
+      val zmap = new Path(dir, s".zmap-$stem.json")
+      if (!entries.isEmpty) {
+        var mn: String = null; var mx: String = null
+        entries.keySet().asScala.foreach { k =>
+          if (mn == null || PotV2Source.utf8Cmp(k, mn) < 0) mn = k
+          if (mx == null || PotV2Source.utf8Cmp(k, mx) > 0) mx = k
+        }
+        val zo = mapper.createObjectNode()
+        zo.put("kmin", mn); zo.put("kmax", mx)
+        val zOut = fs.create(zmap, false)
+        try zOut.write(mapper.writeValueAsString(zo).getBytes(UTF_8))
+        finally zOut.close()
+      }
+      def dropStaged(): Unit = {
+        fs.delete(snap, false); fs.delete(delta, false)
+        fs.delete(zmap, false)
+      }
       val gen = head.map(_._1).getOrElse(0L) + 1
       try {
         graft.kv.CommitMarker.publish(
@@ -2235,11 +2463,9 @@ private[graft] class PotV2Write(
         Some(gen)
       } catch {
         case e: graft.kv.PotTable.CommitConflict =>
-          fs.delete(snap, false)
-          fs.delete(delta, false)
+          dropStaged()
           if (retryOnConflict) None else throw e
-        case e: Throwable =>
-          fs.delete(snap, false); fs.delete(delta, false); throw e
+        case e: Throwable => dropStaged(); throw e
       }
     }
     var committed: Option[Long] = None

@@ -465,6 +465,70 @@ class BucketedPotSpec extends AnyFunSuite {
     new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
   }
 
+  test("bucketed TIMESTAMP AS OF (u55, r18): between-commits pins the " +
+    "earlier generation; a crashed statement's window reads pre-statement " +
+    "before AND after recovery; predating everything fails named") {
+    import spark.implicits._
+    import graft.sources.{BucketedPotV2Source, BucketedStmtLog, PotV2Source}
+    val dir = java.nio.file.Files.createTempDirectory("bpotasof").toString
+    val fmt = classOf[BucketedPotV2Source].getName
+    def pause(after: Long): Long = {
+      while (System.currentTimeMillis() <= after + 2) Thread.sleep(2)
+      val t = System.currentTimeMillis(); Thread.sleep(3); t
+    }
+    def readAsOf(root: String, ts: Long): Map[String, Long] =
+      spark.read.format(fmt).option("path", root).option("buckets", "4")
+        .option("timestampAsOf", ts.toString).load()
+        .select($"key", org.apache.spark.sql.functions
+          .get_json_object($"doc_json", "$.v").cast("long"))
+        .as[(String, Long)].collect().toMap
+    def write(root: String, rows: Seq[(String, Int)]): Unit =
+      rows.map { case (k, v) => ("", k, s"""{"v": $v}""") }
+        .toDF("pot_file", "key", "doc_json")
+        .write.format(fmt).option("path", root).option("buckets", "4")
+        .mode("append").save()
+    val root = s"$dir/store"
+    val t0 = System.currentTimeMillis() - 10
+    write(root, (1 to 20).map(i => (s"k$i", i)))
+    val tA = pause(System.currentTimeMillis())
+    write(root, (1 to 5).map(i => (s"k$i", i * 100)))
+    val tB = pause(System.currentTimeMillis())
+    // between the two completed statements: wave 1 exactly, never a mix
+    assert(readAsOf(root, tA) === (1 to 20).map(i => s"k$i" -> i.toLong).toMap)
+    assert(readAsOf(root, tB) ===
+      ((6 to 20).map(i => s"k$i" -> i.toLong) ++
+        (1 to 5).map(i => s"k$i" -> i * 100L)).toMap)
+    // predating the first commit: NAMED decline, never a silent empty
+    val e = intercept[Exception] { readAsOf(root, t0) }
+    assert(e.getMessage.contains("predates"), e.getMessage)
+    // CRASH: intent up, exactly one bucket committed, no complete — an
+    // instant inside the window reads the pre-statement state, and must
+    // KEEP reading it after recovery journals the window
+    val base = BucketedPotV2Source.headVector(root, 4)
+    val key = "crash-row"
+    BucketedStmtLog.begin(root, "asof-crash",
+      BucketedStmtLog.intentBody("insert", "asof-crash", truncate = false,
+        Long.MaxValue, Seq(0, 1, 2, 3),
+        (0 to 3).map(b => b -> base.getOrElse(b, 0L)).toMap, Map.empty))
+    Seq(("", key, """{"v": 999}""")).toDF("pot_file", "key", "doc_json")
+      .write.format(classOf[PotV2Source].getName)
+      .option("path", BucketedPotV2Source.bucketPot(root,
+        BucketedPotV2Source.bucketOf(key, 4)))
+      .mode("append").save()
+    val tMid = pause(System.currentTimeMillis())
+    val preStatement = readAsOf(root, tB)
+    assert(readAsOf(root, tMid) === preStatement,
+      "mid-statement instant observed a prefix-applied statement")
+    // roll forward (journals [intent, recovery) under _stmts/closed)
+    BucketedStmtLog.complete(root, "asof-crash", Seq.empty)
+    val tDone = pause(System.currentTimeMillis())
+    assert(readAsOf(root, tMid) === preStatement,
+      "recovery rewrote history: a mid-window instant saw the statement")
+    assert(readAsOf(root, tDone).get(key) === Some(999L),
+      "post-done instant missed the completed statement")
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
   test("clonePot head publish is staged-then-renamed (r18 ADVICE): a torn " +
     "head beside complete markers is repaired on resume, no staging husks " +
     "survive a successful clone") {

@@ -235,6 +235,128 @@ class PotJsonSpec extends AnyFunSuite {
       .contains("PushedAggregation"))
   }
 
+  test("PotV2Source pushes COUNT/MIN/MAX over SHREDDED fields (u56, r18): " +
+    "complete grouped with no Spark aggregate, non-null COUNT semantics, " +
+    "typed extremes, doc-field predicates compose UNDER the fold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count, max, min}
+    val dir = java.nio.file.Files.createTempDirectory("potv2aggsh")
+    writePot(dir, "p1",
+      """{"ka": {"name": "bb", "pop": 10}, "kb": {"name": "aa"},
+        | "kc": {"name": "cc", "pop": 30}}""".stripMargin.replace("\n", ""))
+    writePot(dir, "p2", """{"kd": {"name": "zz", "pop": 5}}""")
+    val df = spark.read
+      .format(classOf[graft.sources.PotV2Source].getName)
+      .option("path", s"$dir/*/data.json")
+      .option("shred", "name=name:string,pop=pop:bigint").load()
+    val grouped = df.groupBy($"pot_file")
+      .agg(count($"pop").as("np"), min($"name").as("mn"),
+        max($"pop").as("mx"))
+    val gplan = grouped.queryExecution.executedPlan.toString
+    assert(gplan.contains(
+      "PushedAggregation: count(pop),min(name),max(pop) group=[pot_file]"),
+      gplan)
+    assert(!gplan.contains("HashAggregate"),
+      s"complete shred-agg pushdown must not re-aggregate:\n$gplan")
+    // COUNT(pop) skips the null extraction (kb has no pop field)
+    assert(grouped.select($"np", $"mn", $"mx").as[(Long, String, Long)]
+      .collect().toSet === Set((2L, "aa", 30L), (1L, "zz", 5L)))
+    // global partial merges per-file folds
+    val global = df.agg(count($"pop").as("np"), min($"name").as("mn"),
+      max($"pop").as("mx"))
+    assert(global.queryExecution.executedPlan.toString.contains(
+      "PushedAggregation: count(pop),min(name),max(pop) group=[]"))
+    assert(global.as[(Long, String, Long)].head() === ((3L, "aa", 30L)))
+    // pushed doc-field predicate applies UNDER the fold (u45 x u56)
+    val filtered = df.filter($"pop" >= 10L)
+      .agg(count($"pop").as("np"), max($"pop").as("mx"))
+    assert(filtered.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"))
+    assert(filtered.as[(Long, Long)].head() === ((2L, 30L)))
+    // an UNSHREDDED column's aggregate declines to the row scan
+    val declined = df.agg(min($"doc_json"))
+    assert(!declined.queryExecution.executedPlan.toString
+      .contains("PushedAggregation"))
+  }
+
+  test("PotV2 zone-map pruning (u57, r18): exact key predicates drop " +
+    "whole objects at planning; absent sidecars and delta heads never " +
+    "prune; a vacuumed snapshot retires its sidecar") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("potv2zmap").toString
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    // five range-clustered pots via the WRITE path (zmaps stamp there)
+    (0 to 4).foreach { g =>
+      (g * 5 until g * 5 + 5).map(i => ("", f"k$i%02d", s"""{"v": $i}"""))
+        .toDF("pot_file", "key", "doc_json")
+        .write.format(fmt).option("path", s"$dir/range_$g/data.json")
+        .mode("overwrite").save()
+    }
+    def scanWith(filters: org.apache.spark.sql.sources.Filter*)
+        : org.apache.spark.sql.connector.read.Batch = {
+      val b = new graft.sources.PotV2ScanBuilder(s"$dir/*/data.json")
+      b.pushFilters(filters.toArray)
+      b.build().asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+    }
+    import org.apache.spark.sql.sources.{EqualTo, In}
+    assert(scanWith().planInputPartitions().length === 5)
+    // IN over two ranges opens exactly their two objects
+    assert(scanWith(In("key", Array("k03", "k17")))
+      .planInputPartitions().length === 2)
+    // point read opens one
+    assert(scanWith(EqualTo("key", "k21")).planInputPartitions().length === 1)
+    // out-of-range probe opens zero
+    assert(scanWith(EqualTo("key", "zzz")).planInputPartitions().length === 0)
+    // rows are right through the full read path
+    def rows(k: String*): Set[String] = spark.read.format(fmt)
+      .option("path", s"$dir/*/data.json").load()
+      .filter($"key".isin(k: _*)).select($"key").as[String].collect().toSet
+    assert(rows("k03", "k17") === Set("k03", "k17"))
+    // STALE-SIDECAR FALLBACK: delete an otherwise-PRUNED pot's zmap
+    // (range_1 holds k05-k09, matched by neither probe key) — it stops
+    // pruning (partition count rises by one) but results stay correct
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val zmaps = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/range_1"))
+      .map(_.getPath).filter(_.getName.startsWith(".zmap-"))
+    assert(zmaps.length === 1, "expected exactly one zone-map sidecar")
+    fs.delete(zmaps.head, false)
+    assert(scanWith(In("key", Array("k03", "k17")))
+      .planInputPartitions().length === 3,
+      "a sidecar-less pot must keep its partition")
+    assert(rows("k03", "k17") === Set("k03", "k17"))
+    // DELTA-HEADED pot: never pruned (the zmap describes a snapshot)
+    val sw = new graft.sources.PotV2Write(s"$dir/range_1/data.json",
+      graft.sources.PotV2Source.Schema, "zmapq", truncateFirst = false,
+      graft.sources.PotV2Source.DefaultMaxObjectBytes)
+    def stage(rows: Seq[(String, String)]): Array[
+        org.apache.spark.sql.connector.write.WriterCommitMessage] = {
+      val f = java.nio.file.Paths.get(dir, s"frag-${rows.head._1}.jsonl")
+      java.nio.file.Files.writeString(f, rows.map { case (k, v) =>
+        s"""{"k":"$k","d":$v}""" }.mkString("", "\n", "\n"))
+      Array(graft.sources.PotFragmentMessage(0, f.toString))
+    }
+    sw.commitDeltaEpoch(stage(Seq("k99" -> """{"v": 99}""")), "e1",
+      new org.apache.hadoop.fs.Path(dir, ".zstage"))
+    assert(scanWith(EqualTo("key", "k99")).planInputPartitions().length >= 1,
+      "delta-headed pot was wrongly zone-map pruned")
+    assert(rows("k99") === Set("k99"))
+    // vacuum retires the paired sidecar with its snapshot body
+    (40 to 41).map(i => ("", f"k$i%02d", s"""{"v": $i}"""))
+      .toDF("pot_file", "key", "doc_json")
+      .write.format(fmt).option("path", s"$dir/range_4/data.json")
+      .mode("append").save()
+    val deleted = graft.sources.PotV2Source.vacuumSnapshots(
+      fs, s"$dir/range_4/data.json")
+    assert(deleted.nonEmpty)
+    val left = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/range_4"))
+      .map(_.getPath.getName)
+    assert(left.count(_.startsWith(".zmap-")) ===
+      left.count(_.startsWith(".snap-")),
+      s"orphan zone-map sidecars after vacuum: ${left.mkString(",")}")
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
   test("PotV2 OFFSET pushdown (u53, r17): single-pot pages push offset " +
     "next to the TopN selection; a glob declines to the post-scan Offset") {
     import spark.implicits._
@@ -312,6 +434,73 @@ class PotJsonSpec extends AnyFunSuite {
       "expected the shuffle back with v2 bucketing disabled")
     assert(plain.collect().map(r => (r.getString(1), r.getLong(2))).toSet
       === expected)
+  }
+
+  test("Bucketed key-grain SPJ (u54, r18): same-modulus stores join on " +
+    "key with ZERO exchange via the catalog; different moduli and " +
+    "path-based reads shuffle; the V2 bucket fn == the write router") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("potv2kspj").toString
+    val fmt = classOf[graft.sources.BucketedPotV2Source].getName
+    def write(sub: String, buckets: Int, doc: Int => String): String = {
+      val root = s"$dir/$sub"
+      (1 to 40).map(i => ("", s"k$i", doc(i)))
+        .toDF("pot_file", "key", "doc_json")
+        .write.format(fmt).option("path", root)
+        .option("buckets", buckets.toString).mode("append").save()
+      root
+    }
+    val a = write("a", 4, i => s"""{"v": $i}""")
+    val b = write("b", 4, i => s"""{"w": ${i * 10}}""")
+    val c = write("c", 8, i => s"""{"w": ${i * 10}}""")
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.catalog.graft_fns",
+      classOf[graft.sources.GraftFunctionCatalog].getName)
+    ss.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    ss.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    def readStore(root: String) = ss.read.table(s"graft_fns.store.`$root`")
+    def joined(l: org.apache.spark.sql.DataFrame,
+        r: org.apache.spark.sql.DataFrame) =
+      l.select(l("key"), org.apache.spark.sql.functions
+          .get_json_object(l("doc_json"), "$.v").cast("long").as("v"))
+        .join(r.select(r("key"), org.apache.spark.sql.functions
+          .get_json_object(r("doc_json"), "$.w").cast("long").as("w")),
+          "key")
+    val expected = (1 to 40).map(i => (s"k$i", i.toLong, i * 10L)).toSet
+    // SAME modulus through the catalog: zero exchange on either side
+    val spj = joined(readStore(a), readStore(b))
+    val plan = spj.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"same-modulus key join still shuffles:\n$plan")
+    assert(spj.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSet === expected)
+    // DIFFERENT modulus: incompatible transforms — the shuffle is back,
+    // the answer identical
+    val mixed = joined(readStore(a), readStore(c))
+    assert(mixed.queryExecution.executedPlan.toString.contains("Exchange"),
+      "expected a shuffle joining 4-bucket x 8-bucket stores")
+    assert(mixed.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSet === expected)
+    // PATH-BASED read (no catalog => no FunctionCatalog): the bucket
+    // transform cannot resolve, partitioning degrades to Unknown — the
+    // join shuffles, never a wrong co-partitioning assumption
+    def readPath(root: String) = ss.read.format(fmt)
+      .option("path", root).option("buckets", "4").load()
+    val pathJoin = joined(readPath(a), readPath(b))
+    assert(pathJoin.queryExecution.executedPlan.toString.contains("Exchange"),
+      "expected path-based reads to shuffle (no function catalog)")
+    assert(pathJoin.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2))).toSet === expected)
+    // the catalog fn IS the write router: same bucket for every key
+    val viaSql = ss.sql(
+      s"SELECT graft_fns.ops.bucket(4, key) AS b, key FROM " +
+        s"graft_fns.store.`$a`").collect()
+      .map(r => r.getString(1) -> r.getInt(0)).toMap
+    (1 to 40).foreach { i =>
+      assert(viaSql(s"k$i") ===
+        graft.sources.BucketedPotV2Source.bucketOf(s"k$i", 4))
+    }
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
   }
 
   test("PotV2Source runtime filtering prunes pot files from a join's resolved values") {
