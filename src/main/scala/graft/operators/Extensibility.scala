@@ -486,6 +486,72 @@ object Extensibility {
       |WHERE n_nationkey IN (3, 17)
       |ORDER BY key""".stripMargin
 
+  /** u58: WALL-CLOCK RETENTION (r18 — Delta's `VACUUM … RETAIN n HOURS`
+    * for the pot chain): `CALL graft_fns.sys.vacuum_pot_retain(path,
+    * hours)` reclaims below-covering snapshot bodies OLDER than the
+    * window by commit-marker mtime (u46's commit clock), so pinned and
+    * wall-clock reads inside the window keep serving. Live here: a
+    * 3-generation chain under a 1-hour window reclaims NOTHING and the
+    * gen-1 pinned read still serves; a zero-hour window then reclaims
+    * exactly the two below-covering bodies while the head read is
+    * untouched. The clone-ownership guard on the time-based path (a
+    * clone's age-based vacuum reclaims zero borrowed bodies) is
+    * spec-pinned in PotJsonSpec. Oracle replays the counts relationally
+    * from nation.
+    */
+  def vacuumRetention(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft_fns",
+      classOf[graft.sources.GraftFunctionCatalog].getName)
+    val dir = java.nio.file.Files.createTempDirectory("graft-u58").toString
+    val pot = s"$dir/t/data.json"
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    val nat = Tables.nation(s, d)
+    def write(df: org.apache.spark.sql.DataFrame, upd: Int,
+        mode: String): Unit = df.select(lit("").as("pot_file"),
+        concat(lit("n"), $"n_nationkey".cast("string")).as("key"),
+        to_json(struct($"n_name".as("name"), lit(upd).as("upd")))
+          .as("doc_json"))
+      .write.format(fmt).option("path", pot).mode(mode).save()
+    write(nat, 0, "overwrite")                              // gen 1
+    write(nat.filter($"n_regionkey" === 0), 1, "append")    // gen 2
+    write(nat.filter($"n_regionkey" === 1), 2, "append")    // gen 3 (covering)
+    // a 1-hour window: every body is young — zero reclaimed
+    val keptYoung = s.sql(
+      s"CALL graft_fns.sys.vacuum_pot_retain('$pot', '1.0')")
+      .collect().length.toLong
+    // pinned-generation read INSIDE the window still serves
+    val v1 = s.read.format(fmt).option("path", pot)
+      .option("generation", "1").load()
+      .agg(count(lit(1)).as("n_v1"),
+        sum(get_json_object($"doc_json", "$.upd").cast("long")).as("upd_v1"))
+      .localCheckpoint(true)
+    // zero-hour window: the two below-covering bodies age out
+    val reclaimed = s.sql(
+      s"CALL graft_fns.sys.vacuum_pot_retain('$pot', '0')")
+      .collect().length.toLong
+    val head = s.read.format(fmt).option("path", pot).load()
+      .agg(count(lit(1)).as("n_head"),
+        sum(get_json_object($"doc_json", "$.upd").cast("long"))
+          .as("upd_head"))
+    val out = Seq((keptYoung, reclaimed))
+      .toDF("kept_young_deletes", "reclaimed")
+      .crossJoin(v1).crossJoin(head)
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    out
+  }
+
+  val vacuumRetentionSql: String =
+    """SELECT CAST(0 AS BIGINT) AS kept_young_deletes,
+      |  CAST(2 AS BIGINT) AS reclaimed,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM nation) AS n_v1,
+      |  CAST(0 AS BIGINT) AS upd_v1,
+      |  (SELECT CAST(COUNT(*) AS BIGINT) FROM nation) AS n_head,
+      |  (SELECT CAST(SUM(CASE WHEN n_regionkey = 0 THEN 1
+      |     WHEN n_regionkey = 1 THEN 2 ELSE 0 END) AS BIGINT)
+      |   FROM nation) AS upd_head""".stripMargin
+
   /** u51: STORAGE-PARTITIONED JOIN over the pot layout (r17) — Iceberg's
     * SPJ brought to the connector: the scan reports
     * `KeyGroupedPartitioning(identity(pot_file))` (one pot object per
@@ -3262,6 +3328,7 @@ object Extensibility {
     "u55_bucketed_as_of" -> (bucketedTimestampAsOf _),
     "u56_agg_shred_pushdown" -> (aggShredPushdown _),
     "u57_zone_map_pruning" -> (zoneMapPruning _),
+    "u58_vacuum_retention" -> (vacuumRetention _),
     "u30_sql_function_catalog" -> (sqlFunctionCatalog _),
     "u29_sql_zorder_read" -> (sqlZorderRead _),
     "u28_sql_topn_pushdown" -> (sqlTopNPushdown _),
@@ -3321,6 +3388,7 @@ object Extensibility {
     "u55_bucketed_as_of" -> bucketedTimestampAsOfSql,
     "u56_agg_shred_pushdown" -> aggShredPushdownSql,
     "u57_zone_map_pruning" -> zoneMapPruningSql,
+    "u58_vacuum_retention" -> vacuumRetentionSql,
     "u30_sql_function_catalog" -> sqlFunctionCatalogSql,
     "u29_sql_zorder_read" -> sqlZorderReadSql,
     "u28_sql_topn_pushdown" -> sqlTopNPushdownSql,

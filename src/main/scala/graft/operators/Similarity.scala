@@ -1771,7 +1771,247 @@ object Similarity {
        |WHERE rn <= 10
        |ORDER BY probe_id, score DESC, vec_id""".stripMargin
 
+  /** s38 constants — mirrored LITERALLY in [[nswSearchSql]] (change both
+    * or neither). Graph degree 8, beam width 6, 2 expansion hops, 4
+    * global entry points, top-3 served. The recall audit prices probes
+    * below [[NswAuditBound]] only — a FIXED slice, so the exact
+    * (probe × corpus) reference stays LINEAR in the corpus while the
+    * walk serves every probe (first shipped auditing all probes: 1% of
+    * N probes × N corpus went quadratic, 21.9× on the 10× smoke;
+    * unaudited probes report hits3 = -1, "not priced", never a fake 0).
+    */
+  val NswGraphK = 8
+  val NswBeam = 6
+  val NswEntries = 4
+  val NswAuditBound = 3232
+
+  /** Exact integer dot over two int8 code arrays — every s38 score, so
+    * build, walk, and the exact reference are all engine-identical. */
+  private def icodeDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+      lit(0L), (acc, v) => acc + v)
+
+  private def icodeDotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(range(1, len($a) + 1),
+       |    i -> CAST($a[i] AS BIGINT) * $b[i])),
+       |  (acc, v) -> acc + v)""".stripMargin
+
+  /** The s38 NAVIGABLE-GRAPH index build: bucket-local top-[[NswGraphK]]
+    * neighbors by integer dot (s28's graph at degree 8, scored in s5's
+    * int8 domain so the oracle replays it exactly), PUBLISHED once per
+    * fixture dir via the CommitMarker CAS — stage a uuid parquet dir,
+    * CAS `commits/1` to its path, losers adopt the winner and delete
+    * their staging (the AnnIndex discipline; Bench warms it, so the
+    * serving path reads a persisted artifact, exactly like a production
+    * vector store). */
+  private[graft] def publishedNswGraph(s: SparkSession, d: String): String = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val root = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(sys.props("java.io.tmpdir")),
+      s"graft-nsw-$tag-v1")
+    val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val commits = new org.apache.hadoop.fs.Path(root, "commits")
+    def committed: Option[String] =
+      if (graft.kv.CommitMarker.committedGenerations(fs, commits)
+          .contains(1L))
+        Some(graft.kv.CommitMarker.read(fs,
+          new org.apache.hadoop.fs.Path(commits, "1")))
+      else None
+    committed.getOrElse {
+      val corpus = Tables.embeddings(s, d)
+        .filter($"vec_id" % 101 =!= 7)
+        .select($"vec_id", int8Code.as("code"), sigCol($"embedding").as("sig"))
+      val a = corpus.select($"vec_id".as("node"), $"code".as("ac"), $"sig")
+      val b = corpus.select($"vec_id".as("nbr"), $"code".as("bc"),
+        $"sig".as("bsig"))
+      val w = Window.partitionBy($"node").orderBy($"idot".desc, $"nbr".asc)
+      val adj = a.join(b, $"sig" === $"bsig" && $"node" =!= $"nbr")
+        .select($"node", $"nbr", icodeDot($"ac", $"bc").as("idot"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= NswGraphK)
+        .select($"node", $"nbr")
+      val staged = new org.apache.hadoop.fs.Path(
+        root, s"data-${java.util.UUID.randomUUID()}")
+      adj.write.mode("overwrite").parquet(staged.toString)
+      try {
+        graft.kv.CommitMarker.publish(fs,
+          new org.apache.hadoop.fs.Path(commits, "1"), staged.toString)
+        staged.toString
+      } catch {
+        case _: graft.kv.PotTable.CommitConflict =>
+          fs.delete(staged, true)
+          committed.get
+      }
+    }
+  }
+
+  /** s38: NAVIGABLE-GRAPH ANN (NSW-style beam search, r18 — the index
+    * family production vector stores default to, completing the
+    * portfolio next to LSH/IVF/PQ): search walks the published degree-8
+    * neighbor graph from [[NswEntries]] fixed global entry points, two
+    * bounded expansion hops, each keeping the top-[[NswBeam]] candidates
+    * per probe — every score the EXACT INTEGER dot over s5's int8 codes
+    * and every tie broken (idot DESC, node ASC), so the whole walk is
+    * deterministic and the oracle REPLAYS it hop by hop as unrolled
+    * CTEs. Emitted per (probe, rk<=3): the beam's neighbor + its score +
+    * the probe's recall@3 against the exact int-dot top-3 (the s6-style
+    * price tag; the exact side is probes x corpus — the audit slice is
+    * ~1% by the s30 mod-101 contract, and at 100 TB the reference stays
+    * a priced SAMPLE while the walk itself touches only
+    * beam x degree x hops candidates per probe, the whole point of a
+    * navigable graph). All expansion joins are keyed on node id against
+    * the persisted adjacency; windows are probe-partitioned, never
+    * global.
+    */
+  def nswSearch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val adjPath = publishedNswGraph(s, d)
+    val adj = s.read.parquet(adjPath)
+      .select($"node".as("anode"), $"nbr".as("anbr"))
+    val codes = Tables.embeddings(s, d)
+      .select($"vec_id", int8Code.as("code"))
+    val probes = codes.filter($"vec_id" % 101 === 7)
+      .select($"vec_id".as("probe_id"), $"code".as("pc"))
+    val corpusCodes = codes.filter($"vec_id" % 101 =!= 7)
+      .select($"vec_id".as("node"), $"code".as("nc"))
+    val entries = corpusCodes.orderBy($"node".asc).limit(NswEntries)
+      .select($"node")
+    val wBeam = Window.partitionBy($"probe_id")
+      .orderBy($"idot".desc, $"node".asc)
+    // each hop's input is MATERIALIZED (<= beam rows per probe — tiny):
+    // the self+neighbors union references it twice, and without the cut
+    // Spark re-derives the whole prior walk per reference (the plan
+    // doubled per hop when this shipped lazy — caught by the plan pin)
+    def hop(cur0: DataFrame): DataFrame = {
+      val cur = cur0.localCheckpoint(true)
+      val grown = cur.select($"probe_id", $"node")
+        .unionByName(cur.join(adj, $"node" === $"anode")
+          .select($"probe_id", $"anbr".as("node")))
+        .distinct()
+      grown.join(corpusCodes, "node").join(probes, "probe_id")
+        .select($"probe_id", $"node", icodeDot($"pc", $"nc").as("idot"))
+        .withColumn("rk", row_number().over(wBeam))
+        .filter($"rk" <= NswBeam)
+        .select($"probe_id", $"node", $"idot")
+    }
+    val l0 = probes.select($"probe_id").crossJoin(broadcast(entries))
+    val walked = hop(hop(l0)).localCheckpoint(true)
+    val w3 = Window.partitionBy($"probe_id")
+      .orderBy($"idot".desc, $"node".asc)
+    val beam3 = walked.withColumn("rk", row_number().over(w3))
+      .filter($"rk" <= 3)
+      .select($"probe_id", $"rk", $"node".as("nbr"), $"idot")
+    // recall price tag on the FIXED audit slice only (NswAuditBound):
+    // the exact reference costs audit_probes x corpus — constant x N
+    val audit = probes.filter($"probe_id" < NswAuditBound)
+    val exact3 = corpusCodes.crossJoin(broadcast(audit))
+      .select($"probe_id", $"node", icodeDot($"pc", $"nc").as("idot"))
+      .withColumn("rk", row_number().over(w3))
+      .filter($"rk" <= 3)
+      .select($"probe_id", $"node".as("xnbr"))
+    val hits = beam3.join(exact3,
+        beam3("probe_id") === exact3("probe_id") &&
+          beam3("nbr") === exact3("xnbr"))
+      .groupBy(beam3("probe_id").as("hp"))
+      .agg(count(lit(1)).as("hits3"))
+    beam3.join(hits, $"probe_id" === $"hp", "left")
+      .select($"probe_id", $"rk", $"nbr", $"idot",
+        when($"probe_id" < NswAuditBound, coalesce($"hits3", lit(0L)))
+          .otherwise(lit(-1L)).as("hits3"))
+      .orderBy($"probe_id", $"rk")
+  }
+
+  lazy val nswSearchSql: String = {
+    val codeSql =
+      """list_transform(embedding, x ->
+        |  CAST(floor(CAST(x AS DOUBLE) *
+        |    (127.0 / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |       list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))),
+        |       (m, v) -> greatest(m, v)))) AS INTEGER))""".stripMargin
+    s"""WITH codes AS MATERIALIZED (
+       |  SELECT vec_id, $codeSql AS code, ${sigSql("embedding")} AS sig
+       |  FROM embeddings),
+       |probes AS MATERIALIZED (
+       |  SELECT vec_id AS probe_id, code AS pc FROM codes
+       |  WHERE vec_id % 101 = 7),
+       |corpus AS MATERIALIZED (
+       |  SELECT vec_id AS node, code AS nc, sig FROM codes
+       |  WHERE vec_id % 101 <> 7),
+       |adj AS MATERIALIZED (
+       |  SELECT node, nbr FROM (
+       |    SELECT node, nbr,
+       |      ROW_NUMBER() OVER (PARTITION BY node
+       |        ORDER BY idot DESC, nbr ASC) AS rk
+       |    FROM (SELECT a.node AS node, b.node AS nbr,
+       |            ${icodeDotSql("a.nc", "b.nc")} AS idot
+       |          FROM corpus a JOIN corpus b
+       |            ON a.sig = b.sig AND a.node <> b.node))
+       |  WHERE rk <= 8),
+       |entries AS (SELECT node FROM corpus ORDER BY node LIMIT 4),
+       |l0 AS (SELECT probe_id, node FROM probes CROSS JOIN entries),
+       |g1 AS (SELECT DISTINCT probe_id, node FROM (
+       |  SELECT probe_id, node FROM l0
+       |  UNION ALL
+       |  SELECT l0.probe_id, adj.nbr AS node FROM l0 JOIN adj USING (node))),
+       |s1 AS MATERIALIZED (
+       |  SELECT probe_id, node, idot FROM (
+       |    SELECT g.probe_id, g.node,
+       |      ${icodeDotSql("p.pc", "c.nc")} AS idot,
+       |      ROW_NUMBER() OVER (PARTITION BY g.probe_id
+       |        ORDER BY ${icodeDotSql("p.pc", "c.nc")} DESC, g.node ASC)
+       |        AS rk
+       |    FROM g1 g JOIN corpus c ON g.node = c.node
+       |      JOIN probes p ON g.probe_id = p.probe_id)
+       |  WHERE rk <= 6),
+       |g2 AS (SELECT DISTINCT probe_id, node FROM (
+       |  SELECT probe_id, node FROM s1
+       |  UNION ALL
+       |  SELECT s1.probe_id, adj.nbr AS node FROM s1 JOIN adj USING (node))),
+       |s2 AS MATERIALIZED (
+       |  SELECT probe_id, node, idot FROM (
+       |    SELECT g.probe_id, g.node,
+       |      ${icodeDotSql("p.pc", "c.nc")} AS idot,
+       |      ROW_NUMBER() OVER (PARTITION BY g.probe_id
+       |        ORDER BY ${icodeDotSql("p.pc", "c.nc")} DESC, g.node ASC)
+       |        AS rk
+       |    FROM g2 g JOIN corpus c ON g.node = c.node
+       |      JOIN probes p ON g.probe_id = p.probe_id)
+       |  WHERE rk <= 6),
+       |beam3 AS MATERIALIZED (
+       |  SELECT probe_id, rk, node AS nbr, idot FROM (
+       |    SELECT probe_id, node, idot,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id
+       |        ORDER BY idot DESC, node ASC) AS rk
+       |    FROM s2)
+       |  WHERE rk <= 3),
+       |exact3 AS MATERIALIZED (
+       |  SELECT probe_id, node AS xnbr FROM (
+       |    SELECT p.probe_id, c.node,
+       |      ROW_NUMBER() OVER (PARTITION BY p.probe_id
+       |        ORDER BY ${icodeDotSql("p.pc", "c.nc")} DESC, c.node ASC)
+       |        AS rk
+       |    FROM corpus c CROSS JOIN
+       |      (SELECT * FROM probes WHERE probe_id < 3232) p)
+       |  WHERE rk <= 3),
+       |hits AS (
+       |  SELECT b.probe_id, COUNT(*) AS hits3
+       |  FROM beam3 b JOIN exact3 x
+       |    ON b.probe_id = x.probe_id AND b.nbr = x.xnbr
+       |  GROUP BY b.probe_id)
+       |SELECT b.probe_id, CAST(b.rk AS INTEGER) AS rk, b.nbr, b.idot,
+       |  CAST(CASE WHEN b.probe_id < 3232 THEN COALESCE(h.hits3, 0)
+       |    ELSE -1 END AS BIGINT) AS hits3
+       |FROM beam3 b LEFT JOIN hits h ON b.probe_id = h.probe_id
+       |ORDER BY b.probe_id, rk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s38_nsw_search" -> (nswSearch _),
     "s37_topk_exec_knn" -> (topkExecKnn _),
     "s32_knn_join_fallback" -> (knnJoinFallback _),
     "s31_matryoshka_recall" -> (matryoshkaRecall _),
@@ -1802,6 +2042,7 @@ object Similarity {
     "s17_ann_deletes"    -> (annWithDeletes _))
 
   val oracle: Map[String, String] = Map(
+    "s38_nsw_search" -> nswSearchSql,
     "s37_topk_exec_knn" -> topkExecKnnSql,
     "s32_knn_join_fallback" -> knnJoinFallbackSql,
     "s31_matryoshka_recall" -> matryoshkaRecallSql,

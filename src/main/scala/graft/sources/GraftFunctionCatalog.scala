@@ -134,7 +134,8 @@ object GraftFunctionCatalog {
       "cluster_pot" -> ClusterPotProcedure,
       "ensure_clustered" -> EnsureClusteredProcedure,
       "vacuum_layouts" -> VacuumLayoutsProcedure,
-      "compact_pot" -> CompactPotProcedure)
+      "compact_pot" -> CompactPotProcedure,
+      "vacuum_pot_retain" -> VacuumPotRetainProcedure)
 
   /** Open a bucketed store from its directory (count-free: the stamped
     * `_meta/buckets` modulus is authoritative) — the CALL verbs' shared
@@ -386,6 +387,41 @@ object VacuumLayoutsProcedure extends GraftMaintenanceProcedure(
   * Returns one `<pot>@<gen>` row per fold; already-compact pots emit
   * nothing (no empty commits churned).
   */
+/** `CALL graft_fns.sys.vacuum_pot_retain('<pot | store root>', '<hours>')`
+  * — AGE-BASED chain retention (u58, r18; Delta's `VACUUM ... RETAIN n
+  * HOURS` for the pot format): reclaim below-covering snapshot bodies
+  * whose commit-marker mtime (the u46 commit clock) is older than the
+  * window, so wall-clock and pinned-generation reads INSIDE the window
+  * keep their artifacts. A bucketed-store root (detected by its
+  * `_meta/buckets` stamp) vacuums every bucket. The u42 clone-ownership
+  * guard holds on this path too: a clone's vacuum reclaims zero borrowed
+  * source bodies regardless of age (spec-pinned). Returns one row per
+  * deleted body.
+  */
+object VacuumPotRetainProcedure extends GraftMaintenanceProcedure2(
+  "vacuum_pot_retain", "path", "retain_hours", "deleted_path",
+  "age-based retention: delete below-covering snapshot bodies older " +
+    "than retain_hours (clone-borrowed history never touched)") {
+  override protected def run(path: String, hours: String): Seq[String] = {
+    val ms = (hours.toDouble * 3600000.0).toLong
+    require(ms >= 0L,
+      s"vacuum_pot_retain: retain_hours must be >= 0, got $hours")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val pots: Seq[String] =
+      if (!PotV2Source.isGlob(path) &&
+          graft.kv.BucketMeta.stored(fs, p).isDefined) {
+        val n = graft.kv.BucketMeta.stored(fs, p).get
+        BucketedPotV2Source.existingBuckets(path, n)
+          .map(BucketedPotV2Source.bucketPot(path, _))
+      } else Seq(path)
+    // retainMs == 0 must still take the AGED path (<= now), not the
+    // legacy everything-below-covering one — pass at least 1 ms
+    pots.flatMap(pot =>
+      PotV2Source.vacuumSnapshots(fs, pot, math.max(ms, 1L)))
+  }
+}
+
 object CompactPotProcedure extends GraftMaintenanceProcedure(
   "compact_pot", "path", "compacted",
   "fold delta-headed chains into snapshots (state-identical)") {

@@ -264,8 +264,19 @@ object PotV2Source {
     * O(change-set) bytes the sidecar policy chose to keep. Only the
     * O(pot) snapshot bodies are reclaimed. Returns deleted paths.
     */
+  /** `retainMs` (u58, r18 — WALL-CLOCK retention): with a positive
+    * window, only bodies whose commit MARKER mtime (the u46 commit
+    * clock) is older than `now - retainMs` are reclaimed — so VERSION
+    * AS OF / TIMESTAMP AS OF reads inside the retention window keep
+    * their chain artifacts, the Delta `VACUUM ... RETAIN` contract.
+    * retainMs <= 0 keeps the original below-covering rule unchanged.
+    * The covering snapshot and everything above it are structurally
+    * retained either way, and the u42 clone-ownership guard applies
+    * identically: borrowed (foreign-path) bodies are never the clone's
+    * to retire, whatever their age. */
   def vacuumSnapshots(
-      fs: org.apache.hadoop.fs.FileSystem, potPath: String): Seq[String] = {
+      fs: org.apache.hadoop.fs.FileSystem, potPath: String,
+      retainMs: Long = 0L): Seq[String] = {
     val dir = new Path(potPath).getParent
     val commits = new Path(dir, ".commits")
     if (!fs.exists(dir)) return Seq.empty
@@ -304,7 +315,11 @@ object PotV2Source {
       // SOURCE's to retire under its own retention.
       val owned = fs.makeQualified(p).toString
         .startsWith(fs.makeQualified(dir).toString + "/")
-      if (g < covering && owned && p.getName.startsWith(".snap-") &&
+      // u58: inside the retention window = a reader may still pin it
+      val aged = retainMs <= 0L ||
+        fs.getFileStatus(new Path(commits, g.toString))
+          .getModificationTime <= System.currentTimeMillis() - retainMs
+      if (g < covering && owned && aged && p.getName.startsWith(".snap-") &&
           fs.exists(p)) {
         fs.delete(p, false)
         // the paired zone-map sidecar (u57) retires with its snapshot

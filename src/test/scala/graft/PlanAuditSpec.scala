@@ -1077,6 +1077,22 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("s38 NSW search: expansion joins are keyed against the persisted " +
+    "adjacency; the only loop joins are the broadcast entry seed and the " +
+    "priced exact-recall reference (r18)") {
+    val p = plan("s38_nsw_search")
+    assert(!p.contains("CartesianProduct"), s"cartesian in s38:\n$p")
+    // broadcast loop joins: entries seed + the exact price-tag leg — the
+    // walk itself must stay keyed (every adj/codes expansion an equi-join)
+    val loops = p.linesIterator.count(_.contains("BroadcastNestedLoopJoin"))
+    assert(loops <= 2, s"expected <=2 broadcast loop joins, got $loops:\n$p")
+    // probe-partitioned windows only, never a global rank
+    assert(!"Window \\[.*\\], \\[\\]".r.findFirstIn(p).isDefined,
+      s"unpartitioned window in s38:\n$p")
+    // the walk reads the PUBLISHED artifact, not a recomputed self-join
+    assert(p.contains("Scan parquet"), s"no persisted-graph scan:\n$p")
+  }
+
   test("p31 seeded shuffle: order fingerprint is a streamed chained digest " +
     "— no collect_list buffer, shard exchange + within-partition sort (r18)") {
     val p = plan("p31_seeded_shuffle")

@@ -357,6 +357,46 @@ class PotJsonSpec extends AnyFunSuite {
     new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
   }
 
+  test("PotV2 wall-clock retention (u58, r18): young bodies survive the " +
+    "window, clone-borrowed history is never the clone's to retire, and " +
+    "an aged-out pinned read raises the NAMED retention guard") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("potv2retain").toString
+    val src = s"$dir/src/data.json"; val dst = s"$dir/dst/data.json"
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    def put(k: String, v: Int, mode: String): Unit =
+      Seq(("", k, s"""{"v": $v}""")).toDF("pot_file", "key", "doc_json")
+        .write.format(fmt).option("path", src).mode(mode).save()
+    put("a", 1, "overwrite"); put("b", 2, "append"); put("c", 3, "append")
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    // 1h window: everything young, nothing reclaimed; gen-1 pin serves
+    assert(graft.sources.PotV2Source
+      .vacuumSnapshots(fs, src, 3600000L).isEmpty)
+    def keysAt(pot: String, g: Long): Set[String] =
+      spark.read.format(fmt).option("path", pot)
+        .option("generation", g.toString).load()
+        .select($"key").as[String].collect().toSet
+    assert(keysAt(src, 1L) === Set("a"))
+    // CLONE: the time-based path must also respect ownership — the
+    // clone's aged vacuum reclaims ZERO borrowed source bodies
+    graft.sources.PotV2Source.clonePot(fs, src, dst)
+    Thread.sleep(5)
+    assert(graft.sources.PotV2Source.vacuumSnapshots(fs, dst, 1L).isEmpty,
+      "clone's age-based vacuum touched borrowed source history")
+    assert(keysAt(dst, 1L) === Set("a"), "borrowed history stopped serving")
+    // source-side aged vacuum reclaims exactly the below-covering bodies
+    val reclaimed = graft.sources.PotV2Source.vacuumSnapshots(fs, src, 1L)
+    assert(reclaimed.length === 2, reclaimed.mkString(","))
+    assert(keysAt(src, 3L) === Set("a", "b", "c"), "head read broke")
+    // the aged-out pin now raises the NAMED guard, never a raw FNF
+    val e = intercept[graft.kv.PotTable.RetentionViolated] {
+      keysAt(src, 1L)
+    }
+    assert(e.getMessage.contains("retention"), e.getMessage)
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
   test("PotV2 OFFSET pushdown (u53, r17): single-pot pages push offset " +
     "next to the TopN selection; a glob declines to the post-scan Offset") {
     import spark.implicits._

@@ -162,7 +162,9 @@ object ScaleSmoke {
     "t28_repetition_signals", "p30_quality_sweep", "p31_seeded_shuffle",
     "m18_gain_normalize",
     // r18: t29 joined once its doc->bin assignment became fold-emitted
-    "t29_packing_purity")
+    "t29_packing_purity",
+    // r18: graph-ANN walk (index build content-addressed per replica dir)
+    "s38_nsw_search")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
@@ -213,6 +215,14 @@ object ScaleSmoke {
         val bIvf = time(operators.AnnIndex.locateIvf(spark, dir))
         println(f"replica index build_sec: lsh $bLsh%.1f ivf $bIvf%.1f " +
           "(excluded from per-op lookup ratios)")
+      }
+      if (entries.exists(_.startsWith("s38"))) {
+        // the NSW graph is the same INGEST-cost artifact (content-
+        // addressed CommitMarker publish) — warm it like lsh/ivf so the
+        // timed entry is the walk, not the build
+        val bNsw = time(operators.Similarity.publishedNswGraph(spark, dir))
+        println(f"replica nsw graph build_sec: $bNsw%.1f " +
+          "(excluded from the walk ratio)")
       }
       // Warm pass at 1x (JIT + codegen + fixture-catalog cache), then the
       // timed pair. min-of-two at each scale would be better but the smoke
