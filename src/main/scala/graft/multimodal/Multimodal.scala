@@ -506,6 +506,96 @@ object Multimodal {
     }
   }
 
+  /** m19 per-object downsample stats (one byte pass, both rates). */
+  final case class DownsampleStat(
+      media_id: Long, n_samples: Int, n_ds: Int,
+      energy: Long, energy_ds: Long, peak: Int, peak_ds: Int)
+
+  /** m19: DOWNSAMPLE AUDIT (r18) — the resample decision every speech
+    * corpus makes before training (16 kHz is the ASR default; storage
+    * says lower): stride-2 DECIMATION simulated per audio object in the
+    * same single byte pass as m6/m18, emitting original vs decimated
+    * sample counts, energies and peaks plus the retained-energy ppm
+    * (`energy_ds·2·1e6 DIV energy` — the aliasing-loss proxy, exact
+    * integer cross-multiply, m8's no-division-by-parts discipline; a
+    * zero-energy stream pins retention at 1e6 rather than dividing by
+    * zero). Decimation keeps EVEN payload indices — mirrored in the
+    * oracle as the global sample index's parity over the shared m6
+    * window replay. Columns are what a resample policy is chosen by:
+    * peak_ds == peak says the peaks survive, retained ppm prices the
+    * energy the decimator drops. One mapPartitions pass, no shuffle
+    * before the final sort.
+    */
+  def downsampleAudit(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    mediaTable(s, d).mapPartitions { it =>
+      it.flatMap { r =>
+        val hd = parseHeader(r)
+        if (hd.mime != "audio/wav") Iterator.empty
+        else {
+          var j = 0
+          var en = 0L; var enDs = 0L
+          var pk = 0; var pkDs = 0
+          var nDs = 0
+          while (j < hd.payloadLen) {
+            val c = (r.media(hd.payloadPos + j) & 0xff) - 96
+            val e = c.toLong * c
+            val a = math.abs(c)
+            en += e
+            if (a > pk) pk = a
+            if (j % 2 == 0) {
+              enDs += e; nDs += 1
+              if (a > pkDs) pkDs = a
+            }
+            j += 1
+          }
+          Iterator.single(DownsampleStat(
+            r.media_id, hd.payloadLen, nDs, en, enDs, pk, pkDs))
+        }
+      }
+    }.toDF()
+      .select($"media_id", $"n_samples".cast("long").as("n_samples"),
+        $"n_ds".cast("long").as("n_ds"), $"energy", $"energy_ds",
+        $"peak".cast("long").as("peak"), $"peak_ds".cast("long").as("peak_ds"))
+      .withColumn("retained_ppm", expr(
+        """CAST(CASE WHEN energy = 0 THEN 1000000
+          |  ELSE energy_ds * 2 * 1000000 DIV energy END AS BIGINT)"""
+          .stripMargin))
+      .orderBy($"media_id")
+  }
+
+  /** LAZY: audioWinCtes is declared below this point — a strict val
+    * would interpolate null at object init (the kv12/d15 trap; the maps
+    * at the bottom force this after every plain val initialized). */
+  lazy val downsampleAuditSql: String =
+    s"""WITH $audioWinCtes,
+       |gsamp AS (
+       |  SELECT media_id,
+       |    CAST(win_idx AS BIGINT) * $AudioWinSize + j AS gidx, s
+       |  FROM (
+       |    SELECT media_id, win_idx,
+       |      ord(substr(chunk, CAST(j AS INTEGER) + 1, 1)) - 96 AS s, j
+       |    FROM wins, (SELECT unnest(range($AudioWinSize)) AS j) jx
+       |    WHERE j < length(chunk))),
+       |st AS (
+       |  SELECT media_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_samples,
+       |    CAST(SUM(CASE WHEN gidx % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_ds,
+       |    CAST(SUM(CAST(s AS BIGINT) * s) AS BIGINT) AS energy,
+       |    CAST(SUM(CASE WHEN gidx % 2 = 0 THEN CAST(s AS BIGINT) * s
+       |      ELSE 0 END) AS BIGINT) AS energy_ds,
+       |    CAST(MAX(abs(s)) AS BIGINT) AS peak,
+       |    CAST(MAX(CASE WHEN gidx % 2 = 0 THEN abs(s) END) AS BIGINT)
+       |      AS peak_ds
+       |  FROM gsamp GROUP BY media_id)
+       |SELECT media_id, n_samples, n_ds, energy, energy_ds, peak, peak_ds,
+       |  CAST(CASE WHEN energy = 0 THEN 1000000
+       |    ELSE energy_ds * 2 * 1000000 // energy END AS BIGINT)
+       |    AS retained_ppm
+       |FROM st
+       |ORDER BY media_id""".stripMargin
+
   /** m18: LOUDNESS NORMALIZATION gain table (r17) — the step a speech /
     * audio corpus runs between m6's level analysis and training: bring
     * every stream to a target level so batch loudness is uniform. Per
@@ -1282,6 +1372,7 @@ object Multimodal {
     "m8_perceptual_hash" -> (perceptualHash _),
     "m7_token_budget"   -> (tokenBudget _),
     "m18_gain_normalize" -> (gainNormalize _),
+    "m19_downsample_audit" -> (downsampleAudit _),
     "m6_audio_energy"   -> (audioEnergy _),
     "m1_media_meta"     -> (mediaMeta _),
     "m2_media_features" -> (mediaFeatures _),
@@ -1307,5 +1398,6 @@ object Multimodal {
     "m4_resize_plan"    -> resizePlanSql,
     "m5_frame_dedup"    -> frameDupesSql,
     "m6_audio_energy"   -> audioEnergySql,
-    "m18_gain_normalize" -> gainNormalizeSql)
+    "m18_gain_normalize" -> gainNormalizeSql,
+    "m19_downsample_audit" -> downsampleAuditSql)
 }

@@ -552,6 +552,110 @@ object Extensibility {
       |     WHEN n_regionkey = 1 THEN 2 ELSE 0 END) AS BIGINT)
       |   FROM nation) AS upd_head""".stripMargin
 
+  /** u59: STATEMENT-HISTORY TVF (r18) — `graft_stmt_history('<root>')`
+    * in FROM position: one row per multi-bucket statement the store has
+    * seen — completed and aborted ones read back from u55's
+    * `_stmts/closed` journal (kind, outcome, bucket count, the
+    * [intent ts, doneTs) barrier window), still-open ones as
+    * outcome='open'. This is Delta's DESCRIBE HISTORY for the statement
+    * log: the audit surface wall-clock reads resolve against, now
+    * queryable (and the maintenance loop's work list for
+    * recover_statements — `WHERE outcome = 'open'`). Metadata-sized by
+    * construction. The query runs the full outcome matrix live: two
+    * committed INSERT waves + a crashed statement rolled forward (all
+    * journal 'complete'), a conflict-dropped delta barrier ('abort'),
+    * and a live young statement ('open'); emitted: counts per
+    * (kind, outcome) + a windows-ordered sanity count (doneTs >= ts on
+    * every closed row). Oracle = the expected matrix as literals.
+    */
+  private def registerStmtHistoryTvf(s: SparkSession): Unit =
+    s.sessionState.tableFunctionRegistry.registerFunction(
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(
+        "graft_stmt_history"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.sources.BucketedPotV2Source].getName,
+        "graft_stmt_history"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.unsafe.types.UTF8String
+        val root = exprs match {
+          case Seq(Literal(p: UTF8String, _)) => p.toString
+          case other => throw new IllegalArgumentException(
+            "graft_stmt_history: expected a STRING literal store root, " +
+              "got " + other)
+        }
+        val sess = org.apache.spark.sql.SparkSession.active
+        import sess.implicits._
+        graft.sources.BucketedStmtLog.history(root)
+          .toDF("qid", "kind", "outcome", "n_buckets", "ts_ms", "done_ms")
+          .queryExecution.analyzed
+      })
+
+  def stmtHistory(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    registerStmtHistoryTvf(s)
+    val root = java.nio.file.Files.createTempDirectory("graft-u59").toString
+    val fmt = classOf[graft.sources.BucketedPotV2Source].getName
+    val nat = Tables.nation(s, d)
+    def insert(upd: Int): Unit = nat.select(lit("").as("pot_file"),
+        concat(lit("n"), $"n_nationkey".cast("string")).as("key"),
+        to_json(struct($"n_name".as("name"), lit(upd).as("upd")))
+          .as("doc_json"))
+      .write.format(fmt).option("path", root).option("buckets", "4")
+      .mode("append").save()
+    insert(0); insert(1) // two completed multi-bucket statements
+    // a CRASHED statement (intent + staged fragments, nothing committed)
+    // rolled forward -> journals 'complete' with doneTs = recovery time
+    val keys = Seq("ra", "rb", "rc", "rd")
+    val byBucket = keys.groupBy(
+      graft.sources.BucketedPotV2Source.bucketOf(_, 4))
+    val staging = java.nio.file.Paths.get(root, ".staging-u59crash")
+    java.nio.file.Files.createDirectories(staging)
+    val frags = byBucket.map { case (b, ks) =>
+      val f = staging.resolve(s"part-b$b.jsonl")
+      java.nio.file.Files.writeString(f,
+        ks.map(k => s"""{"k":"$k","d":{"v":1}}""").mkString("", "\n", "\n"))
+      b -> Seq((0, f.toString))
+    }
+    val base = graft.sources.BucketedPotV2Source.headVector(root, 4)
+    graft.sources.BucketedStmtLog.begin(root, "u59crash",
+      graft.sources.BucketedStmtLog.intentBody(
+        "insert", "u59crash", truncate = false, Long.MaxValue,
+        byBucket.keys.toSeq.sorted,
+        byBucket.keys.map(b => b -> base.getOrElse(b, 0L)).toMap, frags))
+    graft.sources.BucketedPotV2Source.recoverStatements(root)
+    // a conflict-DROPPED delta barrier (the live MERGE-conflict path):
+    // intent up, then the barrier comes down without completing
+    graft.sources.BucketedStmtLog.begin(root, "u59conflict",
+      graft.sources.BucketedStmtLog.intentBody(
+        "delta", "u59conflict", truncate = false, Long.MaxValue,
+        Seq(0), Map(0 -> 3L), Map.empty))
+    graft.sources.BucketedStmtLog.abort(root, "u59conflict", Seq.empty)
+    // a LIVE young statement — stays open
+    graft.sources.BucketedStmtLog.begin(root, "u59open",
+      graft.sources.BucketedStmtLog.intentBody(
+        "insert", "u59open", truncate = false, Long.MaxValue,
+        Seq(0, 1), Map(0 -> 3L, 1 -> 3L), Map.empty))
+    val out = s.sql(
+      s"""SELECT kind, outcome, COUNT(*) AS n,
+         |  CAST(SUM(CASE WHEN outcome <> 'open' AND done_ms >= ts_ms
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS windows_ordered
+         |FROM graft_stmt_history('$root')
+         |GROUP BY kind, outcome
+         |ORDER BY kind, outcome""".stripMargin)
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    out
+  }
+
+  val stmtHistorySql: String =
+    """SELECT * FROM (VALUES
+      |  ('delta', 'abort', CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+      |  ('insert', 'complete', CAST(3 AS BIGINT), CAST(3 AS BIGINT)),
+      |  ('insert', 'open', CAST(1 AS BIGINT), CAST(0 AS BIGINT)))
+      |  AS t(kind, outcome, n, windows_ordered)
+      |ORDER BY kind, outcome""".stripMargin
+
   /** u51: STORAGE-PARTITIONED JOIN over the pot layout (r17) — Iceberg's
     * SPJ brought to the connector: the scan reports
     * `KeyGroupedPartitioning(identity(pot_file))` (one pot object per
@@ -3329,6 +3433,7 @@ object Extensibility {
     "u56_agg_shred_pushdown" -> (aggShredPushdown _),
     "u57_zone_map_pruning" -> (zoneMapPruning _),
     "u58_vacuum_retention" -> (vacuumRetention _),
+    "u59_stmt_history" -> (stmtHistory _),
     "u30_sql_function_catalog" -> (sqlFunctionCatalog _),
     "u29_sql_zorder_read" -> (sqlZorderRead _),
     "u28_sql_topn_pushdown" -> (sqlTopNPushdown _),
@@ -3389,6 +3494,7 @@ object Extensibility {
     "u56_agg_shred_pushdown" -> aggShredPushdownSql,
     "u57_zone_map_pruning" -> zoneMapPruningSql,
     "u58_vacuum_retention" -> vacuumRetentionSql,
+    "u59_stmt_history" -> stmtHistorySql,
     "u30_sql_function_catalog" -> sqlFunctionCatalogSql,
     "u29_sql_zorder_read" -> sqlZorderReadSql,
     "u28_sql_topn_pushdown" -> sqlTopNPushdownSql,

@@ -1962,7 +1962,85 @@ pr$r AS (
       |FROM bins
       |ORDER BY shard, bin""".stripMargin
 
+  /** t30 constants — mirrored LITERALLY in [[noveltyDecaySql]] (change
+    * both or neither). 8-token grams; the oracle's per-doc gram index
+    * bound (512) relies on the fixture's ~200-token doc ceiling (the
+    * d25/p26 pinned guard). */
+  val NovGram = 8
+
+  /** t30: CORPUS NOVELTY DECAY (r18) — the redundancy curve that tells a
+    * data team when a crawl stops adding information (the Lee et al.
+    * dedup papers' motivating plot): consuming documents in doc_id
+    * order, what fraction of each decile's 8-grams is NOVEL (first seen
+    * in that document)? A healthy corpus decays slowly; a collapsed one
+    * goes near-zero early — the number that decides whether the next
+    * crawl increment is worth its tokens. Mechanics: distinct
+    * (doc, gram) pairs, corpus-wide first occurrence = min(doc_id) per
+    * gram, novel iff the min is this doc; decile = doc_id·10 DIV
+    * (max_id+1) (broadcast 1-row max). Scale: ONE corpus scan, ONE
+    * exchange keyed on xxhash64(gram) — the 8-byte key discipline
+    * (t27/d25); equality is modulo 64-bit collisions, doc'd + accepted
+    * (d3's contract; the oracle groups exact strings). Map-side partial
+    * aggs everywhere; deciles are a 10-row frame.
+    */
+  def noveltyDecay(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = Tables.documents(s, d)
+      .select($"doc_id", split($"text", " ").as("toks"))
+      .filter(size($"toks") >= NovGram)
+    val hashed = toks.select($"doc_id", explode(expr(
+        s"transform(sequence(0, size(toks) - $NovGram), " +
+          "i -> xxhash64(concat_ws(' ', slice(toks, i + 1, " +
+          s"$NovGram))))")).as("gh"))
+      .distinct()
+    val firsts = hashed.groupBy($"gh").agg(min($"doc_id").as("first_doc"))
+    val perDoc = hashed.join(firsts, "gh")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(when($"first_doc" === $"doc_id", 1)).as("n_novel"))
+    val mx = Tables.documents(s, d).agg(max($"doc_id").as("mxid"))
+    perDoc.crossJoin(broadcast(mx))
+      .select(expr("doc_id * 10 DIV (mxid + 1)").as("decile"),
+        $"n_grams", $"n_novel")
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_grams").as("n_grams"),
+        sum($"n_novel").as("n_novel"))
+      .select($"decile", $"n_docs", $"n_grams", $"n_novel",
+        expr("n_novel * 1000000 DIV n_grams").as("novelty_ppm"))
+      .orderBy($"decile")
+  }
+
+  val noveltyDecaySql: String =
+    """WITH toks AS MATERIALIZED (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 8),
+      |grams AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id,
+      |    array_to_string(toks[CAST(i + 1 AS INTEGER):
+      |      CAST(i + 8 AS INTEGER)], ' ') AS gram
+      |  FROM toks, (SELECT unnest(range(512)) AS i) ix
+      |  WHERE i + 8 <= len(toks)),
+      |firsts AS MATERIALIZED (
+      |  SELECT gram, MIN(doc_id) AS first_doc FROM grams GROUP BY gram),
+      |perdoc AS (
+      |  SELECT g.doc_id, COUNT(*) AS n_grams,
+      |    SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+      |      AS n_novel
+      |  FROM grams g JOIN firsts f USING (gram)
+      |  GROUP BY g.doc_id),
+      |mx AS (SELECT MAX(doc_id) AS mxid FROM documents)
+      |SELECT doc_id * 10 // (mxid + 1) AS decile,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(n_grams) AS BIGINT) AS n_grams,
+      |  CAST(SUM(n_novel) AS BIGINT) AS n_novel,
+      |  CAST(SUM(n_novel) * 1000000 // SUM(n_grams) AS BIGINT)
+      |    AS novelty_ppm
+      |FROM perdoc CROSS JOIN mx
+      |GROUP BY decile
+      |ORDER BY decile""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t30_novelty_decay" -> (noveltyDecay _),
     "t29_packing_purity" -> (packingPurity _),
     "t28_repetition_signals" -> (repetitionSignals _),
     "t27_memorization_risk" -> (memorizationRisk _),
@@ -1995,6 +2073,7 @@ pr$r AS (
 
   val oracle: Map[String, String] = Map(
     "t29_packing_purity" -> packingPuritySql,
+    "t30_novelty_decay" -> noveltyDecaySql,
     "t28_repetition_signals" -> repetitionSignalsSql,
     "t27_memorization_risk" -> memorizationRiskSql,
     "t26_fim_transform" -> fimTransformSql,

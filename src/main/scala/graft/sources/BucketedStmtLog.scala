@@ -366,6 +366,37 @@ private[graft] object BucketedStmtLog {
     m.toMap
   }
 
+  /** u59: the statement JOURNAL read back — one row per statement the
+    * store has seen: closed ones from `_stmts/closed` (kind, outcome
+    * complete|abort, bucket count, [ts, doneTs]), still-open ones with
+    * outcome "open" (doneTs = -1). Metadata-sized by construction (one
+    * small marker per multi-bucket statement), the audit surface the
+    * u55 wall-clock reads resolve against. */
+  def history(root: String): Seq[(String, String, String, Int, Long, Long)] = {
+    val fs = fsOf(root)
+    def parse(qid: String, body: String, outcome0: Option[String],
+        done0: Long): (String, String, String, Int, Long, Long) = {
+      val n = mapper.readTree(body)
+      (qid,
+        Option(n.get("kind")).map(_.asText()).getOrElse("unknown"),
+        outcome0.orElse(Option(n.get("outcome")).map(_.asText()))
+          .getOrElse("complete"),
+        Option(n.get("buckets")).map(_.size()).getOrElse(0),
+        Option(n.get("ts")).map(_.asLong()).getOrElse(-1L),
+        Option(n.get("doneTs")).map(_.asLong()).getOrElse(done0))
+    }
+    val closed =
+      if (!fs.exists(closedDir(root))) Seq.empty
+      else fs.listStatus(closedDir(root)).toSeq.sortBy(_.getPath.getName)
+        .filter(_.getLen > 0)
+        .map(st => parse(st.getPath.getName,
+          graft.kv.CommitMarker.read(fs, st.getPath), None, -1L))
+    val open = openStatements(root).map { case (qid, body) =>
+      parse(qid, body, Some("open"), -1L)
+    }
+    closed ++ open
+  }
+
   /** Roll forward every open statement whose lease expired (intent older
     * than [[recoverAfterMs]]; a stamp-free legacy intent counts as aged).
     * Conflicted roll-forwards (a "delta" statement whose pinned base

@@ -164,7 +164,9 @@ object ScaleSmoke {
     // r18: t29 joined once its doc->bin assignment became fold-emitted
     "t29_packing_purity",
     // r18: graph-ANN walk (index build content-addressed per replica dir)
-    "s38_nsw_search")
+    "s38_nsw_search",
+    // r18 widening (u59 omitted: store-lifecycle)
+    "t30_novelty_decay", "m19_downsample_audit")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
