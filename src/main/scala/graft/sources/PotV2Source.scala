@@ -751,7 +751,8 @@ private[sources] class PotV2Table(path: String,
         new PotV2ScanBuilder(path,
           asOf.map(PotV2Source.resolveTimestampAsOf(path, _)).orElse(gen),
           shred,
-          Option(options.get("maxGenerationsPerTrigger")).map(_.toInt))
+          Option(options.get("maxGenerationsPerTrigger")).map(_.toInt),
+          Option(options.get("maxPotsPerTrigger")).map(_.toInt))
     }
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new PotV2WriteBuilder(path, info)
@@ -864,7 +865,8 @@ private[sources] class PotV2Table(path: String,
 private[graft] class PotV2ScanBuilder(
     path: String, generation: Option[Long] = None,
     shred: Seq[(String, Seq[String], org.apache.spark.sql.types.DataType)] = Nil,
-    maxGensPerTrigger: Option[Int] = None)
+    maxGensPerTrigger: Option[Int] = None,
+    maxPotsPerTrigger: Option[Int] = None)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates
     with SupportsPushDownLimit with SupportsPushDownTopN
@@ -1149,7 +1151,7 @@ private[graft] class PotV2ScanBuilder(
   override def build(): Scan =
     new PotV2Scan(path, required, pushed, aggGroupedByFile, generation,
       pushedLimit, pushedTopN, capResolver, pushedSample, shred, aggKinds,
-      maxGensPerTrigger, pushedOffset, keyBucketGrain)
+      maxGensPerTrigger, pushedOffset, keyBucketGrain, maxPotsPerTrigger)
 }
 
 /** `docSkippedEntries` (u45): entries whose documents were dropped by a
@@ -1291,7 +1293,8 @@ private[graft] class PotV2Scan(
     aggKinds: Seq[PotV2Source.PotAgg] = Seq(PotV2Source.AggCount),
     maxGensPerTrigger: Option[Int] = None,
     pushedOffset: Option[Int] = None,
-    keyBucketGrain: Option[Int] = None)
+    keyBucketGrain: Option[Int] = None,
+    maxPotsPerTrigger: Option[Int] = None)
     extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -1448,8 +1451,15 @@ private[graft] class PotV2Scan(
         "emits change rows (pot_file/key/doc_json), not shredded doc " +
         "fields; drop the option and parse doc_json downstream (or use " +
         "a batch read for shredded columns)")
+    // st28: the pot-grain rate knob belongs to the GLOB feed (a single
+    // chain rates with maxGenerationsPerTrigger) — decline by name
+    require(maxPotsPerTrigger.isEmpty ||
+      path.exists(c => "*?[{".contains(c)),
+      "PotV2Source: maxPotsPerTrigger applies to a GLOB feed (it bounds " +
+        "how many pots advance per batch); rate a single pot's chain " +
+        "with maxGenerationsPerTrigger")
     if (path.exists(c => "*?[{".contains(c)))
-      new PotV2MultiPotStream(path, required)
+      new PotV2MultiPotStream(path, required, maxPotsPerTrigger)
     else new PotV2MicroBatchStream(path, required, maxGensPerTrigger)
   }
 
@@ -3181,9 +3191,43 @@ private[graft] class PotV2MicroBatchStream(
   * carry provenance in `pot_file` (`<dir>/data.json@<gen>`), so a
   * consumer can fan the merged feed back out per pot.
   */
-private[graft] class PotV2MultiPotStream(glob: String, required: StructType)
-    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+private[graft] class PotV2MultiPotStream(glob: String, required: StructType,
+    maxPotsPerTrigger: Option[Int] = None)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  /** st28 (r18): admission control at the POT grain — the file source's
+    * maxFilesPerTrigger for the bucket feed: each micro-batch advances at
+    * most N pots (sorted path order, deterministic), each drained to its
+    * head (a pot's backlog stays one batch — the per-pot rate knob is
+    * st27's maxGenerationsPerTrigger on its own chain). A 10k-pot bucket
+    * coming off a long stop otherwise replays EVERY pot's backlog as one
+    * batch — one giant task set and checkpoint commit; with the limit the
+    * restart drains in bounded, checkpointable steps and the emitted
+    * rows are identical (pot boundaries never split). Non-advancing pots
+    * keep their carried coordinates, so exactly-once is untouched.
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    maxPotsPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val full = latestOffset().asInstanceOf[PotMultiGenOffset].gens
+    limit match {
+      case f: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        val s0 = start.asInstanceOf[PotMultiGenOffset].gens
+        val advance = full.toSeq.sortBy(_._1)
+          .filter { case (p, h) => h > s0.getOrElse(p, 0L) }
+          .take(f.maxFiles()).map(_._1).toSet
+        PotMultiGenOffset(full.map { case (p, h) =>
+          p -> (if (advance(p)) h else math.min(h, s0.getOrElse(p, 0L)))
+        })
+      case _ => PotMultiGenOffset(full)
+    }
+  }
+
+  override def reportLatestOffset(): Offset = latestOffset()
 
   private def fs = new Path(glob).getFileSystem(new Configuration())
 

@@ -1377,6 +1377,82 @@ object StreamingQueries {
       |  SELECT '_batches', CAST(3 AS INTEGER)) t
       |ORDER BY key, v""".stripMargin
 
+  /** st28: POT-GRAIN admission control on the MULTI-POT feed (r18 —
+    * the file source's maxFilesPerTrigger for the bucket feed):
+    * `.option("maxPotsPerTrigger", 1)` advances at most one pot per
+    * micro-batch (sorted path order, each drained to its head), so a
+    * 10k-pot bucket restarting against deep backlogs replays in
+    * bounded, checkpointable steps instead of one giant batch —
+    * st27's knob one level up (that one rates a single chain's
+    * generations; this one rates the fleet of chains). Three pots with
+    * interleaved backlogs replayed under the limit: the emitted ROWS
+    * are identical to the unlimited feed (pot boundaries never split,
+    * non-advancing pots keep their carried coordinates — exactly-once
+    * untouched) and the data-batch count == the number of backlogged
+    * pots, both oracle-checked.
+    */
+  def streamPotRateLimitedFeed(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = runScratchDir("graft-st28")
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    def docs(df: DataFrame, v: Int) = df.select(
+      lit("").as("pot_file"),
+      concat(lit("n"), col("n_nationkey").cast("string")).as("key"),
+      to_json(struct(col("n_name").as("name"), lit(v).as("v")))
+        .as("doc_json"))
+    val nat = graft.Tables.nation(s, d)
+    def pot(sub: String) = s"$root/pots/$sub/data.json"
+    // pot a: 2-generation backlog; pots b, c: 1 each — 3 backlogged pots
+    docs(nat.filter($"n_regionkey" === 0), 0)
+      .write.format(fmt).option("path", pot("a")).mode("overwrite").save()
+    docs(nat.filter($"n_regionkey" === 0), 1)
+      .write.format(fmt).option("path", pot("a")).mode("append").save()
+    docs(nat.filter($"n_regionkey" === 1), 2)
+      .write.format(fmt).option("path", pot("b")).mode("overwrite").save()
+    docs(nat.filter($"n_regionkey" === 2), 3)
+      .write.format(fmt).option("path", pot("c")).mode("overwrite").save()
+    val feed = s"$root/feed"
+    var dataBatches = 0
+    withStreamRunConf(s) {
+      val q = s.readStream.format(fmt)
+        .option("path", s"$root/pots/*/data.json")
+        .option("maxPotsPerTrigger", "1").load()
+        .writeStream.format("parquet")
+        .option("path", feed)
+        .option("checkpointLocation", s"$root/chk")
+        .start()
+      q.processAllAvailable()
+      dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      q.stop()
+    }
+    val rows = s.read.parquet(feed)
+      .select(regexp_extract($"pot_file", "pots/([^/]+)/", 1).as("pot"),
+        $"key", get_json_object($"doc_json", "$.v").cast("int").as("v"))
+    val result = rows
+      .unionByName(Seq(("_batches", "", dataBatches)).toDF("pot", "key", "v"))
+      .orderBy($"pot", $"key", $"v")
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    result
+  }
+
+  val streamPotRateLimitedFeedSql: String =
+    """WITH base AS (
+      |  SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS key, n_regionkey
+      |  FROM nation)
+      |SELECT pot, key, v FROM (
+      |  SELECT 'a' AS pot, key, CAST(0 AS INTEGER) AS v FROM base
+      |    WHERE n_regionkey = 0
+      |  UNION ALL
+      |  SELECT 'a', key, CAST(1 AS INTEGER) FROM base WHERE n_regionkey = 0
+      |  UNION ALL
+      |  SELECT 'b', key, CAST(2 AS INTEGER) FROM base WHERE n_regionkey = 1
+      |  UNION ALL
+      |  SELECT 'c', key, CAST(3 AS INTEGER) FROM base WHERE n_regionkey = 2
+      |  UNION ALL
+      |  SELECT '_batches', '', CAST(3 AS INTEGER)) t
+      |ORDER BY pot, key, v""".stripMargin
+
   /** st18: MULTI-POT change feed — `readStream` over a GLOB of pot
     * objects. Each pot keeps an independent generation chain, so the
     * stream's offset is the per-pot generation VECTOR
@@ -2065,6 +2141,7 @@ object StreamingQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st27_rate_limited_feed" -> (streamRateLimitedFeed _),
+    "st28_pot_rate_limited_feed" -> (streamPotRateLimitedFeed _),
     "st26_late_data_audit" -> (streamLateAudit _),
     "st25_state_store_reader" -> (streamStateStoreReader _),
     "st24_transform_with_state" -> (streamTransformWithState _),
@@ -2094,6 +2171,7 @@ object StreamingQueries {
 
   val oracle: Map[String, String] = Map(
     "st27_rate_limited_feed" -> streamRateLimitedFeedSql,
+    "st28_pot_rate_limited_feed" -> streamPotRateLimitedFeedSql,
     "st26_late_data_audit" -> streamLateAuditSql,
     "st25_state_store_reader" -> streamStateStoreReaderSql,
     "st24_transform_with_state" -> streamTransformWithStateSql,
