@@ -1772,6 +1772,80 @@ object Pipeline {
       |GROUP BY shard
       |ORDER BY shard""".stripMargin
 
+  /** p32: CHECKPOINT-RESUME audit (r18) — p31's operational
+    * counterpart: a training job that stopped mid-epoch resumes from a
+    * per-shard POSITION checkpoint, and this is the exact remaining-work
+    * slice that checkpoint denotes under the deterministic order —
+    * per shard: docs consumed, docs/tokens remaining, and the NEXT
+    * doc_id the loader must emit (-1 = shard exhausted). Order/shard
+    * derivation shared LITERALLY with p31 (seed `graft-p31-seed1`,
+    * md5-fold skey, mod-8 shards — change both or neither); checkpoint
+    * position per shard = 10 + shard (fixture literal). The per-shard
+    * row_number runs inside the shard partition (t25's bounded-shard
+    * contract — never a global window); at 100 TB the checkpoint is a
+    * (shard, skey) WATERMARK instead of an ordinal and the rank
+    * disappears entirely (skey > watermark is a filter) — stated here
+    * because the ordinal form is what the manifest's consumers actually
+    * store today.
+    */
+  def checkpointResume(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val seed = "graft-p31-seed1"
+    val keyed = Tables.documents(s, d)
+      .select($"doc_id", size(split($"text", " ")).cast("long").as("n_toks"),
+        expr(s"substring(md5(concat('$seed', ':', " +
+          "CAST(doc_id AS STRING))), 1, 12)").as("pkh"))
+      .select($"doc_id", $"n_toks",
+        concat($"pkh", lpad($"doc_id".cast("string"), 10, "0")).as("skey"),
+        pmod(expr("conv(pkh, 16, 10)").cast("long"), lit(8L)).as("shard"))
+    val w = Window.partitionBy($"shard").orderBy($"skey")
+    keyed.withColumn("rn", row_number().over(w))
+      .withColumn("ckpt", $"shard" + 10L)
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when($"rn" <= $"ckpt", 1)).as("consumed"),
+        count(when($"rn" > $"ckpt", 1)).as("remaining"),
+        sum(when($"rn" > $"ckpt", $"n_toks").otherwise(0L))
+          .as("toks_remaining"),
+        coalesce(max(when($"rn" === $"ckpt" + 1L, $"doc_id")), lit(-1L))
+          .as("next_doc"))
+      .orderBy($"shard")
+  }
+
+  val checkpointResumeSql: String =
+    """WITH keyed AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+      |    substr(md5('graft-p31-seed1' || ':' ||
+      |      CAST(doc_id AS VARCHAR)), 1, 12) AS pkh
+      |  FROM documents),
+      |sharded AS (
+      |  SELECT doc_id, n_toks,
+      |    pkh || lpad(CAST(doc_id AS VARCHAR), 10, '0') AS skey,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, 13),
+      |        i -> CAST(strpos('0123456789abcdef', substr(pkh, i, 1)) - 1
+      |          AS BIGINT))),
+      |      (acc, v) -> acc * 16 + v) % 8 AS shard
+      |  FROM keyed),
+      |rn AS (
+      |  SELECT shard, doc_id, n_toks,
+      |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY skey) AS rn,
+      |    shard + 10 AS ckpt
+      |  FROM sharded)
+      |SELECT CAST(shard AS BIGINT) AS shard,
+      |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(COUNT(CASE WHEN rn <= ckpt THEN 1 END) AS BIGINT) AS consumed,
+      |  CAST(COUNT(CASE WHEN rn > ckpt THEN 1 END) AS BIGINT) AS remaining,
+      |  CAST(SUM(CASE WHEN rn > ckpt THEN n_toks ELSE 0 END) AS BIGINT)
+      |    AS toks_remaining,
+      |  CAST(COALESCE(MAX(CASE WHEN rn = ckpt + 1 THEN doc_id END), -1)
+      |    AS BIGINT) AS next_doc
+      |FROM rn
+      |GROUP BY shard
+      |ORDER BY shard""".stripMargin
+
   /** p30: quality-threshold ADMISSION SWEEP (r17) — the "choose your
     * cutoff" price curve every classifier-filtered pipeline (FineWeb,
     * DCLM) publishes before committing to a threshold: for each
@@ -1933,6 +2007,7 @@ object Pipeline {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p31_seeded_shuffle" -> (seededShuffle _),
+    "p32_checkpoint_resume" -> (checkpointResume _),
     "p30_quality_sweep" -> (qualitySweep _),
     "p29_ngram_decon" -> (ngramDecon _),
     "p28_rule_ablation" -> (ruleAblation _),
@@ -1966,6 +2041,7 @@ object Pipeline {
 
   val oracle: Map[String, String] = Map(
     "p31_seeded_shuffle" -> seededShuffleSql,
+    "p32_checkpoint_resume" -> checkpointResumeSql,
     "p30_quality_sweep" -> qualitySweepSql,
     "p29_ngram_decon" -> ngramDeconSql,
     "p28_rule_ablation" -> ruleAblationSql,

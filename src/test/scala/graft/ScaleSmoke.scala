@@ -165,8 +165,8 @@ object ScaleSmoke {
     "t29_packing_purity",
     // r18: graph-ANN walk (index build content-addressed per replica dir)
     "s38_nsw_search",
-    // r18 widening (u59 omitted: store-lifecycle)
-    "t30_novelty_decay", "m19_downsample_audit")
+    // r18 widening (u59 omitted: store-lifecycle; st28: stream floor)
+    "t30_novelty_decay", "m19_downsample_audit", "p32_checkpoint_resume")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
