@@ -656,6 +656,54 @@ object Extensibility {
       |  AS t(kind, outcome, n, windows_ordered)
       |ORDER BY kind, outcome""".stripMargin
 
+  /** u60: CATALOG-ADDRESSED SQL DML (r18) — the multi-tenant gateway
+    * story completed: a user with ONLY SQL access (no JVM, no
+    * DataFrameReader options) runs the full store lifecycle against
+    * `graft_fns.store.\`root\`` — INSERT INTO creates the store (an
+    * empty path opens at the default modulus and the first write stamps
+    * `_meta/buckets`, self-describing from then on), DELETE takes the
+    * metadata path, UPDATE the row-level delta path, SELECT reads it
+    * back — all resolved through the u54 TableCatalog, identifiers only.
+    * Semantics are exactly u22's (same table class behind the
+    * identifier); what this query pins is the RESOLUTION surface.
+    * Oracle replays the final state relationally from nation.
+    */
+  def catalogSqlDml(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft_fns",
+      classOf[graft.sources.GraftFunctionCatalog].getName)
+    val root = java.nio.file.Files.createTempDirectory("graft-u60").toString
+    Tables.nation(s, d).createOrReplaceTempView("u60_nation")
+    val tbl = s"graft_fns.store.`$root`"
+    s.sql(
+      s"""INSERT INTO $tbl
+         |SELECT '' AS pot_file,
+         |  'n' || CAST(n_nationkey AS STRING) AS key,
+         |  to_json(named_struct('name', n_name, 'r', n_regionkey))
+         |    AS doc_json
+         |FROM u60_nation""".stripMargin)
+    s.sql(s"DELETE FROM $tbl WHERE key = 'n7'")
+    s.sql(s"""UPDATE $tbl SET doc_json = '{"name":"MOVED","r":9}' """ +
+      "WHERE key = 'n3'")
+    val out = s.sql(
+      s"""SELECT key, get_json_object(doc_json, '$$.name') AS name,
+         |  CAST(get_json_object(doc_json, '$$.r') AS BIGINT) AS r
+         |FROM $tbl
+         |ORDER BY key""".stripMargin)
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    out
+  }
+
+  val catalogSqlDmlSql: String =
+    """SELECT 'n' || CAST(n_nationkey AS VARCHAR) AS key,
+      |  CASE WHEN n_nationkey = 3 THEN 'MOVED' ELSE n_name END AS name,
+      |  CAST(CASE WHEN n_nationkey = 3 THEN 9 ELSE n_regionkey END
+      |    AS BIGINT) AS r
+      |FROM nation
+      |WHERE n_nationkey <> 7
+      |ORDER BY key""".stripMargin
+
   /** u51: STORAGE-PARTITIONED JOIN over the pot layout (r17) — Iceberg's
     * SPJ brought to the connector: the scan reports
     * `KeyGroupedPartitioning(identity(pot_file))` (one pot object per
@@ -3434,6 +3482,7 @@ object Extensibility {
     "u57_zone_map_pruning" -> (zoneMapPruning _),
     "u58_vacuum_retention" -> (vacuumRetention _),
     "u59_stmt_history" -> (stmtHistory _),
+    "u60_catalog_sql_dml" -> (catalogSqlDml _),
     "u30_sql_function_catalog" -> (sqlFunctionCatalog _),
     "u29_sql_zorder_read" -> (sqlZorderRead _),
     "u28_sql_topn_pushdown" -> (sqlTopNPushdown _),
@@ -3495,6 +3544,7 @@ object Extensibility {
     "u57_zone_map_pruning" -> zoneMapPruningSql,
     "u58_vacuum_retention" -> vacuumRetentionSql,
     "u59_stmt_history" -> stmtHistorySql,
+    "u60_catalog_sql_dml" -> catalogSqlDmlSql,
     "u30_sql_function_catalog" -> sqlFunctionCatalogSql,
     "u29_sql_zorder_read" -> sqlZorderReadSql,
     "u28_sql_topn_pushdown" -> sqlTopNPushdownSql,

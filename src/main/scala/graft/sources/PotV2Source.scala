@@ -144,6 +144,27 @@ object PotV2Source {
       x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
       y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
+  /** Does the prefix interval [pfx, nextPrefix(pfx)) meet [mn, mx] in
+    * unsigned UTF-8 byte order? nextPrefix = the prefix's bytes with the
+    * last non-0xFF byte incremented (trailing 0xFFs dropped); an
+    * all-0xFF prefix has no upper bound. Conservative by construction:
+    * any key startsWith(pfx) lies inside the interval, so a pot whose
+    * zone map misses it provably holds no match (u57 prefix pruning —
+    * the reference's list-by-prefix takedown shape). */
+  private[sources] def prefixMeetsRange(
+      pfx: String, mn: String, mx: String): Boolean = {
+    if (utf8Cmp(mx, pfx) < 0) return false // whole pot below the prefix
+    val b = pfx.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = b.length - 1
+    while (i >= 0 && b(i) == 0xff.toByte) i -= 1
+    if (i < 0) return true // no upper bound: prefix is all 0xFF
+    val up = java.util.Arrays.copyOf(b, i + 1)
+    up(i) = (up(i) + 1).toByte
+    // kmin must sit BELOW the prefix's upper bound or the pot is past it
+    java.util.Arrays.compareUnsigned(
+      mn.getBytes(java.nio.charset.StandardCharsets.UTF_8), up) < 0
+  }
+
   /** Pushable aggregate kinds (u12 COUNT; u49 adds MIN/MAX over the key
     * column — metadata-speed like the count: keys are parsed anyway,
     * document bodies never stringify). Key extremes compare in UNSIGNED
@@ -1548,6 +1569,14 @@ private[graft] class PotV2Scan(
             if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
           vs.toSeq.map(_.toString)
       }
+    // r18: a pushed key PREFIX prunes too (the reference's list-by-prefix
+    // shape, server.go:437-463): keys with prefix p live in
+    // [p, nextPrefix(p)) in unsigned UTF-8 order, so a pot is admissible
+    // iff that interval meets [kmin, kmax]
+    val prefixKey: Option[String] =
+      (pushed ++ runtime).collectFirst {
+        case org.apache.spark.sql.sources.StringStartsWith("key", p) => p
+      }
     val parts = matched.filter(_.isFile)
       .map(_.getPath.toString)
       .filter(PotV2Filters.accepts(pushed, "pot_file", _))
@@ -1571,15 +1600,18 @@ private[graft] class PotV2Scan(
             else null
           val headIsDelta = head > 0 && PotChain.isDgen(body)
           // u57 zone-map pruning: snapshot-headed pots whose sidecar
-          // range excludes every exact pushed key drop at PLANNING —
-          // the object is never opened. Delta heads, legacy chains, and
-          // sidecar-less commits keep their partition (no pruning,
-          // never wrong results).
-          val admit = headIsDelta || head == 0 || exactKeys.forall { ks =>
+          // range excludes every exact pushed key (or the whole pushed
+          // prefix interval) drop at PLANNING — the object is never
+          // opened. Delta heads, legacy chains, and sidecar-less
+          // commits keep their partition (no pruning, never wrong).
+          val admit = headIsDelta || head == 0 || {
             PotChain.zmapRange(fs, body) match {
-              case Some((mn, mx)) => ks.exists(k =>
-                PotV2Source.utf8Cmp(k, mn) >= 0 &&
-                  PotV2Source.utf8Cmp(k, mx) <= 0)
+              case Some((mn, mx)) =>
+                exactKeys.forall(_.exists(k =>
+                  PotV2Source.utf8Cmp(k, mn) >= 0 &&
+                    PotV2Source.utf8Cmp(k, mx) <= 0)) &&
+                prefixKey.forall(pfx =>
+                  PotV2Source.prefixMeetsRange(pfx, mn, mx))
               case None => true
             }
           }

@@ -298,7 +298,7 @@ class PotJsonSpec extends AnyFunSuite {
       b.pushFilters(filters.toArray)
       b.build().asInstanceOf[org.apache.spark.sql.connector.read.Batch]
     }
-    import org.apache.spark.sql.sources.{EqualTo, In}
+    import org.apache.spark.sql.sources.{EqualTo, In, StringStartsWith}
     assert(scanWith().planInputPartitions().length === 5)
     // IN over two ranges opens exactly their two objects
     assert(scanWith(In("key", Array("k03", "k17")))
@@ -307,6 +307,14 @@ class PotJsonSpec extends AnyFunSuite {
     assert(scanWith(EqualTo("key", "k21")).planInputPartitions().length === 1)
     // out-of-range probe opens zero
     assert(scanWith(EqualTo("key", "zzz")).planInputPartitions().length === 0)
+    // PREFIX pruning (r18, the list-by-prefix takedown shape): "k1"
+    // covers k10-k19 — exactly ranges 2 and 3 (k10-14, k15-19)
+    assert(scanWith(StringStartsWith("key", "k1"))
+      .planInputPartitions().length === 2)
+    assert(scanWith(StringStartsWith("key", "k0"))
+      .planInputPartitions().length === 2, "k0 covers k00-k09")
+    assert(scanWith(StringStartsWith("key", "z"))
+      .planInputPartitions().length === 0)
     // rows are right through the full read path
     def rows(k: String*): Set[String] = spark.read.format(fmt)
       .option("path", s"$dir/*/data.json").load()
