@@ -54,6 +54,7 @@ object Bench {
     operators.AnnIndex.locateIncremental(spark, sfDir)
     operators.AnnIndex.locateWithDeletes(spark, sfDir)
     operators.Similarity.publishedNswGraph(spark, sfDir) // s38 (r18)
+    operators.Similarity.publishedNswGraphIncr(spark, sfDir) // s39 (r18)
     streaming.DedupIndex.locate(spark, sfDir)
     streaming.DedupIndex.locateGenerations(spark, sfDir)
     val warmSec = (System.nanoTime() - warmT0) / 1e9

@@ -1869,7 +1869,6 @@ object Similarity {
     */
   def nswSearch(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    import org.apache.spark.sql.expressions.Window
     val adjPath = publishedNswGraph(s, d)
     val adj = s.read.parquet(adjPath)
       .select($"node".as("anode"), $"nbr".as("anbr"))
@@ -1879,6 +1878,17 @@ object Similarity {
       .select($"vec_id".as("probe_id"), $"code".as("pc"))
     val corpusCodes = codes.filter($"vec_id" % 101 =!= 7)
       .select($"vec_id".as("node"), $"code".as("nc"))
+    nswServe(s, adj, corpusCodes, probes)
+  }
+
+  /** The s38/s39 SERVING path over a published adjacency: 2 bounded
+    * hops, beam [[NswBeam]], entries = the [[NswEntries]] smallest
+    * corpus nodes, recall priced on the fixed audit slice. `adj` comes
+    * in as (anode, anbr). */
+  private def nswServe(s: SparkSession, adj: DataFrame,
+      corpusCodes: DataFrame, probes: DataFrame): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
     val entries = corpusCodes.orderBy($"node".asc).limit(NswEntries)
       .select($"node")
     val wBeam = Window.partitionBy($"probe_id")
@@ -2010,7 +2020,200 @@ object Similarity {
        |ORDER BY b.probe_id, rk""".stripMargin
   }
 
+  /** s39: INCREMENTAL APPEND for the navigable graph (r18 — s11's
+    * lifecycle story brought to s38, and the reason HNSW-family indexes
+    * win in production: new vectors join WITHOUT a rebuild): the graph
+    * artifact becomes a GENERATION CHAIN — `commits/1` = the base
+    * degree-8 adjacency over the ORIGINAL corpus (vec_id % 5 != 3),
+    * `commits/2` = the APPEND generation for the late arrivals
+    * (% 5 == 3): each new node's top-[[NswGraphK]] forward edges scored
+    * against the FULL corpus, PLUS the reverse edges that make the new
+    * nodes REACHABLE from the old graph (insertion's defining step —
+    * forward-only edges would leave them invisible to every walk
+    * starting at an old entry). Readers union all committed
+    * generations (distinct: two new nodes choosing each other collapse
+    * the duplicate). Append-only compromise, stated: reverse edges grow
+    * an old node's degree past K until a re-cluster compacts the graph
+    * — bounded by arrivals-per-bucket, never by corpus. Both
+    * generations publish via the CommitMarker CAS (content
+    * deterministic, losers adopt); the walk and the price tag are
+    * s38's serving path verbatim over the unioned adjacency, so the
+    * oracle replays base + delta + reverse edges and the identical
+    * hop-by-hop CTEs.
+    */
+  private[graft] def publishedNswGraphIncr(s: SparkSession, d: String)
+      : Seq[String] = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val root = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(sys.props("java.io.tmpdir")),
+      s"graft-nswi-$tag-v1")
+    val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val commits = new org.apache.hadoop.fs.Path(root, "commits")
+    def committed(g: Long): Option[String] =
+      if (graft.kv.CommitMarker.committedGenerations(fs, commits)
+          .contains(g))
+        Some(graft.kv.CommitMarker.read(fs,
+          new org.apache.hadoop.fs.Path(commits, g.toString)))
+      else None
+    def publish(g: Long, df: => DataFrame): String =
+      committed(g).getOrElse {
+        val staged = new org.apache.hadoop.fs.Path(
+          root, s"data-g$g-${java.util.UUID.randomUUID()}")
+        df.write.mode("overwrite").parquet(staged.toString)
+        try {
+          graft.kv.CommitMarker.publish(fs,
+            new org.apache.hadoop.fs.Path(commits, g.toString),
+            staged.toString)
+          staged.toString
+        } catch {
+          case _: graft.kv.PotTable.CommitConflict =>
+            fs.delete(staged, true)
+            committed(g).get
+        }
+      }
+    val corpus = Tables.embeddings(s, d)
+      .filter($"vec_id" % 101 =!= 7)
+      .select($"vec_id", int8Code.as("code"), sigCol($"embedding").as("sig"))
+    val old = corpus.filter($"vec_id" % 5 =!= 3)
+    val fresh = corpus.filter($"vec_id" % 5 === 3)
+    val w = Window.partitionBy($"node").orderBy($"idot".desc, $"nbr".asc)
+    def topK(lhs: DataFrame, rhs: DataFrame): DataFrame =
+      lhs.select($"vec_id".as("node"), $"code".as("ac"), $"sig")
+        .join(rhs.select($"vec_id".as("nbr"), $"code".as("bc"),
+          $"sig".as("bsig")), $"sig" === $"bsig" && $"node" =!= $"nbr")
+        .select($"node", $"nbr", icodeDot($"ac", $"bc").as("idot"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= NswGraphK)
+        .select($"node", $"nbr")
+    val base = publish(1L, topK(old, old))
+    val delta = publish(2L, {
+      val fwd = topK(fresh, corpus)
+      fwd.unionByName(fwd.select($"nbr".as("node"), $"node".as("nbr")))
+        .distinct()
+    })
+    Seq(base, delta)
+  }
+
+  def nswIncrementalSearch(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val gens = publishedNswGraphIncr(s, d)
+    val adj = gens.map(p => s.read.parquet(p)).reduce(_.unionByName(_))
+      .distinct()
+      .select($"node".as("anode"), $"nbr".as("anbr"))
+    val codes = Tables.embeddings(s, d)
+      .select($"vec_id", int8Code.as("code"))
+    val probes = codes.filter($"vec_id" % 101 === 7)
+      .select($"vec_id".as("probe_id"), $"code".as("pc"))
+    val corpusCodes = codes.filter($"vec_id" % 101 =!= 7)
+      .select($"vec_id".as("node"), $"code".as("nc"))
+    nswServe(s, adj, corpusCodes, probes)
+  }
+
+  lazy val nswIncrementalSearchSql: String = {
+    val codeSql =
+      """list_transform(embedding, x ->
+        |  CAST(floor(CAST(x AS DOUBLE) *
+        |    (127.0 / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |       list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))),
+        |       (m, v) -> greatest(m, v)))) AS INTEGER))""".stripMargin
+    s"""WITH codes AS MATERIALIZED (
+       |  SELECT vec_id, $codeSql AS code, ${sigSql("embedding")} AS sig
+       |  FROM embeddings),
+       |probes AS MATERIALIZED (
+       |  SELECT vec_id AS probe_id, code AS pc FROM codes
+       |  WHERE vec_id % 101 = 7),
+       |corpus AS MATERIALIZED (
+       |  SELECT vec_id AS node, code AS nc, sig FROM codes
+       |  WHERE vec_id % 101 <> 7),
+       |old AS MATERIALIZED (SELECT * FROM corpus WHERE node % 5 <> 3),
+       |adj1 AS (
+       |  SELECT node, nbr FROM (
+       |    SELECT node, nbr,
+       |      ROW_NUMBER() OVER (PARTITION BY node
+       |        ORDER BY idot DESC, nbr ASC) AS rk
+       |    FROM (SELECT a.node AS node, b.node AS nbr,
+       |            ${icodeDotSql("a.nc", "b.nc")} AS idot
+       |          FROM old a JOIN old b
+       |            ON a.sig = b.sig AND a.node <> b.node))
+       |  WHERE rk <= 8),
+       |fwd2 AS MATERIALIZED (
+       |  SELECT node, nbr FROM (
+       |    SELECT node, nbr,
+       |      ROW_NUMBER() OVER (PARTITION BY node
+       |        ORDER BY idot DESC, nbr ASC) AS rk
+       |    FROM (SELECT n.node AS node, c.node AS nbr,
+       |            ${icodeDotSql("n.nc", "c.nc")} AS idot
+       |          FROM (SELECT * FROM corpus WHERE node % 5 = 3) n
+       |          JOIN corpus c ON n.sig = c.sig AND n.node <> c.node))
+       |  WHERE rk <= 8),
+       |adj AS MATERIALIZED (
+       |  SELECT DISTINCT node, nbr FROM (
+       |    SELECT node, nbr FROM adj1
+       |    UNION ALL SELECT node, nbr FROM fwd2
+       |    UNION ALL SELECT nbr AS node, node AS nbr FROM fwd2)),
+       |entries AS (SELECT node FROM corpus ORDER BY node LIMIT 4),
+       |l0 AS (SELECT probe_id, node FROM probes CROSS JOIN entries),
+       |g1 AS (SELECT DISTINCT probe_id, node FROM (
+       |  SELECT probe_id, node FROM l0
+       |  UNION ALL
+       |  SELECT l0.probe_id, adj.nbr AS node FROM l0 JOIN adj USING (node))),
+       |s1 AS MATERIALIZED (
+       |  SELECT probe_id, node, idot FROM (
+       |    SELECT g.probe_id, g.node,
+       |      ${icodeDotSql("p.pc", "c.nc")} AS idot,
+       |      ROW_NUMBER() OVER (PARTITION BY g.probe_id
+       |        ORDER BY ${icodeDotSql("p.pc", "c.nc")} DESC, g.node ASC)
+       |        AS rk
+       |    FROM g1 g JOIN corpus c ON g.node = c.node
+       |      JOIN probes p ON g.probe_id = p.probe_id)
+       |  WHERE rk <= 6),
+       |g2 AS (SELECT DISTINCT probe_id, node FROM (
+       |  SELECT probe_id, node FROM s1
+       |  UNION ALL
+       |  SELECT s1.probe_id, adj.nbr AS node FROM s1 JOIN adj USING (node))),
+       |s2 AS MATERIALIZED (
+       |  SELECT probe_id, node, idot FROM (
+       |    SELECT g.probe_id, g.node,
+       |      ${icodeDotSql("p.pc", "c.nc")} AS idot,
+       |      ROW_NUMBER() OVER (PARTITION BY g.probe_id
+       |        ORDER BY ${icodeDotSql("p.pc", "c.nc")} DESC, g.node ASC)
+       |        AS rk
+       |    FROM g2 g JOIN corpus c ON g.node = c.node
+       |      JOIN probes p ON g.probe_id = p.probe_id)
+       |  WHERE rk <= 6),
+       |beam3 AS MATERIALIZED (
+       |  SELECT probe_id, rk, node AS nbr, idot FROM (
+       |    SELECT probe_id, node, idot,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id
+       |        ORDER BY idot DESC, node ASC) AS rk
+       |    FROM s2)
+       |  WHERE rk <= 3),
+       |exact3 AS MATERIALIZED (
+       |  SELECT probe_id, node AS xnbr FROM (
+       |    SELECT p.probe_id, c.node,
+       |      ROW_NUMBER() OVER (PARTITION BY p.probe_id
+       |        ORDER BY ${icodeDotSql("p.pc", "c.nc")} DESC, c.node ASC)
+       |        AS rk
+       |    FROM corpus c CROSS JOIN
+       |      (SELECT * FROM probes WHERE probe_id < 3232) p)
+       |  WHERE rk <= 3),
+       |hits AS (
+       |  SELECT b.probe_id, COUNT(*) AS hits3
+       |  FROM beam3 b JOIN exact3 x
+       |    ON b.probe_id = x.probe_id AND b.nbr = x.xnbr
+       |  GROUP BY b.probe_id)
+       |SELECT b.probe_id, CAST(b.rk AS INTEGER) AS rk, b.nbr, b.idot,
+       |  CAST(CASE WHEN b.probe_id < 3232 THEN COALESCE(h.hits3, 0)
+       |    ELSE -1 END AS BIGINT) AS hits3
+       |FROM beam3 b LEFT JOIN hits h ON b.probe_id = h.probe_id
+       |ORDER BY b.probe_id, rk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s39_nsw_incremental" -> (nswIncrementalSearch _),
     "s38_nsw_search" -> (nswSearch _),
     "s37_topk_exec_knn" -> (topkExecKnn _),
     "s32_knn_join_fallback" -> (knnJoinFallback _),
@@ -2043,6 +2246,7 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "s38_nsw_search" -> nswSearchSql,
+    "s39_nsw_incremental" -> nswIncrementalSearchSql,
     "s37_topk_exec_knn" -> topkExecKnnSql,
     "s32_knn_join_fallback" -> knnJoinFallbackSql,
     "s31_matryoshka_recall" -> matryoshkaRecallSql,

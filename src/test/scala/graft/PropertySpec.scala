@@ -818,4 +818,43 @@ class PropertySpec extends AnyFunSuite {
       }
     } finally spark.conf.unset("spark.graft.topk.partialMaxGroups")
   }
+
+  test("property: zone-map pruning never changes results — pruned scan " +
+    "rows == unpruned for arbitrary key layouts and predicates (r18)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("zmapprop").toString
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    // arbitrary keys spread over 4 pots in an arbitrary (hash) layout —
+    // deliberately NOT range-clustered: pruning should then rarely fire,
+    // and must never drop a matching row either way
+    val keyGen = Gen.listOfN(8,
+      Gen.oneOf(('a' to 'z') ++ ('0' to '9'))).map(_.mkString)
+    val keys = samples(keyGen, 160, 0xbeefL).distinct
+    keys.grouped((keys.size + 3) / 4).zipWithIndex.foreach { case (ks, g) =>
+      ks.map(k => ("", k, s"""{"v": "$k"}"""))
+        .toDF("pot_file", "key", "doc_json")
+        .write.format(fmt).option("path", s"$dir/p$g/data.json")
+        .mode("overwrite").save()
+    }
+    val df = spark.read.format(fmt).option("path", s"$dir/*/data.json").load()
+    val all = df.select($"key").as[String].collect().toSet
+    assert(all == keys.toSet)
+    val present = keys.sorted
+    val predGen: Gen[org.apache.spark.sql.Column] = Gen.oneOf(
+      Gen.oneOf(present).map(k => $"key" === k),
+      Gen.oneOf(present).map(k => $"key" === (k + "x")), // near-miss
+      Gen.listOfN(4, Gen.oneOf(present)).map(ks => $"key".isin(ks: _*)),
+      Gen.oneOf(present).map(k => $"key".startsWith(k.take(2))),
+      keyGen.map(k => $"key".startsWith(k.take(3))))
+    samples(predGen, 40, 0xfeedL).zipWithIndex.foreach { case (pred, i) =>
+      val got = df.filter(pred).select($"key").as[String].collect().toSet
+      val expected = {
+        // reference: evaluate the same predicate over the collected keys
+        val refDf = present.toDF("key")
+        refDf.filter(pred).as[String].collect().toSet
+      }
+      assert(got === expected, s"trial=$i: zone-map pruning changed rows")
+    }
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+  }
 }

@@ -163,8 +163,8 @@ object ScaleSmoke {
     "m18_gain_normalize",
     // r18: t29 joined once its doc->bin assignment became fold-emitted
     "t29_packing_purity",
-    // r18: graph-ANN walk (index build content-addressed per replica dir)
-    "s38_nsw_search",
+    // r18: graph-ANN walks (index builds content-addressed per replica dir)
+    "s38_nsw_search", "s39_nsw_incremental",
     // r18 widening (u59 omitted: store-lifecycle; st28: stream floor)
     "t30_novelty_decay", "m19_downsample_audit", "p32_checkpoint_resume")
 
@@ -217,6 +217,11 @@ object ScaleSmoke {
         val bIvf = time(operators.AnnIndex.locateIvf(spark, dir))
         println(f"replica index build_sec: lsh $bLsh%.1f ivf $bIvf%.1f " +
           "(excluded from per-op lookup ratios)")
+      }
+      if (entries.exists(_.startsWith("s39"))) {
+        val b = time(operators.Similarity.publishedNswGraphIncr(spark, dir))
+        println(f"replica nsw incr graph build_sec: $b%.1f " +
+          "(excluded from the walk ratio)")
       }
       if (entries.exists(_.startsWith("s38"))) {
         // the NSW graph is the same INGEST-cost artifact (content-
