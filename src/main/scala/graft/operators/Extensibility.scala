@@ -704,6 +704,97 @@ object Extensibility {
       |WHERE n_nationkey <> 7
       |ORDER BY key""".stripMargin
 
+  /** u61: ZONE-MAP inventory TVF (r18) — `graft_pot_zonemaps('<glob>')`
+    * in FROM position: one row per pot with its head generation and the
+    * head snapshot's zone-map range (kmin/kmax, or NULLs where no
+    * sidecar exists — legacy chains, delta heads), plus whether a
+    * pushed point read could prune it. The observability face of u57:
+    * "which objects would this key touch / which pots lack statistics"
+    * is the question a layout review asks before trusting planning-time
+    * pruning (Iceberg's `files` metadata table for the pot format).
+    * Driver-side marker+sidecar reads only — metadata-sized, the CALL
+    * bound. Oracle = the expected inventory relationally from nation
+    * (the fixture pots are range-clustered by construction).
+    */
+  private def registerZoneMapTvf(s: SparkSession): Unit =
+    s.sessionState.tableFunctionRegistry.registerFunction(
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(
+        "graft_pot_zonemaps"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.sources.PotV2Source].getName, "graft_pot_zonemaps"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.unsafe.types.UTF8String
+        val glob = exprs match {
+          case Seq(Literal(p: UTF8String, _)) => p.toString
+          case other => throw new IllegalArgumentException(
+            "graft_pot_zonemaps: expected a STRING literal glob, got " +
+              other)
+        }
+        val sess = org.apache.spark.sql.SparkSession.active
+        import sess.implicits._
+        val p = new org.apache.hadoop.fs.Path(glob)
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val rows = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+          .filter(_.isFile).map(_.getPath).map { pot =>
+            val commits = new org.apache.hadoop.fs.Path(
+              pot.getParent, ".commits")
+            val gens = graft.kv.CommitMarker
+              .committedGenerations(fs, commits)
+            if (gens.isEmpty) (pot.toString, 0L, null: String, null: String)
+            else {
+              val head = gens.max
+              val body = graft.sources.PotChain.artifactOf(fs, commits, head)
+              graft.sources.PotChain.zmapRange(fs, body) match {
+                case Some((mn, mx)) => (pot.toString, head, mn, mx)
+                case None => (pot.toString, head, null: String, null: String)
+              }
+            }
+          }
+        rows.toDF("pot_file", "head_gen", "kmin", "kmax")
+          .queryExecution.analyzed
+      })
+
+  def zoneMapInventory(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    registerZoneMapTvf(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft-u61").toString
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    val nat = Tables.nation(s, d)
+      .select($"n_nationkey", $"n_name").collect().toSeq
+    (0 to 4).foreach { g =>
+      val rows = nat.filter(r => r.getInt(0) / 5 == g)
+        .map(r => ("", f"k${r.getInt(0)}%02d",
+          s"""{"name": "${r.getString(1)}"}"""))
+      s.createDataFrame(rows).toDF("pot_file", "key", "doc_json")
+        .write.format(fmt).option("path", s"$dir/range_$g/data.json")
+        .mode("overwrite").save()
+    }
+    val out = s.sql(
+      s"""SELECT regexp_extract(pot_file, '([^/]+)/data\\\\.json', 1) AS pot,
+         |  head_gen, kmin, kmax,
+         |  CAST(CASE WHEN kmin IS NOT NULL AND kmin <= 'k03'
+         |    AND 'k03' <= kmax THEN 1 ELSE 0 END AS BIGINT) AS covers_k03
+         |FROM graft_pot_zonemaps('$dir/*/data.json')
+         |ORDER BY pot""".stripMargin)
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    out
+  }
+
+  val zoneMapInventorySql: String =
+    """WITH k AS (
+      |  SELECT 'range_' || CAST(n_nationkey // 5 AS VARCHAR) AS pot,
+      |    'k' || lpad(CAST(n_nationkey AS VARCHAR), 2, '0') AS key
+      |  FROM nation)
+      |SELECT pot, CAST(1 AS BIGINT) AS head_gen,
+      |  MIN(key) AS kmin, MAX(key) AS kmax,
+      |  CAST(CASE WHEN MIN(key) <= 'k03' AND 'k03' <= MAX(key)
+      |    THEN 1 ELSE 0 END AS BIGINT) AS covers_k03
+      |FROM k
+      |GROUP BY pot
+      |ORDER BY pot""".stripMargin
+
   /** u51: STORAGE-PARTITIONED JOIN over the pot layout (r17) — Iceberg's
     * SPJ brought to the connector: the scan reports
     * `KeyGroupedPartitioning(identity(pot_file))` (one pot object per
@@ -3483,6 +3574,7 @@ object Extensibility {
     "u58_vacuum_retention" -> (vacuumRetention _),
     "u59_stmt_history" -> (stmtHistory _),
     "u60_catalog_sql_dml" -> (catalogSqlDml _),
+    "u61_zone_map_inventory" -> (zoneMapInventory _),
     "u30_sql_function_catalog" -> (sqlFunctionCatalog _),
     "u29_sql_zorder_read" -> (sqlZorderRead _),
     "u28_sql_topn_pushdown" -> (sqlTopNPushdown _),
@@ -3545,6 +3637,7 @@ object Extensibility {
     "u58_vacuum_retention" -> vacuumRetentionSql,
     "u59_stmt_history" -> stmtHistorySql,
     "u60_catalog_sql_dml" -> catalogSqlDmlSql,
+    "u61_zone_map_inventory" -> zoneMapInventorySql,
     "u30_sql_function_catalog" -> sqlFunctionCatalogSql,
     "u29_sql_zorder_read" -> sqlZorderReadSql,
     "u28_sql_topn_pushdown" -> sqlTopNPushdownSql,
