@@ -172,9 +172,37 @@ object BucketedPotV2Source {
       s"BucketedPotV2Source: timestampAsOf $millis predates the earliest " +
         s"commit of every bucket under $root — nothing existed yet")
     val winCaps = BucketedStmtLog.capsAt(root, millis)
-    resolved.map { case (b, g) =>
+    val vector = resolved.map { case (b, g) =>
       b -> math.min(g, winCaps.getOrElse(b, Long.MaxValue))
     }
+    // r19 ADVICE: retention guard at PLANNING (the single-pot
+    // generation-pin contract brought to the bucketed AS OF path) — an
+    // instant older than vacuum_pot_retain's window can resolve to a
+    // generation whose chain artifacts were reclaimed; verify each
+    // bucket's needed artifacts exist and raise the NAMED
+    // RetentionViolated here, never a raw executor FileNotFoundException
+    vector.foreach { case (b, g) =>
+      if (g > 0L) {
+        val commits =
+          new Path(new Path(bucketPot(root, b)).getParent, ".commits")
+        val body = PotChain.artifactOf(fs, commits, g)
+        val needed: Seq[String] =
+          if (PotChain.isSnap(body)) Seq(body)
+          else {
+            val (snap, dgens) = PotChain.chainRun(fs, commits, g)
+            snap.toSeq ++ dgens
+          }
+        val gone = needed.filterNot(p => fs.exists(new Path(p)))
+        if (gone.nonEmpty)
+          throw new graft.kv.PotTable.RetentionViolated(
+            s"bucketed pot $root bucket $b: timestampAsOf $millis resolves " +
+              s"to generation $g whose ${gone.size} chain artifact(s) were " +
+              s"vacuumed (first: ${gone.head}) — the retention window has " +
+              "passed this instant; pin vacuum_pot_retain's window above " +
+              "the oldest instant readers still need")
+      }
+    }
+    vector
   }
 
   /** BUCKETED shallow clone (r17 — u42's clonePot composed over a whole

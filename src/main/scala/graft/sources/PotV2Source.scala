@@ -340,9 +340,12 @@ object PotV2Source {
       val aged = retainMs <= 0L ||
         fs.getFileStatus(new Path(commits, g.toString))
           .getModificationTime <= System.currentTimeMillis() - retainMs
+      // r19 ADVICE: report reclaimed ONLY when the body delete actually
+      // succeeded (the r18 vacuumLayouts rule, mirrored) — and retire the
+      // paired zone-map sidecar only then, so a failed body delete never
+      // strips its snapshot's statistics
       if (g < covering && owned && aged && p.getName.startsWith(".snap-") &&
-          fs.exists(p)) {
-        fs.delete(p, false)
+          fs.exists(p) && fs.delete(p, false)) {
         // the paired zone-map sidecar (u57) retires with its snapshot
         PotChain.zmapOf(body).foreach(z => fs.delete(z, false))
         Some(p.toString)

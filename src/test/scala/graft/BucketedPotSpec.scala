@@ -529,6 +529,74 @@ class BucketedPotSpec extends AnyFunSuite {
     new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
   }
 
+  test("statement-journal checkpoint + retention (r19): capsAt/history " +
+    "read checkpoint + tail, folded tail markers retire, expired windows " +
+    "drop, a corrupt intent husk never wedges completion") {
+    import spark.implicits._
+    import graft.sources.{BucketedPotV2Source, BucketedStmtLog}
+    val dir = java.nio.file.Files.createTempDirectory("bpotckpt").toString
+    val root = s"$dir/store"
+    val fmt = classOf[BucketedPotV2Source].getName
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    def write(rows: Seq[(String, Int)]): Unit =
+      rows.map { case (k, v) => ("", k, s"""{"v": $v}""") }
+        .toDF("pot_file", "key", "doc_json")
+        .write.format(fmt).option("path", root).option("buckets", "4")
+        .mode("append").save()
+    def tailCount: Long = {
+      val cd = new org.apache.hadoop.fs.Path(root, "_stmts/closed")
+      if (fs.exists(cd)) fs.listStatus(cd).count(_.getLen > 0).toLong else 0L
+    }
+    write((1 to 20).map(i => (s"k$i", i)))       // closed window 1
+    write((1 to 8).map(i => (s"k$i", i * 10)))   // closed window 2
+    write((9 to 16).map(i => (s"k$i", i * 10)))  // closed window 3
+    // a window spanning a known instant (the capsAt probe)
+    val base = BucketedPotV2Source.headVector(root, 4)
+    BucketedStmtLog.begin(root, "ckpt-span",
+      BucketedStmtLog.intentBody("insert", "ckpt-span", truncate = false,
+        Long.MaxValue, Seq(0, 1, 2, 3),
+        (0 to 3).map(b => b -> base.getOrElse(b, 0L)).toMap, Map.empty))
+    Thread.sleep(3)
+    val tMid = System.currentTimeMillis()
+    Thread.sleep(3)
+    BucketedStmtLog.complete(root, "ckpt-span", Seq.empty)
+    assert(tailCount === 4L)
+    val capsBefore = BucketedStmtLog.capsAt(root, tMid)
+    assert(capsBefore.nonEmpty, "the spanning window must cap at tMid")
+    val histBefore = BucketedStmtLog.history(root).toSet
+    // checkpoint with a wide horizon: everything retained, tail folds to 0
+    val (e1, ret1, drop1) = BucketedStmtLog.checkpoint(root, 3600000L)
+    assert(ret1 === 4L && drop1 === 0L && tailCount === 0L)
+    // journal reads are UNMOVED across the boundary
+    assert(BucketedStmtLog.capsAt(root, tMid) === capsBefore)
+    assert(BucketedStmtLog.history(root).toSet === histBefore)
+    // post-checkpoint statements accrue in the tail, next fold absorbs
+    // them AND the prior checkpoint (exactly one ckpt marker survives)
+    write((17 to 20).map(i => (s"k$i", i * 10))) // closed window 5
+    assert(tailCount === 1L)
+    val (e2, ret2, _) = BucketedStmtLog.checkpoint(root, 3600000L)
+    assert(e2 === e1 + 1 && ret2 === 5L && tailCount === 0L)
+    val ckptDir = new org.apache.hadoop.fs.Path(root, "_stmts/ckpt")
+    assert(graft.kv.CommitMarker.committedGenerations(fs, ckptDir)
+      === Seq(e2))
+    assert(BucketedStmtLog.capsAt(root, tMid) === capsBefore)
+    // zero-horizon retention: every window's instants are past retention
+    Thread.sleep(3)
+    val (_, ret3, drop3) = BucketedStmtLog.checkpoint(root, 0L)
+    assert(ret3 === 0L && drop3 === 5L)
+    assert(BucketedStmtLog.capsAt(root, tMid) === Map.empty)
+    // ADVICE r19: a corrupt (unparseable) intent husk must never wedge
+    // complete() — the barrier drops, the window is just not journaled
+    val husk = new org.apache.hadoop.fs.Path(root, "_stmts/open/husk-q")
+    val out = fs.create(husk, false)
+    out.write("not json".getBytes("UTF-8")); out.close()
+    BucketedStmtLog.complete(root, "husk-q", Seq.empty) // must not throw
+    assert(!fs.exists(husk), "completion must drop the corrupt barrier")
+    assert(!BucketedStmtLog.history(root).exists(_._1 == "husk-q"))
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
   test("clonePot head publish is staged-then-renamed (r18 ADVICE): a torn " +
     "head beside complete markers is repaired on resume, no staging husks " +
     "survive a successful clone") {

@@ -548,6 +548,13 @@ class PotJsonSpec extends AnyFunSuite {
       assert(viaSql(s"k$i") ===
         graft.sources.BucketedPotV2Source.bucketOf(s"k$i", 4))
     }
+    // r19 ADVICE: a NULL key returns NULL (SQL semantics), never an NPE —
+    // covers both the literal and the nullable-column path
+    val nullRow = ss.sql(
+      "SELECT graft_fns.ops.bucket(4, CAST(NULL AS STRING)) AS b, " +
+        "graft_fns.ops.bucket(4, k) AS bc " +
+        "FROM VALUES (CAST(NULL AS STRING)) AS t(k)").collect()(0)
+    assert(nullRow.isNullAt(0) && nullRow.isNullAt(1))
     new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
   }
 
