@@ -55,6 +55,7 @@ object Bench {
     operators.AnnIndex.locateWithDeletes(spark, sfDir)
     operators.Similarity.publishedNswGraph(spark, sfDir) // s38 (r18)
     operators.Similarity.publishedNswGraphIncr(spark, sfDir) // s39 (r18)
+    operators.Similarity.publishedNswGraphDel(spark, sfDir) // s40 (r19)
     streaming.DedupIndex.locate(spark, sfDir)
     streaming.DedupIndex.locateGenerations(spark, sfDir)
     val warmSec = (System.nanoTime() - warmT0) / 1e9

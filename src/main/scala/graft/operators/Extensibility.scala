@@ -1012,6 +1012,209 @@ object Extensibility {
       |  AS t(probe), c
       |ORDER BY t.probe""".stripMargin
 
+  /** u64: BUCKETED-STORE zone-map pruning (r19) — hash bucketing serves
+    * EQUALITY (the key hashes to its bucket); a PREFIX predicate has no
+    * hash, so pre-r19 it opened every bucket. Every bucket commit
+    * already stamps the u57 `.zmap` sidecar (bucket chains commit
+    * through the same snapshot path), and the shared planner prunes
+    * buckets whose [kmin, kmax] misses the prefix interval — which pays
+    * off exactly when the prefix lives at the EDGE of the key domain or
+    * in a skewed corner (a rare key family held by few buckets: every
+    * other bucket's range ends below it). Honest limitation, stated: a
+    * mid-domain prefix on uniformly hashed keys prunes nothing — each
+    * bucket's range spans it. PotJsonSpec pins the planning-time
+    * bucket-count reduction and PropertySpec re-runs the no-wrong-results
+    * harness over random bucketed layouts; the query runs the takedown
+    * shape live. Oracle replays relationally from nation.
+    */
+  def bucketedZmapPrune(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft-u64").toString
+    val fmt = classOf[graft.sources.BucketedPotV2Source].getName
+    val nat = Tables.nation(s, d)
+    nat.select(lit("").as("pot_file"),
+        concat(lit("n"), $"n_nationkey".cast("string")).as("key"),
+        to_json(struct($"n_name".as("name"))).as("doc_json"))
+      .write.format(fmt).option("path", root).option("buckets", "8")
+      .mode("append").save()
+    // a rare top-of-domain key family: two keys, at most two buckets
+    Seq(("", "zz:a", """{"name": "EDGE_A"}"""),
+        ("", "zz:b", """{"name": "EDGE_B"}"""))
+      .toDF("pot_file", "key", "doc_json")
+      .write.format(fmt).option("path", root).option("buckets", "8")
+      .mode("append").save()
+    val out = s.read.format(fmt).option("path", root).option("buckets", "8")
+      .load()
+      .filter($"key".startsWith("zz"))
+      .select($"key", get_json_object($"doc_json", "$.name").as("name"))
+      .orderBy($"key")
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
+    out
+  }
+
+  val bucketedZmapPruneSql: String =
+    """SELECT * FROM (VALUES ('zz:a', 'EDGE_A'), ('zz:b', 'EDGE_B'))
+      |  AS t(key, name)
+      |ORDER BY key""".stripMargin
+
+  /** u65: ZONE MAPS OVER SHREDDED DOC FIELDS (r19) — the sidecar now
+    * records typed min/max per doc-field path (depth <= 2; integral 'i',
+    * textual 's', mixed/other 'x' — never pruned on; `fcap` marks
+    * partial stats past 32 paths), and pushed u45 shred predicates prune
+    * WHOLE OBJECTS at planning before any parse — parquet column
+    * statistics for the pot format, closing the loop u56 opened
+    * (aggregates fold pre-stringify; now range/equality predicates skip
+    * the object entirely). The absent-path rule is the sharp edge: a
+    * complete (fcap=false) sidecar with no entry for a path proves the
+    * typed extraction is null in every row, so equality/range/IsNotNull
+    * on it prune the object — pinned here live with a `ghost` column
+    * that exists nowhere (0 rows, every object pruned at planning).
+    * PotJsonSpec pins the object-count reductions and the
+    * absent/mistyped-sidecar fallbacks. Oracle replays relationally.
+    */
+  def shredZmapPrune(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-u65").toString
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    val nat = Tables.nation(s, d)
+    // five pots range-clustered on pop = nationkey*1000 (+region), pop
+    // ABSENT for region-2 rows (the u56 null shape — to_json drops nulls)
+    (0 to 4).foreach { g =>
+      nat.filter(floor($"n_nationkey" / 5) === g)
+        .select(lit("").as("pot_file"),
+          concat(lit("k"), lpad($"n_nationkey".cast("string"), 2, "0"))
+            .as("key"),
+          to_json(struct($"n_name".as("name"),
+            when($"n_regionkey" =!= 2,
+              $"n_nationkey".cast("long") * 1000 + $"n_regionkey")
+              .as("pop"))).as("doc_json"))
+        .write.format(fmt).option("path", s"$dir/range_$g/data.json")
+        .mode("overwrite").save()
+    }
+    val df = s.read.format(fmt).option("path", s"$dir/*/data.json")
+      .option("shred",
+        "name=name:string,pop=pop:bigint,ghost=ghost:string").load()
+    val rows = df.filter($"pop" >= 17000L)
+      .select($"key", $"name", $"pop")
+    val ghostRows = df.filter($"ghost".isNotNull).count()
+    val out = rows
+      .crossJoin(Seq(ghostRows).toDF("ghost_rows"))
+      .orderBy($"key")
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    out
+  }
+
+  val shredZmapPruneSql: String =
+    """SELECT 'k' || lpad(CAST(n_nationkey AS VARCHAR), 2, '0') AS key,
+      |  n_name AS name,
+      |  CAST(n_nationkey * 1000 + n_regionkey AS BIGINT) AS pop,
+      |  CAST(0 AS BIGINT) AS ghost_rows
+      |FROM nation
+      |WHERE n_regionkey <> 2 AND n_nationkey * 1000 + n_regionkey >= 17000
+      |ORDER BY key""".stripMargin
+
+  /** u66: SHRED THROUGH THE CATALOG DOOR (r19) — u60 gave a pure-SQL
+    * user the store lifecycle, but u45's typed shred columns (and their
+    * u45/u56/u65 pushdowns) were `.option`-only, unreachable from a SQL
+    * gateway. Read options now ride the table NAME as a `?k=v` suffix:
+    * `graft_fns.pot.\`<glob>?shred=pop=pop:bigint,...\`` — URL-decoded,
+    * unknown keys fail named. The query reads a shredded glob through
+    * the catalog with a pushed range predicate on a shred field (the
+    * u65 pruning applies — same planner) and projects typed columns with
+    * zero get_json_object calls. Oracle replays relationally.
+    */
+  def catalogShred(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft_fns",
+      classOf[graft.sources.GraftFunctionCatalog].getName)
+    val dir = java.nio.file.Files.createTempDirectory("graft-u66").toString
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    val nat = Tables.nation(s, d)
+    (0 to 4).foreach { g =>
+      nat.filter(floor($"n_nationkey" / 5) === g)
+        .select(lit("").as("pot_file"),
+          concat(lit("k"), lpad($"n_nationkey".cast("string"), 2, "0"))
+            .as("key"),
+          to_json(struct($"n_name".as("name"),
+            ($"n_nationkey".cast("long") * 1000 + $"n_regionkey")
+              .as("pop"))).as("doc_json"))
+        .write.format(fmt).option("path", s"$dir/range_$g/data.json")
+        .mode("overwrite").save()
+    }
+    val tbl = s"graft_fns.pot.`$dir/*/data.json" +
+      "?shred=name=name:string,pop=pop:bigint`"
+    val out = s.sql(
+      s"""SELECT key, name, pop FROM $tbl
+         |WHERE pop < 6000
+         |ORDER BY key""".stripMargin)
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    out
+  }
+
+  val catalogShredSql: String =
+    """SELECT 'k' || lpad(CAST(n_nationkey AS VARCHAR), 2, '0') AS key,
+      |  n_name AS name,
+      |  CAST(n_nationkey * 1000 + n_regionkey AS BIGINT) AS pop
+      |FROM nation
+      |WHERE n_nationkey * 1000 + n_regionkey < 6000
+      |ORDER BY key""".stripMargin
+
+  /** u67: ORDER-AWARE OBJECT SKIP under pushed TopN (r19) — the pushed
+    * TopN on `key` (u28/u53) still opened EVERY object and emitted each
+    * one's local top-k; with u57 sidecar ranges and the r16 name-stamped
+    * row counts the planner now proves an object irrelevant: if other
+    * objects whose whole key range strictly precedes it already hold
+    * >= k rows, none of its rows can reach the global top-k (ASC; DESC
+    * mirrored) — the object is never opened. Applied only when no
+    * pushed predicate can drop rows and no sample is pushed (a filtered
+    * TopN's preceding-row count would overcount; those scans keep the
+    * open-everything behavior). PotJsonSpec pins the partition-count
+    * drop, the filter/sample declines, and the evidence fallbacks
+    * (missing sidecar or row stamp = never skipped, never counted).
+    * The query runs both directions over a range-clustered layout.
+    * Oracle replays relationally from nation.
+    */
+  def topnObjectSkip(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-u67").toString
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    val nat = Tables.nation(s, d)
+    (0 to 4).foreach { g =>
+      nat.filter(floor($"n_nationkey" / 5) === g)
+        .select(lit("").as("pot_file"),
+          concat(lit("k"), lpad($"n_nationkey".cast("string"), 2, "0"))
+            .as("key"),
+          to_json(struct($"n_name".as("name"))).as("doc_json"))
+        .write.format(fmt).option("path", s"$dir/range_$g/data.json")
+        .mode("overwrite").save()
+    }
+    val df = s.read.format(fmt).option("path", s"$dir/*/data.json").load()
+    def probe(d0: org.apache.spark.sql.DataFrame, label: String) =
+      d0.select(lit(label).as("dir"), $"key",
+        get_json_object($"doc_json", "$.name").as("name"))
+    val out = probe(df.orderBy($"key".asc).limit(4), "asc")
+      .unionAll(probe(df.orderBy($"key".desc).limit(4), "desc"))
+      .orderBy($"dir", $"key")
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    out
+  }
+
+  val topnObjectSkipSql: String =
+    """WITH k AS (
+      |  SELECT 'k' || lpad(CAST(n_nationkey AS VARCHAR), 2, '0') AS key,
+      |    n_name AS name
+      |  FROM nation)
+      |SELECT * FROM (
+      |  SELECT 'asc' AS dir, key, name FROM k ORDER BY key ASC LIMIT 4)
+      |UNION ALL
+      |SELECT * FROM (
+      |  SELECT 'desc' AS dir, key, name FROM k ORDER BY key DESC LIMIT 4)
+      |ORDER BY dir, key""".stripMargin
+
   /** u51: STORAGE-PARTITIONED JOIN over the pot layout (r17) — Iceberg's
     * SPJ brought to the connector: the scan reports
     * `KeyGroupedPartitioning(identity(pot_file))` (one pot object per
@@ -3794,6 +3997,10 @@ object Extensibility {
     "u61_zone_map_inventory" -> (zoneMapInventory _),
     "u62_stmt_checkpoint" -> (stmtCheckpoint _),
     "u63_catalog_time_travel" -> (catalogTimeTravel _),
+    "u64_bucketed_zmap_prune" -> (bucketedZmapPrune _),
+    "u65_shred_zmap_prune" -> (shredZmapPrune _),
+    "u66_catalog_shred" -> (catalogShred _),
+    "u67_topn_object_skip" -> (topnObjectSkip _),
     "u30_sql_function_catalog" -> (sqlFunctionCatalog _),
     "u29_sql_zorder_read" -> (sqlZorderRead _),
     "u28_sql_topn_pushdown" -> (sqlTopNPushdown _),
@@ -3859,6 +4066,10 @@ object Extensibility {
     "u61_zone_map_inventory" -> zoneMapInventorySql,
     "u62_stmt_checkpoint" -> stmtCheckpointSql,
     "u63_catalog_time_travel" -> catalogTimeTravelSql,
+    "u64_bucketed_zmap_prune" -> bucketedZmapPruneSql,
+    "u65_shred_zmap_prune" -> shredZmapPruneSql,
+    "u66_catalog_shred" -> catalogShredSql,
+    "u67_topn_object_skip" -> topnObjectSkipSql,
     "u30_sql_function_catalog" -> sqlFunctionCatalogSql,
     "u29_sql_zorder_read" -> sqlZorderReadSql,
     "u28_sql_topn_pushdown" -> sqlTopNPushdownSql,

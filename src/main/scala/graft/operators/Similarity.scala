@@ -1885,31 +1885,49 @@ object Similarity {
     * hops, beam [[NswBeam]], entries = the [[NswEntries]] smallest
     * corpus nodes, recall priced on the fixed audit slice. `adj` comes
     * in as (anode, anbr). */
+  /** One beam-expansion hop (s38; shared by s40/s41): grow the frontier
+    * by the persisted adjacency, score every candidate with the exact
+    * integer dot, keep the top-[[NswBeam]] per probe. The hop input is
+    * MATERIALIZED (<= beam rows per probe — tiny): the self+neighbors
+    * union references it twice, and without the cut Spark re-derives the
+    * whole prior walk per reference (the plan doubled per hop when this
+    * shipped lazy — caught by the plan pin). */
+  private def nswHop(s: SparkSession, adj: DataFrame,
+      corpusCodes: DataFrame, probes: DataFrame)(cur0: DataFrame)
+      : DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wBeam = Window.partitionBy($"probe_id")
+      .orderBy($"idot".desc, $"node".asc)
+    val cur = cur0.localCheckpoint(true)
+    val grown = cur.select($"probe_id", $"node")
+      .unionByName(cur.join(adj, $"node" === $"anode")
+        .select($"probe_id", $"anbr".as("node")))
+      .distinct()
+    grown.join(corpusCodes, "node").join(probes, "probe_id")
+      .select($"probe_id", $"node", icodeDot($"pc", $"nc").as("idot"))
+      .withColumn("rk", row_number().over(wBeam))
+      .filter($"rk" <= NswBeam)
+      .select($"probe_id", $"node", $"idot")
+  }
+
+  /** The entry frontier: every probe crossed with the [[NswEntries]]
+    * smallest corpus nodes. */
+  private def nswL0(s: SparkSession, corpusCodes: DataFrame,
+      probes: DataFrame): DataFrame = {
+    import s.implicits._
+    val entries = corpusCodes.orderBy($"node".asc).limit(NswEntries)
+      .select($"node")
+    probes.select($"probe_id").crossJoin(broadcast(entries))
+  }
+
   private def nswServe(s: SparkSession, adj: DataFrame,
       corpusCodes: DataFrame, probes: DataFrame): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window
-    val entries = corpusCodes.orderBy($"node".asc).limit(NswEntries)
-      .select($"node")
-    val wBeam = Window.partitionBy($"probe_id")
-      .orderBy($"idot".desc, $"node".asc)
-    // each hop's input is MATERIALIZED (<= beam rows per probe — tiny):
-    // the self+neighbors union references it twice, and without the cut
-    // Spark re-derives the whole prior walk per reference (the plan
-    // doubled per hop when this shipped lazy — caught by the plan pin)
-    def hop(cur0: DataFrame): DataFrame = {
-      val cur = cur0.localCheckpoint(true)
-      val grown = cur.select($"probe_id", $"node")
-        .unionByName(cur.join(adj, $"node" === $"anode")
-          .select($"probe_id", $"anbr".as("node")))
-        .distinct()
-      grown.join(corpusCodes, "node").join(probes, "probe_id")
-        .select($"probe_id", $"node", icodeDot($"pc", $"nc").as("idot"))
-        .withColumn("rk", row_number().over(wBeam))
-        .filter($"rk" <= NswBeam)
-        .select($"probe_id", $"node", $"idot")
-    }
-    val l0 = probes.select($"probe_id").crossJoin(broadcast(entries))
+    def hop(cur0: DataFrame): DataFrame =
+      nswHop(s, adj, corpusCodes, probes)(cur0)
+    val l0 = nswL0(s, corpusCodes, probes)
     val walked = hop(hop(l0)).localCheckpoint(true)
     val w3 = Window.partitionBy($"probe_id")
       .orderBy($"idot".desc, $"node".asc)
@@ -2212,7 +2230,443 @@ object Similarity {
        |ORDER BY b.probe_id, rk""".stripMargin
   }
 
+  /** s40: DELETE + FOLD for the navigable graph (r19 — the lifecycle gap
+    * the r18 verdict named: the LSH index had tombstones + recluster,
+    * the NSW chain was append-only). The graph chain's marker bodies now
+    * carry a KIND prefix: `edges:<path>` (adjacency generation),
+    * `tomb:<path>` (a tombstone generation — one `node` column naming
+    * the deleted vectors), `fold:<path>` (a rebuild over survivors that
+    * RESETS the chain state — s29's content-addressed recluster
+    * discipline: the fold content is deterministic from the survivor
+    * set, so racing folders stage identical bytes and losers adopt).
+    * Readers walk generations ascending: edges accumulate, tombs mask
+    * (an edge with EITHER endpoint dead is unreachable — the walk can
+    * neither enter nor leave a dead node), a fold resets edges and
+    * clears the mask. The fixture chain is base(all) -> tomb(%17==5) ->
+    * fold(survivors); the query serves the SAME probes at both chain
+    * positions — post-delete (masked base adjacency: a dead node never
+    * surfaces, replayed by the oracle over the tombstone-filtered
+    * adjacency) and post-fold (rebuilt degree-8 graph — byte-identical
+    * to a fresh build over survivors by construction, which the oracle
+    * pins by replaying exactly that fresh build). No recall audit here
+    * (s38 prices the walk); both phases reuse its hop machinery.
+    */
+  private[graft] def publishedNswGraphDel(s: SparkSession, d: String)
+      : Seq[String] = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val root = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(sys.props("java.io.tmpdir")),
+      s"graft-nswd-$tag-v1")
+    val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val commits = new org.apache.hadoop.fs.Path(root, "commits")
+    def committed(g: Long): Option[String] =
+      if (graft.kv.CommitMarker.committedGenerations(fs, commits)
+          .contains(g))
+        Some(graft.kv.CommitMarker.read(fs,
+          new org.apache.hadoop.fs.Path(commits, g.toString)))
+      else None
+    def publish(g: Long, kind: String, df: => DataFrame): String =
+      committed(g).getOrElse {
+        val staged = new org.apache.hadoop.fs.Path(
+          root, s"data-g$g-${java.util.UUID.randomUUID()}")
+        df.write.mode("overwrite").parquet(staged.toString)
+        try {
+          graft.kv.CommitMarker.publish(fs,
+            new org.apache.hadoop.fs.Path(commits, g.toString),
+            s"$kind:$staged")
+          s"$kind:$staged"
+        } catch {
+          case _: graft.kv.PotTable.CommitConflict =>
+            fs.delete(staged, true)
+            committed(g).get
+        }
+      }
+    val corpus = Tables.embeddings(s, d)
+      .filter($"vec_id" % 101 =!= 7)
+      .select($"vec_id", int8Code.as("code"), sigCol($"embedding").as("sig"))
+    val surv = corpus.filter($"vec_id" % 17 =!= 5)
+    val w = Window.partitionBy($"node").orderBy($"idot".desc, $"nbr".asc)
+    def topK(c: DataFrame): DataFrame =
+      c.select($"vec_id".as("node"), $"code".as("ac"), $"sig")
+        .join(c.select($"vec_id".as("nbr"), $"code".as("bc"),
+          $"sig".as("bsig")), $"sig" === $"bsig" && $"node" =!= $"nbr")
+        .select($"node", $"nbr", icodeDot($"ac", $"bc").as("idot"))
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= NswGraphK)
+        .select($"node", $"nbr")
+    val g1 = publish(1L, "edges", topK(corpus))
+    val g2 = publish(2L, "tomb",
+      corpus.filter($"vec_id" % 17 === 5).select($"vec_id".as("node")))
+    val g3 = publish(3L, "fold", topK(surv))
+    Seq(g1, g2, g3)
+  }
+
+  /** Resolve a kind-prefixed graph chain prefix to its visible
+    * adjacency: edges accumulate, tombs mask both endpoints, a fold
+    * resets. Returns (anode, anbr). */
+  private def resolveNswChain(s: SparkSession, bodies: Seq[String])
+      : DataFrame = {
+    import s.implicits._
+    var adj: Option[DataFrame] = None
+    var dead: Option[DataFrame] = None
+    bodies.foreach { body =>
+      val i = body.indexOf(':')
+      val (kind, path) = (body.substring(0, i), body.substring(i + 1))
+      kind match {
+        case "edges" =>
+          val e = s.read.parquet(path)
+          adj = Some(adj.fold(e)(_.unionByName(e).distinct()))
+        case "tomb" =>
+          val t = s.read.parquet(path)
+          dead = Some(dead.fold(t)(_.unionByName(t).distinct()))
+        case "fold" =>
+          adj = Some(s.read.parquet(path)); dead = None
+        case other => throw new IllegalArgumentException(
+          s"nsw chain: unknown generation kind '$other'")
+      }
+    }
+    val base = adj.getOrElse(s.emptyDataFrame)
+    val masked = dead.fold(base) { dd =>
+      val dn = dd.select($"node".as("dd"))
+      base.join(broadcast(dn), $"node" === $"dd", "left_anti")
+        .join(broadcast(dn.withColumnRenamed("dd", "dd2")),
+          $"nbr" === $"dd2", "left_anti")
+    }
+    masked.select($"node".as("anode"), $"nbr".as("anbr"))
+  }
+
+  /** The bare 2-hop walk to a top-3 beam (no audit) — s40's serving. */
+  private def nswBeam3(s: SparkSession, adj: DataFrame,
+      corpusCodes: DataFrame, probes: DataFrame): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def hop(cur0: DataFrame): DataFrame =
+      nswHop(s, adj, corpusCodes, probes)(cur0)
+    val walked = hop(hop(nswL0(s, corpusCodes, probes)))
+      .localCheckpoint(true)
+    val w3 = Window.partitionBy($"probe_id")
+      .orderBy($"idot".desc, $"node".asc)
+    walked.withColumn("rk", row_number().over(w3))
+      .filter($"rk" <= 3)
+      .select($"probe_id", $"rk", $"node".as("nbr"), $"idot")
+  }
+
+  def nswDeleteFold(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val gens = publishedNswGraphDel(s, d)
+    val codes = Tables.embeddings(s, d)
+      .select($"vec_id", int8Code.as("code"))
+    val probes = codes.filter($"vec_id" % 101 === 7)
+      .select($"vec_id".as("probe_id"), $"code".as("pc"))
+    val surv = codes.filter($"vec_id" % 101 =!= 7)
+      .filter($"vec_id" % 17 =!= 5)
+      .select($"vec_id".as("node"), $"code".as("nc"))
+    // post-delete: base adjacency masked by the tombstone generation
+    val adjT = resolveNswChain(s, gens.take(2))
+    // post-fold: the rebuilt survivor graph
+    val adjF = resolveNswChain(s, gens)
+    def phase(label: String, adj: DataFrame) =
+      nswBeam3(s, adj, surv, probes)
+        .select(lit(label).as("phase"), $"probe_id", $"rk", $"nbr", $"idot")
+    phase("t", adjT).unionAll(phase("f", adjF))
+      .orderBy($"phase", $"probe_id", $"rk")
+  }
+
+  lazy val nswDeleteFoldSql: String = {
+    val codeSql =
+      """list_transform(embedding, x ->
+        |  CAST(floor(CAST(x AS DOUBLE) *
+        |    (127.0 / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |       list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))),
+        |       (m, v) -> greatest(m, v)))) AS INTEGER))""".stripMargin
+    def walk(adjCte: String, p: String): String =
+      s"""g1$p AS (SELECT DISTINCT probe_id, node FROM (
+         |  SELECT probe_id, node FROM l0
+         |  UNION ALL
+         |  SELECT l0.probe_id, $adjCte.nbr AS node
+         |  FROM l0 JOIN $adjCte USING (node))),
+         |s1$p AS MATERIALIZED (
+         |  SELECT probe_id, node, idot FROM (
+         |    SELECT g.probe_id, g.node,
+         |      ${icodeDotSql("p.pc", "c.nc")} AS idot,
+         |      ROW_NUMBER() OVER (PARTITION BY g.probe_id
+         |        ORDER BY ${icodeDotSql("p.pc", "c.nc")} DESC, g.node ASC)
+         |        AS rk
+         |    FROM g1$p g JOIN surv c ON g.node = c.node
+         |      JOIN probes p ON g.probe_id = p.probe_id)
+         |  WHERE rk <= 6),
+         |g2$p AS (SELECT DISTINCT probe_id, node FROM (
+         |  SELECT probe_id, node FROM s1$p
+         |  UNION ALL
+         |  SELECT s1$p.probe_id, $adjCte.nbr AS node
+         |  FROM s1$p JOIN $adjCte USING (node))),
+         |s2$p AS MATERIALIZED (
+         |  SELECT probe_id, node, idot FROM (
+         |    SELECT g.probe_id, g.node,
+         |      ${icodeDotSql("p.pc", "c.nc")} AS idot,
+         |      ROW_NUMBER() OVER (PARTITION BY g.probe_id
+         |        ORDER BY ${icodeDotSql("p.pc", "c.nc")} DESC, g.node ASC)
+         |        AS rk
+         |    FROM g2$p g JOIN surv c ON g.node = c.node
+         |      JOIN probes p ON g.probe_id = p.probe_id)
+         |  WHERE rk <= 6),
+         |beam3$p AS MATERIALIZED (
+         |  SELECT probe_id, rk, node AS nbr, idot FROM (
+         |    SELECT probe_id, node, idot,
+         |      ROW_NUMBER() OVER (PARTITION BY probe_id
+         |        ORDER BY idot DESC, node ASC) AS rk
+         |    FROM s2$p)
+         |  WHERE rk <= 3)""".stripMargin
+    s"""WITH codes AS MATERIALIZED (
+       |  SELECT vec_id, $codeSql AS code, ${sigSql("embedding")} AS sig
+       |  FROM embeddings),
+       |probes AS MATERIALIZED (
+       |  SELECT vec_id AS probe_id, code AS pc FROM codes
+       |  WHERE vec_id % 101 = 7),
+       |corpus AS MATERIALIZED (
+       |  SELECT vec_id AS node, code AS nc, sig FROM codes
+       |  WHERE vec_id % 101 <> 7),
+       |surv AS MATERIALIZED (SELECT * FROM corpus WHERE node % 17 <> 5),
+       |adj_base AS MATERIALIZED (
+       |  SELECT node, nbr FROM (
+       |    SELECT node, nbr,
+       |      ROW_NUMBER() OVER (PARTITION BY node
+       |        ORDER BY idot DESC, nbr ASC) AS rk
+       |    FROM (SELECT a.node AS node, b.node AS nbr,
+       |            ${icodeDotSql("a.nc", "b.nc")} AS idot
+       |          FROM corpus a JOIN corpus b
+       |            ON a.sig = b.sig AND a.node <> b.node))
+       |  WHERE rk <= 8),
+       |adjt AS MATERIALIZED (
+       |  SELECT node, nbr FROM adj_base
+       |  WHERE node % 17 <> 5 AND nbr % 17 <> 5),
+       |adjf AS MATERIALIZED (
+       |  SELECT node, nbr FROM (
+       |    SELECT node, nbr,
+       |      ROW_NUMBER() OVER (PARTITION BY node
+       |        ORDER BY idot DESC, nbr ASC) AS rk
+       |    FROM (SELECT a.node AS node, b.node AS nbr,
+       |            ${icodeDotSql("a.nc", "b.nc")} AS idot
+       |          FROM surv a JOIN surv b
+       |            ON a.sig = b.sig AND a.node <> b.node))
+       |  WHERE rk <= 8),
+       |entries AS (SELECT node FROM surv ORDER BY node LIMIT 4),
+       |l0 AS (SELECT probe_id, node FROM probes CROSS JOIN entries),
+       |${walk("adjt", "t")},
+       |${walk("adjf", "f")}
+       |SELECT phase, probe_id, CAST(rk AS INTEGER) AS rk, nbr, idot FROM (
+       |  SELECT 't' AS phase, probe_id, rk, nbr, idot FROM beam3t
+       |  UNION ALL
+       |  SELECT 'f' AS phase, probe_id, rk, nbr, idot FROM beam3f)
+       |ORDER BY phase, probe_id, rk""".stripMargin
+  }
+
+  /** s41: ADAPTIVE WALK ESCALATION (r19 — s34's starved-probe discipline
+    * brought to the graph): the fixed 2-hop/beam-6 walk has no lever
+    * when a probe's neighborhood is still improving at the last hop.
+    * The deterministic, oracle-replayable signal is BEAM MOVEMENT: a
+    * probe whose hop-2 beam contains any node its hop-1 beam did not is
+    * still descending the graph (a converged probe's beam is a fixed
+    * point — hop 2 re-selected exactly hop 1's set), so exactly those
+    * probes walk a THIRD hop; settled probes pay nothing. Emitted per
+    * (probe, rk<=3): the post-escalation beam, the escalated flag, and
+    * the recall price BEFORE vs AFTER on the fixed audit slice (the s38
+    * pricing discipline — escalation must show what it bought), plus the
+    * global escalated-probe count. Every hop shares s38's published
+    * adjacency artifact (warmed like lsh/ivf) and the walk stays
+    * beam x degree per escalated probe — the 100 TB shape: escalation
+    * scales with STARVED probes, never with the corpus.
+    */
+  def nswEscalation(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val adjPath = publishedNswGraph(s, d)
+    val adj = s.read.parquet(adjPath)
+      .select($"node".as("anode"), $"nbr".as("anbr"))
+    val codes = Tables.embeddings(s, d)
+      .select($"vec_id", int8Code.as("code"))
+    val probes = codes.filter($"vec_id" % 101 === 7)
+      .select($"vec_id".as("probe_id"), $"code".as("pc"))
+    val corpusCodes = codes.filter($"vec_id" % 101 =!= 7)
+      .select($"vec_id".as("node"), $"code".as("nc"))
+    def hop(cur0: DataFrame): DataFrame =
+      nswHop(s, adj, corpusCodes, probes)(cur0)
+    val s1 = hop(nswL0(s, corpusCodes, probes)).localCheckpoint(true)
+    val s2 = hop(s1).localCheckpoint(true)
+    // frontier still moving = escalate (deterministic set difference)
+    val esc = s2.join(s1, Seq("probe_id", "node"), "left_anti")
+      .select($"probe_id").distinct().localCheckpoint(true)
+    val s3 = hop(s2.join(esc, Seq("probe_id")))
+    val fin = s3.unionByName(s2.join(esc, Seq("probe_id"), "left_anti"))
+      .localCheckpoint(true)
+    val w3 = Window.partitionBy($"probe_id")
+      .orderBy($"idot".desc, $"node".asc)
+    def beam3(src: DataFrame) = src.withColumn("rk", row_number().over(w3))
+      .filter($"rk" <= 3)
+      .select($"probe_id", $"rk", $"node".as("nbr"), $"idot")
+    val pre = beam3(s2)
+    val post = beam3(fin)
+    val audit = probes.filter($"probe_id" < NswAuditBound)
+    val exact3 = corpusCodes.crossJoin(broadcast(audit))
+      .select($"probe_id", $"node", icodeDot($"pc", $"nc").as("idot"))
+      .withColumn("rk", row_number().over(w3))
+      .filter($"rk" <= 3)
+      .select($"probe_id", $"node".as("xnbr"))
+      .localCheckpoint(true)
+    def hits(beam: DataFrame, out: String) = beam.join(exact3,
+        beam("probe_id") === exact3("probe_id") &&
+          beam("nbr") === exact3("xnbr"))
+      .groupBy(beam("probe_id").as("hp"))
+      .agg(count(lit(1)).as(out))
+    val nEsc = esc.count()
+    post
+      .join(hits(pre, "h_pre"), $"probe_id" === $"hp", "left").drop("hp")
+      .join(hits(post, "h_post"), $"probe_id" === $"hp", "left").drop("hp")
+      .join(esc.withColumn("is_esc", lit(1L)), Seq("probe_id"), "left")
+      .select($"probe_id", $"rk", $"nbr", $"idot",
+        coalesce($"is_esc", lit(0L)).as("escalated"),
+        when($"probe_id" < NswAuditBound, coalesce($"h_pre", lit(0L)))
+          .otherwise(lit(-1L)).as("h3_pre"),
+        when($"probe_id" < NswAuditBound, coalesce($"h_post", lit(0L)))
+          .otherwise(lit(-1L)).as("h3_post"),
+        lit(nEsc).as("n_escalated"))
+      .orderBy($"probe_id", $"rk")
+  }
+
+  lazy val nswEscalationSql: String = {
+    val codeSql =
+      """list_transform(embedding, x ->
+        |  CAST(floor(CAST(x AS DOUBLE) *
+        |    (127.0 / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |       list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))),
+        |       (m, v) -> greatest(m, v)))) AS INTEGER))""".stripMargin
+    s"""WITH codes AS MATERIALIZED (
+       |  SELECT vec_id, $codeSql AS code, ${sigSql("embedding")} AS sig
+       |  FROM embeddings),
+       |probes AS MATERIALIZED (
+       |  SELECT vec_id AS probe_id, code AS pc FROM codes
+       |  WHERE vec_id % 101 = 7),
+       |corpus AS MATERIALIZED (
+       |  SELECT vec_id AS node, code AS nc, sig FROM codes
+       |  WHERE vec_id % 101 <> 7),
+       |adj AS MATERIALIZED (
+       |  SELECT node, nbr FROM (
+       |    SELECT node, nbr,
+       |      ROW_NUMBER() OVER (PARTITION BY node
+       |        ORDER BY idot DESC, nbr ASC) AS rk
+       |    FROM (SELECT a.node AS node, b.node AS nbr,
+       |            ${icodeDotSql("a.nc", "b.nc")} AS idot
+       |          FROM corpus a JOIN corpus b
+       |            ON a.sig = b.sig AND a.node <> b.node))
+       |  WHERE rk <= 8),
+       |entries AS (SELECT node FROM corpus ORDER BY node LIMIT 4),
+       |l0 AS (SELECT probe_id, node FROM probes CROSS JOIN entries),
+       |g1 AS (SELECT DISTINCT probe_id, node FROM (
+       |  SELECT probe_id, node FROM l0
+       |  UNION ALL
+       |  SELECT l0.probe_id, adj.nbr AS node FROM l0 JOIN adj USING (node))),
+       |s1 AS MATERIALIZED (
+       |  SELECT probe_id, node, idot FROM (
+       |    SELECT g.probe_id, g.node,
+       |      ${icodeDotSql("p.pc", "c.nc")} AS idot,
+       |      ROW_NUMBER() OVER (PARTITION BY g.probe_id
+       |        ORDER BY ${icodeDotSql("p.pc", "c.nc")} DESC, g.node ASC)
+       |        AS rk
+       |    FROM g1 g JOIN corpus c ON g.node = c.node
+       |      JOIN probes p ON g.probe_id = p.probe_id)
+       |  WHERE rk <= 6),
+       |g2 AS (SELECT DISTINCT probe_id, node FROM (
+       |  SELECT probe_id, node FROM s1
+       |  UNION ALL
+       |  SELECT s1.probe_id, adj.nbr AS node FROM s1 JOIN adj USING (node))),
+       |s2 AS MATERIALIZED (
+       |  SELECT probe_id, node, idot FROM (
+       |    SELECT g.probe_id, g.node,
+       |      ${icodeDotSql("p.pc", "c.nc")} AS idot,
+       |      ROW_NUMBER() OVER (PARTITION BY g.probe_id
+       |        ORDER BY ${icodeDotSql("p.pc", "c.nc")} DESC, g.node ASC)
+       |        AS rk
+       |    FROM g2 g JOIN corpus c ON g.node = c.node
+       |      JOIN probes p ON g.probe_id = p.probe_id)
+       |  WHERE rk <= 6),
+       |esc AS MATERIALIZED (
+       |  SELECT DISTINCT probe_id FROM s2
+       |  WHERE NOT EXISTS (SELECT 1 FROM s1
+       |    WHERE s1.probe_id = s2.probe_id AND s1.node = s2.node)),
+       |g3 AS (SELECT DISTINCT probe_id, node FROM (
+       |  SELECT s2.probe_id, s2.node FROM s2 JOIN esc USING (probe_id)
+       |  UNION ALL
+       |  SELECT s2.probe_id, adj.nbr AS node
+       |  FROM s2 JOIN esc USING (probe_id) JOIN adj ON s2.node = adj.node)),
+       |s3 AS MATERIALIZED (
+       |  SELECT probe_id, node, idot FROM (
+       |    SELECT g.probe_id, g.node,
+       |      ${icodeDotSql("p.pc", "c.nc")} AS idot,
+       |      ROW_NUMBER() OVER (PARTITION BY g.probe_id
+       |        ORDER BY ${icodeDotSql("p.pc", "c.nc")} DESC, g.node ASC)
+       |        AS rk
+       |    FROM g3 g JOIN corpus c ON g.node = c.node
+       |      JOIN probes p ON g.probe_id = p.probe_id)
+       |  WHERE rk <= 6),
+       |fin AS MATERIALIZED (
+       |  SELECT probe_id, node, idot FROM s3
+       |  UNION ALL
+       |  SELECT probe_id, node, idot FROM s2
+       |  WHERE NOT EXISTS (SELECT 1 FROM esc WHERE esc.probe_id = s2.probe_id)),
+       |beam3pre AS MATERIALIZED (
+       |  SELECT probe_id, rk, node AS nbr, idot FROM (
+       |    SELECT probe_id, node, idot,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id
+       |        ORDER BY idot DESC, node ASC) AS rk
+       |    FROM s2)
+       |  WHERE rk <= 3),
+       |beam3post AS MATERIALIZED (
+       |  SELECT probe_id, rk, node AS nbr, idot FROM (
+       |    SELECT probe_id, node, idot,
+       |      ROW_NUMBER() OVER (PARTITION BY probe_id
+       |        ORDER BY idot DESC, node ASC) AS rk
+       |    FROM fin)
+       |  WHERE rk <= 3),
+       |exact3 AS MATERIALIZED (
+       |  SELECT probe_id, node AS xnbr FROM (
+       |    SELECT p.probe_id, c.node,
+       |      ROW_NUMBER() OVER (PARTITION BY p.probe_id
+       |        ORDER BY ${icodeDotSql("p.pc", "c.nc")} DESC, c.node ASC)
+       |        AS rk
+       |    FROM corpus c CROSS JOIN
+       |      (SELECT * FROM probes WHERE probe_id < 3232) p)
+       |  WHERE rk <= 3),
+       |hits_pre AS (
+       |  SELECT b.probe_id, COUNT(*) AS h FROM beam3pre b JOIN exact3 x
+       |    ON b.probe_id = x.probe_id AND b.nbr = x.xnbr
+       |  GROUP BY b.probe_id),
+       |hits_post AS (
+       |  SELECT b.probe_id, COUNT(*) AS h FROM beam3post b JOIN exact3 x
+       |    ON b.probe_id = x.probe_id AND b.nbr = x.xnbr
+       |  GROUP BY b.probe_id),
+       |nesc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM esc)
+       |SELECT b.probe_id, CAST(b.rk AS INTEGER) AS rk, b.nbr, b.idot,
+       |  CAST(CASE WHEN e.probe_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+       |    AS escalated,
+       |  CAST(CASE WHEN b.probe_id < 3232 THEN COALESCE(hp.h, 0)
+       |    ELSE -1 END AS BIGINT) AS h3_pre,
+       |  CAST(CASE WHEN b.probe_id < 3232 THEN COALESCE(hq.h, 0)
+       |    ELSE -1 END AS BIGINT) AS h3_post,
+       |  nesc.n AS n_escalated
+       |FROM beam3post b
+       |LEFT JOIN esc e ON b.probe_id = e.probe_id
+       |LEFT JOIN hits_pre hp ON b.probe_id = hp.probe_id
+       |LEFT JOIN hits_post hq ON b.probe_id = hq.probe_id
+       |CROSS JOIN nesc
+       |ORDER BY b.probe_id, rk""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s41_nsw_escalation" -> (nswEscalation _),
+    "s40_nsw_delete_fold" -> (nswDeleteFold _),
     "s39_nsw_incremental" -> (nswIncrementalSearch _),
     "s38_nsw_search" -> (nswSearch _),
     "s37_topk_exec_knn" -> (topkExecKnn _),
@@ -2245,6 +2699,8 @@ object Similarity {
     "s17_ann_deletes"    -> (annWithDeletes _))
 
   val oracle: Map[String, String] = Map(
+    "s40_nsw_delete_fold" -> nswDeleteFoldSql,
+    "s41_nsw_escalation" -> nswEscalationSql,
     "s38_nsw_search" -> nswSearchSql,
     "s39_nsw_incremental" -> nswIncrementalSearchSql,
     "s37_topk_exec_knn" -> topkExecKnnSql,

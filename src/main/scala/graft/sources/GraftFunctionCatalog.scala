@@ -68,15 +68,19 @@ class GraftFunctionCatalog extends CatalogPlugin with FunctionCatalog
     Array.empty
 
   override def loadTable(ident: Identifier)
-      : org.apache.spark.sql.connector.catalog.Table =
+      : org.apache.spark.sql.connector.catalog.Table = {
+    val (path, opts) = GraftFunctionCatalog.splitTableOpts(ident.name)
+    val shred = PotV2Source.parseShred(opts.get("shred"))
     if (ident.namespace.sameElements(GraftFunctionCatalog.StoreNamespace))
-      new BucketedPotV2Table(ident.name,
-        BucketedPotV2Source.resolveBuckets(ident.name, None), Nil,
+      new BucketedPotV2Table(path,
+        BucketedPotV2Source.resolveBuckets(path,
+          opts.get("buckets").map(_.toInt)), shred,
         keySpj = true)
     else if (ident.namespace.sameElements(GraftFunctionCatalog.PotNamespace))
-      new PotV2Table(ident.name)
+      new PotV2Table(path, shred)
     else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchTableException(ident)
+  }
 
   /** u63 (r19) — CATALOG TIME TRAVEL: `SELECT … FROM graft_fns.pot.\`p\`
     * VERSION AS OF g` pins one pot's commit generation (u16's `.option`
@@ -94,7 +98,8 @@ class GraftFunctionCatalog extends CatalogPlugin with FunctionCatalog
           s"$catName: VERSION AS OF over a pot names the commit " +
             s"GENERATION (a number), got '$version'")
       }
-      new PinnedPotV2Table(ident.name, Some(gen), None)
+      new PinnedPotV2Table(
+        GraftFunctionCatalog.splitTableOpts(ident.name)._1, Some(gen), None)
     } else if (ident.namespace.sameElements(
         GraftFunctionCatalog.StoreNamespace))
       throw new UnsupportedOperationException(
@@ -115,12 +120,13 @@ class GraftFunctionCatalog extends CatalogPlugin with FunctionCatalog
   override def loadTable(ident: Identifier, timestamp: Long)
       : org.apache.spark.sql.connector.catalog.Table = {
     val millis = timestamp / 1000L
+    val path = GraftFunctionCatalog.splitTableOpts(ident.name)._1
     if (ident.namespace.sameElements(GraftFunctionCatalog.PotNamespace))
-      new PinnedPotV2Table(ident.name, None, Some(millis))
+      new PinnedPotV2Table(path, None, Some(millis))
     else if (ident.namespace.sameElements(
         GraftFunctionCatalog.StoreNamespace))
-      new PinnedStoreTable(ident.name,
-        BucketedPotV2Source.resolveBuckets(ident.name, None), millis)
+      new PinnedStoreTable(path,
+        BucketedPotV2Source.resolveBuckets(path, None), millis)
     else throw new org.apache.spark.sql.catalyst.analysis
       .NoSuchTableException(ident)
   }
@@ -201,6 +207,35 @@ object GraftFunctionCatalog {
   /** u54 path-addressed table namespaces. */
   val StoreNamespace: Array[String] = Array("store")
   val PotNamespace: Array[String] = Array("pot")
+
+  /** u66 (r19) — SHRED THROUGH THE CATALOG DOOR: a pure-SQL gateway user
+    * has no `.option(...)` surface, so read options ride the table name
+    * as a `?k=v&k=v` suffix — `graft_fns.pot.\`<glob>?shred=
+    * pop=pop:bigint\`` opens the glob with the u45 typed shred columns
+    * (and their u45/u56/u65 pushdowns) declared. Recognized keys:
+    * `shred`, `buckets`; values URL-decode so a shred expression may
+    * carry any character. A bare path (no `?`) is unchanged.
+    */
+  private[sources] def splitTableOpts(name: String)
+      : (String, Map[String, String]) = {
+    val i = name.indexOf('?')
+    if (i < 0) (name, Map.empty)
+    else {
+      val opts = name.substring(i + 1).split("&").iterator
+        .filter(_.nonEmpty).map { kv =>
+          kv.split("=", 2) match {
+            case Array(k, v) =>
+              k -> java.net.URLDecoder.decode(v, "UTF-8")
+            case Array(k) => k -> ""
+          }
+        }.toMap
+      val unknown = opts.keySet -- Set("shred", "buckets")
+      require(unknown.isEmpty,
+        s"graft catalog table options: unknown key(s) ${
+          unknown.mkString(", ")} in '$name' (supported: shred, buckets)")
+      (name.substring(0, i), opts)
+    }
+  }
 
   val functions: Map[String, UnboundFunction] = Map(
     "int8dot" -> Int8DotUnbound,

@@ -544,14 +544,195 @@ private[graft] object PotChain {
     * parses — any absence or tear reads None (no pruning, never wrong). */
   def zmapRange(fs: org.apache.hadoop.fs.FileSystem, body: String)
       : Option[(String, String)] =
-    try zmapOf(body).filter(fs.exists).flatMap { p =>
+    zmapStats(fs, body).range
+
+  /** u65: cap on recorded field paths per sidecar — past it `fcap` marks
+    * the stats partial and absence-of-path stops pruning. */
+  val ZmapMaxFields = 32
+
+  /** u65 write-side accumulator for one field path: integral-only values
+    * type 'i' (long min/max), textual-only 's' (string min/max in the
+    * engine's unsigned UTF-8 order), anything else or mixed 'x' —
+    * present but untyped, which the reader NEVER prunes on. */
+  private[sources] final class ZFieldAcc {
+    var tag: Char = 0
+    var lmin: Long = Long.MaxValue
+    var lmax: Long = Long.MinValue
+    var smin: String = null
+    var smax: String = null
+    def see(v: com.fasterxml.jackson.databind.JsonNode): Unit = {
+      val t =
+        if (v.isIntegralNumber && v.canConvertToLong) 'i'
+        else if (v.isTextual) 's'
+        else 'x'
+      if (tag == 0) tag = t else if (tag != t) tag = 'x'
+      if (tag == 'x') { smin = null; smax = null; return }
+      if (t == 'i') {
+        lmin = math.min(lmin, v.asLong); lmax = math.max(lmax, v.asLong)
+      } else {
+        val s = v.asText
+        if (smin == null || PotV2Source.utf8Cmp(s, smin) < 0) smin = s
+        if (smax == null || PotV2Source.utf8Cmp(s, smax) > 0) smax = s
+      }
+    }
+  }
+
+  /** One field path's persisted statistics. */
+  private[sources] case class ZField(tag: Char,
+      lmin: Long, lmax: Long, smin: String, smax: String)
+
+  /** Everything a snapshot's zone-map sidecar declares: the key range
+    * (u57) and the per-field stats (u65). `fields = None` = a pre-r19 or
+    * absent/torn sidecar — field pruning fully disabled; `fcap` = stats
+    * partial, so absence-of-path admits. */
+  private[sources] case class ZStats(range: Option[(String, String)],
+      fields: Option[Map[String, ZField]], fcap: Boolean)
+
+  def zmapStats(fs: org.apache.hadoop.fs.FileSystem, body: String): ZStats =
+    try zmapOf(body).filter(fs.exists).map { p =>
       val in = fs.open(p)
       val n = try new ObjectMapper().readTree(in) finally in.close()
-      for {
+      val range = for {
         mn <- Option(n.get("kmin")).filter(_.isTextual).map(_.asText)
         mx <- Option(n.get("kmax")).filter(_.isTextual).map(_.asText)
       } yield (mn, mx)
-    } catch { case scala.util.control.NonFatal(_) => None }
+      val fields = Option(n.get("fields")).filter(_.isObject).map { fo =>
+        fo.properties().asScala.map { e =>
+          val f = e.getValue
+          val tag = Option(f.get("t")).map(_.asText).filter(_.length == 1)
+            .map(_.charAt(0)).getOrElse('x')
+          e.getKey -> ZField(tag,
+            Option(f.get("lmin")).map(_.asLong).getOrElse(Long.MaxValue),
+            Option(f.get("lmax")).map(_.asLong).getOrElse(Long.MinValue),
+            Option(f.get("smin")).map(_.asText).orNull,
+            Option(f.get("smax")).map(_.asText).orNull)
+        }.toMap
+      }
+      // a sidecar with no fields node is pre-r19: treat as capped (no
+      // absence-based pruning); fcap missing beside fields = conservative
+      ZStats(range, fields,
+        Option(n.get("fcap")).forall(_.asBoolean(true)))
+    }.getOrElse(ZStats(None, None, fcap = true))
+    catch {
+      case scala.util.control.NonFatal(_) => ZStats(None, None, fcap = true)
+    }
+
+  /** u65 planning-time admit: can this snapshot possibly satisfy pushed
+    * filter `f` on a shredded column? `shredMap` = alias -> (paths,
+    * declared type). Conservative in every ambiguous direction: no
+    * stats / depth > 2 / mixed-typed path / capped-absence => admit.
+    * The sharp edges, each exact by the [[PotV2Source.shredValue]]
+    * extraction contract (String only from textual, Long only from
+    * integral, null otherwise):
+    *   - path recorded with the MATCHING type: range/equality compare
+    *     against min/max;
+    *   - path recorded with a PURE OTHER type: every extraction is null
+    *     — nothing matches equality/range/IsNotNull;
+    *   - path ABSENT and stats not capped: the field never carried a
+    *     typed scalar anywhere in the object — same conclusion.
+    */
+  private[sources] def shredFilterAdmits(
+      f: org.apache.spark.sql.sources.Filter,
+      shredMap: Map[String, (Seq[String], org.apache.spark.sql.types.DataType)],
+      stats: ZStats): Boolean = {
+    import org.apache.spark.sql.sources._
+    val fieldsOpt = stats.fields
+    if (fieldsOpt.isEmpty) return true
+    val fields = fieldsOpt.get
+    def lookup(alias: String)
+        : Option[(Option[ZField], org.apache.spark.sql.types.DataType)] =
+      shredMap.get(alias).flatMap { case (paths, t) =>
+        if (paths.length > 2) None // stats cover depth <= 2 only
+        else Some((fields.get(paths.mkString(".")), t))
+      }
+    def tagOf(t: org.apache.spark.sql.types.DataType): Char = t match {
+      case org.apache.spark.sql.types.LongType => 'i'
+      case org.apache.spark.sql.types.StringType => 's'
+      case _ => 'x'
+    }
+    // could any row's extraction be NON-NULL at all?
+    def anyTyped(zf: Option[ZField], t: Char): Boolean = zf match {
+      case None => stats.fcap // absent + complete stats = never non-null
+      case Some(z) => z.tag == 'x' || z.tag == t
+    }
+    def longRangeMeets(zf: Option[ZField], lo: Long, hi: Long): Boolean =
+      zf match {
+        case Some(z) if z.tag == 'i' => z.lmin <= hi && lo <= z.lmax
+        case other => anyTyped(other, 'i')
+      }
+    def strInRange(zf: Option[ZField], v: String): Boolean = zf match {
+      case Some(z) if z.tag == 's' && z.smin != null && z.smax != null =>
+        PotV2Source.utf8Cmp(v, z.smin) >= 0 &&
+          PotV2Source.utf8Cmp(v, z.smax) <= 0
+      case other => anyTyped(other, 's')
+    }
+    def longLit(v: Any): Option[Long] = PotV2Filters.longLit(v)
+    f match {
+      case EqualTo(a, v) => lookup(a) match {
+        case Some((zf, t)) => tagOf(t) match {
+          case 'i' => longLit(v) match {
+            case Some(l) => longRangeMeets(zf, l, l)
+            case None => true
+          }
+          case 's' => v match {
+            case sv: String => strInRange(zf, sv)
+            case _ => true
+          }
+          case _ => true
+        }
+        case None => true
+      }
+      case In(a, vs) => lookup(a) match {
+        case Some((zf, t)) => tagOf(t) match {
+          case 'i' =>
+            val ls = vs.toSeq.flatMap(longLit)
+            ls.length != vs.length || ls.exists(l => longRangeMeets(zf, l, l))
+          case 's' =>
+            val ss = vs.toSeq.collect { case s: String => s }
+            ss.length != vs.length || ss.exists(strInRange(zf, _))
+          case _ => true
+        }
+        case None => true
+      }
+      case IsNotNull(a) => lookup(a) match {
+        case Some((zf, t)) if tagOf(t) != 'x' => anyTyped(zf, tagOf(t))
+        case _ => true
+      }
+      case GreaterThan(a, v) => lookup(a) match {
+        case Some((zf, t)) if tagOf(t) == 'i' => longLit(v) match {
+          case Some(l) if l < Long.MaxValue =>
+            longRangeMeets(zf, l + 1, Long.MaxValue)
+          case Some(_) => false // x > Long.MaxValue matches nothing
+          case None => true
+        }
+        case _ => true
+      }
+      case GreaterThanOrEqual(a, v) => lookup(a) match {
+        case Some((zf, t)) if tagOf(t) == 'i' => longLit(v) match {
+          case Some(l) => longRangeMeets(zf, l, Long.MaxValue)
+          case None => true
+        }
+        case _ => true
+      }
+      case LessThan(a, v) => lookup(a) match {
+        case Some((zf, t)) if tagOf(t) == 'i' => longLit(v) match {
+          case Some(l) if l > Long.MinValue =>
+            longRangeMeets(zf, Long.MinValue, l - 1)
+          case Some(_) => false
+          case None => true
+        }
+        case _ => true
+      }
+      case LessThanOrEqual(a, v) => lookup(a) match {
+        case Some((zf, t)) if tagOf(t) == 'i' => longLit(v) match {
+          case Some(l) => longRangeMeets(zf, Long.MinValue, l)
+          case None => true
+        }
+        case _ => true
+      }
+      case _ => true
+    }
+  }
 
   // r16: every commit embeds its row statistics in the artifact NAME —
   // `.snap-<stem>-r<entries>.json` / `.dgen-<stem>-u<upserts>d<dels>.jsonl`
@@ -1323,6 +1504,12 @@ private[graft] class PotV2Scan(
     with SupportsRuntimeFiltering with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
+  /** u65: alias -> (paths, declared type) for the sidecar-stats pruning
+    * of pushed shred predicates at planning. */
+  private val shredMapForZmap
+      : Map[String, (Seq[String], org.apache.spark.sql.types.DataType)] =
+    shred.map(sp => sp._1 -> (sp._2, sp._3)).toMap
+
   /** u51: STORAGE-PARTITIONED JOIN surface — the scan reports
     * `KeyGroupedPartitioning(identity(pot_file))`: every partition is
     * exactly one pot object (or its chain fold), so its rows share ONE
@@ -1580,7 +1767,11 @@ private[graft] class PotV2Scan(
       (pushed ++ runtime).collectFirst {
         case org.apache.spark.sql.sources.StringStartsWith("key", p) => p
       }
-    val parts = matched.filter(_.isFile)
+    // candidates carry their sidecar range + exact row count when known
+    // (snapshot-headed head reads with an r16+ name stamp) — the u67
+    // TopN skip's evidence; capped/delta/legacy partitions carry None
+    val cands: Seq[(InputPartition, Option[(String, String)], Option[Long])] =
+      matched.filter(_.isFile)
       .map(_.getPath.toString)
       .filter(PotV2Filters.accepts(pushed, "pot_file", _))
       .filter(PotV2Filters.accepts(runtime, "pot_file", _))
@@ -1597,7 +1788,8 @@ private[graft] class PotV2Scan(
         val eff = caps.get(f).fold(head)(c => math.min(head, c))
         if (eff < head) {
           if (eff <= 0L) None
-          else Some(PotStatePartition(dir.toString, eff, f): InputPartition)
+          else Some((PotStatePartition(dir.toString, eff, f): InputPartition,
+            None, None))
         } else {
           val body = if (head > 0) PotChain.artifactOf(fs, commits, head)
             else null
@@ -1607,8 +1799,13 @@ private[graft] class PotV2Scan(
           // prefix interval) drop at PLANNING — the object is never
           // opened. Delta heads, legacy chains, and sidecar-less
           // commits keep their partition (no pruning, never wrong).
+          // u65 (r19): pushed SHRED-field predicates prune the same way
+          // against the sidecar's per-field typed min/max.
+          val stats = if (headIsDelta || head == 0) PotChain.ZStats(None, None,
+            fcap = true)
+          else PotChain.zmapStats(fs, body)
           val admit = headIsDelta || head == 0 || {
-            PotChain.zmapRange(fs, body) match {
+            val keyOk = stats.range match {
               case Some((mn, mx)) =>
                 exactKeys.forall(_.exists(k =>
                   PotV2Source.utf8Cmp(k, mn) >= 0 &&
@@ -1617,14 +1814,52 @@ private[graft] class PotV2Scan(
                   PotV2Source.prefixMeetsRange(pfx, mn, mx))
               case None => true
             }
+            keyOk && (shredMapForZmap.isEmpty || pushed.forall(
+              PotChain.shredFilterAdmits(_, shredMapForZmap, stats)))
           }
           if (!admit) None
-          else Some(if (headIsDelta) PotStatePartition(dir.toString, head, f)
-          else PotFilePartition(f, if (head > 0) head else -1L)
-          : InputPartition)
+          else if (headIsDelta)
+            Some((PotStatePartition(dir.toString, head, f): InputPartition,
+              None, None))
+          else Some((PotFilePartition(f, if (head > 0) head else -1L)
+            : InputPartition,
+            stats.range,
+            if (head > 0) PotChain.snapRows(body) else None))
         }
       }
-      .toArray
+    // u67 (r19): ORDER-AWARE OBJECT SKIP for a pushed TopN on key — an
+    // object cannot contribute to the global top-k when OTHER objects
+    // whose whole key range strictly precedes it already hold >= k rows
+    // (ASC: their kmax < its kmin — every one of their rows orders ahead
+    // of every row here; DESC mirrored). Evidence is sidecar range +
+    // name-stamped exact row counts only; objects lacking either are
+    // never skipped and never counted. Applied only when no pushed or
+    // runtime predicate can drop rows (IsNotNull on the non-null
+    // addressing columns is vacuous) and no sample is pushed — a
+    // filtered TopN's preceding-row count would overcount.
+    val topNSkippable = pushedTopN.isDefined && pushedSample.isEmpty &&
+      (pushed ++ runtime).forall {
+        case org.apache.spark.sql.sources.IsNotNull(a) =>
+          a == "key" || a == "pot_file"
+        case _ => false
+      }
+    val parts: Array[InputPartition] =
+      (if (!topNSkippable) cands.map(_._1)
+      else {
+        val (asc, k) = pushedTopN.get
+        val known = cands.zipWithIndex.collect {
+          case (((_, Some((mn, mx)), Some(r))), i) => (i, mn, mx, r)
+        }
+        cands.zipWithIndex.flatMap {
+          case ((part, Some((mn, mx)), _), i) =>
+            val before = known.iterator.filter(_._1 != i).filter { o =>
+              if (asc) PotV2Source.utf8Cmp(o._3, mn) < 0
+              else PotV2Source.utf8Cmp(o._2, mx) > 0
+            }.map(_._4).sum
+            if (before >= k.toLong) None else Some(part)
+          case ((part, _, _), _) => Some(part)
+        }
+      }).toArray
     // Partial GLOBAL count with every file pruned away: Spark's final
     // merge would sum zero partial rows and return NULL where a
     // non-pushed COUNT(*) returns 0 — plan one no-file partition that
@@ -2502,12 +2737,62 @@ private[graft] class PotV2Write(
       val zmap = new Path(dir, s".zmap-$stem.json")
       if (!entries.isEmpty) {
         var mn: String = null; var mx: String = null
-        entries.keySet().asScala.foreach { k =>
+        // u65 (r19): per-FIELD typed min/max next to the key range — the
+        // shred-predicate analogue of parquet column statistics. Every
+        // dotted path to depth 2 is recorded: integral values as 'i'
+        // (long min/max), textual as 's' (string min/max), anything else
+        // or mixed as 'x' (present, untyped — never prunes). `fcap`
+        // marks the stats PARTIAL past ZmapMaxFields paths; only a
+        // fcap=false sidecar lets absence-of-path prune (absent + not
+        // capped = the field never yields a non-null typed extraction,
+        // so IsNotNull/equality/range predicates cannot match). Cost:
+        // one extra parse pass per entry at SNAPSHOT commit — same
+        // order as the object serialization the commit already does.
+        val fstats =
+          new java.util.LinkedHashMap[String, PotChain.ZFieldAcc]()
+        var fcap = false
+        def see(path: String, v: com.fasterxml.jackson.databind.JsonNode)
+            : Unit = {
+          if (v.isNull) return
+          var acc = fstats.get(path)
+          if (acc == null) {
+            if (fstats.size >= PotChain.ZmapMaxFields) { fcap = true; return }
+            acc = new PotChain.ZFieldAcc(); fstats.put(path, acc)
+          }
+          acc.see(v)
+        }
+        entries.entrySet().asScala.foreach { e =>
+          val k = e.getKey
           if (mn == null || PotV2Source.utf8Cmp(k, mn) < 0) mn = k
           if (mx == null || PotV2Source.utf8Cmp(k, mx) > 0) mx = k
+          try {
+            val doc = mapper.readTree(e.getValue)
+            if (doc != null && doc.isObject)
+              doc.properties().asScala.foreach { f =>
+                see(f.getKey, f.getValue)
+                if (f.getValue.isObject)
+                  f.getValue.properties().asScala.foreach(g =>
+                    see(f.getKey + "." + g.getKey, g.getValue))
+              }
+          } catch {
+            // an unparseable doc (never written by this path, but the
+            // stats must not break the commit): mark stats partial
+            case scala.util.control.NonFatal(_) => fcap = true
+          }
         }
         val zo = mapper.createObjectNode()
         zo.put("kmin", mn); zo.put("kmax", mx)
+        zo.put("fcap", fcap)
+        val fo = zo.putObject("fields")
+        fstats.asScala.foreach { case (p, acc) =>
+          val n = fo.putObject(p)
+          n.put("t", acc.tag.toString)
+          acc.tag match {
+            case 'i' => n.put("lmin", acc.lmin); n.put("lmax", acc.lmax)
+            case 's' => n.put("smin", acc.smin); n.put("smax", acc.smax)
+            case _ => ()
+          }
+        }
         val zOut = fs.create(zmap, false)
         try zOut.write(mapper.writeValueAsString(zo).getBytes(UTF_8))
         finally zOut.close()

@@ -365,6 +365,172 @@ class PotJsonSpec extends AnyFunSuite {
     new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
   }
 
+  test("PotV2 shred-field zone maps (u65, r19): pushed shred predicates " +
+    "drop whole objects at planning; mixed-typed and capped stats never " +
+    "prune; absent-path and pure-mistyped paths prune everything") {
+    import spark.implicits._
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val dir = java.nio.file.Files.createTempDirectory("potv2fzmap").toString
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    // five pots range-clustered on v = i*100, nested nest.d = i*10, a
+    // mixed-typed field, and a textual name
+    (0 to 4).foreach { g =>
+      (g * 5 until g * 5 + 5).map { i =>
+        val mix = if (i % 2 == 0) i.toString else s""""x$i""""
+        ("", f"k$i%02d",
+          s"""{"v": ${i * 100}, "name": "n$i%02d", """ +
+            s""""nest": {"d": ${i * 10}}, "mix": $mix}""")
+      }.toDF("pot_file", "key", "doc_json")
+        .write.format(fmt).option("path", s"$dir/range_$g/data.json")
+        .mode("overwrite").save()
+    }
+    val shred = Seq(
+      ("v", Seq("v"), LongType),
+      ("name", Seq("name"), StringType),
+      ("nest_d", Seq("nest", "d"), LongType),
+      ("mix", Seq("mix"), LongType),
+      ("ghost", Seq("ghost"), LongType),
+      ("name_as_long", Seq("name"), LongType))
+    def scanWith(filters: Filter*): Int = {
+      val b = new graft.sources.PotV2ScanBuilder(
+        s"$dir/*/data.json", None, shred)
+      val rest = b.pushFilters(filters.toArray)
+      assert(rest.isEmpty, s"filters not pushed: ${rest.mkString(",")}")
+      b.build().asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+        .planInputPartitions().length
+    }
+    assert(scanWith() === 5)
+    // long range: v in [0,400],[500,900],[1000,1400],[1500,1900],[2000,2400]
+    assert(scanWith(GreaterThanOrEqual("v", 1700L)) === 2)
+    assert(scanWith(LessThan("v", 500L)) === 1)
+    assert(scanWith(In("v", Array[Any](300L, 2100L))) === 2)
+    assert(scanWith(EqualTo("v", 250L)) === 1,
+      "within one pot's range but absent: range stats admit (never row-exact)")
+    // string equality on the textual field
+    assert(scanWith(EqualTo("name", "n07")) === 1)
+    // nested path depth 2
+    assert(scanWith(GreaterThan("nest_d", 200L)) === 1)
+    // mixed-typed path: tag 'x', never prunes
+    assert(scanWith(EqualTo("mix", 1L)) === 5)
+    // absent path + complete stats: extraction is null everywhere — prune
+    assert(scanWith(IsNotNull("ghost")) === 0)
+    assert(scanWith(EqualTo("ghost", 5L)) === 0)
+    // pure mistyped: name is textual everywhere, declared bigint — prune
+    assert(scanWith(EqualTo("name_as_long", 5L)) === 0)
+    // end-to-end rows agree with the unpruned truth
+    val df = spark.read.format(fmt).option("path", s"$dir/*/data.json")
+      .option("shred", "v=v:bigint,nest_d=nest.d:bigint,ghost=ghost:string")
+      .load()
+    assert(df.filter($"v" >= 1700L).select($"key").as[String]
+      .collect().sorted.toSeq === (17 to 24).map(i => f"k$i%02d"))
+    assert(df.filter($"ghost".isNotNull).count() === 0L)
+    // CAPPED stats (fcap=true past 32 paths): absence stops pruning
+    val wideDir = s"$dir/wide"
+    Seq(("", "w1",
+      (0 until 40).map(i => s""""f$i": $i""").mkString("{", ", ", "}")))
+      .toDF("pot_file", "key", "doc_json")
+      .write.format(fmt).option("path", s"$wideDir/data.json")
+      .mode("overwrite").save()
+    val bw = new graft.sources.PotV2ScanBuilder(
+      s"$wideDir/data.json", None, Seq(("ghost", Seq("ghost"), LongType)))
+    bw.pushFilters(Array[Filter](IsNotNull("ghost")))
+    assert(bw.build().asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+      .planInputPartitions().length === 1,
+      "capped stats must not prune on absence")
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
+  test("PotV2 TopN object skip (u67, r19): objects whose whole range is " +
+    "preceded by >= k proven rows are never opened; filters, samples and " +
+    "missing evidence disable the skip, results never move") {
+    import spark.implicits._
+    import org.apache.spark.sql.sources._
+    import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection}
+    val dir = java.nio.file.Files.createTempDirectory("potv2topnskip").toString
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    (0 to 4).foreach { g =>
+      (g * 5 until g * 5 + 5).map(i => ("", f"k$i%02d", s"""{"v": $i}"""))
+        .toDF("pot_file", "key", "doc_json")
+        .write.format(fmt).option("path", s"$dir/range_$g/data.json")
+        .mode("overwrite").save()
+    }
+    def scanTopN(asc: Boolean, k: Int, filters: Filter*): Int = {
+      val b = new graft.sources.PotV2ScanBuilder(s"$dir/*/data.json")
+      b.pushFilters(filters.toArray)
+      assert(b.pushTopN(Array(Expressions.sort(Expressions.column("key"),
+        if (asc) SortDirection.ASCENDING else SortDirection.DESCENDING)), k))
+      b.build().asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+        .planInputPartitions().length
+    }
+    // 5 rows per object: k=4 needs only the first object, k=7 two
+    assert(scanTopN(asc = true, 4) === 1)
+    assert(scanTopN(asc = true, 7) === 2)
+    assert(scanTopN(asc = true, 25) === 5)
+    assert(scanTopN(asc = false, 4) === 1)
+    assert(scanTopN(asc = false, 11) === 3)
+    // IsNotNull on addressing columns is vacuous — skip still applies
+    assert(scanTopN(asc = true, 4, IsNotNull("key")) === 1)
+    // a row-dropping pushed filter disables the skip (prefix meets all
+    // five ranges, so zone maps keep all objects too)
+    assert(scanTopN(asc = true, 4, StringStartsWith("key", "k")) === 5)
+    // missing evidence: drop object 0's sidecar — it can't be skipped
+    // and can't prove others skippable; object 1 still counts for 2+
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val zm0 = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/range_0"))
+      .map(_.getPath).filter(_.getName.startsWith(".zmap-"))
+    assert(zm0.length === 1)
+    fs.delete(zm0.head, false)
+    assert(scanTopN(asc = true, 4) === 2,
+      "sidecar-less object must stay open and stop proving others skippable")
+    // results never move through the full read path
+    val df = spark.read.format(fmt).option("path", s"$dir/*/data.json").load()
+    assert(df.orderBy($"key".asc).limit(4).select($"key").as[String]
+      .collect().toSeq === (0 to 3).map(i => f"k$i%02d"))
+    assert(df.orderBy($"key".desc).limit(4).select($"key").as[String]
+      .collect().toSeq === (24 to 21 by -1).map(i => f"k$i%02d"))
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
+  test("Bucketed zone-map pruning (u64, r19): an edge-of-domain prefix " +
+    "opens only the buckets holding its keys; results identical") {
+    import spark.implicits._
+    import org.apache.spark.sql.sources.StringStartsWith
+    val dir = java.nio.file.Files.createTempDirectory("bzmap").toString
+    val root = s"$dir/store"
+    val fmt = classOf[graft.sources.BucketedPotV2Source].getName
+    (1 to 25).map(i => ("", s"n$i", s"""{"v": $i}"""))
+      .toDF("pot_file", "key", "doc_json")
+      .write.format(fmt).option("path", root).option("buckets", "8")
+      .mode("append").save()
+    Seq(("", "zz:a", """{"v": -1}"""), ("", "zz:b", """{"v": -2}"""))
+      .toDF("pot_file", "key", "doc_json")
+      .write.format(fmt).option("path", root).option("buckets", "8")
+      .mode("append").save()
+    val zzBuckets = Set("zz:a", "zz:b")
+      .map(graft.sources.BucketedPotV2Source.bucketOf(_, 8))
+    val existing = graft.sources.BucketedPotV2Source
+      .existingBuckets(root, 8).length
+    // the shared planner prunes bucket objects through their zmaps; the
+    // glob scan sees exactly the bucketed layout
+    val b = new graft.sources.PotV2ScanBuilder(s"$root/_b=*/data.json")
+    b.pushFilters(Array[org.apache.spark.sql.sources.Filter](
+      StringStartsWith("key", "zz")))
+    val planned = b.build()
+      .asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+      .planInputPartitions().length
+    assert(planned === zzBuckets.size && planned < existing,
+      s"prefix should open ${zzBuckets.size} of $existing buckets, got " +
+        planned)
+    val got = spark.read.format(fmt).option("path", root)
+      .option("buckets", "8").load()
+      .filter($"key".startsWith("zz")).select($"key").as[String]
+      .collect().toSet
+    assert(got === Set("zz:a", "zz:b"))
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
   test("PotV2 wall-clock retention (u58, r18): young bodies survive the " +
     "window, clone-borrowed history is never the clone's to retire, and " +
     "an aged-out pinned read raises the NAMED retention guard") {

@@ -857,4 +857,91 @@ class PropertySpec extends AnyFunSuite {
     }
     new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
   }
+
+  test("property: BUCKETED zone-map pruning never changes results — " +
+    "arbitrary keys over a hashed bucket layout, exact/IN/prefix/near-miss " +
+    "predicates (r19)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bzmapprop").toString
+    val root = s"$dir/store"
+    val fmt = classOf[graft.sources.BucketedPotV2Source].getName
+    val keyGen = Gen.listOfN(6,
+      Gen.oneOf(('a' to 'z') ++ ('0' to '9') :+ ':')).map(_.mkString)
+    val keys = samples(keyGen, 120, 0x64b1L).distinct
+    // two waves so several buckets carry multi-generation chains
+    val (w1, w2) = keys.splitAt(keys.size / 2)
+    Seq(w1, w2).foreach { ks =>
+      ks.map(k => ("", k, s"""{"v": "$k"}"""))
+        .toDF("pot_file", "key", "doc_json")
+        .write.format(fmt).option("path", root).option("buckets", "8")
+        .mode("append").save()
+    }
+    val df = spark.read.format(fmt).option("path", root)
+      .option("buckets", "8").load()
+    assert(df.select($"key").as[String].collect().toSet === keys.toSet)
+    val present = keys.sorted
+    val predGen: Gen[org.apache.spark.sql.Column] = Gen.oneOf(
+      Gen.oneOf(present).map(k => $"key" === k),
+      Gen.oneOf(present).map(k => $"key" === (k + "q")), // near-miss
+      Gen.listOfN(4, Gen.oneOf(present)).map(ks => $"key".isin(ks: _*)),
+      Gen.oneOf(present).map(k => $"key".startsWith(k.take(2))),
+      keyGen.map(k => $"key".startsWith(k.take(3))))
+    samples(predGen, 40, 0x9a7eL).zipWithIndex.foreach { case (pred, i) =>
+      val got = df.filter(pred).select($"key").as[String].collect().toSet
+      val expected = present.toDF("key").filter(pred)
+        .as[String].collect().toSet
+      assert(got === expected,
+        s"trial=$i: bucketed zone-map pruning changed rows")
+    }
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
+  test("property: SHRED-field zone-map pruning never changes results — " +
+    "arbitrary docs and typed range/equality/null predicates (r19)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("fzmapprop").toString
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    // docs with a long field (sometimes absent), a string field, and a
+    // mixed-typed field, spread over 4 pots in arrival order
+    case class Doc(k: String, v: Option[Long], s: String, mixInt: Boolean)
+    val docGen = for {
+      k <- Gen.listOfN(6, Gen.alphaNumChar).map(_.mkString)
+      v <- Gen.option(Gen.choose(-500L, 500L))
+      s <- Gen.listOfN(3, Gen.alphaLowerChar).map(_.mkString)
+      m <- Gen.oneOf(true, false)
+    } yield Doc(k, v, s, m)
+    val docs = samples(docGen, 120, 0x5edL).distinctBy(_.k)
+    docs.grouped((docs.size + 3) / 4).zipWithIndex.foreach { case (ds, g) =>
+      ds.map { d =>
+        val vj = d.v.fold("")(x => s""", "v": $x""")
+        val mj = if (d.mixInt) "7" else "\"seven\""
+        ("", d.k, s"""{"s": "${d.s}", "m": $mj$vj}""")
+      }.toDF("pot_file", "key", "doc_json")
+        .write.format(fmt).option("path", s"$dir/p$g/data.json")
+        .mode("overwrite").save()
+    }
+    val df = spark.read.format(fmt).option("path", s"$dir/*/data.json")
+      .option("shred", "v=v:bigint,s=s:string,m=m:bigint,g=g:bigint").load()
+    val ref = docs.map(d => (d.k, d.v, d.s,
+      if (d.mixInt) Some(7L) else None)).toDF("key", "v", "s", "m")
+      .withColumn("g", org.apache.spark.sql.functions.lit(null)
+        .cast("bigint"))
+    val vGen = Gen.choose(-600L, 600L)
+    val predGen: Gen[org.apache.spark.sql.Column] = Gen.oneOf(
+      vGen.map(x => $"v" >= x),
+      vGen.map(x => $"v" < x),
+      vGen.map(x => $"v" === x),
+      Gen.oneOf(docs).map(d => $"s" === d.s),
+      Gen.const($"v".isNotNull),
+      Gen.const($"g".isNotNull),
+      vGen.map(x => $"m" > x))
+    samples(predGen, 40, 0x77abL).zipWithIndex.foreach { case (pred, i) =>
+      val got = df.filter(pred).select($"key").as[String].collect().toSet
+      val expected = ref.filter(pred).select($"key").as[String]
+        .collect().toSet
+      assert(got === expected,
+        s"trial=$i: shred zone-map pruning changed rows")
+    }
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+  }
 }

@@ -166,7 +166,10 @@ object ScaleSmoke {
     // r18: graph-ANN walks (index builds content-addressed per replica dir)
     "s38_nsw_search", "s39_nsw_incremental",
     // r18 widening (u59 omitted: store-lifecycle; st28: stream floor)
-    "t30_novelty_decay", "m19_downsample_audit", "p32_checkpoint_resume")
+    "t30_novelty_decay", "m19_downsample_audit", "p32_checkpoint_resume",
+    // r19: NSW lifecycle + escalation (chain builds warmed like s38/s39;
+    // u62-u67 omitted: store-lifecycle / planning-time verbs)
+    "s40_nsw_delete_fold", "s41_nsw_escalation")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
@@ -223,7 +226,12 @@ object ScaleSmoke {
         println(f"replica nsw incr graph build_sec: $b%.1f " +
           "(excluded from the walk ratio)")
       }
-      if (entries.exists(_.startsWith("s38"))) {
+      if (entries.exists(_.startsWith("s40"))) {
+        val b = time(operators.Similarity.publishedNswGraphDel(spark, dir))
+        println(f"replica nsw del/fold chain build_sec: $b%.1f " +
+          "(excluded from the walk ratio)")
+      }
+      if (entries.exists(n => n.startsWith("s38") || n.startsWith("s41"))) {
         // the NSW graph is the same INGEST-cost artifact (content-
         // addressed CommitMarker publish) — warm it like lsh/ivf so the
         // timed entry is the walk, not the build
