@@ -1215,6 +1215,223 @@ object Extensibility {
       |  SELECT 'desc' AS dir, key, name FROM k ORDER BY key DESC LIMIT 4)
       |ORDER BY dir, key""".stripMargin
 
+  /** u68: STATS-ONLY AGGREGATE (r19) — the pushed aggregate (u12/u49/
+    * u56) still opened and parsed every object to fold its answer; now a
+    * snapshot commit's zone-map sidecar carries per-field non-null
+    * counts next to the typed extremes, and an aggregate partition whose
+    * pushed predicates cannot drop rows is answered from the SIDECAR +
+    * the `-r<N>` name stamp alone — two metadata-sized reads instead of
+    * the full object parse, Iceberg's stats-only `MIN/MAX/COUNT` brought
+    * to the pot format. Exactness: COUNT(*) = the row stamp,
+    * MIN/MAX(key) = kmin/kmax (same unsigned UTF-8 order both sides),
+    * COUNT/MIN/MAX(shred field) = the field's stats iff its recorded
+    * type is PURE and matches the declaration (a pure-other-typed or
+    * provably-absent field is 0/NULL by the extraction contract); any
+    * ambiguity — mixed types, capped stats, pre-u68 sidecar — opens the
+    * object exactly as before (never wrong). The query runs the full
+    * kind matrix grouped by pot_file over five committed pots (leg
+    * `stats`: every object answers stats-only, the `statsOnlyAggObjects`
+    * scan metric — read from the SAME QueryExecution — pins 5) and the
+    * same aggregate under a pushed row-dropping key prefix (leg
+    * `opened`: the gate declines, metric 0, values still exact). At
+    * 100 TB a per-object stats sweep over a 10k-object store is 10k
+    * sidecar reads, not 10k object parses. Oracle replays relationally.
+    */
+  def statsOnlyAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-u68").toString
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    val nat = Tables.nation(s, d)
+    (0 to 4).foreach { g =>
+      nat.filter(floor($"n_nationkey" / 5) === g)
+        .select(lit("").as("pot_file"),
+          concat(lit("k"), lpad($"n_nationkey".cast("string"), 2, "0"))
+            .as("key"),
+          to_json(struct($"n_name".as("name"),
+            when($"n_regionkey" =!= 2,
+              $"n_nationkey".cast("long") * 1000 + $"n_regionkey")
+              .as("pop"))).as("doc_json"))
+        .write.format(fmt).option("path", s"$dir/range_$g/data.json")
+        .mode("overwrite").save()
+    }
+    val df = s.read.format(fmt).option("path", s"$dir/*/data.json")
+      .option("shred", "name=name:string,pop=pop:bigint").load()
+    def agg(src: org.apache.spark.sql.DataFrame) =
+      src.groupBy($"pot_file")
+        .agg(count(lit(1)).as("n_rows"),
+          min($"key").as("min_key"), max($"key").as("max_key"),
+          count($"pop").as("n_pop"),
+          min($"pop").as("min_pop"), max($"pop").as("max_pop"),
+          min($"name").as("min_name"), max($"name").as("max_name"))
+    // leg A: no row-dropping predicate — all five objects stats-only
+    val qa = agg(df)
+    // leg B: pushed key prefix DROPS rows — gate declines, objects open
+    val qb = agg(df.filter($"key".startsWith("k1")))
+    def run(q: org.apache.spark.sql.DataFrame, leg: String)
+        : (Seq[org.apache.spark.sql.Row], Long) = {
+      val rows = q.collect().toSeq
+      // the metric lives on q's OWN executed plan (the r17 rule: a new
+      // QueryExecution never ticks)
+      val m = q.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec => b
+      }.map(_.metrics.get("statsOnlyAggObjects").map(_.value)
+        .getOrElse(0L)).sum
+      (rows, m)
+    }
+    val (ra, ma) = run(qa, "stats")
+    val (rb, mb) = run(qb, "opened")
+    val rowsOut = (ra.map(("stats", ma, _)) ++ rb.map(("opened", mb, _)))
+      .map { case (leg, m, r) =>
+        (leg, m,
+          r.getString(0).replaceAll("^.*/(range_\\d)/data\\.json$", "$1"),
+          r.getLong(1), r.getString(2), r.getString(3), r.getLong(4),
+          if (r.isNullAt(5)) null else java.lang.Long.valueOf(r.getLong(5)),
+          if (r.isNullAt(6)) null else java.lang.Long.valueOf(r.getLong(6)),
+          r.getString(7), r.getString(8))
+      }
+    val out = rowsOut.toDF("leg", "stats_only", "pot", "n_rows",
+        "min_key", "max_key", "n_pop", "min_pop", "max_pop",
+        "min_name", "max_name")
+      .orderBy($"leg", $"pot")
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    out
+  }
+
+  val statsOnlyAggSql: String =
+    """WITH k AS (
+      |  SELECT 'range_' || CAST(n_nationkey // 5 AS VARCHAR) AS pot,
+      |    'k' || lpad(CAST(n_nationkey AS VARCHAR), 2, '0') AS key,
+      |    n_name AS name,
+      |    CASE WHEN n_regionkey = 2 THEN NULL
+      |      ELSE CAST(n_nationkey * 1000 + n_regionkey AS BIGINT)
+      |    END AS pop
+      |  FROM nation),
+      |legA AS (
+      |  SELECT 'stats' AS leg, CAST(5 AS BIGINT) AS stats_only, pot,
+      |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    MIN(key) AS min_key, MAX(key) AS max_key,
+      |    CAST(COUNT(pop) AS BIGINT) AS n_pop,
+      |    MIN(pop) AS min_pop, MAX(pop) AS max_pop,
+      |    MIN(name) AS min_name, MAX(name) AS max_name
+      |  FROM k GROUP BY pot),
+      |legB AS (
+      |  SELECT 'opened' AS leg, CAST(0 AS BIGINT) AS stats_only, pot,
+      |    CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |    MIN(key) AS min_key, MAX(key) AS max_key,
+      |    CAST(COUNT(pop) AS BIGINT) AS n_pop,
+      |    MIN(pop) AS min_pop, MAX(pop) AS max_pop,
+      |    MIN(name) AS min_name, MAX(name) AS max_name
+      |  FROM k WHERE key LIKE 'k1%' GROUP BY pot)
+      |SELECT * FROM legA
+      |UNION ALL
+      |SELECT * FROM legB
+      |ORDER BY leg, pot""".stripMargin
+
+  /** u69: CHAIN-UNION zone maps for DELTA-HEADED pots (r19) — u57/u64
+    * prune snapshot-headed objects only; a delta-headed chain (streaming
+    * epochs since the last compaction) admitted unconditionally, so a
+    * point read over a store mid-ingest opened and FOLDED every chain.
+    * Now every delta epoch commits a `.dzmap-` TOUCHED-KEY range sidecar
+    * next to its `.dgen-` artifact (upserts AND tombstones — existence
+    * of a key in the folded state requires some generation to have
+    * touched it, so counting deletions is conservative), and planning
+    * prunes a whole chain when the pushed exact/IN/prefix key misses the
+    * UNION of the covering snapshot's zone map and every dgen's touched
+    * range. Evidence must be complete — no covering snapshot or any
+    * missing sidecar admits (never wrong) — and the `.dzmap-` family is
+    * deliberately distinct from `.zmap-` so every snapshot-stats surface
+    * (u61 inventory, u65/u68 field stats) stays snapshot-only. The query
+    * builds three key-disjoint delta-headed chains and probes exact /
+    * prefix / near-miss predicates: planned-partition counts (the direct
+    * scan-builder probe) land in the output next to the served rows. At
+    * 100 TB this is the difference between a point read folding every
+    * mid-ingest chain in the store and folding one. Oracle replays
+    * relationally; partition counts are pinned constants by layout.
+    */
+  def deltaChainZmapPrune(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-u69").toString
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    val nat = Tables.nation(s, d)
+      .select($"n_nationkey", $"n_name").collect().toSeq
+      .filter(_.getInt(0) < 24)
+    def keyOf(nk: Int): String = f"${('a' + nk / 8).toChar}$nk%02d"
+    def doc(name: String) = s"""{"name": "$name"}"""
+    (0 to 2).foreach { g =>
+      val mine = nat.filter(r => r.getInt(0) / 8 == g)
+      val pot = s"$dir/chain_$g/data.json"
+      // covering snapshot: the first half of the pot's key domain
+      mine.filter(_.getInt(0) % 8 < 4)
+        .map(r => ("", keyOf(r.getInt(0)), doc(r.getString(1))))
+        .toDF("pot_file", "key", "doc_json")
+        .write.format(fmt).option("path", pot).mode("overwrite").save()
+      // one delta epoch upserts the second half — the chain stays
+      // delta-headed (run 1 << compactEvery)
+      val fs = new org.apache.hadoop.fs.Path(pot)
+        .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val staging = new org.apache.hadoop.fs.Path(s"$dir/chain_$g/.stage")
+      fs.mkdirs(staging)
+      val frag = new org.apache.hadoop.fs.Path(staging, "f.jsonl")
+      val out = fs.create(frag, false)
+      try out.write(mine.filter(_.getInt(0) % 8 >= 4)
+        .map(r => s"""{"k": "${keyOf(r.getInt(0))}", """ +
+          s""""d": ${doc(r.getString(1))}}""")
+        .mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      new graft.sources.PotV2Write(pot,
+        graft.sources.PotV2Source.Schema, s"u69e$g", truncateFirst = false)
+        .commitDeltaEpoch(
+          Array(graft.sources.PotFragmentMessage(0, frag.toString)),
+          s"u69e$g", staging)
+    }
+    def probeParts(filters: org.apache.spark.sql.sources.Filter*): Long = {
+      val b = new graft.sources.PotV2ScanBuilder(s"$dir/*/data.json")
+      b.pushFilters(filters.toArray)
+      b.build().asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+        .planInputPartitions().length.toLong
+    }
+    import org.apache.spark.sql.sources.{EqualTo, In, StringStartsWith}
+    val df = s.read.format(fmt).option("path", s"$dir/*/data.json").load()
+    def leg(label: String, parts: Long,
+        src: org.apache.spark.sql.DataFrame) =
+      src.agg(count(lit(1)).as("n_rows"), min($"key").as("min_key"),
+          max($"key").as("max_key"))
+        .select(lit(label).as("leg"), lit(parts).as("parts"),
+          $"n_rows", $"min_key", $"max_key")
+    val out = leg("exact", probeParts(In("key", Array("a02", "a06"))),
+        df.filter($"key".isin("a02", "a06")))
+      .unionByName(leg("miss", probeParts(EqualTo("key", "z99")),
+        df.filter($"key" === "z99")))
+      .unionByName(leg("prefix", probeParts(StringStartsWith("key", "b1")),
+        df.filter($"key".startsWith("b1"))))
+      .orderBy($"leg")
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    out
+  }
+
+  val deltaChainZmapPruneSql: String =
+    """WITH k AS (
+      |  SELECT chr(97 + n_nationkey // 8) ||
+      |    lpad(CAST(n_nationkey AS VARCHAR), 2, '0') AS key
+      |  FROM nation WHERE n_nationkey < 24)
+      |SELECT 'exact' AS leg, CAST(1 AS BIGINT) AS parts,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  MIN(key) AS min_key, MAX(key) AS max_key
+      |FROM k WHERE key IN ('a02', 'a06')
+      |UNION ALL
+      |SELECT 'miss', CAST(0 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+      |  MIN(key), MAX(key)
+      |FROM k WHERE key = 'z99'
+      |UNION ALL
+      |SELECT 'prefix', CAST(1 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+      |  MIN(key), MAX(key)
+      |FROM k WHERE key LIKE 'b1%'
+      |ORDER BY leg""".stripMargin
+
   /** u51: STORAGE-PARTITIONED JOIN over the pot layout (r17) — Iceberg's
     * SPJ brought to the connector: the scan reports
     * `KeyGroupedPartitioning(identity(pot_file))` (one pot object per
@@ -4001,6 +4218,8 @@ object Extensibility {
     "u65_shred_zmap_prune" -> (shredZmapPrune _),
     "u66_catalog_shred" -> (catalogShred _),
     "u67_topn_object_skip" -> (topnObjectSkip _),
+    "u68_stats_only_agg" -> (statsOnlyAgg _),
+    "u69_delta_chain_zmap" -> (deltaChainZmapPrune _),
     "u30_sql_function_catalog" -> (sqlFunctionCatalog _),
     "u29_sql_zorder_read" -> (sqlZorderRead _),
     "u28_sql_topn_pushdown" -> (sqlTopNPushdown _),
@@ -4070,6 +4289,8 @@ object Extensibility {
     "u65_shred_zmap_prune" -> shredZmapPruneSql,
     "u66_catalog_shred" -> catalogShredSql,
     "u67_topn_object_skip" -> topnObjectSkipSql,
+    "u68_stats_only_agg" -> statsOnlyAggSql,
+    "u69_delta_chain_zmap" -> deltaChainZmapPruneSql,
     "u30_sql_function_catalog" -> sqlFunctionCatalogSql,
     "u29_sql_zorder_read" -> sqlZorderReadSql,
     "u28_sql_topn_pushdown" -> sqlTopNPushdownSql,

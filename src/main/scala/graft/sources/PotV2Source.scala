@@ -546,6 +546,68 @@ private[graft] object PotChain {
       : Option[(String, String)] =
     zmapStats(fs, body).range
 
+  /** u69 (r19): a DELTA generation's TOUCHED-KEY range sidecar —
+    * deliberately a different artifact family from the snapshot's
+    * `.zmap-` (u57): a dgen records the range of keys the epoch TOUCHED
+    * (upserts and tombstones both), not the state's zone map, so the
+    * u61 inventory and every snapshot-stats consumer stay snapshot-only
+    * by construction. */
+  def dzmapOf(body: String): Option[Path] = {
+    val p = new Path(body)
+    val name = p.getName
+    if (name.startsWith(".dgen-") && name.endsWith(".jsonl"))
+      Some(new Path(p.getParent,
+        ".dzmap-" + name.stripPrefix(".dgen-").stripSuffix(".jsonl")
+          + ".json"))
+    else None
+  }
+
+  /** The (kmin, kmax) touched range a dgen's sidecar declares; absence
+    * or tear reads None (no pruning, never wrong). */
+  def dzmapRange(fs: org.apache.hadoop.fs.FileSystem, body: String)
+      : Option[(String, String)] =
+    try dzmapOf(body).filter(fs.exists).flatMap { p =>
+      val in = fs.open(p)
+      val n = try new ObjectMapper().readTree(in) finally in.close()
+      for {
+        mn <- Option(n.get("kmin")).filter(_.isTextual).map(_.asText)
+        mx <- Option(n.get("kmax")).filter(_.isTextual).map(_.asText)
+      } yield (mn, mx)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** u69 (r19) — CHAIN-UNION zone-map pruning for DELTA-HEADED pots: a
+    * key can exist in the folded chain state only if SOME generation in
+    * the head run touched it (the covering snapshot holds it, or a dgen
+    * upserted it; tombstones only shrink state — counting them is
+    * conservative). So when a pushed exact/IN/prefix key predicate
+    * misses the UNION of the covering snapshot's zone map and every
+    * dgen's touched range, the whole chain drops at planning and the
+    * per-read fold never runs. Evidence must be COMPLETE: a chain with
+    * no covering snapshot, or any generation lacking a parseable
+    * sidecar, admits (no pruning, never wrong). Cost: O(head run)
+    * marker+sidecar reads, paid only when a prunable predicate is
+    * pushed — the same order the fold itself would pay.
+    */
+  def deltaChainAdmits(fs: org.apache.hadoop.fs.FileSystem, commits: Path,
+      head: Long, exactKeys: Option[Seq[String]],
+      prefixKey: Option[String]): Boolean = {
+    if (exactKeys.isEmpty && prefixKey.isEmpty) return true
+    val (snap, dgens) = chainRun(fs, commits, head)
+    if (snap.isEmpty) return true
+    val snapRange = zmapRange(fs, snap.get)
+    if (snapRange.isEmpty) return true
+    val dgenRanges = dgens.map(dzmapRange(fs, _))
+    if (dgenRanges.exists(_.isEmpty)) return true
+    val ranges = snapRange.toSeq ++ dgenRanges.flatten
+    def keyIn(k: String): Boolean = ranges.exists { case (mn, mx) =>
+      PotV2Source.utf8Cmp(k, mn) >= 0 && PotV2Source.utf8Cmp(k, mx) <= 0
+    }
+    exactKeys.forall(_.exists(keyIn)) &&
+      prefixKey.forall(pfx => ranges.exists { case (mn, mx) =>
+        PotV2Source.prefixMeetsRange(pfx, mn, mx)
+      })
+  }
+
   /** u65: cap on recorded field paths per sidecar — past it `fcap` marks
     * the stats partial and absence-of-path stops pruning. */
   val ZmapMaxFields = 32
@@ -556,11 +618,13 @@ private[graft] object PotChain {
     * present but untyped, which the reader NEVER prunes on. */
   private[sources] final class ZFieldAcc {
     var tag: Char = 0
+    var n: Long = 0L
     var lmin: Long = Long.MaxValue
     var lmax: Long = Long.MinValue
     var smin: String = null
     var smax: String = null
     def see(v: com.fasterxml.jackson.databind.JsonNode): Unit = {
+      n += 1 // non-null sightings; == typed-extraction count iff tag pure
       val t =
         if (v.isIntegralNumber && v.canConvertToLong) 'i'
         else if (v.isTextual) 's'
@@ -577,9 +641,11 @@ private[graft] object PotChain {
     }
   }
 
-  /** One field path's persisted statistics. */
+  /** One field path's persisted statistics. `n` = non-null sightings
+    * (-1 when the sidecar predates the u68 count), exact per-type only
+    * when `tag` is pure. */
   private[sources] case class ZField(tag: Char,
-      lmin: Long, lmax: Long, smin: String, smax: String)
+      lmin: Long, lmax: Long, smin: String, smax: String, n: Long)
 
   /** Everything a snapshot's zone-map sidecar declares: the key range
     * (u57) and the per-field stats (u65). `fields = None` = a pre-r19 or
@@ -605,7 +671,8 @@ private[graft] object PotChain {
             Option(f.get("lmin")).map(_.asLong).getOrElse(Long.MaxValue),
             Option(f.get("lmax")).map(_.asLong).getOrElse(Long.MinValue),
             Option(f.get("smin")).map(_.asText).orNull,
-            Option(f.get("smax")).map(_.asText).orNull)
+            Option(f.get("smax")).map(_.asText).orNull,
+            Option(f.get("n")).map(_.asLong).getOrElse(-1L))
         }.toMap
       }
       // a sidecar with no fields node is pre-r19: treat as capped (no
@@ -732,6 +799,85 @@ private[graft] object PotChain {
       }
       case _ => true
     }
+  }
+
+  /** u68 (r19) — STATS-ONLY AGGREGATE: can the sidecar stats plus the
+    * name-stamped exact row count answer a pushed aggregation outright,
+    * so the reader never opens the object? Returns the kind-parallel
+    * fold results (raw values: Long counts, String/Long extremes, null
+    * where SQL says null) when EVERY kind is answerable EXACTLY; None
+    * means open-and-fold. Exactness per kind, each by the write-side
+    * contract (sidecar written from the same entries map the fold would
+    * walk, key extremes in unsigned UTF-8 order, field stats typed by
+    * the [[PotV2Source.shredValue]] classification):
+    *   - COUNT(*) = the `-r<N>` name stamp;
+    *   - MIN/MAX(key) = the sidecar kmin/kmax;
+    *   - COUNT(field) = the field's `n` iff its tag is PURE and matches
+    *     the declared type (every sighting was a typed extraction);
+    *     a pure-OTHER-typed or provably-absent field counts 0;
+    *   - MIN/MAX(field) = the typed extremes under the same purity rule;
+    *     pure-other/absent = null (no non-null extraction exists).
+    * Anything ambiguous — mixed 'x' tag, capped stats with the path
+    * absent, pre-u68 sidecar without `n`, malformed extremes — returns
+    * None and the object is opened (never wrong, exactly the u65
+    * conservatism). Callers gate on row-dropping predicates themselves.
+    */
+  private[sources] def statsAnswer(
+      kinds: Seq[PotV2Source.PotAgg],
+      rows: Long,
+      stats: ZStats,
+      shredMap: Map[String, (Seq[String], org.apache.spark.sql.types.DataType)])
+      : Option[Seq[Any]] = {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    if (rows == 0L) return Some(kinds.map {
+      case PotV2Source.AggCount => 0L
+      case PotV2Source.AggCountShred(_) => 0L
+      case _ => null
+    })
+    def tagOf(t: org.apache.spark.sql.types.DataType): Char = t match {
+      case LongType => 'i'
+      case StringType => 's'
+      case _ => 'x'
+    }
+    // Some(Some(z)) = recorded pure-and-matching (extremes sane);
+    // Some(None) = provably never a non-null typed extraction;
+    // None = unanswerable
+    def field(alias: String): Option[Option[ZField]] =
+      shredMap.get(alias).flatMap { case (paths, t) =>
+        if (paths.length > 2 || tagOf(t) == 'x') None
+        else stats.fields.flatMap { fm =>
+          fm.get(paths.mkString(".")) match {
+            case Some(z) if z.tag == tagOf(t) =>
+              val sane =
+                if (z.tag == 'i') z.lmin <= z.lmax
+                else z.smin != null && z.smax != null
+              if (sane) Some(Some(z)) else None
+            case Some(z) if z.tag != 'x' => Some(None) // pure other type
+            case Some(_) => None                       // mixed: open
+            case None => if (stats.fcap) None else Some(None)
+          }
+        }
+      }
+    val vals: Seq[Option[Any]] = kinds.map {
+      case PotV2Source.AggCount => Some(rows)
+      case PotV2Source.AggMinKey => stats.range.map(_._1)
+      case PotV2Source.AggMaxKey => stats.range.map(_._2)
+      case PotV2Source.AggCountShred(f) => field(f).flatMap {
+        case Some(z) => if (z.n >= 0L) Some(z.n) else None // pre-u68: open
+        case None => Some(0L)
+      }
+      case PotV2Source.AggMinShred(f, _) => field(f).map {
+        case Some(z) =>
+          if (z.tag == 'i') (z.lmin: java.lang.Long) else z.smin
+        case None => null
+      }
+      case PotV2Source.AggMaxShred(f, _) => field(f).map {
+        case Some(z) =>
+          if (z.tag == 'i') (z.lmax: java.lang.Long) else z.smax
+        case None => null
+      }
+    }
+    if (vals.exists(_.isEmpty)) None else Some(vals.map(_.get))
   }
 
   // r16: every commit embeds its row statistics in the artifact NAME —
@@ -1369,6 +1515,16 @@ private[sources] class DocSkippedMetric
     "entries dropped by pushed doc-field predicates pre-stringify"
 }
 
+/** `statsOnlyAggObjects` (u68): aggregate partitions answered entirely
+  * from the zone-map sidecar + the name-stamped row count — the object
+  * was never opened. Summed across tasks. */
+private[sources] class StatsOnlyAggMetric
+    extends org.apache.spark.sql.connector.metric.CustomSumMetric {
+  override def name(): String = "statsOnlyAggObjects"
+  override def description(): String =
+    "aggregate partitions answered from sidecar stats without opening"
+}
+
 private[graft] object PotV2Filters {
   import org.apache.spark.sql.sources._
 
@@ -1577,7 +1733,7 @@ private[graft] class PotV2Scan(
 
   override def supportedCustomMetrics()
       : Array[org.apache.spark.sql.connector.metric.CustomMetric] =
-    Array(new DocSkippedMetric)
+    Array(new DocSkippedMetric, new StatsOnlyAggMetric)
 
   /** RUNTIME file pruning — the DSv2 dynamic-partition-pruning surface:
     * when a join's other side resolves at runtime to a set of pot_file
@@ -1804,7 +1960,13 @@ private[graft] class PotV2Scan(
           val stats = if (headIsDelta || head == 0) PotChain.ZStats(None, None,
             fcap = true)
           else PotChain.zmapStats(fs, body)
-          val admit = headIsDelta || head == 0 || {
+          // u69 (r19): a DELTA-HEADED chain prunes on the union of its
+          // covering snapshot's zone map and every dgen's touched range
+          // — complete evidence only, shred predicates never prune here
+          val admit = (if (headIsDelta)
+            PotChain.deltaChainAdmits(fs, commits, head, exactKeys,
+              prefixKey)
+          else true) && (headIsDelta || head == 0 || {
             val keyOk = stats.range match {
               case Some((mn, mx)) =>
                 exactKeys.forall(_.exists(k =>
@@ -1816,7 +1978,7 @@ private[graft] class PotV2Scan(
             }
             keyOk && (shredMapForZmap.isEmpty || pushed.forall(
               PotChain.shredFilterAdmits(_, shredMapForZmap, stats)))
-          }
+          })
           if (!admit) None
           else if (headIsDelta)
             Some((PotStatePartition(dir.toString, head, f): InputPartition,
@@ -2079,6 +2241,21 @@ private[sources] class PotV2ReaderFactory(
     docFilters.isEmpty ||
       PotV2Filters.docAccepts(docFilters, shredCols, n => sv(shredIdx(n)))
 
+  // u68: alias -> (paths, declared type) for sidecar-stats answering
+  private val shredMapByAlias
+      : Map[String, (Seq[String], org.apache.spark.sql.types.DataType)] =
+    shred.map(sp => sp._1 -> (sp._2, sp._3)).toMap
+  /** u68 gate: no pushed predicate (or sample) may drop rows inside the
+    * object — IsNotNull on the never-null addressing columns is vacuous,
+    * and pot_file-only predicates were fully resolved at planning (a
+    * surviving partition satisfies them for every row). */
+  private def statsOnlyEligible: Boolean =
+    pushedSample.isEmpty && pushed.forall {
+      case org.apache.spark.sql.sources.IsNotNull(a) =>
+        a == "key" || a == "pot_file"
+      case f => f.references.forall(_ == "pot_file")
+    }
+
   override def createReader(partition0: InputPartition): PartitionReader[InternalRow] = {
     // u54: the bucket-id carrier is planning-surface only — read the real
     // file/state partition inside it
@@ -2118,11 +2295,17 @@ private[sources] class PotV2ReaderFactory(
     // metric (u45): entries dropped by pushed doc-field predicates before
     // their bodies were stringified
     var docSkipped = 0L
+    // u68: 1 when this partition's pushed aggregate was answered from
+    // sidecar stats + the name stamp without opening the object
+    var statsOnlyObjects = 0L
     def taskMetrics()
         : Array[org.apache.spark.sql.connector.metric.CustomTaskMetric] =
       Array(new org.apache.spark.sql.connector.metric.CustomTaskMetric {
         override def name(): String = "docSkippedEntries"
         override def value(): Long = docSkipped
+      }, new org.apache.spark.sql.connector.metric.CustomTaskMetric {
+        override def name(): String = "statsOnlyAggObjects"
+        override def value(): Long = statsOnlyObjects
       })
     // doc-field admission over a parsed node (u45): extract, evaluate,
     // count the kill — the node is dropped before any toString
@@ -2207,9 +2390,41 @@ private[sources] class PotV2ReaderFactory(
             i += 1
           }
         }
+        // u68: kind-parallel results answered from the zone-map sidecar
+        // + the name-stamped row count — set iff the object was never
+        // opened (null = the fold below ran instead)
+        private var statsVals: Seq[Any] = null
+        /** u68 STATS-ONLY attempt: for a snapshot-headed partition with
+          * no row-dropping pushed predicate/sample, resolve the head
+          * artifact (one marker read), take its `-r<N>` row stamp and
+          * `.zmap` stats, and ask [[PotChain.statsAnswer]] for the whole
+          * aggregation. Two metadata-sized reads replace the full object
+          * parse; anything ambiguous falls back to open-and-fold
+          * (never wrong). */
+        private def tryStatsOnly(): Boolean = {
+          if (fileGen <= 0L || !statsOnlyEligible) return false
+          try {
+            val p = new Path(file)
+            val fs = p.getFileSystem(new Configuration())
+            val commits = new Path(p.getParent, ".commits")
+            val body = PotChain.artifactOf(fs, commits, fileGen)
+            if (body == null || PotChain.isDgen(body)) return false
+            PotChain.snapRows(body) match {
+              case Some(rows) =>
+                PotChain.statsAnswer(aggKinds, rows,
+                  PotChain.zmapStats(fs, body), shredMapByAlias) match {
+                  case Some(vals) =>
+                    statsVals = vals; n = rows; statsOnlyObjects = 1L; true
+                  case None => false
+                }
+              case None => false
+            }
+          } catch { case scala.util.control.NonFatal(_) => false }
+        }
         private lazy val folded: Unit = partition match {
           case sp: PotStatePartition =>
             foldedEntries(sp).foreach(e => fold(e.key, e.sv))
+          case _ if tryStatsOnly() => ()
           case _ =>
             val p = new Path(file)
             val fs = p.getFileSystem(new Configuration())
@@ -2229,7 +2444,9 @@ private[sources] class PotV2ReaderFactory(
           case s: String => UTF8String.fromString(s)
           case other => other
         }
-        private def aggVals: Seq[Any] = aggKinds.zipWithIndex.map {
+        private def aggVals: Seq[Any] =
+          if (statsVals != null) statsVals.map(out)
+          else aggKinds.zipWithIndex.map {
           case (PotV2Source.AggCount, _) => n
           case (PotV2Source.AggMinKey, _) => out(mnKey)
           case (PotV2Source.AggMaxKey, _) => out(mxKey)
@@ -2787,6 +3004,7 @@ private[graft] class PotV2Write(
         fstats.asScala.foreach { case (p, acc) =>
           val n = fo.putObject(p)
           n.put("t", acc.tag.toString)
+          n.put("n", acc.n)
           acc.tag match {
             case 'i' => n.put("lmin", acc.lmin); n.put("lmax", acc.lmax)
             case 's' => n.put("smin", acc.smin); n.put("smax", acc.smax)
@@ -2930,6 +3148,30 @@ private[graft] class PotV2Write(
             .getBytes(UTF_8))
         out.write('\n')
       } finally out.close()
+      // u69 (r19): the epoch's TOUCHED-KEY range sidecar (.dzmap-) —
+      // upserts AND tombstones both count, so the planning-time
+      // chain-union prune (deltaChainAdmits) stays conservative.
+      // Written before the CAS: a committed generation either has its
+      // sidecar or readers see absence = no pruning.
+      if (!folded.isEmpty) {
+        var mn: String = null
+        var mx: String = null
+        folded.keySet().asScala.foreach { k =>
+          if (mn == null || PotV2Source.utf8Cmp(k, mn) < 0) mn = k
+          if (mx == null || PotV2Source.utf8Cmp(k, mx) > 0) mx = k
+        }
+        PotChain.dzmapOf(dgen.toString).foreach { zp =>
+          val zo = mapper.createObjectNode()
+          zo.put("kmin", mn); zo.put("kmax", mx)
+          val zOut = fs.create(zp, false)
+          try zOut.write(mapper.writeValueAsString(zo).getBytes(UTF_8))
+          finally zOut.close()
+        }
+      }
+      def dropStaged(): Unit = {
+        fs.delete(dgen, false)
+        PotChain.dzmapOf(dgen.toString).foreach(fs.delete(_, false))
+      }
       val gen = gens.foldLeft(0L)(math.max) + 1
       try {
         graft.kv.CommitMarker.publish(
@@ -2937,9 +3179,9 @@ private[graft] class PotV2Write(
         true
       } catch {
         case _: graft.kv.PotTable.CommitConflict =>
-          fs.delete(dgen, false); false // re-read head, re-CAS
+          dropStaged(); false // re-read head, re-CAS
         case e: Throwable =>
-          fs.delete(dgen, false); throw e
+          dropStaged(); throw e
       }
     }
     while (!attempt()) {}

@@ -2877,6 +2877,148 @@ class PotJsonSpec extends AnyFunSuite {
     assert(got === expected)
   }
 
+  test("PotV2 delta-chain union zone maps (u69, r19): pushed keys prune " +
+    "whole delta-headed chains; incomplete evidence always admits") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("potv2dz").toString
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    // two delta-headed chains with disjoint domains: a00-a03 snap +
+    // a04-a07 delta; b00-b03 snap + b04-b07 delta (one tombstone b00)
+    def build(p: Char): Unit = {
+      val pot = s"$dir/c$p/data.json"
+      (0 to 3).map(i => ("", s"${p}0$i", s"""{"v": $i}"""))
+        .toDF("pot_file", "key", "doc_json")
+        .write.format(fmt).option("path", pot).mode("overwrite").save()
+      val fs = new org.apache.hadoop.fs.Path(pot)
+        .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val staging = new org.apache.hadoop.fs.Path(s"$dir/c$p/.st")
+      fs.mkdirs(staging)
+      val frag = new org.apache.hadoop.fs.Path(staging, "f.jsonl")
+      val out = fs.create(frag, false)
+      val lines = (4 to 7).map(i => s"""{"k": "${p}0$i", "d": {"v": $i}}""") :+
+        s"""{"k": "${p}00", "d": null}"""
+      try out.write(lines.mkString("", "\n", "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      new graft.sources.PotV2Write(pot, graft.sources.PotV2Source.Schema,
+        s"dz$p", truncateFirst = false)
+        .commitDeltaEpoch(
+          Array(graft.sources.PotFragmentMessage(0, frag.toString)),
+          s"dz$p", staging)
+    }
+    build('a'); build('b')
+    def parts(filters: org.apache.spark.sql.sources.Filter*): Int = {
+      val b = new graft.sources.PotV2ScanBuilder(s"$dir/*/data.json")
+      b.pushFilters(filters.toArray)
+      b.build().asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+        .planInputPartitions().length
+    }
+    import org.apache.spark.sql.sources.{EqualTo, In, StringStartsWith}
+    assert(parts() === 2)
+    // snapshot-half key, delta-half key, both sides of one chain
+    assert(parts(EqualTo("key", "a02")) === 1)
+    assert(parts(EqualTo("key", "a06")) === 1)
+    assert(parts(In("key", Array("a02", "b06"))) === 2)
+    // near miss: nothing opens, rows stay right
+    assert(parts(EqualTo("key", "z99")) === 0)
+    // a TOMBSTONED key is inside the touched range: conservative admit
+    assert(parts(EqualTo("key", "a00")) === 1)
+    // prefix covers one chain only
+    assert(parts(StringStartsWith("key", "b0")) === 1)
+    def rows(pred: org.apache.spark.sql.Column): Set[String] =
+      spark.read.format(fmt).option("path", s"$dir/*/data.json").load()
+        .filter(pred).select($"key").as[String].collect().toSet
+    assert(rows($"key".isin("a02", "a06", "a00", "z99"))
+      === Set("a02", "a06"))
+    // INCOMPLETE EVIDENCE: drop chain a's dgen sidecar — the chain
+    // admits again (no pruning, never wrong)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val dz = fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/ca"))
+      .map(_.getPath).filter(_.getName.startsWith(".dzmap-"))
+    assert(dz.length === 1, "expected exactly one dgen sidecar")
+    fs.delete(dz.head, false)
+    assert(parts(EqualTo("key", "z99")) === 1,
+      "a chain with a missing dgen sidecar must admit")
+    assert(rows($"key" === "z99") === Set.empty[String])
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
+  test("PotV2 stats-only aggregate (u68, r19): sidecar + row stamp " +
+    "answer the pushed agg without opening; every ambiguity opens") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{count, lit, max, min}
+    val root = java.nio.file.Files.createTempDirectory("potv2u68").toString
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    // pot A (pure stats): v integral where present, one JSON null, one
+    // absent; name textual everywhere
+    Seq(("", "a1", """{"v": 10, "name": "x"}"""),
+      ("", "a2", """{"v": 30, "name": "y"}"""),
+      ("", "a3", """{"v": 20, "name": "w"}"""),
+      ("", "a4", """{"v": null, "name": "z"}"""),
+      ("", "a5", """{"name": "v"}"""))
+      .toDF("pot_file", "key", "doc_json")
+      .write.format(fmt).option("path", s"$root/pa/data.json")
+      .mode("overwrite").save()
+    // pot B: v MIXED (one float) — field stats go 'x', the object opens
+    Seq(("", "b1", """{"v": 7, "name": "m"}"""),
+      ("", "b2", """{"v": 1.5, "name": "n"}"""))
+      .toDF("pot_file", "key", "doc_json")
+      .write.format(fmt).option("path", s"$root/pb/data.json")
+      .mode("overwrite").save()
+    def read(glob: String) = spark.read.format(fmt)
+      .option("path", glob).option("shred", "v=v:bigint,name=name:string")
+      .load()
+    def agg(src: org.apache.spark.sql.DataFrame) = src.groupBy($"pot_file")
+      .agg(count(lit(1)).as("nr"), min($"key").as("mk"),
+        max($"key").as("xk"), count($"v").as("nv"),
+        min($"v").as("mv"), max($"v").as("xv"), max($"name").as("xn"))
+    def metricOf(q: org.apache.spark.sql.DataFrame): Long = {
+      val m = q.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2
+          .BatchScanExec => b
+      }
+      assert(m.nonEmpty, "no BatchScanExec — aggregate not pushed")
+      m.map(_.metrics("statsOnlyAggObjects").value).sum
+    }
+    // pure pot: answered from the sidecar, never opened
+    val qa = agg(read(s"$root/pa/data.json"))
+    val ra = qa.collect().map(r => (r.getLong(1), r.getString(2),
+      r.getString(3), r.getLong(4), r.getLong(5), r.getLong(6),
+      r.getString(7))).toSeq
+    assert(ra === Seq((5L, "a1", "a5", 3L, 10L, 30L, "z")))
+    assert(metricOf(qa) === 1L, "pure pot should answer stats-only")
+    // mixed-typed field: the gate opens the object, values still exact
+    // (typed extraction folds only the integral sighting)
+    val qb = agg(read(s"$root/pb/data.json"))
+    val rb = qb.collect().map(r => (r.getLong(1), r.getLong(4),
+      r.getLong(5), r.getLong(6))).toSeq
+    assert(rb === Seq((2L, 1L, 7L, 7L)))
+    assert(metricOf(qb) === 0L, "mixed field must open the object")
+    // row-dropping pushed predicate: declined even on the pure pot
+    val qf = agg(read(s"$root/pa/data.json").filter($"key".startsWith("a")))
+    qf.collect()
+    assert(metricOf(qf) === 0L, "a row-dropping filter must open")
+    // glob over both: exactly the pure pot is stats-only
+    val qg = agg(read(s"$root/p*/data.json"))
+    assert(qg.collect().length === 2)
+    assert(metricOf(qg) === 1L)
+    // raw legacy pot (no commit chain, no stamp, no sidecar): opens
+    val legacy = java.nio.file.Files.createTempDirectory("potv2u68leg")
+    writePot(legacy, "l", """{"k1": {"v": 3, "name": "q"}}""")
+    val ql = agg(spark.read.format(fmt)
+      .option("path", s"$legacy/l/data.json")
+      .option("shred", "v=v:bigint,name=name:string").load())
+    assert(ql.collect().map(_.getLong(1)).toSeq === Seq(1L))
+    assert(metricOf(ql) === 0L, "legacy pot has no stats evidence")
+    // key-only aggregate over a NO-shred read works from range + stamp
+    val qk = read(s"$root/pa/data.json").groupBy($"pot_file")
+      .agg(count(lit(1)).as("nr"), min($"key").as("mk"))
+    assert(qk.collect().map(r => (r.getLong(1), r.getString(2))).toSeq
+      === Seq((5L, "a1")))
+    assert(metricOf(qk) === 1L)
+  }
+
   test("PotV2 _pot_gen metadata column (u32): hidden from SELECT *, " +
     "snapshot gen for folded rows, delta gen above it, NULL for legacy") {
     import spark.implicits._

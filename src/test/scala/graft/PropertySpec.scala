@@ -944,4 +944,74 @@ class PropertySpec extends AnyFunSuite {
     }
     new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
   }
+
+  test("property: DELTA-CHAIN union zone-map pruning never changes " +
+    "results — arbitrary chains with deletes x key predicates (u69, r19)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("dzmapprop").toString
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    val rnd = new scala.util.Random(0xd9L)
+    val keys = (0 until 80).map(i => f"k${rnd.nextInt(900)}%03d").distinct
+    val pots = keys.groupBy(_.hashCode.abs % 4)
+    // expected chain-folded state per pot: last writer wins, deletes drop
+    val expected = scala.collection.mutable.Map.empty[String, Long]
+    pots.foreach { case (g, ks) =>
+      val pot = s"$dir/p$g/data.json"
+      val snapKs = ks.filter(_ => rnd.nextBoolean())
+      snapKs.foreach(k => expected(k) = 0L)
+      snapKs.map(k => ("", k, s"""{"v": 0}"""))
+        .toDF("pot_file", "key", "doc_json")
+        .write.format(fmt).option("path", pot).mode("overwrite").save()
+      val fs = new org.apache.hadoop.fs.Path(pot)
+        .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      (1 to 1 + rnd.nextInt(3)).foreach { e =>
+        // each epoch touches a random slice: upserts + some deletes
+        val touched = ks.filter(_ => rnd.nextInt(3) == 0)
+        if (touched.nonEmpty) {
+          val lines = touched.map { k =>
+            if (rnd.nextInt(4) == 0) { // tombstone
+              expected.remove(k); s"""{"k": "$k", "d": null}"""
+            } else {
+              expected(k) = e.toLong; s"""{"k": "$k", "d": {"v": $e}}"""
+            }
+          }
+          val staging = new org.apache.hadoop.fs.Path(s"$dir/p$g/.st$e")
+          fs.mkdirs(staging)
+          val frag = new org.apache.hadoop.fs.Path(staging, "f.jsonl")
+          val out = fs.create(frag, false)
+          try out.write(lines.mkString("", "\n", "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          new graft.sources.PotV2Write(pot,
+            graft.sources.PotV2Source.Schema, s"dz$g$e",
+            truncateFirst = false, compactEvery = 100)
+            .commitDeltaEpoch(
+              Array(graft.sources.PotFragmentMessage(0, frag.toString)),
+              s"dz$g$e", staging)
+        }
+      }
+    }
+    val df = spark.read.format(fmt).option("path", s"$dir/*/data.json")
+      .load()
+    val all = expected.toMap
+    // predicate trials: exact hits/misses, IN mixes, prefixes
+    (0 until 40).foreach { i =>
+      val probe = i % 4 match {
+        case 0 => Seq(keys(rnd.nextInt(keys.size)))
+        case 1 => Seq(f"k${rnd.nextInt(1200)}%03d") // often a miss
+        case 2 => (0 until 3).map(_ => keys(rnd.nextInt(keys.size)))
+        case _ => Seq.empty // prefix trial
+      }
+      val (pred, want) =
+        if (probe.nonEmpty)
+          ($"key".isin(probe: _*), all.keySet.intersect(probe.toSet))
+        else {
+          val p = f"k${rnd.nextInt(10)}%01d"
+          ($"key".startsWith(p), all.keySet.filter(_.startsWith(p)))
+        }
+      val got = df.filter(pred).select($"key").as[String].collect().toSet
+      assert(got === want, s"trial=$i: delta-chain pruning changed rows")
+    }
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+  }
 }
