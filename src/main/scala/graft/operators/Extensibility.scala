@@ -755,6 +755,124 @@ object Extensibility {
           .queryExecution.analyzed
       })
 
+  /** u71: FIELD-STATS inventory TVF (r19) — `graft_pot_fieldstats(
+    * '<glob>')`: one row per (pot, doc-field path) from the head
+    * snapshot's zone-map sidecar — type tag ('i'/'s'/'x'), non-null
+    * count, and the typed min/max — the observability face of u65/u68
+    * exactly as u61 is u57's: "which fields carry usable statistics,
+    * what would a shred predicate prune on, which pots need
+    * ensure_stats" is the question a layout review asks before trusting
+    * field pruning. A pot whose sidecar is absent (legacy/delta head)
+    * emits one row with a NULL field — present in the inventory, not
+    * silently missing. Driver-side marker+sidecar reads only,
+    * metadata-sized. Oracle replays the per-pot per-field stats
+    * relationally from nation (the sidecar derives from the same docs
+    * by the write-side contract — this query IS that contract's
+    * end-to-end check).
+    */
+  private def registerFieldStatsTvf(s: SparkSession): Unit =
+    s.sessionState.tableFunctionRegistry.registerFunction(
+      new org.apache.spark.sql.catalyst.FunctionIdentifier(
+        "graft_pot_fieldstats"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.sources.PotV2Source].getName, "graft_pot_fieldstats"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.unsafe.types.UTF8String
+        val glob = exprs match {
+          case Seq(Literal(p: UTF8String, _)) => p.toString
+          case other => throw new IllegalArgumentException(
+            "graft_pot_fieldstats: expected a STRING literal glob, got " +
+              other)
+        }
+        val sess = org.apache.spark.sql.SparkSession.active
+        import sess.implicits._
+        val p = new org.apache.hadoop.fs.Path(glob)
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val rows = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+          .filter(_.isFile).map(_.getPath).flatMap { pot =>
+            val commits = new org.apache.hadoop.fs.Path(
+              pot.getParent, ".commits")
+            val gens = graft.kv.CommitMarker
+              .committedGenerations(fs, commits)
+            val none = Seq((pot.toString, null: String, null: String,
+              null: java.lang.Long, null: java.lang.Long,
+              null: java.lang.Long, null: String, null: String))
+            if (gens.isEmpty) none
+            else {
+              val body = graft.sources.PotChain.artifactOf(fs, commits,
+                gens.max)
+              val stats = graft.sources.PotChain.zmapStats(fs, body)
+              stats.fields match {
+                case Some(fm) if fm.nonEmpty =>
+                  fm.toSeq.sortBy(_._1).map { case (f, z) =>
+                    (pot.toString, f, z.tag.toString,
+                      if (z.n >= 0) (z.n: java.lang.Long)
+                      else null: java.lang.Long,
+                      if (z.tag == 'i') (z.lmin: java.lang.Long)
+                      else null: java.lang.Long,
+                      if (z.tag == 'i') (z.lmax: java.lang.Long)
+                      else null: java.lang.Long,
+                      if (z.tag == 's') z.smin else null,
+                      if (z.tag == 's') z.smax else null)
+                  }
+                case _ => none
+              }
+            }
+          }
+        rows.toDF("pot_file", "field", "t", "n", "lmin", "lmax",
+          "smin", "smax").queryExecution.analyzed
+      })
+
+  def fieldStatsInventory(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    registerFieldStatsTvf(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft-u71").toString
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    val nat = Tables.nation(s, d)
+    (0 to 4).foreach { g =>
+      nat.filter(floor($"n_nationkey" / 5) === g)
+        .select(lit("").as("pot_file"),
+          concat(lit("k"), lpad($"n_nationkey".cast("string"), 2, "0"))
+            .as("key"),
+          to_json(struct($"n_name".as("name"),
+            when($"n_regionkey" =!= 2,
+              $"n_nationkey".cast("long") * 1000 + $"n_regionkey")
+              .as("pop"))).as("doc_json"))
+        .write.format(fmt).option("path", s"$dir/range_$g/data.json")
+        .mode("overwrite").save()
+    }
+    val out = s.sql(
+      s"""SELECT regexp_extract(pot_file, '([^/]+)/data\\\\.json$$', 1)
+         |    AS pot,
+         |  field, t, n, lmin, lmax, smin, smax
+         |FROM graft_pot_fieldstats('$dir/*/data.json')
+         |ORDER BY pot, field""".stripMargin)
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    out
+  }
+
+  val fieldStatsInventorySql: String =
+    """WITH k AS (
+      |  SELECT 'range_' || CAST(n_nationkey // 5 AS VARCHAR) AS pot,
+      |    n_name AS name,
+      |    CASE WHEN n_regionkey = 2 THEN NULL
+      |      ELSE CAST(n_nationkey * 1000 + n_regionkey AS BIGINT)
+      |    END AS pop
+      |  FROM nation)
+      |SELECT * FROM (
+      |SELECT pot, 'name' AS field, 's' AS t,
+      |  CAST(COUNT(name) AS BIGINT) AS n,
+      |  CAST(NULL AS BIGINT) AS lmin, CAST(NULL AS BIGINT) AS lmax,
+      |  MIN(name) AS smin, MAX(name) AS smax
+      |FROM k GROUP BY pot
+      |UNION ALL
+      |SELECT pot, 'pop', 'i', CAST(COUNT(pop) AS BIGINT),
+      |  MIN(pop), MAX(pop), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+      |FROM k GROUP BY pot HAVING COUNT(pop) > 0)
+      |ORDER BY pot, field""".stripMargin
+
   def zoneMapInventory(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     registerZoneMapTvf(s)
@@ -1431,6 +1549,104 @@ object Extensibility {
       |  MIN(key), MAX(key)
       |FROM k WHERE key LIKE 'b1%'
       |ORDER BY leg""".stripMargin
+
+  /** u70: ENSURE_STATS — ANALYZE for the pot format (r19). u57-u68 hang
+    * planning statistics off zone-map sidecars written AT COMMIT; a
+    * pre-u57 store, or one whose sidecars were lost, silently degrades
+    * to open-everything with no verb to repair it (Delta/Iceberg ship
+    * ANALYZE/compute-stats for exactly this). `CALL graft_fns.sys
+    * .ensure_stats('<glob>')` backfills: snapshot heads missing their
+    * sidecar get one, built by the COMMIT WRITER'S OWN stats builder
+    * (shared code — backfilled stats are bit-identical to commit-time
+    * stats by construction); delta heads and legacy pots are named, not
+    * guessed. The query runs the status matrix live — one pot with
+    * stats (`present`), one with its sidecar deleted (`written`), one
+    * delta-headed (`delta_head`) — and pins the planning effect in the
+    * output: a point probe OUTSIDE every domain opens 1 object before
+    * the CALL (the sidecar-less pot must admit) and 0 after. Oracle
+    * replays relationally (statuses/counts by construction, the value
+    * row from nation). */
+  def ensureStatsCall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft_fns",
+      classOf[graft.sources.GraftFunctionCatalog].getName)
+    val dir = java.nio.file.Files.createTempDirectory("graft-u70").toString
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    val nat = Tables.nation(s, d)
+      .select($"n_nationkey", $"n_name").collect().toSeq
+    def keyOf(nk: Int) = f"k$nk%02d"
+    def doc(name: String) = s"""{"name": "$name"}"""
+    def snap(g: Int, nks: Range): String = {
+      val pot = s"$dir/range_$g/data.json"
+      nat.filter(r => nks.contains(r.getInt(0)))
+        .map(r => ("", keyOf(r.getInt(0)), doc(r.getString(1))))
+        .toDF("pot_file", "key", "doc_json")
+        .write.format(fmt).option("path", pot).mode("overwrite").save()
+      pot
+    }
+    snap(0, 0 to 4)                    // sidecar present
+    val p1 = snap(1, 5 to 9)           // sidecar deleted below
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/range_1"))
+      .map(_.getPath).filter(_.getName.startsWith(".zmap-"))
+      .foreach(z => fs.delete(z, false))
+    val p2 = snap(2, 10 to 12)         // then a delta epoch -> delta head
+    val staging = new org.apache.hadoop.fs.Path(s"$dir/range_2/.st")
+    fs.mkdirs(staging)
+    val frag = new org.apache.hadoop.fs.Path(staging, "f.jsonl")
+    val out0 = fs.create(frag, false)
+    try out0.write(nat.filter(r => (13 to 14).contains(r.getInt(0)))
+      .map(r => s"""{"k": "${keyOf(r.getInt(0))}", """ +
+        s""""d": ${doc(r.getString(1))}}""")
+      .mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out0.close()
+    new graft.sources.PotV2Write(p2, graft.sources.PotV2Source.Schema,
+      "u70e", truncateFirst = false)
+      .commitDeltaEpoch(
+        Array(graft.sources.PotFragmentMessage(0, frag.toString)),
+        "u70e", staging)
+    def parts(k: String): Long = {
+      val b = new graft.sources.PotV2ScanBuilder(s"$dir/*/data.json")
+      b.pushFilters(Array(org.apache.spark.sql.sources.EqualTo("key", k)))
+      b.build().asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+        .planInputPartitions().length.toLong
+    }
+    val partsPre = parts("k20") // outside every domain: only the
+                                // sidecar-less pot must admit
+    val statuses = s.sql(
+      s"CALL graft_fns.sys.ensure_stats('$dir/*/data.json')")
+      .as[String].collect().toSeq.sorted
+      .map { st =>
+        // the pot path itself carries a scheme colon: split on the LAST
+        val i = st.lastIndexOf(':')
+        (st.substring(0, i)
+          .replaceAll("^.*/(range_\\d)/data\\.json$", "$1"),
+          st.substring(i + 1))
+      }
+    val partsPost = parts("k20")
+    val k07 = s.read.format(fmt).option("path", s"$dir/*/data.json").load()
+      .filter($"key" === "k07")
+      .select(get_json_object($"doc_json", "$.name")).as[String]
+      .collect().toSeq
+    val out = statuses.toDF("pot", "status")
+      .crossJoin(Seq((partsPre, partsPost, k07.length.toLong,
+        k07.headOption.orNull))
+        .toDF("parts_pre", "parts_post", "n_k07", "k07_name"))
+      .orderBy($"pot")
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    out
+  }
+
+  val ensureStatsCallSql: String =
+    """SELECT pot, status, CAST(1 AS BIGINT) AS parts_pre,
+      |  CAST(0 AS BIGINT) AS parts_post, CAST(1 AS BIGINT) AS n_k07,
+      |  (SELECT n_name FROM nation WHERE n_nationkey = 7) AS k07_name
+      |FROM (VALUES ('range_0', 'present'), ('range_1', 'written'),
+      |  ('range_2', 'delta_head')) AS t(pot, status)
+      |ORDER BY pot""".stripMargin
 
   /** u51: STORAGE-PARTITIONED JOIN over the pot layout (r17) — Iceberg's
     * SPJ brought to the connector: the scan reports
@@ -4220,6 +4436,8 @@ object Extensibility {
     "u67_topn_object_skip" -> (topnObjectSkip _),
     "u68_stats_only_agg" -> (statsOnlyAgg _),
     "u69_delta_chain_zmap" -> (deltaChainZmapPrune _),
+    "u70_ensure_stats" -> (ensureStatsCall _),
+    "u71_field_stats_tvf" -> (fieldStatsInventory _),
     "u30_sql_function_catalog" -> (sqlFunctionCatalog _),
     "u29_sql_zorder_read" -> (sqlZorderRead _),
     "u28_sql_topn_pushdown" -> (sqlTopNPushdown _),
@@ -4291,6 +4509,8 @@ object Extensibility {
     "u67_topn_object_skip" -> topnObjectSkipSql,
     "u68_stats_only_agg" -> statsOnlyAggSql,
     "u69_delta_chain_zmap" -> deltaChainZmapPruneSql,
+    "u70_ensure_stats" -> ensureStatsCallSql,
+    "u71_field_stats_tvf" -> fieldStatsInventorySql,
     "u30_sql_function_catalog" -> sqlFunctionCatalogSql,
     "u29_sql_zorder_read" -> sqlZorderReadSql,
     "u28_sql_topn_pushdown" -> sqlTopNPushdownSql,

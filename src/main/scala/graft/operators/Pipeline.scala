@@ -1429,6 +1429,109 @@ object Pipeline {
        |FROM pl
        |ORDER BY source""".stripMargin
 
+  /** p33: ANNEAL/COOLDOWN two-phase mixture planner (r19) — the
+    * midtraining pattern production runs converged on (Llama-3 /
+    * MiniCPM-style anneal: finish training on an upweighted
+    * high-quality slice): the token budget splits into a BASE phase
+    * allocated over every source's full inventory and a COOLDOWN phase
+    * allocated over each source's QUALITY-ELIGIBLE tokens only —
+    * eligibility is p25's integer rule battery (all five rules pass;
+    * thresholds mirrored literally in the oracle, first-fail order
+    * irrelevant here since eligibility is the conjunction). Budget =
+    * `tot div 2` tokens split 4:1 base:cooldown; every allocation is
+    * exact BIGINT mul-then-div (p24's discipline — no floats anywhere).
+    * Emitted per (source, phase): available tokens, allocation, full
+    * epochs + partial-token remainder — the provisioning table a
+    * two-phase run reads off. Shapes: ONE corpus pass for per-source
+    * (tokens, eligible-tokens) partials, a broadcast 1-row totals join,
+    * pure projection — no window, no second pass; at 100 TB this costs
+    * one aggregation over derived per-doc ints.
+    */
+  def cooldownPlan(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val per = Tables.documents(s, d)
+      .withColumn("w", split(lower($"text"), " "))
+      .select($"source",
+        size($"w").cast("long").as("nt"),
+        size(filter($"w", x => x.isin(FunnelStop: _*))).cast("long")
+          .as("ns"),
+        length($"text").cast("long").as("lc"))
+      .select($"source", $"nt",
+        ($"nt" >= 20L && $"nt" <= 80L &&
+          $"lc" >= $"nt" * 5L && $"lc" <= $"nt" * 12L &&
+          $"ns" * 20L >= $"nt").as("elig"))
+    val inv = per.groupBy($"source")
+      .agg(sum($"nt").as("avail_all"),
+        sum(when($"elig", $"nt").otherwise(0L)).as("avail_cd"))
+    val tot = inv.agg(sum($"avail_all").as("tot_all"),
+      sum($"avail_cd").as("tot_cd"))
+    val planned = inv.crossJoin(broadcast(tot))
+      .withColumn("b_all", expr("(tot_all div 2) * 4 div 5"))
+      .withColumn("b_cd",
+        expr("tot_all div 2 - (tot_all div 2) * 4 div 5"))
+      .withColumn("alloc_base", expr("b_all * avail_all div tot_all"))
+      .withColumn("alloc_cd", expr(
+        "CASE WHEN tot_cd > 0 THEN b_cd * avail_cd div tot_cd " +
+          "ELSE CAST(0 AS BIGINT) END"))
+    def leg(phase: String, avail: String, alloc: String) =
+      planned.select($"source", lit(phase).as("phase"),
+        col(avail).as("avail_tok"), col(alloc).as("alloc_tok"),
+        expr(s"CASE WHEN $avail > 0 THEN $alloc div $avail " +
+          s"ELSE CAST(0 AS BIGINT) END").as("full_epochs"),
+        expr(s"CASE WHEN $avail > 0 THEN $alloc % $avail " +
+          s"ELSE CAST(0 AS BIGINT) END").as("partial_tok"))
+    leg("base", "avail_all", "alloc_base")
+      .unionByName(leg("cooldown", "avail_cd", "alloc_cd"))
+      .orderBy($"source", $"phase")
+  }
+
+  val cooldownPlanSql: String =
+    """WITH per AS (
+      |  SELECT source,
+      |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS nt,
+      |    CAST(len(list_filter(string_split(lower(text), ' '),
+      |      x -> list_contains(['the','a','of','and','to','is','in','it'], x)))
+      |      AS BIGINT) AS ns,
+      |    CAST(LENGTH(text) AS BIGINT) AS lc
+      |  FROM documents),
+      |inv AS (
+      |  SELECT source, CAST(SUM(nt) AS BIGINT) AS avail_all,
+      |    CAST(SUM(CASE WHEN nt >= 20 AND nt <= 80
+      |      AND lc >= nt * 5 AND lc <= nt * 12
+      |      AND ns * 20 >= nt THEN nt ELSE 0 END) AS BIGINT) AS avail_cd
+      |  FROM per GROUP BY source),
+      |tot AS (
+      |  SELECT CAST(SUM(avail_all) AS BIGINT) AS tot_all,
+      |    CAST(SUM(avail_cd) AS BIGINT) AS tot_cd FROM inv),
+      |pl AS (
+      |  SELECT i.source, i.avail_all, i.avail_cd,
+      |    (t.tot_all // 2) * 4 // 5 AS b_all,
+      |    t.tot_all // 2 - (t.tot_all // 2) * 4 // 5 AS b_cd,
+      |    t.tot_all, t.tot_cd
+      |  FROM inv i CROSS JOIN tot t)
+      |SELECT * FROM (
+      |SELECT source, 'base' AS phase, avail_all AS avail_tok,
+      |  CAST(b_all * avail_all // tot_all AS BIGINT) AS alloc_tok,
+      |  CAST(CASE WHEN avail_all > 0
+      |    THEN (b_all * avail_all // tot_all) // avail_all
+      |    ELSE 0 END AS BIGINT) AS full_epochs,
+      |  CAST(CASE WHEN avail_all > 0
+      |    THEN (b_all * avail_all // tot_all) % avail_all
+      |    ELSE 0 END AS BIGINT) AS partial_tok
+      |FROM pl
+      |UNION ALL
+      |SELECT source, 'cooldown', avail_cd,
+      |  CAST(CASE WHEN tot_cd > 0 THEN b_cd * avail_cd // tot_cd
+      |    ELSE 0 END AS BIGINT),
+      |  CAST(CASE WHEN avail_cd > 0 AND tot_cd > 0
+      |    THEN (b_cd * avail_cd // tot_cd) // avail_cd
+      |    ELSE 0 END AS BIGINT),
+      |  CAST(CASE WHEN avail_cd > 0 AND tot_cd > 0
+      |    THEN (b_cd * avail_cd // tot_cd) % avail_cd
+      |    ELSE 0 END AS BIGINT)
+      |FROM pl)
+      |ORDER BY source, phase""".stripMargin
+
   /** p25: quality-rule ATTRITION FUNNEL — the Gopher-style rule cascade
     * (Rae et al. 2021's heuristic battery) reported the way a production
     * pipeline publishes it: one row per rule IN CASCADE ORDER with docs
@@ -2008,6 +2111,7 @@ object Pipeline {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p31_seeded_shuffle" -> (seededShuffle _),
     "p32_checkpoint_resume" -> (checkpointResume _),
+    "p33_cooldown_plan"    -> (cooldownPlan _),
     "p30_quality_sweep" -> (qualitySweep _),
     "p29_ngram_decon" -> (ngramDecon _),
     "p28_rule_ablation" -> (ruleAblation _),
@@ -2042,6 +2146,7 @@ object Pipeline {
   val oracle: Map[String, String] = Map(
     "p31_seeded_shuffle" -> seededShuffleSql,
     "p32_checkpoint_resume" -> checkpointResumeSql,
+    "p33_cooldown_plan"    -> cooldownPlanSql,
     "p30_quality_sweep" -> qualitySweepSql,
     "p29_ngram_decon" -> ngramDeconSql,
     "p28_rule_ablation" -> ruleAblationSql,

@@ -252,7 +252,8 @@ object GraftFunctionCatalog {
       "ensure_clustered" -> EnsureClusteredProcedure,
       "vacuum_layouts" -> VacuumLayoutsProcedure,
       "compact_pot" -> CompactPotProcedure,
-      "vacuum_pot_retain" -> VacuumPotRetainProcedure)
+      "vacuum_pot_retain" -> VacuumPotRetainProcedure,
+      "ensure_stats" -> EnsureStatsProcedure)
 
   /** Open a bucketed store from its directory (count-free: the stamped
     * `_meta/buckets` modulus is authoritative) — the CALL verbs' shared
@@ -346,6 +347,22 @@ object RecoverStatementsProcedure extends GraftMaintenanceProcedure(
   "roll crashed multi-bucket statements forward from staged fragments") {
   override protected def run(arg: String): Seq[String] =
     BucketedPotV2Source.recoverStatements(arg)
+}
+
+/** `CALL graft_fns.sys.ensure_stats('<pot glob>')` — ANALYZE for the
+  * pot format ([[PotV2Source.ensureStats]]): backfill missing zone-map
+  * sidecars on snapshot heads through the commit writer's own stats
+  * builder; one `<pot>:<status>` row per pot
+  * (written|present|delta_head|legacy|empty).
+  */
+object EnsureStatsProcedure extends GraftMaintenanceProcedure(
+  "ensure_stats", "glob", "status",
+  "backfill missing zone-map sidecars for snapshot-headed pots") {
+  override protected def run(arg: String): Seq[String] = {
+    val fs = new org.apache.hadoop.fs.Path(arg)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    PotV2Source.ensureStats(fs, arg)
+  }
 }
 
 /** `CALL graft_fns.sys.clone_pot('<src>', '<dst>')` — SHALLOW CLONE

@@ -353,6 +353,65 @@ object PotV2Source {
     }
   }
 
+  /** u70 (r19) — `ensure_stats`: ANALYZE TABLE for the pot format. A
+    * pre-u57 store (or one whose sidecars were lost) has snapshot heads
+    * with no zone-map sidecar, so every u57/u64/u65/u68 surface
+    * silently degrades to open-everything. This verb backfills: for
+    * each pot under the glob whose head is a snapshot missing its
+    * `.zmap-`, read the head artifact once and write the sidecar
+    * through the SAME builder the commit writer uses
+    * ([[PotChain.zmapJson]] — backfilled stats are bit-identical to
+    * commit-time stats by construction). Returns one `<pot>:<status>`
+    * row per pot: `written` (backfilled), `present` (already had one),
+    * `delta_head` (dgens have touched-range sidecars at commit only —
+    * compact first), `legacy` (no commit chain to hang stats on),
+    * `empty` (zero-entry head — the writer's own no-sidecar case). A
+    * lost `create` race reads back as `present`. COUNT(*) stats-only
+    * (u68) additionally needs the r16 name stamp, which is immutable —
+    * backfill restores pruning and field stats, not row stamps; the
+    * scaladoc states it so nobody expects otherwise.
+    */
+  def ensureStats(fs: org.apache.hadoop.fs.FileSystem, glob: String)
+      : Seq[String] = {
+    val mapper = new ObjectMapper()
+    Option(fs.globStatus(new Path(glob))).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(_.isFile).map(_.getPath).map { pot =>
+        val commits = new Path(pot.getParent, ".commits")
+        val gens = graft.kv.CommitMarker.committedGenerations(fs, commits)
+        if (gens.isEmpty) s"$pot:legacy"
+        else {
+          val head = gens.max
+          val body = PotChain.artifactOf(fs, commits, head)
+          if (body == null) s"$pot:legacy"
+          else if (PotChain.isDgen(body)) s"$pot:delta_head"
+          else PotChain.zmapOf(body) match {
+            case Some(zp) if fs.exists(zp) => s"$pot:present"
+            case Some(zp) =>
+              val in = fs.open(new Path(body))
+              val root = try mapper.readTree(in) finally in.close()
+              if (root == null || !root.isObject) s"$pot:legacy"
+              else if (root.isEmpty) s"$pot:empty"
+              else {
+                val zo = PotChain.zmapJson(mapper,
+                  root.properties().asScala.iterator.map(f =>
+                    f.getKey -> Some(f.getValue)))
+                try {
+                  val zOut = fs.create(zp, false)
+                  try zOut.write(mapper.writeValueAsString(zo)
+                    .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                  finally zOut.close()
+                  s"$pot:written"
+                } catch {
+                  // a concurrent backfill/commit won the create
+                  case scala.util.control.NonFatal(_) => s"$pot:present"
+                }
+              }
+            case None => s"$pot:legacy"
+          }
+        }
+      }
+  }
+
   /** Manual COMPACTION (u50, r17 — the last API-only maintenance verb
     * behind CALL): fold a DELTA-HEADED chain (streaming epochs since
     * the last snapshot) into one full snapshot at head+1 through the
@@ -545,6 +604,62 @@ private[graft] object PotChain {
   def zmapRange(fs: org.apache.hadoop.fs.FileSystem, body: String)
       : Option[(String, String)] =
     zmapStats(fs, body).range
+
+  /** Build the zone-map sidecar JSON (u57 key range + u65/u68 field
+    * stats) from an entry stream — ONE implementation shared by the
+    * commit writer and the u70 `ensure_stats` backfill so the two can
+    * never diverge. `None` for a doc = unparseable: the key still
+    * counts toward the range, field stats go partial (`fcap`).
+    */
+  private[sources] def zmapJson(mapper: ObjectMapper,
+      entries: Iterator[(String,
+        Option[com.fasterxml.jackson.databind.JsonNode])])
+      : com.fasterxml.jackson.databind.node.ObjectNode = {
+    var mn: String = null
+    var mx: String = null
+    val fstats = new java.util.LinkedHashMap[String, ZFieldAcc]()
+    var fcap = false
+    def see(path: String, v: com.fasterxml.jackson.databind.JsonNode)
+        : Unit = {
+      if (v.isNull) return
+      var acc = fstats.get(path)
+      if (acc == null) {
+        if (fstats.size >= ZmapMaxFields) { fcap = true; return }
+        acc = new ZFieldAcc(); fstats.put(path, acc)
+      }
+      acc.see(v)
+    }
+    entries.foreach { case (k, docOpt) =>
+      if (mn == null || PotV2Source.utf8Cmp(k, mn) < 0) mn = k
+      if (mx == null || PotV2Source.utf8Cmp(k, mx) > 0) mx = k
+      docOpt match {
+        case Some(doc) if doc != null && doc.isObject =>
+          doc.properties().asScala.foreach { f =>
+            see(f.getKey, f.getValue)
+            if (f.getValue.isObject)
+              f.getValue.properties().asScala.foreach(g =>
+                see(f.getKey + "." + g.getKey, g.getValue))
+          }
+        case Some(_) => () // non-object doc: no typed fields, stats stay
+        case None => fcap = true // unparseable: stats partial
+      }
+    }
+    val zo = mapper.createObjectNode()
+    zo.put("kmin", mn); zo.put("kmax", mx)
+    zo.put("fcap", fcap)
+    val fo = zo.putObject("fields")
+    fstats.asScala.foreach { case (p, acc) =>
+      val n = fo.putObject(p)
+      n.put("t", acc.tag.toString)
+      n.put("n", acc.n)
+      acc.tag match {
+        case 'i' => n.put("lmin", acc.lmin); n.put("lmax", acc.lmax)
+        case 's' => n.put("smin", acc.smin); n.put("smax", acc.smax)
+        case _ => ()
+      }
+    }
+    zo
+  }
 
   /** u69 (r19): a DELTA generation's TOUCHED-KEY range sidecar —
     * deliberately a different artifact family from the snapshot's
@@ -2953,64 +3068,20 @@ private[graft] class PotV2Write(
       // means no pruning, never wrong results. Empty commits write none.
       val zmap = new Path(dir, s".zmap-$stem.json")
       if (!entries.isEmpty) {
-        var mn: String = null; var mx: String = null
-        // u65 (r19): per-FIELD typed min/max next to the key range — the
-        // shred-predicate analogue of parquet column statistics. Every
-        // dotted path to depth 2 is recorded: integral values as 'i'
-        // (long min/max), textual as 's' (string min/max), anything else
-        // or mixed as 'x' (present, untyped — never prunes). `fcap`
-        // marks the stats PARTIAL past ZmapMaxFields paths; only a
-        // fcap=false sidecar lets absence-of-path prune (absent + not
-        // capped = the field never yields a non-null typed extraction,
-        // so IsNotNull/equality/range predicates cannot match). Cost:
-        // one extra parse pass per entry at SNAPSHOT commit — same
-        // order as the object serialization the commit already does.
-        val fstats =
-          new java.util.LinkedHashMap[String, PotChain.ZFieldAcc]()
-        var fcap = false
-        def see(path: String, v: com.fasterxml.jackson.databind.JsonNode)
-            : Unit = {
-          if (v.isNull) return
-          var acc = fstats.get(path)
-          if (acc == null) {
-            if (fstats.size >= PotChain.ZmapMaxFields) { fcap = true; return }
-            acc = new PotChain.ZFieldAcc(); fstats.put(path, acc)
-          }
-          acc.see(v)
-        }
-        entries.entrySet().asScala.foreach { e =>
-          val k = e.getKey
-          if (mn == null || PotV2Source.utf8Cmp(k, mn) < 0) mn = k
-          if (mx == null || PotV2Source.utf8Cmp(k, mx) > 0) mx = k
-          try {
-            val doc = mapper.readTree(e.getValue)
-            if (doc != null && doc.isObject)
-              doc.properties().asScala.foreach { f =>
-                see(f.getKey, f.getValue)
-                if (f.getValue.isObject)
-                  f.getValue.properties().asScala.foreach(g =>
-                    see(f.getKey + "." + g.getKey, g.getValue))
-              }
-          } catch {
-            // an unparseable doc (never written by this path, but the
-            // stats must not break the commit): mark stats partial
-            case scala.util.control.NonFatal(_) => fcap = true
-          }
-        }
-        val zo = mapper.createObjectNode()
-        zo.put("kmin", mn); zo.put("kmax", mx)
-        zo.put("fcap", fcap)
-        val fo = zo.putObject("fields")
-        fstats.asScala.foreach { case (p, acc) =>
-          val n = fo.putObject(p)
-          n.put("t", acc.tag.toString)
-          n.put("n", acc.n)
-          acc.tag match {
-            case 'i' => n.put("lmin", acc.lmin); n.put("lmax", acc.lmax)
-            case 's' => n.put("smin", acc.smin); n.put("smax", acc.smax)
-            case _ => ()
-          }
-        }
+        // u65 (r19): per-FIELD typed min/max + non-null counts next to
+        // the key range — the shred-predicate analogue of parquet column
+        // statistics (depth ≤ 2; 'i'/'s'/mixed-'x' tags; `fcap` marks
+        // partial stats past ZmapMaxFields so only complete sidecars let
+        // absence-of-path prune). One parse pass per entry at SNAPSHOT
+        // commit; the builder is shared with u70's ensure_stats backfill
+        // ([[PotChain.zmapJson]]) so write-side and backfill stats can
+        // never diverge.
+        val zo = PotChain.zmapJson(mapper,
+          entries.entrySet().asScala.iterator.map { e =>
+            e.getKey -> (try Some(mapper.readTree(e.getValue)) catch {
+              case scala.util.control.NonFatal(_) => None
+            })
+          })
         val zOut = fs.create(zmap, false)
         try zOut.write(mapper.writeValueAsString(zo).getBytes(UTF_8))
         finally zOut.close()

@@ -167,9 +167,10 @@ object ScaleSmoke {
     "s38_nsw_search", "s39_nsw_incremental",
     // r18 widening (u59 omitted: store-lifecycle; st28: stream floor)
     "t30_novelty_decay", "m19_downsample_audit", "p32_checkpoint_resume",
-    // r19: NSW lifecycle + escalation (chain builds warmed like s38/s39;
-    // u62-u67 omitted: store-lifecycle / planning-time verbs)
-    "s40_nsw_delete_fold", "s41_nsw_escalation")
+    // r19: NSW lifecycle + escalation + filtered serving (chain builds
+    // warmed like s38/s39; u62-u69 omitted: store-lifecycle /
+    // planning-time verbs)
+    "s40_nsw_delete_fold", "s41_nsw_escalation", "s42_nsw_filtered")
 
   private def time(body: => Unit): Double = {
     val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
@@ -231,7 +232,8 @@ object ScaleSmoke {
         println(f"replica nsw del/fold chain build_sec: $b%.1f " +
           "(excluded from the walk ratio)")
       }
-      if (entries.exists(n => n.startsWith("s38") || n.startsWith("s41"))) {
+      if (entries.exists(n => n.startsWith("s38") || n.startsWith("s41") ||
+          n.startsWith("s42"))) {
         // the NSW graph is the same INGEST-cost artifact (content-
         // addressed CommitMarker publish) — warm it like lsh/ivf so the
         // timed entry is the walk, not the build
