@@ -2829,7 +2829,105 @@ object Similarity {
        |ORDER BY f.probe_id, rk""".stripMargin
   }
 
+  /** s43: NSW GRAPH INTEGRITY AUDIT (r19) — s27's index-integrity
+    * discipline for the navigable graph: the serving quality of every
+    * walk (s38/s39/s41/s42) is bounded by graph health, and production
+    * vector stores monitor exactly these numbers. One row: node/edge
+    * counts, how many nodes carry the full degree-8 fan-out vs a
+    * truncated one (bucket-boundary effect — a node whose LSH bucket
+    * holds fewer than 9 members cannot have 8 neighbors), ISOLATED
+    * nodes (no out-edges: singleton buckets — unreachable AND
+    * unleavable, the nodes only brute-force or a reverse-edge append
+    * (s39) can serve), and the 1-hop / 2-hop REACHABLE set from the
+    * fixed [[NswEntries]] entry points — precisely the candidate pool a
+    * 2-hop beam walk can ever see, the structural ceiling on s38's
+    * recall. All exact counts over the published adjacency (metadata
+    * next to the corpus scan); oracle rebuilds the same graph
+    * relationally and recounts. 100 TB: two keyed self-joins on the
+    * degree-8 edge list — O(E) with E = 8·N, no corpus-sized shuffle.
+    */
+  def nswIntegrity(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val adjPath = publishedNswGraph(s, d)
+    val adj = s.read.parquet(adjPath).select($"node", $"nbr")
+      .localCheckpoint(true)
+    val corpus = Tables.embeddings(s, d)
+      .filter($"vec_id" % 101 =!= 7)
+      .select($"vec_id".as("node"))
+    val deg = adj.groupBy($"node").agg(count(lit(1)).as("dg"))
+    val entries = corpus.orderBy($"node".asc).limit(NswEntries)
+      .select($"node")
+    val r1 = entries.unionByName(
+        adj.join(broadcast(entries.withColumnRenamed("node", "en")),
+          $"node" === $"en").select($"nbr".as("node")))
+      .distinct().localCheckpoint(true)
+    val r2 = r1.unionByName(
+        adj.join(r1.withColumnRenamed("node", "cn"), $"node" === $"cn")
+          .select($"nbr".as("node")))
+      .distinct()
+    corpus.join(deg, Seq("node"), "left")
+      .agg(count(lit(1)).as("n_nodes"),
+        coalesce(sum($"dg"), lit(0L)).as("n_edges"),
+        sum(when($"dg" === NswGraphK.toLong, 1L).otherwise(0L))
+          .as("n_deg_full"),
+        sum(when($"dg".isNull, 1L).otherwise(0L)).as("n_isolated"))
+      .crossJoin(r1.agg(count(lit(1)).as("n_reach1")))
+      .crossJoin(r2.agg(count(lit(1)).as("n_reach2")))
+      .select($"n_nodes", $"n_edges", $"n_deg_full", $"n_isolated",
+        $"n_reach1", $"n_reach2",
+        ($"n_nodes" - $"n_reach2").as("n_unreachable"))
+  }
+
+  lazy val nswIntegritySql: String = {
+    val codeSql =
+      """list_transform(embedding, x ->
+        |  CAST(floor(CAST(x AS DOUBLE) *
+        |    (127.0 / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+        |       list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))),
+        |       (m, v) -> greatest(m, v)))) AS INTEGER))""".stripMargin
+    s"""WITH codes AS MATERIALIZED (
+       |  SELECT vec_id, $codeSql AS code, ${sigSql("embedding")} AS sig
+       |  FROM embeddings),
+       |corpus AS MATERIALIZED (
+       |  SELECT vec_id AS node, code AS nc, sig FROM codes
+       |  WHERE vec_id % 101 <> 7),
+       |adj AS MATERIALIZED (
+       |  SELECT node, nbr FROM (
+       |    SELECT node, nbr,
+       |      ROW_NUMBER() OVER (PARTITION BY node
+       |        ORDER BY idot DESC, nbr ASC) AS rk
+       |    FROM (SELECT a.node AS node, b.node AS nbr,
+       |            ${icodeDotSql("a.nc", "b.nc")} AS idot
+       |          FROM corpus a JOIN corpus b
+       |            ON a.sig = b.sig AND a.node <> b.node))
+       |  WHERE rk <= 8),
+       |deg AS MATERIALIZED (
+       |  SELECT node, CAST(COUNT(*) AS BIGINT) AS dg
+       |  FROM adj GROUP BY node),
+       |entries AS (SELECT node FROM corpus ORDER BY node LIMIT 4),
+       |r1 AS MATERIALIZED (SELECT DISTINCT node FROM (
+       |  SELECT node FROM entries
+       |  UNION ALL
+       |  SELECT adj.nbr AS node FROM adj JOIN entries USING (node))),
+       |r2 AS MATERIALIZED (SELECT DISTINCT node FROM (
+       |  SELECT node FROM r1
+       |  UNION ALL
+       |  SELECT adj.nbr AS node FROM adj JOIN r1 USING (node)))
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |  CAST(COALESCE(SUM(dg), 0) AS BIGINT) AS n_edges,
+       |  CAST(SUM(CASE WHEN dg = 8 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_deg_full,
+       |  CAST(SUM(CASE WHEN dg IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_isolated,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM r1) AS n_reach1,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM r2) AS n_reach2,
+       |  CAST(COUNT(*) - (SELECT COUNT(*) FROM r2) AS BIGINT)
+       |    AS n_unreachable
+       |FROM corpus c LEFT JOIN deg USING (node)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s43_nsw_integrity" -> (nswIntegrity _),
     "s42_nsw_filtered" -> (nswFilteredSearch _),
     "s41_nsw_escalation" -> (nswEscalation _),
     "s40_nsw_delete_fold" -> (nswDeleteFold _),
@@ -2866,6 +2964,7 @@ object Similarity {
 
   val oracle: Map[String, String] = Map(
     "s40_nsw_delete_fold" -> nswDeleteFoldSql,
+    "s43_nsw_integrity" -> nswIntegritySql,
     "s42_nsw_filtered" -> nswFilteredSearchSql,
     "s41_nsw_escalation" -> nswEscalationSql,
     "s38_nsw_search" -> nswSearchSql,
