@@ -1550,6 +1550,70 @@ object Extensibility {
       |FROM k WHERE key LIKE 'b1%'
       |ORDER BY leg""".stripMargin
 
+  /** u72: RUNTIME KEY FILTERING through zone maps (r19) — the
+    * point-lookup-JOIN analogue of DPP: the scan now advertises `key`
+    * (next to r15's `pot_file`) as a runtime-filter attribute, so when
+    * a join's other side resolves at runtime to a small set of key
+    * values, Spark hands the scan an `In(key, …)` AFTER planning and
+    * partitions re-plan through the u57/u69 zone-map machinery
+    * (exactKeys consumes pushed ++ runtime — static and runtime
+    * pruning are ONE code path and cannot diverge). Pruning-only by
+    * contract: surviving objects' rows are filtered by the join
+    * itself, so missing sidecars admit and stay correct. The query
+    * joins a 2-key broadcast dim against 5 range-clustered pots and
+    * pins the partition counts via the direct scan contract (4 static,
+    * 2 under the runtime In — the two covering objects) next to the
+    * joined rows. At 100 TB this is an enrichment join against a 10k-
+    * object store opening 2 objects instead of 10k. Oracle replays
+    * relationally; counts are layout constants.
+    */
+  def runtimeKeyPrune(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-u72").toString
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    val nat = Tables.nation(s, d)
+    (0 to 4).foreach { g =>
+      nat.filter(floor($"n_nationkey" / 5) === g)
+        .select(lit("").as("pot_file"),
+          concat(lit("k"), lpad($"n_nationkey".cast("string"), 2, "0"))
+            .as("key"),
+          to_json(struct($"n_name".as("name"))).as("doc_json"))
+        .write.format(fmt).option("path", s"$dir/range_$g/data.json")
+        .mode("overwrite").save()
+    }
+    // direct scan contract: the same re-plan a DPP subquery delivers
+    val scan = new graft.sources.PotV2ScanBuilder(s"$dir/*/data.json")
+      .build().asInstanceOf[
+        org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+    val batch = scan
+      .asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+    val partsStatic = batch.planInputPartitions().length.toLong
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("key", Array("k03", "k17"))))
+    val partsRuntime = batch.planInputPartitions().length.toLong
+    val df = s.read.format(fmt).option("path", s"$dir/*/data.json").load()
+    val dim = Seq(("k03", 1L), ("k17", 2L)).toDF("dk", "tag")
+    val out = df.join(broadcast(dim), df("key") === dim("dk"))
+      .select($"key", get_json_object($"doc_json", "$.name").as("name"),
+        $"tag")
+      .crossJoin(Seq((partsStatic, partsRuntime))
+        .toDF("parts_static", "parts_runtime"))
+      .orderBy($"key")
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    out
+  }
+
+  val runtimeKeyPruneSql: String =
+    """SELECT 'k' || lpad(CAST(n_nationkey AS VARCHAR), 2, '0') AS key,
+      |  n_name AS name,
+      |  CAST(CASE WHEN n_nationkey = 3 THEN 1 ELSE 2 END AS BIGINT) AS tag,
+      |  CAST(5 AS BIGINT) AS parts_static,
+      |  CAST(2 AS BIGINT) AS parts_runtime
+      |FROM nation
+      |WHERE n_nationkey IN (3, 17)
+      |ORDER BY key""".stripMargin
+
   /** u70: ENSURE_STATS — ANALYZE for the pot format (r19). u57-u68 hang
     * planning statistics off zone-map sidecars written AT COMMIT; a
     * pre-u57 store, or one whose sidecars were lost, silently degrades
@@ -4438,6 +4502,7 @@ object Extensibility {
     "u69_delta_chain_zmap" -> (deltaChainZmapPrune _),
     "u70_ensure_stats" -> (ensureStatsCall _),
     "u71_field_stats_tvf" -> (fieldStatsInventory _),
+    "u72_runtime_key_prune" -> (runtimeKeyPrune _),
     "u30_sql_function_catalog" -> (sqlFunctionCatalog _),
     "u29_sql_zorder_read" -> (sqlZorderRead _),
     "u28_sql_topn_pushdown" -> (sqlTopNPushdown _),
@@ -4511,6 +4576,7 @@ object Extensibility {
     "u69_delta_chain_zmap" -> deltaChainZmapPruneSql,
     "u70_ensure_stats" -> ensureStatsCallSql,
     "u71_field_stats_tvf" -> fieldStatsInventorySql,
+    "u72_runtime_key_prune" -> runtimeKeyPruneSql,
     "u30_sql_function_catalog" -> sqlFunctionCatalogSql,
     "u29_sql_zorder_read" -> sqlZorderReadSql,
     "u28_sql_topn_pushdown" -> sqlTopNPushdownSql,

@@ -1863,20 +1863,28 @@ private[graft] class PotV2Scan(
     Array.empty
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    // advertise pot_file ONLY when the pruned read schema still carries
-    // it: Spark's runtime-pruning rules resolve these refs against the
-    // scan OUTPUT, and an unprojected column is an AnalysisException at
-    // planning (surfaced by r15's stats report making pot dims broadcast
-    // candidates, which runs the DPP rule over this scan)
-    if (readSchema().fieldNames.contains("pot_file"))
-      Array(org.apache.spark.sql.connector.expressions.Expressions
-        .column("pot_file"))
-    else Array.empty
+    // advertise each column ONLY when the pruned read schema still
+    // carries it: Spark's runtime-pruning rules resolve these refs
+    // against the scan OUTPUT, and an unprojected column is an
+    // AnalysisException at planning (surfaced by r15's stats report
+    // making pot dims broadcast candidates, which runs the DPP rule
+    // over this scan). u72 (r19) adds KEY: a join whose other side
+    // resolves to a small set of key values prunes OBJECTS through the
+    // zone-map sidecars at runtime (exactKeys consumes pushed ++
+    // runtime) — the point-lookup-join analogue of DPP. Pruning-only:
+    // surviving objects' rows are filtered by the join itself, so a
+    // sidecar-less pot admits and stays correct.
+    Seq("pot_file", "key")
+      .filter(readSchema().fieldNames.contains(_))
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+      .toArray
   override def filter(
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     runtime = filters.filter {
-      case org.apache.spark.sql.sources.In("pot_file", _) => true
-      case org.apache.spark.sql.sources.EqualTo("pot_file", _) => true
+      case org.apache.spark.sql.sources.In(a, _) =>
+        a == "pot_file" || a == "key"
+      case org.apache.spark.sql.sources.EqualTo(a, _) =>
+        a == "pot_file" || a == "key"
       case _ => false
     }
     cachedParts = null // runtime pruning re-plans from the new filters

@@ -738,7 +738,8 @@ class PotJsonSpec extends AnyFunSuite {
       .build().asInstanceOf[org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
     val batch = scan.asInstanceOf[org.apache.spark.sql.connector.read.Batch]
     assert(batch.planInputPartitions().length === 4)
-    assert(scan.filterAttributes().map(_.describe()).toSeq === Seq("pot_file"))
+    assert(scan.filterAttributes().map(_.describe()).toSeq
+      === Seq("pot_file", "key"))
     scan.filter(Array[org.apache.spark.sql.sources.Filter](
       org.apache.spark.sql.sources.In("pot_file",
         Array(s"file:$dir/p2/data.json", s"file:$dir/p4/data.json"))))
@@ -751,6 +752,48 @@ class PotJsonSpec extends AnyFunSuite {
     val j = df.join(org.apache.spark.sql.functions.broadcast(dim),
       df("pot_file") === dim("pf"))
     assert(j.select($"key").as[String].collect().toSeq === Seq("k2"))
+  }
+
+  test("PotV2Source runtime KEY filtering (u72, r19): a runtime In(key) " +
+    "prunes objects through zone maps; sidecar-less pots admit") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("potv2dppk").toString
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    // range-clustered COMMITTED pots (sidecars stamp on the write path)
+    (0 to 3).foreach { g =>
+      (g * 5 until g * 5 + 5).map(i => ("", f"k$i%02d", s"""{"v": $i}"""))
+        .toDF("pot_file", "key", "doc_json")
+        .write.format(fmt).option("path", s"$dir/range_$g/data.json")
+        .mode("overwrite").save()
+    }
+    val scan = new graft.sources.PotV2ScanBuilder(s"$dir/*/data.json")
+      .build().asInstanceOf[
+        org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+    val batch = scan.asInstanceOf[org.apache.spark.sql.connector.read.Batch]
+    assert(batch.planInputPartitions().length === 4)
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("key", Array("k03", "k17"))))
+    assert(batch.planInputPartitions().length === 2,
+      "runtime In(key) must zone-map-prune to the two covering objects")
+    // a sidecar-less pot admits under the same runtime filter
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/range_1"))
+      .map(_.getPath).filter(_.getName.startsWith(".zmap-"))
+      .foreach(z => fs.delete(z, false))
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("key", Array("k03", "k17"))))
+    assert(batch.planInputPartitions().length === 3,
+      "a sidecar-less pot must keep its partition under runtime pruning")
+    // end to end: the broadcast key-dim join stays correct
+    val df = spark.read.format(fmt).option("path", s"$dir/*/data.json")
+      .load()
+    val dim = Seq(("k03", 1), ("k17", 2)).toDF("dk", "tag")
+    val j = df.join(org.apache.spark.sql.functions.broadcast(dim),
+      df("key") === dim("dk"))
+    assert(j.select($"key").as[String].collect().sorted.toSeq
+      === Seq("k03", "k17"))
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
   }
 
   test("PotV2Source pushed counts: no phantom zero groups, pruned-empty global count is 0") {
