@@ -359,9 +359,18 @@ object EnsureStatsProcedure extends GraftMaintenanceProcedure(
   "ensure_stats", "glob", "status",
   "backfill missing zone-map sidecars for snapshot-headed pots") {
   override protected def run(arg: String): Seq[String] = {
-    val fs = new org.apache.hadoop.fs.Path(arg)
-      .getFileSystem(new org.apache.hadoop.conf.Configuration())
-    PotV2Source.ensureStats(fs, arg)
+    val p = new org.apache.hadoop.fs.Path(arg)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    // a bucketed-store ROOT analyzes every bucket (the u58/u50 front
+    // door); a pot path or glob is taken verbatim
+    val bucketed = !PotV2Source.isGlob(arg) &&
+      graft.kv.BucketMeta.stored(fs, p).isDefined
+    if (bucketed) {
+      val n = graft.kv.BucketMeta.stored(fs, p).get
+      BucketedPotV2Source.existingBuckets(arg, n)
+        .map(BucketedPotV2Source.bucketPot(arg, _))
+        .flatMap(pot => PotV2Source.ensureStats(fs, pot))
+    } else PotV2Source.ensureStats(fs, arg)
   }
 }
 

@@ -634,4 +634,39 @@ class BucketedPotSpec extends AnyFunSuite {
     assert(state.size === 30 && state("k1") === 10L && state("k30") === 30L)
     new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
   }
+
+  test("ensure_stats on a bucketed-store ROOT analyzes every bucket " +
+    "(u70, r19): deleted sidecar backfilled, the rest report present") {
+    val store = s"${tmpRoot()}/es"
+    (1 to 40).map(i => ("", s"k$i", s"""{"v": $i}"""))
+      .toDF("pot_file", "key", "doc_json")
+      .write.format(classOf[graft.sources.BucketedPotV2Source].getName)
+      .option("path", store).option("buckets", "4").mode("append").save()
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val buckets = graft.sources.BucketedPotV2Source
+      .existingBuckets(store, 4)
+    assert(buckets.nonEmpty)
+    val b0dir = new org.apache.hadoop.fs.Path(
+      graft.sources.BucketedPotV2Source.bucketPot(store, buckets.head))
+      .getParent
+    val z = fs.listStatus(b0dir).map(_.getPath)
+      .filter(_.getName.startsWith(".zmap-"))
+    assert(z.length === 1, "bucket commit should have stamped a sidecar")
+    fs.delete(z.head, false)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.catalog.graft_fns",
+      classOf[graft.sources.GraftFunctionCatalog].getName)
+    val statuses = ss.sql(s"CALL graft_fns.sys.ensure_stats('$store')")
+      .collect().map(_.getString(0)).toSeq
+    assert(statuses.length === buckets.length,
+      s"expected one status per bucket, got $statuses")
+    assert(statuses.count(_.endsWith(":written")) === 1,
+      s"exactly the stripped bucket should backfill: $statuses")
+    assert(statuses.count(_.endsWith(":present")) === buckets.length - 1)
+    // the backfilled sidecar is live: a second CALL is all-present
+    val again = ss.sql(s"CALL graft_fns.sys.ensure_stats('$store')")
+      .collect().map(_.getString(0)).toSeq
+    assert(again.forall(_.endsWith(":present")), s"second pass: $again")
+  }
 }
