@@ -1712,6 +1712,114 @@ object Extensibility {
       |  ('range_2', 'delta_head')) AS t(pot, status)
       |ORDER BY pot""".stripMargin
 
+  /** u73: CHECK_POT — fsck for the pot format (r19). A store ages
+    * through vacuums, clones, crashes, and foreign writers; `CALL
+    * graft_fns.sys.check_pot('<glob | store root>')` is the one
+    * metadata-level pass that names what is wrong where before a reader
+    * trips over it (DuckDB's PRAGMA integrity_check / Delta FSCK role):
+    * per pot, markers and names ONLY — no object opened — classifying
+    * ok | legacy | bad_marker | no_covering_snapshot | missing_artifact
+    * | no_stats | torn_stats. It is the WORK-LIST producer the other
+    * maintenance verbs consume, and the query runs that loop live:
+    * check over a six-shape fixture (healthy snapshot, stripped
+    * sidecar, healthy delta chain, vacuum-violated chain, legacy pot,
+    * torn sidecar) → `ensure_stats` → re-check, pinning that EXACTLY
+    * the `no_stats` pot heals (fsck and ANALYZE stay separate verbs:
+    * a torn sidecar or missing artifact is a finding, not something
+    * stats backfill may silently paper over). Oracle = the status
+    * matrix by construction.
+    */
+  def checkPotCall(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.catalog.graft_fns",
+      classOf[graft.sources.GraftFunctionCatalog].getName)
+    val dir = java.nio.file.Files.createTempDirectory("graft-u73").toString
+    val fmt = classOf[graft.sources.PotV2Source].getName
+    val nat = Tables.nation(s, d)
+      .select($"n_nationkey", $"n_name").collect().toSeq
+    def keyOf(nk: Int) = f"k$nk%02d"
+    def doc(name: String) = s"""{"name": "$name"}"""
+    def snap(g: Int, nks: Range): String = {
+      val pot = s"$dir/range_$g/data.json"
+      nat.filter(r => nks.contains(r.getInt(0)))
+        .map(r => ("", keyOf(r.getInt(0)), doc(r.getString(1))))
+        .toDF("pot_file", "key", "doc_json")
+        .write.format(fmt).option("path", pot).mode("overwrite").save()
+      pot
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    def sidecarsOf(g: Int) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/range_$g"))
+        .map(_.getPath).filter(_.getName.startsWith(".zmap-"))
+    snap(0, 0 to 3)                       // healthy
+    snap(1, 4 to 7)                       // sidecar stripped below
+    sidecarsOf(1).foreach(z => fs.delete(z, false))
+    val p2 = snap(2, 8 to 10)             // + delta epoch: healthy chain
+    val staging = new org.apache.hadoop.fs.Path(s"$dir/range_2/.st")
+    fs.mkdirs(staging)
+    val frag = new org.apache.hadoop.fs.Path(staging, "f.jsonl")
+    val o0 = fs.create(frag, false)
+    try o0.write(nat.filter(r => (11 to 12).contains(r.getInt(0)))
+      .map(r => s"""{"k": "${keyOf(r.getInt(0))}", """ +
+        s""""d": ${doc(r.getString(1))}}""")
+      .mkString("", "\n", "\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally o0.close()
+    new graft.sources.PotV2Write(p2, graft.sources.PotV2Source.Schema,
+      "u73e", truncateFirst = false)
+      .commitDeltaEpoch(
+        Array(graft.sources.PotFragmentMessage(0, frag.toString)),
+        "u73e", staging)
+    snap(3, 13 to 15)                     // head ARTIFACT deleted below
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/range_3"))
+      .map(_.getPath).filter(_.getName.startsWith(".snap-"))
+      .foreach(a => fs.delete(a, false))
+    // legacy: raw object, no commit chain
+    val leg = new org.apache.hadoop.fs.Path(s"$dir/range_4/data.json")
+    fs.mkdirs(leg.getParent)
+    val o1 = fs.create(leg, false)
+    try o1.write("""{"x": {"name": "L"}}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally o1.close()
+    snap(5, 16 to 18)                     // sidecar TORN below
+    sidecarsOf(5).foreach { z =>
+      val o2 = fs.create(z, true)
+      try o2.write("{\"kmi".getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally o2.close()
+    }
+    def check(): Map[String, String] =
+      s.sql(s"CALL graft_fns.sys.check_pot('$dir/*/data.json')")
+        .as[String].collect().toSeq.map { st =>
+          val i = st.lastIndexOf(':')
+          (st.substring(0, i)
+            .replaceAll("^.*/(range_\\d)/data\\.json$", "$1"),
+            st.substring(i + 1))
+        }.toMap
+    val before = check()
+    s.sql(s"CALL graft_fns.sys.ensure_stats('$dir/*/data.json')").collect()
+    val after = check()
+    val out = before.toSeq.sortBy(_._1)
+      .map { case (pot, st) => (pot, st, after(pot)) }
+      .toDF("pot", "status_before", "status_after")
+      .orderBy($"pot")
+      .localCheckpoint(true)
+    new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+    out
+  }
+
+  val checkPotCallSql: String =
+    """SELECT pot, status_before, status_after FROM (VALUES
+      |  ('range_0', 'ok', 'ok'),
+      |  ('range_1', 'no_stats', 'ok'),
+      |  ('range_2', 'ok', 'ok'),
+      |  ('range_3', 'missing_artifact', 'missing_artifact'),
+      |  ('range_4', 'legacy', 'legacy'),
+      |  ('range_5', 'torn_stats', 'torn_stats'))
+      |  AS t(pot, status_before, status_after)
+      |ORDER BY pot""".stripMargin
+
   /** u51: STORAGE-PARTITIONED JOIN over the pot layout (r17) — Iceberg's
     * SPJ brought to the connector: the scan reports
     * `KeyGroupedPartitioning(identity(pot_file))` (one pot object per
@@ -4503,6 +4611,7 @@ object Extensibility {
     "u70_ensure_stats" -> (ensureStatsCall _),
     "u71_field_stats_tvf" -> (fieldStatsInventory _),
     "u72_runtime_key_prune" -> (runtimeKeyPrune _),
+    "u73_check_pot" -> (checkPotCall _),
     "u30_sql_function_catalog" -> (sqlFunctionCatalog _),
     "u29_sql_zorder_read" -> (sqlZorderRead _),
     "u28_sql_topn_pushdown" -> (sqlTopNPushdown _),
@@ -4577,6 +4686,7 @@ object Extensibility {
     "u70_ensure_stats" -> ensureStatsCallSql,
     "u71_field_stats_tvf" -> fieldStatsInventorySql,
     "u72_runtime_key_prune" -> runtimeKeyPruneSql,
+    "u73_check_pot" -> checkPotCallSql,
     "u30_sql_function_catalog" -> sqlFunctionCatalogSql,
     "u29_sql_zorder_read" -> sqlZorderReadSql,
     "u28_sql_topn_pushdown" -> sqlTopNPushdownSql,

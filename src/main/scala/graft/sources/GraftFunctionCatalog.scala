@@ -253,7 +253,8 @@ object GraftFunctionCatalog {
       "vacuum_layouts" -> VacuumLayoutsProcedure,
       "compact_pot" -> CompactPotProcedure,
       "vacuum_pot_retain" -> VacuumPotRetainProcedure,
-      "ensure_stats" -> EnsureStatsProcedure)
+      "ensure_stats" -> EnsureStatsProcedure,
+      "check_pot" -> CheckPotProcedure)
 
   /** Open a bucketed store from its directory (count-free: the stamped
     * `_meta/buckets` modulus is authoritative) — the CALL verbs' shared
@@ -371,6 +372,31 @@ object EnsureStatsProcedure extends GraftMaintenanceProcedure(
         .map(BucketedPotV2Source.bucketPot(arg, _))
         .flatMap(pot => PotV2Source.ensureStats(fs, pot))
     } else PotV2Source.ensureStats(fs, arg)
+  }
+}
+
+/** `CALL graft_fns.sys.check_pot('<glob | store root>')` — fsck for the
+  * pot format ([[PotV2Source.checkPots]]): one `<pot>:<status>` row per
+  * pot (ok|legacy|bad_marker|no_covering_snapshot|missing_artifact|
+  * no_stats|torn_stats), markers and names only — no object opened.
+  * The work-list producer for ensure_stats / compact_pot / retention
+  * review. A bucketed-store root checks every bucket.
+  */
+object CheckPotProcedure extends GraftMaintenanceProcedure(
+  "check_pot", "glob", "status",
+  "metadata-level integrity check: one status row per pot, no object " +
+    "opened") {
+  override protected def run(arg: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(arg)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val bucketed = !PotV2Source.isGlob(arg) &&
+      graft.kv.BucketMeta.stored(fs, p).isDefined
+    if (bucketed) {
+      val n = graft.kv.BucketMeta.stored(fs, p).get
+      BucketedPotV2Source.existingBuckets(arg, n)
+        .map(BucketedPotV2Source.bucketPot(arg, _))
+        .flatMap(pot => PotV2Source.checkPots(fs, pot))
+    } else PotV2Source.checkPots(fs, arg)
   }
 }
 

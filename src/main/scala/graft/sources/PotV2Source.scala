@@ -412,6 +412,70 @@ object PotV2Source {
       }
   }
 
+  /** u73 (r19) — `check_pot`: fsck for the pot format. A store ages
+    * through vacuums, clones, crashes, and foreign writers; before
+    * trusting planning statistics or scheduling maintenance, an
+    * operator wants one metadata-level pass that names what is wrong
+    * where (DuckDB's PRAGMA integrity_check / Delta's FSCK role). Per
+    * pot under the glob, walking MARKERS AND NAMES ONLY (no object is
+    * ever opened — the CALL bound):
+    *   - `legacy`: no commit chain (nothing to check against);
+    *   - `bad_marker`: the head marker's body is unreadable/absent;
+    *   - `no_covering_snapshot`: a delta-headed chain with no snapshot
+    *     below it (the invalid shape readers refuse);
+    *   - `missing_artifact`: a chain artifact the HEAD RUN needs
+    *     (covering snapshot or a dgen above it) does not exist — the
+    *     RetentionViolated shape, surfaced before a reader trips it;
+    *   - `no_stats`: snapshot head lacks its zone-map sidecar (the
+    *     ensure_stats work list);
+    *   - `torn_stats`: a sidecar exists but does not parse (planning
+    *     treats it as absent — pruning silently off);
+    *   - `ok` otherwise.
+    * One `<pot>:<status>` row per pot; the worst issue wins (order
+    * above). This is the WORK-LIST producer the other verbs consume:
+    * `no_stats` → ensure_stats, `missing_artifact` → restore/retention
+    * review, `no_covering_snapshot` → compact_pot.
+    */
+  def checkPots(fs: org.apache.hadoop.fs.FileSystem, glob: String)
+      : Seq[String] = {
+    Option(fs.globStatus(new Path(glob))).map(_.toSeq).getOrElse(Seq.empty)
+      .filter(_.isFile).map(_.getPath).map { pot =>
+        val commits = new Path(pot.getParent, ".commits")
+        val gens = graft.kv.CommitMarker.committedGenerations(fs, commits)
+        val status: String =
+          if (gens.isEmpty) "legacy"
+          else {
+            val head = gens.max
+            val body =
+              try PotChain.artifactOf(fs, commits, head)
+              catch { case scala.util.control.NonFatal(_) => null }
+            if (body == null) "bad_marker"
+            else {
+              val (snap, dgens) =
+                if (PotChain.isSnap(body)) (Some(body), Seq.empty[String])
+                else PotChain.chainRun(fs, commits, head)
+              if (snap.isEmpty) "no_covering_snapshot"
+              else {
+                val needed = snap.toSeq ++ dgens
+                val missing = needed.filterNot(b => fs.exists(new Path(b)))
+                if (missing.nonEmpty) "missing_artifact"
+                else if (PotChain.isDgen(body)) "ok" // delta head, complete
+                // a zero-entry snapshot legitimately has no sidecar
+                else if (PotChain.snapRows(body).contains(0L)) "ok"
+                else PotChain.zmapOf(body) match {
+                  case Some(zp) if !fs.exists(zp) => "no_stats"
+                  case Some(_)
+                      if PotChain.zmapStats(fs, body)
+                        .range.isEmpty => "torn_stats"
+                  case _ => "ok"
+                }
+              }
+            }
+          }
+        s"$pot:$status"
+      }
+  }
+
   /** Manual COMPACTION (u50, r17 — the last API-only maintenance verb
     * behind CALL): fold a DELTA-HEADED chain (streaming epochs since
     * the last snapshot) into one full snapshot at head+1 through the
