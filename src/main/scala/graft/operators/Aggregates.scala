@@ -516,7 +516,12 @@ object Aggregates {
     * shared by q58 and the q61 graph build. */
   private[graft] def basketPairs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val b = cappedBaskets(s, d)
+    // r19 opt: pin the basket self-join's parallelism — AQE's byte-based
+    // coalescing shrank the orderkey exchange to a couple of tasks, and
+    // the pair explosion + partial aggregation (the expensive part of
+    // this plan) ran there serially (q58 measured 1.26x slower with
+    // coalescing on). Both join sides reuse ONE pinned exchange.
+    val b = graft.Tables.spread(cappedBaskets(s, d), $"l_orderkey")
     b.select($"l_orderkey", $"l_partkey".as("pa"))
       .join(b.select($"l_orderkey", $"l_partkey".as("pb")), Seq("l_orderkey"))
       .filter($"pa" < $"pb")

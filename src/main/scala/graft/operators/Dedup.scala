@@ -194,10 +194,17 @@ object Dedup {
     // ReuseExchange — without it each branch re-runs scan+shingle+hash.
     // After it, count, semi-join, and collect_set are all h-co-partitioned:
     // one shuffle of docSh total, shingling computed exactly once.
-    val docSh = Tables.documents(s, d)
-      .select($"doc_id", explode(
-        graft.functions.ShingleHashes.shingleHashes(lower($"text"), 3)).as("h"))
-      .repartition($"h")
+    // r19 opt: the pin is now REPARTITION_BY_NUM (Tables.spread) — a bare
+    // repartition($"h") is REPARTITION_BY_COL, which AQE's byte-based
+    // coalescing still shrinks, serializing the pair explosion +
+    // aggregations downstream of this exchange (d14 measured 1.4x slower
+    // with coalescing on).
+    val docSh = Tables.spread(
+      Tables.documents(s, d)
+        .select($"doc_id", explode(
+          graft.functions.ShingleHashes.shingleHashes(lower($"text"), 3))
+          .as("h")),
+      $"h")
     // Df-cap FIRST via a count aggregate — partial aggregation keeps each
     // task's state at (hash, long), so a boilerplate shingle with df = 10^8
     // costs a counter, never a materialized doc list. Only shingles under
@@ -1024,16 +1031,24 @@ object Dedup {
   def editVerify(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val docs = Tables.documents(s, d)
-    minhashLsh(s, d)
-      .join(docs.select($"doc_id".as("doc_a"), $"text".as("ta")), Seq("doc_a"))
-      .join(docs.select($"doc_id".as("doc_b"), $"text".as("tb")), Seq("doc_b"))
+    // r19 opt: spread the candidate pairs BEFORE the levenshtein DP and
+    // hash-exchange the verified rows before the range sort — same two
+    // pathologies as d15 (AQE byte-coalescing serializes the DP; range
+    // sampling re-runs it). 2.1 s -> ~1.2 s at sf0.1. See Tables.spread.
+    val verified = Tables.spread(
+        minhashLsh(s, d)
+          .join(docs.select($"doc_id".as("doc_a"), $"text".as("ta")),
+            Seq("doc_a"))
+          .join(docs.select($"doc_id".as("doc_b"), $"text".as("tb")),
+            Seq("doc_b")),
+        $"doc_a", $"doc_b")
       .select($"doc_a", $"doc_b",
         levenshtein($"ta", $"tb").cast("long").as("lev"),
         length($"ta").cast("long").as("len_a"),
         length($"tb").cast("long").as("len_b"))
       .withColumn("verified",
         $"lev" * 100L <= lit(EditPctMax) * greatest($"len_a", $"len_b"))
-      .orderBy($"doc_a", $"doc_b")
+    Tables.spread(verified, $"doc_a").orderBy($"doc_a", $"doc_b")
   }
 
   val editVerifySql: String =
@@ -1369,18 +1384,25 @@ object Dedup {
         $"b.n" * 5 >= $"a.n" * 4 && $"a.n" * 5 >= $"b.n" * 4)
       .select($"a.doc_id".as("da"), $"b.doc_id".as("db"))
       .distinct()
-    cand
-      .join(docs.select($"doc_id".as("da"), $"ws".as("wa"), $"n".as("na")),
-        Seq("da"))
-      .join(docs.select($"doc_id".as("db"), $"ws".as("wb"), $"n".as("nb")),
-        Seq("db"))
+    // r19 opt: spread the candidate pairs BEFORE the array_intersect
+    // verify (AQE's byte-based coalescing was serializing the per-pair
+    // O(n) set intersection into ~1 task — 6.3 s -> ~1.8 s at sf0.1),
+    // and hash-exchange the verified rows so the final range sort's
+    // sampling pass doesn't re-run the verify (see Tables.spread).
+    val verified = Tables.spread(
+        cand
+          .join(docs.select($"doc_id".as("da"), $"ws".as("wa"), $"n".as("na")),
+            Seq("da"))
+          .join(docs.select($"doc_id".as("db"), $"ws".as("wb"), $"n".as("nb")),
+            Seq("db")),
+        $"da", $"db")
       .select($"da", $"db", $"na", $"nb",
         size(array_intersect($"wa", $"wb")).cast("long").as("inter_n"))
       .filter($"inter_n" * 9 >= ($"na" + $"nb") * 4)
       .select($"da".as("doc_a"), $"db".as("doc_b"), $"inter_n",
         ($"na" + $"nb" - $"inter_n").as("union_n"),
         expr("(1000000 * inter_n) div (na + nb - inter_n)").as("jac_ppm"))
-      .orderBy($"doc_a", $"doc_b")
+    Tables.spread(verified, $"doc_a").orderBy($"doc_a", $"doc_b")
   }
 
   val prefixFilterJoinSql: String =
@@ -2145,15 +2167,22 @@ object Dedup {
       array((1 to SnmWindow).map(k => struct(
         lead($"doc_id", k).over(w).as("doc_b"),
         lead($"text", k).over(w).as("tb"))): _*).as("nb"))
-    led.select($"doc_a", $"ta", explode($"nb").as("p"))
-      .filter($"p.doc_b".isNotNull)
+    // r19 opt: spread the candidate pairs BEFORE the levenshtein DP (AQE
+    // coalesced the byte-tiny window stage to ~1 task, serializing the
+    // edit-distance verify), and hash-exchange AFTER it so the final range
+    // sort's sampling pass reads materialized rows instead of re-running
+    // the DP (6.2 s -> ~1.3 s at sf0.1; see Tables.spread).
+    val verified = Tables.spread(
+        led.select($"doc_a", $"ta", explode($"nb").as("p"))
+          .filter($"p.doc_b".isNotNull),
+        $"doc_a", $"p.doc_b")
       .select($"doc_a", $"p.doc_b".as("doc_b"),
         levenshtein($"ta", $"p.tb").cast("long").as("lev"),
         length($"ta").cast("long").as("len_a"),
         length($"p.tb").cast("long").as("len_b"))
       .withColumn("near_dup",
         $"lev" * 100L <= lit(SnmEditPct) * greatest($"len_a", $"len_b"))
-      .orderBy($"doc_a", $"doc_b")
+    Tables.spread(verified, $"doc_a").orderBy($"doc_a", $"doc_b")
   }
 
   lazy val sortedNeighborhoodSql: String =

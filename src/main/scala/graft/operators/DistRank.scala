@@ -49,9 +49,18 @@ import org.apache.spark.sql.types.NumericType
   * Every pre-pass is an exact deterministic aggregate with a bounded
   * collect (the KMeans bounded-collect pattern), so the frozen literals
   * are identical however many times the plan is replayed — no sampling,
-  * no persist, no recompute divergence. A 90%-one-value distribution now
-  * ranks across [[TieK]]+ buckets instead of one (PropertySpec pins both
-  * the bit-equality and the bucket-spread shape).
+  * no recompute divergence.
+  *
+  * PRE-PASS INPUT (r19 optimization round): every pre-pass collect used
+  * to re-run the CALLER'S WHOLE UPSTREAM PIPELINE — 3-6 full recomputes
+  * of, e.g., t23's LM-scoring subtree, one per driver-side job (guide
+  * §1.2: don't compute things you throw away). The pre-passes only need
+  * the leading value and the first tie column, so they now run against a
+  * NARROW PROJECTION of exactly those columns, materialized once via
+  * `localCheckpoint` (two narrow columns per row — bytes-bounded, never
+  * the caller's payload). The frozen literals are identical (same values,
+  * same exact aggregates), so the emitted bucket expression — and every
+  * oracle — is unchanged; only the number of upstream executions drops.
   *
   * NULL leading values get a dedicated terminal bucket matching Spark's
   * sort-order contract (ASC = nulls first, DESC = nulls last), so a
@@ -100,91 +109,94 @@ object DistRank {
   private val MaxComposite = Buckets.toLong * SubN - 1L
   private val MaxId = (MaxComposite + 1L) * PartCap
 
-  private def minMax(df: DataFrame, c: Column): (Double, Double) = {
-    val r = df.agg(min(c).cast("double"), max(c).cast("double")).head()
-    if (r.isNullAt(0)) (0.0, 0.0) else (r.getDouble(0), r.getDouble(1))
-  }
-
   /** Exact per-bucket counts — a bounded collect (nulls already mapped
     * to a real bucket id by the caller). */
   private def bucketCounts(df: DataFrame, b: Column): Seq[(Long, Long)] =
     df.groupBy(b.as("__drk_cb")).agg(count(lit(1)).as("__drk_cn"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
 
-  /** Skew-aware monotone bucket over (`leading` asc/desc, `ties`).
-    * Exposed package-private so PropertySpec can assert the SHAPE
-    * (bucket spread under planted skew), not just the values. */
-  private[graft] def skewBucket(df: DataFrame, leading: Column,
-      desc: Boolean, ties: Seq[Column]): Column = {
-    val vd = leading.cast("double")
-    val (lo, hi) = minMax(df, leading)
+  /** The skew-aware monotone bucket, computed against a pre-materialized
+    * narrow stats frame and returned as a BUILDER from (leading, tie)
+    * columns so the same frozen-literal expression can be applied both
+    * to the narrow frame (offset counts) and to the caller's frame
+    * (final output) without re-running any pre-pass. */
+  private def skewBucketBuilder(narrow: DataFrame, tieType:
+      Option[org.apache.spark.sql.types.DataType], desc: Boolean)
+      : (Column, Option[Column]) => Column = {
+    val lN = col("__drk_l").cast("double")
+    val tNRaw = col("__drk_t")
+    val r0 = narrow.agg(min(lN), max(lN)).head()
+    val (lo, hi) =
+      if (r0.isNullAt(0)) (0.0, 0.0) else (r0.getDouble(0), r0.getDouble(1))
     val span = hi - lo
-    val coarse =
+    def coarseOf(vd: Column): Column =
       if (span <= 0) lit(0L)
       else least(lit(Buckets - 1L),
         greatest(lit(0L), floor((vd - lit(lo)) / lit(span) * Buckets)))
-    val coarseSafe = when(vd.isNull, lit(0L)).otherwise(coarse)
-    val c1 = bucketCounts(df, coarseSafe)
+    def coarseSafeOf(vd: Column): Column =
+      when(vd.isNull, lit(0L)).otherwise(coarseOf(vd))
+    val c1 = bucketCounts(narrow, coarseSafeOf(lN))
     val n = c1.map(_._2).sum
     val t = math.max(n / Buckets, 1L)
     val splits: Seq[Long] =
       if (span <= 0) Nil else c1.filter(_._2 > 2 * t).map(_._1)
-    val sub =
+    def subOf(vd: Column): Column =
       if (splits.isEmpty) lit(0L)
-      else when(coarse.isInCollection(splits),
+      else when(coarseOf(vd).isInCollection(splits),
         least(lit(SubN - 1L), greatest(lit(0L),
-          floor(((vd - lit(lo)) / lit(span) * Buckets - coarse) * SubN))))
+          floor(((vd - lit(lo)) / lit(span) * Buckets - coarseOf(vd)) * SubN))))
         .otherwise(lit(0L))
-    val composite = coarseSafe * SubN + when(vd.isNull, 0L).otherwise(sub)
+    def compositeOf(vd: Column): Column =
+      coarseSafeOf(vd) * SubN + when(vd.isNull, 0L).otherwise(subOf(vd))
     val c2 =
       if (splits.isEmpty) c1.map { case (b, cn) => (b * SubN, cn) }
-      else bucketCounts(df, composite)
+      else bucketCounts(narrow, compositeOf(lN))
     val overfull = c2.filter(_._2 > 4 * t).map(_._1)
     val heavy: Seq[Double] =
       if (overfull.isEmpty) Nil
-      else df.filter(composite.isInCollection(overfull) && vd.isNotNull)
-        .groupBy(vd.as("__drk_v")).agg(count(lit(1)).as("__drk_cn"))
+      else narrow
+        .filter(compositeOf(lN).isInCollection(overfull) && lN.isNotNull)
+        .groupBy(lN.as("__drk_v")).agg(count(lit(1)).as("__drk_cn"))
         .filter(col("__drk_cn") > t)
         .select(col("__drk_v")).collect().map(_.getDouble(0)).toSeq.sorted
-    val part: Column =
-      if (heavy.isEmpty) lit(0L)
+    // Tie sub-split: the encoding is a pure function of the tie column;
+    // build it once as a Column=>Column so narrow stats and caller output
+    // evaluate structurally identical expressions over the same frozen
+    // literals.
+    val tieEncOf: Option[Column => Column] = tieType.flatMap {
+      case _: NumericType => Some((tc: Column) => tc.cast("double"))
+      case org.apache.spark.sql.types.StringType =>
+        // monotone first-7-bytes encoding (r14 — closes the r13
+        // verdict's latent collapse for STRING tie columns): the
+        // UTF-8 bytes zero-padded to a fixed 7-byte width read as
+        // an unsigned big-endian integer. Spark's string order IS
+        // byte-wise unsigned UTF-8 order, and fixed-width padding
+        // keeps prefixes below their extensions, so the encoding
+        // is monotone non-decreasing w.r.t. the tie sort — all the
+        // split needs (strings tied through 7 bytes collapse to
+        // one sub-bucket, exactly like equal numerics). 7 bytes =
+        // 14 hex digits < 2^56, double-exact through the cast.
+        Some((tc: Column) => conv(hex(call_function("rpad",
+          encode(tc, "UTF-8"), lit(7),
+          lit(Array[Byte](0)))), 16, 10).cast("double"))
+      case _ => None
+    }
+    val partOf: (Column, Option[Column]) => Column =
+      if (heavy.isEmpty) (_, _) => lit(0L)
       else {
-        val arr = array(heavy.map(lit): _*)
-        val less = size(filter(arr, x => x < vd)).cast("long")
-        val isH = array_contains(arr, vd)
         val m = heavy.size.toLong
-        val j =
-          if (desc) lit(m) - less - when(isH, 1L).otherwise(0L) else less
-        val tieSub: Column = ties.headOption.flatMap { tc =>
-          df.select(tc).schema.head.dataType match {
-            case _: NumericType => Some(tc.cast("double"))
-            case org.apache.spark.sql.types.StringType =>
-              // monotone first-7-bytes encoding (r14 — closes the r13
-              // verdict's latent collapse for STRING tie columns): the
-              // UTF-8 bytes zero-padded to a fixed 7-byte width read as
-              // an unsigned big-endian integer. Spark's string order IS
-              // byte-wise unsigned UTF-8 order, and fixed-width padding
-              // keeps prefixes below their extensions, so the encoding
-              // is monotone non-decreasing w.r.t. the tie sort — all the
-              // split needs (strings tied through 7 bytes collapse to
-              // one sub-bucket, exactly like equal numerics). 7 bytes =
-              // 14 hex digits < 2^56, double-exact through the cast.
-              Some(conv(hex(call_function("rpad",
-                encode(tc, "UTF-8"), lit(7),
-                lit(Array[Byte](0)))), 16, 10).cast("double"))
-            case _ => None
-          }
-        } match {
-          case Some(td) =>
-            val heavyRows = df.filter(vd.isInCollection(heavy))
-            val r0 = heavyRows
-              .agg(min(td).cast("double"), max(td).cast("double")).head()
+        val tieSubOf: Column => Column = tieEncOf match {
+          case Some(enc) =>
+            val heavyRows = narrow.filter(lN.isInCollection(heavy))
+            val tdN = enc(tNRaw)
+            val r1 = heavyRows
+              .agg(min(tdN).cast("double"), max(tdN).cast("double")).head()
             val (tlo, thi) =
-              if (r0.isNullAt(0)) (0.0, 0.0)
-              else (r0.getDouble(0), r0.getDouble(1))
-            if (thi <= tlo) lit(0L)
+              if (r1.isNullAt(0)) (0.0, 0.0)
+              else (r1.getDouble(0), r1.getDouble(1))
+            if (thi <= tlo) _ => lit(0L)
             else {
-              val frac = (td - lit(tlo)) / lit(thi - tlo)
+              def fracOf(td: Column): Column = (td - lit(tlo)) / lit(thi - tlo)
               // level 0: uniform TieK split. Deeper levels SELECTIVELY
               // refine overfull buckets on their exact sub-range (tracked
               // driver-side) — each level is one bounded exact count pass
@@ -192,41 +204,47 @@ object DistRank {
               // split ids, engaged only while overfull buckets remain.
               // Clustered encodings (digit suffixes) zoom open; a bucket
               // whose range has collapsed to a point stops splitting.
-              var tb: Column = coalesce(least(lit(TieK - 1L),
-                greatest(lit(0L), floor(frac * TieK))), lit(0L))
+              var tbOf: Column => Column = td => coalesce(
+                least(lit(TieK - 1L),
+                  greatest(lit(0L), floor(fracOf(td) * TieK))), lit(0L))
               var ranges: Map[Long, (Double, Double)] =
                 (0 until TieK).map(i => i.toLong ->
                   (i.toDouble / TieK, (i + 1).toDouble / TieK)).toMap
               var depth = 0
               var done = false
               while (depth < MaxTieDepth && !done) {
-                val tc = bucketCounts(heavyRows, tb)
+                val tc = bucketCounts(heavyRows, tbOf(tdN))
                 val hn = tc.map(_._2).sum
                 val tThresh = 2L * math.max(hn / TieK, 1L)
-                val splits = tc.filter { case (id, cn) =>
+                val tsplits = tc.filter { case (id, cn) =>
                   cn > tThresh && ranges.get(id).exists {
-                    case (lo, hi) => hi - lo > 1e-12 }
+                    case (lo0, hi0) => hi0 - lo0 > 1e-12 }
                 }.map(_._1)
-                if (splits.isEmpty) done = true
+                if (tsplits.isEmpty) done = true
                 else {
-                  val prev = tb
-                  val base = prev * TieSub
-                  tb = splits.foldLeft(base) { (acc, id) =>
-                    val (lo, hi) = ranges(id)
-                    when(prev === id, base + coalesce(
-                      least(lit(TieSub - 1L), greatest(lit(0L),
-                        floor((frac - lit(lo)) / lit(hi - lo) * TieSub))),
-                      lit(0L)))
-                      .otherwise(acc)
+                  val prevOf = tbOf
+                  val frozenRanges = ranges
+                  tbOf = td => {
+                    val prev = prevOf(td)
+                    val base = prev * TieSub
+                    tsplits.foldLeft(base) { (acc, id) =>
+                      val (lo0, hi0) = frozenRanges(id)
+                      when(prev === id, base + coalesce(
+                        least(lit(TieSub - 1L), greatest(lit(0L),
+                          floor((fracOf(td) - lit(lo0)) / lit(hi0 - lo0)
+                            * TieSub))),
+                        lit(0L)))
+                        .otherwise(acc)
+                    }
                   }
-                  ranges = ranges.iterator.flatMap { case (id, (lo, hi)) =>
-                    if (splits.contains(id))
+                  ranges = ranges.iterator.flatMap { case (id, (lo0, hi0)) =>
+                    if (tsplits.contains(id))
                       (0 until TieSub).map { k =>
                         (id * TieSub + k) ->
-                          (lo + (hi - lo) * k / TieSub,
-                            lo + (hi - lo) * (k + 1) / TieSub)
+                          (lo0 + (hi0 - lo0) * k / TieSub,
+                            lo0 + (hi0 - lo0) * (k + 1) / TieSub)
                       }
-                    else Iterator.single((id * TieSub) -> (lo, hi))
+                    else Iterator.single((id * TieSub) -> (lo0, hi0))
                   }.toMap
                   depth += 1
                 }
@@ -235,27 +253,69 @@ object DistRank {
               // different stop-depths stay monotone together
               var scale = 1L
               (depth until MaxTieDepth).foreach(_ => scale *= TieSub)
-              tb * scale
+              val frozenTbOf = tbOf
+              val frozenScale = scale
+              td => frozenTbOf(td) * frozenScale
             }
-          case None => lit(0L)
+          case None => _ => lit(0L)
         }
-        when(isH, j * (TieWidth + 1L) + 1L + tieSub)
-          .otherwise(j * (TieWidth + 1L))
+        (vd, tdOpt) => {
+          val arr = array(heavy.map(lit): _*)
+          val less = size(filter(arr, x => x < vd)).cast("long")
+          val isH = array_contains(arr, vd)
+          val j =
+            if (desc) lit(m) - less - when(isH, 1L).otherwise(0L) else less
+          val tieSub = (tieEncOf, tdOpt) match {
+            case (Some(enc), Some(tc)) => tieSubOf(enc(tc))
+            case _ => lit(0L)
+          }
+          when(isH, j * (TieWidth + 1L) + 1L + tieSub)
+            .otherwise(j * (TieWidth + 1L))
+        }
       }
-    val comp = if (desc) lit(MaxComposite) - composite else composite
-    val core = comp * PartCap + part
-    when(leading.isNull, lit(if (desc) MaxId + 1L else -1L)).otherwise(core)
+    (leading: Column, tie: Option[Column]) => {
+      val vd = leading.cast("double")
+      val comp =
+        if (desc) lit(MaxComposite) - compositeOf(vd) else compositeOf(vd)
+      val core = comp * PartCap + partOf(vd, tie)
+      when(leading.isNull, lit(if (desc) MaxId + 1L else -1L)).otherwise(core)
+    }
+  }
+
+  /** The narrow stats frame: exactly (leading, first tie) projected and
+    * materialized once, so every bounded pre-pass collect reads it
+    * instead of re-running the caller's upstream pipeline. */
+  private def narrowOf(df: DataFrame, leading: Column,
+      ties: Seq[Column]): (DataFrame, Option[org.apache.spark.sql.types.DataType]) = {
+    val tieHead = ties.headOption
+    val cols = leading.as("__drk_l") +:
+      tieHead.map(_.as("__drk_t")).toSeq
+    val narrow = df.select(cols: _*).localCheckpoint(true)
+    (narrow, tieHead.map(_ => narrow.schema.apply("__drk_t").dataType))
+  }
+
+  /** Skew-aware monotone bucket over (`leading` asc/desc, `ties`).
+    * Exposed package-private so PropertySpec can assert the SHAPE
+    * (bucket spread under planted skew), not just the values. */
+  private[graft] def skewBucket(df: DataFrame, leading: Column,
+      desc: Boolean, ties: Seq[Column]): Column = {
+    val (narrow, tieType) = narrowOf(df, leading, ties)
+    skewBucketBuilder(narrow, tieType, desc)(leading, ties.headOption)
   }
 
   /** Core: adds `__drk_rank` (1-based global BIGINT row number over
-    * `order`) given a caller-supplied bucket column that is monotone
-    * non-decreasing w.r.t. `order`; returns the frame plus total N. */
-  private def ranked(df: DataFrame, bucket: Column,
+    * `order`) given the bucket column (monotone non-decreasing w.r.t.
+    * `order`) applied to `df`, with the per-bucket offset counts
+    * computed from `countsFrame` grouped by `countsBucket` — the narrow
+    * stats frame whenever the caller has one (same bucket values by
+    * construction, far cheaper to re-scan). */
+  private def rankedWith(df: DataFrame, bucket: Column,
+      countsFrame: DataFrame, countsBucket: Column,
       order: Seq[Column]): (DataFrame, Long) = {
     val s = df.sparkSession
     import s.implicits._
-    val withB = df.withColumn("__drk_b", bucket)
-    val counts = withB.groupBy($"__drk_b").agg(count(lit(1)).as("n"))
+    val counts = countsFrame
+      .groupBy(countsBucket.as("__drk_b")).agg(count(lit(1)).as("n"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     var acc = 0L
     val offRows = counts.toSeq.map { case (b, n) =>
@@ -264,7 +324,7 @@ object DistRank {
     val offsets = offRows.toDF("__drk_b", "__drk_off")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"__drk_b").orderBy(order: _*)
-    val out = withB
+    val out = df.withColumn("__drk_b", bucket)
       .withColumn("__drk_r", row_number().over(w).cast("long"))
       .join(broadcast(offsets), Seq("__drk_b"))
       .withColumn("__drk_rank", $"__drk_off" + $"__drk_r")
@@ -272,19 +332,33 @@ object DistRank {
     (out, acc)
   }
 
+  /** Ranked over a self-derived skew bucket: ONE narrow materialization
+    * feeds the bucket pre-passes AND the offset counts. */
+  private def rankedAuto(df: DataFrame, leading: Column, desc: Boolean,
+      ties: Seq[Column], order: Seq[Column]): (DataFrame, Long) = {
+    val (narrow, tieType) = narrowOf(df, leading, ties)
+    val builder = skewBucketBuilder(narrow, tieType, desc)
+    val bucketOut = builder(leading, ties.headOption)
+    val bucketNarrow = builder(col("__drk_l"),
+      ties.headOption.map(_ => col("__drk_t")))
+    rankedWith(df, bucketOut, narrow, bucketNarrow, order)
+  }
+
   /** Global row_number named `out` (BIGINT) over a caller-supplied
     * monotone bucket — for composite sort keys whose leading columns
     * admit a direct monotone encoding (p17's (stage, hex-coin prefix)). */
   def withRowNumberBucketed(df: DataFrame, bucket: Column, out: String,
       order: Seq[Column]): DataFrame =
-    ranked(df, bucket, order)._1.withColumnRenamed("__drk_rank", out)
+    rankedWith(df, bucket, df, bucket, order)._1
+      .withColumnRenamed("__drk_rank", out)
 
   /** Global row_number named `out` (BIGINT) ordered by the numeric
     * `leading` column (asc, or desc when `desc`) then `ties`. */
   def withRowNumber(df: DataFrame, out: String, leading: Column,
       desc: Boolean, ties: Seq[Column]): DataFrame = {
     val ord = (if (desc) leading.desc else leading.asc) +: ties
-    withRowNumberBucketed(df, skewBucket(df, leading, desc, ties), out, ord)
+    rankedAuto(df, leading, desc, ties, ord)._1
+      .withColumnRenamed("__drk_rank", out)
   }
 
   /** Global NTILE(k) named `out` (INT, matching the builtin's type) over
@@ -293,7 +367,7 @@ object DistRank {
   def withNtile(df: DataFrame, k: Int, out: String, leading: Column,
       desc: Boolean, ties: Seq[Column]): DataFrame = {
     val ord = (if (desc) leading.desc else leading.asc) +: ties
-    val (r, n) = ranked(df, skewBucket(df, leading, desc, ties), ord)
+    val (r, n) = rankedAuto(df, leading, desc, ties, ord)
     val q = n / k
     val rem = n % k
     val cut = rem * (q + 1)
