@@ -350,12 +350,12 @@ final class BucketedPotTable(
     val named = dims.foldLeft(get()) { case (df, (n, c)) =>
       df.withColumn(n, c.cast("long"))
     }
-    named
-      .withColumn("zb", shiftright(
-        graft.operators.ZOrderLayout.zvalN(dims.map(d => col(d._1))),
-        dims.length * graft.operators.ZOrderLayout.Bits - bucketBits)
-        .cast("long"))
-      .repartition(col("zb"))
+    graft.Tables.spread(
+        named.withColumn("zb", shiftright(
+          graft.operators.ZOrderLayout.zvalN(dims.map(d => col(d._1))),
+          dims.length * graft.operators.ZOrderLayout.Bits - bucketBits)
+          .cast("long")),
+        col("zb"))
       .write.partitionBy("zb").mode("errorifexists").parquet(staged)
     val body = s"$staged\n" +
       s"""{"srcGen":$srcGen,"bucketBits":$bucketBits,""" +

@@ -98,9 +98,8 @@ object AnnIndex {
     * just-written bucket dirs; content is identical by construction. */
   private[graft] def writeIdMapFrom(
       pairs: DataFrame, dataDir: String): Unit =
-    pairs
-      .withColumn("idb", idMapBucket(col("vec_id")))
-      .repartition(col("idb"))
+    graft.Tables.spread(
+        pairs.withColumn("idb", idMapBucket(col("vec_id"))), col("idb"))
       .write.partitionBy("idb").mode("overwrite")
       .parquet(s"$dataDir/$IdMapSidecar")
 
@@ -528,8 +527,7 @@ object AnnIndex {
       // column they already carry) so provenance survives compaction;
       // tombstoned rows are resolved away here — the fold is where a
       // deletion stops being a read-time anti-join and becomes physical
-      resolveVisible(s, fs, visible)
-        .repartition(col("sigp"))
+      graft.Tables.spread(resolveVisible(s, fs, visible), col("sigp"))
         .write.partitionBy("sigp").mode("overwrite").parquet(out)
       val f = fs.create(
         new org.apache.hadoop.fs.Path(out, FoldsSidecar), false)
@@ -610,8 +608,7 @@ object AnnIndex {
     val centsDf = fresh.toSeq.map { case (cid, cq) => (cid, cq.toSeq) }
       .toDF("cid", "cq")
     val dir = ensureGeneration(s, base, top + 1) { out =>
-      live
-        .repartition(col("sigp"))
+      graft.Tables.spread(live, col("sigp"))
         .write.partitionBy("sigp").mode("overwrite").parquet(out)
       val f = fs.create(
         new org.apache.hadoop.fs.Path(out, FoldsSidecar), false)
@@ -710,7 +707,7 @@ object AnnIndex {
 
   private def writeTombstones(
       s: SparkSession, rows: DataFrame, out: String): Unit = {
-    rows.repartition(col("sigp"))
+    graft.Tables.spread(rows, col("sigp"))
       .write.partitionBy("sigp").mode("overwrite").parquet(out)
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(s.sparkContext.hadoopConfiguration)

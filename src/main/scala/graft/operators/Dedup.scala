@@ -1998,7 +1998,13 @@ object Dedup {
     */
   def winnowing(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val grams = Tables.documents(s, d)
+    // r19 opt: the per-gram md5 pipeline below is map-side work over
+    // whatever parallelism the SCAN has — one task per fixture file.
+    // Spread by doc_id first so the hashing runs at session parallelism
+    // (the shuffled bytes are just (doc_id, text); the gram explosion
+    // happens after).
+    val grams = Tables.spread(
+        Tables.documents(s, d).select($"doc_id", $"text"), $"doc_id")
       .select($"doc_id", split($"text", " ").as("w"))
       .select($"doc_id", expr(
         s"""transform(sequence(1, size(w) - ${WinnowK - 1}),
@@ -2031,17 +2037,23 @@ object Dedup {
         .as("selv"))
       .select($"doc_id", expr("selv div 512").as("h"),
         expr("511 - (selv % 512)").as("p"))
-    val ok = sel.groupBy($"h")
+    // r19 opt: pin ONE h-keyed exchange that the df-cap count, the
+    // semi-join probe, and both pair-join sides all reuse (ReuseExchange)
+    // — `sel`'s fingerprint subtree used to recompute once per consumer.
+    // The pair dedup + count also fold into one distinct-aggregate
+    // (count(DISTINCT h) per pair) instead of a distinct exchange
+    // followed by a count exchange.
+    val selS = Tables.spread(sel, $"h")
+    val ok = selS.groupBy($"h")
       .agg(countDistinct($"doc_id").as("df"))
       .filter($"df" <= WinnowDfCap)
       .select($"h")
-    val fp = sel.join(ok, "h")
+    val fp = selS.join(ok, "h")
     val pairs = fp.select($"h", $"doc_id".as("doc_a"))
       .join(fp.select($"h", $"doc_id".as("doc_b")), "h")
       .filter($"doc_a" < $"doc_b")
-      .select($"doc_a", $"doc_b", $"h").distinct()
       .groupBy($"doc_a", $"doc_b")
-      .agg(count(lit(1)).as("shared_fps"))
+      .agg(countDistinct($"h").as("shared_fps"))
       .filter($"shared_fps" >= WinnowMinShared)
       .orderBy($"doc_a", $"doc_b")
     pairs

@@ -102,13 +102,22 @@ object Similarity {
     val sigd = batch
       .withColumn("sig", sigCol(col("embedding")))
       .withColumn("sigp", concat(lit("s"), col("sig")))
+    // r19 opt: pinned-count repartition (Tables.spread) — a bare
+    // repartition(col) is REPARTITION_BY_COL, which AQE coalesces to ~1
+    // task on byte-tiny batches, serializing the 256-way dynamic
+    // partition write (one task opening every sigp file: measured 5.2 s
+    // vs 0.6 s spread at sf0.1).
     val (_, dir) = AnnIndex.append(s, base, tag) { staging =>
-      sigd.repartition(col("sigp"))
+      graft.Tables.spread(sigd, col("sigp"))
         .write.partitionBy("sigp").mode("overwrite").parquet(staging)
     }
     // idempotent on replay: the sidecar content is a pure function of the
-    // (identical) replayed batch, so rewriting it is a deterministic no-op
-    AnnIndex.writeIdMap(s, dir)
+    // (identical) replayed batch, so rewriting it is a deterministic
+    // no-op. r19 opt: derive it from the in-hand batch frame
+    // (writeIdMapFrom) instead of re-listing and re-reading the 256
+    // just-written bucket files — content identical by construction.
+    AnnIndex.writeIdMapFrom(
+      sigd.select(col("vec_id"), col("sigp")), dir)
   }
 
   /** st14 backing — the s3 multiprobe lookup over the UNION of `base`'s
@@ -1887,11 +1896,19 @@ object Similarity {
     * in as (anode, anbr). */
   /** One beam-expansion hop (s38; shared by s40/s41): grow the frontier
     * by the persisted adjacency, score every candidate with the exact
-    * integer dot, keep the top-[[NswBeam]] per probe. The hop input is
-    * MATERIALIZED (<= beam rows per probe — tiny): the self+neighbors
-    * union references it twice, and without the cut Spark re-derives the
-    * whole prior walk per reference (the plan doubled per hop when this
-    * shipped lazy — caught by the plan pin). */
+    * integer dot, keep the top-[[NswBeam]] per probe.
+    *
+    * r19 opt: the frontier is referenced ONCE — a left join against the
+    * adjacency followed by an explode of (self, neighbor) — so the hop
+    * no longer needs its own eager `localCheckpoint` to keep the plan
+    * from doubling (the r18 shape referenced `cur` twice via a
+    * self+neighbors union). Multi-hop callers now chain hops into ONE
+    * lazy plan — one Spark job instead of one per hop; callers that
+    * genuinely re-reference a hop's output (s41's escalation set
+    * difference, s42's visited pool) still checkpoint at their own
+    * boundary. Set semantics unchanged: {node} ∪ neighbors(node),
+    * distinct — the left join keeps frontier nodes with no out-edges,
+    * and the null neighbor slot those rows carry is filtered out. */
   private def nswHop(s: SparkSession, adj: DataFrame,
       corpusCodes: DataFrame, probes: DataFrame)(cur0: DataFrame)
       : DataFrame = {
@@ -1899,10 +1916,11 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val wBeam = Window.partitionBy($"probe_id")
       .orderBy($"idot".desc, $"node".asc)
-    val cur = cur0.localCheckpoint(true)
-    val grown = cur.select($"probe_id", $"node")
-      .unionByName(cur.join(adj, $"node" === $"anode")
-        .select($"probe_id", $"anbr".as("node")))
+    val grown = cur0.select($"probe_id", $"node")
+      .join(adj, $"node" === $"anode", "left")
+      .select($"probe_id", explode(array($"node", $"anbr")).as("gnode"))
+      .filter($"gnode".isNotNull)
+      .select($"probe_id", $"gnode".as("node"))
       .distinct()
     grown.join(corpusCodes, "node").join(probes, "probe_id")
       .select($"probe_id", $"node", icodeDot($"pc", $"nc").as("idot"))
@@ -2345,8 +2363,10 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     def hop(cur0: DataFrame): DataFrame =
       nswHop(s, adj, corpusCodes, probes)(cur0)
+    // r19 opt: single-reference hops (see nswHop) make the whole 2-hop
+    // walk one lazy plan, and this beam is itself referenced once — no
+    // checkpoint anywhere on s40's serving path.
     val walked = hop(hop(nswL0(s, corpusCodes, probes)))
-      .localCheckpoint(true)
     val w3 = Window.partitionBy($"probe_id")
       .orderBy($"idot".desc, $"node".asc)
     walked.withColumn("rk", row_number().over(w3))
@@ -2703,10 +2723,14 @@ object Similarity {
     // one hop, returning BOTH the beam and the full scored grown set
     // (the visited pool the filtered answer draws from)
     def hopScored(cur0: DataFrame): (DataFrame, DataFrame) = {
-      val cur = cur0.localCheckpoint(true)
-      val grown = cur.select($"probe_id", $"node")
-        .unionByName(cur.join(adj, $"node" === $"anode")
-          .select($"probe_id", $"anbr".as("node")))
+      // r19 opt: single-reference frontier growth (see nswHop) — no
+      // per-hop checkpoint of the beam; `scored` stays checkpointed
+      // because BOTH the next beam and the visited pool read it.
+      val grown = cur0.select($"probe_id", $"node")
+        .join(adj, $"node" === $"anode", "left")
+        .select($"probe_id", explode(array($"node", $"anbr")).as("gnode"))
+        .filter($"gnode".isNotNull)
+        .select($"probe_id", $"gnode".as("node"))
         .distinct()
       val scored = grown.join(corpusCodes, "node").join(probes, "probe_id")
         .select($"probe_id", $"node", icodeDot($"pc", $"nc").as("idot"))

@@ -51,9 +51,10 @@ object ZOrderLayout {
       bucketBits: Int = 5): Unit = {
     require(bucketBits >= 1 && bucketBits <= 2 * Bits,
       s"bucketBits must be in [1, ${2 * Bits}]")
-    df.withColumn("zb",
-        shiftright(zval(a, b), 2 * Bits - bucketBits).cast("long"))
-      .repartition(col("zb"))
+    graft.Tables.spread(
+        df.withColumn("zb",
+          shiftright(zval(a, b), 2 * Bits - bucketBits).cast("long")),
+        col("zb"))
       .write.partitionBy("zb").mode("errorifexists").parquet(dir)
   }
 
