@@ -1807,15 +1807,24 @@ object Dedup {
   private[operators] def exactSubstrCov(
       s: SparkSession, d: String): (DataFrame, DataFrame) = {
     import s.implicits._
-    val toks = Tables.documents(s, d)
-      .select($"doc_id", split(lower($"text"), " ").as("t"))
+    // r19 opt: spread the tokenization by doc_id (the sliding-window
+    // xxhash explode below is map-side work over the single-file scan's
+    // 1-task parallelism), and pin ONE wk-keyed exchange that both the
+    // shared-count aggregate and the seed-fetch join reuse — `wins` used
+    // to recompute once per consumer.
+    val toks = Tables.spread(
+        Tables.documents(s, d)
+          .select($"doc_id", split(lower($"text"), " ").as("t")),
+        $"doc_id")
       .withColumn("n", size($"t"))
-    val wins = toks.filter($"n" >= SpanW)
-      .select($"doc_id", explode(expr(
-        s"transform(sequence(1, n - ${SpanW - 1}), i -> " +
-          s"struct(i AS i, xxhash64(array_join(slice(t, i, $SpanW), " +
-          "chr(1))) AS wk))")).as("w"))
-      .select($"doc_id", $"w.i".as("i"), $"w.wk".as("wk"))
+    val wins = Tables.spread(
+      toks.filter($"n" >= SpanW)
+        .select($"doc_id", explode(expr(
+          s"transform(sequence(1, n - ${SpanW - 1}), i -> " +
+            s"struct(i AS i, xxhash64(array_join(slice(t, i, $SpanW), " +
+            "chr(1))) AS wk))")).as("w"))
+        .select($"doc_id", $"w.i".as("i"), $"w.wk".as("wk")),
+      $"wk")
     val shared = wins.groupBy($"wk")
       .agg(countDistinct($"doc_id").as("nd"))
       .filter($"nd" >= 2).select($"wk")

@@ -946,8 +946,12 @@ object Pipeline {
       .withColumn("score", expr("(n_chars * 1000L) div tok"))
       .withColumn("coin",
         substring(md5(concat(lit("cur:"), $"doc_id".cast("string"))), 1, 8))
+    // r19 opt: materialize the staged frame (5 narrow columns) — the
+    // second DistRank pass's offset counts and its final consumption
+    // would otherwise each re-run the first pass's window + join.
     val staged = DistRank.withNtile(docs, 4, "stage",
       $"score", desc = false, Seq($"doc_id"))
+      .localCheckpoint(true)
     val posBucket = $"stage".cast("long") * 16 +
       conv(substring($"coin", 1, 1), 16, 10).cast("long")
     DistRank.withRowNumberBucketed(staged, posBucket, "posl",

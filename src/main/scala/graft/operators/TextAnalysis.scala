@@ -1555,8 +1555,13 @@ pr$r AS (
     */
   def perplexitySplit(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
+    // r19 opt: materialize the (doc_id, surprisal) frame once — it is two
+    // narrow columns but its producer is the whole t20 LM-scoring subtree,
+    // which DistRank's stats pass and the final rank consumption would
+    // otherwise each recompute.
     val scored = bigramSurprisal(s, d)
       .select($"doc_id", $"avg_surprisal")
+      .localCheckpoint(true)
     val tiled = graft.operators.DistRank.withNtile(
       scored, 3, "b", $"avg_surprisal", desc = false, Seq($"doc_id"))
     tiled
