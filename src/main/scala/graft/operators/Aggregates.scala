@@ -424,8 +424,14 @@ object Aggregates {
     */
   def countMin(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val src = Tables.lineitem(s, d)
-      .select($"l_partkey".cast("string").as("k"))
+    // r19 opt: pin one k-keyed exchange — the md5 position explode below
+    // is map-side work over the scan's few input splits, and BOTH
+    // branches (counter table + exact counts) reuse the single spread
+    // exchange instead of re-scanning.
+    val src = Tables.spread(
+      Tables.lineitem(s, d)
+        .select($"l_partkey".cast("string").as("k")),
+      $"k")
     val posCols = (0 until CmDepth).map { j =>
       struct(lit(j).as("j"),
         expr(s"CAST(conv(substring(md5(k), ${j * 4 + 1}, 4), 16, 10) AS BIGINT)" +

@@ -87,8 +87,11 @@ object Dedup {
     */
   private[graft] def bandSigs(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val sigs = words(s, d)
-      .filter(size($"w") >= 3)
+    // r19 opt: spread before the MinHash digest — 8 seeds x one md5 per
+    // shingle per doc is the heaviest map work in the dedup family, and
+    // it ran at the scan's couple-of-input-splits parallelism for every
+    // consumer (d2/d6/d11/d13/d16/d21, the incremental pipeline).
+    val sigs = Tables.spread(words(s, d).filter(size($"w") >= 3), $"doc_id")
       .withColumn("mh",
         graft.functions.MinHashWords.minhashWords($"w", 3, 8))
       .select($"doc_id" +: (0 to 7).map(i => element_at($"mh", i + 1).as(s"h$i")): _*)

@@ -266,7 +266,12 @@ object Pipeline {
     // computed, instead of re-shingling and re-hashing the corpus per
     // action. At cluster scale this is the same persist any multi-pass
     // sketch build does over its input.
-    val sh = shingles4(s, d)
+    // r19 opt: spread by shingle BEFORE computing positions — the scan is
+    // a couple of input splits, and without the pin the md5 hashing, the
+    // checkpointed partitioning, the bitmap fold and the train distinct
+    // all inherit that near-serial layout (distinct additionally reuses
+    // the sh partitioning).
+    val sh = Tables.spread(shingles4(s, d), $"sh")
       .withColumn("positions", array(posCols: _*))
       .localCheckpoint()
     // Build the filter as an ACTUAL bitmap (m/64 longs = 256 KB), folded

@@ -1826,14 +1826,20 @@ pr$r AS (
     */
   def memorizationRisk(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val grams = Tables.documents(s, d)
-      .select($"doc_id", split($"text", " ").as("w"))
-      .filter(size($"w") >= 20)
-      .select($"doc_id", explode(expr(
-        """array_distinct(transform(sequence(1, size(w) - 19),
-          |  p -> array_join(slice(w, p, 20), ' ')))""".stripMargin))
-        .as("gram"))
-      .select($"doc_id", xxhash64($"gram").as("gh"))
+    // r19 opt: spread the tokenization (the 20-gram explode + hash below
+    // is map-side work over the scan's couple of input splits) and pin
+    // ONE gh-keyed exchange reused by the df count and the fetch join.
+    val grams = Tables.spread(
+      Tables.spread(
+          Tables.documents(s, d).select($"doc_id", split($"text", " ").as("w")),
+          $"doc_id")
+        .filter(size($"w") >= 20)
+        .select($"doc_id", explode(expr(
+          """array_distinct(transform(sequence(1, size(w) - 19),
+            |  p -> array_join(slice(w, p, 20), ' ')))""".stripMargin))
+          .as("gram"))
+        .select($"doc_id", xxhash64($"gram").as("gh")),
+      $"gh")
     val df = grams.groupBy($"gh")
       .agg(count(lit(1)).as("dfreq"))
     grams.join(df, "gh")
