@@ -266,12 +266,13 @@ object Pipeline {
     // computed, instead of re-shingling and re-hashing the corpus per
     // action. At cluster scale this is the same persist any multi-pass
     // sketch build does over its input.
-    // r19 opt: spread by shingle BEFORE computing positions — the scan is
-    // a couple of input splits, and without the pin the md5 hashing, the
-    // checkpointed partitioning, the bitmap fold and the train distinct
-    // all inherit that near-serial layout (distinct additionally reuses
-    // the sh partitioning).
-    val sh = Tables.spread(shingles4(s, d), $"sh")
+    // r19 opt NOTE: a spread-by-sh pin before the positions was tried and
+    // MEASURED SLOWER (1.54 s -> 2.07 s at sf0.1): the added exchange of
+    // the whole shingle relation costs more than the scan-layout
+    // inheritance — the bitmap fold is an RDD treeAggregate (fans out
+    // regardless) and the eval side is small. Left in the scan layout
+    // deliberately.
+    val sh = shingles4(s, d)
       .withColumn("positions", array(posCols: _*))
       .localCheckpoint()
     // Build the filter as an ACTUAL bitmap (m/64 longs = 256 KB), folded
