@@ -2541,18 +2541,24 @@ object Similarity {
           beam("nbr") === exact3("xnbr"))
       .groupBy(beam("probe_id").as("hp"))
       .agg(count(lit(1)).as(out))
-    val nEsc = esc.count()
+    // r19 opt: the global escalated-probe count rides a broadcast
+    // single-row aggregate instead of a blocking driver-side count()
+    // action (same value, one fewer sequential job on s41's seven-action
+    // critical path; esc is already checkpointed so the agg is a re-scan
+    // of its blocks, not a re-walk).
+    val nEsc = broadcast(esc.agg(count(lit(1)).as("n_escalated")))
     post
       .join(hits(pre, "h_pre"), $"probe_id" === $"hp", "left").drop("hp")
       .join(hits(post, "h_post"), $"probe_id" === $"hp", "left").drop("hp")
       .join(esc.withColumn("is_esc", lit(1L)), Seq("probe_id"), "left")
+      .crossJoin(nEsc)
       .select($"probe_id", $"rk", $"nbr", $"idot",
         coalesce($"is_esc", lit(0L)).as("escalated"),
         when($"probe_id" < NswAuditBound, coalesce($"h_pre", lit(0L)))
           .otherwise(lit(-1L)).as("h3_pre"),
         when($"probe_id" < NswAuditBound, coalesce($"h_post", lit(0L)))
           .otherwise(lit(-1L)).as("h3_post"),
-        lit(nEsc).as("n_escalated"))
+        $"n_escalated")
       .orderBy($"probe_id", $"rk")
   }
 
