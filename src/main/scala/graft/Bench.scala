@@ -115,7 +115,21 @@ object Bench {
     val fj = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val (t1, t2) = (pass1.map(_._2).sum, pass2.map(_._2).sum)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","pass_totals":[$t1,$t2],"warm_sec":$warmSec,"st_machinery_sec":$stMachinerySec,"loadavg":{"start":$load0,"mid":$load1,"end":$load2},"failed":$fj,"sf":"$sfDir","queries":$qs,"passes":[${qjson(pass1)},${qjson(pass2)}]}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","pass_totals":[$t1,$t2],"warm_sec":$warmSec,"st_machinery_sec":$stMachinerySec,"loadavg":{"start":$load0,"mid":$load1,"end":$load2},"failed":$fj,"sf":"$sfDir","queries":$qs,"passes":[${qjson(pass1)},${qjson(pass2)}]}"""
+    println(line)
+    // Every BENCH_r*.json so far has parsed:null — the driver runs this main
+    // under sbt, which wraps stdout in "[info] " prefixes, so the JSON line
+    // above has never been machine-readable from the tail. Persist the
+    // identical line to a well-known file beside the repo root so the driver
+    // (or anyone) can read the record without de-prefixing sbt logs.
+    // build.sbt additionally sets `run / outputStrategy := StdoutOutput` so
+    // the forked JVM's stdout passes through sbt unwrapped.
+    try {
+      val w = new java.io.PrintWriter(new java.io.File("bench_out.json"), "UTF-8")
+      try w.println(line) finally w.close()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] bench_out.json write failed: ${e.getMessage}")
+    }
     // The driver keeps the TAIL of stdout (r10 verdict: leading fields were
     // exactly what got truncated), so repeat the headline fields in a second
     // compact line with no per-query maps — this one always survives the
