@@ -504,7 +504,10 @@ class PlanAuditSpec extends AnyFunSuite {
     // SortMergeJoin/BroadcastHashJoin on the custkey equality
     assert(p.contains("LeftSemi"), s"affected-key semi-join missing:\n$p")
     assert(p.contains("LeftAnti"), s"kept-rows anti-join missing:\n$p")
-    assert(p.contains("partial_sum"), s"rollup lost its map-side partial:\n$p")
+    // r20: Ora.dsum rides fixed_point_sum — the pin is the map-side
+    // PARTIAL aggregate existing, whichever sum implements it
+    assert(p.contains("partial_sum") || p.contains("partial_fixed_point_sum"),
+      s"rollup lost its map-side partial:\n$p")
   }
 
   test("q83 z-order study: one corpus scan, two cascaded hash aggs, no window, no join") {
