@@ -107,7 +107,9 @@ object Similarity {
     // task on byte-tiny batches, serializing the 256-way dynamic
     // partition write (one task opening every sigp file: measured 5.2 s
     // vs 0.6 s spread at sf0.1).
+    var built = false
     val (_, dir) = AnnIndex.append(s, base, tag) { staging =>
+      built = true
       graft.Tables.spread(sigd, col("sigp"))
         .write.partitionBy("sigp").mode("overwrite").parquet(staging)
     }
@@ -116,8 +118,14 @@ object Similarity {
     // no-op. r19 opt: derive it from the in-hand batch frame
     // (writeIdMapFrom) instead of re-listing and re-reading the 256
     // just-written bucket files — content identical by construction.
-    AnnIndex.writeIdMapFrom(
-      sigd.select(col("vec_id"), col("sigp")), dir)
+    // r20 (r19 ADVICE): on append's tag-ADOPTION early exit (replay of a
+    // batch another attempt already committed) the in-hand frame is not
+    // provably the committed content — derive the sidecar from the
+    // on-disk generation (read-back), exactly like the pre-r19 path; the
+    // fast in-hand derivation stays for the common freshly-built case.
+    if (built)
+      AnnIndex.writeIdMapFrom(sigd.select(col("vec_id"), col("sigp")), dir)
+    else AnnIndex.writeIdMap(s, dir)
   }
 
   /** st14 backing — the s3 multiprobe lookup over the UNION of `base`'s
@@ -2514,42 +2522,64 @@ object Similarity {
       .select($"vec_id".as("node"), $"code".as("nc"))
     def hop(cur0: DataFrame): DataFrame =
       nswHop(s, adj, corpusCodes, probes)(cur0)
-    val s1 = hop(nswL0(s, corpusCodes, probes)).localCheckpoint(true)
-    val s2 = hop(s1).localCheckpoint(true)
+    val w3 = Window.partitionBy($"probe_id")
+      .orderBy($"idot".desc, $"node".asc)
+    // r20 opt (r19 verdict item 7 — the six-action serial chain): the
+    // independent exact-audit shortlist runs CONCURRENTLY with the walk
+    // (guide §2.6: actions are only sequential because the driver calls
+    // them sequentially), and hop-1/hop-2/escalation fold into ONE
+    // checkpointed frame — hop 2 LEFT-joined against hop 1 carries the
+    // movement flag per row, so s2's rows AND the escalation set come out
+    // of a single materialization instead of three (s1, s2, esc). Rows
+    // are identical: is_new IS the old left_anti membership test.
+    val audit = probes.filter($"probe_id" < NswAuditBound)
+    val exact3F = scala.concurrent.Future {
+      corpusCodes.crossJoin(broadcast(audit))
+        .select($"probe_id", $"node", icodeDot($"pc", $"nc").as("idot"))
+        .withColumn("rk", row_number().over(w3))
+        .filter($"rk" <= 3)
+        .select($"probe_id", $"node".as("xnbr"))
+        .localCheckpoint(true)
+    }(scala.concurrent.ExecutionContext.global)
+    val s1 = hop(nswL0(s, corpusCodes, probes)) // lazy: lives inside e2's one job
+    val e2 = hop(s1)
+      .join(s1.select($"probe_id", $"node", lit(1).as("_old")),
+        Seq("probe_id", "node"), "left")
+      .withColumn("is_new", $"_old".isNull).drop("_old")
+      .localCheckpoint(true)
+    val s2 = e2.select($"probe_id", $"node", $"idot")
     // frontier still moving = escalate (deterministic set difference)
-    val esc = s2.join(s1, Seq("probe_id", "node"), "left_anti")
-      .select($"probe_id").distinct().localCheckpoint(true)
+    val esc = e2.filter($"is_new").select($"probe_id").distinct()
     val s3 = hop(s2.join(esc, Seq("probe_id")))
     val fin = s3.unionByName(s2.join(esc, Seq("probe_id"), "left_anti"))
       .localCheckpoint(true)
-    val w3 = Window.partitionBy($"probe_id")
-      .orderBy($"idot".desc, $"node".asc)
     def beam3(src: DataFrame) = src.withColumn("rk", row_number().over(w3))
       .filter($"rk" <= 3)
       .select($"probe_id", $"rk", $"node".as("nbr"), $"idot")
     val pre = beam3(s2)
     val post = beam3(fin)
-    val audit = probes.filter($"probe_id" < NswAuditBound)
-    val exact3 = corpusCodes.crossJoin(broadcast(audit))
-      .select($"probe_id", $"node", icodeDot($"pc", $"nc").as("idot"))
-      .withColumn("rk", row_number().over(w3))
-      .filter($"rk" <= 3)
-      .select($"probe_id", $"node".as("xnbr"))
-      .localCheckpoint(true)
-    def hits(beam: DataFrame, out: String) = beam.join(exact3,
-        beam("probe_id") === exact3("probe_id") &&
-          beam("nbr") === exact3("xnbr"))
-      .groupBy(beam("probe_id").as("hp"))
-      .agg(count(lit(1)).as(out))
+    val exact3 = scala.concurrent.Await.result(exact3F,
+      scala.concurrent.duration.Duration.Inf)
+    // ONE audit pass over both beams (pre/post tagged union) instead of
+    // two exact3 joins: same per-(probe, side) counts — a probe present
+    // on one side only still groups (count(when(...)) = 0 = the old
+    // left-join-null coalesced to 0).
+    val both = pre.withColumn("_side", lit(0))
+      .unionByName(post.withColumn("_side", lit(1)))
+    val hitsBoth = both
+      .join(exact3, both("probe_id") === exact3("probe_id") &&
+        both("nbr") === exact3("xnbr"))
+      .groupBy(both("probe_id").as("hp"))
+      .agg(count(when($"_side" === 0, 1)).as("h_pre"),
+        count(when($"_side" === 1, 1)).as("h_post"))
     // r19 opt: the global escalated-probe count rides a broadcast
     // single-row aggregate instead of a blocking driver-side count()
-    // action (same value, one fewer sequential job on s41's seven-action
-    // critical path; esc is already checkpointed so the agg is a re-scan
-    // of its blocks, not a re-walk).
+    // action (same value, one fewer sequential job; esc derives from the
+    // checkpointed e2 so the agg is a re-scan of its blocks, not a
+    // re-walk).
     val nEsc = broadcast(esc.agg(count(lit(1)).as("n_escalated")))
     post
-      .join(hits(pre, "h_pre"), $"probe_id" === $"hp", "left").drop("hp")
-      .join(hits(post, "h_post"), $"probe_id" === $"hp", "left").drop("hp")
+      .join(hitsBoth, $"probe_id" === $"hp", "left").drop("hp")
       .join(esc.withColumn("is_esc", lit(1L)), Seq("probe_id"), "left")
       .crossJoin(nEsc)
       .select($"probe_id", $"rk", $"nbr", $"idot",

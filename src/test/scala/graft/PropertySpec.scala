@@ -1014,4 +1014,29 @@ class PropertySpec extends AnyFunSuite {
     }
     new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
   }
+
+  test("DistRank reliable-checkpoint staging (spark.graft.rank.reliableCheckpoint) is bit-identical") {
+    import spark.implicits._
+    // the conf only changes how the narrow stats frame is MATERIALIZED
+    // (reliable checkpoint for cluster fault tolerance vs localCheckpoint)
+    // -- the pre-pass aggregates, frozen literals, and therefore every
+    // rank must be identical
+    val rows = (1 to 500).map(i => ((i % 23) * 1.5, i.toLong))
+    val df = rows.toDF("v", "id")
+    val base = operators.DistRank
+      .withRowNumber(df, "rn", $"v", desc = false, Seq($"id"))
+      .select($"id", $"rn").as[(Long, Long)].collect().toMap
+    val dir = java.nio.file.Files.createTempDirectory("graft-rank-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    spark.conf.set("spark.graft.rank.reliableCheckpoint", "true")
+    try {
+      val rel = operators.DistRank
+        .withRowNumber(df, "rn", $"v", desc = false, Seq($"id"))
+        .select($"id", $"rn").as[(Long, Long)].collect().toMap
+      assert(rel === base, "reliable-checkpoint path changed ranks")
+    } finally {
+      spark.conf.unset("spark.graft.rank.reliableCheckpoint")
+      new scala.reflect.io.Directory(dir.toFile).deleteRecursively()
+    }
+  }
 }
