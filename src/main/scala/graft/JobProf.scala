@@ -40,6 +40,8 @@ object JobProf {
           .flatMap(p => Option(p.getProperty("spark.job.description")))
           .orElse(Option(e.properties)
             .flatMap(p => Option(p.getProperty("callSite.short"))))
+          .orElse(e.stageInfos.lastOption.map(si =>
+            si.name.take(60) + s" [${si.numTasks}t]"))
           .getOrElse("")
         jobs.put(e.jobId, J(e.jobId, d, System.nanoTime()))
         order.add(e.jobId)

@@ -167,6 +167,21 @@ final class PotTable(spark: SparkSession, root: String, path: String) {
   /** Upsert (Create/batch-Create, server.go:272-423). */
   def upsert(docs: DataFrame): Long = upsertAt(docs, generation)
 
+  /** Whole-map replace (r20 optimization): commit `docs` AS the next
+    * generation's complete state — the same CAS chain and generation
+    * arithmetic as [[upsert]], minus the read-old/window-merge pass.
+    * For a caller whose batch already CONTAINS every surviving key (the
+    * additive-counter streams pre-merge old ∪ delta themselves), upsert's
+    * LWW merge is provably the identity on the batch: every old key is
+    * present in `docs`, so `docs` wins per key and the merged state ==
+    * `docs`. KvSpec pins the equivalence. NOT for partial batches —
+    * absent keys are DROPPED (that is the semantics: replace).
+    */
+  def replace(docs: DataFrame): Long = {
+    val stamped = docs.withColumn("_modified", current_timestamp())
+    commit(stamped, generation)
+  }
+
   /** Conditional write (WithNoRewrite + WithRewriteGeneration,
     * server.go:236-264, 365-393): reject the WHOLE batch if any incoming key
     * already exists, unless the caller owns the current generation or the

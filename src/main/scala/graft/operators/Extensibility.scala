@@ -734,7 +734,7 @@ object Extensibility {
         val sess = org.apache.spark.sql.SparkSession.active
         import sess.implicits._
         val p = new org.apache.hadoop.fs.Path(glob)
-        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = p.getFileSystem(graft.kv.HadoopConf.get)
         val rows = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
           .filter(_.isFile).map(_.getPath).map { pot =>
             val commits = new org.apache.hadoop.fs.Path(
@@ -788,7 +788,7 @@ object Extensibility {
         val sess = org.apache.spark.sql.SparkSession.active
         import sess.implicits._
         val p = new org.apache.hadoop.fs.Path(glob)
-        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = p.getFileSystem(graft.kv.HadoopConf.get)
         val rows = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
           .filter(_.isFile).map(_.getPath).flatMap { pot =>
             val commits = new org.apache.hadoop.fs.Path(
@@ -948,7 +948,7 @@ object Extensibility {
       .write.format(fmt).option("path", root).option("buckets", "4")
       .mode("append").save()
     val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      .getFileSystem(graft.kv.HadoopConf.get)
     def lastMtime: Long = graft.sources.BucketedPotV2Source
       .existingBuckets(root, 4).map { b =>
         val commits = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs
@@ -1050,7 +1050,7 @@ object Extensibility {
       to_json(struct($"n_name".as("name"), lit(upd).as("upd")))
         .as("doc_json"))
     val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      .getFileSystem(graft.kv.HadoopConf.get)
     def chainMtimes(potPath: String): Seq[Long] = {
       val commits = new org.apache.hadoop.fs.Path(
         new org.apache.hadoop.fs.Path(potPath).getParent, ".commits")
@@ -1488,7 +1488,7 @@ object Extensibility {
       // one delta epoch upserts the second half — the chain stays
       // delta-headed (run 1 << compactEvery)
       val fs = new org.apache.hadoop.fs.Path(pot)
-        .getFileSystem(new org.apache.hadoop.conf.Configuration())
+        .getFileSystem(graft.kv.HadoopConf.get)
       val staging = new org.apache.hadoop.fs.Path(s"$dir/chain_$g/.stage")
       fs.mkdirs(staging)
       val frag = new org.apache.hadoop.fs.Path(staging, "f.jsonl")
@@ -1651,7 +1651,7 @@ object Extensibility {
     snap(0, 0 to 4)                    // sidecar present
     val p1 = snap(1, 5 to 9)           // sidecar deleted below
     val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      .getFileSystem(graft.kv.HadoopConf.get)
     fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/range_1"))
       .map(_.getPath).filter(_.getName.startsWith(".zmap-"))
       .foreach(z => fs.delete(z, false))
@@ -1748,7 +1748,7 @@ object Extensibility {
       pot
     }
     val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      .getFileSystem(graft.kv.HadoopConf.get)
     def sidecarsOf(g: Int) =
       fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/range_$g"))
         .map(_.getPath).filter(_.getName.startsWith(".zmap-"))
@@ -1969,7 +1969,7 @@ object Extensibility {
       .write.format(fmt).option("path", root).option("buckets", "4")
       .mode("append").save()
     val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      .getFileSystem(graft.kv.HadoopConf.get)
     def lastMtime: Long = graft.sources.BucketedPotV2Source
       .existingBuckets(root, 4).map { b =>
         val commits = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs
@@ -2114,7 +2114,7 @@ object Extensibility {
         val sess = org.apache.spark.sql.SparkSession.active
         import sess.implicits._
         val p = new org.apache.hadoop.fs.Path(glob)
-        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val fs = p.getFileSystem(graft.kv.HadoopConf.get)
         val rows = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
           .filter(_.isFile).map(_.getPath).map { pot =>
             val commits = new org.apache.hadoop.fs.Path(
@@ -2153,7 +2153,7 @@ object Extensibility {
     // pot A: snapshot + two delta epochs (u50's chain shape)
     val potA = write("a", nat)
     val fsA = new org.apache.hadoop.fs.Path(potA)
-      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      .getFileSystem(graft.kv.HadoopConf.get)
     def epoch(tag: String, lines: Seq[String]): Unit = {
       val staging = new org.apache.hadoop.fs.Path(s"$dir/a/.staging-$tag")
       fsA.mkdirs(staging)
@@ -2402,7 +2402,7 @@ object Extensibility {
     docs(nat.filter($"n_regionkey" <= 1).withColumn("upd", lit(0)))
       .write.format(fmt).option("path", pot).mode("overwrite").save()
     val commits = new org.apache.hadoop.fs.Path(s"$dir/t/.commits")
-    val fs = commits.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = commits.getFileSystem(graft.kv.HadoopConf.get)
     def mtime(g: Int): Long = fs.getFileStatus(
       new org.apache.hadoop.fs.Path(commits, g.toString)).getModificationTime
     val t1 = mtime(1)
@@ -4082,7 +4082,7 @@ object Extensibility {
     // gens 2-3: hand-staged DELTA epochs through the streaming commit
     // path (dgen artifacts — the chain shape compaction exists for)
     val fs = new org.apache.hadoop.fs.Path(pot)
-      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      .getFileSystem(graft.kv.HadoopConf.get)
     def epoch(tag: String, lines: Seq[String]): Unit = {
       val staging = new org.apache.hadoop.fs.Path(s"$dir/t/.staging-$tag")
       fs.mkdirs(staging)

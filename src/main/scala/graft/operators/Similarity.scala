@@ -1830,7 +1830,7 @@ object Similarity {
     val root = new org.apache.hadoop.fs.Path(
       new org.apache.hadoop.fs.Path(sys.props("java.io.tmpdir")),
       s"graft-nsw-$tag-v1")
-    val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = root.getFileSystem(graft.kv.HadoopConf.get)
     val commits = new org.apache.hadoop.fs.Path(root, "commits")
     def committed: Option[String] =
       if (graft.kv.CommitMarker.committedGenerations(fs, commits)
@@ -2094,7 +2094,7 @@ object Similarity {
     val root = new org.apache.hadoop.fs.Path(
       new org.apache.hadoop.fs.Path(sys.props("java.io.tmpdir")),
       s"graft-nswi-$tag-v1")
-    val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = root.getFileSystem(graft.kv.HadoopConf.get)
     val commits = new org.apache.hadoop.fs.Path(root, "commits")
     def committed(g: Long): Option[String] =
       if (graft.kv.CommitMarker.committedGenerations(fs, commits)
@@ -2286,7 +2286,7 @@ object Similarity {
     val root = new org.apache.hadoop.fs.Path(
       new org.apache.hadoop.fs.Path(sys.props("java.io.tmpdir")),
       s"graft-nswd-$tag-v1")
-    val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = root.getFileSystem(graft.kv.HadoopConf.get)
     val commits = new org.apache.hadoop.fs.Path(root, "commits")
     def committed(g: Long): Option[String] =
       if (graft.kv.CommitMarker.committedGenerations(fs, commits)

@@ -105,7 +105,7 @@ object BucketedPotV2Source {
 
   /** Buckets that currently exist on disk (have a data.json). */
   def existingBuckets(root: String, n: Int): Seq[Int] = {
-    val fs = new Path(root).getFileSystem(new Configuration())
+    val fs = new Path(root).getFileSystem(graft.kv.HadoopConf.get)
     (0 until n).filter(b => fs.exists(new Path(bucketPot(root, b))))
   }
 
@@ -116,7 +116,7 @@ object BucketedPotV2Source {
     */
   def resolveBuckets(root: String, supplied: Option[Int]): Int = {
     val p = new Path(root)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(graft.kv.HadoopConf.get)
     graft.kv.BucketMeta.resolve(fs, p, supplied,
       storeLive =
         Option(fs.globStatus(new Path(root, "_b=*"))).exists(_.nonEmpty))
@@ -125,7 +125,7 @@ object BucketedPotV2Source {
   /** Stamp the modulus at the write front door (idempotent CAS). */
   def stampBuckets(root: String, n: Int): Unit = {
     val p = new Path(root)
-    graft.kv.BucketMeta.stamp(p.getFileSystem(new Configuration()), p, n)
+    graft.kv.BucketMeta.stamp(p.getFileSystem(graft.kv.HadoopConf.get), p, n)
   }
 
   /** Crash recovery: roll every open multi-bucket statement forward from
@@ -137,7 +137,7 @@ object BucketedPotV2Source {
 
   /** Head generation per existing bucket (the row-level ops' pin vector). */
   def headVector(root: String, n: Int): Map[Int, Long] = {
-    val fs = new Path(root).getFileSystem(new Configuration())
+    val fs = new Path(root).getFileSystem(graft.kv.HadoopConf.get)
     existingBuckets(root, n).map { b =>
       val commits = new Path(new Path(bucketPot(root, b)).getParent, ".commits")
       b -> (graft.kv.CommitMarker.committedGenerations(fs, commits) :+ 0L).max
@@ -159,7 +159,7 @@ object BucketedPotV2Source {
     * first commit fails NAMED at planning, mirroring u46.
     */
   def asOfVector(root: String, n: Int, millis: Long): Map[Int, Long] = {
-    val fs = new Path(root).getFileSystem(new Configuration())
+    val fs = new Path(root).getFileSystem(graft.kv.HadoopConf.get)
     val resolved = existingBuckets(root, n).map { b =>
       val commits =
         new Path(new Path(bucketPot(root, b)).getParent, ".commits")
@@ -228,7 +228,7 @@ object BucketedPotV2Source {
   def cloneBucketedPot(srcRoot: String, dstRoot: String)
       : Seq[(Int, Long)] = {
     val srcP = new Path(srcRoot)
-    val fs = srcP.getFileSystem(new Configuration())
+    val fs = srcP.getFileSystem(graft.kv.HadoopConf.get)
     val n = graft.kv.BucketMeta.stored(fs, srcP).getOrElse(
       throw new IllegalArgumentException(
         s"cloneBucketedPot: $srcRoot has no _meta/buckets stamp — not a " +
@@ -377,7 +377,7 @@ private[sources] class BucketedPotScanBuilder(root: String, nBuckets: Int,
     val p = new Path(BucketedPotV2Source.bucketPot(root, b))
     // qualify like globStatus qualifies matched files, or the string
     // comparison in PotV2Filters.accepts would prune EVERYTHING
-    p.getFileSystem(new Configuration()).makeQualified(p).toString
+    p.getFileSystem(graft.kv.HadoopConf.get).makeQualified(p).toString
   }
 
   private def qualifiedBucket(k: String): String =
@@ -481,7 +481,7 @@ private[graft] class BucketedPotWrite(
   private[sources] def commitEpoch(
       epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     BucketedPotV2Source.stampBuckets(root, nBuckets)
-    val fs = new Path(root).getFileSystem(new Configuration())
+    val fs = new Path(root).getFileSystem(graft.kv.HadoopConf.get)
     val perBucket = messages
       .collect { case m: BucketFragmentsMessage => m }
       .flatMap(m => m.fragments.map { case (b, f) =>
@@ -537,7 +537,7 @@ private[graft] class BucketedPotWrite(
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     BucketedPotV2Source.stampBuckets(root, nBuckets)
-    val fs = new Path(root).getFileSystem(new Configuration())
+    val fs = new Path(root).getFileSystem(graft.kv.HadoopConf.get)
     val perBucket = messages
       .collect { case m: BucketFragmentsMessage => m }
       .flatMap(m => m.fragments.map { case (b, f) =>
@@ -583,7 +583,7 @@ private[graft] class BucketedPotWrite(
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(root).getFileSystem(new Configuration())
+    val fs = new Path(root).getFileSystem(graft.kv.HadoopConf.get)
     fs.delete(stagingDir, true)
   }
 }
@@ -612,7 +612,7 @@ private[graft] class BucketedPotWriterFactory(
           mapper.writeValueAsString(line)
       }
       override def commit(): WriterCommitMessage = {
-        val fs = new Path(stagingDir).getFileSystem(new Configuration())
+        val fs = new Path(stagingDir).getFileSystem(graft.kv.HadoopConf.get)
         val frags = bufs.toSeq.sortBy(_._1).map { case (b, buf) =>
           val frag = new Path(
             stagingDir, f"part-b$b%04d-$partitionId%05d-$taskId.jsonl")
@@ -642,7 +642,7 @@ private[graft] class BucketedPotStreamingWrite(write: BucketedPotWrite)
   override def abort(
       epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val staging = new Path(write.stagingBase + s"-e$epochId")
-    staging.getFileSystem(new Configuration()).delete(staging, true)
+    staging.getFileSystem(graft.kv.HadoopConf.get).delete(staging, true)
   }
 }
 
@@ -699,7 +699,7 @@ private[sources] class BucketedPinnedScanBuilder(
     override def description(): String =
       s"BucketedPotPinnedScan(root=$root, gens=${observed.toSeq.sorted})"
     override def planInputPartitions(): Array[InputPartition] = {
-      val fs = new Path(root).getFileSystem(new Configuration())
+      val fs = new Path(root).getFileSystem(graft.kv.HadoopConf.get)
       observed.toSeq.sorted.flatMap { case (b, g) =>
         val pot = new Path(BucketedPotV2Source.bucketPot(root, b))
         if (g > 0) {
@@ -751,7 +751,7 @@ private[graft] class BucketedPotDeltaWrite(
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     BucketedPotV2Source.stampBuckets(root, nBuckets)
-    val fs = new Path(root).getFileSystem(new Configuration())
+    val fs = new Path(root).getFileSystem(graft.kv.HadoopConf.get)
     val perBucket = messages
       .collect { case m: BucketFragmentsMessage => m }
       .flatMap(m => m.fragments.map { case (b, f) =>
@@ -796,7 +796,7 @@ private[graft] class BucketedPotDeltaWrite(
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(root).getFileSystem(new Configuration())
+    val fs = new Path(root).getFileSystem(graft.kv.HadoopConf.get)
     fs.delete(stagingDir, true)
   }
 }
@@ -842,7 +842,7 @@ private[graft] class BucketedPotDeltaWriterFactory(
           s"""{"k":${mapper.writeValueAsString(key)},"d":null}"""
       }
       override def commit(): WriterCommitMessage = {
-        val fs = new Path(stagingDir).getFileSystem(new Configuration())
+        val fs = new Path(stagingDir).getFileSystem(graft.kv.HadoopConf.get)
         val frags = bufs.toSeq.sortBy(_._1).map { case (b, buf) =>
           val frag = new Path(
             stagingDir, f"delta-b$b%04d-$partitionId%05d-$taskId.jsonl")

@@ -86,7 +86,7 @@ private[graft] object BucketedStmtLog {
   private def ckptDir(root: String) = new Path(root, "_stmts/ckpt")
 
   private def fsOf(root: String): FileSystem =
-    new Path(root).getFileSystem(new Configuration())
+    new Path(root).getFileSystem(graft.kv.HadoopConf.get)
 
   /** Build an intent body. `frags` maps bucket -> (partitionId, fragment
     * path); `base` is the touched buckets' head-generation vector at

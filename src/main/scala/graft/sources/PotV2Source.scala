@@ -213,7 +213,7 @@ object PotV2Source {
     require(!isGlob(path),
       s"PotV2Source: timestampAsOf reads need ONE pot object, not a glob: $path")
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(graft.kv.HadoopConf.get)
     val commits = new Path(p.getParent, ".commits")
     val millis = parseTsMillis(ts)
     val gens = graft.kv.CommitMarker.committedGenerations(fs, commits)
@@ -1320,7 +1320,7 @@ private[sources] class PotV2Table(path: String,
       filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
     import java.nio.charset.StandardCharsets.UTF_8
     val target = new Path(path)
-    val fs = target.getFileSystem(new Configuration())
+    val fs = target.getFileSystem(graft.kv.HadoopConf.get)
     val dir = target.getParent
     val commits = new Path(dir, ".commits")
     val mapper = new ObjectMapper()
@@ -2044,7 +2044,7 @@ private[graft] class PotV2Scan(
 
   private def planInputPartitionsUncached(): Array[InputPartition] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(graft.kv.HadoopConf.get)
     // TIME TRAVEL: `.option("generation", n)` pins the read to commit n of
     // the write chain (the connector's VERSION AS OF, pairing with kv7's
     // PotTable time travel) — the reader scans that generation's immutable
@@ -2243,7 +2243,7 @@ private[graft] class PotV2Scan(
   override def estimateStatistics(): Statistics = {
     import java.util.OptionalLong
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(graft.kv.HadoopConf.get)
     def len(f: String): Long =
       try fs.getFileStatus(new Path(f)).getLen
       catch { case _: java.io.FileNotFoundException => 0L }
@@ -2508,7 +2508,7 @@ private[sources] class PotV2ReaderFactory(
     // per entry here — correct, and honest about what a delta-headed
     // chain costs; the snapshot paths below never pay it.
     def foldedEntries(sp: PotStatePartition): Iterator[PotEntry] = {
-      val fs = new Path(sp.dir).getFileSystem(new Configuration())
+      val fs = new Path(sp.dir).getFileSystem(graft.kv.HadoopConf.get)
       val mapper = new ObjectMapper()
       PotChain.stateAtWithGen(fs, new Path(sp.dir, ".commits"), sp.gen)
         .entrySet().asScala.iterator
@@ -2592,7 +2592,7 @@ private[sources] class PotV2ReaderFactory(
           if (fileGen <= 0L || !statsOnlyEligible) return false
           try {
             val p = new Path(file)
-            val fs = p.getFileSystem(new Configuration())
+            val fs = p.getFileSystem(graft.kv.HadoopConf.get)
             val commits = new Path(p.getParent, ".commits")
             val body = PotChain.artifactOf(fs, commits, fileGen)
             if (body == null || PotChain.isDgen(body)) return false
@@ -2614,7 +2614,7 @@ private[sources] class PotV2ReaderFactory(
           case _ if tryStatsOnly() => ()
           case _ =>
             val p = new Path(file)
-            val fs = p.getFileSystem(new Configuration())
+            val fs = p.getFileSystem(graft.kv.HadoopConf.get)
             val in = fs.open(p)
             val root = try new ObjectMapper().readTree(in)
               finally in.close()
@@ -2663,7 +2663,7 @@ private[sources] class PotV2ReaderFactory(
       // decides a row survives (stringification is the dominant cost).
       def streamedFields(p: Path)
           : Iterator[(String, com.fasterxml.jackson.databind.JsonNode)] = {
-        val fs = p.getFileSystem(new Configuration())
+        val fs = p.getFileSystem(graft.kv.HadoopConf.get)
         val mapper = new ObjectMapper()
         val parser = mapper.getFactory.createParser(
           fs.open(p): java.io.InputStream)
@@ -2714,7 +2714,7 @@ private[sources] class PotV2ReaderFactory(
               .flatMap(e => admit(e._1, e._2))
           case _ =>
             val p = new Path(file)
-            val fs = p.getFileSystem(new Configuration())
+            val fs = p.getFileSystem(graft.kv.HadoopConf.get)
             val in = fs.open(p)
             val root = try new ObjectMapper().readTree(in) finally in.close()
             require(root != null && root.isObject,
@@ -2971,7 +2971,7 @@ private[graft] class PotV2Write(
       snapTag: Option[String], retryOnConflict: Boolean,
       staging: Path, expectedHeadGen: Option[Long] = None): Long = {
     val target = new Path(path)
-    val fs = target.getFileSystem(new Configuration())
+    val fs = target.getFileSystem(graft.kv.HadoopConf.get)
     val dir = target.getParent
     val commits = new Path(dir, ".commits")
     val mapper = new ObjectMapper()
@@ -3210,7 +3210,7 @@ private[graft] class PotV2Write(
       staging: Path): Unit = {
     import java.nio.charset.StandardCharsets.UTF_8
     val target = new Path(path)
-    val fs = target.getFileSystem(new Configuration())
+    val fs = target.getFileSystem(graft.kv.HadoopConf.get)
     val dir = target.getParent
     val commits = new Path(dir, ".commits")
     val mapper = new ObjectMapper()
@@ -3338,7 +3338,7 @@ private[graft] class PotV2Write(
       retryOnConflict = false, staging = stagingDir)
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(path).getFileSystem(new Configuration())
+    val fs = new Path(path).getFileSystem(graft.kv.HadoopConf.get)
     fs.delete(stagingDir, true)
   }
 }
@@ -3393,7 +3393,7 @@ private[graft] class PotV2StreamingWrite(write: PotV2Write)
   override def abort(
       epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val staging = write.epochStagingDir(epochId)
-    staging.getFileSystem(new Configuration()).delete(staging, true)
+    staging.getFileSystem(graft.kv.HadoopConf.get).delete(staging, true)
   }
 }
 
@@ -3454,7 +3454,7 @@ private[graft] object PotV2Write {
       val copied =
         try {
           org.apache.hadoop.fs.FileUtil.copy(
-            fs, new Path(snap), fs, tmp, false, new Configuration())
+            fs, new Path(snap), fs, tmp, false, graft.kv.HadoopConf.get)
           true
         } catch {
           case _: java.io.FileNotFoundException =>
@@ -3508,7 +3508,7 @@ private[graft] class PotV2WriterFactory(
         // committed, and only message-named fragments are merged — task
         // retries / speculation can never double-apply
         val frag = new Path(stagingDir, f"part-$partitionId%05d-$taskId.jsonl")
-        val fs = frag.getFileSystem(new Configuration())
+        val fs = frag.getFileSystem(graft.kv.HadoopConf.get)
         val out = fs.create(frag, false)
         try out.write((buf.mkString("\n") + "\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -3566,7 +3566,7 @@ private[graft] class PotChangesScan(
       vector.map(v => v.toSeq.sorted.toString).getOrElse(from.toString) + ")"
   override def planInputPartitions(): Array[InputPartition] = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(graft.kv.HadoopConf.get)
     def headOf(pot: Path): Long = {
       val commits = new Path(pot.getParent, ".commits")
       (graft.kv.CommitMarker.committedGenerations(fs, commits) :+ 0L).max
@@ -3657,7 +3657,7 @@ private[graft] class PotRowLevelOperation(
   // produce a FALSE conflict, which retries — never a lost update).
   private val observedHeadGen: Long = {
     val p = new Path(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(graft.kv.HadoopConf.get)
     PotV2Write.latestSnapshot(fs, new Path(p.getParent, ".commits"))
       .map(_._1).getOrElse(0L)
   }
@@ -3728,7 +3728,7 @@ private[graft] class PotV2DeltaWrite(
       expectedHeadGen = Some(observedHeadGen))
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(path).getFileSystem(new Configuration())
+    val fs = new Path(path).getFileSystem(graft.kv.HadoopConf.get)
     fs.delete(new Path(inner.stagingBase), true)
   }
 }
@@ -3769,7 +3769,7 @@ private[graft] class PotV2DeltaWriterFactory(
       override def commit(): WriterCommitMessage = {
         val frag = new Path(
           stagingDir, f"delta-$partitionId%05d-$taskId.jsonl")
-        val fs = frag.getFileSystem(new Configuration())
+        val fs = frag.getFileSystem(graft.kv.HadoopConf.get)
         val out = fs.create(frag, false)
         try out.write((buf.mkString("\n") + "\n")
           .getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -3846,7 +3846,7 @@ private[graft] class PotV2MicroBatchStream(
     with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
-  private def fs = new Path(path).getFileSystem(new Configuration())
+  private def fs = new Path(path).getFileSystem(graft.kv.HadoopConf.get)
   private def commits = new Path(new Path(path).getParent, ".commits")
 
   private def head: Long = (graft.kv.CommitMarker
@@ -3934,7 +3934,7 @@ private[graft] class PotV2MultiPotStream(glob: String, required: StructType,
 
   override def reportLatestOffset(): Offset = latestOffset()
 
-  private def fs = new Path(glob).getFileSystem(new Configuration())
+  private def fs = new Path(glob).getFileSystem(graft.kv.HadoopConf.get)
 
   private def pots(): Seq[Path] =
     Option(fs.globStatus(new Path(glob))).map(_.toSeq).getOrElse(Seq.empty)
@@ -4014,7 +4014,7 @@ private[graft] class PotV2DeltaReaderFactory(columns: Array[String])
     val p = partition.asInstanceOf[PotDeltaPartition]
     new PartitionReader[InternalRow] {
       private val entries: Iterator[(String, String)] = {
-        val fs = new Path(p.dir).getFileSystem(new Configuration())
+        val fs = new Path(p.dir).getFileSystem(graft.kv.HadoopConf.get)
         val commits = new Path(p.dir, ".commits")
         val mapper = new ObjectMapper()
         // O(delta) fast path: each commit writes a `.delta-<stem>.jsonl`

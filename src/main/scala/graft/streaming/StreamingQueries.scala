@@ -893,7 +893,11 @@ object StreamingQueries {
         if (pot.generation == 0L) delta
         else pot.get().select($"key", $"n").unionByName(delta)
           .groupBy($"key").agg(sum($"n").as("n"))
-      pot.upsert(merged)
+      // r20 opt: `merged` IS the complete next state (old ∪ delta summed),
+      // so upsert's read-old + window-LWW pass is the identity on it —
+      // replace commits the same rows at the same generation without the
+      // second read/merge (KvSpec pins replace ≡ upsert for full batches)
+      pot.replace(merged)
       meta.upsert(Seq(("applied", id)).toDF("key", "batch_id"))
       ()
     }

@@ -627,4 +627,27 @@ class KvSpec extends AnyFunSuite {
     assert(!pot.getAt(1L).schema.fieldNames.contains("w"))
     new scala.reflect.io.Directory(new java.io.File(root)).deleteRecursively()
   }
+
+  test("replace == upsert for a batch covering every surviving key (r20 fast path)") {
+    import spark.implicits._
+    def state(p: graft.kv.PotTable) = p.get()
+      .select($"key", $"n").as[(String, Long)].collect().toMap
+    val rootA = java.nio.file.Files.createTempDirectory("graft-repl-a").toString
+    val rootB = java.nio.file.Files.createTempDirectory("graft-repl-b").toString
+    val a = graft.kv.PotTable(spark, rootA, "c")
+    val b = graft.kv.PotTable(spark, rootB, "c")
+    val w1 = Seq(("k1", 1L), ("k2", 2L)).toDF("key", "n")
+    a.upsert(w1); b.upsert(w1)
+    // the additive-counter shape: the next batch contains EVERY key
+    val w2 = Seq(("k1", 5L), ("k2", 2L), ("k3", 7L)).toDF("key", "n")
+    a.upsert(w2)
+    b.replace(w2)
+    assert(state(a) === state(b), "replace diverged from upsert on a covering batch")
+    assert(a.generation === b.generation, "replace burned a different generation count")
+    // and replace IS a replace: a key absent from the batch is dropped
+    b.replace(Seq(("k1", 9L)).toDF("key", "n"))
+    assert(state(b) === Map("k1" -> 9L))
+    Seq(rootA, rootB).foreach(p =>
+      new scala.reflect.io.Directory(new java.io.File(p)).deleteRecursively())
+  }
 }
